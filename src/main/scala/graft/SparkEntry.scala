@@ -1,13 +1,647 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{Clean, Joins, Stats, Windows}
+import graft.text.{Dedup, TextStats}
+import graft.vector.Similarity
+
+/** Driver contract (SURVEY §7.0): one registry entry per operator from
+  * SURVEY §2 plus the north-star extensions, each with a DuckDB oracle
+  * where SQL-expressible.
+  *
+  * Oracle-parity rules used throughout (SURVEY §7.4):
+  *   - aggregates never sum raw doubles: per-row cast to decimal (exact,
+  *     order-independent), then explicit cast of the result precision in
+  *     BOTH engines;
+  *   - averages are exact-decimal-sum / count (double division of
+  *     identical inputs is IEEE-deterministic);
+  *   - every window/sort has a deterministic total order via unique
+  *     tiebreak columns;
+  *   - integer aggregates are cast to BIGINT in DuckDB (its SUM(int)
+  *     widens to HUGEINT);
+  *   - UTC everywhere.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship: the full medallion pipeline (Bronze enrich → Silver dedup →
+    * Gold per-day top-10 stats) over `events`. Driver smoke-checks rows>0
+    * on sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q09_pipeline_gold")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── Reference parity (SURVEY §2) ────────────────────────────────────
+    "q01_gold_daily_stats" -> ((s, dir) => {
+      // W2 rank + P5 filter + A1 agg + O1 sort (silver_to_gold_crypto_stats.py:52-111)
+      val li = t(s, dir, "lineitem").withColumn("partition_date", to_date(col("l_shipdate")))
+      Stats.dailyStats(
+        Stats.topKPerDay(li.repartition(col("partition_date")), "partition_date",
+          col("l_extendedprice") * col("l_quantity"), 10),
+        "partition_date", "l_extendedprice", "l_quantity")
+    }),
+
+    "q02_dedup_latest" -> ((s, dir) => {
+      // W1 keep-latest dedup (bronze_to_silver_crypto.py:76-84)
+      Clean.dedupLatest(t(s, dir, "events"), Seq("user_id", "ts"), "event_id")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .orderBy("event_id")
+    }),
+
+    "q03_bronze_enrich" -> ((s, dir) => {
+      // P3 enrichment + P9 coalesce + partition-date derivation
+      // (extract_crypto_data.py:183-192)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        coalesce(col("value"), lit(0.0)).as("value_filled"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        to_date(col("ts")).as("partition_date"))
+        .orderBy("event_id")
+    }),
+
+    "q04_distinct_dates" -> ((s, dir) => {
+      // P7/A3 touched-partition discovery (extract_crypto_data.py:226-229)
+      Stats.distinctDates(
+        t(s, dir, "lineitem").withColumn("partition_date", to_date(col("l_shipdate"))),
+        "partition_date")
+    }),
+
+    "q05_top1_global" -> ((s, dir) => {
+      // O2 global top-1 (fast_pipeline.py:43) with deterministic tiebreak
+      Stats.top1(t(s, dir, "events"), col("value"), Seq(col("event_id")))
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
+    "q06_cross_join" -> ((s, dir) => {
+      // J1 broadcast cross join (data_generator.py:270-271)
+      t(s, dir, "nation").crossJoin(broadcast(t(s, dir, "region")))
+        .select(col("n_name"), col("r_name"))
+        .orderBy("n_name", "r_name")
+    }),
+
+    "q07_silver_casts" -> ((s, dir) => {
+      // P8 typed casts to Decimal(18,8)/(20,2) (bronze_to_silver_crypto.py:62-71)
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast(DecimalType(18, 8)).as("price_dec"),
+        col("l_quantity").cast(DecimalType(20, 2)).as("qty_dec"),
+        col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q08_partition_counts" -> ((s, dir) => {
+      // A1/A2 per-partition counts + exact decimal sums
+      t(s, dir, "orders")
+        .withColumn("partition_date", to_date(col("o_orderdate")))
+        .groupBy(col("partition_date"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_price"))
+        .orderBy("partition_date")
+    }),
+
+    "q09_pipeline_gold" -> ((s, dir) => {
+      // Full medallion: enrich → dedup (W1) → daily top-10 rank() stats (W2+A1)
+      val bronze = t(s, dir, "events").withColumn("partition_date", to_date(col("ts")))
+      val silver = Clean.dedupLatest(bronze, Seq("user_id", "ts"), "event_id")
+      Stats.dailyStats(
+        Stats.topKPerDay(silver.repartition(col("partition_date")), "partition_date",
+          col("value"), 10),
+        "partition_date", "value", "value")
+    }),
+
+    // ── Extended relational surface (SURVEY §7.2 step 6) ────────────────
+    "q10_join_star" -> ((s, dir) => {
+      Joins.starJoin(t(s, dir, "customer"), Seq(
+        (t(s, dir, "nation"), "c_nationkey", "n_nationkey"),
+        (t(s, dir, "region"), "n_regionkey", "r_regionkey")))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_acctbal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q11_join_fact" -> ((s, dir) => {
+      t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)))
+            .cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q12_semi_join" -> ((s, dir) => {
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "q13_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer").join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    "q14_rollup" -> ((s, dir) => {
+      Joins.starJoin(t(s, dir, "customer"), Seq(
+        (t(s, dir, "nation"), "c_nationkey", "n_nationkey"),
+        (t(s, dir, "region"), "n_regionkey", "r_regionkey")))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    "q15_window_lag" -> ((s, dir) => {
+      Windows.lagLead(t(s, dir, "events"), Seq("user_id"), Seq("ts", "event_id"), "value")
+        .select("event_id", "user_id", "value", "prev_value", "next_value")
+        .orderBy("event_id")
+    }),
+
+    "q16_window_frame" -> ((s, dir) => {
+      Windows.movingAgg(t(s, dir, "events"), Seq("user_id"), Seq("ts", "event_id"), "value", 2)
+        .select("event_id", "user_id", "moving_sum", "pos_in_key")
+        .orderBy("event_id")
+    }),
+
+    "q17_set_ops" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purch = ev.filter(col("event_type") === "purchase").select("user_id")
+      val err = ev.filter(col("event_type") === "error").select("user_id")
+      purch.intersect(err).withColumn("tag", lit("both"))
+        .unionByName(purch.except(err).withColumn("tag", lit("purchase_only")))
+        .select("tag", "user_id").orderBy("tag", "user_id")
+    }),
+
+    "q18_json_extract" -> ((s, dir) => {
+      t(s, dir, "events").select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    }),
+
+    "q19_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("upper_name"),
+        lower(col("p_brand")).as("lower_brand"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("snake_name"),
+        instr(col("p_type"), "a").cast("long").as("a_pos"),
+        reverse(col("p_name")).as("rev_name"))
+        .orderBy("p_partkey")
+    }),
+
+    "q20_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(to_date(col("o_orderdate")), lit(java.sql.Date.valueOf("1995-01-01")))
+          .cast("long").as("days_since"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q21_agg_funcs" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    "q22_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      Joins.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq(("value", "last_click_value")),
+          leftTiebreak = Some("event_id"), rightTiebreak = Some("event_id"))
+        .select("event_id", "user_id", "value", "last_click_value")
+        .orderBy("event_id")
+    }),
+
+    "q23_range_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l, col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") >= col("o_orderdate")
+          && col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_shipped_90d"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q24_histogram" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("bucket_lo", (floor(col("value") / 25) * 25).cast("long"))
+        .groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"))
+        .orderBy("bucket_lo")
+    }),
+
+    "q25_sessionize" -> ((s, dir) => {
+      Windows.sessionStats(
+        Windows.sessionize(t(s, dir, "events"), Seq("user_id"), "ts", "event_id", 1800),
+        Seq("user_id"), "ts")
+    }),
+
+    "q27_pivot" -> ((s, dir) => {
+      val types = Seq("click", "purchase", "view", "signup", "error")
+      t(s, dir, "events").groupBy(col("user_id"))
+        .pivot("event_type", types).agg(count(lit(1)))
+        .select(col("user_id") +: types.map(ty => coalesce(col(ty), lit(0L)).as(ty)): _*)
+        .orderBy("user_id")
+    }),
+
+    // ── Training-data pipeline: dedup / text (north star) ───────────────
+    "q30_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text").orderBy("text_hash")
+    }),
+
+    "q31_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", 5, 0.5)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q32_minhash_lsh" -> ((s, dir) => {
+      // engine-specific hash (xxhash64) → rows-only check; semantics
+      // unit-tested against q31's exact jaccard in DedupSpec
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q33_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q34_lang_id" -> ((s, dir) => {
+      TextStats.langId(t(s, dir, "documents"), "text")
+        .select(col("doc_id"),
+          col("score_en").cast("long").as("score_en"),
+          col("score_de").cast("long").as("score_de"),
+          col("score_es").cast("long").as("score_es"),
+          col("score_fr").cast("long").as("score_fr"),
+          col("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    "q35_quality_score" -> ((s, dir) => {
+      TextStats.qualityFeatures(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_chars", "n_tokens", "n_stopwords",
+          "mean_token_len", "stopword_ratio")
+        .orderBy("doc_id")
+    }),
+
+    "q36_token_totals" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("source")
+    }),
+
+    "q37_fingerprint" -> ((s, dir) => {
+      // engine-specific hash (xxhash64 rolling) → rows-only check
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ── Similarity search (north star) ──────────────────────────────────
+    "q40_cosine_topk" -> ((s, dir) => {
+      Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
+    }),
+
+    "q41_ivf_topk" -> ((s, dir) => {
+      // approximate (probe subset) → rows-only check; recall unit-tested
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
+    }),
+
+    "q42_embedding_norms" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .withColumn("l2_norm", round(Similarity.l2Norm(col("embedding")), 6))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("l2_norm").cast(DecimalType(18, 6))).cast(DecimalType(38, 6)).as("total_norm"))
+        .orderBy("label")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_gold_daily_stats" ->
+      """WITH ranked AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS partition_date, l_extendedprice, l_quantity,
+        |         rank() OVER (PARTITION BY CAST(l_shipdate AS DATE)
+        |                      ORDER BY l_extendedprice * l_quantity DESC) AS r
+        |  FROM lineitem)
+        |SELECT partition_date,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_market_cap,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS n_rows
+        |FROM ranked WHERE r <= 10
+        |GROUP BY partition_date ORDER BY partition_date""".stripMargin,
+
+    "q02_dedup_latest" ->
+      """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q03_bronze_enrich" ->
+      """SELECT event_id, user_id, event_type,
+        |  COALESCE(value, 0.0) AS value_filled,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  CAST(ts AS DATE) AS partition_date
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q04_distinct_dates" ->
+      "SELECT DISTINCT CAST(l_shipdate AS DATE) AS partition_date FROM lineitem ORDER BY partition_date",
+
+    "q05_top1_global" ->
+      "SELECT event_id, user_id, event_type, value FROM events ORDER BY value DESC, event_id LIMIT 1",
+
+    "q06_cross_join" ->
+      "SELECT n_name, r_name FROM nation CROSS JOIN region ORDER BY n_name, r_name",
+
+    "q07_silver_casts" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice AS DECIMAL(18,8)) AS price_dec,
+        |  CAST(l_quantity AS DECIMAL(20,2)) AS qty_dec,
+        |  l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q08_partition_counts" ->
+      """SELECT CAST(o_orderdate AS DATE) AS partition_date,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_pipeline_gold" ->
+      """WITH silver AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1),
+        |ranked AS (
+        |  SELECT CAST(ts AS DATE) AS partition_date, value,
+        |         rank() OVER (PARTITION BY CAST(ts AS DATE) ORDER BY value DESC) AS r
+        |  FROM silver)
+        |SELECT partition_date,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_market_cap,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS n_rows
+        |FROM ranked WHERE r <= 10
+        |GROUP BY partition_date ORDER BY partition_date""".stripMargin,
+
+    "q10_join_star" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q11_join_fact" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       CAST(1.0 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q12_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q13_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q14_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q15_window_lag" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        |  lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q16_window_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS moving_sum,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos_in_key
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q17_set_ops" ->
+      """SELECT 'both' AS tag, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |UNION ALL
+        |SELECT 'purchase_only' AS tag, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |ORDER BY tag, user_id""".stripMargin,
+
+    "q18_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q19_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS upper_name,
+        |  lower(p_brand) AS lower_brand,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substr(p_name, 1, 8) AS name_prefix,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  replace(p_name, ' ', '_') AS snake_name,
+        |  CAST(strpos(p_type, 'a') AS BIGINT) AS a_pos,
+        |  reverse(p_name) AS rev_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q20_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q21_agg_funcs" ->
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  MIN(value) AS min_value,
+        |  MAX(value) AS max_value,
+        |  MIN(ts) AS first_ts,
+        |  MAX(ts) AS last_ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q22_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.value,
+        |  (SELECT c.value FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+        |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_value
+        |FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""".stripMargin,
+
+    "q23_range_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_shipped_90d
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q24_histogram" ->
+      """SELECT CAST(FLOOR(value / 25) * 25 AS BIGINT) AS bucket_lo,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q25_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q27_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view",
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS "error"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q31_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM toks),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.word || ' ' || b.word || ' ' || c.word || ' ' || d.word || ' ' || e.word AS shingle
+        |  FROM words a
+        |  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        |  JOIN words d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+        |  JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+        |  FROM shared
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b)
+        |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q34_lang_id" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(w, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS score_en,
+        |    CAST(len(list_filter(w, t -> t IN ('der','und','die','das','ist'))) AS BIGINT) AS score_de,
+        |    CAST(len(list_filter(w, t -> t IN ('el','la','de','que','es'))) AS BIGINT) AS score_es,
+        |    CAST(len(list_filter(w, t -> t IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr
+        |  FROM toks)
+        |SELECT doc_id, score_en, score_de, score_es, score_fr,
+        |  CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'unknown'
+        |       WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+        |       WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+        |       WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+        |       ELSE 'fr' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q35_quality_score" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(
+        |      regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      t -> t IN ('the','a','and','of','to','in','is','on'))) AS BIGINT) AS n_stopwords
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_tokens, n_stopwords,
+        |  CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
+        |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q36_token_totals" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q40_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id <> 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(v, qv) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+        |FROM c, q
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q42_embedding_norms" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    round(sqrt(list_dot_product(
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS l2_norm
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CAST(l2_norm AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin)
 }

@@ -1,0 +1,113 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators: partitioned accumulating writes, partition-
+  * scoped overwrite, sort-clustered compaction, and single-file CSV export.
+  *
+  * Replaces the reference's Delta-specific storage layer with plain
+  * partitioned Parquet (SURVEY §1.4, §2.2, §2.10):
+  *   - K1 full overwrite       — `extract_crypto_data.py:215-224`
+  *   - K2 replaceWhere         — `extract_crypto_data.py:226-241` →
+  *     dynamic partition overwrite (replaces exactly the partitions present
+  *     in the batch; untouched partitions survive — `README.md:26`)
+  *   - M1-M3 OPTIMIZE+ZORDER   — `main_pipeline.py:124-183`,
+  *     `delta_vacuum.py:48-75` → sort-clustered rewrite; Parquet row-group
+  *     min/max stats then give the same data skipping for 1-3 col cases
+  *   - K4 single-file CSV      — `silver_to_gold_crypto_stats.py:104-111`
+  *
+  * Scale posture: every write path is executor-side (no driver collect);
+  * partition counts are explicit so a 100 TB table writes with bounded
+  * file sizes rather than one file per shuffle partition per date.
+  */
+object Layout {
+
+  /** K1: full overwrite of a date-partitioned table. */
+  def overwritePartitioned(df: DataFrame, path: String,
+                           partitionCols: Seq[String] = Seq("partition_date")): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** K2: partition-scoped overwrite — only the partitions present in `df`
+    * are replaced; all others accumulate across runs (replaceWhere
+    * semantics without the predicate). Requires
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` (set by
+    * [[Sessions.tune]]); asserted here so a mis-built session fails fast
+    * instead of silently truncating the table.
+    */
+  def upsertPartitions(df: DataFrame, path: String,
+                       partitionCols: Seq[String] = Seq("partition_date")): Unit = {
+    val mode = df.sparkSession.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    require(mode.equalsIgnoreCase("dynamic"),
+      s"partitionOverwriteMode must be dynamic for accumulating writes, got $mode")
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** M1-M3: sort-clustered compaction of selected partitions (incremental
+    * OPTIMIZE + Z-ORDER equivalent). Reads only the touched partitions
+    * (partition pruning via the IN filter), range-partitions by the cluster
+    * columns, sorts within partitions, and rewrites just those partitions.
+    * For the reference's 1-3 column Z-ORDER sets, lexicographic sort
+    * clustering yields equivalent Parquet min/max data skipping
+    * (SURVEY §2.10 M1). `filesPerPartition` caps output file count the way
+    * the reference caps compacted file size at 128 MB.
+    */
+  def compactPartitions(spark: SparkSession, path: String,
+                        clusterCols: Seq[String],
+                        dates: Seq[String],
+                        partitionCol: String = "partition_date",
+                        filesPerPartition: Int = 1): Unit = {
+    val touched = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(dates: _*))
+    val sortCols = (partitionCol +: clusterCols).map(col)
+    touched
+      .repartition(math.max(1, dates.size * filesPerPartition), col(partitionCol))
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
+  /** M3 full-table variant: compaction + sort clustering of everything. */
+  def compactFull(spark: SparkSession, path: String, clusterCols: Seq[String],
+                  partitionCol: String = "partition_date",
+                  targetPartitions: Int = 32): Unit = {
+    val df = spark.read.parquet(path)
+    df.repartition(targetPartitions, col(partitionCol))
+      .sortWithinPartitions((partitionCol +: clusterCols).map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
+  /** K4: single-file CSV export with header — `coalesce(1)` write + rename
+    * of the part file (the executor-side equivalent of the reference's
+    * driver-side `toPandas().to_csv`, which would OOM the driver at scale).
+    * Only valid for small final results (the Gold report is one row per
+    * date).
+    */
+  def singleCsv(df: DataFrame, outFile: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = outFile + "_tmp"
+    df.coalesce(1).write.mode(SaveMode.Overwrite).option("header", "true").csv(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(tmp), conf)
+    val part = fs.globStatus(new Path(tmp, "part-*.csv"))(0).getPath
+    val dst = new Path(outFile)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(part, dst)
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** M6: table existence probe (`DeltaTable.isDeltaTable` analog). */
+  def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+}

@@ -1,0 +1,47 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** Session construction with the tuning surface the reference steers via
+  * `src/config/spark_manager.py:119-285` (AQE, shuffle sizing, broadcast
+  * threshold, memory fractions), re-expressed for Spark 4.1.2.
+  *
+  * Scale posture: these configs are the ones that transfer from local[32]
+  * to a 1000-executor cluster — AQE coalescing/skew handling, a 128 MB
+  * advisory partition size (aligned with the reference's Delta OPTIMIZE
+  * target file size, `spark_manager.py:50,204-207`), dynamic partition
+  * overwrite (the replaceWhere equivalent, SURVEY §2.2 K2), and a 64 MB
+  * broadcast threshold (`spark_manager.py:192`).
+  */
+object Sessions {
+
+  /** Build a tuned local session. `cores` drives shuffle parallelism the
+    * same way the reference derives it (cores × multiplier, clamped —
+    * `spark_manager.py:55-68`); on a real cluster this is
+    * `spark.sql.shuffle.partitions` ≈ 2-3× total executor cores, with AQE
+    * coalescing down small stages.
+    */
+  def local(appName: String, cores: Int = 32): SparkSession =
+    tune(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName), shufflePartitions = shuffleFor(cores))
+      .getOrCreate()
+
+  /** cores × 3 clamped to [8, 512] — reference `spark_manager.py:45-68`. */
+  def shuffleFor(cores: Int, multiplier: Int = 3): Int =
+    math.min(512, math.max(8, cores * multiplier))
+
+  /** Apply the portable (cluster-size-independent) tuning surface. */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (128L * 1024 * 1024).toString)
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+    .config("spark.ui.enabled", "false")
+}

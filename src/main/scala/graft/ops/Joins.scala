@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators: the reference's cross join (SURVEY §2.4 J1) plus the
+  * extended surface a market-data engine needs — broadcast dimension
+  * joins, semi/anti, range (interval) joins, and an as-of join.
+  *
+  * Scale posture:
+  *   - dimension joins broadcast the small side (no shuffle of the fact);
+  *   - the as-of join is ONE shuffle + ONE sort over the union of both
+  *     sides — it never builds the (left × right-per-key) blowup a naive
+  *     inequality join would, so it survives keys with millions of ticks;
+  *   - range joins keep an equi component so Catalyst plans a hash join
+  *     with the range as a post-filter, never a nested-loop cross product.
+  */
+object Joins {
+
+  /** As-of join: for each left row, attach `valueCols` from the latest
+    * right row with the same `keys` and right.ts <= left.ts (ties: the
+    * right row with greatest tiebreak wins; right rows at equal ts ARE
+    * visible to the left row).
+    *
+    * Implementation: tag and union both sides, then a single
+    * `last(value, ignoreNulls)` running window ordered by
+    * (ts, side, tiebreak) per key — right rows sort before left rows at
+    * equal ts. This is the scalable formulation: one hash shuffle on the
+    * key, one sort, zero row blowup, and it streams through Spark's
+    * window operator (rows-frame running last needs no buffering beyond
+    * the frame head).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               valueCols: Seq[(String, String)], // (rightCol, outName)
+               leftTiebreak: Option[String] = None,
+               rightTiebreak: Option[String] = None): DataFrame = {
+    val keyCols = keys.map(col)
+    val tieL = leftTiebreak.map(col(_)).getOrElse(lit(0L))
+    val tieR = rightTiebreak.map(col(_)).getOrElse(lit(0L))
+
+    val l = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
+      .withColumn("_tie", tieL.cast("long"))
+      .withColumns(valueCols.map { case (_, out) => out -> lit(null) }.toMap)
+    val r = right.select(
+      keyCols ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side"), tieR.cast("long").as("_tie")) ++
+        valueCols.map { case (rc, out) => col(rc).as(out) }: _*)
+
+    // align schemas: left carries its full payload, right rows carry nulls
+    val lCols = l.columns
+    val rAligned = lCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null))
+    }.select(lCols.map(col): _*)
+
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = valueCols.foldLeft(l.unionByName(rAligned)) { case (df, (_, out)) =>
+      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_side") === 1).drop("_ts", "_side", "_tie")
+  }
+
+  /** Range (interval) join: equi keys + a time-window predicate. The equi
+    * component keeps this a hash/sort-merge join; the range is a
+    * post-join filter.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTs: Column, lo: Column, hi: Column): DataFrame =
+    left.join(right, keys.map(k => left(k) === right(k)).reduce(_ && _)
+      && leftTs >= lo && leftTs <= hi)
+
+  /** Broadcast star-dimension join chain: fact ⋈ small dims, each dim
+    * explicitly broadcast (reference advice,
+    * `silver_to_gold_crypto_stats.py:68`; threshold `spark_manager.py:192`).
+    * `dims` entries are (dimension, factKey, dimKey).
+    */
+  def starJoin(fact: DataFrame, dims: Seq[(DataFrame, String, String)]): DataFrame =
+    dims.foldLeft(fact) { case (acc, (dim, fk, dk)) =>
+      acc.join(broadcast(dim), col(fk) === col(dk))
+    }
+}

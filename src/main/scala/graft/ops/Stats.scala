@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Silver → Gold statistics stage (SURVEY §2.5 A1, §2.6 W2, §2.7).
+  *
+  * Reference semantics: per-day top-10-by-volume via `rank()` (ties at
+  * rank 10 all survive and feed the aggregates —
+  * `silver_to_gold_crypto_stats.py:71-75`), then
+  * `groupBy(partition_date).agg(sum, avg)` ordered by date
+  * (`silver_to_gold_crypto_stats.py:77-84`).
+  *
+  * Scale posture: `repartition(dateCol)` first (reference Y1,
+  * `silver_to_gold_crypto_stats.py:69`) so the rank window and the
+  * aggregate share ONE shuffle — Catalyst sees the child partitioning
+  * satisfies both distributions. Partial (map-side) aggregation then makes
+  * the final agg tiny regardless of input size. Aggregates run on per-row
+  * decimal casts, never raw doubles, so results are order-independent —
+  * required both for distributed determinism and for oracle parity.
+  */
+object Stats {
+
+  /** W2 + P5: rank rows within `dateCol` by `volume` desc, keep rank <= k.
+    * `rank()` (not row_number) is load-bearing: ties admit >k rows.
+    */
+  def topKPerDay(df: DataFrame, dateCol: String, volume: Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(dateCol)).orderBy(volume.desc)
+    df.withColumn("volume_rank", rank().over(w))
+      .filter(col("volume_rank") <= k)
+  }
+
+  /** A1 + O1: Gold daily stats over the top-k rows. Sum is exact decimal;
+    * avg is exact-sum / count so it is reproducible under any partial-agg
+    * order.
+    */
+  def dailyStats(topK: DataFrame, dateCol: String,
+                 capCol: String, priceCol: String): DataFrame =
+    topK.groupBy(col(dateCol))
+      .agg(
+        sum(col(capCol).cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_market_cap"),
+        (sum(col(priceCol).cast(DecimalType(18, 6))).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col(dateCol))
+
+  /** The full Gold stage: repartition → rank → filter → agg → sort. */
+  def dailyTopKStats(silver: DataFrame, dateCol: String, volume: Column,
+                     capCol: String, priceCol: String, k: Int = 10): DataFrame =
+    dailyStats(
+      topKPerDay(silver.repartition(col(dateCol)), dateCol, volume, k),
+      dateCol, capCol, priceCol)
+
+  /** P7/A3: distinct partition dates (touched-partition discovery,
+    * `extract_crypto_data.py:226-229`). Kept as a DataFrame — collect only
+    * at the call site that genuinely needs driver-side values.
+    */
+  def distinctDates(df: DataFrame, dateCol: String): DataFrame =
+    df.select(col(dateCol)).distinct().orderBy(col(dateCol))
+
+  /** O2: global top-1 by a column with deterministic tiebreak
+    * (`fast_pipeline.py:43`). Catalyst plans TakeOrderedAndProject — no
+    * global sort materialization.
+    */
+  def top1(df: DataFrame, by: Column, tiebreak: Seq[Column]): DataFrame =
+    df.orderBy(by.desc +: tiebreak: _*).limit(1)
+}

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytic window operators beyond the reference's two ranking windows
+  * (SURVEY §2.6): lag/lead, aggregate-over-frame, and batch
+  * sessionization. All single-shuffle per partition key.
+  */
+object Windows {
+
+  /** lag/lead of `valueCol` per key, deterministically ordered. */
+  def lagLead(df: DataFrame, keys: Seq[String], order: Seq[String],
+              valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    df.withColumn("prev_value", lag(col(valueCol), 1).over(w))
+      .withColumn("next_value", lead(col(valueCol), 1).over(w))
+  }
+
+  /** Moving frame aggregate: decimal running sum over the trailing
+    * `frame`+1 rows plus position. Decimal per-row cast keeps the sum
+    * exact (order-independent — oracle parity and distributed
+    * reproducibility).
+    */
+  def movingAgg(df: DataFrame, keys: Seq[String], order: Seq[String],
+                valueCol: String, frame: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
+    val framed = w.rowsBetween(-frame, Window.currentRow)
+    df.withColumn("moving_sum",
+        sum(col(valueCol).cast(DecimalType(18, 2))).over(framed).cast(DecimalType(38, 2)))
+      .withColumn("pos_in_key", row_number().over(w))
+  }
+
+  /** Batch sessionization: a new session starts when the gap to the
+    * previous event of the same key exceeds `gapSeconds`. Session id is
+    * the running count of session starts — the standard single-pass,
+    * single-shuffle formulation (same semantics as Structured Streaming's
+    * `session_window`, which [[graft.streaming.EventStream]] uses on the
+    * live path).
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+                 tiebreak: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(tiebreak))
+    val gap = unix_timestamp(col(tsCol)) - unix_timestamp(lag(col(tsCol), 1).over(w))
+    df.withColumn("is_new_session",
+        when(lag(col(tsCol), 1).over(w).isNull || gap > gapSeconds, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("is_new_session")
+  }
+
+  /** Session-level rollup over [[sessionize]] output. */
+  def sessionStats(sessions: DataFrame, keys: Seq[String], tsCol: String): DataFrame =
+    sessions.groupBy((keys :+ "session_id").map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol)))).as("duration_sec"))
+      .orderBy((keys :+ "session_id").map(col): _*)
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface (SURVEY §2.11 — extension beyond the
+  * reference, which is batch-only; the driver's north star asks for a
+  * streaming ingestion path over the `events` table).
+  *
+  * Every transform here is source-agnostic: the same function works on a
+  * batch DataFrame (for oracle-style tests) and on `readStream` input —
+  * that is the Structured Streaming contract, and the ScalaTest suite
+  * exercises both via MemoryStream.
+  *
+  * Scale posture: all aggregations are keyed on (window, type) so state is
+  * bounded by (windows in watermark) × (key cardinality); the watermark
+  * evicts state, which is what lets a 100 TB/day stream run with bounded
+  * executor memory. Sums are per-row decimal casts — exact under
+  * incremental (partial) aggregation.
+  */
+object EventStream {
+
+  /** Tumbling-window per-type stats with a watermark for state eviction
+    * and late-data cutoff.
+    */
+  def tumblingStats(events: DataFrame, window_ : String = "1 hour",
+                    watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding-window variant (overlap = window/slide state amplification —
+    * sized by the watermark).
+    */
+  def slidingStats(events: DataFrame, window_ : String = "1 hour",
+                   slide: String = "15 minutes",
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n_events"))
+
+  /** Session windows per user (gap-based) — the streaming analog of
+    * [[graft.ops.Windows.sessionize]].
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Streaming dedup on (user_id, ts) within the watermark horizon — the
+    * streaming form of the reference's W1 dedup (state = keys seen inside
+    * the watermark, evicted automatically).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+}

@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for a training-data pipeline over the `documents` table:
+  * tokenization, token counting, quality scoring, language ID, and
+  * document fingerprinting. All pure column expressions (codegen'd,
+  * whole-stage-fusable) — no UDFs, so a 100 TB corpus scans at parquet
+  * speed with these fused into the scan projection.
+  */
+object TextStats {
+
+  /** Whitespace tokenization, robust to repeated/leading/trailing
+    * whitespace: collapse runs to single spaces, trim, then split on the
+    * literal space (identical semantics expressible in ANSI SQL for
+    * oracle parity).
+    */
+  def tokens(text: Column): Column =
+    split(trim(regexp_replace(text, "\\s+", " ")), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Quality features: char/token counts, mean token length, stopword
+    * ratio, uppercase ratio. Doubles come only from single divisions of
+    * exact ints — deterministic across engines.
+    */
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "on")
+
+  def stopwordCount(text: Column): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => Stopwords.map(s => t === lit(s)).reduce(_ || _)))
+  }
+
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars", length(t).cast("long"))
+      .withColumn("n_tokens", tokenCount(t).cast("long"))
+      .withColumn("n_stopwords", stopwordCount(t).cast("long"))
+      .withColumn("mean_token_len",
+        (col("n_chars") - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"))
+      .withColumn("stopword_ratio", col("n_stopwords").cast("double") / col("n_tokens"))
+  }
+
+  /** Language ID by stopword-dictionary hit counting (n-gram-free
+    * heuristic): count tokens from each language's function-word list,
+    * argmax with deterministic tiebreak by language code. Dictionary
+    * approach chosen over char-n-gram models so the identical logic is
+    * expressible in the DuckDB oracle.
+    */
+  val LangDicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(lower(text))
+    LangDicts.map { case (lang, dict) =>
+      lang -> size(filter(toks, t => dict.map(s => t === lit(s)).reduce(_ || _)))
+    }
+  }
+
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val scores = langScores(col(textCol))
+    val scored = scores.foldLeft(df) { case (acc, (lang, c)) =>
+      acc.withColumn(s"score_$lang", c)
+    }
+    // argmax with ties → lexicographically first language (deterministic)
+    val best = scores.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("s"), lit(lang).as("l"))
+    }
+    scored.withColumn("pred_lang",
+      when(greatest(best: _*).getField("s") === 0, lit("unknown"))
+        .otherwise(element_at(
+          array_sort(array(best: _*),
+            (a, b) => when(a.getField("s") > b.getField("s"), -1)
+              .when(a.getField("s") < b.getField("s"), 1)
+              .when(a.getField("l") < b.getField("l"), -1)
+              .when(a.getField("l") > b.getField("l"), 1)
+              .otherwise(0)), 1).getField("l")))
+  }
+
+  /** Polynomial rolling-hash fingerprint over the token stream:
+    * h = Σ tok_hash(t_i) · 31^(n-1-i)  (mod p = 1e9+7), with
+    * tok_hash = xxhash64 mod p. Computed with the `aggregate` higher-order
+    * function — one pass, no shuffle, no UDF. Kept below 2^35 so the
+    * multiply never overflows under ANSI arithmetic.
+    */
+  def fingerprint(text: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p))
+  }
+}
