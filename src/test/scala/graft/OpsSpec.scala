@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Joins, Windows}
+
+/** As-of join, range join, and analytic window semantics. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin picks the latest right row at or before each left row") {
+    val quotes = Seq( // (sym, ts, bid)
+      ("A", ts("2024-01-01 10:00:00"), 1L, 100.0),
+      ("A", ts("2024-01-01 10:05:00"), 2L, 101.0),
+      ("A", ts("2024-01-01 10:10:00"), 3L, 102.0),
+      ("B", ts("2024-01-01 10:02:00"), 4L, 50.0)
+    ).toDF("sym", "qts", "qid", "bid")
+    val trades = Seq( // (sym, ts, qty)
+      ("A", ts("2024-01-01 10:04:59"), 10L), // → bid 100
+      ("A", ts("2024-01-01 10:05:00"), 11L), // equal ts visible → 101
+      ("A", ts("2024-01-01 10:30:00"), 12L), // → latest 102
+      ("B", ts("2024-01-01 10:00:00"), 13L), // before any quote → null
+      ("C", ts("2024-01-01 10:00:00"), 14L)  // no quotes at all → null
+    ).toDF("sym", "tts", "tid")
+    val out = Joins.asOfJoin(trades, quotes, Seq("sym"), "tts", "qts",
+        Seq(("bid", "last_bid")),
+        leftTiebreak = Some("tid"), rightTiebreak = Some("qid"))
+      .select("tid", "last_bid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(10L) === Some(100.0))
+    assert(out(11L) === Some(101.0))
+    assert(out(12L) === Some(102.0))
+    assert(out(13L) === None)
+    assert(out(14L) === None)
+  }
+
+  test("asOfJoin ties at equal right ts resolve to the greatest tiebreak") {
+    val quotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1L, 1.0),
+      ("A", ts("2024-01-01 10:00:00"), 2L, 2.0) // same ts, higher id wins
+    ).toDF("sym", "qts", "qid", "bid")
+    val trades = Seq(("A", ts("2024-01-01 10:00:00"), 9L)).toDF("sym", "tts", "tid")
+    val out = Joins.asOfJoin(trades, quotes, Seq("sym"), "tts", "qts",
+        Seq(("bid", "last_bid")), rightTiebreak = Some("qid"))
+      .select("last_bid").as[Double].head()
+    assert(out === 2.0)
+  }
+
+  test("rangeJoin matches only rows inside the interval") {
+    val left = Seq(("k", ts("2024-01-05 00:00:00")), ("k", ts("2024-02-01 00:00:00")))
+      .toDF("k1", "lts")
+    val right = Seq(("k", ts("2024-01-01 00:00:00"), ts("2024-01-10 00:00:00")))
+      .toDF("k2", "lo", "hi")
+    val out = Joins.rangeJoin(left.withColumnRenamed("k1", "k"),
+      right.withColumnRenamed("k2", "k"), Seq("k"), col("lts"), col("lo"), col("hi"))
+    assert(out.count() === 1)
+  }
+
+  test("sessionize splits on gaps greater than the threshold") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:10:00"), 2L), // same session (10 min)
+      (1L, ts("2024-01-01 11:00:00"), 3L), // 50 min gap → new session
+      (2L, ts("2024-01-01 10:00:00"), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val sess = Windows.sessionize(df, Seq("user_id"), "ts", "event_id", 1800)
+    val stats = Windows.sessionStats(sess, Seq("user_id"), "ts")
+      .select("user_id", "session_id", "n_events", "duration_sec")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(stats === Set((1L, 1L, 2L, 600L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("movingAgg sums exactly the trailing frame") {
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0), (1L, 4L, 40.0))
+      .toDF("k", "seq", "v")
+    val out = Windows.movingAgg(df, Seq("k"), Seq("seq"), "v", 2)
+      .select("seq", "moving_sum").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    assert(out === Map(1L -> 10.0, 2L -> 30.0, 3L -> 60.0, 4L -> 90.0))
+  }
+}

@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Layout, Upsert}
+import graft.ops.{Clean, Ingest, Stats}
+
+/** Reference-documented invariants (FIXTURES.md §A.4) for the medallion
+  * stages, storage layout, and generator.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  // ── Scenario 1: duplicate (id, last_updated), latest _ingested_at wins ──
+  test("dedup keeps the row with max version (latest ingestion wins)") {
+    val df = Seq(
+      ("btc", ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), 100.0),
+      ("btc", ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00"), 200.0), // latest
+      ("eth", ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), 10.0)
+    ).toDF("id", "last_updated", "_ingested_at", "price")
+    val out = Clean.dedupLatest(df, Seq("id", "last_updated"), "_ingested_at")
+      .select("id", "price").as[(String, Double)].collect().toMap
+    assert(out === Map("btc" -> 200.0, "eth" -> 10.0))
+  }
+
+  // ── Scenario 2: volume tie at rank k admits >k rows (rank() semantics) ──
+  test("rank() tie at the cut keeps all tied rows in the aggregate") {
+    val d = Date.valueOf("2024-01-01")
+    val rows = (1 to 4).map(i => (d, s"c$i", i * 100.0)) :+
+      ((d, "c5", 100.0)) // ties with c1 at rank 4
+    val df = rows.toDF("partition_date", "id", "volume")
+    val top = Stats.topKPerDay(df, "partition_date", col("volume"), 4)
+    assert(top.count() === 5) // 4 + 1 tied row survive
+    val rn = Stats.dailyStats(top, "partition_date", "volume", "volume")
+      .select("n_rows").as[Long].head()
+    assert(rn === 5)
+  }
+
+  // ── Scenario 3: rows spanning 7 dates → exactly 7 Gold rows ──
+  test("one Gold row per partition_date (7 days → 7 rows)") {
+    val rows = for (d <- 1 to 7; i <- 1 to 3)
+      yield (Date.valueOf(f"2024-01-$d%02d"), s"c$i", i * 10.0)
+    val gold = Stats.dailyTopKStats(rows.toDF("partition_date", "id", "volume"),
+      "partition_date", col("volume"), "volume", "volume")
+    assert(gold.count() === 7)
+  }
+
+  // ── Scenario 4: null event time backfilled; partition from backfill ──
+  test("enrich backfills null timestamps and derives partition_date from them") {
+    val at = ts("2024-03-05 10:00:00")
+    val df = Seq(("a", Some("2024-01-02T03:04:05.000+00:00")), ("b", None))
+      .toDF("id", "last_updated")
+    val out = Clean.enrich(df, "last_updated", Some(at))
+      .select("id", "partition_date").as[(String, Date)].collect().toMap
+    assert(out("a") === Date.valueOf("2024-01-02")) // event time, never run date
+    assert(out("b") === Date.valueOf("2024-03-05")) // backfilled from ingestion
+  }
+
+  // ── Scenario 5: dynamic partition overwrite accumulates ──
+  test("partition-scoped overwrite keeps untouched partitions (README.md:26)") {
+    val dir = Files.createTempDirectory("graft_acc").toString + "/t"
+    val day1 = Seq((Date.valueOf("2024-01-01"), "a", 1.0))
+      .toDF("partition_date", "id", "v")
+    val day2 = Seq((Date.valueOf("2024-01-02"), "b", 2.0),
+      (Date.valueOf("2024-01-02"), "b2", 2.5)).toDF("partition_date", "id", "v")
+    val day2v2 = Seq((Date.valueOf("2024-01-02"), "c", 3.0))
+      .toDF("partition_date", "id", "v")
+    Layout.upsertPartitions(day1.union(day2), dir)
+    Layout.upsertPartitions(day2v2, dir) // rewrites only 01-02
+    val out = spark.read.parquet(dir).select("id").as[String].collect().sorted
+    assert(out === Array("a", "c")) // day1 survives, day2 replaced wholesale
+  }
+
+  // ── Scenario 6: empty input → empty output, same schema ──
+  test("empty Silver input yields empty Gold with the full schema") {
+    val empty = Seq.empty[(Date, String, Double)].toDF("partition_date", "id", "volume")
+    val gold = Stats.dailyTopKStats(empty, "partition_date", col("volume"), "volume", "volume")
+    assert(gold.count() === 0)
+    assert(gold.columns.toSeq ===
+      Seq("partition_date", "total_market_cap", "avg_price", "n_rows"))
+  }
+
+  // ── Upsert: MERGE rewrite semantics ──
+  test("merge updates matched keys and inserts new ones") {
+    val target = Seq(("k1", 1.0), ("k2", 2.0)).toDF("id", "v")
+    val source = Seq(("k2", 20.0), ("k3", 30.0)).toDF("id", "v")
+    val out = Upsert.merge(target, source, Seq("id"))
+      .as[(String, Double)].collect().toMap
+    assert(out === Map("k1" -> 1.0, "k2" -> 20.0, "k3" -> 30.0))
+  }
+
+  test("mergeLatest dedups a multi-version source before merging") {
+    val target = Seq(("k1", 1L, 1.0)).toDF("id", "ver", "v")
+    val source = Seq(("k1", 2L, 5.0), ("k1", 3L, 9.0)).toDF("id", "ver", "v")
+    val out = Upsert.mergeLatest(target, source, Seq("id"), "ver")
+      .select("id", "v").as[(String, Double)].collect()
+    assert(out === Array(("k1", 9.0)))
+  }
+
+  // ── Generator: volume + partition invariant + determinism ──
+  test("generator emits coins×hours rows with partition_date = to_date(last_updated)") {
+    val start = ts("2024-01-01 00:00:00").getTime / 1000
+    val df = Ingest.generate(spark, numCoins = 5, days = 2, startEpoch = start).cache()
+    assert(df.count() === 5 * 48)
+    val bad = df.filter(to_date(to_timestamp(col("last_updated"),
+      "yyyy-MM-dd'T'HH:mm:ss'Z'")) =!= col("partition_date")).count()
+    assert(bad === 0)
+    assert(df.select("partition_date").distinct().count() === 2)
+    // same seed → same checksum; different seed → different
+    def sig(seed: Long) = Ingest.generate(spark, 3, 1, start, seed)
+      .repartition(1).agg(sum(col("current_price").cast(DecimalType(30, 10))))
+      .head().getDecimal(0)
+    assert(sig(7L) === sig(7L))
+    assert(sig(7L) !== sig(8L))
+  }
+
+  // ── Layout: compaction preserves content; CSV export single file ──
+  test("sort-clustered compaction preserves rows and values") {
+    val dir = Files.createTempDirectory("graft_cmp").toString + "/t"
+    val df = (1 to 100).map(i =>
+      (Date.valueOf("2024-01-0" + (i % 3 + 1)), s"s$i", i.toDouble, i.toLong))
+      .toDF("partition_date", "symbol", "price", "cap")
+    Layout.overwritePartitioned(df, dir)
+    Layout.compactPartitions(spark, dir, Seq("symbol", "price", "cap"),
+      Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 100)
+    assert(back.agg(sum("price")).head().getDouble(0) === (1 to 100).sum.toDouble)
+  }
+
+  test("singleCsv writes exactly one csv file with header") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val f = s"$dir/report.csv"
+    Layout.singleCsv(Seq((1, "a"), (2, "b")).toDF("k", "v"), f)
+    val lines = scala.io.Source.fromFile(f).getLines().toList
+    assert(lines.head === "k,v")
+    assert(lines.size === 3)
+  }
+}

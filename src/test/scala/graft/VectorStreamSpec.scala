@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Media
+import graft.streaming.EventStream
+import graft.vector.Similarity
+
+/** Similarity search, streaming (MemoryStream-driven), and multimodal
+  * plumbing.
+  */
+class VectorStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("cosine: identical vectors → 1, orthogonal → 0") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.0f), 0),  // identical to query
+      (2L, Seq(0.0f, 1.0f), 1),  // orthogonal
+      (3L, Seq(-1.0f, 0.0f), 1)  // opposite
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.cosineTopK(df, "vec_id", "embedding", 0L, 3)
+      .as[(Long, Double)].collect()
+    assert(out.head === ((1L, 1.0)))
+    assert(out(1) === ((2L, 0.0)))
+    assert(out(2) === ((3L, -1.0)))
+  }
+
+  test("ivf search returns k rows and finds the exact top-1 on testdata") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect()
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      nCentroids = 8, nProbe = 4).as[(Long, Double)].collect()
+    assert(ivf.length === 10)
+    // half the clusters probed → recall well above chance; top hits overlap
+    val recall = ivf.map(_._1).toSet.intersect(brute.map(_._1).toSet).size
+    assert(recall >= 5, s"recall $recall/10 too low")
+  }
+
+  test("streaming tumbling window agg matches the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val input = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.tumblingStats(input, "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("tumbling_out").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0))
+    q.processAllAvailable()
+    val got = spark.table("tumbling_out")
+      .select("win_start", "event_type", "n_events", "total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDecimal(3).doubleValue())).toSet
+    q.stop()
+    assert(got === Set(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L, 3.0),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L, 4.0)))
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val input = mem.toDF().toDF("user_id", "ts", "value")
+    val q = EventStream.dedupStream(input, "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    mem.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 2.0), // dup key
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00"), 3.0))
+    q.processAllAvailable()
+    val n = spark.table("dedup_out").count()
+    q.stop()
+    assert(n === 2)
+  }
+
+  test("media payload plumbing: schema, determinism, batch decode") {
+    val docs = Seq((1L, "hello world"), (2L, "spark engine")).toDF("doc_id", "text")
+    val media = Media.attachPayload(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val feats = Media.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes === 11L)
+    assert(feats(1L).width > 0 && feats(1L).height > 0)
+    // deterministic stub: same payload → same fake dimensions
+    val again = Media.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L) === again(1L) && feats(2L) === again(2L))
+  }
+}
