@@ -262,12 +262,28 @@ object SparkEntry {
         Seq("user_id"), "ts")
     }),
 
+    "q26_cube" -> ((s, dir) => {
+      Joins.starJoin(t(s, dir, "customer"), Seq(
+        (t(s, dir, "nation"), "c_nationkey", "n_nationkey"),
+        (t(s, dir, "region"), "n_regionkey", "r_regionkey")))
+        .cube(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
     "q27_pivot" -> ((s, dir) => {
       val types = Seq("click", "purchase", "view", "signup", "error")
       t(s, dir, "events").groupBy(col("user_id"))
         .pivot("event_type", types).agg(count(lit(1)))
         .select(col("user_id") +: types.map(ty => coalesce(col(ty), lit(0L)).as(ty)): _*)
         .orderBy("user_id")
+    }),
+
+    "q28_bpe_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
     }),
 
     // ── Training-data pipeline: dedup / text (north star) ───────────────
@@ -325,6 +341,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q38_embed_neardup" -> ((s, dir) => {
+      Similarity.embedNearDup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q39_embed_neardup_lsh" -> ((s, dir) => {
+      // approximate (hyperplane-LSH candidates) → rows-only check;
+      // recall vs q38's exact pairs unit-tested in VectorStreamSpec
+      Similarity.embedNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ── Similarity search (north star) ──────────────────────────────────
     "q40_cosine_topk" -> ((s, dir) => {
       Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
@@ -342,6 +370,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vecs"),
           sum(col("l2_norm").cast(DecimalType(18, 6))).cast(DecimalType(38, 6)).as("total_norm"))
         .orderBy("label")
+    }),
+
+    // ── Multimodal plumbing (north star; stub codec → rows-only) ────────
+    "q43_media_features" -> ((s, dir) => {
+      import graft.multimodal.Media
+      val media = Media.attachPayload(t(s, dir, "documents"), "doc_id", "text")
+      Media.extractFeatures(s, media).toDF().orderBy("media_id")
+    }),
+
+    "q44_approx_distinct" -> ((s, dir) => {
+      // HLL sketch — engine-specific estimate → rows-only check; the
+      // exact counterpart is q21's countDistinct
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy("event_type")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -541,6 +584,31 @@ object SparkEntry {
         |  CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_sec
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q26_cube" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q28_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q38_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos_sim FROM pairs
+        |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "q27_pivot" ->
       """SELECT user_id,

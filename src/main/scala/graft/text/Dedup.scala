@@ -47,7 +47,9 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
-    val s = shingleSets(df, idCol, textCol, n)
+    // the shingle relation feeds the self-join (twice) + the sizes agg:
+    // materialize it once instead of re-tokenizing the corpus three times
+    val s = shingleSets(df, idCol, textCol, n).persist()
     val sizes = s.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val shared = s.as("a").join(s.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -66,8 +68,11 @@ object Dedup {
     * xxhash64(i, shingle). One shuffle (groupBy doc).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, numHashes: Int): DataFrame = {
-    val s = shingleSets(df, idCol, textCol, shingleN)
+                        shingleN: Int, numHashes: Int): DataFrame =
+    minhashSignaturesFromSets(shingleSets(df, idCol, textCol, shingleN), numHashes)
+
+  /** Signature computation over a precomputed (doc, shingle) relation. */
+  def minhashSignaturesFromSets(s: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"_h$i"))
     s.groupBy(col("doc"))
@@ -96,13 +101,14 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 5, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, shingleN, numHashes)
+    // one tokenization pass feeds signatures, sizes, and the verify join
+    val s = shingleSets(df, idCol, textCol, shingleN).persist()
+    val sig = minhashSignaturesFromSets(s, numHashes)
     val bandsDf = lshBands(sig, numHashes, bands)
     val cands = bandsDf.as("a").join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
-    val s = shingleSets(df, idCol, textCol, shingleN)
     val sizes = s.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     cands
       .join(s.as("sa"), col("sa.doc") === col("doc_a"))
@@ -117,16 +123,24 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the token stream (token hash = xxhash64; bit i of
-    * the fingerprint is the sign of Σ_tokens (±1 on bit i)). Expressed as
-    * nested SQL higher-order aggregates — one row-local pass per bit, no
-    * shuffle, no UDF. `tokensCol` must hold array<string> tokens.
+    * the fingerprint is set iff more than half the tokens have bit i set —
+    * identical to the classic sign(Σ ±1) criterion). Single row-local
+    * pass: each token is hashed exactly ONCE (the inner `transform`), then
+    * all 64 bit-counters accumulate in one `aggregate` with an
+    * array-of-counters accumulator. No shuffle, no UDF. `tokensCol` must
+    * hold array<string> tokens.
     */
   def simhash64(tokensCol: String): Column = expr(
-    s"""aggregate(sequence(0, 63), 0L, (acc, i) ->
-       |  acc + if(
-       |    aggregate($tokensCol, 0L,
-       |      (c, t) -> c + (shiftright(xxhash64(t), i) & 1L) * 2L - 1L) > 0L,
-       |    shiftleft(1L, i), 0L))""".stripMargin)
+    s"""aggregate(
+       |  zip_with(
+       |    aggregate(
+       |      transform($tokensCol, t -> xxhash64(t)),
+       |      array_repeat(0L, 64),
+       |      (acc, h) -> zip_with(acc, sequence(0, 63),
+       |        (a, i) -> a + (shiftright(h, i) & 1L))),
+       |    sequence(0, 63),
+       |    (c, i) -> if(2L * c > size($tokensCol), shiftleft(1L, i), 0L)),
+       |  0L, (acc, v) -> acc + v)""".stripMargin)
 
   /** SimHash near-dup pairs with hamming distance <= maxDist (<= 3 for the
     * 4×16-bit chunk blocking to be lossless by pigeonhole).
@@ -142,6 +156,7 @@ object Dedup {
       (0 until 4).map(j => struct(lit(j).as("chunk"),
         shiftright(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*)).as("c"))
       .select(col("doc"), col("simhash"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+      .persist() // self-joined: compute each signature once, not twice
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
           col("a.doc") < col("b.doc"))

@@ -21,6 +21,17 @@ object TextStats {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish pre-tokenizer split: letter runs, digit runs, or a single
+    * non-alphanumeric symbol — the segmentation byte-pair tokenizers
+    * apply before merges. Counting these approximates the post-merge
+    * token count far better than whitespace words (punctuation and
+    * number chunks count separately).
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   /** Quality features: char/token counts, mean token length, stopword
     * ratio, uppercase ratio. Doubles come only from single divisions of
     * exact ints — deterministic across engines.

@@ -17,12 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float arrays in double precision (sequential
-    * left fold — deterministic).
+  /** Dot product of two float/double arrays in double precision
+    * (sequential sum — deterministic, same order as the HOF
+    * `aggregate(zip_with(...))` form and DuckDB's `list_dot_product`).
+    * Backed by the codegen'd [[graft.functions.ArrayDot]] expression:
+    * primitive reads from ArrayData, no boxing — the HOF version was the
+    * measured bottleneck of every pairwise-similarity operator.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftColumn(
+      graft.functions.ArrayDot(
+        org.apache.spark.sql.GraftColumn.expr(a),
+        org.apache.spark.sql.GraftColumn.expr(b)))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -62,6 +68,76 @@ object Similarity {
       .groupBy(col(idCol))
       .agg(max(struct(col("_cos").as("c"), col("centroid_id").as("cid")))
         .getField("cid").as("cluster"))
+
+  /** (id, v, n: L2 norm) — norms computed ONCE per row so pairwise
+    * cosine later costs a single dot product, not three. The projection
+    * sits below any join, so Catalyst evaluates it per input row, never
+    * per pair.
+    */
+  private def normed(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+
+  /** Exact embedding-cosine near-duplicate pairs: every (a < b) with
+    * rounded cosine >= threshold. The quadratic verification baseline —
+    * at corpus scale run [[embedNearDupLsh]] instead, which prunes the
+    * pair space with hyperplane-LSH buckets before this same verify step.
+    */
+  def embedNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double): DataFrame = {
+    val u = normed(emb, idCol, vecCol)
+    val a = u.select(col("id").as("id_a"), col("v").as("_va"), col("n").as("_na"))
+    val b = u.select(col("id").as("id_b"), col("v").as("_vb"), col("n").as("_nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_sim",
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
+  /** Sign bit of v · h_b for a deterministic pseudo-random ±1 hyperplane
+    * h_b whose component i is derived from xxhash64(b, i). Pure
+    * higher-order-function arithmetic — no UDF, no driver-side planes.
+    */
+  def hyperplaneBit(vec: Column, b: Int): Column =
+    aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, i) => x.cast("double") *
+          ((xxhash64(lit(b), i).bitwiseAND(lit(1L)) * lit(2L)) - lit(1L)).cast("double")),
+      lit(0.0), (acc, v) => acc + v) > lit(0.0)
+
+  /** Hyperplane-LSH near-dup: nBands band signatures of bitsPerBand sign
+    * bits each; vectors sharing any band bucket are candidates, verified
+    * with exact cosine. Recall < 1 by design (prob. a true pair shares a
+    * bucket = 1-(1-(1-θ/π)^r)^b); the bucket join replaces the all-pairs
+    * product, which is what makes near-dup feasible at corpus scale.
+    */
+  def embedNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nBands: Int = 8,
+                      bitsPerBand: Int = 4): DataFrame = {
+    // normalized vectors feed signature computation + both verify joins
+    val u = normed(emb, idCol, vecCol).persist()
+    val banded = u.select(col("id"), explode(array(
+      (0 until nBands).map { bnd =>
+        val bh = (0 until bitsPerBand).map { j =>
+          when(hyperplaneBit(col("v"), bnd * bitsPerBand + j),
+            lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        struct(lit(bnd).as("band"), bh.as("bh"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .persist() // self-joined: compute the signatures once
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cands
+      .join(u.select(col("id").as("id_a"), col("v").as("_va"), col("n").as("_na")), "id_a")
+      .join(u.select(col("id").as("id_b"), col("v").as("_vb"), col("n").as("_nb")), "id_b")
+      .withColumn("cos_sim",
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
 
   /** IVF search: probe the `nProbe` centroids nearest the query, brute
     * force only inside those clusters. Returns the same shape as

@@ -68,6 +68,12 @@ class TextDedupSpec extends AnyFunSuite {
     assert(df.select(TextStats.tokenCount(col("text"))).as[Int].head() === 3)
   }
 
+  test("bpe-ish token count splits letter runs, digit runs, and symbols") {
+    val df = Seq(("It's 2024, v2.0!")).toDF("text")
+    // It / ' / s / 2024 / , / v / 2 / . / 0 / !  → 10
+    assert(df.select(TextStats.bpeTokenCount(col("text"))).as[Int].head() === 10)
+  }
+
   test("lang id picks the max-score dictionary with deterministic ties") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),   // en

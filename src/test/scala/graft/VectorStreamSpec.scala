@@ -82,6 +82,17 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(n === 2)
   }
 
+  test("embedding near-dup: LSH candidates are a subset of exact pairs with high recall") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Similarity.embedNearDup(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.embedNearDupLsh(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // verify step guarantees no false positives
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.5) // recall floor
+  }
+
   test("media payload plumbing: schema, determinism, batch decode") {
     val docs = Seq((1L, "hello world"), (2L, "spark engine")).toDF("doc_id", "text")
     val media = Media.attachPayload(docs, "doc_id", "text")
