@@ -85,6 +85,34 @@ object Layout {
       .parquet(path)
   }
 
+  /** Exact two-column Z-ORDER clustering (the sort-based
+    * [[compactPartitions]] only data-skips on its leading column): each
+    * column is min/max-quantized to a 16-bit rank (one cheap global agg
+    * — the same kind of pre-pass AQE stats cost), the ranks are Morton-
+    * interleaved into one key ([[graft.functions.InterleaveBits]],
+    * codegen'd O(1)/row), and the data is range-partitioned + sorted by
+    * that key. Parquet row-group min/max stats then prune selective
+    * predicates on EITHER column. Returns the clustered frame for the
+    * caller to write.
+    */
+  def zOrderCluster(df: DataFrame, c1: String, c2: String,
+                    targetPartitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    val r = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    def quant(c: String, lo: Double, hi: Double) =
+      if (r.anyNull || hi <= lo) lit(0)
+      else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0)).cast("int")
+    val zkey = GraftColumn(graft.functions.InterleaveBits(
+      GraftColumn.expr(quant(c1, r.getDouble(0), r.getDouble(1))),
+      GraftColumn.expr(quant(c2, r.getDouble(2), r.getDouble(3)))))
+    df.withColumn("_zkey", zkey)
+      .repartitionByRange(targetPartitions, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+  }
+
   /** K4: single-file CSV export with header — `coalesce(1)` write + rename
     * of the part file (the executor-side equivalent of the reference's
     * driver-side `toPandas().to_csv`, which would OOM the driver at scale).

@@ -78,3 +78,52 @@ case class ArrayDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): ArrayDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** Morton (Z-curve) interleave of two 32-bit keys into one 64-bit sort
+  * key: bit i of `left` lands at position 2i, bit i of `right` at 2i+1.
+  * Sorting by this key clusters data so Parquet row-group min/max stats
+  * prune on BOTH dimensions — the exact mechanism behind multi-column
+  * Z-ORDER clustering (the sort-based approximation only skips on the
+  * leading column). Codegen'd with the standard bit-spreading magic
+  * constants — O(1) per row, no loop.
+  */
+case class InterleaveBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == IntegerType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (int, int) inputs, " +
+        s"got ${left.dataType.sql} / ${right.dataType.sql}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "zorder_key"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    InterleaveBits.interleave(a.asInstanceOf[Int], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.InterleaveBits.interleave($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InterleaveBits =
+    copy(left = newLeft, right = newRight)
+}
+
+object InterleaveBits {
+  /** Spread the 32 bits of `v` to the even bit positions of a long. */
+  def spread(v: Int): Long = {
+    var x = v.toLong & 0xFFFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  def interleave(a: Int, b: Int): Long = spread(a) | (spread(b) << 1)
+}

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming surface (SURVEY §2.11 — extension beyond the
@@ -69,4 +70,32 @@ object EventStream {
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "ts")
+
+  case class UserState(n: Long, total: Double)
+  case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed streaming state via flatMapGroupsWithState: per-user
+    * running event count + value total, emitted once per user per
+    * micro-batch (Update mode). The pattern to reach for when windowed
+    * built-ins can't express the state machine. State size = one small
+    * record per active user — keep a timeout in production if the key
+    * space is unbounded.
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserUpdate] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "cast(value as double) as value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val (dn, dv) = rows.foldLeft((0L, 0.0)) {
+            case ((n, v), (_, value)) => (n + 1, v + value)
+          }
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          val next = UserState(prev.n + dn, prev.total + dv)
+          state.update(next)
+          Iterator(UserUpdate(uid, next.n, next.total))
+      }
+  }
 }

@@ -10,4 +10,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumn {
   def apply(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register graft's custom Catalyst expressions as SQL functions on an
+    * already-built session (temp functions, session-scoped). The
+    * cluster-deployment path is `spark.sql.extensions=graft.GraftExtensions`;
+    * this runtime hook covers sessions built without that config.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("array_dot",
+      exprs => graft.functions.ArrayDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("zorder_key",
+      exprs => graft.functions.InterleaveBits(exprs(0), exprs(1)), "built-in")
+  }
 }

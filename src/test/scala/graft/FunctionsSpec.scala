@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.GraftColumn
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.InterleaveBits
+import graft.engine.Layout
+
+/** Custom Catalyst expressions: ArrayDot, InterleaveBits (Z-order), SQL
+  * registration, and the Z-order clustering write path.
+  */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("array_dot and zorder_key are callable from SQL after registration") {
+    GraftColumn.registerFunctions(spark)
+    val dot = spark.sql(
+      "SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))").as[Double].head()
+    assert(dot === 11.0)
+    val z = spark.sql("SELECT zorder_key(3, 0), zorder_key(0, 3)")
+      .as[(Long, Long)].head()
+    assert(z === ((5L, 10L))) // 0b11 spread to even bits = 0b101; odd = 0b1010
+  }
+
+  test("array_dot on float arrays matches the HOF formulation exactly") {
+    val df = Seq((Seq(1.5f, -2.0f, 3.25f), Seq(0.5f, 4.0f, -1.0f))).toDF("a", "b")
+    val native = df.select(graft.vector.Similarity.dot(col("a"), col("b"))).as[Double].head()
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)).as[Double].head()
+    assert(native === hof)
+  }
+
+  test("interleave is the textbook Morton encoding") {
+    assert(InterleaveBits.interleave(0, 0) === 0L)
+    assert(InterleaveBits.interleave(1, 0) === 1L)
+    assert(InterleaveBits.interleave(0, 1) === 2L)
+    assert(InterleaveBits.interleave(0xFFFF, 0) === 0x55555555L)
+    assert(InterleaveBits.interleave(0, 0xFFFF) === 0xAAAAAAAAL)
+    // z-curve locality: nearby (x,y) cells share key prefixes
+    assert(InterleaveBits.interleave(2, 2) === 12L) // after all of quadrant (0-1,0-1)
+  }
+
+  test("zOrderCluster preserves rows and sorts partitions by morton key") {
+    val n = 1024
+    val df = spark.range(n.toLong).select(
+      (col("id") % 32).cast("int").as("x"),
+      (col("id") / 32).cast("int").as("y"))
+    val clustered = Layout.zOrderCluster(df, "x", "y", targetPartitions = 4)
+    assert(clustered.count() === n)
+    // within every output partition the recomputed z-key is non-decreasing
+    val keyed = clustered.select(
+      GraftColumn(InterleaveBits(
+        GraftColumn.expr(((col("x").cast("double") / lit(31.0)) * 65535.0).cast("int")),
+        GraftColumn.expr(((col("y").cast("double") / lit(31.0)) * 65535.0).cast("int")))).as("z"))
+    val sortedWithin = keyed.as[Long].mapPartitions { it =>
+      val v = it.toVector
+      Iterator.single(v == v.sorted)
+    }.collect()
+    assert(sortedWithin.forall(identity))
+  }
+
+  test("running user totals accumulate across micro-batches (stateful stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Double)]
+    val input = mem.toDF().toDF("user_id", "value")
+    val q = graft.streaming.EventStream.runningUserTotals(spark, input)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("running_totals").start()
+    mem.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+    q.processAllAvailable()
+    mem.addData((1L, 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("running_totals")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    // last emission for user 1 reflects all three events
+    assert(rows.filter(_._1 == 1L).map(_._2).max === 3L)
+    assert(rows.filter(_._1 == 1L).maxBy(_._2)._3 === 10.0)
+    assert(rows.filter(_._1 == 2L).map(r => (r._2, r._3)).contains((1L, 10.0)))
+  }
+}
