@@ -24,6 +24,17 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Co-locate rows by their partition column(s) before a partitioned
+    * write: without this, every partition dir receives one file per
+    * shuffle partition (dates × shuffle tiny files — the small-files
+    * degradation that kills scan throughput as partitions accumulate).
+    * For partition values far larger than the 128 MB target file size,
+    * repartition explicitly to (n, cols) instead.
+    */
+  def colocated(df: DataFrame,
+                partitionCols: Seq[String] = Seq("partition_date")): DataFrame =
+    df.repartition(partitionCols.map(col): _*)
+
   /** K1: full overwrite of a date-partitioned table. */
   def overwritePartitioned(df: DataFrame, path: String,
                            partitionCols: Seq[String] = Seq("partition_date")): Unit =
