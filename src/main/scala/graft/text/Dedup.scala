@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for a training-data pipeline over `documents`:
@@ -27,37 +28,75 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles of the whitespace token stream; documents
-    * shorter than n yield their single full-token shingle.
+  /** Word n-gram shingles over an ALREADY-MATERIALIZED token array;
+    * documents shorter than n yield their single full-token shingle.
+    * `toks` must be a plain column reference: higher-order-function
+    * lambdas are interpreted, so a compound expression here would be
+    * re-evaluated once per shingle index.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextStats.tokens(text)
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array(array_join(toks, " ")))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
-  }
 
-  /** (id, shingle) set representation — distinct shingles per doc. */
+  /** Convenience single-expression form (fine for tests/small frames; the
+    * relational path goes through [[shingleSets]], which tokenizes once
+    * per row).
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfTokens(TextStats.tokens(text), n)
+
+  /** (id, shingle) set representation — distinct shingles per doc. The
+    * token array is bound as its own projection so the tokenizer runs
+    * once per document, not once per shingle (Catalyst keeps the layered
+    * projects: the token column is referenced from several places, which
+    * blocks CollapseProject from inlining the expensive expression).
+    */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"),
-        explode(array_distinct(shingles(col(textCol), n))).as("shingle"))
+    df.select(col(idCol).as("doc"), TextStats.tokens(col(textCol)).as("_toks"))
+      .select(col("doc"),
+        explode(array_distinct(shinglesOfTokens(col("_toks"), n))).as("shingle"))
 
-  /** n-gram Jaccard near-dup pairs: join docs on shared shingles
-    * (candidates), count shared, jaccard = |∩| / (|a|+|b|-|∩|).
+  /** Exact n-gram Jaccard near-dup pairs with prefix filtering (the
+    * AllPairs/PPJoin candidate scheme — Bayardo et al. WWW'07, Xiao et
+    * al. WWW'08): shingles get a global canonical order (rarest first);
+    * a doc of n shingles only joins on its first n - ceil(t·n) + 1 of
+    * them. Completeness: jaccard(a,b) >= t implies overlap >= t·n_a and
+    * >= t·n_b, and the globally-smallest shared shingle then provably
+    * falls inside BOTH prefixes — so no qualifying pair is missed, while
+    * the candidate join shrinks quadratically in the prefix fraction.
+    * This is what keeps all-pairs similarity feasible at corpus scale;
+    * candidates are then verified with exact shared counts, so results
+    * are identical to the naive all-shared-shingles join.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
-    // the shingle relation feeds the self-join (twice) + the sizes agg:
-    // materialize it once instead of re-tokenizing the corpus three times
+    // the shingle relation feeds ranking, verification, and sizes:
+    // materialize it once instead of re-tokenizing the corpus each time
     val s = shingleSets(df, idCol, textCol, n).persist()
     val sizes = s.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val shared = s.as("a").join(s.as("b"),
+    val freq = s.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+    // rank + doc size in ONE window pass (same partitioning → one shuffle)
+    val byDoc = Window.partitionBy(col("doc"))
+    val prefixes = s.join(freq, "shingle")
+      .withColumn("_r", row_number().over(
+        byDoc.orderBy(col("freq").asc, col("shingle").asc)))
+      .withColumn("_n", count(lit(1)).over(byDoc))
+      .filter(col("_r") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+      // a shingle unique to one doc can never witness a pair, and the
+      // smallest SHARED shingle always has freq >= 2 — still complete
+      .filter(col("freq") >= 2)
+      .select(col("doc"), col("shingle"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
+    cands
+      .join(s.as("sa"), col("sa.doc") === col("doc_a"))
+      .join(s.as("sb"), col("sb.doc") === col("doc_b") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
