@@ -30,7 +30,7 @@ object TextStats {
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+    regexp_count(text, lit(BpeTokenPattern)) // counts without materializing matches
 
   /** Quality features: char/token counts, mean token length, stopword
     * ratio, uppercase ratio. Doubles come only from single divisions of

@@ -95,31 +95,30 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
-  /** Sign bit of v · h_b for a deterministic pseudo-random ±1 hyperplane
-    * h_b whose component i is derived from xxhash64(b, i). Pure
-    * higher-order-function arithmetic — no UDF, no driver-side planes.
-    */
-  def hyperplaneBit(vec: Column, b: Int): Column =
-    aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast("double") *
-          ((xxhash64(lit(b), i).bitwiseAND(lit(1L)) * lit(2L)) - lit(1L)).cast("double")),
-      lit(0.0), (acc, v) => acc + v) > lit(0.0)
-
   /** Hyperplane-LSH near-dup: nBands band signatures of bitsPerBand sign
     * bits each; vectors sharing any band bucket are candidates, verified
     * with exact cosine. Recall < 1 by design (prob. a true pair shares a
     * bucket = 1-(1-(1-θ/π)^r)^b); the bucket join replaces the all-pairs
     * product, which is what makes near-dup feasible at corpus scale.
+    *
+    * The ±1 random hyperplanes are seeded driver-side constants shipped
+    * as array literals, so each sign bit is one codegen'd [[dot]] against
+    * a literal — constant work per row, nothing recomputed per element.
     */
   def embedNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nBands: Int = 8,
-                      bitsPerBand: Int = 4): DataFrame = {
+                      bitsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
     // normalized vectors feed signature computation + both verify joins
     val u = normed(emb, idCol, vecCol).persist()
+    val dim = u.select(size(col("v"))).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nBands * bitsPerBand) {
+      Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    }
     val banded = u.select(col("id"), explode(array(
       (0 until nBands).map { bnd =>
         val bh = (0 until bitsPerBand).map { j =>
-          when(hyperplaneBit(col("v"), bnd * bitsPerBand + j),
+          when(dot(col("v"), typedLit(planes(bnd * bitsPerBand + j))) > 0.0,
             lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _)
         struct(lit(bnd).as("band"), bh.as("bh"))
