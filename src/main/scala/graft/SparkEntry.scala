@@ -287,6 +287,16 @@ object SparkEntry {
     }),
 
     // ── Training-data pipeline: dedup / text (north star) ───────────────
+    "q29_grouping_sets" -> ((s, dir) => {
+      // SQL front-end path: explicit GROUPING SETS (no Dataset API form)
+      t(s, dir, "customer").createOrReplaceTempView("gs_customer")
+      t(s, dir, "nation").createOrReplaceTempView("gs_nation")
+      s.sql("""SELECT n_name, c_mktsegment, COUNT(*) AS n_customers
+              |FROM gs_customer JOIN gs_nation ON c_nationkey = n_nationkey
+              |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+              |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin)
+    }),
+
     "q30_dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text").orderBy("text_hash")
     }),
@@ -618,6 +628,12 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS "error"
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q29_grouping_sets" ->
+      """SELECT n_name, c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
 
     "q30_dedup_exact" ->
       """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

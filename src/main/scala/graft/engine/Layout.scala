@@ -124,6 +124,45 @@ object Layout {
       .drop("_zkey")
   }
 
+  /** Three-column exact Z-order clustering — the reference's Silver
+    * Z-ORDER set is (symbol, current_price, market_cap). Numeric columns
+    * are min/max-quantized to a 21-bit rank (range locality → min/max
+    * skipping); string columns are hash-bucketed (equality locality —
+    * what Z-order on a categorical column effectively provides). Keys are
+    * Morton-interleaved via [[graft.functions.InterleaveBits3]].
+    */
+  def zOrderCluster3(df: DataFrame, c1: String, c2: String, c3: String,
+                     targetPartitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    import org.apache.spark.sql.types.StringType
+    val cs = Seq(c1, c2, c3)
+    val numeric = cs.filter(c => df.schema(c).dataType != StringType)
+    val stats: Map[String, (Double, Double)] =
+      if (numeric.isEmpty) Map.empty
+      else {
+        val aggs = numeric.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        numeric.zipWithIndex.map { case (c, i) =>
+          def d(j: Int) = if (row.isNullAt(j)) 0.0 else row.getDouble(j)
+          c -> (d(2 * i), d(2 * i + 1))
+        }.toMap
+      }
+    def quant(c: String) = df.schema(c).dataType match {
+      case StringType => pmod(xxhash64(col(c)), lit(2097152L)).cast("int")
+      case _ =>
+        val (lo, hi) = stats(c)
+        if (hi <= lo) lit(0)
+        else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(2097151.0)).cast("int")
+    }
+    val zkey = GraftColumn(graft.functions.InterleaveBits3(
+      GraftColumn.expr(quant(c1)), GraftColumn.expr(quant(c2)), GraftColumn.expr(quant(c3))))
+    df.withColumn("_zkey", zkey)
+      .repartitionByRange(targetPartitions, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .drop("_zkey")
+  }
+
   /** K4: single-file CSV export with header — `coalesce(1)` write + rename
     * of the part file (the executor-side equivalent of the reference's
     * driver-side `toPandas().to_csv`, which would OOM the driver at scale).

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -126,4 +126,48 @@ object InterleaveBits {
   }
 
   def interleave(a: Int, b: Int): Long = spread(a) | (spread(b) << 1)
+
+  /** Spread the low 21 bits of `v` to every third bit position. */
+  def spread3(v: Int): Long = {
+    var x = v.toLong & 0x1FFFFFL
+    x = (x | (x << 32)) & 0x1F00000000FFFFL
+    x = (x | (x << 16)) & 0x1F0000FF0000FFL
+    x = (x | (x << 8)) & 0x100F00F00F00F00FL
+    x = (x | (x << 4)) & 0x10C30C30C30C30C3L
+    x = (x | (x << 2)) & 0x1249249249249249L
+    x
+  }
+
+  def interleave3(a: Int, b: Int, c: Int): Long =
+    spread3(a) | (spread3(b) << 1) | (spread3(c) << 2)
+}
+
+/** Three-column Morton interleave over the low 21 bits of each input —
+  * the exact Z-curve key for the reference's three-column Z-ORDER set
+  * (`symbol, current_price, market_cap`). Same skipping argument as
+  * [[InterleaveBits]], one dimension wider.
+  */
+case class InterleaveBits3(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == IntegerType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (int, int, int) inputs, " +
+        s"got ${children.map(_.dataType.sql).mkString(" / ")}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "zorder_key3"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    InterleaveBits.interleave3(a.asInstanceOf[Int], b.asInstanceOf[Int], c.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = graft.functions.InterleaveBits.interleave3($a, $b, $c);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): InterleaveBits3 =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -72,6 +72,25 @@ object Joins {
     left.join(right, keys.map(k => left(k) === right(k)).reduce(_ && _)
       && leftTs >= lo && leftTs <= hi)
 
+  /** Skew-safe equi join by key salting: the skewed (big) side gets a
+    * uniform random salt in [0, salts); the other side is replicated once
+    * per salt value; the join runs on (keys, salt). Row-for-row identical
+    * to the plain join, but a hot key's rows spread over `salts` reducer
+    * partitions instead of one straggler task. Complements AQE's skew
+    * handling, which only splits sort-merge join partitions — salting
+    * also covers the cases AQE misses (e.g. skewed shuffled hash joins,
+    * or skew into a following aggregation). The salt is nondeterministic
+    * (rand), which is safe: it never affects results, only placement.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedBig = big.withColumn("_salt", (rand() * salts).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicated, keys :+ "_salt", joinType).drop("_salt")
+  }
+
   /** Broadcast star-dimension join chain: fact ⋈ small dims, each dim
     * explicitly broadcast (reference advice,
     * `silver_to_gold_crypto_stats.py:68`; threshold `spark_manager.py:192`).

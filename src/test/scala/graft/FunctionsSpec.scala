@@ -63,6 +63,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sortedWithin.forall(identity))
   }
 
+  test("3-column morton interleave round-trips bit positions") {
+    assert(InterleaveBits.interleave3(1, 0, 0) === 1L)
+    assert(InterleaveBits.interleave3(0, 1, 0) === 2L)
+    assert(InterleaveBits.interleave3(0, 0, 1) === 4L)
+    assert(InterleaveBits.interleave3(0x1FFFFF, 0, 0) === 0x1249249249249249L)
+    assert(InterleaveBits.interleave3(3, 3, 3) === 63L) // low two bits of all three
+  }
+
+  test("zOrderCluster3 handles mixed string/numeric columns and keeps rows") {
+    val df = Seq(
+      ("btc", 100.0, 10L), ("eth", 50.0, 5L), ("btc", 101.0, 11L),
+      ("doge", 0.1, 1L), ("eth", 49.0, 4L))
+      .toDF("symbol", "price", "cap")
+    val out = Layout.zOrderCluster3(df, "symbol", "price", "cap", targetPartitions = 2)
+    assert(out.count() === 5)
+    assert(out.columns.toSeq === Seq("symbol", "price", "cap"))
+  }
+
+  test("salted join equals the plain join row-for-row") {
+    val big = spark.range(1000).select(
+      (col("id") % 3).as("k"), col("id").as("payload"))
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (9L, "unmatched"))
+      .toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "payload", "name")
+    val salted = graft.ops.Joins.saltedJoin(big, small, Seq("k"), salts = 8)
+      .select("k", "payload", "name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("running user totals accumulate across micro-batches (stateful stream)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
