@@ -161,25 +161,17 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over the token stream (token hash = xxhash64; bit i of
-    * the fingerprint is set iff more than half the tokens have bit i set —
-    * identical to the classic sign(Σ ±1) criterion). Single row-local
-    * pass: each token is hashed exactly ONCE (the inner `transform`), then
-    * all 64 bit-counters accumulate in one `aggregate` with an
-    * array-of-counters accumulator. No shuffle, no UDF. `tokensCol` must
-    * hold array<string> tokens.
+  /** 64-bit SimHash over the token stream (token hash = xxhash64 seed 42;
+    * bit i of the fingerprint is set iff more than half the tokens have
+    * bit i set — identical to the classic sign(Σ ±1) criterion). Backed
+    * by the native [[graft.functions.SimHashExpr]]: one codegen'd pass
+    * over primitive hashes, no per-token/per-bit lambda dispatch.
+    * `tokensCol` must hold array<string> tokens.
     */
-  def simhash64(tokensCol: String): Column = expr(
-    s"""aggregate(
-       |  zip_with(
-       |    aggregate(
-       |      transform($tokensCol, t -> xxhash64(t)),
-       |      array_repeat(0L, 64),
-       |      (acc, h) -> zip_with(acc, sequence(0, 63),
-       |        (a, i) -> a + (shiftright(h, i) & 1L))),
-       |    sequence(0, 63),
-       |    (c, i) -> if(2L * c > size($tokensCol), shiftleft(1L, i), 0L)),
-       |  0L, (acc, v) -> acc + v)""".stripMargin)
+  def simhash64(tokensCol: String): Column =
+    org.apache.spark.sql.GraftColumn(
+      graft.functions.SimHashExpr(
+        org.apache.spark.sql.GraftColumn.expr(col(tokensCol))))
 
   /** SimHash near-dup pairs with hamming distance <= maxDist (<= 3 for the
     * 4×16-bit chunk blocking to be lossless by pigeonhole).

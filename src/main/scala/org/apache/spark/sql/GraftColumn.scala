@@ -22,5 +22,9 @@ object GraftColumn {
       exprs => graft.functions.ArrayDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("zorder_key",
       exprs => graft.functions.InterleaveBits(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("zorder_key3",
+      exprs => graft.functions.InterleaveBits3(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => graft.functions.SimHashExpr(exprs(0)), "built-in")
   }
 }
