@@ -28,34 +28,26 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles over an ALREADY-MATERIALIZED token array;
+  /** Word n-gram shingles over a token array (duplicates preserved);
     * documents shorter than n yield their single full-token shingle.
-    * `toks` must be a plain column reference: higher-order-function
-    * lambdas are interpreted, so a compound expression here would be
-    * re-evaluated once per shingle index.
+    * Native [[graft.functions.ShinglesExpr]] — one codegen'd pass.
     */
   def shinglesOfTokens(toks: Column, n: Int): Column =
-    when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    org.apache.spark.sql.GraftColumn(graft.functions.ShinglesExpr(
+      org.apache.spark.sql.GraftColumn.expr(toks), n, distinct = false))
 
-  /** Convenience single-expression form (fine for tests/small frames; the
-    * relational path goes through [[shingleSets]], which tokenizes once
-    * per row).
-    */
   def shingles(text: Column, n: Int): Column =
     shinglesOfTokens(TextStats.tokens(text), n)
 
-  /** (id, shingle) set representation — distinct shingles per doc. The
-    * token array is bound as its own projection so the tokenizer runs
-    * once per document, not once per shingle (Catalyst keeps the layered
-    * projects: the token column is referenced from several places, which
-    * blocks CollapseProject from inlining the expensive expression).
+  /** (id, shingle) set representation — distinct shingles per doc, with
+    * tokenize → shingle → dedupe fused into one native projection.
     */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"), TextStats.tokens(col(textCol)).as("_toks"))
-      .select(col("doc"),
-        explode(array_distinct(shinglesOfTokens(col("_toks"), n))).as("shingle"))
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    val shingleSet = GraftColumn(graft.functions.ShinglesExpr(
+      GraftColumn.expr(TextStats.tokens(col(textCol))), n, distinct = true))
+    df.select(col(idCol).as("doc"), explode(shingleSet).as("shingle"))
+  }
 
   /** Exact n-gram Jaccard near-dup pairs with prefix filtering (the
     * AllPairs/PPJoin candidate scheme — Bayardo et al. WWW'07, Xiao et

@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
 object TextStats {
 
   /** Whitespace tokenization, robust to repeated/leading/trailing
-    * whitespace: collapse runs to single spaces, trim, then split on the
-    * literal space (identical semantics expressible in ANSI SQL for
-    * oracle parity).
+    * whitespace — semantics identical to
+    * `split(trim(regexp_replace(text, "\s+", " ")), " ")` (expressible in
+    * ANSI SQL for oracle parity), but computed by the native
+    * [[graft.functions.TokensExpr]] single scan instead of two regex
+    * passes: tokenization is the inner loop of the whole text stack.
     */
   def tokens(text: Column): Column =
-    split(trim(regexp_replace(text, "\\s+", " ")), " ")
+    org.apache.spark.sql.GraftColumn(
+      graft.functions.TokensExpr(org.apache.spark.sql.GraftColumn.expr(text)))
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
