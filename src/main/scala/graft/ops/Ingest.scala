@@ -76,6 +76,25 @@ object Ingest {
         to_date(col("last_updated_ts")).as("partition_date"))
   }
 
+  /** S1: paged REST-style source. The reference fetches top-N coins page
+    * by page (sequential GETs, stop on empty page, raise on malformed
+    * payload — `extract_crypto_data.py:79-107`). The transport is
+    * injected (`fetchPage: pageNumber => rows`) so the same driver logic
+    * runs against a live HTTP client or, in this offline environment, a
+    * fixture; rows then flow through the S2 coercion path. Driver-side by
+    * design, like the reference: the result is a small head table (N ≤
+    * pages × perPage), parallelized to executors by `createDataFrame`.
+    */
+  def fetchPaged(spark: SparkSession,
+                 fetchPage: Int => Seq[Map[String, Any]],
+                 maxPages: Int): DataFrame = {
+    val rows = Iterator.from(1).take(maxPages)
+      .map(fetchPage)
+      .takeWhile(_.nonEmpty)
+      .foldLeft(Seq.empty[Map[String, Any]])(_ ++ _)
+    rowsFromMaps(spark, rows)
+  }
+
   /** S2: local collection → DataFrame with safe per-field coercion
     * (`extract_crypto_data.py:124-174`): defaults for unparsable numerics,
     * drop rows missing any of id/symbol/name.

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Ingest
+
+/** Ingestion sources: paged REST-style fetch (S1), safe-coerced
+  * collection rows (S2), JSON inference (S7).
+  */
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def coin(id: String, price: Any): Map[String, Any] =
+    Map("id" -> id, "symbol" -> id.take(3), "name" -> id.capitalize,
+      "current_price" -> price, "market_cap" -> 1000L,
+      "total_volume" -> 10L, "last_updated" -> "2024-01-01T00:00:00Z")
+
+  test("paged fetch concatenates pages and stops at the first empty page") {
+    val pages = Map(
+      1 -> Seq(coin("bitcoin", 50000.0), coin("ethereum", 3000.0)),
+      2 -> Seq(coin("dogecoin", 0.1)),
+      3 -> Seq.empty[Map[String, Any]],
+      4 -> Seq(coin("ghost", 1.0))) // never reached: page 3 was empty
+    val df = Ingest.fetchPaged(spark, p => pages(p), maxPages = 10)
+    assert(df.count() === 3)
+    assert(df.select("id").as[String].collect().toSet ===
+      Set("bitcoin", "ethereum", "dogecoin"))
+  }
+
+  test("row coercion defaults bad numerics and drops rows missing identity") {
+    val raw = Seq(
+      coin("bitcoin", "not-a-number"),      // price coerced to 0.0
+      coin("ethereum", 3000.0) - "id")      // dropped: no id
+    val df = Ingest.rowsFromMaps(spark, raw)
+    val rows = df.select("id", "current_price").as[(String, Double)].collect()
+    assert(rows.toSeq === Seq(("bitcoin", 0.0)))
+  }
+
+  test("json ingestion infers the payload schema") {
+    val json = Seq(
+      """{"id":"bitcoin","current_price":50000.5,"market_cap":123}""",
+      """{"id":"ethereum","current_price":3000.25,"market_cap":456}""").toDS()
+    val df = Ingest.fromJson(spark, json)
+    assert(df.columns.sorted.toSeq === Seq("current_price", "id", "market_cap"))
+    assert(df.count() === 2)
+  }
+}
