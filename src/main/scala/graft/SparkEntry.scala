@@ -382,6 +382,22 @@ object SparkEntry {
         .orderBy("label")
     }),
 
+    "q45_decile_stats" -> ((s, dir) => {
+      // ntile distribution analysis with a deterministic total order.
+      // NOTE an unpartitioned ntile is a single-reducer sort; at corpus
+      // scale use approx_percentile cut points + a map-side bucket join
+      // instead — this query exists to pin exact ntile semantics
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("value").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total"))
+        .orderBy("decile")
+    }),
+
     // ── Multimodal plumbing (north star; stub codec → rows-only) ────────
     "q43_media_features" -> ((s, dir) => {
       import graft.multimodal.Media
@@ -704,6 +720,15 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q45_decile_stats" ->
+      """SELECT decile, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM (
+        |  SELECT value,
+        |    CAST(ntile(10) OVER (ORDER BY value ASC, event_id ASC) AS BIGINT) AS decile
+        |  FROM events)
+        |GROUP BY decile ORDER BY decile""".stripMargin,
 
     "q40_cosine_topk" ->
       """WITH q AS (
