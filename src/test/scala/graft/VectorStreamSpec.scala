@@ -93,6 +93,30 @@ class VectorStreamSpec extends AnyFunSuite {
       assert(lsh.size.toDouble / exact.size >= 0.5) // recall floor
   }
 
+  test("file-source streaming: parquet readStream through the tumbling agg") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
+    Seq(
+      (Timestamp.valueOf("2024-01-01 10:10:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:40:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:10:00"), "view", 4.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    assert(stream.isStreaming)
+    val q = EventStream.tumblingStats(stream, "1 hour", "2 hours")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("file_tumbling").start()
+    q.processAllAvailable()
+    val got = spark.table("file_tumbling")
+      .select("win_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got === Set(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), "view", 1L)))
+  }
+
   test("media payload plumbing: schema, determinism, batch decode") {
     val docs = Seq((1L, "hello world"), (2L, "spark engine")).toDF("doc_id", "text")
     val media = Media.attachPayload(docs, "doc_id", "text")
