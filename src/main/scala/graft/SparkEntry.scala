@@ -411,6 +411,92 @@ object SparkEntry {
       t(s, dir, "events").groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
         .orderBy("event_type")
+    }),
+
+    "q46_percentiles" -> ((s, dir) => {
+      // exact percentile (sort-based, one pass per group); at corpus scale
+      // swap for approx_percentile — q44 pins the sketch-family plumbing
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("ps"))
+        .select(col("event_type"),
+          round(element_at(col("ps"), 1), 6).as("p25"),
+          round(element_at(col("ps"), 2), 6).as("p50"),
+          round(element_at(col("ps"), 3), 6).as("p75"))
+        .orderBy("event_type")
+    }),
+
+    "q47_top_words" -> ((s, dir) => {
+      // generator/explode path: flatten docs to words, corpus frequency.
+      // split+explode stays inside whole-stage codegen; the groupBy is a
+      // partial (map-side) + final hash agg on the word key
+      t(s, dir, "documents")
+        .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20)
+        .orderBy("word")
+    }),
+
+    "q48_window_nav" -> ((s, dir) => {
+      // navigation-function battery: first/last/nth over an explicit full
+      // frame + rank-family percent_rank/cume_dist, deterministic order
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        first(col("value")).over(wf).as("first_val"),
+        last(col("value")).over(wf).as("last_val"),
+        nth_value(col("value"), 2).over(wf).as("second_val"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("event_id")
+    }),
+
+    "q49_moment_stats" -> ((s, dir) => {
+      // variance/stddev from exact decimal power sums (order-independent,
+      // so distributed partial aggregation is bit-reproducible — built-in
+      // stddev_samp streams doubles and is summation-order-dependent)
+      val v = col("value").cast(DecimalType(18, 6))
+      val s1d = col("s1").cast("double")
+      val varExpr = (col("s2").cast("double") - s1d * s1d / col("n")) / (col("n") - 1)
+      t(s, dir, "events").filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(v).as("s1"),
+          sum((v * v).cast(DecimalType(38, 12))).as("s2"))
+        .select(col("event_type"), col("n"),
+          round(s1d / col("n"), 6).as("mean_val"),
+          round(varExpr, 6).as("var_samp"),
+          round(sqrt(varExpr), 6).as("stddev_samp"))
+        .orderBy("event_type")
+    }),
+
+    "q50_array_funcs" -> ((s, dir) => {
+      // array-function battery over the embedding column (all codegen'd
+      // built-ins — no HOF lambdas in the hot path)
+      val e = col("embedding")
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(e).cast("long").as("n_dims"),
+        round(element_at(e, 1).cast("double"), 6).as("e1"),
+        round(array_min(e).cast("double"), 6).as("min_e"),
+        round(array_max(e).cast("double"), 6).as("max_e"),
+        array_position(e, array_max(e)).cast("long").as("argmax_pos"),
+        round(element_at(e, 1).cast("double") + element_at(e, 2).cast("double")
+          + element_at(e, 3).cast("double"), 6).as("head3_sum"))
+        .orderBy("vec_id")
+    }),
+
+    "q51_salted_join" -> ((s, dir) => {
+      // skew-safe salted equi join (SURVEY §2.4 extension): oracle is the
+      // PLAIN join — salting must be row-for-row invisible in the result
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+      Joins.saltedJoin(li, p, Seq("l_partkey"), salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_price"))
+        .orderBy("p_brand")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -752,5 +838,61 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT label, COUNT(*) AS n_vecs,
         |  CAST(SUM(CAST(l2_norm AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_norm
-        |FROM n GROUP BY label ORDER BY label""".stripMargin)
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "q46_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.50), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q47_top_words" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        |  FROM documents)
+        |GROUP BY word HAVING COUNT(*) >= 20 ORDER BY word""".stripMargin,
+
+    "q48_window_nav" ->
+      """SELECT event_id, user_id,
+        |  first_value(value) OVER wf AS first_val,
+        |  last_value(value) OVER wf AS last_val,
+        |  nth_value(value, 2) OVER wf AS second_val,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    "q49_moment_stats" ->
+      """WITH sums AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS s2
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(CAST(s1 AS DOUBLE) / n, 6) AS mean_val,
+        |  round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1), 6) AS var_samp,
+        |  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)), 6) AS stddev_samp
+        |FROM sums ORDER BY event_type""".stripMargin,
+
+    "q50_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS n_dims,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_e,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_e,
+        |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos,
+        |  round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+        |    + CAST(embedding[3] AS DOUBLE), 6) AS head3_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q51_salted_join" ->
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
 }

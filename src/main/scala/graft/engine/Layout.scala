@@ -163,6 +163,24 @@ object Layout {
       .drop("_zkey")
   }
 
+  /** Bucketed table write: pre-shuffles once at write time into a fixed
+    * number of hash buckets on the join key (optionally bucket-sorted).
+    * Two tables bucketed on the same key with the same bucket count then
+    * equi-join with ZERO runtime shuffle — the scan's HashPartitioning
+    * already satisfies the join's distribution requirement. This is the
+    * 100 TB answer for a fact⋈fact join that recurs across queries: pay
+    * the shuffle once at ingest, never at read. (Bucketing requires the
+    * catalog write path — `saveAsTable` — because bucket metadata lives
+    * in the table catalog, not the parquet files.)
+    */
+  def bucketedSave(df: DataFrame, table: String, bucketCols: Seq[String],
+                   buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** K4: single-file CSV export with header — `coalesce(1)` write + rename
     * of the part file (the executor-side equivalent of the reference's
     * driver-side `toPandas().to_csv`, which would OOM the driver at scale).

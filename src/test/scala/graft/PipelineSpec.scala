@@ -136,6 +136,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.agg(sum("price")).head().getDouble(0) === (1 to 100).sum.toDouble)
   }
 
+  test("bucketed tables equi-join with zero shuffle exchanges") {
+    val facts = (1 to 1000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
+    val dims = (0L until 100L).map(k => (k, s"name$k")).toDF("k", "name")
+    Layout.bucketedSave(facts, "b_facts", Seq("k"), 8, sortCols = Seq("k"))
+    Layout.bucketedSave(dims, "b_dims", Seq("k"), 8, sortCols = Seq("k"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle, got:\n$plan")
+      assert(joined.count() === 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("singleCsv writes exactly one csv file with header") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val f = s"$dir/report.csv"
