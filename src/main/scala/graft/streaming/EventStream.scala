@@ -71,6 +71,35 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "ts")
 
+  /** Stream–static enrichment: each micro-batch equi-joins the stream
+    * against a small static dimension, explicitly broadcast — the
+    * dimension ships once per executor and the stream side never
+    * shuffles. The standard pattern for attaching slowly-changing
+    * reference data (instrument metadata, user attributes) to a tick
+    * stream.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
+  /** Stream–stream interval join (click→purchase attribution shape):
+    * right rows join left rows with the same key and right.ts within
+    * [left.ts − horizon, left.ts]. Both sides carry watermarks and the
+    * join condition time-bounds both event times, so buffered join state
+    * is evicted once the watermark passes the horizon — bounded executor
+    * memory on an unbounded stream. Right columns return `r_`-prefixed.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   tsCol: String, horizonSeconds: Long = 3600,
+                   watermark: String = "2 hours"): DataFrame = {
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+    left.withWatermark(tsCol, watermark)
+      .join(r.withWatermark(s"r_$tsCol", watermark),
+        col(key) === col(s"r_$key")
+          && col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $horizonSeconds SECONDS")
+          && col(s"r_$tsCol") <= col(tsCol))
+  }
+
   case class UserState(n: Long, total: Double)
   case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)
 

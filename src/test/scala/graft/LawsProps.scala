@@ -1,0 +1,81 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.ops.{Clean, Joins}
+
+/** ScalaCheck laws for the core operators (SURVEY §5 plan item c): the
+  * properties hold for ALL inputs, not just the curated fixtures — small
+  * generated frames, one Spark job per evaluation.
+  */
+object LawsProps extends Properties("graft.laws") {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // each evaluation runs a real Spark job — keep the sample count bounded
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val dedupRow = for {
+    id <- Gen.choose(0, 4)
+    ts <- Gen.choose(0L, 4L)
+    ver <- Gen.choose(0L, 100L)
+  } yield (id, ts, ver)
+
+  property("dedupLatest: one row per key, carrying the max version") =
+    forAll(Gen.nonEmptyListOf(dedupRow)) { rows =>
+      val out = Clean.dedupLatest(rows.toDF("id", "ts", "ver"), Seq("id", "ts"), "ver")
+        .as[(Int, Long, Long)].collect()
+      val expect = rows.groupBy(r => (r._1, r._2)).map { case (k, g) => k -> g.map(_._3).max }
+      out.length == expect.size &&
+        out.forall { case (id, ts, ver) => expect((id, ts)) == ver }
+    }
+
+  property("saltedJoin: multiset-equal to the plain join for any salt count") =
+    forAll(
+      Gen.listOfN(30, Gen.zip(Gen.choose(0, 6), Gen.choose(0, 100))),
+      Gen.listOfN(10, Gen.choose(0, 6)),
+      Gen.choose(1, 5)) { (bigRows, smallKeys, salts) =>
+      val big = bigRows.toDF("k", "v")
+      val small = smallKeys.map(k => (k, s"n$k")).toDF("k", "name")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "v", "name").as[(Int, Int, String)].collect().sorted.toSeq
+      canon(Joins.saltedJoin(big, small, Seq("k"), salts)) ==
+        canon(big.join(small, Seq("k")))
+    }
+
+  property("asOfJoin: equals the per-row brute-force latest-right lookup") =
+    forAll(
+      Gen.listOfN(12, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 12L))),
+      Gen.listOfN(12, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 12L), Gen.choose(0.0, 9.0)))) {
+      (ls, rs) =>
+        val left = ls.zipWithIndex.map { case ((u, ts), i) => (u, ts, i.toLong) }
+        val right = rs.zipWithIndex.map { case ((u, ts, v), i) => (u, ts, v, i.toLong) }
+        val got = Joins.asOfJoin(
+          left.toDF("user_id", "ts", "lid"),
+          right.toDF("user_id", "ts", "value", "rid"),
+          Seq("user_id"), "ts", "ts", Seq(("value", "asof_value")),
+          leftTiebreak = Some("lid"), rightTiebreak = Some("rid"))
+          .select("lid", "asof_value")
+          .as[(Long, Option[Double])].collect().toMap
+        left.forall { case (u, lts, lid) =>
+          val expect = right.filter(r => r._1 == u && r._2 <= lts)
+            .sortBy(r => (r._2, r._4)).lastOption.map(_._3)
+          got(lid) == expect
+        }
+    }
+
+  property("enrich: partition_date == to_date(event ts), backfilled when null") =
+    forAll(Gen.nonEmptyListOf(Gen.option(Gen.choose(0L, 200L * 86400)))) { secs =>
+      val ing = java.sql.Timestamp.valueOf("2024-06-15 12:00:00")
+      val rows = secs.map(_.map(s => new java.sql.Timestamp(s * 1000L)))
+      val out = Clean.enrich(rows.toDF("last_updated"), "last_updated", Some(ing))
+        .select("last_updated", "partition_date")
+        .as[(java.sql.Timestamp, java.sql.Date)].collect()
+      out.forall { case (ts, pd) =>
+        ts != null && pd.toString == ts.toInstant.atZone(java.time.ZoneOffset.UTC)
+          .toLocalDate.toString
+      }
+    }
+}

@@ -65,6 +65,46 @@ class VectorStreamSpec extends AnyFunSuite {
       (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L, 4.0)))
   }
 
+  test("stream-static broadcast enrichment attaches dimension columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val input = mem.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("uid", "tier")
+    val q = EventStream.enrichWithDim(input, dim, "user_id", "uid")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    mem.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    q.processAllAvailable()
+    val got = spark.table("enrich_out")
+      .select("user_id", "tier").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    q.stop()
+    assert(got === Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+  }
+
+  test("stream-stream interval join attributes clicks within the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val purch = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventStream.intervalJoin(
+      purch.toDF().toDF("user_id", "ts"),
+      clicks.toDF().toDF("user_id", "ts", "value"),
+      "user_id", "ts", horizonSeconds = 3600)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attrib_out").start()
+    purch.addData((1L, Timestamp.valueOf("2024-01-01 12:00:00")))
+    clicks.addData(
+      (1L, Timestamp.valueOf("2024-01-01 11:30:00"), 5.0),  // inside horizon
+      (1L, Timestamp.valueOf("2024-01-01 10:30:00"), 6.0),  // too old
+      (1L, Timestamp.valueOf("2024-01-01 12:30:00"), 7.0),  // after purchase
+      (2L, Timestamp.valueOf("2024-01-01 11:45:00"), 8.0))  // other key
+    q.processAllAvailable()
+    val got = spark.table("attrib_out")
+      .select("user_id", "r_value").as[(Long, Double)].collect().toSet
+    q.stop()
+    assert(got === Set((1L, 5.0)))
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
