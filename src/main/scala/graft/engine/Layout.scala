@@ -200,6 +200,21 @@ object Layout {
     fs.delete(new Path(tmp), true)
   }
 
+  /** K5: catalog registration of a path-backed table
+    * (`main_pipeline.py:189-218` without the Hive/JDBC dependency — the
+    * in-session catalog; on a cluster the same SQL goes to the shared
+    * metastore).
+    */
+  def registerTable(spark: SparkSession, db: String, table: String,
+                    path: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $db.$table USING PARQUET LOCATION '$path'")
+    val registered = spark.sql(s"SHOW TABLES IN $db")
+      .select("tableName").collect().map(_.getString(0))
+    require(registered.contains(table),
+      s"registration of $db.$table failed verification")
+  }
+
   /** M6: table existence probe (`DeltaTable.isDeltaTable` analog). */
   def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)

@@ -71,6 +71,26 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "ts")
 
+  /** Streaming Bronze ingest sink: lands each micro-batch in the
+    * date-partitioned Bronze table, rows co-located per partition before
+    * the write ([[graft.engine.Layout.colocated]] — the small-files
+    * discipline the native parquet sink lacks: one file per touched date
+    * per batch instead of one per shuffle partition per date). Append
+    * mode; exactly-once on retry is traded for layout control — use the
+    * built-in parquet sink when replays must not double-append.
+    */
+  def sinkBronze(events: DataFrame, path: String, checkpoint: String,
+                 tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
+    events.withColumn("partition_date", to_date(col(tsCol)))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.engine.Layout.colocated(batch)
+          .write.mode("append").partitionBy("partition_date").parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Stream–static enrichment: each micro-batch equi-joins the stream
     * against a small static dimension, explicitly broadcast — the
     * dimension ships once per executor and the stream side never

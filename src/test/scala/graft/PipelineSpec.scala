@@ -136,6 +136,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.agg(sum("price")).head().getDouble(0) === (1 to 100).sum.toDouble)
   }
 
+  test("registerTable exposes a parquet path through the catalog (K5)") {
+    val dir = Files.createTempDirectory("graft_reg").toString
+    Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(s"$dir/t")
+    Layout.registerTable(spark, "graft_analytics", "reg_t", s"$dir/t")
+    assert(spark.table("graft_analytics.reg_t").count() === 2)
+  }
+
   test("bucketed tables equi-join with zero shuffle exchanges") {
     val facts = (1 to 1000).map(i => (i.toLong % 100, i.toLong)).toDF("k", "v")
     val dims = (0L until 100L).map(k => (k, s"name$k")).toDF("k", "name")

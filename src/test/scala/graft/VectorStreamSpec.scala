@@ -65,6 +65,28 @@ class VectorStreamSpec extends AnyFunSuite {
       (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L, 4.0)))
   }
 
+  test("sinkBronze lands micro-batches partitioned by date, one file per date per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStream.sinkBronze(
+      mem.toDF().toDF("user_id", "ts", "value"), s"$dir/bronze", s"$dir/ckpt")
+    mem.addData(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, Timestamp.valueOf("2024-01-02 10:00:00"), 2.0))
+    q.processAllAvailable()
+    mem.addData((3L, Timestamp.valueOf("2024-01-01 11:00:00"), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$dir/bronze")
+    assert(back.count() === 3) // second batch appended, first survived
+    assert(back.select("partition_date").distinct().count() === 2)
+    // colocated write: each batch wrote exactly one file per touched date
+    val d1 = new java.io.File(s"$dir/bronze/partition_date=2024-01-01")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(d1 === 2) // one from each batch
+  }
+
   test("stream-static broadcast enrichment attaches dimension columns") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
