@@ -37,10 +37,13 @@ object Layout {
 
   /** K1: full overwrite of a date-partitioned table. */
   def overwritePartitioned(df: DataFrame, path: String,
-                           partitionCols: Seq[String] = Seq("partition_date")): Unit =
+                           partitionCols: Seq[String] = Seq("partition_date")): Unit = {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+    logWrite(df.sparkSession, path, "WRITE",
+      Map("mode" -> "Overwrite", "partitionBy" -> partitionCols.mkString(",")))
+  }
 
   /** K2: partition-scoped overwrite — only the partitions present in `df`
     * are replaced; all others accumulate across runs (replaceWhere
@@ -57,6 +60,8 @@ object Layout {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+    logWrite(df.sparkSession, path, "OVERWRITE_PARTITIONS",
+      Map("partitionBy" -> partitionCols.mkString(",")))
   }
 
   /** M1-M3: sort-clustered compaction of selected partitions (incremental
@@ -82,6 +87,8 @@ object Layout {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(path)
+    logWrite(spark, path, "OPTIMIZE",
+      Map("zOrderBy" -> clusterCols.mkString(","), "partitions" -> dates.mkString(",")))
   }
 
   /** M3 full-table variant: compaction + sort clustering of everything. */
@@ -94,6 +101,7 @@ object Layout {
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
       .parquet(path)
+    logWrite(spark, path, "OPTIMIZE_FULL", Map("zOrderBy" -> clusterCols.mkString(",")))
   }
 
   /** Exact two-column Z-ORDER clustering (the sort-based
@@ -198,6 +206,41 @@ object Layout {
     if (fs.exists(dst)) fs.delete(dst, false)
     fs.rename(part, dst)
     fs.delete(new Path(tmp), true)
+  }
+
+  /** M5 analog: append an entry to the table's write-manifest log
+    * (`_graft_manifest/` — underscore-prefixed, so Spark's hidden-file
+    * filter keeps it invisible to `spark.read.parquet` on the table
+    * path, the same trick as Delta's `_delta_log`). Gives the
+    * reference's `DeltaTable.history()` surface — version, timestamp,
+    * operation, parameters — without a transaction log. A FULL overwrite
+    * deletes the table dir including the manifest, so its history
+    * restarts at 0 — log entries describe the current table incarnation.
+    */
+  def logWrite(spark: SparkSession, path: String, operation: String,
+               params: Map[String, String] = Map.empty): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(path, "_graft_manifest")
+    fs.mkdirs(dir)
+    val version = fs.listStatus(dir).count(_.getPath.getName.endsWith(".json"))
+    val paramsJson = params.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val json = s"""{"version":$version,"timestamp":"${java.time.Instant.now()}",""" +
+      s""""operation":"$operation","params":$paramsJson}"""
+    val out = fs.create(new Path(dir, f"$version%020d.json"), true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** M5: latest `n` manifest entries, newest first
+    * (`view_delta_history.py:44-75` analog).
+    */
+  def history(spark: SparkSession, path: String, n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.json(s"$path/_graft_manifest/*.json")
+      .select("version", "timestamp", "operation", "params")
+      .orderBy(col("version").desc).limit(n)
   }
 
   /** K5: catalog registration of a path-backed table

@@ -70,4 +70,48 @@ object Media {
         }
       }
   }
+
+  case class ResizedMedia(media_id: Long, format: String,
+                          width: Int, height: Int, payload: Array[Byte])
+
+  /** Resize: 1-row-in → 1-row-out payload transform. STUB resample (every
+    * k-th byte, deterministic); a real bilinear/area resampler replaces
+    * the body. Same per-partition batching as [[extractFeatures]].
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("format"), col("payload")).as[MediaRow]
+      .mapPartitions { it =>
+        it.map { m =>
+          // STUB: real resample unavailable (no codec libs in container)
+          val stride = math.max(1, m.payload.length / math.max(1, targetW * targetH))
+          val out = m.payload.indices.by(stride).map(m.payload).toArray
+          ResizedMedia(m.media_id, m.format, targetW, targetH, out)
+        }
+      }
+  }
+
+  case class Frame(media_id: Long, frame_idx: Int, offset_bytes: Long,
+                   payload: Array[Byte])
+
+  /** Frame sampling for video payloads: 1-row-in → N-rows-out expansion
+    * (the flatMap shape a video pipeline needs — each sampled frame
+    * becomes its own row, so downstream per-frame ops parallelize).
+    * STUB framing: fixed `frameBytes` chunks stand in for demuxed frames;
+    * emits every `everyN`-th.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int = 64, everyN: Int = 2): Dataset[Frame] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("format"), col("payload")).as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          m.payload.grouped(frameBytes).zipWithIndex
+            .filter { case (_, i) => i % everyN == 0 }
+            .map { case (chunk, i) =>
+              Frame(m.media_id, i, i.toLong * frameBytes, chunk) }
+        }
+      }
+  }
 }

@@ -136,6 +136,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.agg(sum("price")).head().getDouble(0) === (1 to 100).sum.toDouble)
   }
 
+  test("write-manifest history records versions newest-first, invisible to scans (M5)") {
+    val dir = Files.createTempDirectory("graft_hist").toString + "/t"
+    val df = Seq((Date.valueOf("2024-01-01"), 1.0)).toDF("partition_date", "v")
+    Layout.upsertPartitions(df, dir)
+    Layout.upsertPartitions(
+      Seq((Date.valueOf("2024-01-02"), 2.0)).toDF("partition_date", "v"), dir)
+    val hist = Layout.history(spark, dir)
+      .select("version", "operation").as[(Long, String)].collect()
+    assert(hist.toSeq === Seq((1L, "OVERWRITE_PARTITIONS"), (0L, "OVERWRITE_PARTITIONS")))
+    // the manifest dir must not leak into table reads
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+
   test("registerTable exposes a parquet path through the catalog (K5)") {
     val dir = Files.createTempDirectory("graft_reg").toString
     Seq((1, "a"), (2, "b")).toDF("k", "v").write.parquet(s"$dir/t")

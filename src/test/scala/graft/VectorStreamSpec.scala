@@ -192,4 +192,19 @@ class VectorStreamSpec extends AnyFunSuite {
       .map(f => f.media_id -> f).toMap
     assert(feats(1L) === again(1L) && feats(2L) === again(2L))
   }
+
+  test("media resize and frame sampling: payload transform + row expansion") {
+    val docs = Seq((1L, "x" * 300), (2L, "y" * 100)).toDF("doc_id", "text")
+    val media = Media.attachPayload(docs, "doc_id", "text")
+    val resized = Media.resize(spark, media, 4, 4).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(resized(1L).width === 4 && resized(1L).height === 4)
+    assert(resized(1L).payload.length <= 300 && resized(1L).payload.nonEmpty)
+    // frame sampling: 300 bytes / 64-byte frames = 5 frames, every 2nd → idx 0,2,4
+    val frames = Media.sampleFrames(spark, media, frameBytes = 64, everyN = 2)
+      .collect().filter(_.media_id == 1L).sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    assert(frames.head.payload.length === 64)
+    assert(frames.map(_.offset_bytes).toSeq === Seq(0L, 128L, 256L))
+  }
 }
