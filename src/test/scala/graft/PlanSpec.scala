@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards for the scale invariants (the "would
+  * this survive a 100× scale-up" properties): broadcast where intended,
+  * top-k pushdown, scan-level filter/column pushdown, partition pruning.
+  * A change that silently reintroduces a shuffle or loses a pushdown
+  * fails here long before it shows up in a bench regression.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  val dir = "/root/testdata/sf0.001"
+  def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: rank-filter gets the WindowGroupLimit top-k pushdown") {
+    // rows beyond rank 10 are dropped per-partition BEFORE the full
+    // window sort materializes — the difference between sorting 10 rows
+    // per date and sorting every row per date at 100 TB
+    assert(plan("q01_gold_daily_stats").contains("WindowGroupLimit"))
+  }
+
+  test("star-dimension joins broadcast; the fact side never shuffle-joins") {
+    val p = plan("q10_join_star")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("reference cross join (J1) plans as broadcast nested loop") {
+    assert(plan("q06_cross_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("filter and projection push down to the parquet scan") {
+    val df = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 30.0).select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("date-partitioned tables prune untouched partitions at the scan") {
+    import spark.implicits._
+    val t = Files.createTempDirectory("graft_prune").toString + "/t"
+    val df = Seq(
+      (Date.valueOf("2024-01-01"), 1.0),
+      (Date.valueOf("2024-01-02"), 2.0),
+      (Date.valueOf("2024-01-03"), 3.0)).toDF("partition_date", "v")
+    graft.engine.Layout.overwritePartitioned(df, t)
+    val filtered = spark.read.parquet(t)
+      .filter($"partition_date" === Date.valueOf("2024-01-02"))
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("partition_date"), p)
+    assert(filtered.count() === 1)
+  }
+}
