@@ -497,6 +497,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_price"))
         .orderBy("p_brand")
+    }),
+
+    "q52_decile_cutpoints" -> ((s, dir) => {
+      // the scale path q45's comment promises: one approx-quantile sketch
+      // pass → literal cut points → codegen'd map-side bucket expression.
+      // No global sort, no single reducer. Sketch is engine-specific →
+      // rows-only check; population balance vs exact ntile is asserted in
+      // OpsSpec
+      Stats.bucketStats(t(s, dir, "events"), "value", 10)
     }))
 
   def oracleSql: Map[String, String] = Map(

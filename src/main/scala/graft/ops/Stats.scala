@@ -65,4 +65,32 @@ object Stats {
     */
   def top1(df: DataFrame, by: Column, tiebreak: Seq[Column]): DataFrame =
     df.orderBy(by.desc +: tiebreak: _*).limit(1)
+
+  /** Scale path for quantile bucketing (the 100 TB replacement for an
+    * unpartitioned `ntile`, which is a single-reducer global sort): one
+    * sketch pass computes approximate cut points (driver gets `buckets-1`
+    * doubles — same footprint as AQE stats), which become a literal
+    * sum-of-comparisons bucket expression — codegen'd, map-side only,
+    * embarrassingly parallel. Bucket populations are approximately equal
+    * (sketch error `relErr`), unlike ntile's exact-but-serial split.
+    */
+  def bucketByCutpoints(df: DataFrame, valueCol: String, buckets: Int,
+                        relErr: Double = 0.001): DataFrame = {
+    val nonNull = df.filter(col(valueCol).isNotNull)
+    val cuts = nonNull.stat.approxQuantile(valueCol,
+      (1 until buckets).map(_.toDouble / buckets).toArray, relErr)
+    val bucket = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col(valueCol) > c, 1).otherwise(0)
+    }
+    nonNull.withColumn("bucket", bucket.cast("long"))
+  }
+
+  /** Per-bucket distribution stats over [[bucketByCutpoints]]. */
+  def bucketStats(df: DataFrame, valueCol: String, buckets: Int): DataFrame =
+    bucketByCutpoints(df, valueCol, buckets)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total"))
+      .orderBy("bucket")
 }

@@ -84,4 +84,23 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
     assert(out === Map(1L -> 10.0, 2L -> 30.0, 3L -> 60.0, 4L -> 90.0))
   }
+
+  test("bucketByCutpoints: near-equal populations, ordered non-overlapping ranges") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val n = ev.filter($"value".isNotNull).count()
+    val stats = graft.ops.Stats.bucketStats(ev, "value", 10)
+      .select("bucket", "n", "lo", "hi")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(stats.map(_._1).toSeq === (1L to 10L))
+    assert(stats.map(_._2).sum === n)
+    // sketch relErr 0.001 at this n → each decile within ±20% of n/10
+    stats.foreach { case (b, cnt, _, _) =>
+      assert(math.abs(cnt - n / 10.0) <= n / 10.0 * 0.2, s"bucket $b count $cnt")
+    }
+    // ranges are ordered: bucket k's max <= bucket k+1's min
+    stats.sliding(2).foreach {
+      case Array((_, _, _, hi1), (_, _, lo2, _)) => assert(hi1 <= lo2)
+      case _ => ()
+    }
+  }
 }
