@@ -37,8 +37,11 @@ object DevPipeline {
     // maintenance: sort-clustered compaction of all touched partitions
     val dates = spark.read.parquet(s"$base/silver")
       .select("partition_date").distinct().collect().map(_.get(0).toString)
-    engine.Layout.compactPartitions(spark, s"$base/silver",
-      Seq("symbol", "current_price", "market_cap"), dates.toSeq)
+    // maintenance retried like the reference's OPTIMIZE (3×, 5 s backoff)
+    engine.Orchestrate.retry(attempts = 3, backoffMs = 5000) {
+      engine.Layout.compactPartitions(spark, s"$base/silver",
+        Seq("symbol", "current_price", "market_cap"), dates.toSeq)
+    }
     val t3 = lap("compact", t2)
     // gold: per-day top-10 by volume stats + single-file csv
     val gold = ops.Stats.dailyTopKStats(

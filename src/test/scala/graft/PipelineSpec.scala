@@ -136,6 +136,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.agg(sum("price")).head().getDouble(0) === (1 to 100).sum.toDouble)
   }
 
+  test("retry recovers from transient failures, rethrows after exhaustion") {
+    import graft.engine.Orchestrate
+    var calls = 0
+    val got = Orchestrate.retry(attempts = 3, backoffMs = 1) {
+      calls += 1
+      if (calls < 3) sys.error("transient") else 42
+    }
+    assert(got === 42 && calls === 3)
+    val ex = intercept[RuntimeException] {
+      Orchestrate.retry(attempts = 2, backoffMs = 1) { sys.error("always") }
+    }
+    assert(ex.getMessage === "always")
+  }
+
+  test("withTimeout returns None on hang, propagates failures otherwise") {
+    import graft.engine.Orchestrate
+    assert(Orchestrate.withTimeout(50) { Thread.sleep(5000); 1 } === None)
+    assert(Orchestrate.withTimeout(5000) { 7 } === Some(7))
+    val ex = intercept[RuntimeException] {
+      Orchestrate.withTimeout(5000) { sys.error("boom") }
+    }
+    assert(ex.getMessage === "boom")
+  }
+
   test("write-manifest history records versions newest-first, invisible to scans (M5)") {
     val dir = Files.createTempDirectory("graft_hist").toString + "/t"
     val df = Seq((Date.valueOf("2024-01-01"), 1.0)).toDF("partition_date", "v")
