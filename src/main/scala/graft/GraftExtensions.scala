@@ -18,5 +18,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("zorder_key"),
       new ExpressionInfo(classOf[functions.InterleaveBits].getName, "zorder_key"),
       (exprs: Seq[Expression]) => functions.InterleaveBits(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("zorder_key3"),
+      new ExpressionInfo(classOf[functions.InterleaveBits3].getName, "zorder_key3"),
+      (exprs: Seq[Expression]) => functions.InterleaveBits3(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[functions.SimHashExpr].getName, "simhash64"),
+      (exprs: Seq[Expression]) => functions.SimHashExpr(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("tokens"),
+      new ExpressionInfo(classOf[functions.TokensExpr].getName, "tokens"),
+      (exprs: Seq[Expression]) => functions.TokensExpr(exprs(0))))
   }
 }

@@ -506,6 +506,19 @@ object SparkEntry {
       // rows-only check; population balance vs exact ntile is asserted in
       // OpsSpec
       Stats.bucketStats(t(s, dir, "events"), "value", 10)
+    }),
+
+    "q53_train_split" -> ((s, dir) => {
+      // deterministic train/val/test assignment by id-modulo — stable
+      // across runs, partitionings, and cluster sizes (the reproducible-
+      // split requirement of a training-data pipeline); pure map-side
+      val bucket = pmod(col("doc_id"), lit(100))
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("source", "split")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -903,5 +916,14 @@ object SparkEntry {
       """SELECT p_brand, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q53_train_split" ->
+      """SELECT source,
+        |  CASE WHEN doc_id % 100 < 80 THEN 'train'
+        |       WHEN doc_id % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

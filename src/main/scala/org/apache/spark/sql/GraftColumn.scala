@@ -26,5 +26,7 @@ object GraftColumn {
       exprs => graft.functions.InterleaveBits3(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => graft.functions.SimHashExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("tokens",
+      exprs => graft.functions.TokensExpr(exprs(0)), "built-in")
   }
 }

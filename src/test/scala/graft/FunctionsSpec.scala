@@ -22,6 +22,9 @@ class FunctionsSpec extends AnyFunSuite {
     val z = spark.sql("SELECT zorder_key(3, 0), zorder_key(0, 3)")
       .as[(Long, Long)].head()
     assert(z === ((5L, 10L))) // 0b11 spread to even bits = 0b101; odd = 0b1010
+    val toks = spark.sql("SELECT tokens('Hello  spark world')")
+      .as[Seq[String]].head()
+    assert(toks === Seq("Hello", "spark", "world"))
   }
 
   test("array_dot on float arrays matches the HOF formulation exactly") {
