@@ -427,10 +427,12 @@ object SparkEntry {
 
     "q47_top_words" -> ((s, dir) => {
       // generator/explode path: flatten docs to words, corpus frequency.
-      // split+explode stays inside whole-stage codegen; the groupBy is a
+      // native single-pass tokenizer (TokensExpr — byte-identical to the
+      // split(trim(regexp_replace)) chain, minus two regex passes) +
+      // explode stay inside whole-stage codegen; the groupBy is a
       // partial (map-side) + final hash agg on the word key
       t(s, dir, "documents")
-        .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")).as("word"))
+        .select(explode(TextStats.tokens(lower(col("text")))).as("word"))
         .groupBy("word").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 20)
         .orderBy("word")
