@@ -75,21 +75,40 @@ object EventStream {
     * date-partitioned Bronze table, rows co-located per partition before
     * the write ([[graft.engine.Layout.colocated]] — the small-files
     * discipline the native parquet sink lacks: one file per touched date
-    * per batch instead of one per shuffle partition per date). Append
-    * mode; exactly-once on retry is traded for layout control — use the
-    * built-in parquet sink when replays must not double-append.
+    * per batch instead of one per shuffle partition per date).
+    * Exactly-once under micro-batch retries via [[appendBatchIdempotent]].
     */
   def sinkBronze(events: DataFrame, path: String, checkpoint: String,
                  tsCol: String = "ts"): org.apache.spark.sql.streaming.StreamingQuery =
     events.withColumn("partition_date", to_date(col(tsCol)))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.engine.Layout.colocated(batch)
-          .write.mode("append").partitionBy("partition_date").parquet(path)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatchIdempotent(batch, path, id)
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+
+  /** Idempotent micro-batch append: a committed batch leaves a marker
+    * (`_graft_manifest/batch-<id>`, hidden from scans); a retried batch
+    * id is skipped, so foreachBatch gets the exactly-once effect the
+    * built-in file sink achieves with its commit log. Marker creation is
+    * atomic-enough for Structured Streaming's model: micro-batches of
+    * one query execute serially, so there is no concurrent writer for
+    * the same id.
+    */
+  def appendBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    val marker = new Path(path, s"_graft_manifest/batch-$batchId")
+    if (!fs.exists(marker)) {
+      graft.engine.Layout.colocated(batch)
+        .write.mode("append").partitionBy("partition_date").parquet(path)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    }
+  }
 
   /** Stream–static enrichment: each micro-batch equi-joins the stream
     * against a small static dimension, explicitly broadcast — the

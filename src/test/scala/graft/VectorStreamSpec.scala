@@ -87,6 +87,16 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(d1 === 2) // one from each batch
   }
 
+  test("appendBatchIdempotent: a replayed batch id writes exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem").toString + "/t"
+    val batch = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1.0))
+      .toDF("user_id", "partition_date", "value")
+    EventStream.appendBatchIdempotent(batch, dir, batchId = 7L)
+    EventStream.appendBatchIdempotent(batch, dir, batchId = 7L) // retry, skipped
+    EventStream.appendBatchIdempotent(batch, dir, batchId = 8L) // new batch
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+
   test("stream-static broadcast enrichment attaches dimension columns") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
