@@ -521,6 +521,46 @@ object SparkEntry {
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy("source", "split")
+    }),
+
+    "q54_correlation" -> ((s, dir) => {
+      // Pearson correlation from exact decimal power sums (like q49:
+      // order-independent partials → bit-reproducible distributed agg;
+      // built-in corr() streams doubles and is summation-order-dependent)
+      val x = col("value").cast(DecimalType(18, 6))
+      val y = get_json_object(col("props"), "$.k").cast("long").cast(DecimalType(18, 6))
+      def d(c: String) = col(c).cast("double")
+      val cov = col("n") * d("sxy") - d("sx") * d("sy")
+      val vx = col("n") * d("sxx") - d("sx") * d("sx")
+      val vy = col("n") * d("syy") - d("sy") * d("sy")
+      t(s, dir, "events")
+        .filter(col("value").isNotNull &&
+          get_json_object(col("props"), "$.k").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum((x * y).cast(DecimalType(38, 12))).as("sxy"),
+          sum((x * x).cast(DecimalType(38, 12))).as("sxx"),
+          sum((y * y).cast(DecimalType(38, 12))).as("syy"))
+        .select(col("event_type"), col("n"),
+          round(cov / (sqrt(vx) * sqrt(vy)), 6).as("corr_vk"))
+        .orderBy("event_type")
+    }),
+
+    "q55_range_frame" -> ((s, dir) => {
+      // RANGE-frame window: trailing 7-day (inclusive) revenue per order
+      // date — value-based frame bounds, vs q16's row-count frame
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .withColumn("d", to_date(col("o_orderdate")))
+        .groupBy("d")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("day_total"))
+        .withColumn("d_epoch", datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long"))
+      val w = Window.orderBy(col("d_epoch")).rangeBetween(-6, 0)
+      daily.select(col("d"),
+        col("day_total"),
+        sum(col("day_total")).over(w).cast(DecimalType(38, 2)).as("trailing_7d"))
+        .orderBy("d")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -927,5 +967,36 @@ object SparkEntry {
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q54_correlation" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CAST(value AS DECIMAL(18,6)) AS x,
+        |    CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(18,6)) AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL),
+        |sums AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+        |    SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx,
+        |    SUM(CAST(y * y AS DECIMAL(38,12))) AS syy
+        |  FROM base GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_vk
+        |FROM sums ORDER BY event_type""".stripMargin,
+
+    "q55_range_frame" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_total,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d_epoch
+        |  FROM orders GROUP BY 1, 3)
+        |SELECT d, day_total,
+        |  CAST(SUM(day_total) OVER (ORDER BY d_epoch
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS trailing_7d
+        |FROM daily ORDER BY d""".stripMargin)
 }
