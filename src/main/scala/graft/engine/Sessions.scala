@@ -43,5 +43,11 @@ object Sessions {
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+    // reference memory model (`spark_manager.py:184-199`): larger unified
+    // region biased to execution — shuffles/sorts spill later; storage is
+    // evictable so a small storageFraction does not cap caching
+    .config("spark.memory.fraction", "0.8")
+    .config("spark.memory.storageFraction", "0.3")
+    .config("spark.driver.maxResultSize", "1g")
     .config("spark.ui.enabled", "false")
 }
