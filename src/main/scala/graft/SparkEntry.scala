@@ -561,6 +561,46 @@ object SparkEntry {
         col("day_total"),
         sum(col("day_total")).over(w).cast(DecimalType(38, 2)).as("trailing_7d"))
         .orderBy("d")
+    }),
+
+    "q56_union_evolve" -> ((s, dir) => {
+      // schema-evolving union: unionByName with allowMissingColumns —
+      // the batch-accumulation path when a source adds a column
+      val ev = t(s, dir, "events")
+      val withVal = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value")
+      val without = ev.filter(col("event_type") === "signup")
+        .select("event_id", "user_id") // no value column
+      withVal.unionByName(without, allowMissingColumns = true)
+        .orderBy("event_id")
+    }),
+
+    "q57_map_funcs" -> ((s, dir) => {
+      // JSON → MapType + map-function battery (from_json parses once;
+      // q18's get_json_object re-parses per field — this is the shape for
+      // many-key payloads)
+      import org.apache.spark.sql.types.{MapType, StringType}
+      val m = from_json(col("props"), MapType(StringType, StringType))
+      t(s, dir, "events").select(
+        col("event_id"),
+        size(map_keys(m)).cast("long").as("n_keys"),
+        array_join(sort_array(map_keys(m)), ",").as("keys_csv"),
+        element_at(m, "k").cast("long").as("k_val"))
+        .orderBy("event_id")
+    }),
+
+    "q58_hof_lambdas" -> ((s, dir) => {
+      // higher-order-function lambdas over the embedding column (filter/
+      // exists/transform). NOTE: HOF lambdas are interpreted, not
+      // codegen'd — fine for a feature query like this; hot kernels use
+      // the native expressions in graft.functions instead (ArrayDot)
+      val e = transform(col("embedding"), _.cast("double"))
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(filter(e, _ > 0d)).cast("long").as("n_pos"),
+        exists(e, _ > 1.5d).as("any_big"),
+        round(element_at(sort_array(e, asc = false), 1), 6).as("max_e"))
+        .orderBy("vec_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -998,5 +1038,28 @@ object SparkEntry {
         |SELECT d, day_total,
         |  CAST(SUM(day_total) OVER (ORDER BY d_epoch
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS trailing_7d
-        |FROM daily ORDER BY d""".stripMargin)
+        |FROM daily ORDER BY d""".stripMargin,
+
+    "q56_union_evolve" ->
+      """SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT event_id, user_id, NULL AS value FROM events WHERE event_type = 'signup'
+        |ORDER BY event_id""".stripMargin,
+
+    "q57_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q58_hof_lambdas" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  len(list_filter(v, x -> x > 1.5)) > 0 AS any_big,
+        |  round(list_sort(v, 'DESC')[1], 6) AS max_e
+        |FROM e ORDER BY vec_id""".stripMargin)
 }
