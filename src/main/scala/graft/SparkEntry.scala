@@ -601,6 +601,14 @@ object SparkEntry {
         exists(e, _ > 1.5d).as("any_big"),
         round(element_at(sort_array(e, asc = false), 1), 6).as("max_e"))
         .orderBy("vec_id")
+    }),
+
+    "q59_ohlc_bars" -> ((s, dir) => {
+      // canonical market-data tick→bar resample: per-(type, day) OHLC
+      Stats.ohlcBars(t(s, dir, "events").filter(col("value").isNotNull),
+        Seq("event_type"), to_date(col("ts")),
+        Seq(col("ts"), col("event_id")), "value")
+        .orderBy("event_type", "bar")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1061,5 +1069,23 @@ object SparkEntry {
         |  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos,
         |  len(list_filter(v, x -> x > 1.5)) > 0 AS any_big,
         |  round(list_sort(v, 'DESC')[1], 6) AS max_e
-        |FROM e ORDER BY vec_id""".stripMargin)
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q59_ohlc_bars" ->
+      """WITH ticks AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS bar, value,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts ASC, event_id ASC) AS rn_first,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_last
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, bar,
+        |  MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
+        |  MAX(value) AS high,
+        |  MIN(value) AS low,
+        |  MAX(CASE WHEN rn_last = 1 THEN value END) AS close,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS volume,
+        |  COUNT(*) AS n_ticks
+        |FROM ticks GROUP BY event_type, bar
+        |ORDER BY event_type, bar""".stripMargin)
 }

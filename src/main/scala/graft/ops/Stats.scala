@@ -85,6 +85,34 @@ object Stats {
     nonNull.withColumn("bucket", bucket.cast("long"))
   }
 
+  /** OHLC bar resampling — the canonical tick→bar market-data aggregate:
+    * per (key, bar) open/high/low/close/volume. Open/close are picked by
+    * a deterministic total order (time + tiebreak) via two row_number
+    * passes over ONE window partitioning (same shuffle), then a grouped
+    * agg on the same key — Catalyst reuses the partitioning, so the whole
+    * thing is a single exchange. `min_by`/`max_by` would be shorter but
+    * tie-break nondeterministically on equal timestamps.
+    */
+  def ohlcBars(df: DataFrame, keys: Seq[String], barCol: Column,
+               tsOrder: Seq[Column], valueCol: String): DataFrame = {
+    val grouped = df.withColumn("bar", barCol)
+    val wAsc = Window.partitionBy(keys.map(col) :+ col("bar"): _*)
+      .orderBy(tsOrder.map(_.asc): _*)
+    val wDesc = Window.partitionBy(keys.map(col) :+ col("bar"): _*)
+      .orderBy(tsOrder.map(_.desc): _*)
+    grouped
+      .withColumn("_first", row_number().over(wAsc))
+      .withColumn("_last", row_number().over(wDesc))
+      .groupBy(keys.map(col) :+ col("bar"): _*)
+      .agg(
+        max(when(col("_first") === 1, col(valueCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(when(col("_last") === 1, col(valueCol))).as("close"),
+        sum(col(valueCol).cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("volume"),
+        count(lit(1)).as("n_ticks"))
+  }
+
   /** Per-bucket distribution stats over [[bucketByCutpoints]]. */
   def bucketStats(df: DataFrame, valueCol: String, buckets: Int): DataFrame =
     bucketByCutpoints(df, valueCol, buckets)

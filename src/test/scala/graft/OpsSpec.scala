@@ -85,6 +85,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out === Map(1L -> 10.0, 2L -> 30.0, 3L -> 60.0, 4L -> 90.0))
   }
 
+  test("ohlcBars: deterministic open/close under same-timestamp ties") {
+    val df = Seq(
+      // (sym, ts, seq, price) — two ticks share the opening timestamp:
+      // the one with lower seq must be the open
+      ("A", ts("2024-01-01 09:00:00"), 1L, 10.0),
+      ("A", ts("2024-01-01 09:00:00"), 2L, 99.0),
+      ("A", ts("2024-01-01 15:59:00"), 3L, 7.0),
+      ("A", ts("2024-01-01 16:00:00"), 4L, 12.0),
+      ("B", ts("2024-01-01 10:00:00"), 5L, 5.0)
+    ).toDF("sym", "t", "seq", "price")
+    val bars = graft.ops.Stats.ohlcBars(df, Seq("sym"),
+        to_date(col("t")), Seq(col("t"), col("seq")), "price")
+      .select("sym", "open", "high", "low", "close", "n_ticks")
+      .as[(String, Double, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(bars("A") === (("A", 10.0, 99.0, 7.0, 12.0, 4L)))
+    assert(bars("B") === (("B", 5.0, 5.0, 5.0, 5.0, 1L)))
+  }
+
   test("bucketByCutpoints: near-equal populations, ordered non-overlapping ranges") {
     val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
     val n = ev.filter($"value".isNotNull).count()
