@@ -609,6 +609,23 @@ object SparkEntry {
         Seq("event_type"), to_date(col("ts")),
         Seq(col("ts"), col("event_id")), "value")
         .orderBy("event_type", "bar")
+    }),
+
+    "q60_token_packing" -> ((s, dir) => {
+      // training-batch sequence packing: assign docs to fixed token-budget
+      // batches by a running token sum per source (deterministic order →
+      // reproducible batch composition across runs/cluster sizes). One
+      // shuffle (the per-source window); batch stats reuse its partitioning
+      import org.apache.spark.sql.expressions.Window
+      val budget = 4096L
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("n_tokens", TextStats.tokenCount(col("text")).cast("long"))
+        .withColumn("batch_id",
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget).cast("long"))
+        .groupBy("source", "batch_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
+        .orderBy("source", "batch_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1087,5 +1104,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS volume,
         |  COUNT(*) AS n_ticks
         |FROM ticks GROUP BY event_type, bar
-        |ORDER BY event_type, bar""".stripMargin)
+        |ORDER BY event_type, bar""".stripMargin,
+
+    "q60_token_packing" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, n_tokens,
+        |    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 4096) AS BIGINT) AS batch_id
+        |  FROM toks)
+        |SELECT source, batch_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
+        |FROM packed GROUP BY source, batch_id
+        |ORDER BY source, batch_id""".stripMargin)
 }
