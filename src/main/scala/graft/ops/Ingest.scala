@@ -121,4 +121,14 @@ object Ingest {
   /** S7: JSON-lines ingestion with schema inference (`fast_pipeline.py:24-25`). */
   def fromJson(spark: SparkSession, json: Dataset[String]): DataFrame =
     spark.read.json(json)
+
+  /** Seeded per-stratum sampling (training-data curation: down-weight
+    * over-represented sources). `fractions` maps stratum value → keep
+    * fraction; strata absent from the map are dropped. Map-side only —
+    * each executor samples its partitions with the shared seed, no
+    * shuffle, no driver materialization.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+                       fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
 }

@@ -45,4 +45,27 @@ class IngestSpec extends AnyFunSuite {
     assert(df.columns.sorted.toSeq === Seq("current_price", "id", "market_cap"))
     assert(df.count() === 2)
   }
+
+  test("stratified sample: seeded, reproducible, approximately proportional") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val total = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strata = total.keys.toSeq.sorted
+    val fracs = strata.zipWithIndex
+      .map { case (s, i) => s -> (if (i % 2 == 0) 0.5 else 0.0) }.toMap
+    val sampled = Ingest.stratifiedSample(docs, "source", fracs, seed = 42L)
+    val got = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dropped strata are absent; kept strata near 50% (Bernoulli tolerance)
+    strata.zipWithIndex.foreach { case (s, i) =>
+      if (i % 2 == 1) assert(!got.contains(s))
+      else {
+        val expect = total(s) * 0.5
+        assert(math.abs(got(s) - expect) <= expect * 0.5, s"stratum $s: ${got(s)} vs $expect")
+      }
+    }
+    // same seed → identical sample (reproducible curation)
+    val again = Ingest.stratifiedSample(docs, "source", fracs, seed = 42L).count()
+    assert(again === sampled.count())
+  }
 }
