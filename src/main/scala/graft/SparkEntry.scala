@@ -626,6 +626,25 @@ object SparkEntry {
         .groupBy("source", "batch_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
         .orderBy("source", "batch_id")
+    }),
+
+    "q61_quality_audit" -> ((s, dir) => {
+      // inter-stage data-quality expectations (engine.Quality): null rate,
+      // key uniqueness, referential integrity, row predicates — one audit
+      // row per check, violation counts computed executor-side
+      import s.implicits._
+      import graft.engine.Quality
+      val ev = t(s, dir, "events")
+      Seq(
+        ("docs_nchars_match", Quality.predicateViolations(
+          t(s, dir, "documents"), col("n_chars") === length(col("text")))),
+        ("events_user_ts_unique", Quality.uniquenessViolations(ev, Seq("user_id", "ts"))),
+        ("events_value_nulls", Quality.nullViolations(ev, "value")),
+        ("lineitem_order_orphans", Quality.referentialViolations(
+          t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey")),
+        ("orders_cust_orphans", Quality.referentialViolations(
+          t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey")))
+        .toDF("check_name", "violations").orderBy("check_name")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1119,5 +1138,27 @@ object SparkEntry {
         |SELECT source, batch_id, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens
         |FROM packed GROUP BY source, batch_id
-        |ORDER BY source, batch_id""".stripMargin)
+        |ORDER BY source, batch_id""".stripMargin,
+
+    "q61_quality_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'docs_nchars_match' AS check_name,
+        |    (SELECT COUNT(*) FROM documents
+        |     WHERE NOT COALESCE(n_chars = length(text), FALSE)) AS violations
+        |  UNION ALL
+        |  SELECT 'events_user_ts_unique',
+        |    (SELECT COUNT(*) FROM events) -
+        |    (SELECT COUNT(*) FROM (SELECT DISTINCT user_id, ts FROM events))
+        |  UNION ALL
+        |  SELECT 'events_value_nulls',
+        |    (SELECT COUNT(*) FROM events WHERE value IS NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem_order_orphans',
+        |    (SELECT COUNT(*) FROM lineitem
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |  UNION ALL
+        |  SELECT 'orders_cust_orphans',
+        |    (SELECT COUNT(*) FROM orders
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)))
+        |ORDER BY check_name""".stripMargin)
 }

@@ -136,6 +136,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(back.agg(sum("price")).head().getDouble(0) === (1 to 100).sum.toDouble)
   }
 
+  test("quality checks count nulls, duplicate keys, orphans, predicate failures") {
+    import graft.engine.Quality
+    val child = Seq((1, "a"), (1, "b"), (2, "c"), (9, null)).toDF("k", "v")
+    val parent = Seq((1, "p1"), (2, "p2")).toDF("pk", "name")
+    assert(Quality.nullViolations(child, "v") === 1)
+    assert(Quality.uniquenessViolations(child, Seq("k")) === 1) // k=1 twice
+    assert(Quality.referentialViolations(child, "k", parent, "pk") === 1) // k=9
+    assert(Quality.predicateViolations(child, col("k") < 5) === 1) // k=9 (+ null→violation)
+    val audit = Quality.audit(
+      "nulls" -> (() => Quality.nullViolations(child, "v")),
+      "orphans" -> (() => Quality.referentialViolations(child, "k", parent, "pk")))
+    assert(audit === Seq("nulls" -> 1L, "orphans" -> 1L))
+  }
+
   test("retry recovers from transient failures, rethrows after exhaustion") {
     import graft.engine.Orchestrate
     var calls = 0
