@@ -645,6 +645,20 @@ object SparkEntry {
         ("orders_cust_orphans", Quality.referentialViolations(
           t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey")))
         .toDF("check_name", "violations").orderBy("check_name")
+    }),
+
+    "q62_merge_upsert" -> ((s, dir) => {
+      // K3 MERGE rewrite (whenMatchedUpdateAll + whenNotMatchedInsertAll
+      // via anti-join + union) proven against the declarative SQL form:
+      // target = events off the 3-grid, source = even events "updated"
+      val ev = t(s, dir, "events")
+      val target = ev.filter(col("event_id") % 3 =!= 0)
+        .select("event_id", "user_id", "value")
+      val source = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"),
+          (col("value") + 1000.0).as("value"))
+      graft.engine.Upsert.merge(target, source, Seq("event_id"))
+        .orderBy("event_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -1160,5 +1174,14 @@ object SparkEntry {
         |  SELECT 'orders_cust_orphans',
         |    (SELECT COUNT(*) FROM orders
         |     WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)))
-        |ORDER BY check_name""".stripMargin)
+        |ORDER BY check_name""".stripMargin,
+
+    "q62_merge_upsert" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value FROM events
+        |  WHERE event_id % 3 <> 0 AND event_id % 2 <> 0
+        |  UNION ALL
+        |  SELECT event_id, user_id, value + 1000.0 AS value FROM events
+        |  WHERE event_id % 2 = 0)
+        |ORDER BY event_id""".stripMargin)
 }
