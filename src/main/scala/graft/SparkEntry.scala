@@ -87,11 +87,14 @@ object SparkEntry {
     }),
 
     "q07_silver_casts" -> ((s, dir) => {
-      // P8 typed casts to Decimal(18,8)/(20,2) (bronze_to_silver_crypto.py:62-71)
+      // P8 typed casts to Decimal(18,8)/(20,2) (bronze_to_silver_crypto.py:62-71).
+      // The decimal cast IS the operator; the final projection presents a
+      // canonical rounded-double view because decimal trailing-zero
+      // rendering is engine-specific (hash-canonicalization)
       t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice").cast(DecimalType(18, 8)).as("price_dec"),
-        col("l_quantity").cast(DecimalType(20, 2)).as("qty_dec"),
+        round(col("l_extendedprice").cast(DecimalType(18, 8)).cast("double"), 8).as("price_dec"),
+        round(col("l_quantity").cast(DecimalType(20, 2)).cast("double"), 2).as("qty_dec"),
         col("l_returnflag"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
@@ -102,7 +105,7 @@ object SparkEntry {
         .withColumn("partition_date", to_date(col("o_orderdate")))
         .groupBy(col("partition_date"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_price"))
+          round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double"), 2).as("total_price"))
         .orderBy("partition_date")
     }),
 
@@ -123,7 +126,7 @@ object SparkEntry {
         (t(s, dir, "region"), "n_regionkey", "r_regionkey")))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_acctbal"))
+          round(sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double"), 2).as("total_acctbal"))
         .orderBy("r_name", "n_name")
     }),
 
@@ -132,9 +135,9 @@ object SparkEntry {
           col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
-          sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          round(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
             (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)))
-            .cast(DecimalType(18, 4))).cast(DecimalType(38, 4)).as("revenue"))
+            .cast(DecimalType(18, 4))).cast("double"), 4).as("revenue"))
         .orderBy("o_orderpriority")
     }),
 
@@ -221,7 +224,7 @@ object SparkEntry {
         max(col("value")).as("max_value"),
         min(col("ts")).as("first_ts"),
         max(col("ts")).as("last_ts"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"))
+        round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 2).as("total_value"))
         .orderBy("event_type")
     }),
 
@@ -252,7 +255,7 @@ object SparkEntry {
         .withColumn("bucket_lo", (floor(col("value") / 25) * 25).cast("long"))
         .groupBy("bucket_lo")
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"))
+          round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 2).as("total_value"))
         .orderBy("bucket_lo")
     }),
 
@@ -378,7 +381,7 @@ object SparkEntry {
         .withColumn("l2_norm", round(Similarity.l2Norm(col("embedding")), 6))
         .groupBy("label")
         .agg(count(lit(1)).as("n_vecs"),
-          sum(col("l2_norm").cast(DecimalType(18, 6))).cast(DecimalType(38, 6)).as("total_norm"))
+          round(sum(col("l2_norm").cast(DecimalType(18, 6))).cast("double"), 6).as("total_norm"))
         .orderBy("label")
     }),
 
@@ -394,7 +397,7 @@ object SparkEntry {
         .groupBy("decile")
         .agg(count(lit(1)).as("n"),
           min(col("value")).as("lo"), max(col("value")).as("hi"),
-          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total"))
+          round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 2).as("total"))
         .orderBy("decile")
     }),
 
@@ -497,7 +500,7 @@ object SparkEntry {
       Joins.saltedJoin(li, p, Seq("l_partkey"), salts = 8)
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_items"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_price"))
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double"), 2).as("total_price"))
         .orderBy("p_brand")
     }),
 
@@ -551,15 +554,17 @@ object SparkEntry {
       // RANGE-frame window: trailing 7-day (inclusive) revenue per order
       // date — value-based frame bounds, vs q16's row-count frame
       import org.apache.spark.sql.expressions.Window
+      // exact decimal day totals feed the range frame; the final SELECT
+      // presents rounded doubles (engine-independent canonical form)
       val daily = t(s, dir, "orders")
         .withColumn("d", to_date(col("o_orderdate")))
         .groupBy("d")
-        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("day_total"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("day_total_dec"))
         .withColumn("d_epoch", datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long"))
       val w = Window.orderBy(col("d_epoch")).rangeBetween(-6, 0)
       daily.select(col("d"),
-        col("day_total"),
-        sum(col("day_total")).over(w).cast(DecimalType(38, 2)).as("trailing_7d"))
+        round(col("day_total_dec").cast("double"), 2).as("day_total"),
+        round(sum(col("day_total_dec")).over(w).cast("double"), 2).as("trailing_7d"))
         .orderBy("d")
     }),
 
@@ -669,7 +674,7 @@ object SparkEntry {
         |                      ORDER BY l_extendedprice * l_quantity DESC) AS r
         |  FROM lineitem)
         |SELECT partition_date,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_market_cap,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_market_cap,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
         |  COUNT(*) AS n_rows
         |FROM ranked WHERE r <= 10
@@ -698,15 +703,15 @@ object SparkEntry {
 
     "q07_silver_casts" ->
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_extendedprice AS DECIMAL(18,8)) AS price_dec,
-        |  CAST(l_quantity AS DECIMAL(20,2)) AS qty_dec,
+        |  ROUND(CAST(CAST(l_extendedprice AS DECIMAL(18,8)) AS DOUBLE), 8) AS price_dec,
+        |  ROUND(CAST(CAST(l_quantity AS DECIMAL(20,2)) AS DOUBLE), 2) AS qty_dec,
         |  l_returnflag
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q08_partition_counts" ->
       """SELECT CAST(o_orderdate AS DATE) AS partition_date,
         |  COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q09_pipeline_gold" ->
@@ -719,7 +724,7 @@ object SparkEntry {
         |         rank() OVER (PARTITION BY CAST(ts AS DATE) ORDER BY value DESC) AS r
         |  FROM silver)
         |SELECT partition_date,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_market_cap,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_market_cap,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
         |  COUNT(*) AS n_rows
         |FROM ranked WHERE r <= 10
@@ -727,7 +732,7 @@ object SparkEntry {
 
     "q10_join_star" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+        |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -735,8 +740,8 @@ object SparkEntry {
 
     "q11_join_fact" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |       CAST(1.0 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+        |  ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       CAST(1.0 - l_discount AS DECIMAL(4,2)) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -766,9 +771,9 @@ object SparkEntry {
 
     "q16_window_frame" ->
       """SELECT event_id, user_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS moving_sum,
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS moving_sum,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos_in_key
         |FROM events ORDER BY event_id""".stripMargin,
 
@@ -818,7 +823,7 @@ object SparkEntry {
         |  MAX(value) AS max_value,
         |  MIN(ts) AS first_ts,
         |  MAX(ts) AS last_ts,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q22_asof_join" ->
@@ -838,7 +843,7 @@ object SparkEntry {
     "q24_histogram" ->
       """SELECT CAST(FLOOR(value / 25) * 25 AS BIGINT) AS bucket_lo,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q25_sessionize" ->
@@ -916,7 +921,12 @@ object SparkEntry {
         |  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
         |  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
         |  JOIN words d ON d.doc_id = a.doc_id AND d.i = a.i + 3
-        |  JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4),
+        |  JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4
+        |  UNION
+        |  -- short-doc fallback: docs under n tokens contribute one
+        |  -- whole-document shingle (mirrors ShinglesExpr)
+        |  SELECT doc_id, array_to_string(w, ' ') AS shingle
+        |  FROM toks WHERE len(w) < 5),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         |shared AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
@@ -971,7 +981,7 @@ object SparkEntry {
 
     "q45_decile_stats" ->
       """SELECT decile, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
         |FROM (
         |  SELECT value,
         |    CAST(ntile(10) OVER (ORDER BY value ASC, event_id ASC) AS BIGINT) AS decile
@@ -999,7 +1009,7 @@ object SparkEntry {
         |      list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS l2_norm
         |  FROM embeddings)
         |SELECT label, COUNT(*) AS n_vecs,
-        |  CAST(SUM(CAST(l2_norm AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_norm
+        |  ROUND(CAST(SUM(CAST(l2_norm AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
 
     "q46_percentiles" ->
@@ -1054,7 +1064,7 @@ object SparkEntry {
 
     "q51_salted_join" ->
       """SELECT p_brand, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
@@ -1090,12 +1100,13 @@ object SparkEntry {
     "q55_range_frame" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_total,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS day_total_dec,
         |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d_epoch
         |  FROM orders GROUP BY 1, 3)
-        |SELECT d, day_total,
-        |  CAST(SUM(day_total) OVER (ORDER BY d_epoch
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS trailing_7d
+        |SELECT d,
+        |  ROUND(CAST(day_total_dec AS DOUBLE), 2) AS day_total,
+        |  ROUND(CAST(SUM(day_total_dec) OVER (ORDER BY d_epoch
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS trailing_7d
         |FROM daily ORDER BY d""".stripMargin,
 
     "q56_union_evolve" ->
@@ -1134,7 +1145,7 @@ object SparkEntry {
         |  MAX(value) AS high,
         |  MIN(value) AS low,
         |  MAX(CASE WHEN rn_last = 1 THEN value END) AS close,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS volume,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS volume,
         |  COUNT(*) AS n_ticks
         |FROM ticks GROUP BY event_type, bar
         |ORDER BY event_type, bar""".stripMargin,

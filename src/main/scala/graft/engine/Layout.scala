@@ -81,12 +81,14 @@ object Layout {
     val touched = spark.read.parquet(path)
       .filter(col(partitionCol).isin(dates: _*))
     val sortCols = (partitionCol +: clusterCols).map(col)
+    val staging = path + "_compact_staging"
     touched
       .repartition(math.max(1, dates.size * filesPerPartition), col(partitionCol))
       .sortWithinPartitions(sortCols: _*)
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
-      .parquet(path)
+      .parquet(staging)
+    swapPartitionDirs(spark, staging, path)
     logWrite(spark, path, "OPTIMIZE",
       Map("zOrderBy" -> clusterCols.mkString(","), "partitions" -> dates.mkString(",")))
   }
@@ -96,12 +98,38 @@ object Layout {
                   partitionCol: String = "partition_date",
                   targetPartitions: Int = 32): Unit = {
     val df = spark.read.parquet(path)
+    val staging = path + "_compact_staging"
     df.repartition(targetPartitions, col(partitionCol))
       .sortWithinPartitions((partitionCol +: clusterCols).map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCol)
-      .parquet(path)
+      .parquet(staging)
+    swapPartitionDirs(spark, staging, path)
     logWrite(spark, path, "OPTIMIZE_FULL", Map("zOrderBy" -> clusterCols.mkString(",")))
+  }
+
+  /** Compaction commit: move every `col=value` partition dir from the
+    * fully-materialized staging write into the live table, replacing the
+    * old dir of the same partition. Overwriting `path` in place would
+    * delete the table BEFORE the lazy self-scan runs whenever the session
+    * is in static partitionOverwriteMode (total data loss); staging+swap
+    * is mode-independent and shrinks the non-atomic window to one rename
+    * per touched partition. Untouched partitions and `_graft_manifest`
+    * are never disturbed. (No snapshot isolation — see README.)
+    */
+  private def swapPartitionDirs(spark: SparkSession, staging: String,
+                                path: String): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(staging))
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(parts.nonEmpty, s"staging write $staging produced no partitions")
+    parts.foreach { s =>
+      val dst = new Path(path, s.getPath.getName)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.rename(s.getPath, dst)
+    }
+    fs.delete(new Path(staging), true)
   }
 
   /** Exact two-column Z-ORDER clustering (the sort-based

@@ -85,6 +85,14 @@ object Joins {
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // salting replicates `small` once per salt value, so only join types
+    // that never EMIT unmatched small-side rows are result-identical to
+    // the plain join; right/full outer would duplicate them `salts` times
+    val preserving = Set("inner", "cross", "left", "leftouter",
+      "leftsemi", "leftanti")
+    require(preserving.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports only join types that never emit unmatched " +
+        s"small-side rows (inner/cross/left_outer/left_semi/left_anti), got $joinType")
     val saltedBig = big.withColumn("_salt", (rand() * salts).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -40,7 +40,10 @@ object Stats {
                  capCol: String, priceCol: String): DataFrame =
     topK.groupBy(col(dateCol))
       .agg(
-        sum(col(capCol).cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_market_cap"),
+        // exact decimal sum internally; presented as a rounded double so the
+        // output canonicalizes identically across engines (decimal
+        // trailing-zero rendering is engine-specific)
+        round(sum(col(capCol).cast(DecimalType(18, 2))).cast("double"), 2).as("total_market_cap"),
         (sum(col(priceCol).cast(DecimalType(18, 6))).cast("double") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("n_rows"))
       .orderBy(col(dateCol))
@@ -109,7 +112,7 @@ object Stats {
         max(col(valueCol)).as("high"),
         min(col(valueCol)).as("low"),
         max(when(col("_last") === 1, col(valueCol))).as("close"),
-        sum(col(valueCol).cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("volume"),
+        round(sum(col(valueCol).cast(DecimalType(18, 2))).cast("double"), 2).as("volume"),
         count(lit(1)).as("n_ticks"))
   }
 
@@ -119,6 +122,6 @@ object Stats {
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
-        sum(col(valueCol).cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total"))
+        round(sum(col(valueCol).cast(DecimalType(18, 2))).cast("double"), 2).as("total"))
       .orderBy("bucket")
 }

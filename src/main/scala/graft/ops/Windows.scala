@@ -29,7 +29,9 @@ object Windows {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(col): _*)
     val framed = w.rowsBetween(-frame, Window.currentRow)
     df.withColumn("moving_sum",
-        sum(col(valueCol).cast(DecimalType(18, 2))).over(framed).cast(DecimalType(38, 2)))
+        // exact decimal frame sum internally; rounded-double presentation
+        // (engine-independent canonical form)
+        round(sum(col(valueCol).cast(DecimalType(18, 2))).over(framed).cast("double"), 2))
       .withColumn("pos_in_key", row_number().over(w))
   }
 

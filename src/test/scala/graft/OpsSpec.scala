@@ -81,7 +81,7 @@ class OpsSpec extends AnyFunSuite {
       .toDF("k", "seq", "v")
     val out = Windows.movingAgg(df, Seq("k"), Seq("seq"), "v", 2)
       .select("seq", "moving_sum").collect()
-      .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out === Map(1L -> 10.0, 2L -> 30.0, 3L -> 60.0, 4L -> 90.0))
   }
 
