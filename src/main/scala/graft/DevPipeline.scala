@@ -50,6 +50,15 @@ object DevPipeline {
     engine.Layout.overwritePartitioned(gold.repartition(col("partition_date")), s"$base/gold")
     engine.Layout.singleCsv(spark.read.parquet(s"$base/gold").orderBy("partition_date"),
       s"$base/Final_Report.csv")
+    // catalog registration under a hard 120 s timeout, composed the way
+    // the reference guards its metastore thread (main_pipeline.py:305-318):
+    // a hung metastore must not wedge the whole pipeline run
+    engine.Orchestrate.withTimeout(120000L) {
+      engine.Layout.registerTable(spark, "graft", "gold_daily_stats", s"$base/gold")
+    } match {
+      case Some(_) => ()
+      case None => println("[stage] register           TIMED OUT (120 s) — run continues")
+    }
     lap("gold+csv", t3)
     val rows = spark.read.parquet(s"$base/bronze").count()
     val goldRows = spark.read.parquet(s"$base/gold").count()

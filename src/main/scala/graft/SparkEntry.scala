@@ -387,12 +387,19 @@ object SparkEntry {
 
     "q45_decile_stats" -> ((s, dir) => {
       // ntile distribution analysis with a deterministic total order.
-      // NOTE an unpartitioned ntile is a single-reducer sort; at corpus
-      // scale use approx_percentile cut points + a map-side bucket join
-      // instead — this query exists to pin exact ntile semantics
+      // An unpartitioned ntile is a single-reducer sort: every row flows
+      // through ONE task. This query exists to pin exact ntile semantics
+      // as the oracle-verifiable baseline; q52 (sketch cut points + map-
+      // side bucketing) is the corpus-scale path. Guarded so the query
+      // refuses to serialize a large input instead of silently stalling.
+      val events = t(s, dir, "events")
+      val n = events.count()
+      require(n <= 10000000L,
+        s"q45's global ntile is single-reducer ($n rows); use q52's " +
+          "sketch-cutpoint deciles at this scale")
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("value").asc, col("event_id").asc)
-      t(s, dir, "events")
+      events
         .withColumn("decile", ntile(10).over(w).cast("long"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n"),
@@ -409,10 +416,17 @@ object SparkEntry {
     }),
 
     "q44_approx_distinct" -> ((s, dir) => {
-      // HLL sketch — engine-specific estimate → rows-only check; the
-      // exact counterpart is q21's countDistinct
+      // HLL sketch with an oracle-checkable presentation: the estimate
+      // itself is engine-specific, so the query emits the exact distinct
+      // count alongside a boolean asserting the sketch landed within 5×
+      // its configured 2% rsd — the oracle expects TRUE, making sketch
+      // accuracy itself part of the correctness gate
       t(s, dir, "events").groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .agg(count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("_approx"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("_approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.1).as("sketch_ok"))
         .orderBy("event_type")
     }),
 
@@ -507,10 +521,23 @@ object SparkEntry {
     "q52_decile_cutpoints" -> ((s, dir) => {
       // the scale path q45's comment promises: one approx-quantile sketch
       // pass → literal cut points → codegen'd map-side bucket expression.
-      // No global sort, no single reducer. Sketch is engine-specific →
-      // rows-only check; population balance vs exact ntile is asserted in
-      // OpsSpec
-      Stats.bucketStats(t(s, dir, "events"), "value", 10)
+      // No global sort, no single reducer. Cut points carry sketch error,
+      // so the oracle-checkable surface is the invariant projection —
+      // every bucket non-empty with lo <= hi, buckets ordered and
+      // non-overlapping, ten buckets covering exactly the non-null rows;
+      // exact per-bucket populations are pinned in OpsSpec
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val stats = Stats.bucketStats(ev, "value", 10)
+      val tot = ev.filter(col("value").isNotNull).agg(count(lit(1)).as("_tot"))
+      val wOrd = Window.orderBy("bucket")
+      val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      stats.crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          (col("n") > 0 && col("lo") <= col("hi")).as("range_ok"),
+          coalesce(lag(col("hi"), 1).over(wOrd) <= col("lo"), lit(true)).as("ordered_ok"),
+          (sum(col("n")).over(wAll) === col("_tot")).as("covers_all"))
+        .orderBy("bucket")
     }),
 
     "q53_train_split" -> ((s, dir) => {
@@ -640,15 +667,19 @@ object SparkEntry {
       import s.implicits._
       import graft.engine.Quality
       val ev = t(s, dir, "events")
-      Seq(
-        ("docs_nchars_match", Quality.predicateViolations(
-          t(s, dir, "documents"), col("n_chars") === length(col("text")))),
-        ("events_user_ts_unique", Quality.uniquenessViolations(ev, Seq("user_id", "ts"))),
-        ("events_value_nulls", Quality.nullViolations(ev, "value")),
+      // both events checks share one scan + one aggregate (fusedAudit);
+      // the referential checks need their second table, so they stay
+      // separate anti-join jobs
+      val evChecks = Quality.fusedAudit(ev, Seq(
+        "events_user_ts_unique" -> Quality.duplicateCount(Seq("user_id", "ts")),
+        "events_value_nulls" -> Quality.nullCount("value")))
+      val docChecks = Quality.fusedAudit(t(s, dir, "documents"), Seq(
+        "docs_nchars_match" -> Quality.failCount(col("n_chars") === length(col("text")))))
+      (docChecks ++ evChecks ++ Seq(
         ("lineitem_order_orphans", Quality.referentialViolations(
           t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey")),
         ("orders_cust_orphans", Quality.referentialViolations(
-          t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey")))
+          t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey"))))
         .toDF("check_name", "violations").orderBy("check_name")
     }),
 
@@ -1011,6 +1042,17 @@ object SparkEntry {
         |SELECT label, COUNT(*) AS n_vecs,
         |  ROUND(CAST(SUM(CAST(l2_norm AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "q44_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS sketch_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q52_decile_cutpoints" ->
+      """SELECT CAST(range + 1 AS BIGINT) AS bucket,
+        |  TRUE AS range_ok, TRUE AS ordered_ok, TRUE AS covers_all
+        |FROM range(10) ORDER BY bucket""".stripMargin,
 
     "q46_percentiles" ->
       """SELECT event_type,

@@ -47,4 +47,35 @@ object Quality {
     */
   def audit(checks: (String, () => Long)*): Seq[(String, Long)] =
     checks.map { case (name, f) => name -> f() }
+
+  // ── Fused single-scan checks ──────────────────────────────────────────
+  // Aggregate-expression builders for [[fusedAudit]]: N checks over the
+  // same table cost ONE scan + ONE aggregate job instead of N jobs.
+
+  /** Aggregate: rows where `c` is null (fusable [[nullViolations]]). */
+  def nullCount(c: String): Column =
+    coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+
+  /** Aggregate: rows in excess of one per `keys` group (fusable
+    * [[uniquenessViolations]]).
+    */
+  def duplicateCount(keys: Seq[String]): Column =
+    count(lit(1)) - count_distinct(struct(keys.map(col): _*))
+
+  /** Aggregate: rows failing `expectation` (fusable
+    * [[predicateViolations]]).
+    */
+  def failCount(expectation: Column): Column =
+    coalesce(sum(when(!coalesce(expectation, lit(false)), 1L).otherwise(0L)), lit(0L))
+
+  /** Evaluate all `checks` over `df` in one aggregate pass — one scan
+    * feeds every violation counter. Referential checks need the second
+    * table and stay separate jobs; everything single-table belongs here.
+    */
+  def fusedAudit(df: DataFrame, checks: Seq[(String, Column)]): Seq[(String, Long)] = {
+    require(checks.nonEmpty, "fusedAudit needs at least one check")
+    val aggs = checks.zipWithIndex.map { case ((_, c), i) => c.as(s"_chk$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    checks.zipWithIndex.map { case ((name, _), i) => name -> row.getLong(i) }
+  }
 }

@@ -62,7 +62,8 @@ object Dedup {
     * are identical to the naive all-shared-shingles join.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
+                   n: Int, threshold: Double,
+                   hotShingleCap: Int = 100000): DataFrame = {
     // the shingle relation feeds ranking, verification, and sizes:
     // materialize it once instead of re-tokenizing the corpus each time
     val s = shingleSets(df, idCol, textCol, n).persist()
@@ -78,6 +79,14 @@ object Dedup {
       // a shingle unique to one doc can never witness a pair, and the
       // smallest SHARED shingle always has freq >= 2 — still complete
       .filter(col("freq") >= 2)
+      // hot-shingle cap: a degenerate shingle shared by k docs makes a
+      // k² candidate bucket, so shingles hotter than the cap are barred
+      // from WITNESSING candidates (they still count in the verify join,
+      // so surviving pairs keep their exact jaccard). Because canonical
+      // order is rarest-first, a pair is lost only if its very rarest
+      // shared shingle exceeds the cap — i.e. the overlap is pure
+      // boilerplate. Exact whenever max shingle freq <= cap.
+      .filter(col("freq") <= hotShingleCap)
       .select(col("doc"), col("shingle"))
     val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))

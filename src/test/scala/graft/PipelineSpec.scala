@@ -150,6 +150,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(audit === Seq("nulls" -> 1L, "orphans" -> 1L))
   }
 
+  test("fusedAudit computes all single-table checks in one pass, same answers") {
+    import graft.engine.Quality
+    val child = Seq((1, "a"), (1, "b"), (2, "c"), (9, null)).toDF("k", "v")
+    val fused = Quality.fusedAudit(child, Seq(
+      "nulls" -> Quality.nullCount("v"),
+      "dups" -> Quality.duplicateCount(Seq("k")),
+      "range" -> Quality.failCount(col("k") < 5)))
+    assert(fused === Seq("nulls" -> 1L, "dups" -> 1L, "range" -> 1L))
+    // and on an empty table every counter is zero, not null
+    val empty = child.filter(col("k") > 100)
+    assert(Quality.fusedAudit(empty, Seq(
+      "nulls" -> Quality.nullCount("v"),
+      "range" -> Quality.failCount(col("k") < 5))) ===
+      Seq("nulls" -> 0L, "range" -> 0L))
+  }
+
+  test("registration under withTimeout: a hang times out without failing the run") {
+    import graft.engine.Orchestrate
+    val dir = Files.createTempDirectory("graft_reg_to").toString
+    Seq((1, "a")).toDF("k", "v").write.parquet(s"$dir/t")
+    // hung metastore: the composed guard returns None and the caller
+    // continues (the DevPipeline composition, main_pipeline.py:305-318)
+    val hung = Orchestrate.withTimeout(200) {
+      Thread.sleep(10000)
+      Layout.registerTable(spark, "graft_to", "never_t", s"$dir/t")
+    }
+    assert(hung === None)
+    // healthy metastore: registration completes under the same guard
+    val ok = Orchestrate.withTimeout(120000) {
+      Layout.registerTable(spark, "graft_to", "reg_to_t", s"$dir/t")
+    }
+    assert(ok === Some(()))
+    assert(spark.table("graft_to.reg_to_t").count() === 1)
+  }
+
   test("retry recovers from transient failures, rethrows after exhaustion") {
     import graft.engine.Orchestrate
     var calls = 0

@@ -42,6 +42,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("hot-shingle cap: results unchanged when pairs are witnessed by rarer shingles") {
+    // every doc shares the same stop-phrase shingle ("x y z" after the
+    // leading trigram window passes over it); near-dup pairs also share
+    // rare shingles, so barring the hot shingle from candidate
+    // generation must not change the result set
+    val stopDocs = Seq(
+      (1L, "x y z alpha beta gamma delta"),
+      (2L, "x y z alpha beta gamma epsilon"), // near-dup of 1
+      (3L, "x y z totally unrelated content here"),
+      (4L, "x y z other words entirely different")
+    ).toDF("doc_id", "text")
+    val unCapped = Dedup.jaccardPairs(stopDocs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // cap=3 bars the freq-4 "x y z" shingle from witnessing candidates
+    val capped = Dedup.jaccardPairs(stopDocs, "doc_id", "text", 3, 0.5, hotShingleCap = 3)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(unCapped.nonEmpty)
+    assert(capped === unCapped) // same pairs AND same exact jaccard values
+  }
+
   test("minhash+LSH recovers the exact-jaccard pairs on near-dup corpus") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

@@ -43,6 +43,38 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(recall >= 5, s"recall $recall/10 too low")
   }
 
+  test("k-means centroids recover true clusters; nProbe=1 IVF stays exact on clustered data") {
+    // 4 well-separated direction clusters of 25 vectors each, id-ordered
+    // so the id%4 cluster layout is adversarial to stride init (stride 31
+    // lands one init in each residue class, but far from cluster means).
+    // This is the data regime kmeansCentroids exists for — real embedding
+    // corpora are clustered, unlike the isotropic testdata embeddings.
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val base = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian()))
+    val rows = (0L until 100L).map { id =>
+      val c = (id % 4).toInt
+      (id, base(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 4, iters = 3)
+    // every final cluster must be pure: all members share one id%4 class
+    val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      .as[(Long, Long)].collect()
+    val purity = assigned.groupBy(_._2).values.forall(g =>
+      g.map(_._1 % 4).distinct.length === 1)
+    assert(purity, "a k-means cluster mixes two true clusters")
+    assert(assigned.map(_._2).distinct.length === 4)
+    // probing a SINGLE cluster of four already matches brute force:
+    // the query's whole true cluster is behind its nearest centroid
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 5)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val ivf1 = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 5,
+      nCentroids = 4, nProbe = 1, kmeansIters = 3)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(ivf1 === brute)
+  }
+
   test("streaming tumbling window agg matches the batch computation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
@@ -163,6 +195,14 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact)) // verify step guarantees no false positives
     if (exact.nonEmpty)
       assert(lsh.size.toDouble / exact.size >= 0.5) // recall floor
+  }
+
+  test("embedNearDup refuses inputs past maxExact instead of going quadratic") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embedNearDup(emb, "vec_id", "embedding", 0.4, maxExact = 5L)
+    }
+    assert(e.getMessage.contains("embedNearDupLsh"))
   }
 
   test("file-source streaming: parquet readStream through the tumbling agg") {
