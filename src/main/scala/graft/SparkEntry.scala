@@ -355,13 +355,16 @@ object SparkEntry {
       // the query presents the fingerprint's CONTRACT, which is oracle-
       // checkable — identical texts agree on their fingerprint
       // (dup_consistent) and distinct texts never collide on this corpus
-      // (collision_free). Both aggregates broadcast back onto the docs.
-      val d = t(s, dir, "documents")
+      // (collision_free). Window counts instead of agg+join so the
+      // fingerprint projection is computed exactly once below both
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("_th"),
           TextStats.fingerprint(col("text")).as("_fp"))
-      val perText = d.groupBy("_th").agg(count_distinct(col("_fp")).as("_fps"))
-      val perFp = d.groupBy("_fp").agg(count_distinct(col("_th")).as("_ths"))
-      d.join(perText, "_th").join(perFp, "_fp")
+        .withColumn("_fps",
+          size(collect_set(col("_fp")).over(Window.partitionBy("_th"))))
+        .withColumn("_ths",
+          size(collect_set(col("_th")).over(Window.partitionBy("_fp"))))
         .select(col("doc_id"),
           (col("_fps") === 1).as("dup_consistent"),
           (col("_ths") === 1).as("collision_free"))
