@@ -712,6 +712,34 @@ object SparkEntry {
           (col("value") + 1000.0).as("value"))
       graft.engine.Upsert.merge(target, source, Seq("event_id"))
         .orderBy("event_id")
+    }),
+
+    "q63_dup_clusters" -> ((s, dir) => {
+      // transitive near-dup clustering: exact-dup ∪ jaccard pair edges →
+      // connected components (large-star/small-star, O(log n) rounds),
+      // cluster id = min doc id, is_canonical = the one doc a dedup keeps
+      text.Clusters.dupClusters(t(s, dir, "documents"), "doc_id", "text", 5, 0.5)
+        .orderBy("doc_id")
+    }),
+
+    "q64_token_chunks" -> ((s, dir) => {
+      // context-window chunking: 64-token windows every 48 tokens
+      // (16-token overlap), map-only explode fused into the scan
+      text.Curation.tokenChunks(t(s, dir, "documents"), "doc_id", "text", 64, 48)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "q65_decontaminate" -> ((s, dir) => {
+      // eval-set decontamination: shared-5-gram counts of every training
+      // doc against the src0 "benchmark" slice, broadcast map-side join
+      text.Curation.contamination(t(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src0", 5)
+        .orderBy("doc_id")
+    }),
+
+    "q66_bigram_lm" -> ((s, dir) => {
+      // corpus bigram LM stats: top-50 bigrams with p(w2|w1)
+      text.Curation.bigramStats(t(s, dir, "documents"), "text", 50)
     }))
 
   /** Exact n-gram Jaccard pairs (q31's oracle). q32 (MinHash+LSH with
@@ -720,6 +748,29 @@ object SparkEntry {
     * banding recall is total (min qualifying jaccard 0.875), so the
     * deterministic outputs coincide — asserted, not assumed.
     */
+  /** Shared DuckDB CTE fragment: whitespace tokens + distinct 5-gram
+    * shingle sets per doc, with the short-doc whole-text fallback —
+    * mirrors TokensExpr/ShinglesExpr exactly (same fragment the q31
+    * oracle inlines). Used by the q63/q65 oracles.
+    */
+  private val shingleCte: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |words AS (
+      |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM toks),
+      |sh AS (
+      |  SELECT DISTINCT a.doc_id,
+      |    a.word || ' ' || b.word || ' ' || c.word || ' ' || d.word || ' ' || e.word AS shingle
+      |  FROM words a
+      |  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      |  JOIN words d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+      |  JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4
+      |  UNION
+      |  SELECT doc_id, array_to_string(w, ' ') AS shingle
+      |  FROM toks WHERE len(w) < 5)""".stripMargin
+
   private val jaccardPairsOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
@@ -1266,5 +1317,76 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT event_id, user_id, value + 1000.0 AS value FROM events
         |  WHERE event_id % 2 = 0)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    "q63_dup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5),
+        |exact AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a
+        |  JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM jac
+        |  UNION SELECT doc_b, doc_a FROM jac
+        |  UNION SELECT doc_a, doc_b FROM exact
+        |  UNION SELECT doc_b, doc_a FROM exact),
+        |walk(node, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, w.comp FROM walk w
+        |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v)
+        |SELECT node AS doc_id, MIN(comp) AS cluster_id,
+        |  node = MIN(comp) AS is_canonical
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "q64_token_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |starts AS (
+        |  SELECT doc_id, w, unnest(range(0, len(w), 48)) AS s
+        |  FROM toks WHERE NOT (len(w) = 1 AND w[1] = ''))
+        |SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx,
+        |  array_to_string(list_slice(w, s + 1, s + 64), ' ') AS chunk_text,
+        |  CAST(least(64, len(w) - s) AS BIGINT) AS n_tokens
+        |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q65_decontaminate" ->
+      s"""WITH $shingleCte,
+        |ev AS (
+        |  SELECT DISTINCT s.shingle FROM sh s
+        |  JOIN documents d ON d.doc_id = s.doc_id WHERE d.source = 'src0'),
+        |hits AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_shared FROM sh s
+        |  JOIN ev USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(h.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.source <> 'src0'
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q66_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM toks),
+        |bg AS (
+        |  SELECT a.word || ' ' || b.word AS bigram
+        |  FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  UNION ALL
+        |  SELECT array_to_string(w, ' ') FROM toks WHERE len(w) < 2),
+        |counts AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1)
+        |SELECT bigram, n, ROUND(CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS DOUBLE), 6) AS p_cond
+        |FROM counts ORDER BY n DESC, bigram LIMIT 50""".stripMargin)
 }

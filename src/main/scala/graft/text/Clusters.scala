@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTERING for corpus curation: pairwise near-dup
+  * edges (exact-hash groups ∪ Jaccard pairs) are only half the dedup
+  * story — keeping one doc per *transitive* cluster needs connected
+  * components over the pair graph (A~B, B~C must collapse to one
+  * cluster even when A!~C directly).
+  *
+  * Scale posture: components come from the alternating large-star /
+  * small-star algorithm (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14) — O(log n) rounds, each round two
+  * hash aggregations + joins, never materializing a node's adjacency
+  * list (neighbor minima via groupBy.min, not collect_list), so a
+  * star-shaped 10⁸-node dup cluster costs the same as a chain. The
+  * driver loop only compares two scalars per round (count + an
+  * order-independent hash) — no edge data ever reaches the driver.
+  */
+object Clusters {
+
+  /** Connected components of an undirected edge list. Returns
+    * `(node, component)` for every node incident to at least one edge,
+    * where `component` is the minimum node id in that component.
+    * Callers handle isolated nodes (left-join + coalesce to self).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 30): DataFrame = {
+    // canonical high→low orientation, self-loops and duplicates dropped
+    var e = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .persist()
+
+    // convergence fingerprint: cardinality + order-independent edge hash,
+    // one tiny action per round (two longs to the driver)
+    def fp(d: DataFrame): (Long, Long) = {
+      // pmod keeps each term < 2^30 so the ANSI-mode sum can't overflow
+      val r = d.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L)))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = fp(e)
+    var iter = 0
+    var converged = prev._1 == 0L
+    while (!converged && iter < maxIter) {
+      // large-star: every neighbor LARGER than x re-links to x's minimum
+      // neighbor. min over the symmetric neighbor list via groupBy — no
+      // adjacency materialization, skew-safe under AQE.
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("x"), col("mn")).as("m"))
+      val large = sym.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v")) // y > x >= m ⇒ canonical
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: on the high→low orientation, x's smaller neighbors
+      // (and x itself) all re-link to the minimum of that neighborhood
+      val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
+      val next = large.join(minsS, "u")
+        .select(col("v").as("u"), col("m").as("v")) // v >= m within group
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .persist()
+      val cur = fp(next) // action: materializes next before e unpersists
+      e.unpersist()
+      e = next
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    e.select(col("u").as("node"), col("v").as("component"))
+      // component roots only appear on the right side of star edges —
+      // emit their own self row so every edge-incident node is labeled
+      .union(e.select(col("v").as("node"), col("v").as("component")).distinct())
+  }
+
+  /** Cluster assignment for a document corpus: edges are exact-duplicate
+    * pairs (same md5 of text) plus n-gram Jaccard near-dup pairs; the
+    * cluster id is the minimum doc id of the component and
+    * `is_canonical` marks the single doc per cluster a dedup pass keeps.
+    * Every input doc appears exactly once (singletons are their own
+    * cluster). Reference analog: the reference dedups exact rows only
+    * (src/processing/bronze_to_silver_crypto.py:60-66); transitive
+    * near-dup clustering is the corpus-curation generalization.
+    */
+  def dupClusters(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val jac = Dedup.jaccardPairs(df, idCol, textCol, shingleN, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // exact-dup groups contribute a star: min id ← every other member
+    val byHash = df.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("h"))
+    val exact = byHash
+      .withColumn("src", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("id") =!= col("src"))
+      .select(col("src"), col("id").as("dst"))
+    val comp = connectedComponents(jac.union(exact), "src", "dst")
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline needs beyond
+  * dedup: fixed-size overlapping chunking (context-window packing /
+  * RAG indexing), eval-set decontamination (n-gram overlap against a
+  * held-out benchmark corpus), and n-gram language-model statistics.
+  * All pure column expressions over the one tokenization kernel
+  * ([[TextStats.tokens]]) — map-side except the final aggregations.
+  */
+object Curation {
+
+  /** Split each document into overlapping token windows of `chunkSize`
+    * tokens starting every `stride` tokens (stride < chunkSize ⇒
+    * overlap of chunkSize - stride). The final chunk may be shorter;
+    * empty docs yield no chunks. Pure explode — no shuffle, no state:
+    * at 100 TB this is a map-only pass fused into the parquet scan.
+    */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        TextStats.tokens(col(textCol)).as("_w"))
+      // whitespace-only text tokenizes to [""], not [] — filter that shape
+      .filter(!(size(col("_w")) === 1 && element_at(col("_w"), 1) === lit("")))
+      .select(col("doc_id"), col("_w"),
+        explode(sequence(lit(0), size(col("_w")) - 1, lit(stride))).as("_start"))
+      .select(col("doc_id"),
+        (col("_start") / lit(stride)).cast("long").as("chunk_idx"),
+        array_join(slice(col("_w"), col("_start") + 1, lit(chunkSize)), " ").as("chunk_text"),
+        least(lit(chunkSize), size(col("_w")) - col("_start")).cast("long").as("n_tokens"))
+  }
+
+  /** Benchmark decontamination: for every training doc (`evalPred`
+    * false), count distinct `shingleN`-gram shingles it shares with the
+    * eval corpus (`evalPred` true) and flag any overlap. The eval
+    * shingle set is small by nature (benchmarks are tiny next to a
+    * training corpus), so it is broadcast — the training side streams
+    * through a map-side hash join with no shuffle of the corpus.
+    */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+                    evalPred: org.apache.spark.sql.Column,
+                    shingleN: Int = 5): DataFrame = {
+    val flagged = df.withColumn("_is_eval", evalPred)
+    val evalShingles = Dedup.shingleSets(
+        flagged.filter(col("_is_eval")), idCol, textCol, shingleN)
+      .select(col("shingle")).distinct()
+    val trainDocs = flagged.filter(!col("_is_eval"))
+    val hits = Dedup.shingleSets(trainDocs, idCol, textCol, shingleN)
+      .join(broadcast(evalShingles), "shingle")
+      // shingleSets is distinct per doc ⇒ plain count = distinct shared
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    trainDocs.select(col(idCol).cast("long").as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
+  /** Bigram language-model statistics: corpus-wide bigram counts with
+    * the conditional probability p(w2 | w1) = n(w1 w2) / n(w1 ·).
+    * One explode + one hash aggregation + one window over the (tiny)
+    * distinct-bigram table — the corpus itself is never shuffled.
+    * Short docs (< 2 tokens) contribute their whole text as a single
+    * "bigram", mirroring [[graft.functions.ShinglesExpr]]'s fallback.
+    */
+  def bigramStats(df: DataFrame, textCol: String, topK: Int): DataFrame =
+    df.select(explode(Dedup.shinglesOfTokens(
+        TextStats.tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .withColumn("p_cond", round(col("n") / sum(col("n")).over(
+        Window.partitionBy(substring_index(col("bigram"), " ", 1))), 6))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(topK)
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.{Clusters, Curation}
+
+/** Corpus-curation semantics: connected-component dup clustering,
+  * token chunking, decontamination, bigram LM stats.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("connectedComponents labels a chain with its minimum node") {
+    // 1-2-3-4 chain plus isolated pair 10-11: transitivity across hops
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = Clusters.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
+  test("connectedComponents handles duplicate/reversed/self edges and empty input") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 3L), (1L, 2L)).toDF("src", "dst")
+    val got = Clusters.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toSet
+    // self-loop node 3 has no real edge — caller treats it as a singleton
+    assert(got === Set((1L, 1L), (2L, 1L)))
+    assert(Clusters.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst").isEmpty)
+  }
+
+  test("dupClusters merges exact and near-dup edges transitively") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different words about spark query engines and shuffles here"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today"),
+      // near-dup of 2 but not of 1 (two token edits from 1) — must still
+      // land in cluster 1 through the 2-bridge
+      (5L, "the quick brown fox jumps over the lazy dog again and again tonight ok")
+    ).toDF("doc_id", "text")
+    val got = Clusters.dupClusters(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_id", "cluster_id", "is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set((1L, 1L, true), (2L, 1L, false), (3L, 3L, true),
+      (4L, 1L, false), (5L, 1L, false)))
+  }
+
+  test("tokenChunks windows overlap and cover every token") {
+    val docs = Seq((7L, (1 to 10).map(i => s"w$i").mkString(" ")), (8L, ""))
+      .toDF("doc_id", "text")
+    val got = Curation.tokenChunks(docs.filter(col("doc_id") === 7), "doc_id", "text", 4, 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text", "n_tokens")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, "w1 w2 w3 w4", 4L), (1L, "w4 w5 w6 w7", 4L),
+      (2L, "w7 w8 w9 w10", 4L), (3L, "w10", 1L)))
+    assert(Curation.tokenChunks(docs, "doc_id", "text", 4, 4)
+      .filter(col("doc_id") === 8).isEmpty) // empty doc → no chunks
+  }
+
+  test("contamination counts shared shingles against the eval slice only") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "eval"),
+      (2L, "alpha beta gamma epsilon", "train"), // shares "alpha beta gamma"
+      (3L, "zeta eta theta iota", "train")       // shares nothing
+    ).toDF("doc_id", "text", "split")
+    val got = Curation.contamination(docs, "doc_id", "text",
+        col("split") === "eval", 3)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set((2L, 1L, true), (3L, 0L, false)))
+  }
+
+  test("bigramStats conditional probabilities sum against the first word") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d e")).toDF("doc_id", "text")
+    val got = Curation.bigramStats(docs, "text", 10)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("a b") === ((2L, 0.666667)))
+    assert(got("a c") === ((1L, 0.333333)))
+    assert(got("d e") === ((1L, 1.0)))
+  }
+}
