@@ -78,4 +78,29 @@ object LawsProps extends Properties("graft.laws") {
           .toLocalDate.toString
       }
     }
+
+  property("connectedComponents: equals driver-side union-find on any graph") =
+    forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { es =>
+      val edges = es.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        // reference: textbook union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(n => n -> find(n)).toMap
+        // min-id canonical labels: re-root each class at its minimum
+        val minOf = expect.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+        val got = graft.text.Clusters.connectedComponents(
+          edges.toDF("src", "dst"), "src", "dst")
+          .as[(Long, Long)].collect().toMap
+        got == expect.map { case (n, r) => n -> minOf(r) }
+      }
+    }
 }
