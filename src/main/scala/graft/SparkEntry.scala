@@ -740,6 +740,23 @@ object SparkEntry {
     "q66_bigram_lm" -> ((s, dir) => {
       // corpus bigram LM stats: top-50 bigrams with p(w2|w1)
       text.Curation.bigramStats(t(s, dir, "documents"), "text", 50)
+    }),
+
+    "q67_tfidf" -> ((s, dir) => {
+      // per-doc TF-IDF top-3 terms; doc-frequency join shuffles by term
+      // (inverted-index shape), corpus total is a broadcast scalar
+      text.Curation.tfIdf(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rnk")
+    }),
+
+    "q68_curation_pipeline" -> ((s, dir) => {
+      // the north-star end-to-end: quality gate → transitive dedup
+      // (canonical docs only) → deterministic split → per-split stats
+      text.Curation.curate(t(s, dir, "documents"), "doc_id", "text",
+          minTokens = 25, maxStopwordRatio = 0.15)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("split", "lang")
     }))
 
   /** Exact n-gram Jaccard pairs (q31's oracle). q32 (MinHash+LSH with
@@ -1388,5 +1405,85 @@ object SparkEntry {
         |counts AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1)
         |SELECT bigram, n, ROUND(CAST(n AS DOUBLE) /
         |    CAST(SUM(n) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS DOUBLE), 6) AS p_cond
-        |FROM counts ORDER BY n DESC, bigram LIMIT 50""".stripMargin)
+        |FROM counts ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+
+    "q67_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |words AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS n FROM words GROUP BY 1, 2),
+        |tf2 AS (SELECT *, SUM(n) OVER (PARTITION BY doc_id) AS n_doc FROM tf),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    ROUND((CAST(n AS DOUBLE) / n_doc) * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf2 JOIN dfreq USING (term) CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, term, tfidf, rnk FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q68_curation_pipeline" ->
+      """WITH RECURSIVE feats AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(
+        |      regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      t -> t IN ('the','a','and','of','to','in','is','on'))) AS BIGINT) AS n_stopwords
+        |  FROM documents),
+        |docs AS (
+        |  SELECT doc_id, lang, text, n_tokens FROM feats
+        |  WHERE n_tokens >= 25 AND CAST(n_stopwords AS DOUBLE) / n_tokens <= 0.15),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM docs),
+        |words AS (
+        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM toks),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.word || ' ' || b.word || ' ' || c.word || ' ' || d.word || ' ' || e.word AS shingle
+        |  FROM words a
+        |  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        |  JOIN words d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+        |  JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4
+        |  UNION
+        |  SELECT doc_id, array_to_string(w, ' ') AS shingle
+        |  FROM toks WHERE len(w) < 5),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5),
+        |exact AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM docs a
+        |  JOIN docs b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM jac
+        |  UNION SELECT doc_b, doc_a FROM jac
+        |  UNION SELECT doc_a, doc_b FROM exact
+        |  UNION SELECT doc_b, doc_a FROM exact),
+        |walk(node, comp) AS (
+        |  SELECT doc_id, doc_id FROM docs
+        |  UNION
+        |  SELECT e.v, w.comp FROM walk w
+        |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v),
+        |lab AS (SELECT node AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY node),
+        |kept AS (
+        |  SELECT d.* FROM docs d
+        |  JOIN lab l ON l.doc_id = d.doc_id AND l.cluster_id = d.doc_id)
+        |SELECT
+        |  CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |       WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |  lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM kept GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)
 }

@@ -69,6 +69,56 @@ object Curation {
     * Short docs (< 2 tokens) contribute their whole text as a single
     * "bigram", mirroring [[graft.functions.ShinglesExpr]]'s fallback.
     */
+  /** Per-document TF-IDF, top-`topK` terms per doc:
+    * tf = n(term, doc) / n(doc); idf = ln(N / df(term)); ranked with a
+    * deterministic (tfidf desc, term asc) tiebreak on ROUNDED scores so
+    * the ordering is engine-portable. The doc-frequency join shuffles
+    * by term — the standard inverted-index shape — and the corpus total
+    * is a broadcast scalar, so nothing funnels through the driver.
+    */
+  def tfIdf(df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    val tok = df.select(col(idCol).cast("long").as("doc_id"),
+      explode(TextStats.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+      .withColumn("n_doc", sum(col("n")).over(Window.partitionBy("doc_id")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", round((col("n") / col("n_doc")) *
+        log(col("n_docs") / col("df")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc))
+        .cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+  }
+
+  /** End-to-end corpus curation: quality gate (token count + stopword
+    * ratio) → transitive near-dup clustering keeping only each cluster's
+    * canonical doc → deterministic id-modulo train/val/test assignment.
+    * Returns the surviving docs with quality features and a `split`
+    * column. Every stage is the scale-path variant: map-side feature
+    * computation, prefix-filtered near-dup candidates, O(log n)
+    * component rounds, modulo split (cluster-size invariant).
+    */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+             minTokens: Int, maxStopwordRatio: Double,
+             shingleN: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val good = TextStats.qualityFeatures(df, textCol)
+      .filter(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") <= maxStopwordRatio)
+    val keep = Clusters.dupClusters(good, idCol, textCol, shingleN, threshold)
+      .filter(col("is_canonical")).select(col("doc_id").as("_did"))
+    good.withColumn("_did", col(idCol).cast("long"))
+      .join(keep, "_did")
+      .withColumn("split",
+        when(pmod(col("_did"), lit(10)) < 8, lit("train"))
+          .when(pmod(col("_did"), lit(10)) === 8, lit("val"))
+          .otherwise(lit("test")))
+      .drop("_did")
+  }
+
   def bigramStats(df: DataFrame, textCol: String, topK: Int): DataFrame =
     df.select(explode(Dedup.shinglesOfTokens(
         TextStats.tokens(col(textCol)), 2)).as("bigram"))

@@ -74,6 +74,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Set((2L, 1L, true), (3L, 0L, false)))
   }
 
+  test("tfIdf: corpus-wide terms score zero, distinctive terms rank first") {
+    val docs = Seq(
+      (1L, "common alpha alpha"), (2L, "common beta"), (3L, "common gamma"))
+      .toDF("doc_id", "text")
+    val got = Curation.tfIdf(docs, "doc_id", "text", 2)
+      .as[(Long, String, Double, Long)].collect()
+      .map(r => (r._1, r._4) -> (r._2, r._3)).toMap
+    // "common" appears in all 3 docs → idf = ln(1) = 0
+    val doc1Top = got((1L, 1L))
+    assert(doc1Top._1 === "alpha")
+    assert(doc1Top._2 === math.rint((2.0 / 3.0) * math.log(3.0) * 1e6) / 1e6)
+    assert(got((2L, 1L))._1 === "beta" && got((2L, 2L))._1 === "common")
+    assert(got((2L, 2L))._2 === 0.0)
+  }
+
+  test("curate: quality gate, canonical-only dedup, deterministic split") {
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, long),                      // kept, canonical, 10%10=0 → train
+      (18L, long + " extra"),           // near-dup of 10 → dropped
+      (28L, "too short"),               // quality-dropped
+      (9L, (1 to 25).map(i => s"w$i").mkString(" "))) // kept, 9%10 → test
+      .toDF("doc_id", "text")
+    val got = Curation.curate(docs, "doc_id", "text",
+        minTokens = 20, maxStopwordRatio = 0.5, shingleN = 5, threshold = 0.5)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(got === Set((10L, "train"), (9L, "test")))
+  }
+
   test("bigramStats conditional probabilities sum against the first word") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d e")).toDF("doc_id", "text")
     val got = Curation.bigramStats(docs, "text", 10)
