@@ -44,6 +44,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
   }
 
+  test("q65: the eval shingle set joins broadcast — the corpus never shuffles") {
+    val p = plan("q65_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q64: chunking is map-only — explode with no Exchange before it") {
+    // one Generate over the scan projection; the only exchange allowed
+    // is the final presentation orderBy
+    val df = graft.text.Curation.tokenChunks(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", 64, 48)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q67: per-doc top-k terms get the WindowGroupLimit pushdown") {
+    assert(plan("q67_tfidf").contains("WindowGroupLimit"))
+  }
+
   test("date-partitioned tables prune untouched partitions at the scan") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_prune").toString + "/t"
