@@ -25,12 +25,14 @@ object Clusters {
     * where `component` is the minimum node id in that component.
     * Callers handle isolated nodes (left-join + coalesce to self).
     *
-    * Each round ends in `localCheckpoint(eager = true)`: an iterative
-    * dataflow re-referencing its previous round several times grows the
-    * LOGICAL plan geometrically, and Catalyst re-analysis — not the
-    * tiny shuffles — becomes the bottleneck within ~4 rounds.
-    * Checkpointing resets the plan to a materialized leaf each round
-    * (22 s → sub-second on a 256-edge graph). Old round RDDs are freed
+    * Each round ends in a lazy `localCheckpoint`: an iterative dataflow
+    * re-referencing its previous round several times grows the LOGICAL
+    * plan geometrically, and Catalyst re-analysis — not the tiny
+    * shuffles — becomes the bottleneck within ~4 rounds. Checkpointing
+    * resets the plan to a materialized leaf each round (22 s →
+    * sub-second on a 256-edge graph); lazy so the round's fingerprint
+    * aggregation is the single action that materializes it, instead of
+    * a separate eager job per checkpoint. Old round RDDs are freed
     * by the ContextCleaner once unreferenced. On a real cluster prefer
     * `spark.sparkContext.setCheckpointDir` + reliable `checkpoint` if
     * executor loss during the loop must be survivable.
@@ -43,7 +45,7 @@ object Clusters {
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // convergence fingerprint: cardinality + order-independent edge hash,
     // one tiny action per round (two longs to the driver)
@@ -70,7 +72,7 @@ object Clusters {
         .select(col("y").as("u"), col("m").as("v")) // y > x >= m ⇒ canonical
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true) // referenced twice below — compute once
+        .localCheckpoint(false) // referenced twice below — compute once
       // small-star: on the high→low orientation, x's smaller neighbors
       // (and x itself) all re-link to the minimum of that neighborhood
       val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
@@ -79,7 +81,7 @@ object Clusters {
         .union(minsS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val cur = fp(next) // two longs to the driver per round
       e = next
       converged = cur == prev
