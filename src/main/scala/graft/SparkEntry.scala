@@ -757,6 +757,25 @@ object SparkEntry {
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
         .orderBy("split", "lang")
+    }),
+
+    "q69_funnel" -> ((s, dir) => {
+      // progressive view→click→purchase funnel: stage k counts users
+      // whose first stage-k event strictly follows their stage-(k-1) time
+      Stats.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+    }),
+
+    "q70_cohort_retention" -> ((s, dir) => {
+      // cohort = first-event date per user; cells count distinct users
+      // active at day offsets 0..7
+      Stats.cohortRetention(t(s, dir, "events"), "user_id", "ts", 7)
+    }),
+
+    "q71_label_centroids" -> ((s, dir) => {
+      // per-label mean embedding, exact-decimal dimension sums
+      Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "dim")
     }))
 
   /** Exact n-gram Jaccard pairs (q31's oracle). q32 (MinHash+LSH with
@@ -1485,5 +1504,42 @@ object SparkEntry {
         |  CASE WHEN doc_id % 10 < 8 THEN 'train'
         |       WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
         |  lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-        |FROM kept GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)
+        |FROM kept GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "q69_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+        |UNION ALL SELECT 'click', (SELECT COUNT(*) FROM c)
+        |UNION ALL SELECT 'purchase', (SELECT COUNT(*) FROM p)""".stripMargin,
+
+    "q70_cohort_retention" ->
+      """WITH firsts AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_date
+        |  FROM events GROUP BY 1)
+        |SELECT cohort_date,
+        |  CAST(datediff('day', cohort_date, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN firsts f ON f.user_id = e.user_id
+        |WHERE datediff('day', cohort_date, CAST(e.ts AS DATE)) <= 7
+        |GROUP BY 1, 2 ORDER BY cohort_date, day_offset""".stripMargin,
+
+    "q71_label_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(embedding) AS e,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings)
+        |SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |  ROUND(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+        |    / COUNT(*), 6) AS centroid
+        |FROM ex GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)
 }

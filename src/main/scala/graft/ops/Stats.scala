@@ -124,4 +124,47 @@ object Stats {
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"),
         round(sum(col(valueCol).cast(DecimalType(18, 2))).cast("double"), 2).as("total"))
       .orderBy("bucket")
+
+  /** Progressive conversion funnel: users counted at stage k only if
+    * their first stage-k event strictly follows their first qualifying
+    * stage-(k-1) event. One keyed aggregation per stage, each reusing
+    * the user partitioning (Exchange reuse) — no windows over the full
+    * event stream, no driver loop over stages' DATA (the fold is over
+    * the stage NAMES, fixed and tiny).
+    */
+  def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val head = df.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+    val perStage = stages.tail.scanLeft(head) { (prev, stage) =>
+      df.filter(col(typeCol) === stage)
+        .join(prev.select(col(userCol), col("_t").as("_tp")), userCol)
+        .filter(col(tsCol) > col("_tp"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("_t"))
+    }
+    stages.zip(perStage).map { case (stage, d) =>
+      d.agg(count(lit(1)).as("n_users"))
+        .select(lit(stage).as("stage"), col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Cohort retention: cohort = date of each user's first event;
+    * a (cohort_date, day_offset) cell counts distinct users of that
+    * cohort active offset days later. Two keyed shuffles (first-event
+    * per user, then the cell aggregation) — the per-user firsts join
+    * back co-partitioned with the groupBy that produced them.
+    */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+                      maxOffset: Int): DataFrame = {
+    val firsts = df.groupBy(col(userCol))
+      .agg(to_date(min(col(tsCol))).as("cohort_date"))
+    df.select(col(userCol), to_date(col(tsCol)).as("_d"))
+      .join(firsts, userCol)
+      .withColumn("day_offset", datediff(col("_d"), col("cohort_date")).cast("long"))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("cohort_date", "day_offset")
+      .agg(count_distinct(col(userCol)).as("n_users"))
+      .orderBy("cohort_date", "day_offset")
+  }
 }

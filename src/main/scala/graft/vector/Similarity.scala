@@ -46,6 +46,20 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-label mean embedding via posexplode + (label, dim) hash
+    * aggregation — the classic distributed centroid shape: n·d rows
+    * shuffle once, no vector ever passes through the driver. Dimension
+    * sums go through exact decimals (per-element cast) so the mean is
+    * order-independent and engine-portable, then present as a rounded
+    * double.
+    */
+  def labelCentroids(emb: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    emb.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "_e")))
+      .groupBy(col(labelCol), col("dim").cast("long").as("dim"))
+      .agg(round(
+        sum(col("_e").cast("double").cast(org.apache.spark.sql.types.DecimalType(27, 10)))
+          .cast("double") / count(lit(1)), 6).as("centroid"))
+
   /** Deterministic centroid init: every `step`-th vector — the seeding
     * for [[kmeansCentroids]], and usable alone when index build time
     * matters more than probe recall.

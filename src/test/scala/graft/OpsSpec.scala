@@ -122,4 +122,53 @@ class OpsSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("funnel is progressive: later-stage events before the prior stage don't count") {
+    import graft.ops.Stats
+    val ev = Seq(
+      // u1 completes in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 10:01:00")),
+      (1L, "purchase", ts("2024-01-01 10:02:00")),
+      // u2 clicked BEFORE viewing — conversion must not count the click
+      (2L, "click", ts("2024-01-01 09:00:00")),
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      // u3 views only
+      (3L, "view", ts("2024-01-01 11:00:00")),
+      // u4 never views — appears in no stage
+      (4L, "purchase", ts("2024-01-01 11:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Stats.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L))
+  }
+
+  test("cohortRetention offsets are anchored to each user's first event date") {
+    import graft.ops.Stats
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (2L, ts("2024-01-01 23:00:00")), (2L, ts("2024-01-02 01:00:00")),
+      (3L, ts("2024-01-02 10:00:00")), (3L, ts("2024-01-12 10:00:00")) // beyond window
+    ).toDF("user_id", "ts")
+    val got = Stats.cohortRetention(ev, "user_id", "ts", 7)
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => (r._1.toString, r._2) -> r._3).toMap
+    assert(got === Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 2L,
+      ("2024-01-02", 0L) -> 1L))
+  }
+
+  test("labelCentroids averages each dimension per label") {
+    import graft.vector.Similarity
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 6.0f), 0),
+      (3L, Seq(10.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(emb, "label", "embedding")
+      .as[(Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(
+      (0, 0L) -> 2.0, (0, 1L) -> 4.0, (1, 0L) -> 10.0, (1, 1L) -> 0.0))
+  }
 }
