@@ -776,6 +776,19 @@ object SparkEntry {
       // per-label mean embedding, exact-decimal dimension sums
       Similarity.labelCentroids(t(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label", "dim")
+    }),
+
+    "q72_repetition" -> ((s, dir) => {
+      // 3-gram repetition ratio (Gopher-style quality signal): map-only,
+      // both shingle forms fused into the scan projection
+      text.Curation.repetitionRatio(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id")
+    }),
+
+    "q73_doc_logprob" -> ((s, dir) => {
+      // corpus-LM fluency proxy: mean bigram ln p(w2|w1) per doc
+      text.Curation.docLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }))
 
   /** Exact n-gram Jaccard pairs (q31's oracle). q32 (MinHash+LSH with
@@ -1541,5 +1554,46 @@ object SparkEntry {
         |SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         |  ROUND(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
         |    / COUNT(*), 6) AS centroid
-        |FROM ex GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)
+        |FROM ex GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    "q72_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM toks),
+        |g AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+        |  FROM words a
+        |  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 3)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  ROUND((COUNT(*) - COUNT(DISTINCT sh)) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q73_doc_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM toks),
+        |bg AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word AS bigram
+        |  FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 2),
+        |lm AS (
+        |  SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1),
+        |lm2 AS (
+        |  SELECT bigram, n,
+        |    SUM(n) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS nw1
+        |  FROM lm)
+        |SELECT doc_id,
+        |  ROUND(CAST(SUM(CAST(ROUND(ln(CAST(n AS DOUBLE) / nw1), 9) AS DECIMAL(20,9))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_logprob,
+        |  COUNT(*) AS n_bigrams
+        |FROM bg JOIN lm2 USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -119,6 +119,51 @@ object Curation {
       .drop("_did")
   }
 
+  /** Gopher/MassiveText-style repetition signal: the fraction of a
+    * doc's 3-gram shingles that are repeats of an earlier one —
+    * `(total - distinct) / total`. Pure per-row column expressions over
+    * the two native shingle forms (with and without dedupe): map-side,
+    * fused into the scan, no shuffle at all.
+    */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    val toks = TextStats.tokens(col(textCol))
+    val all = GraftColumn(graft.functions.ShinglesExpr(
+      GraftColumn.expr(toks), n, distinct = false))
+    val set = GraftColumn(graft.functions.ShinglesExpr(
+      GraftColumn.expr(toks), n, distinct = true))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        size(all).cast("long").as("n_shingles"),
+        size(set).cast("long").as("_nd"))
+      .withColumn("dup_ratio", round(
+        (col("n_shingles") - col("_nd")) / col("n_shingles"), 6))
+      .drop("_nd")
+  }
+
+  /** Per-doc mean bigram log-probability under the corpus bigram LM —
+    * a model-free fluency/perplexity proxy for quality filtering: docs
+    * whose transitions are rare corpus-wide score low. The corpus LM is
+    * one hash aggregation; scoring joins each doc's bigrams to it
+    * (inverted-index shape). Each ln(p) is rounded then summed as an
+    * exact decimal so the per-doc mean is partition-order-independent.
+    */
+  def docLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol).cast("long").as("doc_id"),
+      explode(Dedup.shinglesOfTokens(
+        TextStats.tokens(col(textCol)), 2)).as("bigram"))
+    val lm = bg.groupBy("bigram").agg(count(lit(1)).as("n"))
+      .withColumn("nw1", sum(col("n")).over(
+        Window.partitionBy(substring_index(col("bigram"), " ", 1))))
+    bg.join(lm, "bigram")
+      .withColumn("_lp", round(log(col("n") / col("nw1")), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(20, 9)))
+      .groupBy("doc_id")
+      .agg(round(sum(col("_lp")).cast("double") / count(lit(1)), 6)
+          .as("avg_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   def bigramStats(df: DataFrame, textCol: String, topK: Int): DataFrame =
     df.select(explode(Dedup.shinglesOfTokens(
         TextStats.tokens(col(textCol)), 2)).as("bigram"))

@@ -103,6 +103,33 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Set((10L, "train"), (9L, "test")))
   }
 
+  test("repetitionRatio counts repeated 3-grams; short docs score zero") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // 7 shingles, 3 distinct → 4/7 repeats
+      (2L, "all distinct words here now"),
+      (3L, "xy")                 // < 3 tokens → 1 fallback shingle, ratio 0
+    ).toDF("doc_id", "text")
+    val got = Curation.repetitionRatio(docs, "doc_id", "text", 3)
+      .select("doc_id", "n_shingles", "dup_ratio")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) === ((7L, math.rint(4.0 / 7.0 * 1e6) / 1e6)))
+    assert(got(2L) === ((3L, 0.0)))
+    assert(got(3L) === ((1L, 0.0)))
+  }
+
+  test("docLogProb scores deterministic transitions at ln(1) = 0") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "c d")).toDF("doc_id", "text")
+    // every w1 has exactly one continuation → p = 1 everywhere
+    val got = Curation.docLogProb(docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === Map(1L -> ((0.0, 1L)), 2L -> ((0.0, 1L)), 3L -> ((0.0, 1L))))
+    // a doc with a 50/50 transition averages ln(0.5) over its bigrams
+    val docs2 = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got2 = Curation.docLogProb(docs2, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got2(1L) === math.rint(math.log(0.5) * 1e6) / 1e6)
+  }
+
   test("bigramStats conditional probabilities sum against the first word") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d e")).toDF("doc_id", "text")
     val got = Curation.bigramStats(docs, "text", 10)
