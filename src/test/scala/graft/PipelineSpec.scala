@@ -245,6 +245,27 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("curated corpus lays out one file per (split, lang) partition dir") {
+    // distinct token streams per doc — none are near-dups, all survive
+    val docs = (0L until 40L).map(i =>
+      (i, (1 to 30).map(j => s"tok${i}_$j").mkString(" "),
+        if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Files.createTempDirectory("graft_corpus").toString + "/corpus"
+    graft.text.Curation.curate(docs, "doc_id", "text",
+        minTokens = 20, maxStopwordRatio = 1.0)
+      .repartition(col("split"), col("lang"))
+      .write.mode("overwrite").partitionBy("split", "lang").parquet(out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(s => s.listFiles().filter(_.isDirectory)).toSeq
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts === 1, s"${d.getPath} has $parts files — co-location lost")
+    }
+    assert(spark.read.parquet(out).count() === 40)
+  }
+
   test("singleCsv writes exactly one csv file with header") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val f = s"$dir/report.csv"
