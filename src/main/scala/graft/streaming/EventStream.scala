@@ -166,4 +166,40 @@ object EventStream {
           Iterator(UserUpdate(uid, next.n, next.total))
       }
   }
+
+  case class CuratedDoc(doc_id: Long, text: String, n_tokens: Long)
+
+  /** Streaming corpus curation: quality-gate each arriving document
+    * (stateless, map-side) then drop any doc whose exact text hash was
+    * already seen in ANY earlier micro-batch — cross-batch exact dedup
+    * as keyed streaming state (first-seen doc wins, later copies are
+    * suppressed forever). State = one boolean per distinct content
+    * hash, partitioned by hash — the streaming twin of
+    * [[graft.text.Dedup.exactGroups]]; near-dup clustering stays a
+    * batch concern (it needs the corpus-wide pair graph).
+    */
+  def curateStream(spark: SparkSession, docs: DataFrame,
+                   minTokens: Int): Dataset[CuratedDoc] = {
+    import spark.implicits._
+    docs
+      .withColumn("n_tokens",
+        graft.text.TextStats.tokenCount(col("text")).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+      .select(md5(col("text")).as("text_hash"),
+        col("doc_id").cast("long").as("doc_id"), col("text"), col("n_tokens"))
+      .as[(String, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, CuratedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          if (state.exists) Iterator.empty // hash already emitted
+          else {
+            // first occurrence in THIS batch too: min doc_id wins,
+            // deterministic regardless of batch-internal row order
+            val first = rows.minBy(_._2)
+            state.update(true)
+            Iterator(CuratedDoc(first._2, first._3, first._4))
+          }
+      }
+  }
 }

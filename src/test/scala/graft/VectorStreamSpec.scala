@@ -186,6 +186,28 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(n === 2)
   }
 
+  test("curateStream: cross-batch exact dedup + quality gate, first doc wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val long = (1 to 25).map(i => s"w$i").mkString(" ")
+    val mem = MemoryStream[(Long, String)]
+    val input = mem.toDF().toDF("doc_id", "text")
+    val q = EventStream.curateStream(spark, input, minTokens = 20)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curate_out").start()
+    mem.addData((5L, long), (3L, long), (9L, "too short"))
+    q.processAllAvailable()
+    // duplicate arriving in a LATER batch must also be suppressed
+    mem.addData((7L, long), (8L, long + " fresh"))
+    q.processAllAvailable()
+    import spark.implicits._
+    val got = spark.table("curate_out")
+      .select("doc_id").as[Long].collect().toSet
+    q.stop()
+    // 3 beats 5 within the first batch (min id); 7 is a cross-batch dup;
+    // 9 fails the quality gate; 8 is new content
+    assert(got === Set(3L, 8L))
+  }
+
   test("embedding near-dup: LSH candidates are a subset of exact pairs with high recall") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.embedNearDup(emb, "vec_id", "embedding", 0.4)
