@@ -789,6 +789,17 @@ object SparkEntry {
       // corpus-LM fluency proxy: mean bigram ln p(w2|w1) per doc
       text.Curation.docLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    "q74_source_mixture" -> ((s, dir) => {
+      // training-mix resampling: src0 × 2.5 epochs, src1 × 0.5, rest × 1
+      // — deterministic id-modulo fractions, map-side explode
+      text.Curation.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 2.5, "src1" -> 0.5))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy("source")
     }))
 
   /** Exact n-gram Jaccard pairs (q31's oracle). q32 (MinHash+LSH with
@@ -1595,5 +1606,22 @@ object SparkEntry {
         |    / COUNT(*), 6) AS avg_logprob,
         |  COUNT(*) AS n_bigrams
         |FROM bg JOIN lm2 USING (bigram)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q74_source_mixture" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source = 'src0' THEN 2.5
+        |         WHEN source = 'src1' THEN 0.5 ELSE 1.0 END AS wt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(FLOOR(wt) + CASE WHEN doc_id % 100 <
+        |      ROUND((wt - FLOOR(wt)) * 100) THEN 1 ELSE 0 END AS BIGINT) AS copies
+        |  FROM w),
+        |x AS (
+        |  SELECT doc_id, source, unnest(range(0, copies)) AS epoch
+        |  FROM c WHERE copies > 0)
+        |SELECT source, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)
 }

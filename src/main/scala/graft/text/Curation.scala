@@ -119,6 +119,35 @@ object Curation {
       .drop("_did")
   }
 
+  /** Training-mix resampling: each source gets an epoch weight w — docs
+    * are repeated floor(w) times plus one more for the deterministic
+    * id-modulo fraction (w = 2.3 ⇒ every doc twice, and the stable 30%
+    * of ids a third time). Map-side explode of a per-row copy count: no
+    * shuffle, no RNG, identical output on any cluster size — the
+    * down/up-sampling mixture step of a training-data pipeline
+    * (e.g. Wikipedia × 3 epochs, web crawl × 0.3).
+    * Output repeats each kept doc with `epoch` = 0..copies-1.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+                    weights: Map[String, Double],
+                    defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values.toSeq :+ defaultWeight).forall(_ >= 0),
+      "mixture weights must be non-negative")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
+      when(col(sourceCol) === s, lit(wt)).otherwise(acc)
+    }
+    // copies = floor(w) + (id mod 100 < round(frac·100) ? 1 : 0); the
+    // fractional part is resolved at 1% granularity on a stable id hash
+    df.withColumn("_w", w)
+      .withColumn("_copies", (floor(col("_w")) +
+        when(pmod(col(idCol).cast("long"), lit(100L)) <
+          round(
+            (col("_w") - floor(col("_w"))) * 100), 1L).otherwise(0L)).cast("long"))
+      .filter(col("_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_w", "_copies")
+  }
+
   /** Gopher/MassiveText-style repetition signal: the fraction of a
     * doc's 3-gram shingles that are repeats of an earlier one —
     * `(total - distinct) / total`. Pure per-row column expressions over

@@ -130,6 +130,26 @@ class CurationSpec extends AnyFunSuite {
     assert(got2(1L) === math.rint(math.log(0.5) * 1e6) / 1e6)
   }
 
+  test("mixtureSample repeats by epoch weight with deterministic fractions") {
+    val docs = (0L until 100L).map(i =>
+      (i, if (i < 50) "up" else "down", s"text$i")).toDF("doc_id", "source", "text")
+    val got = Curation.mixtureSample(docs, "doc_id", "source",
+      Map("up" -> 2.5, "down" -> 0.3))
+    val bySrc = got.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // up: ids 0..49, every doc twice + ids with id%100 < 50 once more —
+    // all 50 qualify → 150 rows. down: ids 50..99, only id%100 < 30 → none
+    assert(bySrc === Map("up" -> 150L))
+    // epochs enumerate 0..copies-1
+    val epochs = got.filter(col("doc_id") === 0L)
+      .select("epoch").as[Long].collect().sorted.toSeq
+    assert(epochs === Seq(0L, 1L, 2L))
+    // weight 0 drops the source entirely; default weight keeps one copy
+    val zero = Curation.mixtureSample(docs, "doc_id", "source", Map("up" -> 0.0))
+    assert(zero.groupBy("source").count().as[(String, Long)].collect().toMap
+      === Map("down" -> 50L))
+  }
+
   test("bigramStats conditional probabilities sum against the first word") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d e")).toDF("doc_id", "text")
     val got = Curation.bigramStats(docs, "text", 10)
