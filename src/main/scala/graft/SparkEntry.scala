@@ -800,6 +800,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           count_distinct(col("doc_id")).as("n_docs"))
         .orderBy("source")
+    }),
+
+    "q75_knn_graph" -> ((s, dir) => {
+      // bucketed exact k-NN graph (label = the bucket key, standing in
+      // for an IVF cluster id): Σ bucket² pairs, per-node top-5
+      Similarity.knnGraphBucketed(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", 5)
+        .orderBy("src", "rnk")
     }))
 
   /** Exact n-gram Jaccard pairs (q31's oracle). q32 (MinHash+LSH with
@@ -1623,5 +1631,21 @@ object SparkEntry {
         |  SELECT doc_id, source, unnest(range(0, copies)) AS epoch
         |  FROM c WHERE copies > 0)
         |SELECT source, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs
-        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q75_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY src ORDER BY cos_sim DESC, dst) AS BIGINT) AS rnk
+        |  FROM pairs)
+        |SELECT src, dst, cos_sim, rnk FROM ranked
+        |WHERE rnk <= 5 ORDER BY src, rnk""".stripMargin)
 }

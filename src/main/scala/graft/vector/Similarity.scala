@@ -170,6 +170,36 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** Bucketed exact k-NN graph: for every vector, its k nearest
+    * neighbours BY COSINE within its bucket (an IVF cluster id, LSH
+    * band, or any partition key). This is how ANN graphs are built at
+    * corpus scale — Σ bucket² pairs instead of n², with the per-node
+    * top-k rank-filter eligible for the WindowGroupLimit pushdown so
+    * only k rows per node survive the window sort. Norms are computed
+    * once per row below the join, never per pair.
+    */
+  def knnGraphBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                       bucketCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = emb.select(col(idCol).as("id"), col(bucketCol).as("b"),
+        col(vecCol).as("v"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .persist() // self-joined: compute each norm once, not twice
+    val a = u.select(col("id").as("src"), col("b"),
+      col("v").as("_va"), col("n").as("_na"))
+    val b = u.select(col("id").as("dst"), col("b"),
+      col("v").as("_vb"), col("n").as("_nb"))
+    a.join(b, Seq("b"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos_sim",
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("cos_sim").desc, col("dst").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst"), col("cos_sim"), col("rnk"))
+  }
+
   /** Hyperplane-LSH near-dup: nBands band signatures of bitsPerBand sign
     * bits each; vectors sharing any band bucket are candidates, verified
     * with exact cosine. Recall < 1 by design (prob. a true pair shares a

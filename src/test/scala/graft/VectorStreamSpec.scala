@@ -208,6 +208,20 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(got === Set(3L, 8L))
   }
 
+  test("knnGraphBucketed ranks in-bucket neighbours by cosine, never crossing buckets") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0), (3L, Seq(0.0f, 1.0f), 0),
+      (4L, Seq(1.0f, 1.0f), 1) // alone in its bucket → no neighbours
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnGraphBucketed(emb, "vec_id", "embedding", "label", 2)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._4) -> r._2).toMap
+    assert(got((1L, 1L)) === 2L) // 1's nearest is 2 (cos ≈ .994), then 3
+    assert(got((1L, 2L)) === 3L)
+    assert(got((3L, 1L)) === 2L) // 3 is closer to 2 than to 1
+    assert(!got.keySet.exists(_._1 == 4L))
+  }
+
   test("embedding near-dup: LSH candidates are a subset of exact pairs with high recall") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.embedNearDup(emb, "vec_id", "embedding", 0.4)
