@@ -808,6 +808,21 @@ object SparkEntry {
       Similarity.knnGraphBucketed(t(s, dir, "embeddings"),
           "vec_id", "embedding", "label", 5)
         .orderBy("src", "rnk")
+    }),
+
+    "q76_anomalies" -> ((s, dir) => {
+      // market-surveillance z-score outliers per event type, moments
+      // from exact decimal power sums broadcast back onto the stream
+      Stats.zScoreAnomalies(t(s, dir, "events"), "event_type", "value",
+          "event_id", 3.0)
+        .orderBy("event_id")
+    }),
+
+    "q77_gap_fill" -> ((s, dir) => {
+      // hourly resample + forward fill per event type — the classic
+      // market-data gap-repair op; window runs over the bounded grid
+      Windows.gapFillHourly(t(s, dir, "events"), "event_type", "ts", "value")
+        .orderBy("event_type", "hour")
     }))
 
   /** Exact n-gram Jaccard pairs (q31's oracle). q32 (MinHash+LSH with
@@ -1647,5 +1662,43 @@ object SparkEntry {
         |    PARTITION BY src ORDER BY cos_sim DESC, dst) AS BIGINT) AS rnk
         |  FROM pairs)
         |SELECT src, dst, cos_sim, rnk FROM ranked
-        |WHERE rnk <= 5 ORDER BY src, rnk""".stripMargin)
+        |WHERE rnk <= 5 ORDER BY src, rnk""".stripMargin,
+
+    "q76_anomalies" ->
+      """WITH sums AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS s2
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, CAST(s1 AS DOUBLE) / n AS mean_v,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std_v
+        |  FROM sums)
+        |SELECT event_id, event_type, value,
+        |  round((value - mean_v) / std_v, 4) AS z
+        |FROM events JOIN m USING (event_type)
+        |WHERE value IS NOT NULL
+        |  AND abs(round((value - mean_v) / std_v, 4)) >= 3.0
+        |ORDER BY event_id""".stripMargin,
+
+    "q77_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        |  FROM events WHERE value IS NOT NULL),
+        |grid AS (
+        |  SELECT t.event_type, g.h AS hour
+        |  FROM (SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds) g)
+        |SELECT g.event_type, g.hour,
+        |  last_value(h.avg_v IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        |  h.avg_v IS NULL AS is_gap
+        |FROM grid g LEFT JOIN hourly h
+        |  ON h.event_type = g.event_type AND h.hour = g.hour
+        |ORDER BY g.event_type, g.hour""".stripMargin)
 }

@@ -125,6 +125,30 @@ object Stats {
         round(sum(col(valueCol).cast(DecimalType(18, 2))).cast("double"), 2).as("total"))
       .orderBy("bucket")
 
+  /** Z-score outliers per group, from exact decimal power sums (the
+    * moment machinery the variance queries use — order-independent, so
+    * distributed partial aggregation is bit-reproducible). The per-group
+    * moment table is tiny and broadcast back onto the stream; the cut is
+    * applied to the ROUNDED z so the boundary is engine-portable.
+    */
+  def zScoreAnomalies(df: DataFrame, keyCol: String, valueCol: String,
+                      idCol: String, threshold: Double): DataFrame = {
+    val v = col(valueCol).cast(DecimalType(18, 6))
+    val s1d = col("s1").cast("double")
+    val varExpr = (col("s2").cast("double") - s1d * s1d / col("n")) / (col("n") - 1)
+    val present = df.filter(col(valueCol).isNotNull)
+    val moments = present
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(v).as("s1"),
+        sum((v * v).cast(DecimalType(38, 12))).as("s2"))
+      .select(col(keyCol), (s1d / col("n")).as("_mean"), sqrt(varExpr).as("_std"))
+    present
+      .join(broadcast(moments), keyCol)
+      .withColumn("z", round((col(valueCol) - col("_mean")) / col("_std"), 4))
+      .filter(abs(col("z")) >= threshold)
+      .select(col(idCol), col(keyCol), col(valueCol), col("z"))
+  }
+
   /** Progressive conversion funnel: users counted at stage k only if
     * their first stage-k event strictly follows their first qualifying
     * stage-(k-1) event. One keyed aggregation per stage, each reusing

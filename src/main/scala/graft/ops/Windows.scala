@@ -60,4 +60,36 @@ object Windows {
         count(lit(1)).as("n_events"),
         (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol)))).as("duration_sec"))
       .orderBy((keys :+ "session_id").map(col): _*)
+
+  /** Hourly resample + forward fill: bucket each key's observations to
+    * the hour, build the full key × hour grid between the corpus bounds
+    * (tiny: one `sequence` explode against the distinct keys, bounds
+    * broadcast), left-join the observed means, and carry the last
+    * non-null value forward per key. Gaps before a key's first
+    * observation stay null. One window per key over the GRID (bounded:
+    * hours × keys), never over the raw event stream — so a sparse
+    * 100 TB stream forward-fills with a shuffle proportional to the
+    * grid, not the data.
+    */
+  def gapFillHourly(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String): DataFrame = {
+    val present = df.filter(col(valueCol).isNotNull)
+    val hourly = present
+      .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
+      .agg(round(sum(col(valueCol).cast(DecimalType(18, 6))).cast("double") /
+        count(lit(1)), 6).as("avg_v"))
+    val bounds = present.agg(
+      date_trunc("hour", min(col(tsCol))).as("lo"),
+      date_trunc("hour", max(col(tsCol))).as("hi"))
+    val grid = present.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq(keyCol, "hour"), "left")
+      .withColumn("filled", last(col("avg_v"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("avg_v").isNull)
+      .select(col(keyCol), col("hour"), col("filled"), col("is_gap"))
+  }
 }

@@ -159,6 +159,37 @@ class OpsSpec extends AnyFunSuite {
       ("2024-01-02", 0L) -> 1L))
   }
 
+  test("zScoreAnomalies flags only the outlier, z from exact moments") {
+    import graft.ops.Stats
+    // 10 values at 10.0 plus one at 100.0: the spike is the only |z|>=3
+    val rows = (1L to 10L).map(i => (i, "a", 10.0)) :+ (11L, "a", 100.0)
+    val got = Stats.zScoreAnomalies(rows.toDF("event_id", "event_type", "value"),
+        "event_type", "value", "event_id", 3.0)
+      .as[(Long, String, Double, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(11L))
+    assert(got.head._4 > 3.0)
+  }
+
+  test("gapFillHourly carries the last observation across missing hours") {
+    import graft.ops.Windows
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:10:00"), 1.0),
+      ("a", ts("2024-01-01 00:50:00"), 3.0), // hour 0 avg = 2.0
+      ("a", ts("2024-01-01 03:00:00"), 7.0), // hours 1-2 are gaps
+      ("b", ts("2024-01-01 02:00:00"), 5.0)  // leading gap for b
+    ).toDF("event_type", "ts", "value")
+    val got = Windows.gapFillHourly(ev, "event_type", "ts", "value")
+      .as[(String, Timestamp, Option[Double], Boolean)].collect()
+      .map(r => (r._1, r._2.toString) -> (r._3, r._4)).toMap
+    assert(got(("a", "2024-01-01 00:00:00.0")) === ((Some(2.0), false)))
+    assert(got(("a", "2024-01-01 01:00:00.0")) === ((Some(2.0), true)))  // filled
+    assert(got(("a", "2024-01-01 02:00:00.0")) === ((Some(2.0), true)))
+    assert(got(("a", "2024-01-01 03:00:00.0")) === ((Some(7.0), false)))
+    assert(got(("b", "2024-01-01 00:00:00.0")) === ((None, true)))       // pre-first
+    assert(got(("b", "2024-01-01 02:00:00.0")) === ((Some(5.0), false)))
+    assert(got.size === 8) // 2 keys × hours 0..3
+  }
+
   test("labelCentroids averages each dimension per label") {
     import graft.vector.Similarity
     val emb = Seq(
