@@ -410,10 +410,12 @@ object SparkEntry {
       // side bucketing) is the corpus-scale path. Guarded so the query
       // refuses to serialize a large input instead of silently stalling.
       val events = t(s, dir, "events")
-      val n = events.count()
-      require(n <= 10000000L,
-        s"q45's global ntile is single-reducer ($n rows); use q52's " +
-          "sketch-cutpoint deciles at this scale")
+      // bounded probe, not a full count: CollectLimit stops reading
+      // once the cap is exceeded, so the guard never adds a full scan
+      val cap = 10000000L
+      require(events.limit((cap + 1).toInt).count() <= cap,
+        s"q45's global ntile is single-reducer (> $cap rows); use " +
+          "q52's sketch-cutpoint deciles at this scale")
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("value").asc, col("event_id").asc)
       events
@@ -442,8 +444,11 @@ object SparkEntry {
         .agg(count_distinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.02).as("_approx"))
         .select(col("event_type"), col("exact_users"),
-          (abs(col("_approx") - col("exact_users")).cast("double") /
-            col("exact_users") <= 0.1).as("sketch_ok"))
+          // all-NULL groups have 0 exact distinct (ANSI division would
+          // throw) — both counts agree at 0, so the sketch is trivially ok
+          when(col("exact_users") === 0, lit(true))
+            .otherwise(abs(col("_approx") - col("exact_users")).cast("double") /
+              col("exact_users") <= 0.1).as("sketch_ok"))
         .orderBy("event_type")
     }),
 
@@ -1105,7 +1110,9 @@ object SparkEntry {
     "q38_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
         |pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    round(list_dot_product(a.v, b.v) /
@@ -1651,7 +1658,9 @@ object SparkEntry {
     "q75_knn_graph" ->
       """WITH e AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
         |pairs AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    round(list_dot_product(a.v, b.v) /
@@ -1673,11 +1682,11 @@ object SparkEntry {
         |m AS (
         |  SELECT event_type, CAST(s1 AS DOUBLE) / n AS mean_v,
         |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std_v
-        |  FROM sums)
+        |  FROM sums WHERE n > 1)
         |SELECT event_id, event_type, value,
         |  round((value - mean_v) / std_v, 4) AS z
         |FROM events JOIN m USING (event_type)
-        |WHERE value IS NOT NULL
+        |WHERE value IS NOT NULL AND std_v > 0
         |  AND abs(round((value - mean_v) / std_v, 4)) >= 3.0
         |ORDER BY event_id""".stripMargin,
 

@@ -126,8 +126,15 @@ object Layout {
     require(parts.nonEmpty, s"staging write $staging produced no partitions")
     parts.foreach { s =>
       val dst = new Path(path, s.getPath.getName)
-      if (fs.exists(dst)) fs.delete(dst, true)
-      fs.rename(s.getPath, dst)
+      // HDFS-style filesystems report failure via `false`, not an
+      // exception — an unchecked rename after the delete would silently
+      // drop the partition. Failing here leaves the compacted copy in
+      // staging, so nothing is lost and the swap can be retried.
+      require(!fs.exists(dst) || fs.delete(dst, true),
+        s"compaction swap: could not remove old partition $dst")
+      require(fs.rename(s.getPath, dst),
+        s"compaction swap: rename ${s.getPath} -> $dst failed; " +
+          s"compacted data preserved in $staging")
     }
     fs.delete(new Path(staging), true)
   }

@@ -141,7 +141,12 @@ object Stats {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"), sum(v).as("s1"),
         sum((v * v).cast(DecimalType(38, 12))).as("s2"))
+      // degenerate groups (single row, or zero variance) have no defined
+      // z-score — dropping them here also avoids the ANSI-mode
+      // DIVIDE_BY_ZERO that (n-1) = 0 or _std = 0 would throw below
+      .filter(col("n") > 1)
       .select(col(keyCol), (s1d / col("n")).as("_mean"), sqrt(varExpr).as("_std"))
+      .filter(col("_std") > 0)
     present
       .join(broadcast(moments), keyCol)
       .withColumn("z", round((col(valueCol) - col("_mean")) / col("_std"), 4))

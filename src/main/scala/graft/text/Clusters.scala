@@ -88,6 +88,11 @@ object Clusters {
       prev = cur
       iter += 1
     }
+    // a non-star edge set would yield multiple labels per node and
+    // silently fan out the caller's join — fail loudly instead.
+    // (rounds needed ~ log2(diameter); 30 covers any realistic graph)
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds")
     e.select(col("u").as("node"), col("v").as("component"))
       // component roots only appear on the right side of star edges —
       // emit their own self row so every edge-incident node is labeled

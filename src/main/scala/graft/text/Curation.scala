@@ -62,13 +62,6 @@ object Curation {
       .withColumn("contaminated", col("n_shared") > 0)
   }
 
-  /** Bigram language-model statistics: corpus-wide bigram counts with
-    * the conditional probability p(w2 | w1) = n(w1 w2) / n(w1 ·).
-    * One explode + one hash aggregation + one window over the (tiny)
-    * distinct-bigram table — the corpus itself is never shuffled.
-    * Short docs (< 2 tokens) contribute their whole text as a single
-    * "bigram", mirroring [[graft.functions.ShinglesExpr]]'s fallback.
-    */
   /** Per-document TF-IDF, top-`topK` terms per doc:
     * tf = n(term, doc) / n(doc); idf = ln(N / df(term)); ranked with a
     * deterministic (tfidf desc, term asc) tiebreak on ROUNDED scores so
@@ -193,6 +186,13 @@ object Curation {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Bigram language-model statistics: corpus-wide bigram counts with
+    * the conditional probability p(w2 | w1) = n(w1 w2) / n(w1 ·).
+    * One explode + one hash aggregation + one window over the (tiny)
+    * distinct-bigram table — the corpus itself is never shuffled.
+    * Short docs (< 2 tokens) contribute their whole text as a single
+    * "bigram", mirroring [[graft.functions.ShinglesExpr]]'s fallback.
+    */
   def bigramStats(df: DataFrame, textCol: String, topK: Int): DataFrame =
     df.select(explode(Dedup.shinglesOfTokens(
         TextStats.tokens(col(textCol)), 2)).as("bigram"))

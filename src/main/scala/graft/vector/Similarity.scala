@@ -143,6 +143,9 @@ object Similarity {
   private def normed(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      // zero vectors have no cosine direction (ANSI division would
+      // throw on n = 0) — near-dup semantics exclude them
+      .filter(col("n") > 0)
 
   /** Exact embedding-cosine near-duplicate pairs: every (a < b) with
     * rounded cosine >= threshold. The quadratic verification baseline —
@@ -184,6 +187,9 @@ object Similarity {
     val u = emb.select(col(idCol).as("id"), col(bucketCol).as("b"),
         col(vecCol).as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      // zero vectors have no cosine direction (and would throw ANSI
+      // DIVIDE_BY_ZERO in the pair projection) — excluded up front
+      .filter(col("n") > 0)
       .persist() // self-joined: compute each norm once, not twice
     val a = u.select(col("id").as("src"), col("b"),
       col("v").as("_va"), col("n").as("_na"))

@@ -31,6 +31,16 @@ class CurationSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst").isEmpty)
   }
 
+  test("connectedComponents fails loudly when maxIter is exhausted") {
+    // a 4-chain needs at least two rounds; maxIter = 1 must not return
+    // a half-contracted (non-star) edge set
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Clusters.connectedComponents(edges, "src", "dst", maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("dupClusters merges exact and near-dup edges transitively") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -168,6 +168,12 @@ class OpsSpec extends AnyFunSuite {
       .as[(Long, String, Double, Double)].collect()
     assert(got.map(_._1).toSeq === Seq(11L))
     assert(got.head._4 > 3.0)
+    // degenerate groups (one row, or zero variance) are excluded, not a
+    // DIVIDE_BY_ZERO crash under ANSI mode
+    val degenerate = Seq((1L, "single", 5.0), (2L, "flat", 7.0), (3L, "flat", 7.0))
+      .toDF("event_id", "event_type", "value")
+    assert(Stats.zScoreAnomalies(degenerate,
+      "event_type", "value", "event_id", 3.0).isEmpty)
   }
 
   test("gapFillHourly carries the last observation across missing hours") {
