@@ -63,6 +63,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q67_tfidf").contains("WindowGroupLimit"))
   }
 
+  test("q76: per-group moments broadcast back onto the stream") {
+    assert(plan("q76_anomalies").contains("BroadcastHashJoin"))
+  }
+
+  test("q74: mixture resampling is map-only — no Exchange before the explode") {
+    val df = graft.text.Curation.mixtureSample(
+      Tables.load(spark, dir, "documents"), "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.5))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("date-partitioned tables prune untouched partitions at the scan") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_prune").toString + "/t"
