@@ -79,6 +79,51 @@ object LawsProps extends Properties("graft.laws") {
       }
     }
 
+  property("funnel: stage counts equal the brute-force progressive scan") =
+    forAll(Gen.listOfN(30, Gen.zip(
+      Gen.choose(0L, 5L), Gen.oneOf("view", "click", "purchase"), Gen.choose(0L, 50L)))) { evs =>
+      evs.nonEmpty ==> {
+        val df = evs.zipWithIndex
+          .map { case ((u, t, s), i) => (u, t, new java.sql.Timestamp(s * 1000L + i)) }
+          .toDF("user_id", "event_type", "ts")
+        val got = graft.ops.Stats.funnel(df, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase")).as[(String, Long)].collect().toMap
+        // brute force: per user, earliest view, then earliest later click,
+        // then earliest later purchase
+        val byUser = evs.zipWithIndex.map { case ((u, t, s), i) => (u, t, s * 1000L + i) }
+          .groupBy(_._1)
+        def firstAfter(rows: Seq[(Long, String, Long)], t: String, after: Option[Long]) =
+          rows.filter(r => r._2 == t && after.forall(r._3 > _)).map(_._3).minOption
+        val stages = byUser.values.toSeq.map { rows =>
+          val v = firstAfter(rows, "view", None)
+          val c = v.flatMap(t => firstAfter(rows, "click", Some(t)))
+          val p = c.flatMap(t => firstAfter(rows, "purchase", Some(t)))
+          (v.isDefined, c.isDefined, p.isDefined)
+        }
+        got("view") == stages.count(_._1) &&
+          got("click") == stages.count(_._2) &&
+          got("purchase") == stages.count(_._3)
+      }
+    }
+
+  property("mixtureSample: per-row copies follow floor(w) + stable fraction") =
+    forAll(
+      Gen.listOfN(20, Gen.choose(0L, 300L)),
+      Gen.choose(0, 6), Gen.choose(0, 6)) { (ids, wa2, wb2) =>
+      val (wa, wb) = (wa2 / 2.0, wb2 / 2.0) // weights on a 0.5 grid
+      val rows = ids.distinct.map(i => (i, if (i % 2 == 0) "a" else "b"))
+      val df = rows.toDF("doc_id", "source")
+      val got = graft.text.Curation.mixtureSample(df, "doc_id", "source",
+        Map("a" -> wa, "b" -> wb))
+        .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+      def copies(id: Long, w: Double): Long =
+        w.toLong + (if (id % 100 < math.rint((w - w.floor) * 100)) 1L else 0L)
+      rows.forall { case (id, src) =>
+        val c = copies(id, if (src == "a") wa else wb)
+        got.getOrElse(id, 0L) == c
+      }
+    }
+
   property("connectedComponents: equals driver-side union-find on any graph") =
     forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { es =>
       val edges = es.filter { case (a, b) => a != b }
