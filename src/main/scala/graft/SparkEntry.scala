@@ -828,6 +828,14 @@ object SparkEntry {
       // market-data gap-repair op; window runs over the bounded grid
       Windows.gapFillHourly(t(s, dir, "events"), "event_type", "ts", "value")
         .orderBy("event_type", "hour")
+    }),
+
+    "q78_packed_sequences" -> ((s, dir) => {
+      // materialized training sequences: q60's batch assignment plus the
+      // ordered text concatenation — the artifact a trainer consumes
+      text.Curation.packedSequences(t(s, dir, "documents"),
+          "doc_id", "text", "source", 4096L)
+        .orderBy("source", "batch_id")
     }))
 
   /** Exact n-gram Jaccard pairs (q31's oracle). q32 (MinHash+LSH with
@@ -1709,5 +1717,21 @@ object SparkEntry {
         |  h.avg_v IS NULL AS is_gap
         |FROM grid g LEFT JOIN hourly h
         |  ON h.event_type = g.event_type AND h.hour = g.hour
-        |ORDER BY g.event_type, g.hour""".stripMargin)
+        |ORDER BY g.event_type, g.hour""".stripMargin,
+
+    "q78_packed_sequences" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |packed AS (
+        |  SELECT source, doc_id, text, n_tokens,
+        |    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 4096) AS BIGINT) AS batch_id
+        |  FROM toks)
+        |SELECT source, batch_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+        |  string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed_text
+        |FROM packed GROUP BY source, batch_id
+        |ORDER BY source, batch_id""".stripMargin)
 }

@@ -112,6 +112,29 @@ object Curation {
       .drop("_did")
   }
 
+  /** Materialized sequence packing: assign docs to fixed token-budget
+    * batches by a running per-source token sum (deterministic doc_id
+    * order ⇒ identical batches on any cluster size), then concatenate
+    * each batch's texts in doc order with an explicit separator — the
+    * actual training-sequence artifact, not just the batch stats. The
+    * collect_list is bounded by the token budget, never the corpus.
+    */
+  def packedSequences(df: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String, budget: Long,
+                      sep: String = " <eos> "): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+    df.withColumn("n_tokens", TextStats.tokenCount(col(textCol)).cast("long"))
+      .withColumn("batch_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget).cast("long"))
+      .groupBy(col(sourceCol), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("batch_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            _.getField(textCol)), sep).as("packed_text"))
+  }
+
   /** Training-mix resampling: each source gets an epoch weight w — docs
     * are repeated floor(w) times plus one more for the deterministic
     * id-modulo fraction (w = 2.3 ⇒ every doc twice, and the stable 30%

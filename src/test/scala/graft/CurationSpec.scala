@@ -140,6 +140,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got2(1L) === math.rint(math.log(0.5) * 1e6) / 1e6)
   }
 
+  test("packedSequences concatenates batch texts in doc order") {
+    val docs = Seq(
+      (1L, "a a a", "s"),  // 3 tokens
+      (2L, "b b b", "s"),  // running sum 6 → batch 0 under budget 6? no: (6-3)/6=0
+      (3L, "c c c", "s"),  // (9-3)/6=1 → batch 1
+      (4L, "d", "t")
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.packedSequences(docs, "doc_id", "text", "source", 6L)
+      .select("source", "batch_id", "packed_text")
+      .as[(String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("s", 0L)) === "a a a <eos> b b b")
+    assert(got(("s", 1L)) === "c c c")
+    assert(got(("t", 0L)) === "d")
+  }
+
   test("mixtureSample repeats by epoch weight with deterministic fractions") {
     val docs = (0L until 100L).map(i =>
       (i, if (i < 50) "up" else "down", s"text$i")).toDF("doc_id", "source", "text")
