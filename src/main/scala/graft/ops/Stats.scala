@@ -131,28 +131,42 @@ object Stats {
     * moment table is tiny and broadcast back onto the stream; the cut is
     * applied to the ROUNDED z so the boundary is engine-portable.
     */
-  def zScoreAnomalies(df: DataFrame, keyCol: String, valueCol: String,
-                      idCol: String, threshold: Double): DataFrame = {
+  /** Per-key mean/stddev from exact decimal power sums — the reusable
+    * half of [[zScoreAnomalies]], also consumable as the static side of
+    * a streaming scorer. Degenerate groups (single row, zero variance)
+    * have no defined z-score and are dropped — which also avoids the
+    * ANSI-mode DIVIDE_BY_ZERO that (n-1) = 0 or stddev = 0 would throw.
+    */
+  def keyMoments(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val v = col(valueCol).cast(DecimalType(18, 6))
     val s1d = col("s1").cast("double")
     val varExpr = (col("s2").cast("double") - s1d * s1d / col("n")) / (col("n") - 1)
-    val present = df.filter(col(valueCol).isNotNull)
-    val moments = present
+    df.filter(col(valueCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"), sum(v).as("s1"),
         sum((v * v).cast(DecimalType(38, 12))).as("s2"))
-      // degenerate groups (single row, or zero variance) have no defined
-      // z-score — dropping them here also avoids the ANSI-mode
-      // DIVIDE_BY_ZERO that (n-1) = 0 or _std = 0 would throw below
       .filter(col("n") > 1)
       .select(col(keyCol), (s1d / col("n")).as("_mean"), sqrt(varExpr).as("_std"))
       .filter(col("_std") > 0)
-    present
+  }
+
+  /** Score rows against precomputed [[keyMoments]] — broadcast join, so
+    * it runs unchanged on a static frame or a live stream (no streaming
+    * state; the moment table rides along to every executor).
+    */
+  def scoreAgainstMoments(df: DataFrame, moments: DataFrame,
+                          keyCol: String, valueCol: String, idCol: String,
+                          threshold: Double): DataFrame =
+    df.filter(col(valueCol).isNotNull)
       .join(broadcast(moments), keyCol)
       .withColumn("z", round((col(valueCol) - col("_mean")) / col("_std"), 4))
       .filter(abs(col("z")) >= threshold)
       .select(col(idCol), col(keyCol), col(valueCol), col("z"))
-  }
+
+  def zScoreAnomalies(df: DataFrame, keyCol: String, valueCol: String,
+                      idCol: String, threshold: Double): DataFrame =
+    scoreAgainstMoments(df, keyMoments(df, keyCol, valueCol),
+      keyCol, valueCol, idCol, threshold)
 
   /** Progressive conversion funnel: users counted at stage k only if
     * their first stage-k event strictly follows their first qualifying

@@ -186,6 +186,32 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(n === 2)
   }
 
+  test("streaming anomaly scoring against static moments matches the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // history establishes the moments; the live stream is scored with a
+    // stream-static broadcast join, no streaming state
+    val history = ((1L to 20L).map(i => (i, "a", 10.0 + (i % 3))) :+ (21L, "a", 50.0))
+      .toDF("event_id", "event_type", "value")
+    val moments = graft.ops.Stats.keyMoments(history, "event_type", "value")
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = graft.ops.Stats.scoreAgainstMoments(
+        mem.toDF().toDF("event_id", "event_type", "value"), moments,
+        "event_type", "value", "event_id", 3.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anomaly_out").start()
+    mem.addData((100L, "a", 11.0), (101L, "a", 60.0), (102L, "b", 999.0))
+    q.processAllAvailable()
+    val got = spark.table("anomaly_out").select("event_id").as[Long].collect().toSet
+    q.stop()
+    // 60.0 is >3σ of the history; 11.0 is typical; type "b" has no
+    // moments row → unscorable, dropped by the inner join
+    assert(got === Set(101L))
+    // and the composed batch op still flags the same spike on history
+    assert(graft.ops.Stats.zScoreAnomalies(history, "event_type", "value",
+      "event_id", 3.0).select("event_id").as[Long].collect().toSet === Set(21L))
+  }
+
   test("curateStream: cross-batch exact dedup + quality gate, first doc wins") {
     implicit val sqlCtx = spark.sqlContext
     val long = (1 to 25).map(i => s"w$i").mkString(" ")
