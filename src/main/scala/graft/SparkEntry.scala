@@ -389,7 +389,8 @@ object SparkEntry {
     }),
 
     "q41_ivf_topk" -> ((s, dir) => {
-      // approximate (probe subset) → rows-only check; recall unit-tested
+      // IVF probe search; shares q40's exact oracle — on this corpus the
+      // probe's recall is total, so the gate asserts pruning loses nothing
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
     }),
 
@@ -867,6 +868,25 @@ object SparkEntry {
       |  SELECT doc_id, array_to_string(w, ' ') AS shingle
       |  FROM toks WHERE len(w) < 5)""".stripMargin
 
+  /** Exact brute-force cosine top-10 for vec_id 0 (q40's oracle). q41
+    * (IVF probe search) shares it verbatim: with k-means centroids and
+    * the configured probe width, recall on this corpus is total — the
+    * driver gate asserts the pruning loses nothing (verified equal at
+    * sf0.001 and sf0.01), rather than taking a weaker rows-only check.
+    */
+  private val cosineTopKOracle: String =
+    """WITH q AS (
+      |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |  FROM embeddings WHERE vec_id = 0),
+      |c AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id <> 0)
+      |SELECT vec_id,
+      |  round(list_dot_product(v, qv) /
+      |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+      |FROM c, q
+      |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
   private val jaccardPairsOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
@@ -1198,18 +1218,13 @@ object SparkEntry {
         |  FROM events)
         |GROUP BY decile ORDER BY decile""".stripMargin,
 
-    "q40_cosine_topk" ->
-      """WITH q AS (
-        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-        |  FROM embeddings WHERE vec_id = 0),
-        |c AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings WHERE vec_id <> 0)
-        |SELECT vec_id,
-        |  round(list_dot_product(v, qv) /
-        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
-        |FROM c, q
-        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q40_cosine_topk" -> cosineTopKOracle,
+
+    // the IVF probe's recall is total on this corpus at these
+    // parameters (k-means centroids, nProbe as configured), so the
+    // exact brute-force oracle applies verbatim — the gate asserts the
+    // probe pruning loses nothing, the q32/q31 precedent
+    "q41_ivf_topk" -> cosineTopKOracle,
 
     "q42_embedding_norms" ->
       """WITH n AS (
