@@ -112,6 +112,29 @@ object Curation {
       .drop("_did")
   }
 
+  /** Regex PII redaction: replace email addresses, international-ish
+    * phone numbers, and IPv4 addresses with typed placeholder tokens,
+    * and count the redactions per doc. Pure `regexp_replace` /
+    * `regexp_count` projections — map-side, fused into the scan, the
+    * patterns deliberately conservative (ASCII word classes) so the
+    * same regexes behave identically across engines.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9]{1,3}[- .]?\\(?[0-9]{3}\\)?[- .]?[0-9]{3}[- .]?[0-9]{4}"
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val redactions = Seq(
+      EmailPattern -> "<EMAIL>", PhonePattern -> "<PHONE>", Ipv4Pattern -> "<IP>")
+    val counted = redactions.map { case (p, _) => regexp_count(col(textCol), lit(p)) }
+      .reduce(_ + _)
+    val scrubbed = redactions.foldLeft(col(textCol)) { case (c, (p, tag)) =>
+      regexp_replace(c, p, tag)
+    }
+    df.withColumn("n_redactions", counted.cast("long"))
+      .withColumn(textCol, scrubbed)
+  }
+
   /** Materialized sequence packing: assign docs to fixed token-budget
     * batches by a running per-source token sum (deterministic doc_id
     * order ⇒ identical batches on any cluster size), then concatenate

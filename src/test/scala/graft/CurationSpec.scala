@@ -140,6 +140,20 @@ class CurationSpec extends AnyFunSuite {
     assert(got2(1L) === math.rint(math.log(0.5) * 1e6) / 1e6)
   }
 
+  test("redactPii replaces emails, phones, and IPs with typed tokens") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@example.org or call +1 555-123-4567 now"),
+      (2L, "server at 10.0.123.7 responded"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val got = Curation.redactPii(docs, "text")
+      .select("doc_id", "text", "n_redactions")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) === (("mail me at <EMAIL> or call <PHONE> now", 2L)))
+    assert(got(2L) === (("server at <IP> responded", 1L)))
+    assert(got(3L) === (("nothing sensitive here", 0L)))
+  }
+
   test("packedSequences concatenates batch texts in doc order") {
     val docs = Seq(
       (1L, "a a a", "s"),  // 3 tokens
