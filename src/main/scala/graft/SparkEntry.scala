@@ -667,19 +667,12 @@ object SparkEntry {
     }),
 
     "q60_token_packing" -> ((s, dir) => {
-      // training-batch sequence packing: assign docs to fixed token-budget
-      // batches by a running token sum per source (deterministic order →
-      // reproducible batch composition across runs/cluster sizes). One
-      // shuffle (the per-source window); batch stats reuse its partitioning
-      import org.apache.spark.sql.expressions.Window
-      val budget = 4096L
-      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      t(s, dir, "documents")
-        .withColumn("n_tokens", TextStats.tokenCount(col("text")).cast("long"))
-        .withColumn("batch_id",
-          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget).cast("long"))
-        .groupBy("source", "batch_id")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("batch_tokens"))
+      // training-batch sequence packing STATS: the shared packing
+      // implementation minus the concatenated artifact (q78 emits it) —
+      // one per-source window shuffle, batch agg reuses its partitioning
+      text.Curation.packedSequences(t(s, dir, "documents"),
+          "doc_id", "text", "source", 4096L)
+        .select("source", "batch_id", "n_docs", "batch_tokens")
         .orderBy("source", "batch_id")
     }),
 
@@ -869,10 +862,12 @@ object SparkEntry {
       |  FROM toks WHERE len(w) < 5)""".stripMargin
 
   /** Exact brute-force cosine top-10 for vec_id 0 (q40's oracle). q41
-    * (IVF probe search) shares it verbatim: with k-means centroids and
-    * the configured probe width, recall on this corpus is total — the
-    * driver gate asserts the pruning loses nothing (verified equal at
-    * sf0.001 and sf0.01), rather than taking a weaker rows-only check.
+    * (IVF probe search) shares it verbatim: with ivfTopK's DEFAULT
+    * stride-initialized centroids and the configured probe width,
+    * recall on this corpus is total — the driver gate asserts the
+    * pruning loses nothing (verified equal at sf0.001 and sf0.01).
+    * (k-means refinement is opt-in and on this isotropic testdata
+    * REDUCES probe recall — see Similarity.kmeansCentroids doc.)
     */
   private val cosineTopKOracle: String =
     """WITH q AS (
@@ -1220,10 +1215,10 @@ object SparkEntry {
 
     "q40_cosine_topk" -> cosineTopKOracle,
 
-    // the IVF probe's recall is total on this corpus at these
-    // parameters (k-means centroids, nProbe as configured), so the
-    // exact brute-force oracle applies verbatim — the gate asserts the
-    // probe pruning loses nothing, the q32/q31 precedent
+    // the IVF probe's recall is total on this corpus at ivfTopK's
+    // default parameters (stride-init centroids, configured nProbe), so
+    // the exact brute-force oracle applies verbatim — the gate asserts
+    // the probe pruning loses nothing, the q32/q31 precedent
     "q41_ivf_topk" -> cosineTopKOracle,
 
     "q42_embedding_norms" ->

@@ -125,12 +125,6 @@ object Stats {
         round(sum(col(valueCol).cast(DecimalType(18, 2))).cast("double"), 2).as("total"))
       .orderBy("bucket")
 
-  /** Z-score outliers per group, from exact decimal power sums (the
-    * moment machinery the variance queries use — order-independent, so
-    * distributed partial aggregation is bit-reproducible). The per-group
-    * moment table is tiny and broadcast back onto the stream; the cut is
-    * applied to the ROUNDED z so the boundary is engine-portable.
-    */
   /** Per-key mean/stddev from exact decimal power sums — the reusable
     * half of [[zScoreAnomalies]], also consumable as the static side of
     * a streaming scorer. Degenerate groups (single row, zero variance)
@@ -163,6 +157,10 @@ object Stats {
       .filter(abs(col("z")) >= threshold)
       .select(col(idCol), col(keyCol), col(valueCol), col("z"))
 
+  /** Z-score outliers per group: [[keyMoments]] broadcast back onto the
+    * same frame, cut applied to the ROUNDED z so the boundary is
+    * engine-portable.
+    */
   def zScoreAnomalies(df: DataFrame, keyCol: String, valueCol: String,
                       idCol: String, threshold: Double): DataFrame =
     scoreAgainstMoments(df, keyMoments(df, keyCol, valueCol),

@@ -112,26 +112,33 @@ object Curation {
       .drop("_did")
   }
 
-  /** Regex PII redaction: replace email addresses, international-ish
-    * phone numbers, and IPv4 addresses with typed placeholder tokens,
-    * and count the redactions per doc. Pure `regexp_replace` /
-    * `regexp_count` projections — map-side, fused into the scan, the
-    * patterns deliberately conservative (ASCII word classes) so the
-    * same regexes behave identically across engines.
+  /** Regex PII redaction: replace email addresses, phone numbers
+    * (10-digit with optional country code), and IPv4 addresses with
+    * typed placeholder tokens, and count the redactions per doc. Pure
+    * `regexp_replace` / `regexp_count` projections — map-side, fused
+    * into the scan. The phone pattern is fenced with digit lookarounds
+    * so it never fires inside a longer digit run (card numbers, ids);
+    * lookbehind is Java-regex-only, which is fine here — this operator
+    * is spec-driven, not oracle-compared.
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhonePattern = "\\+?[0-9]{1,3}[- .]?\\(?[0-9]{3}\\)?[- .]?[0-9]{3}[- .]?[0-9]{4}"
+  val PhonePattern =
+    "(?<![0-9])\\+?(?:[0-9]{1,3}[- .])?\\(?[0-9]{3}\\)?[- .]?[0-9]{3}[- .]?[0-9]{4}(?![0-9])"
   val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
     val redactions = Seq(
       EmailPattern -> "<EMAIL>", PhonePattern -> "<PHONE>", Ipv4Pattern -> "<IP>")
-    val counted = redactions.map { case (p, _) => regexp_count(col(textCol), lit(p)) }
-      .reduce(_ + _)
-    val scrubbed = redactions.foldLeft(col(textCol)) { case (c, (p, tag)) =>
-      regexp_replace(c, p, tag)
-    }
-    df.withColumn("n_redactions", counted.cast("long"))
+    // count each pattern on the text AS THE PREVIOUS PASS LEFT IT, so a
+    // span consumed by an earlier replacement (an email whose local part
+    // looks like a phone) is not double-counted: n_redactions equals the
+    // number of placeholders actually inserted
+    val (scrubbed, counts) = redactions
+      .foldLeft((col(textCol), Seq.empty[org.apache.spark.sql.Column])) {
+        case ((cur, cs), (p, tag)) =>
+          (regexp_replace(cur, p, tag), cs :+ regexp_count(cur, lit(p)))
+      }
+    df.withColumn("n_redactions", counts.reduce(_ + _).cast("long"))
       .withColumn(textCol, scrubbed)
   }
 
@@ -145,7 +152,12 @@ object Curation {
   def packedSequences(df: DataFrame, idCol: String, textCol: String,
                       sourceCol: String, budget: Long,
                       sep: String = " <eos> "): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    // explicit ROWS frame: the default RANGE frame would sum ALL peer
+    // rows of a duplicated id at once, shifting every tied row into the
+    // same (later) batch and diverging from the row-at-a-time semantics
     val w = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tokens", TextStats.tokenCount(col(textCol)).cast("long"))
       .withColumn("batch_id",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget).cast("long"))

@@ -144,7 +144,10 @@ class CurationSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "mail me at jane.doe+x@example.org or call +1 555-123-4567 now"),
       (2L, "server at 10.0.123.7 responded"),
-      (3L, "nothing sensitive here")
+      (3L, "nothing sensitive here"),
+      (4L, "call 555-123-4567 or (555) 123-4567"),   // no country code
+      (5L, "order 1234567812345678 shipped"),        // 16-digit run: not a phone
+      (6L, "reach +15551234567@relay.example.com ok") // email consumes the phone-ish span
     ).toDF("doc_id", "text")
     val got = Curation.redactPii(docs, "text")
       .select("doc_id", "text", "n_redactions")
@@ -152,6 +155,10 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L) === (("mail me at <EMAIL> or call <PHONE> now", 2L)))
     assert(got(2L) === (("server at <IP> responded", 1L)))
     assert(got(3L) === (("nothing sensitive here", 0L)))
+    assert(got(4L) === (("call <PHONE> or <PHONE>", 2L)))
+    assert(got(5L) === (("order 1234567812345678 shipped", 0L)))
+    // one placeholder inserted → count is 1, not email+phone double-counted
+    assert(got(6L) === (("reach <EMAIL> ok", 1L)))
   }
 
   test("packedSequences concatenates batch texts in doc order") {
