@@ -29,11 +29,16 @@ object CorpusPipeline {
       .write.mode("overwrite").partitionBy("split", "lang")
       .parquet(s"$base/corpus")
     val t1 = lap("curate+write", t0)
-    // quality-signal sidecar over the kept docs only
+    // quality-signal sidecar over the kept docs only, committed as a
+    // SNAPSHOT so each curation run is a reproducible, time-travelable
+    // version and concurrent readers never see a half-written sidecar
     val kept = spark.read.parquet(s"$base/corpus")
     val signals = text.Curation.repetitionRatio(kept, "doc_id", "text", 3)
       .join(text.Curation.docLogProb(kept, "doc_id", "text"), "doc_id")
-    signals.write.mode("overwrite").parquet(s"$base/signals")
+    val version = engine.Snapshots.write(signals, s"$base/signals")
+    engine.Snapshots.vacuum(spark, s"$base/signals", keepLast = 2)
+    println(s"[stage] signals v$version committed " +
+      s"(${engine.Snapshots.history(spark, s"$base/signals").count()} live)")
     val t2 = lap("signals", t1)
     val n = docs.count()
     val k = kept.count()

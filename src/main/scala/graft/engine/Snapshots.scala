@@ -87,12 +87,19 @@ object Snapshots {
     spark.read.parquet(s"$path/data/v$version")
   }
 
-  /** Commit log, newest first — `DeltaTable.history()`'s surface. */
-  def history(spark: SparkSession, path: String): DataFrame =
-    spark.read.json(s"$path/_snapshots/v*.json")
+  /** Commit log, newest first — `DeltaTable.history()`'s surface.
+    * Manifests are enumerated via the filesystem (globbing an empty
+    * `_snapshots/` would throw from inside the reader).
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val files = versions(fsFor(spark, path), path)
+      .map(v => s"$path/_snapshots/v$v.json")
+    require(files.nonEmpty, s"no snapshots at $path")
+    spark.read.json(files: _*)
       .select(col("version").cast("long"), col("dir"),
         (col("committed_at") / 1000).cast("timestamp").as("committed_at"))
       .orderBy(col("version").desc)
+  }
 
   /** VACUUM: drop every version older than the newest `keepLast`,
     * deleting whole data directories (never file-by-file inspection).
