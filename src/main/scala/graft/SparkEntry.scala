@@ -830,6 +830,22 @@ object SparkEntry {
       text.Curation.packedSequences(t(s, dir, "documents"),
           "doc_id", "text", "source", 4096L)
         .orderBy("source", "batch_id")
+    }),
+
+    "q79_dataset_card" -> ((s, dir) => {
+      // one-row corpus summary (the "dataset card"): size, token total,
+      // diversity, exact-dup rate, mean length — a single aggregation
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextStats.tokenCount(col("text")).cast("long").as("_nt"),
+          md5(col("text")).as("_h"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_nt")).as("total_tokens"),
+          count_distinct(col("lang")).as("n_langs"),
+          count_distinct(col("source")).as("n_sources"),
+          round(lit(1.0) - count_distinct(col("_h")) / count(lit(1)).cast("double"), 6)
+            .as("exact_dup_rate"),
+          round(sum(col("_nt")).cast("double") / count(lit(1)), 6).as("mean_tokens"))
     }))
 
   /** Exact n-gram Jaccard pairs (q31's oracle). q32 (MinHash+LSH with
@@ -1743,5 +1759,19 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
         |  string_agg(text, ' <eos> ' ORDER BY doc_id) AS packed_text
         |FROM packed GROUP BY source, batch_id
-        |ORDER BY source, batch_id""".stripMargin)
+        |ORDER BY source, batch_id""".stripMargin,
+
+    "q79_dataset_card" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT) AS nt,
+        |    md5(text) AS h
+        |  FROM documents)
+        |SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  round(1.0 - COUNT(DISTINCT h) / CAST(COUNT(*) AS DOUBLE), 6) AS exact_dup_rate,
+        |  round(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS mean_tokens
+        |FROM d""".stripMargin)
 }
