@@ -45,29 +45,42 @@ object Snapshots {
     * race, so concurrent commits serialize instead of corrupting.
     */
   def write(df: DataFrame, path: String, maxRetries: Int = 5): Long = {
+    val fs = fsFor(df.sparkSession, path)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val v = versions(fs, path).lastOption.getOrElse(0L) + 1L
+      if (writeVersioned(df, path, v)) return v
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"snapshot commit to $path lost $attempt version races")
+  }
+
+  /** Idempotent commit of an EXPLICIT version — the primitive a
+    * streaming sink needs for exactly-once: a replayed micro-batch maps
+    * to the same version, finds its manifest already present, and skips.
+    * A data directory left by a crash that never reached the manifest
+    * rename is discarded and rewritten. Returns false iff the version
+    * was already committed (by this or any other writer).
+    */
+  def writeVersioned(df: DataFrame, path: String, version: Long): Boolean = {
+    require(version > 0, s"versions start at 1, got $version")
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
-    var attempt = 0
-    while (true) {
-      val v = versions(fs, path).lastOption.getOrElse(0L) + 1L
-      val dataDir = s"$path/data/v$v"
-      df.write.mode("errorifexists").parquet(dataDir)
-      val dir = manifestDir(path)
-      fs.mkdirs(dir)
-      val tmp = new Path(dir, s".tmp-v$v-${System.nanoTime()}.json")
-      val out = fs.create(tmp, false)
-      out.write(
-        s"""{"version":$v,"dir":"data/v$v","committed_at":${System.currentTimeMillis()}}"""
-          .getBytes("UTF-8"))
-      out.close()
-      if (fs.rename(tmp, new Path(dir, s"v$v.json"))) return v
-      // lost the race: another writer committed v first — clean up and retry
-      fs.delete(tmp, false)
-      fs.delete(new Path(dataDir), true)
-      attempt += 1
-      require(attempt <= maxRetries, s"snapshot commit to $path lost $attempt races")
-    }
-    -1L // unreachable
+    val dir = manifestDir(path)
+    if (fs.exists(new Path(dir, s"v$version.json"))) return false
+    val dataDir = new Path(s"$path/data/v$version")
+    if (fs.exists(dataDir)) fs.delete(dataDir, true) // crashed attempt
+    df.write.parquet(dataDir.toString)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-v$version-${System.nanoTime()}.json")
+    val out = fs.create(tmp, false)
+    out.write(
+      s"""{"version":$version,"dir":"data/v$version","committed_at":${System.currentTimeMillis()}}"""
+        .getBytes("UTF-8"))
+    out.close()
+    if (fs.rename(tmp, new Path(dir, s"v$version.json"))) true
+    else { fs.delete(tmp, false); false } // lost the race: already committed
   }
 
   /** Latest committed snapshot. The scan is pinned to that version's

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming surface (SURVEY §2.11 — extension beyond the
@@ -166,6 +166,23 @@ object EventStream {
           Iterator(UserUpdate(uid, next.n, next.total))
       }
   }
+
+  /** Exactly-once streaming snapshot sink: micro-batch N commits
+    * snapshot version N+1 through [[graft.engine.Snapshots.writeVersioned]],
+    * so a replayed batch finds its manifest already present and skips —
+    * no duplicate data under retries — while concurrent readers get
+    * full snapshot isolation (they only ever see committed versions).
+    */
+  def sinkSnapshots(events: DataFrame, path: String,
+                    checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.engine.Snapshots.writeVersioned(batch, path, batchId + 1)
+        ()
+      }
+      .start()
 
   case class CuratedDoc(doc_id: Long, text: String, n_tokens: Long)
 
