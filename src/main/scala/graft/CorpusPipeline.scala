@@ -36,9 +36,8 @@ object CorpusPipeline {
     val signals = text.Curation.repetitionRatio(kept, "doc_id", "text", 3)
       .join(text.Curation.docLogProb(kept, "doc_id", "text"), "doc_id")
     val version = engine.Snapshots.write(signals, s"$base/signals")
-    engine.Snapshots.vacuum(spark, s"$base/signals", keepLast = 2)
-    println(s"[stage] signals v$version committed " +
-      s"(${engine.Snapshots.history(spark, s"$base/signals").count()} live)")
+    val reaped = engine.Snapshots.vacuum(spark, s"$base/signals", keepLast = 2)
+    println(s"[stage] signals v$version committed, ${reaped.size} vacuumed")
     val t2 = lap("signals", t1)
     val n = docs.count()
     val k = kept.count()

@@ -2,7 +2,6 @@ package graft.engine
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Manifest-pinned snapshot tables: versioned writes with atomic
   * commit, snapshot-isolated reads, time travel, and VACUUM — the
@@ -10,77 +9,146 @@ import org.apache.spark.sql.functions._
   * (src/utils/view_delta_history.py:44-75,
   * src/maintenance/delta_vacuum.py:27-45), rebuilt on plain parquet.
   *
-  * Layout: `path/data/v<N>/` holds version N's immutable files;
-  * `path/_snapshots/v<N>.json` is the commit record. A version is
-  * visible iff its manifest exists, and the manifest is the LAST thing
-  * written (tmp file + rename, which HDFS-compatible filesystems apply
-  * atomically and refuse when the destination exists — so two racing
-  * writers of the same version cannot both commit). Readers resolve the
-  * manifest once and then scan a directory no writer will ever mutate:
-  * a reader concurrent with any number of writes sees exactly one
-  * version — the isolation plain overwrite-in-place cannot give.
+  * Layout: every write attempt lands in its own UNIQUE directory
+  * `path/data/v<N>-<nonce>/` — no two writers ever touch the same
+  * files — and `path/_snapshots/v<N>.json` records which attempt won.
+  * A version is visible iff its manifest exists; the manifest is the
+  * LAST thing written (tmp file + rename). Commit ordering is enforced
+  * two ways: a JVM-wide lock per table serializes racing threads of
+  * one driver, and the rename refuses an existing destination on
+  * HDFS-semantics filesystems for cross-process races (local file://
+  * rename can overwrite, hence the lock — single-JVM local mode is the
+  * tested path; for multi-driver writers use an HDFS-compatible store).
+  * Losing attempts delete only their own directory. Readers resolve a
+  * manifest once and then scan an immutable directory: a reader
+  * concurrent with any number of writes sees exactly one version.
   *
   * Scale posture: commit cost is one rename, independent of data size;
   * reads are ordinary pruned parquet scans of the pinned directory;
-  * VACUUM deletes whole version directories, never inspecting files.
+  * VACUUM deletes whole version directories, never inspecting files,
+  * and takes a min-age so pinned-but-running readers aren't yanked.
   */
 object Snapshots {
+
+  /** One committed version's manifest. `dir` is relative to the table
+    * root; `tag` identifies the writer for idempotence checks (e.g. a
+    * streaming sink's batch id).
+    */
+  final case class Commit(version: Long, dir: String, committedAt: Long,
+                          tag: Option[String])
+
+  // serializes commits per table within this JVM (local file:// rename
+  // does not refuse an existing destination, so the rename alone is not
+  // enough to pick a single winner among racing threads)
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(path: String): Object =
+    commitLocks.computeIfAbsent(path, _ => new Object)
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir(path: String) = new Path(path, "_snapshots")
 
-  private def versions(fs: FileSystem, path: String): Seq[Long] = {
+  private val VersionRe = """"version":(\d+)""".r
+  private val DirRe = """"dir":"([^"]+)"""".r
+  private val TsRe = """"committed_at":(\d+)""".r
+  private val TagRe = """"tag":"([^"]*)"""".r
+
+  private def parseManifest(fs: FileSystem, p: Path): Option[Commit] =
+    try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      for {
+        v <- VersionRe.findFirstMatchIn(text).map(_.group(1).toLong)
+        d <- DirRe.findFirstMatchIn(text).map(_.group(1))
+        t <- TsRe.findFirstMatchIn(text).map(_.group(1).toLong)
+      } yield Commit(v, d, t, TagRe.findFirstMatchIn(text).map(_.group(1)))
+    } catch { case _: java.io.IOException => None } // vacuumed mid-read
+
+  /** Committed versions, oldest first. Tolerates concurrent vacuum:
+    * a manifest deleted between listing and reading is skipped.
+    */
+  def commits(spark: SparkSession, path: String): Seq[Commit] = {
+    val fs = fsFor(spark, path)
     val dir = manifestDir(path)
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
+    else fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
+      .flatMap(parseManifest(fs, _))
+      .sortBy(_.version).toSeq
+  }
+
+  /** Idempotent commit of an EXPLICIT version — the primitive a
+    * streaming sink needs for exactly-once. Returns false iff this
+    * version was already committed WITH THE SAME TAG (a replay — safe
+    * to skip). A pre-existing commit with a different tag is a version
+    * collision between distinct writers and throws, so data is never
+    * silently dropped. Data lands in a unique per-attempt directory:
+    * a losing attempt deletes only its own files.
+    */
+  def writeVersioned(df: DataFrame, path: String, version: Long,
+                     tag: Option[String] = None): Boolean = {
+    require(version > 0, s"versions start at 1, got $version")
+    val spark = df.sparkSession
+    val fs = fsFor(spark, path)
+    val manifest = new Path(manifestDir(path), s"v$version.json")
+
+    def verifyReplay(): Boolean = parseManifest(fs, manifest) match {
+      case Some(c) if c.tag == tag => false // same writer replaying: skip
+      case Some(c) => throw new IllegalStateException(
+        s"version $version of $path already committed by tag=${c.tag}; " +
+          s"refusing to drop this write (tag=$tag)")
+      case None => throw new IllegalStateException(
+        s"unreadable manifest $manifest") // exists but unparsable
+    }
+
+    if (fs.exists(manifest)) return verifyReplay()
+    // unique attempt directory — concurrent attempts never share files
+    val rel = s"data/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(s"$path/$rel")
+    lockFor(path).synchronized {
+      if (fs.exists(manifest)) {
+        fs.delete(new Path(s"$path/$rel"), true) // lost: drop our attempt
+        verifyReplay()
+      } else {
+        val dir = manifestDir(path)
+        fs.mkdirs(dir)
+        val tmp = new Path(dir, s".tmp-v$version-${System.nanoTime()}.json")
+        val tagJson = tag.map(t => s""","tag":"$t"""").getOrElse("")
+        val out = fs.create(tmp, false)
+        try out.write(
+          (s"""{"version":$version,"dir":"$rel"""" +
+            s""","committed_at":${System.currentTimeMillis()}$tagJson}""")
+            .getBytes("UTF-8"))
+        finally out.close()
+        if (fs.rename(tmp, manifest)) true
+        else { // cross-process race on an HDFS-semantics store
+          fs.delete(tmp, false)
+          fs.delete(new Path(s"$path/$rel"), true)
+          verifyReplay()
+        }
+      }
+    }
   }
 
   /** Commit `df` as the next version; returns the committed version id.
-    * Retries the version number if a concurrent writer wins the rename
-    * race, so concurrent commits serialize instead of corrupting.
+    * Retries the version number if a concurrent writer wins the race,
+    * so concurrent commits serialize instead of corrupting.
     */
   def write(df: DataFrame, path: String, maxRetries: Int = 5): Long = {
-    val fs = fsFor(df.sparkSession, path)
+    val tag = Some(s"write-${java.util.UUID.randomUUID()}")
     var attempt = 0
     while (attempt <= maxRetries) {
-      val v = versions(fs, path).lastOption.getOrElse(0L) + 1L
-      if (writeVersioned(df, path, v)) return v
+      val v = commits(df.sparkSession, path).lastOption.map(_.version).getOrElse(0L) + 1L
+      try {
+        if (writeVersioned(df, path, v, tag)) return v
+      } catch { case _: IllegalStateException => () } // lost the race: next v
       attempt += 1
     }
     throw new IllegalStateException(
       s"snapshot commit to $path lost $attempt version races")
-  }
-
-  /** Idempotent commit of an EXPLICIT version — the primitive a
-    * streaming sink needs for exactly-once: a replayed micro-batch maps
-    * to the same version, finds its manifest already present, and skips.
-    * A data directory left by a crash that never reached the manifest
-    * rename is discarded and rewritten. Returns false iff the version
-    * was already committed (by this or any other writer).
-    */
-  def writeVersioned(df: DataFrame, path: String, version: Long): Boolean = {
-    require(version > 0, s"versions start at 1, got $version")
-    val spark = df.sparkSession
-    val fs = fsFor(spark, path)
-    val dir = manifestDir(path)
-    if (fs.exists(new Path(dir, s"v$version.json"))) return false
-    val dataDir = new Path(s"$path/data/v$version")
-    if (fs.exists(dataDir)) fs.delete(dataDir, true) // crashed attempt
-    df.write.parquet(dataDir.toString)
-    fs.mkdirs(dir)
-    val tmp = new Path(dir, s".tmp-v$version-${System.nanoTime()}.json")
-    val out = fs.create(tmp, false)
-    out.write(
-      s"""{"version":$version,"dir":"data/v$version","committed_at":${System.currentTimeMillis()}}"""
-        .getBytes("UTF-8"))
-    out.close()
-    if (fs.rename(tmp, new Path(dir, s"v$version.json"))) true
-    else { fs.delete(tmp, false); false } // lost the race: already committed
   }
 
   /** Latest committed snapshot. The scan is pinned to that version's
@@ -88,47 +156,68 @@ object Snapshots {
     * land while the query runs.
     */
   def read(spark: SparkSession, path: String): DataFrame =
-    readVersion(spark, path,
-      versions(fsFor(spark, path), path).lastOption.getOrElse(
-        throw new IllegalArgumentException(s"no snapshots at $path")))
+    commits(spark, path).lastOption match {
+      case Some(c) => spark.read.parquet(s"$path/${c.dir}")
+      case None => throw new IllegalArgumentException(s"no snapshots at $path")
+    }
 
   /** Time travel to a specific committed version. */
-  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
-    val fs = fsFor(spark, path)
-    require(fs.exists(new Path(manifestDir(path), s"v$version.json")),
-      s"version $version of $path does not exist (vacuumed or never committed)")
-    spark.read.parquet(s"$path/data/v$version")
-  }
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
+    commits(spark, path).find(_.version == version) match {
+      case Some(c) => spark.read.parquet(s"$path/${c.dir}")
+      case None => throw new IllegalArgumentException(
+        s"version $version of $path does not exist (vacuumed or never committed)")
+    }
 
   /** Commit log, newest first — `DeltaTable.history()`'s surface.
-    * Manifests are enumerated via the filesystem (globbing an empty
-    * `_snapshots/` would throw from inside the reader).
+    * Built from driver-side manifest parses (metadata-sized), not a
+    * Spark job.
     */
   def history(spark: SparkSession, path: String): DataFrame = {
-    val files = versions(fsFor(spark, path), path)
-      .map(v => s"$path/_snapshots/v$v.json")
-    require(files.nonEmpty, s"no snapshots at $path")
-    spark.read.json(files: _*)
-      .select(col("version").cast("long"), col("dir"),
-        (col("committed_at") / 1000).cast("timestamp").as("committed_at"))
-      .orderBy(col("version").desc)
+    import spark.implicits._
+    val cs = commits(spark, path)
+    require(cs.nonEmpty, s"no snapshots at $path")
+    cs.sortBy(-_.version)
+      .map(c => (c.version, c.dir, new java.sql.Timestamp(c.committedAt)))
+      .toDF("version", "dir", "committed_at")
   }
 
   /** VACUUM: drop every version older than the newest `keepLast`,
-    * deleting whole data directories (never file-by-file inspection).
-    * Returns the removed version ids.
+    * provided it was committed at least `minAgeMs` ago — the retention
+    * window that keeps already-pinned readers from having their files
+    * deleted mid-scan (Delta's retention analog; 0 means reap
+    * immediately). Also reaps crash orphans older than `orphanAgeMs`:
+    * attempt directories that never got a manifest and tmp manifests
+    * that never renamed. Returns the removed version ids.
     */
-  def vacuum(spark: SparkSession, path: String, keepLast: Int = 1): Seq[Long] = {
+  def vacuum(spark: SparkSession, path: String, keepLast: Int = 1,
+             minAgeMs: Long = 0L,
+             orphanAgeMs: Long = 3600000L): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val fs = fsFor(spark, path)
-    val vs = versions(fs, path)
-    val doomed = vs.dropRight(keepLast)
-    doomed.foreach { v =>
+    val now = System.currentTimeMillis()
+    val cs = commits(spark, path)
+    val doomed = cs.dropRight(keepLast).filter(_.committedAt <= now - minAgeMs)
+    doomed.foreach { c =>
       // manifest first: the version disappears from readers atomically,
       // then the unreachable data dir is reclaimed
-      fs.delete(new Path(manifestDir(path), s"v$v.json"), false)
-      fs.delete(new Path(s"$path/data/v$v"), true)
+      fs.delete(new Path(manifestDir(path), s"v${c.version}.json"), false)
+      fs.delete(new Path(s"$path/${c.dir}"), true)
     }
-    doomed
+    // crash orphans: data dirs no surviving manifest references, and
+    // tmp manifests that never renamed — both only past orphanAgeMs so
+    // an in-flight writer's attempt is never reaped from under it
+    val live = commits(spark, path).map(_.dir).toSet
+    val dataRoot = new Path(path, "data")
+    if (fs.exists(dataRoot)) fs.listStatus(dataRoot)
+      .filter(s => s.isDirectory && !live.contains(s"data/${s.getPath.getName}") &&
+        s.getModificationTime <= now - orphanAgeMs)
+      .foreach(s => fs.delete(s.getPath, true))
+    val mDir = manifestDir(path)
+    if (fs.exists(mDir)) fs.listStatus(mDir)
+      .filter(s => s.getPath.getName.startsWith(".tmp-") &&
+        s.getModificationTime <= now - orphanAgeMs)
+      .foreach(s => fs.delete(s.getPath, false))
+    doomed.map(_.version)
   }
 }

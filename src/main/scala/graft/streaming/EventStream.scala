@@ -169,9 +169,12 @@ object EventStream {
 
   /** Exactly-once streaming snapshot sink: micro-batch N commits
     * snapshot version N+1 through [[graft.engine.Snapshots.writeVersioned]],
-    * so a replayed batch finds its manifest already present and skips —
-    * no duplicate data under retries — while concurrent readers get
-    * full snapshot isolation (they only ever see committed versions).
+    * tagged with the batch id — a REPLAYED batch finds its own tag on
+    * the existing manifest and skips (no duplicate data under retries),
+    * while a version collision with a foreign writer (e.g. the stream
+    * pointed at a pre-existing snapshot table) throws instead of
+    * silently dropping the batch. Concurrent readers get full snapshot
+    * isolation: they only ever see committed versions.
     */
   def sinkSnapshots(events: DataFrame, path: String,
                     checkpoint: String): StreamingQuery =
@@ -179,7 +182,8 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.engine.Snapshots.writeVersioned(batch, path, batchId + 1)
+        graft.engine.Snapshots.writeVersioned(batch, path, batchId + 1,
+          tag = Some(s"batch-$batchId"))
         ()
       }
       .start()

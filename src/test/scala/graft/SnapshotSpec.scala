@@ -6,8 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.Snapshots
 
-/** Snapshot-table semantics: versioned commit, isolation, time travel,
-  * vacuum.
+/** Snapshot-table semantics: versioned commit, isolation, idempotence,
+  * time travel, vacuum + orphan reaping.
   */
 class SnapshotSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
@@ -35,17 +35,22 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.read(spark, t).as[(Int, String)].collect().toSet === Set((2, "new")))
   }
 
-  test("writeVersioned is idempotent: a replayed version never double-commits") {
+  test("writeVersioned: same-tag replay skips, foreign-tag collision throws") {
     val t = Files.createTempDirectory("graft_snap_once").toString + "/t"
-    assert(Snapshots.writeVersioned(Seq((1, "a")).toDF("k", "v"), t, 1))
-    // replay of the same version (e.g. a retried micro-batch): skipped
-    assert(!Snapshots.writeVersioned(Seq((9, "dup")).toDF("k", "v"), t, 1))
+    assert(Snapshots.writeVersioned(Seq((1, "a")).toDF("k", "v"), t, 1,
+      tag = Some("batch-0")))
+    // replay of the same version by the same writer: skipped, data intact
+    assert(!Snapshots.writeVersioned(Seq((9, "dup")).toDF("k", "v"), t, 1,
+      tag = Some("batch-0")))
     assert(Snapshots.readVersion(spark, t, 1).as[(Int, String)].collect().toSet
       === Set((1, "a")))
-    // a crashed attempt (data dir present, no manifest) is discarded
-    Seq((7, "stale")).toDF("k", "v").write.parquet(s"$t/data/v2")
-    assert(Snapshots.writeVersioned(Seq((2, "b")).toDF("k", "v"), t, 2))
-    assert(Snapshots.read(spark, t).as[(Int, String)].collect().toSet === Set((2, "b")))
+    // a DIFFERENT writer colliding on the version must fail loudly, not
+    // silently drop its data
+    val e = intercept[IllegalStateException] {
+      Snapshots.writeVersioned(Seq((8, "x")).toDF("k", "v"), t, 1,
+        tag = Some("batch-99"))
+    }
+    assert(e.getMessage.contains("already committed"))
   }
 
   test("streaming snapshot sink commits one version per micro-batch") {
@@ -67,18 +72,26 @@ class SnapshotSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSet === Set((1L, 1.0), (2L, 2.0)))
   }
 
-  test("vacuum removes old versions and their data, keeping the newest") {
+  test("vacuum removes old versions, reaps orphans, keeps the newest") {
     val t = Files.createTempDirectory("graft_snap_vac").toString + "/t"
     (1 to 3).foreach(i => Snapshots.write(Seq((i, s"v$i")).toDF("k", "v"), t))
-    assert(Snapshots.vacuum(spark, t, keepLast = 1) === Seq(1L, 2L))
-    // latest survives; vacuumed versions are gone from history AND disk
+    // crash orphan: a data dir that never got a manifest
+    Seq((0, "orphan")).toDF("k", "v").write.parquet(s"$t/data/v9-deadbeef")
+    assert(Snapshots.vacuum(spark, t, keepLast = 1, orphanAgeMs = 0L)
+      === Seq(1L, 2L))
+    // latest survives; vacuumed versions and the orphan are gone
     assert(Snapshots.read(spark, t).as[(Int, String)].collect().toSet === Set((3, "v3")))
     assert(Snapshots.history(spark, t).count() === 1)
-    assert(!new java.io.File(s"$t/data/v1").exists())
+    assert(!new java.io.File(s"$t/data/v9-deadbeef").exists())
+    assert(new java.io.File(s"$t/data").listFiles().count(_.isDirectory) === 1)
     val e = intercept[IllegalArgumentException] {
       Snapshots.readVersion(spark, t, 1)
     }
     assert(e.getMessage.contains("vacuumed"))
+    // retention: a young version inside minAgeMs is NOT reaped
+    Snapshots.write(Seq((4, "v4")).toDF("k", "v"), t)
+    assert(Snapshots.vacuum(spark, t, keepLast = 1, minAgeMs = 3600000L) === Seq.empty)
+    assert(Snapshots.readVersion(spark, t, 3).count() === 1)
     // keepLast must retain at least one snapshot
     intercept[IllegalArgumentException] {
       Snapshots.vacuum(spark, t, keepLast = 0)
