@@ -14,46 +14,73 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * files — and `path/_snapshots/v<N>.json` records which attempt won.
   * A version is visible iff its manifest exists; the manifest is the
   * LAST thing written (tmp file + rename). Commit ordering is enforced
-  * two ways: a JVM-wide lock per table serializes racing threads of
-  * one driver, and the rename refuses an existing destination on
-  * HDFS-semantics filesystems for cross-process races (local file://
-  * rename can overwrite, hence the lock — single-JVM local mode is the
-  * tested path; for multi-driver writers use an HDFS-compatible store).
-  * Losing attempts delete only their own directory. Readers resolve a
-  * manifest once and then scan an immutable directory: a reader
-  * concurrent with any number of writes sees exactly one version.
+  * two ways: a JVM-wide lock per qualified table URI serializes racing
+  * threads of one driver, and the rename refuses an existing
+  * destination on HDFS-semantics filesystems for cross-process races
+  * (local file:// rename can overwrite, hence the lock — single-JVM
+  * local mode is the tested path; for multi-driver writers use an
+  * HDFS-compatible store). Losing attempts delete only their own
+  * directory. Readers resolve one manifest and then scan an immutable
+  * directory: a reader concurrent with any number of writes sees
+  * exactly one version.
   *
-  * Scale posture: commit cost is one rename, independent of data size;
-  * reads are ordinary pruned parquet scans of the pinned directory;
-  * VACUUM deletes whole version directories, never inspecting files,
-  * and takes a min-age so pinned-but-running readers aren't yanked.
+  * Scale posture: version discovery lists manifest FILENAMES only;
+  * read/readVersion/write parse at most one manifest each, so hot
+  * paths stay O(listing) however many versions accumulate (history and
+  * vacuum, the maintenance calls, parse what they enumerate). Commit
+  * cost is one rename, independent of data size; VACUUM deletes whole
+  * version directories, never inspecting files, and takes a min-age so
+  * pinned-but-running readers aren't yanked.
   */
 object Snapshots {
 
   /** One committed version's manifest. `dir` is relative to the table
     * root; `tag` identifies the writer for idempotence checks (e.g. a
-    * streaming sink's batch id).
+    * streaming sink's app+batch id).
     */
   final case class Commit(version: Long, dir: String, committedAt: Long,
                           tag: Option[String])
 
   // serializes commits per table within this JVM (local file:// rename
   // does not refuse an existing destination, so the rename alone is not
-  // enough to pick a single winner among racing threads)
+  // enough to pick a single winner among racing threads). Keyed by the
+  // QUALIFIED URI so "/tmp/t", "file:/tmp/t", and "/tmp/t/" share a lock.
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def lockFor(path: String): Object =
-    commitLocks.computeIfAbsent(path, _ => new Object)
+  private def lockFor(fs: FileSystem, path: String): Object =
+    commitLocks.computeIfAbsent(
+      fs.makeQualified(new Path(path)).toString.stripSuffix("/"),
+      _ => new Object)
+
+  // tags are embedded in hand-rolled JSON and parsed back with a regex:
+  // restrict them to characters that survive both directions verbatim
+  private val TagChars = "[A-Za-z0-9._#-]*".r
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     FileSystem.get(new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir(path: String) = new Path(path, "_snapshots")
 
+  private val NameRe = """v(\d+)\.json""".r
   private val VersionRe = """"version":(\d+)""".r
   private val DirRe = """"dir":"([^"]+)"""".r
   private val TsRe = """"committed_at":(\d+)""".r
   private val TagRe = """"tag":"([^"]*)"""".r
+
+  /** Committed version ids, oldest first — filename-based, so a
+    * corrupt manifest still occupies its version number (it can be
+    * read-blocked but never silently reassigned to a new writer).
+    */
+  def versions(spark: SparkSession, path: String): Seq[Long] =
+    versionNames(fsFor(spark, path), path)
+
+  private def versionNames(fs: FileSystem, path: String): Seq[Long] = {
+    val dir = manifestDir(path)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case NameRe(v) => v.toLong }
+      .toSeq.sorted
+  }
 
   private def parseManifest(fs: FileSystem, p: Path): Option[Commit] =
     try {
@@ -67,48 +94,50 @@ object Snapshots {
       } yield Commit(v, d, t, TagRe.findFirstMatchIn(text).map(_.group(1)))
     } catch { case _: java.io.IOException => None } // vacuumed mid-read
 
-  /** Committed versions, oldest first. Tolerates concurrent vacuum:
-    * a manifest deleted between listing and reading is skipped.
+  private def commitOf(fs: FileSystem, path: String, version: Long): Option[Commit] =
+    parseManifest(fs, new Path(manifestDir(path), s"v$version.json"))
+
+  /** All committed versions with manifests parsed, oldest first —
+    * maintenance-path helper (history, vacuum). Skips manifests a
+    * concurrent vacuum deletes between listing and reading.
     */
   def commits(spark: SparkSession, path: String): Seq[Commit] = {
     val fs = fsFor(spark, path)
-    val dir = manifestDir(path)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).map(_.getPath)
-      .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
-      .flatMap(parseManifest(fs, _))
-      .sortBy(_.version).toSeq
+    versionNames(fs, path).flatMap(commitOf(fs, path, _))
   }
 
   /** Idempotent commit of an EXPLICIT version — the primitive a
     * streaming sink needs for exactly-once. Returns false iff this
     * version was already committed WITH THE SAME TAG (a replay — safe
-    * to skip). A pre-existing commit with a different tag is a version
-    * collision between distinct writers and throws, so data is never
-    * silently dropped. Data lands in a unique per-attempt directory:
-    * a losing attempt deletes only its own files.
+    * to skip). A pre-existing commit with a different (or no) tag is a
+    * version collision between distinct writers and throws, so data is
+    * never silently dropped. Data lands in a unique per-attempt
+    * directory: a losing attempt deletes only its own files.
     */
   def writeVersioned(df: DataFrame, path: String, version: Long,
                      tag: Option[String] = None): Boolean = {
     require(version > 0, s"versions start at 1, got $version")
+    tag.foreach(t => require(TagChars.pattern.matcher(t).matches(),
+      s"tag must match ${TagChars.regex}, got '$t'"))
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val manifest = new Path(manifestDir(path), s"v$version.json")
 
     def verifyReplay(): Boolean = parseManifest(fs, manifest) match {
-      case Some(c) if c.tag == tag => false // same writer replaying: skip
-      case Some(c) => throw new IllegalStateException(
+      case Some(c) if c.tag == tag && tag.isDefined => false // replay: skip
+      case Some(c) => throw new SnapshotConflict(
         s"version $version of $path already committed by tag=${c.tag}; " +
           s"refusing to drop this write (tag=$tag)")
       case None => throw new IllegalStateException(
-        s"unreadable manifest $manifest") // exists but unparsable
+        s"manifest $manifest exists but is unreadable/corrupt — " +
+          "repair or remove it before writing this version")
     }
 
     if (fs.exists(manifest)) return verifyReplay()
     // unique attempt directory — concurrent attempts never share files
     val rel = s"data/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$path/$rel")
-    lockFor(path).synchronized {
+    lockFor(fs, path).synchronized {
       if (fs.exists(manifest)) {
         fs.delete(new Path(s"$path/$rel"), true) // lost: drop our attempt
         verifyReplay()
@@ -133,18 +162,24 @@ object Snapshots {
     }
   }
 
+  /** Thrown when a version is already committed by a different writer. */
+  final class SnapshotConflict(msg: String) extends IllegalStateException(msg)
+
   /** Commit `df` as the next version; returns the committed version id.
-    * Retries the version number if a concurrent writer wins the race,
-    * so concurrent commits serialize instead of corrupting.
+    * Retries the next number if a concurrent writer wins the race, so
+    * concurrent commits serialize instead of corrupting. (Version
+    * numbering is filename-based, so a corrupt manifest blocks reads of
+    * ITS version but never this path.)
     */
   def write(df: DataFrame, path: String, maxRetries: Int = 5): Long = {
     val tag = Some(s"write-${java.util.UUID.randomUUID()}")
+    val fs = fsFor(df.sparkSession, path)
     var attempt = 0
     while (attempt <= maxRetries) {
-      val v = commits(df.sparkSession, path).lastOption.map(_.version).getOrElse(0L) + 1L
+      val v = versionNames(fs, path).lastOption.getOrElse(0L) + 1L
       try {
         if (writeVersioned(df, path, v, tag)) return v
-      } catch { case _: IllegalStateException => () } // lost the race: next v
+      } catch { case _: SnapshotConflict => () } // lost the race: next v
       attempt += 1
     }
     throw new IllegalStateException(
@@ -153,21 +188,27 @@ object Snapshots {
 
   /** Latest committed snapshot. The scan is pinned to that version's
     * immutable directory, so it stays consistent however many writes
-    * land while the query runs.
+    * land while the query runs. Parses exactly one manifest.
     */
-  def read(spark: SparkSession, path: String): DataFrame =
-    commits(spark, path).lastOption match {
-      case Some(c) => spark.read.parquet(s"$path/${c.dir}")
-      case None => throw new IllegalArgumentException(s"no snapshots at $path")
-    }
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsFor(spark, path)
+    val last = versionNames(fs, path).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no snapshots at $path"))
+    readVersion(spark, path, last)
+  }
 
   /** Time travel to a specific committed version. */
-  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
-    commits(spark, path).find(_.version == version) match {
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val fs = fsFor(spark, path)
+    commitOf(fs, path, version) match {
       case Some(c) => spark.read.parquet(s"$path/${c.dir}")
+      case None if versionNames(fs, path).contains(version) =>
+        throw new IllegalStateException(
+          s"manifest for version $version of $path is unreadable/corrupt")
       case None => throw new IllegalArgumentException(
         s"version $version of $path does not exist (vacuumed or never committed)")
     }
+  }
 
   /** Commit log, newest first — `DeltaTable.history()`'s surface.
     * Built from driver-side manifest parses (metadata-sized), not a
@@ -186,9 +227,11 @@ object Snapshots {
     * provided it was committed at least `minAgeMs` ago — the retention
     * window that keeps already-pinned readers from having their files
     * deleted mid-scan (Delta's retention analog; 0 means reap
-    * immediately). Also reaps crash orphans older than `orphanAgeMs`:
-    * attempt directories that never got a manifest and tmp manifests
-    * that never renamed. Returns the removed version ids.
+    * immediately). Also reaps crash orphans: attempt directories that
+    * never got a manifest and tmp manifests that never renamed, both
+    * only past `orphanAgeMs` — and a directory with a live `_temporary`
+    * child (a Spark write still in flight) is left alone until it is a
+    * day old regardless. Returns the removed version ids.
     */
   def vacuum(spark: SparkSession, path: String, keepLast: Int = 1,
              minAgeMs: Long = 0L,
@@ -205,13 +248,17 @@ object Snapshots {
       fs.delete(new Path(s"$path/${c.dir}"), true)
     }
     // crash orphans: data dirs no surviving manifest references, and
-    // tmp manifests that never renamed — both only past orphanAgeMs so
-    // an in-flight writer's attempt is never reaped from under it
+    // tmp manifests that never renamed
     val live = commits(spark, path).map(_.dir).toSet
     val dataRoot = new Path(path, "data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot)
-      .filter(s => s.isDirectory && !live.contains(s"data/${s.getPath.getName}") &&
-        s.getModificationTime <= now - orphanAgeMs)
+      .filter { s =>
+        val age = now - s.getModificationTime
+        val inFlight = fs.exists(new Path(s.getPath, "_temporary"))
+        s.isDirectory && !live.contains(s"data/${s.getPath.getName}") &&
+          (if (inFlight) age >= math.max(orphanAgeMs, 86400000L)
+           else age >= orphanAgeMs)
+      }
       .foreach(s => fs.delete(s.getPath, true))
     val mDir = manifestDir(path)
     if (fs.exists(mDir)) fs.listStatus(mDir)

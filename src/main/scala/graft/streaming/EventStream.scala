@@ -169,24 +169,30 @@ object EventStream {
 
   /** Exactly-once streaming snapshot sink: micro-batch N commits
     * snapshot version N+1 through [[graft.engine.Snapshots.writeVersioned]],
-    * tagged with the batch id — a REPLAYED batch finds its own tag on
-    * the existing manifest and skips (no duplicate data under retries),
-    * while a version collision with a foreign writer (e.g. the stream
-    * pointed at a pre-existing snapshot table) throws instead of
-    * silently dropping the batch. Concurrent readers get full snapshot
-    * isolation: they only ever see committed versions.
+    * tagged `<appId>#batch-N` (Delta's txnAppId pattern). The app id
+    * defaults to a hash of the checkpoint location, so a RESTART of the
+    * same stream (same checkpoint) recognizes its own replays and
+    * skips, while a DIFFERENT stream — fresh checkpoint, or any foreign
+    * writer — colliding on a version throws instead of silently
+    * dropping its batch. (Re-pointing a brand-new checkpoint at an old
+    * table is therefore a loud error, not data loss.) Concurrent
+    * readers get full snapshot isolation: they only ever see committed
+    * versions.
     */
-  def sinkSnapshots(events: DataFrame, path: String,
-                    checkpoint: String): StreamingQuery =
+  def sinkSnapshots(events: DataFrame, path: String, checkpoint: String,
+                    appId: Option[String] = None): StreamingQuery = {
+    val app = appId.getOrElse(
+      "ck" + java.lang.Integer.toHexString(checkpoint.hashCode))
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.engine.Snapshots.writeVersioned(batch, path, batchId + 1,
-          tag = Some(s"batch-$batchId"))
+          tag = Some(s"$app#batch-$batchId"))
         ()
       }
       .start()
+  }
 
   case class CuratedDoc(doc_id: Long, text: String, n_tokens: Long)
 

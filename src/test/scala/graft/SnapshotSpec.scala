@@ -72,6 +72,26 @@ class SnapshotSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSet === Set((1L, 1.0), (2L, 2.0)))
   }
 
+  test("a corrupt manifest blocks its own version loudly but not new writes") {
+    val t = Files.createTempDirectory("graft_snap_corrupt").toString + "/t"
+    Snapshots.write(Seq((1, "a")).toDF("k", "v"), t)
+    // simulate external corruption of a manifest
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_snapshots/v2.json"),
+      "garbage".getBytes("UTF-8"))
+    // new writes skip past the occupied-but-corrupt version number
+    assert(Snapshots.write(Seq((3, "c")).toDF("k", "v"), t) === 3L)
+    assert(Snapshots.read(spark, t).as[(Int, String)].collect().toSet === Set((3, "c")))
+    // reading the corrupt version itself is a loud, specific error
+    val e = intercept[IllegalStateException] { Snapshots.readVersion(spark, t, 2) }
+    assert(e.getMessage.contains("corrupt"))
+    // tags that would not survive the manifest round-trip are rejected
+    intercept[IllegalArgumentException] {
+      Snapshots.writeVersioned(Seq((4, "d")).toDF("k", "v"), t, 9,
+        tag = Some("""bad"quote"""))
+    }
+  }
+
   test("vacuum removes old versions, reaps orphans, keeps the newest") {
     val t = Files.createTempDirectory("graft_snap_vac").toString + "/t"
     (1 to 3).foreach(i => Snapshots.write(Seq((i, s"v$i")).toDF("k", "v"), t))
