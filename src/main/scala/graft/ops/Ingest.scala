@@ -122,6 +122,28 @@ object Ingest {
   def fromJson(spark: SparkSession, json: Dataset[String]): DataFrame =
     spark.read.json(json)
 
+  /** CSV ingestion with an explicit schema — the read half of the
+    * reference's CSV round trip (it only exports,
+    * `silver_to_gold_crypto_stats.py:104-111`). PERMISSIVE mode keeps
+    * malformed rows observable instead of dying mid-scan: fields that
+    * fail to parse come back null and the raw line is preserved in
+    * `_corrupt_record` for quarantine — the pattern a 100 TB ingest of
+    * third-party CSV needs (fail-fast only on schema you control).
+    * Caveat: corruption is judged against the columns a query actually
+    * reads (column pruning reaches the CSV parser), so quarantine
+    * passes should cache or select the full schema before filtering on
+    * `_corrupt_record`.
+    */
+  def fromCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType,
+              header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+
   /** Seeded per-stratum sampling (training-data curation: down-weight
     * over-represented sources). `fractions` maps stratum value → keep
     * fraction; strata absent from the map are dropped. Map-side only —

@@ -2,6 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
+import org.apache.spark.sql.functions.col
+
 import graft.ops.Ingest
 
 /** Ingestion sources: paged REST-style fetch (S1), safe-coerced
@@ -67,5 +69,25 @@ class IngestSpec extends AnyFunSuite {
     // same seed → identical sample (reproducible curation)
     val again = Ingest.stratifiedSample(docs, "source", fracs, seed = 42L).count()
     assert(again === sampled.count())
+  }
+
+  test("csv ingestion parses typed rows and quarantines malformed ones") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv_in")
+    java.nio.file.Files.write(dir.resolve("in.csv"),
+      "id,price\n1,10.5\n2,notanumber\n3,7.25\n".getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("price", DoubleType)))
+    // cache so the full schema parses once: with column pruning, a scan
+    // that never reads `price` would not notice row 2 is malformed
+    val got = Ingest.fromCsv(spark, dir.toString, schema).cache()
+    got.count()
+    val good = got.filter(col("_corrupt_record").isNull)
+      .select("id", "price").as[(Long, Double)].collect().toSet
+    assert(good === Set((1L, 10.5), (3L, 7.25)))
+    // the malformed row survives for quarantine with its raw line intact
+    val bad = got.filter(col("_corrupt_record").isNotNull)
+      .select("id", "_corrupt_record").as[(Long, String)].collect()
+    assert(bad.toSeq === Seq((2L, "2,notanumber")))
   }
 }
