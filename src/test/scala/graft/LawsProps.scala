@@ -124,6 +124,37 @@ object LawsProps extends Properties("graft.laws") {
       }
     }
 
+  property("tokenChunks: chunks tile the token stream with exact overlap") =
+    forAll(Gen.choose(1, 40), Gen.choose(1, 8), Gen.choose(1, 8)) { (n, size0, stride0) =>
+      val stride = math.min(stride0, size0)
+      val toks = (1 to n).map(i => s"t$i")
+      val got = graft.text.Curation.tokenChunks(
+        Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"), "doc_id", "text",
+        size0, stride)
+        .orderBy("chunk_idx")
+        .select("chunk_text").as[String].collect().map(_.split(" ").toSeq)
+      val expect = (0 until n by stride).map(s => toks.slice(s, s + size0))
+      got.toSeq == expect
+    }
+
+  property("cohortRetention: equals the brute-force per-user offset count") =
+    forAll(Gen.listOfN(20, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 12L)))) { evs =>
+      evs.nonEmpty ==> {
+        val rows = evs.map { case (u, day) =>
+          (u, java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 10:00:00")) }
+        val got = graft.ops.Stats.cohortRetention(
+          rows.toDF("user_id", "ts"), "user_id", "ts", 7)
+          .as[(java.sql.Date, Long, Long)].collect()
+          .map(r => (r._1.toString, r._2) -> r._3).toMap
+        val firstDay = evs.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).min }
+        val expect = evs.map { case (u, day) => (u, firstDay(u), day - firstDay(u)) }
+          .filter(_._3 <= 7).distinct
+          .groupBy { case (_, f, off) => (f"2024-01-${f + 1}%02d", off) }
+          .map { case (k, g) => k -> g.map(_._1).distinct.size.toLong }
+        got == expect
+      }
+    }
+
   property("connectedComponents: equals driver-side union-find on any graph") =
     forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { es =>
       val edges = es.filter { case (a, b) => a != b }

@@ -72,6 +72,31 @@ class SnapshotSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSet === Set((1L, 1.0), (2L, 2.0)))
   }
 
+  test("snapshot sink restart resumes from the checkpoint without duplicate versions") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = Files.createTempDirectory("graft_snap_restart").toString
+    val mem = MemoryStream[(Long, Double)]
+    val q1 = graft.streaming.EventStream.sinkSnapshots(
+      mem.toDF().toDF("id", "value"), s"$t/table", s"$t/chk")
+    mem.addData((1L, 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart against the SAME checkpoint: the batch counter continues,
+    // so new data becomes version 2 — never a re-commit of version 1
+    val q2 = graft.streaming.EventStream.sinkSnapshots(
+      mem.toDF().toDF("id", "value"), s"$t/table", s"$t/chk")
+    mem.addData((2L, 2.0))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(Snapshots.history(spark, s"$t/table")
+      .select("version").as[Long].collect().toSeq === Seq(2L, 1L))
+    assert(Snapshots.readVersion(spark, s"$t/table", 1)
+      .as[(Long, Double)].collect().toSet === Set((1L, 1.0)))
+    assert(Snapshots.readVersion(spark, s"$t/table", 2)
+      .as[(Long, Double)].collect().toSet === Set((2L, 2.0)))
+  }
+
   test("a corrupt manifest blocks its own version loudly but not new writes") {
     val t = Files.createTempDirectory("graft_snap_corrupt").toString + "/t"
     Snapshots.write(Seq((1, "a")).toDF("k", "v"), t)
