@@ -156,7 +156,10 @@ object Snapshots {
         else { // cross-process race on an HDFS-semantics store
           fs.delete(tmp, false)
           fs.delete(new Path(s"$path/$rel"), true)
-          verifyReplay()
+          if (fs.exists(manifest)) verifyReplay()
+          else throw new SnapshotConflict( // no winner: transient failure
+            s"commit rename for version $version of $path failed with no " +
+              "competing manifest — retryable")
         }
       }
     }
@@ -202,7 +205,7 @@ object Snapshots {
     val fs = fsFor(spark, path)
     commitOf(fs, path, version) match {
       case Some(c) => spark.read.parquet(s"$path/${c.dir}")
-      case None if versionNames(fs, path).contains(version) =>
+      case None if fs.exists(new Path(manifestDir(path), s"v$version.json")) =>
         throw new IllegalStateException(
           s"manifest for version $version of $path is unreadable/corrupt")
       case None => throw new IllegalArgumentException(
@@ -247,19 +250,31 @@ object Snapshots {
       fs.delete(new Path(manifestDir(path), s"v${c.version}.json"), false)
       fs.delete(new Path(s"$path/${c.dir}"), true)
     }
-    // crash orphans: data dirs no surviving manifest references, and
-    // tmp manifests that never renamed
-    val live = commits(spark, path).map(_.dir).toSet
+    // crash orphans among attempt directories. Classification per dir
+    // `v<N>-<nonce>`: no manifest for N at all → a crashed first
+    // attempt, reap; manifest present and PARSEABLE but pointing at a
+    // different dir → a crashed losing attempt, reap; manifest present
+    // but CORRUPT → the dir may hold committed data, leave it for the
+    // repair the read errors instruct. Cheap checks run first; the
+    // per-dir _temporary probe (a Spark write still in flight gets a
+    // day's grace) only fires for actual reap candidates.
+    val AttemptRe = """v(\d+)-.+""".r
+    val manifested = versionNames(fs, path).toSet
     val dataRoot = new Path(path, "data")
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot)
-      .filter { s =>
-        val age = now - s.getModificationTime
-        val inFlight = fs.exists(new Path(s.getPath, "_temporary"))
-        s.isDirectory && !live.contains(s"data/${s.getPath.getName}") &&
-          (if (inFlight) age >= math.max(orphanAgeMs, 86400000L)
-           else age >= orphanAgeMs)
+      .filter(s => s.isDirectory && (now - s.getModificationTime) >= orphanAgeMs)
+      .foreach { s =>
+        val candidate = s.getPath.getName match {
+          case AttemptRe(v) if !manifested.contains(v.toLong) => true
+          case AttemptRe(v) => commitOf(fs, path, v.toLong)
+            .exists(_.dir != s"data/${s.getPath.getName}") // loser, not corrupt
+          case _ => false // unknown layout: never ours to delete
+        }
+        val inFlightGrace = (now - s.getModificationTime) <
+          math.max(orphanAgeMs, 86400000L) &&
+          fs.exists(new Path(s.getPath, "_temporary"))
+        if (candidate && !inFlightGrace) fs.delete(s.getPath, true)
       }
-      .foreach(s => fs.delete(s.getPath, true))
     val mDir = manifestDir(path)
     if (fs.exists(mDir)) fs.listStatus(mDir)
       .filter(s => s.getPath.getName.startsWith(".tmp-") &&

@@ -170,19 +170,31 @@ object EventStream {
   /** Exactly-once streaming snapshot sink: micro-batch N commits
     * snapshot version N+1 through [[graft.engine.Snapshots.writeVersioned]],
     * tagged `<appId>#batch-N` (Delta's txnAppId pattern). The app id
-    * defaults to a hash of the checkpoint location, so a RESTART of the
-    * same stream (same checkpoint) recognizes its own replays and
-    * skips, while a DIFFERENT stream — fresh checkpoint, or any foreign
-    * writer — colliding on a version throws instead of silently
-    * dropping its batch. (Re-pointing a brand-new checkpoint at an old
-    * table is therefore a loud error, not data loss.) Concurrent
-    * readers get full snapshot isolation: they only ever see committed
+    * defaults to a random UUID PERSISTED INSIDE the checkpoint
+    * directory, so it shares the checkpoint's lifecycle exactly: a
+    * restart of the same stream reads the same id back and recognizes
+    * its own replays, while a recreated/deleted checkpoint — or any
+    * other foreign writer — gets a fresh id and a version collision
+    * throws instead of silently dropping its batch. Concurrent readers
+    * get full snapshot isolation: they only ever see committed
     * versions.
     */
   def sinkSnapshots(events: DataFrame, path: String, checkpoint: String,
                     appId: Option[String] = None): StreamingQuery = {
-    val app = appId.getOrElse(
-      "ck" + java.lang.Integer.toHexString(checkpoint.hashCode))
+    val app = appId.getOrElse {
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(checkpoint),
+        events.sparkSession.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(checkpoint, "_graft_app_id")
+      if (!fs.exists(marker)) {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(checkpoint))
+        val out = fs.create(marker, false)
+        try out.write(s"app-${java.util.UUID.randomUUID()}".getBytes("UTF-8"))
+        finally out.close()
+      }
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
