@@ -153,13 +153,21 @@ object Snapshots {
             .getBytes("UTF-8"))
         finally out.close()
         if (fs.rename(tmp, manifest)) true
-        else { // cross-process race on an HDFS-semantics store
+        else { // rename reported false: inspect who (if anyone) won
           fs.delete(tmp, false)
-          fs.delete(new Path(s"$path/$rel"), true)
-          if (fs.exists(manifest)) verifyReplay()
-          else throw new SnapshotConflict( // no winner: transient failure
-            s"commit rename for version $version of $path failed with no " +
-              "competing manifest — retryable")
+          parseManifest(fs, manifest) match {
+            case Some(c) if c.dir == rel => true // OUR rename actually
+              // landed despite the false return (retried-RPC ambiguity):
+              // the data dir must survive
+            case Some(_) =>
+              fs.delete(new Path(s"$path/$rel"), true)
+              verifyReplay()
+            case None =>
+              fs.delete(new Path(s"$path/$rel"), true)
+              throw new SnapshotConflict( // no winner: transient failure
+                s"commit rename for version $version of $path failed with " +
+                  "no competing manifest — retryable")
+          }
         }
       }
     }
@@ -265,12 +273,15 @@ object Snapshots {
       .filter(s => s.isDirectory && (now - s.getModificationTime) >= orphanAgeMs)
       .foreach { s =>
         val candidate = s.getPath.getName match {
-          case AttemptRe(v) if !manifested.contains(v.toLong) => true
-          case AttemptRe(v) => commitOf(fs, path, v.toLong)
-            .exists(_.dir != s"data/${s.getPath.getName}") // loser, not corrupt
+          case AttemptRe(v) if v.length <= 18 => // Long-safe version field
+            val vn = v.toLong
+            !manifested.contains(vn) ||
+              commitOf(fs, path, vn)
+                .exists(_.dir != s"data/${s.getPath.getName}") // loser, not corrupt
           case _ => false // unknown layout: never ours to delete
         }
-        val inFlightGrace = (now - s.getModificationTime) <
+        // the _temporary probe only fires for actual reap candidates
+        def inFlightGrace: Boolean = (now - s.getModificationTime) <
           math.max(orphanAgeMs, 86400000L) &&
           fs.exists(new Path(s.getPath, "_temporary"))
         if (candidate && !inFlightGrace) fs.delete(s.getPath, true)

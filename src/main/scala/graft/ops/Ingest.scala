@@ -136,13 +136,16 @@ object Ingest {
     */
   def fromCsv(spark: SparkSession, path: String,
               schema: org.apache.spark.sql.types.StructType,
-              header: Boolean = true): DataFrame =
+              header: Boolean = true): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not predeclare _corrupt_record — fromCsv appends it")
     spark.read
       .option("header", header.toString)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema.add("_corrupt_record", "string"))
       .csv(path)
+  }
 
   /** Seeded per-stratum sampling (training-data curation: down-weight
     * over-represented sources). `fractions` maps stratum value → keep

@@ -185,15 +185,30 @@ object EventStream {
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(checkpoint),
         events.sparkSession.sparkContext.hadoopConfiguration)
       val marker = new org.apache.hadoop.fs.Path(checkpoint, "_graft_app_id")
-      if (!fs.exists(marker)) {
+      def readMarker(): String =
+        if (!fs.exists(marker)) "" else {
+          val in = fs.open(marker)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        }
+      var id = readMarker()
+      if (id.isEmpty) { // absent, or a crash left it empty: (re)create
         fs.mkdirs(new org.apache.hadoop.fs.Path(checkpoint))
-        val out = fs.create(marker, false)
+        // full content lands via tmp + rename so the marker is never
+        // observable half-written; losing a creation race is fine — the
+        // surviving marker is re-read below either way
+        val tmp = new org.apache.hadoop.fs.Path(checkpoint,
+          s"._graft_app_id-${java.util.UUID.randomUUID()}")
+        val out = fs.create(tmp, false)
         try out.write(s"app-${java.util.UUID.randomUUID()}".getBytes("UTF-8"))
         finally out.close()
+        if (fs.exists(marker)) fs.delete(marker, false) // replace empty
+        fs.rename(tmp, marker)
+        fs.delete(tmp, false) // no-op when the rename moved it
+        id = readMarker()
       }
-      val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
+      require(id.nonEmpty, s"could not establish an app id under $checkpoint")
+      id
     }
     events.writeStream
       .option("checkpointLocation", checkpoint)
