@@ -832,6 +832,28 @@ object SparkEntry {
         .orderBy("source", "batch_id")
     }),
 
+    "q80_source_quality" -> ((s, dir) => {
+      // per-source quality dashboard: mean repetition ratio and mean
+      // corpus-LM logprob per source — the table a curation run uses to
+      // decide per-source mixture weights. Joins two per-doc signal
+      // relations on doc_id (both already doc-partitioned) then one
+      // small aggregation; means go through exact decimals
+      val docs = t(s, dir, "documents")
+      val rep = text.Curation.repetitionRatio(docs, "doc_id", "text", 3)
+        .select(col("doc_id"), col("dup_ratio"))
+      val lp = text.Curation.docLogProb(docs, "doc_id", "text")
+        .select(col("doc_id"), col("avg_logprob"))
+      docs.select(col("doc_id"), col("source"))
+        .join(rep, "doc_id").join(lp, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("dup_ratio").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)), 6).as("mean_dup_ratio"),
+          round(sum(col("avg_logprob").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)), 6).as("mean_logprob"))
+        .orderBy("source")
+    }),
+
     "q79_dataset_card" -> ((s, dir) => {
       // one-row corpus summary (the "dataset card"): size, token total,
       // diversity, exact-dup rate, mean length — a single aggregation
@@ -1773,5 +1795,47 @@ object SparkEntry {
         |  COUNT(DISTINCT source) AS n_sources,
         |  round(1.0 - COUNT(DISTINCT h) / CAST(COUNT(*) AS DOUBLE), 6) AS exact_dup_rate,
         |  round(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS mean_tokens
-        |FROM d""".stripMargin)
+        |FROM d""".stripMargin,
+
+    "q80_source_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM toks),
+        |g AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+        |  FROM words a
+        |  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 3),
+        |rep AS (
+        |  SELECT doc_id,
+        |    ROUND((COUNT(*) - COUNT(DISTINCT sh)) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+        |  FROM g GROUP BY doc_id),
+        |bg AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word AS bigram
+        |  FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) < 2),
+        |lm AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY 1),
+        |lm2 AS (
+        |  SELECT bigram, n,
+        |    SUM(n) OVER (PARTITION BY split_part(bigram, ' ', 1)) AS nw1
+        |  FROM lm),
+        |lp AS (
+        |  SELECT doc_id,
+        |    ROUND(CAST(SUM(CAST(ROUND(ln(CAST(n AS DOUBLE) / nw1), 9) AS DECIMAL(20,9))) AS DOUBLE)
+        |      / COUNT(*), 6) AS avg_logprob
+        |  FROM bg JOIN lm2 USING (bigram) GROUP BY doc_id)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  round(CAST(SUM(CAST(rep.dup_ratio AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_dup_ratio,
+        |  round(CAST(SUM(CAST(lp.avg_logprob AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_logprob
+        |FROM documents d
+        |JOIN rep ON rep.doc_id = d.doc_id
+        |JOIN lp ON lp.doc_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)
 }
