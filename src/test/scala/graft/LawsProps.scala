@@ -155,6 +155,75 @@ object LawsProps extends Properties("graft.laws") {
       }
     }
 
+  property("gapFillHourly: every cell carries the latest at-or-before observation") =
+    forAll(Gen.listOfN(12, Gen.zip(
+      // integral values: the operator sums exact DECIMAL(18,6) casts,
+      // so the brute force must not accumulate raw-double digits
+      Gen.oneOf("a", "b"), Gen.choose(0, 8), Gen.choose(1, 9).map(_.toDouble)))) { obs =>
+      obs.nonEmpty ==> {
+        val rows = obs.map { case (k, h, v) =>
+          (k, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00"), v) }
+        val got = graft.ops.Windows.gapFillHourly(
+          rows.toDF("event_type", "ts", "value"), "event_type", "ts", "value")
+          .as[(String, java.sql.Timestamp, Option[Double], Boolean)].collect()
+          .map(r => (r._1, r._2.toLocalDateTime.getHour) -> (r._3, r._4)).toMap
+        val hours = obs.map(_._2)
+        val grid = for (k <- obs.map(_._1).distinct; h <- hours.min to hours.max)
+          yield (k, h)
+        // brute force: hourly mean where observed, else last earlier mean
+        def mean(k: String, h: Int): Option[Double] = {
+          val vs = obs.filter(o => o._1 == k && o._2 == h).map(_._3)
+          if (vs.isEmpty) None
+          else Some(math.rint(vs.sum / vs.size * 1e6) / 1e6)
+        }
+        got.keySet == grid.toSet && grid.forall { case (k, h) =>
+          val expect = (hours.min to h).reverse.collectFirst(
+            Function.unlift(hh => mean(k, hh)))
+          got((k, h)) == ((expect, mean(k, h).isEmpty))
+        }
+      }
+    }
+
+  property("knnGraphBucketed: equals brute-force in-bucket ranking") =
+    forAll(Gen.listOfN(8, Gen.zip(
+      Gen.choose(0, 1), Gen.listOfN(3, Gen.choose(1.0f, 9.0f))))) { vecs =>
+      val rows = vecs.zipWithIndex.map { case ((b, v), i) => (i.toLong, v, b) }
+      val got = graft.vector.Similarity.knnGraphBucketed(
+        rows.toDF("vec_id", "embedding", "label"), "vec_id", "embedding", "label", 2)
+        .as[(Long, Long, Double, Long)].collect()
+        .map(r => (r._1, r._4) -> r._2).toMap
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        def dot(x: Seq[Float], y: Seq[Float]) =
+          x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+        math.rint(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6) / 1e6
+      }
+      rows.forall { case (id, v, b) =>
+        val expect = rows.filter(r => r._3 == b && r._1 != id)
+          .map(r => (cos(v, r._2), r._1))
+          .sortBy { case (c, rid) => (-c, rid) }.take(2).map(_._2)
+        expect.zipWithIndex.forall { case (rid, k) => got((id, k + 1L)) == rid }
+      }
+    }
+
+  property("contamination: n_shared equals the brute-force shingle intersection") =
+    forAll(
+      Gen.listOfN(6, Gen.listOfN(6, Gen.choose('a', 'e').map(_.toString)))) { wordss =>
+      val docs = wordss.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "), if (i % 2 == 0) "eval" else "train") }
+      val got = graft.text.Curation.contamination(
+        docs.toDF("doc_id", "text", "split"), "doc_id", "text",
+        org.apache.spark.sql.functions.col("split") === "eval", 3)
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+      def shingles(ws: Seq[String]): Set[String] =
+        if (ws.size < 3) Set(ws.mkString(" "))
+        else ws.sliding(3).map(_.mkString(" ")).toSet
+      val evalSh = docs.filter(_._3 == "eval")
+        .flatMap(d => shingles(d._2.split(" ").toSeq)).toSet
+      docs.filter(_._3 == "train").forall { d =>
+        got(d._1) == (shingles(d._2.split(" ").toSeq) & evalSh).size.toLong
+      }
+    }
+
   property("connectedComponents: equals driver-side union-find on any graph") =
     forAll(Gen.listOfN(25, Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { es =>
       val edges = es.filter { case (a, b) => a != b }
