@@ -1,6 +1,6 @@
 package graft.vector
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (array<float>):
@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   * All arithmetic via codegen'd higher-order functions — no UDFs.
   */
 object Similarity {
+
+  /** Driver-side numeric-array coercion for the bounded collects
+    * (centroid matrices, single query vectors — never corpus rows).
+    */
+  private def toDouble(xs: Seq[Any]): Seq[Double] = xs.map {
+    case f: java.lang.Float => f.toDouble
+    case d: java.lang.Double => d.doubleValue()
+    case n: Number => n.doubleValue()
+  }
+
+  private def dotD(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
 
   /** Dot product of two float/double arrays in double precision
     * (sequential sum — deterministic, same order as the HOF
@@ -95,11 +112,9 @@ object Similarity {
                       nCentroids: Int, iters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
     val data = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    def toDouble(xs: Seq[Any]): Seq[Double] = xs.map {
-      case f: java.lang.Float => f.toDouble
-      case d: java.lang.Double => d.doubleValue()
-      case n: Number => n.doubleValue()
-    }
+      // zero vectors have no cosine direction — the assignment join's
+      // cosine() would throw ANSI DIVIDE_BY_ZERO (same guard as normed())
+      .filter(sqrt(dot(col("v"), col("v"))) > 0)
     var cents: Seq[(Long, Seq[Double])] =
       centroids(emb, idCol, vecCol, nCentroids).collect().toSeq
         .map(r => (r.getLong(0), toDouble(r.getSeq[Any](1))))
@@ -255,6 +270,14 @@ object Similarity {
     * force only inside those clusters. Returns the same shape as
     * [[cosineTopK]] (approximate: recall < 1 when true neighbours live in
     * unprobed clusters).
+    *
+    * NOTE on cost model: this convenience form builds the index (centroid
+    * fit + full-corpus assignment) inside the call, so a single probe
+    * costs a corpus scan + shuffle — fine for one-off exploration, wrong
+    * for repeated lookups. The production shape is [[buildIvfIndex]] once
+    * (cluster-partitioned persisted assignments) + [[ivfProbe]] per query,
+    * where the probe's scan partition-prunes to the nProbe clusters and
+    * never touches the rest of the corpus.
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int,
@@ -281,5 +304,91 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .select(col(idCol), col("cos_sim"))
       .limit(k)
+  }
+
+  /** Build a persisted IVF index under `indexPath`: fit centroids
+    * (stride init by default, Lloyd iterations opt-in — see
+    * [[kmeansCentroids]]), assign every vector to its nearest centroid,
+    * and write the assignments `(id, v, n, cluster)` HIVE-PARTITIONED BY
+    * `cluster`, plus the tiny centroid table alongside.
+    *
+    * This is the pay-once half of the ANN cost model: ONE corpus scan +
+    * ONE shuffle at build time, after which every [[ivfProbe]] reads only
+    * the `nProbe` cluster directories (scan-level partition pruning — the
+    * probe's cost is nProbe/nCentroids of the corpus, independent of how
+    * many probes run). Vectors and their precomputed L2 norms are stored
+    * co-located with the assignment so a probe is a pruned scan + one
+    * codegen'd dot per row + TakeOrderedAndProject — no join at all.
+    *
+    * The argmax aggregation carries (v, n) through `first()` rather than
+    * re-joining the corpus — one shuffle, not two. Zero vectors are
+    * excluded (no cosine direction), matching [[normed]].
+    */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    indexPath: String, nCentroids: Int = 16,
+                    kmeansIters: Int = 0): Unit = {
+    val cents = if (kmeansIters > 0)
+        kmeansCentroids(emb, idCol, vecCol, nCentroids, kmeansIters)
+      else centroids(emb, idCol, vecCol, nCentroids)
+    val u = normed(emb, idCol, vecCol)
+    val assigned = u.crossJoin(broadcast(cents))
+      .withColumn("_cos", dot(col("v"), col("centroid_vec")) /
+        (col("n") * sqrt(dot(col("centroid_vec"), col("centroid_vec")))))
+      .groupBy(col("id"))
+      .agg(max(struct(col("_cos").as("c"), col("centroid_id").as("cid")))
+          .getField("cid").as("cluster"),
+        first(col("v")).as("v"), first(col("n")).as("n"))
+    // co-locate by cluster before the partitioned write: one file per
+    // cluster dir instead of one per shuffle partition per dir (the
+    // small-files degradation Layout.colocated exists for)
+    assigned.repartition(col("cluster"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster")
+      .parquet(s"$indexPath/assignments")
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$indexPath/centroids")
+  }
+
+  /** Probe a persisted IVF index (see [[buildIvfIndex]]) with an explicit
+    * query vector: rank centroids driver-side (the centroid table is
+    * k×dim — bounded, the same collect [[kmeansCentroids]] already does),
+    * then scan ONLY the nProbe winning cluster partitions. The cluster
+    * IN-list is literal, so the pruning happens at planning time —
+    * `PartitionFilters` on the scan, asserted in PlanSpec.
+    */
+  def ivfProbe(spark: SparkSession, indexPath: String, queryVec: Seq[Double],
+               k: Int, nProbe: Int = 4, excludeId: Long = -1L,
+               idName: String = "id"): DataFrame = {
+    val qn = math.sqrt(dotD(queryVec, queryVec))
+    require(qn > 0, "ivfProbe: query vector has zero norm — no cosine direction")
+    val probed = spark.read.parquet(s"$indexPath/centroids").collect()
+      .map { r =>
+        val cv = toDouble(r.getSeq[Any](1))
+        val cn = math.sqrt(dotD(cv, cv))
+        val cos = if (cn == 0) -2.0 else dotD(queryVec, cv) / (qn * cn)
+        (cos, r.getLong(0))
+      }
+      .sortBy { case (c, cid) => (-c, cid) }
+      .take(nProbe).map(_._2).toSeq
+    spark.read.parquet(s"$indexPath/assignments")
+      .filter(col("cluster").isin(probed: _*))
+      .filter(col("id") =!= excludeId)
+      .withColumn("cos_sim",
+        round(dot(col("v"), typedLit(queryVec)) / (col("n") * lit(qn)), 6))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .select(col("id").as(idName), col("cos_sim"))
+      .limit(k)
+  }
+
+  /** [[ivfProbe]] keyed by an id in the source table: fetches the single
+    * query vector via a pushed-down id filter (one-row collect), excludes
+    * the query row from its own result — the [[cosineTopK]] contract over
+    * the persisted index.
+    */
+  def ivfProbeById(spark: SparkSession, indexPath: String, emb: DataFrame,
+                   idCol: String, vecCol: String, queryId: Long, k: Int,
+                   nProbe: Int = 4): DataFrame = {
+    val qv = toDouble(
+      emb.filter(col(idCol) === queryId).select(col(vecCol)).head().getSeq[Any](0))
+    ivfProbe(spark, indexPath, qv, k, nProbe, excludeId = queryId, idName = idCol)
   }
 }

@@ -76,6 +76,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q81: IVF probe partition-prunes the index scan to nProbe clusters") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val idx = Files.createTempDirectory("graft_ivf_plan").toString + "/index"
+    graft.vector.Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx, nCentroids = 16)
+    val nProbe = 4
+    val probe = graft.vector.Similarity.ivfProbeById(
+      spark, idx, emb, "vec_id", "embedding", 0L, 10, nProbe = nProbe)
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("assignments")) => f
+    }
+    assert(scans.nonEmpty, probe.queryExecution.executedPlan.toString)
+    // the scan's partition filter is a literal IN over the probed cluster
+    // ids, so pruning happens at planning time: the scan reads exactly
+    // nProbe of the 16 cluster directories, never the rest of the corpus
+    assert(scans.head.toString.contains("PartitionFilters"), scans.head.toString)
+    assert(scans.head.selectedPartitions.partitionCount === nProbe,
+      s"expected $nProbe pruned partitions, " +
+        s"got ${scans.head.selectedPartitions.partitionCount}")
+  }
+
   test("date-partitioned tables prune untouched partitions at the scan") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_prune").toString + "/t"

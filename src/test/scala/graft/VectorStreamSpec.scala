@@ -43,6 +43,29 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(recall >= 5, s"recall $recall/10 too low")
   }
 
+  test("persisted IVF index probe matches the inline ivfTopK search exactly") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString + "/index"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx)
+    val inline = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    val probe = Similarity.ivfProbeById(spark, idx, emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    // same centroids (deterministic stride init), same probe width →
+    // the pruned-partition scan must return the identical ranked rows
+    assert(probe === inline)
+  }
+
+  test("ivfProbe refuses a zero-norm query vector") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec0").toString + "/index"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfProbe(spark, idx, Seq(0.0, 0.0, 0.0), 5)
+    }
+    assert(e.getMessage.contains("zero norm"))
+  }
+
   test("k-means centroids recover true clusters; nProbe=1 IVF stays exact on clustered data") {
     // 4 well-separated direction clusters of 25 vectors each, id-ordered
     // so the id%4 cluster layout is adversarial to stride init (stride 31
