@@ -23,6 +23,13 @@ object Bench {
         catch { case _: Throwable => -1.0 }
       }
       val (a, b) = (once(), once())
+      // per-query cache isolation: several operators persist() frames for
+      // self-join reuse (similarity/dedup) and a lazy result hands the
+      // unpersist obligation to the caller — that's Bench here. Without
+      // this, caches accumulate across the 80-query run and later scans
+      // pay eviction/GC for earlier queries' storage (the r2 q28/q34/q36
+      // co-regression pattern); with it, every timing is order-independent.
+      spark.catalog.clearCache()
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

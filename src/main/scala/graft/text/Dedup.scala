@@ -65,7 +65,9 @@ object Dedup {
                    n: Int, threshold: Double,
                    hotShingleCap: Int = 100000): DataFrame = {
     // the shingle relation feeds ranking, verification, and sizes:
-    // materialize it once instead of re-tokenizing the corpus each time
+    // materialize it once instead of re-tokenizing the corpus each time.
+    // (Lazy result → the CALLER releases the cache after its action; see
+    // the cache contract on Similarity.normed.)
     val s = shingleSets(df, idCol, textCol, n).persist()
     val sizes = s.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val freq = s.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))

@@ -154,6 +154,14 @@ object Similarity {
     * cosine later costs a single dot product, not three. The projection
     * sits below any join, so Catalyst evaluates it per input row, never
     * per pair.
+    *
+    * Cache contract (applies to every operator here that `persist()`s an
+    * intermediate for self-join reuse): the returned frame is lazy, so
+    * the operator cannot unpersist without destroying the reuse — the
+    * CALLER releases storage after its action (`df.sparkSession.catalog
+    * .clearCache()` or targeted `unpersist`), as Bench/Verify do per
+    * query. Left persisted, the caches accumulate across a many-query
+    * session and later scans pay eviction/GC for earlier queries.
     */
   private def normed(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), col(vecCol).as("v"))
