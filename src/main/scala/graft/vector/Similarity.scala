@@ -203,9 +203,19 @@ object Similarity {
     * top-k rank-filter eligible for the WindowGroupLimit pushdown so
     * only k rows per node survive the window sort. Norms are computed
     * once per row below the join, never per pair.
+    *
+    * Hot-bucket guard: Σ bucket² means ONE degenerate bucket (an IVF
+    * cluster that swallowed half the corpus, a trivial LSH band) silently
+    * reintroduces n²/4. A cheap count pre-pass over the already-persisted
+    * input refuses any bucket above `maxBucket` with the offenders named
+    * — the same refuse-don't-melt posture as [[embedNearDup]]'s maxExact
+    * and the witness-cap in `Dedup.jaccardPairs`. The fix is always finer
+    * bucketing (more IVF centroids, extra LSH bits, salting), never a
+    * silent truncation that would bias the neighbour graph.
     */
   def knnGraphBucketed(emb: DataFrame, idCol: String, vecCol: String,
-                       bucketCol: String, k: Int): DataFrame = {
+                       bucketCol: String, k: Int,
+                       maxBucket: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val u = emb.select(col(idCol).as("id"), col(bucketCol).as("b"),
         col(vecCol).as("v"))
@@ -214,6 +224,16 @@ object Similarity {
       // DIVIDE_BY_ZERO in the pair projection) — excluded up front
       .filter(col("n") > 0)
       .persist() // self-joined: compute each norm once, not twice
+    val hot = u.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxBucket)
+      .orderBy(col("cnt").desc).limit(5).collect() // bounded: worst 5
+    require(hot.isEmpty,
+      s"knnGraphBucketed: bucket(s) exceed maxBucket=$maxBucket " +
+        s"(worst: ${hot.map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(", ")}); " +
+        "the in-bucket join costs sum(bucket^2) pairs, so a hot bucket " +
+        "reintroduces the quadratic blow-up this operator exists to avoid " +
+        "- split it with finer bucketing (more IVF centroids, extra LSH " +
+        "bits, or a salt column) or raise maxBucket deliberately")
     val a = u.select(col("id").as("src"), col("b"),
       col("v").as("_va"), col("n").as("_na"))
     val b = u.select(col("id").as("dst"), col("b"),

@@ -43,6 +43,30 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(recall >= 5, s"recall $recall/10 too low")
   }
 
+  test("knnGraphBucketed refuses a hot bucket, names it, and stays exact under the cap") {
+    import spark.implicits._
+    // one giant bucket (0: 60 rows) + two normal ones (1, 2: 5 rows each)
+    val rows = (0L until 70L).map { id =>
+      val b = if (id < 60) 0L else 1L + id % 2
+      (id, b, Seq(1.0f + id, 2.0f, 3.0f))
+    }
+    val emb = rows.toDF("vec_id", "bucket", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnGraphBucketed(emb, "vec_id", "embedding", "bucket", 3,
+        maxBucket = 50L).count()
+    }
+    assert(e.getMessage.contains("maxBucket=50"), e.getMessage)
+    assert(e.getMessage.contains("0=60"), e.getMessage) // offender named
+    // same corpus under the cap: completes, and results are unchanged
+    // from an uncapped run — the guard never alters surviving output
+    val capped = Similarity.knnGraphBucketed(emb, "vec_id", "embedding",
+      "bucket", 3, maxBucket = 60L).collect().toSet
+    val uncapped = Similarity.knnGraphBucketed(emb, "vec_id", "embedding",
+      "bucket", 3).collect().toSet
+    assert(capped === uncapped)
+    assert(capped.nonEmpty)
+  }
+
   test("persisted IVF index probe matches the inline ivfTopK search exactly") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString + "/index"
