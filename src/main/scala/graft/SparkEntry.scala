@@ -451,9 +451,17 @@ object SparkEntry {
 
     // ── Multimodal plumbing (north star; stub codec → rows-only) ────────
     "q43_media_features" -> ((s, dir) => {
+      // REAL image decode, oracle-gated end-to-end: one PNG per doc_id is
+      // encoded executor-side with id-derived dimensions, and
+      // extractFeatures reads the true dimensions back out of the PNG
+      // headers via javax.imageio — the hash gate proves the decode is
+      // real, since the dims are SQL-expressible from the ids alone
       import graft.multimodal.Media
-      val media = Media.attachPayload(t(s, dir, "documents"), "doc_id", "text")
-      Media.extractFeatures(s, media).toDF().orderBy("media_id")
+      val media = Media.imageTable(s, t(s, dir, "documents"), "doc_id")
+      Media.extractFeatures(s, media).toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("decoded"))
+        .orderBy("media_id")
     }),
 
     "q44_approx_distinct" -> ((s, dir) => {
@@ -1296,6 +1304,17 @@ object SparkEntry {
         |SELECT label, COUNT(*) AS n_vecs,
         |  ROUND(CAST(SUM(CAST(l2_norm AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_norm
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    // the PNG dims Spark reads back out of the encoded headers are pure
+    // functions of doc_id, so the oracle recomputes them arithmetically —
+    // a hash match proves the javax.imageio roundtrip decoded for real
+    // (decoded=TRUE for every row: the JDK PNG reader must claim each one)
+    "q43_media_features" ->
+      """SELECT doc_id AS media_id, 'png' AS format,
+        |  CAST(1 + doc_id % 64 AS INT) AS width,
+        |  CAST(1 + doc_id % 48 AS INT) AS height,
+        |  TRUE AS decoded
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q44_approx_distinct" ->
       """SELECT event_type,

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus a batched per-partition
   * decode/feature-extract pipeline.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB ([[StubCodec]]); everything around
-  * it — schema, partition-level batching, feature shape — is real and
-  * tested, and a production codec drops into [[StubCodec.decode]]
-  * unchanged.
+  * Image decode is REAL for every format the JDK ships a reader for
+  * (PNG, JPEG, GIF, BMP, WBMP — [[ImageCodec.decodeDims]] reads true
+  * dimensions from the header via `javax.imageio`, no external codec
+  * libraries needed). Payloads no reader recognises (audio, video,
+  * proprietary formats — codecs genuinely absent from this container)
+  * fall back to the clearly-marked deterministic [[StubCodec]]; a
+  * production codec drops into that fallback unchanged.
   *
   * Scale posture: decode runs via `mapPartitions` on a typed Dataset, so
   * the (expensive, non-columnar) codec amortizes per-partition
@@ -25,16 +27,65 @@ object Media {
 
   case class MediaRow(media_id: Long, format: String, payload: Array[Byte])
   case class MediaFeatures(media_id: Long, format: String, n_bytes: Long,
-                           checksum: Long, width: Int, height: Int)
+                           checksum: Long, width: Int, height: Int,
+                           decoded: Boolean)
 
-  /** Deterministic stand-in for an image/audio codec. A real
-    * implementation replaces `decode` with e.g. a JNI JPEG decode —
-    * signature: bytes in, fixed-shape features out.
+  /** Real image codec on the JDK's `javax.imageio` — available in every
+    * JVM, no external libraries.
+    */
+  object ImageCodec {
+    // ImageIO's default stream cache writes temp FILES per decode; the
+    // registry tweak is global + idempotent, done once per executor JVM
+    private lazy val noDiskCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    /** Header-only decode: the true (width, height) of any payload a JDK
+      * ImageIO reader recognises. `reader.getWidth(0)` parses the header
+      * (IHDR / SOF / logical screen descriptor) without decoding pixels —
+      * constant work per blob regardless of image size. None when no
+      * reader claims the payload.
+      */
+    def decodeDims(payload: Array[Byte]): Option[(Int, Int)] = {
+      noDiskCache
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } catch { case _: java.io.IOException => None }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    }
+
+    /** Deterministic PNG of the given dimensions (seeded corner pixel) —
+      * the executor-side encode path for fixtures and the q43
+      * encode→decode roundtrip oracle.
+      */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      noDiskCache
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, (seed & 0xFFFFFFL).toInt)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Deterministic stand-in for codecs genuinely absent from this
+    * container (audio/video/proprietary). A real implementation replaces
+    * `decode` with e.g. an FFmpeg probe — signature: bytes in,
+    * fixed-shape features out.
     */
   object StubCodec {
-    /** STUB: real decode unavailable in this container (no codec libs).
-      * Produces deterministic fake dimensions from the payload so tests
-      * are stable.
+    /** STUB fallback: produces deterministic fake dimensions from the
+      * payload so tests are stable. Only reached when
+      * [[ImageCodec.decodeDims]] finds no JDK reader for the payload.
       */
     def decode(payload: Array[Byte]): (Int, Int) = {
       val h = payload.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
@@ -56,7 +107,9 @@ object Media {
         xxhash64(col("payload")).as("checksum")))
 
   /** Batched decode → features. One codec "session" per partition;
-    * iterator-to-iterator (no materialization).
+    * iterator-to-iterator (no materialization). Real header decode for
+    * JDK-readable images (`decoded = true`), [[StubCodec]] fallback for
+    * everything else (`decoded = false`).
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -64,11 +117,32 @@ object Media {
       .mapPartitions { it =>
         // per-partition codec init would happen here (amortized)
         it.map { m =>
-          val (w, h) = StubCodec.decode(m.payload)
+          val real = ImageCodec.decodeDims(m.payload)
+          val (w, h) = real.getOrElse(StubCodec.decode(m.payload))
           MediaFeatures(m.media_id, m.format, m.payload.length.toLong,
-            m.payload.foldLeft(0L)((a, b) => a * 31 + b), w, h)
+            m.payload.foldLeft(0L)((a, b) => a * 31 + b), w, h,
+            decoded = real.isDefined)
         }
       }
+  }
+
+  /** Deterministic image table over an id column: one PNG per id with
+    * dimensions derived from the id (`1 + id % 64` × `1 + id % 48`),
+    * encoded executor-side. Exists so the decode path can be
+    * oracle-gated end-to-end: the dimensions [[extractFeatures]] reads
+    * back out of the PNG headers are SQL-expressible from the ids alone,
+    * which makes a real encode→decode roundtrip hash-checkable against
+    * DuckDB (q43).
+    */
+  def imageTable(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          MediaRow(id, "png",
+            ImageCodec.encodePng((1 + id % 64).toInt, (1 + id % 48).toInt, id))
+        }
+      }.toDF()
   }
 
   case class ResizedMedia(media_id: Long, format: String,

@@ -346,10 +346,40 @@ class VectorStreamSpec extends AnyFunSuite {
       .map(f => f.media_id -> f).toMap
     assert(feats(1L).n_bytes === 11L)
     assert(feats(1L).width > 0 && feats(1L).height > 0)
+    // text bytes are no image: every row takes the stub fallback
+    assert(!feats(1L).decoded && !feats(2L).decoded)
     // deterministic stub: same payload → same fake dimensions
     val again = Media.extractFeatures(spark, media).collect()
       .map(f => f.media_id -> f).toMap
     assert(feats(1L) === again(1L) && feats(2L) === again(2L))
+  }
+
+  test("image decode is real: PNG headers give true dims, JPEG/GIF/BMP readable, garbage stubs") {
+    // encode→decode roundtrip at several exact sizes
+    for ((w, h) <- Seq((1, 1), (64, 48), (640, 3), (3, 480))) {
+      val png = Media.ImageCodec.encodePng(w, h, seed = 7L)
+      assert(Media.ImageCodec.decodeDims(png) === Some((w, h)), s"($w,$h)")
+    }
+    // other JDK-reader formats: write via ImageIO, read dims back
+    for (fmt <- Seq("jpg", "gif", "bmp")) {
+      val img = new java.awt.image.BufferedImage(17, 9,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      assert(Media.ImageCodec.decodeDims(bos.toByteArray) === Some((17, 9)), fmt)
+    }
+    // unrecognisable payload → None (extractFeatures then stubs)
+    assert(Media.ImageCodec.decodeDims("not an image".getBytes) === None)
+    // distributed path: imageTable → extractFeatures reads the id-derived
+    // dims out of real PNG headers, decoded=true
+    val ids = Seq(0L, 5L, 63L, 64L, 100L).toDF("doc_id")
+    val feats = Media.extractFeatures(spark, Media.imageTable(spark, ids, "doc_id"))
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- Seq(0L, 5L, 63L, 64L, 100L)) {
+      assert(feats(id).decoded, s"id=$id not decoded")
+      assert(feats(id).width === (1 + id % 64).toInt)
+      assert(feats(id).height === (1 + id % 48).toInt)
+    }
   }
 
   test("media resize and frame sampling: payload transform + row expansion") {
