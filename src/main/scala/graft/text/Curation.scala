@@ -38,20 +38,32 @@ object Curation {
   /** Benchmark decontamination: for every training doc (`evalPred`
     * false), count distinct `shingleN`-gram shingles it shares with the
     * eval corpus (`evalPred` true) and flag any overlap. The eval
-    * shingle set is small by nature (benchmarks are tiny next to a
-    * training corpus), so it is broadcast — the training side streams
+    * shingle set is usually small by nature (benchmarks are tiny next to
+    * a training corpus), so it is broadcast — the training side streams
     * through a map-side hash join with no shuffle of the corpus.
+    *
+    * Guarded: a broadcast is only FORCED while the eval set is at most
+    * `broadcastMaxShingles` distinct shingles (counted first — the set
+    * is persisted, so the count also materializes the relation the join
+    * reuses). Above that, a user decontaminating against a huge held-out
+    * corpus gets a shuffle hash join — both sides partition by shingle —
+    * instead of a driver/executor OOM from an unbounded forced broadcast.
+    * Cache contract: caller releases (see Similarity.normed).
     */
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     evalPred: org.apache.spark.sql.Column,
-                    shingleN: Int = 5): DataFrame = {
+                    shingleN: Int = 5,
+                    broadcastMaxShingles: Long = 10000000L): DataFrame = {
     val flagged = df.withColumn("_is_eval", evalPred)
     val evalShingles = Dedup.shingleSets(
         flagged.filter(col("_is_eval")), idCol, textCol, shingleN)
-      .select(col("shingle")).distinct()
+      .select(col("shingle")).distinct().persist()
+    val evalSide =
+      if (evalShingles.count() <= broadcastMaxShingles) broadcast(evalShingles)
+      else evalShingles.hint("shuffle_hash")
     val trainDocs = flagged.filter(!col("_is_eval"))
     val hits = Dedup.shingleSets(trainDocs, idCol, textCol, shingleN)
-      .join(broadcast(evalShingles), "shingle")
+      .join(evalSide, "shingle")
       // shingleSets is distinct per doc ⇒ plain count = distinct shared
       .groupBy(col("doc").as("doc_id"))
       .agg(count(lit(1)).as("n_shared"))

@@ -49,6 +49,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("contamination falls back to a shuffle hash join past the broadcast guard") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, dir, "documents")
+    val pred = col("doc_id") % 20 === 0
+    // threshold 0 forces the large-eval-corpus path: shuffle, not broadcast
+    val fallback = graft.text.Curation.contamination(
+      docs, "doc_id", "text", pred, broadcastMaxShingles = 0L)
+    val p = fallback.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    // both physical paths compute the identical answer
+    val viaBroadcast = graft.text.Curation.contamination(docs, "doc_id", "text", pred)
+      .collect().toSet
+    assert(fallback.collect().toSet === viaBroadcast)
+    spark.catalog.clearCache()
+  }
+
   test("q64: chunking is map-only — explode with no Exchange before it") {
     // one Generate over the scan projection; the only exchange allowed
     // is the final presentation orderBy
