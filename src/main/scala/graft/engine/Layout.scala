@@ -41,8 +41,10 @@ object Layout {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+    val (nf, nb, nr) = parquetStats(df.sparkSession, path)
     logWrite(df.sparkSession, path, "WRITE",
-      Map("mode" -> "Overwrite", "partitionBy" -> partitionCols.mkString(",")))
+      Map("mode" -> "Overwrite", "partitionBy" -> partitionCols.mkString(",")),
+      Map("num_files" -> nf, "num_bytes" -> nb, "num_rows" -> nr))
   }
 
   /** K2: partition-scoped overwrite — only the partitions present in `df`
@@ -60,8 +62,10 @@ object Layout {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
+    val (nf, nb, nr) = parquetStats(df.sparkSession, path)
     logWrite(df.sparkSession, path, "OVERWRITE_PARTITIONS",
-      Map("partitionBy" -> partitionCols.mkString(",")))
+      Map("partitionBy" -> partitionCols.mkString(",")),
+      Map("num_files" -> nf, "num_bytes" -> nb, "num_rows" -> nr))
   }
 
   /** M1-M3: sort-clustered compaction of selected partitions (incremental
@@ -89,8 +93,10 @@ object Layout {
       .partitionBy(partitionCol)
       .parquet(staging)
     swapPartitionDirs(spark, staging, path)
+    val (nf, nb, nr) = parquetStats(spark, path)
     logWrite(spark, path, "OPTIMIZE",
-      Map("zOrderBy" -> clusterCols.mkString(","), "partitions" -> dates.mkString(",")))
+      Map("zOrderBy" -> clusterCols.mkString(","), "partitions" -> dates.mkString(",")),
+      Map("num_files" -> nf, "num_bytes" -> nb, "num_rows" -> nr))
   }
 
   /** M3 full-table variant: compaction + sort clustering of everything. */
@@ -105,7 +111,10 @@ object Layout {
       .partitionBy(partitionCol)
       .parquet(staging)
     swapPartitionDirs(spark, staging, path)
-    logWrite(spark, path, "OPTIMIZE_FULL", Map("zOrderBy" -> clusterCols.mkString(",")))
+    val (nf, nb, nr) = parquetStats(spark, path)
+    logWrite(spark, path, "OPTIMIZE_FULL",
+      Map("zOrderBy" -> clusterCols.mkString(",")),
+      Map("num_files" -> nf, "num_bytes" -> nb, "num_rows" -> nr))
   }
 
   /** Compaction commit: move every `col=value` partition dir from the
@@ -243,38 +252,114 @@ object Layout {
     fs.delete(new Path(tmp), true)
   }
 
+  /** Footer-level stats of a parquet tree: (files, bytes, rows). Rows
+    * come from footer record counts — metadata reads only, never data
+    * pages; O(#files) listing + one footer read per file, proportional
+    * to the write the caller just performed. The operation-metrics
+    * source for [[logWrite]] and `Snapshots` manifests (the reference
+    * surfaces these via Delta's history operationMetrics,
+    * `view_delta_history.py:60-71`).
+    */
+  def parquetStats(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = FileSystem.get(root.toUri, conf)
+    var files = 0L; var bytes = 0L; var rows = 0L
+    if (fs.exists(root)) {
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+          files += 1
+          bytes += f.getLen
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+          try rows += r.getRecordCount finally r.close()
+        }
+      }
+    }
+    (files, bytes, rows)
+  }
+
   /** M5 analog: append an entry to the table's write-manifest log
     * (`_graft_manifest/` — underscore-prefixed, so Spark's hidden-file
     * filter keeps it invisible to `spark.read.parquet` on the table
     * path, the same trick as Delta's `_delta_log`). Gives the
     * reference's `DeltaTable.history()` surface — version, timestamp,
-    * operation, parameters — without a transaction log. A FULL overwrite
-    * deletes the table dir including the manifest, so its history
-    * restarts at 0 — log entries describe the current table incarnation.
+    * operation, parameters, operation metrics — without a transaction
+    * log. A FULL overwrite deletes the table dir including the manifest,
+    * so its history restarts at 0 — log entries describe the current
+    * table incarnation.
+    *
+    * `metrics` record the TABLE STATE after the operation (num_files /
+    * num_bytes / num_rows of the whole table), not a per-operation
+    * delta — the honest cheap measurement when a dynamic-partition
+    * write doesn't know which partitions it replaced.
+    *
+    * Version claim is atomic: the next version file is created with
+    * overwrite=false (HDFS create-if-absent semantics), and a loss to a
+    * concurrent writer retries the next number — two processes logging
+    * simultaneously get two distinct versions, mirroring `Snapshots`'
+    * commit discipline instead of the old count-then-overwrite race.
+    * Like Snapshots' commit, a per-URI JVM lock additionally serializes
+    * racing threads of one driver, because local file:// create does not
+    * refuse an existing destination atomically.
     */
   def logWrite(spark: SparkSession, path: String, operation: String,
-               params: Map[String, String] = Map.empty): Unit = {
+               params: Map[String, String] = Map.empty,
+               metrics: Map[String, Long] = Map.empty): Unit = {
     val fs = FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     val dir = new Path(path, "_graft_manifest")
     fs.mkdirs(dir)
-    val version = fs.listStatus(dir).count(_.getPath.getName.endsWith(".json"))
     val paramsJson = params.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    val json = s"""{"version":$version,"timestamp":"${java.time.Instant.now()}",""" +
-      s""""operation":"$operation","params":$paramsJson}"""
-    val out = fs.create(new Path(dir, f"$version%020d.json"), true)
-    out.write(json.getBytes("UTF-8"))
-    out.close()
+    val metricsJson = metrics.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val LogRe = """(\d+)\.json""".r
+    val lock = logLocks.computeIfAbsent(
+      fs.makeQualified(dir).toString.stripSuffix("/"), _ => new Object)
+    lock.synchronized {
+      val existing = fs.listStatus(dir).map(_.getPath.getName)
+        // length guard: a foreign <19+ digits>.json must not break the log
+        .collect { case LogRe(v) if v.length <= 18 => v.toLong }
+      var version = existing.maxOption.getOrElse(-1L) + 1L
+      var attempts = 0
+      var done = false
+      while (!done) {
+        val json = s"""{"version":$version,"timestamp":"${java.time.Instant.now()}",""" +
+          s""""operation":"$operation","params":$paramsJson,"metrics":$metricsJson}"""
+        try {
+          val out = fs.create(new Path(dir, f"$version%020d.json"), false)
+          try out.write(json.getBytes("UTF-8")) finally out.close()
+          done = true
+        } catch {
+          case e: java.io.IOException => // claimed by a cross-process racer
+            attempts += 1
+            if (attempts > 50) throw new IllegalStateException(
+              s"logWrite to $path lost $attempts version claims", e)
+            version += 1
+        }
+      }
+    }
   }
 
+  // serializes logWrite version claims per manifest dir within this JVM
+  // (cross-process claims rely on create-if-absent; see logWrite doc)
+  private val logLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** M5: latest `n` manifest entries, newest first
-    * (`view_delta_history.py:44-75` analog).
+    * (`view_delta_history.py:44-75` analog). Surfaces operation
+    * `metrics` (post-write table num_files/num_bytes/num_rows) when any
+    * entry carries them.
     */
   def history(spark: SparkSession, path: String, n: Int = 5): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spark.read.json(s"$path/_graft_manifest/*.json")
-      .select("version", "timestamp", "operation", "params")
+    val log = spark.read.json(s"$path/_graft_manifest/*.json")
+    val cols = Seq("version", "timestamp", "operation", "params") ++
+      (if (log.columns.contains("metrics")) Seq("metrics") else Nil)
+    log.select(cols.head, cols.tail: _*)
       .orderBy(col("version").desc).limit(n)
   }
 

@@ -36,10 +36,15 @@ object Snapshots {
 
   /** One committed version's manifest. `dir` is relative to the table
     * root; `tag` identifies the writer for idempotence checks (e.g. a
-    * streaming sink's app+batch id).
+    * streaming sink's app+batch id). The metric fields are EXACT
+    * per-version write metrics (the attempt dir holds precisely this
+    * version's data); None for manifests written before metrics existed.
     */
   final case class Commit(version: Long, dir: String, committedAt: Long,
-                          tag: Option[String])
+                          tag: Option[String],
+                          numFiles: Option[Long] = None,
+                          numBytes: Option[Long] = None,
+                          numRows: Option[Long] = None)
 
   // serializes commits per table within this JVM (local file:// rename
   // does not refuse an existing destination, so the rename alone is not
@@ -66,6 +71,9 @@ object Snapshots {
   private val DirRe = """"dir":"([^"]+)"""".r
   private val TsRe = """"committed_at":(\d+)""".r
   private val TagRe = """"tag":"([^"]*)"""".r
+  private val FilesRe = """"num_files":(\d+)""".r
+  private val BytesRe = """"num_bytes":(\d+)""".r
+  private val RowsRe = """"num_rows":(\d+)""".r
 
   /** Committed version ids, oldest first — filename-based, so a
     * corrupt manifest still occupies its version number (it can be
@@ -78,7 +86,9 @@ object Snapshots {
     val dir = manifestDir(path)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).map(_.getPath.getName)
-      .collect { case NameRe(v) => v.toLong }
+      // length guard: a foreign v<19+ digits>.json is not ours (same
+      // robustness as the vacuum attempt-dir scan), never a crash source
+      .collect { case NameRe(v) if v.length <= 18 => v.toLong }
       .toSeq.sorted
   }
 
@@ -91,7 +101,10 @@ object Snapshots {
         v <- VersionRe.findFirstMatchIn(text).map(_.group(1).toLong)
         d <- DirRe.findFirstMatchIn(text).map(_.group(1))
         t <- TsRe.findFirstMatchIn(text).map(_.group(1).toLong)
-      } yield Commit(v, d, t, TagRe.findFirstMatchIn(text).map(_.group(1)))
+      } yield Commit(v, d, t, TagRe.findFirstMatchIn(text).map(_.group(1)),
+        FilesRe.findFirstMatchIn(text).map(_.group(1).toLong),
+        BytesRe.findFirstMatchIn(text).map(_.group(1).toLong),
+        RowsRe.findFirstMatchIn(text).map(_.group(1).toLong))
     } catch { case _: java.io.IOException => None } // vacuumed mid-read
 
   private def commitOf(fs: FileSystem, path: String, version: Long): Option[Commit] =
@@ -137,6 +150,9 @@ object Snapshots {
     // unique attempt directory — concurrent attempts never share files
     val rel = s"data/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
     df.write.parquet(s"$path/$rel")
+    // exact per-version metrics: the attempt dir holds precisely this
+    // version's data (footer reads only — see Layout.parquetStats)
+    val (nFiles, nBytes, nRows) = Layout.parquetStats(spark, s"$path/$rel")
     lockFor(fs, path).synchronized {
       if (fs.exists(manifest)) {
         fs.delete(new Path(s"$path/$rel"), true) // lost: drop our attempt
@@ -149,7 +165,9 @@ object Snapshots {
         val out = fs.create(tmp, false)
         try out.write(
           (s"""{"version":$version,"dir":"$rel"""" +
-            s""","committed_at":${System.currentTimeMillis()}$tagJson}""")
+            s""","committed_at":${System.currentTimeMillis()}""" +
+            s""","num_files":$nFiles,"num_bytes":$nBytes,"num_rows":$nRows""" +
+            s"""$tagJson}""")
             .getBytes("UTF-8"))
         finally out.close()
         if (fs.rename(tmp, manifest)) true
@@ -221,17 +239,19 @@ object Snapshots {
     }
   }
 
-  /** Commit log, newest first — `DeltaTable.history()`'s surface.
-    * Built from driver-side manifest parses (metadata-sized), not a
-    * Spark job.
+  /** Commit log, newest first — `DeltaTable.history()`'s surface,
+    * including per-version operation metrics (numFiles/numBytes/numRows,
+    * null for pre-metrics manifests). Built from driver-side manifest
+    * parses (metadata-sized), not a Spark job.
     */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val cs = commits(spark, path)
     require(cs.nonEmpty, s"no snapshots at $path")
     cs.sortBy(-_.version)
-      .map(c => (c.version, c.dir, new java.sql.Timestamp(c.committedAt)))
-      .toDF("version", "dir", "committed_at")
+      .map(c => (c.version, c.dir, new java.sql.Timestamp(c.committedAt),
+        c.numFiles, c.numBytes, c.numRows))
+      .toDF("version", "dir", "committed_at", "num_files", "num_bytes", "num_rows")
   }
 
   /** VACUUM: drop every version older than the newest `keepLast`,
@@ -243,6 +263,15 @@ object Snapshots {
     * only past `orphanAgeMs` — and a directory with a live `_temporary`
     * child (a Spark write still in flight) is left alone until it is a
     * day old regardless. Returns the removed version ids.
+    *
+    * Concurrency: `orphanAgeMs` must exceed the longest possible
+    * write-to-commit window of any live writer — the `_temporary` grace
+    * only covers an in-flight Spark write, NOT the gap between parquet
+    * completion and manifest commit. `orphanAgeMs = 0` is only safe with
+    * no concurrent writers (e.g. tests). As a backstop, the reap
+    * re-resolves the manifest immediately before deleting and again
+    * after: a commit that slips through the window fails the vacuum
+    * LOUDLY instead of leaving a manifest that points at deleted data.
     */
   def vacuum(spark: SparkSession, path: String, keepLast: Int = 1,
              minAgeMs: Long = 0L,
@@ -272,19 +301,38 @@ object Snapshots {
     if (fs.exists(dataRoot)) fs.listStatus(dataRoot)
       .filter(s => s.isDirectory && (now - s.getModificationTime) >= orphanAgeMs)
       .foreach { s =>
-        val candidate = s.getPath.getName match {
-          case AttemptRe(v) if v.length <= 18 => // Long-safe version field
-            val vn = v.toLong
-            !manifested.contains(vn) ||
-              commitOf(fs, path, vn)
-                .exists(_.dir != s"data/${s.getPath.getName}") // loser, not corrupt
-          case _ => false // unknown layout: never ours to delete
+        val name = s.getPath.getName
+        val versionOf: Option[Long] = name match {
+          case AttemptRe(v) if v.length <= 18 => Some(v.toLong) // Long-safe
+          case _ => None // unknown layout: never ours to delete
+        }
+        val candidate = versionOf.exists { vn =>
+          !manifested.contains(vn) ||
+            commitOf(fs, path, vn).exists(_.dir != s"data/$name") // loser
         }
         // the _temporary probe only fires for actual reap candidates
         def inFlightGrace: Boolean = (now - s.getModificationTime) <
           math.max(orphanAgeMs, 86400000L) &&
           fs.exists(new Path(s.getPath, "_temporary"))
-        if (candidate && !inFlightGrace) fs.delete(s.getPath, true)
+        if (candidate && !inFlightGrace) {
+          val vn = versionOf.get
+          // the listing-time classification may be stale: re-resolve the
+          // manifest immediately before deleting (narrows the race with a
+          // racing writeVersioned that just committed this attempt)
+          if (!commitOf(fs, path, vn).exists(_.dir == s"data/$name")) {
+            fs.delete(s.getPath, true)
+            // backstop re-verify: a commit that landed inside the
+            // check-then-delete window now points at deleted data — fail
+            // LOUDLY so the operator restores/recommits rather than
+            // discovering a broken table at read time
+            if (commitOf(fs, path, vn).exists(_.dir == s"data/$name"))
+              throw new IllegalStateException(
+                s"vacuum raced a concurrent commit: version $vn of $path " +
+                  s"committed data/$name during orphan reaping and its data " +
+                  "was deleted — restore or recommit the version; run vacuum " +
+                  "with orphanAgeMs above the longest write-to-commit window")
+          }
+        }
       }
     val mDir = manifestDir(path)
     if (fs.exists(mDir)) fs.listStatus(mDir)

@@ -14,12 +14,13 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only queries are exactly the documented engine-specific three") {
+  test("rows-only queries are exactly the documented engine-specific two") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly === Set(
       "q33_simhash_pairs",      // xxhash64-based signature: no DuckDB analog
-      "q39_embed_neardup_lsh",  // recall < 1 by design; subset law tested
-      "q43_media_features"))    // stub codec (container has no image libs)
+      "q39_embed_neardup_lsh")) // recall < 1 by design; subset law tested
+    // (q43 graduated in round 3: real ImageIO decode made its dims
+    // SQL-expressible, so it now carries a full hash oracle)
   }
 
   test("query ids are unique and well-formed") {

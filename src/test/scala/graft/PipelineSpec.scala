@@ -220,6 +220,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(hist.toSeq === Seq((1L, "OVERWRITE_PARTITIONS"), (0L, "OVERWRITE_PARTITIONS")))
     // the manifest dir must not leak into table reads
     assert(spark.read.parquet(dir).count() === 2)
+    // write metrics present and sane: table state after the second write
+    // is 2 rows across 2 partition files
+    val m = Layout.history(spark, dir, 1)
+      .select("metrics.num_files", "metrics.num_bytes", "metrics.num_rows")
+      .as[(Long, Long, Long)].head()
+    assert(m._1 === 2L && m._3 === 2L && m._2 > 0L, m)
+  }
+
+  test("concurrent logWrite claims distinct versions (atomic create-if-absent)") {
+    val dir = Files.createTempDirectory("graft_histrace").toString + "/t"
+    Seq((1, "a")).toDF("k", "v").write.parquet(dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to 16).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            Layout.logWrite(spark, dir, "WRITE", Map("writer" -> i.toString))
+        })
+      }
+      futs.foreach(_.get())
+    } finally pool.shutdown()
+    // every writer got its own version: 16 entries, 16 distinct versions
+    val versions = Layout.history(spark, dir, 100)
+      .select("version").as[Long].collect().toSeq
+    assert(versions.length === 16, versions)
+    assert(versions.distinct.length === 16, versions)
+    assert(versions.sorted === (0L until 16L))
   }
 
   test("registerTable exposes a parquet path through the catalog (K5)") {

@@ -23,6 +23,13 @@ class SnapshotSpec extends AnyFunSuite {
       === Set((1, "a"), (2, "b")))
     val hist = Snapshots.history(spark, t).select("version").as[Long].collect().toSeq
     assert(hist === Seq(2L, 1L))
+    // exact per-version write metrics in every manifest: v1 wrote 2 rows,
+    // v2 wrote 1, each with >=1 file and >0 bytes
+    val metrics = Snapshots.history(spark, t)
+      .select("version", "num_files", "num_bytes", "num_rows")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(metrics(1L)._4 === 2L && metrics(2L)._4 === 1L, metrics)
+    assert(metrics.values.forall(m => m._2 >= 1L && m._3 > 0L), metrics)
   }
 
   test("a reader pinned before a new commit still sees its own version") {
