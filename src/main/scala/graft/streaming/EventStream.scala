@@ -181,35 +181,7 @@ object EventStream {
     */
   def sinkSnapshots(events: DataFrame, path: String, checkpoint: String,
                     appId: Option[String] = None): StreamingQuery = {
-    val app = appId.getOrElse {
-      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(checkpoint),
-        events.sparkSession.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(checkpoint, "_graft_app_id")
-      def readMarker(): String =
-        if (!fs.exists(marker)) "" else {
-          val in = fs.open(marker)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        }
-      var id = readMarker()
-      if (id.isEmpty) { // absent, or a crash left it empty: (re)create
-        fs.mkdirs(new org.apache.hadoop.fs.Path(checkpoint))
-        // full content lands via tmp + rename so the marker is never
-        // observable half-written; losing a creation race is fine — the
-        // surviving marker is re-read below either way
-        val tmp = new org.apache.hadoop.fs.Path(checkpoint,
-          s"._graft_app_id-${java.util.UUID.randomUUID()}")
-        val out = fs.create(tmp, false)
-        try out.write(s"app-${java.util.UUID.randomUUID()}".getBytes("UTF-8"))
-        finally out.close()
-        if (fs.exists(marker)) fs.delete(marker, false) // replace empty
-        fs.rename(tmp, marker)
-        fs.delete(tmp, false) // no-op when the rename moved it
-        id = readMarker()
-      }
-      require(id.nonEmpty, s"could not establish an app id under $checkpoint")
-      id
-    }
+    val app = appId.getOrElse(ensureAppId(events.sparkSession, checkpoint))
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
@@ -219,6 +191,51 @@ object EventStream {
         ()
       }
       .start()
+  }
+
+  /** Stable per-checkpoint app id for [[sinkSnapshots]]' idempotence
+    * tags, established once under the checkpoint dir. A NON-EMPTY marker
+    * is immutable: it is adopted as-is and never deleted or replaced —
+    * only an absent marker (or an empty one a crash left behind) is
+    * (re)created, via tmp + rename so content is never observable
+    * half-written, with the emptiness re-checked immediately before the
+    * swap so a marker a concurrent starter just committed survives. The
+    * final id is whatever the marker holds after the dust settles —
+    * racing starters converge on one id instead of proceeding with two
+    * (concurrent same-checkpoint starters are invalid anyway — Spark's
+    * own checkpoint lock arbitrates who actually runs — so this guards
+    * the id, not the stream).
+    */
+  private[graft] def ensureAppId(spark: SparkSession, checkpoint: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(checkpoint),
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(checkpoint, "_graft_app_id")
+    def readMarker(): String =
+      if (!fs.exists(marker)) "" else {
+        val in = fs.open(marker)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+    var id = readMarker()
+    if (id.isEmpty) { // absent, or a crash left it empty: (re)create
+      fs.mkdirs(new org.apache.hadoop.fs.Path(checkpoint))
+      val tmp = new org.apache.hadoop.fs.Path(checkpoint,
+        s"._graft_app_id-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(s"app-${java.util.UUID.randomUUID()}".getBytes("UTF-8"))
+      finally out.close()
+      // never replace a non-empty marker: re-check emptiness right
+      // before the swap — a racer may have committed one since our read
+      if (fs.exists(marker) && readMarker().isEmpty) fs.delete(marker, false)
+      // no-overwrite rename: where the store refuses an existing
+      // destination, a racing committed marker survives and is adopted
+      // by the re-read below
+      fs.rename(tmp, marker)
+      fs.delete(tmp, false) // no-op when the rename moved it
+      id = readMarker()
+    }
+    require(id.nonEmpty, s"could not establish an app id under $checkpoint")
+    id
   }
 
   case class CuratedDoc(doc_id: Long, text: String, n_tokens: Long)

@@ -79,6 +79,22 @@ class SnapshotSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSet === Set((1L, 1.0), (2L, 2.0)))
   }
 
+  test("app-id marker: non-empty survives untouched, empty is repaired, id is stable") {
+    import graft.streaming.EventStream
+    val cp = Files.createTempDirectory("graft_appid").toString
+    // a committed marker is immutable — adopted verbatim, never replaced
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(cp, "_graft_app_id"), "app-committed")
+    assert(EventStream.ensureAppId(spark, cp) === "app-committed")
+    assert(EventStream.ensureAppId(spark, cp) === "app-committed")
+    // an empty marker (crash leftover) is repaired to a fresh stable id
+    val cp2 = Files.createTempDirectory("graft_appid2").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cp2, "_graft_app_id"), "")
+    val id = EventStream.ensureAppId(spark, cp2)
+    assert(id.startsWith("app-") && id.length > 4)
+    assert(EventStream.ensureAppId(spark, cp2) === id)
+  }
+
   test("snapshot sink restart resumes from the checkpoint without duplicate versions") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
