@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// HiveCatalogSpec needs a session whose catalog implementation is fixed
+// to hive at creation; everything else shares TestSession's in-memory
+// catalog — so the hive suite gets its own forked JVM.
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  val fork = ForkOptions().withRunJVMOptions(opts)
+  val (hive, rest) = (Test / definedTests).value.partition(_.name.contains("HiveCatalog"))
+  Seq(
+    Tests.Group("hive-metastore", hive, Tests.SubProcess(fork)),
+    Tests.Group("main", rest, Tests.SubProcess(fork)),
+  ).filter(_.tests.nonEmpty)
+}
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

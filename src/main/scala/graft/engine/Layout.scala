@@ -378,6 +378,20 @@ object Layout {
       s"registration of $db.$table failed verification")
   }
 
+  /** K5 with the reference's hang guard: the same registration SQL run
+    * under [[Orchestrate.withTimeout]] (`main_pipeline.py:305-318` wraps
+    * its Hive registration in a 120 s timeout thread because a dead
+    * metastore otherwise hangs the whole pipeline). Returns false on
+    * timeout — callers continue like the reference does, with the table
+    * written but unregistered. Pair with [[Sessions.withHiveMetastore]]
+    * for a catalog that outlives the session.
+    */
+  def registerTableGuarded(spark: SparkSession, db: String, table: String,
+                           path: String, timeoutMs: Long = 120000L): Boolean =
+    Orchestrate.withTimeout(timeoutMs) {
+      registerTable(spark, db, table, path)
+    }.isDefined
+
   /** M6: table existence probe (`DeltaTable.isDeltaTable` analog). */
   def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)

@@ -50,4 +50,23 @@ object Sessions {
     .config("spark.memory.storageFraction", "0.3")
     .config("spark.driver.maxResultSize", "1g")
     .config("spark.ui.enabled", "false")
+
+  /** K5 external-metastore variant: back the session catalog with a real
+    * Hive metastore (`HiveExternalCatalog`) on an embedded Derby database
+    * at `metastoreDir` — the reference's Postgres-backed Hive metastore
+    * (`main_pipeline.py:189-218`) minus the network hop: identical
+    * catalog code path and SQL surface, different JDBC endpoint. On a
+    * real deployment point `javax.jdo.option.ConnectionURL` (or
+    * `hive.metastore.uris` for a remote HMS) at the shared service
+    * instead; registrations then outlive the session and are visible to
+    * every engine sharing the metastore, which in-session registration
+    * ([[Layout.registerTable]] on the default in-memory catalog) cannot
+    * provide. Must be applied at session CREATION — the catalog
+    * implementation of a live session is immutable.
+    */
+  def withHiveMetastore(b: SparkSession.Builder,
+                        metastoreDir: String): SparkSession.Builder = b
+    .enableHiveSupport()
+    .config("javax.jdo.option.ConnectionURL",
+      s"jdbc:derby:;databaseName=$metastoreDir/metastore_db;create=true")
 }
