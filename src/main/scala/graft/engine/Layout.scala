@@ -62,7 +62,16 @@ object Layout {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*)
       .parquet(path)
-    val (nf, nb, nr) = parquetStats(df.sparkSession, path)
+    // metrics proportional to THIS write: stats over only the touched
+    // partition dirs (the distinct-values collect is bounded by partition
+    // count — the same touched-partition list the reference mirrors), not
+    // a full-table footer sweep that would grow with table age
+    val touched = df.select(partitionCols.map(col): _*).distinct().collect()
+      .map(r => partitionCols.indices
+        .map(i => s"${partitionCols(i)}=${r.get(i)}").mkString("/"))
+    val (nf, nb, nr) = touched.map(rel => parquetStats(df.sparkSession, s"$path/$rel"))
+      .foldLeft((0L, 0L, 0L)) { case ((f, b, n), (f2, b2, n2)) =>
+        (f + f2, b + b2, n + n2) }
     logWrite(df.sparkSession, path, "OVERWRITE_PARTITIONS",
       Map("partitionBy" -> partitionCols.mkString(",")),
       Map("num_files" -> nf, "num_bytes" -> nb, "num_rows" -> nr))
@@ -93,7 +102,10 @@ object Layout {
       .partitionBy(partitionCol)
       .parquet(staging)
     swapPartitionDirs(spark, staging, path)
-    val (nf, nb, nr) = parquetStats(spark, path)
+    // stats over only the compacted partitions — proportional to the op
+    val (nf, nb, nr) = dates.map(d => parquetStats(spark, s"$path/$partitionCol=$d"))
+      .foldLeft((0L, 0L, 0L)) { case ((f, b, n), (f2, b2, n2)) =>
+        (f + f2, b + b2, n + n2) }
     logWrite(spark, path, "OPTIMIZE",
       Map("zOrderBy" -> clusterCols.mkString(","), "partitions" -> dates.mkString(",")),
       Map("num_files" -> nf, "num_bytes" -> nb, "num_rows" -> nr))
@@ -291,10 +303,11 @@ object Layout {
     * so its history restarts at 0 — log entries describe the current
     * table incarnation.
     *
-    * `metrics` record the TABLE STATE after the operation (num_files /
-    * num_bytes / num_rows of the whole table), not a per-operation
-    * delta — the honest cheap measurement when a dynamic-partition
-    * write doesn't know which partitions it replaced.
+    * `metrics` (num_files / num_bytes / num_rows) cover the data the
+    * operation touched: the whole table for full overwrites (there the
+    * table IS the write), only the replaced/compacted partitions for
+    * partition-scoped ops — footer-level stats proportional to the
+    * operation, never a table-age-sized sweep.
     *
     * Version claim is atomic: the next version file is created with
     * overwrite=false (HDFS create-if-absent semantics), and a loss to a
@@ -317,12 +330,13 @@ object Layout {
     val metricsJson = metrics.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val LogRe = """(\d+)\.json""".r
-    val lock = logLocks.computeIfAbsent(
-      fs.makeQualified(dir).toString.stripSuffix("/"), _ => new Object)
-    lock.synchronized {
+    UriLocks.forPath(fs, dir).synchronized {
       val existing = fs.listStatus(dir).map(_.getPath.getName)
-        // length guard: a foreign <19+ digits>.json must not break the log
-        .collect { case LogRe(v) if v.length <= 18 => v.toLong }
+        // Long-overflow guard on the SIGNIFICANT digits: our own entries
+        // are zero-padded to 20 chars, so a raw length test would exclude
+        // every file this log writes (restarting versions at 0 forever);
+        // only a foreign name overflowing Long is treated as not ours
+        .collect { case LogRe(v) if v.dropWhile(_ == '0').length <= 18 => v.toLong }
       var version = existing.maxOption.getOrElse(-1L) + 1L
       var attempts = 0
       var done = false
@@ -344,10 +358,6 @@ object Layout {
     }
   }
 
-  // serializes logWrite version claims per manifest dir within this JVM
-  // (cross-process claims rely on create-if-absent; see logWrite doc)
-  private val logLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** M5: latest `n` manifest entries, newest first
     * (`view_delta_history.py:44-75` analog). Surfaces operation

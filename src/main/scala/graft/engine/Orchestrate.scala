@@ -49,7 +49,13 @@ object Orchestrate {
 
   /** Run `f` on a daemon thread with a hard timeout — the reference's
     * guard against metastore JDBC hangs (120 s). Returns None on
-    * timeout; the stray thread cannot keep the JVM alive.
+    * timeout; the worker is INTERRUPTED on timeout so a merely-slow
+    * (not dead) operation doesn't complete as a zombie seconds after
+    * the caller was told it failed (e.g. a late CREATE TABLE landing
+    * after the caller moved on). Interruption is best-effort — code
+    * that swallows interrupts can still straggle, but JDBC drivers and
+    * blocking IO honor it; being a daemon, the thread can never keep
+    * the JVM alive either way.
     */
   def withTimeout[T](timeoutMs: Long)(f: => T): Option[T] = {
     val result = new java.util.concurrent.CompletableFuture[T]()
@@ -61,7 +67,7 @@ object Orchestrate {
     t.start()
     try Some(result.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
     catch {
-      case _: java.util.concurrent.TimeoutException => None
+      case _: java.util.concurrent.TimeoutException => t.interrupt(); None
       case e: java.util.concurrent.ExecutionException => throw e.getCause
     }
   }

@@ -48,14 +48,9 @@ object Snapshots {
 
   // serializes commits per table within this JVM (local file:// rename
   // does not refuse an existing destination, so the rename alone is not
-  // enough to pick a single winner among racing threads). Keyed by the
-  // QUALIFIED URI so "/tmp/t", "file:/tmp/t", and "/tmp/t/" share a lock.
-  private val commitLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // enough to pick a single winner among racing threads) — see UriLocks
   private def lockFor(fs: FileSystem, path: String): Object =
-    commitLocks.computeIfAbsent(
-      fs.makeQualified(new Path(path)).toString.stripSuffix("/"),
-      _ => new Object)
+    UriLocks.forPath(fs, new Path(path))
 
   // tags are embedded in hand-rolled JSON and parsed back with a regex:
   // restrict them to characters that survive both directions verbatim

@@ -56,7 +56,12 @@ object Media {
           try {
             r.setInput(iis, true, true)
             Some((r.getWidth(0), r.getHeight(0)))
-          } catch { case _: java.io.IOException => None }
+          } catch {
+            // a reader may CLAIM a malformed payload and then blow up
+            // parsing it (runtime exceptions included) — any such blob
+            // degrades to the stub fallback instead of killing the task
+            case scala.util.control.NonFatal(_) => None
+          }
           finally r.dispose()
         }
       } finally iis.close()
@@ -139,8 +144,11 @@ object Media {
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
+          // floorMod: Scala % takes the dividend's sign, and a negative
+          // id would otherwise ask BufferedImage for a 0-width image
           MediaRow(id, "png",
-            ImageCodec.encodePng((1 + id % 64).toInt, (1 + id % 48).toInt, id))
+            ImageCodec.encodePng(1 + java.lang.Math.floorMod(id, 64L).toInt,
+              1 + java.lang.Math.floorMod(id, 48L).toInt, id))
         }
       }.toDF()
   }

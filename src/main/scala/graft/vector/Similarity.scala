@@ -85,6 +85,10 @@ object Similarity {
                 nCentroids: Int): DataFrame = {
     val step = 31L // coprime stride over ids
     emb.filter(col(idCol) % step === 0)
+      // a zero vector must never become a centroid: its cosine is 0/0 =
+      // NaN, which Spark sorts ABOVE every double, so the argmax would
+      // assign the whole corpus to a dead cluster no probe ever selects
+      .filter(sqrt(dot(col(vecCol), col(vecCol))) > 0)
       .orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
   }
@@ -227,13 +231,16 @@ object Similarity {
     val hot = u.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > maxBucket)
       .orderBy(col("cnt").desc).limit(5).collect() // bounded: worst 5
-    require(hot.isEmpty,
-      s"knnGraphBucketed: bucket(s) exceed maxBucket=$maxBucket " +
-        s"(worst: ${hot.map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(", ")}); " +
-        "the in-bucket join costs sum(bucket^2) pairs, so a hot bucket " +
-        "reintroduces the quadratic blow-up this operator exists to avoid " +
-        "- split it with finer bucketing (more IVF centroids, extra LSH " +
-        "bits, or a salt column) or raise maxBucket deliberately")
+    if (hot.nonEmpty) {
+      u.unpersist() // refusal path: nothing downstream will release it
+      throw new IllegalArgumentException(
+        s"knnGraphBucketed: bucket(s) exceed maxBucket=$maxBucket " +
+          s"(worst: ${hot.map(r => s"${r.get(0)}=${r.getLong(1)}").mkString(", ")}); " +
+          "the in-bucket join costs sum(bucket^2) pairs, so a hot bucket " +
+          "reintroduces the quadratic blow-up this operator exists to avoid " +
+          "- split it with finer bucketing (more IVF centroids, extra LSH " +
+          "bits, or a salt column) or raise maxBucket deliberately")
+    }
     val a = u.select(col("id").as("src"), col("b"),
       col("v").as("_va"), col("n").as("_na"))
     val b = u.select(col("id").as("dst"), col("b"),
@@ -384,7 +391,7 @@ object Similarity {
     * `PartitionFilters` on the scan, asserted in PlanSpec.
     */
   def ivfProbe(spark: SparkSession, indexPath: String, queryVec: Seq[Double],
-               k: Int, nProbe: Int = 4, excludeId: Long = -1L,
+               k: Int, nProbe: Int = 4, excludeId: Option[Long] = None,
                idName: String = "id"): DataFrame = {
     val qn = math.sqrt(dotD(queryVec, queryVec))
     require(qn > 0, "ivfProbe: query vector has zero norm — no cosine direction")
@@ -397,9 +404,11 @@ object Similarity {
       }
       .sortBy { case (c, cid) => (-c, cid) }
       .take(nProbe).map(_._2).toSeq
-    spark.read.parquet(s"$indexPath/assignments")
+    val pruned = spark.read.parquet(s"$indexPath/assignments")
       .filter(col("cluster").isin(probed: _*))
-      .filter(col("id") =!= excludeId)
+    // Option, not a sentinel: a -1 default would silently shadow a real
+    // id -1 in corpora with signed/hash-derived ids
+    excludeId.fold(pruned)(x => pruned.filter(col("id") =!= x))
       .withColumn("cos_sim",
         round(dot(col("v"), typedLit(queryVec)) / (col("n") * lit(qn)), 6))
       .orderBy(col("cos_sim").desc, col("id").asc)
@@ -417,6 +426,7 @@ object Similarity {
                    nProbe: Int = 4): DataFrame = {
     val qv = toDouble(
       emb.filter(col(idCol) === queryId).select(col(vecCol)).head().getSeq[Any](0))
-    ivfProbe(spark, indexPath, qv, k, nProbe, excludeId = queryId, idName = idCol)
+    ivfProbe(spark, indexPath, qv, k, nProbe, excludeId = Some(queryId),
+      idName = idCol)
   }
 }

@@ -220,12 +220,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(hist.toSeq === Seq((1L, "OVERWRITE_PARTITIONS"), (0L, "OVERWRITE_PARTITIONS")))
     // the manifest dir must not leak into table reads
     assert(spark.read.parquet(dir).count() === 2)
-    // write metrics present and sane: table state after the second write
-    // is 2 rows across 2 partition files
+    // write metrics present and sane: the second upsert touched exactly
+    // one partition (one file, one row) — per-operation, not table state
     val m = Layout.history(spark, dir, 1)
       .select("metrics.num_files", "metrics.num_bytes", "metrics.num_rows")
       .as[(Long, Long, Long)].head()
-    assert(m._1 === 2L && m._3 === 2L && m._2 > 0L, m)
+    assert(m._1 === 1L && m._3 === 1L && m._2 > 0L, m)
+  }
+
+  test("logWrite numbers versions past 51 entries (padded-filename guard regression)") {
+    // the manifest writes 20-digit zero-padded names; a raw length<=18
+    // guard excluded the log's own files, restarting discovery at 0 and
+    // capping the log at the 50-attempt retry budget
+    val dir = Files.createTempDirectory("graft_histlong").toString + "/t"
+    Seq((1, "a")).toDF("k", "v").write.parquet(dir)
+    (1 to 60).foreach(i => Layout.logWrite(spark, dir, "WRITE", Map("i" -> i.toString)))
+    val versions = Layout.history(spark, dir, 100).select("version").as[Long].collect()
+    assert(versions.length === 60 && versions.max === 59L)
   }
 
   test("concurrent logWrite claims distinct versions (atomic create-if-absent)") {
