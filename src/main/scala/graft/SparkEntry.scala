@@ -415,6 +415,43 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
     }),
 
+    "q82_vwap" -> ((s, dir) => {
+      // volume-weighted average price per (instrument, day): quantity
+      // from the props JSON, exact decimal Σpq/Σq, NULL on zero volume
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("qty").isNotNull)
+      Stats.vwap(ev, Seq("event_type", "day"), col("value"), col("qty"))
+        .orderBy("event_type", "day")
+    }),
+
+    "q83_rolling_volatility" -> ((s, dir) => {
+      // trailing-20-tick rolling mean/stddev per instrument from exact
+      // decimal power sums over the frame (order-independent — the
+      // window twin of q49's moment computation)
+      Stats.rollingStats(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"), 20)
+        .select(col("event_id"), col("event_type"), col("roll_n"),
+          col("roll_mean"), col("roll_std"))
+        .orderBy("event_id")
+    }),
+
+    "q84_max_drawdown" -> ((s, dir) => {
+      // largest peak-to-trough decline per instrument: expanding-max
+      // running peak, exact decimals end to end, one shuffle
+      Stats.maxDrawdown(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"))
+        .orderBy("event_type")
+    }),
+
+    "q85_dup_shingles" -> ((s, dir) => {
+      // cross-doc duplicated 5-gram fraction per doc (Lee et al. span-
+      // duplication signal): inverted-index shape, no pair space
+      text.Dedup.dupShingleFraction(t(s, dir, "documents"), "doc_id", "text", 5)
+        .orderBy("doc_id")
+    }),
+
     "q42_embedding_norms" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .withColumn("l2_norm", round(Similarity.l2Norm(col("embedding")), 6))
@@ -1293,6 +1330,75 @@ object SparkEntry {
     // exact oracle applies — the gate additionally proves the
     // partition-pruned index scan returns the very rows the full scan does
     "q81_ivf_probe" -> cosineTopKOracle,
+
+    "q82_vwap" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND json_extract_string(props, '$.k') IS NOT NULL)
+        |SELECT event_type, day, COUNT(*) AS n_trades,
+        |  round(CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_qty,
+        |  CASE WHEN SUM(CAST(qty AS DECIMAL(18,6))) <> 0 THEN
+        |    round(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(qty AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE), 6) END AS vwap
+        |FROM ev GROUP BY event_type, day ORDER BY event_type, day""".stripMargin,
+
+    "q83_rolling_volatility" ->
+      """WITH w AS (
+        |  SELECT event_id, event_type,
+        |    COUNT(*) OVER fr AS n,
+        |    SUM(CAST(value AS DECIMAL(18,6))) OVER fr AS s1,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) OVER fr AS s2
+        |  FROM events WHERE value IS NOT NULL
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, CAST(n AS BIGINT) AS roll_n,
+        |  round(CAST(s1 AS DOUBLE) / n, 6) AS roll_mean,
+        |  CASE WHEN n > 1 THEN
+        |    round(sqrt(greatest(0.0,
+        |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))), 6) END AS roll_std
+        |FROM w ORDER BY event_id""".stripMargin,
+
+    "q84_max_drawdown" ->
+      """WITH p AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+        |    MAX(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY event_type
+        |      ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type,
+        |  round(CAST(MAX(pk - v) AS DOUBLE), 6) AS max_drawdown,
+        |  round(CAST(MAX(pk) AS DOUBLE), 6) AS peak,
+        |  COUNT(*) AS n_ticks
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same shingle construction (incl. the short-doc whole-text
+    // fallback) as the jaccard oracle, then doc-frequency >= 2 counts
+    "q85_dup_shingles" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM toks),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.word || ' ' || b.word || ' ' || c.word || ' ' || d.word || ' ' || e.word AS shingle
+        |  FROM words a
+        |  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        |  JOIN words d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+        |  JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4
+        |  UNION
+        |  SELECT doc_id, array_to_string(w, ' ') AS shingle
+        |  FROM toks WHERE len(w) < 5),
+        |freq AS (SELECT shingle, COUNT(*) AS sdf FROM sh GROUP BY shingle)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.sdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  round(CAST(SUM(CASE WHEN f.sdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS dup_fraction
+        |FROM sh JOIN freq f USING (shingle)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q42_embedding_norms" ->
       """WITH n AS (

@@ -116,6 +116,76 @@ object Stats {
         count(lit(1)).as("n_ticks"))
   }
 
+  /** VWAP (volume-weighted average price) per group: Σ(price·qty)/Σ(qty)
+    * from exact decimal sums, presented as a rounded double — the
+    * canonical market-data aggregate the reference's Gold stats family
+    * implies (`silver_to_gold_crypto_stats.py:77-84` computes plain
+    * averages; volume weighting is the standard refinement). One hash
+    * aggregation with map-side partials; groups with zero total quantity
+    * yield a NULL vwap (ANSI-safe) instead of dividing by zero.
+    */
+  def vwap(df: DataFrame, keys: Seq[String],
+           priceCol: Column, qtyCol: Column): DataFrame = {
+    val p = priceCol.cast(DecimalType(18, 6))
+    val q = qtyCol.cast(DecimalType(18, 6))
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_trades"),
+        sum(q).as("_qty"),
+        sum((p * q).cast(DecimalType(38, 12))).as("_pv"))
+      .withColumn("total_qty", round(col("_qty").cast("double"), 6))
+      .withColumn("vwap", when(col("_qty") =!= 0,
+        round(col("_pv").cast("double") / col("_qty").cast("double"), 6)))
+      .drop("_qty", "_pv")
+  }
+
+  /** Trailing-window moments per key: rolling mean and sample stddev of
+    * the last `window` rows (current inclusive), from exact decimal
+    * power sums over the frame — the window-frame twin of [[keyMoments]]
+    * (built-in stddev over a frame streams doubles and is summation-
+    * order-dependent; power sums in decimal are order-independent, so
+    * the same rows give the same answer on any partitioning AND in the
+    * oracle engine). The frame never materializes beyond the window, so
+    * cost is one shuffle by key + an O(window) running frame per row.
+    * Rows with a single-row frame have no sample stddev (NULL); the
+    * variance is clamped at 0 before sqrt to absorb double rounding on
+    * near-constant windows.
+    */
+  def rollingStats(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                   valueCol: Column, window: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val v = valueCol.cast(DecimalType(18, 6))
+    val s1d = col("_s1").cast("double")
+    val varExpr = greatest(lit(0.0),
+      (col("_s2").cast("double") - s1d * s1d / col("_n")) / (col("_n") - 1))
+    df.withColumn("_s1", sum(v).over(w))
+      .withColumn("_s2", sum((v * v).cast(DecimalType(38, 12))).over(w))
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("roll_n", col("_n"))
+      .withColumn("roll_mean", round(s1d / col("_n"), 6))
+      .withColumn("roll_std", when(col("_n") > 1, round(sqrt(varExpr), 6)))
+      .drop("_s1", "_s2", "_n")
+  }
+
+  /** Maximum drawdown per key over an ordered price series: the largest
+    * peak-to-trough decline observed so far, on exact decimals end to
+    * end (running peak = expanding max window — one shuffle by key, no
+    * self-join, no driver state). Reported as an absolute decline plus
+    * the peak it fell from, rounded for presentation.
+    */
+  def maxDrawdown(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                  priceCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = priceCol.cast(DecimalType(18, 6))
+    df.withColumn("_peak", max(p).over(w))
+      .withColumn("_dd", col("_peak") - p)
+      .groupBy(col(keyCol))
+      .agg(round(max(col("_dd")).cast("double"), 6).as("max_drawdown"),
+        round(max(col("_peak")).cast("double"), 6).as("peak"),
+        count(lit(1)).as("n_ticks"))
+  }
+
   /** Per-bucket distribution stats over [[bucketByCutpoints]]. */
   def bucketStats(df: DataFrame, valueCol: String, buckets: Int): DataFrame =
     bucketByCutpoints(df, valueCol, buckets)

@@ -199,4 +199,28 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Cross-document duplicated-shingle fraction per doc: the share of a
+    * doc's distinct n-gram shingles that also occur in at least one
+    * OTHER document — the span-level duplication signal behind
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., ACL'22): pairwise dedup (jaccardPairs/minhash) finds
+    * near-identical DOCUMENTS, this finds boilerplate-heavy docs whose
+    * text is stitched from fragments shared across the corpus. Cost: the
+    * one shingle relation + a doc-frequency aggregation + one join back
+    * — the same inverted-index shape as TF-IDF, no pair space at all.
+    * (`shingleSets` is distinct-per-doc, so shingle count = doc
+    * frequency.)
+    */
+  def dupShingleFraction(df: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    val s = shingleSets(df, idCol, textCol, n)
+    val freq = s.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
+    s.join(freq, "shingle")
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_shingles"), 6).as("dup_fraction"))
+  }
 }

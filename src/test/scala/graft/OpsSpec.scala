@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{Joins, Windows}
+import graft.ops.{Joins, Stats, Windows}
 
 /** As-of join, range join, and analytic window semantics. */
 class OpsSpec extends AnyFunSuite {
@@ -194,6 +194,57 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("b", "2024-01-01 00:00:00.0")) === ((None, true)))       // pre-first
     assert(got(("b", "2024-01-01 02:00:00.0")) === ((Some(5.0), false)))
     assert(got.size === 8) // 2 keys × hours 0..3
+  }
+
+  test("vwap weights by quantity and yields NULL on zero total volume") {
+    import org.apache.spark.sql.functions.col
+    val ticks = Seq(
+      ("a", 10.0, 1L), ("a", 20.0, 3L),   // vwap = (10 + 60) / 4 = 17.5
+      ("z", 5.0, 0L), ("z", 7.0, 0L)      // zero volume → NULL vwap
+    ).toDF("sym", "price", "qty")
+    val got = Stats.vwap(ticks, Seq("sym"), col("price"), col("qty"))
+      .as[(String, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 2L, 4.0, Some(17.5))))
+    assert(got("z") === (("z", 2L, 0.0, None)))
+  }
+
+  test("rollingStats: exact trailing moments, NULL stddev on one-row frames") {
+    import org.apache.spark.sql.functions.col
+    val ticks = Seq(("a", 1L, 2.0), ("a", 2L, 4.0), ("a", 3L, 6.0))
+      .toDF("sym", "seq", "price")
+    val got = Stats.rollingStats(ticks, "sym", Seq(col("seq")), col("price"), 2)
+      .select("seq", "roll_n", "roll_mean", "roll_std")
+      .as[(Long, Long, Double, Option[Double])].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 1L, 2.0, None)))                  // frame = [2]
+    assert(got(1) === ((2L, 2L, 3.0, Some(1.414214))))        // [2,4], round 6
+    assert(got(2)._3 === 5.0)                                 // [4,6]
+  }
+
+  test("maxDrawdown finds the deepest peak-to-trough decline per key") {
+    import org.apache.spark.sql.functions.col
+    // a: 10 → 4 (dd 6) → 12 → 9 (dd 3): max 6 from peak 12
+    val ticks = Seq(("a", 1L, 10.0), ("a", 2L, 4.0), ("a", 3L, 12.0),
+        ("a", 4L, 9.0), ("b", 1L, 5.0))
+      .toDF("sym", "seq", "price")
+    val got = Stats.maxDrawdown(ticks, "sym", Seq(col("seq")), col("price"))
+      .as[(String, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") === (("a", 6.0, 12.0, 4L)))
+    assert(got("b") === (("b", 0.0, 5.0, 1L)))
+  }
+
+  test("dupShingleFraction: shared shingles count, unique ones do not") {
+    import graft.text.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f"),      // shingles: "a b c d e", "b c d e f"
+      (2L, "a b c d e zzz"),    // shares "a b c d e"
+      (3L, "totally different") // short doc → whole-text shingle, unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupShingleFraction(docs, "doc_id", "text", 5)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 2L, 1L, 0.5)))
+    assert(got(2L) === ((2L, 2L, 1L, 0.5)))
+    assert(got(3L) === ((3L, 1L, 0L, 0.0)))
   }
 
   test("labelCentroids averages each dimension per label") {
