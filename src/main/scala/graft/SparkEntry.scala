@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Clean, Joins, Stats, Windows}
+import graft.ops.{Clean, Ingest, Joins, Stats, Windows}
 import graft.text.{Dedup, TextStats}
 import graft.vector.Similarity
 
@@ -39,6 +39,18 @@ object SparkEntry {
       val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
       graft.vector.Similarity.buildIvfIndex(
         Tables.load(s, dir, "embeddings"), "vec_id", "embedding", path)
+      path
+    })
+
+  /** Build-once memo for q87's ORC copy of the events columns it
+    * aggregates — the roundtrip write happens once per sf dir per JVM.
+    */
+  private val orcCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def orcEventsFor(s: SparkSession, dir: String): String =
+    orcCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/events"
+      graft.engine.Layout.writeOrc(
+        Tables.load(s, dir, "events").select("event_type", "value", "user_id"), path)
       path
     })
 
@@ -450,6 +462,26 @@ object SparkEntry {
       // duplication signal): inverted-index shape, no pair space
       text.Dedup.dupShingleFraction(t(s, dir, "documents"), "doc_id", "text", 5)
         .orderBy("doc_id")
+    }),
+
+    "q86_quantize_embeddings" -> ((s, dir) => {
+      // int8 storage-compression audit: per-vector scale, dot-identity
+      // MSE, worst per-element error — exact floor arithmetic, map-only
+      Similarity.quantizeAudit(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")
+    }),
+
+    "q87_orc_roundtrip" -> ((s, dir) => {
+      // format-fidelity gate: parquet → ORC (once per JVM) → aggregate;
+      // the oracle aggregates the parquet table directly, so a hash
+      // match proves the ORC write+scan loses nothing
+      Ingest.fromOrc(s, orcEventsFor(s, dir))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 6)
+            .as("total_value"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
     }),
 
     "q42_embedding_norms" -> ((s, dir) => {
@@ -1373,6 +1405,38 @@ object SparkEntry {
         |  round(CAST(MAX(pk) AS DOUBLE), 6) AS peak,
         |  COUNT(*) AS n_ticks
         |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mse via the dot-product identity dot(x,x) - 2s·dot(x,q) + s²·dot(q,q)
+    // in BOTH engines, with floor(v/s + 0.5) quantization (exact in
+    // doubles — no round-half-mode divergence), so doubles agree bitwise
+    "q86_quantize_embeddings" ->
+      """WITH x AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xd
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, xd,
+        |    list_max(list_transform(xd, v -> abs(v))) AS am
+        |  FROM x),
+        |q AS (
+        |  SELECT vec_id, xd, am / 127.0 AS sc,
+        |    list_transform(xd, v -> floor(v / (am / 127.0) + 0.5)) AS qd
+        |  FROM s WHERE am > 0)
+        |SELECT vec_id,
+        |  CAST(len(qd) AS BIGINT) AS n_dims,
+        |  round(sc, 9) AS scale,
+        |  round((list_dot_product(xd, xd) - 2.0 * sc * list_dot_product(xd, qd)
+        |    + sc * sc * list_dot_product(qd, qd)) / len(qd), 12) AS mse,
+        |  round(list_max(list_transform(xd,
+        |    v -> abs(v - sc * floor(v / sc + 0.5)))), 9) AS max_abs_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // the oracle aggregates the parquet table DIRECTLY — matching hashes
+    // prove the Spark-side parquet→ORC→scan roundtrip loses nothing
+    "q87_orc_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // same shingle construction (incl. the short-doc whole-text
     // fallback) as the jaccard oracle, then doc-frequency >= 2 counts

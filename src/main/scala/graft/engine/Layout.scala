@@ -245,6 +245,18 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** ORC sink (optionally partitioned) — same layout discipline as the
+    * parquet writers: co-locate by partition column first
+    * ([[colocated]]) or accept one file per shuffle partition per dir.
+    * Read half: [[graft.ops.Ingest.fromOrc]].
+    */
+  def writeOrc(df: DataFrame, path: String,
+               partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+
   /** K4: single-file CSV export with header — `coalesce(1)` write + rename
     * of the part file (the executor-side equivalent of the reference's
     * driver-side `toPandas().to_csv`, which would OOM the driver at scale).

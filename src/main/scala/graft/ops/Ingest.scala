@@ -147,6 +147,15 @@ object Ingest {
       .csv(path)
   }
 
+  /** ORC scan — the second columnar format a complete engine must read
+    * (Spark's built-in vectorized ORC reader: predicate pushdown, column
+    * pruning, and stripe-level min/max skipping all apply exactly as for
+    * parquet). The write half is [[graft.engine.Layout.writeOrc]]; q87
+    * proves the round trip byte-faithful against the DuckDB oracle.
+    */
+  def fromOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Seeded per-stratum sampling (training-data curation: down-weight
     * over-represented sources). `fractions` maps stratum value → keep
     * fraction; strata absent from the map are dropped. Map-side only —

@@ -416,6 +416,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 scalar quantization audit: per-vector scale (absmax/127),
+    * reconstruction MSE, and worst per-element error — the storage-
+    * compression trade a 100 TB embedding corpus actually makes (4×
+    * smaller than float32), surfaced as a per-vector quality report so a
+    * pipeline can gate on acceptable loss before switching its index to
+    * int8.
+    *
+    * Determinism/oracle notes: quantization uses `floor(v/scale + 0.5)`
+    * (exact in doubles — no round-half-mode divergence between engines),
+    * and the MSE comes from the dot-product identity
+    * `dot(x,x) - 2s·dot(x,q) + s²·dot(q,q)` over the SAME sequential
+    * [[dot]] kernel the oracle's `list_dot_product` matches (q42
+    * precedent), so the doubles agree bit-for-bit. Zero vectors have no
+    * scale and are excluded. Map-only — no shuffle but the presentation
+    * sort.
+    */
+  def quantizeAudit(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xd = transform(col(vecCol), v => v.cast("double"))
+    emb.select(col(idCol), xd.as("_x"))
+      .withColumn("_absmax", array_max(transform(col("_x"), v => abs(v))))
+      .filter(col("_absmax") > 0)
+      .withColumn("_s", col("_absmax") / lit(127.0))
+      // bind _s as a column FIRST: HOF lambdas are interpreted and
+      // re-evaluate compound subexpressions once per element
+      .withColumn("_q", transform(col("_x"),
+        // floor() yields bigint — keep the array double for the dot kernel
+        v => floor(v / col("_s") + lit(0.5)).cast("double")))
+      .withColumn("_mse",
+        (dot(col("_x"), col("_x"))
+          - lit(2.0) * col("_s") * dot(col("_x"), col("_q"))
+          + col("_s") * col("_s") * dot(col("_q"), col("_q"))) / size(col("_q")))
+      .select(col(idCol),
+        size(col("_q")).cast("long").as("n_dims"),
+        round(col("_s"), 9).as("scale"),
+        round(col("_mse"), 12).as("mse"),
+        round(array_max(transform(col("_x"),
+          v => abs(v - col("_s") * floor(v / col("_s") + lit(0.5))))), 9)
+          .as("max_abs_err"))
+  }
+
   /** [[ivfProbe]] keyed by an id in the source table: fetches the single
     * query vector via a pushed-down id filter (one-row collect), excludes
     * the query row from its own result — the [[cosineTopK]] contract over

@@ -10,6 +10,21 @@ import graft.ops.Ingest
   * collection rows (S2), JSON inference (S7).
   */
 class IngestSpec extends AnyFunSuite {
+
+  test("ORC write/read roundtrip preserves rows, schema, and nulls") {
+    val spark0 = TestSession.spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString + "/t"
+    val df = Seq(("a", Some(1.5), 10L), ("b", None, 20L), ("a", Some(-2.25), 30L))
+      .toDF("k", "v", "n")
+    graft.engine.Layout.writeOrc(df, dir)
+    val back = graft.ops.Ingest.fromOrc(spark0, dir)
+    // names+types survive (nullability widens on any columnar read-back)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.as[(String, Option[Double], Long)].collect().toSet ===
+      Set(("a", Some(1.5), 10L), ("b", None, 20L), ("a", Some(-2.25), 30L)))
+  }
   lazy val spark = TestSession.spark
   import spark.implicits._
 

@@ -43,6 +43,19 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(recall >= 5, s"recall $recall/10 too low")
   }
 
+  test("quantizeAudit: lossless when values sit on the int8 grid, zero vectors excluded") {
+    val emb = Seq(
+      (1L, Seq(127.0f, -127.0f, 0.0f)), // absmax 127 → scale 1, exact grid
+      (2L, Seq(0.0f, 0.0f, 0.0f))       // zero vector: no scale, excluded
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeAudit(emb, "vec_id", "embedding")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.length === 1)
+    val (id, n, scale, mse, maxErr) = got.head
+    assert((id, n, scale) === ((1L, 3L, 1.0)))
+    assert(mse === 0.0 && maxErr === 0.0) // on-grid values reconstruct exactly
+  }
+
   test("knnGraphBucketed refuses a hot bucket, names it, and stays exact under the cap") {
     import spark.implicits._
     // one giant bucket (0: 60 rows) + two normal ones (1, 2: 5 rows each)
