@@ -92,6 +92,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q86: quantization audit is map-only — no Exchange in the plan") {
+    val df = graft.vector.Similarity.quantizeAudit(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q83: both rolling-moment windows ride ONE hash shuffle") {
+    val df = graft.ops.Stats.rollingStats(
+      Tables.load(spark, dir, "events").filter(col("value").isNotNull),
+      "event_type", Seq(col("ts"), col("event_id")), col("value"), 20)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("q81: IVF probe partition-prunes the index scan to nProbe clusters") {
     val emb = Tables.load(spark, dir, "embeddings")
     val idx = Files.createTempDirectory("graft_ivf_plan").toString + "/index"
