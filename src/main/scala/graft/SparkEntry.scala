@@ -471,6 +471,13 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "q88_boilerplate" -> ((s, dir) => {
+      // CCNet-style line scrub: lines shared by >1 distinct docs are
+      // boilerplate; docs reassemble from surviving lines in order
+      text.Curation.stripBoilerplate(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q87_orc_roundtrip" -> ((s, dir) => {
       // format-fidelity gate: parquet → ORC (once per JVM) → aggregate;
       // the oracle aggregates the parquet table directly, so a hash
@@ -1429,6 +1436,18 @@ object SparkEntry {
         |  round(list_max(list_transform(xd,
         |    v -> abs(v - sc * floor(v / sc + 0.5)))), 9) AS max_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q88_boilerplate" ->
+      """WITH lines AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents)),
+        |freq AS (SELECT line, COUNT(DISTINCT doc_id) AS ldf FROM lines GROUP BY line),
+        |kept AS (
+        |  SELECT doc_id, i, line FROM lines JOIN freq USING (line) WHERE ldf <= 1)
+        |SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY i) AS clean_text,
+        |  COUNT(*) AS n_lines_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the oracle aggregates the parquet table DIRECTLY — matching hashes
     // prove the Spark-side parquet→ORC→scan roundtrip loses nothing

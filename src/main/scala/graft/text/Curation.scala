@@ -74,6 +74,34 @@ object Curation {
       .withColumn("contaminated", col("n_shared") > 0)
   }
 
+  /** CCNet-style line-level boilerplate removal: drop every line whose
+    * DISTINCT-document frequency exceeds `maxLineDf` (navigation chrome,
+    * cookie banners, license headers — the text that repeats across a
+    * crawl without being a document-level duplicate), then reassemble
+    * each doc from its surviving lines in original order. Docs whose
+    * every line is boilerplate disappear (nothing left to train on).
+    *
+    * Shape: posexplode (map-only) → line-frequency hash agg → hash join
+    * back → per-doc collect_list bounded by the doc's own line count.
+    * The collected struct carries the line index, so reassembly is
+    * deterministic (sort_array on the index) without a window sort.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       maxLineDf: Long = 1L): DataFrame = {
+    val lines = df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+    val freq = lines.groupBy(col("line"))
+      .agg(count_distinct(col("doc_id")).as("_ldf"))
+    lines.join(freq, "line")
+      .filter(col("_ldf") <= maxLineDf)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
+            s => s.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
   /** Per-document TF-IDF, top-`topK` terms per doc:
     * tf = n(term, doc) / n(doc); idf = ln(N / df(term)); ranked with a
     * deterministic (tfidf desc, term asc) tiebreak on ROUNDED scores so

@@ -12,6 +12,19 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
 
+  test("stripBoilerplate removes cross-doc lines, keeps order, drops all-boilerplate docs") {
+    val docs = Seq(
+      (1L, "unique one\nCOOKIE BANNER\nunique two"),
+      (2L, "COOKIE BANNER\nother text"),
+      (3L, "COOKIE BANNER") // every line shared → nothing left to keep
+    ).toDF("doc_id", "text")
+    val got = Curation.stripBoilerplate(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "unique one\nunique two", 2L)))
+    assert(got(2L) === ((2L, "other text", 1L)))
+    assert(!got.contains(3L))
+  }
+
   test("connectedComponents labels a chain with its minimum node") {
     // 1-2-3-4 chain plus isolated pair 10-11: transitivity across hops
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("src", "dst")
