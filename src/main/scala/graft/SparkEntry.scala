@@ -471,6 +471,18 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "q89_pagerank" -> ((s, dir) => {
+      // document-centrality pass over the k-NN similarity graph: 3
+      // PageRank iterations, per-row decimal-cast contribution sums so
+      // ranks are order-independent (and oracle-reproducible bit-exact)
+      val edges = Similarity.knnGraphBucketed(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", 5)
+        .select("src", "dst")
+      text.Clusters.pageRank(edges, "src", "dst", iters = 3)
+        .select(col("node").as("vec_id"), round(col("pagerank"), 10).as("pagerank"))
+        .orderBy("vec_id")
+    }),
+
     "q88_boilerplate" -> ((s, dir) => {
       // CCNet-style line scrub: lines shared by >1 distinct docs are
       // boilerplate; docs reassemble from surviving lines in order
@@ -1436,6 +1448,63 @@ object SparkEntry {
         |  round(list_max(list_transform(xd,
         |    v -> abs(v - sc * floor(v / sc + 0.5)))), 9) AS max_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // the q75 edge CTE + three unrolled PageRank iterations; every
+    // formula mirrors the Spark side shape-for-shape (double ops, per-
+    // row DECIMAL(28,14) contribution casts, round 14 per iteration)
+    // so the doubles agree bitwise
+    "q89_pagerank" ->
+      """WITH em AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |  FROM em a JOIN em b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (
+        |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS rnk
+        |    FROM pairs) WHERE rnk <= 5),
+        |outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |p0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS p FROM nodes, nn),
+        |i1 AS (
+        |  SELECT nodes.node,
+        |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |      + COALESCE(CAST(s.c AS DOUBLE), CAST(0.0 AS DOUBLE)), 14) AS p
+        |  FROM nodes CROSS JOIN nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      SUM(CAST(p.p / o.od * CAST(0.85 AS DOUBLE) AS DECIMAL(28,14))) AS c
+        |    FROM edges e JOIN p0 p ON p.node = e.src JOIN outd o ON o.src = e.src
+        |    GROUP BY e.dst) s ON s.node = nodes.node),
+        |i2 AS (
+        |  SELECT nodes.node,
+        |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |      + COALESCE(CAST(s.c AS DOUBLE), CAST(0.0 AS DOUBLE)), 14) AS p
+        |  FROM nodes CROSS JOIN nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      SUM(CAST(p.p / o.od * CAST(0.85 AS DOUBLE) AS DECIMAL(28,14))) AS c
+        |    FROM edges e JOIN i1 p ON p.node = e.src JOIN outd o ON o.src = e.src
+        |    GROUP BY e.dst) s ON s.node = nodes.node),
+        |i3 AS (
+        |  SELECT nodes.node,
+        |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+        |      + COALESCE(CAST(s.c AS DOUBLE), CAST(0.0 AS DOUBLE)), 14) AS p
+        |  FROM nodes CROSS JOIN nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      SUM(CAST(p.p / o.od * CAST(0.85 AS DOUBLE) AS DECIMAL(28,14))) AS c
+        |    FROM edges e JOIN i2 p ON p.node = e.src JOIN outd o ON o.src = e.src
+        |    GROUP BY e.dst) s ON s.node = nodes.node)
+        |SELECT node AS vec_id, round(p, 10) AS pagerank
+        |FROM i3 ORDER BY vec_id""".stripMargin,
 
     "q88_boilerplate" ->
       """WITH lines AS (

@@ -126,4 +126,48 @@ object Clusters {
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
+
+  /** Fixed-iteration PageRank over a directed edge list — the standard
+    * centrality pass over a similarity graph (rank "hub" documents of a
+    * near-dup neighborhood, weight corpus exemplars). Classic
+    * distributed shape: per-iteration one join edges⋈ranks, one hash
+    * aggregation of contributions by destination, one left join back
+    * onto the node set; nothing reaches the driver but the node count.
+    *
+    * Determinism/oracle contract: each contribution `p/out_deg · d` is
+    * computed in doubles with a FIXED formula shape, cast per-row to
+    * DECIMAL(28,14) before the sum (exact, order-independent — the q49
+    * pattern), and the new rank is rounded to 14 dp — so any partial-
+    * aggregation order and any SQL engine replaying the same formula
+    * produce identical bits. Nodes with no in-edges get the teleport
+    * term only; every node of a k-NN graph has out-edges (any node with
+    * a same-bucket peer points somewhere), so no dangling-mass term is
+    * needed — callers feeding general graphs should add one.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val out = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true) // tiny; reused every iteration + final join
+    val n = nodes.count() // one scalar to the driver
+    val teleport = (1.0 - damping) / n
+    var p = nodes.withColumn("p", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(p, e("src") === p("node"))
+        .join(out, "src")
+        .select(col("dst").as("node"),
+          (col("p") / col("out_deg") * lit(damping))
+            .cast(DecimalType(28, 14)).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("csum"))
+      p = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(teleport) + coalesce(col("csum").cast("double"), lit(0.0)), 14)
+            .as("p"))
+    }
+    p.select(col("node"), col("p").as("pagerank"))
+  }
 }

@@ -12,6 +12,20 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
 
+  test("pageRank: symmetric cycle stays uniform, in-degree concentrates rank, mass conserved") {
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val pr = Clusters.pageRank(cyc, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(pr(1L) === 0.5 && pr(2L) === 0.5) // fixed point of the symmetric 2-cycle
+    // 1↔2 plus 3→1: node 1 gains what 3 sheds; 3 keeps teleport only
+    val star = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val pr2 = Clusters.pageRank(star, "src", "dst", iters = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(pr2(1L) > pr2(2L) && pr2(2L) > pr2(3L), pr2)
+    // no dangling nodes → total rank mass stays 1
+    assert(math.abs(pr2.values.sum - 1.0) < 1e-9, pr2)
+  }
+
   test("stripBoilerplate removes cross-doc lines, keeps order, drops all-boilerplate docs") {
     val docs = Seq(
       (1L, "unique one\nCOOKIE BANNER\nunique two"),
