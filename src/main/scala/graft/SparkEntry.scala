@@ -471,6 +471,32 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "q90_label_prop" -> ((s, dir) => {
+      // semi-supervised label spreading: 10% of vectors seed their true
+      // label, 3 synchronous iterations over the k-NN graph; integer
+      // counts + smallest-label tiebreak → fully deterministic
+      val edges = Similarity.knnGraphBucketed(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", 5)
+        .select("src", "dst")
+      val seeds = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("label"))
+      text.Clusters.labelPropagation(edges, "src", "dst",
+          seeds, "vec_id", "label", 3)
+        .select(col("node").as("vec_id"), col("label").as("pred_label"))
+        .orderBy("vec_id")
+    }),
+
+    "q91_twap" -> ((s, dir) => {
+      // time-weighted average price per (instrument, day): each tick
+      // weighted by microseconds until the next tick; exact decimals
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+      Stats.twap(ev, Seq("event_type", "day"), col("ts"), col("event_id"),
+          col("value"))
+        .orderBy("event_type", "day")
+    }),
+
     "q89_pagerank" -> ((s, dir) => {
       // document-centrality pass over the k-NN similarity graph: 3
       // PageRank iterations, per-row decimal-cast contribution sums so
@@ -1448,6 +1474,83 @@ object SparkEntry {
         |  round(list_max(list_transform(xd,
         |    v -> abs(v - sc * floor(v / sc + 0.5)))), 9) AS max_abs_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // edge CTE + symmetrize + three unrolled label-propagation rounds;
+    // counts are integers and the tiebreak is total, so no float concerns
+    "q90_label_prop" ->
+      """WITH em AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |  WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |  FROM em a JOIN em b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (
+        |      PARTITION BY src ORDER BY cos_sim DESC, dst) AS rnk
+        |    FROM pairs) WHERE rnk <= 5),
+        |eds AS (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+        |nodes AS (SELECT DISTINCT src AS node FROM eds),
+        |seeds AS (
+        |  SELECT vec_id AS node, CAST(label AS BIGINT) AS seed_label
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |l0 AS (
+        |  SELECT n.node, s.seed_label AS label
+        |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+        |l1 AS (
+        |  SELECT n.node, COALESCE(s.seed_label, b.nl) AS label
+        |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        |  LEFT JOIN (
+        |    SELECT src AS node, nl FROM (
+        |      SELECT src, nl, row_number() OVER (
+        |        PARTITION BY src ORDER BY c DESC, nl ASC) AS r
+        |      FROM (SELECT e.src, l.label AS nl, COUNT(*) AS c
+        |            FROM eds e JOIN l0 l ON l.node = e.dst
+        |            WHERE l.label IS NOT NULL GROUP BY e.src, l.label))
+        |    WHERE r = 1) b ON b.node = n.node),
+        |l2 AS (
+        |  SELECT n.node, COALESCE(s.seed_label, b.nl) AS label
+        |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        |  LEFT JOIN (
+        |    SELECT src AS node, nl FROM (
+        |      SELECT src, nl, row_number() OVER (
+        |        PARTITION BY src ORDER BY c DESC, nl ASC) AS r
+        |      FROM (SELECT e.src, l.label AS nl, COUNT(*) AS c
+        |            FROM eds e JOIN l1 l ON l.node = e.dst
+        |            WHERE l.label IS NOT NULL GROUP BY e.src, l.label))
+        |    WHERE r = 1) b ON b.node = n.node),
+        |l3 AS (
+        |  SELECT n.node, COALESCE(s.seed_label, b.nl) AS label
+        |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+        |  LEFT JOIN (
+        |    SELECT src AS node, nl FROM (
+        |      SELECT src, nl, row_number() OVER (
+        |        PARTITION BY src ORDER BY c DESC, nl ASC) AS r
+        |      FROM (SELECT e.src, l.label AS nl, COUNT(*) AS c
+        |            FROM eds e JOIN l2 l ON l.node = e.dst
+        |            WHERE l.label IS NOT NULL GROUP BY e.src, l.label))
+        |    WHERE r = 1) b ON b.node = n.node)
+        |SELECT node AS vec_id, label AS pred_label
+        |FROM l3 ORDER BY vec_id""".stripMargin,
+
+    "q91_twap" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, value,
+        |    epoch_us(ts) AS tu,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts ASC, event_id ASC) AS nxt
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, day,
+        |  COUNT(*) AS n_intervals,
+        |  round(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * (nxt - tu) AS DECIMAL(38,6))) AS DOUBLE)
+        |    / CAST(SUM(nxt - tu) AS DOUBLE), 6) AS twap
+        |FROM t WHERE nxt IS NOT NULL
+        |GROUP BY event_type, day HAVING SUM(nxt - tu) > 0
+        |ORDER BY event_type, day""".stripMargin,
 
     // the q75 edge CTE + three unrolled PageRank iterations; every
     // formula mirrors the Spark side shape-for-shape (double ops, per-

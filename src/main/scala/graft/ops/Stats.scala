@@ -167,6 +167,33 @@ object Stats {
       .drop("_s1", "_s2", "_n")
   }
 
+  /** TWAP (time-weighted average price) per group: each tick's price is
+    * weighted by the microseconds until the NEXT tick in the group
+    * (`lead` — one window pass), so a quote that stood for an hour
+    * counts 3600× one that stood a second; the group's last tick has no
+    * holding interval and drops out. Exact decimal Σ(p·Δt)/ΣΔt; groups
+    * whose ticks all share one timestamp (zero total interval) are
+    * excluded rather than divided by zero. The interval-weighting twin
+    * of [[vwap]].
+    */
+  def twap(df: DataFrame, keys: Seq[String], tsCol: Column,
+           tiebreak: Column, priceCol: Column): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tsCol.asc, tiebreak.asc)
+    val p = priceCol.cast(DecimalType(18, 6))
+    df.withColumn("_tu", unix_micros(tsCol))
+      .withColumn("_nxt", lead(col("_tu"), 1).over(w))
+      .filter(col("_nxt").isNotNull)
+      .withColumn("_dt", col("_nxt") - col("_tu"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum((p * col("_dt")).cast(DecimalType(38, 6))).as("_pdt"),
+        sum(col("_dt")).as("_t"),
+        count(lit(1)).as("n_intervals"))
+      .filter(col("_t") > 0)
+      .withColumn("twap",
+        round(col("_pdt").cast("double") / col("_t").cast("double"), 6))
+      .drop("_pdt", "_t")
+  }
+
   /** Maximum drawdown per key over an ordered price series: the largest
     * peak-to-trough decline observed so far, on exact decimals end to
     * end (running peak = expanding max window — one shuffle by key, no

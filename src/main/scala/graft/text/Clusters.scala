@@ -170,4 +170,45 @@ object Clusters {
     }
     p.select(col("node"), col("p").as("pagerank"))
   }
+
+  /** Synchronous label propagation over an undirected graph: seed nodes
+    * hold fixed labels; each iteration every other node takes the most
+    * common label among its labelled neighbours (tiebreak: smallest
+    * label — fully deterministic, integer counts only, so the result is
+    * engine-portable with no float concerns). The semi-supervised
+    * spreading pass a curation pipeline uses to extend a small set of
+    * human quality/topic labels across a similarity graph. Same
+    * distributed shape as [[pageRank]]: join-count-argmax per iteration,
+    * driver sees nothing. Nodes unreachable from any seed stay NULL.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       seeds: DataFrame, seedNodeCol: String,
+                       seedLabelCol: String, iters: Int = 3): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true) // reused every iteration
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
+    val sd = seeds.select(col(seedNodeCol).cast("long").as("node"),
+      col(seedLabelCol).cast("long").as("seed_label"))
+    var lab = nodes.join(sd, Seq("node"), "left")
+      .select(col("node"), col("seed_label").as("label"))
+    for (_ <- 1 to iters) {
+      val counts = e
+        .join(lab.select(col("node").as("dst"), col("label").as("_nl")), "dst")
+        .filter(col("_nl").isNotNull)
+        .groupBy(col("src"), col("_nl"))
+        .agg(count(lit(1)).as("_c"))
+      // argmax by (count desc, label asc) via min over (-count, label)
+      val best = counts.groupBy(col("src"))
+        .agg(min(struct((-col("_c")).as("nc"), col("_nl").as("l")))
+          .getField("l").as("_new"))
+        .select(col("src").as("node"), col("_new"))
+      lab = nodes.join(sd, Seq("node"), "left")
+        .join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("seed_label"), col("_new")).as("label"))
+    }
+    lab
+  }
 }

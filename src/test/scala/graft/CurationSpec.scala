@@ -26,6 +26,28 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(pr2.values.sum - 1.0) < 1e-9, pr2)
   }
 
+  test("labelPropagation spreads seed labels, pins seeds, ties break to smaller label") {
+    // path 1-2-3-4-5 with seeds 1→10, 5→20: middle node 3 sees one of
+    // each (tie) → smaller label 10; node 2 → 10; node 4 → 20
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("node", "lab")
+    val got = Clusters.labelPropagation(edges, "src", "dst", seeds, "node", "lab", 2)
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L) === Some(10L) && got(5L) === Some(20L)) // seeds pinned
+    assert(got(2L) === Some(10L) && got(4L) === Some(20L))
+    assert(got(3L) === Some(10L)) // sees one 10 and one 20: tie → smallest
+    // a third round lets the tie-broken 10 at node 3 tie node 4 as well —
+    // synchronous LPA semantics, deterministic by the total tiebreak
+    val got3 = Clusters.labelPropagation(edges, "src", "dst", seeds, "node", "lab", 3)
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got3(4L) === Some(10L))
+    // an isolated component never reached by a seed stays unlabeled
+    val edges2 = edges.union(Seq((8L, 9L)).toDF("src", "dst"))
+    val got2 = Clusters.labelPropagation(edges2, "src", "dst", seeds, "node", "lab", 3)
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got2(8L) === None && got2(9L) === None)
+  }
+
   test("stripBoilerplate removes cross-doc lines, keeps order, drops all-boilerplate docs") {
     val docs = Seq(
       (1L, "unique one\nCOOKIE BANNER\nunique two"),

@@ -221,6 +221,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2)._3 === 5.0)                                 // [4,6]
   }
 
+  test("twap weights each price by its holding interval; last tick drops out") {
+    import org.apache.spark.sql.functions.col
+    // price 10 held 3 s, price 20 held 1 s → twap (30+20)/4 = 12.5;
+    // the 99.0 tick at the end has no next tick and contributes nothing
+    val ticks = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1L, 10.0),
+      ("a", ts("2024-01-01 00:00:03"), 2L, 20.0),
+      ("a", ts("2024-01-01 00:00:04"), 3L, 99.0)
+    ).toDF("sym", "t", "seq", "price")
+    val got = Stats.twap(ticks, Seq("sym"), col("t"), col("seq"), col("price"))
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq === Seq(("a", 2L, 12.5)))
+  }
+
   test("maxDrawdown finds the deepest peak-to-trough decline per key") {
     import org.apache.spark.sql.functions.col
     // a: 10 → 4 (dd 6) → 12 → 9 (dd 3): max 6 from peak 12
