@@ -497,6 +497,39 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    "q92_change_capture" -> ((s, dir) => {
+      // CDC diff between two simulated table versions: one full-outer
+      // join on the key, null-safe struct compare — the change feed a
+      // MERGE-based pipeline replays downstream
+      val cust = t(s, dir, "customer")
+      val before = cust.filter(col("c_custkey") % 10 =!= 3)
+      val after = cust.filter(col("c_custkey") % 10 =!= 4)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(100.0))
+            .otherwise(col("c_acctbal")))
+      engine.Upsert.changeCapture(before, after, Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    "q93_bloom_decontaminate" -> ((s, dir) => {
+      // q65's exact decontamination behind a Bloom pre-filter: the eval
+      // shingle sketch (one distributed aggregate, ~MiB) prunes the
+      // corpus shingle stream map-side BEFORE any join; the exact join
+      // then erases false positives, so the result is bit-identical
+      text.Curation.contaminationBloom(t(s, dir, "documents"), "doc_id",
+          "text", col("source") === "src0", 5)
+        .orderBy("doc_id")
+    }),
+
+    "q94_rsi" -> ((s, dir) => {
+      // 14-tick relative strength index per instrument: exact decimal
+      // gain/loss frame sums (order-independent), double only at present
+      Stats.rsi(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"), 14)
+        .select(col("event_id"), col("event_type"), col("n_deltas"), col("rsi"))
+        .orderBy("event_id")
+    }),
+
     "q89_pagerank" -> ((s, dir) => {
       // document-centrality pass over the k-NN similarity graph: 3
       // PageRank iterations, per-row decimal-cast contribution sums so
@@ -1552,6 +1585,50 @@ object SparkEntry {
         |GROUP BY event_type, day HAVING SUM(nxt - tu) > 0
         |ORDER BY event_type, day""".stripMargin,
 
+    "q92_change_capture" ->
+      """WITH b AS (SELECT * FROM customer WHERE c_custkey % 10 <> 3),
+        |a AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |         ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer WHERE c_custkey % 10 <> 4)
+        |SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+        |  CASE WHEN b.c_custkey IS NULL THEN 'insert'
+        |       WHEN a.c_custkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  COALESCE(a.c_name, b.c_name) AS c_name,
+        |  COALESCE(a.c_nationkey, b.c_nationkey) AS c_nationkey,
+        |  COALESCE(a.c_acctbal, b.c_acctbal) AS c_acctbal,
+        |  COALESCE(a.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+        |FROM b FULL OUTER JOIN a ON a.c_custkey = b.c_custkey
+        |WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+        |   OR (a.c_name, a.c_nationkey, a.c_acctbal, a.c_mktsegment)
+        |      IS DISTINCT FROM
+        |      (b.c_name, b.c_nationkey, b.c_acctbal, b.c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q94_rsi" ->
+      """WITH d AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(value AS DECIMAL(18,6))
+        |      - lag(CAST(value AS DECIMAL(18,6))) OVER w AS delta
+        |  FROM events WHERE value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)),
+        |f AS (
+        |  SELECT event_id, event_type,
+        |    SUM(CASE WHEN delta > 0 THEN delta WHEN delta <= 0 THEN 0 END) OVER fr AS g,
+        |    SUM(CASE WHEN delta < 0 THEN -delta WHEN delta >= 0 THEN 0 END) OVER fr AS l,
+        |    COUNT(delta) OVER fr AS n_deltas
+        |  FROM d
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, n_deltas,
+        |  CASE WHEN g + l > 0
+        |       THEN round(100.0 * CAST(g AS DOUBLE) / CAST(g + l AS DOUBLE), 6)
+        |  END AS rsi
+        |FROM f ORDER BY event_id""".stripMargin,
+
     // the q75 edge CTE + three unrolled PageRank iterations; every
     // formula mirrors the Spark side shape-for-shape (double ops, per-
     // row DECIMAL(28,14) contribution casts, round 14 per iteration)
@@ -1914,6 +1991,22 @@ object SparkEntry {
         |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q65_decontaminate" ->
+      s"""WITH $shingleCte,
+        |ev AS (
+        |  SELECT DISTINCT s.shingle FROM sh s
+        |  JOIN documents d ON d.doc_id = s.doc_id WHERE d.source = 'src0'),
+        |hits AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_shared FROM sh s
+        |  JOIN ev USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(h.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.source <> 'src0'
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // identical oracle to q65 BY DESIGN: the Bloom pre-filter must not
+    // change the exact result, and a shared oracle proves it doesn't
+    "q93_bloom_decontaminate" ->
       s"""WITH $shingleCte,
         |ev AS (
         |  SELECT DISTINCT s.shingle FROM sh s

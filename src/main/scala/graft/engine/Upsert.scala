@@ -35,4 +35,42 @@ object Upsert {
   def mergeLatest(target: DataFrame, source: DataFrame, keys: Seq[String],
                   versionCol: String): DataFrame =
     merge(target, graft.ops.Clean.dedupLatest(source, keys, versionCol), keys)
+
+  /** Change-data-capture diff between two table states: classify every
+    * key as `insert` (only in `after`), `delete` (only in `before`) or
+    * `update` (present in both with any non-key column differing), and
+    * drop unchanged rows. The inverse of [[merge]]: `merge(before,
+    * changes-applied)` reproduces `after`, and this recovers the change
+    * feed Delta's CDF would emit between two versions of a table.
+    *
+    * Output carries the key columns, `change_type`, and the non-key
+    * columns — from `after` for inserts/updates, from `before` for
+    * deletes (the last observed values, as CDF's `delete` rows do).
+    *
+    * Scale posture: ONE shuffle — a full-outer sort-merge join on the
+    * key. Non-key columns travel as a single struct per side and are
+    * compared with null-safe struct equality (`<=>`), so the comparison
+    * is codegen'd fieldwise — no hashing, hence no false "unchanged"
+    * verdicts from hash collisions. AQE handles key skew as for any
+    * shuffle join; no driver-side state at any size.
+    */
+  def changeCapture(before: DataFrame, after: DataFrame,
+                    keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changeCapture requires at least one key column")
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"schemas differ: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val nonKey = before.columns.filterNot(keys.contains).toSeq
+    def packed(df: DataFrame, as: String) =
+      df.select(keys.map(col) :+ struct(nonKey.map(col): _*).as(as): _*)
+    val joined = packed(before, "_b").join(packed(after, "_a"), keys, "full_outer")
+    val changeType = when(col("_b").isNull, "insert")
+      .when(col("_a").isNull, "delete")
+      .when(!(col("_b") <=> col("_a")), "update")
+    val current = coalesce(col("_a"), col("_b"))
+    joined
+      .withColumn("change_type", changeType)
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) ++ Seq(col("change_type")) ++
+        nonKey.map(f => current.getField(f).as(f)): _*)
+  }
 }

@@ -167,6 +167,39 @@ object Stats {
       .drop("_s1", "_s2", "_n")
   }
 
+  /** RSI (relative strength index) per instrument over a trailing
+    * `period`-tick frame: tick-over-tick deltas split into gains and
+    * losses, RSI = 100·Σgain / (Σgain + Σloss) — algebraically
+    * 100 − 100/(1+RS) with RS = Σgain/Σloss, but this form needs no
+    * division-by-zero special case for loss-free frames. Sums are exact
+    * decimals over the frame (q49/q83 moment discipline: order-
+    * independent partials, bit-reproducible under any partitioning);
+    * only the final presentation divides in double. The first tick of
+    * each instrument has no delta and contributes to no frame; frames
+    * where every delta is zero (flat price) have no signal ⇒ NULL RSI.
+    *
+    * One shuffle (partition by instrument), both window passes share it.
+    */
+  def rsi(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+          valueCol: Column, period: Int = 14): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val fr = w.rowsBetween(-(period - 1), Window.currentRow)
+    val v = valueCol.cast(DecimalType(18, 6))
+    val delta = col("_d") // materialized first: window fns don't nest
+    // when/when (no otherwise): a null delta stays null ⇒ sum skips it
+    val gain = when(delta > 0, delta).when(delta <= 0, lit(0).cast(DecimalType(19, 6)))
+    val loss = when(delta < 0, -delta).when(delta >= 0, lit(0).cast(DecimalType(19, 6)))
+    df.withColumn("_d", v - lag(v, 1).over(w))
+      .withColumn("_g", sum(gain).over(fr))
+      .withColumn("_l", sum(loss).over(fr))
+      .withColumn("n_deltas", count(delta).over(fr))
+      .withColumn("rsi",
+        when(col("_g") + col("_l") > 0,
+          round(lit(100.0) * col("_g").cast("double") /
+            (col("_g") + col("_l")).cast("double"), 6)))
+      .drop("_d", "_g", "_l")
+  }
+
   /** TWAP (time-weighted average price) per group: each tick's price is
     * weighted by the microseconds until the NEXT tick in the group
     * (`lead` — one window pass), so a quote that stood for an hour

@@ -74,6 +74,78 @@ object Curation {
       .withColumn("contaminated", col("n_shared") > 0)
   }
 
+  /** [[contamination]] with a Bloom-filter pre-filter on the training
+    * side — the pattern Spark's own runtime row-level filtering applies
+    * to shuffle joins, made explicit for the one join in this engine
+    * whose probe side is the entire corpus.
+    *
+    * Why it matters at 100 TB: exact decontamination must route every
+    * training shingle through a join against the eval set. Even with the
+    * eval side broadcast, every corpus shingle is still *produced* and
+    * *probed*; with the shuffle fallback the whole corpus shuffles. Here
+    * a Bloom filter over `xxhash64(shingle)` of the eval set (a few MiB
+    * for millions of shingles — `numBits/8` bytes, built by ONE
+    * distributed aggregate) is applied map-side to the training shingle
+    * stream *before* the join, so only candidate shingles (true matches
+    * + the fpp tail) reach it. False positives are then removed by the
+    * exact join — the result is bit-identical to [[contamination]];
+    * false negatives are impossible by Bloom construction.
+    *
+    * The single collected bloom binary is bounded by `numBits/8` (2 MiB
+    * at the defaults) regardless of corpus size — a legitimate
+    * driver-side scalar, same as Spark's InjectRuntimeFilter subquery
+    * result. Catalyst codegen's both bloom expressions
+    * (BloomFilterMightContain implements doGenCode), so the pre-filter
+    * rides inside the scan's WholeStageCodegen span.
+    */
+  def contaminationBloom(df: DataFrame, idCol: String, textCol: String,
+                         evalPred: org.apache.spark.sql.Column,
+                         shingleN: Int = 5,
+                         expectedEvalShingles: Long = 1L << 20,
+                         broadcastMaxShingles: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val flagged = df.withColumn("_is_eval", evalPred)
+    val evalShingles = Dedup.shingleSets(
+        flagged.filter(col("_is_eval")), idCol, textCol, shingleN)
+      .select(col("shingle")).distinct().persist()
+    val trainDocs = flagged.filter(!col("_is_eval"))
+    val ids = trainDocs.select(col(idCol).cast("long").as("doc_id"))
+    val nEval = evalShingles.count()
+    if (nEval == 0) {
+      // empty eval corpus: nothing can be contaminated (and the bloom
+      // aggregate would yield a null sketch) — short-circuit
+      evalShingles.unpersist()
+      ids.select(col("doc_id"), lit(0L).as("n_shared"),
+        lit(false).as("contaminated"))
+    } else {
+      // ~16 bits/item ⇒ fpp ≈ 5e-4; the exact join erases the fp tail
+      val numBits = math.max(expectedEvalShingles, nEval) * 16L
+      val bloomAgg = GraftColumn(new BloomFilterAggregate(
+          GraftColumn.expr(xxhash64(col("shingle"))),
+          Literal(math.max(expectedEvalShingles, nEval)), Literal(numBits))
+        .toAggregateExpression())
+      val bloom = evalShingles.select(bloomAgg.as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val evalSide =
+        if (nEval <= broadcastMaxShingles) broadcast(evalShingles)
+        else evalShingles.hint("shuffle_hash")
+      val mightContain = GraftColumn(BloomFilterMightContain(
+        Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+        GraftColumn.expr(xxhash64(col("shingle")))))
+      val hits = Dedup.shingleSets(trainDocs, idCol, textCol, shingleN)
+        .filter(mightContain)
+        .join(evalSide, "shingle")
+        .groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      ids.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("contaminated", col("n_shared") > 0)
+    }
+  }
+
   /** CCNet-style line-level boilerplate removal: drop every line whose
     * DISTINCT-document frequency exceeds `maxLineDf` (navigation chrome,
     * cookie banners, license headers — the text that repeats across a

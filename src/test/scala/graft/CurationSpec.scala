@@ -133,6 +133,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Set((2L, 1L, true), (3L, 0L, false)))
   }
 
+  test("contaminationBloom is bit-identical to exact contamination") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "eval"),
+      (2L, "alpha beta gamma epsilon", "train"),
+      (3L, "zeta eta theta iota", "train"),
+      (4L, "beta gamma delta kappa", "train")
+    ).toDF("doc_id", "text", "split")
+    val pred = col("split") === "eval"
+    val exact = Curation.contamination(docs, "doc_id", "text", pred, 3)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val bloom = Curation.contaminationBloom(docs, "doc_id", "text", pred, 3)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(bloom === exact)
+    assert(exact.contains((2L, 1L, true))) // sanity: overlap really exists
+  }
+
+  test("contaminationBloom with an empty eval corpus marks nothing") {
+    val docs = Seq((1L, "a b c d", "train"), (2L, "e f g h", "train"))
+      .toDF("doc_id", "text", "split")
+    val got = Curation.contaminationBloom(docs, "doc_id", "text",
+        col("split") === "eval", 3)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set((1L, 0L, false), (2L, 0L, false)))
+  }
+
   test("tfIdf: corpus-wide terms score zero, distinctive terms rank first") {
     val docs = Seq(
       (1L, "common alpha alpha"), (2L, "common beta"), (3L, "common gamma"))

@@ -247,6 +247,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got("b") === (("b", 0.0, 5.0, 1L)))
   }
 
+  test("rsi: all-gain frame hits 100, mixed frame splits exactly, flat frame is NULL") {
+    import org.apache.spark.sql.functions.col
+    val ticks = Seq(("a", 1L, 10.0), ("a", 2L, 12.0), ("a", 3L, 11.0),
+        ("a", 4L, 11.0), ("b", 1L, 5.0), ("b", 2L, 5.0))
+      .toDF("sym", "seq", "price")
+    val got = Stats.rsi(ticks, "sym", Seq(col("seq")), col("price"), 2)
+      .select("sym", "seq", "n_deltas", "rsi")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("a", 1L)) === ((0L, None)))            // no delta yet
+    assert(got(("a", 2L)) === ((1L, Some(100.0))))     // frame {+2}: all gain
+    assert(got(("a", 3L)) === ((2L, Some(66.666667)))) // {+2,-1}: 100·2/3
+    assert(got(("a", 4L)) === ((2L, Some(0.0))))       // {-1,0}: all loss
+    assert(got(("b", 2L)) === ((1L, None)))            // flat: no signal
+  }
+
   test("dupShingleFraction: shared shingles count, unique ones do not") {
     import graft.text.Dedup
     val docs = Seq(

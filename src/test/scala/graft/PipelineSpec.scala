@@ -105,6 +105,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === Array(("k1", 9.0)))
   }
 
+  test("changeCapture classifies insert/update/delete, drops unchanged, and replays") {
+    val before = Seq(("k1", 1.0, "a"), ("k2", 2.0, "b"), ("k3", 3.0, "c"))
+      .toDF("id", "v", "tag")
+    val after = Seq(("k2", 2.0, "b"), ("k3", 30.0, "c"), ("k4", 4.0, "d"))
+      .toDF("id", "v", "tag")
+    val feed = Upsert.changeCapture(before, after, Seq("id"))
+    val got = feed.as[(String, String, Double, String)].collect().toSet
+    assert(got === Set(("k1", "delete", 1.0, "a"),
+      ("k3", "update", 30.0, "c"), ("k4", "insert", 4.0, "d")))
+    // replay law: before + feed ⇒ after (upserts via merge, then deletes)
+    val rebuilt = Upsert.merge(before,
+        feed.filter(col("change_type") =!= "delete").drop("change_type"), Seq("id"))
+      .join(feed.filter(col("change_type") === "delete").select("id"),
+        Seq("id"), "left_anti")
+    assert(rebuilt.as[(String, Double, String)].collect().toSet ===
+      after.as[(String, Double, String)].collect().toSet)
+  }
+
+  test("changeCapture compares null-safely: value↔null flips are updates") {
+    val before = Seq(("k1", None), ("k2", None), ("k3", Some(3.0)))
+      .toDF("id", "v")
+    val after = Seq(("k1", None), ("k2", Some(2.0)), ("k3", None))
+      .toDF("id", "v")
+    val got = Upsert.changeCapture(before, after, Seq("id"))
+      .select("id", "change_type").as[(String, String)].collect().toSet
+    assert(got === Set(("k2", "update"), ("k3", "update"))) // k1 unchanged
+  }
+
   // ── Generator: volume + partition invariant + determinism ──
   test("generator emits coins×hours rows with partition_date = to_date(last_updated)") {
     val start = ts("2024-01-01 00:00:00").getTime / 1000
