@@ -530,6 +530,49 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q95_fuzzy_match" -> ((s, dir) => {
+      // blocked entity resolution over part names: candidates share the
+      // first token (ER blocking), verified by codegen'd levenshtein
+      Joins.fuzzyPairs(t(s, dir, "part"), "p_partkey", "p_name",
+          element_at(split(col("p_name"), " "), 1), 4)
+        .orderBy("a_id", "b_id")
+    }),
+
+    "q96_hash_sample" -> ((s, dir) => {
+      // reproducible per-source 5-doc sample: smallest multiplicative
+      // id-hash wins — stable under reruns/repartitioning, unlike rand()
+      text.Curation.hashSample(t(s, dir, "documents"), "source", "doc_id", 5)
+        .select("source", "doc_id", "sample_rank")
+        .orderBy("source", "sample_rank")
+    }),
+
+    "q97_ewma" -> ((s, dir) => {
+      // exponentially weighted moving average per instrument: bounded
+      // 20-tick frame folded oldest→newest in fixed order (deterministic
+      // doubles), the smoothing twin of q83's rolling moments
+      Stats.ewma(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"),
+          alpha = 0.25, window = 20)
+        .select(col("event_id"), col("event_type"), col("ewma"))
+        .orderBy("event_id")
+    }),
+
+    "q98_beta" -> ((s, dir) => {
+      // per-instrument beta vs the hourly cross-instrument market mean:
+      // q54's exact power-sum discipline over a joined two-series frame
+      Stats.betaVsMarket(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", date_trunc("hour", col("ts")), col("value"))
+        .orderBy("event_type")
+    }),
+
+    "q99_up_streaks" -> ((s, dir) => {
+      // longest strictly-rising tick run per instrument: gaps-and-islands
+      // via cumulative non-up count as the island id, exact decimal deltas
+      Windows.longestUpStreak(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"))
+        .orderBy("event_type")
+    }),
+
     "q89_pagerank" -> ((s, dir) => {
       // document-centrality pass over the k-NN similarity graph: 3
       // PageRank iterations, per-row decimal-cast contribution sums so
@@ -1628,6 +1671,86 @@ object SparkEntry {
         |       THEN round(100.0 * CAST(g AS DOUBLE) / CAST(g + l AS DOUBLE), 6)
         |  END AS rsi
         |FROM f ORDER BY event_id""".stripMargin,
+
+    "q95_fuzzy_match" ->
+      """WITH side AS (
+        |  SELECT p_partkey AS id, p_name AS name,
+        |    string_split(p_name, ' ')[1] AS blk
+        |  FROM part)
+        |SELECT a.id AS a_id, b.id AS b_id, a.name AS a_name, b.name AS b_name,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist
+        |FROM side a JOIN side b ON b.blk = a.blk AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 4
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q96_hash_sample" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    ((doc_id % 1000000007) * 2654435761) % 1000000007 AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY hh ASC, doc_id ASC)
+        |      AS sample_rank
+        |  FROM h)
+        |SELECT source, doc_id, sample_rank FROM r
+        |WHERE sample_rank <= 5 ORDER BY source, sample_rank""".stripMargin,
+
+    "q97_ewma" ->
+      """WITH l AS (
+        |  SELECT event_id, event_type,
+        |    list(CAST(value AS DOUBLE)) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_id, event_type,
+        |  round(list_reduce(lst, (acc, x) -> acc * 0.75 + 0.25 * x), 6) AS ewma
+        |FROM l ORDER BY event_id""".stripMargin,
+
+    "q98_beta" ->
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |market AS (
+        |  SELECT bucket,
+        |    CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS DECIMAL(18,9)) AS m
+        |  FROM base GROUP BY bucket),
+        |perkey AS (
+        |  SELECT event_type, bucket,
+        |    CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS DECIMAL(18,9)) AS x
+        |  FROM base GROUP BY event_type, bucket),
+        |s AS (
+        |  SELECT p.event_type, COUNT(*) AS n,
+        |    SUM(p.x) AS sx, SUM(m.m) AS sm,
+        |    SUM(CAST(p.x * m.m AS DECIMAL(38,18))) AS sxm,
+        |    SUM(CAST(m.m * m.m AS DECIMAL(38,18))) AS smm
+        |  FROM perkey p JOIN market m USING (bucket) GROUP BY p.event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN n * CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) > 0
+        |    THEN round((n * CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE)) /
+        |      (n * CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)), 6)
+        |  END AS beta
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q99_up_streaks" ->
+      """WITH d AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(value AS DECIMAL(18,6)) - lag(CAST(value AS DECIMAL(18,6)))
+        |      OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS delta
+        |  FROM events WHERE value IS NOT NULL),
+        |i AS (
+        |  SELECT event_type, delta > 0 AS up,
+        |    SUM(CASE WHEN delta > 0 THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM d),
+        |st AS (SELECT event_type, isl, COUNT(*) AS len FROM i WHERE up GROUP BY 1, 2),
+        |m AS (SELECT event_type, MAX(len) AS max_streak FROM st GROUP BY 1)
+        |SELECT e.event_type, CAST(COALESCE(m.max_streak, 0) AS BIGINT) AS max_streak
+        |FROM (SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL) e
+        |LEFT JOIN m USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     // the q75 edge CTE + three unrolled PageRank iterations; every
     // formula mirrors the Spark side shape-for-shape (double ops, per-

@@ -108,4 +108,47 @@ object Joins {
     dims.foldLeft(fact) { case (acc, (dim, fk, dk)) =>
       acc.join(broadcast(dim), col(fk) === col(dk))
     }
+
+  /** Blocked fuzzy self-linkage (entity resolution): candidate pairs
+    * share a `blockKey` (the standard ER blocking step — first token,
+    * phonetic code, sorted-neighborhood key, …), are ordered `a.id <
+    * b.id`, and survive only with `levenshtein(a, b) <= maxDist`.
+    * Matching is exact *given the blocker*: a pair split across blocks
+    * is unseen by construction (the recall/cost dial every blocking
+    * scheme trades on), so results are fully deterministic and
+    * oracle-reproducible — no similarity sampling involved.
+    *
+    * Scale posture: one shuffle of each (tiny: id+name+block) side on
+    * the block key; in-block cost is Σ block², the [[graft.text.Dedup]]
+    * prefix-filter / knnGraphBucketed cost model. As there, a single hot
+    * block silently reintroduces n² — so the operator counts blocks
+    * first and refuses any above `maxBlock`, naming the offenders.
+    * `levenshtein` is a codegen'd built-in: the verify stays inside
+    * WholeStageCodegen, no UDF.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+                 blockKey: Column, maxDist: Int,
+                 maxBlock: Long = 100000L): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val side = df.select(col(idCol).as("id"), col(nameCol).as("name"),
+      blockKey.as("blk")).persist()
+    val hot = side.groupBy("blk").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > maxBlock)
+      .orderBy(col("cnt").desc).limit(5).collect()
+    if (hot.nonEmpty) {
+      side.unpersist()
+      throw new IllegalArgumentException(
+        s"fuzzyPairs: block(s) exceed maxBlock=$maxBlock " +
+          hot.map(r => s"${r.get(0)}=${r.getLong(1)}").mkString("(", ", ", ")") +
+          "; the in-block join costs sum(block^2) pairs, so a hot block " +
+          "reintroduces the quadratic blowup blocking exists to avoid. " +
+          "Use a more selective blockKey or raise maxBlock deliberately")
+    }
+    val a = side.select(col("id").as("a_id"), col("name").as("a_name"), col("blk"))
+    val b = side.select(col("id").as("b_id"), col("name").as("b_name"), col("blk"))
+    a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+      .withColumn("edit_dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("edit_dist") <= maxDist)
+      .select("a_id", "b_id", "a_name", "b_name", "edit_dist")
+  }
 }

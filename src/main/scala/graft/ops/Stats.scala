@@ -200,6 +200,76 @@ object Stats {
       .drop("_d", "_g", "_l")
   }
 
+  /** EWMA (exponentially weighted moving average) per instrument over a
+    * trailing `window`-tick frame: the frame's values are folded oldest→
+    * newest as `acc·(1−α) + α·x`, seeded with the frame's first value —
+    * the textbook recursive EWMA restarted at the frame edge (bounding
+    * the frame bounds the state, which is what makes this a single
+    * window pass instead of a sequential scan; with (1−α)^window ≈ 0 the
+    * truncation is below presentation precision).
+    *
+    * The fold runs over `collect_list` of the frame — bounded by
+    * `window` elements, never the partition — via the `aggregate`
+    * higher-order function. Doubles end to end: IEEE arithmetic in a
+    * FIXED order (frame order) is deterministic on any cluster, and the
+    * oracle folds the identical expression, so results are
+    * bit-reproducible without decimals here. Nulls must be filtered
+    * upstream (collect_list drops them ⇒ the fold would silently skip).
+    */
+  def ewma(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+           valueCol: Column, alpha: Double, window: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(window > 0, s"window must be positive, got $window")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val l = col("_l")
+    df.withColumn("_l", collect_list(valueCol.cast("double")).over(w))
+      .withColumn("ewma", when(size(l) > 0, round(
+        aggregate(slice(l, lit(2), size(l) - 1), get(l, lit(0)),
+          (acc, x) => acc * lit(1 - alpha) + lit(alpha) * x), 6)))
+      .drop("_l")
+  }
+
+  /** Per-instrument beta against the cross-instrument market mean: the
+    * market series is the per-`bucket` mean of ALL instruments (exact
+    * decimal sum / count, presented once as a rounded DECIMAL(18,9) so
+    * both engines join the identical series), and beta follows the q54
+    * correlation discipline — per-(instrument,bucket) decimal power
+    * sums, double only in the final slope formula
+    * β = (n·Σxm − Σx·Σm) / (n·Σmm − (Σm)²).
+    *
+    * Shape: one agg per bucket (market), one agg per (key,bucket), a
+    * broadcast-sized join on bucket (buckets ≪ rows by construction),
+    * final per-key agg. Nothing driver-side; skew-free (buckets are
+    * time, uniform by construction).
+    */
+  def betaVsMarket(df: DataFrame, keyCol: String, bucketCol: Column,
+                   valueCol: Column): DataFrame = {
+    val v = valueCol.cast(DecimalType(18, 6))
+    val base = df.select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
+    val market = base.groupBy("bucket")
+      .agg(sum(col("v")).as("_ms"), count(lit(1)).as("_mn"))
+      .select(col("bucket"),
+        round(col("_ms").cast("double") / col("_mn"), 9)
+          .cast(DecimalType(18, 9)).as("m"))
+    val perKey = base.groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col("v")).as("_xs"), count(lit(1)).as("_xn"))
+      .select(col(keyCol), col("bucket"),
+        round(col("_xs").cast("double") / col("_xn"), 9)
+          .cast(DecimalType(18, 9)).as("x"))
+    val joined = perKey.join(broadcast(market), "bucket")
+    val sums = joined.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("m")).as("sm"),
+        sum((col("x") * col("m")).cast(DecimalType(38, 18))).as("sxm"),
+        sum((col("m") * col("m")).cast(DecimalType(38, 18))).as("smm"))
+    def d(c: String) = col(c).cast("double")
+    sums.select(col(keyCol), col("n"),
+      when(col("n") * d("smm") - d("sm") * d("sm") > 0,
+        round((col("n") * d("sxm") - d("sx") * d("sm")) /
+          (col("n") * d("smm") - d("sm") * d("sm")), 6)).as("beta"))
+  }
+
   /** TWAP (time-weighted average price) per group: each tick's price is
     * weighted by the microseconds until the NEXT tick in the group
     * (`lead` — one window pass), so a quote that stood for an hour

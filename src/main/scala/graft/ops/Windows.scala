@@ -92,4 +92,30 @@ object Windows {
       .withColumn("is_gap", col("avg_v").isNull)
       .select(col(keyCol), col("hour"), col("filled"), col("is_gap"))
   }
+
+  /** Longest run of strictly rising ticks per key — gaps-and-islands
+    * without generating island ids by subtraction-of-row-numbers: a
+    * cumulative count of NON-up ticks is constant exactly while a streak
+    * runs, so it IS the island id. Deltas in exact decimals (rising is a
+    * sign test — no float epsilon), two windows over one partition-by-
+    * key shuffle, then two hash aggs. Keys that never rise report 0.
+    */
+  def longestUpStreak(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                      valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = valueCol.cast(DecimalType(18, 6))
+    val deltas = df
+      .withColumn("_up", (v - lag(v, 1).over(w)) > 0) // null on first tick
+      .withColumn("_isl",
+        sum(when(col("_up"), lit(0)).otherwise(lit(1))).over(cum))
+    val streaks = deltas.filter(col("_up"))
+      .groupBy(col(keyCol), col("_isl"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col(keyCol))
+      .agg(max(col("_len")).as("max_streak"))
+    df.select(col(keyCol)).distinct()
+      .join(streaks, Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("max_streak"), lit(0L)).as("max_streak"))
+  }
 }

@@ -146,6 +146,31 @@ object Curation {
     }
   }
 
+  /** Deterministic per-group sample: the `k` docs of each group with the
+    * smallest multiplicative hash of their id — a reproducible stand-in
+    * for reservoir sampling (same marginal uniformity over a hashed id
+    * space, but stable across runs, partitionings, and cluster sizes,
+    * which random reservoirs are not; reproducibility is what a training
+    * pipeline actually needs from its subsampling step). Knuth's 2654435761
+    * multiplier, arithmetic kept inside Long under ANSI mode by reducing
+    * mod 1e9+7 BEFORE multiplying.
+    *
+    * One shuffle (by group); the rank window is a WindowGroupLimit after
+    * Catalyst's top-k pushdown, so each partition keeps only k rows —
+    * nothing resembling a per-group sort of the full corpus survives.
+    */
+  def hashSample(df: DataFrame, groupCol: String, idCol: String,
+                 k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val p = 1000000007L
+    val h = pmod(pmod(col(idCol).cast("long"), lit(p)) * lit(2654435761L), lit(p))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_h").asc, col(idCol).asc)
+    df.withColumn("_h", h)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .drop("_h")
+  }
+
   /** CCNet-style line-level boilerplate removal: drop every line whose
     * DISTINCT-document frequency exceeds `maxLineDf` (navigation chrome,
     * cookie banners, license headers — the text that repeats across a

@@ -158,6 +158,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Set((1L, 0L, false), (2L, 0L, false)))
   }
 
+  test("hashSample is deterministic, honors k, and ranks by id-hash") {
+    val docs = (1L to 50L).map(i => (if (i % 2 == 0) "even" else "odd", i))
+      .toDF("src", "doc_id")
+    val s1 = Curation.hashSample(docs, "src", "doc_id", 3)
+      .select("src", "doc_id", "sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    val s2 = Curation.hashSample(docs.repartition(7), "src", "doc_id", 3)
+      .select("src", "doc_id", "sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    assert(s1 === s2)                        // partitioning-independent
+    assert(s1.count(_._1 == "even") === 3 && s1.count(_._1 == "odd") === 3)
+    // rank 1 really is the argmin of the hash within the group
+    val h = (i: Long) => ((i % 1000000007L) * 2654435761L) % 1000000007L
+    val expectEven = (2L to 50L by 2).minBy(h)
+    assert(s1.contains(("even", expectEven, 1)))
+  }
+
   test("tfIdf: corpus-wide terms score zero, distinctive terms rank first") {
     val docs = Seq(
       (1L, "common alpha alpha"), (2L, "common beta"), (3L, "common gamma"))

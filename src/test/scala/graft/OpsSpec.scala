@@ -263,6 +263,61 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("b", 2L)) === ((1L, None)))            // flat: no signal
   }
 
+  test("ewma folds the frame oldest-to-newest from the frame's first value") {
+    import org.apache.spark.sql.functions.col
+    val ticks = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0),
+        ("a", 4L, 40.0)).toDF("sym", "seq", "price")
+    val got = Stats.ewma(ticks, "sym", Seq(col("seq")), col("price"),
+        alpha = 0.25, window = 3)
+      .select("seq", "ewma").as[(Long, Double)].collect().toMap
+    assert(got(1L) === 10.0)
+    assert(got(2L) === 12.5)     // 10·0.75 + 20·0.25
+    assert(got(3L) === 16.875)   // 12.5·0.75 + 30·0.25
+    assert(got(4L) === 26.875)   // frame slides: 20 → 22.5 → 26.875
+  }
+
+  test("betaVsMarket: self-identical series has beta 1, scaled series scales beta") {
+    import org.apache.spark.sql.functions.col
+    // two instruments: b moves 2× a. market m_t = (a_t + b_t)/2 = 1.5·a_t
+    // ⇒ beta(a) = cov(a, 1.5a)/var(1.5a) = 1/1.5, beta(b) = 2/1.5
+    val ticks = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 40.0),
+        ("b", 1L, 20.0), ("b", 2L, 40.0), ("b", 3L, 80.0))
+      .toDF("sym", "bkt", "price")
+    val got = Stats.betaVsMarket(ticks, "sym", col("bkt"), col("price"))
+      .select("sym", "beta").as[(String, Double)].collect().toMap
+    assert(math.abs(got("a") - 1.0 / 1.5) < 1e-6, got)
+    assert(math.abs(got("b") - 2.0 / 1.5) < 1e-6, got)
+  }
+
+  test("longestUpStreak counts strictly-rising runs; flat keys report 0") {
+    import org.apache.spark.sql.functions.col
+    // a: 1,2,3 (streak 2), 2, 3,4 (streak 2) → max 2; c: 5,5 → 0
+    val ticks = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+        ("a", 4L, 2.0), ("a", 5L, 3.0), ("a", 6L, 4.0),
+        ("c", 1L, 5.0), ("c", 2L, 5.0))
+      .toDF("sym", "seq", "price")
+    val got = Windows.longestUpStreak(ticks, "sym", Seq(col("seq")), col("price"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 2L, "c" -> 0L))
+  }
+
+  test("fuzzyPairs links within blocks only and refuses a hot block") {
+    import org.apache.spark.sql.functions.{col, element_at, split, lit}
+    val names = Seq((1L, "red widget"), (2L, "red widgit"), (3L, "red gear"),
+        (4L, "blue widget"), (5L, "blue widgets"))
+      .toDF("id", "name")
+    val blk = element_at(split(col("name"), " "), 1)
+    val got = Joins.fuzzyPairs(names, "id", "name", blk, 2)
+      .select("a_id", "b_id", "edit_dist").as[(Long, Long, Int)].collect().toSet
+    // (1,2) dist 1; (4,5) dist 1; (1,4)/(2,5) cross blocks — unseen;
+    // (1,3) "widget"→"gear" dist > 2 — verified away
+    assert(got === Set((1L, 2L, 1), (4L, 5L, 1)))
+    val err = intercept[IllegalArgumentException] {
+      Joins.fuzzyPairs(names, "id", "name", lit("all"), 2, maxBlock = 3).count()
+    }
+    assert(err.getMessage.contains("maxBlock"))
+  }
+
   test("dupShingleFraction: shared shingles count, unique ones do not") {
     import graft.text.Dedup
     val docs = Seq(
