@@ -129,6 +129,34 @@ class PlanSpec extends AnyFunSuite {
         s"got ${scans.head.selectedPartitions.partitionCount}")
   }
 
+  test("q93: the bloom pre-filter sits in the scan-side plan before the join") {
+    val p = plan("q93_bloom_decontaminate")
+    // might_contain applied as a Filter (inside codegen), and the exact
+    // verify join still broadcasts — corpus shingles never shuffle
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q96: hash sampling gets the WindowGroupLimit top-k pushdown") {
+    // each partition retains k rows per group before the window sort —
+    // sampling 5 docs/source from 100 TB must not sort 100 TB
+    assert(plan("q96_hash_sample").contains("WindowGroupLimit"))
+  }
+
+  test("q98: the market series joins broadcast; per-key aggs never reshuffle it") {
+    assert(plan("q98_beta").contains("BroadcastHashJoin"), plan("q98_beta"))
+  }
+
+  test("q92: change capture is ONE key shuffle — a single full-outer join") {
+    val p = plan("q92_change_capture")
+    assert(p.contains("FullOuter"), p)
+    // no extra Exchange beyond the join's own two shuffles + final sort:
+    // the struct pack/compare is projection-only
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <=3 Exchanges (2 join inputs + "
+      + s"ordering), got $exchanges:\n$p")
+  }
+
   test("date-partitioned tables prune untouched partitions at the scan") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_prune").toString + "/t"
