@@ -1640,10 +1640,13 @@ object SparkEntry {
         |  CASE WHEN b.c_custkey IS NULL THEN 'insert'
         |       WHEN a.c_custkey IS NULL THEN 'delete'
         |       ELSE 'update' END AS change_type,
-        |  COALESCE(a.c_name, b.c_name) AS c_name,
-        |  COALESCE(a.c_nationkey, b.c_nationkey) AS c_nationkey,
-        |  COALESCE(a.c_acctbal, b.c_acctbal) AS c_acctbal,
-        |  COALESCE(a.c_mktsegment, b.c_mktsegment) AS c_mktsegment
+        |  -- whole-side selection (deletes report before, others after),
+        |  -- NOT per-column COALESCE: an update that nulls a field must
+        |  -- surface the NULL, exactly as changeCapture's struct pick does
+        |  CASE WHEN a.c_custkey IS NULL THEN b.c_name ELSE a.c_name END AS c_name,
+        |  CASE WHEN a.c_custkey IS NULL THEN b.c_nationkey ELSE a.c_nationkey END AS c_nationkey,
+        |  CASE WHEN a.c_custkey IS NULL THEN b.c_acctbal ELSE a.c_acctbal END AS c_acctbal,
+        |  CASE WHEN a.c_custkey IS NULL THEN b.c_mktsegment ELSE a.c_mktsegment END AS c_mktsegment
         |FROM b FULL OUTER JOIN a ON a.c_custkey = b.c_custkey
         |WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
         |   OR (a.c_name, a.c_nationkey, a.c_acctbal, a.c_mktsegment)

@@ -130,8 +130,13 @@ object Joins {
                  blockKey: Column, maxDist: Int,
                  maxBlock: Long = 100000L): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    // null block keys can never equi-join: drop them up front so they
+    // neither trip the hot-block guard nor ride the shuffle.
+    // Cache contract: the guard count materializes `side` for the join's
+    // two scans; caller releases (clearCache / unpersist), as Bench and
+    // Verify do per query — same contract as Similarity.normed.
     val side = df.select(col(idCol).as("id"), col(nameCol).as("name"),
-      blockKey.as("blk")).persist()
+      blockKey.as("blk")).filter(col("blk").isNotNull).persist()
     val hot = side.groupBy("blk").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > maxBlock)
       .orderBy(col("cnt").desc).limit(5).collect()

@@ -53,25 +53,65 @@ object Curation {
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     evalPred: org.apache.spark.sql.Column,
                     shingleN: Int = 5,
-                    broadcastMaxShingles: Long = 10000000L): DataFrame = {
+                    broadcastMaxShingles: Long = 10000000L): DataFrame =
+    contaminationImpl(df, idCol, textCol, evalPred, shingleN,
+      broadcastMaxShingles, bloomItems = None)
+
+  /** Shared body of [[contamination]] / [[contaminationBloom]]: ONE
+    * implementation so "the bloom variant is bit-identical" holds by
+    * construction — the only divergence is the optional map-side
+    * pre-filter spliced onto the training shingle stream.
+    */
+  private def contaminationImpl(df: DataFrame, idCol: String, textCol: String,
+                                evalPred: org.apache.spark.sql.Column,
+                                shingleN: Int, broadcastMaxShingles: Long,
+                                bloomItems: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val flagged = df.withColumn("_is_eval", evalPred)
     val evalShingles = Dedup.shingleSets(
         flagged.filter(col("_is_eval")), idCol, textCol, shingleN)
       .select(col("shingle")).distinct().persist()
-    val evalSide =
-      if (evalShingles.count() <= broadcastMaxShingles) broadcast(evalShingles)
-      else evalShingles.hint("shuffle_hash")
     val trainDocs = flagged.filter(!col("_is_eval"))
-    val hits = Dedup.shingleSets(trainDocs, idCol, textCol, shingleN)
-      .join(evalSide, "shingle")
-      // shingleSets is distinct per doc ⇒ plain count = distinct shared
-      .groupBy(col("doc").as("doc_id"))
-      .agg(count(lit(1)).as("n_shared"))
-    trainDocs.select(col(idCol).cast("long").as("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
-      .withColumn("contaminated", col("n_shared") > 0)
+    val ids = trainDocs.select(col(idCol).cast("long").as("doc_id"))
+    val nEval = evalShingles.count()
+    if (nEval == 0) {
+      // empty eval corpus: nothing can be contaminated (and the bloom
+      // aggregate would yield a null sketch) — short-circuit
+      evalShingles.unpersist()
+      ids.select(col("doc_id"), lit(0L).as("n_shared"),
+        lit(false).as("contaminated"))
+    } else {
+      val trainShingles = Dedup.shingleSets(trainDocs, idCol, textCol, shingleN)
+      val candidates = bloomItems match {
+        case None => trainShingles
+        case Some(expected) =>
+          // ~16 bits/item ⇒ fpp ≈ 5e-4; the exact join erases the fp tail
+          val items = math.max(expected, nEval)
+          val bloomAgg = GraftColumn(new BloomFilterAggregate(
+              GraftColumn.expr(xxhash64(col("shingle"))),
+              Literal(items), Literal(items * 16L))
+            .toAggregateExpression())
+          val bloom = evalShingles.select(bloomAgg.as("bf"))
+            .head().getAs[Array[Byte]](0)
+          trainShingles.filter(GraftColumn(BloomFilterMightContain(
+            Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+            GraftColumn.expr(xxhash64(col("shingle"))))))
+      }
+      val evalSide =
+        if (nEval <= broadcastMaxShingles) broadcast(evalShingles)
+        else evalShingles.hint("shuffle_hash")
+      val hits = candidates
+        .join(evalSide, "shingle")
+        // shingleSets is distinct per doc ⇒ plain count = distinct shared
+        .groupBy(col("doc").as("doc_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      ids.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+        .withColumn("contaminated", col("n_shared") > 0)
+    }
   }
 
   /** [[contamination]] with a Bloom-filter pre-filter on the training
@@ -102,49 +142,9 @@ object Curation {
                          evalPred: org.apache.spark.sql.Column,
                          shingleN: Int = 5,
                          expectedEvalShingles: Long = 1L << 20,
-                         broadcastMaxShingles: Long = 10000000L): DataFrame = {
-    import org.apache.spark.sql.GraftColumn
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val flagged = df.withColumn("_is_eval", evalPred)
-    val evalShingles = Dedup.shingleSets(
-        flagged.filter(col("_is_eval")), idCol, textCol, shingleN)
-      .select(col("shingle")).distinct().persist()
-    val trainDocs = flagged.filter(!col("_is_eval"))
-    val ids = trainDocs.select(col(idCol).cast("long").as("doc_id"))
-    val nEval = evalShingles.count()
-    if (nEval == 0) {
-      // empty eval corpus: nothing can be contaminated (and the bloom
-      // aggregate would yield a null sketch) — short-circuit
-      evalShingles.unpersist()
-      ids.select(col("doc_id"), lit(0L).as("n_shared"),
-        lit(false).as("contaminated"))
-    } else {
-      // ~16 bits/item ⇒ fpp ≈ 5e-4; the exact join erases the fp tail
-      val numBits = math.max(expectedEvalShingles, nEval) * 16L
-      val bloomAgg = GraftColumn(new BloomFilterAggregate(
-          GraftColumn.expr(xxhash64(col("shingle"))),
-          Literal(math.max(expectedEvalShingles, nEval)), Literal(numBits))
-        .toAggregateExpression())
-      val bloom = evalShingles.select(bloomAgg.as("bf"))
-        .head().getAs[Array[Byte]](0)
-      val evalSide =
-        if (nEval <= broadcastMaxShingles) broadcast(evalShingles)
-        else evalShingles.hint("shuffle_hash")
-      val mightContain = GraftColumn(BloomFilterMightContain(
-        Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
-        GraftColumn.expr(xxhash64(col("shingle")))))
-      val hits = Dedup.shingleSets(trainDocs, idCol, textCol, shingleN)
-        .filter(mightContain)
-        .join(evalSide, "shingle")
-        .groupBy(col("doc").as("doc_id"))
-        .agg(count(lit(1)).as("n_shared"))
-      ids.join(hits, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"))
-        .withColumn("contaminated", col("n_shared") > 0)
-    }
-  }
+                         broadcastMaxShingles: Long = 10000000L): DataFrame =
+    contaminationImpl(df, idCol, textCol, evalPred, shingleN,
+      broadcastMaxShingles, bloomItems = Some(expectedEvalShingles))
 
   /** Deterministic per-group sample: the `k` docs of each group with the
     * smallest multiplicative hash of their id — a reproducible stand-in
