@@ -256,6 +256,38 @@ object Similarity {
       .select(col("src"), col("dst"), col("cos_sim"), col("rnk"))
   }
 
+  /** Persist the k-NN edge table ONCE (the [[buildIvfIndex]] build/probe
+    * split applied to graphs): graph passes — PageRank, label
+    * propagation, anything iterative — read the materialized edges
+    * instead of re-running normalize + bucket + Σbucket² pairs + top-k
+    * per query. At 100 TB the pair join is by far the dominant cost and
+    * amortizes across every downstream pass; the iterative consumers
+    * then scan a table that is k·n rows of three scalars, not the
+    * corpus. Edges land partitioned by a src-hash bucket so a node
+    * neighborhood read prunes to one directory and files stay
+    * shuffle-partition-count-independent (Layout.colocated's
+    * small-files rationale).
+    */
+  def buildKnnGraph(emb: DataFrame, idCol: String, vecCol: String,
+                    bucketCol: String, k: Int, path: String,
+                    nSrcBuckets: Int = 16): Unit = {
+    val edges = knnGraphBucketed(emb, idCol, vecCol, bucketCol, k)
+      .withColumn("src_bucket", pmod(xxhash64(col("src")), lit(nSrcBuckets.toLong)))
+    edges.repartition(col("src_bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("src_bucket")
+      .parquet(path)
+    // the build's self-join persist follows the normed() cache contract:
+    // released by the caller (clearCache per query in Bench/Verify)
+  }
+
+  /** Scan of a [[buildKnnGraph]] edge table in [[knnGraphBucketed]]'s
+    * shape (src, dst, cos_sim, rnk) — the layout bucket column stays
+    * behind in the scan.
+    */
+  def readKnnGraph(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select("src", "dst", "cos_sim", "rnk")
+
   /** Hyperplane-LSH near-dup: nBands band signatures of bitsPerBand sign
     * bits each; vectors sharing any band bucket are candidates, verified
     * with exact cosine. Recall < 1 by design (prob. a true pair shares a

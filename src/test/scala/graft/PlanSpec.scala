@@ -129,6 +129,24 @@ class PlanSpec extends AnyFunSuite {
         s"got ${scans.head.selectedPartitions.partitionCount}")
   }
 
+  test("q89/q90 read the persisted k-NN edge table, not a rebuilt pair join") {
+    // note: plan nodes sit under AdaptiveSparkPlanExec, which TreeNode
+    // collect does not descend into — assert on the rendered plan
+    // q89 PageRank needs ONLY edges: its plan scans the persisted graph
+    // and touches embeddings not at all — the pair-join build (which
+    // must read the vector column) is provably absent
+    val p89 = plan("q89_pagerank")
+    assert(p89.contains("graft_knn"), p89)
+    assert(!p89.contains("embeddings"), p89)
+    // q90's edge frame is checkpointed inside labelPropagation (its scan
+    // hides behind an RDD), but the no-rebuild property still shows:
+    // the only embeddings scan is the seed read, pruned to id + label —
+    // a graph rebuild cannot avoid reading the embedding vectors
+    plan("q90_label_prop").linesIterator
+      .filter(_.contains("embeddings"))
+      .foreach(l => assert(!l.contains("embedding:array"), l))
+  }
+
   test("q93: the bloom pre-filter sits in the scan-side plan before the join") {
     val p = plan("q93_bloom_decontaminate")
     // might_contain applied as a Filter (inside codegen), and the exact

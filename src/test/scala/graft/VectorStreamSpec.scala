@@ -308,6 +308,25 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(!got.keySet.exists(_._1 == 4L))
   }
 
+  test("buildKnnGraph persists exactly knnGraphBucketed's edges, bucketed by src") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0), (3L, Seq(0.0f, 1.0f), 0),
+      (4L, Seq(1.0f, 1.0f), 1), (5L, Seq(0.5f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val path = java.nio.file.Files.createTempDirectory("graft_knn_spec").toString + "/edges"
+    Similarity.buildKnnGraph(emb, "vec_id", "embedding", "label", 2, path)
+    val inline = Similarity.knnGraphBucketed(emb, "vec_id", "embedding", "label", 2)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val persisted = Similarity.readKnnGraph(spark, path)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(persisted === inline)
+    // the layout column exists on disk (directory pruning for a
+    // neighborhood read) but stays out of the edge schema
+    assert(spark.read.parquet(path).columns.contains("src_bucket"))
+    assert(Similarity.readKnnGraph(spark, path).columns.toSeq ===
+      Seq("src", "dst", "cos_sim", "rnk"))
+  }
+
   test("embedding near-dup: LSH candidates are a subset of exact pairs with high recall") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val exact = Similarity.embedNearDup(emb, "vec_id", "embedding", 0.4)
