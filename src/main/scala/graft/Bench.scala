@@ -32,11 +32,18 @@ object Bench {
       spark.catalog.clearCache()
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // full per-query artifact in-repo: the driver captures only the
+    // stdout TAIL, which truncates the per-query map past ~60 queries —
+    // reviewers read this file for the complete picture
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_local.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
