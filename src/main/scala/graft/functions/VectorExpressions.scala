@@ -79,6 +79,84 @@ case class ArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Recursive EWMA fold over a numeric array: seed = a[0], then
+  * `acc = acc·(1−α) + α·a[i]` for i = 1…n−1, exactly the sequential
+  * IEEE order of the `aggregate(slice(l, 2, n−1), get(l, 0), …)`
+  * higher-order formulation it replaces — bit-identical results — but
+  * codegen'd: one primitive loop over `ArrayData`, no per-element
+  * lambda dispatch (the interpreted-HOF trap that made the lambda the
+  * slow path at wide windows). NULL for an empty array (no frame ⇒ no
+  * average), matching the `when(size > 0, …)` guard it subsumes.
+  *
+  * `alpha` must be a foldable double in (0, 1]; arrays are dense
+  * (`collect_list` drops nulls upstream) — null elements are undefined
+  * behavior, as in [[ArrayDot]].
+  */
+case class EwmaFold(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val arrOk = left.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (!arrOk) TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> input, got ${left.dataType.sql}")
+    else if (right.dataType != DoubleType || !right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a foldable double alpha, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "ewma_fold"
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  // empty frame → null, so the binary null-safe fast path can't apply
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, al: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0) null
+    else {
+      val alpha = al.asInstanceOf[Double]
+      val om = 1.0 - alpha
+      def get(i: Int): Double = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      var acc = get(0)
+      var i = 1
+      while (i < n) { acc = acc * om + alpha * get(i); i += 1 }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, al) => {
+      val n = ctx.freshName("n")
+      val om = ctx.freshName("om")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val get = (idx: String) =>
+        if (isFloat) s"(double) $a.getFloat($idx)" else s"$a.getDouble($idx)"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  final double $om = 1.0 - $al;
+         |  double $acc = ${get("0")};
+         |  for (int $i = 1; $i < $n; $i++) { $acc = $acc * $om + $al * ${get(s"$i")}; }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EwmaFold =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash over an array of string tokens: bit i of the output is
   * set iff more than half the tokens have bit i set in their xxhash64
   * (seed 42 — identical to the SQL `xxhash64` function). One native pass

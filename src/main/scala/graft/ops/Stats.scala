@@ -209,12 +209,15 @@ object Stats {
     * truncation is below presentation precision).
     *
     * The fold runs over `collect_list` of the frame — bounded by
-    * `window` elements, never the partition — via the `aggregate`
-    * higher-order function. Doubles end to end: IEEE arithmetic in a
-    * FIXED order (frame order) is deterministic on any cluster, and the
-    * oracle folds the identical expression, so results are
-    * bit-reproducible without decimals here. Nulls must be filtered
-    * upstream (collect_list drops them ⇒ the fold would silently skip).
+    * `window` elements, never the partition — via the native codegen'd
+    * [[graft.functions.EwmaFold]] expression (an interpreted `aggregate`
+    * HOF lambda re-dispatches per element and becomes the slow path at
+    * wide windows; the native loop is flat in the window width). Doubles
+    * end to end: IEEE arithmetic in a FIXED order (frame order) is
+    * deterministic on any cluster, and the oracle folds the identical
+    * expression, so results are bit-reproducible without decimals here.
+    * Nulls must be filtered upstream (collect_list drops them ⇒ the
+    * fold would silently skip).
     */
   def ewma(df: DataFrame, keyCol: String, orderCols: Seq[Column],
            valueCol: Column, alpha: Double, window: Int): DataFrame = {
@@ -222,11 +225,11 @@ object Stats {
     require(window > 0, s"window must be positive, got $window")
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
       .rowsBetween(-(window - 1), Window.currentRow)
-    val l = col("_l")
+    val fold = org.apache.spark.sql.GraftColumn(graft.functions.EwmaFold(
+      org.apache.spark.sql.GraftColumn.expr(col("_l")),
+      org.apache.spark.sql.GraftColumn.expr(lit(alpha))))
     df.withColumn("_l", collect_list(valueCol.cast("double")).over(w))
-      .withColumn("ewma", when(size(l) > 0, round(
-        aggregate(slice(l, lit(2), size(l) - 1), get(l, lit(0)),
-          (acc, x) => acc * lit(1 - alpha) + lit(alpha) * x), 6)))
+      .withColumn("ewma", round(fold, 6)) // EwmaFold: empty frame → null
       .drop("_l")
   }
 

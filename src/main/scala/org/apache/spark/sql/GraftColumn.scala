@@ -28,5 +28,7 @@ object GraftColumn {
       exprs => graft.functions.SimHashExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("tokens",
       exprs => graft.functions.TokensExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("ewma_fold",
+      exprs => graft.functions.EwmaFold(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -27,6 +27,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(toks === Seq("Hello", "spark", "world"))
   }
 
+  test("ewma_fold matches the interpreted HOF fold bit-for-bit at wide windows") {
+    GraftColumn.registerFunctions(spark)
+    // 500-element windows — far past the bounded-at-20 regime the HOF
+    // version relied on; the native loop must agree bit-for-bit with
+    // aggregate(slice(l,2,n-1), l[0], acc*(1-a)+a*x)
+    val alpha = 0.25
+    val rnd = new scala.util.Random(7)
+    val arrs = Seq.tabulate(50)(i => (i.toLong,
+      Seq.fill(1 + rnd.nextInt(500))(rnd.nextDouble() * 100 - 50)))
+    val df = arrs.toDF("id", "l")
+    val hof = df.select(col("id"),
+        aggregate(slice(col("l"), lit(2), size(col("l")) - 1),
+          get(col("l"), lit(0)),
+          (acc, x) => acc * lit(1 - alpha) + lit(alpha) * x).as("e"))
+      .as[(Long, Double)].collect().toMap
+    val native = df.select(col("id"),
+        expr(s"ewma_fold(l, ${alpha}D)").as("e"))
+      .as[(Long, Double)].collect().toMap
+    arrs.foreach { case (id, _) => assert(native(id) === hof(id), s"id=$id") }
+    // empty frame → null (the when(size>0) guard the expression subsumes)
+    assert(spark.sql(
+      "SELECT ewma_fold(cast(array() as array<double>), 0.25D)").head().isNullAt(0))
+    // float arrays widen per element like the HOF would
+    val f = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "l")
+      .select(expr("ewma_fold(l, 0.5D)")).as[Double].head()
+    assert(f === (1.0 * 0.5 + 0.5 * 2.0))
+  }
+
   test("array_dot on float arrays matches the HOF formulation exactly") {
     val df = Seq((Seq(1.5f, -2.0f, 3.25f), Seq(0.5f, 4.0f, -1.0f))).toDF("a", "b")
     val native = df.select(graft.vector.Similarity.dot(col("a"), col("b"))).as[Double].head()

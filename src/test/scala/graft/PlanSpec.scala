@@ -147,6 +147,14 @@ class PlanSpec extends AnyFunSuite {
       .foreach(l => assert(!l.contains("embedding:array"), l))
   }
 
+  test("q97: the EWMA fold is the native expression, not an interpreted lambda") {
+    val p = plan("q97_ewma")
+    assert(p.contains("ewma_fold"), p)
+    // the HOF formulation would show aggregate(...) with a lambda —
+    // interpreted per element, the round-1 10-40× trap
+    assert(!p.contains("lambdafunction"), p)
+  }
+
   test("q93: the bloom pre-filter sits in the scan-side plan before the join") {
     val p = plan("q93_bloom_decontaminate")
     // might_contain applied as a Filter (inside codegen), and the exact
