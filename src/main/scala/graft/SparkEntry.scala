@@ -605,6 +605,22 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q100_level_alerts" -> ((s, dir) => {
+      // live-tick scoring against static per-instrument levels (session
+      // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
+      // streaming market scorer — the identical scoreAgainstLevels code
+      // runs on EventStream via the broadcast join (batch-equivalence
+      // spec'd in VectorStreamSpec)
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("qty").isNotNull)
+      val levels = Stats.keyLevels(ev, "event_type",
+        Seq(col("ts"), col("event_id")), "value", col("qty"))
+      Stats.scoreAgainstLevels(ev, levels, "event_type", "value",
+          "event_id", zThreshold = 1.5, vwapDevPct = 3.0)
+        .orderBy("event_id")
+    }),
+
     "q89_pagerank" -> ((s, dir) => {
       // document-centrality pass over the k-NN similarity graph: 3
       // PageRank iterations, per-row decimal-cast contribution sums so
@@ -1790,6 +1806,77 @@ object SparkEntry {
         |FROM (SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL) e
         |LEFT JOIN m USING (event_type)
         |ORDER BY event_type""".stripMargin,
+
+    // levels mirror q97 (ewma fold), q94 (RSI frame), q82 (decimal
+    // VWAP), q76 (power-sum moments) shape-for-shape, each reduced to
+    // its latest row per key, then the scoring projection — so every
+    // double agrees bitwise with the Spark side
+    "q100_level_alerts" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, ts, value,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND json_extract_string(props, '$.k') IS NOT NULL),
+        |ew AS (
+        |  SELECT event_type,
+        |    round(list_reduce(lst, (acc, x) -> acc * 0.75 + 0.25 * x), 6) AS ewma_ref
+        |  FROM (
+        |    SELECT event_type,
+        |      list(CAST(value AS DOUBLE)) OVER (
+        |        PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+        |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst,
+        |      row_number() OVER (
+        |        PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1),
+        |d AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(value AS DECIMAL(18,6))
+        |      - lag(CAST(value AS DECIMAL(18,6))) OVER w AS delta
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)),
+        |rs AS (
+        |  SELECT event_type,
+        |    CASE WHEN g + l > 0
+        |         THEN round(100.0 * CAST(g AS DOUBLE) / CAST(g + l AS DOUBLE), 6)
+        |    END AS rsi_ref
+        |  FROM (
+        |    SELECT event_type,
+        |      SUM(CASE WHEN delta > 0 THEN delta WHEN delta <= 0 THEN 0 END) OVER fr AS g,
+        |      SUM(CASE WHEN delta < 0 THEN -delta WHEN delta >= 0 THEN 0 END) OVER fr AS l,
+        |      row_number() OVER (
+        |        PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM d
+        |    WINDOW fr AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) WHERE rn = 1),
+        |vw AS (
+        |  SELECT event_type,
+        |    round(CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(qty AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DOUBLE)
+        |      / CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE), 6) AS vwap_ref
+        |  FROM ev GROUP BY event_type
+        |  HAVING SUM(CAST(qty AS DECIMAL(18,6))) <> 0),
+        |sums AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS s1,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS s2
+        |  FROM ev GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std_v
+        |  FROM sums WHERE n > 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - ew.ewma_ref) / m.std_v, 4) AS z_vs_ewma,
+        |  round((e.value - vw.vwap_ref) / vw.vwap_ref * 100, 4) AS vwap_dev_pct,
+        |  CASE WHEN rs.rsi_ref >= 70 THEN 'overbought'
+        |       WHEN rs.rsi_ref <= 30 THEN 'oversold'
+        |       ELSE 'neutral' END AS regime
+        |FROM ev e
+        |JOIN m USING (event_type) JOIN ew USING (event_type)
+        |JOIN rs USING (event_type) JOIN vw USING (event_type)
+        |WHERE m.std_v > 0 AND vw.vwap_ref IS NOT NULL AND vw.vwap_ref <> 0
+        |  AND (abs(round((e.value - ew.ewma_ref) / m.std_v, 4)) >= 1.5
+        |       OR abs(round((e.value - vw.vwap_ref) / vw.vwap_ref * 100, 4)) >= 3.0)
+        |ORDER BY event_id""".stripMargin,
 
     // the q75 edge CTE + three unrolled PageRank iterations; every
     // formula mirrors the Spark side shape-for-shape (double ops, per-

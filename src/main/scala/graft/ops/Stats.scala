@@ -369,6 +369,66 @@ object Stats {
     scoreAgainstMoments(df, keyMoments(df, keyCol, valueCol),
       keyCol, valueCol, idCol, threshold)
 
+  /** Static per-instrument reference levels for live-tick scoring: the
+    * session VWAP, the latest EWMA (smoothed level), the latest RSI
+    * (momentum regime), and [[keyMoments]]' stddev — ONE row per key,
+    * broadcast-sized by construction. The static half of the
+    * keyMoments/scoreAgainstMoments split applied to the market
+    * analytics battery: build once on history (bounded frames, keyed
+    * shuffles — nothing driver-side), broadcast onto the live stream
+    * via [[scoreAgainstLevels]]. Keys without a defined level (fewer
+    * than 2 ticks, zero variance, zero traded qty) drop out — they are
+    * unscorable, matching keyMoments' contract.
+    */
+  def keyLevels(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                valueCol: String, qtyCol: Column,
+                alpha: Double = 0.25, window: Int = 20,
+                rsiPeriod: Int = 14): DataFrame = {
+    val wLast = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(_.desc): _*)
+    def latest(d: DataFrame, c: String, as: String) =
+      d.withColumn("_rn", row_number().over(wLast))
+        .filter(col("_rn") === 1)
+        .select(col(keyCol), col(c).as(as))
+    val e = latest(ewma(df, keyCol, orderCols, col(valueCol), alpha, window),
+      "ewma", "ewma_ref")
+    val r = latest(rsi(df, keyCol, orderCols, col(valueCol), rsiPeriod),
+      "rsi", "rsi_ref")
+    val vw = vwap(df.filter(col(valueCol).isNotNull), Seq(keyCol),
+        col(valueCol), qtyCol)
+      .filter(col("vwap").isNotNull && col("vwap") =!= 0)
+      .select(col(keyCol), col("vwap").as("vwap_ref"))
+    keyMoments(df, keyCol, valueCol)
+      .select(col(keyCol), col("_std"))
+      .join(e, keyCol).join(r, keyCol).join(vw, keyCol)
+  }
+
+  /** Score live ticks against precomputed [[keyLevels]] — broadcast
+    * join + stateless projections only, so it runs unchanged on a
+    * static frame or a live stream (batch-equivalence spec'd): z vs the
+    * EWMA smoothed level, percent deviation from session VWAP, and the
+    * RSI regime tag; a tick surfaces when either deviation trips its
+    * threshold.
+    */
+  def scoreAgainstLevels(df: DataFrame, levels: DataFrame, keyCol: String,
+                         valueCol: String, idCol: String,
+                         zThreshold: Double,
+                         vwapDevPct: Double): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(levels), keyCol)
+      .withColumn("z_vs_ewma",
+        round((col(valueCol) - col("ewma_ref")) / col("_std"), 4))
+      .withColumn("vwap_dev_pct",
+        round((col(valueCol) - col("vwap_ref")) / col("vwap_ref") * 100, 4))
+      .withColumn("regime",
+        when(col("rsi_ref") >= 70, "overbought")
+          .when(col("rsi_ref") <= 30, "oversold")
+          .otherwise("neutral"))
+      .filter(abs(col("z_vs_ewma")) >= zThreshold ||
+        abs(col("vwap_dev_pct")) >= vwapDevPct)
+      .select(col(idCol), col(keyCol), col(valueCol),
+        col("z_vs_ewma"), col("vwap_dev_pct"), col("regime"))
+
   /** Progressive conversion funnel: users counted at stage k only if
     * their first stage-k event strictly follows their first qualifying
     * stage-(k-1) event. One keyed aggregation per stage, each reusing

@@ -272,6 +272,39 @@ class VectorStreamSpec extends AnyFunSuite {
       "event_id", 3.0).select("event_id").as[Long].collect().toSet === Set(21L))
   }
 
+  test("streaming market-level scoring against static levels matches the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // history establishes the per-instrument levels (VWAP, latest EWMA,
+    // latest RSI, σ); live ticks are scored by a stream-static broadcast
+    // join — no streaming state, so batch and stream must agree exactly
+    val history = (1L to 20L).map(i =>
+        (i, "a", if (i % 2 == 0) 11.0 else 10.0, 1L))
+      .toDF("seq", "event_type", "value", "qty")
+    val levels = graft.ops.Stats.keyLevels(
+      history, "event_type", Seq(col("seq")), "value", col("qty"))
+    val live = Seq((100L, "a", 10.5), (101L, "a", 14.0), (102L, "b", 999.0))
+    val batch = graft.ops.Stats.scoreAgainstLevels(
+        live.toDF("event_id", "event_type", "value"), levels,
+        "event_type", "value", "event_id", 2.0, 20.0)
+      .as[(Long, String, Double, Double, Double, String)].collect().toSet
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = graft.ops.Stats.scoreAgainstLevels(
+        mem.toDF().toDF("event_id", "event_type", "value"), levels,
+        "event_type", "value", "event_id", 2.0, 20.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("levels_out").start()
+    mem.addData(live: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("levels_out")
+      .as[(Long, String, Double, Double, Double, String)].collect().toSet
+    q.stop()
+    assert(streamed === batch)
+    // 14.0 is far above the ~10.5 smoothed level; 10.5 is typical; "b"
+    // has no levels row → unscorable, dropped by the inner join
+    assert(streamed.map(_._1) === Set(101L))
+  }
+
   test("curateStream: cross-batch exact dedup + quality gate, first doc wins") {
     implicit val sqlCtx = spark.sqlContext
     val long = (1 to 25).map(i => s"w$i").mkString(" ")
