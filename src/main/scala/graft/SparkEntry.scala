@@ -56,6 +56,26 @@ object SparkEntry {
       path
     })
 
+  /** Build-once memo for q92's two-version snapshot table: v1/v2 are
+    * deterministic splits of `customer`, committed through the REAL
+    * version store so the change feed reads actual manifests.
+    */
+  private val cdcCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cdcTableFor(s: SparkSession, dir: String): String =
+    cdcCache.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val path = java.nio.file.Files.createTempDirectory("graft_cdc").toString + "/customer"
+      val cust = Tables.load(s, dir, "customer")
+      engine.Snapshots.writeVersioned(
+        cust.filter(col("c_custkey") % 10 =!= 3), path, 1L)
+      engine.Snapshots.writeVersioned(
+        cust.filter(col("c_custkey") % 10 =!= 4)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(100.0))
+              .otherwise(col("c_acctbal"))), path, 2L)
+      path
+    })
+
   /** Build-once memo for q87's ORC copy of the events columns it
     * aggregates — the roundtrip write happens once per sf dir per JVM.
     */
@@ -511,16 +531,14 @@ object SparkEntry {
     }),
 
     "q92_change_capture" -> ((s, dir) => {
-      // CDC diff between two simulated table versions: one full-outer
-      // join on the key, null-safe struct compare — the change feed a
-      // MERGE-based pipeline replays downstream
-      val cust = t(s, dir, "customer")
-      val before = cust.filter(col("c_custkey") % 10 =!= 3)
-      val after = cust.filter(col("c_custkey") % 10 =!= 4)
-        .withColumn("c_acctbal",
-          when(col("c_custkey") % 7 === 0, col("c_acctbal") + lit(100.0))
-            .otherwise(col("c_acctbal")))
-      engine.Upsert.changeCapture(before, after, Seq("c_custkey"))
+      // CDC diff between two REAL committed snapshot versions (the memo
+      // commits v1/v2 once per JVM): Snapshots.changeFeed = one
+      // full-outer join on the key over the two version scans, null-safe
+      // struct compare — Delta CDF's table_changes surface. The oracle
+      // diffs the same two states straight off the source table, so a
+      // hash match also proves the version store loses nothing.
+      engine.Snapshots.changeFeed(s, cdcTableFor(s, dir), 1L, 2L,
+          Seq("c_custkey"))
         .orderBy("c_custkey")
     }),
 

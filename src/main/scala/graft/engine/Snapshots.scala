@@ -234,6 +234,19 @@ object Snapshots {
     }
   }
 
+  /** Change feed between two committed versions of a snapshot table —
+    * Delta CDF's `table_changes(from, to)` surface, recovered from the
+    * real version store: [[Upsert.changeCapture]] over
+    * [[readVersion]](from) vs [[readVersion]](to). One full-outer keyed
+    * join of the two version scans; [[Upsert.applyChanges]] replays the
+    * feed onto `from` to reproduce `to` exactly (spec'd across an
+    * actual commit).
+    */
+  def changeFeed(spark: SparkSession, path: String, fromVersion: Long,
+                 toVersion: Long, keys: Seq[String]): DataFrame =
+    Upsert.changeCapture(readVersion(spark, path, fromVersion),
+      readVersion(spark, path, toVersion), keys)
+
   /** Commit log, newest first — `DeltaTable.history()`'s surface,
     * including per-version operation metrics (numFiles/numBytes/numRows,
     * null for pre-metrics manifests). Built from driver-side manifest

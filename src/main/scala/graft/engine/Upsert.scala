@@ -73,4 +73,23 @@ object Upsert {
       .select(keys.map(col) ++ Seq(col("change_type")) ++
         nonKey.map(f => current.getField(f).as(f)): _*)
   }
+
+  /** Apply a [[changeCapture]] feed to a table state: upsert the
+    * insert/update rows, anti-join away the delete keys. The CDC
+    * inverse law — `applyChanges(before, changeCapture(before, after,
+    * keys), keys)` row-equals `after` — is what makes the feed safe to
+    * replay downstream; SnapshotSpec proves it across a real
+    * [[Snapshots]] version commit. Same scale shape as [[merge]]: keyed
+    * shuffles only, with a small feed broadcasting onto the target.
+    */
+  def applyChanges(before: DataFrame, feed: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val dels = feed.filter(col("change_type") === "delete")
+      .select(keys.map(col): _*)
+    val ups = feed.filter(col("change_type") =!= "delete")
+      .drop("change_type")
+      // merge unions by name: restore the target's column order
+      .select(before.columns.map(col).toSeq: _*)
+    merge(before, ups, keys).join(dels, keys, "left_anti")
+  }
 }

@@ -32,6 +32,26 @@ class SnapshotSpec extends AnyFunSuite {
     assert(metrics.values.forall(m => m._2 >= 1L && m._3 > 0L), metrics)
   }
 
+  test("changeFeed between real versions replays onto v1 to reproduce v2 exactly") {
+    val t = Files.createTempDirectory("graft_snap_cdc").toString + "/t"
+    val before = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("k", "name", "bal")
+    // v2: key 2 updated, key 3 deleted, key 4 inserted, key 1 untouched
+    val after = Seq((1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0))
+      .toDF("k", "name", "bal")
+    Snapshots.writeVersioned(before, t, 1L)
+    Snapshots.writeVersioned(after, t, 2L)
+    val feed = Snapshots.changeFeed(spark, t, 1L, 2L, Seq("k"))
+    val types = feed.select("k", "change_type").as[(Int, String)].collect().toMap
+    assert(types === Map(2 -> "update", 3 -> "delete", 4 -> "insert")) // 1 unchanged → absent
+    // the CDC inverse law, across an actual commit: apply(v1, feed) == v2
+    val replayed = graft.engine.Upsert.applyChanges(
+        Snapshots.readVersion(spark, t, 1L), feed, Seq("k"))
+      .as[(Int, String, Double)].collect().toSet
+    assert(replayed ===
+      Snapshots.readVersion(spark, t, 2L).as[(Int, String, Double)].collect().toSet)
+  }
+
   test("a reader pinned before a new commit still sees its own version") {
     val t = Files.createTempDirectory("graft_snap_iso").toString + "/t"
     Snapshots.write(Seq((1, "old")).toDF("k", "v"), t)
