@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-stress driver for the market-analytics battery (q82-q99's
+  * operator families): generates a deterministic synthetic tick stream
+  * at `scale` × 1.44M rows (the DevPipeline 10× stress volume) and
+  * times each family end-to-end, so BASELINE.md can record whether the
+  * single-shuffle claims hold as data grows — wall-clock should scale
+  * sub-linearly (fixed session/job overhead amortizes; every family is
+  * one keyed shuffle + windows/aggs, none driver-bounded).
+  *
+  * Usage: `runMain graft.DevAnalytics [scale]` (default 1).
+  */
+object DevAnalytics {
+  def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(1)
+    val nInstruments = 200
+    val rows = 1440000L * scale
+    val spark = engine.Sessions.local("graft-analytics", cores = 32)
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic pseudo-random walk per instrument: value mixes a
+    // slow sine trend with a hash-derived jitter, qty is hash-bounded —
+    // no rand() (reruns must measure the same workload)
+    val ticks = spark.range(rows)
+      .select(col("id").as("event_id"),
+        concat(lit("ins_"), pmod(col("id"), lit(nInstruments.toLong)))
+          .as("event_type"),
+        timestamp_seconds(lit(1704067200L) + (col("id") / nInstruments)
+          .cast("long")).as("ts"),
+        (lit(100.0) + lit(10.0) * sin(col("id") / lit(97.0))
+          + pmod(xxhash64(col("id")), lit(1000L)).cast("double") / 100.0)
+          .as("value"),
+        (lit(1L) + pmod(xxhash64(col("id") + 1), lit(50L))).as("qty"))
+      .persist()
+    ticks.count() // materialize: families time the OPERATOR, not the generator
+
+    val ord = Seq(col("ts"), col("event_id"))
+    // force EVERY output column through a checksum: a bare count() lets
+    // ColumnPruning drop unreferenced window/agg expressions, timing a
+    // scan instead of the operator. pmod before sum — ANSI mode
+    // overflows a raw sum(xxhash64).
+    def time(tag: String)(body: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val df = body
+      val forced = df.select(
+        count(lit(1)).as("n"),
+        sum(pmod(xxhash64(struct(df.columns.map(col): _*)),
+          lit(1000000007L))).as("chk")).head()
+      println(f"[family] $tag%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
+        f"  (${forced.getLong(0)} rows, chk=${forced.getLong(1)})")
+    }
+    time("vwap")(ops.Stats.vwap(ticks,
+      Seq("event_type"), col("value"), col("qty")))
+    time("rolling_stats")(ops.Stats.rollingStats(ticks,
+      "event_type", ord, col("value"), 20))
+    time("drawdown")(ops.Stats.maxDrawdown(ticks,
+      "event_type", ord, col("value")))
+    time("twap")(ops.Stats.twap(ticks,
+      Seq("event_type"), col("ts"), col("event_id"), col("value")))
+    time("rsi")(ops.Stats.rsi(ticks,
+      "event_type", ord, col("value"), 14))
+    time("ewma")(ops.Stats.ewma(ticks,
+      "event_type", ord, col("value"), 0.25, 20))
+    time("beta")(ops.Stats.betaVsMarket(ticks,
+      "event_type", date_trunc("hour", col("ts")), col("value")))
+    time("up_streaks")(ops.Windows.longestUpStreak(ticks,
+      "event_type", ord, col("value")))
+    time("level_alerts") {
+      val levels = ops.Stats.keyLevels(ticks, "event_type", ord,
+        "value", col("qty"))
+      ops.Stats.scoreAgainstLevels(ticks, levels, "event_type", "value",
+        "event_id", 1.5, 3.0)
+    }
+    println(s"[done] scale=$scale rows=$rows instruments=$nInstruments")
+    spark.stop()
+  }
+}
