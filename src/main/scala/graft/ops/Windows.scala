@@ -70,9 +70,18 @@ object Windows {
     * hours × keys), never over the raw event stream — so a sparse
     * 100 TB stream forward-fills with a shuffle proportional to the
     * grid, not the data.
+    *
+    * The grid is "tiny" only while the time span is: keys × hours grows
+    * with the corpus' calendar coverage, not its row count, so a
+    * decade-span stream with many keys silently explodes it. The
+    * operator measures both factors first (two scalar aggs — the bounds
+    * row is needed anyway) and refuses past `maxGridCells`, naming the
+    * numbers, rather than letting the explode run away; chunk the time
+    * range or coarsen the grain deliberately instead.
     */
   def gapFillHourly(df: DataFrame, keyCol: String, tsCol: String,
-                    valueCol: String): DataFrame = {
+                    valueCol: String,
+                    maxGridCells: Long = 100000000L): DataFrame = {
     val present = df.filter(col(valueCol).isNotNull)
     val hourly = present
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
@@ -81,6 +90,21 @@ object Windows {
     val bounds = present.agg(
       date_trunc("hour", min(col(tsCol))).as("lo"),
       date_trunc("hour", max(col(tsCol))).as("hi"))
+    val b = bounds.head()
+    if (!b.isNullAt(0)) { // null bounds = empty input: grid is empty anyway
+      val hours = (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) /
+        3600000L + 1
+      val nKeys = present.select(col(keyCol)).distinct().count()
+      // division, not multiplication: corrupt far-future timestamps can
+      // push hours x keys past Long range, and an overflowed product
+      // would slip the guard
+      require(nKeys == 0 || hours <= maxGridCells / nKeys,
+        s"gapFillHourly: grid would be $nKeys keys x $hours hours " +
+          s"(> maxGridCells=$maxGridCells); the forward-fill " +
+          "window shuffles the whole grid, so an unbounded span explodes " +
+          "it regardless of row count. Chunk the time range, coarsen the " +
+          "grain, or raise maxGridCells deliberately")
+    }
     val grid = present.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))
       .select(col(keyCol),

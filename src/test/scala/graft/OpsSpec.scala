@@ -196,6 +196,21 @@ class OpsSpec extends AnyFunSuite {
     assert(got.size === 8) // 2 keys × hours 0..3
   }
 
+  test("gapFillHourly refuses a grid past maxGridCells, naming both factors") {
+    import graft.ops.Windows
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1.0),
+      ("a", ts("2024-01-02 00:00:00"), 2.0), // 25 hours of span
+      ("b", ts("2024-01-01 12:00:00"), 3.0)
+    ).toDF("event_type", "ts", "value")
+    val err = intercept[IllegalArgumentException] {
+      Windows.gapFillHourly(ev, "event_type", "ts", "value", maxGridCells = 10L)
+    }
+    assert(err.getMessage.contains("2 keys x 25 hours"), err.getMessage)
+    // at the default bound the same input fills fine
+    assert(Windows.gapFillHourly(ev, "event_type", "ts", "value").count() === 50)
+  }
+
   test("vwap weights by quantity and yields NULL on zero total volume") {
     import org.apache.spark.sql.functions.col
     val ticks = Seq(
