@@ -144,15 +144,18 @@ object Joins {
       // refusal diagnostics: the key's whole distribution (block count +
       // Σblock², i.e. the candidate-pair cost), so the caller can judge
       // the key, not just the top offenders. Only ever runs on refusal.
+      // double, not long: a ~3e9-row hot block squares past Long.Max
+      // and would report a negative pair count in the very regime the
+      // message exists to diagnose
       val dist = side.groupBy("blk").agg(count(lit(1)).as("cnt"))
         .agg(count(lit(1)).as("nblk"),
-          sum(col("cnt") * col("cnt")).as("sumsq")).head()
+          sum(col("cnt").cast("double") * col("cnt")).as("sumsq")).head()
       side.unpersist()
       throw new IllegalArgumentException(
         s"fuzzyPairs: block(s) exceed maxBlock=$maxBlock " +
           hot.map(r => s"${r.get(0)}=${r.getLong(1)}").mkString("(", ", ", ")") +
           s"; the key yields ${dist.getLong(0)} blocks with " +
-          s"sum(block^2)=${dist.getLong(1)} candidate pairs. A hot block " +
+          f"sum(block^2)=${dist.getDouble(1)}%.4g candidate pairs. A hot block " +
           "reintroduces the quadratic blowup blocking exists to avoid. " +
           "Use a more selective blockKey (more blocks, flatter counts — " +
           "e.g. more tokens, or match on DISTINCT values and carry " +

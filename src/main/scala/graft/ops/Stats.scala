@@ -337,7 +337,12 @@ object Stats {
   def keyMoments(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val v = col(valueCol).cast(DecimalType(18, 6))
     val s1d = col("s1").cast("double")
-    val varExpr = (col("s2").cast("double") - s1d * s1d / col("n")) / (col("n") - 1)
+    // clamped at 0 (the rollingStats discipline): decimal→double cast
+    // rounding can push a constant-valued key's variance to -ε, whose
+    // sqrt is NaN — and NaN compares GREATER than 0, so it would slip
+    // the _std > 0 filter and flood the scorer with NaN z-scores
+    val varExpr = greatest(lit(0.0),
+      (col("s2").cast("double") - s1d * s1d / col("n")) / (col("n") - 1))
     df.filter(col(valueCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"), sum(v).as("s1"),

@@ -74,10 +74,12 @@ object Windows {
     * The grid is "tiny" only while the time span is: keys × hours grows
     * with the corpus' calendar coverage, not its row count, so a
     * decade-span stream with many keys silently explodes it. The
-    * operator measures both factors first (two scalar aggs — the bounds
-    * row is needed anyway) and refuses past `maxGridCells`, naming the
-    * numbers, rather than letting the explode run away; chunk the time
-    * range or coarsen the grain deliberately instead.
+    * operator measures both factors in ONE scalar agg (bounds + key
+    * count together — no extra pass over the data) and refuses past
+    * `maxGridCells`, naming the numbers, rather than letting the
+    * explode run away; chunk the time range or coarsen the grain
+    * deliberately instead. The collected bounds then feed the grid as
+    * literals, so the agg never re-executes inside the join.
     */
   def gapFillHourly(df: DataFrame, keyCol: String, tsCol: String,
                     valueCol: String,
@@ -87,14 +89,14 @@ object Windows {
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
       .agg(round(sum(col(valueCol).cast(DecimalType(18, 6))).cast("double") /
         count(lit(1)), 6).as("avg_v"))
-    val bounds = present.agg(
+    val b = present.agg(
       date_trunc("hour", min(col(tsCol))).as("lo"),
-      date_trunc("hour", max(col(tsCol))).as("hi"))
-    val b = bounds.head()
+      date_trunc("hour", max(col(tsCol))).as("hi"),
+      count_distinct(col(keyCol)).as("nk")).head()
     if (!b.isNullAt(0)) { // null bounds = empty input: grid is empty anyway
       val hours = (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) /
         3600000L + 1
-      val nKeys = present.select(col(keyCol)).distinct().count()
+      val nKeys = b.getLong(2)
       // division, not multiplication: corrupt far-future timestamps can
       // push hours x keys past Long range, and an overflowed product
       // would slip the guard
@@ -105,10 +107,12 @@ object Windows {
           "it regardless of row count. Chunk the time range, coarsen the " +
           "grain, or raise maxGridCells deliberately")
     }
+    val (lo, hi) =
+      if (b.isNullAt(0)) (lit(null).cast("timestamp"), lit(null).cast("timestamp"))
+      else (lit(b.getTimestamp(0)), lit(b.getTimestamp(1)))
     val grid = present.select(col(keyCol)).distinct()
-      .crossJoin(broadcast(bounds))
       .select(col(keyCol),
-        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hour"))
+        explode(sequence(lo, hi, expr("INTERVAL 1 HOUR"))).as("hour"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(hourly, Seq(keyCol, "hour"), "left")
