@@ -167,6 +167,43 @@ object EventStream {
       }
   }
 
+  case class EwmaState(acc: Double, seen: Boolean)
+  case class EwmaTick(key: String, seq: Long, value: Double, ewma: Double)
+
+  /** Per-instrument recursive EWMA on the live path with REAL streaming
+    * state: `acc = acc·(1−α) + α·x` folded across micro-batches via
+    * flatMapGroupsWithState, seeded with each key's first-ever tick —
+    * the unbounded-history semantics a live smoother wants (the batch
+    * [[graft.ops.Stats.ewma]] restarts at its frame edge; with a frame
+    * wider than the history the two agree exactly, which is the
+    * batch-equivalence law the spec pins). Rows are folded in `seqCol`
+    * order WITHIN each micro-batch (the iterator's arrival order is not
+    * a contract); cross-batch order is the source's responsibility, as
+    * for any streaming fold. State = one (double, flag) per key.
+    */
+  def ewmaStream(spark: SparkSession, ticks: DataFrame, keyCol: String,
+                 seqCol: String, valueCol: String,
+                 alpha: Double): Dataset[EwmaTick] = {
+    import spark.implicits._
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    ticks.selectExpr(s"cast($keyCol as string) as k",
+        s"cast($seqCol as long) as seq", s"cast($valueCol as double) as v")
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaTick](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (k, rows, state) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, seen = false))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, seq, v) =>
+            st = if (!st.seen) EwmaState(v, seen = true)
+                 else EwmaState(st.acc * (1 - alpha) + alpha * v, seen = true)
+            EwmaTick(k, seq, v, st.acc)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Exactly-once streaming snapshot sink: micro-batch N commits
     * snapshot version N+1 through [[graft.engine.Snapshots.writeVersioned]],
     * tagged `<appId>#batch-N` (Delta's txnAppId pattern). The app id

@@ -25,8 +25,11 @@ class ContractSpec extends AnyFunSuite {
 
   test("query ids are unique and well-formed") {
     val ids = SparkEntry.queries.keySet
-    assert(ids.forall(_.matches("q\\d{2}_[a-z0-9_]+")), ids.filterNot(_.matches("q\\d{2}_[a-z0-9_]+")))
-    val nums = ids.map(_.take(3))
+    assert(ids.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")),
+      ids.filterNot(_.matches("q\\d{2,3}_[a-z0-9_]+")))
+    // uniqueness by the full numeric prefix (a take(3) would alias
+    // q100 with q10)
+    val nums = ids.map(_.takeWhile(_ != '_'))
     assert(nums.size === ids.size, "duplicate query numbers")
   }
 }

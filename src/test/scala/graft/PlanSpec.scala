@@ -147,6 +147,13 @@ class PlanSpec extends AnyFunSuite {
       .foreach(l => assert(!l.contains("embedding:array"), l))
   }
 
+  test("q100: the level scorer broadcasts — the tick stream never shuffles for the join") {
+    val p = plan("q100_level_alerts")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the native EWMA expression rides inside the levels build too
+    assert(p.contains("ewma_fold"), p)
+  }
+
   test("q97: the EWMA fold is the native expression, not an interpreted lambda") {
     val p = plan("q97_ewma")
     assert(p.contains("ewma_fold"), p)

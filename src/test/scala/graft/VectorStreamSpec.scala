@@ -305,6 +305,40 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(streamed.map(_._1) === Set(101L))
   }
 
+  test("ewmaStream folds state across micro-batches; equals batch ewma at full width") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = EventStream.ewmaStream(spark,
+        mem.toDF().toDF("sym", "seq", "price"), "sym", "seq", "price", 0.25)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ewma_out").start()
+    // two micro-batches: the fold must carry key a's state across the
+    // boundary (and key b starts fresh in batch 2)
+    mem.addData(("a", 1L, 10.0), ("a", 2L, 14.0), ("b", 1L, 100.0))
+    q.processAllAvailable()
+    mem.addData(("a", 3L, 8.0), ("b", 2L, 104.0))
+    q.processAllAvailable()
+    val got = spark.table("ewma_out")
+      .select("key", "seq", "ewma").as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    q.stop()
+    assert(got(("a", 1L)) === 10.0)
+    assert(got(("a", 2L)) === 10.0 * 0.75 + 0.25 * 14.0)
+    assert(got(("a", 3L)) === got(("a", 2L)) * 0.75 + 0.25 * 8.0) // crossed batches
+    assert(got(("b", 2L)) === 100.0 * 0.75 + 0.25 * 104.0)
+    // batch-equivalence law: with a frame wider than the history, the
+    // batch windowed ewma computes the identical recursion
+    val batch = graft.ops.Stats.ewma(
+        Seq(("a", 1L, 10.0), ("a", 2L, 14.0), ("a", 3L, 8.0),
+          ("b", 1L, 100.0), ("b", 2L, 104.0)).toDF("sym", "seq", "price"),
+        "sym", Seq(col("seq")), col("price"), 0.25, window = 20)
+      .select("sym", "seq", "ewma").as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    batch.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 5e-7, s"$k stream=${got(k)} batch=$v") }
+  }
+
   test("curateStream: cross-batch exact dedup + quality gate, first doc wins") {
     implicit val sqlCtx = spark.sqlContext
     val long = (1 to 25).map(i => s"w$i").mkString(" ")
