@@ -248,4 +248,25 @@ object LawsProps extends Properties("graft.laws") {
         got == expect.map { case (n, r) => n -> minOf(r) }
       }
     }
+
+  private val cdcTable = Gen.mapOf(Gen.zip(
+    Gen.choose(0, 9),
+    Gen.zip(Gen.oneOf("x", "y", "z"), Gen.choose(0, 3).map(_.toDouble))))
+
+  property("changeCapture/applyChanges: the feed replays any before into any after") =
+    forAll(cdcTable, cdcTable) { (before, after) =>
+      // maps guarantee key-uniqueness per state — the CDC precondition
+      val b = before.toSeq.map { case (k, (s, d)) => (k, s, d) }
+        .toDF("k", "name", "bal")
+      val a = after.toSeq.map { case (k, (s, d)) => (k, s, d) }
+        .toDF("k", "name", "bal")
+      val feed = graft.engine.Upsert.changeCapture(b, a, Seq("k"))
+      val replayed = graft.engine.Upsert.applyChanges(b, feed, Seq("k"))
+        .as[(Int, String, Double)].collect().toSet
+      val feedTypes = feed.select("k", "change_type")
+        .as[(Int, String)].collect().toMap
+      replayed == after.map { case (k, (s, d)) => (k, s, d) }.toSet &&
+        // unchanged keys never appear in the feed
+        feedTypes.keySet.forall(k => before.get(k) != after.get(k))
+    }
 }
