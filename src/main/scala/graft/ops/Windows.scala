@@ -92,11 +92,14 @@ object Windows {
     val b = present.agg(
       date_trunc("hour", min(col(tsCol))).as("lo"),
       date_trunc("hour", max(col(tsCol))).as("hi"),
-      count_distinct(col(keyCol)).as("nk")).head()
+      // count_distinct skips a null key, but the grid's distinct() keeps
+      // it as a row — count it back in or the guard undercounts by one
+      count_distinct(col(keyCol)).as("nk"),
+      max(col(keyCol).isNull.cast("long")).as("nullKey")).head()
     if (!b.isNullAt(0)) { // null bounds = empty input: grid is empty anyway
       val hours = (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) /
         3600000L + 1
-      val nKeys = b.getLong(2)
+      val nKeys = b.getLong(2) + b.getLong(3)
       // division, not multiplication: corrupt far-future timestamps can
       // push hours x keys past Long range, and an overflowed product
       // would slip the guard

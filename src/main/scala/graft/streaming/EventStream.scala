@@ -180,14 +180,19 @@ object EventStream {
     * order WITHIN each micro-batch (the iterator's arrival order is not
     * a contract); cross-batch order is the source's responsibility, as
     * for any streaming fold. State = one (double, flag) per key.
+    * Null-keyed/null-valued ticks are dropped up front: a null cannot
+    * enter the fold, and letting it reach the non-nullable tuple
+    * encoder would kill the long-running query instead.
     */
   def ewmaStream(spark: SparkSession, ticks: DataFrame, keyCol: String,
                  seqCol: String, valueCol: String,
                  alpha: Double): Dataset[EwmaTick] = {
     import spark.implicits._
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
-    ticks.selectExpr(s"cast($keyCol as string) as k",
-        s"cast($seqCol as long) as seq", s"cast($valueCol as double) as v")
+    ticks.select(col(keyCol).cast("string").as("k"),
+        col(seqCol).cast("long").as("seq"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("k").isNotNull && col("seq").isNotNull && col("v").isNotNull)
       .as[(String, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[EwmaState, EwmaTick](

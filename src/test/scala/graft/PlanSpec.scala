@@ -150,6 +150,11 @@ class PlanSpec extends AnyFunSuite {
   test("q100: the level scorer broadcasts — the tick stream never shuffles for the join") {
     val p = plan("q100_level_alerts")
     assert(p.contains("BroadcastHashJoin"), p)
+    // a bare contains(BroadcastHashJoin) would stay green off keyLevels'
+    // internal small joins even if the tick-side join regressed — pin
+    // the absence of any shuffle join (the q10 discipline)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
     // the native EWMA expression rides inside the levels build too
     assert(p.contains("ewma_fold"), p)
   }

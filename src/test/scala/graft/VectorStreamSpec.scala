@@ -313,11 +313,11 @@ class VectorStreamSpec extends AnyFunSuite {
         mem.toDF().toDF("sym", "seq", "price"), "sym", "seq", "price", 0.25)
       .writeStream.outputMode("update").format("memory")
       .queryName("ewma_out").start()
-    // two micro-batches: the fold must carry key a's state across the
-    // boundary (and key b starts fresh in batch 2)
+    // two micro-batches: keys a and b must carry state across the
+    // boundary, and key c (first seen in batch 2) must seed fresh
     mem.addData(("a", 1L, 10.0), ("a", 2L, 14.0), ("b", 1L, 100.0))
     q.processAllAvailable()
-    mem.addData(("a", 3L, 8.0), ("b", 2L, 104.0))
+    mem.addData(("a", 3L, 8.0), ("b", 2L, 104.0), ("c", 1L, 50.0))
     q.processAllAvailable()
     val got = spark.table("ewma_out")
       .select("key", "seq", "ewma").as[(String, Long, Double)].collect()
@@ -327,11 +327,13 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(got(("a", 2L)) === 10.0 * 0.75 + 0.25 * 14.0)
     assert(got(("a", 3L)) === got(("a", 2L)) * 0.75 + 0.25 * 8.0) // crossed batches
     assert(got(("b", 2L)) === 100.0 * 0.75 + 0.25 * 104.0)
+    assert(got(("c", 1L)) === 50.0) // fresh key in a later batch seeds cleanly
     // batch-equivalence law: with a frame wider than the history, the
     // batch windowed ewma computes the identical recursion
     val batch = graft.ops.Stats.ewma(
         Seq(("a", 1L, 10.0), ("a", 2L, 14.0), ("a", 3L, 8.0),
-          ("b", 1L, 100.0), ("b", 2L, 104.0)).toDF("sym", "seq", "price"),
+          ("b", 1L, 100.0), ("b", 2L, 104.0), ("c", 1L, 50.0))
+          .toDF("sym", "seq", "price"),
         "sym", Seq(col("seq")), col("price"), 0.25, window = 20)
       .select("sym", "seq", "ewma").as[(String, Long, Double)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
