@@ -209,6 +209,92 @@ object EventStream {
       }
   }
 
+  case class RsiState(last: Double, seen: Boolean, deltas: List[Double])
+  case class RsiTick(key: String, seq: Long, value: Double,
+                     n_deltas: Long, rsi: Option[Double])
+
+  /** Per-instrument RSI on the live path: streaming state = the
+    * previous tick + the trailing `period` deltas per key, exactly the
+    * batch frame ([[graft.ops.Stats.rsi]]'s ROWS BETWEEN period-1
+    * PRECEDING) maintained incrementally — so tick m carries
+    * min(period, m−1) deltas and the stream agrees with the batch
+    * operator tick-for-tick (spec'd). Doubles in arrival order; rows
+    * fold in `seqCol` order within each micro-batch, null ticks are
+    * dropped as in [[ewmaStream]]. State per key = period + 2 numbers.
+    */
+  def rsiStream(spark: SparkSession, ticks: DataFrame, keyCol: String,
+                seqCol: String, valueCol: String,
+                period: Int = 14): Dataset[RsiTick] = {
+    import spark.implicits._
+    require(period > 0, s"period must be positive, got $period")
+    ticks.select(col(keyCol).cast("string").as("k"),
+        col(seqCol).cast("long").as("seq"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("k").isNotNull && col("seq").isNotNull && col("v").isNotNull)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RsiState, RsiTick](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (k, rows, state) =>
+          var st = state.getOption.getOrElse(RsiState(0.0, seen = false, Nil))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, seq, v) =>
+            val deltas =
+              (if (st.seen) st.deltas :+ (v - st.last) else st.deltas)
+                .takeRight(period)
+            st = RsiState(v, seen = true, deltas)
+            val g = deltas.filter(_ > 0).sum
+            val l = -deltas.filter(_ < 0).sum
+            val rsi = if (g + l > 0)
+              Some(BigDecimal(100.0 * g / (g + l))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            else None
+            RsiTick(k, seq, v, deltas.size.toLong, rsi)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  case class VwapState(pq: Double, qty: Double, n: Long)
+  case class VwapTick(key: String, seq: Long, n_trades: Long,
+                      total_qty: Double, vwap: Option[Double])
+
+  /** Per-instrument RUNNING session VWAP on the live path: streaming
+    * state = (Σ price·qty, Σ qty, count) per key, emitted per tick — the
+    * incremental face of [[graft.ops.Stats.vwap]]; after any prefix of
+    * ticks the latest emission per key equals the batch aggregate over
+    * that prefix (spec'd). Zero accumulated volume → vwap None, as the
+    * batch NULL. State per key = three numbers, any tick volume.
+    */
+  def vwapStream(spark: SparkSession, ticks: DataFrame, keyCol: String,
+                 seqCol: String, priceCol: String,
+                 qtyCol: String): Dataset[VwapTick] = {
+    import spark.implicits._
+    ticks.select(col(keyCol).cast("string").as("k"),
+        col(seqCol).cast("long").as("seq"),
+        col(priceCol).cast("double").as("p"),
+        col(qtyCol).cast("double").as("q"))
+      .filter(col("k").isNotNull && col("seq").isNotNull &&
+        col("p").isNotNull && col("q").isNotNull)
+      .as[(String, Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[VwapState, VwapTick](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (k, rows, state) =>
+          var st = state.getOption.getOrElse(VwapState(0.0, 0.0, 0L))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, seq, p, q) =>
+            st = VwapState(st.pq + p * q, st.qty + q, st.n + 1)
+            val vwap = if (st.qty != 0)
+              Some(BigDecimal(st.pq / st.qty)
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            else None
+            VwapTick(k, seq, st.n, st.qty, vwap)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Exactly-once streaming snapshot sink: micro-batch N commits
     * snapshot version N+1 through [[graft.engine.Snapshots.writeVersioned]],
     * tagged `<appId>#batch-N` (Delta's txnAppId pattern). The app id

@@ -341,6 +341,67 @@ class VectorStreamSpec extends AnyFunSuite {
       assert(math.abs(got(k) - v) < 5e-7, s"$k stream=${got(k)} batch=$v") }
   }
 
+  test("rsiStream matches the batch RSI tick-for-tick across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ticks = Seq(("a", 1L, 10.0), ("a", 2L, 12.0), ("a", 3L, 11.0),
+      ("a", 4L, 15.0), ("a", 5L, 14.0), ("a", 6L, 16.0), ("b", 1L, 5.0))
+    val mem = MemoryStream[(String, Long, Double)]
+    // period 3 over 6 ticks: the delta deque trims across the batch split
+    val q = EventStream.rsiStream(spark,
+        mem.toDF().toDF("sym", "seq", "price"), "sym", "seq", "price", period = 3)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("rsi_out").start()
+    mem.addData(ticks.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(ticks.drop(3): _*)
+    q.processAllAvailable()
+    val got = spark.table("rsi_out")
+      .select("key", "seq", "n_deltas", "rsi")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    q.stop()
+    val batch = graft.ops.Stats.rsi(
+        ticks.toDF("sym", "seq", "price"), "sym", Seq(col("seq")),
+        col("price"), period = 3)
+      .select("sym", "seq", "n_deltas", "rsi")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === batch) // integer-valued fixtures: doubles agree exactly
+    assert(got(("b", 1L)) === ((0L, None))) // no deltas yet → undefined
+  }
+
+  test("vwapStream's latest emission per key equals the batch VWAP over the prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ticks = Seq(("a", 1L, 10.0, 2.0), ("a", 2L, 20.0, 1.0),
+      ("b", 1L, 7.0, 3.0), ("a", 3L, 30.0, 3.0))
+    val mem = MemoryStream[(String, Long, Double, Double)]
+    val q = EventStream.vwapStream(spark,
+        mem.toDF().toDF("sym", "seq", "price", "qty"),
+        "sym", "seq", "price", "qty")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("vwap_out").start()
+    mem.addData(ticks.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(ticks.drop(2): _*)
+    q.processAllAvailable()
+    val latest = spark.table("vwap_out")
+      .as[(String, Long, Long, Double, Option[Double])].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    q.stop()
+    val batch = graft.ops.Stats.vwap(
+        ticks.toDF("sym", "seq", "price", "qty"), Seq("sym"),
+        col("price"), col("qty"))
+      .select("sym", "n_trades", "total_qty", "vwap")
+      .as[(String, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    Seq("a", "b").foreach { k =>
+      val (_, _, n, qty, vwap) = latest(k)
+      assert((n, qty, vwap) === ((batch(k)._2, batch(k)._3, batch(k)._4)), k)
+    }
+  }
+
   test("curateStream: cross-batch exact dedup + quality gate, first doc wins") {
     implicit val sqlCtx = spark.sqlContext
     val long = (1 to 25).map(i => s"w$i").mkString(" ")
