@@ -623,6 +623,41 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q101_split_assign" -> ((s, dir) => {
+      // deterministic train/val/test assignment: multiplicative id-hash
+      // bucket, map-only (fuses into the scan — no shuffle at any scale);
+      // per-source proportions are statistically exact because the hash
+      // is independent of source
+      text.Curation.splitAssign(t(s, dir, "documents"), "doc_id",
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    }),
+
+    "q102_heavy_hitters" -> ((s, dir) => {
+      // exact bigram heavy hitters via the two-pass Count-Min scheme:
+      // sketch pass → codegen'd CmsEstimate candidate filter map-side →
+      // exact count of survivors. CMS never under-counts, so candidates
+      // ⊇ true heavy hitters and the final HAVING is exact — the shuffle
+      // carries candidates, not the full vocabulary
+      val docs = t(s, dir, "documents")
+        .filter(size(text.TextStats.tokens(col("text"))) >= 2)
+      text.TextStats.heavyHitters(docs,
+          text.Dedup.shingles(lower(col("text")), 2), minCount = 30L)
+        .select(col("token").as("bigram"), col("freq"))
+        .orderBy("bigram")
+    }),
+
+    "q103_epoch_shuffle" -> ((s, dir) => {
+      // reproducible epoch-3 permutation as a (shard, shard_pos) layout:
+      // per-shard sorts, never a single-partition global window — the
+      // epoch order a training job actually reads off disk
+      text.Curation.epochShuffle(t(s, dir, "documents"), "doc_id",
+          epoch = 3, shards = 8)
+        .select("doc_id", "shard", "shard_pos")
+        .orderBy("doc_id")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -1829,6 +1864,39 @@ object SparkEntry {
     // VWAP), q76 (power-sum moments) shape-for-shape, each reduced to
     // its latest row per key, then the scoring projection — so every
     // double agrees bitwise with the Spark side
+    "q101_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 80
+        |         THEN 'train'
+        |       WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q102_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) >= 2),
+        |bg AS (
+        |  SELECT ts[i] || ' ' || ts[i + 1] AS bigram
+        |  FROM toks, unnest(range(1, len(ts))) AS t(i))
+        |SELECT bigram, count(*) AS freq FROM bg
+        |GROUP BY 1 HAVING count(*) >= 30 ORDER BY bigram""".stripMargin,
+
+    "q103_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 1000000007) * 2654435761 + 3 * 976369)
+        |      % 1000000007 AS hh
+        |  FROM documents)
+        |SELECT doc_id, hh % 8 AS shard,
+        |  row_number() OVER (PARTITION BY hh % 8 ORDER BY hh ASC, doc_id ASC)
+        |    AS shard_pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     "q100_level_alerts" ->
       """WITH ev AS (
         |  SELECT event_id, event_type, ts, value,

@@ -159,6 +159,71 @@ object Curation {
     * Catalyst's top-k pushdown, so each partition keeps only k rows —
     * nothing resembling a per-group sort of the full corpus survives.
     */
+  /** Deterministic train/val/test assignment by id hash — the split
+    * primitive of every training pipeline. Each row's bucket is a
+    * multiplicative hash of its id mod 100 (the [[hashSample]] mixer:
+    * engine-portable integer arithmetic, so the DuckDB oracle replays it
+    * bit-for-bit), and `pcts` carves the 100 buckets into named splits
+    * (e.g. train 80 / val 10 / test 10).
+    *
+    * MAP-ONLY on purpose: the assignment is a pure projection — no
+    * shuffle, no state — so it fuses into the scan and costs nothing at
+    * 100 TB, and a row's split never changes when the corpus grows,
+    * is repartitioned, or is re-read (rand()-based splits lose all
+    * three). Proportions are statistically exact (hash ⊥ any stratum
+    * column), not count-exact; a count-exact stratified split needs a
+    * per-stratum total order — one sort task per stratum, a driver-sized
+    * bottleneck at scale — which is why production splits hash. The
+    * per-stratum balance is itself checkable with one groupBy (see the
+    * q101 registration).
+    */
+  def splitAssign(df: DataFrame, idCol: String,
+                  pcts: Seq[(String, Int)]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(_._2 > 0),
+      "splitAssign: every split needs a positive percentage")
+    require(pcts.map(_._2).sum == 100,
+      s"splitAssign: percentages must sum to 100, got ${pcts.map(_._2).sum}")
+    val p = 1000000007L
+    val h = pmod(pmod(col(idCol).cast("long"), lit(p)) * lit(2654435761L), lit(p))
+    val bucket = pmod(h, lit(100L))
+    val cum = pcts.scanLeft(0) { case (acc, (_, pc)) => acc + pc }.tail
+    // when-chain over cumulative thresholds; last split is the otherwise
+    val split = pcts.zip(cum).dropRight(1).foldRight(lit(pcts.last._1)) {
+      case (((name, _), c), els) => when(bucket < c, lit(name)).otherwise(els)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** Deterministic epoch shuffle: the (shard, position-in-shard) layout
+    * a training job reads — shard files written in `shard_pos` order ARE
+    * the epoch's global sample order. The per-row key mixes the id hash
+    * with the epoch (same engine-portable mixer as [[hashSample]]), so
+    * every epoch is a different but fully reproducible permutation.
+    *
+    * Scale posture: a naive global `ORDER BY hash` + row_number ends in
+    * a SINGLE-partition window — the driver-shaped bottleneck. Sharding
+    * first (`pmod(key, shards)`) makes the sort per-shard: one Exchange
+    * on the shard id, `shards` independent sorts of n/`shards` rows
+    * each, and the total order is recovered as (shard, shard_pos) —
+    * exactly how epoch shuffles are laid out on disk at scale.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    require(epoch >= 0, s"epoch must be non-negative, got $epoch")
+    val p = 1000000007L
+    // pmod(id,p)·2654435761 < 2.7e18 and the epoch term is tiny: the sum
+    // stays under Long.Max, so ANSI arithmetic cannot overflow
+    val h = pmod(pmod(col(idCol).cast("long"), lit(p)) * lit(2654435761L)
+      + lit(epoch.toLong) * lit(976369L), lit(p))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h").asc,
+      col(idCol).asc)
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(shards.toLong)))
+      .withColumn("shard_pos", row_number().over(w))
+      .drop("_h")
+  }
+
   def hashSample(df: DataFrame, groupCol: String, idCol: String,
                  k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

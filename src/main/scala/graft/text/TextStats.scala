@@ -106,4 +106,57 @@ object TextStats {
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p))
   }
+
+  /** EXACT heavy hitters (all tokens with frequency >= `minCount`) in
+    * two passes, with a Count-Min sketch candidate pre-filter — the
+    * vocabulary-statistics primitive of corpus curation (stopword
+    * discovery, boilerplate n-grams, tokenizer-merge candidates).
+    *
+    * Pass 1 aggregates every token into ONE Count-Min sketch (Cormode &
+    * Muthukrishnan '05; Spark's built-in `count_min_sketch` aggregate —
+    * map-side partials, a single ~`(2/eps)·ln(1/(1-confidence))`-cell
+    * scalar to the driver, ~80 KB at the defaults: the bloom-scalar
+    * pattern of [[Curation.contaminationBloom]]). Pass 2 re-scans,
+    * keeping only tokens the sketch scores >= `minCount` — the probe is
+    * the codegen'd [[graft.functions.CmsEstimate]], fused map-side into
+    * the scan — and exact-counts the survivors.
+    *
+    * Correctness does NOT depend on sketch accuracy: a Count-Min
+    * estimate can only OVER-count (every cell a token hashes to holds
+    * its true count plus non-negative collision mass), so the candidate
+    * set is a guaranteed superset of the true heavy hitters and the
+    * exact `HAVING freq >= minCount` on survivors returns EXACTLY the
+    * true set. `eps` only tunes how much collision fluff the exact pass
+    * has to disprove.
+    *
+    * Scale posture: the naive `groupBy(token).count` shuffles the FULL
+    * vocabulary — at 100 TB that is billions of distinct (typo / URL /
+    * hash-string) singleton keys moved across the wire to be discarded
+    * by the HAVING. Here the shuffle carries only sketch-candidates
+    * (heavy hitters + bounded collision noise), a vocabulary-sized →
+    * output-sized reduction; both passes are full scans but parquet
+    * column pruning makes them cheap, and nothing driver-side grows
+    * with data volume.
+    */
+  def heavyHitters(df: DataFrame, tokensCol: Column, minCount: Long,
+                   eps: Double = 0.001, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    require(minCount > 0, s"minCount must be positive, got $minCount")
+    import org.apache.spark.sql.GraftColumn
+    val toks = df.select(explode(tokensCol).as("token"))
+    val sketchBytes = toks
+      .agg(count_min_sketch(col("token"), lit(eps), lit(confidence),
+        lit(seed)).as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    // empty corpus: the aggregate yields a null sketch — nothing is heavy
+    if (sketchBytes == null)
+      toks.groupBy("token").agg(count(lit(1)).as("freq")).limit(0)
+    else
+      toks
+        .filter(GraftColumn(graft.functions.CmsEstimate(
+          GraftColumn.expr(col("token")), sketchBytes)) >= minCount)
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= minCount)
+  }
 }

@@ -297,4 +297,68 @@ class CurationSpec extends AnyFunSuite {
     assert(got("a c") === ((1L, 0.333333)))
     assert(got("d e") === ((1L, 1.0)))
   }
+
+  test("splitAssign: stable under growth/repartition, partitions the corpus, ~proportional") {
+    val docs = (0L until 2000L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+    val split = Curation.splitAssign(docs, "doc_id",
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every row gets exactly one of the three labels
+    assert(split.size === 2000 && split.values.toSet.subsetOf(Set("train", "val", "test")))
+    // proportions land near 80/10/10 (hash is uniform; tolerance ±5pp)
+    val n = split.size.toDouble
+    assert(math.abs(split.values.count(_ == "train") / n - 0.80) < 0.05, split.values.count(_ == "train"))
+    assert(math.abs(split.values.count(_ == "val") / n - 0.10) < 0.05)
+    // THE property rand() splits lose: growing the corpus and shuffling
+    // its layout never reassigns an existing row
+    val grown = (0L until 4000L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+      .repartition(13)
+    val again = Curation.splitAssign(grown, "doc_id",
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    split.foreach { case (id, s) => assert(again(id) === s, s"doc $id reassigned") }
+    intercept[IllegalArgumentException] {
+      Curation.splitAssign(docs, "doc_id", Seq(("train", 90), ("val", 5)))
+    }
+  }
+
+  test("epochShuffle: a permutation per epoch — contiguous shard positions, epochs differ") {
+    val docs = (0L until 1000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val e3 = Curation.epochShuffle(docs, "doc_id", epoch = 3, shards = 8)
+      .select("doc_id", "shard", "shard_pos").as[(Long, Long, Int)].collect()
+    assert(e3.length === 1000)
+    // (shard, pos) is a bijection: per-shard positions are exactly 1..n_shard
+    e3.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+    // deterministic: a repartitioned rerun reproduces every position
+    val rerun = Curation.epochShuffle(docs.repartition(7), "doc_id", 3, 8)
+      .select("doc_id", "shard", "shard_pos").as[(Long, Long, Int)].collect()
+    assert(rerun.sortBy(_._1).toSeq === e3.sortBy(_._1).toSeq)
+    // a different epoch is a different permutation of the same universe
+    val e4 = Curation.epochShuffle(docs, "doc_id", epoch = 4, shards = 8)
+      .select("doc_id", "shard", "shard_pos").as[(Long, Long, Int)].collect()
+    assert(e4.map(r => (r._1, r._2, r._3)).toSet !== e3.map(r => (r._1, r._2, r._3)).toSet)
+  }
+
+  test("heavyHitters returns EXACTLY the >=minCount tokens even with a colliding sketch") {
+    import graft.text.TextStats
+    // 3 heavy tokens, a long tail of singletons
+    val rows = (Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+      Seq.fill(10)("gamma") ++ (0 until 300).map(i => s"tail$i"))
+      .map(Tuple1(_)).toDF("tok")
+    val truth = Map("alpha" -> 40L, "beta" -> 25L, "gamma" -> 10L)
+    // eps=0.5 → a 4-cell-wide sketch: massive collision over-counting,
+    // yet the exact second pass must still return precisely the truth
+    val got = TextStats.heavyHitters(rows, array(col("tok")), minCount = 10L,
+        eps = 0.5).as[(String, Long)].collect().toMap
+    assert(got === truth, got)
+    // threshold excludes gamma
+    val got25 = TextStats.heavyHitters(rows, array(col("tok")), minCount = 25L)
+      .as[(String, Long)].collect().toMap
+    assert(got25 === truth.filter(_._2 >= 25L))
+    // empty corpus → empty result, not a null-sketch crash
+    assert(TextStats.heavyHitters(rows.limit(0), array(col("tok")), 5L).count() === 0L)
+  }
 }

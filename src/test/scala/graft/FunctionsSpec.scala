@@ -55,6 +55,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(f === (1.0 * 0.5 + 0.5 * 2.0))
   }
 
+  test("cms_estimate agrees with the sketch library and never under-counts") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    import graft.functions.CmsEstimate
+    val items = Seq.fill(30)("hot") ++ Seq("cold", "warm", "warm")
+    val cms = CountMinSketch.create(0.001, 0.99, 42)
+    items.foreach(s => cms.addBinary(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s).getBytes))
+    val bos = new java.io.ByteArrayOutputStream()
+    cms.writeTo(bos)
+    val bytes = bos.toByteArray
+    val df = Seq("hot", "warm", "cold", "absent").toDF("tok")
+    val est = df.select(col("tok"), GraftColumn(CmsEstimate(
+        GraftColumn.expr(col("tok")), bytes)).as("e"))
+      .as[(String, Long)].collect().toMap
+    // the codegen'd probe must agree with the library's own estimate...
+    Seq("hot", "warm", "cold", "absent").foreach { s =>
+      val direct = cms.estimateCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s).getBytes)
+      assert(est(s) === direct, s)
+    }
+    // ...and a Count-Min estimate is always >= the true count
+    assert(est("hot") >= 30 && est("warm") >= 2 && est("cold") >= 1 && est("absent") >= 0)
+    // null input → null estimate (UnaryExpression null propagation)
+    val n = Seq(Option.empty[String]).toDF("tok")
+      .select(GraftColumn(CmsEstimate(GraftColumn.expr(col("tok")), bytes)))
+      .head()
+    assert(n.isNullAt(0))
+    // and it must round-trip with what count_min_sketch(agg) produced:
+    // same bytes per item in both passes
+    val aggBytes = df.agg(count_min_sketch(col("tok"), lit(0.001), lit(0.99),
+      lit(42)).as("c")).head().getAs[Array[Byte]]("c")
+    val viaAgg = df.select(GraftColumn(CmsEstimate(
+        GraftColumn.expr(col("tok")), aggBytes)).as("e"))
+      .as[Long].collect()
+    assert(viaAgg.forall(_ >= 1L)) // every probed item was added once
+  }
+
   test("array_dot on float arrays matches the HOF formulation exactly") {
     val df = Seq((Seq(1.5f, -2.0f, 3.25f), Seq(0.5f, 4.0f, -1.0f))).toDF("a", "b")
     val native = df.select(graft.vector.Similarity.dot(col("a"), col("b"))).as[Double].head()

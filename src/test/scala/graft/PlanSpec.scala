@@ -167,6 +167,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"), p)
   }
 
+  test("q101: split assignment is map-only — a pure projection over the scan") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = graft.text.Curation.splitAssign(docs, "doc_id",
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q102: the cms candidate filter runs map-side; only survivors shuffle") {
+    val p = plan("q102_heavy_hitters")
+    assert(p.contains("cms_estimate"), p)
+    // ONE hash shuffle — the exact count of sketch survivors; the full
+    // token stream never crosses the wire un-filtered
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q103: epoch shuffle sorts per shard — never a single-partition window") {
+    val p = plan("q103_epoch_shuffle")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q93: the bloom pre-filter sits in the scan-side plan before the join") {
     val p = plan("q93_bloom_decontaminate")
     // might_contain applied as a Filter (inside codegen), and the exact
