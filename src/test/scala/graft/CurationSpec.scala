@@ -64,10 +64,15 @@ class CurationSpec extends AnyFunSuite {
   test("connectedComponents labels a chain with its minimum node") {
     // 1-2-3-4 chain plus isolated pair 10-11: transitivity across hops
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("src", "dst")
+    val expect = Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L))
     val got = Clusters.connectedComponents(edges, "src", "dst")
       .as[(Long, Long)].collect().toSet
-    assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
-      (10L, 10L), (11L, 10L)))
+    assert(got === expect)
+    // forcing past the local-solve threshold must give identical labels
+    val dist = Clusters.connectedComponents(edges, "src", "dst",
+        maxLocalEdges = 0).as[(Long, Long)].collect().toSet
+    assert(dist === expect)
   }
 
   test("connectedComponents handles duplicate/reversed/self edges and empty input") {
@@ -85,7 +90,8 @@ class CurationSpec extends AnyFunSuite {
     // a half-contracted (non-star) edge set
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L)).toDF("src", "dst")
     val e = intercept[IllegalArgumentException] {
-      Clusters.connectedComponents(edges, "src", "dst", maxIter = 1).collect()
+      Clusters.connectedComponents(edges, "src", "dst", maxIter = 1,
+        maxLocalEdges = 0).collect() // force the distributed rounds
     }
     assert(e.getMessage.contains("converge"))
   }

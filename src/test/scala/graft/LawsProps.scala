@@ -242,10 +242,16 @@ object LawsProps extends Properties("graft.laws") {
           .map(n => n -> find(n)).toMap
         // min-id canonical labels: re-root each class at its minimum
         val minOf = expect.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
-        val got = graft.text.Clusters.connectedComponents(
+        val canon = expect.map { case (n, r) => n -> minOf(r) }
+        // both the local union-find fast path and the distributed
+        // star rounds must reproduce the reference labels
+        val local = graft.text.Clusters.connectedComponents(
           edges.toDF("src", "dst"), "src", "dst")
           .as[(Long, Long)].collect().toMap
-        got == expect.map { case (n, r) => n -> minOf(r) }
+        val dist = graft.text.Clusters.connectedComponents(
+          edges.toDF("src", "dst"), "src", "dst", maxLocalEdges = 0)
+          .as[(Long, Long)].collect().toMap
+        local == canon && dist == canon
       }
     }
 
