@@ -658,6 +658,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q104_length_quantiles" -> ((s, dir) => {
+      // per-source token-count distribution audit: EXACT p50/p90/p99 —
+      // exact percentile state is bounded by DISTINCT lengths, not rows,
+      // so it stays cheap at any corpus size; one hash aggregation
+      text.TextStats.lengthQuantiles(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -1896,6 +1904,19 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY hh % 8 ORDER BY hh ASC, doc_id ASC)
         |    AS shard_pos
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q104_length_quantiles" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(regexp_split_to_array(
+        |      trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  round(quantile_cont(n_tokens, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_tokens, 0.9), 6) AS p90,
+        |  round(quantile_cont(n_tokens, 0.99), 6) AS p99
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     "q100_level_alerts" ->
       """WITH ev AS (

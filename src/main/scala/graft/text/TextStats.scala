@@ -107,6 +107,33 @@ object TextStats {
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p))
   }
 
+  /** Per-group EXACT token-count quantiles — the length-distribution
+    * audit of corpus curation (chunk-size budgeting, truncation-loss
+    * estimates, outlier-source detection).
+    *
+    * Uses Spark's exact `percentile` (linear interpolation at
+    * p·(n−1), the same definition as ANSI `quantile_cont` — oracle-
+    * comparable), NOT `percentile_approx`: exact percentile aggregates
+    * a value→count map per group, so its state is bounded by the number
+    * of DISTINCT lengths (≤ max token count, a few thousand), not by
+    * row count — exact stays cheap at 100 TB because the domain is
+    * small, which is precisely when approx sketches are unnecessary.
+    * For unbounded/continuous domains (latencies, scores) substitute
+    * `percentile_approx`, which this engine treats as the fallback, not
+    * the default. One hash aggregation; map-side partials merge the
+    * count maps.
+    */
+  def lengthQuantiles(df: DataFrame, groupCol: String, textCol: String,
+                      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "quantiles must lie in [0, 1]")
+    val base = df.select(col(groupCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val aggs = count(lit(1)).as("n_docs") +: ps.map(p =>
+      round(percentile(col("n_tokens"), lit(p)), 6).as(s"p${math.round(p * 100)}"))
+    base.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** EXACT heavy hitters (all tokens with frequency >= `minCount`) in
     * two passes, with a Count-Min sketch candidate pre-filter — the
     * vocabulary-statistics primitive of corpus curation (stopword

@@ -112,4 +112,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(fp("a b c") !== fp("c b a"))
     assert(fp("a b c") >= 0L && fp("a b c") < 1000000007L)
   }
+
+  test("lengthQuantiles: exact interpolated percentiles per group") {
+    // group g: lengths 1,2,3,4 tokens → p50 = 2.5 (interpolated),
+    // p90 = 1 + 0.9·3 = 3.7; group h: single 2-token doc → all = 2
+    val docs = Seq(
+      ("g", "a"), ("g", "a b"), ("g", "a b c"), ("g", "a b c d"),
+      ("h", "x y")).toDF("source", "text")
+    val got = graft.text.TextStats.lengthQuantiles(docs, "source", "text",
+        Seq(0.5, 0.9)).orderBy("source")
+      .as[(String, Long, Double, Double)].collect()
+    assert(got === Array(("g", 4L, 2.5, 3.7), ("h", 1L, 2.0, 2.0)))
+    intercept[IllegalArgumentException] {
+      graft.text.TextStats.lengthQuantiles(docs, "source", "text", Seq(1.5))
+    }
+  }
 }
