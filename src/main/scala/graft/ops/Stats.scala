@@ -384,6 +384,16 @@ object Stats {
     * via [[scoreAgainstLevels]]. Keys without a defined level (fewer
     * than 2 ticks, zero variance, zero traded qty) drop out — they are
     * unscorable, matching keyMoments' contract.
+    *
+    * Deliberately four parallel subtrees (EWMA window, RSI window, VWAP
+    * agg, moments agg), NOT one pre-repartitioned base: column pruning
+    * gives each family a scan and shuffle of ONLY its columns (moments
+    * moves 2, vwap 3), and the two aggregate families keep map-side
+    * partial aggregation — a shared `repartition(key)` was measured to
+    * defeat both (it shuffles raw wide rows before the partials and its
+    * per-family pruned Exchanges cannot canonically match for
+    * ReuseExchange). Bytes moved ≈ one wide shuffle, split across
+    * narrow ones.
     */
   def keyLevels(df: DataFrame, keyCol: String, orderCols: Seq[Column],
                 valueCol: String, qtyCol: Column,
