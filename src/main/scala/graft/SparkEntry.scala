@@ -666,6 +666,30 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q105_incremental_agg" -> ((s, dir) => {
+      // materialized-view maintenance: the per-type rollup of the AFTER
+      // state computed as base-aggregate + signed CDC delta (inserts at
+      // event_id%10=3, value-doubling updates at %10=7) — never a rescan
+      // of the after table. The oracle aggregates the after state
+      // directly, so a hash match proves the delta algebra is exact.
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(18,6)").as("value"))
+      val before = ev.filter(pmod(col("event_id"), lit(10)) =!= 3)
+      val after = ev.withColumn("value",
+        when(pmod(col("event_id"), lit(10)) === 7, col("value") * 2)
+          .otherwise(col("value")).cast("decimal(18,6)"))
+      val feed = engine.Upsert.changeCaptureCdf(before, after, Seq("event_id"))
+      val base = engine.Incremental.groupAgg(before, Seq("event_type"),
+        Seq("total" -> col("value")))
+      val delta = engine.Incremental.aggDelta(feed, Seq("event_type"),
+        Seq("total" -> col("value")))
+      engine.Incremental.applyDelta(base, delta, Seq("event_type"), Seq("total"))
+        .select(col("event_type"), col("n"),
+          col("total").cast("decimal(38,6)").as("total"))
+        .orderBy("event_type")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -1917,6 +1941,19 @@ object SparkEntry {
         |  round(quantile_cont(n_tokens, 0.9), 6) AS p90,
         |  round(quantile_cont(n_tokens, 0.99), 6) AS p99
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "q105_incremental_agg" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS value
+        |  FROM events WHERE value IS NOT NULL),
+        |af AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 10 = 7
+        |         THEN CAST(value * 2 AS DECIMAL(18,6)) ELSE value END AS value
+        |  FROM ev)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(SUM(value) AS DECIMAL(38,6)) AS total
+        |FROM af GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q100_level_alerts" ->
       """WITH ev AS (

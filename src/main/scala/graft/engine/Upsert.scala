@@ -74,6 +74,44 @@ object Upsert {
         nonKey.map(f => current.getField(f).as(f)): _*)
   }
 
+  /** [[changeCapture]] with UPDATE PRE-IMAGES — Delta CDF's full
+    * `table_changes` row vocabulary (`insert`, `delete`,
+    * `update_preimage`, `update_postimage`). The pre-image is what
+    * makes a feed ALGEBRAICALLY consumable: a downstream aggregate can
+    * subtract the old contribution and add the new one
+    * ([[Incremental.aggDelta]]) instead of rescanning the base table.
+    *
+    * Single-pass: the same one full-outer key join as [[changeCapture]],
+    * then each joined row explodes into its 0-2 change images via an
+    * array-filter-explode projection — never four filter branches that
+    * would re-execute the join per change type.
+    */
+  def changeCaptureCdf(before: DataFrame, after: DataFrame,
+                       keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "changeCaptureCdf requires at least one key column")
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"schemas differ: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val nonKey = before.columns.filterNot(keys.contains).toSeq
+    def packed(df: DataFrame, as: String) =
+      df.select(keys.map(col) :+ struct(nonKey.map(col): _*).as(as): _*)
+    val joined = packed(before, "_b").join(packed(after, "_a"), keys, "full_outer")
+    val isIns = col("_b").isNull
+    val isDel = col("_a").isNull
+    val isUpd = !isIns && !isDel && !(col("_b") <=> col("_a"))
+    def img(ct: String, image: org.apache.spark.sql.Column) =
+      struct(lit(ct).as("ct"), image.as("img"))
+    val images = array(
+      when(isIns, img("insert", col("_a"))),
+      when(isDel, img("delete", col("_b"))),
+      when(isUpd, img("update_preimage", col("_b"))),
+      when(isUpd, img("update_postimage", col("_a"))))
+    joined
+      .select(keys.map(col) :+
+        explode(filter(images, x => x.isNotNull)).as("_c"): _*)
+      .select(keys.map(col) ++ Seq(col("_c.ct").as("change_type")) ++
+        nonKey.map(f => col("_c.img").getField(f).as(f)): _*)
+  }
+
   /** Apply a [[changeCapture]] feed to a table state: upsert the
     * insert/update rows, anti-join away the delete keys. The CDC
     * inverse law — `applyChanges(before, changeCapture(before, after,

@@ -275,4 +275,31 @@ object LawsProps extends Properties("graft.laws") {
         // unchanged keys never appear in the feed
         feedTypes.keySet.forall(k => before.get(k) != after.get(k))
     }
+
+  // long measures so the incremental law is exact, not approximate
+  private val aggTable = Gen.mapOf(Gen.zip(
+    Gen.choose(0, 9),
+    Gen.zip(Gen.oneOf("x", "y", "z"), Gen.choose(-5L, 5L))))
+
+  property("incremental agg: base + CDF delta equals a fresh aggregate of after") =
+    forAll(aggTable, aggTable) { (before, after) =>
+      import org.apache.spark.sql.functions.col
+      val b = before.toSeq.map { case (k, (g, v)) => (k, g, v) }
+        .toDF("k", "grp", "v")
+      val a = after.toSeq.map { case (k, (g, v)) => (k, g, v) }
+        .toDF("k", "grp", "v")
+      val feed = graft.engine.Upsert.changeCaptureCdf(b, a, Seq("k"))
+      val base = graft.engine.Incremental.groupAgg(b, Seq("grp"),
+        Seq("total" -> col("v")))
+      val delta = graft.engine.Incremental.aggDelta(feed, Seq("grp"),
+        Seq("total" -> col("v")))
+      val maintained = graft.engine.Incremental
+        .applyDelta(base, delta, Seq("grp"), Seq("total"))
+        .as[(String, Long, Long)].collect().toSet
+      val direct = graft.engine.Incremental.groupAgg(a, Seq("grp"),
+          Seq("total" -> col("v")))
+        .as[(String, Long, Long)].collect().toSet
+      // exercises inserts, deletes, AND value updates (pre-image retract)
+      maintained == direct
+    }
 }

@@ -133,6 +133,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Set(("k2", "update"), ("k3", "update"))) // k1 unchanged
   }
 
+  test("changeCaptureCdf emits pre AND post images for updates; delta math retracts") {
+    val before = Seq(("k1", 10L), ("k2", 20L), ("k3", 30L)).toDF("id", "v")
+    val after = Seq(("k2", 20L), ("k3", 35L), ("k4", 40L)).toDF("id", "v")
+    val feed = Upsert.changeCaptureCdf(before, after, Seq("id"))
+      .as[(String, String, Long)].collect().toSet
+    assert(feed === Set(
+      ("k1", "delete", 10L),
+      ("k3", "update_preimage", 30L), ("k3", "update_postimage", 35L),
+      ("k4", "insert", 40L)))
+    // unknown change types must fail the delta job loudly, not skip
+    val bad = Seq(("g", "update", 1L)).toDF("grp", "change_type", "v")
+    val e = intercept[Exception] {
+      graft.engine.Incremental.aggDelta(bad, Seq("grp"),
+        Seq("total" -> col("v"))).collect()
+    }
+    assert(e.getMessage.contains("change_type"), e.getMessage)
+  }
+
   // ── Generator: volume + partition invariant + determinism ──
   test("generator emits coins×hours rows with partition_date = to_date(last_updated)") {
     val start = ts("2024-01-01 00:00:00").getTime / 1000
