@@ -61,6 +61,19 @@ object Incremental {
       .groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Delta of an APPEND-ONLY increment (a streaming micro-batch, a new
+    * ingest partition): every row is an insert, so the delta is just the
+    * increment's own [[groupAgg]] in delta-column dress — no CDC join
+    * needed. The common case of rollup maintenance over immutable
+    * event streams.
+    */
+  def insertDelta(df: DataFrame, dims: Seq[String],
+                  measures: Seq[(String, Column)]): DataFrame =
+    measures.foldLeft(
+      groupAgg(df, dims, measures).withColumnRenamed("n", "n_delta")) {
+      case (acc, (name, _)) => acc.withColumnRenamed(name, s"${name}_delta")
+    }
+
   /** Merge a delta into the maintained aggregate: ONE full-outer join
     * on the dimensions (both sides aggregate-sized), null-coalesced
     * sums, groups whose count nets to zero vanish — exactly the rows a

@@ -321,6 +321,54 @@ object EventStream {
       .start()
   }
 
+  /** Streaming rollup maintenance — [[graft.engine.Incremental]] on the
+    * live path: micro-batch N's [[graft.engine.Incremental.insertDelta]]
+    * (batch rows are append-only inserts) merges into the rollup
+    * snapshot version N (the state after batch N−1) and commits version
+    * N+1. Per batch the work is one churn-sized aggregation plus a join
+    * of two AGGREGATE-sized frames — the 100 TB history is never
+    * rescanned, which is the entire point.
+    *
+    * Exactly-once by construction: the base is read at the
+    * DETERMINISTIC version `batchId` (never "latest"), so a replayed
+    * batch recomputes byte-identical output and its tagged
+    * `writeVersioned` commit is recognized and skipped — replay cannot
+    * double-count even though the sink is read-modify-write. Version
+    * continuity is enforced by `readVersion` failing loudly if the
+    * expected base version is missing (a foreign writer or manual
+    * surgery broke the chain).
+    */
+  def sinkRollup(events: DataFrame, rollupPath: String, checkpoint: String,
+                 dims: Seq[String],
+                 measures: Seq[(String, org.apache.spark.sql.Column)],
+                 appId: Option[String] = None): StreamingQuery = {
+    val app = appId.getOrElse(ensureAppId(events.sparkSession, checkpoint))
+    val measureNames = measures.map(_._1)
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.engine.{Incremental, Snapshots}
+        val spark = batch.sparkSession
+        val delta = Incremental.insertDelta(batch, dims, measures)
+        val next =
+          if (batchId == 0L) {
+            // first batch: the delta IS the rollup
+            val renames = ("n_delta" -> "n") +:
+              measureNames.map(m => s"${m}_delta" -> m)
+            renames.foldLeft(delta) { case (d, (from, to)) =>
+              d.withColumnRenamed(from, to)
+            }
+          } else Incremental.applyDelta(
+            Snapshots.readVersion(spark, rollupPath, batchId),
+            delta, dims, measureNames)
+        Snapshots.writeVersioned(next, rollupPath, batchId + 1,
+          tag = Some(s"$app#batch-$batchId"))
+        ()
+      }
+      .start()
+  }
+
   /** Stable per-checkpoint app id for [[sinkSnapshots]]' idempotence
     * tags, established once under the checkpoint dir. A NON-EMPTY marker
     * is immutable: it is adopted as-is and never deleted or replaced —

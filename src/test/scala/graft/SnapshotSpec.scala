@@ -99,6 +99,38 @@ class SnapshotSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSet === Set((1L, 1.0), (2L, 2.0)))
   }
 
+  test("streaming rollup sink maintains the aggregate incrementally across restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("graft_rollup").toString
+    def start(mem: MemoryStream[(String, Long)]) =
+      graft.streaming.EventStream.sinkRollup(
+        mem.toDF().toDF("grp", "v"), s"$t/rollup", s"$t/chk",
+        Seq("grp"), Seq("total" -> col("v")))
+    val mem = MemoryStream[(String, Long)]
+    val q1 = start(mem)
+    mem.addData(("a", 1L), ("b", 10L))
+    q1.processAllAvailable()
+    mem.addData(("a", 2L), ("c", 100L))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart against the same checkpoint: batch counter continues
+    val q2 = start(mem)
+    mem.addData(("b", 20L), ("a", 4L))
+    q2.processAllAvailable()
+    q2.stop()
+    // one committed version per batch, each a valid intermediate rollup
+    assert(Snapshots.history(spark, s"$t/rollup").count() === 3)
+    assert(Snapshots.readVersion(spark, s"$t/rollup", 1)
+      .as[(String, Long, Long)].collect().toSet ===
+      Set(("a", 1L, 1L), ("b", 1L, 10L)))
+    // final state == a direct aggregate of everything ever streamed
+    assert(Snapshots.read(spark, s"$t/rollup")
+      .as[(String, Long, Long)].collect().toSet ===
+      Set(("a", 3L, 7L), ("b", 2L, 30L), ("c", 1L, 100L)))
+  }
+
   test("app-id marker: non-empty survives untouched, empty is repaired, id is stable") {
     import graft.streaming.EventStream
     val cp = Files.createTempDirectory("graft_appid").toString
