@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * would reintroduce order-dependent rounding; cast to decimal first,
   * as every exact-sum operator in this engine does.
   *
+  * Null contract: a NULL measure value contributes 0 (the coalesced
+  * merge cannot represent "no non-null value seen"), so a group whose
+  * measure is entirely null sums to 0 here where a fresh `groupAgg`
+  * yields NULL. Feed non-null measures — `coalesce` upstream — when
+  * bit-parity with direct aggregation matters (q105 filters nulls for
+  * exactly this reason).
+  *
   * Reference analog: the reference recomputes its gold aggregates from
   * silver on every run (src/processing/silver_to_gold_crypto.py) — this
   * is the incremental form its Delta CDC surface enables.

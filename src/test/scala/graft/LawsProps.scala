@@ -302,4 +302,20 @@ object LawsProps extends Properties("graft.laws") {
       // exercises inserts, deletes, AND value updates (pre-image retract)
       maintained == direct
     }
+
+  private val tokenCorpus = Gen.nonEmptyListOf(
+    Gen.oneOf((0 until 40).map(i => s"w$i")))
+
+  property("heavyHitters: exactly the >=minCount tokens, for any corpus and threshold") =
+    forAll(tokenCorpus, Gen.choose(1L, 8L)) { (toks, minCount) =>
+      import org.apache.spark.sql.functions.{array, col}
+      // wide eps → heavy sketch collisions; exactness must not depend on it
+      val got = graft.text.TextStats.heavyHitters(
+          toks.map(Tuple1(_)).toDF("tok"), array(col("tok")), minCount,
+          eps = 0.5)
+        .as[(String, Long)].collect().toMap
+      val expect = toks.groupBy(identity).view
+        .mapValues(_.size.toLong).filter(_._2 >= minCount).toMap
+      got == expect
+    }
 }
