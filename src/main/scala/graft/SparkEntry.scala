@@ -690,6 +690,15 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q106_corr_matrix" -> ((s, dir) => {
+      // pairwise instrument correlation over hourly-aligned means: raw
+      // ticks reduce to the bucket-mean frame once; the k(k-1)/2 pair
+      // expansion broadcast-joins that aggregate-sized frame only
+      Stats.corrMatrix(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", date_trunc("hour", col("ts")), col("value"))
+        .orderBy("key_a", "key_b")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -1954,6 +1963,36 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n,
         |  CAST(SUM(value) AS DECIMAL(38,6)) AS total
         |FROM af GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q106_corr_matrix" ->
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |perkey AS (
+        |  SELECT event_type, bucket,
+        |    CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS DECIMAL(18,9)) AS x
+        |  FROM base GROUP BY event_type, bucket),
+        |p AS (
+        |  SELECT a.event_type AS key_a, b.event_type AS key_b,
+        |    a.x AS xa, b.x AS xb
+        |  FROM perkey a JOIN perkey b USING (bucket)
+        |  WHERE a.event_type < b.event_type),
+        |s AS (
+        |  SELECT key_a, key_b, COUNT(*) AS n,
+        |    SUM(xa) AS sa, SUM(xb) AS sb,
+        |    SUM(CAST(xa * xb AS DECIMAL(38,18))) AS sab,
+        |    SUM(CAST(xa * xa AS DECIMAL(38,18))) AS saa,
+        |    SUM(CAST(xb * xb AS DECIMAL(38,18))) AS sbb
+        |  FROM p GROUP BY key_a, key_b)
+        |SELECT key_a, key_b, n,
+        |  CASE WHEN n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+        |        AND n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+        |    THEN round((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+        |      sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+        |           (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+        |  END AS corr
+        |FROM s ORDER BY key_a, key_b""".stripMargin,
 
     "q100_level_alerts" ->
       """WITH ev AS (

@@ -273,6 +273,55 @@ object Stats {
           (col("n") * d("smm") - d("sm") * d("sm")), 6)).as("beta"))
   }
 
+  /** Pairwise correlation matrix across instruments over bucket-aligned
+    * mean values — the cross-sectional dependence pass of a market
+    * analytics stack (portfolio construction, regime detection), and
+    * [[betaVsMarket]]'s k×k generalization.
+    *
+    * Scale posture: the tick stream first reduces to the per-(key,
+    * bucket) mean frame — ONE keyed aggregation, buckets × k rows, the
+    * only pass that touches raw data. The k(k−1)/2 pair expansion is a
+    * broadcast self-join of that AGGREGATE-sized frame (never the tick
+    * table), and each pair's Pearson terms are exact decimal power sums
+    * (order-independent, engine-reproducible — the q54/q98 discipline);
+    * doubles appear only in the final guarded quotient, rounded to 6 dp.
+    * Pairs are emitted once (`key_a < key_b`); undefined correlations
+    * (either side constant over the co-observed buckets) are null, not
+    * a divide-by-zero. The two sides of the self-join are the SAME
+    * bucket-mean subtree — AQE's runtime exchange reuse serves the
+    * second side from the first's shuffle; even unreused, both passes
+    * are column-pruned scans, never a second materialization of pairs.
+    */
+  def corrMatrix(df: DataFrame, keyCol: String, bucketCol: Column,
+                 valueCol: Column): DataFrame = {
+    val v = valueCol.cast(DecimalType(18, 6))
+    val base = df.select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
+    val perKey = base.groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col("v")).as("_s"), count(lit(1)).as("_n"))
+      .select(col(keyCol), col("bucket"),
+        round(col("_s").cast("double") / col("_n"), 9)
+          .cast(DecimalType(18, 9)).as("x"))
+    val a = perKey.select(col(keyCol).as("key_a"), col("bucket"),
+      col("x").as("xa"))
+    val b = perKey.select(col(keyCol).as("key_b"), col("bucket"),
+      col("x").as("xb"))
+    val pairs = a.join(broadcast(b), Seq("bucket"))
+      .filter(col("key_a") < col("key_b"))
+    val sums = pairs.groupBy("key_a", "key_b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xa")).as("sa"), sum(col("xb")).as("sb"),
+        sum((col("xa") * col("xb")).cast(DecimalType(38, 18))).as("sab"),
+        sum((col("xa") * col("xa")).cast(DecimalType(38, 18))).as("saa"),
+        sum((col("xb") * col("xb")).cast(DecimalType(38, 18))).as("sbb"))
+    def d(c: String) = col(c).cast("double")
+    val da = col("n") * d("saa") - d("sa") * d("sa")
+    val db = col("n") * d("sbb") - d("sb") * d("sb")
+    sums.select(col("key_a"), col("key_b"), col("n"),
+      when(da > 0 && db > 0,
+        round((col("n") * d("sab") - d("sa") * d("sb")) / sqrt(da * db), 6))
+        .as("corr"))
+  }
+
   /** TWAP (time-weighted average price) per group: each tick's price is
     * weighted by the microseconds until the NEXT tick in the group
     * (`lead` — one window pass), so a quote that stood for an hour

@@ -359,4 +359,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Map(
       (0, 0L) -> 2.0, (0, 1L) -> 4.0, (1, 0L) -> 10.0, (1, 1L) -> 0.0))
   }
+
+  test("corrMatrix: affine series correlate ±1, constant series are null, pairs emit once") {
+    // b = 2a+1 (corr 1), c = -a (corr -1), d constant (undefined)
+    val ticks = (1 to 8).flatMap { h =>
+      val v = h.toDouble
+      Seq(("a", h, v), ("b", h, 2 * v + 1), ("c", h, -v), ("d", h, 5.0))
+    }.toDF("sym", "bkt", "price")
+    val got = Stats.corrMatrix(ticks, "sym", col("bkt"), col("price"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got.size === 6) // 4 choose 2, each pair exactly once, a<b order
+    assert(got(("a", "b")) === Some(1.0))
+    assert(got(("a", "c")) === Some(-1.0))
+    assert(got(("b", "c")) === Some(-1.0))
+    assert(got(("a", "d")) === None) // constant side: undefined, not ÷0
+    // co-observation: keys never sharing a bucket produce no pair row
+    val sparse = Seq(("x", 1, 1.0), ("y", 2, 2.0)).toDF("sym", "bkt", "price")
+    assert(Stats.corrMatrix(sparse, "sym", col("bkt"), col("price")).count() === 0)
+  }
 }

@@ -189,6 +189,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q106: the pair expansion broadcast-joins the aggregate-sized mean frame") {
+    val p = plan("q106_corr_matrix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q93: the bloom pre-filter sits in the scan-side plan before the join") {
     val p = plan("q93_bloom_decontaminate")
     // might_contain applied as a Filter (inside codegen), and the exact
