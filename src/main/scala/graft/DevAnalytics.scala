@@ -73,6 +73,27 @@ object DevAnalytics {
       ops.Stats.scoreAgainstLevels(ticks, levels, "event_type", "value",
         "event_id", 1.5, 3.0)
     }
+    // 200 instruments ⇒ 19,900 pairs from a bucket-mean frame of
+    // (hours × 200) rows — the tick table is touched only by the mean agg
+    time("corr_matrix")(ops.Stats.corrMatrix(ticks,
+      "event_type", date_trunc("hour", col("ts")), col("value")))
+    // rollup maintenance: churn = 1% of rows updated + 0.5% inserted;
+    // the delta path must cost churn-shaped work, not base-shaped
+    time("incremental_agg") {
+      val base0 = ticks.select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("value"))
+      val before = base0.filter(pmod(col("event_id"), lit(200)) =!= 0)
+      val after = base0.withColumn("value",
+        when(pmod(col("event_id"), lit(100)) === 0, col("value") * 2)
+          .otherwise(col("value")).cast("decimal(18,6)"))
+      val feed = engine.Upsert.changeCaptureCdf(before, after, Seq("event_id"))
+      val base = engine.Incremental.groupAgg(before, Seq("event_type"),
+        Seq("total" -> col("value")))
+      engine.Incremental.applyDelta(base,
+        engine.Incremental.aggDelta(feed, Seq("event_type"),
+          Seq("total" -> col("value"))),
+        Seq("event_type"), Seq("total"))
+    }
     println(s"[done] scale=$scale rows=$rows instruments=$nInstruments")
     spark.stop()
   }
