@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Compare two bench_local.json artifacts and flag per-query regressions.
+
+Usage: python3 scripts/benchdiff.py <old.json> <new.json> [threshold]
+  threshold: flag queries slower than old * threshold (default 1.5) AND
+  by more than 0.2 s absolute (sub-second timings jitter ±15% on a
+  shared host — a 0.05 s -> 0.09 s move is noise, not a regression).
+  Bench records a failed query as -1.0: a newly-failing query is always
+  flagged (exit 1), failed entries never enter ratios or totals.
+"""
+import json
+import sys
+
+
+def main():
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old = json.load(open(old_path))["queries"]
+    new = json.load(open(new_path))["queries"]
+    slower, broke = [], []
+    for q in sorted(new):
+        if new[q] < 0 and old.get(q, -1.0) >= 0:
+            broke.append(q)
+            print(f"BROKE    {q:<28} (was {old[q]:.2f} s, now failing)")
+        elif q not in old:
+            print(f"NEW      {q:<28} {new[q]:6.2f} s")
+        elif old[q] < 0 <= new[q]:
+            print(f"FIXED    {q:<28} {new[q]:6.2f} s (was failing)")
+        elif new[q] >= 0 and new[q] > old[q] * threshold and new[q] - old[q] > 0.2:
+            slower.append((q, old[q], new[q]))
+    for q in sorted(set(old) - set(new)):
+        print(f"GONE     {q:<28} (was {old[q]:.2f} s)")
+    for q, o, n in sorted(slower, key=lambda t: t[1] - t[2]):
+        print(f"SLOWER   {q:<28} {o:6.2f} s -> {n:6.2f} s  ({n / o:.1f}x)")
+    to = sum(v for v in old.values() if v >= 0)
+    tn = sum(v for v in new.values() if v >= 0)
+    print(f"\ntotal (passing): {to:.1f} s -> {tn:.1f} s ({tn / to:.2f}x), "
+          f"{len(slower)} slower, {len(broke)} newly failing")
+    sys.exit(1 if slower or broke else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,12 +23,14 @@ object DevProfileCc {
     val jac = time("jaccardPairs") {
       val j = graft.text.Dedup.jaccardPairs(docs, "doc_id", "text", 5, 0.5)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .localCheckpoint(true) // materialized INSIDE the timed block
       println("  pairs=" + j.count()); j
     }
     spark.catalog.clearCache()
-    val jac2 = graft.text.Dedup.jaccardPairs(docs, "doc_id", "text", 5, 0.5)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint(true)
+    // exact-dup star edges: mirrors Clusters.dupClusters' internal
+    // construction (md5 group → min-id star) — drift risk accepted for
+    // a dev profiler whose purpose is timing the stages that method
+    // composes; q63's oracle is the correctness authority
     val exact = {
       val byHash = docs.select(col("doc_id").cast("long").as("id"), md5(col("text")).as("h"))
       byHash.withColumn("src", min(col("id")).over(
@@ -37,7 +39,7 @@ object DevProfileCc {
         .select(col("src"), col("id").as("dst"))
     }.localCheckpoint(true)
     time("connectedComponents on materialized edges") {
-      val c = graft.text.Clusters.connectedComponents(jac2.union(exact), "src", "dst")
+      val c = graft.text.Clusters.connectedComponents(jac.union(exact), "src", "dst")
       println("  labeled=" + c.count())
     }
     spark.catalog.clearCache()

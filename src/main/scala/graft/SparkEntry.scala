@@ -2045,7 +2045,7 @@ object SparkEntry {
         |  FROM ev GROUP BY event_type),
         |m AS (
         |  SELECT event_type,
-        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std_v
+        |    sqrt(greatest(0.0, (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))) AS std_v
         |  FROM sums WHERE n > 1)
         |SELECT e.event_id, e.event_type, e.value,
         |  round((e.value - ew.ewma_ref) / m.std_v, 4) AS z_vs_ewma,
@@ -2669,7 +2669,7 @@ object SparkEntry {
         |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
         |m AS (
         |  SELECT event_type, CAST(s1 AS DOUBLE) / n AS mean_v,
-        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS std_v
+        |    sqrt(greatest(0.0, (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))) AS std_v
         |  FROM sums WHERE n > 1)
         |SELECT event_id, event_type, value,
         |  round((value - mean_v) / std_v, 4) AS z

@@ -112,20 +112,33 @@ object Upsert {
         nonKey.map(f => col("_c.img").getField(f).as(f)): _*)
   }
 
-  /** Apply a [[changeCapture]] feed to a table state: upsert the
-    * insert/update rows, anti-join away the delete keys. The CDC
-    * inverse law — `applyChanges(before, changeCapture(before, after,
-    * keys), keys)` row-equals `after` — is what makes the feed safe to
-    * replay downstream; SnapshotSpec proves it across a real
-    * [[Snapshots]] version commit. Same scale shape as [[merge]]: keyed
-    * shuffles only, with a small feed broadcasting onto the target.
+  /** Apply a [[changeCapture]] OR [[changeCaptureCdf]] feed to a table
+    * state: upsert the insert/update(-postimage) rows, anti-join away
+    * the delete keys; CDF pre-image rows carry the RETRACTED value and
+    * are dropped (upserting them alongside the postimage would leave
+    * every updated key duplicated with old and new values). The CDC
+    * inverse law — `applyChanges(before, feed(before, after, keys),
+    * keys)` row-equals `after` — holds for BOTH feed vocabularies and
+    * is what makes a feed safe to replay downstream; SnapshotSpec
+    * proves it across a real [[Snapshots]] version commit. A feed row
+    * with an unrecognized change_type fails the job via `raise_error`
+    * — silently upserting it would corrupt the replay. Same scale shape
+    * as [[merge]]: keyed shuffles only, with a small feed broadcasting
+    * onto the target.
     */
   def applyChanges(before: DataFrame, feed: DataFrame,
                    keys: Seq[String]): DataFrame = {
-    val dels = feed.filter(col("change_type") === "delete")
+    val known = Seq("insert", "update", "delete",
+      "update_preimage", "update_postimage")
+    val checked = feed.withColumn("_ct",
+      when(col("change_type").isin(known: _*), col("change_type"))
+        .otherwise(raise_error(concat(
+          lit("applyChanges: unrecognized change_type "), col("change_type")))))
+    val dels = checked.filter(col("_ct") === "delete")
       .select(keys.map(col): _*)
-    val ups = feed.filter(col("change_type") =!= "delete")
-      .drop("change_type")
+    val ups = checked
+      .filter(col("_ct").isin("insert", "update", "update_postimage"))
+      .drop("change_type", "_ct")
       // merge unions by name: restore the target's column order
       .select(before.columns.map(col).toSeq: _*)
     merge(before, ups, keys).join(dels, keys, "left_anti")

@@ -202,14 +202,20 @@ object EventStream {
           val out = rows.toSeq.sortBy(_._2).map { case (_, seq, v) =>
             st = if (!st.seen) EwmaState(v, seen = true)
                  else EwmaState(st.acc * (1 - alpha) + alpha * v, seen = true)
-            EwmaTick(k, seq, v, st.acc)
+            // state stays UNROUNDED (the batch fold recurses on raw
+            // doubles); only the emission is rounded, exactly as the
+            // batch operator rounds each row's fold — stream and batch
+            // agree bit-for-bit, not within a tolerance
+            EwmaTick(k, seq, v,
+              BigDecimal(st.acc).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).toDouble)
           }
           state.update(st)
           out.iterator
       }
   }
 
-  case class RsiState(last: Double, seen: Boolean, deltas: List[Double])
+  case class RsiState(lastMicros: Long, seen: Boolean, deltas: List[Long])
   case class RsiTick(key: String, seq: Long, value: Double,
                      n_deltas: Long, rsi: Option[Double])
 
@@ -218,9 +224,19 @@ object EventStream {
     * batch frame ([[graft.ops.Stats.rsi]]'s ROWS BETWEEN period-1
     * PRECEDING) maintained incrementally — so tick m carries
     * min(period, m−1) deltas and the stream agrees with the batch
-    * operator tick-for-tick (spec'd). Doubles in arrival order; rows
+    * operator tick-for-tick (spec'd, including sub-6dp inputs). Rows
     * fold in `seqCol` order within each micro-batch, null ticks are
     * dropped as in [[ewmaStream]]. State per key = period + 2 numbers.
+    *
+    * Numerics contract: the batch operator quantizes values through
+    * DECIMAL(18,6) and sums deltas exactly — so the stream quantizes
+    * identically at ingestion (the same decimal cast, in the plan) and
+    * keeps its delta deque in exact 1e-6 integer units (`Long` micros):
+    * gain/loss sums are exact integers, and the final
+    * `100·g/(g+l)` rounds from the same doubles the batch side rounds.
+    * Folding raw doubles instead would disagree with the batch law on
+    * any value finer than 6 dp (two ticks 1e-7 apart are EQUAL after
+    * quantization but a positive delta in raw doubles).
     */
   def rsiStream(spark: SparkSession, ticks: DataFrame, keyCol: String,
                 seqCol: String, valueCol: String,
@@ -229,23 +245,25 @@ object EventStream {
     require(period > 0, s"period must be positive, got $period")
     ticks.select(col(keyCol).cast("string").as("k"),
         col(seqCol).cast("long").as("seq"),
-        col(valueCol).cast("double").as("v"))
+        col(valueCol).cast("decimal(18,6)").cast("double").as("v"))
       .filter(col("k").isNotNull && col("seq").isNotNull && col("v").isNotNull)
       .as[(String, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[RsiState, RsiTick](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (k, rows, state) =>
-          var st = state.getOption.getOrElse(RsiState(0.0, seen = false, Nil))
+          var st = state.getOption.getOrElse(RsiState(0L, seen = false, Nil))
           val out = rows.toSeq.sortBy(_._2).map { case (_, seq, v) =>
+            val vm = math.round(v * 1e6) // v is 6dp-quantized: exact
             val deltas =
-              (if (st.seen) st.deltas :+ (v - st.last) else st.deltas)
+              (if (st.seen) st.deltas :+ (vm - st.lastMicros) else st.deltas)
                 .takeRight(period)
-            st = RsiState(v, seen = true, deltas)
+            st = RsiState(vm, seen = true, deltas)
             val g = deltas.filter(_ > 0).sum
             val l = -deltas.filter(_ < 0).sum
             val rsi = if (g + l > 0)
-              Some(BigDecimal(100.0 * g / (g + l))
+              Some(BigDecimal(100.0 * (g.toDouble / 1e6) /
+                  ((g + l).toDouble / 1e6))
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
             else None
             RsiTick(k, seq, v, deltas.size.toLong, rsi)
@@ -255,7 +273,7 @@ object EventStream {
       }
   }
 
-  case class VwapState(pq: Double, qty: Double, n: Long)
+  case class VwapState(pq: BigDecimal, qty: BigDecimal, n: Long)
   case class VwapTick(key: String, seq: Long, n_trades: Long,
                       total_qty: Double, vwap: Option[Double])
 
@@ -265,6 +283,14 @@ object EventStream {
     * ticks the latest emission per key equals the batch aggregate over
     * that prefix (spec'd). Zero accumulated volume → vwap None, as the
     * batch NULL. State per key = three numbers, any tick volume.
+    *
+    * Numerics contract (the [[rsiStream]] discipline): price and qty
+    * quantize through DECIMAL(18,6) at ingestion exactly as the batch
+    * operator's casts do, and the running Σp·q / Σq accumulate as EXACT
+    * `BigDecimal`s — a raw-double accumulator drifts from the batch's
+    * decimal sums and breaks the prefix-equality law past 6 dp. Doubles
+    * appear only in the final quotient, rounded as the batch side
+    * rounds.
     */
   def vwapStream(spark: SparkSession, ticks: DataFrame, keyCol: String,
                  seqCol: String, priceCol: String,
@@ -272,8 +298,8 @@ object EventStream {
     import spark.implicits._
     ticks.select(col(keyCol).cast("string").as("k"),
         col(seqCol).cast("long").as("seq"),
-        col(priceCol).cast("double").as("p"),
-        col(qtyCol).cast("double").as("q"))
+        col(priceCol).cast("decimal(18,6)").cast("double").as("p"),
+        col(qtyCol).cast("decimal(18,6)").cast("double").as("q"))
       .filter(col("k").isNotNull && col("seq").isNotNull &&
         col("p").isNotNull && col("q").isNotNull)
       .as[(String, Long, Double, Double)]
@@ -281,14 +307,20 @@ object EventStream {
       .flatMapGroupsWithState[VwapState, VwapTick](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (k, rows, state) =>
-          var st = state.getOption.getOrElse(VwapState(0.0, 0.0, 0L))
+          var st = state.getOption.getOrElse(
+            VwapState(BigDecimal(0), BigDecimal(0), 0L))
           val out = rows.toSeq.sortBy(_._2).map { case (_, seq, p, q) =>
-            st = VwapState(st.pq + p * q, st.qty + q, st.n + 1)
-            val vwap = if (st.qty != 0)
-              Some(BigDecimal(st.pq / st.qty)
+            // p/q are 6dp-quantized doubles: BigDecimal(p) is their
+            // exact decimal, so pq/qty never round until emission
+            st = VwapState(st.pq + BigDecimal(p) * BigDecimal(q),
+              st.qty + BigDecimal(q), st.n + 1)
+            val vwap = if (st.qty.signum != 0)
+              Some(BigDecimal(st.pq.toDouble / st.qty.toDouble)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
             else None
-            VwapTick(k, seq, st.n, st.qty, vwap)
+            VwapTick(k, seq, st.n,
+              BigDecimal(st.qty.toDouble).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).toDouble, vwap)
           }
           state.update(st)
           out.iterator
@@ -350,18 +382,12 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.engine.{Incremental, Snapshots}
         val spark = batch.sparkSession
-        val delta = Incremental.insertDelta(batch, dims, measures)
         val next =
-          if (batchId == 0L) {
-            // first batch: the delta IS the rollup
-            val renames = ("n_delta" -> "n") +:
-              measureNames.map(m => s"${m}_delta" -> m)
-            renames.foldLeft(delta) { case (d, (from, to)) =>
-              d.withColumnRenamed(from, to)
-            }
-          } else Incremental.applyDelta(
+          if (batchId == 0L) Incremental.groupAgg(batch, dims, measures)
+          else Incremental.applyDelta(
             Snapshots.readVersion(spark, rollupPath, batchId),
-            delta, dims, measureNames)
+            Incremental.insertDelta(batch, dims, measures),
+            dims, measureNames)
         Snapshots.writeVersioned(next, rollupPath, batchId + 1,
           tag = Some(s"$app#batch-$batchId"))
         ()

@@ -142,6 +142,12 @@ class PipelineSpec extends AnyFunSuite {
       ("k1", "delete", 10L),
       ("k3", "update_preimage", 30L), ("k3", "update_postimage", 35L),
       ("k4", "insert", 40L)))
+    // the replay law must hold for the CDF vocabulary too: pre-image
+    // rows are retractions, not upserts — k3 lands once, with 35
+    val replayed = Upsert.applyChanges(before,
+        Upsert.changeCaptureCdf(before, after, Seq("id")), Seq("id"))
+      .as[(String, Long)].collect().toSet
+    assert(replayed === Set(("k2", 20L), ("k3", 35L), ("k4", 40L)))
     // unknown change types must fail the delta job loudly, not skip
     val bad = Seq(("g", "update", 1L)).toDF("grp", "change_type", "v")
     val e = intercept[Exception] {
@@ -149,6 +155,13 @@ class PipelineSpec extends AnyFunSuite {
         Seq("total" -> col("v"))).collect()
     }
     assert(e.getMessage.contains("change_type"), e.getMessage)
+    // ...and applyChanges refuses a feed row it cannot classify
+    val e2 = intercept[Exception] {
+      Upsert.applyChanges(before,
+        Seq(("k1", "upsert", 1L)).toDF("id", "change_type", "v"),
+        Seq("id")).collect()
+    }
+    assert(e2.getMessage.contains("change_type"), e2.getMessage)
   }
 
   // ── Generator: volume + partition invariant + determinism ──

@@ -329,7 +329,9 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(got(("b", 2L)) === 100.0 * 0.75 + 0.25 * 104.0)
     assert(got(("c", 1L)) === 50.0) // fresh key in a later batch seeds cleanly
     // batch-equivalence law: with a frame wider than the history, the
-    // batch windowed ewma computes the identical recursion
+    // batch windowed ewma computes the identical recursion — and since
+    // the stream now rounds each emission exactly as the batch operator
+    // rounds each row, the agreement is BIT-EXACT, not a tolerance
     val batch = graft.ops.Stats.ewma(
         Seq(("a", 1L, 10.0), ("a", 2L, 14.0), ("a", 3L, 8.0),
           ("b", 1L, 100.0), ("b", 2L, 104.0), ("c", 1L, 50.0))
@@ -338,7 +340,7 @@ class VectorStreamSpec extends AnyFunSuite {
       .select("sym", "seq", "ewma").as[(String, Long, Double)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
     batch.foreach { case (k, v) =>
-      assert(math.abs(got(k) - v) < 5e-7, s"$k stream=${got(k)} batch=$v") }
+      assert(got(k) === v, s"$k stream=${got(k)} batch=$v") }
   }
 
   test("rsiStream matches the batch RSI tick-for-tick across micro-batches") {
@@ -369,6 +371,35 @@ class VectorStreamSpec extends AnyFunSuite {
       .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
     assert(got === batch) // integer-valued fixtures: doubles agree exactly
     assert(got(("b", 1L)) === ((0L, None))) // no deltas yet → undefined
+  }
+
+  test("rsiStream quantizes like the batch cast: sub-6dp wiggle is NOT a gain") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // both ticks collapse to 1.000000 under DECIMAL(18,6): the batch
+    // delta is 0 ⇒ RSI undefined; a raw-double fold would see +3e-7 as
+    // a pure gain and emit RSI 100 — the stream must match the batch
+    val ticks = Seq(("a", 1L, 1.0000001), ("a", 2L, 1.0000004))
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = EventStream.rsiStream(spark,
+        mem.toDF().toDF("sym", "seq", "price"), "sym", "seq", "price", period = 3)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("rsi_q_out").start()
+    mem.addData(ticks: _*)
+    q.processAllAvailable()
+    val got = spark.table("rsi_q_out")
+      .select("key", "seq", "n_deltas", "rsi")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    q.stop()
+    val batch = graft.ops.Stats.rsi(
+        ticks.toDF("sym", "seq", "price"), "sym", Seq(col("seq")),
+        col("price"), period = 3)
+      .select("sym", "seq", "n_deltas", "rsi")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got === batch)
+    assert(got(("a", 2L))._2 === None) // zero quantized delta ⇒ undefined
   }
 
   test("vwapStream's latest emission per key equals the batch VWAP over the prefix") {
