@@ -81,6 +81,27 @@ object Incremental {
       case (acc, (name, _)) => acc.withColumnRenamed(name, s"${name}_delta")
     }
 
+  /** Derive per-key (mean, std) from a maintained power-sum rollup —
+    * the incremental face of [[graft.ops.Stats.keyMoments]], closing
+    * the loop for the broadcast-scorer path: maintain `n`, `s1 = Σv`,
+    * `s2 = Σv²` as [[groupAgg]] measures (exact decimals), and the
+    * scorer's reference moments derive from the AGGREGATE-sized rollup
+    * at read time — refreshing anomaly levels after a CDC batch costs
+    * churn-shaped work, never a history rescan. Identical math and
+    * guards to keyMoments: variance clamped at 0 (decimal→double −ε),
+    * keys with n ≤ 1 or zero variance drop out as unscorable.
+    */
+  def momentsFromSums(rollup: DataFrame, keyCols: Seq[String],
+                      s1Col: String, s2Col: String): DataFrame = {
+    val s1d = col(s1Col).cast("double")
+    val varExpr = greatest(lit(0.0),
+      (col(s2Col).cast("double") - s1d * s1d / col("n")) / (col("n") - 1))
+    rollup.filter(col("n") > 1)
+      .select(keyCols.map(col) ++ Seq(
+        (s1d / col("n")).as("_mean"), sqrt(varExpr).as("_std")): _*)
+      .filter(col("_std") > 0)
+  }
+
   /** Merge a delta into the maintained aggregate: ONE full-outer join
     * on the dimensions (both sides aggregate-sized), null-coalesced
     * sums, groups whose count nets to zero vanish — exactly the rows a

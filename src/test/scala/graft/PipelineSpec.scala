@@ -164,6 +164,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("change_type"), e2.getMessage)
   }
 
+  test("incrementally maintained power sums reproduce keyMoments after churn") {
+    import graft.engine.Incremental
+    import org.apache.spark.sql.types.DecimalType
+    val before = Seq((1L, "a", 10.0), (2L, "a", 14.0), (3L, "a", 12.0),
+      (4L, "b", 5.0), (5L, "b", 5.0), (6L, "c", 1.0), (7L, "c", 2.0))
+      .toDF("id", "grp", "value")
+    // churn: id 2 revalued, id 6 deleted, id 8 inserted
+    val after = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 12.0),
+      (4L, "b", 5.0), (5L, "b", 5.0), (7L, "c", 2.0), (8L, "c", 4.0))
+      .toDF("id", "grp", "value")
+    val v = col("value").cast(DecimalType(18, 6))
+    val ms = Seq("s1" -> v, "s2" -> (v * v).cast(DecimalType(38, 12)))
+    val feed = Upsert.changeCaptureCdf(before, after, Seq("id"))
+    val rollup = Incremental.applyDelta(
+      Incremental.groupAgg(before, Seq("grp"), ms),
+      Incremental.aggDelta(feed, Seq("grp"), ms), Seq("grp"), ms.map(_._1))
+    val derived = Incremental.momentsFromSums(rollup, Seq("grp"), "s1", "s2")
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val direct = graft.ops.Stats.keyMoments(after, "grp", "value")
+      .as[(String, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // bit-equal: same exact sums, same double derivation, same guards —
+    // key b (zero variance) drops out of both
+    assert(derived === direct)
+    assert(!derived.contains("b"))
+  }
+
   // ── Generator: volume + partition invariant + determinism ──
   test("generator emits coins×hours rows with partition_date = to_date(last_updated)") {
     val start = ts("2024-01-01 00:00:00").getTime / 1000
