@@ -81,6 +81,52 @@ object Incremental {
       case (acc, (name, _)) => acc.withColumnRenamed(name, s"${name}_delta")
     }
 
+  /** COUNT-DISTINCT rollup via mergeable HyperLogLog sketches (Spark's
+    * DataSketches `hll_sketch_agg`/`hll_union`): the rollup stores one
+    * compact sketch per group, a new increment's sketches merge in with
+    * a join of two aggregate-sized frames, and `hll_sketch_estimate`
+    * reads the estimate out. Exact distinct counting cannot be
+    * maintained incrementally without keeping the full value set per
+    * group — the sketch trades a ~2% error for O(kB)/group state, the
+    * standard lambda-architecture move. INSERT-ONLY by nature: a sketch
+    * cannot retract, so this pairs with append streams (the
+    * [[graft.streaming.EventStream.sinkRollup]] case), not CDC deletes
+    * — delete-bearing feeds need [[aggDelta]]'s exact measures.
+    * Determinism: HLL sketches are order-insensitive (a merge of
+    * per-partition sketches equals the sequential sketch), so estimates
+    * are stable across partitionings and replay.
+    */
+  def sketchAgg(df: DataFrame, dims: Seq[String],
+                distinctCol: Column, lgK: Int = 12): DataFrame = {
+    require(dims.nonEmpty, "sketchAgg requires at least one dimension")
+    df.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        hll_sketch_agg(distinctCol, lit(lgK)).as("distinct_sketch"))
+  }
+
+  /** Merge an increment's [[sketchAgg]] into the maintained rollup:
+    * groups present on both sides `hll_union`; one-sided groups carry
+    * their sketch through unchanged.
+    */
+  def applySketchDelta(base: DataFrame, delta: DataFrame,
+                       dims: Seq[String]): DataFrame = {
+    val d = delta.withColumnRenamed("n", "n_delta")
+      .withColumnRenamed("distinct_sketch", "sketch_delta")
+    base.join(d, dims, "full_outer")
+      .select(dims.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+          .as("n"),
+        when(col("distinct_sketch").isNotNull && col("sketch_delta").isNotNull,
+            hll_union(col("distinct_sketch"), col("sketch_delta")))
+          .otherwise(coalesce(col("distinct_sketch"), col("sketch_delta")))
+          .as("distinct_sketch")): _*)
+  }
+
+  /** Read the distinct-count estimates out of a sketch rollup. */
+  def sketchEstimates(rollup: DataFrame, dims: Seq[String]): DataFrame =
+    rollup.select(dims.map(col) ++ Seq(col("n"),
+      hll_sketch_estimate(col("distinct_sketch")).as("approx_distinct")): _*)
+
   /** Derive per-key (mean, std) from a maintained power-sum rollup —
     * the incremental face of [[graft.ops.Stats.keyMoments]], closing
     * the loop for the broadcast-scorer path: maintain `n`, `s1 = Σv`,

@@ -192,6 +192,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(!derived.contains("b"))
   }
 
+  test("sketch rollup: merged HLL equals the one-shot sketch; small sets estimate exactly") {
+    import graft.engine.Incremental
+    val b1 = Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("grp", "user")
+    val b2 = Seq(("a", 2L), ("a", 3L), ("c", 20L)).toDF("grp", "user")
+    val rollup = Incremental.applySketchDelta(
+      Incremental.sketchAgg(b1, Seq("grp"), col("user")),
+      Incremental.sketchAgg(b2, Seq("grp"), col("user")), Seq("grp"))
+    val got = Incremental.sketchEstimates(rollup, Seq("grp"))
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // n counts rows; the sketch counts distinct users across batches —
+    // tiny cardinalities are exact in HLL
+    assert(got === Map("a" -> ((4L, 3L)), "b" -> ((1L, 1L)), "c" -> ((1L, 1L))))
+    // order-insensitivity: merging per-batch sketches == sketching the union
+    val oneShot = Incremental.sketchEstimates(
+      Incremental.sketchAgg(b1.union(b2), Seq("grp"), col("user")), Seq("grp"))
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(got.map { case (k, (_, d)) => k -> d } === oneShot)
+  }
+
   // ── Generator: volume + partition invariant + determinism ──
   test("generator emits coins×hours rows with partition_date = to_date(last_updated)") {
     val start = ts("2024-01-01 00:00:00").getTime / 1000
