@@ -699,6 +699,15 @@ object SparkEntry {
         .orderBy("key_a", "key_b")
     }),
 
+    "q107_skew_report" -> ((s, dir) => {
+      // pre-join skew diagnostic: hottest user_ids with share and
+      // imbalance factor (count / fair-share) — hot keys come off the
+      // count table via TakeOrderedAndProject, never a global sort
+      Joins.skewReport(t(s, dir, "events"), Seq("user_id"), topK = 20)
+        .select("user_id", "cnt", "rank", "share", "imbalance")
+        .orderBy("rank")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -1993,6 +2002,20 @@ object SparkEntry {
         |           (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
         |  END AS corr
         |FROM s ORDER BY key_a, key_b""".stripMargin,
+
+    "q107_skew_report" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |             CAST(COUNT(*) AS BIGINT) AS nkeys FROM c),
+        |r AS (
+        |  SELECT user_id, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rank
+        |  FROM c)
+        |SELECT user_id, cnt, rank,
+        |  CAST(cnt AS DOUBLE) / total AS share,
+        |  CAST(cnt AS DOUBLE) * nkeys / total AS imbalance
+        |FROM r, t WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q100_level_alerts" ->
       """WITH ev AS (

@@ -72,6 +72,44 @@ object Joins {
     left.join(right, keys.map(k => left(k) === right(k)).reduce(_ && _)
       && leftTs >= lo && leftTs <= hi)
 
+  /** Skew diagnostic — the visibility primitive behind [[saltedJoin]]:
+    * per hot key its row count, share of the table, and imbalance
+    * factor (count / mean-rows-per-key — how many "fair shares" of a
+    * reducer the key occupies; a key with imbalance 50 makes the
+    * straggler task 50× the average, the number that decides whether
+    * to salt, broadcast, or filter). ONE keyed count plus a broadcast
+    * of the 2-value global aggregate; the hot keys come off the count
+    * table via orderBy+limit — `TakeOrderedAndProject`, the distributed
+    * top-k that keeps k rows per partition and merges k, never a global
+    * sort or a single-partition window over the (billions-of-keys at
+    * 100 TB) count table; the rank window then runs over ≤ k rows. Run
+    * it BEFORE shipping a join at 100 TB — the engine's own hot-bucket
+    * guards (knnGraphBucketed, fuzzyPairs) are this check made
+    * mandatory.
+    */
+  def skewReport(df: DataFrame, keys: Seq[String], topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("_total"),
+      count(lit(1)).as("_nkeys"))
+    val top = counts
+      .orderBy(col("cnt").desc +: keys.map(col(_).asc): _*)
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc +: keys.map(col(_).asc): _*)
+    top.crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w)) // ≤ topK rows by now
+      // UNROUNDED doubles on purpose: the inputs (cnt, nkeys, total)
+      // are exact integers, so the IEEE quotient is bit-deterministic
+      // across engines — while round() on a x.xx5-epsilon double is NOT
+      // (string-vs-binary rounding diverges). Doubles up front:
+      // cnt·nkeys in longs overflows ANSI at scale.
+      .withColumn("share", col("cnt").cast("double") / col("_total"))
+      .withColumn("imbalance",
+        col("cnt").cast("double") * col("_nkeys") / col("_total"))
+      .drop("_total", "_nkeys")
+  }
+
   /** Skew-safe equi join by key salting: the skewed (big) side gets a
     * uniform random salt in [0, salts); the other side is replicated once
     * per salt value; the join runs on (keys, salt). Row-for-row identical

@@ -360,6 +360,21 @@ class OpsSpec extends AnyFunSuite {
       (0, 0L) -> 2.0, (0, 1L) -> 4.0, (1, 0L) -> 10.0, (1, 1L) -> 0.0))
   }
 
+  test("skewReport ranks hot keys with exact share and imbalance") {
+    // 10 rows: key h has 6, a has 3, b has 1 → 3 keys, mean 10/3
+    val df = (Seq.fill(6)("h") ++ Seq.fill(3)("a") ++ Seq("b"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("key", "payload")
+    val got = graft.ops.Joins.skewReport(df, Seq("key"), topK = 2)
+      .select("key", "cnt", "rank", "share", "imbalance")
+      .as[(String, Long, Int, Double, Double)].collect()
+    assert(got.toSeq === Seq(
+      ("h", 6L, 1, 0.6, 6.0 * 3 / 10), // imbalance 1.8: ~2 fair shares
+      ("a", 3L, 2, 0.3, 3.0 * 3 / 10)))
+    intercept[IllegalArgumentException] {
+      graft.ops.Joins.skewReport(df, Seq("key"), topK = 0)
+    }
+  }
+
   test("corrMatrix: affine series correlate ±1, constant series are null, pairs emit once") {
     // b = 2a+1 (corr 1), c = -a (corr -1), d constant (undefined)
     val ticks = (1 to 8).flatMap { h =>

@@ -195,6 +195,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q107: hot keys come via TakeOrderedAndProject, not a global sort of the counts") {
+    val p = plan("q107_skew_report")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q93: the bloom pre-filter sits in the scan-side plan before the join") {
     val p = plan("q93_bloom_decontaminate")
     // might_contain applied as a Filter (inside codegen), and the exact
