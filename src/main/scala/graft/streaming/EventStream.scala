@@ -395,6 +395,39 @@ object EventStream {
       .start()
   }
 
+  /** Streaming COUNT-DISTINCT rollup — [[sinkRollup]]'s discipline
+    * (deterministic base version `batchId`, tagged replay-safe commits)
+    * with [[graft.engine.Incremental.sketchAgg]] measures: each batch's
+    * per-group HLL sketches merge into the maintained rollup, so
+    * "distinct users per type, ever" stays queryable at O(kB)/group
+    * state with no rescan and no exploding distinct-set state. The
+    * sketch is order-insensitive, so a replayed batch re-merges to the
+    * identical rollup even before the tag check skips its commit.
+    */
+  def sinkDistinctRollup(events: DataFrame, rollupPath: String,
+                         checkpoint: String, dims: Seq[String],
+                         distinctCol: org.apache.spark.sql.Column,
+                         lgK: Int = 12,
+                         appId: Option[String] = None): StreamingQuery = {
+    val app = appId.getOrElse(ensureAppId(events.sparkSession, checkpoint))
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.engine.{Incremental, Snapshots}
+        val spark = batch.sparkSession
+        val delta = Incremental.sketchAgg(batch, dims, distinctCol, lgK)
+        val next =
+          if (batchId == 0L) delta
+          else Incremental.applySketchDelta(
+            Snapshots.readVersion(spark, rollupPath, batchId), delta, dims)
+        Snapshots.writeVersioned(next, rollupPath, batchId + 1,
+          tag = Some(s"$app#batch-$batchId"))
+        ()
+      }
+      .start()
+  }
+
   /** Stable per-checkpoint app id for [[sinkSnapshots]]' idempotence
     * tags, established once under the checkpoint dir. A NON-EMPTY marker
     * is immutable: it is adopted as-is and never deleted or replaced —

@@ -303,6 +303,48 @@ object LawsProps extends Properties("graft.laws") {
       maintained == direct
     }
 
+  private val corrRows = Gen.nonEmptyListOf(Gen.zip(
+    Gen.oneOf("p", "q", "r"), Gen.choose(0, 3), Gen.choose(0, 4)))
+
+  property("corrMatrix: equals driver-side Pearson over co-observed buckets") =
+    forAll(corrRows) { rows =>
+      import org.apache.spark.sql.functions.col
+      val got = graft.ops.Stats.corrMatrix(
+          rows.map { case (k, b, v) => (k, b, v.toDouble) }
+            .toDF("sym", "bkt", "price"),
+          "sym", col("bkt"), col("price"))
+        .as[(String, String, Long, Option[Double])].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      // reference: bucket means, then textbook Pearson per key pair
+      val means = rows.groupBy(r => (r._1, r._2)).map { case (kb, g) =>
+        kb -> g.map(_._3.toDouble).sum / g.size
+      }
+      val keys = rows.map(_._1).distinct.sorted
+      val expect = (for {
+        a <- keys; b <- keys if a < b
+        common = (0 to 3).filter(t =>
+          means.contains((a, t)) && means.contains((b, t)))
+        if common.nonEmpty
+      } yield {
+        val (xs, ys) = (common.map(t => means((a, t))), common.map(t => means((b, t))))
+        val n = common.size
+        val (sa, sb) = (xs.sum, ys.sum)
+        val sab = xs.zip(ys).map { case (x, y) => x * y }.sum
+        val (saa, sbb) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
+        val (da, db) = (n * saa - sa * sa, n * sbb - sb * sb)
+        val c = if (da > 0 && db > 0)
+          Some((n * sab - sa * sb) / math.sqrt(da * db)) else None
+        (a, b) -> ((n.toLong, c))
+      }).toMap
+      got.keySet == expect.keySet && expect.forall { case (k, (n, c)) =>
+        got(k)._1 == n && ((c, got(k)._2) match {
+          case (None, None) => true
+          case (Some(x), Some(y)) => math.abs(x - y) <= 1e-6
+          case _ => false
+        })
+      }
+    }
+
   private val tokenCorpus = Gen.nonEmptyListOf(
     Gen.oneOf((0 until 40).map(i => s"w$i")))
 

@@ -131,6 +131,33 @@ class SnapshotSpec extends AnyFunSuite {
       Set(("a", 3L, 7L), ("b", 2L, 30L), ("c", 1L, 100L)))
   }
 
+  test("streaming distinct rollup merges HLL sketches across batches and restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("graft_distinct").toString
+    def start(mem: MemoryStream[(String, Long)]) =
+      graft.streaming.EventStream.sinkDistinctRollup(
+        mem.toDF().toDF("grp", "user"), s"$t/rollup", s"$t/chk",
+        Seq("grp"), col("user"))
+    val mem = MemoryStream[(String, Long)]
+    val q1 = start(mem)
+    mem.addData(("a", 1L), ("a", 2L), ("b", 9L))
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start(mem) // restart: batch counter and sketches continue
+    mem.addData(("a", 2L), ("a", 3L), ("b", 9L)) // user 2 and 9 repeat
+    q2.processAllAvailable()
+    q2.stop()
+    val got = graft.engine.Incremental.sketchEstimates(
+        Snapshots.read(spark, s"$t/rollup"), Seq("grp"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // n counts all rows ever; the sketch counts distinct users ever
+    assert(got === Map("a" -> ((4L, 3L)), "b" -> ((2L, 1L))))
+    assert(Snapshots.history(spark, s"$t/rollup").count() === 2)
+  }
+
   test("app-id marker: non-empty survives untouched, empty is repaired, id is stable") {
     import graft.streaming.EventStream
     val cp = Files.createTempDirectory("graft_appid").toString
