@@ -19,22 +19,30 @@ def main():
     new = json.load(open(new_path))["queries"]
     slower, broke = [], []
     for q in sorted(new):
-        if new[q] < 0 and old.get(q, -1.0) >= 0:
-            broke.append(q)
-            print(f"BROKE    {q:<28} (was {old[q]:.2f} s, now failing)")
+        if new[q] < 0:
+            # failing now: newly-broken OR brand-new-and-broken both gate;
+            # only still-failing-since-old is informational
+            if q in old and old[q] < 0:
+                print(f"STILL    {q:<28} (failing in both runs)")
+            else:
+                broke.append(q)
+                was = f"was {old[q]:.2f} s" if q in old else "new query"
+                print(f"BROKE    {q:<28} ({was}, now failing)")
         elif q not in old:
             print(f"NEW      {q:<28} {new[q]:6.2f} s")
-        elif old[q] < 0 <= new[q]:
+        elif old[q] < 0:
             print(f"FIXED    {q:<28} {new[q]:6.2f} s (was failing)")
-        elif new[q] >= 0 and new[q] > old[q] * threshold and new[q] - old[q] > 0.2:
+        elif new[q] > old[q] * threshold and new[q] - old[q] > 0.2:
             slower.append((q, old[q], new[q]))
     for q in sorted(set(old) - set(new)):
         print(f"GONE     {q:<28} (was {old[q]:.2f} s)")
     for q, o, n in sorted(slower, key=lambda t: t[1] - t[2]):
-        print(f"SLOWER   {q:<28} {o:6.2f} s -> {n:6.2f} s  ({n / o:.1f}x)")
+        ratio = f"{n / o:.1f}x" if o > 0 else "inf"
+        print(f"SLOWER   {q:<28} {o:6.2f} s -> {n:6.2f} s  ({ratio})")
     to = sum(v for v in old.values() if v >= 0)
     tn = sum(v for v in new.values() if v >= 0)
-    print(f"\ntotal (passing): {to:.1f} s -> {tn:.1f} s ({tn / to:.2f}x), "
+    ratio = f"{tn / to:.2f}x" if to > 0 else "n/a"
+    print(f"\ntotal (passing): {to:.1f} s -> {tn:.1f} s ({ratio}), "
           f"{len(slower)} slower, {len(broke)} newly failing")
     sys.exit(1 if slower or broke else 0)
 

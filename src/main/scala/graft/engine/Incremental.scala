@@ -136,6 +136,12 @@ object Incremental {
     * churn-shaped work, never a history rescan. Identical math and
     * guards to keyMoments: variance clamped at 0 (decimal→double −ε),
     * keys with n ≤ 1 or zero variance drop out as unscorable.
+    *
+    * PRECONDITION: maintain the rollup over NULL-FILTERED measure rows
+    * (keyMoments applies `value IS NOT NULL` internally; a rollup's `n`
+    * counts every row while its sums skip nulls, so null-bearing input
+    * would deflate the derived mean/std with no error raised). Filter
+    * at [[groupAgg]]/feed time, as q105 does.
     */
   def momentsFromSums(rollup: DataFrame, keyCols: Seq[String],
                       s1Col: String, s2Col: String): DataFrame = {

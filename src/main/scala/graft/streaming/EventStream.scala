@@ -229,14 +229,18 @@ object EventStream {
     * dropped as in [[ewmaStream]]. State per key = period + 2 numbers.
     *
     * Numerics contract: the batch operator quantizes values through
-    * DECIMAL(18,6) and sums deltas exactly — so the stream quantizes
-    * identically at ingestion (the same decimal cast, in the plan) and
-    * keeps its delta deque in exact 1e-6 integer units (`Long` micros):
-    * gain/loss sums are exact integers, and the final
-    * `100·g/(g+l)` rounds from the same doubles the batch side rounds.
-    * Folding raw doubles instead would disagree with the batch law on
-    * any value finer than 6 dp (two ticks 1e-7 apart are EQUAL after
-    * quantization but a positive delta in raw doubles).
+    * DECIMAL(18,6) and sums deltas exactly — so the stream ingests the
+    * SAME decimal cast and carries it as an exact `BigDecimal` all the
+    * way into the fold (never a lossy double round-trip: the double ulp
+    * at 1e10 is ~2e-6, coarser than the 6th decimal the batch side
+    * still resolves). The delta deque lives in exact 1e-6 integer units
+    * (`Long` micros — `toLongExact` covers all of DECIMAL(18,6));
+    * gain/loss sums go through `BigInt` (14 full-range deltas can
+    * overflow a Long), and the final `100·g/(g+l)` rounds from the same
+    * doubles the batch side rounds. State-schema note: the micros
+    * representation replaced a double deque — restarting from a
+    * checkpoint written by the double-era build is not supported; use a
+    * fresh checkpoint.
     */
   def rsiStream(spark: SparkSession, ticks: DataFrame, keyCol: String,
                 seqCol: String, valueCol: String,
@@ -245,28 +249,28 @@ object EventStream {
     require(period > 0, s"period must be positive, got $period")
     ticks.select(col(keyCol).cast("string").as("k"),
         col(seqCol).cast("long").as("seq"),
-        col(valueCol).cast("decimal(18,6)").cast("double").as("v"))
+        col(valueCol).cast("decimal(18,6)").as("v"))
       .filter(col("k").isNotNull && col("seq").isNotNull && col("v").isNotNull)
-      .as[(String, Long, Double)]
+      .as[(String, Long, BigDecimal)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[RsiState, RsiTick](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (k, rows, state) =>
           var st = state.getOption.getOrElse(RsiState(0L, seen = false, Nil))
           val out = rows.toSeq.sortBy(_._2).map { case (_, seq, v) =>
-            val vm = math.round(v * 1e6) // v is 6dp-quantized: exact
+            val vm = (v * 1000000).toLongExact // exact across DECIMAL(18,6)
             val deltas =
               (if (st.seen) st.deltas :+ (vm - st.lastMicros) else st.deltas)
                 .takeRight(period)
             st = RsiState(vm, seen = true, deltas)
-            val g = deltas.filter(_ > 0).sum
-            val l = -deltas.filter(_ < 0).sum
+            val g = deltas.filter(_ > 0).map(BigInt(_)).sum
+            val l = -deltas.filter(_ < 0).map(BigInt(_)).sum
             val rsi = if (g + l > 0)
-              Some(BigDecimal(100.0 * (g.toDouble / 1e6) /
-                  ((g + l).toDouble / 1e6))
+              Some(BigDecimal(100.0 * (BigDecimal(g) / 1000000).toDouble /
+                  (BigDecimal(g + l) / 1000000).toDouble)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
             else None
-            RsiTick(k, seq, v, deltas.size.toLong, rsi)
+            RsiTick(k, seq, v.toDouble, deltas.size.toLong, rsi)
           }
           state.update(st)
           out.iterator
@@ -286,11 +290,13 @@ object EventStream {
     *
     * Numerics contract (the [[rsiStream]] discipline): price and qty
     * quantize through DECIMAL(18,6) at ingestion exactly as the batch
-    * operator's casts do, and the running Σp·q / Σq accumulate as EXACT
-    * `BigDecimal`s — a raw-double accumulator drifts from the batch's
-    * decimal sums and breaks the prefix-equality law past 6 dp. Doubles
+    * operator's casts do and stay EXACT `BigDecimal`s from the plan
+    * into the accumulator — never a lossy double round-trip, so the
+    * prefix-equality law holds across the full decimal domain. Doubles
     * appear only in the final quotient, rounded as the batch side
-    * rounds.
+    * rounds. State-schema note: the BigDecimal accumulators replaced
+    * doubles — restart from a double-era checkpoint is not supported;
+    * use a fresh checkpoint.
     */
   def vwapStream(spark: SparkSession, ticks: DataFrame, keyCol: String,
                  seqCol: String, priceCol: String,
@@ -298,11 +304,11 @@ object EventStream {
     import spark.implicits._
     ticks.select(col(keyCol).cast("string").as("k"),
         col(seqCol).cast("long").as("seq"),
-        col(priceCol).cast("decimal(18,6)").cast("double").as("p"),
-        col(qtyCol).cast("decimal(18,6)").cast("double").as("q"))
+        col(priceCol).cast("decimal(18,6)").as("p"),
+        col(qtyCol).cast("decimal(18,6)").as("q"))
       .filter(col("k").isNotNull && col("seq").isNotNull &&
         col("p").isNotNull && col("q").isNotNull)
-      .as[(String, Long, Double, Double)]
+      .as[(String, Long, BigDecimal, BigDecimal)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[VwapState, VwapTick](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -310,10 +316,7 @@ object EventStream {
           var st = state.getOption.getOrElse(
             VwapState(BigDecimal(0), BigDecimal(0), 0L))
           val out = rows.toSeq.sortBy(_._2).map { case (_, seq, p, q) =>
-            // p/q are 6dp-quantized doubles: BigDecimal(p) is their
-            // exact decimal, so pq/qty never round until emission
-            st = VwapState(st.pq + BigDecimal(p) * BigDecimal(q),
-              st.qty + BigDecimal(q), st.n + 1)
+            st = VwapState(st.pq + p * q, st.qty + q, st.n + 1)
             val vwap = if (st.qty.signum != 0)
               Some(BigDecimal(st.pq.toDouble / st.qty.toDouble)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
