@@ -247,6 +247,34 @@ object Snapshots {
     Upsert.changeCapture(readVersion(spark, path, fromVersion),
       readVersion(spark, path, toVersion), keys)
 
+  /** Predicate DELETE as a snapshot commit — Delta's `DELETE WHERE` on
+    * this store: reads the latest version, writes the surviving rows as
+    * the next version, returns (rows deleted, new version). History
+    * and time travel keep the pre-delete versions readable until
+    * [[vacuum]] reclaims them — which is exactly the retention workflow
+    * (audit first, purge later); a HARD delete (GDPR erasure) is this
+    * followed by `vacuum(keepLast = 1)`. Copy-on-write like every
+    * commit here: cost scales with the table, not the deleted fraction
+    * — at 100 TB, partition the table and delete per-partition (the
+    * [[graft.engine.Layout.upsertPartitions]] discipline) rather than
+    * rewriting the world.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshots at $path")
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val cur = readVersion(spark, path, vs.max)
+    // null predicate rows are KEPT: DELETE removes only rows the
+    // predicate affirmatively matches (SQL DELETE WHERE semantics)
+    val keep = cur.filter(!coalesce(predicate, lit(false)))
+    val total = cur.count()
+    val kept = keep.count()
+    val next = vs.max + 1
+    writeVersioned(keep, path, next)
+    (total - kept, next)
+  }
+
   /** Commit log, newest first — `DeltaTable.history()`'s surface,
     * including per-version operation metrics (numFiles/numBytes/numRows,
     * null for pre-metrics manifests). Built from driver-side manifest

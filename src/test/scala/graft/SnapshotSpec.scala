@@ -158,6 +158,28 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshots.history(spark, s"$t/rollup").count() === 2)
   }
 
+  test("deleteWhere commits a new version; time travel still reads the pre-delete rows") {
+    import org.apache.spark.sql.functions.col
+    val t = Files.createTempDirectory("graft_delete").toString + "/tbl"
+    Snapshots.writeVersioned(
+      Seq((1L, "keep"), (2L, "purge"), (3L, "keep"), (4L, "purge"))
+        .toDF("id", "tag"), t, 1)
+    val (deleted, v) = Snapshots.deleteWhere(spark, t, col("tag") === "purge")
+    assert(deleted === 2L && v === 2L)
+    assert(Snapshots.read(spark, t).as[(Long, String)].collect().toSet ===
+      Set((1L, "keep"), (3L, "keep")))
+    // audit trail: the pre-delete state stays readable until vacuum
+    assert(Snapshots.readVersion(spark, t, 1).count() === 4)
+    // null predicate rows are kept, not deleted
+    val t2 = Files.createTempDirectory("graft_delete2").toString + "/tbl"
+    Snapshots.writeVersioned(
+      Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0))).toDF("id", "v"), t2, 1)
+    val (d2, _) = Snapshots.deleteWhere(spark, t2, col("v") > 2.0)
+    assert(d2 === 1L)
+    assert(Snapshots.read(spark, t2).select("id").as[Long].collect().toSet
+      === Set(2L, 3L))
+  }
+
   test("app-id marker: non-empty survives untouched, empty is repaired, id is stable") {
     import graft.streaming.EventStream
     val cp = Files.createTempDirectory("graft_appid").toString
