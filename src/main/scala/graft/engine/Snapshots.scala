@@ -275,6 +275,50 @@ object Snapshots {
     (total - kept, next)
   }
 
+  /** Predicate UPDATE as a snapshot commit — Delta's `UPDATE SET …
+    * WHERE` on this store: rows the predicate affirmatively matches get
+    * each assignment applied; everything else (including null-predicate
+    * rows) passes through untouched. Copy-on-write like [[deleteWhere]]
+    * — same cost model, same audit-then-vacuum history. Returns (rows
+    * updated, new version).
+    */
+  def updateWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column])
+      : (Long, Long) = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshots at $path")
+    val cur = readVersion(spark, path, vs.max)
+    val unknown = assignments.keySet -- cur.columns.toSet
+    require(unknown.isEmpty, s"updateWhere: no such column(s): " +
+      unknown.toSeq.sorted.mkString(", "))
+    val hit = coalesce(predicate, lit(false))
+    val updated = assignments.foldLeft(cur) { case (df, (c, v)) =>
+      df.withColumn(c, when(hit, v).otherwise(df(c)))
+    }
+    val n = cur.filter(hit).count()
+    val next = vs.max + 1
+    writeVersioned(updated, path, next)
+    (n, next)
+  }
+
+  /** RESTORE TO VERSION — Delta's `RESTORE`: re-commits an older
+    * version's rows as the NEW latest version, so the rollback is
+    * itself an auditable commit (history shows the mistake and the
+    * recovery; time travel still reaches the bad version until
+    * [[vacuum]]). Returns the new version number.
+    */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val vs = versions(spark, path)
+    require(vs.contains(toVersion),
+      s"version $toVersion not present at $path (have ${vs.mkString(",")})")
+    val next = vs.max + 1
+    writeVersioned(readVersion(spark, path, toVersion), path, next)
+    next
+  }
+
   /** Commit log, newest first — `DeltaTable.history()`'s surface,
     * including per-version operation metrics (numFiles/numBytes/numRows,
     * null for pre-metrics manifests). Built from driver-side manifest

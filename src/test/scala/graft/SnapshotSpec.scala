@@ -180,6 +180,34 @@ class SnapshotSpec extends AnyFunSuite {
       === Set(2L, 3L))
   }
 
+  test("updateWhere rewrites matching rows only; restore rolls back as a new commit") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = Files.createTempDirectory("graft_update").toString + "/tbl"
+    Snapshots.writeVersioned(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, Option.empty[String].orNull, 30.0))
+        .toDF("id", "tag", "v"), t, 1)
+    // null-predicate row (tag null) passes through untouched
+    val (n, v2) = Snapshots.updateWhere(spark, t, col("tag") === "b",
+      Map("v" -> (col("v") * 2), "tag" -> lit("B")))
+    assert(n === 1L && v2 === 2L)
+    assert(Snapshots.read(spark, t).as[(Long, Option[String], Double)]
+      .collect().toSet === Set((1L, Some("a"), 10.0), (2L, Some("B"), 40.0),
+        (3L, None, 30.0)))
+    intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, t, col("tag") === "a",
+        Map("nope" -> lit(1)))
+    }
+    // restore: version 1's rows come back as version 3; v2 stays auditable
+    val v3 = Snapshots.restore(spark, t, 1L)
+    assert(v3 === 3L)
+    assert(Snapshots.read(spark, t).as[(Long, Option[String], Double)]
+      .collect().toSet === Set((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+        (3L, None, 30.0)))
+    assert(Snapshots.readVersion(spark, t, 2)
+      .filter(col("tag") === "B").count() === 1)
+    intercept[IllegalArgumentException] { Snapshots.restore(spark, t, 99L) }
+  }
+
   test("app-id marker: non-empty survives untouched, empty is repaired, id is stable") {
     import graft.streaming.EventStream
     val cp = Files.createTempDirectory("graft_appid").toString
