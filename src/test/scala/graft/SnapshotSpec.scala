@@ -208,6 +208,28 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Snapshots.restore(spark, t, 99L) }
   }
 
+  test("schema evolution: each version reads with its own schema; cross-schema diff fails loudly") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = Files.createTempDirectory("graft_schema").toString + "/tbl"
+    Snapshots.writeVersioned(Seq((1L, "x")).toDF("id", "tag"), t, 1)
+    // v2 adds a column: the full-copy store makes evolution trivial —
+    // every version is self-contained, time travel sees the old shape
+    Snapshots.writeVersioned(
+      Seq((1L, "x", 0.5)).toDF("id", "tag", "score"), t, 2)
+    assert(Snapshots.readVersion(spark, t, 1).columns.toSeq === Seq("id", "tag"))
+    assert(Snapshots.read(spark, t).columns.toSeq === Seq("id", "tag", "score"))
+    // a change feed across differently-shaped versions must refuse,
+    // not fabricate nulls for the missing column
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.changeFeed(spark, t, 1L, 2L, Seq("id"))
+    }
+    assert(e.getMessage.contains("schemas differ"), e.getMessage)
+    // updateWhere on the evolved shape touches the new column fine
+    val (n, _) = Snapshots.updateWhere(spark, t, col("id") === 1L,
+      Map("score" -> lit(0.9)))
+    assert(n === 1L)
+  }
+
   test("app-id marker: non-empty survives untouched, empty is repaired, id is stable") {
     import graft.streaming.EventStream
     val cp = Files.createTempDirectory("graft_appid").toString
