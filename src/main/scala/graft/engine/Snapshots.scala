@@ -247,6 +247,29 @@ object Snapshots {
     Upsert.changeCapture(readVersion(spark, path, fromVersion),
       readVersion(spark, path, toVersion), keys)
 
+  /** Shared read-modify-commit step of the mutation verbs
+    * ([[deleteWhere]]/[[updateWhere]]/[[restore]]): allocate the next
+    * version above the current maximum and commit `f(latest)` there —
+    * commit discipline lives in ONE place.
+    */
+  private def commitNext(spark: SparkSession, path: String)
+                        (f: DataFrame => DataFrame): Long = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no snapshots at $path")
+    val next = vs.max + 1
+    writeVersioned(f(readVersion(spark, path, vs.max)), path, next)
+    next
+  }
+
+  /** Null-safe predicate hit: mutation verbs act only on rows the
+    * predicate AFFIRMATIVELY matches (SQL WHERE semantics — a null
+    * predicate row is kept by DELETE and passed through by UPDATE).
+    */
+  private def matched(p: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    coalesce(p, lit(false))
+  }
+
   /** Predicate DELETE as a snapshot commit — Delta's `DELETE WHERE` on
     * this store: reads the latest version, writes the surviving rows as
     * the next version, returns (rows deleted, new version). History
@@ -257,51 +280,51 @@ object Snapshots {
     * commit here: cost scales with the table, not the deleted fraction
     * — at 100 TB, partition the table and delete per-partition (the
     * [[graft.engine.Layout.upsertPartitions]] discipline) rather than
-    * rewriting the world.
+    * rewriting the world. One count job (the deleted rows) on top of
+    * the rewrite scan.
     */
   def deleteWhere(spark: SparkSession, path: String,
                   predicate: org.apache.spark.sql.Column): (Long, Long) = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no snapshots at $path")
-    import org.apache.spark.sql.functions.{coalesce, lit}
-    val cur = readVersion(spark, path, vs.max)
-    // null predicate rows are KEPT: DELETE removes only rows the
-    // predicate affirmatively matches (SQL DELETE WHERE semantics)
-    val keep = cur.filter(!coalesce(predicate, lit(false)))
-    val total = cur.count()
-    val kept = keep.count()
-    val next = vs.max + 1
-    writeVersioned(keep, path, next)
-    (total - kept, next)
+    val hit = matched(predicate)
+    var deleted = 0L
+    val next = commitNext(spark, path) { cur =>
+      deleted = cur.filter(hit).count()
+      cur.filter(!hit)
+    }
+    (deleted, next)
   }
 
   /** Predicate UPDATE as a snapshot commit — Delta's `UPDATE SET …
     * WHERE` on this store: rows the predicate affirmatively matches get
     * each assignment applied; everything else (including null-predicate
-    * rows) passes through untouched. Copy-on-write like [[deleteWhere]]
-    * — same cost model, same audit-then-vacuum history. Returns (rows
-    * updated, new version).
+    * rows) passes through untouched. SQL UPDATE semantics throughout:
+    * the predicate AND every assignment RHS evaluate against the
+    * PRE-UPDATE row in one projection — assignments never see each
+    * other's results, so `Map("a" -> col("b"), "b" -> col("a"))` swaps
+    * and assignment order is irrelevant. Copy-on-write like
+    * [[deleteWhere]]; returns (rows updated, new version).
     */
   def updateWhere(spark: SparkSession, path: String,
                   predicate: org.apache.spark.sql.Column,
                   assignments: Map[String, org.apache.spark.sql.Column])
       : (Long, Long) = {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
-    import org.apache.spark.sql.functions.{coalesce, lit, when}
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no snapshots at $path")
-    val cur = readVersion(spark, path, vs.max)
-    val unknown = assignments.keySet -- cur.columns.toSet
-    require(unknown.isEmpty, s"updateWhere: no such column(s): " +
-      unknown.toSeq.sorted.mkString(", "))
-    val hit = coalesce(predicate, lit(false))
-    val updated = assignments.foldLeft(cur) { case (df, (c, v)) =>
-      df.withColumn(c, when(hit, v).otherwise(df(c)))
+    import org.apache.spark.sql.functions.when
+    val hit = matched(predicate)
+    var updated = 0L
+    val next = commitNext(spark, path) { cur =>
+      val unknown = assignments.keySet -- cur.columns.toSet
+      require(unknown.isEmpty, s"updateWhere: no such column(s): " +
+        unknown.toSeq.sorted.mkString(", "))
+      updated = cur.filter(hit).count()
+      cur.select(cur.columns.toSeq.map { c =>
+        assignments.get(c) match {
+          case Some(v) => when(hit, v).otherwise(cur(c)).as(c)
+          case None => cur(c)
+        }
+      }: _*)
     }
-    val n = cur.filter(hit).count()
-    val next = vs.max + 1
-    writeVersioned(updated, path, next)
-    (n, next)
+    (updated, next)
   }
 
   /** RESTORE TO VERSION — Delta's `RESTORE`: re-commits an older
@@ -311,12 +334,9 @@ object Snapshots {
     * [[vacuum]]). Returns the new version number.
     */
   def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
-    val vs = versions(spark, path)
-    require(vs.contains(toVersion),
-      s"version $toVersion not present at $path (have ${vs.mkString(",")})")
-    val next = vs.max + 1
-    writeVersioned(readVersion(spark, path, toVersion), path, next)
-    next
+    require(versions(spark, path).contains(toVersion),
+      s"version $toVersion not present at $path")
+    commitNext(spark, path)(_ => readVersion(spark, path, toVersion))
   }
 
   /** Commit log, newest first — `DeltaTable.history()`'s surface,

@@ -277,7 +277,12 @@ object EventStream {
       }
   }
 
-  case class VwapState(pq: BigDecimal, qty: BigDecimal, n: Long)
+  // accumulators as decimal STRINGS: Spark's state encoder caps a
+  // BigDecimal field at DECIMAL(38,18), which a running Σp·q of valid
+  // DECIMAL(18,6) ticks can overflow (p·q alone reaches ~1e24); the
+  // string round-trips any magnitude exactly and parses once per
+  // micro-batch per key
+  case class VwapState(pq: String, qty: String, n: Long)
   case class VwapTick(key: String, seq: Long, n_trades: Long,
                       total_qty: Double, vwap: Option[Double])
 
@@ -313,19 +318,23 @@ object EventStream {
       .flatMapGroupsWithState[VwapState, VwapTick](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (k, rows, state) =>
-          var st = state.getOption.getOrElse(
-            VwapState(BigDecimal(0), BigDecimal(0), 0L))
+          val st0 = state.getOption.getOrElse(VwapState("0", "0", 0L))
+          var pq = BigDecimal(st0.pq)
+          var qty = BigDecimal(st0.qty)
+          var n = st0.n
           val out = rows.toSeq.sortBy(_._2).map { case (_, seq, p, q) =>
-            st = VwapState(st.pq + p * q, st.qty + q, st.n + 1)
-            val vwap = if (st.qty.signum != 0)
-              Some(BigDecimal(st.pq.toDouble / st.qty.toDouble)
+            pq += p * q
+            qty += q
+            n += 1
+            val vwap = if (qty.signum != 0)
+              Some(BigDecimal(pq.toDouble / qty.toDouble)
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
             else None
-            VwapTick(k, seq, st.n,
-              BigDecimal(st.qty.toDouble).setScale(6,
+            VwapTick(k, seq, n,
+              BigDecimal(qty.toDouble).setScale(6,
                 BigDecimal.RoundingMode.HALF_UP).toDouble, vwap)
           }
-          state.update(st)
+          state.update(VwapState(pq.toString, qty.toString, n))
           out.iterator
       }
   }

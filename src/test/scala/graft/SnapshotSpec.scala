@@ -197,6 +197,15 @@ class SnapshotSpec extends AnyFunSuite {
       Snapshots.updateWhere(spark, t, col("tag") === "a",
         Map("nope" -> lit(1)))
     }
+    // pre-update semantics: assignments see the ORIGINAL row, so a
+    // self-referential pair swaps (and listing tag before v — the order
+    // that breaks a sequential withColumn rewrite — changes nothing)
+    val ts = Files.createTempDirectory("graft_swap").toString + "/tbl"
+    Snapshots.writeVersioned(Seq(("b", 7.0)).toDF("tag", "v"), ts, 1)
+    Snapshots.updateWhere(spark, ts, col("tag") === "b",
+      Map("tag" -> lit("B"), "v" -> (col("v") * 2)))
+    assert(Snapshots.read(spark, ts).as[(String, Double)].collect().toSeq
+      === Seq(("B", 14.0)))
     // restore: version 1's rows come back as version 3; v2 stays auditable
     val v3 = Snapshots.restore(spark, t, 1L)
     assert(v3 === 3L)
