@@ -708,6 +708,16 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "q108_underwater_spell" -> ((s, dir) => {
+      // drawdown DURATION per instrument (q84 measures depth): longest
+      // run of ticks strictly below the running peak — gaps-and-islands,
+      // all-exact arithmetic, one hash Exchange end-to-end
+      Windows.longestUnderwaterSpell(
+          t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"))
+        .orderBy("event_type")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -2016,6 +2026,26 @@ object SparkEntry {
         |  CAST(cnt AS DOUBLE) / total AS share,
         |  CAST(cnt AS DOUBLE) * nkeys / total AS imbalance
         |FROM r, t WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q108_underwater_spell" ->
+      """WITH ev AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, ts, event_id, v, max(v) OVER w AS rm
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)),
+        |f AS (
+        |  SELECT event_type,
+        |    CASE WHEN v < rm THEN 1 ELSE 0 END AS uw,
+        |    SUM(CASE WHEN v < rm THEN 0 ELSE 1 END) OVER w2 AS isl
+        |  FROM r
+        |  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)),
+        |g AS (
+        |  SELECT event_type, isl, CAST(SUM(uw) AS BIGINT) AS len
+        |  FROM f GROUP BY event_type, isl)
+        |SELECT event_type, CAST(MAX(len) AS BIGINT) AS max_underwater_ticks
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q100_level_alerts" ->
       """WITH ev AS (

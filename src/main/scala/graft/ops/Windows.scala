@@ -131,6 +131,32 @@ object Windows {
     * sign test — no float epsilon), two windows over one partition-by-
     * key shuffle, then two hash aggs. Keys that never rise report 0.
     */
+  /** Longest underwater spell per key: the maximum number of
+    * CONSECUTIVE ticks strictly below the running peak — drawdown
+    * DURATION, the time-axis complement of [[graft.ops.Stats
+    * .maxDrawdown]]'s depth (how long capital sat below high-water,
+    * not how far). Gaps-and-islands like [[longestUpStreak]]: island
+    * id = cumulative count of at-peak ticks, spell length = underwater
+    * ticks per island. All-exact arithmetic (decimal compare, integer
+    * counts — no doubles anywhere), keys that never dip emit 0. Both
+    * windows and both aggregations cluster on the key, so the whole
+    * plan rides ONE hash Exchange.
+    */
+  def longestUnderwaterSpell(df: DataFrame, keyCol: String,
+                             orderCols: Seq[Column],
+                             valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = valueCol.cast(DecimalType(18, 6))
+    df.withColumn("_rm", max(v).over(cum)) // running peak incl. current
+      .withColumn("_uw", when(v < col("_rm"), lit(1)).otherwise(lit(0)))
+      .withColumn("_isl", sum(lit(1) - col("_uw")).over(cum))
+      .groupBy(col(keyCol), col("_isl"))
+      .agg(sum(col("_uw")).as("_len")) // peak tick in-island counts 0
+      .groupBy(col(keyCol))
+      .agg(max(col("_len")).as("max_underwater_ticks"))
+  }
+
   def longestUpStreak(df: DataFrame, keyCol: String, orderCols: Seq[Column],
                       valueCol: Column): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)

@@ -375,6 +375,19 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("longestUnderwaterSpell counts consecutive below-peak ticks; rising keys emit 0") {
+    // u: 5,3,4,6,2,1,3 → peaks 5,5,5,6,6,6,6 → underwater spells 2 then 3
+    // r: strictly rising → never below peak → 0
+    val ticks = (Seq(5, 3, 4, 6, 2, 1, 3).zipWithIndex.map {
+      case (v, i) => ("u", i.toLong, v.toDouble)
+    } ++ Seq(("r", 0L, 1.0), ("r", 1L, 2.0), ("r", 2L, 3.0)))
+      .toDF("sym", "seq", "price")
+    val got = graft.ops.Windows.longestUnderwaterSpell(
+        ticks, "sym", Seq(col("seq")), col("price"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("u" -> 3L, "r" -> 0L))
+  }
+
   test("corrMatrix: affine series correlate ±1, constant series are null, pairs emit once") {
     // b = 2a+1 (corr 1), c = -a (corr -1), d constant (undefined)
     val ticks = (1 to 8).flatMap { h =>

@@ -200,6 +200,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q108: both spell windows and both aggregations ride ONE hash Exchange") {
+    val p = plan("q108_underwater_spell")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
   test("q93: the bloom pre-filter sits in the scan-side plan before the join") {
     val p = plan("q93_bloom_decontaminate")
     // might_contain applied as a Filter (inside codegen), and the exact
