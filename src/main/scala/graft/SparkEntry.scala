@@ -718,6 +718,45 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q109_dedup_rate" -> ((s, dir) => {
+      // curation dashboard: per-source duplicate share from the
+      // transitive cluster assignment (q63's machinery aggregated) —
+      // the number that tells you which ingest source is polluting the
+      // corpus. dup_share is an unrounded quotient of exact integers
+      // (bit-deterministic across engines)
+      val docs = t(s, dir, "documents")
+      val clusters = text.Clusters.dupClusters(docs, "doc_id", "text", 5, 0.5)
+      docs.select(col("doc_id").cast("long").as("doc_id"), col("source"))
+        .join(clusters, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canonical"))
+        .withColumn("dup_share",
+          (col("n_docs") - col("n_canonical")).cast("double") / col("n_docs"))
+        .orderBy("source")
+    }),
+
+    "q110_split_leakage" -> ((s, dir) => {
+      // eval-hygiene audit: near-dup pairs that STRADDLE the
+      // train/val/test boundary — each row is a leak where eval content
+      // has a training near-duplicate (the contamination q65 catches
+      // for external benchmarks, applied to the split itself)
+      val docs = t(s, dir, "documents")
+      val pairs = text.Dedup.jaccardPairs(docs, "doc_id", "text", 5, 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val sp = text.Curation.splitAssign(docs, "doc_id",
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select(col("doc_id").cast("long").as("doc_id"), col("split"))
+      pairs
+        .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+          "doc_a")
+        .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+          "doc_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -2046,6 +2085,69 @@ object SparkEntry {
         |  FROM f GROUP BY event_type, isl)
         |SELECT event_type, CAST(MAX(len) AS BIGINT) AS max_underwater_ticks
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q109_dedup_rate" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5),
+        |exact AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a
+        |  JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM jac
+        |  UNION SELECT doc_b, doc_a FROM jac
+        |  UNION SELECT doc_a, doc_b FROM exact
+        |  UNION SELECT doc_b, doc_a FROM exact),
+        |walk(node, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, w.comp FROM walk w
+        |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v),
+        |cl AS (
+        |  SELECT node AS doc_id, node = MIN(comp) AS is_canonical
+        |  FROM walk GROUP BY node)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN cl.is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_canonical,
+        |  CAST(COUNT(*) - SUM(CASE WHEN cl.is_canonical THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS dup_share
+        |FROM cl JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "q110_split_leakage" ->
+      s"""WITH $shingleCte,
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jac AS (
+        |  SELECT doc_a, doc_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 80
+        |           THEN 'train'
+        |         WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT j.doc_a, j.doc_b, sa.split AS split_a, sb.split AS split_b
+        |FROM jac j
+        |JOIN sp sa ON sa.doc_id = j.doc_a
+        |JOIN sp sb ON sb.doc_id = j.doc_b
+        |WHERE sa.split <> sb.split
+        |ORDER BY j.doc_a, j.doc_b""".stripMargin,
 
     "q100_level_alerts" ->
       """WITH ev AS (
