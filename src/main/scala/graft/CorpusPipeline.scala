@@ -39,6 +39,29 @@ object CorpusPipeline {
     val reaped = engine.Snapshots.vacuum(spark, s"$base/signals", keepLast = 2)
     println(s"[stage] signals v$version committed, ${reaped.size} vacuumed")
     val t2 = lap("signals", t1)
+    // curation audits: which source polluted the raw corpus, and is the
+    // shipped split hygienic? Dedup-then-split makes leakage zero BY
+    // CONSTRUCTION (a >=threshold pair is an edge, edges collapse to one
+    // canonical doc, so no near-dup pair survives to straddle a split) —
+    // assert the invariant rather than trust it
+    val clusters = text.Clusters.dupClusters(docs, "doc_id", "text", 5, 0.5)
+    docs.select(col("doc_id").cast("long").as("doc_id"), col("source"))
+      .join(clusters, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(!col("is_canonical"), 1L).otherwise(0L)).as("dups"))
+      .orderBy(col("dups").desc).limit(3).collect()
+      .foreach(r => println(s"[audit] source=${r.get(0)} " +
+        s"docs=${r.get(1)} dups=${r.get(2)}"))
+    val sp = kept.select(col("doc_id").cast("long").as("doc_id"), col("split"))
+    val leaks = text.Dedup.jaccardPairs(kept, "doc_id", "text", 5, 0.5)
+      .join(sp.toDF("doc_a", "split_a"), "doc_a")
+      .join(sp.toDF("doc_b", "split_b"), "doc_b")
+      .filter(col("split_a") =!= col("split_b")).count()
+    require(leaks == 0L,
+      s"split leakage after dedup must be zero by construction, got $leaks")
+    println(s"[audit] split leakage pairs = $leaks (invariant holds)")
+    val t3 = lap("audits", t2)
     val n = docs.count()
     val k = kept.count()
     println(f"[total] $n docs in, $k kept " +
