@@ -43,7 +43,11 @@ object CorpusPipeline {
     // shipped split hygienic? Dedup-then-split makes leakage zero BY
     // CONSTRUCTION (a >=threshold pair is an edge, edges collapse to one
     // canonical doc, so no near-dup pair survives to straddle a split) —
-    // assert the invariant rather than trust it
+    // assert the invariant rather than trust it. The construction is
+    // exact up to jaccardPairs' hotShingleCap (identical settings on
+    // both passes): a nonzero count means either a cap-induced miss on
+    // the denser pre-dedup corpus (raise hotShingleCap) or a real
+    // regression — both warrant failing the run.
     val clusters = text.Clusters.dupClusters(docs, "doc_id", "text", 5, 0.5)
     docs.select(col("doc_id").cast("long").as("doc_id"), col("source"))
       .join(clusters, "doc_id")
@@ -61,6 +65,9 @@ object CorpusPipeline {
     require(leaks == 0L,
       s"split leakage after dedup must be zero by construction, got $leaks")
     println(s"[audit] split leakage pairs = $leaks (invariant holds)")
+    // release the audits' persisted shingle relations (jaccardPairs'
+    // caller-releases-cache contract) before the final counting stages
+    spark.catalog.clearCache()
     val t3 = lap("audits", t2)
     val n = docs.count()
     val k = kept.count()

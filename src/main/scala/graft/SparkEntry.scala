@@ -1335,6 +1335,41 @@ object SparkEntry {
       |  SELECT doc_id, array_to_string(w, ' ') AS shingle
       |  FROM toks WHERE len(w) < 5)""".stripMargin
 
+  /** Near-dup pair CTE over `sh` (the [[shingleCte]] output): exact
+    * 5-gram Jaccard at threshold 0.5 — ONE definition shared by the
+    * q63/q109/q110 oracles so a threshold or formula change cannot
+    * desync the parity proofs.
+    */
+  private val jacPairsCte: String =
+    """sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT doc_a, doc_b FROM shared
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5)""".stripMargin
+
+  /** Exact-dup edges + the recursive min-label component walk over
+    * `jac` — the CC oracle shared by q63/q109.
+    */
+  private val ccWalkCte: String =
+    """exact AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a
+      |  JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+      |edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM jac
+      |  UNION SELECT doc_b, doc_a FROM jac
+      |  UNION SELECT doc_a, doc_b FROM exact
+      |  UNION SELECT doc_b, doc_a FROM exact),
+      |walk(node, comp) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.v, w.comp FROM walk w
+      |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v)""".stripMargin
+
   /** Exact brute-force cosine top-10 for vec_id 0 (q40's oracle). q41
     * (IVF probe search) shares it verbatim: with ivfTopK's DEFAULT
     * stride-initialized centroids and the configured probe width,
@@ -2106,29 +2141,8 @@ object SparkEntry {
 
     "q109_dedup_rate" ->
       s"""WITH RECURSIVE $shingleCte,
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |shared AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jac AS (
-        |  SELECT doc_a, doc_b FROM shared
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5),
-        |exact AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a
-        |  JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
-        |edges AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM jac
-        |  UNION SELECT doc_b, doc_a FROM jac
-        |  UNION SELECT doc_a, doc_b FROM exact
-        |  UNION SELECT doc_b, doc_a FROM exact),
-        |walk(node, comp) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.v, w.comp FROM walk w
-        |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v),
+        |$jacPairsCte,
+        |$ccWalkCte,
         |cl AS (
         |  SELECT node AS doc_id, node = MIN(comp) AS is_canonical
         |  FROM walk GROUP BY node)
@@ -2142,16 +2156,7 @@ object SparkEntry {
 
     "q110_split_leakage" ->
       s"""WITH $shingleCte,
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |shared AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jac AS (
-        |  SELECT doc_a, doc_b FROM shared
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5),
+        |$jacPairsCte,
         |sp AS (
         |  SELECT doc_id,
         |    CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 80
@@ -2556,29 +2561,8 @@ object SparkEntry {
 
     "q63_dup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |shared AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |jac AS (
-        |  SELECT doc_a, doc_b FROM shared
-        |  JOIN sizes sa ON sa.doc_id = doc_a
-        |  JOIN sizes sb ON sb.doc_id = doc_b
-        |  WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5),
-        |exact AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a
-        |  JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
-        |edges AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM jac
-        |  UNION SELECT doc_b, doc_a FROM jac
-        |  UNION SELECT doc_a, doc_b FROM exact
-        |  UNION SELECT doc_b, doc_a FROM exact),
-        |walk(node, comp) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.v, w.comp FROM walk w
-        |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v)
+        |$jacPairsCte,
+        |$ccWalkCte
         |SELECT node AS doc_id, MIN(comp) AS cluster_id,
         |  node = MIN(comp) AS is_canonical
         |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
