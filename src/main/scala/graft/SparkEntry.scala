@@ -775,6 +775,21 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "q111_token_budget" -> ((s, dir) => {
+      // the number every training run starts from: whitespace and
+      // BPE-ish token totals per split — splitAssign (map-only) feeding
+      // one aggregation, with docs-per-split for sanity
+      val docs = text.Curation.splitAssign(t(s, dir, "documents"),
+        "doc_id", Seq(("train", 80), ("val", 10), ("test", 10)))
+      docs.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(text.TextStats.tokenCount(col("text")).cast("long"))
+            .as("ws_tokens"),
+          sum(text.TextStats.bpeTokenCount(col("text")).cast("long"))
+            .as("bpe_tokens"))
+        .orderBy("split")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -2171,6 +2186,23 @@ object SparkEntry {
         |JOIN sp sb ON sb.doc_id = j.doc_b
         |WHERE sa.split <> sb.split
         |ORDER BY j.doc_a, j.doc_b""".stripMargin,
+
+    "q111_token_budget" ->
+      """WITH sp AS (
+        |  SELECT text,
+        |    CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 80
+        |           THEN 'train'
+        |         WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(SUM(len(regexp_split_to_array(
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT)
+        |    AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text,
+        |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "q100_level_alerts" ->
       """WITH ev AS (
