@@ -195,6 +195,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q104/q111: one aggregation shuffle each — split/quantile audits never reshuffle") {
+    // q104 exact quantiles: one hash Exchange (the groupBy); q111 token
+    // budget: the split is map-only, so again only the aggregation moves
+    for (q <- Seq("q104_length_quantiles", "q111_token_budget")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, s"$q: $p")
+    }
+  }
+
   test("q107: hot keys come via TakeOrderedAndProject, not a global sort of the counts") {
     val p = plan("q107_skew_report")
     assert(p.contains("TakeOrderedAndProject"), p)
