@@ -790,6 +790,18 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    "q112_volume_concentration" -> ((s, dir) => {
+      // daily volume concentration across instruments (Herfindahl
+      // index): exact integer power sums, ONE final bit-deterministic
+      // division — flags the days one instrument dominated the tape
+      val ev = t(s, dir, "events")
+        .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("qty").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+      Stats.concentration(ev, Seq("day"), "event_type", col("qty"))
+        .orderBy("day")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -2203,6 +2215,24 @@ object SparkEntry {
         |  CAST(SUM(len(regexp_extract_all(text,
         |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+
+    "q112_volume_concentration" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |bk AS (
+        |  SELECT day, event_type, CAST(SUM(qty) AS BIGINT) AS w
+        |  FROM ev GROUP BY day, event_type)
+        |SELECT day, count(*) AS n_members,
+        |  CAST(SUM(w) AS BIGINT) AS total_weight,
+        |  CASE WHEN SUM(w) <> 0 THEN
+        |    CAST(SUM(CAST(CAST(w AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))
+        |        AS DECIMAL(38,0))) AS DOUBLE)
+        |      / (CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE))
+        |  END AS hhi
+        |FROM bk GROUP BY day ORDER BY day""".stripMargin,
 
     "q100_level_alerts" ->
       """WITH ev AS (

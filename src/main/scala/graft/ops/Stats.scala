@@ -322,6 +322,37 @@ object Stats {
         .as("corr"))
   }
 
+  /** Volume-concentration (Herfindahl–Hirschman) index per group: how
+    * concentrated activity is across `keyCol` members — HHI = Σ share²
+    * ∈ (1/k, 1], 1 when one member owns everything. Computed as
+    * (Σ wᵢ²) / (Σ wᵢ)² so both aggregates stay EXACT integers/decimals
+    * (a per-share quotient first would sum doubles, order-dependently);
+    * the single final division is bit-deterministic from exact inputs,
+    * hence emitted unrounded (the q107 discipline). The raw table
+    * shuffles once (per-member sums); the second aggregation reshuffles
+    * only the AGGREGATE-sized member frame. Zero-total groups are
+    * undefined (null), not a divide-by-zero.
+    */
+  def concentration(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                    weight: Column): DataFrame = {
+    require(groupCols.nonEmpty, "concentration requires a group column")
+    val byKey = df
+      .groupBy((groupCols :+ keyCol).map(col): _*)
+      .agg(sum(weight.cast("long")).as("_w"))
+    val sq = (col("_w").cast(DecimalType(19, 0)) *
+      col("_w").cast(DecimalType(19, 0))).cast(DecimalType(38, 0))
+    byKey.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("_w")).as("total_weight"),
+        sum(sq).as("_sumsq"))
+      .withColumn("hhi",
+        when(col("total_weight") =!= 0,
+          col("_sumsq").cast("double") /
+            (col("total_weight").cast("double") *
+              col("total_weight").cast("double"))))
+      .drop("_sumsq")
+  }
+
   /** TWAP (time-weighted average price) per group: each tick's price is
     * weighted by the microseconds until the NEXT tick in the group
     * (`lead` — one window pass), so a quote that stood for an hour

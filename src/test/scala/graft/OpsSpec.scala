@@ -388,6 +388,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got === Map("u" -> 3L, "r" -> 0L))
   }
 
+  test("concentration: monopoly day scores 1, even split 1/k, zero volume is null") {
+    val rows = Seq(
+      ("d1", "a", 10L), ("d1", "b", 0L), // monopoly: a owns everything
+      ("d2", "a", 5L), ("d2", "b", 5L), // even 2-way split → 0.5
+      ("d3", "a", 0L), ("d3", "b", 0L)) // no volume → undefined
+      .toDF("day", "sym", "qty")
+    val got = graft.ops.Stats.concentration(rows, Seq("day"), "sym", col("qty"))
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("d1") === ((2L, 10L, Some(1.0))))
+    assert(got("d2") === ((2L, 10L, Some(0.5))))
+    assert(got("d3") === ((2L, 0L, None)))
+  }
+
   test("corrMatrix: affine series correlate ±1, constant series are null, pairs emit once") {
     // b = 2a+1 (corr 1), c = -a (corr -1), d constant (undefined)
     val ticks = (1 to 8).flatMap { h =>
