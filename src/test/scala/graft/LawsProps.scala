@@ -345,6 +345,49 @@ object LawsProps extends Properties("graft.laws") {
       }
     }
 
+  private val sketchRows = Gen.nonEmptyListOf(Gen.zip(
+    Gen.oneOf("g1", "g2"), Gen.choose(0L, 30L)))
+
+  property("sketch rollup: sequential batch merges equal the one-shot sketch") =
+    forAll(sketchRows, Gen.choose(1, 3)) { (rows, nBatches) =>
+      import org.apache.spark.sql.functions.col
+      import graft.engine.Incremental
+      val batches = rows.grouped(math.max(1, rows.size / nBatches)).toSeq
+      val merged = batches.tail.foldLeft(
+        Incremental.sketchAgg(batches.head.toDF("grp", "user"),
+          Seq("grp"), col("user"))) { (acc, b) =>
+        Incremental.applySketchDelta(acc,
+          Incremental.sketchAgg(b.toDF("grp", "user"), Seq("grp"), col("user")),
+          Seq("grp"))
+      }
+      val got = Incremental.sketchEstimates(merged, Seq("grp"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // reference: exact row and distinct counts (tiny cardinalities are
+      // exact in HLL, so the estimate must equal the truth here)
+      val expect = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> ((rs.size.toLong, rs.map(_._2).distinct.size.toLong))
+      }
+      got == expect
+    }
+
+  property("skewReport: matches driver-side top-k counts, share, and imbalance") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 6)), Gen.choose(1, 4)) { (keys, k) =>
+      import org.apache.spark.sql.functions.col
+      val got = graft.ops.Joins.skewReport(
+          keys.map(i => (s"k$i", i)).toDF("key", "payload"), Seq("key"), k)
+        .select("key", "cnt", "rank", "share", "imbalance")
+        .as[(String, Long, Int, Double, Double)].collect().toSeq
+      val counts = keys.groupBy(i => s"k$i").view.mapValues(_.size.toLong).toMap
+      val total = keys.size.toDouble
+      val nkeys = counts.size.toLong
+      val expect = counts.toSeq.sortBy { case (key, c) => (-c, key) }.take(k)
+        .zipWithIndex.map { case ((key, c), i) =>
+          (key, c, i + 1, c / total, c.toDouble * nkeys / total)
+        }
+      got == expect
+    }
+
   private val tokenCorpus = Gen.nonEmptyListOf(
     Gen.oneOf((0 until 40).map(i => s"w$i")))
 
