@@ -6,7 +6,9 @@ Usage: python3 scripts/benchdiff.py <old.json> <new.json> [threshold]
   by more than 0.2 s absolute (sub-second timings jitter ±15% on a
   shared host — a 0.05 s -> 0.09 s move is noise, not a regression).
   Bench records a failed query as -1.0: a newly-failing query is always
-  flagged (exit 1), failed entries never enter ratios or totals.
+  flagged (exit 1), failed entries never enter ratios or totals. A query
+  present in old but missing from new ("GONE") also gates: dropping a
+  bench query shrinks the passing total and must be deliberate.
 """
 import json
 import sys
@@ -34,7 +36,10 @@ def main():
             print(f"FIXED    {q:<28} {new[q]:6.2f} s (was failing)")
         elif new[q] > old[q] * threshold and new[q] - old[q] > 0.2:
             slower.append((q, old[q], new[q]))
-    for q in sorted(set(old) - set(new)):
+    # a query dropped from the bench is a coverage regression, not noise:
+    # it shrinks the passing total and would otherwise slip past the gate
+    gone = sorted(set(old) - set(new))
+    for q in gone:
         print(f"GONE     {q:<28} (was {old[q]:.2f} s)")
     for q, o, n in sorted(slower, key=lambda t: t[1] - t[2]):
         ratio = f"{n / o:.1f}x" if o > 0 else "inf"
@@ -43,8 +48,9 @@ def main():
     tn = sum(v for v in new.values() if v >= 0)
     ratio = f"{tn / to:.2f}x" if to > 0 else "n/a"
     print(f"\ntotal (passing): {to:.1f} s -> {tn:.1f} s ({ratio}), "
-          f"{len(slower)} slower, {len(broke)} newly failing")
-    sys.exit(1 if slower or broke else 0)
+          f"{len(slower)} slower, {len(broke)} newly failing, "
+          f"{len(gone)} gone")
+    sys.exit(1 if slower or broke or gone else 0)
 
 
 if __name__ == "__main__":

@@ -688,6 +688,9 @@ object SparkEntry {
       // event_id%10=3, value-doubling updates at %10=7) — never a rescan
       // of the after table. The oracle aggregates the after state
       // directly, so a hash match proves the delta algebra is exact.
+      // All arithmetic is exact decimal; only the FINAL projection casts
+      // to double (the result-surface convention every query follows —
+      // a raw wide decimal in the dump compares rep-sensitively).
       val ev = t(s, dir, "events").filter(col("value").isNotNull)
         .select(col("event_id"), col("event_type"),
           col("value").cast("decimal(18,6)").as("value"))
@@ -702,7 +705,7 @@ object SparkEntry {
         Seq("total" -> col("value")))
       engine.Incremental.applyDelta(base, delta, Seq("event_type"), Seq("total"))
         .select(col("event_type"), col("n"),
-          col("total").cast("decimal(38,6)").as("total"))
+          col("total").cast("double").as("total"))
         .orderBy("event_type")
     }),
 
@@ -2001,11 +2004,11 @@ object SparkEntry {
         |  FROM events WHERE value IS NOT NULL),
         |market AS (
         |  SELECT bucket,
-        |    CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS DECIMAL(18,9)) AS m
+        |    CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS DECIMAL(21,9)) AS m
         |  FROM base GROUP BY bucket),
         |perkey AS (
         |  SELECT event_type, bucket,
-        |    CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS DECIMAL(18,9)) AS x
+        |    CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS DECIMAL(21,9)) AS x
         |  FROM base GROUP BY event_type, bucket),
         |s AS (
         |  SELECT p.event_type, COUNT(*) AS n,
@@ -2099,7 +2102,7 @@ object SparkEntry {
         |         THEN CAST(value * 2 AS DECIMAL(18,6)) ELSE value END AS value
         |  FROM ev)
         |SELECT event_type, count(*) AS n,
-        |  CAST(SUM(value) AS DECIMAL(38,6)) AS total
+        |  CAST(SUM(value) AS DOUBLE) AS total
         |FROM af GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q106_corr_matrix" ->
@@ -2109,7 +2112,7 @@ object SparkEntry {
         |  FROM events WHERE value IS NOT NULL),
         |perkey AS (
         |  SELECT event_type, bucket,
-        |    CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS DECIMAL(18,9)) AS x
+        |    CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS DECIMAL(21,9)) AS x
         |  FROM base GROUP BY event_type, bucket),
         |p AS (
         |  SELECT a.event_type AS key_a, b.event_type AS key_b,

@@ -158,13 +158,24 @@ object Incremental {
     * on the dimensions (both sides aggregate-sized), null-coalesced
     * sums, groups whose count nets to zero vanish — exactly the rows a
     * fresh [[groupAgg]] of the after-state would produce.
+    *
+    * Each merged measure (and `n`) is cast back to the BASE column's
+    * type: decimal addition otherwise widens precision by one on every
+    * merge (decimal(28,6) → (29,6) → …), so a rollup maintained across
+    * many commits would drift its schema version-to-version until the
+    * 38 cap and break [[Snapshots.changeFeed]]'s schema-equality check.
+    * The cast cannot overflow silently: values stay within the base
+    * type by the same argument that makes a fresh groupAgg fit it, and
+    * ANSI mode (Spark 4's default) errors loudly if one ever doesn't.
     */
   def applyDelta(base: DataFrame, delta: DataFrame, dims: Seq[String],
                  measureNames: Seq[String]): DataFrame = {
     val joined = base.join(delta, dims, "full_outer")
-    val n = coalesce(col("n"), lit(0L)) + coalesce(col("n_delta"), lit(0L))
+    val n = (coalesce(col("n"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+      .cast(base.schema("n").dataType)
     val meas = measureNames.map { m =>
-      (coalesce(col(m), lit(0)) + coalesce(col(s"${m}_delta"), lit(0))).as(m)
+      (coalesce(col(m), lit(0)) + coalesce(col(s"${m}_delta"), lit(0)))
+        .cast(base.schema(m).dataType).as(m)
     }
     joined
       .select(dims.map(col) ++ (n.as("n") +: meas): _*)

@@ -301,8 +301,11 @@ object Snapshots {
     * the predicate AND every assignment RHS evaluate against the
     * PRE-UPDATE row in one projection — assignments never see each
     * other's results, so `Map("a" -> col("b"), "b" -> col("a"))` swaps
-    * and assignment order is irrelevant. Copy-on-write like
-    * [[deleteWhere]]; returns (rows updated, new version).
+    * and assignment order is irrelevant. Each assignment RHS is cast to
+    * the EXISTING column's type (Delta UPDATE semantics) — an UPDATE
+    * must never change the table schema, or a later [[changeFeed]]
+    * spanning the versions refuses with "schemas differ". Copy-on-write
+    * like [[deleteWhere]]; returns (rows updated, new version).
     */
   def updateWhere(spark: SparkSession, path: String,
                   predicate: org.apache.spark.sql.Column,
@@ -319,7 +322,8 @@ object Snapshots {
       updated = cur.filter(hit).count()
       cur.select(cur.columns.toSeq.map { c =>
         assignments.get(c) match {
-          case Some(v) => when(hit, v).otherwise(cur(c)).as(c)
+          case Some(v) =>
+            when(hit, v.cast(cur.schema(c).dataType)).otherwise(cur(c)).as(c)
           case None => cur(c)
         }
       }: _*)

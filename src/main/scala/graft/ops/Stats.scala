@@ -235,8 +235,9 @@ object Stats {
 
   /** Per-instrument beta against the cross-instrument market mean: the
     * market series is the per-`bucket` mean of ALL instruments (exact
-    * decimal sum / count, presented once as a rounded DECIMAL(18,9) so
-    * both engines join the identical series), and beta follows the q54
+    * decimal sum / count, presented once as a rounded DECIMAL(21,9) so
+    * both engines join the identical series — 21 digits because a mean
+    * of DECIMAL(18,6) inputs can itself reach 1e12), and beta follows the q54
     * correlation discipline — per-(instrument,bucket) decimal power
     * sums, double only in the final slope formula
     * β = (n·Σxm − Σx·Σm) / (n·Σmm − (Σm)²).
@@ -254,12 +255,12 @@ object Stats {
       .agg(sum(col("v")).as("_ms"), count(lit(1)).as("_mn"))
       .select(col("bucket"),
         round(col("_ms").cast("double") / col("_mn"), 9)
-          .cast(DecimalType(18, 9)).as("m"))
+          .cast(DecimalType(21, 9)).as("m"))
     val perKey = base.groupBy(col(keyCol), col("bucket"))
       .agg(sum(col("v")).as("_xs"), count(lit(1)).as("_xn"))
       .select(col(keyCol), col("bucket"),
         round(col("_xs").cast("double") / col("_xn"), 9)
-          .cast(DecimalType(18, 9)).as("x"))
+          .cast(DecimalType(21, 9)).as("x"))
     val joined = perKey.join(broadcast(market), "bucket")
     val sums = joined.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
@@ -299,8 +300,12 @@ object Stats {
     val perKey = base.groupBy(col(keyCol), col("bucket"))
       .agg(sum(col("v")).as("_s"), count(lit(1)).as("_n"))
       .select(col(keyCol), col("bucket"),
+        // DECIMAL(21,9), not (18,9): input values are DECIMAL(18,6) (up
+        // to ~1e12), so a bucket MEAN can reach 1e12 too — 9 fractional
+        // digits then need 21 of precision or the cast overflows (ANSI
+        // error) on valid data. Oracle CTE mirrors the width.
         round(col("_s").cast("double") / col("_n"), 9)
-          .cast(DecimalType(18, 9)).as("x"))
+          .cast(DecimalType(21, 9)).as("x"))
     val a = perKey.select(col(keyCol).as("key_a"), col("bucket"),
       col("x").as("xa"))
     val b = perKey.select(col(keyCol).as("key_b"), col("bucket"),

@@ -124,13 +124,6 @@ object Windows {
       .select(col(keyCol), col("hour"), col("filled"), col("is_gap"))
   }
 
-  /** Longest run of strictly rising ticks per key — gaps-and-islands
-    * without generating island ids by subtraction-of-row-numbers: a
-    * cumulative count of NON-up ticks is constant exactly while a streak
-    * runs, so it IS the island id. Deltas in exact decimals (rising is a
-    * sign test — no float epsilon), two windows over one partition-by-
-    * key shuffle, then two hash aggs. Keys that never rise report 0.
-    */
   /** Longest underwater spell per key: the maximum number of
     * CONSECUTIVE ticks strictly below the running peak — drawdown
     * DURATION, the time-axis complement of [[graft.ops.Stats
@@ -157,6 +150,13 @@ object Windows {
       .agg(max(col("_len")).as("max_underwater_ticks"))
   }
 
+  /** Longest run of strictly rising ticks per key — gaps-and-islands
+    * without generating island ids by subtraction-of-row-numbers: a
+    * cumulative count of NON-up ticks is constant exactly while a streak
+    * runs, so it IS the island id. Deltas in exact decimals (rising is a
+    * sign test — no float epsilon), two windows over one partition-by-
+    * key shuffle, then two hash aggs. Keys that never rise report 0.
+    */
   def longestUpStreak(df: DataFrame, keyCol: String, orderCols: Seq[Column],
                       valueCol: Column): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
