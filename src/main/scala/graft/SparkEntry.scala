@@ -805,6 +805,36 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "q113_bollinger" -> ((s, dir) => {
+      // 20-tick Bollinger envelope + %B per instrument: derived map-side
+      // from q83's exact rolling moments — same single shuffle, bands on
+      // the rounded presentation values so both engines agree bit-for-bit
+      Stats.bollinger(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"),
+          window = 20, k = 2.0)
+        .select(col("event_id"), col("event_type"), col("bb_mid"),
+          col("bb_upper"), col("bb_lower"), col("pct_b"))
+        .orderBy("event_id")
+    }),
+
+    "q114_sharpe" -> ((s, dir) => {
+      // per-instrument Sharpe over tick returns: returns fixed as rounded
+      // decimals once (one map-side division), then exact power sums —
+      // one window shuffle, aggregation clusters on the same key
+      Stats.sharpe(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"))
+        .orderBy("event_type")
+    }),
+
+    "q115_return_autocorr" -> ((s, dir) => {
+      // lag-1 autocorrelation of tick returns (momentum vs reversion):
+      // q54's power-sum Pearson over (r_t, r_{t-1}) pairs; both window
+      // passes and the aggregation ride one partition-by-key shuffle
+      Stats.returnAutocorr(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"))
+        .orderBy("event_type")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -2236,6 +2266,94 @@ object SparkEntry {
         |      / (CAST(SUM(w) AS DOUBLE) * CAST(SUM(w) AS DOUBLE))
         |  END AS hhi
         |FROM bk GROUP BY day ORDER BY day""".stripMargin,
+
+    "q113_bollinger" ->
+      """WITH w AS (
+        |  SELECT event_id, event_type, CAST(value AS DECIMAL(18,6)) AS v,
+        |    COUNT(*) OVER fr AS n,
+        |    SUM(CAST(value AS DECIMAL(18,6))) OVER fr AS s1,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)) AS DECIMAL(38,12))) OVER fr AS s2
+        |  FROM events WHERE value IS NOT NULL
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |m AS (
+        |  SELECT event_id, event_type, v,
+        |    round(CAST(s1 AS DOUBLE) / n, 6) AS mean,
+        |    CASE WHEN n > 1 THEN
+        |      round(sqrt(greatest(0.0,
+        |        (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))), 6) END AS std
+        |  FROM w),
+        |b AS (
+        |  SELECT event_id, event_type, v, mean,
+        |    CASE WHEN std IS NOT NULL THEN round(mean + 2.0 * std, 6) END AS up,
+        |    CASE WHEN std IS NOT NULL THEN round(mean - 2.0 * std, 6) END AS lo,
+        |    std
+        |  FROM m)
+        |SELECT event_id, event_type, mean AS bb_mid, up AS bb_upper,
+        |  lo AS bb_lower,
+        |  CASE WHEN std > 0 THEN
+        |    round((CAST(v AS DOUBLE) - lo) / (up - lo), 6) END AS pct_b
+        |FROM b ORDER BY event_id""".stripMargin,
+
+    "q114_sharpe" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+        |    lag(CAST(value AS DECIMAL(18,6))) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS pv
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type,
+        |    CASE WHEN pv > 0 THEN CAST(round(
+        |      CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9) AS DECIMAL(21,9))
+        |    END AS r
+        |  FROM b),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n_returns, SUM(r) AS s1,
+        |    SUM(CAST(r * r AS DECIMAL(38,18))) AS s2
+        |  FROM r WHERE r IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_returns,
+        |  round(CAST(s1 AS DOUBLE) / n_returns, 9) AS mean_return,
+        |  CASE WHEN n_returns > 1 AND greatest(0.0,
+        |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_returns)
+        |        / (n_returns - 1)) > 0
+        |    THEN round((CAST(s1 AS DOUBLE) / n_returns) / sqrt(greatest(0.0,
+        |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_returns)
+        |        / (n_returns - 1))), 6) END AS sharpe
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q115_return_autocorr" ->
+      """WITH b AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |    lag(CAST(value AS DECIMAL(18,6))) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS pv
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, ts, event_id,
+        |    CASE WHEN pv > 0 THEN CAST(round(
+        |      CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9) AS DECIMAL(21,9))
+        |    END AS r
+        |  FROM b),
+        |p AS (
+        |  SELECT event_type, r, lag(r) OVER (
+        |    PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS rp
+        |  FROM r),
+        |f AS (SELECT event_type, r, rp FROM p
+        |      WHERE r IS NOT NULL AND rp IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n_pairs,
+        |    SUM(r) AS sx, SUM(rp) AS sy,
+        |    SUM(CAST(r * rp AS DECIMAL(38,18))) AS sxy,
+        |    SUM(CAST(r * r AS DECIMAL(38,18))) AS sxx,
+        |    SUM(CAST(rp * rp AS DECIMAL(38,18))) AS syy
+        |  FROM f GROUP BY event_type)
+        |SELECT event_type, n_pairs,
+        |  CASE WHEN n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        |        AND n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+        |    THEN round((n_pairs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |      sqrt((n_pairs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |           (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS autocorr
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q100_level_alerts" ->
       """WITH ev AS (

@@ -167,6 +167,37 @@ object Stats {
       .drop("_s1", "_s2", "_n")
   }
 
+  /** Bollinger bands per instrument: the trailing-window mean ± k·std
+    * envelope plus %B = (price − lower)/(upper − lower), the normalized
+    * band position traders act on (0 = at lower band, 1 = at upper).
+    * Pure composition over [[rollingStats]] — the bands are derived
+    * map-side from the already-exact rolling moments, so the whole
+    * operator still rides rollingStats' single partition-by-key shuffle
+    * and adds zero new passes. Band arithmetic runs on the ROUNDED
+    * mean/std (6 dp presentation values): two engines that agree on the
+    * moments then agree bit-for-bit on the bands, which keeps the
+    * oracle exact without widening any decimal. Rows whose frame has no
+    * sample std (first tick) or zero width (flat window — %B undefined)
+    * emit NULL bands/%B rather than a divide-by-zero.
+    */
+  def bollinger(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                valueCol: Column, window: Int, k: Double = 2.0): DataFrame = {
+    require(k > 0, s"band width multiple must be positive, got $k")
+    val vd = valueCol.cast(DecimalType(18, 6)).cast("double")
+    rollingStats(df, keyCol, orderCols, valueCol, window)
+      .withColumn("bb_mid", col("roll_mean"))
+      .withColumn("bb_upper",
+        when(col("roll_std").isNotNull,
+          round(col("roll_mean") + lit(k) * col("roll_std"), 6)))
+      .withColumn("bb_lower",
+        when(col("roll_std").isNotNull,
+          round(col("roll_mean") - lit(k) * col("roll_std"), 6)))
+      .withColumn("pct_b",
+        when(col("roll_std") > 0,
+          round((vd - col("bb_lower")) /
+            (col("bb_upper") - col("bb_lower")), 6)))
+  }
+
   /** RSI (relative strength index) per instrument over a trailing
     * `period`-tick frame: tick-over-tick deltas split into gains and
     * losses, RSI = 100·Σgain / (Σgain + Σloss) — algebraically
@@ -272,6 +303,86 @@ object Stats {
       when(col("n") * d("smm") - d("sm") * d("sm") > 0,
         round((col("n") * d("sxm") - d("sx") * d("sm")) /
           (col("n") * d("smm") - d("sm") * d("sm")), 6)).as("beta"))
+  }
+
+  /** Tick-over-tick simple return per row, as a ROUNDED DECIMAL(21,9):
+    * (v − prev)/prev computed in double (one map-side division —
+    * deterministic per row on any cluster), rounded to 9 dp and fixed
+    * as a decimal so every DOWNSTREAM aggregate over returns is an
+    * exact order-independent power sum (the [[betaVsMarket]] bucket-
+    * mean trick applied to the return series). First tick of a key and
+    * ticks following a non-positive price (return undefined) are NULL.
+    * Shares the caller's partition-by-key window — no extra shuffle.
+    */
+  private def tickReturn(w: org.apache.spark.sql.expressions.WindowSpec,
+                         valueCol: Column): Column = {
+    val v = valueCol.cast(DecimalType(18, 6))
+    val prev = lag(v, 1).over(w)
+    when(prev > 0,
+      round((v - prev).cast("double") / prev.cast("double"), 9)
+        .cast(DecimalType(21, 9)))
+  }
+
+  /** Per-instrument Sharpe ratio over tick returns: mean(r)/std(r), the
+    * risk-adjusted-return summary every desk report leads with (Sharpe
+    * 1966; rf = 0 — subtracting a constant risk-free return is a caller
+    * concern). Returns via [[tickReturn]] (exact decimals after one
+    * rounded division), then ONE hash aggregation of exact power sums
+    * per instrument — n, Σr, Σr² — and the only double math is the
+    * final guarded quotient, rounded to 6 dp. Keys with fewer than two
+    * returns or zero variance have no defined ratio ⇒ NULL, not a
+    * divide-by-zero. Plan: one window shuffle by key, the aggregation
+    * clusters on the same key — AQE rides the existing partitioning.
+    */
+  def sharpe(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+             valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val sums = df.withColumn("_r", tickReturn(w, valueCol))
+      .filter(col("_r").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_returns"),
+        sum(col("_r")).as("_s1"),
+        sum((col("_r") * col("_r")).cast(DecimalType(38, 18))).as("_s2"))
+    val s1d = col("_s1").cast("double")
+    val varExpr = greatest(lit(0.0),
+      (col("_s2").cast("double") - s1d * s1d / col("n_returns")) /
+        (col("n_returns") - 1))
+    sums.select(col(keyCol), col("n_returns"),
+      round(s1d / col("n_returns"), 9).as("mean_return"),
+      when(col("n_returns") > 1 && varExpr > 0,
+        round((s1d / col("n_returns")) / sqrt(varExpr), 6)).as("sharpe"))
+  }
+
+  /** Lag-1 autocorrelation of tick returns per instrument — the
+    * momentum/mean-reversion diagnostic (positive: trends persist;
+    * negative: reverts). Pearson correlation of (rₜ, rₜ₋₁) pairs in the
+    * q54 power-sum discipline: both series are [[tickReturn]] decimals,
+    * the five sums (Σx, Σy, Σxy, Σx², Σy²) are exact and order-
+    * independent, doubles appear only in the final guarded quotient.
+    * Two window passes (return, then its lag) share ONE partition-by-
+    * key shuffle; the aggregation clusters on the same key. Pairs where
+    * either return is NULL (first two ticks, undefined returns) drop
+    * out, exactly as SQL corr() skips null pairs.
+    */
+  def returnAutocorr(df: DataFrame, keyCol: String,
+                     orderCols: Seq[Column], valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val pairs = df.withColumn("_r", tickReturn(w, valueCol))
+      .withColumn("_rp", lag(col("_r"), 1).over(w))
+      .filter(col("_r").isNotNull && col("_rp").isNotNull)
+    val sums = pairs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_r")).as("sx"), sum(col("_rp")).as("sy"),
+        sum((col("_r") * col("_rp")).cast(DecimalType(38, 18))).as("sxy"),
+        sum((col("_r") * col("_r")).cast(DecimalType(38, 18))).as("sxx"),
+        sum((col("_rp") * col("_rp")).cast(DecimalType(38, 18))).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val dx = col("n_pairs") * d("sxx") - d("sx") * d("sx")
+    val dy = col("n_pairs") * d("syy") - d("sy") * d("sy")
+    sums.select(col(keyCol), col("n_pairs"),
+      when(dx > 0 && dy > 0,
+        round((col("n_pairs") * d("sxy") - d("sx") * d("sy")) /
+          sqrt(dx * dy), 6)).as("autocorr"))
   }
 
   /** Pairwise correlation matrix across instruments over bucket-aligned

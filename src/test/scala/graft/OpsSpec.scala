@@ -291,6 +291,57 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) === 26.875)   // frame slides: 20 → 22.5 → 26.875
   }
 
+  test("bollinger: bands at mean ± k·std, %B positions the price, flat frame has no %B") {
+    import org.apache.spark.sql.functions.col
+    // a: [1,2,3] window 3 → at seq 3 mean 2, sample std 1, k=2 bands [0,4],
+    // %B = (3-0)/4; b flat → std 0 → degenerate bands, %B undefined
+    val ticks = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+        ("b", 1L, 5.0), ("b", 2L, 5.0), ("b", 3L, 5.0))
+      .toDF("sym", "seq", "price")
+    val got = Stats.bollinger(ticks, "sym", Seq(col("seq")), col("price"),
+        window = 3, k = 2.0)
+      .select("sym", "seq", "bb_mid", "bb_upper", "bb_lower", "pct_b")
+      .as[(String, Long, Double, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got(("a", 3L)) === ((2.0, Some(4.0), Some(0.0), Some(0.75))))
+    assert(got(("a", 1L)) === ((1.0, None, None, None))) // one-row frame
+    assert(got(("b", 3L)) === ((5.0, Some(5.0), Some(5.0), None))) // flat
+  }
+
+  test("sharpe: symmetric returns score 0, a single return has no ratio") {
+    import org.apache.spark.sql.functions.col
+    // a: 100→110→99 gives returns +0.1, -0.1 (exact at 9 dp): mean 0 ⇒
+    // sharpe 0; b has one return ⇒ NULL ratio; c's first price is 0 so
+    // its only return is undefined ⇒ c absent entirely
+    val ticks = Seq(("a", 1L, 100.0), ("a", 2L, 110.0), ("a", 3L, 99.0),
+        ("b", 1L, 100.0), ("b", 2L, 100.0), ("c", 1L, 0.0), ("c", 2L, 5.0))
+      .toDF("sym", "seq", "price")
+    val got = Stats.sharpe(ticks, "sym", Seq(col("seq")), col("price"))
+      .select("sym", "n_returns", "mean_return", "sharpe")
+      .as[(String, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") === ((2L, 0.0, Some(0.0))))
+    assert(got("b") === ((1L, 0.0, None)))
+    assert(!got.contains("c"))
+  }
+
+  test("returnAutocorr: alternating returns are -1, constant returns undefined") {
+    import org.apache.spark.sql.functions.col
+    // a: 100,200,100,200,100 → returns 1,-0.5,1,-0.5 — perfectly
+    // alternating ⇒ lag-1 autocorr −1 over 3 pairs; b: steady +10%
+    // growth ⇒ zero return variance ⇒ NULL
+    val ticks = Seq(("a", 1L, 100.0), ("a", 2L, 200.0), ("a", 3L, 100.0),
+        ("a", 4L, 200.0), ("a", 5L, 100.0),
+        ("b", 1L, 100.0), ("b", 2L, 110.0), ("b", 3L, 121.0))
+      .toDF("sym", "seq", "price")
+    val got = Stats.returnAutocorr(ticks, "sym", Seq(col("seq")), col("price"))
+      .select("sym", "n_pairs", "autocorr")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(("a")) === ((3L, Some(-1.0))))
+    assert(got(("b")) === ((1L, None)))
+  }
+
   test("betaVsMarket: self-identical series has beta 1, scaled series scales beta") {
     import org.apache.spark.sql.functions.col
     // two instruments: b moves 2× a. market m_t = (a_t + b_t)/2 = 1.5·a_t

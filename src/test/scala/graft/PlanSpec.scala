@@ -214,6 +214,16 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
+  test("q113/q114/q115: Bollinger, Sharpe and autocorr ride ONE hash Exchange") {
+    // all three derive from per-key window passes whose partitioning the
+    // downstream aggregation reuses — a second Exchange would mean the
+    // return series re-shuffles at 100 TB for no reason
+    for (q <- Seq("q113_bollinger", "q114_sharpe", "q115_return_autocorr")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, s"$q: $p")
+    }
+  }
+
   test("q93: the bloom pre-filter sits in the scan-side plan before the join") {
     val p = plan("q93_bloom_decontaminate")
     // might_contain applied as a Filter (inside codegen), and the exact
