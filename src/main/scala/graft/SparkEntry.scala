@@ -835,6 +835,26 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "q116_canonical_docs" -> ((s, dir) => {
+      // dedup with a brain: q63's transitive clusters, but the kept doc
+      // is the argmax-token-count member (min id on ties) — the drop
+      // list IS the dedup delete set a curation pipeline applies
+      text.Clusters.canonicalByQuality(t(s, dir, "documents"), "doc_id",
+          "text", size(text.TextStats.tokens(col("text"))).cast("long"),
+          shingleN = 5, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    "q117_inverted_index" -> ((s, dir) => {
+      // corpus search structure: per-token document frequency + ordered
+      // posting list, postings capped PRE-aggregation (row_number over
+      // the token partition) so a stop-word's list can't OOM a buffer;
+      // df still counts every doc and `truncated` marks capped tokens
+      text.TextStats.invertedIndex(t(s, dir, "documents"), "doc_id",
+          "text", minDf = 10, maxPostings = 20)
+        .orderBy("token")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -2354,6 +2374,41 @@ object SparkEntry {
         |           (n_pairs * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  END AS autocorr
         |FROM s ORDER BY event_type""".stripMargin,
+
+    "q116_canonical_docs" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$jacPairsCte,
+        |$ccWalkCte,
+        |cl AS (SELECT node AS doc_id, MIN(comp) AS cluster_id
+        |       FROM walk GROUP BY node),
+        |q AS (SELECT doc_id,
+        |        CAST(len(regexp_split_to_array(
+        |          trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+        |          AS quality
+        |      FROM documents),
+        |r AS (
+        |  SELECT cl.doc_id, cl.cluster_id, q.quality,
+        |    COUNT(*) OVER (PARTITION BY cl.cluster_id) AS cluster_size,
+        |    row_number() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY q.quality DESC, cl.doc_id ASC) AS rn
+        |  FROM cl JOIN q USING (doc_id))
+        |SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  quality, rn = 1 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q117_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, unnest(w) AS token FROM toks),
+        |g AS (
+        |  SELECT token, COUNT(*) AS df,
+        |    list_slice(list(doc_id ORDER BY doc_id ASC), 1, 20) AS postings
+        |  FROM dt GROUP BY token)
+        |SELECT token, CAST(df AS BIGINT) AS df, df > 20 AS truncated,
+        |  postings
+        |FROM g WHERE df >= 10 ORDER BY token""".stripMargin,
 
     "q100_level_alerts" ->
       """WITH ev AS (

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate CLUSTERING for corpus curation: pairwise near-dup
@@ -159,6 +159,37 @@ object Clusters {
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
+  /** Quality-aware canonical selection per duplicate cluster: where
+    * [[dupClusters]] marks the min-id member canonical (cheap but
+    * arbitrary), this keeps the BEST member — argmax `quality`, min
+    * doc id on ties — which is what a curation pipeline actually wants
+    * (near-dup groups usually contain truncated/boilerplate variants;
+    * keeping the longest or highest-scoring one preserves the most
+    * signal; cf. the keep-longest convention in public dedup pipelines).
+    * Emits every doc with its cluster, the cluster size, its quality,
+    * and the keep/drop verdict — the drop list IS the dedup delete set.
+    *
+    * Cost over dupClusters: one key-join of the cluster assignment with
+    * the per-doc quality (both doc-sized), then rank + size windows
+    * sharing ONE partition-by-cluster shuffle. No new corpus passes.
+    */
+  def canonicalByQuality(df: DataFrame, idCol: String, textCol: String,
+                         quality: Column, shingleN: Int = 5,
+                         threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(df, idCol, textCol, shingleN, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val scored = df.select(col(idCol).cast("long").as("doc_id"),
+      quality.as("quality"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val rank = byCluster.orderBy(col("quality").desc, col("doc_id").asc)
+    clusters.join(scored, Seq("doc_id"))
+      .withColumn("cluster_size", count(lit(1)).over(byCluster))
+      .withColumn("keep", row_number().over(rank) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality"), col("keep"))
   }
 
   /** Fixed-iteration PageRank over a directed edge list — the standard

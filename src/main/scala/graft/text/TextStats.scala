@@ -165,6 +165,44 @@ object TextStats {
     * column pruning makes them cheap, and nothing driver-side grows
     * with data volume.
     */
+  /** Inverted index over the corpus: one row per distinct token with
+    * its document frequency and a doc-id-ordered posting list — the
+    * structure a corpus search / contamination-lookup service reads.
+    *
+    * Scale posture: the posting list of a stop-word is the whole corpus
+    * (billions of ids in ONE aggregation buffer at 100 TB — a hot-key
+    * OOM, and useless for search anyway), so postings are capped at
+    * `maxPostings` ids BEFORE collection: a row_number over the token
+    * partition keeps the first `maxPostings` doc ids and the filter
+    * runs pre-aggregation, bounding every buffer. `df` still counts ALL
+    * docs (computed as a count over the same window — both window
+    * passes and the final collect share ONE token-hash Exchange), and
+    * `truncated` flags capped tokens so a reader can't mistake a capped
+    * list for a complete one. `minDf` prunes the hapax tail (typos,
+    * URLs — the vast majority of a web-scale vocabulary) AFTER the
+    * window pass, so it bounds output size, not the shuffle; see
+    * [[heavyHitters]] for the sketch-prefiltered variant when even the
+    * vocabulary-sized shuffle must shrink.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1, maxPostings: Int = 1000): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(maxPostings >= 1, s"maxPostings must be >= 1, got $maxPostings")
+    import org.apache.spark.sql.expressions.Window
+    val byTok = Window.partitionBy(col("token"))
+    val dt = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(tokens(lower(col(textCol))))).as("token"))
+    dt.withColumn("df", count(lit(1)).over(byTok))
+      .withColumn("_rn", row_number().over(byTok.orderBy(col("doc_id").asc)))
+      .filter(col("_rn") <= maxPostings)
+      .groupBy(col("token"))
+      .agg(first(col("df")).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .filter(col("df") >= minDf)
+      .withColumn("truncated", col("df") > maxPostings)
+      .select(col("token"), col("df"), col("truncated"), col("postings"))
+  }
+
   def heavyHitters(df: DataFrame, tokensCol: Column, minCount: Long,
                    eps: Double = 0.001, confidence: Double = 0.99,
                    seed: Int = 42): DataFrame = {

@@ -224,6 +224,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q117: inverted index — both window passes and the collect share one hash Exchange") {
+    // df-count window, posting-cap row_number, and the collect_list all
+    // cluster on the token key; a second hash Exchange would re-shuffle
+    // the exploded (doc, token) pairs — the largest frame in the query
+    val p = plan("q117_inverted_index")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
   test("q93: the bloom pre-filter sits in the scan-side plan before the join") {
     val p = plan("q93_bloom_decontaminate")
     // might_contain applied as a Filter (inside codegen), and the exact

@@ -83,6 +83,52 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("canonicalByQuality keeps the argmax-quality member, min id on ties") {
+    // docs 1,2,4 cluster (exact dup 1=4, near-dup 2); doc 2 carries one
+    // EXTRA word (14 tokens vs 13), so the NEAR-DUP wins the cluster —
+    // where dupClusters' min-id rule would keep doc 1; 3 is a singleton
+    val qdocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today tonight"),
+      (3L, "completely different words about spark query engines and shuffles here"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again today")
+    ).toDF("doc_id", "text")
+    val got = graft.text.Clusters.canonicalByQuality(qdocs, "doc_id", "text",
+        size(TextStats.tokens(col("text"))).cast("long"), 3, 0.5)
+      .select("doc_id", "cluster_id", "cluster_size", "quality", "keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(2L) === ((2L, 1L, 3L, 14L, true)))  // best quality wins
+    assert(got(1L) === ((1L, 1L, 3L, 13L, false))) // min id, but shorter
+    assert(got(4L) === ((4L, 1L, 3L, 13L, false)))
+    assert(got(3L) === ((3L, 3L, 1L, 10L, true)))  // singleton keeps itself
+  }
+
+  test("canonicalByQuality tiebreak: equal quality keeps the smaller doc id") {
+    val tie = Seq((7L, "same words exactly here"), (9L, "same words exactly here"))
+      .toDF("doc_id", "text")
+    val got = graft.text.Clusters.canonicalByQuality(tie, "doc_id", "text",
+        size(TextStats.tokens(col("text"))).cast("long"), 3, 0.5)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got(7L) === true && got(9L) === false)
+  }
+
+  test("invertedIndex: df counts all docs, postings cap pre-aggregation, minDf prunes") {
+    val corpus = Seq(
+      (10L, "alpha beta"), (11L, "alpha beta"), (12L, "alpha gamma"),
+      (13L, "alpha delta")).toDF("doc_id", "text")
+    val got = TextStats.invertedIndex(corpus, "doc_id", "text",
+        minDf = 2, maxPostings = 3)
+      .select("token", "df", "truncated", "postings")
+      .as[(String, Long, Boolean, Seq[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // alpha: df 4 > cap 3 → truncated, postings = 3 SMALLEST ids, sorted
+    assert(got("alpha") === (("alpha", 4L, true, Seq(10L, 11L, 12L))))
+    assert(got("beta") === (("beta", 2L, false, Seq(10L, 11L))))
+    // gamma/delta: df 1 < minDf → pruned
+    assert(!got.contains("gamma") && !got.contains("delta"))
+  }
+
   test("token count collapses repeated whitespace") {
     val df = Seq(("  a   b \t c  ")).toDF("text")
     assert(df.select(TextStats.tokenCount(col("text"))).as[Int].head() === 3)
