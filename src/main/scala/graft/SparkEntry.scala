@@ -855,6 +855,15 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    "q118_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup: stride centroids → broadcast argmax assignment →
+      // within-cluster-only cosine pairs (Σ cluster², never n²) →
+      // drop every doc with a smaller-id near-dup in its cluster
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+          "embedding", nCentroids = 8, threshold = 0.4)
+        .orderBy("vec_id")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -2409,6 +2418,35 @@ object SparkEntry {
         |SELECT token, CAST(df AS BIGINT) AS df, df > 20 AS truncated,
         |  postings
         |FROM g WHERE df >= 10 ORDER BY token""".stripMargin,
+
+    "q118_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
+        |u AS (SELECT * FROM n WHERE nn > 0),
+        |cents AS (
+        |  SELECT vec_id AS cid, v AS cv, nn AS cn FROM u
+        |  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 8),
+        |scored AS (
+        |  SELECT u.vec_id, u.v, u.nn, c.cid,
+        |    list_dot_product(u.v, c.cv) / (u.nn * c.cn) AS cs
+        |  FROM u, cents c),
+        |asg AS (
+        |  SELECT vec_id, v, nn, cid AS cluster FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |drp AS (
+        |  SELECT DISTINCT b.vec_id FROM asg a
+        |  JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) >= 0.4)
+        |SELECT e.vec_id, asg.cluster,
+        |  drp.vec_id IS NULL AS keep
+        |FROM e
+        |LEFT JOIN asg ON asg.vec_id = e.vec_id
+        |LEFT JOIN drp ON drp.vec_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     "q100_level_alerts" ->
       """WITH ev AS (

@@ -200,6 +200,70 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then mark
+    * near-duplicates ONLY within each cluster — Σ cluster² cosine pairs
+    * instead of n², the trick that makes embedding dedup affordable at
+    * corpus scale (cross-cluster pairs are below threshold by
+    * construction when clusters are tight; the paper accepts that
+    * recall trade). Clusters come from the deterministic stride
+    * centroids + broadcast argmax assignment ([[ivfAssign]]'s shape,
+    * inlined so each vector carries its norm to the pair join without a
+    * re-join). Keep rule: a doc is DROPPED iff a SMALLER-ID doc in its
+    * cluster has cosine ≥ threshold — the parallel, order-independent
+    * simplification of the paper's keep-one-per-group (their
+    * farthest-from-centroid pick needs a second argmax pass and buys
+    * nothing for exactness; min-id is engine-reproducible, the
+    * [[graft.text.Dedup]] convention).
+    *
+    * Zero vectors have no cosine direction: they skip clustering and
+    * pairing entirely and come back `keep = true, cluster = null` (a
+    * doc that cannot be similar to anything cannot be a duplicate).
+    *
+    * Hot-cluster guard: one cluster holding m vectors costs m²/2 pairs
+    * — any cluster above `maxCluster` refuses with the offenders named
+    * (fix: more centroids), the same refuse-don't-melt posture as
+    * [[knnGraphBucketed]].
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, threshold: Double,
+                    maxCluster: Long = 100000L): DataFrame = {
+    val u = normed(emb, idCol, vecCol).persist()
+    val cents = centroids(emb, idCol, vecCol, nCentroids)
+      .withColumn("_cn", sqrt(dot(col("centroid_vec"), col("centroid_vec"))))
+    val asg = u.crossJoin(broadcast(cents))
+      .withColumn("_cos",
+        dot(col("v"), col("centroid_vec")) / (col("n") * col("_cn")))
+      .groupBy(col("id"))
+      .agg(max(struct(col("_cos").as("c"), col("centroid_id").as("cid")))
+          .getField("cid").as("cluster"),
+        first(col("v")).as("v"), first(col("n")).as("n"))
+      .persist()
+    val hot = asg.groupBy("cluster").count()
+      .filter(col("count") > maxCluster)
+      .orderBy(col("count").desc).limit(5)
+      .collect().map(r => s"${r.get(0)}=${r.getLong(1)}")
+    require(hot.isEmpty,
+      s"semanticDedup: cluster(s) above maxCluster=$maxCluster " +
+        s"(${hot.mkString(", ")}); pairs grow with the square of the " +
+        "largest cluster — raise nCentroids to split them")
+    val a = asg.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("_va"), col("n").as("_na"))
+    val b = asg.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("_vb"), col("n").as("_nb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(dot(col("_va"), col("_vb")) /
+        (col("_na") * col("_nb")), 6) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("_dup", lit(true))
+    emb.select(col(idCol).cast("long").as("id"))
+      .join(asg.select(col("id"), col("cluster")), Seq("id"), "left")
+      .join(dropped, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        coalesce(col("_dup"), lit(false)) === lit(false) as "keep")
+  }
+
   /** Bucketed exact k-NN graph: for every vector, its k nearest
     * neighbours BY COSINE within its bucket (an IVF cluster id, LSH
     * band, or any partition key). This is how ANN graphs are built at

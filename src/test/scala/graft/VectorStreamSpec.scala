@@ -507,6 +507,49 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("embedNearDupLsh"))
   }
 
+  test("semanticDedup drops ONLY within-cluster smaller-id near-dups; subset of exact pairs") {
+    // id 0 is the stride centroid seed; near-dups of a smaller id in the
+    // SAME cluster drop, a cross-cluster near-identical pair survives
+    // because SemDeDup never compares across clusters
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exactPairs = Similarity.embedNearDup(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sem = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nCentroids = 4, threshold = 0.4)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(sem.size === emb.count()) // every doc verdicts exactly once
+    val droppedIds = sem.collect { case (id, false) => id }.toSet
+    // every dropped doc really has a smaller-id exact near-dup (the
+    // within-cluster restriction can only REDUCE drops, never invent one)
+    droppedIds.foreach { d =>
+      assert(exactPairs.exists { case (a, b) => b == d && a < d },
+        s"doc $d dropped without an exact near-dup witness")
+    }
+  }
+
+  test("semanticDedup: zero vector keeps with null cluster; hot cluster refuses") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (31L, Seq(0.0f, 1.0f)),       // stride centroids
+      (1L, Seq(2.0f, 0.01f)),                              // near-dup of 0's direction
+      (2L, Seq(0.0f, 0.0f))                                // zero vector
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        nCentroids = 2, threshold = 0.95)
+      .select("vec_id", "cluster", "keep")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(2L) === ((None, true)))        // no direction, never a dup
+    assert(got(0L) === ((Some(0L), true)))    // smallest id in its cluster
+    assert(got(1L)._1 === Some(0L))
+    assert(got(1L)._2 === false)              // cos(0,1) ≈ 0.999 ≥ 0.95
+    assert(got(31L) === ((Some(31L), true)))  // own cluster, alone
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        nCentroids = 2, threshold = 0.95, maxCluster = 1L)
+    }
+    assert(e.getMessage.contains("nCentroids"))
+  }
+
   test("file-source streaming: parquet readStream through the tumbling agg") {
     val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
     Seq(
