@@ -277,6 +277,71 @@ object EventStream {
       }
   }
 
+  case class BollState(values: List[Long])
+  case class BollTick(key: String, seq: Long, value: Double, roll_n: Long,
+                      bb_mid: Double, bb_upper: Option[Double],
+                      bb_lower: Option[Double], pct_b: Option[Double])
+
+  /** Per-instrument Bollinger bands on the live path: streaming state =
+    * the trailing `window` values per key — exactly the batch frame
+    * ([[graft.ops.Stats.bollinger]]'s ROWS BETWEEN window-1 PRECEDING)
+    * maintained incrementally, so the stream agrees with the batch
+    * operator tick-for-tick (spec'd). Rows fold in `seqCol` order
+    * within each micro-batch; null ticks drop as in [[ewmaStream]].
+    * State per key = `window` longs.
+    *
+    * Numerics contract (the [[rsiStream]] discipline): values quantize
+    * through DECIMAL(18,6) and live as exact 1e-6 integer units in
+    * state; the power sums Σv and Σv² run in `BigInt` (a squared
+    * full-range DECIMAL(18,6) micro-value overflows a Long), convert to
+    * the SAME doubles the batch side's decimal→double casts produce
+    * (both correctly rounded), and every rounding step replays the
+    * batch formula shape — mean, std, bands at 6 dp, %B only when the
+    * window has spread.
+    */
+  def bollingerStream(spark: SparkSession, ticks: DataFrame, keyCol: String,
+                      seqCol: String, valueCol: String,
+                      window: Int = 20, k: Double = 2.0): Dataset[BollTick] = {
+    import spark.implicits._
+    require(window > 0, s"window must be positive, got $window")
+    require(k > 0, s"band width multiple must be positive, got $k")
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    ticks.select(col(keyCol).cast("string").as("k"),
+        col(seqCol).cast("long").as("seq"),
+        col(valueCol).cast("decimal(18,6)").as("v"))
+      .filter(col("k").isNotNull && col("seq").isNotNull && col("v").isNotNull)
+      .as[(String, Long, BigDecimal)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BollState, BollTick](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var st = state.getOption.getOrElse(BollState(Nil))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, seq, v) =>
+            val vm = (v * 1000000).toLongExact
+            val vals = (st.values :+ vm).takeRight(window)
+            st = BollState(vals)
+            val n = vals.size
+            // exact integer power sums → the same correctly-rounded
+            // doubles the batch side's decimal casts yield
+            val s1d = (BigDecimal(vals.map(BigInt(_)).sum) / 1000000).toDouble
+            val s2d = (BigDecimal(vals.map(m => BigInt(m) * BigInt(m)).sum) /
+              BigDecimal(1000000000000L)).toDouble
+            val mean = r6(s1d / n)
+            val std = if (n > 1)
+              Some(r6(math.sqrt(math.max(0.0,
+                (s2d - s1d * s1d / n) / (n - 1))))) else None
+            val up = std.map(s => r6(mean + k * s))
+            val lo = std.map(s => r6(mean - k * s))
+            val pctB = std.filter(_ > 0).map { _ =>
+              r6((v.toDouble - lo.get) / (up.get - lo.get)) }
+            BollTick(key, seq, v.toDouble, n.toLong, mean, up, lo, pctB)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // accumulators as decimal STRINGS: Spark's state encoder caps a
   // BigDecimal field at DECIMAL(38,18), which a running Σp·q of valid
   // DECIMAL(18,6) ticks can overflow (p·q alone reaches ~1e24); the

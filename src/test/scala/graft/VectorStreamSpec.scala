@@ -402,6 +402,41 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(got(("a", 2L))._2 === None) // zero quantized delta ⇒ undefined
   }
 
+  test("bollingerStream matches the batch bands tick-for-tick across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // window 3 over 6 ticks with a batch split mid-frame: the value
+    // deque must carry across micro-batches; b's single tick has no
+    // sample std ⇒ no bands, as in batch
+    val ticks = Seq(("a", 1L, 10.0), ("a", 2L, 12.5), ("a", 3L, 11.25),
+      ("a", 4L, 15.0), ("a", 5L, 14.125), ("a", 6L, 16.0), ("b", 1L, 5.0))
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = EventStream.bollingerStream(spark,
+        mem.toDF().toDF("sym", "seq", "price"), "sym", "seq", "price",
+        window = 3, k = 2.0)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("boll_out").start()
+    mem.addData(ticks.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(ticks.drop(3): _*)
+    q.processAllAvailable()
+    val got = spark.table("boll_out")
+      .select("key", "seq", "roll_n", "bb_mid", "bb_upper", "bb_lower", "pct_b")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    q.stop()
+    val batch = graft.ops.Stats.bollinger(
+        ticks.toDF("sym", "seq", "price"), "sym", Seq(col("seq")),
+        col("price"), window = 3, k = 2.0)
+      .select(col("sym"), col("seq"), col("roll_n"), col("bb_mid"),
+        col("bb_upper"), col("bb_lower"), col("pct_b"))
+      .as[(String, Long, Long, Double, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got === batch)
+    assert(got(("b", 1L))._2 === 5.0)   // mid = the lone value
+    assert(got(("b", 1L))._3 === None)  // no sample std ⇒ no bands
+  }
+
   test("vwapStream's latest emission per key equals the batch VWAP over the prefix") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
