@@ -77,6 +77,12 @@ object DevAnalytics {
     // (hours × 200) rows — the tick table is touched only by the mean agg
     time("corr_matrix")(ops.Stats.corrMatrix(ticks,
       "event_type", date_trunc("hour", col("ts")), col("value")))
+    time("bollinger")(ops.Stats.bollinger(ticks,
+      "event_type", ord, col("value"), 20, 2.0))
+    time("sharpe")(ops.Stats.sharpe(ticks,
+      "event_type", ord, col("value")))
+    time("autocorr")(ops.Stats.returnAutocorr(ticks,
+      "event_type", ord, col("value")))
     // rollup maintenance: churn = 1% of rows updated + 0.5% inserted;
     // the delta path must cost churn-shaped work, not base-shaped
     time("incremental_agg") {
