@@ -864,6 +864,26 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "q119_winsorized_stats" -> ((s, dir) => {
+      // outlier-robust per-instrument mean: clip at the key's own exact
+      // [p05, p95] percentiles (cut points fixed as rounded decimals so
+      // the clip compares exactly), winsorized sum stays an exact
+      // decimal — the quality-pipeline answer to fat-fingered ticks
+      Stats.winsorizedStats(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", col("value"), pLo = 0.05, pHi = 0.95)
+        .orderBy("event_type")
+    }),
+
+    "q120_temperature_mixture" -> ((s, dir) => {
+      // α-sampling weights per source (pₛ^α, α=0.5): the multilingual
+      // mixture rule — token totals exact, pow() output fixed as a
+      // rounded decimal BEFORE the normalizing sum so the denominator
+      // is order-independent; rate feeds mixtureSample's weight map
+      text.Curation.temperatureWeights(t(s, dir, "documents"),
+          "source", "text", alpha = 0.5)
+        .orderBy("source")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -2447,6 +2467,49 @@ object SparkEntry {
         |LEFT JOIN asg ON asg.vec_id = e.vec_id
         |LEFT JOIN drp ON drp.vec_id = e.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+
+    "q119_winsorized_stats" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  -- interpolate in DOUBLE (quantile_cont over a DECIMAL column
+        |  -- returns DECIMAL and truncates at its scale; Spark's
+        |  -- percentile interpolates in double) and snap to the 8dp grid
+        |  SELECT event_type,
+        |    CAST(quantile_cont(CAST(v AS DOUBLE), 0.05) AS DECIMAL(18,8)) AS lo_cut,
+        |    CAST(quantile_cont(CAST(v AS DOUBLE), 0.95) AS DECIMAL(18,8)) AS hi_cut
+        |  FROM b GROUP BY event_type),
+        |j AS (
+        |  SELECT b.event_type, b.v, c.lo_cut, c.hi_cut,
+        |    least(greatest(b.v, c.lo_cut), c.hi_cut) AS w
+        |  FROM b JOIN c USING (event_type))
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN v < lo_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |  CAST(SUM(CASE WHEN v > hi_cut THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |  CAST(MIN(lo_cut) AS DOUBLE) AS lo_cut,
+        |  CAST(MIN(hi_cut) AS DOUBLE) AS hi_cut,
+        |  round(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q120_temperature_mixture" ->
+      """WITH s AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(regexp_split_to_array(
+        |      trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT *,
+        |    CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS nat FROM s),
+        |u AS (SELECT *,
+        |    CAST(round(pow(nat, 0.5), 12) AS DECIMAL(28,12)) AS q FROM t)
+        |SELECT source, n_docs, n_tokens,
+        |  round(nat, 9) AS natural_share,
+        |  round(CAST(q AS DOUBLE) / CAST(SUM(q) OVER () AS DOUBLE), 9)
+        |    AS target_share,
+        |  round(round(CAST(q AS DOUBLE) / CAST(SUM(q) OVER () AS DOUBLE), 9)
+        |    / nat, 6) AS rate
+        |FROM u ORDER BY source""".stripMargin,
 
     "q100_level_alerts" ->
       """WITH ev AS (

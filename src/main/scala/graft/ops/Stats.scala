@@ -438,6 +438,55 @@ object Stats {
         .as("corr"))
   }
 
+  /** Winsorized per-key moments: values clipped at the key's own exact
+    * [pLo, pHi] interpolated percentiles before averaging — the
+    * outlier-robust mean a market-data quality pipeline reports when a
+    * fat-fingered tick would poison the plain mean. Two passes, both
+    * key-clustered: the cut-point aggregation reduces the ticks to an
+    * AGGREGATE-sized frame (exact `percentile` state is bounded by
+    * distinct values per key, the q104 argument), which broadcast-joins
+    * back onto the ticks for the clip + one final aggregation.
+    *
+    * Exactness: cut points are the interpolated percentiles fixed as
+    * DECIMAL(18,8) — 8 digits because a linear interpolation between
+    * two 6-dp decimals with a 2-dp interpolation fraction IS an 8-dp
+    * grid value in exact arithmetic, so the double→decimal conversion
+    * merely snaps an ε-off double back onto its grid point and both
+    * engines land identically (rounding at 6 dp instead hits TRUE
+    * .xx5 ties, where Spark's decimal-repr rounding and DuckDB's
+    * binary rounding diverge — measured on this data). The clip then
+    * compares decimal to decimal (no float epsilon at the boundary)
+    * and the winsorized sum is an exact order-independent decimal sum;
+    * doubles appear only in the final mean quotient. Clip counts use
+    * the same decimal compares, so `n = n_clipped_lo + kept +
+    * n_clipped_hi` exactly.
+    */
+  def winsorizedStats(df: DataFrame, keyCol: String, valueCol: Column,
+                      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val v = valueCol.cast(DecimalType(18, 6))
+    val base = df.select(col(keyCol), v.as("_v")).filter(col("_v").isNotNull)
+    val cuts = base.groupBy(col(keyCol)).agg(
+      percentile(col("_v"), lit(pLo))
+        .cast(DecimalType(18, 8)).as("lo_cut"),
+      percentile(col("_v"), lit(pHi))
+        .cast(DecimalType(18, 8)).as("hi_cut"))
+    val clipped = base.join(broadcast(cuts), Seq(keyCol))
+      .withColumn("_w", least(greatest(col("_v"), col("lo_cut")), col("hi_cut")))
+    clipped.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum((col("_v") < col("lo_cut")).cast("long")).as("n_clipped_lo"),
+        sum((col("_v") > col("hi_cut")).cast("long")).as("n_clipped_hi"),
+        first(col("lo_cut")).as("lo_cut"),
+        first(col("hi_cut")).as("hi_cut"),
+        sum(col("_w")).as("_ws"))
+      .select(col(keyCol), col("n"), col("n_clipped_lo"), col("n_clipped_hi"),
+        col("lo_cut").cast("double").as("lo_cut"),
+        col("hi_cut").cast("double").as("hi_cut"),
+        round(col("_ws").cast("double") / col("n"), 6).as("winsorized_mean"))
+  }
+
   /** Volume-concentration (Herfindahl–Hirschman) index per group: how
     * concentrated activity is across `keyCol` members — HHI = Σ share²
     * ∈ (1/k, 1], 1 when one member owns everything. Computed as

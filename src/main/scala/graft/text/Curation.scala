@@ -401,6 +401,52 @@ object Curation {
       .drop("_w", "_copies")
   }
 
+  /** Temperature-scaled source sampling weights — the multilingual /
+    * multi-source α-sampling rule (sample source s with probability
+    * ∝ pₛᵅ where pₛ is its natural token share; α = 1 keeps the natural
+    * mix, α → 0 approaches uniform, the standard knob for keeping big
+    * web crawls from drowning small high-quality sources; cf. the
+    * sampling-temperature scheme in multilingual LM training, e.g.
+    * mBERT/XLM-R exponent sampling). Emits per source: doc/token
+    * counts, the natural share, the α-scaled target share, and
+    * `rate = target/natural` — the factor [[mixtureSample]] then
+    * applies as its weight map.
+    *
+    * Determinism: token totals are exact longs; the natural share is
+    * one double division of exact integers (bit-stable); pow() runs on
+    * those doubles and is then FIXED as a rounded DECIMAL(28,12)
+    * before the normalizing sum, so the Σqᵅ denominator is an exact
+    * decimal sum (order-independent) rather than a float reduction
+    * whose result depends on aggregation order. Final shares/rates are
+    * rounded doubles. The whole computation happens on the
+    * AGGREGATE-sized per-source frame; the corpus is touched by one
+    * token-count aggregation only.
+    */
+  def temperatureWeights(df: DataFrame, sourceCol: String, textCol: String,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    import org.apache.spark.sql.types.DecimalType
+    val perSrc = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextStats.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val tot = Window.partitionBy() // single-row frame: k sources, not data
+    val scored = perSrc
+      .withColumn("natural_share",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(tot))
+      .withColumn("_q", round(pow(col("natural_share"), lit(alpha)), 12)
+        .cast(DecimalType(28, 12)))
+    scored
+      .withColumn("target_share",
+        round(col("_q").cast("double") /
+          sum(col("_q")).over(tot).cast("double"), 9))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(col("natural_share"), 9).as("natural_share"),
+        col("target_share"),
+        round(col("target_share") /
+          (col("n_tokens").cast("double") /
+            sum(col("n_tokens")).over(tot)), 6).as("rate"))
+  }
+
   /** Gopher/MassiveText-style repetition signal: the fraction of a
     * doc's 3-gram shingles that are repeats of an earlier one —
     * `(total - distinct) / total`. Pure per-row column expressions over

@@ -294,6 +294,25 @@ class CurationSpec extends AnyFunSuite {
       === Map("down" -> 50L))
   }
 
+  test("temperatureWeights: alpha=0.5 turns a 90/10 token mix into 75/25 targets") {
+    // √0.9 = 3·√0.1, so the α=0.5 targets are exactly 3:1 — a clean
+    // closed form that survives the 12dp decimal fixing of pow()
+    val docs = Seq(
+      ("big", Seq.fill(90)("w").mkString(" ")),
+      ("small", Seq.fill(10)("w").mkString(" "))).toDF("source", "text")
+    val got = Curation.temperatureWeights(docs, "source", "text", alpha = 0.5)
+      .select("source", "n_docs", "n_tokens", "natural_share",
+        "target_share", "rate")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("big") === (("big", 1L, 90L, 0.9, 0.75, 0.833333)))
+    assert(got("small") === (("small", 1L, 10L, 0.1, 0.25, 2.5)))
+    // α = 1 keeps the natural mix: every rate 1.0
+    val id = Curation.temperatureWeights(docs, "source", "text", alpha = 1.0)
+      .select("source", "rate").as[(String, Double)].collect().toMap
+    assert(id.values.forall(_ === 1.0), id)
+  }
+
   test("bigramStats conditional probabilities sum against the first word") {
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "d e")).toDF("doc_id", "text")
     val got = Curation.bigramStats(docs, "text", 10)

@@ -342,6 +342,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("b")) === ((1L, None)))
   }
 
+  test("winsorizedStats clips at the key's interpolated percentiles, counts both tails") {
+    import org.apache.spark.sql.functions.col
+    // a: 1..9 plus outlier 1000. p10 over 10 sorted values interpolates
+    // to 1.9, p90 to 9 + 0.1·(1000−9) = 108.1; clip 1→1.9, 1000→108.1 ⇒
+    // winsorized mean (1.9 + 44 + 108.1)/10 = 15.4 exactly
+    val ticks = ((1 to 9).map(i => ("a", i.toDouble)) :+ (("a", 1000.0)))
+      .toDF("sym", "price")
+    val got = Stats.winsorizedStats(ticks, "sym", col("price"), 0.1, 0.9)
+      .select("sym", "n", "n_clipped_lo", "n_clipped_hi",
+        "lo_cut", "hi_cut", "winsorized_mean")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.toSeq === Seq(("a", 10L, 1L, 1L, 1.9, 108.1, 15.4)))
+  }
+
   test("betaVsMarket: self-identical series has beta 1, scaled series scales beta") {
     import org.apache.spark.sql.functions.col
     // two instruments: b moves 2× a. market m_t = (a_t + b_t)/2 = 1.5·a_t
