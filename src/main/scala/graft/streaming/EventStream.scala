@@ -342,6 +342,75 @@ object EventStream {
       }
   }
 
+  // accumulators as decimal strings for the same encoder-cap reason as
+  // VwapState: Σr² of full-range returns exceeds DECIMAL(38,18)
+  case class SharpeState(lastMicros: Long, seen: Boolean,
+                         n: Long, s1: String, s2: String)
+  case class SharpeTick(key: String, seq: Long, n_returns: Long,
+                        mean_return: Option[Double], sharpe: Option[Double])
+
+  /** Per-instrument RUNNING Sharpe ratio on the live path: streaming
+    * state = the previous tick plus exact power sums (n, Σr, Σr²) of
+    * the tick returns seen so far — the incremental face of
+    * [[graft.ops.Stats.sharpe]]; after any prefix of ticks the latest
+    * emission per key equals the batch aggregate over that prefix
+    * (spec'd — the [[vwapStream]] prefix-equality law).
+    *
+    * Numerics contract: values quantize through DECIMAL(18,6) as the
+    * batch cast does; each return is ONE double division rounded to
+    * 9 dp and fixed as an exact decimal (the batch `tickReturn`
+    * formula, replayed bit-for-bit from the same decimal inputs), and
+    * the power sums accumulate as exact BigDecimals. Mean and the
+    * guarded Sharpe quotient are the only double math, rounded as the
+    * batch side rounds. Undefined returns (first tick, non-positive
+    * previous price) are skipped exactly as batch returns filter out.
+    */
+  def sharpeStream(spark: SparkSession, ticks: DataFrame, keyCol: String,
+                   seqCol: String, valueCol: String): Dataset[SharpeTick] = {
+    import spark.implicits._
+    def r = (d: Double, s: Int) =>
+      BigDecimal(d).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    ticks.select(col(keyCol).cast("string").as("k"),
+        col(seqCol).cast("long").as("seq"),
+        col(valueCol).cast("decimal(18,6)").as("v"))
+      .filter(col("k").isNotNull && col("seq").isNotNull && col("v").isNotNull)
+      .as[(String, Long, BigDecimal)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SharpeState, SharpeTick](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var st = state.getOption.getOrElse(
+            SharpeState(0L, seen = false, 0L, "0", "0"))
+          var s1 = BigDecimal(st.s1)
+          var s2 = BigDecimal(st.s2)
+          var n = st.n
+          val out = rows.toSeq.sortBy(_._2).map { case (_, seq, v) =>
+            val vm = (v * 1000000).toLongExact
+            if (st.seen && st.lastMicros > 0) {
+              // the batch tickReturn: (v - prev)/prev in double, round 9,
+              // fix as decimal — prev > 0 or the return is undefined
+              val prev = BigDecimal(st.lastMicros) / 1000000
+              val ret = BigDecimal(
+                r(((v - prev).toDouble / prev.toDouble), 9))
+              s1 += ret
+              s2 += ret * ret
+              n += 1
+            }
+            st = SharpeState(vm, seen = true, n, s1.toString, s2.toString)
+            val mean = if (n > 0) Some(r(s1.toDouble / n, 9)) else None
+            val sharpe = if (n > 1) {
+              val s1d = s1.toDouble
+              val varE = math.max(0.0,
+                (s2.toDouble - s1d * s1d / n) / (n - 1))
+              if (varE > 0) Some(r((s1d / n) / math.sqrt(varE), 6)) else None
+            } else None
+            SharpeTick(key, seq, n, mean, sharpe)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // accumulators as decimal STRINGS: Spark's state encoder caps a
   // BigDecimal field at DECIMAL(38,18), which a running Σp·q of valid
   // DECIMAL(18,6) ticks can overflow (p·q alone reaches ~1e24); the

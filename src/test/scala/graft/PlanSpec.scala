@@ -232,6 +232,14 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
+  test("q119: the percentile cut frame broadcast-joins back onto the ticks") {
+    // cuts are AGGREGATE-sized (one row per key) — if this ever
+    // sort-merge-joins, the tick table re-shuffles for a k-row lookup
+    val p = plan("q119_winsorized_stats")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q93: the bloom pre-filter sits in the scan-side plan before the join") {
     val p = plan("q93_bloom_decontaminate")
     // might_contain applied as a Filter (inside codegen), and the exact

@@ -468,6 +468,42 @@ class VectorStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("sharpeStream's latest emission per key equals the batch Sharpe over the prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // a: 100→110→99→108.9 gives returns +0.1, -0.1, +0.1 split across
+    // micro-batches (the power sums must carry); b has one return (no
+    // sample variance ⇒ NULL sharpe); c never gets a defined return
+    val ticks = Seq(("a", 1L, 100.0), ("a", 2L, 110.0), ("b", 1L, 50.0),
+      ("a", 3L, 99.0), ("a", 4L, 108.9), ("b", 2L, 55.0), ("c", 1L, 5.0))
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = EventStream.sharpeStream(spark,
+        mem.toDF().toDF("sym", "seq", "price"), "sym", "seq", "price")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("sharpe_out").start()
+    mem.addData(ticks.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(ticks.drop(3): _*)
+    q.processAllAvailable()
+    val latest = spark.table("sharpe_out")
+      .as[(String, Long, Long, Option[Double], Option[Double])].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    q.stop()
+    val batch = graft.ops.Stats.sharpe(
+        ticks.toDF("sym", "seq", "price"), "sym", Seq(col("seq")),
+        col("price"))
+      .select("sym", "n_returns", "mean_return", "sharpe")
+      .as[(String, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    Seq("a", "b").foreach { k =>
+      val (_, _, n, mean, sharpe) = latest(k)
+      assert((n, mean, sharpe) ===
+        ((batch(k)._2, Some(batch(k)._3), batch(k)._4)), k)
+    }
+    // c: one tick, zero returns — batch drops the key, stream says n=0
+    assert(!batch.contains("c") && latest("c")._3 === 0L)
+  }
+
   test("curateStream: cross-batch exact dedup + quality gate, first doc wins") {
     implicit val sqlCtx = spark.sqlContext
     val long = (1 to 25).map(i => s"w$i").mkString(" ")
