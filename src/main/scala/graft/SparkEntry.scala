@@ -884,6 +884,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q121_realized_variance" -> ((s, dir) => {
+      // daily realized variance/vol per instrument: Σr² over the day's
+      // tick returns (overnight return counts toward the later day) —
+      // exact decimal power sums, sqrt only at presentation
+      Stats.realizedVariance(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"),
+          to_date(col("ts")))
+        .orderBy("event_type", "bucket")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -2353,7 +2363,7 @@ object SparkEntry {
         |r AS (
         |  SELECT event_type,
         |    CASE WHEN pv > 0 THEN CAST(round(
-        |      CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9) AS DECIMAL(21,9))
+        |      CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9) AS DECIMAL(16,9))
         |    END AS r
         |  FROM b),
         |s AS (
@@ -2379,7 +2389,7 @@ object SparkEntry {
         |r AS (
         |  SELECT event_type, ts, event_id,
         |    CASE WHEN pv > 0 THEN CAST(round(
-        |      CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9) AS DECIMAL(21,9))
+        |      CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9) AS DECIMAL(16,9))
         |    END AS r
         |  FROM b),
         |p AS (
@@ -2510,6 +2520,31 @@ object SparkEntry {
         |  round(round(CAST(q AS DOUBLE) / CAST(SUM(q) OVER () AS DOUBLE), 9)
         |    / nat, 6) AS rate
         |FROM u ORDER BY source""".stripMargin,
+
+    "q121_realized_variance" ->
+      """WITH b AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |    lag(CAST(value AS DECIMAL(18,6))) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS pv
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS bucket,
+        |    CASE WHEN pv > 0 THEN CAST(round(
+        |      CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9) AS DECIMAL(16,9))
+        |    END AS r
+        |  FROM b),
+        |s AS (
+        |  SELECT event_type, bucket, COUNT(*) AS n_returns,
+        |    SUM(CAST(r * r AS DECIMAL(38,18))) AS rv
+        |  FROM r WHERE r IS NOT NULL GROUP BY event_type, bucket)
+        |-- decimal->double through VARCHAR: DuckDB's direct DECIMAL(38,18)
+        |-- cast multiplies by 1e-18 in floating point (not correctly
+        |-- rounded — 37/150 rows differ by one ulp on this data), while
+        |-- strtod and Spark's BigDecimal.doubleValue both round correctly
+        |SELECT event_type, bucket, n_returns,
+        |  CAST(CAST(rv AS VARCHAR) AS DOUBLE) AS realized_variance,
+        |  round(sqrt(CAST(CAST(rv AS VARCHAR) AS DOUBLE)), 9) AS realized_vol
+        |FROM s ORDER BY event_type, bucket""".stripMargin,
 
     "q100_level_alerts" ->
       """WITH ev AS (

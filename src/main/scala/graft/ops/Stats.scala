@@ -305,7 +305,7 @@ object Stats {
           (col("n") * d("smm") - d("sm") * d("sm")), 6)).as("beta"))
   }
 
-  /** Tick-over-tick simple return per row, as a ROUNDED DECIMAL(21,9):
+  /** Tick-over-tick simple return per row, as a ROUNDED DECIMAL(16,9):
     * (v − prev)/prev computed in double (one map-side division —
     * deterministic per row on any cluster), rounded to 9 dp and fixed
     * as a decimal so every DOWNSTREAM aggregate over returns is an
@@ -313,6 +313,15 @@ object Stats {
     * mean trick applied to the return series). First tick of a key and
     * ticks following a non-positive price (return undefined) are NULL.
     * Shares the caller's partition-by-key window — no extra shuffle.
+    *
+    * Precision 16, NOT wider: the consumers square these — (16,9)² is
+    * decimal(33,18), which fits precision 38 EXACTLY, whereas a wider
+    * return type forces Spark to silently reduce the product's scale
+    * (a (21,9)² wants precision 43, so Spark truncates to 13 dp —
+    * measured: Σr² then disagrees with an exact-arithmetic engine at
+    * the 14th decimal). The cost is a 10^7 cap on a single tick-to-tick
+    * return, which on real data is corrupt input — ANSI mode fails the
+    * job loudly there instead of shipping a silently-truncated sum.
     */
   private def tickReturn(w: org.apache.spark.sql.expressions.WindowSpec,
                          valueCol: Column): Column = {
@@ -320,7 +329,7 @@ object Stats {
     val prev = lag(v, 1).over(w)
     when(prev > 0,
       round((v - prev).cast("double") / prev.cast("double"), 9)
-        .cast(DecimalType(21, 9)))
+        .cast(DecimalType(16, 9)))
   }
 
   /** Per-instrument Sharpe ratio over tick returns: mean(r)/std(r), the
@@ -351,6 +360,33 @@ object Stats {
       round(s1d / col("n_returns"), 9).as("mean_return"),
       when(col("n_returns") > 1 && varExpr > 0,
         round((s1d / col("n_returns")) / sqrt(varExpr), 6)).as("sharpe"))
+  }
+
+  /** Realized variance / volatility per (key, bucket): RV = Σ r² over
+    * the tick returns inside each bucket (daily realized vol is THE
+    * risk number a desk quotes; cf. Andersen & Bollerslev's realized
+    * volatility literature). Returns via [[tickReturn]] — note the
+    * return STRADDLING a bucket boundary belongs to the bucket of its
+    * later tick, the market-open-vs-prior-close convention, and
+    * bucketing happens AFTER the lag so overnight gaps count. Σr² is
+    * an exact decimal power sum (order-independent); the only double
+    * math is the final presentation sqrt. One window shuffle by key;
+    * the (key, bucket) aggregation clusters on a superset of the same
+    * key, so AQE plans it without a second wide exchange.
+    */
+  def realizedVariance(df: DataFrame, keyCol: String,
+                       orderCols: Seq[Column], valueCol: Column,
+                       bucketCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    df.withColumn("_r", tickReturn(w, valueCol))
+      .withColumn("_b", bucketCol)
+      .filter(col("_r").isNotNull)
+      .groupBy(col(keyCol), col("_b").as("bucket"))
+      .agg(count(lit(1)).as("n_returns"),
+        sum((col("_r") * col("_r")).cast(DecimalType(38, 18))).as("_rv"))
+      .select(col(keyCol), col("bucket"), col("n_returns"),
+        col("_rv").cast("double").as("realized_variance"),
+        round(sqrt(col("_rv").cast("double")), 9).as("realized_vol"))
   }
 
   /** Lag-1 autocorrelation of tick returns per instrument — the

@@ -342,6 +342,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("b")) === ((1L, None)))
   }
 
+  test("realizedVariance: day's Σr² exactly, boundary return lands in the later day") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    // day 1: 100→110 (+0.1); day 2 opens 110→99 (−0.1, the OVERNIGHT
+    // return belongs to day 2) then 99→108.9 (+0.1): RV₁ = 0.01,
+    // RV₂ = 0.02 exactly (returns are exact 9dp decimals)
+    val ticks = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1L, 100.0),
+      ("a", ts("2024-01-01 11:00:00"), 2L, 110.0),
+      ("a", ts("2024-01-02 09:00:00"), 3L, 99.0),
+      ("a", ts("2024-01-02 10:00:00"), 4L, 108.9)
+    ).toDF("sym", "t", "seq", "price")
+    val got = Stats.realizedVariance(ticks, "sym",
+        Seq(col("t"), col("seq")), col("price"), to_date(col("t")))
+      .select("sym", "bucket", "n_returns", "realized_variance")
+      .as[(String, java.sql.Date, Long, Double)].collect()
+      .map(r => r._2.toString -> ((r._3, r._4))).toMap
+    assert(got("2024-01-01") === ((1L, 0.01)))
+    assert(got("2024-01-02") === ((2L, 0.02)))
+  }
+
   test("winsorizedStats clips at the key's interpolated percentiles, counts both tails") {
     import org.apache.spark.sql.functions.col
     // a: 1..9 plus outlier 1000. p10 over 10 sorted values interpolates

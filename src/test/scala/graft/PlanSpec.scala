@@ -214,11 +214,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
 
-  test("q113/q114/q115: Bollinger, Sharpe and autocorr ride ONE hash Exchange") {
-    // all three derive from per-key window passes whose partitioning the
-    // downstream aggregation reuses — a second Exchange would mean the
-    // return series re-shuffles at 100 TB for no reason
-    for (q <- Seq("q113_bollinger", "q114_sharpe", "q115_return_autocorr")) {
+  test("q113/q114/q115/q121: the return-series analytics ride ONE hash Exchange") {
+    // all four derive from per-key window passes whose partitioning the
+    // downstream aggregation reuses — q121's (key, bucket) groupBy is
+    // satisfied by the window's hash(key) clustering (subset rule), so
+    // even the finer-keyed aggregation adds no second Exchange
+    for (q <- Seq("q113_bollinger", "q114_sharpe", "q115_return_autocorr",
+        "q121_realized_variance")) {
       val p = plan(q)
       assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, s"$q: $p")
     }
