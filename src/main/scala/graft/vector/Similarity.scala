@@ -479,6 +479,46 @@ object Similarity {
     cents.write.mode(SaveMode.Overwrite).parquet(s"$indexPath/centroids")
   }
 
+  /** Incremental IVF index maintenance: assign a NEW batch of vectors
+    * to the index's EXISTING centroids and append them into the
+    * cluster-partitioned assignment layout — the churn-cost path. The
+    * corpus-sized scan+shuffle [[buildIvfIndex]] paid is never
+    * repeated; a probe after the append sees old and new vectors alike
+    * because partition pruning selects DIRECTORIES and the new files
+    * land inside them. Batch cost: one broadcast argmax over the batch
+    * + one write, independent of index size.
+    *
+    * Contracts: ids are the CALLER's problem (an append of an existing
+    * id yields two index entries — dedup upstream, as every sink here
+    * expects); zero vectors are excluded as in [[buildIvfIndex]]; and
+    * centroids DRIFT — stride centroids sampled from the original
+    * corpus stay fixed, so after the corpus grows by ~2× the cluster
+    * balance degrades and the hot-cluster guards downstream will name
+    * it; rebuild then. Returns the number of vectors appended.
+    */
+  def appendIvfIndex(newEmb: DataFrame, idCol: String, vecCol: String,
+                     indexPath: String): Long = {
+    val spark = newEmb.sparkSession
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("centroid_id"), col("centroid_vec"))
+    val u = normed(newEmb, idCol, vecCol)
+    val assigned = u.crossJoin(broadcast(cents))
+      .withColumn("_cos", dot(col("v"), col("centroid_vec")) /
+        (col("n") * sqrt(dot(col("centroid_vec"), col("centroid_vec")))))
+      .groupBy(col("id"))
+      .agg(max(struct(col("_cos").as("c"), col("centroid_id").as("cid")))
+          .getField("cid").as("cluster"),
+        first(col("v")).as("v"), first(col("n")).as("n"))
+      .persist()
+    val appended = assigned.count()
+    assigned.repartition(col("cluster"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cluster")
+      .parquet(s"$indexPath/assignments")
+    assigned.unpersist()
+    appended
+  }
+
   /** Probe a persisted IVF index (see [[buildIvfIndex]]) with an explicit
     * query vector: rank centroids driver-side (the centroid table is
     * k×dim — bounded, the same collect [[kmeansCentroids]] already does),

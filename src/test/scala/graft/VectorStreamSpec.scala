@@ -93,6 +93,26 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(probe === inline)
   }
 
+  test("appendIvfIndex: probes see appended vectors without an index rebuild") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString + "/index"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx)
+    // a new vector EXACTLY along query 0's direction (scaled 2×): cosine
+    // 1.0 — after the append it must rank first, on the same index files
+    val q0 = emb.filter(col("vec_id") === 0L).select("embedding")
+      .as[Seq[Float]].head()
+    val batch = Seq((100000L, q0.map(x => x * 2.0f)))
+      .toDF("vec_id", "embedding")
+    val before = Similarity.ivfProbeById(spark, idx, emb, "vec_id",
+      "embedding", 0L, 10).as[(Long, Double)].collect().toSeq
+    assert(Similarity.appendIvfIndex(batch, "vec_id", "embedding", idx) === 1L)
+    val after = Similarity.ivfProbeById(spark, idx, emb, "vec_id",
+      "embedding", 0L, 10).as[(Long, Double)].collect().toSeq
+    assert(after.head === ((100000L, 1.0)))
+    // everything previously found is still there, shifted one rank
+    assert(after.tail === before.take(9))
+  }
+
   test("ivfProbe refuses a zero-norm query vector") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec0").toString + "/index"
