@@ -388,6 +388,44 @@ object LawsProps extends Properties("graft.laws") {
       got == expect
     }
 
+  private val vecRow = for {
+    id <- Gen.choose(0L, 60L)
+    x <- Gen.choose(-3, 3)
+    y <- Gen.choose(-3, 3)
+    z <- Gen.choose(-3, 3)
+  } yield (id, Seq(x.toFloat, y.toFloat, z.toFloat))
+
+  property("semanticDedup: verdict partition, min-id survivors, witnessed drops") =
+    forAll(Gen.nonEmptyListOf(vecRow), Gen.choose(1, 4)) { (rawRows, k) =>
+      import org.apache.spark.sql.functions.col
+      val rows = rawRows.distinctBy(_._1) // ids are unique by contract
+      val got = graft.vector.Similarity.semanticDedup(
+          rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          nCentroids = k, threshold = 0.95)
+        .select("vec_id", "cluster", "keep")
+        .as[(Long, Option[Long], Boolean)].collect()
+      val byId = got.map(r => r._1 -> r).toMap
+      def dot(a: Seq[Float], b: Seq[Float]) =
+        a.zip(b).map { case (p, q) => p.toDouble * q }.sum
+      val vecs = rows.toMap
+      def zero(id: Long) = dot(vecs(id), vecs(id)) == 0.0
+      // every doc verdicts once; zero vectors keep with null cluster;
+      // the min id of every cluster survives (it can have no smaller-id
+      // witness); every drop has an in-cluster smaller-id near-dup
+      got.length == rows.size &&
+        rows.forall { case (id, _) => !zero(id) || byId(id) == ((id, None, true)) } &&
+        got.groupBy(_._2).forall { case (cl, g) => cl.isEmpty || g.exists(_._3) } &&
+        got.filter(r => r._2.isDefined && !r._3).forall { case (id, cl, _) =>
+          got.exists { case (o, ocl, _) =>
+            ocl == cl && o < id && {
+              val c = dot(vecs(o), vecs(id)) /
+                (math.sqrt(dot(vecs(o), vecs(o))) * math.sqrt(dot(vecs(id), vecs(id))))
+              BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.95
+            }
+          }
+        }
+    }
+
   private val tokenCorpus = Gen.nonEmptyListOf(
     Gen.oneOf((0 until 40).map(i => s"w$i")))
 

@@ -192,6 +192,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(!derived.contains("b"))
   }
 
+  test("applyDelta keeps the maintained rollup's schema stable across many merges") {
+    import graft.engine.Incremental
+    import org.apache.spark.sql.types.DecimalType
+    val v = col("value").cast(DecimalType(18, 6))
+    val ms = Seq("total" -> v)
+    var rollup = Incremental.groupAgg(
+      Seq((1L, "a", 1.5)).toDF("id", "grp", "value"), Seq("grp"), ms)
+    val schema0 = rollup.schema
+    // decimal addition widens precision by one per merge — without the
+    // cast-back, five commits would leave total at decimal(33,6) and a
+    // changeFeed spanning rollup versions would refuse on schema drift
+    for (i <- 2 to 6) {
+      val inc = Seq((i.toLong, "a", 1.5)).toDF("id", "grp", "value")
+      rollup = Incremental.applyDelta(rollup,
+        Incremental.insertDelta(inc, Seq("grp"), ms), Seq("grp"), Seq("total"))
+      assert(rollup.schema === schema0, s"schema drifted at merge $i")
+    }
+    val got = rollup.as[(String, Long, BigDecimal)].collect().head
+    assert(got === (("a", 6L, BigDecimal("9.000000"))))
+  }
+
   test("sketch rollup: merged HLL equals the one-shot sketch; small sets estimate exactly") {
     import graft.engine.Incremental
     val b1 = Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("grp", "user")

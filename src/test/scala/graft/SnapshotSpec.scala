@@ -217,6 +217,29 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Snapshots.restore(spark, t, 99L) }
   }
 
+  test("updateWhere casts assignments to the column's type — UPDATE never evolves schema") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.DecimalType
+    val t = Files.createTempDirectory("graft_updtype").toString + "/tbl"
+    Snapshots.writeVersioned(
+      Seq((1L, BigDecimal("10.500000")), (2L, BigDecimal("20.000000")))
+        .toDF("id", "v").select(col("id"), col("v").cast(DecimalType(18, 6)).as("v")),
+      t, 1)
+    val before = Snapshots.read(spark, t).schema
+    // an int-literal assignment and a wider-decimal expression both land
+    // as the column's own DECIMAL(18,6) — Delta UPDATE semantics; without
+    // the cast this version would carry an INT column and the changeFeed
+    // below would refuse on schema drift
+    Snapshots.updateWhere(spark, t, col("id") === 1L, Map("v" -> lit(3)))
+    Snapshots.updateWhere(spark, t, col("id") === 2L,
+      Map("v" -> (col("v") * lit(BigDecimal("1.5")))))
+    assert(Snapshots.read(spark, t).schema === before)
+    val feed = Snapshots.changeFeed(spark, t, 1L, 3L, Seq("id"))
+    assert(feed.filter(col("change_type") === "update").count() === 2L)
+    assert(Snapshots.read(spark, t).as[(Long, BigDecimal)].collect().toSet
+      === Set((1L, BigDecimal("3.000000")), (2L, BigDecimal("30.000000"))))
+  }
+
   test("schema evolution: each version reads with its own schema; cross-schema diff fails loudly") {
     import org.apache.spark.sql.functions.{col, lit}
     val t = Files.createTempDirectory("graft_schema").toString + "/tbl"
