@@ -894,6 +894,15 @@ object SparkEntry {
         .orderBy("event_type", "bucket")
     }),
 
+    "q122_cross_source_dups" -> ((s, dir) => {
+      // provenance matrix: near-dup pair counts by unordered source
+      // pair — which feeds mirror each other (q109's per-source rate,
+      // resolved to the source×source cell level)
+      text.Dedup.crossSourceDupMatrix(t(s, dir, "documents"), "doc_id",
+          "text", "source", n = 5, threshold = 0.5)
+        .orderBy("source_a", "source_b")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -2545,6 +2554,18 @@ object SparkEntry {
         |  CAST(CAST(rv AS VARCHAR) AS DOUBLE) AS realized_variance,
         |  round(sqrt(CAST(CAST(rv AS VARCHAR) AS DOUBLE)), 9) AS realized_vol
         |FROM s ORDER BY event_type, bucket""".stripMargin,
+
+    "q122_cross_source_dups" ->
+      s"""WITH $shingleCte,
+        |$jacPairsCte,
+        |ds AS (SELECT doc_id, source FROM documents)
+        |SELECT least(a.source, b.source) AS source_a,
+        |  greatest(a.source, b.source) AS source_b,
+        |  COUNT(*) AS n_dup_pairs
+        |FROM jac p
+        |JOIN ds a ON a.doc_id = p.doc_a
+        |JOIN ds b ON b.doc_id = p.doc_b
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
 
     "q100_level_alerts" ->
       """WITH ev AS (

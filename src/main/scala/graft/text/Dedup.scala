@@ -223,4 +223,32 @@ object Dedup {
       .select(col("doc_id"), col("n_shingles"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_shingles"), 6).as("dup_fraction"))
   }
+
+  /** Cross-source duplication matrix: near-dup PAIR counts by
+    * unordered source pair — the provenance view of the dedup problem
+    * (q109 answers "which source is polluted"; this answers "which
+    * sources copy from EACH OTHER", the signal that tells a crawl
+    * operator two feeds mirror the same upstream and one can be
+    * dropped wholesale). Pairs come from [[jaccardPairs]] (exact dups
+    * included — identical text has Jaccard 1); sources attach by two
+    * key-joins of the pair list (pair-sized, ≪ corpus) against the
+    * doc→source projection, and the pair key is canonicalized
+    * (least, greatest) so A↔B and B↔A count as one cell. Within-source
+    * duplication shows on the diagonal.
+    */
+  def crossSourceDupMatrix(df: DataFrame, idCol: String, textCol: String,
+                           srcCol: String, n: Int,
+                           threshold: Double): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, n, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val src = df.select(col(idCol).cast("long").as("_id"),
+      col(srcCol).as("_src"))
+    pairs
+      .join(src.select(col("_id").as("doc_a"), col("_src").as("_sa")), Seq("doc_a"))
+      .join(src.select(col("_id").as("doc_b"), col("_src").as("_sb")), Seq("doc_b"))
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
 }

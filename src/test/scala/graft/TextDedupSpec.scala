@@ -129,6 +129,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!got.contains("gamma") && !got.contains("delta"))
   }
 
+  test("crossSourceDupMatrix: canonical source pairs, diagonal = within-source dups") {
+    val corpus = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "curated", "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "web", "the quick brown fox jumps over the lazy dog again today"),
+      (4L, "curated", "completely different text about engines and shuffles here now")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.text.Dedup.crossSourceDupMatrix(corpus, "doc_id", "text",
+        "source", n = 3, threshold = 0.5)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // dup pairs: (1,2) web↔curated, (1,3) web↔web, (2,3) curated↔web —
+    // both cross pairs land in ONE canonical (curated, web) cell
+    assert(got === Map(("curated", "web") -> 2L, ("web", "web") -> 1L))
+  }
+
   test("token count collapses repeated whitespace") {
     val df = Seq(("  a   b \t c  ")).toDF("text")
     assert(df.select(TextStats.tokenCount(col("text"))).as[Int].head() === 3)
