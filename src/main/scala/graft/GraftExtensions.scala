@@ -12,6 +12,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rules: lossless rewrites every query gets for free
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
     ext.injectFunction((FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[functions.ArrayDot].getName, "array_dot"),
       (exprs: Seq[Expression]) => functions.ArrayDot(exprs(0), exprs(1))))

@@ -204,11 +204,17 @@ object Joins {
     a.join(b, Seq("blk")).filter(col("a_id") < col("b_id"))
       // lossless prefilter: levenshtein(x, y) >= |len(x) - len(y)|, so a
       // pair failing this can never pass the distance cut — and length()
-      // is a few codegen'd instructions vs levenshtein's O(len²) DP, so
-      // the expensive verify runs only on length-compatible pairs
+      // is a few codegen'd instructions vs levenshtein's DP, so the
+      // expensive verify runs only on length-compatible pairs
       .filter(abs(length(col("a_name")) - length(col("b_name"))) <= maxDist)
-      .withColumn("edit_dist", levenshtein(col("a_name"), col("b_name")))
-      .filter(col("edit_dist") <= maxDist)
+      // BANDED DP: the three-arg levenshtein stops at maxDist and
+      // returns -1 past it — O(maxDist·min(m,n)) per pair instead of
+      // O(m·n), and the -1 sentinel rows are exactly the > maxDist
+      // pairs the filter drops. (The same rewrite LevenshteinPrefilter
+      // applies to user predicates automatically.)
+      .withColumn("edit_dist",
+        levenshtein(col("a_name"), col("b_name"), maxDist))
+      .filter(col("edit_dist") >= 0)
       .select("a_id", "b_id", "a_name", "b_name", "edit_dist")
   }
 }

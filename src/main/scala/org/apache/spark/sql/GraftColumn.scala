@@ -11,6 +11,16 @@ object GraftColumn {
   def apply(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Execute a logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — lets specs run a plan after applying one of
+    * graft's optimizer rules ([[graft.plans.LevenshteinPrefilter]])
+    * directly, without building a second extension-bearing session.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register graft's custom Catalyst expressions as SQL functions on an
     * already-built session (temp functions, session-scoped). The
     * cluster-deployment path is `spark.sql.extensions=graft.GraftExtensions`;

@@ -27,6 +27,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(toks === Seq("Hello", "spark", "world"))
   }
 
+  test("LevenshteinPrefilter: banded rewrite is lossless, idempotent, leaves lower bounds alone") {
+    import org.apache.spark.sql.GraftColumn
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    import graft.plans.LevenshteinPrefilter
+    val pairs = Seq(
+      ("kitten", "kitten"),   // 0
+      ("kitten", "sitten"),   // 1
+      ("kitten", "sitting"),  // 3
+      ("abc", "xyz"),         // 3
+      ("a", "abcdefg"),       // 6 — length gate alone kills it
+      (null.asInstanceOf[String], "x")
+    ).toDF("a", "b")
+    def run(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      GraftColumn.ofRows(spark, plan).as[(String, String)].collect().toSet
+    val orig = pairs.filter(levenshtein(col("a"), col("b")) <= lit(2))
+    val analyzed = orig.queryExecution.analyzed
+    val once = LevenshteinPrefilter(analyzed)
+    // structure: the DP is banded and the length gate is in front
+    val s = once.toString
+    assert(s.contains("levenshtein(a") && s.contains("Some(2)"), s)
+    assert(s.contains("abs("), s)
+    // lossless on every distance class incl. the null row (dropped by both)
+    assert(run(once) === orig.as[(String, String)].collect().toSet)
+    assert(run(once) === Set(("kitten", "kitten"), ("kitten", "sitten")))
+    // idempotent: a second optimizer pass finds nothing to rewrite
+    assert(LevenshteinPrefilter(once) === once)
+    // strict < maps to the k-1 band; lower bounds are not banded
+    val strict = LevenshteinPrefilter(
+      pairs.filter(levenshtein(col("a"), col("b")) < lit(2)).queryExecution.analyzed)
+    assert(strict.toString.contains("Some(1)"), strict.toString)
+    val lower = pairs.filter(levenshtein(col("a"), col("b")) >= lit(2))
+      .queryExecution.analyzed
+    assert(LevenshteinPrefilter(lower) === lower)
+  }
+
   test("ewma_fold matches the interpreted HOF fold bit-for-bit at wide windows") {
     GraftColumn.registerFunctions(spark)
     // 500-element windows — far past the bounded-at-20 regime the HOF
