@@ -36,11 +36,15 @@ def main():
             print(f"FIXED    {q:<28} {new[q]:6.2f} s (was failing)")
         elif new[q] > old[q] * threshold and new[q] - old[q] > 0.2:
             slower.append((q, old[q], new[q]))
-    # a query dropped from the bench is a coverage regression, not noise:
-    # it shrinks the passing total and would otherwise slip past the gate
-    gone = sorted(set(old) - set(new))
-    for q in gone:
-        print(f"GONE     {q:<28} (was {old[q]:.2f} s)")
+    # a PASSING query dropped from the bench is a coverage regression: it
+    # shrinks the passing total and would otherwise slip past the gate.
+    # A dropped already-failing query never contributed to that total —
+    # removing the dead entry is informational, not gating.
+    all_gone = sorted(set(old) - set(new))
+    gone = [q for q in all_gone if old[q] >= 0]
+    for q in all_gone:
+        was = f"was {old[q]:.2f} s" if old[q] >= 0 else "was failing"
+        print(f"GONE     {q:<28} ({was})")
     for q, o, n in sorted(slower, key=lambda t: t[1] - t[2]):
         ratio = f"{n / o:.1f}x" if o > 0 else "inf"
         print(f"SLOWER   {q:<28} {o:6.2f} s -> {n:6.2f} s  ({ratio})")

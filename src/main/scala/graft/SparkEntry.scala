@@ -2359,7 +2359,7 @@ object SparkEntry {
         |  FROM m)
         |SELECT event_id, event_type, mean AS bb_mid, up AS bb_upper,
         |  lo AS bb_lower,
-        |  CASE WHEN std > 0 THEN
+        |  CASE WHEN up > lo THEN
         |    round((CAST(v AS DOUBLE) - lo) / (up - lo), 6) END AS pct_b
         |FROM b ORDER BY event_id""".stripMargin,
 

@@ -152,6 +152,7 @@ object Stats {
     */
   def rollingStats(df: DataFrame, keyCol: String, orderCols: Seq[Column],
                    valueCol: Column, window: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
       .rowsBetween(-(window - 1), Window.currentRow)
     val v = valueCol.cast(DecimalType(18, 6))
@@ -177,8 +178,11 @@ object Stats {
     * mean/std (6 dp presentation values): two engines that agree on the
     * moments then agree bit-for-bit on the bands, which keeps the
     * oracle exact without widening any decimal. Rows whose frame has no
-    * sample std (first tick) or zero width (flat window — %B undefined)
-    * emit NULL bands/%B rather than a divide-by-zero.
+    * sample std (first tick) emit NULL bands; %B guards on the ROUNDED
+    * band width, not the std — with a small k, a positive rounded std
+    * can still collapse both bands onto the mid (k·std rounds away), and
+    * a std-based guard would then divide by zero on valid data (ANSI
+    * failure). Zero-width bands ⇒ %B undefined ⇒ NULL.
     */
   def bollinger(df: DataFrame, keyCol: String, orderCols: Seq[Column],
                 valueCol: Column, window: Int, k: Double = 2.0): DataFrame = {
@@ -193,7 +197,7 @@ object Stats {
         when(col("roll_std").isNotNull,
           round(col("roll_mean") - lit(k) * col("roll_std"), 6)))
       .withColumn("pct_b",
-        when(col("roll_std") > 0,
+        when(col("bb_upper") > col("bb_lower"),
           round((vd - col("bb_lower")) /
             (col("bb_upper") - col("bb_lower")), 6)))
   }

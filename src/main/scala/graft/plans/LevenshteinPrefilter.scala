@@ -31,8 +31,16 @@ import org.apache.spark.sql.types.IntegerType
   * WITHOUT a threshold, and produces one WITH a threshold — a second
   * optimizer pass finds nothing to do. Lower-bound predicates
   * (`levenshtein >= k`) are left alone: banding cannot serve them.
+  * Non-deterministic operands are left alone too: the rewrite
+  * duplicates `a`/`b` into the length gate, and two evaluations of a
+  * non-deterministic expression can disagree between the gate and the
+  * DP (the same `.deterministic` guard built-in rules apply before
+  * duplicating expressions).
   */
 object LevenshteinPrefilter extends Rule[LogicalPlan] {
+
+  private def det(a: Expression, b: Expression): Boolean =
+    a.deterministic && b.deterministic
 
   private def rewrite(a: Expression, b: Expression, k: Int): Expression = {
     val kLit = Literal(k, IntegerType)
@@ -46,13 +54,13 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case LessThanOrEqual(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
-          if k >= 0 => rewrite(a, b, k)
+          if k >= 0 && det(a, b) => rewrite(a, b, k)
       case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
-          if k >= 0 => rewrite(a, b, k)
+          if k >= 0 && det(a, b) => rewrite(a, b, k)
       // strict bound: lev < k  ⇔  lev <= k-1 (distances are integers)
       case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType))
-          if k >= 1 => rewrite(a, b, k - 1)
+          if k >= 1 && det(a, b) => rewrite(a, b, k - 1)
       case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(a, b, None))
-          if k >= 1 => rewrite(a, b, k - 1)
+          if k >= 1 && det(a, b) => rewrite(a, b, k - 1)
     }
 }

@@ -333,8 +333,12 @@ object EventStream {
                 (s2d - s1d * s1d / n) / (n - 1))))) else None
             val up = std.map(s => r6(mean + k * s))
             val lo = std.map(s => r6(mean - k * s))
-            val pctB = std.filter(_ > 0).map { _ =>
-              r6((v.toDouble - lo.get) / (up.get - lo.get)) }
+            // guard on the ROUNDED band width, as batch does: a small
+            // k·std can round both bands onto the mid even with std > 0,
+            // and a zero-width division here is Infinity → r6 throws,
+            // killing the stream
+            val pctB = for { u <- up; l <- lo if u > l }
+              yield r6((v.toDouble - l) / (u - l))
             BollTick(key, seq, v.toDouble, n.toLong, mean, up, lo, pctB)
           }
           state.update(st)

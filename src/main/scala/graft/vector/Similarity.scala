@@ -84,13 +84,24 @@ object Similarity {
   def centroids(emb: DataFrame, idCol: String, vecCol: String,
                 nCentroids: Int): DataFrame = {
     val step = 31L // coprime stride over ids
-    emb.filter(col(idCol) % step === 0)
-      // a zero vector must never become a centroid: its cosine is 0/0 =
-      // NaN, which Spark sorts ABOVE every double, so the argmax would
-      // assign the whole corpus to a dead cluster no probe ever selects
+    // a zero vector must never become a centroid: its cosine is 0/0 =
+    // NaN, which Spark sorts ABOVE every double, so the argmax would
+    // assign the whole corpus to a dead cluster no probe ever selects
+    val candidates = emb
       .filter(sqrt(dot(col(vecCol), col(vecCol))) > 0)
+    val stride = candidates.filter(col(idCol) % step === 0)
       .orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    // an id space that misses the stride entirely (small corpora, offset
+    // or hashed ids) must NOT yield zero centroids — every consumer
+    // (IVF build, semanticDedup) would then silently assign nothing and
+    // e.g. dedup would keep every duplicate. Fall back to the first
+    // nCentroids nonzero vectors by id: equally deterministic, and the
+    // one cheap existence probe only runs at build time.
+    if (stride.isEmpty)
+      candidates.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+    else stride
   }
 
   /** Lloyd's k-means centroids for clustered corpora (real embedding
@@ -228,7 +239,9 @@ object Similarity {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     nCentroids: Int, threshold: Double,
                     maxCluster: Long = 100000L): DataFrame = {
-    val u = normed(emb, idCol, vecCol).persist()
+    // no persist on u: it feeds exactly one plan (the assignment join);
+    // asg below IS reused (hot check + both pair sides + verdict join)
+    val u = normed(emb, idCol, vecCol)
     val cents = centroids(emb, idCol, vecCol, nCentroids)
       .withColumn("_cn", sqrt(dot(col("centroid_vec"), col("centroid_vec"))))
     val asg = u.crossJoin(broadcast(cents))
@@ -243,10 +256,13 @@ object Similarity {
       .filter(col("count") > maxCluster)
       .orderBy(col("count").desc).limit(5)
       .collect().map(r => s"${r.get(0)}=${r.getLong(1)}")
-    require(hot.isEmpty,
-      s"semanticDedup: cluster(s) above maxCluster=$maxCluster " +
-        s"(${hot.mkString(", ")}); pairs grow with the square of the " +
-        "largest cluster — raise nCentroids to split them")
+    if (hot.nonEmpty) {
+      asg.unpersist() // refusal path: nothing is returned for the caller
+      throw new IllegalArgumentException(
+        s"semanticDedup: cluster(s) above maxCluster=$maxCluster " +
+          s"(${hot.mkString(", ")}); pairs grow with the square of the " +
+          "largest cluster — raise nCentroids to split them")
+    }
     val a = asg.select(col("cluster"), col("id").as("id_a"),
       col("v").as("_va"), col("n").as("_na"))
     val b = asg.select(col("cluster"), col("id").as("id_b"),

@@ -308,6 +308,22 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("b", 3L)) === ((5.0, Some(5.0), Some(5.0), None))) // flat
   }
 
+  test("bollinger: a small k collapsing the rounded bands yields NULL %B, not divide-by-zero") {
+    import org.apache.spark.sql.functions.col
+    // std rounds to 0.000001 (> 0) but k·std rounds AWAY at 6 dp, so
+    // both bands land on the mid — a std-based %B guard would divide by
+    // zero (ANSI failure) on this valid data
+    val ticks = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.000001))
+      .toDF("sym", "seq", "price")
+    val got = Stats.bollinger(ticks, "sym", Seq(col("seq")), col("price"),
+        window = 3, k = 0.4)
+      .filter(col("seq") === 3L)
+      .select("bb_upper", "bb_lower", "pct_b")
+      .as[(Option[Double], Option[Double], Option[Double])].collect().head
+    assert(got._1 === got._2)   // rounded bands collapsed
+    assert(got._3 === None)     // %B undefined, no error
+  }
+
   test("sharpe: symmetric returns score 0, a single return has no ratio") {
     import org.apache.spark.sql.functions.col
     // a: 100→110→99 gives returns +0.1, -0.1 (exact at 9 dp): mean 0 ⇒

@@ -457,6 +457,50 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(got(("b", 1L))._3 === None)  // no sample std ⇒ no bands
   }
 
+  test("bollingerStream survives a collapsed band: NULL %B matching batch, stream stays alive") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // the zero-width-band edge: without the rounded-width guard the
+    // stream-side division is Infinity and r6 throws, killing the query
+    val ticks = Seq(("a", 1L, 5.0), ("a", 2L, 5.0), ("a", 3L, 5.000001))
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = EventStream.bollingerStream(spark,
+        mem.toDF().toDF("sym", "seq", "price"), "sym", "seq", "price",
+        window = 3, k = 0.4)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("boll_edge_out").start()
+    mem.addData(ticks: _*)
+    q.processAllAvailable()
+    val got = spark.table("boll_edge_out")
+      .select("key", "seq", "bb_upper", "bb_lower", "pct_b")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    q.stop()
+    val batch = graft.ops.Stats.bollinger(
+        ticks.toDF("sym", "seq", "price"), "sym", Seq(col("seq")),
+        col("price"), window = 3, k = 0.4)
+      .select(col("seq"), col("bb_upper"), col("bb_lower"), col("pct_b"))
+      .as[(Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === batch)
+    assert(got(3L)._3 === None) // collapsed band ⇒ %B undefined, both sides
+  }
+
+  test("semanticDedup and centroids: an id space missing the stride still dedups") {
+    // ids 1..5 contain no multiple of 31 — the stride sampler finds
+    // nothing and must fall back to the first nonzero vectors, or the
+    // operator silently keeps every duplicate
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),  // exact dups
+      (3L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    assert(!Similarity.centroids(vecs, "vec_id", "embedding", 2).isEmpty)
+    val got = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        nCentroids = 2, threshold = 0.95)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("vwapStream's latest emission per key equals the batch VWAP over the prefix") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
