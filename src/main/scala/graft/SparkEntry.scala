@@ -903,6 +903,19 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    "q123_amihud" -> ((s, dir) => {
+      // Amihud illiquidity per (instrument, day): mean |return| per unit
+      // traded value — the price-impact proxy; exact decimal mean, one
+      // Exchange (the q121 shape with a per-row liquidity quotient)
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("qty", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("qty").isNotNull)
+      Stats.amihudIlliquidity(ev, "event_type",
+          Seq(col("ts"), col("event_id")), col("value"), col("qty"),
+          to_date(col("ts")))
+        .orderBy("event_type", "bucket")
+    }),
+
     "q100_level_alerts" -> ((s, dir) => {
       // live-tick scoring against static per-instrument levels (session
       // VWAP, latest EWMA, latest RSI regime, σ): the batch face of the
@@ -2553,6 +2566,36 @@ object SparkEntry {
         |SELECT event_type, bucket, n_returns,
         |  CAST(CAST(rv AS VARCHAR) AS DOUBLE) AS realized_variance,
         |  round(sqrt(CAST(CAST(rv AS VARCHAR) AS DOUBLE)), 9) AS realized_vol
+        |FROM s ORDER BY event_type, bucket""".stripMargin,
+
+    "q123_amihud" ->
+      """WITH b AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty,
+        |    lag(CAST(value AS DECIMAL(18,6))) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS pv
+        |  FROM events
+        |  WHERE value IS NOT NULL
+        |    AND json_extract_string(props, '$.k') IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS bucket,
+        |    CASE WHEN pv > 0 THEN CAST(round(
+        |      CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9) AS DECIMAL(16,9))
+        |    END AS r,
+        |    CAST(v * CAST(qty AS DECIMAL(18,6)) AS DECIMAL(38,12)) AS dv
+        |  FROM b),
+        |-- every decimal->double goes through VARCHAR/strtod: DuckDB's
+        |-- direct cast is not correctly rounded (see q121)
+        |il AS (
+        |  SELECT event_type, bucket,
+        |    CAST(round(CAST(CAST(abs(r) AS VARCHAR) AS DOUBLE) /
+        |      CAST(CAST(dv AS VARCHAR) AS DOUBLE), 12) AS DECIMAL(20,12)) AS il
+        |  FROM r WHERE r IS NOT NULL AND dv > 0),
+        |s AS (
+        |  SELECT event_type, bucket, COUNT(*) AS n_ticks, SUM(il) AS ils
+        |  FROM il GROUP BY event_type, bucket)
+        |SELECT event_type, bucket, n_ticks,
+        |  round(CAST(CAST(ils AS VARCHAR) AS DOUBLE) / n_ticks, 12) AS illiq
         |FROM s ORDER BY event_type, bucket""".stripMargin,
 
     "q122_cross_source_dups" ->

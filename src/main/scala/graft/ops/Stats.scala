@@ -393,6 +393,37 @@ object Stats {
         round(sqrt(col("_rv").cast("double")), 9).as("realized_vol"))
   }
 
+  /** Amihud illiquidity per (key, bucket): mean of |return| per unit of
+    * traded value — ILLIQ = avg(|rₜ| / (pₜ·qₜ)) over the bucket's ticks
+    * (Amihud 2002, "Illiquidity and stock returns"), THE standard
+    * price-impact proxy when order-book depth isn't available: a large
+    * price move on thin volume = illiquid. Per-row math is one double
+    * quotient rounded to 12 dp and fixed as DECIMAL(20,12) (|r| ≤ 10⁷
+    * by [[tickReturn]]'s domain and p·q ≥ 10⁻¹² ⇒ the ratio fits), so
+    * the bucket mean is an exact decimal sum / count — order-
+    * independent, presented as one rounded double. Zero-value ticks
+    * (p·q = 0 — no trade consideration) contribute nothing, like
+    * undefined returns. Same one-Exchange shape as [[realizedVariance]].
+    */
+  def amihudIlliquidity(df: DataFrame, keyCol: String,
+                        orderCols: Seq[Column], valueCol: Column,
+                        qtyCol: Column, bucketCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val dollar = (valueCol.cast(DecimalType(18, 6)) *
+      qtyCol.cast(DecimalType(18, 6))).cast(DecimalType(38, 12))
+    df.withColumn("_r", tickReturn(w, valueCol))
+      .withColumn("_dv", dollar)
+      .withColumn("_b", bucketCol)
+      .filter(col("_r").isNotNull && col("_dv") > 0)
+      .withColumn("_il",
+        round(abs(col("_r")).cast("double") / col("_dv").cast("double"), 12)
+          .cast(DecimalType(20, 12)))
+      .groupBy(col(keyCol), col("_b").as("bucket"))
+      .agg(count(lit(1)).as("n_ticks"), sum(col("_il")).as("_s"))
+      .select(col(keyCol), col("bucket"), col("n_ticks"),
+        round(col("_s").cast("double") / col("n_ticks"), 12).as("illiq"))
+  }
+
   /** Lag-1 autocorrelation of tick returns per instrument — the
     * momentum/mean-reversion diagnostic (positive: trends persist;
     * negative: reverts). Pearson correlation of (rₜ, rₜ₋₁) pairs in the

@@ -378,6 +378,23 @@ class OpsSpec extends AnyFunSuite {
     assert(got("2024-01-02") === ((2L, 0.02)))
   }
 
+  test("amihudIlliquidity: |return| per traded value, zero-consideration ticks drop") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    // tick 2: r = +0.1, traded value 110·5 = 550 → il = 0.1/550 rounded
+    // to 12 dp; tick 3 has qty 0 (no consideration) and contributes
+    // nothing even though its return is defined
+    val ticks = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1L, 100.0, 5L),
+      ("a", ts("2024-01-01 11:00:00"), 2L, 110.0, 5L),
+      ("a", ts("2024-01-01 12:00:00"), 3L, 120.0, 0L)
+    ).toDF("sym", "t", "seq", "price", "qty")
+    val got = Stats.amihudIlliquidity(ticks, "sym",
+        Seq(col("t"), col("seq")), col("price"), col("qty"), to_date(col("t")))
+      .select("sym", "n_ticks", "illiq")
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq === Seq(("a", 1L, 0.000181818182)))
+  }
+
   test("winsorizedStats clips at the key's interpolated percentiles, counts both tails") {
     import org.apache.spark.sql.functions.col
     // a: 1..9 plus outlier 1000. p10 over 10 sorted values interpolates

@@ -220,7 +220,7 @@ class PlanSpec extends AnyFunSuite {
     // satisfied by the window's hash(key) clustering (subset rule), so
     // even the finer-keyed aggregation adds no second Exchange
     for (q <- Seq("q113_bollinger", "q114_sharpe", "q115_return_autocorr",
-        "q121_realized_variance")) {
+        "q121_realized_variance", "q123_amihud")) {
       val p = plan(q)
       assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, s"$q: $p")
     }
