@@ -83,6 +83,12 @@ object DevAnalytics {
       "event_type", ord, col("value")))
     time("autocorr")(ops.Stats.returnAutocorr(ticks,
       "event_type", ord, col("value")))
+    time("realized_var")(ops.Stats.realizedVariance(ticks,
+      "event_type", ord, col("value"), to_date(col("ts"))))
+    time("amihud")(ops.Stats.amihudIlliquidity(ticks,
+      "event_type", ord, col("value"), col("qty"), to_date(col("ts"))))
+    time("winsorized")(ops.Stats.winsorizedStats(ticks,
+      "event_type", col("value"), 0.01, 0.99))
     // rollup maintenance: churn = 1% of rows updated + 0.5% inserted;
     // the delta path must cost churn-shaped work, not base-shaped
     time("incremental_agg") {
