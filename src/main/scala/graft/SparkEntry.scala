@@ -903,6 +903,21 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
 
+    "q124_audio_features" -> ((s, dir) => {
+      // REAL audio decode, oracle-gated end-to-end (the q43 move for
+      // sound): one WAV per doc_id is encoded executor-side — 1+id%256
+      // samples of a seeded ramp — and extractAudioFeatures reads the
+      // true sample count AND the PCM RMS back out via
+      // javax.sound.sampled; both are SQL-expressible from the ids, so
+      // the hash gate proves the decode (not just the header) is real
+      import graft.multimodal.Media
+      val media = Media.audioTable(s, t(s, dir, "documents"), "doc_id")
+      Media.extractAudioFeatures(s, media).toDF()
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("rms"), col("decoded"))
+        .orderBy("media_id")
+    }),
+
     "q123_amihud" -> ((s, dir) => {
       // Amihud illiquidity per (instrument, day): mean |return| per unit
       // traded value — the price-impact proxy; exact decimal mean, one
@@ -2567,6 +2582,19 @@ object SparkEntry {
         |  CAST(CAST(rv AS VARCHAR) AS DOUBLE) AS realized_variance,
         |  round(sqrt(CAST(CAST(rv AS VARCHAR) AS DOUBLE)), 9) AS realized_vol
         |FROM s ORDER BY event_type, bucket""".stripMargin,
+
+    "q124_audio_features" ->
+      """WITH s AS (
+        |  SELECT doc_id, 1 + doc_id % 256 AS n,
+        |    unnest(range(0, CAST(1 + doc_id % 256 AS BIGINT))) AS i
+        |  FROM documents),
+        |amp AS (
+        |  SELECT doc_id, n, ((doc_id + i) % 17 - 8) * 1000 AS a FROM s)
+        |SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels,
+        |  CAST(MIN(n) AS BIGINT) AS n_samples,
+        |  round(sqrt(CAST(SUM(a * a) AS DOUBLE) / MIN(n)), 6) AS rms,
+        |  TRUE AS decoded
+        |FROM amp GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "q123_amihud" ->
       """WITH b AS (

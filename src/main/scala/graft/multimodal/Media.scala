@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * Image decode is REAL for every format the JDK ships a reader for
   * (PNG, JPEG, GIF, BMP, WBMP — [[ImageCodec.decodeDims]] reads true
   * dimensions from the header via `javax.imageio`, no external codec
-  * libraries needed). Payloads no reader recognises (audio, video,
-  * proprietary formats — codecs genuinely absent from this container)
-  * fall back to the clearly-marked deterministic [[StubCodec]]; a
-  * production codec drops into that fallback unchanged.
+  * libraries needed), and audio decode is REAL for WAV/AIFF/AU
+  * ([[AudioCodec.decode]] reads true sample rate / channel count /
+  * sample count and computes the PCM RMS via `javax.sound.sampled`).
+  * Payloads no reader recognises (video, proprietary formats — codecs
+  * genuinely absent from this container) fall back to the
+  * clearly-marked deterministic [[StubCodec]]; a production codec
+  * drops into that fallback unchanged.
   *
   * Scale posture: decode runs via `mapPartitions` on a typed Dataset, so
   * the (expensive, non-columnar) codec amortizes per-partition
@@ -82,10 +85,82 @@ object Media {
     }
   }
 
+  /** Real audio codec on the JDK's `javax.sound.sampled` — WAV/AIFF/AU
+    * ship with every JVM, no external libraries (the audio analog of
+    * [[ImageCodec]]; only video and proprietary containers remain on
+    * the stub).
+    */
+  object AudioCodec {
+    case class AudioMeta(sampleRate: Int, channels: Int, bits: Int,
+                         nSamples: Long)
+
+    /** Header probe + full PCM decode → (meta, RMS amplitude of the
+      * 16-bit signed samples). None when no JDK reader claims the
+      * payload (images, video, garbage) — the caller falls back to the
+      * stub, exactly like [[ImageCodec.decodeDims]]. RMS is
+      * sqrt(Σs²/n) with the sum in exact Longs, so two engines looking
+      * at the same samples agree bit-for-bit on the double.
+      */
+    def decode(payload: Array[Byte]): Option[(AudioMeta, Double)] = {
+      val in = new java.io.ByteArrayInputStream(payload)
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+        try {
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits != 16 || f.isBigEndian) None
+          else {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            var i = 0
+            var ss = 0L // Σs²: n ≤ 2^31 16-bit samples fits comfortably
+            while (i < n) {
+              val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toShort
+              ss += s.toLong * s
+              i += 1
+            }
+            val rms = if (n == 0) 0.0
+              else BigDecimal(math.sqrt(ss.toDouble / n))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Some((AudioMeta(f.getSampleRate.toInt, f.getChannels,
+              f.getSampleSizeInBits, ais.getFrameLength), rms))
+          }
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+
+    /** Deterministic mono 16-bit 8 kHz WAV: `nSamples` samples of the
+      * seeded ramp `s_i = ((seed + i) mod 17 − 8) · 1000` — arithmetic
+      * simple enough that an oracle recomputes the RMS from the seed
+      * alone (the audio analog of [[ImageCodec.encodePng]]'s
+      * id-derived dimensions).
+      */
+    def encodeWav(nSamples: Int, seed: Long): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        true /*signed*/, false /*little-endian*/)
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = ((java.lang.Math.floorMod(seed + i, 17L) - 8) * 1000).toShort
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
   /** Deterministic stand-in for codecs genuinely absent from this
-    * container (audio/video/proprietary). A real implementation replaces
-    * `decode` with e.g. an FFmpeg probe — signature: bytes in,
-    * fixed-shape features out.
+    * container (video/proprietary — audio graduated to [[AudioCodec]]).
+    * A real implementation replaces `decode` with e.g. an FFmpeg
+    * probe — signature: bytes in, fixed-shape features out.
     */
   object StubCodec {
     /** STUB fallback: produces deterministic fake dimensions from the
@@ -151,6 +226,51 @@ object Media {
               1 + java.lang.Math.floorMod(id, 48L).toInt, id))
         }
       }.toDF()
+  }
+
+  case class AudioFeatures(media_id: Long, n_bytes: Long, sample_rate: Int,
+                           channels: Int, n_samples: Long, rms: Double,
+                           decoded: Boolean)
+
+  /** Deterministic audio table over an id column: one WAV per id with
+    * `1 + id mod 256` samples of the seeded ramp — the audio twin of
+    * [[imageTable]], existing so the decode path is oracle-gated
+    * end-to-end (sample count AND the RMS of the ramp are
+    * SQL-expressible from the ids alone).
+    */
+  def audioTable(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          MediaRow(id, "wav", AudioCodec.encodeWav(
+            1 + java.lang.Math.floorMod(id, 256L).toInt, id))
+        }
+      }.toDF()
+  }
+
+  /** Batched audio decode → features, the [[extractFeatures]] shape for
+    * sound: REAL header + PCM decode for JDK-readable audio
+    * (`decoded = true`, true sample rate / channel count / sample count
+    * / RMS amplitude), zeroed stub row for payloads no reader claims.
+    */
+  def extractAudioFeatures(spark: SparkSession,
+                           media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("format"), col("payload")).as[MediaRow]
+      .mapPartitions { it =>
+        it.map { m =>
+          AudioCodec.decode(m.payload) match {
+            case Some((meta, rms)) =>
+              AudioFeatures(m.media_id, m.payload.length.toLong,
+                meta.sampleRate, meta.channels, meta.nSamples, rms,
+                decoded = true)
+            case None =>
+              AudioFeatures(m.media_id, m.payload.length.toLong,
+                0, 0, 0L, 0.0, decoded = false)
+          }
+        }
+      }
   }
 
   case class ResizedMedia(media_id: Long, format: String,

@@ -753,6 +753,33 @@ class VectorStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("audio decode is real: WAV roundtrip gives true meta and PCM RMS, non-audio stubs") {
+    // encode→decode roundtrip: exact sample counts and the ramp's RMS
+    val wav = Media.AudioCodec.encodeWav(nSamples = 4, seed = 0L)
+    // samples for seed 0: ((0+i) % 17 - 8)*1000, i=0..3 → -8000,-7000,-6000,-5000
+    val Some((meta, rms)) = Media.AudioCodec.decode(wav)
+    assert(meta.sampleRate === 8000 && meta.channels === 1 && meta.bits === 16)
+    assert(meta.nSamples === 4L)
+    val expect = BigDecimal(math.sqrt(
+      (64e6 + 49e6 + 36e6 + 25e6) / 4)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rms === expect)
+    // an IMAGE payload is not audio → None (extract then stubs it)
+    assert(Media.AudioCodec.decode(Media.ImageCodec.encodePng(4, 4, 1L)) === None)
+    assert(Media.AudioCodec.decode("not audio".getBytes) === None)
+    // distributed path: audioTable → extractAudioFeatures reads true
+    // counts out of real WAV containers, decoded=true
+    val ids = Seq(0L, 5L, 255L, 256L).toDF("doc_id")
+    val feats = Media.extractAudioFeatures(spark,
+        Media.audioTable(spark, ids, "doc_id"))
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- Seq(0L, 5L, 255L, 256L)) {
+      assert(feats(id).decoded, s"id=$id not decoded")
+      assert(feats(id).n_samples === 1 + id % 256)
+      assert(feats(id).sample_rate === 8000 && feats(id).channels === 1)
+    }
+  }
+
   test("media resize and frame sampling: payload transform + row expansion") {
     val docs = Seq((1L, "x" * 300), (2L, "y" * 100)).toDF("doc_id", "text")
     val media = Media.attachPayload(docs, "doc_id", "text")
