@@ -2617,7 +2617,7 @@ object SparkEntry {
         |il AS (
         |  SELECT event_type, bucket,
         |    CAST(round(CAST(CAST(abs(r) AS VARCHAR) AS DOUBLE) /
-        |      CAST(CAST(dv AS VARCHAR) AS DOUBLE), 12) AS DECIMAL(20,12)) AS il
+        |      CAST(CAST(dv AS VARCHAR) AS DOUBLE), 12) AS DECIMAL(32,12)) AS il
         |  FROM r WHERE r IS NOT NULL AND dv > 0),
         |s AS (
         |  SELECT event_type, bucket, COUNT(*) AS n_ticks, SUM(il) AS ils

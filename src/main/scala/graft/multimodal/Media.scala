@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * Image decode is REAL for every format the JDK ships a reader for
   * (PNG, JPEG, GIF, BMP, WBMP — [[ImageCodec.decodeDims]] reads true
   * dimensions from the header via `javax.imageio`, no external codec
-  * libraries needed), and audio decode is REAL for WAV/AIFF/AU
+  * libraries needed), and audio decode is REAL for 16-bit PCM in any
+  * JDK container — WAV, AIFF, AU, either byte order
   * ([[AudioCodec.decode]] reads true sample rate / channel count /
-  * sample count and computes the PCM RMS via `javax.sound.sampled`).
+  * frame count and computes the PCM RMS via `javax.sound.sampled`;
+  * other bit depths stub).
   * Payloads no reader recognises (video, proprietary formats — codecs
   * genuinely absent from this container) fall back to the
   * clearly-marked deterministic [[StubCodec]]; a production codec
@@ -95,11 +97,18 @@ object Media {
                          nSamples: Long)
 
     /** Header probe + full PCM decode → (meta, RMS amplitude of the
-      * 16-bit signed samples). None when no JDK reader claims the
-      * payload (images, video, garbage) — the caller falls back to the
-      * stub, exactly like [[ImageCodec.decodeDims]]. RMS is
-      * sqrt(Σs²/n) with the sum in exact Longs, so two engines looking
-      * at the same samples agree bit-for-bit on the double.
+      * 16-bit signed samples, all channels interleaved). Handles BOTH
+      * byte orders — WAV is little-endian but AIFF/AU PCM is big-endian,
+      * and rejecting `isBigEndian` would silently stub two of the three
+      * formats the JDK reads. None when no JDK reader claims the
+      * payload (images, video, garbage) or the PCM is not 16-bit — the
+      * caller falls back to the stub, exactly like
+      * [[ImageCodec.decodeDims]]. `nSamples` counts FRAMES derived from
+      * the DECODED byte length (bytes / (2·channels)), never the
+      * header's claim, so the meta and the RMS always describe the same
+      * data even for truncated containers; RMS is sqrt(Σs²/n) over the
+      * interleaved samples with the sum in exact Longs, so two engines
+      * looking at the same samples agree bit-for-bit on the double.
       */
     def decode(payload: Array[Byte]): Option[(AudioMeta, Double)] = {
       val in = new java.io.ByteArrayInputStream(payload)
@@ -107,14 +116,17 @@ object Media {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
         try {
           val f = ais.getFormat
-          if (f.getSampleSizeInBits != 16 || f.isBigEndian) None
+          if (f.getSampleSizeInBits != 16 || f.getChannels < 1) None
           else {
+            val big = f.isBigEndian
             val bytes = ais.readAllBytes()
-            val n = bytes.length / 2
+            val n = bytes.length / 2 // interleaved 16-bit samples
             var i = 0
             var ss = 0L // Σs²: n ≤ 2^31 16-bit samples fits comfortably
             while (i < n) {
-              val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xFF)).toShort
+              val (hi, lo) = if (big) (bytes(2 * i), bytes(2 * i + 1))
+                             else (bytes(2 * i + 1), bytes(2 * i))
+              val s = ((hi << 8) | (lo & 0xFF)).toShort
               ss += s.toLong * s
               i += 1
             }
@@ -122,7 +134,7 @@ object Media {
               else BigDecimal(math.sqrt(ss.toDouble / n))
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
             Some((AudioMeta(f.getSampleRate.toInt, f.getChannels,
-              f.getSampleSizeInBits, ais.getFrameLength), rms))
+              f.getSampleSizeInBits, (n / f.getChannels).toLong), rms))
           }
         } finally ais.close()
       } catch {

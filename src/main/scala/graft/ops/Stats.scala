@@ -398,12 +398,16 @@ object Stats {
     * (Amihud 2002, "Illiquidity and stock returns"), THE standard
     * price-impact proxy when order-book depth isn't available: a large
     * price move on thin volume = illiquid. Per-row math is one double
-    * quotient rounded to 12 dp and fixed as DECIMAL(20,12) (|r| ≤ 10⁷
-    * by [[tickReturn]]'s domain and p·q ≥ 10⁻¹² ⇒ the ratio fits), so
-    * the bucket mean is an exact decimal sum / count — order-
-    * independent, presented as one rounded double. Zero-value ticks
-    * (p·q = 0 — no trade consideration) contribute nothing, like
-    * undefined returns. Same one-Exchange shape as [[realizedVariance]].
+    * quotient rounded to 12 dp and fixed as DECIMAL(32,12): the ratio's
+    * true domain ceiling is |r| ≤ 10⁷ ([[tickReturn]]) over p·q ≥ 10⁻¹²
+    * (both sides DECIMAL(18,6), so the smallest positive consideration
+    * is one micro-unit squared) = 10¹⁹, and 32−12 = 20 integer digits
+    * hold it — a narrower type would ANSI-fail on a legitimate
+    * thin-consideration tick. The bucket mean is then an exact decimal
+    * sum / count — order-independent, presented as one rounded double.
+    * Zero-value ticks (p·q = 0 — no trade consideration) contribute
+    * nothing, like undefined returns. Same one-Exchange shape as
+    * [[realizedVariance]].
     */
   def amihudIlliquidity(df: DataFrame, keyCol: String,
                         orderCols: Seq[Column], valueCol: Column,
@@ -417,7 +421,7 @@ object Stats {
       .filter(col("_r").isNotNull && col("_dv") > 0)
       .withColumn("_il",
         round(abs(col("_r")).cast("double") / col("_dv").cast("double"), 12)
-          .cast(DecimalType(20, 12)))
+          .cast(DecimalType(32, 12)))
       .groupBy(col(keyCol), col("_b").as("bucket"))
       .agg(count(lit(1)).as("n_ticks"), sum(col("_il")).as("_s"))
       .select(col(keyCol), col("bucket"), col("n_ticks"),

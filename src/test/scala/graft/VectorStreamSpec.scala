@@ -767,6 +767,26 @@ class VectorStreamSpec extends AnyFunSuite {
     // an IMAGE payload is not audio → None (extract then stubs it)
     assert(Media.AudioCodec.decode(Media.ImageCodec.encodePng(4, 4, 1L)) === None)
     assert(Media.AudioCodec.decode("not audio".getBytes) === None)
+    // AIFF is BIG-endian PCM — same samples must give the same RMS, and
+    // a stereo container reports FRAMES while RMS spans all channels
+    val fmtBE = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val pcmBE = Array[Byte](0xE0.toByte, 0xC0.toByte, 0xE4.toByte, 0xA8.toByte,
+      0xE8.toByte, 0x90.toByte, 0xEC.toByte, 0x78.toByte) // -8000,-7000,-6000,-5000 BE
+    val bosA = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmBE), fmtBE, 4L),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bosA)
+    val Some((metaA, rmsA)) = Media.AudioCodec.decode(bosA.toByteArray)
+    assert(metaA.nSamples === 4L && rmsA === rms) // endian-correct decode
+    val fmtSt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val bosS = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](400)), fmtSt, 100L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bosS)
+    val Some((metaS, _)) = Media.AudioCodec.decode(bosS.toByteArray)
+    assert(metaS.channels === 2 && metaS.nSamples === 100L) // frames, not samples
     // distributed path: audioTable → extractAudioFeatures reads true
     // counts out of real WAV containers, decoded=true
     val ids = Seq(0L, 5L, 255L, 256L).toDF("doc_id")
