@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Clean, Ingest, Joins, Stats, Windows}
+import graft.ops.{Clean, Ingest, Joins, Risk, Stats, Windows}
 import graft.text.{Dedup, TextStats}
 import graft.vector.Similarity
 
@@ -916,6 +916,75 @@ object SparkEntry {
         .select(col("media_id"), col("sample_rate"), col("channels"),
           col("n_samples"), col("rms"), col("decoded"))
         .orderBy("media_id")
+    }),
+
+    "q125_var_cvar" -> ((s, dir) => {
+      // tail risk per instrument: historical VaR + expected shortfall at
+      // α=0.05 by ORDER STATISTIC (k-th smallest return, exact decimal
+      // tail mean) — multiset-deterministic, no interpolation to
+      // diverge between engines; reported in return space (no −0.0
+      // manufactured by a loss negation)
+      Risk.varCvar(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"),
+          alpha = 0.05)
+        .orderBy("event_type")
+    }),
+
+    "q126_sortino" -> ((s, dir) => {
+      // downside-only risk adjustment: mean(r) over √(Σ min(r,0)²/n) —
+      // the Sharpe variant that doesn't punish upside; same one-
+      // aggregation exact-power-sum shape as q114
+      Risk.sortino(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"))
+        .orderBy("event_type")
+    }),
+
+    "q127_flow_imbalance" -> ((s, dir) => {
+      // tick-rule order flow: sign each tick by its price change (zero
+      // ticks inherit the last non-zero sign), then Σ(sign·qty)/Σqty
+      // per instrument-day — buy/sell pressure without a side flag
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      Risk.flowImbalance(ev, "event_type",
+          Seq(col("ts"), col("event_id")), col("value"),
+          get_json_object(col("props"), "$.k").cast("long"),
+          to_date(col("ts")))
+        .orderBy("event_type", "bucket")
+    }),
+
+    "q128_atr_channels" -> ((s, dir) => {
+      // volatility channels over q59's daily OHLC bars: Wilder true
+      // range, 14-bar ATR (NULL until a full window), and Donchian
+      // breakout flags vs the PRIOR 14 bars' extremes — a bar-frame
+      // window pass, no tick-stream shuffle
+      val bars = Stats.ohlcBars(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        Seq("event_type"), to_date(col("ts")),
+        Seq(col("ts"), col("event_id")), "value")
+      Risk.atrChannels(bars, "event_type", col("bar"), nBars = 14)
+        .orderBy("event_type", "bar")
+    }),
+
+    "q129_momentum_rank" -> ((s, dir) => {
+      // nightly winners/losers sort: per-day close-over-open return per
+      // instrument, ranked cross-sectionally within the day (integer
+      // decile arithmetic, no ntile tie lottery) — the portfolio-
+      // formation transpose: key-clustered bars, then a bucket-
+      // clustered rank over one row per (key, day)
+      Risk.momentumRank(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"),
+          to_date(col("ts")))
+        .orderBy("bucket", "event_type")
+    }),
+
+    "q130_intraday_profile" -> ((s, dir) => {
+      // hour-of-day seasonality: tick count, mean |return|, and share
+      // of the instrument's traded quantity per hour — the U-shape
+      // diagnostic; share divides by a window total over the already-
+      // aggregated (key × 24)-row frame
+      Risk.intradayProfile(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"),
+          get_json_object(col("props"), "$.k").cast("long"))
+        .orderBy("event_type", "hour_of_day")
     }),
 
     "q123_amihud" -> ((s, dir) => {
@@ -2595,6 +2664,191 @@ object SparkEntry {
         |  round(sqrt(CAST(SUM(a * a) AS DOUBLE) / MIN(n)), 6) AS rms,
         |  TRUE AS decoded
         |FROM amp GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "q125_var_cvar" ->
+      """WITH b AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |    lag(CAST(value AS DECIMAL(18,6))) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS pv
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type,
+        |    CASE WHEN pv > 0 THEN CAST(round(
+        |      CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9) AS DECIMAL(16,9))
+        |    END AS r
+        |  FROM b),
+        |k AS (
+        |  SELECT event_type, r,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY r ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM r WHERE r IS NOT NULL),
+        |-- k = ceil(alpha*n) from an EXACT decimal alpha: a double 0.05*n
+        |-- can land one ulp above the integer and ceil past it
+        |t AS (
+        |  SELECT event_type, r, rn, n,
+        |    CAST(ceil(CAST(0.05 AS DECIMAL(10,6)) * n) AS BIGINT) AS kk
+        |  FROM k)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_returns,
+        |  round(CAST(CAST(MAX(r) AS VARCHAR) AS DOUBLE), 9) AS var_return,
+        |  round(CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE) / MAX(kk), 9) AS es_return
+        |FROM t WHERE rn <= kk GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q126_sortino" ->
+      """WITH b AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |    lag(CAST(value AS DECIMAL(18,6))) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS pv
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type,
+        |    CASE WHEN pv > 0 THEN CAST(round(
+        |      CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9) AS DECIMAL(16,9))
+        |    END AS r
+        |  FROM b),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n_returns, SUM(r) AS s1,
+        |    SUM(CAST(CASE WHEN r < 0 THEN r * r
+        |      ELSE CAST(0 AS DECIMAL(32,18)) END AS DECIMAL(38,18))) AS sd2
+        |  FROM r WHERE r IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n_returns,
+        |  round(CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_returns, 9) AS mean_return,
+        |  round(sqrt(CAST(CAST(sd2 AS VARCHAR) AS DOUBLE) / n_returns), 9) AS downside_dev,
+        |  CASE WHEN sd2 > 0 THEN
+        |    round((CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n_returns) /
+        |      sqrt(CAST(CAST(sd2 AS VARCHAR) AS DOUBLE) / n_returns), 6)
+        |  END AS sortino
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "q127_flow_imbalance" ->
+      """WITH b AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty,
+        |    lag(CAST(value AS DECIMAL(18,6))) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS pv
+        |  FROM events WHERE value IS NOT NULL),
+        |sg AS (
+        |  SELECT event_type, ts, qty,
+        |    last_value(CASE WHEN v - pv > 0 THEN 1
+        |                    WHEN v - pv < 0 THEN -1 END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+        |  FROM b),
+        |f AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS bucket, sgn,
+        |    CAST(qty AS DECIMAL(28,6)) AS q
+        |  FROM sg WHERE sgn IS NOT NULL AND qty IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, bucket, COUNT(*) AS n_ticks,
+        |    SUM(CASE WHEN sgn = 1 THEN q ELSE -q END) AS sq, SUM(q) AS tq
+        |  FROM f GROUP BY event_type, bucket)
+        |SELECT event_type, bucket, n_ticks,
+        |  round(CAST(CAST(sq AS VARCHAR) AS DOUBLE), 6) AS signed_qty,
+        |  round(CAST(CAST(tq AS VARCHAR) AS DOUBLE), 6) AS total_qty,
+        |  CASE WHEN tq > 0 THEN round(CAST(CAST(sq AS VARCHAR) AS DOUBLE) /
+        |    CAST(CAST(tq AS VARCHAR) AS DOUBLE), 6) END AS ofi
+        |FROM s ORDER BY event_type, bucket""".stripMargin,
+
+    "q128_atr_channels" ->
+      """WITH ticks AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS bar, value,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_last
+        |  FROM events WHERE value IS NOT NULL),
+        |bars AS (
+        |  SELECT event_type, bar,
+        |    CAST(MAX(value) AS DECIMAL(18,6)) AS high,
+        |    CAST(MIN(value) AS DECIMAL(18,6)) AS low,
+        |    CAST(MAX(CASE WHEN rn_last = 1 THEN value END) AS DECIMAL(18,6)) AS close
+        |  FROM ticks GROUP BY event_type, bar),
+        |trv AS (
+        |  SELECT event_type, bar, high, low, close,
+        |    CAST(CASE WHEN pc IS NULL THEN high - low
+        |      ELSE greatest(high - low, abs(high - pc), abs(low - pc))
+        |    END AS DECIMAL(20,6)) AS tr
+        |  FROM (SELECT *, lag(close) OVER
+        |    (PARTITION BY event_type ORDER BY bar ASC) AS pc FROM bars)),
+        |ch AS (
+        |  SELECT event_type, bar, high, low, close,
+        |    COUNT(tr) OVER wt AS trn, SUM(tr) OVER wt AS trs,
+        |    MAX(high) OVER wp AS dh, MIN(low) OVER wp AS dl
+        |  FROM trv
+        |  WINDOW wt AS (PARTITION BY event_type ORDER BY bar ASC
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+        |  wp AS (PARTITION BY event_type ORDER BY bar ASC
+        |    ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, bar,
+        |  CAST(CAST(high AS VARCHAR) AS DOUBLE) AS high,
+        |  CAST(CAST(low AS VARCHAR) AS DOUBLE) AS low,
+        |  CAST(CAST(close AS VARCHAR) AS DOUBLE) AS close,
+        |  CASE WHEN trn = 14 THEN
+        |    round(CAST(CAST(trs AS VARCHAR) AS DOUBLE) / 14, 6) END AS atr,
+        |  CAST(CAST(dh AS VARCHAR) AS DOUBLE) AS donchian_high,
+        |  CAST(CAST(dl AS VARCHAR) AS DOUBLE) AS donchian_low,
+        |  CASE WHEN dh IS NOT NULL THEN CAST(close > dh AS INT) END AS breakout_up,
+        |  CASE WHEN dl IS NOT NULL THEN CAST(close < dl AS INT) END AS breakout_down
+        |FROM ch ORDER BY event_type, bar""".stripMargin,
+
+    "q129_momentum_rank" ->
+      """WITH ticks AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS bucket,
+        |    CAST(value AS DECIMAL(18,6)) AS v,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts ASC, event_id ASC) AS rf,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM events WHERE value IS NOT NULL),
+        |bars AS (
+        |  SELECT event_type, bucket,
+        |    MAX(CASE WHEN rf = 1 THEN v END) AS o,
+        |    MAX(CASE WHEN rl = 1 THEN v END) AS c
+        |  FROM ticks GROUP BY event_type, bucket),
+        |r AS (
+        |  SELECT event_type, bucket,
+        |    CAST(round(CAST(c - o AS DOUBLE) / CAST(o AS DOUBLE), 9)
+        |      AS DECIMAL(16,9)) AS ret
+        |  FROM bars WHERE o > 0),
+        |x AS (
+        |  SELECT bucket, event_type, ret,
+        |    row_number() OVER (PARTITION BY bucket
+        |      ORDER BY ret DESC, event_type ASC) AS rank_in_bucket,
+        |    COUNT(*) OVER (PARTITION BY bucket) AS n_keys
+        |  FROM r)
+        |-- floor, not a bare int cast of the quotient: engines disagree on
+        |-- double->int cast rounding (Spark truncates, DuckDB rounds)
+        |SELECT bucket, event_type,
+        |  CAST(CAST(ret AS VARCHAR) AS DOUBLE) AS bucket_return,
+        |  rank_in_bucket, n_keys,
+        |  CAST(floor(((rank_in_bucket - 1) * 10) / n_keys) + 1 AS INT) AS decile
+        |FROM x ORDER BY bucket, event_type""".stripMargin,
+
+    "q130_intraday_profile" ->
+      """WITH b AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty,
+        |    lag(CAST(value AS DECIMAL(18,6))) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS pv
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day,
+        |    CASE WHEN pv > 0 THEN CAST(round(
+        |      CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9) AS DECIMAL(16,9))
+        |    END AS r,
+        |    CAST(qty AS DECIMAL(28,6)) AS q
+        |  FROM b),
+        |s AS (
+        |  SELECT event_type, hour_of_day, COUNT(*) AS n_ticks,
+        |    COUNT(r) AS nr, SUM(abs(r)) AS sar, SUM(q) AS sq
+        |  FROM r GROUP BY event_type, hour_of_day),
+        |t AS (
+        |  SELECT *, SUM(sq) OVER (PARTITION BY event_type) AS tq FROM s)
+        |SELECT event_type, hour_of_day, n_ticks,
+        |  CASE WHEN nr > 0 THEN
+        |    round(CAST(CAST(sar AS VARCHAR) AS DOUBLE) / nr, 9) END AS mean_abs_return,
+        |  CASE WHEN tq > 0 THEN
+        |    round(CAST(CAST(sq AS VARCHAR) AS DOUBLE) /
+        |      CAST(CAST(tq AS VARCHAR) AS DOUBLE), 6) END AS qty_share
+        |FROM t ORDER BY event_type, hour_of_day""".stripMargin,
 
     "q123_amihud" ->
       """WITH b AS (

@@ -1,0 +1,261 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Tail-risk and microstructure analytics over the tick stream — the
+  * risk-desk counterpart to [[Stats]]'s return/volatility family
+  * (reference anchor: the Gold statistics stage,
+  * `silver_to_gold_crypto_stats.py:77-84`, computes the per-day mean
+  * family; VaR/ES, Sortino, and order-flow are the standard
+  * refinements a market-data platform layers on the same tick feed).
+  *
+  * Numeric discipline is the house rule ([[Stats.tickReturn]]): every
+  * per-row value is fixed as a rounded decimal, every aggregate is an
+  * exact order-independent decimal sum, and doubles appear only in the
+  * final guarded presentation quotient. Plan discipline: each operator
+  * is ONE shuffle wide — the partition-by-key window and the keyed
+  * aggregation share their clustering, so AQE never inserts a second
+  * wide exchange.
+  */
+object Risk {
+
+  /** Historical Value-at-Risk and Expected Shortfall (CVaR) per key at
+    * tail level `alpha`, by ORDER STATISTIC — not interpolation:
+    * k = ⌈α·n⌉, VaR is the k-th smallest tick return and ES the exact
+    * decimal mean of those k tail returns (the discrete/historical
+    * convention; Acerbi & Tasche 2002 for ES). The order-statistic
+    * definition is deliberate: it depends only on the return MULTISET,
+    * so ties among equal returns cannot change the answer on any
+    * cluster, and there is no interpolation arithmetic to diverge
+    * between engines. k comes from an exact decimal α·n (a double
+    * 0.05·n can land one ulp above the integer and ceil past it).
+    *
+    * Both values are reported in RETURN space (negative = loss) —
+    * negating into "loss units" would manufacture a −0.0 on keys whose
+    * cutoff return is exactly zero, and −0.0 vs 0.0 is a
+    * representation difference, not a value difference.
+    *
+    * Plan: the return window, the rank-by-return window, and the
+    * partition count() all partition by the key — one Exchange, three
+    * Window operators riding it — then the tail filter and the final
+    * keyed agg cluster on the same key. Scale: per-key state is the
+    * sort of that key's returns inside its partition (Spark's external
+    * window sort spills); no driver collection, no global sort.
+    */
+  def varCvar(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+              valueCol: Column, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val byReturn = Window.partitionBy(col(keyCol)).orderBy(col("_r").asc)
+    val whole = Window.partitionBy(col(keyCol))
+    df.withColumn("_r", Stats.tickReturn(w, valueCol))
+      .filter(col("_r").isNotNull)
+      .withColumn("_rn", row_number().over(byReturn))
+      .withColumn("_n", count(lit(1)).over(whole))
+      .withColumn("_k",
+        ceil(lit(alpha).cast(DecimalType(10, 6)) * col("_n")).cast("long"))
+      .filter(col("_rn") <= col("_k"))
+      .groupBy(col(keyCol))
+      .agg(max(col("_n")).as("n_returns"),
+        max(col("_k")).as("_kk"),
+        max(col("_r")).as("_var"),
+        sum(col("_r")).as("_tail"))
+      .select(col(keyCol), col("n_returns"),
+        round(col("_var").cast("double"), 9).as("var_return"),
+        round(col("_tail").cast("double") / col("_kk"), 9).as("es_return"))
+  }
+
+  /** Sortino ratio per key: mean(r) / downside deviation, where the
+    * downside deviation is √(Σ min(r,0)² / n) against a zero target
+    * (Sortino & Price 1994) — the Sharpe variant that only penalizes
+    * losses, so a right-skewed book isn't punished for upside. Same
+    * single-aggregation shape as [[Stats.sharpe]]: n, Σr, Σ(r⁻)² as
+    * exact decimal power sums ((16,9)² = (33,18) fits precision 38
+    * exactly), doubles only in the final guarded quotients. Keys with
+    * no losing tick have zero downside deviation ⇒ NULL ratio, not a
+    * division blow-up.
+    */
+  def sortino(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+              valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val down = when(col("_r") < 0, col("_r"))
+      .otherwise(lit(0).cast(DecimalType(16, 9)))
+    val sums = df.withColumn("_r", Stats.tickReturn(w, valueCol))
+      .filter(col("_r").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_returns"),
+        sum(col("_r")).as("_s1"),
+        sum((down * down).cast(DecimalType(38, 18))).as("_sd2"))
+    val mean = col("_s1").cast("double") / col("n_returns")
+    val dd = sqrt(col("_sd2").cast("double") / col("n_returns"))
+    sums.select(col(keyCol), col("n_returns"),
+      round(mean, 9).as("mean_return"),
+      round(dd, 9).as("downside_dev"),
+      when(col("_sd2") > 0, round(mean / dd, 6)).as("sortino"))
+  }
+
+  /** Order-flow imbalance per (key, bucket) by the TICK RULE (Lee &
+    * Ready 1991's price test): each tick is signed by its price change —
+    * uptick buys, downtick sells — and a zero tick inherits the sign of
+    * the last non-zero change (`last(..ignoreNulls..)` over the same
+    * key window; no sign yet ⇒ the tick is unclassifiable and drops,
+    * like an undefined first return). OFI = Σ(sign·qty) / Σqty ∈
+    * [−1, 1] — the classic buy/sell pressure proxy when the feed has no
+    * side flag. Quantities sum as exact decimals (a LONG qty stream at
+    * 100 TB overflows int64 partial sums); the imbalance quotient is
+    * the only double. One Exchange: sign windows and the (key, bucket)
+    * aggregation all cluster by key.
+    */
+  def flowImbalance(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                    valueCol: Column, qtyCol: Column,
+                    bucketCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val v = valueCol.cast(DecimalType(18, 6))
+    val dv = v - lag(v, 1).over(w)
+    val tickSign = when(dv > 0, 1).when(dv < 0, -1)
+    val carried = last(tickSign, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("_sgn", carried)
+      .withColumn("_q", qtyCol.cast(DecimalType(28, 6)))
+      .filter(col("_sgn").isNotNull && col("_q").isNotNull)
+      .withColumn("_b", bucketCol)
+      .groupBy(col(keyCol), col("_b").as("bucket"))
+      // sign applied via CASE, not multiplication: int × DECIMAL(28,6)
+      // wants precision 39 and Spark would silently narrow it back to 38
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(when(col("_sgn") === 1, col("_q")).otherwise(-col("_q")))
+          .as("_signed"),
+        sum(col("_q")).as("_total"))
+      .select(col(keyCol), col("bucket"), col("n_ticks"),
+        round(col("_signed").cast("double"), 6).as("signed_qty"),
+        round(col("_total").cast("double"), 6).as("total_qty"),
+        when(col("_total") > 0,
+          round(col("_signed").cast("double") /
+            col("_total").cast("double"), 6)).as("ofi"))
+  }
+
+  /** Cross-sectional momentum rank: each key's bucket return (close
+    * over open, by deterministic first/last tick like
+    * [[Windows.ohlcBars]]) ranked ACROSS keys within the bucket —
+    * winners-vs-losers decile membership, the Jegadeesh & Titman 1993
+    * sort that portfolio-formation pipelines run nightly. Rank is
+    * row_number with the key as tiebreak (fully deterministic), decile
+    * is pure integer arithmetic ((rank−1)·10 ÷ n + 1 — no ntile, whose
+    * tie placement is engine-defined). Two shuffles by NATURE, not
+    * waste: the first/last picks cluster by key, the cross-sectional
+    * rank clusters by bucket — a transpose. The second exchange moves
+    * one row per (key, bucket), i.e. the aggregated frame, not ticks.
+    */
+  def momentumRank(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                   valueCol: Column, bucketCol: Column): DataFrame = {
+    val v = valueCol.cast(DecimalType(18, 6))
+    val grouped = df.withColumn("_b", bucketCol).withColumn("_v", v)
+    val wAsc = Window.partitionBy(col(keyCol), col("_b"))
+      .orderBy(orderCols.map(_.asc): _*)
+    val wDesc = Window.partitionBy(col(keyCol), col("_b"))
+      .orderBy(orderCols.map(_.desc): _*)
+    val bars = grouped
+      .withColumn("_first", row_number().over(wAsc))
+      .withColumn("_last", row_number().over(wDesc))
+      .groupBy(col(keyCol), col("_b").as("bucket"))
+      .agg(max(when(col("_first") === 1, col("_v"))).as("_open"),
+        max(when(col("_last") === 1, col("_v"))).as("_close"))
+      .filter(col("_open") > 0)
+      .withColumn("_ret",
+        round((col("_close") - col("_open")).cast("double") /
+          col("_open").cast("double"), 9).cast(DecimalType(16, 9)))
+    val xs = Window.partitionBy(col("bucket"))
+      .orderBy(col("_ret").desc, col(keyCol).asc)
+    val nw = Window.partitionBy(col("bucket"))
+    bars
+      .withColumn("rank_in_bucket", row_number().over(xs))
+      .withColumn("n_keys", count(lit(1)).over(nw))
+      .select(col("bucket"), col(keyCol),
+        col("_ret").cast("double").as("bucket_return"),
+        col("rank_in_bucket"), col("n_keys"),
+        // floor, not a bare int cast: Spark's double->int cast truncates
+        // while DuckDB's rounds — floor() agrees everywhere
+        (floor(((col("rank_in_bucket") - 1) * 10) / col("n_keys")) + 1)
+          .cast("int").as("decile"))
+  }
+
+  /** Intraday seasonality profile per (key, hour-of-day): tick count,
+    * mean |return| (the U-shaped volatility smile every venue shows at
+    * open/close), and the hour's share of the key's total traded
+    * quantity. Return magnitudes and quantities aggregate as exact
+    * decimal sums; the share divides by a per-key total computed with a
+    * window over the ALREADY-AGGREGATED frame (keys × 24 rows — the
+    * second window is over a tiny frame, not the tick stream). One wide
+    * Exchange by key for returns + the keyed agg; the share window
+    * re-partitions only the 24-row-per-key result.
+    */
+  def intradayProfile(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                      valueCol: Column, qtyCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val hourly = df.withColumn("_r", Stats.tickReturn(w, valueCol))
+      .withColumn("_q", qtyCol.cast(DecimalType(28, 6)))
+      .withColumn("_h", hour(orderCols.head))
+      .groupBy(col(keyCol), col("_h").as("hour_of_day"))
+      .agg(count(lit(1)).as("n_ticks"),
+        count(col("_r")).as("_nr"),
+        sum(abs(col("_r"))).as("_sar"),
+        sum(col("_q")).as("_sq"))
+    val keyTotal = Window.partitionBy(col(keyCol))
+    hourly
+      .withColumn("_tq", sum(col("_sq")).over(keyTotal))
+      .select(col(keyCol), col("hour_of_day"), col("n_ticks"),
+        when(col("_nr") > 0,
+          round(col("_sar").cast("double") / col("_nr"), 9))
+          .as("mean_abs_return"),
+        when(col("_tq") > 0,
+          round(col("_sq").cast("double") / col("_tq").cast("double"), 6))
+          .as("qty_share"))
+  }
+
+  /** ATR and Donchian-channel breakout flags over an OHLC bar frame
+    * (the [[Windows.ohlcBars]] output): true range = max(high−low,
+    * |high−prevClose|, |low−prevClose|) (Wilder 1978), ATR its
+    * `nBars`-bar rolling mean — NULL until a full window of true
+    * ranges exists, matching the charting convention — and the
+    * Donchian breakout compares close against the max high / min low
+    * of the PRIOR `nBars` bars (current bar excluded: a bar always
+    * breaches its own high). All channel arithmetic is decimal-exact
+    * comparisons; the ATR mean is the one presentation double. Bars
+    * per key are tiny (days, not ticks) — a single partition-by-key
+    * window pass over an already-aggregated frame, no tick-stream
+    * shuffle at all.
+    */
+  def atrChannels(bars: DataFrame, keyCol: String, orderCol: Column,
+                  nBars: Int): DataFrame = {
+    require(nBars >= 1, s"nBars must be >= 1, got $nBars")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCol.asc)
+    val high = col("high").cast(DecimalType(18, 6))
+    val low = col("low").cast(DecimalType(18, 6))
+    val close = col("close").cast(DecimalType(18, 6))
+    val prevClose = lag(close, 1).over(w)
+    val tr = when(prevClose.isNotNull,
+      greatest(high - low, abs(high - prevClose), abs(low - prevClose)))
+      .otherwise(high - low)
+    val trail = w.rowsBetween(-(nBars - 1), Window.currentRow)
+    val prior = w.rowsBetween(-nBars, -1)
+    bars
+      .withColumn("_tr", tr.cast(DecimalType(20, 6)))
+      .withColumn("_trn", count(col("_tr")).over(trail))
+      .withColumn("atr", when(col("_trn") === nBars,
+        round(sum(col("_tr")).over(trail).cast("double") / nBars, 6)))
+      .withColumn("_dh", max(high).over(prior))
+      .withColumn("_dl", min(low).over(prior))
+      .select(col(keyCol), orderCol.as("bar"),
+        high.cast("double").as("high"), low.cast("double").as("low"),
+        close.cast("double").as("close"), col("atr"),
+        col("_dh").cast("double").as("donchian_high"),
+        col("_dl").cast("double").as("donchian_low"),
+        when(col("_dh").isNotNull, (close > col("_dh")).cast("int"))
+          .as("breakout_up"),
+        when(col("_dl").isNotNull, (close < col("_dl")).cast("int"))
+          .as("breakout_down"))
+  }
+}

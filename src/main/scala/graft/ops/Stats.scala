@@ -327,8 +327,8 @@ object Stats {
     * return, which on real data is corrupt input — ANSI mode fails the
     * job loudly there instead of shipping a silently-truncated sum.
     */
-  private def tickReturn(w: org.apache.spark.sql.expressions.WindowSpec,
-                         valueCol: Column): Column = {
+  private[ops] def tickReturn(w: org.apache.spark.sql.expressions.WindowSpec,
+                              valueCol: Column): Column = {
     val v = valueCol.cast(DecimalType(18, 6))
     val prev = lag(v, 1).over(w)
     when(prev > 0,

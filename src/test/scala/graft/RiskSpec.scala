@@ -1,0 +1,160 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Risk
+
+/** Tail-risk / microstructure operator semantics (hand-computed
+  * fixtures): VaR/ES order statistics, Sortino downside deviation, the
+  * tick-rule sign carry, ATR/Donchian windows, cross-sectional deciles,
+  * and the intraday profile shares.
+  */
+class RiskSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  // returns for A: 100→80 −0.2, 80→88 +0.1, 88→66 −0.25, 66→72.6 +0.1
+  private def tickFixture = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 1L, 100.0),
+    ("A", ts("2024-01-01 10:01:00"), 2L, 80.0),
+    ("A", ts("2024-01-01 10:02:00"), 3L, 88.0),
+    ("A", ts("2024-01-01 10:03:00"), 4L, 66.0),
+    ("A", ts("2024-01-01 10:04:00"), 5L, 72.6)
+  ).toDF("k", "t", "id", "v")
+
+  test("varCvar: k = ceil(alpha*n) order statistic and exact tail mean") {
+    // sorted returns: −0.25, −0.2, 0.1, 0.1; alpha=0.5 ⇒ k=2 ⇒
+    // VaR = 2nd smallest = −0.2, ES = (−0.25 − 0.2)/2 = −0.225
+    val out = Risk.varCvar(tickFixture, "k", Seq(col("t"), col("id")),
+      col("v"), alpha = 0.5).collect().head
+    assert(out.getAs[Long]("n_returns") === 4L)
+    assert(out.getAs[Double]("var_return") === -0.2)
+    assert(out.getAs[Double]("es_return") === -0.225)
+  }
+
+  test("varCvar: alpha small enough that k=1 takes the minimum") {
+    val out = Risk.varCvar(tickFixture, "k", Seq(col("t"), col("id")),
+      col("v"), alpha = 0.25).collect().head
+    assert(out.getAs[Double]("var_return") === -0.25)
+    assert(out.getAs[Double]("es_return") === -0.25)
+  }
+
+  test("sortino: downside deviation counts only losses") {
+    // mean = −0.0625; Σ(r⁻)² = 0.04 + 0.0625 = 0.1025; dd = √(0.1025/4)
+    val out = Risk.sortino(tickFixture, "k", Seq(col("t"), col("id")),
+      col("v")).collect().head
+    val dd = math.sqrt(0.1025 / 4)
+    assert(out.getAs[Long]("n_returns") === 4L)
+    assert(out.getAs[Double]("mean_return") === -0.0625)
+    assert(out.getAs[Double]("downside_dev") ===
+      BigDecimal(dd).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.getAs[Double]("sortino") ===
+      BigDecimal(-0.0625 / dd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("sortino: a key with no losing tick has NULL ratio") {
+    val up = Seq(
+      ("U", ts("2024-01-01 10:00:00"), 1L, 100.0),
+      ("U", ts("2024-01-01 10:01:00"), 2L, 110.0)
+    ).toDF("k", "t", "id", "v")
+    val out = Risk.sortino(up, "k", Seq(col("t"), col("id")), col("v"))
+      .collect().head
+    assert(out.getAs[Double]("downside_dev") === 0.0)
+    assert(out.isNullAt(out.fieldIndex("sortino")))
+  }
+
+  test("flowImbalance: tick rule signs, zero ticks inherit, unsignable drop") {
+    // 10 (first: no sign), 10 (zero change, nothing to inherit: drop),
+    // 11 (+1, qty 3), 11 (zero: inherits +1, qty 4), 10 (−1, qty 5)
+    val df = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 1L, 10.0, 1L),
+      ("A", ts("2024-01-01 09:01:00"), 2L, 10.0, 2L),
+      ("A", ts("2024-01-01 09:02:00"), 3L, 11.0, 3L),
+      ("A", ts("2024-01-01 09:03:00"), 4L, 11.0, 4L),
+      ("A", ts("2024-01-01 09:04:00"), 5L, 10.0, 5L)
+    ).toDF("k", "t", "id", "v", "q")
+    val out = Risk.flowImbalance(df, "k", Seq(col("t"), col("id")),
+      col("v"), col("q"), to_date(col("t"))).collect().head
+    assert(out.getAs[Long]("n_ticks") === 3L)
+    assert(out.getAs[Double]("signed_qty") === 2.0)   // 3 + 4 − 5
+    assert(out.getAs[Double]("total_qty") === 12.0)
+    assert(out.getAs[Double]("ofi") === 0.166667)     // round(2/12, 6)
+  }
+
+  test("atrChannels: Wilder TR, rolling ATR, prior-window Donchian") {
+    val bars = Seq(
+      ("A", "2024-01-01", 10.0, 8.0, 9.0),
+      ("A", "2024-01-02", 12.0, 9.0, 11.0),
+      ("A", "2024-01-03", 11.0, 7.0, 8.0)
+    ).toDF("k", "bar", "high", "low", "close")
+    val rows = Risk.atrChannels(bars, "k", col("bar"), nBars = 2)
+      .orderBy("bar").collect()
+    // TRs: d1 = 2 (no prev close), d2 = max(3,3,0) = 3, d3 = max(4,0,4) = 4
+    assert(rows(0).isNullAt(rows(0).fieldIndex("atr")))  // window not full
+    assert(rows(1).getAs[Double]("atr") === 2.5)         // (2+3)/2
+    assert(rows(2).getAs[Double]("atr") === 3.5)         // (3+4)/2
+    // Donchian vs PRIOR 2 bars: d2 sees only d1 (dh=10) ⇒ close 11 breaks up
+    assert(rows(0).isNullAt(rows(0).fieldIndex("donchian_high")))
+    assert(rows(1).getAs[Double]("donchian_high") === 10.0)
+    assert(rows(1).getAs[Int]("breakout_up") === 1)
+    assert(rows(2).getAs[Double]("donchian_high") === 12.0)
+    assert(rows(2).getAs[Int]("breakout_up") === 0)
+    assert(rows(2).getAs[Double]("donchian_low") === 8.0)
+    assert(rows(2).getAs[Int]("breakout_down") === 0)    // 8 < 8 is false
+  }
+
+  test("momentumRank: deterministic cross-sectional rank and decile") {
+    val df = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 1L, 100.0),
+      ("A", ts("2024-01-01 16:00:00"), 2L, 110.0),  // +0.1
+      ("B", ts("2024-01-01 09:00:00"), 3L, 100.0),
+      ("B", ts("2024-01-01 16:00:00"), 4L, 90.0),   // −0.1
+      ("C", ts("2024-01-01 09:00:00"), 5L, 50.0),
+      ("C", ts("2024-01-01 16:00:00"), 6L, 50.0)    // 0
+    ).toDF("k", "t", "id", "v")
+    val out = Risk.momentumRank(df, "k", Seq(col("t"), col("id")),
+      col("v"), to_date(col("t")))
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[Int]("rank_in_bucket"), r.getAs[Int]("decile")))).toMap
+    assert(out("A") === ((1, 1)))   // floor(0·10/3)+1
+    assert(out("C") === ((2, 4)))   // floor(10/3)+1
+    assert(out("B") === ((3, 7)))   // floor(20/3)+1
+  }
+
+  test("momentumRank: equal returns rank by key tiebreak") {
+    val df = Seq(
+      ("B", ts("2024-01-01 09:00:00"), 1L, 100.0),
+      ("B", ts("2024-01-01 16:00:00"), 2L, 110.0),
+      ("A", ts("2024-01-01 09:00:00"), 3L, 200.0),
+      ("A", ts("2024-01-01 16:00:00"), 4L, 220.0)
+    ).toDF("k", "t", "id", "v")
+    val out = Risk.momentumRank(df, "k", Seq(col("t"), col("id")),
+      col("v"), to_date(col("t")))
+      .collect().map(r => r.getAs[String]("k") ->
+        r.getAs[Int]("rank_in_bucket")).toMap
+    assert(out === Map("A" -> 1, "B" -> 2))
+  }
+
+  test("intradayProfile: per-hour |return| mean and quantity share") {
+    val df = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1L, 100.0, 2L),
+      ("A", ts("2024-01-01 10:30:00"), 2L, 110.0, 3L),  // r = +0.1, hour 10
+      ("A", ts("2024-01-01 11:00:00"), 3L, 99.0, 5L)    // r = −0.1, hour 11
+    ).toDF("k", "t", "id", "v", "q")
+    val rows = Risk.intradayProfile(df, "k", Seq(col("t"), col("id")),
+      col("v"), col("q")).orderBy("hour_of_day").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Int]("hour_of_day") === 10)
+    assert(rows(0).getAs[Long]("n_ticks") === 2L)
+    assert(rows(0).getAs[Double]("mean_abs_return") === 0.1)
+    assert(rows(0).getAs[Double]("qty_share") === 0.5)  // 5 of 10
+    assert(rows(1).getAs[Int]("hour_of_day") === 11)
+    assert(rows(1).getAs[Double]("mean_abs_return") === 0.1)
+    assert(rows(1).getAs[Double]("qty_share") === 0.5)
+  }
+}
