@@ -918,6 +918,26 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q131_containment_dups" -> ((s, dir) => {
+      // asymmetric dup detection: shared/min(|A|,|B|) finds a small doc
+      // copied inside a big one where Jaccard stays low (Broder's
+      // containment); prefix-filter on the provably-smaller side joined
+      // against the full shingle relation — never all-pairs
+      text.Dedup.containmentPairs(t(s, dir, "documents"), "doc_id",
+          "text", n = 5, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q132_zipf_slope" -> ((s, dir) => {
+      // corpus-level quality: ln(freq)~ln(rank) slope over each source's
+      // top-100 tokens — natural text sits near −1; templated or
+      // machine-generated sources drift off (decimal-fixed ln values,
+      // exact regression power sums)
+      text.TextStats.zipfSlope(t(s, dir, "documents"), "source", "text",
+          topK = 100)
+        .orderBy("source")
+    }),
+
     "q125_var_cvar" -> ((s, dir) => {
       // tail risk per instrument: historical VaR + expected shortfall at
       // α=0.05 by ORDER STATISTIC (k-th smallest return, exact decimal
@@ -2664,6 +2684,68 @@ object SparkEntry {
         |  round(sqrt(CAST(SUM(a * a) AS DOUBLE) / MIN(n)), 6) AS rms,
         |  TRUE AS decoded
         |FROM amp GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "q131_containment_dups" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM toks),
+        |sh AS (
+        |  SELECT DISTINCT a.doc_id,
+        |    a.word || ' ' || b.word || ' ' || c.word || ' ' || d.word || ' ' || e.word AS shingle
+        |  FROM words a
+        |  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        |  JOIN words d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+        |  JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4
+        |  UNION
+        |  SELECT doc_id, array_to_string(w, ' ') AS shingle
+        |  FROM toks WHERE len(w) < 5),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_a, n_b, containment, jaccard FROM (
+        |  SELECT doc_a, doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |    CAST(shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment,
+        |    CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) AS jaccard
+        |  FROM shared
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b)
+        |WHERE containment >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q132_zipf_slope" ->
+      """WITH tf AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |f AS (SELECT source, token, COUNT(*) AS freq FROM tf GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT source, freq,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY freq DESC, token ASC) AS r
+        |  FROM f),
+        |l AS (
+        |  SELECT source,
+        |    CAST(round(ln(r), 12) AS DECIMAL(14,12)) AS x,
+        |    CAST(round(ln(freq), 12) AS DECIMAL(14,12)) AS y
+        |  FROM rk WHERE r <= 100),
+        |s AS (
+        |  SELECT source, COUNT(*) AS n_ranks,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x * y AS DECIMAL(38,24))) AS sxy,
+        |    SUM(CAST(x * x AS DECIMAL(38,24))) AS sxx
+        |  FROM l GROUP BY source)
+        |SELECT source, n_ranks,
+        |  CASE WHEN n_ranks >= 2 THEN
+        |    round((n_ranks * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) -
+        |           CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) /
+        |          (n_ranks * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) -
+        |           CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)), 6)
+        |  END AS zipf_slope
+        |FROM s ORDER BY source""".stripMargin,
 
     "q125_var_cvar" ->
       """WITH b AS (

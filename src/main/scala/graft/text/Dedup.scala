@@ -106,6 +106,72 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs: C = shared / min(|A|, |B|) —
+    * the near-dup measure Jaccard is blind to, because a small document
+    * copied verbatim inside a much larger one has tiny Jaccard (the
+    * union is dominated by the big doc) but containment ≈ 1 (Broder
+    * 1997 introduced resemblance AND containment as the two sketch
+    * measures for exactly this reason). The curation use: quote-farm /
+    * wrapper pages that embed a whole source article.
+    *
+    * Candidate scheme: the Jaccard prefix bound adapted to the
+    * asymmetric measure. C(a,b) >= t implies overlap >= t·min(n_a,n_b),
+    * so the prefix guarantee (some shared shingle among the first
+    * n - ceil(t·n) + 1 in canonical rarest-first order) provably holds
+    * for the SMALLER side of every qualifying pair — but nothing
+    * useful bounds the larger side's prefix. Hence the join is
+    * prefix(potential-smaller) ⋈ FULL shingle relation, not prefix ⋈
+    * prefix: every doc plays the "smaller" role through its prefix and
+    * the "larger" role through its full set, and the unordered pair
+    * survives via least/greatest + distinct. Same hot-shingle cap as
+    * [[jaccardPairs]] on BOTH sides (a capped shingle cannot witness,
+    * but still counts in verification — exact whenever max shingle
+    * freq <= cap). Verification recomputes exact shared counts, so
+    * emitted pairs carry true containment AND jaccard.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       hotShingleCap: Int = 100000): DataFrame = {
+    val s = shingleSets(df, idCol, textCol, n).persist()
+    val sizes = s.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val freq = s.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+    val byDoc = Window.partitionBy(col("doc"))
+    val ranked = s.join(freq, "shingle")
+      .filter(col("freq") >= 2 && col("freq") <= hotShingleCap)
+    // prefix over the freq-FILTERED list (n' <= n): still complete —
+    // every shared shingle has freq >= 2 so it survives the filter, and
+    // overlap >= ceil(t·n_a) >= ceil(t·n'_a); if all shared shingles sat
+    // outside the first n' - ceil(t·n') + 1, overlap <= ceil(t·n') - 1,
+    // a contradiction. The filtered prefix is strictly smaller, so this
+    // tightens the candidate join rather than weakening it.
+    val prefixes = ranked
+      .withColumn("_r", row_number().over(
+        byDoc.orderBy(col("freq").asc, col("shingle").asc)))
+      .withColumn("_n", count(lit(1)).over(byDoc))
+      .filter(col("_r") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+      .select(col("doc"), col("shingle"))
+    val cands = prefixes.as("a")
+      .join(ranked.select(col("doc"), col("shingle")).as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"))
+      .distinct()
+    cands
+      .join(s.as("sa"), col("sa.doc") === col("doc_a"))
+      .join(s.as("sb"), col("sb.doc") === col("doc_b") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("containment"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared"))).as("jaccard"))
+  }
+
   /** MinHash signatures: for seed i, sig[i] = min over shingles of
     * xxhash64(i, shingle). One shuffle (groupBy doc).
     */

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for a training-data pipeline over the `documents` table:
@@ -201,6 +202,51 @@ object TextStats {
       .filter(col("df") >= minDf)
       .withColumn("truncated", col("df") > maxPostings)
       .select(col("token"), col("df"), col("truncated"), col("postings"))
+  }
+
+  /** Zipf exponent per group: the slope of ln(freq) over ln(rank) across
+    * the group's `topK` most frequent tokens — natural language sits
+    * near −1 (Zipf's law), so a source whose slope is far off is
+    * machine-generated, templated, or token-salad: a corpus-level
+    * quality signal the per-doc scores (q35) can't see.
+    *
+    * Numeric discipline: ln() is the one transcendental — each value is
+    * immediately rounded to 12 dp and fixed as DECIMAL(14,12) (2
+    * integer digits hold ln of any count up to e^99), so the regression
+    * power sums are exact and order-independent; (14,12)² = (29,24)
+    * fits precision 38 exactly. The slope is the standard least-squares
+    * quotient, computed in double only at presentation. Rank is
+    * row_number with the token as tiebreak — fully deterministic.
+    *
+    * Plan: one explode→hash-agg for term frequencies (map-side
+    * partials), one window limited to topK rows per group (the
+    * WindowGroupLimit push), then a tiny keyed agg. Groups with a
+    * degenerate rank range (< 2 distinct ranks) yield NULL.
+    */
+  def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
+                topK: Int = 100): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    import org.apache.spark.sql.types.DecimalType
+    val tf = df
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("freq").desc, col("token").asc)
+    val ranked = tf.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= topK)
+      .withColumn("_x", round(log(col("_rank")), 12).cast(DecimalType(14, 12)))
+      .withColumn("_y", round(log(col("freq")), 12).cast(DecimalType(14, 12)))
+    val sums = ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum((col("_x") * col("_y")).cast(DecimalType(38, 24))).as("_sxy"),
+        sum((col("_x") * col("_x")).cast(DecimalType(38, 24))).as("_sxx"))
+    def d(c: String) = col(c).cast("double")
+    sums.select(col(groupCol), col("n_ranks"),
+      when(col("n_ranks") >= 2,
+        round((col("n_ranks") * d("_sxy") - d("_sx") * d("_sy")) /
+          (col("n_ranks") * d("_sxx") - d("_sx") * d("_sx")), 6))
+        .as("zipf_slope"))
   }
 
   def heavyHitters(df: DataFrame, tokensCol: Column, minCount: Long,

@@ -189,4 +189,65 @@ class TextDedupSpec extends AnyFunSuite {
       graft.text.TextStats.lengthQuantiles(docs, "source", "text", Seq(1.5))
     }
   }
+
+  test("containmentPairs finds the sub-document dup that Jaccard misses") {
+    // doc 2's single shingle appears verbatim inside doc 4 (8 shingles):
+    // containment = 1.0 but jaccard = 1/8 — invisible at any jaccard
+    // threshold a dedup pass would actually use
+    val docs = Seq(
+      (1L, "a b c d e f"),                 // shingles: "a b c d e", "b c d e f"
+      (2L, "a b c d e"),                   // one shingle
+      (3L, "p q r s t u v w"),             // unrelated
+      (4L, "x y z a b c d e q r s t")      // contains doc 2's shingle
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", n = 5,
+        threshold = 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Double]("containment"), r.getAs[Double]("jaccard"))))
+      .toMap
+    assert(out.keySet === Set((1L, 2L), (2L, 4L)))
+    assert(out((1L, 2L)) === ((1.0, 0.5)))    // 1 shared / min(2,1); 1/(2+1-1)
+    assert(out((2L, 4L)) === ((1.0, 0.125)))  // 1 shared / min(1,8); 1/(1+8-1)
+  }
+
+  test("containmentPairs: no pair below the containment threshold") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // 4 shingles
+      (2L, "a b c d e x y z")    // 4 shingles, shares only "a b c d e"
+    ).toDF("doc_id", "text")
+    // containment = 1/4 = 0.25 < 0.8 → empty
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", 5, 0.8).isEmpty)
+  }
+
+  test("zipfSlope matches the exact decimal-sum regression") {
+    // freqs: a×4, b×2, c×1 → ranks 1,2,3; slope of ln(freq) on ln(rank)
+    val docs = Seq(("s", "a a a a b b c")).toDF("source", "text")
+    def fix(v: Double) =
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val xs = Seq(1, 2, 3).map(r => fix(math.log(r)))
+    val ys = Seq(4, 2, 1).map(f => fix(math.log(f)))
+    val n = 3
+    val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+    val sxx = xs.map(a => a * a).sum.toDouble
+    val want = BigDecimal((n * sxy - sx * sy) / (n * sxx - sx * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = graft.text.TextStats.zipfSlope(docs, "source", "text")
+      .collect().head
+    assert(row.getAs[Long]("n_ranks") === 3L)
+    assert(row.getAs[Double]("zipf_slope") === want)
+  }
+
+  test("zipfSlope: topK caps the rank range; degenerate group is NULL") {
+    val docs = Seq(
+      ("s", "a a a b b c d e f g"),  // 7 distinct tokens
+      ("t", "solo")                  // one token → no regression
+    ).toDF("source", "text")
+    val rows = graft.text.TextStats.zipfSlope(docs, "source", "text",
+        topK = 3).orderBy("source").collect()
+    assert(rows(0).getAs[Long]("n_ranks") === 3L)   // capped from 7
+    assert(rows(1).getAs[Long]("n_ranks") === 1L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("zipf_slope")))
+  }
 }
