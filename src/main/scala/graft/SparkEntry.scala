@@ -918,6 +918,30 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q133_pair_spread" -> ((s, dir) => {
+      // pairs-trading monitor: OLS hedge per instrument pair over
+      // day-aligned means, then the latest day's residual z vs the
+      // fit's σ — one tick-level agg, everything else on the
+      // buckets × k frame; all pair stats (power sums + latest values
+      // via tie-free max_by) from ONE grouped aggregation
+      Risk.pairSpread(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", to_date(col("ts")), col("value"), zThreshold = 2.0)
+        .orderBy("key_a", "key_b")
+    }),
+
+    "q134_vol_cone" -> ((s, dir) => {
+      // vol term-structure envelope: min/mean/max of √(ΣRV/h) over all
+      // complete h-day rolling windows, h ∈ {5,10,21} — the rich/cheap
+      // context for q121's daily number; rolls over the DAY frame only
+      val rv = Stats.realizedVariance(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        "event_type", Seq(col("ts"), col("event_id")), col("value"),
+        to_date(col("ts")))
+      Risk.volCone(rv, "event_type", "bucket", "realized_variance",
+          horizons = Seq(5, 10, 21))
+        .orderBy("event_type", "horizon")
+    }),
+
     "q131_containment_dups" -> ((s, dir) => {
       // asymmetric dup detection: shared/min(|A|,|B|) finds a small doc
       // copied inside a big one where Jaccard stays low (Broder's
@@ -2684,6 +2708,111 @@ object SparkEntry {
         |  round(sqrt(CAST(SUM(a * a) AS DOUBLE) / MIN(n)), 6) AS rms,
         |  TRUE AS decoded
         |FROM amp GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "q133_pair_spread" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS bucket,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |perkey AS (
+        |  SELECT event_type, bucket,
+        |    CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS DECIMAL(21,9)) AS x
+        |  FROM base GROUP BY event_type, bucket),
+        |p AS (
+        |  SELECT a.event_type AS key_a, b.event_type AS key_b, bucket,
+        |    a.x AS xa, b.x AS xb
+        |  FROM perkey a JOIN perkey b USING (bucket)
+        |  WHERE a.event_type < b.event_type),
+        |s AS (
+        |  SELECT key_a, key_b, COUNT(*) AS n_buckets,
+        |    SUM(xa) AS sa, SUM(xb) AS sb,
+        |    SUM(CAST(xa * xb AS DECIMAL(38,18))) AS sab,
+        |    SUM(CAST(xa * xa AS DECIMAL(38,18))) AS saa,
+        |    SUM(CAST(xb * xb AS DECIMAL(38,18))) AS sbb,
+        |    MAX(bucket) AS last_bucket,
+        |    max_by(xa, bucket) AS la, max_by(xb, bucket) AS lb
+        |  FROM p GROUP BY key_a, key_b),
+        |d AS (
+        |  SELECT key_a, key_b, n_buckets, last_bucket,
+        |    CAST(n_buckets AS DOUBLE) AS n,
+        |    CAST(sa AS DOUBLE) AS dsa, CAST(sb AS DOUBLE) AS dsb,
+        |    CAST(sab AS DOUBLE) AS dsab, CAST(saa AS DOUBLE) AS dsaa,
+        |    CAST(sbb AS DOUBLE) AS dsbb,
+        |    CAST(CAST(la AS VARCHAR) AS DOUBLE) AS dla,
+        |    CAST(CAST(lb AS VARCHAR) AS DOUBLE) AS dlb
+        |  FROM s),
+        |f AS (
+        |  SELECT key_a, key_b, n_buckets, last_bucket, dla, dlb, n, dsa,
+        |    dsbb - dsb * dsb / n AS sbbc,
+        |    dsab - dsa * dsb / n AS sabc,
+        |    dsaa - dsa * dsa / n AS saac,
+        |    dsb
+        |  FROM d),
+        |g AS (
+        |  SELECT *, sabc / sbbc AS beta,
+        |    (dsa - (sabc / sbbc) * dsb) / n AS alpha,
+        |    saac - (sabc / sbbc) * sabc AS rss
+        |  FROM f)
+        |SELECT key_a, key_b, n_buckets, last_bucket,
+        |  CASE WHEN n_buckets >= 3 AND sbbc > 0 THEN round(beta, 6) END AS beta,
+        |  CASE WHEN n_buckets >= 3 AND sbbc > 0 THEN round(alpha, 6) END AS alpha,
+        |  CASE WHEN n_buckets >= 3 AND sbbc > 0 AND rss > 0 THEN
+        |    round((dla - alpha - beta * dlb) / sqrt(rss / (n_buckets - 2)), 6)
+        |  END AS last_z,
+        |  CASE WHEN n_buckets >= 3 AND sbbc > 0 AND rss > 0 THEN
+        |    CAST(abs((dla - alpha - beta * dlb) / sqrt(rss / (n_buckets - 2)))
+        |      >= 2.0 AS INT)
+        |  END AS diverged
+        |FROM g ORDER BY key_a, key_b""".stripMargin,
+
+    "q134_vol_cone" ->
+      """WITH b AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |    lag(CAST(value AS DECIMAL(18,6))) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS pv
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS bucket,
+        |    CASE WHEN pv > 0 THEN CAST(round(
+        |      CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9) AS DECIMAL(16,9))
+        |    END AS r
+        |  FROM b),
+        |rv AS (
+        |  SELECT event_type, bucket,
+        |    CAST(round(CAST(CAST(SUM(CAST(r * r AS DECIMAL(38,18))) AS VARCHAR)
+        |      AS DOUBLE), 12) AS DECIMAL(30,12)) AS rvd
+        |  FROM r WHERE r IS NOT NULL GROUP BY event_type, bucket),
+        |roll AS (
+        |  SELECT event_type, h, cnt, rsum FROM (
+        |    SELECT event_type, 5 AS h,
+        |      COUNT(rvd) OVER w5 AS cnt, SUM(rvd) OVER w5 AS rsum
+        |    FROM rv WINDOW w5 AS (PARTITION BY event_type ORDER BY bucket ASC
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |    UNION ALL
+        |    SELECT event_type, 10 AS h,
+        |      COUNT(rvd) OVER w10 AS cnt, SUM(rvd) OVER w10 AS rsum
+        |    FROM rv WINDOW w10 AS (PARTITION BY event_type ORDER BY bucket ASC
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |    UNION ALL
+        |    SELECT event_type, 21 AS h,
+        |      COUNT(rvd) OVER w21 AS cnt, SUM(rvd) OVER w21 AS rsum
+        |    FROM rv WINDOW w21 AS (PARTITION BY event_type ORDER BY bucket ASC
+        |      ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
+        |  WHERE cnt = h),
+        |vols AS (
+        |  SELECT event_type, h,
+        |    CAST(round(sqrt(CAST(CAST(rsum AS VARCHAR) AS DOUBLE) / h), 9)
+        |      AS DECIMAL(16,9)) AS vol
+        |  FROM roll),
+        |agg AS (
+        |  SELECT event_type, h AS horizon, COUNT(*) AS n_windows,
+        |    MIN(vol) AS mn, MAX(vol) AS mx, SUM(vol) AS sm
+        |  FROM vols GROUP BY event_type, h)
+        |SELECT event_type, horizon, n_windows,
+        |  CAST(CAST(mn AS VARCHAR) AS DOUBLE) AS min_vol,
+        |  round(CAST(CAST(sm AS VARCHAR) AS DOUBLE) / n_windows, 9) AS mean_vol,
+        |  CAST(CAST(mx AS VARCHAR) AS DOUBLE) AS max_vol
+        |FROM agg ORDER BY event_type, horizon""".stripMargin,
 
     "q131_containment_dups" ->
       """WITH toks AS (

@@ -215,6 +215,111 @@ object Risk {
           .as("qty_share"))
   }
 
+  /** Pairs-trading spread monitor: for every unordered instrument pair,
+    * an OLS hedge of a on b over bucket-aligned mean values (the
+    * [[Stats.corrMatrix]] alignment), then the z-score of the LATEST
+    * bucket's residual spread a − (α + β·b) against the fit's residual
+    * σ = √(RSS/(n−2)) — the Gatev et al. 2006 divergence signal that
+    * decides when a pair trade opens. Everything after the one
+    * tick-level aggregation runs on the buckets × k frame; the pair
+    * expansion is a broadcast self-join of that aggregate, and ALL pair
+    * statistics — the five power sums AND the latest bucket's values
+    * (max_by over the unique-bucket frame, tie-free by construction) —
+    * come out of ONE grouped aggregation. RSS uses the closed form
+    * Saa_c − β·Sab_c, so no second pass over residuals. Doubles appear
+    * only after the exact decimal sums; degenerate pairs (n < 3, flat
+    * b leg, or a perfect fit) yield NULL z rather than a blow-up.
+    */
+  def pairSpread(df: DataFrame, keyCol: String, bucketCol: Column,
+                 valueCol: Column, zThreshold: Double = 2.0): DataFrame = {
+    val v = valueCol.cast(DecimalType(18, 6))
+    val base = df.select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
+    val perKey = base.groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col("v")).as("_s"), count(lit(1)).as("_n"))
+      .select(col(keyCol), col("bucket"),
+        round(col("_s").cast("double") / col("_n"), 9)
+          .cast(DecimalType(21, 9)).as("x"))
+    val a = perKey.select(col(keyCol).as("key_a"), col("bucket"),
+      col("x").as("xa"))
+    val b = perKey.select(col(keyCol).as("key_b"), col("bucket"),
+      col("x").as("xb"))
+    val sums = a.join(broadcast(b), Seq("bucket"))
+      .filter(col("key_a") < col("key_b"))
+      .groupBy("key_a", "key_b")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("xa")).as("sa"), sum(col("xb")).as("sb"),
+        sum((col("xa") * col("xb")).cast(DecimalType(38, 18))).as("sab"),
+        sum((col("xa") * col("xa")).cast(DecimalType(38, 18))).as("saa"),
+        sum((col("xb") * col("xb")).cast(DecimalType(38, 18))).as("sbb"),
+        max(col("bucket")).as("last_bucket"),
+        max_by(col("xa"), col("bucket")).as("_la"),
+        max_by(col("xb"), col("bucket")).as("_lb"))
+    def d(c: String) = col(c).cast("double")
+    val n = col("n_buckets")
+    val sbbC = d("sbb") - d("sb") * d("sb") / n
+    val sabC = d("sab") - d("sa") * d("sb") / n
+    val saaC = d("saa") - d("sa") * d("sa") / n
+    val beta = sabC / sbbC
+    val alpha = (d("sa") - beta * d("sb")) / n
+    val rss = saaC - beta * sabC
+    val sigma = sqrt(rss / (n - 2))
+    val lastZ = (d("_la") - alpha - beta * d("_lb")) / sigma
+    sums.select(col("key_a"), col("key_b"), n, col("last_bucket"),
+      when(n >= 3 && sbbC > 0, round(beta, 6)).as("beta"),
+      when(n >= 3 && sbbC > 0, round(alpha, 6)).as("alpha"),
+      when(n >= 3 && sbbC > 0 && rss > 0, round(lastZ, 6)).as("last_z"),
+      when(n >= 3 && sbbC > 0 && rss > 0,
+        (abs(lastZ) >= zThreshold).cast("int")).as("diverged"))
+  }
+
+  /** Volatility cone per instrument: for each horizon h, the
+    * distribution (min / mean / max) of √(Σ RV / h) over ALL complete
+    * h-day rolling windows of the daily realized-variance frame — the
+    * term-structure envelope a vol desk plots to judge whether today's
+    * vol is rich or cheap for its horizon (Burghardt & Lane 1990).
+    * Consumes [[Stats.realizedVariance]]'s (key, bucket) output, so the
+    * tick stream is touched once upstream; every window here rolls over
+    * the DAY frame (rows, not ticks). Per-window vol is one sqrt,
+    * rounded to 9 dp and fixed as a decimal, so the per-(key, horizon)
+    * mean is an exact decimal sum / count and min/max compare exactly.
+    * One window pass per horizon over the same key partitioning — the
+    * horizons list is tiny and each pass rides the same single shuffle
+    * of the day frame.
+    */
+  def volCone(dailyRv: DataFrame, keyCol: String, bucketCol: String,
+              rvCol: String, horizons: Seq[Int]): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_ >= 1),
+      s"horizons must be positive, got $horizons")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol).asc)
+    val perHorizon = horizons.map { h =>
+      val frame = w.rowsBetween(-(h - 1), Window.currentRow)
+      dailyRv
+        // round THEN fix as decimal: casting a raw double at scale 18
+        // puts ~1% of values inside the window where Spark's shortest-
+        // repr rounding and an exact engine's binary rounding diverge;
+        // after round(·,12) the double IS (within half an ulp) a 12-dp
+        // grid value, so the cast just snaps it back — both engines
+        // recover the identical decimal (the q119 cut-point argument)
+        .withColumn("_rvd", round(col(rvCol), 12).cast(DecimalType(30, 12)))
+        .withColumn("_cnt", count(col("_rvd")).over(frame))
+        .withColumn("_roll", sum(col("_rvd")).over(frame))
+        .filter(col("_cnt") === h)
+        .withColumn("_vol",
+          round(sqrt(col("_roll").cast("double") / h), 9)
+            .cast(DecimalType(16, 9)))
+        .groupBy(col(keyCol))
+        .agg(count(lit(1)).as("n_windows"),
+          min(col("_vol")).as("_min"), max(col("_vol")).as("_max"),
+          sum(col("_vol")).as("_sum"))
+        .select(col(keyCol), lit(h).as("horizon"), col("n_windows"),
+          col("_min").cast("double").as("min_vol"),
+          round(col("_sum").cast("double") / col("n_windows"), 9)
+            .as("mean_vol"),
+          col("_max").cast("double").as("max_vol"))
+    }
+    perHorizon.reduce(_ unionByName _)
+  }
+
   /** ATR and Donchian-channel breakout flags over an OHLC bar frame
     * (the [[Windows.ohlcBars]] output): true range = max(high−low,
     * |high−prevClose|, |low−prevClose|) (Wilder 1978), ATR its

@@ -140,6 +140,70 @@ class RiskSpec extends AnyFunSuite {
     assert(out === Map("A" -> 1, "B" -> 2))
   }
 
+  test("pairSpread: OLS hedge, closed-form residual sigma, latest z") {
+    // A on B over 4 days: B = 1,2,3,4; A = 10,20,30,45 ⇒ β=11.5,
+    // α=−2.5, RSS=7.5, σ=√3.75; last resid = 45−(−2.5+46) = 1.5
+    val df = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 10.0), ("B", ts("2024-01-01 10:00:00"), 1.0),
+      ("A", ts("2024-01-02 10:00:00"), 20.0), ("B", ts("2024-01-02 10:00:00"), 2.0),
+      ("A", ts("2024-01-03 10:00:00"), 30.0), ("B", ts("2024-01-03 10:00:00"), 3.0),
+      ("A", ts("2024-01-04 10:00:00"), 45.0), ("B", ts("2024-01-04 10:00:00"), 4.0)
+    ).toDF("k", "t", "v")
+    val out = graft.ops.Risk.pairSpread(df, "k", to_date(col("t")),
+      col("v"), zThreshold = 2.0).collect().head
+    assert(out.getAs[Long]("n_buckets") === 4L)
+    assert(out.getAs[java.sql.Date]("last_bucket").toString === "2024-01-04")
+    assert(out.getAs[Double]("beta") === 11.5)
+    assert(out.getAs[Double]("alpha") === -2.5)
+    assert(out.getAs[Double]("last_z") ===
+      BigDecimal(1.5 / math.sqrt(7.5 / 2)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.getAs[Int]("diverged") === 0)
+  }
+
+  test("pairSpread: flat hedge leg and short pairs yield NULLs") {
+    val df = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 10.0), ("C", ts("2024-01-01 10:00:00"), 5.0),
+      ("A", ts("2024-01-02 10:00:00"), 20.0), ("C", ts("2024-01-02 10:00:00"), 5.0),
+      ("A", ts("2024-01-03 10:00:00"), 30.0), ("C", ts("2024-01-03 10:00:00"), 5.0),
+      ("D", ts("2024-01-01 10:00:00"), 7.0),
+      ("D", ts("2024-01-02 10:00:00"), 8.0)
+    ).toDF("k", "t", "v")
+    val rows = graft.ops.Risk.pairSpread(df, "k", to_date(col("t")),
+      col("v")).collect()
+      .map(r => (r.getAs[String]("key_a"), r.getAs[String]("key_b")) -> r).toMap
+    val ac = rows(("A", "C"))          // flat C leg: no regression
+    assert(ac.isNullAt(ac.fieldIndex("beta")))
+    assert(ac.isNullAt(ac.fieldIndex("last_z")))
+    val ad = rows(("A", "D"))          // only 2 shared buckets
+    assert(ad.getAs[Long]("n_buckets") === 2L)
+    assert(ad.isNullAt(ad.fieldIndex("beta")))
+  }
+
+  test("volCone: rolling-window vol envelope, incomplete windows dropped") {
+    val rv = Seq(
+      ("A", "2024-01-01", 0.01), ("A", "2024-01-02", 0.04),
+      ("A", "2024-01-03", 0.09), ("A", "2024-01-04", 0.16)
+    ).toDF("k", "bucket", "rv")
+    val rows = graft.ops.Risk.volCone(rv, "k", "bucket", "rv",
+      horizons = Seq(2, 5)).orderBy("horizon").collect()
+    assert(rows.length === 1)                        // h=5 has no full window
+    val r = rows.head
+    def v(x: Double) = BigDecimal(math.sqrt(x)).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Int]("horizon") === 2)
+    assert(r.getAs[Long]("n_windows") === 3L)
+    assert(r.getAs[Double]("min_vol") === v(0.025))  // (0.01+0.04)/2
+    assert(r.getAs[Double]("max_vol") === v(0.125))  // (0.09+0.16)/2
+    // mirror the operator exactly: exact 9-dp decimal sum → double → /3
+    val volSum = Seq(0.025, 0.065, 0.125)
+      .map(x => BigDecimal(math.sqrt(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP))
+      .sum
+    assert(r.getAs[Double]("mean_vol") ===
+      BigDecimal(volSum.toDouble / 3).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("intradayProfile: per-hour |return| mean and quantity share") {
     val df = Seq(
       ("A", ts("2024-01-01 10:00:00"), 1L, 100.0, 2L),
