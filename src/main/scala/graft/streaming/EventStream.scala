@@ -415,6 +415,75 @@ object EventStream {
       }
   }
 
+  case class FlowState(lastMicros: Long, seen: Boolean, lastSign: Int,
+                       signed: String, total: String, n: Long)
+  case class FlowTick(key: String, seq: Long, n_ticks: Long,
+                      signed_qty: Double, total_qty: Double,
+                      ofi: Option[Double])
+
+  /** Per-instrument RUNNING order-flow imbalance on the live path: the
+    * incremental face of [[graft.ops.Risk.flowImbalance]] with a single
+    * session bucket — streaming state carries the last price, the last
+    * non-zero tick sign (the Lee-Ready carry), and exact Σ(sign·qty) /
+    * Σqty accumulators. After any prefix of ticks the latest emission
+    * per key equals the batch aggregate over that prefix (spec'd — the
+    * [[vwapStream]] prefix-equality law). Prices quantize through
+    * DECIMAL(18,6) exactly as the batch cast does, so the sign decision
+    * compares the same decimals; a tick that is unsignable (no non-zero
+    * change seen yet) or has a null quantity updates the sign chain but
+    * not the sums, mirroring the batch post-window filter. Sums ride as
+    * decimal strings (the [[VwapState]] overflow argument: Σqty of
+    * valid longs can pass 38 digits at stream lifetime).
+    */
+  def flowImbalanceStream(spark: SparkSession, ticks: DataFrame,
+                          keyCol: String, seqCol: String, valueCol: String,
+                          qtyCol: String): Dataset[FlowTick] = {
+    import spark.implicits._
+    def r6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    ticks.select(col(keyCol).cast("string").as("k"),
+        col(seqCol).cast("long").as("seq"),
+        col(valueCol).cast("decimal(18,6)").as("v"),
+        col(qtyCol).cast("long").as("q"))
+      .filter(col("k").isNotNull && col("seq").isNotNull && col("v").isNotNull)
+      .as[(String, Long, BigDecimal, Option[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FlowState, FlowTick](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var st = state.getOption.getOrElse(
+            FlowState(0L, seen = false, 0, "0", "0", 0L))
+          var signed = BigDecimal(st.signed)
+          var total = BigDecimal(st.total)
+          var n = st.n
+          val out = rows.toSeq.sortBy(_._2).map { case (_, seq, v, qOpt) =>
+            val vm = (v * 1000000).toLongExact
+            // the batch tick rule on the same decimals: uptick +1,
+            // downtick −1, zero tick inherits the last non-zero sign
+            val sign =
+              if (!st.seen) st.lastSign
+              else if (vm > st.lastMicros) 1
+              else if (vm < st.lastMicros) -1
+              else st.lastSign
+            qOpt match {
+              case Some(q) if sign != 0 =>
+                val qd = BigDecimal(q)
+                signed += (if (sign > 0) qd else -qd)
+                total += qd
+                n += 1
+              case _ => // unsignable or null qty: sign chain only
+            }
+            st = FlowState(vm, seen = true, sign,
+              signed.toString, total.toString, n)
+            FlowTick(key, seq, n, r6(signed.toDouble), r6(total.toDouble),
+              if (total > 0) Some(r6(signed.toDouble / total.toDouble))
+              else None)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // accumulators as decimal STRINGS: Spark's state encoder caps a
   // BigDecimal field at DECIMAL(38,18), which a running Σp·q of valid
   // DECIMAL(18,6) ticks can overflow (p·q alone reaches ~1e24); the

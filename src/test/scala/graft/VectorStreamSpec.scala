@@ -568,6 +568,45 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(!batch.contains("c") && latest("c")._3 === 0L)
   }
 
+  test("flowImbalanceStream equals batch OFI over the prefix; sign chain crosses batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit}
+    // a: 10 (unsignable), 10 (zero change, still no sign), 11 (+, q=3) |
+    // batch split | 11 (zero: inherits +, NULL qty — chain only),
+    // 11 (zero: inherits +, q=4), 10 (−, q=5) ⇒ signed 3+4−5=2, total 12
+    val ticks = Seq(
+      ("a", 1L, 10.0, Option(1L)), ("a", 2L, 10.0, Option(2L)),
+      ("a", 3L, 11.0, Option(3L)), ("b", 1L, 99.0, Option(7L)),
+      ("a", 4L, 11.0, Option.empty[Long]), ("a", 5L, 11.0, Option(4L)),
+      ("a", 6L, 10.0, Option(5L)))
+    val mem = MemoryStream[(String, Long, Double, Option[Long])]
+    val q = EventStream.flowImbalanceStream(spark,
+        mem.toDF().toDF("sym", "seq", "price", "qty"),
+        "sym", "seq", "price", "qty")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("flow_out").start()
+    mem.addData(ticks.take(4): _*)
+    q.processAllAvailable()
+    mem.addData(ticks.drop(4): _*)
+    q.processAllAvailable()
+    val latest = spark.table("flow_out")
+      .as[(String, Long, Long, Double, Double, Option[Double])].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    q.stop()
+    val batch = graft.ops.Risk.flowImbalance(
+        ticks.toDF("sym", "seq", "price", "qty"), "sym", Seq(col("seq")),
+        col("price"), col("qty"), lit(1))
+      .select("sym", "n_ticks", "signed_qty", "total_qty", "ofi")
+      .as[(String, Long, Double, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, _, n, signed, total, ofi) = latest("a")
+    assert((n, signed, total, ofi) ===
+      ((batch("a")._2, batch("a")._3, batch("a")._4, batch("a")._5)))
+    assert(ofi === Some(0.166667))
+    // b: one tick — unsignable; batch emits no row, stream reports n=0
+    assert(!batch.contains("b") && latest("b")._3 === 0L)
+  }
+
   test("curateStream: cross-batch exact dedup + quality gate, first doc wins") {
     implicit val sqlCtx = spark.sqlContext
     val long = (1 to 25).map(i => s"w$i").mkString(" ")
