@@ -291,8 +291,12 @@ object Risk {
     require(horizons.nonEmpty && horizons.forall(_ >= 1),
       s"horizons must be positive, got $horizons")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol).asc)
-    val perHorizon = horizons.map { h =>
-      val frame = w.rowsBetween(-(h - 1), Window.currentRow)
+    // all horizons in ONE pass: a union of per-horizon branches would
+    // recompute and re-shuffle the upstream frame once per horizon
+    // (measured: 3 hash Exchanges for 3 horizons); rolling every frame
+    // over the same window partitioning and stacking the columns into
+    // rows keeps the whole cone on a single Exchange
+    val rolled = horizons.foldLeft(
       dailyRv
         // round THEN fix as decimal: casting a raw double at scale 18
         // puts ~1% of values inside the window where Spark's shortest-
@@ -301,23 +305,30 @@ object Risk {
         // grid value, so the cast just snaps it back — both engines
         // recover the identical decimal (the q119 cut-point argument)
         .withColumn("_rvd", round(col(rvCol), 12).cast(DecimalType(30, 12)))
-        .withColumn("_cnt", count(col("_rvd")).over(frame))
-        .withColumn("_roll", sum(col("_rvd")).over(frame))
-        .filter(col("_cnt") === h)
-        .withColumn("_vol",
-          round(sqrt(col("_roll").cast("double") / h), 9)
-            .cast(DecimalType(16, 9)))
-        .groupBy(col(keyCol))
-        .agg(count(lit(1)).as("n_windows"),
-          min(col("_vol")).as("_min"), max(col("_vol")).as("_max"),
-          sum(col("_vol")).as("_sum"))
-        .select(col(keyCol), lit(h).as("horizon"), col("n_windows"),
-          col("_min").cast("double").as("min_vol"),
-          round(col("_sum").cast("double") / col("n_windows"), 9)
-            .as("mean_vol"),
-          col("_max").cast("double").as("max_vol"))
+    ) { (acc, h) =>
+      val frame = w.rowsBetween(-(h - 1), Window.currentRow)
+      acc.withColumn(s"_c$h", count(col("_rvd")).over(frame))
+        .withColumn(s"_s$h", sum(col("_rvd")).over(frame))
     }
-    perHorizon.reduce(_ unionByName _)
+    rolled
+      .select(col(keyCol), explode(array(horizons.map(h =>
+        struct(lit(h).as("horizon"), col(s"_c$h").as("cnt"),
+          col(s"_s$h").as("roll"))): _*)).as("_z"))
+      .select(col(keyCol), col("_z.horizon").as("horizon"),
+        col("_z.cnt").as("_cnt"), col("_z.roll").as("_roll"))
+      .filter(col("_cnt") === col("horizon"))
+      .withColumn("_vol",
+        round(sqrt(col("_roll").cast("double") / col("horizon")), 9)
+          .cast(DecimalType(16, 9)))
+      .groupBy(col(keyCol), col("horizon"))
+      .agg(count(lit(1)).as("n_windows"),
+        min(col("_vol")).as("_min"), max(col("_vol")).as("_max"),
+        sum(col("_vol")).as("_sum"))
+      .select(col(keyCol), col("horizon"), col("n_windows"),
+        col("_min").cast("double").as("min_vol"),
+        round(col("_sum").cast("double") / col("n_windows"), 9)
+          .as("mean_vol"),
+        col("_max").cast("double").as("max_vol"))
   }
 
   /** ATR and Donchian-channel breakout flags over an OHLC bar frame

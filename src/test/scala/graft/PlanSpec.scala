@@ -270,6 +270,47 @@ class PlanSpec extends AnyFunSuite {
       + s"ordering), got $exchanges:\n$p")
   }
 
+  test("q125/q126/q127/q130/q134: the risk battery rides ONE hash Exchange each") {
+    // every operator here is window-passes-then-keyed-agg where the
+    // aggregation clusters on (a superset of) the window key — a second
+    // hash Exchange would mean the tick stream reshuffles; q134
+    // additionally packs ALL cone horizons into one window pass (a
+    // per-horizon union measured 3 Exchanges before the stack rewrite)
+    for (q <- Seq("q125_var_cvar", "q126_sortino", "q127_flow_imbalance",
+        "q130_intraday_profile", "q134_vol_cone")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, s"$q: $p")
+    }
+  }
+
+  test("q128/q129: bar-then-cross-section analytics are exactly TWO hash Exchanges") {
+    // first Exchange builds the (key, bar) OHLC frame from ticks; the
+    // second moves only the aggregated bar frame (one row per key-day)
+    // to its channel/rank grain — a transpose, not a tick reshuffle
+    for (q <- Seq("q128_atr_channels", "q129_momentum_rank")) {
+      val p = plan(q)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 2, s"$q: $p")
+    }
+  }
+
+  test("q132: the top-K token rank gets the WindowGroupLimit pushdown") {
+    // rows past rank 100 are dropped per-partition before the full
+    // per-source sort — the frequency table never materializes sorted
+    val p = plan("q132_zipf_slope")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q133: the pair expansion broadcast-joins the aggregate-sized mean frame") {
+    val p = plan("q133_pair_spread")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q131: containment candidates come from equi-joins — never a cartesian") {
+    val p = plan("q131_containment_dups")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("date-partitioned tables prune untouched partitions at the scan") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_prune").toString + "/t"
