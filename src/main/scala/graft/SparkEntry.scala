@@ -918,6 +918,25 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q135_kyle_lambda" -> ((s, dir) => {
+      // price-impact slope: Δp regressed on tick-rule signed volume —
+      // what a parent order pays per unit of size; exact power sums
+      // over (16,6)-capped inputs, one Exchange
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      Risk.kyleLambda(ev, "event_type", Seq(col("ts"), col("event_id")),
+          col("value"), get_json_object(col("props"), "$.k").cast("long"))
+        .orderBy("event_type")
+    }),
+
+    "q136_roll_spread" -> ((s, dir) => {
+      // bid-ask bounce estimator: 2·√(−cov₁(Δp)) from trade prices
+      // alone; positive autocovariance (trending tape) → NULL spread,
+      // autocovariance still reported
+      Risk.rollSpread(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"))
+        .orderBy("event_type")
+    }),
+
     "q133_pair_spread" -> ((s, dir) => {
       // pairs-trading monitor: OLS hedge per instrument pair over
       // day-aligned means, then the latest day's residual z vs the
@@ -2708,6 +2727,71 @@ object SparkEntry {
         |  round(sqrt(CAST(SUM(a * a) AS DOUBLE) / MIN(n)), 6) AS rms,
         |  TRUE AS decoded
         |FROM amp GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "q135_kyle_lambda" ->
+      """WITH b AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS qty,
+        |    lag(CAST(value AS DECIMAL(18,6))) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS pv
+        |  FROM events WHERE value IS NOT NULL),
+        |sg AS (
+        |  SELECT event_type, qty, CAST(v - pv AS DECIMAL(16,6)) AS dp,
+        |    last_value(CASE WHEN v - pv > 0 THEN 1
+        |                    WHEN v - pv < 0 THEN -1 END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sgn
+        |  FROM b),
+        |f AS (
+        |  SELECT event_type, dp,
+        |    CASE WHEN sgn = 1 THEN CAST(qty AS DECIMAL(16,6))
+        |         ELSE -CAST(qty AS DECIMAL(16,6)) END AS x
+        |  FROM sg WHERE dp IS NOT NULL AND sgn IS NOT NULL AND qty IS NOT NULL),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n_ticks,
+        |    SUM(dp) AS sy, SUM(x) AS sx,
+        |    SUM(CAST(x * dp AS DECIMAL(38,12))) AS sxy,
+        |    SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+        |  FROM f GROUP BY event_type),
+        |d AS (
+        |  SELECT event_type, n_ticks,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS dsy,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS dsx,
+        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dsxy,
+        |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dsxx
+        |  FROM s)
+        |SELECT event_type, n_ticks,
+        |  CASE WHEN n_ticks >= 2 AND n_ticks * dsxx - dsx * dsx > 0 THEN
+        |    round((n_ticks * dsxy - dsx * dsy) / (n_ticks * dsxx - dsx * dsx), 9)
+        |  END AS kyle_lambda
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    "q136_roll_spread" ->
+      """WITH b AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |    lag(CAST(value AS DECIMAL(18,6))) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS pv
+        |  FROM events WHERE value IS NOT NULL),
+        |dp AS (
+        |  SELECT event_type, CAST(v - pv AS DECIMAL(16,6)) AS d1,
+        |    lag(CAST(v - pv AS DECIMAL(16,6))) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS d0
+        |  FROM b),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n_pairs,
+        |    SUM(d1) AS sa, SUM(d0) AS sb,
+        |    SUM(CAST(d1 * d0 AS DECIMAL(38,12))) AS sab
+        |  FROM dp WHERE d1 IS NOT NULL AND d0 IS NOT NULL
+        |  GROUP BY event_type),
+        |d AS (
+        |  SELECT event_type, n_pairs,
+        |    (CAST(CAST(sab AS VARCHAR) AS DOUBLE) -
+        |     CAST(CAST(sa AS VARCHAR) AS DOUBLE) *
+        |     CAST(CAST(sb AS VARCHAR) AS DOUBLE) / n_pairs) / n_pairs AS cov
+        |  FROM s)
+        |SELECT event_type, n_pairs, round(cov, 9) AS dp_autocov,
+        |  CASE WHEN cov < 0 THEN round(2.0 * sqrt(-cov), 6) END AS roll_spread
+        |FROM d ORDER BY event_type""".stripMargin,
 
     "q133_pair_spread" ->
       """WITH base AS (

@@ -137,6 +137,79 @@ object Risk {
             col("_total").cast("double"), 6)).as("ofi"))
   }
 
+  /** Kyle's lambda per key: the slope of price change on signed volume —
+    * Δpₜ = λ·(signₜ·qₜ) + ε (Kyle 1985), THE price-impact coefficient a
+    * desk uses to cost a parent order. Signs come from the same tick
+    * rule as [[flowImbalance]] (zero ticks inherit the last non-zero
+    * sign; unsignable ticks drop). Both regression inputs are fixed as
+    * DECIMAL(16,6) — that caps |Δp| and qty at 10¹⁰, which on real
+    * data is corrupt input and ANSI-fails loudly, while keeping the
+    * cross product at (33,12), exactly inside precision 38 (the
+    * [[Stats.tickReturn]] sizing argument) — so the five power sums
+    * are exact and order-independent; λ is the one double quotient.
+    * One Exchange: sign windows and the keyed agg cluster on the key.
+    */
+  def kyleLambda(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                 valueCol: Column, qtyCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val v = valueCol.cast(DecimalType(18, 6))
+    val dv = (v - lag(v, 1).over(w)).cast(DecimalType(16, 6))
+    val tickSign = when(dv > 0, 1).when(dv < 0, -1)
+    val carried = last(tickSign, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val sums = df
+      .withColumn("_dp", dv)
+      .withColumn("_sgn", carried)
+      .withColumn("_q", qtyCol.cast(DecimalType(16, 6)))
+      .filter(col("_dp").isNotNull && col("_sgn").isNotNull &&
+        col("_q").isNotNull)
+      .withColumn("_x",
+        when(col("_sgn") === 1, col("_q")).otherwise(-col("_q")))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("_dp")).as("_sy"), sum(col("_x")).as("_sx"),
+        sum((col("_x") * col("_dp")).cast(DecimalType(38, 12))).as("_sxy"),
+        sum((col("_x") * col("_x")).cast(DecimalType(38, 12))).as("_sxx"))
+    def d(c: String) = col(c).cast("double")
+    val den = col("n_ticks") * d("_sxx") - d("_sx") * d("_sx")
+    sums.select(col(keyCol), col("n_ticks"),
+      when(col("n_ticks") >= 2 && den > 0,
+        round((col("n_ticks") * d("_sxy") - d("_sx") * d("_sy")) / den, 9))
+        .as("kyle_lambda"))
+  }
+
+  /** Roll's implied effective spread per key: 2·√(−cov₁(Δp)) where cov₁
+    * is the lag-1 autocovariance of price changes (Roll 1984) — the
+    * bid-ask bounce estimator that recovers a spread from trade prices
+    * alone. A POSITIVE autocovariance means the model doesn't apply
+    * (trending microstructure), so the spread is NULL while the
+    * autocovariance is still reported. Price changes fix as
+    * DECIMAL(16,6) (the [[kyleLambda]] domain cap), consecutive-pair
+    * products as exact (33,12) decimals; population covariance over the
+    * pairs, doubles only at the end. One Exchange for both lag windows
+    * and the keyed aggregation.
+    */
+  def rollSpread(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                 valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val v = valueCol.cast(DecimalType(18, 6))
+    val dv = (v - lag(v, 1).over(w)).cast(DecimalType(16, 6))
+    val sums = df
+      .withColumn("_dp", dv)
+      .withColumn("_dpp", lag(col("_dp"), 1).over(w))
+      .filter(col("_dp").isNotNull && col("_dpp").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_dp")).as("_sa"), sum(col("_dpp")).as("_sb"),
+        sum((col("_dp") * col("_dpp")).cast(DecimalType(38, 12))).as("_sab"))
+    def d(c: String) = col(c).cast("double")
+    val cov = (d("_sab") - d("_sa") * d("_sb") / col("n_pairs")) /
+      col("n_pairs")
+    sums.select(col(keyCol), col("n_pairs"),
+      round(cov, 9).as("dp_autocov"),
+      when(cov < 0, round(lit(2.0) * sqrt(-cov), 6)).as("roll_spread"))
+  }
+
   /** Cross-sectional momentum rank: each key's bucket return (close
     * over open, by deterministic first/last tick like
     * [[Windows.ohlcBars]]) ranked ACROSS keys within the bucket —

@@ -277,7 +277,8 @@ class PlanSpec extends AnyFunSuite {
     // additionally packs ALL cone horizons into one window pass (a
     // per-horizon union measured 3 Exchanges before the stack rewrite)
     for (q <- Seq("q125_var_cvar", "q126_sortino", "q127_flow_imbalance",
-        "q130_intraday_profile", "q134_vol_cone")) {
+        "q130_intraday_profile", "q134_vol_cone", "q135_kyle_lambda",
+        "q136_roll_spread")) {
       val p = plan(q)
       assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, s"$q: $p")
     }

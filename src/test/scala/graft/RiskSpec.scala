@@ -140,6 +140,43 @@ class RiskSpec extends AnyFunSuite {
     assert(out === Map("A" -> 1, "B" -> 2))
   }
 
+  test("kyleLambda: price impact slope over tick-rule signed volume") {
+    // prices 10,11,11,10 / qtys 1,2,3,4 ⇒ (x,Δp) points (2,1),(3,0)
+    // (zero tick inherits +1),(−4,−1); λ = (3·6 − 1·0)/(3·29 − 1) = 18/86
+    val df = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 1L, 10.0, 1L),
+      ("A", ts("2024-01-01 09:01:00"), 2L, 11.0, 2L),
+      ("A", ts("2024-01-01 09:02:00"), 3L, 11.0, 3L),
+      ("A", ts("2024-01-01 09:03:00"), 4L, 10.0, 4L)
+    ).toDF("k", "t", "id", "v", "q")
+    val out = Risk.kyleLambda(df, "k", Seq(col("t"), col("id")),
+      col("v"), col("q")).collect().head
+    assert(out.getAs[Long]("n_ticks") === 3L)
+    assert(out.getAs[Double]("kyle_lambda") ===
+      BigDecimal(18.0 / 86.0).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("rollSpread: bounce gives 2*sqrt(-cov); trending tape gives NULL") {
+    // bouncing 10,11,10,11,10 ⇒ Δp pairs all (−1,+1)-ish: cov = −8/9
+    val bounce = Seq(10.0, 11.0, 10.0, 11.0, 10.0).zipWithIndex.map {
+      case (v, i) => ("A", ts(f"2024-01-01 09:0$i%d:00"), i.toLong, v) }
+    // trending 1,2,4,8,16 ⇒ Δp accelerates: cov > 0, spread undefined
+    val trend = Seq(1.0, 2.0, 4.0, 8.0, 16.0).zipWithIndex.map {
+      case (v, i) => ("B", ts(f"2024-01-01 09:0$i%d:00"), i.toLong, v) }
+    val rows = Risk.rollSpread((bounce ++ trend).toDF("k", "t", "id", "v"),
+      "k", Seq(col("t"), col("id")), col("v")).orderBy("k").collect()
+    val a = rows(0)
+    assert(a.getAs[Long]("n_pairs") === 3L)
+    assert(a.getAs[Double]("dp_autocov") === -0.888888889)
+    assert(a.getAs[Double]("roll_spread") ===
+      BigDecimal(2.0 * math.sqrt(-(-3.0 - (-1.0 * 1.0) / 3.0) / 3.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val b = rows(1)
+    assert(b.getAs[Double]("dp_autocov") > 0)
+    assert(b.isNullAt(b.fieldIndex("roll_spread")))
+  }
+
   test("pairSpread: OLS hedge, closed-form residual sigma, latest z") {
     // A on B over 4 days: B = 1,2,3,4; A = 10,20,30,45 ⇒ β=11.5,
     // α=−2.5, RSS=7.5, σ=√3.75; last resid = 45−(−2.5+46) = 1.5
