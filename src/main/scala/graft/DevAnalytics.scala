@@ -89,6 +89,40 @@ object DevAnalytics {
       "event_type", ord, col("value"), col("qty"), to_date(col("ts"))))
     time("winsorized")(ops.Stats.winsorizedStats(ticks,
       "event_type", col("value"), 0.01, 0.99))
+    // round-5 session-2 battery. Bucket grain is MINUTE, not day: the
+    // generator's clock advances one second per instrument-row, so the
+    // whole run spans ~2 h × scale — day buckets would collapse to one
+    // and the rolling-window families would have nothing to roll over.
+    val minuteBucket = date_trunc("minute", col("ts"))
+    time("var_cvar")(ops.Risk.varCvar(ticks,
+      "event_type", ord, col("value"), 0.05))
+    time("sortino")(ops.Risk.sortino(ticks,
+      "event_type", ord, col("value")))
+    time("flow_imbalance")(ops.Risk.flowImbalance(ticks,
+      "event_type", ord, col("value"), col("qty"), minuteBucket))
+    time("kyle_lambda")(ops.Risk.kyleLambda(ticks,
+      "event_type", ord, col("value"), col("qty")))
+    time("roll_spread")(ops.Risk.rollSpread(ticks,
+      "event_type", ord, col("value")))
+    time("momentum_rank")(ops.Risk.momentumRank(ticks,
+      "event_type", ord, col("value"), minuteBucket))
+    time("intraday_profile")(ops.Risk.intradayProfile(ticks,
+      "event_type", ord, col("value"), col("qty")))
+    time("atr_channels") {
+      val bars = ops.Stats.ohlcBars(ticks, Seq("event_type"),
+        minuteBucket, ord, "value")
+      ops.Risk.atrChannels(bars, "event_type", col("bar"), 14)
+    }
+    // 19,900 pairs expand from the minute-mean frame, never the ticks
+    time("pair_spread")(ops.Risk.pairSpread(ticks,
+      "event_type", minuteBucket, col("value"), 2.0))
+    time("vol_cone") {
+      val rv = ops.Stats.realizedVariance(ticks,
+        "event_type", ord, col("value"), minuteBucket)
+      ops.Risk.volCone(rv, "event_type", "bucket", "realized_variance",
+        Seq(5, 10, 21))
+    }
+
     // rollup maintenance: churn = 1% of rows updated + 0.5% inserted;
     // the delta path must cost churn-shaped work, not base-shaped
     time("incremental_agg") {
