@@ -107,7 +107,7 @@ object DevAnalytics {
     time("momentum_rank")(ops.Risk.momentumRank(ticks,
       "event_type", ord, col("value"), minuteBucket))
     time("intraday_profile")(ops.Risk.intradayProfile(ticks,
-      "event_type", ord, col("value"), col("qty")))
+      "event_type", ord, col("ts"), col("value"), col("qty")))
     time("atr_channels") {
       val bars = ops.Stats.ohlcBars(ticks, Seq("event_type"),
         minuteBucket, ord, "value")

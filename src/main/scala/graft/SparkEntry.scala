@@ -1045,8 +1045,8 @@ object SparkEntry {
       // diagnostic; share divides by a window total over the already-
       // aggregated (key × 24)-row frame
       Risk.intradayProfile(t(s, dir, "events").filter(col("value").isNotNull),
-          "event_type", Seq(col("ts"), col("event_id")), col("value"),
-          get_json_object(col("props"), "$.k").cast("long"))
+          "event_type", Seq(col("ts"), col("event_id")), col("ts"),
+          col("value"), get_json_object(col("props"), "$.k").cast("long"))
         .orderBy("event_type", "hour_of_day")
     }),
 

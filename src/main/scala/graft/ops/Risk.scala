@@ -47,7 +47,12 @@ object Risk {
     */
   def varCvar(df: DataFrame, keyCol: String, orderCols: Seq[Column],
               valueCol: Column, alpha: Double): DataFrame = {
-    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    // lower bound 1e-6, not 0: alpha quantizes through DECIMAL(10,6)
+    // (exactness over a double alpha*n — see below), so anything
+    // smaller would round to decimal zero, make k = 0, and silently
+    // emit an EMPTY result instead of the k = 1 minimum
+    require(alpha >= 1e-6 && alpha < 1,
+      s"alpha must be in [1e-6, 1) — it is fixed at 6 dp — got $alpha")
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
     val byReturn = Window.partitionBy(col(keyCol)).orderBy(col("_r").asc)
     val whole = Window.partitionBy(col(keyCol))
@@ -97,12 +102,31 @@ object Risk {
       when(col("_sd2") > 0, round(mean / dd, 6)).as("sortino"))
   }
 
+  /** The Lee-Ready tick-rule sign over a key window: +1 on an uptick,
+    * −1 on a downtick, a zero tick inherits the last non-zero change
+    * (`last(..ignoreNulls..)`), NULL until any non-zero change exists.
+    * Shared by [[flowImbalance]] and [[kyleLambda]] so the carry
+    * semantics cannot drift between them. Callers must have dropped
+    * null-priced rows first — a NULL price would otherwise produce a
+    * NULL change, inherit a stale sign, and classify a priceless tick.
+    */
+  private def tickRuleSign(w: org.apache.spark.sql.expressions.WindowSpec,
+                           v: Column): Column = {
+    val dv = v - lag(v, 1).over(w)
+    last(when(dv > 0, 1).when(dv < 0, -1), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+  }
+
   /** Order-flow imbalance per (key, bucket) by the TICK RULE (Lee &
     * Ready 1991's price test): each tick is signed by its price change —
     * uptick buys, downtick sells — and a zero tick inherits the sign of
-    * the last non-zero change (`last(..ignoreNulls..)` over the same
-    * key window; no sign yet ⇒ the tick is unclassifiable and drops,
-    * like an undefined first return). OFI = Σ(sign·qty) / Σqty ∈
+    * the last non-zero change ([[tickRuleSign]]; no sign yet ⇒ the tick
+    * is unclassifiable and drops, like an undefined first return).
+    * Null-priced ticks are dropped BEFORE the sign windows — they carry
+    * no price information, must not be classified by a stale sign, and
+    * [[graft.streaming.EventStream.flowImbalanceStream]] filters them
+    * identically, so the batch/stream prefix-equality law holds on
+    * feeds with missing prices. OFI = Σ(sign·qty) / Σqty ∈
     * [−1, 1] — the classic buy/sell pressure proxy when the feed has no
     * side flag. Quantities sum as exact decimals (a LONG qty stream at
     * 100 TB overflows int64 partial sums); the imbalance quotient is
@@ -114,11 +138,8 @@ object Risk {
                     bucketCol: Column): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
     val v = valueCol.cast(DecimalType(18, 6))
-    val dv = v - lag(v, 1).over(w)
-    val tickSign = when(dv > 0, 1).when(dv < 0, -1)
-    val carried = last(tickSign, ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    df.withColumn("_sgn", carried)
+    df.filter(valueCol.isNotNull)
+      .withColumn("_sgn", tickRuleSign(w, v))
       .withColumn("_q", qtyCol.cast(DecimalType(28, 6)))
       .filter(col("_sgn").isNotNull && col("_q").isNotNull)
       .withColumn("_b", bucketCol)
@@ -140,8 +161,10 @@ object Risk {
   /** Kyle's lambda per key: the slope of price change on signed volume —
     * Δpₜ = λ·(signₜ·qₜ) + ε (Kyle 1985), THE price-impact coefficient a
     * desk uses to cost a parent order. Signs come from the same tick
-    * rule as [[flowImbalance]] (zero ticks inherit the last non-zero
-    * sign; unsignable ticks drop). Both regression inputs are fixed as
+    * rule as [[flowImbalance]] ([[tickRuleSign]] — zero ticks inherit
+    * the last non-zero sign; unsignable and null-priced ticks drop,
+    * the latter BEFORE the windows so a stale sign never classifies a
+    * priceless row). Both regression inputs are fixed as
     * DECIMAL(16,6) — that caps |Δp| and qty at 10¹⁰, which on real
     * data is corrupt input and ANSI-fails loudly, while keeping the
     * cross product at (33,12), exactly inside precision 38 (the
@@ -154,12 +177,9 @@ object Risk {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
     val v = valueCol.cast(DecimalType(18, 6))
     val dv = (v - lag(v, 1).over(w)).cast(DecimalType(16, 6))
-    val tickSign = when(dv > 0, 1).when(dv < 0, -1)
-    val carried = last(tickSign, ignoreNulls = true)
-      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val sums = df
+    val sums = df.filter(valueCol.isNotNull)
       .withColumn("_dp", dv)
-      .withColumn("_sgn", carried)
+      .withColumn("_sgn", tickRuleSign(w, v))
       .withColumn("_q", qtyCol.cast(DecimalType(16, 6)))
       .filter(col("_dp").isNotNull && col("_sgn").isNotNull &&
         col("_q").isNotNull)
@@ -194,7 +214,9 @@ object Risk {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
     val v = valueCol.cast(DecimalType(18, 6))
     val dv = (v - lag(v, 1).over(w)).cast(DecimalType(16, 6))
-    val sums = df
+    // null-priced rows drop BEFORE the lag chain: a NULL price would
+    // void two consecutive Δp values instead of differencing across it
+    val sums = df.filter(valueCol.isNotNull)
       .withColumn("_dp", dv)
       .withColumn("_dpp", lag(col("_dp"), 1).over(w))
       .filter(col("_dp").isNotNull && col("_dpp").isNotNull)
@@ -224,18 +246,15 @@ object Risk {
     */
   def momentumRank(df: DataFrame, keyCol: String, orderCols: Seq[Column],
                    valueCol: Column, bucketCol: Column): DataFrame = {
-    val v = valueCol.cast(DecimalType(18, 6))
-    val grouped = df.withColumn("_b", bucketCol).withColumn("_v", v)
-    val wAsc = Window.partitionBy(col(keyCol), col("_b"))
-      .orderBy(orderCols.map(_.asc): _*)
-    val wDesc = Window.partitionBy(col(keyCol), col("_b"))
-      .orderBy(orderCols.map(_.desc): _*)
-    val bars = grouped
-      .withColumn("_first", row_number().over(wAsc))
-      .withColumn("_last", row_number().over(wDesc))
-      .groupBy(col(keyCol), col("_b").as("bucket"))
-      .agg(max(when(col("_first") === 1, col("_v"))).as("_open"),
-        max(when(col("_last") === 1, col("_v"))).as("_close"))
+    // the open/close extraction IS the OHLC first/last pick — reuse it
+    // (one source of truth for the deterministic tick tiebreak); the
+    // cast to decimal commutes with picking, since the pick is decided
+    // by the time order alone
+    val bars = Stats.ohlcBars(df.withColumn("_mv", valueCol),
+        Seq(keyCol), bucketCol, orderCols, "_mv")
+      .select(col(keyCol), col("bar").as("bucket"),
+        col("open").cast(DecimalType(18, 6)).as("_open"),
+        col("close").cast(DecimalType(18, 6)).as("_close"))
       .filter(col("_open") > 0)
       .withColumn("_ret",
         round((col("_close") - col("_open")).cast("double") /
@@ -263,14 +282,18 @@ object Risk {
     * window over the ALREADY-AGGREGATED frame (keys × 24 rows — the
     * second window is over a tiny frame, not the tick stream). One wide
     * Exchange by key for returns + the keyed agg; the share window
-    * re-partitions only the 24-row-per-key result.
+    * re-partitions only the 24-row-per-key result. `tsCol` is the
+    * explicit hour source — unlike the sibling operators, this one
+    * needs a timestamp, and inferring it from the ordering tuple would
+    * silently bucket garbage for a caller ordering by (id, ts).
     */
   def intradayProfile(df: DataFrame, keyCol: String, orderCols: Seq[Column],
-                      valueCol: Column, qtyCol: Column): DataFrame = {
+                      tsCol: Column, valueCol: Column,
+                      qtyCol: Column): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
     val hourly = df.withColumn("_r", Stats.tickReturn(w, valueCol))
       .withColumn("_q", qtyCol.cast(DecimalType(28, 6)))
-      .withColumn("_h", hour(orderCols.head))
+      .withColumn("_h", hour(tsCol))
       .groupBy(col(keyCol), col("_h").as("hour_of_day"))
       .agg(count(lit(1)).as("n_ticks"),
         count(col("_r")).as("_nr"),

@@ -248,7 +248,7 @@ class RiskSpec extends AnyFunSuite {
       ("A", ts("2024-01-01 11:00:00"), 3L, 99.0, 5L)    // r = −0.1, hour 11
     ).toDF("k", "t", "id", "v", "q")
     val rows = Risk.intradayProfile(df, "k", Seq(col("t"), col("id")),
-      col("v"), col("q")).orderBy("hour_of_day").collect()
+      col("t"), col("v"), col("q")).orderBy("hour_of_day").collect()
     assert(rows.length === 2)
     assert(rows(0).getAs[Int]("hour_of_day") === 10)
     assert(rows(0).getAs[Long]("n_ticks") === 2L)
