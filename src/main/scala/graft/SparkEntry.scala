@@ -918,6 +918,24 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q137_token_entropy" -> ((s, dir) => {
+      // information density per source: unigram Shannon entropy via the
+      // rearranged ln(N) − Σ f·ln(f)/N — ln once per DISTINCT token,
+      // fixed as a decimal so the sum is order-independent; plus
+      // H/ln(V) so different vocabulary sizes compare
+      text.TextStats.tokenEntropy(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")
+    }),
+
+    "q138_variance_ratio" -> ((s, dir) => {
+      // random-walk diagnostic: Var(5-day-ish overlapping q-period
+      // returns) over 5·Var(tick returns) — VR>1 trends, VR<1 reverts;
+      // both variances from ONE aggregation of exact power sums
+      Risk.varianceRatio(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"), q = 5)
+        .orderBy("event_type")
+    }),
+
     "q135_kyle_lambda" -> ((s, dir) => {
       // price-impact slope: Δp regressed on tick-rule signed volume —
       // what a parent order pays per unit of size; exact power sums
@@ -2727,6 +2745,68 @@ object SparkEntry {
         |  round(sqrt(CAST(SUM(a * a) AS DOUBLE) / MIN(n)), 6) AS rms,
         |  TRUE AS decoded
         |FROM amp GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "q137_token_entropy" ->
+      """WITH tf AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |f AS (SELECT source, token, COUNT(*) AS freq FROM tf GROUP BY 1, 2),
+        |s AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_size,
+        |    CAST(SUM(freq) AS BIGINT) AS total_tokens,
+        |    SUM(CAST(CAST(freq AS DECIMAL(18,0)) *
+        |      CAST(round(ln(freq), 12) AS DECIMAL(14,12)) AS DECIMAL(33,12))) AS sfl
+        |  FROM f GROUP BY source)
+        |SELECT source, vocab_size, total_tokens,
+        |  round(ln(total_tokens) -
+        |    CAST(CAST(sfl AS VARCHAR) AS DOUBLE) / total_tokens, 6) AS entropy,
+        |  CASE WHEN vocab_size > 1 THEN
+        |    round((ln(total_tokens) -
+        |      CAST(CAST(sfl AS VARCHAR) AS DOUBLE) / total_tokens) /
+        |      ln(vocab_size), 6)
+        |  END AS efficiency
+        |FROM s ORDER BY source""".stripMargin,
+
+    "q138_variance_ratio" ->
+      """WITH b AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |    lag(CAST(value AS DECIMAL(18,6))) OVER (
+        |      PARTITION BY event_type ORDER BY ts ASC, event_id ASC) AS pv
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, ts, event_id,
+        |    CASE WHEN pv > 0 THEN CAST(round(
+        |      CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9) AS DECIMAL(16,9))
+        |    END AS r
+        |  FROM b),
+        |rq AS (
+        |  SELECT event_type, r,
+        |    CASE WHEN COUNT(r) OVER wq = 5 THEN
+        |      CAST(SUM(r) OVER wq AS DECIMAL(16,9)) END AS rq
+        |  FROM r WHERE r IS NOT NULL
+        |  WINDOW wq AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n_returns,
+        |    SUM(r) AS s1, SUM(CAST(r * r AS DECIMAL(38,18))) AS s2,
+        |    COUNT(rq) AS n_q,
+        |    SUM(rq) AS t1, SUM(CAST(rq * rq AS DECIMAL(38,18))) AS t2
+        |  FROM rq GROUP BY event_type),
+        |d AS (
+        |  SELECT event_type, n_returns, n_q,
+        |    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS ds1,
+        |    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS ds2,
+        |    CAST(CAST(t1 AS VARCHAR) AS DOUBLE) AS dt1,
+        |    CAST(CAST(t2 AS VARCHAR) AS DOUBLE) AS dt2
+        |  FROM s)
+        |SELECT event_type, n_returns, n_q,
+        |  CASE WHEN n_q >= 2 AND
+        |    ds2 / n_returns - (ds1 / n_returns) * (ds1 / n_returns) > 0 THEN
+        |    round((dt2 / n_q - (dt1 / n_q) * (dt1 / n_q)) /
+        |      (5 * (ds2 / n_returns - (ds1 / n_returns) * (ds1 / n_returns))), 6)
+        |  END AS variance_ratio
+        |FROM d ORDER BY event_type""".stripMargin,
 
     "q135_kyle_lambda" ->
       """WITH b AS (

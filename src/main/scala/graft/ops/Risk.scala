@@ -232,6 +232,46 @@ object Risk {
       when(cov < 0, round(lit(2.0) * sqrt(-cov), 6)).as("roll_spread"))
   }
 
+  /** Lo-MacKinlay variance ratio per key: VR(q) = Var(r_q) / (q·Var(r₁))
+    * over OVERLAPPING q-period returns (Lo & MacKinlay 1988) — the
+    * random-walk diagnostic: VR ≈ 1 under a random walk, > 1 when
+    * returns trend (positive serial correlation compounds), < 1 when
+    * they mean-revert. The q-period return is a rolling window sum of
+    * the 1-period decimal returns, re-fixed as DECIMAL(16,9) (same 10⁷
+    * domain cap as [[Stats.tickReturn]] — a wider type would push its
+    * square past precision 38); both variances come from exact power
+    * sums gathered in ONE aggregation (n, Σr, Σr², m, Σr_q, Σr_q²),
+    * population form. One Exchange: the return window, the rolling-sum
+    * window, and the keyed agg all cluster by key. Degenerate keys
+    * (fewer than q+1 returns, or zero 1-period variance) yield NULL.
+    */
+  def varianceRatio(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                    valueCol: Column, q: Int): DataFrame = {
+    require(q >= 2, s"q must be >= 2, got $q")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val rFrame = w.rowsBetween(-(q - 1), Window.currentRow)
+    val withR = df.withColumn("_r", Stats.tickReturn(w, valueCol))
+      .filter(col("_r").isNotNull)
+      .withColumn("_nq", count(col("_r")).over(rFrame))
+      .withColumn("_rq", when(col("_nq") === q,
+        sum(col("_r")).over(rFrame).cast(DecimalType(16, 9))))
+    val sums = withR.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_returns"),
+        sum(col("_r")).as("_s1"),
+        sum((col("_r") * col("_r")).cast(DecimalType(38, 18))).as("_s2"),
+        count(col("_rq")).as("n_q"),
+        sum(col("_rq")).as("_t1"),
+        sum((col("_rq") * col("_rq")).cast(DecimalType(38, 18))).as("_t2"))
+    def d(c: String) = col(c).cast("double")
+    val var1 = d("_s2") / col("n_returns") -
+      (d("_s1") / col("n_returns")) * (d("_s1") / col("n_returns"))
+    val varQ = d("_t2") / col("n_q") -
+      (d("_t1") / col("n_q")) * (d("_t1") / col("n_q"))
+    sums.select(col(keyCol), col("n_returns"), col("n_q"),
+      when(col("n_q") >= 2 && var1 > 0,
+        round(varQ / (lit(q) * var1), 6)).as("variance_ratio"))
+  }
+
   /** Cross-sectional momentum rank: each key's bucket return (close
     * over open, by deterministic first/last tick like
     * [[Windows.ohlcBars]]) ranked ACROSS keys within the bucket —

@@ -249,6 +249,40 @@ object TextStats {
         .as("zipf_slope"))
   }
 
+  /** Unigram Shannon entropy per group: H = ln(N) − Σ fᵢ·ln(fᵢ) / N
+    * over the group's full token frequency table — the information
+    * density of a source (templated/boilerplate corpora sit far below
+    * natural text), plus the normalized efficiency H / ln(V) so sources
+    * of different vocabulary sizes compare. The rearranged form is the
+    * numerically disciplined one: ln appears once per DISTINCT token,
+    * each value immediately rounded to 12 dp and fixed as
+    * DECIMAL(14,12); fᵢ·ln(fᵢ) with fᵢ as DECIMAL(18,0) is an exact
+    * (33,12) product, so the entropy sum is order-independent and the
+    * only free doubles are ln(N) and ln(V) at presentation. Same
+    * explode→hash-agg→keyed-agg shape as [[zipfSlope]] minus the
+    * window: term frequencies reduce map-side, then one tiny agg per
+    * group.
+    */
+  def tokenEntropy(df: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = df
+      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("freq"))
+    val sums = tf.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(col("freq")).as("total_tokens"),
+        sum((col("freq").cast(DecimalType(18, 0)) *
+          round(log(col("freq")), 12).cast(DecimalType(14, 12)))
+          .cast(DecimalType(33, 12))).as("_sfl"))
+    val h = log(col("total_tokens")) -
+      col("_sfl").cast("double") / col("total_tokens")
+    sums.select(col(groupCol), col("vocab_size"), col("total_tokens"),
+      round(h, 6).as("entropy"),
+      when(col("vocab_size") > 1, round(h / log(col("vocab_size")), 6))
+        .as("efficiency"))
+  }
+
   def heavyHitters(df: DataFrame, tokensCol: Column, minCount: Long,
                    eps: Double = 0.001, confidence: Double = 0.99,
                    seed: Int = 42): DataFrame = {

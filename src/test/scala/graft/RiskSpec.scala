@@ -177,6 +177,24 @@ class RiskSpec extends AnyFunSuite {
     assert(b.isNullAt(b.fieldIndex("roll_spread")))
   }
 
+  test("varianceRatio: reverting tape -> 0, trending tape -> >1, flat -> NULL") {
+    def walk(k: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) => (k, ts(f"2024-01-01 09:0$i%d:00"), i.toLong, v) }
+    // A: returns +.1,−.1,+.1,−.1 — every 2-period return is 0 ⇒ VR = 0
+    // B: returns +.1,+.1,−.1,−.1 — VR = ((0.04+0.04)/3) / (2·0.01) = 4/3
+    // C: constant +.1 returns — Var(r₁) = 0 ⇒ NULL
+    val df = (walk("A", Seq(100, 110, 99, 108.9, 98.01)) ++
+      walk("B", Seq(100, 110, 121, 108.9, 98.01)) ++
+      walk("C", Seq(100, 110, 121, 133.1, 146.41))).toDF("k", "t", "id", "v")
+    val out = Risk.varianceRatio(df, "k", Seq(col("t"), col("id")),
+      col("v"), q = 2).collect()
+      .map(r => r.getAs[String]("k") ->
+        Option(r.getAs[Any]("variance_ratio"))).toMap
+    assert(out("A") === Some(0.0))
+    assert(out("B") === Some(1.333333))
+    assert(out("C") === None)
+  }
+
   test("pairSpread: OLS hedge, closed-form residual sigma, latest z") {
     // A on B over 4 days: B = 1,2,3,4; A = 10,20,30,45 ⇒ β=11.5,
     // α=−2.5, RSS=7.5, σ=√3.75; last resid = 45−(−2.5+46) = 1.5

@@ -239,6 +239,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(row.getAs[Double]("zipf_slope") === want)
   }
 
+  test("tokenEntropy: uniform unigrams give ln(V); single token gives zero") {
+    val docs = Seq(
+      ("u", "a a b b"),     // uniform over 2 tokens: H = ln 2, eff = 1
+      ("s", "x x x")        // one token: H = 0, efficiency undefined
+    ).toDF("source", "text")
+    val rows = graft.text.TextStats.tokenEntropy(docs, "source", "text")
+      .orderBy("source").collect()
+    val s = rows(0); val u = rows(1)
+    assert(u.getAs[Long]("vocab_size") === 2L)
+    assert(u.getAs[Long]("total_tokens") === 4L)
+    assert(u.getAs[Double]("entropy") === 0.693147)
+    assert(u.getAs[Double]("efficiency") === 1.0)
+    assert(s.getAs[Double]("entropy") === 0.0)
+    assert(s.isNullAt(s.fieldIndex("efficiency")))
+  }
+
   test("zipfSlope: topK caps the rank range; degenerate group is NULL") {
     val docs = Seq(
       ("s", "a a a b b c d e f g"),  // 7 distinct tokens
