@@ -104,6 +104,8 @@ object DevAnalytics {
       "event_type", ord, col("value"), col("qty")))
     time("roll_spread")(ops.Risk.rollSpread(ticks,
       "event_type", ord, col("value")))
+    time("variance_ratio")(ops.Risk.varianceRatio(ticks,
+      "event_type", ord, col("value"), 5))
     time("momentum_rank")(ops.Risk.momentumRank(ticks,
       "event_type", ord, col("value"), minuteBucket))
     time("intraday_profile")(ops.Risk.intradayProfile(ticks,

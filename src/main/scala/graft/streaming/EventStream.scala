@@ -415,6 +415,54 @@ object EventStream {
       }
   }
 
+  case class DrawdownState(peakMicros: Long, maxDdMicros: Long,
+                           seen: Boolean, n: Long)
+  case class DrawdownTick(key: String, seq: Long, n_ticks: Long,
+                          peak: Double, drawdown: Double,
+                          max_drawdown: Double)
+
+  /** Per-instrument RUNNING drawdown on the live path: streaming state =
+    * the running peak and the deepest peak-to-trough fall so far — the
+    * incremental face of [[graft.ops.Stats.maxDrawdown]]; after any
+    * prefix of ticks the latest emission per key equals the batch
+    * aggregate over that prefix (the [[vwapStream]] prefix-equality
+    * law), and each tick additionally carries its CURRENT drawdown,
+    * which the batch all-at-once shape never surfaces. Prices quantize
+    * through DECIMAL(18,6) exactly as the batch cast does and ride as
+    * exact micro-units in state; the only doubles are the rounded
+    * presentation values.
+    */
+  def drawdownStream(spark: SparkSession, ticks: DataFrame, keyCol: String,
+                     seqCol: String, valueCol: String): Dataset[DrawdownTick] = {
+    import spark.implicits._
+    def r6(m: Long): Double =
+      (BigDecimal(m) / 1000000).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    ticks.select(col(keyCol).cast("string").as("k"),
+        col(seqCol).cast("long").as("seq"),
+        col(valueCol).cast("decimal(18,6)").as("v"))
+      .filter(col("k").isNotNull && col("seq").isNotNull && col("v").isNotNull)
+      .as[(String, Long, BigDecimal)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DrawdownState, DrawdownTick](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var st = state.getOption.getOrElse(
+            DrawdownState(Long.MinValue, 0L, seen = false, 0L))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, seq, v) =>
+            val vm = (v * 1000000).toLongExact
+            val peak = if (st.seen) math.max(st.peakMicros, vm) else vm
+            val dd = peak - vm
+            st = DrawdownState(peak, math.max(st.maxDdMicros, dd),
+              seen = true, st.n + 1)
+            DrawdownTick(key, seq, st.n, r6(peak), r6(dd),
+              r6(st.maxDdMicros))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class FlowState(lastMicros: Long, seen: Boolean, lastSign: Int,
                        signed: String, total: String, n: Long)
   case class FlowTick(key: String, seq: Long, n_ticks: Long,

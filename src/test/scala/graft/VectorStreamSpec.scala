@@ -568,6 +568,42 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(!batch.contains("c") && latest("c")._3 === 0L)
   }
 
+  test("drawdownStream equals batch maxDrawdown over the prefix; peak crosses batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // a: peak 120 set in batch 1, the deep trough 95 arrives in batch 2
+    // — the running peak must carry; b: monotone rise, drawdown 0
+    val ticks = Seq(("a", 1L, 100.0), ("a", 2L, 120.0), ("b", 1L, 50.0),
+      ("a", 3L, 95.0), ("a", 4L, 110.0), ("b", 2L, 60.0))
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = EventStream.drawdownStream(spark,
+        mem.toDF().toDF("sym", "seq", "price"), "sym", "seq", "price")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("dd_out").start()
+    mem.addData(ticks.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(ticks.drop(3): _*)
+    q.processAllAvailable()
+    val latest = spark.table("dd_out")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    q.stop()
+    val batch = graft.ops.Stats.maxDrawdown(
+        ticks.toDF("sym", "seq", "price"), "sym", Seq(col("seq")),
+        col("price"))
+      .select("sym", "max_drawdown", "peak", "n_ticks")
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    Seq("a", "b").foreach { k =>
+      val (_, _, n, peak, _, maxDd) = latest(k)
+      assert((n, peak, maxDd) ===
+        ((batch(k)._4, batch(k)._3, batch(k)._2)), k)
+    }
+    assert(latest("a")._6 === 25.0)      // 120 → 95
+    assert(latest("a")._5 === 10.0)      // current: 120 → 110
+    assert(latest("b")._6 === 0.0)
+  }
+
   test("flowImbalanceStream equals batch OFI over the prefix; sign chain crosses batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, lit}
