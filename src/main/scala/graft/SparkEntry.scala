@@ -2751,7 +2751,8 @@ object SparkEntry {
         |  SELECT source,
         |    unnest(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS token
         |  FROM documents),
-        |f AS (SELECT source, token, COUNT(*) AS freq FROM tf GROUP BY 1, 2),
+        |f AS (SELECT source, token, COUNT(*) AS freq FROM tf
+        |      WHERE token <> '' GROUP BY 1, 2),
         |s AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_size,
         |    CAST(SUM(freq) AS BIGINT) AS total_tokens,
@@ -2783,7 +2784,7 @@ object SparkEntry {
         |rq AS (
         |  SELECT event_type, r,
         |    CASE WHEN COUNT(r) OVER wq = 5 THEN
-        |      CAST(SUM(r) OVER wq AS DECIMAL(16,9)) END AS rq
+        |      CAST(SUM(r) OVER wq AS DECIMAL(18,9)) END AS rq
         |  FROM r WHERE r IS NOT NULL
         |  WINDOW wq AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC
         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
@@ -3014,7 +3015,8 @@ object SparkEntry {
         |  SELECT source,
         |    unnest(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS token
         |  FROM documents),
-        |f AS (SELECT source, token, COUNT(*) AS freq FROM tf GROUP BY 1, 2),
+        |f AS (SELECT source, token, COUNT(*) AS freq FROM tf
+        |      WHERE token <> '' GROUP BY 1, 2),
         |rk AS (
         |  SELECT source, freq,
         |    row_number() OVER (PARTITION BY source

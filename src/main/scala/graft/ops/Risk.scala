@@ -237,9 +237,11 @@ object Risk {
     * random-walk diagnostic: VR ≈ 1 under a random walk, > 1 when
     * returns trend (positive serial correlation compounds), < 1 when
     * they mean-revert. The q-period return is a rolling window sum of
-    * the 1-period decimal returns, re-fixed as DECIMAL(16,9) (same 10⁷
-    * domain cap as [[Stats.tickReturn]] — a wider type would push its
-    * square past precision 38); both variances come from exact power
+    * the 1-period decimal returns, fixed as DECIMAL(18,9) — wider than
+    * tickReturn's (16,9) because the sum's true range is q× the
+    * single-return cap (a (16,9) recap would ANSI-fail on legal input
+    * at q·10⁷), and 18 is the widest scale-9 type whose square (37,18)
+    * still fits precision 38 exactly; both variances come from exact power
     * sums gathered in ONE aggregation (n, Σr, Σr², m, Σr_q, Σr_q²),
     * population form. One Exchange: the return window, the rolling-sum
     * window, and the keyed agg all cluster by key. Degenerate keys
@@ -254,7 +256,7 @@ object Risk {
       .filter(col("_r").isNotNull)
       .withColumn("_nq", count(col("_r")).over(rFrame))
       .withColumn("_rq", when(col("_nq") === q,
-        sum(col("_r")).over(rFrame).cast(DecimalType(16, 9))))
+        sum(col("_r")).over(rFrame).cast(DecimalType(18, 9))))
     val sums = withR.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_returns"),
         sum(col("_r")).as("_s1"),

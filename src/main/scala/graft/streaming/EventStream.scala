@@ -415,8 +415,7 @@ object EventStream {
       }
   }
 
-  case class DrawdownState(peakMicros: Long, maxDdMicros: Long,
-                           seen: Boolean, n: Long)
+  case class DrawdownState(peakMicros: Long, maxDdMicros: Long, n: Long)
   case class DrawdownTick(key: String, seq: Long, n_ticks: Long,
                           peak: Double, drawdown: Double,
                           max_drawdown: Double)
@@ -447,14 +446,12 @@ object EventStream {
       .flatMapGroupsWithState[DrawdownState, DrawdownTick](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (key, rows, state) =>
-          var st = state.getOption.getOrElse(
-            DrawdownState(Long.MinValue, 0L, seen = false, 0L))
+          var st = state.getOption.getOrElse(DrawdownState(0L, 0L, 0L))
           val out = rows.toSeq.sortBy(_._2).map { case (_, seq, v) =>
             val vm = (v * 1000000).toLongExact
-            val peak = if (st.seen) math.max(st.peakMicros, vm) else vm
+            val peak = if (st.n > 0) math.max(st.peakMicros, vm) else vm
             val dd = peak - vm
-            st = DrawdownState(peak, math.max(st.maxDdMicros, dd),
-              seen = true, st.n + 1)
+            st = DrawdownState(peak, math.max(st.maxDdMicros, dd), st.n + 1)
             DrawdownTick(key, seq, st.n, r6(peak), r6(dd),
               r6(st.maxDdMicros))
           }

@@ -229,6 +229,9 @@ object TextStats {
     import org.apache.spark.sql.types.DecimalType
     val tf = df
       .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      // tokens("") is [""] (the split convention the count ops keep for
+      // parity) — but a frequency TABLE must not carry a phantom member
+      .filter(col("token") =!= "")
       .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("freq"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("freq").desc, col("token").asc)
@@ -268,6 +271,10 @@ object TextStats {
     import org.apache.spark.sql.types.DecimalType
     val tf = df
       .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      // drop the phantom empty-string token of blank documents (see
+      // [[zipfSlope]]): a non-token must not dilute the distribution,
+      // and an all-blank source should have NO entropy row, not H = 0
+      .filter(col("token") =!= "")
       .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("freq"))
     val sums = tf.groupBy(col(groupCol))
       .agg(count(lit(1)).as("vocab_size"),
