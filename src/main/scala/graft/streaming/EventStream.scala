@@ -63,6 +63,33 @@ object EventStream {
         col("session_window.end").as("sess_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Streaming tick→bar OHLC resample — [[graft.ops.Stats.ohlcBars]] on
+    * the live path: per (key, event-time window) open/high/low/close/
+    * volume with watermark-bounded state. Open and close are
+    * `min_by`/`max_by` over the struct (ts, seq): the batch operator
+    * avoids min_by because bare timestamps tie, but the struct carries
+    * the unique tiebreak, so the pick is the same deterministic total
+    * order as the batch row_number pair — spec'd equal on the same
+    * ticks. Volume is the batch's exact decimal sum, presented
+    * identically.
+    */
+  def ohlcBarsStream(events: DataFrame, keyCol: String, seqCol: String,
+                     valueCol: String, window_ : String = "1 minute",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col(keyCol))
+      .agg(
+        min_by(col(valueCol), struct(col("ts"), col(seqCol))).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), struct(col("ts"), col(seqCol))).as("close"),
+        round(sum(col(valueCol).cast(DecimalType(18, 2))).cast("double"), 2)
+          .as("volume"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("window.start").as("bar"), col(keyCol), col("open"),
+        col("high"), col("low"), col("close"), col("volume"), col("n_ticks"))
+
   /** Streaming dedup on (user_id, ts) within the watermark horizon — the
     * streaming form of the reference's W1 dedup (state = keys seen inside
     * the watermark, evicted automatically).

@@ -177,6 +177,46 @@ class VectorStreamSpec extends AnyFunSuite {
       (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L, 4.0)))
   }
 
+  test("ohlcBarsStream equals batch ohlcBars on the same ticks (open/close tiebreak included)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    // two ticks share the 10:00:30 timestamp — seq must break the tie
+    // for open/close exactly as the batch row_number pair does
+    val ticks = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:10"), "a", 1L, 10.0),
+      (Timestamp.valueOf("2024-01-01 10:00:30"), "a", 2L, 14.0),
+      (Timestamp.valueOf("2024-01-01 10:00:30"), "a", 3L, 8.0),
+      (Timestamp.valueOf("2024-01-01 10:01:10"), "a", 4L, 11.0),
+      (Timestamp.valueOf("2024-01-01 10:00:20"), "b", 5L, 50.0))
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val q = EventStream.ohlcBarsStream(
+        mem.toDF().toDF("ts", "sym", "seq", "price"), "sym", "seq", "price")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ohlc_out").start()
+    mem.addData(ticks.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(ticks.drop(3): _*)
+    q.processAllAvailable()
+    val got = spark.table("ohlc_out")
+      .select("bar", "sym", "open", "high", "low", "close", "volume", "n_ticks")
+      .as[(Timestamp, String, Double, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    q.stop()
+    val want = graft.ops.Stats.ohlcBars(
+        ticks.toDF("ts", "sym", "seq", "price"), Seq("sym"),
+        date_trunc("minute", col("ts")), Seq(col("ts"), col("seq")), "price")
+      .select(col("bar").cast("timestamp"), col("sym"), col("open"),
+        col("high"), col("low"), col("close"), col("volume"), col("n_ticks"))
+      .as[(Timestamp, String, Double, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    assert(got === want)
+    // the tied-timestamp bar: close must be seq 3 (8.0), not seq 2 —
+    // the (ts, seq) struct order decides between the two 10:00:30 ticks
+    val bar0 = got.find(r => r._2 == "a" &&
+      r._1 == Timestamp.valueOf("2024-01-01 10:00:00")).get
+    assert((bar0._3, bar0._6) === ((10.0, 8.0)))
+  }
+
   test("sinkBronze lands micro-batches partitioned by date, one file per date per batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
