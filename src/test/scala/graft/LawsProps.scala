@@ -441,4 +441,84 @@ object LawsProps extends Properties("graft.laws") {
         .mapValues(_.size.toLong).filter(_._2 >= minCount).toMap
       got == expect
     }
+
+  // the ShinglesExpr convention: docs shorter than n contribute their
+  // single whole-document shingle
+  private def shingleSet(toks: Seq[String], n: Int): Set[String] =
+    if (toks.size < n) Set(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+
+  property("containmentPairs: prefix filtering loses NOTHING vs brute force") =
+    forAll(Gen.listOfN(6,
+      Gen.choose(1, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))))) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.text.Dedup.containmentPairs(df, "doc_id", "text",
+          n = 2, threshold = 0.6)
+        .as[(Long, Long, Long, Long, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._5, r._6))).toMap
+      val sets = docs.map(t => shingleSet(t, 2))
+      val expect = (for {
+        i <- sets.indices; j <- sets.indices if i < j
+        shared = (sets(i) intersect sets(j)).size
+        if shared > 0
+        c = shared.toDouble / math.min(sets(i).size, sets(j).size)
+        if c >= 0.6
+      } yield (i.toLong, j.toLong) ->
+        ((c, shared.toDouble / (sets(i).size + sets(j).size - shared)))).toMap
+      got == expect
+    }
+
+  property("flowImbalance: equals the driver-side sign-carry scan") =
+    forAll(Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1, 4), Gen.choose(0L, 5L)))) { ticks =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val df = ticks.zipWithIndex.map { case ((v, q), i) =>
+        ("k", i.toLong, v.toDouble, q) }.toDF("k", "seq", "v", "q")
+      val got = graft.ops.Risk.flowImbalance(df, "k", Seq(col("seq")),
+          col("v"), col("q"), lit(1))
+        .as[(String, Int, Long, Double, Double, Option[Double])]
+        .collect().headOption.map(r => (r._3, r._4, r._5, r._6))
+      var lastSign = 0; var prev = Option.empty[Int]
+      var signed = 0L; var total = 0L; var n = 0L
+      for ((v, q) <- ticks) {
+        val s = prev match {
+          case Some(p) if v > p => 1
+          case Some(p) if v < p => -1
+          case _ => lastSign
+        }
+        if (s != 0) { signed += s * q; total += q; n += 1; lastSign = s }
+        prev = Some(v)
+      }
+      val expect = if (n == 0) None else Some((n, signed.toDouble,
+        total.toDouble,
+        if (total > 0) Some(BigDecimal(signed.toDouble / total)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None))
+      got == expect
+    }
+
+  property("varCvar: VaR is the k-th smallest return, ES its exact tail mean") =
+    forAll(Gen.choose(2, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.choose(1, 50)))) { prices =>
+      import org.apache.spark.sql.functions.col
+      val df = prices.zipWithIndex.map { case (v, i) =>
+        ("k", i.toLong, v.toDouble) }.toDF("k", "seq", "v")
+      val out = graft.ops.Risk.varCvar(df, "k", Seq(col("seq")),
+          col("v"), alpha = 0.5)
+        .as[(String, Long, Double, Double)].collect().head
+      // mirror tickReturn on exact integer prices
+      val rets = prices.sliding(2).map { case Seq(p, v) =>
+        BigDecimal((v - p).toDouble / p).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP)
+      }.toSeq.sorted
+      val k = (rets.size + 1) / 2              // ceil(0.5·n), exact
+      val tail = rets.take(k)
+      out._2 == rets.size.toLong &&
+        out._3 == tail.last.toDouble &&
+        out._4 == BigDecimal(tail.sum.toDouble / k).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
 }
