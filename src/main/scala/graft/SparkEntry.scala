@@ -918,6 +918,16 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q139_event_study" -> ((s, dir) => {
+      // signal scoring: after a >2% up-tick, what do the next 1 and 5
+      // ticks return, and how often are they positive? — the momentum
+      // backtest over the same return primitive the alert queries use
+      Risk.eventStudy(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"),
+          horizons = Seq(1, 5), signal = r => r > 0.02)
+        .orderBy("event_type", "horizon")
+    }),
+
     "q137_token_entropy" -> ((s, dir) => {
       // information density per source: unigram Shannon entropy via the
       // rearranged ln(N) − Σ f·ln(f)/N — ln once per DISTINCT token,
@@ -2745,6 +2755,40 @@ object SparkEntry {
         |  round(sqrt(CAST(SUM(a * a) AS DOUBLE) / MIN(n)), 6) AS rms,
         |  TRUE AS decoded
         |FROM amp GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "q139_event_study" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+        |    lag(CAST(value AS DECIMAL(18,6))) OVER w AS pv,
+        |    lead(CAST(value AS DECIMAL(18,6)), 1) OVER w AS f1,
+        |    lead(CAST(value AS DECIMAL(18,6)), 5) OVER w AS f5
+        |  FROM events WHERE value IS NOT NULL
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC)),
+        |r AS (
+        |  SELECT event_type,
+        |    CASE WHEN pv > 0 THEN CAST(round(
+        |      CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9) AS DECIMAL(16,9))
+        |    END AS r,
+        |    CASE WHEN f1 IS NOT NULL AND v > 0 THEN CAST(round(
+        |      CAST(f1 - v AS DOUBLE) / CAST(v AS DOUBLE), 9) AS DECIMAL(16,9))
+        |    END AS fwd1,
+        |    CASE WHEN f5 IS NOT NULL AND v > 0 THEN CAST(round(
+        |      CAST(f5 - v AS DOUBLE) / CAST(v AS DOUBLE), 9) AS DECIMAL(16,9))
+        |    END AS fwd5
+        |  FROM b),
+        |e AS (SELECT * FROM r WHERE r > 0.02),
+        |u AS (
+        |  SELECT event_type, 1 AS horizon, fwd1 AS fwd FROM e
+        |  UNION ALL
+        |  SELECT event_type, 5 AS horizon, fwd5 AS fwd FROM e),
+        |s AS (
+        |  SELECT event_type, horizon, COUNT(*) AS n_events,
+        |    SUM(fwd) AS sf, COUNT(CASE WHEN fwd > 0 THEN 1 END) AS hits
+        |  FROM u WHERE fwd IS NOT NULL GROUP BY event_type, horizon)
+        |SELECT event_type, horizon, n_events,
+        |  round(CAST(CAST(sf AS VARCHAR) AS DOUBLE) / n_events, 9) AS mean_fwd_return,
+        |  round(CAST(hits AS DOUBLE) / n_events, 6) AS hit_rate
+        |FROM s ORDER BY event_type, horizon""".stripMargin,
 
     "q137_token_entropy" ->
       """WITH tf AS (

@@ -158,6 +158,55 @@ object Risk {
             col("_total").cast("double"), 6)).as("ofi"))
   }
 
+  /** Event study per (key, horizon): for every tick where `signal`
+    * fires on the tick return, the forward return h ticks ahead —
+    * n_events, exact-decimal mean forward return, and the hit rate
+    * (fraction positive) — the MacKinlay 1997 shape that answers "did
+    * the signal predict anything", run against the same alert
+    * primitives the anomaly/level queries emit. `signal` receives the
+    * per-row tick-return column so return-based triggers (spikes,
+    * reversals) express naturally; rows whose forward window runs off
+    * the series drop, exactly like undefined returns.
+    *
+    * Plan: the return column, every horizon's forward return (lead
+    * over the SAME window spec — one Window operator), the
+    * horizon-stack explode, and the (key, horizon) aggregation all
+    * ride ONE hash(key) Exchange (the [[volCone]] stack argument).
+    */
+  def eventStudy(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                 valueCol: Column, horizons: Seq[Int],
+                 signal: Column => Column): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_ >= 1),
+      s"horizons must be positive, got $horizons")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val v = valueCol.cast(DecimalType(18, 6))
+    val withFwd = horizons.foldLeft(
+      df.filter(valueCol.isNotNull)
+        .withColumn("_r", Stats.tickReturn(w, valueCol))
+    ) { (acc, h) =>
+      val fv = lead(v, h).over(w)
+      acc.withColumn(s"_f$h", when(fv.isNotNull && v > 0,
+        round((fv - v).cast("double") / v.cast("double"), 9)
+          .cast(DecimalType(16, 9))))
+    }
+    withFwd
+      .filter(signal(col("_r")))
+      .select(col(keyCol), explode(array(horizons.map(h =>
+        struct(lit(h).as("horizon"), col(s"_f$h").as("fwd"))): _*)).as("_z"))
+      .select(col(keyCol), col("_z.horizon").as("horizon"),
+        col("_z.fwd").as("_fwd"))
+      .filter(col("_fwd").isNotNull)
+      .groupBy(col(keyCol), col("horizon"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("_fwd")).as("_s"),
+        count(when(col("_fwd") > 0, 1)).as("_hits"))
+      .select(col(keyCol), col("horizon"), col("n_events"),
+        round(col("_s").cast("double") / col("n_events"), 9)
+          .as("mean_fwd_return"),
+        round(col("_hits").cast("double") / col("n_events"), 6)
+          .as("hit_rate"))
+  }
+
   /** Kyle's lambda per key: the slope of price change on signed volume —
     * Δpₜ = λ·(signₜ·qₜ) + ε (Kyle 1985), THE price-impact coefficient a
     * desk uses to cost a parent order. Signs come from the same tick

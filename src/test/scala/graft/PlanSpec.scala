@@ -278,7 +278,7 @@ class PlanSpec extends AnyFunSuite {
     // per-horizon union measured 3 Exchanges before the stack rewrite)
     for (q <- Seq("q125_var_cvar", "q126_sortino", "q127_flow_imbalance",
         "q130_intraday_profile", "q134_vol_cone", "q135_kyle_lambda",
-        "q136_roll_spread", "q138_variance_ratio")) {
+        "q136_roll_spread", "q138_variance_ratio", "q139_event_study")) {
       val p = plan(q)
       assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, s"$q: $p")
     }

@@ -177,6 +177,28 @@ class RiskSpec extends AnyFunSuite {
     assert(b.isNullAt(b.fieldIndex("roll_spread")))
   }
 
+  test("eventStudy: forward returns after signals; off-series windows drop") {
+    def walk(k: String, vs: Seq[Double]) = vs.zipWithIndex.map {
+      case (v, i) => (k, ts(f"2024-01-01 09:${i / 60}%02d:${i % 60}%02d"), i.toLong, v) }
+    // A: the 100→103 jump signals; fwd1 = 1/103, fwd5 = 5/103. The
+    // final 108→111 jump also signals but has no forward ticks — drops.
+    // B: 100→103 signals into a reversal; fwd1 < 0, fwd5 undefined.
+    val df = (walk("A", Seq(100, 103, 104, 105, 106, 107, 108, 111)) ++
+      walk("B", Seq(100, 103, 100))).toDF("k", "t", "id", "v")
+    def r9(x: Double) = BigDecimal(x).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = graft.ops.Risk.eventStudy(df, "k", Seq(col("t"), col("id")),
+        col("v"), horizons = Seq(1, 5), signal = r => r > 0.02)
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Int]("horizon")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("mean_fwd_return"),
+          r.getAs[Double]("hit_rate")))).toMap
+    assert(out.keySet === Set(("A", 1), ("A", 5), ("B", 1)))
+    assert(out(("A", 1)) === ((1L, r9(1.0 / 103), 1.0)))
+    assert(out(("A", 5)) === ((1L, r9(5.0 / 103), 1.0)))
+    assert(out(("B", 1)) === ((1L, r9(-3.0 / 103), 0.0)))
+  }
+
   test("varianceRatio: reverting tape -> 0, trending tape -> >1, flat -> NULL") {
     def walk(k: String, vs: Seq[Double]) = vs.zipWithIndex.map {
       case (v, i) => (k, ts(f"2024-01-01 09:0$i%d:00"), i.toLong, v) }
