@@ -918,6 +918,17 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q140_portfolio_nav" -> ((s, dir) => {
+      // the cross-section rolled up to a book: equal-weight mean of
+      // per-instrument daily returns, compounded as exp(Σ ln(1+r̄)) —
+      // the exact-sum form of a running product; the cumulative window
+      // runs over the calendar-bounded day frame, never ticks
+      Risk.portfolioNav(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"),
+          to_date(col("ts")))
+        .orderBy("bucket")
+    }),
+
     "q139_event_study" -> ((s, dir) => {
       // signal scoring: after a >2% up-tick, what do the next 1 and 5
       // ticks return, and how often are they positive? — the momentum
@@ -2755,6 +2766,48 @@ object SparkEntry {
         |  round(sqrt(CAST(SUM(a * a) AS DOUBLE) / MIN(n)), 6) AS rms,
         |  TRUE AS decoded
         |FROM amp GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "q140_portfolio_nav" ->
+      """WITH ticks AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS bucket,
+        |    CAST(value AS DECIMAL(18,6)) AS v,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts ASC, event_id ASC) AS rf,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rl
+        |  FROM events WHERE value IS NOT NULL),
+        |bars AS (
+        |  SELECT event_type, bucket,
+        |    MAX(CASE WHEN rf = 1 THEN v END) AS o,
+        |    MAX(CASE WHEN rl = 1 THEN v END) AS c
+        |  FROM ticks GROUP BY event_type, bucket),
+        |r AS (
+        |  SELECT event_type, bucket,
+        |    CAST(round(CAST(c - o AS DOUBLE) / CAST(o AS DOUBLE), 9)
+        |      AS DECIMAL(16,9)) AS ret
+        |  FROM bars WHERE o > 0),
+        |daily AS (
+        |  SELECT bucket, COUNT(*) AS n_keys,
+        |    CAST(round(CAST(CAST(SUM(ret) AS VARCHAR) AS DOUBLE) / COUNT(*), 9)
+        |      AS DECIMAL(16,9)) AS pr
+        |  FROM r GROUP BY bucket),
+        |l AS (
+        |  SELECT bucket, n_keys, pr,
+        |    CASE WHEN pr > -1 THEN CAST(round(
+        |      ln(1.0 + CAST(CAST(pr AS VARCHAR) AS DOUBLE)), 12)
+        |      AS DECIMAL(16,12)) END AS lnr
+        |  FROM daily),
+        |c AS (
+        |  SELECT bucket, n_keys, pr,
+        |    MAX(CASE WHEN lnr IS NULL THEN 1 ELSE 0 END) OVER cw AS hasnull,
+        |    SUM(lnr) OVER cw AS cln
+        |  FROM l WINDOW cw AS (ORDER BY bucket ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT bucket, n_keys,
+        |  CAST(CAST(pr AS VARCHAR) AS DOUBLE) AS port_return,
+        |  CASE WHEN hasnull = 0 THEN
+        |    round(exp(CAST(CAST(cln AS VARCHAR) AS DOUBLE)), 6) END AS nav
+        |FROM c ORDER BY bucket""".stripMargin,
 
     "q139_event_study" ->
       """WITH b AS (

@@ -365,6 +365,52 @@ object Risk {
           .cast("int").as("decile"))
   }
 
+  /** Equal-weight portfolio NAV over the bucket frame: each bucket's
+    * portfolio return is the equal-weight mean of the per-key
+    * close-over-open returns ([[momentumRank]]'s bar path), and the
+    * NAV compounds them as exp(Σ ln(1+r̄)) — the log-sum form because a
+    * running PRODUCT of decimals has no exact distributed shape, while
+    * a running SUM of decimal-fixed ln values does (each ln rounded to
+    * 12 dp and fixed as DECIMAL(16,12), so the cumulative sum is exact
+    * and order-independent; exp only at presentation). The cumulative
+    * window is deliberately UNPARTITIONED: it runs over the aggregated
+    * bucket frame, whose row count is bounded by the calendar (days,
+    * not ticks — ~10⁴ rows for decades), never the tick stream; the
+    * tick-scale work is the same two-Exchange bar transpose as
+    * [[momentumRank]]. Buckets where every instrument return is
+    * undefined drop; a bucket return of exactly −100% (NAV wiped to
+    * zero) yields NULL ln ⇒ NULL NAV from that bucket on, loudly.
+    */
+  def portfolioNav(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                   valueCol: Column, bucketCol: Column): DataFrame = {
+    val bars = Stats.ohlcBars(df.withColumn("_mv", valueCol),
+        Seq(keyCol), bucketCol, orderCols, "_mv")
+      .select(col(keyCol), col("bar").as("bucket"),
+        col("open").cast(DecimalType(18, 6)).as("_open"),
+        col("close").cast(DecimalType(18, 6)).as("_close"))
+      .filter(col("_open") > 0)
+      .withColumn("_ret",
+        round((col("_close") - col("_open")).cast("double") /
+          col("_open").cast("double"), 9).cast(DecimalType(16, 9)))
+    val daily = bars.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("_ret")).as("_sr"))
+      .withColumn("_pr",
+        round(col("_sr").cast("double") / col("n_keys"), 9)
+          .cast(DecimalType(16, 9)))
+      .withColumn("_lnr", when(col("_pr") > -1,
+        round(log(lit(1.0) + col("_pr").cast("double")), 12)
+          .cast(DecimalType(16, 12))))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("_hasNull", max(col("_lnr").isNull.cast("int")).over(cum))
+      .withColumn("_cln", sum(col("_lnr")).over(cum))
+      .select(col("bucket"), col("n_keys"),
+        col("_pr").cast("double").as("port_return"),
+        when(col("_hasNull") === 0,
+          round(exp(col("_cln").cast("double")), 6)).as("nav"))
+  }
+
   /** Intraday seasonality profile per (key, hour-of-day): tick count,
     * mean |return| (the U-shaped volatility smile every venue shows at
     * open/close), and the hour's share of the key's total traded

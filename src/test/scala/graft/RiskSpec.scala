@@ -177,6 +177,34 @@ class RiskSpec extends AnyFunSuite {
     assert(b.isNullAt(b.fieldIndex("roll_spread")))
   }
 
+  test("portfolioNav: equal-weight compounding; a wipeout nulls NAV loudly") {
+    val df = Seq(
+      // day 1: A +10%, B −10% ⇒ r̄ = 0, NAV 1.0
+      ("A", ts("2024-01-01 09:00:00"), 1L, 100.0),
+      ("A", ts("2024-01-01 16:00:00"), 2L, 110.0),
+      ("B", ts("2024-01-01 09:00:00"), 3L, 50.0),
+      ("B", ts("2024-01-01 16:00:00"), 4L, 45.0),
+      // day 2: A +10%, B +20% ⇒ r̄ = 0.15, NAV 1.15
+      ("A", ts("2024-01-02 09:00:00"), 5L, 110.0),
+      ("A", ts("2024-01-02 16:00:00"), 6L, 121.0),
+      ("B", ts("2024-01-02 09:00:00"), 7L, 45.0),
+      ("B", ts("2024-01-02 16:00:00"), 8L, 54.0),
+      // day 3: only C trades, 100 → 0: −100%, ln undefined ⇒ NULL NAV
+      ("C", ts("2024-01-03 09:00:00"), 9L, 100.0),
+      ("C", ts("2024-01-03 16:00:00"), 10L, 0.0)
+    ).toDF("k", "t", "id", "v")
+    val rows = graft.ops.Risk.portfolioNav(df, "k",
+        Seq(col("t"), col("id")), col("v"), to_date(col("t")))
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getAs[Long]("n_keys")).toSeq === Seq(2L, 2L, 1L))
+    assert(rows(0).getAs[Double]("port_return") === 0.0)
+    assert(rows(0).getAs[Double]("nav") === 1.0)
+    assert(rows(1).getAs[Double]("port_return") === 0.15)
+    assert(rows(1).getAs[Double]("nav") === 1.15)
+    assert(rows(2).getAs[Double]("port_return") === -1.0)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("nav")))
+  }
+
   test("eventStudy: forward returns after signals; off-series windows drop") {
     def walk(k: String, vs: Seq[Double]) = vs.zipWithIndex.map {
       case (v, i) => (k, ts(f"2024-01-01 09:${i / 60}%02d:${i % 60}%02d"), i.toLong, v) }
