@@ -918,6 +918,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q141_video_features" -> ((s, dir) => {
+      // REAL RIFF/AVI container parse, oracle-gated end-to-end (the
+      // q43/q124 move for video): one minimal-but-conforming AVI per
+      // doc_id with id-derived geometry; the chunk walk reads the true
+      // avih fields back out, and every field is SQL-expressible from
+      // the ids, so the hash gate proves the container parse is real
+      import graft.multimodal.Media
+      val media = Media.videoTable(s, t(s, dir, "documents"), "doc_id")
+      Media.extractVideoFeatures(s, media).toDF()
+        .select(col("media_id"), col("n_bytes"), col("width"),
+          col("height"), col("n_frames"), col("duration_ms"),
+          col("decoded"))
+        .orderBy("media_id")
+    }),
+
     "q140_portfolio_nav" -> ((s, dir) => {
       // the cross-section rolled up to a book: equal-weight mean of
       // per-instrument daily returns, compounded as exp(Σ ln(1+r̄)) —
@@ -2766,6 +2781,15 @@ object SparkEntry {
         |  round(sqrt(CAST(SUM(a * a) AS DOUBLE) / MIN(n)), 6) AS rms,
         |  TRUE AS decoded
         |FROM amp GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    "q141_video_features" ->
+      """SELECT doc_id AS media_id, CAST(100 AS BIGINT) AS n_bytes,
+        |  CAST(160 + doc_id % 160 AS INT) AS width,
+        |  CAST(90 + doc_id % 90 AS INT) AS height,
+        |  CAST(1 + doc_id % 250 AS BIGINT) AS n_frames,
+        |  CAST((1 + doc_id % 250) * 40 AS BIGINT) AS duration_ms,
+        |  TRUE AS decoded
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q140_portfolio_nav" ->
       """WITH ticks AS (

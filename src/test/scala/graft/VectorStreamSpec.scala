@@ -915,6 +915,45 @@ class VectorStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("video container parse is real: AVI roundtrip, chunk walk, non-AVI stubs") {
+    // encode→decode roundtrip reads the avih fields back out
+    val avi = Media.VideoCodec.encodeAvi(320, 180, 42, 40000)
+    assert(avi.length === 100)
+    val Some(meta) = Media.VideoCodec.decodeMeta(avi)
+    assert((meta.width, meta.height, meta.nFrames, meta.microsPerFrame) ===
+      ((320, 180, 42L, 40000L)))
+    // the walk must SKIP an unknown leading chunk (with odd-size RIFF
+    // padding) and still find avih behind it
+    val junk = "JUNK".getBytes ++ Array[Byte](3, 0, 0, 0) ++
+      Array[Byte](1, 2, 3, 0) // declared size 3, padded to 4
+    val padded = avi.take(12) ++ junk ++ avi.drop(12)
+    val Some(meta2) = Media.VideoCodec.decodeMeta(padded)
+    assert(meta2 === meta)
+    // non-AVI payloads are not video → None (extract then stubs them)
+    assert(Media.VideoCodec.decodeMeta(
+      Media.ImageCodec.encodePng(4, 4, 1L)) === None)
+    assert(Media.VideoCodec.decodeMeta(
+      Media.AudioCodec.encodeWav(4, 0L)) === None) // RIFF but WAVE, not AVI
+    assert(Media.VideoCodec.decodeMeta("not a movie".getBytes) === None)
+    // corrupt declared size larger than the payload refuses cleanly
+    val corrupt = avi.clone(); corrupt(16) = 0xFF.toByte
+    assert(Media.VideoCodec.decodeMeta(
+      corrupt.take(12) ++ "XXXX".getBytes ++
+        Array[Byte](-1, -1, -1, 0x7F) ++ corrupt.drop(20)) === None)
+    // distributed path: videoTable → extractVideoFeatures, decoded=true
+    val ids = Seq(0L, 7L, 333L).toDF("doc_id")
+    val feats = Media.extractVideoFeatures(spark,
+        Media.videoTable(spark, ids, "doc_id"))
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- Seq(0L, 7L, 333L)) {
+      assert(feats(id).decoded, s"id=$id not decoded")
+      assert(feats(id).width === 160 + id % 160)
+      assert(feats(id).height === 90 + id % 90)
+      assert(feats(id).n_frames === 1 + id % 250)
+      assert(feats(id).duration_ms === (1 + id % 250) * 40)
+    }
+  }
+
   test("media resize and frame sampling: payload transform + row expansion") {
     val docs = Seq((1L, "x" * 300), (2L, "y" * 100)).toDF("doc_id", "text")
     val media = Media.attachPayload(docs, "doc_id", "text")
