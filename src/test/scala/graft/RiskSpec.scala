@@ -177,6 +177,22 @@ class RiskSpec extends AnyFunSuite {
     assert(b.isNullAt(b.fieldIndex("roll_spread")))
   }
 
+  test("tickReturn's domain cap fails LOUDLY on corrupt input, never truncates") {
+    // a 10^11 tick-to-tick return cannot fit DECIMAL(16,9) — the scaladoc
+    // claims ANSI mode turns that into a job failure rather than a
+    // silently truncated sum; this pins the claim
+    val df = Seq(
+      ("A", ts("2024-01-01 09:00:00"), 1L, 0.000001),
+      ("A", ts("2024-01-01 09:01:00"), 2L, 100000.0)
+    ).toDF("k", "t", "id", "v")
+    val e = intercept[Exception] {
+      Risk.sortino(df, "k", Seq(col("t"), col("id")), col("v")).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).mkString
+    assert(msg.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+      msg.contains("cannot be represented"), msg)
+  }
+
   test("portfolioNav: equal-weight compounding; a wipeout nulls NAV loudly") {
     val df = Seq(
       // day 1: A +10%, B −10% ⇒ r̄ = 0, NAV 1.0
