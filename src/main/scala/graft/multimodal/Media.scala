@@ -181,14 +181,21 @@ object Media {
 
     /** REAL RIFF/AVI container parse — the video analog of
       * [[ImageCodec.decodeDims]]'s header-only read: walks the RIFF
-      * chunk tree (descending into LISTs, skipping unknown chunks with
-      * their declared+padded sizes) to the `avih` main header and reads
-      * the true width / height / frame count / frame interval out of
-      * its little-endian fields. No frame DECODE happens — pixel
-      * codecs genuinely aren't in this container — but the container
-      * structure, byte order, and chunk walk are real: corrupt or
-      * non-AVI payloads return None and fall back to the stub exactly
-      * like the image and audio paths.
+      * chunk tree to the `avih` main header and reads the true width /
+      * height / frame count / frame interval out of its little-endian
+      * fields. The walk descends ONLY into `hdrl` LISTs — the header
+      * lives nowhere else in a conforming file, and descending into
+      * `movi` would let an avih-shaped run of FRAME DATA masquerade as
+      * the header — and skips every other chunk by its declared+padded
+      * size. Geometry is validated: a dwWidth/dwHeight of zero or past
+      * 2³¹ (a negative after the Int narrowing) marks the payload
+      * non-decodable rather than shipping impossible dimensions with
+      * `decoded = true`, mirroring how the JDK image/audio parsers
+      * reject invalid containers. No frame PIXEL decode happens (no
+      * codec libs in this container), but the container structure,
+      * byte order, and chunk walk are real: corrupt or non-AVI
+      * payloads return None and fall back to the stub exactly like the
+      * image and audio paths.
       */
     def decodeMeta(payload: Array[Byte]): Option[VideoMeta] = {
       if (payload.length < 12 || cc(payload, 0) != "RIFF" ||
@@ -198,12 +205,15 @@ object Media {
         while (pos + 8 <= payload.length) {
           val id = cc(payload, pos)
           val size = u32(payload, pos + 4)
-          if (id == "LIST" && pos + 12 <= payload.length) {
-            pos += 12 // descend into the list body
+          if (id == "LIST" && pos + 12 <= payload.length &&
+            cc(payload, pos + 8) == "hdrl") {
+            pos += 12 // descend into the header list only
           } else if (id == "avih" && pos + 8 + 56 <= payload.length) {
-            return Some(VideoMeta(
-              width = u32(payload, pos + 8 + 32).toInt,
-              height = u32(payload, pos + 8 + 36).toInt,
+            val width = u32(payload, pos + 8 + 32)
+            val height = u32(payload, pos + 8 + 36)
+            return if (width < 1 || width > Int.MaxValue ||
+              height < 1 || height > Int.MaxValue) None
+            else Some(VideoMeta(width.toInt, height.toInt,
               nFrames = u32(payload, pos + 8 + 16),
               microsPerFrame = u32(payload, pos + 8)))
           } else {

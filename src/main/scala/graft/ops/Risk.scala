@@ -56,7 +56,8 @@ object Risk {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
     val byReturn = Window.partitionBy(col(keyCol)).orderBy(col("_r").asc)
     val whole = Window.partitionBy(col(keyCol))
-    df.withColumn("_r", Stats.tickReturn(w, valueCol))
+    df.filter(valueCol.isNotNull)
+      .withColumn("_r", Stats.tickReturn(w, valueCol))
       .filter(col("_r").isNotNull)
       .withColumn("_rn", row_number().over(byReturn))
       .withColumn("_n", count(lit(1)).over(whole))
@@ -88,7 +89,8 @@ object Risk {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
     val down = when(col("_r") < 0, col("_r"))
       .otherwise(lit(0).cast(DecimalType(16, 9)))
-    val sums = df.withColumn("_r", Stats.tickReturn(w, valueCol))
+    val sums = df.filter(valueCol.isNotNull)
+      .withColumn("_r", Stats.tickReturn(w, valueCol))
       .filter(col("_r").isNotNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_returns"),
@@ -176,8 +178,9 @@ object Risk {
   def eventStudy(df: DataFrame, keyCol: String, orderCols: Seq[Column],
                  valueCol: Column, horizons: Seq[Int],
                  signal: Column => Column): DataFrame = {
-    require(horizons.nonEmpty && horizons.forall(_ >= 1),
-      s"horizons must be positive, got $horizons")
+    require(horizons.nonEmpty && horizons.forall(_ >= 1) &&
+      horizons.distinct.size == horizons.size,
+      s"horizons must be positive and distinct, got $horizons")
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
     val v = valueCol.cast(DecimalType(18, 6))
     val withFwd = horizons.foldLeft(
@@ -301,7 +304,8 @@ object Risk {
     require(q >= 2, s"q must be >= 2, got $q")
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
     val rFrame = w.rowsBetween(-(q - 1), Window.currentRow)
-    val withR = df.withColumn("_r", Stats.tickReturn(w, valueCol))
+    val withR = df.filter(valueCol.isNotNull)
+      .withColumn("_r", Stats.tickReturn(w, valueCol))
       .filter(col("_r").isNotNull)
       .withColumn("_nq", count(col("_r")).over(rFrame))
       .withColumn("_rq", when(col("_nq") === q,
@@ -341,7 +345,8 @@ object Risk {
     // (one source of truth for the deterministic tick tiebreak); the
     // cast to decimal commutes with picking, since the pick is decided
     // by the time order alone
-    val bars = Stats.ohlcBars(df.withColumn("_mv", valueCol),
+    val bars = Stats.ohlcBars(
+        df.filter(valueCol.isNotNull).withColumn("_mv", valueCol),
         Seq(keyCol), bucketCol, orderCols, "_mv")
       .select(col(keyCol), col("bar").as("bucket"),
         col("open").cast(DecimalType(18, 6)).as("_open"),
@@ -383,7 +388,8 @@ object Risk {
     */
   def portfolioNav(df: DataFrame, keyCol: String, orderCols: Seq[Column],
                    valueCol: Column, bucketCol: Column): DataFrame = {
-    val bars = Stats.ohlcBars(df.withColumn("_mv", valueCol),
+    val bars = Stats.ohlcBars(
+        df.filter(valueCol.isNotNull).withColumn("_mv", valueCol),
         Seq(keyCol), bucketCol, orderCols, "_mv")
       .select(col(keyCol), col("bar").as("bucket"),
         col("open").cast(DecimalType(18, 6)).as("_open"),
@@ -428,7 +434,8 @@ object Risk {
                       tsCol: Column, valueCol: Column,
                       qtyCol: Column): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
-    val hourly = df.withColumn("_r", Stats.tickReturn(w, valueCol))
+    val hourly = df.filter(valueCol.isNotNull)
+      .withColumn("_r", Stats.tickReturn(w, valueCol))
       .withColumn("_q", qtyCol.cast(DecimalType(28, 6)))
       .withColumn("_h", hour(tsCol))
       .groupBy(col(keyCol), col("_h").as("hour_of_day"))
@@ -466,7 +473,8 @@ object Risk {
   def pairSpread(df: DataFrame, keyCol: String, bucketCol: Column,
                  valueCol: Column, zThreshold: Double = 2.0): DataFrame = {
     val v = valueCol.cast(DecimalType(18, 6))
-    val base = df.select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
+    val base = df.filter(valueCol.isNotNull)
+      .select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
     val perKey = base.groupBy(col(keyCol), col("bucket"))
       .agg(sum(col("v")).as("_s"), count(lit(1)).as("_n"))
       .select(col(keyCol), col("bucket"),
@@ -521,8 +529,9 @@ object Risk {
     */
   def volCone(dailyRv: DataFrame, keyCol: String, bucketCol: String,
               rvCol: String, horizons: Seq[Int]): DataFrame = {
-    require(horizons.nonEmpty && horizons.forall(_ >= 1),
-      s"horizons must be positive, got $horizons")
+    require(horizons.nonEmpty && horizons.forall(_ >= 1) &&
+      horizons.distinct.size == horizons.size,
+      s"horizons must be positive and distinct, got $horizons")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(bucketCol).asc)
     // all horizons in ONE pass: a union of per-horizon branches would
     // recompute and re-shuffle the upstream frame once per horizon

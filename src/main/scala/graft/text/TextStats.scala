@@ -223,16 +223,24 @@ object TextStats {
     * WindowGroupLimit push), then a tiny keyed agg. Groups with a
     * degenerate rank range (< 2 distinct ranks) yield NULL.
     */
+  /** Per-group token frequency table — the shared base of [[zipfSlope]]
+    * and [[tokenEntropy]], so the tokenization + phantom-token rule has
+    * one source of truth. tokens("") is [""] (the split convention the
+    * COUNT ops keep for parity with SQL split), but a frequency TABLE
+    * must not carry a non-token member: blank documents contribute
+    * nothing, and an all-blank group has no row at all.
+    */
+  private def termFreq(df: DataFrame, groupCol: String,
+                       textCol: String): DataFrame =
+    df.select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("freq"))
+
   def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
                 topK: Int = 100): DataFrame = {
     require(topK >= 2, s"topK must be >= 2, got $topK")
     import org.apache.spark.sql.types.DecimalType
-    val tf = df
-      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
-      // tokens("") is [""] (the split convention the count ops keep for
-      // parity) — but a frequency TABLE must not carry a phantom member
-      .filter(col("token") =!= "")
-      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("freq"))
+    val tf = termFreq(df, groupCol, textCol)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("freq").desc, col("token").asc)
     val ranked = tf.withColumn("_rank", row_number().over(w))
@@ -269,14 +277,7 @@ object TextStats {
   def tokenEntropy(df: DataFrame, groupCol: String,
                    textCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val tf = df
-      .select(col(groupCol), explode(tokens(col(textCol))).as("token"))
-      // drop the phantom empty-string token of blank documents (see
-      // [[zipfSlope]]): a non-token must not dilute the distribution,
-      // and an all-blank source should have NO entropy row, not H = 0
-      .filter(col("token") =!= "")
-      .groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("freq"))
-    val sums = tf.groupBy(col(groupCol))
+    val sums = termFreq(df, groupCol, textCol).groupBy(col(groupCol))
       .agg(count(lit(1)).as("vocab_size"),
         sum(col("freq")).as("total_tokens"),
         sum((col("freq").cast(DecimalType(18, 0)) *
