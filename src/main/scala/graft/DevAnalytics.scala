@@ -108,6 +108,8 @@ object DevAnalytics {
       "event_type", ord, col("value"), 5))
     time("event_study")(ops.Risk.eventStudy(ticks,
       "event_type", ord, col("value"), Seq(1, 5), r => r > 0.02))
+    time("portfolio_nav")(ops.Risk.portfolioNav(ticks,
+      "event_type", ord, col("value"), minuteBucket))
     time("momentum_rank")(ops.Risk.momentumRank(ticks,
       "event_type", ord, col("value"), minuteBucket))
     time("intraday_profile")(ops.Risk.intradayProfile(ticks,
