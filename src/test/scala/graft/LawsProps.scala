@@ -500,6 +500,106 @@ object LawsProps extends Properties("graft.laws") {
       got == expect
     }
 
+  property("rollSpread: autocovariance equals the driver-side pair scan") =
+    forAll(Gen.choose(3, 15).flatMap(len =>
+      Gen.listOfN(len, Gen.choose(1, 6)))) { prices =>
+      import org.apache.spark.sql.functions.col
+      val df = prices.zipWithIndex.map { case (v, i) =>
+        ("k", i.toLong, v.toDouble) }.toDF("k", "seq", "v")
+      val out = graft.ops.Risk.rollSpread(df, "k", Seq(col("seq")),
+        col("v")).as[(String, Long, Double, Option[Double])].collect().head
+      val dps = prices.sliding(2).map { case Seq(a, b) => (b - a).toLong }.toSeq
+      val pairs = dps.sliding(2).map { case Seq(d0, d1) => (d1, d0) }.toSeq
+      val n = pairs.size
+      val (sa, sb) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sab = pairs.map { case (a, b) => a * b }.sum
+      val cov = (sab.toDouble - sa.toDouble * sb.toDouble / n) / n
+      val wantCov = BigDecimal(cov).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      val wantSpread = if (cov < 0) Some(BigDecimal(2.0 * math.sqrt(-cov))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) else None
+      out._2 == n.toLong && out._3 == wantCov && out._4 == wantSpread
+    }
+
+  property("kyleLambda: equals driver-side OLS over sign-carried flow") =
+    forAll(Gen.choose(3, 15).flatMap(len =>
+      Gen.listOfN(len, Gen.zip(Gen.choose(1, 5), Gen.choose(0L, 9L))))) { ticks =>
+      import org.apache.spark.sql.functions.col
+      val df = ticks.zipWithIndex.map { case ((v, q), i) =>
+        ("k", i.toLong, v.toDouble, q) }.toDF("k", "seq", "v", "q")
+      val out = graft.ops.Risk.kyleLambda(df, "k", Seq(col("seq")),
+        col("v"), col("q")).as[(String, Long, Option[Double])]
+        .collect().headOption
+      // driver mirror: dp + carried sign per tick, then the OLS slope
+      var lastSign = 0; var prev = Option.empty[Int]
+      val pts = ticks.flatMap { case (v, q) =>
+        val dp = prev.map(p => (v - p).toLong)
+        val s = prev match {
+          case Some(p) if v > p => 1
+          case Some(p) if v < p => -1
+          case _ => lastSign
+        }
+        if (s != 0) lastSign = s
+        prev = Some(v)
+        dp.filter(_ => s != 0).map(d => (if (s > 0) q else -q, d))
+      }
+      if (pts.isEmpty) out.isEmpty || out.get._2 == 0L
+      else {
+        val n = pts.size
+        val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+        val sxy = pts.map { case (x, y) => x * y }.sum
+        val sxx = pts.map { case (x, _) => x * x }.sum
+        val den = n * sxx.toDouble - sx.toDouble * sx.toDouble
+        val want = if (n >= 2 && den > 0)
+          Some(BigDecimal((n * sxy.toDouble - sx.toDouble * sy.toDouble) / den)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else None
+        out.exists(o => o._2 == n.toLong && o._3 == want)
+      }
+    }
+
+  property("momentumRank: ranks and deciles equal the driver-side sort") =
+    forAll(Gen.choose(2, 6).flatMap(k => Gen.listOfN(k,
+      Gen.zip(Gen.choose(1, 9), Gen.choose(1, 9))))) { walks =>
+      import org.apache.spark.sql.functions.{col, lit}
+      // one bucket, each key contributes an (open, close) pair
+      val rows = walks.zipWithIndex.flatMap { case ((o, c), ki) =>
+        Seq((s"k$ki", 1L, o.toDouble), (s"k$ki", 2L, c.toDouble)) }
+      val out = graft.ops.Risk.momentumRank(rows.toDF("k", "seq", "v"),
+          "k", Seq(col("seq")), col("v"), lit(1))
+        .as[(Int, String, Double, Int, Long, Int)].collect()
+        .map(r => r._2 -> ((r._4, r._6))).toMap
+      val rets = walks.zipWithIndex.map { case ((o, c), ki) =>
+        s"k$ki" -> BigDecimal((c - o).toDouble / o).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP) }
+      val n = rets.size
+      val want = rets.sortBy { case (k, r) => (-r, k) }.zipWithIndex.map {
+        case ((k, _), i) =>
+          k -> ((i + 1, ((i * 10) / n + 1)))
+      }.toMap
+      out == want
+    }
+
+  property("tokenEntropy: equals the driver-side frequency-table mirror") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))) { toks =>
+      val df = Seq(("s", toks.mkString(" "))).toDF("source", "text")
+      val out = graft.text.TextStats.tokenEntropy(df, "source", "text")
+        .as[(String, Long, Long, Double, Option[Double])].collect().head
+      val freqs = toks.groupBy(identity).view.mapValues(_.size).toMap
+      val nTot = toks.size
+      def fix12(v: Double) = BigDecimal(v).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP)
+      val sfl = freqs.values.map(f => BigDecimal(f) * fix12(math.log(f))).sum
+      val h = math.log(nTot) - sfl.toDouble / nTot
+      val wantH = BigDecimal(h).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      val wantEff = if (freqs.size > 1)
+        Some(BigDecimal(h / math.log(freqs.size)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) else None
+      out._2 == freqs.size.toLong && out._3 == nTot.toLong &&
+        out._4 == wantH && out._5 == wantEff
+    }
+
   property("varCvar: VaR is the k-th smallest return, ES its exact tail mean") =
     forAll(Gen.choose(2, 12).flatMap(len =>
       Gen.listOfN(len, Gen.choose(1, 50)))) { prices =>
