@@ -600,6 +600,123 @@ object LawsProps extends Properties("graft.laws") {
         out._4 == wantH && out._5 == wantEff
     }
 
+  property("varianceRatio: equals the driver-side overlapping-window mirror") =
+    forAll(Gen.choose(4, 15).flatMap(len =>
+      Gen.listOfN(len, Gen.choose(1, 9)))) { prices =>
+      import org.apache.spark.sql.functions.col
+      val q = 2
+      val df = prices.zipWithIndex.map { case (v, i) =>
+        ("k", i.toLong, v.toDouble) }.toDF("k", "seq", "v")
+      val out = graft.ops.Risk.varianceRatio(df, "k", Seq(col("seq")),
+        col("v"), q).as[(String, Long, Long, Option[Double])].collect().head
+      def r9(x: Double) = BigDecimal(x).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP)
+      val rets = prices.sliding(2).map { case Seq(p, v) =>
+        r9((v - p).toDouble / p) }.toSeq
+      val rqs = rets.sliding(q).filter(_.size == q).map(_.sum).toSeq
+      val n = rets.size; val m = rqs.size
+      val s1 = rets.sum.toDouble; val s2 = rets.map(r => r * r).sum.toDouble
+      val t1 = rqs.sum.toDouble; val t2 = rqs.map(r => r * r).sum.toDouble
+      val var1 = s2 / n - (s1 / n) * (s1 / n)
+      val varQ = if (m > 0) t2 / m - (t1 / m) * (t1 / m) else 0.0
+      val want = if (m >= 2 && var1 > 0)
+        Some(BigDecimal(varQ / (q * var1)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) else None
+      out._2 == n.toLong && out._3 == m.toLong && out._4 == want
+    }
+
+  property("eventStudy: equals the driver-side forward-return scan") =
+    forAll(Gen.choose(3, 15).flatMap(len =>
+      Gen.listOfN(len, Gen.choose(1, 9)))) { prices =>
+      import org.apache.spark.sql.functions.col
+      val h = 2
+      val df = prices.zipWithIndex.map { case (v, i) =>
+        ("k", i.toLong, v.toDouble) }.toDF("k", "seq", "v")
+      val out = graft.ops.Risk.eventStudy(df, "k", Seq(col("seq")),
+          col("v"), Seq(h), r => r > 0.1)
+        .as[(String, Int, Long, Double, Double)].collect()
+        .map(r => (r._3, r._4, r._5)).headOption
+      def r9(x: Double) = BigDecimal(x).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP)
+      val fwd = prices.indices.flatMap { i =>
+        val sig = i > 0 &&
+          r9((prices(i) - prices(i - 1)).toDouble / prices(i - 1))
+            .toDouble > 0.1
+        if (sig && i + h < prices.size)
+          Some(r9((prices(i + h) - prices(i)).toDouble / prices(i)))
+        else None
+      }
+      if (fwd.isEmpty) out.isEmpty
+      else {
+        val n = fwd.size
+        val mean = BigDecimal(fwd.sum.toDouble / n).setScale(9,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+        val hit = BigDecimal(
+          fwd.count(_ > 0).toDouble / n).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+        out.contains((n.toLong, mean, hit))
+      }
+    }
+
+  property("pairSpread: hedge, sigma, and latest z equal the driver-side OLS") =
+    forAll(Gen.choose(3, 8).flatMap(n => Gen.zip(
+      Gen.listOfN(n, Gen.choose(1, 9)), Gen.listOfN(n, Gen.choose(1, 9))))) {
+      case (as, bs) =>
+        import org.apache.spark.sql.functions.col
+        val rows = as.zipWithIndex.map { case (v, i) =>
+          ("a", i, v.toDouble) } ++ bs.zipWithIndex.map { case (v, i) =>
+          ("b", i, v.toDouble) }
+        val out = graft.ops.Risk.pairSpread(rows.toDF("k", "bucket", "v"),
+            "k", col("bucket"), col("v"))
+          .as[(String, String, Long, Int, Option[Double], Option[Double],
+            Option[Double], Option[Int])].collect().head
+        val n = as.size
+        val sa = as.sum.toDouble; val sb = bs.sum.toDouble
+        val sab = as.zip(bs).map { case (a, b) => a * b }.sum.toDouble
+        val saa = as.map(a => a * a).sum.toDouble
+        val sbb = bs.map(b => b * b).sum.toDouble
+        val sbbC = sbb - sb * sb / n
+        val sabC = sab - sa * sb / n
+        val saaC = saa - sa * sa / n
+        def r(x: Double, s: Int) = BigDecimal(x).setScale(s,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (!(n >= 3 && sbbC > 0))
+          out._5.isEmpty && out._7.isEmpty
+        else {
+          val beta = sabC / sbbC
+          val alpha = (sa - beta * sb) / n
+          val rss = saaC - beta * sabC
+          val okBeta = out._5.contains(r(beta, 6)) &&
+            out._6.contains(r(alpha, 6))
+          if (rss > 0) {
+            val z = (as.last - alpha - beta * bs.last) /
+              math.sqrt(rss / (n - 2))
+            okBeta && out._7.contains(r(z, 6)) &&
+              out._8.contains(if (math.abs(z) >= 2.0) 1 else 0)
+          } else okBeta && out._7.isEmpty
+        }
+    }
+
+  property("volCone: equals the driver-side rolling-window envelope") =
+    forAll(Gen.choose(3, 9).flatMap(len =>
+      Gen.listOfN(len, Gen.choose(1, 40)))) { rvsRaw =>
+      import org.apache.spark.sql.functions.col
+      val h = 2
+      val rvs = rvsRaw.map(_ / 100.0) // exact 2-dp doubles
+      val df = rvs.zipWithIndex.map { case (rv, i) =>
+        ("k", f"2024-01-${i + 1}%02d", rv) }.toDF("k", "bucket", "rv")
+      val out = graft.ops.Risk.volCone(df, "k", "bucket", "rv", Seq(h))
+        .as[(String, Int, Long, Double, Double, Double)].collect().head
+      def r(x: Double, s: Int) = BigDecimal(x).setScale(s,
+        BigDecimal.RoundingMode.HALF_UP)
+      val vols = rvs.map(v => r(v, 12)).sliding(h).filter(_.size == h)
+        .map(w => r(math.sqrt(w.sum.toDouble / h), 9)).toSeq
+      val mean = BigDecimal(vols.sum.toDouble / vols.size).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      out._3 == vols.size.toLong && out._4 == vols.min.toDouble &&
+        out._5 == mean && out._6 == vols.max.toDouble
+    }
+
   property("varCvar: VaR is the k-th smallest return, ES its exact tail mean") =
     forAll(Gen.choose(2, 12).flatMap(len =>
       Gen.listOfN(len, Gen.choose(1, 50)))) { prices =>
