@@ -697,6 +697,83 @@ object LawsProps extends Properties("graft.laws") {
         }
     }
 
+  property("atrChannels: TR, ATR, and Donchian equal the driver-side scan") =
+    forAll(Gen.choose(3, 10).flatMap(len => Gen.listOfN(len, Gen.zip(
+      Gen.choose(5, 9), Gen.choose(1, 4))))) { spans =>
+      import org.apache.spark.sql.functions.col
+      val nBars = 2
+      // bars: high = mid + spread, low = mid − spread, close = mid
+      val bars = spans.zipWithIndex.map { case ((mid, sp), i) =>
+        ("k", f"2024-01-${i + 1}%02d", (mid + sp).toDouble,
+          (mid - sp).toDouble, mid.toDouble) }
+      val out = graft.ops.Risk.atrChannels(
+          bars.toDF("k", "bar", "high", "low", "close"), "k", col("bar"),
+          nBars)
+        .as[(String, String, Double, Double, Double, Option[Double],
+          Option[Double], Option[Double], Option[Int], Option[Int])]
+        .collect().sortBy(_._2)
+      val hs = spans.map { case (m, s) => (m + s).toLong }
+      val ls = spans.map { case (m, s) => (m - s).toLong }
+      val cs = spans.map(_._1.toLong)
+      val trs = spans.indices.map { i =>
+        if (i == 0) hs(0) - ls(0)
+        else math.max(hs(i) - ls(i),
+          math.max(math.abs(hs(i) - cs(i - 1)), math.abs(ls(i) - cs(i - 1))))
+      }
+      spans.indices.forall { i =>
+        val r = out(i)
+        val atrOk = if (i >= nBars - 1)
+          r._6.contains(BigDecimal(
+            trs.slice(i - nBars + 1, i + 1).sum.toDouble / nBars)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        else r._6.isEmpty
+        val prior = (math.max(0, i - nBars) until i)
+        val donOk = if (prior.isEmpty) r._7.isEmpty && r._9.isEmpty
+        else {
+          val dh = prior.map(hs).max.toDouble
+          val dl = prior.map(ls).min.toDouble
+          r._7.contains(dh) && r._8.contains(dl) &&
+            r._9.contains(if (cs(i) > dh) 1 else 0) &&
+            r._10.contains(if (cs(i) < dl) 1 else 0)
+        }
+        atrOk && donOk
+      }
+    }
+
+  property("intradayProfile: per-hour stats equal the driver-side scan") =
+    forAll(Gen.choose(2, 12).flatMap(len => Gen.listOfN(len, Gen.zip(
+      Gen.choose(0, 2), Gen.choose(1, 9), Gen.choose(0L, 5L))))) { raw =>
+      import org.apache.spark.sql.functions.col
+      // (hour, price, qty) ticks ordered by sequence within one key
+      val df = raw.zipWithIndex.map { case ((h, v, q), i) =>
+        ("k", java.sql.Timestamp.valueOf(f"2024-01-01 0$h%d:00:${i % 60}%02d"),
+          i.toLong, v.toDouble, q) }.toDF("k", "t", "id", "v", "q")
+      val out = graft.ops.Risk.intradayProfile(df, "k",
+          Seq(col("id")), col("t"), col("v"), col("q"))
+        .as[(String, Int, Long, Option[Double], Option[Double])].collect()
+        .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+      def r9(x: Double) = BigDecimal(x).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP)
+      val rets = raw.indices.map { i =>
+        if (i == 0) None
+        else Some(r9((raw(i)._2 - raw(i - 1)._2).toDouble / raw(i - 1)._2))
+      }
+      val totalQ = raw.map(_._3).sum
+      val byHour = raw.indices.groupBy(i => raw(i)._1)
+      byHour.forall { case (h, idxs) =>
+        val absSum = idxs.flatMap(rets(_)).map(_.abs)
+        val qSum = idxs.map(raw(_)._3).sum
+        val (n, mar, share) = out(h)
+        n == idxs.size.toLong &&
+          mar == (if (absSum.nonEmpty)
+            Some(BigDecimal(absSum.sum.toDouble / absSum.size).setScale(9,
+              BigDecimal.RoundingMode.HALF_UP).toDouble) else None) &&
+          share == (if (totalQ > 0)
+            Some(BigDecimal(qSum.toDouble / totalQ).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble) else None)
+      }
+    }
+
   property("volCone: equals the driver-side rolling-window envelope") =
     forAll(Gen.choose(3, 9).flatMap(len =>
       Gen.listOfN(len, Gen.choose(1, 40)))) { rvsRaw =>
