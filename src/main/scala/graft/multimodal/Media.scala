@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * ([[AudioCodec.decode]] reads true sample rate / channel count /
   * frame count and computes the PCM RMS via `javax.sound.sampled`;
   * other bit depths stub).
-  * Payloads no reader recognises (video, proprietary formats — codecs
-  * genuinely absent from this container) fall back to the
-  * clearly-marked deterministic [[StubCodec]]; a production codec
+  * Video containers parse for real too ([[VideoCodec.decodeMeta]] —
+  * a RIFF/AVI chunk walk to the true avih geometry and frame count).
+  * Payloads no parser recognises (proprietary formats, frame PIXEL
+  * data — codecs genuinely absent from this container) fall back to
+  * the clearly-marked deterministic [[StubCodec]]; a production codec
   * drops into that fallback unchanged.
   *
   * Scale posture: decode runs via `mapPartitions` on a typed Dataset, so
@@ -89,8 +91,8 @@ object Media {
 
   /** Real audio codec on the JDK's `javax.sound.sampled` — WAV/AIFF/AU
     * ship with every JVM, no external libraries (the audio analog of
-    * [[ImageCodec]]; only video and proprietary containers remain on
-    * the stub).
+    * [[ImageCodec]]; [[VideoCodec]] covers AVI containers, so only
+    * proprietary formats remain on the stub).
     */
   object AudioCodec {
     case class AudioMeta(sampleRate: Int, channels: Int, bits: Int,
