@@ -395,7 +395,11 @@ object SparkEntry {
     }),
 
     "q33_simhash_pairs" -> ((s, dir) => {
+      // oracle-gated since round 6: the token hash is md5-derived (first
+      // 8 digest bytes), so DuckDB recomputes the ENTIRE simhash —
+      // per-token bits, majority vote, hamming — independently
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -452,9 +456,14 @@ object SparkEntry {
     }),
 
     "q39_embed_neardup_lsh" -> ((s, dir) => {
-      // approximate (hyperplane-LSH candidates) → rows-only check;
-      // recall vs q38's exact pairs unit-tested in VectorStreamSpec
-      Similarity.embedNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+      // oracle-gated since round 6 (q32/q41 pattern): at 24 bands × 4
+      // sign bits the banding's measured recall on this corpus is total
+      // (59/59 exact pairs; 43/59 at the 8-band default) and the exact-
+      // cosine verify step makes precision exact, so q38's all-pairs
+      // oracle applies verbatim — the gate asserts LSH loses nothing at
+      // these parameters
+      Similarity.embedNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
+          nBands = 24)
         .orderBy("id_a", "id_b")
     }),
 
@@ -850,8 +859,13 @@ object SparkEntry {
       // posting list, postings capped PRE-aggregation (row_number over
       // the token partition) so a stop-word's list can't OOM a buffer;
       // df still counts every doc and `truncated` marks capped tokens
+      // result-surface convention: the driver comparer hashes scalar
+      // columns only, so the posting list ships serialized (CSV) — same
+      // information, hashable surface (oracle mirrors via array_to_string)
       text.TextStats.invertedIndex(t(s, dir, "documents"), "doc_id",
           "text", minDf = 10, maxPostings = 20)
+        .withColumn("postings",
+          array_join(col("postings").cast("array<string>"), ","))
         .orderBy("token")
     }),
 
@@ -1733,6 +1747,24 @@ object SparkEntry {
       |FROM c, q
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
+  // exact all-pairs cosine near-dup — shared by q38 (exact operator) and
+  // q39 (hyperplane LSH at nBands=24, where recall on this corpus is
+  // total and precision is exact by the verify step, so the banding must
+  // lose nothing — same gate shape as q32/q41)
+  private val embedNearDupOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos_sim FROM pairs
+      |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
+
   private val jaccardPairsOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
@@ -1767,6 +1799,39 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q32_minhash_lsh" -> jaccardPairsOracle,
+
+    // full independent simhash recomputation: same tokenization as the
+    // Spark side (whitespace collapse), token hash = first 16 hex chars
+    // of md5 (== first 8 digest bytes big-endian, the exact value
+    // SimHashExpr.tokenHash computes), per-bit majority vote over the
+    // token STREAM (duplicates counted), pairwise hamming over the 64
+    // signature bits, threshold <= 3 — mirrors Dedup.simhashPairs
+    "q33_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS hi,
+        |    CAST('0x' || substr(md5(token), 9, 8) AS BIGINT) AS lo
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, r.i,
+        |    CASE WHEN r.i < 32 THEN (lo >> CAST(r.i AS INT)) & 1
+        |         ELSE (hi >> CAST(r.i - 32 AS INT)) & 1 END AS b
+        |  FROM th, range(64) r(i)),
+        |sig AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN 2 * SUM(b) > COUNT(*) THEN 1 ELSE 0 END AS s
+        |  FROM bits GROUP BY doc_id, i),
+        |ham AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    SUM(CASE WHEN a.s <> b.s THEN 1 ELSE 0 END) AS hamming
+        |  FROM sig a JOIN sig b ON a.i = b.i AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q37_fingerprint" ->
       """SELECT doc_id, TRUE AS dup_consistent, TRUE AS collision_free
@@ -1981,19 +2046,8 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q38_embed_neardup" ->
-      """WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |  WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
-        |pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(list_dot_product(a.v, b.v) /
-        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, cos_sim FROM pairs
-        |WHERE cos_sim >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q38_embed_neardup" -> embedNearDupOracle,
+    "q39_embed_neardup_lsh" -> embedNearDupOracle,
 
     "q27_pivot" ->
       """SELECT user_id,
@@ -2669,7 +2723,7 @@ object SparkEntry {
         |    list_slice(list(doc_id ORDER BY doc_id ASC), 1, 20) AS postings
         |  FROM dt GROUP BY token)
         |SELECT token, CAST(df AS BIGINT) AS df, df > 20 AS truncated,
-        |  postings
+        |  array_to_string(postings, ',') AS postings
         |FROM g WHERE df >= 10 ORDER BY token""".stripMargin,
 
     "q118_semantic_dedup" ->

@@ -158,11 +158,16 @@ case class EwmaFold(left: Expression, right: Expression)
 }
 
 /** 64-bit SimHash over an array of string tokens: bit i of the output is
-  * set iff more than half the tokens have bit i set in their xxhash64
-  * (seed 42 — identical to the SQL `xxhash64` function). One native pass
-  * over primitive hashes; replaces a nested higher-order aggregate whose
-  * interpreted per-token, per-bit lambda dispatch dominated the simhash
-  * operator's runtime. Null tokens are skipped.
+  * set iff more than half the tokens have bit i set in their 64-bit token
+  * hash (the first 8 bytes of `md5(token)`, big-endian — i.e. the value
+  * spelled by the first 16 hex chars of the standard md5 digest). MD5 is
+  * chosen over xxhash64 deliberately: the hash family is irrelevant to
+  * simhash semantics (any well-mixed 64 bits works), but md5 is the one
+  * 64-bit-derivable hash both Spark and DuckDB compute identically, which
+  * makes the WHOLE simhash pipeline independently recomputable by the
+  * SQL oracle (q33's gate) instead of trust-the-spec. One native pass
+  * over primitive hashes (thread-local digest, no per-token allocation
+  * beyond the digest's own); null tokens are skipped.
   */
 case class SimHashExpr(child: Expression) extends UnaryExpression {
 
@@ -187,6 +192,26 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
 }
 
 object SimHashExpr {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(bytes), big-endian — equals the 64-bit value
+    * written by the first 16 hex characters of the md5 hex digest, so a
+    * SQL engine with only a string `md5()` can reproduce it via
+    * `('0x' || substr(md5(t), 1, 16))::UBIGINT` (or two 32-bit halves).
+    */
+  def tokenHash(bytes: Array[Byte]): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var h = 0L
+    var k = 0
+    while (k < 8) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+    h
+  }
+
   def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](64)
@@ -194,7 +219,7 @@ object SimHashExpr {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        val h = tokenHash(arr.getUTF8String(i).getBytes)
         var b = 0
         while (b < 64) {
           counts(b) += ((h >>> b) & 1L).toInt

@@ -14,13 +14,12 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only queries are exactly the documented engine-specific two") {
+  test("every registered query carries a DuckDB oracle (zero rows-only)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set(
-      "q33_simhash_pairs",      // xxhash64-based signature: no DuckDB analog
-      "q39_embed_neardup_lsh")) // recall < 1 by design; subset law tested
-    // (q43 graduated in round 3: real ImageIO decode made its dims
-    // SQL-expressible, so it now carries a full hash oracle)
+    assert(rowsOnly.isEmpty, s"queries without oracles: $rowsOnly")
+    // the last two holdouts graduated in round 6: q33 via the md5-derived
+    // token hash (DuckDB recomputes the whole simhash), q39 via 24-band
+    // total-recall parameters sharing q38's exact oracle (q32/q41 pattern)
   }
 
   test("query ids are unique and well-formed") {
