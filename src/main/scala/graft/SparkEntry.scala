@@ -961,10 +961,15 @@ object SparkEntry {
     "q139_event_study" -> ((s, dir) => {
       // signal scoring: after a >2% up-tick, what do the next 1 and 5
       // ticks return, and how often are they positive? — the momentum
-      // backtest over the same return primitive the alert queries use
+      // backtest over the same return primitive the alert queries use.
+      // Threshold compared DECIMAL-to-DECIMAL (not r > 0.02 as a double
+      // literal): the return is DECIMAL(16,9), and a return landing on
+      // the 0.02 grid point would classify differently between engines
+      // through DuckDB's not-correctly-rounded decimal→double cast
       Risk.eventStudy(t(s, dir, "events").filter(col("value").isNotNull),
           "event_type", Seq(col("ts"), col("event_id")), col("value"),
-          horizons = Seq(1, 5), signal = r => r > 0.02)
+          horizons = Seq(1, 5),
+          signal = r => r > lit("0.02").cast("decimal(16,9)"))
         .orderBy("event_type", "horizon")
     }),
 
@@ -2907,7 +2912,7 @@ object SparkEntry {
         |      CAST(f5 - v AS DOUBLE) / CAST(v AS DOUBLE), 9) AS DECIMAL(16,9))
         |    END AS fwd5
         |  FROM b),
-        |e AS (SELECT * FROM r WHERE r > 0.02),
+        |e AS (SELECT * FROM r WHERE r > CAST(0.02 AS DECIMAL(16,9))),
         |u AS (
         |  SELECT event_type, 1 AS horizon, fwd1 AS fwd FROM e
         |  UNION ALL

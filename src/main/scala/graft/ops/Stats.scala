@@ -188,7 +188,13 @@ object Stats {
                 valueCol: Column, window: Int, k: Double = 2.0): DataFrame = {
     require(k > 0, s"band width multiple must be positive, got $k")
     val vd = valueCol.cast(DecimalType(18, 6)).cast("double")
-    rollingStats(df, keyCol, orderCols, valueCol, window)
+    // null-priced ticks drop before the frame (the Risk.flowImbalance
+    // convention): a null row would otherwise occupy a frame slot and
+    // skew roll_mean's divisor — and bollingerStream drops them, so the
+    // tick-for-tick equality law holds on feeds with gaps. rollingStats
+    // itself keeps its general enrich-every-row contract; the filter is
+    // this operator's, matching its stream twin.
+    rollingStats(df.filter(valueCol.isNotNull), keyCol, orderCols, valueCol, window)
       .withColumn("bb_mid", col("roll_mean"))
       .withColumn("bb_upper",
         when(col("roll_std").isNotNull,
@@ -350,7 +356,12 @@ object Stats {
   def sharpe(df: DataFrame, keyCol: String, orderCols: Seq[Column],
              valueCol: Column): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
-    val sums = df.withColumn("_r", tickReturn(w, valueCol))
+    // null-priced ticks drop BEFORE the lag chain (the Risk.flowImbalance
+    // convention): a null price carries no information and must not void
+    // the NEXT tick's return — and sharpeStream filters identically, so
+    // the batch/stream prefix-equality law holds on feeds with gaps
+    val sums = df.filter(valueCol.isNotNull)
+      .withColumn("_r", tickReturn(w, valueCol))
       .filter(col("_r").isNotNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_returns"),
@@ -631,7 +642,11 @@ object Stats {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val p = priceCol.cast(DecimalType(18, 6))
-    df.withColumn("_peak", max(p).over(w))
+    // priceless ticks drop first (the Risk.flowImbalance convention):
+    // they cannot move the peak or the trough, and counting them in
+    // n_ticks would break tick-for-tick parity with drawdownStream
+    df.filter(priceCol.isNotNull)
+      .withColumn("_peak", max(p).over(w))
       .withColumn("_dd", col("_peak") - p)
       .groupBy(col(keyCol))
       .agg(round(max(col("_dd")).cast("double"), 6).as("max_drawdown"),

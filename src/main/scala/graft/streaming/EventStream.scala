@@ -503,9 +503,12 @@ object EventStream {
     * DECIMAL(18,6) exactly as the batch cast does, so the sign decision
     * compares the same decimals; a tick that is unsignable (no non-zero
     * change seen yet) or has a null quantity updates the sign chain but
-    * not the sums, mirroring the batch post-window filter. Sums ride as
-    * decimal strings (the [[VwapState]] overflow argument: Σqty of
-    * valid longs can pass 38 digits at stream lifetime).
+    * not the sums, mirroring the batch post-window filter. Quantities
+    * quantize through DECIMAL(28,6) exactly as the batch twin's cast
+    * (fractional qty is the crypto norm — a long cast would truncate
+    * it); sums ride as decimal strings (the [[VwapState]] overflow
+    * argument: Σqty of valid DECIMAL(28,6) values can pass 38 digits
+    * at stream lifetime).
     */
   def flowImbalanceStream(spark: SparkSession, ticks: DataFrame,
                           keyCol: String, seqCol: String, valueCol: String,
@@ -516,9 +519,12 @@ object EventStream {
     ticks.select(col(keyCol).cast("string").as("k"),
         col(seqCol).cast("long").as("seq"),
         col(valueCol).cast("decimal(18,6)").as("v"),
-        col(qtyCol).cast("long").as("q"))
+        // DECIMAL(28,6), not LONG: the batch twin casts qty to the same
+        // type, and a long cast would silently truncate fractional
+        // quantities (normal in crypto feeds), breaking prefix equality
+        col(qtyCol).cast("decimal(28,6)").as("q"))
       .filter(col("k").isNotNull && col("seq").isNotNull && col("v").isNotNull)
-      .as[(String, Long, BigDecimal, Option[Long])]
+      .as[(String, Long, BigDecimal, Option[BigDecimal])]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FlowState, FlowTick](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -538,8 +544,7 @@ object EventStream {
               else if (vm < st.lastMicros) -1
               else st.lastSign
             qOpt match {
-              case Some(q) if sign != 0 =>
-                val qd = BigDecimal(q)
+              case Some(qd) if sign != 0 =>
                 signed += (if (sign > 0) qd else -qd)
                 total += qd
                 n += 1

@@ -647,15 +647,19 @@ class VectorStreamSpec extends AnyFunSuite {
   test("flowImbalanceStream equals batch OFI over the prefix; sign chain crosses batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, lit}
-    // a: 10 (unsignable), 10 (zero change, still no sign), 11 (+, q=3) |
-    // batch split | 11 (zero: inherits +, NULL qty — chain only),
-    // 11 (zero: inherits +, q=4), 10 (−, q=5) ⇒ signed 3+4−5=2, total 12
+    // FRACTIONAL quantities throughout (normal in crypto feeds): the
+    // stream must carry qty as decimal, not long — a long cast would
+    // truncate 3.25 to 3 and silently break this equality.
+    // a: 10 (unsignable), 10 (zero change, still no sign), 11 (+, q=3.25)
+    // | batch split | 11 (zero: inherits +, NULL qty — chain only),
+    // 11 (zero: inherits +, q=4.5), 10 (−, q=5) ⇒ signed 3.25+4.5−5=2.75,
+    // total 12.75
     val ticks = Seq(
-      ("a", 1L, 10.0, Option(1L)), ("a", 2L, 10.0, Option(2L)),
-      ("a", 3L, 11.0, Option(3L)), ("b", 1L, 99.0, Option(7L)),
-      ("a", 4L, 11.0, Option.empty[Long]), ("a", 5L, 11.0, Option(4L)),
-      ("a", 6L, 10.0, Option(5L)))
-    val mem = MemoryStream[(String, Long, Double, Option[Long])]
+      ("a", 1L, 10.0, Option(1.5)), ("a", 2L, 10.0, Option(2.0)),
+      ("a", 3L, 11.0, Option(3.25)), ("b", 1L, 99.0, Option(7.0)),
+      ("a", 4L, 11.0, Option.empty[Double]), ("a", 5L, 11.0, Option(4.5)),
+      ("a", 6L, 10.0, Option(5.0)))
+    val mem = MemoryStream[(String, Long, Double, Option[Double])]
     val q = EventStream.flowImbalanceStream(spark,
         mem.toDF().toDF("sym", "seq", "price", "qty"),
         "sym", "seq", "price", "qty")
@@ -678,9 +682,62 @@ class VectorStreamSpec extends AnyFunSuite {
     val (_, _, n, signed, total, ofi) = latest("a")
     assert((n, signed, total, ofi) ===
       ((batch("a")._2, batch("a")._3, batch("a")._4, batch("a")._5)))
-    assert(ofi === Some(0.166667))
+    assert(signed === 2.75 && total === 12.75)
+    assert(ofi === Some(0.215686)) // 2.75/12.75, hand-computed
     // b: one tick — unsignable; batch emits no row, stream reports n=0
     assert(!batch.contains("b") && latest("b")._3 === 0L)
+  }
+
+  test("null-priced ticks: sharpe/drawdown/bollinger batch twins drop them like the streams") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // a null price between 100 and 110 must NOT void the next return
+    // (sharpe), occupy a window-frame slot (bollinger), or count in
+    // n_ticks (drawdown) — the batch ops pre-filter exactly as the
+    // streams do, so parity holds on feeds with gaps
+    val ticks = Seq(("a", 1L, Option(100.0)), ("a", 2L, Option.empty[Double]),
+      ("a", 3L, Option(110.0)), ("a", 4L, Option(99.0)))
+    val df = ticks.toDF("sym", "seq", "price")
+
+    val sb = graft.ops.Stats.sharpe(df, "sym", Seq(col("seq")), col("price"))
+      .select("sym", "n_returns", "mean_return", "sharpe")
+      .as[(String, Long, Double, Option[Double])].collect().head
+    // returns +0.1 and -0.1: with the null voiding the chain there would
+    // be ONE return; the pre-filter yields two
+    assert(sb._2 === 2L && sb._3 === 0.0)
+
+    val db = graft.ops.Stats.maxDrawdown(df, "sym", Seq(col("seq")), col("price"))
+      .select("sym", "max_drawdown", "peak", "n_ticks")
+      .as[(String, Double, Double, Long)].collect().head
+    assert(db._4 === 3L && db._2 === 11.0) // priced ticks only; 110 → 99
+
+    val bb = graft.ops.Stats.bollinger(df, "sym", Seq(col("seq")),
+        col("price"), window = 2)
+      .select("sym", "seq", "roll_n").as[(String, Long, Long)]
+      .collect().map(r => r._2 -> r._3).toMap
+    assert(!bb.contains(2L)) // the null row leaves the surface entirely
+    assert(bb(3L) === 2L)    // frame = (100, 110), not (null, 110)
+
+    // stream sides on the same feed: latest emissions agree
+    val mem = MemoryStream[(String, Long, Option[Double])]
+    val src = mem.toDF().toDF("sym", "seq", "price")
+    val qs = EventStream.sharpeStream(spark, src, "sym", "seq", "price")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("nulls_sharpe").start()
+    val qd = EventStream.drawdownStream(spark, src, "sym", "seq", "price")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("nulls_dd").start()
+    mem.addData(ticks: _*)
+    qs.processAllAvailable(); qd.processAllAvailable()
+    val ss = spark.table("nulls_sharpe")
+      .as[(String, Long, Long, Option[Double], Option[Double])].collect()
+      .maxBy(_._2)
+    val sd = spark.table("nulls_dd")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .maxBy(_._2)
+    qs.stop(); qd.stop()
+    assert((ss._3, ss._4) === ((sb._2, Some(sb._3))))
+    assert((sd._3, sd._6) === ((db._4, db._2)))
   }
 
   test("curateStream: cross-batch exact dedup + quality gate, first doc wins") {
