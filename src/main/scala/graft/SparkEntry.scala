@@ -57,10 +57,11 @@ object SparkEntry {
     })
 
   /** Build-once memo for the persisted dup-cluster assignment (the
-    * build/probe split applied to dedup): q109's dashboard reads the
-    * materialized table — the jaccard+CC build runs once per sf dir per
-    * JVM, not inside every consumer (q63 keeps the inline build as the
-    * self-contained oracle of the machinery itself).
+    * build/probe split applied to dedup): q109's dashboard and q116's
+    * canonical selection read the materialized table — the jaccard+CC
+    * build runs once per sf dir per JVM, not inside every consumer
+    * (q63 keeps the inline build as the self-contained oracle of the
+    * machinery itself).
     */
   private val clustersCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def clustersFor(s: SparkSession, dir: String): String =
@@ -847,10 +848,13 @@ object SparkEntry {
     "q116_canonical_docs" -> ((s, dir) => {
       // dedup with a brain: q63's transitive clusters, but the kept doc
       // is the argmax-token-count member (min id on ties) — the drop
-      // list IS the dedup delete set a curation pipeline applies
-      text.Clusters.canonicalByQuality(t(s, dir, "documents"), "doc_id",
-          "text", size(text.TextStats.tokens(col("text"))).cast("long"),
-          shingleN = 5, threshold = 0.5)
+      // list IS the dedup delete set a curation pipeline applies.
+      // Reads the MATERIALIZED cluster assignment (clustersFor — built
+      // once per corpus, shared with q109): the CC walk runs once, and
+      // this consumer is a key-join + two windows on one shuffle
+      text.Clusters.canonicalFromClusters(t(s, dir, "documents"), "doc_id",
+          s.read.parquet(clustersFor(s, dir)),
+          size(text.TextStats.tokens(col("text"))).cast("long"))
         .orderBy("doc_id")
     }),
 

@@ -469,12 +469,25 @@ object Risk {
     * Saa_c − β·Sab_c, so no second pass over residuals. Doubles appear
     * only after the exact decimal sums; degenerate pairs (n < 3, flat
     * b leg, or a perfect fit) yield NULL z rather than a blow-up.
+    *
+    * Guarded: the pair expansion is k(k−1)/2 in INSTRUMENT count (flat
+    * in tick count — BASELINE.md's measured envelope), so past
+    * `maxInstruments` keys the operator refuses with the count named
+    * instead of silently broadcasting a quadratic frame — the
+    * refuse-don't-melt posture of [[graft.vector.Similarity.semanticDedup]]
+    * / knnGraphBucketed, matching [[Stats.corrMatrix]].
     */
   def pairSpread(df: DataFrame, keyCol: String, bucketCol: Column,
-                 valueCol: Column, zThreshold: Double = 2.0): DataFrame = {
+                 valueCol: Column, zThreshold: Double = 2.0,
+                 maxInstruments: Long = 2000L): DataFrame = {
     val v = valueCol.cast(DecimalType(18, 6))
     val base = df.filter(valueCol.isNotNull)
       .select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
+    val k = base.select(col(keyCol)).distinct().count()
+    require(k <= maxInstruments,
+      s"pairSpread: $k instruments would expand to ${k * (k - 1) / 2} " +
+        s"pairs (maxInstruments=$maxInstruments); restrict the universe " +
+        "or raise the bound deliberately")
     val perKey = base.groupBy(col(keyCol), col("bucket"))
       .agg(sum(col("v")).as("_s"), count(lit(1)).as("_n"))
       .select(col(keyCol), col("bucket"),

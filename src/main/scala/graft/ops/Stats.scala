@@ -489,11 +489,24 @@ object Stats {
     * bucket-mean subtree — AQE's runtime exchange reuse serves the
     * second side from the first's shuffle; even unreused, both passes
     * are column-pruned scans, never a second materialization of pairs.
+    *
+    * Guarded: the pair expansion is k(k−1)/2 in INSTRUMENT count (flat
+    * in tick count — BASELINE.md's measured envelope), so past
+    * `maxInstruments` keys the operator refuses with the count named
+    * instead of silently broadcasting a quadratic frame — the
+    * refuse-don't-melt posture of [[graft.vector.Similarity.semanticDedup]]
+    * / knnGraphBucketed. The count is one aggregate scalar off the
+    * bucket-mean frame the operator builds anyway.
     */
   def corrMatrix(df: DataFrame, keyCol: String, bucketCol: Column,
-                 valueCol: Column): DataFrame = {
+                 valueCol: Column, maxInstruments: Long = 2000L): DataFrame = {
     val v = valueCol.cast(DecimalType(18, 6))
     val base = df.select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
+    val k = base.select(col(keyCol)).distinct().count()
+    require(k <= maxInstruments,
+      s"corrMatrix: $k instruments would expand to ${k * (k - 1) / 2} " +
+        s"pairs (maxInstruments=$maxInstruments); restrict the universe " +
+        "or raise the bound deliberately")
     val perKey = base.groupBy(col(keyCol), col("bucket"))
       .agg(sum(col("v")).as("_s"), count(lit(1)).as("_n"))
       .select(col(keyCol), col("bucket"),

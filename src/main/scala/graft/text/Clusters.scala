@@ -177,15 +177,27 @@ object Clusters {
     */
   def canonicalByQuality(df: DataFrame, idCol: String, textCol: String,
                          quality: Column, shingleN: Int = 5,
-                         threshold: Double = 0.5): DataFrame = {
+                         threshold: Double = 0.5): DataFrame =
+    canonicalFromClusters(df, idCol,
+      dupClusters(df, idCol, textCol, shingleN, threshold), quality)
+
+  /** The probe half of [[canonicalByQuality]] (the buildIvfIndex /
+    * ivfProbe split applied to dedup): `clusters` is a precomputed
+    * assignment `(doc_id, cluster_id)` — typically [[dupClusters]]
+    * materialized ONCE per corpus — so every quality-selection consumer
+    * costs a key-join plus two windows on one partition-by-cluster
+    * shuffle, and the transitive-closure walk is never re-run per
+    * consumer. Same output contract as [[canonicalByQuality]].
+    */
+  def canonicalFromClusters(df: DataFrame, idCol: String,
+                            clusters: DataFrame, quality: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = dupClusters(df, idCol, textCol, shingleN, threshold)
-      .select(col("doc_id"), col("cluster_id"))
+    val asg = clusters.select(col("doc_id"), col("cluster_id"))
     val scored = df.select(col(idCol).cast("long").as("doc_id"),
       quality.as("quality"))
     val byCluster = Window.partitionBy(col("cluster_id"))
     val rank = byCluster.orderBy(col("quality").desc, col("doc_id").asc)
-    clusters.join(scored, Seq("doc_id"))
+    asg.join(scored, Seq("doc_id"))
       .withColumn("cluster_size", count(lit(1)).over(byCluster))
       .withColumn("keep", row_number().over(rank) === 1)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),

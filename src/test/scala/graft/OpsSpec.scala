@@ -538,4 +538,15 @@ class OpsSpec extends AnyFunSuite {
     val sparse = Seq(("x", 1, 1.0), ("y", 2, 2.0)).toDF("sym", "bkt", "price")
     assert(Stats.corrMatrix(sparse, "sym", col("bkt"), col("price")).count() === 0)
   }
+
+  test("corrMatrix refuses past maxInstruments, naming the instrument count") {
+    val ticks = Seq(("a", 1, 1.0), ("b", 1, 2.0), ("c", 1, 3.0))
+      .toDF("sym", "bkt", "price")
+    val e = intercept[IllegalArgumentException] {
+      Stats.corrMatrix(ticks, "sym", col("bkt"), col("price"),
+        maxInstruments = 2L)
+    }
+    assert(e.getMessage.contains("3 instruments") &&
+      e.getMessage.contains("maxInstruments=2"))
+  }
 }

@@ -301,6 +301,21 @@ class RiskSpec extends AnyFunSuite {
     assert(ad.isNullAt(ad.fieldIndex("beta")))
   }
 
+  test("pairSpread refuses past maxInstruments, naming the instrument count") {
+    val df = Seq(("A", ts("2024-01-01 10:00:00"), 1.0),
+      ("B", ts("2024-01-01 10:00:00"), 2.0),
+      ("C", ts("2024-01-01 10:00:00"), 3.0)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Risk.pairSpread(df, "k", to_date(col("t")), col("v"),
+        maxInstruments = 2L)
+    }
+    assert(e.getMessage.contains("3 instruments") &&
+      e.getMessage.contains("maxInstruments=2"))
+    // at the bound: runs
+    assert(graft.ops.Risk.pairSpread(df.filter(col("k") =!= "C"), "k",
+      to_date(col("t")), col("v"), maxInstruments = 2L).count() === 1L)
+  }
+
   test("volCone: rolling-window vol envelope, incomplete windows dropped") {
     val rv = Seq(
       ("A", "2024-01-01", 0.01), ("A", "2024-01-02", 0.04),
