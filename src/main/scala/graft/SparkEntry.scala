@@ -951,6 +951,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q142_video_frames" -> ((s, dir) => {
+      // REAL frame PIXEL decode, oracle-gated: BI_RGB AVIs with
+      // id-derived frame colors; the decoder walks actual bottom-up
+      // padded BGR rows (first stored pixel inverted — a header-only or
+      // solid-color shortcut gets different sums), and every channel
+      // sum is SQL-expressible from the ids
+      import graft.multimodal.Media
+      val media = Media.videoFrameTable(s, t(s, dir, "documents"), "doc_id")
+      Media.extractVideoFrameFeatures(s, media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("r_sum"), col("g_sum"), col("b_sum"),
+          col("decoded"))
+        .orderBy("media_id")
+    }),
+
     "q140_portfolio_nav" -> ((s, dir) => {
       // the cross-section rolled up to a book: equal-weight mean of
       // per-instrument daily returns, compounded as exp(Σ ln(1+r̄)) —
@@ -2853,6 +2868,33 @@ object SparkEntry {
         |  CAST((1 + doc_id % 250) * 40 AS BIGINT) AS duration_ms,
         |  TRUE AS decoded
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // independent recomputation of the frame-pixel channel sums from id
+    // arithmetic: frame f of doc d is a solid (7d+13f, 11d+17f, 3d+19f)
+    // mod 256 fill over (8+d%8)×(6+d%6) pixels with the FIRST STORED
+    // pixel inverted, so Σchannel = c·w·h + 255 − 2c per frame
+    "q142_video_frames" ->
+      """WITH g AS (
+        |  SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+        |    1 + doc_id % 4 AS nf
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h, nf,
+        |    (7 * doc_id + 13 * r.i) % 256 AS cr,
+        |    (11 * doc_id + 17 * r.i) % 256 AS cg,
+        |    (3 * doc_id + 19 * r.i) % 256 AS cb
+        |  FROM g, range(4) r(i) WHERE r.i < nf),
+        |s AS (
+        |  SELECT doc_id, MIN(w) AS w, MIN(h) AS h, MIN(nf) AS nf,
+        |    SUM(cr * (w * h) + 255 - 2 * cr) AS rs,
+        |    SUM(cg * (w * h) + 255 - 2 * cg) AS gs,
+        |    SUM(cb * (w * h) + 255 - 2 * cb) AS bs
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(rs AS BIGINT) AS r_sum, CAST(gs AS BIGINT) AS g_sum,
+        |  CAST(bs AS BIGINT) AS b_sum, TRUE AS decoded
+        |FROM s ORDER BY media_id""".stripMargin,
 
     "q140_portfolio_nav" ->
       """WITH ticks AS (

@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   * ([[AudioCodec.decode]] reads true sample rate / channel count /
   * frame count and computes the PCM RMS via `javax.sound.sampled`;
   * other bit depths stub).
-  * Video containers parse for real too ([[VideoCodec.decodeMeta]] —
-  * a RIFF/AVI chunk walk to the true avih geometry and frame count).
-  * Payloads no parser recognises (proprietary formats, frame PIXEL
-  * data — codecs genuinely absent from this container) fall back to
-  * the clearly-marked deterministic [[StubCodec]]; a production codec
+  * Video decode is real twice over: [[VideoCodec.decodeMeta]] walks
+  * the RIFF/AVI chunk tree to the true avih geometry and frame count,
+  * and [[VideoCodec.decodeFrames]] pixel-decodes uncompressed BI_RGB
+  * 24-bit frames (bottom-up padded BGR rows — the one pixel format
+  * whose decode is a defined byte layout, hence pure JDK). Payloads no
+  * parser recognises (proprietary formats, COMPRESSED video streams —
+  * codecs genuinely absent from this container) fall back to the
+  * clearly-marked deterministic [[StubCodec]]; a production codec
   * drops into that fallback unchanged.
   *
   * Scale posture: decode runs via `mapPartitions` on a typed Dataset, so
@@ -193,11 +196,11 @@ object Media {
       * 2³¹ (a negative after the Int narrowing) marks the payload
       * non-decodable rather than shipping impossible dimensions with
       * `decoded = true`, mirroring how the JDK image/audio parsers
-      * reject invalid containers. No frame PIXEL decode happens (no
-      * codec libs in this container), but the container structure,
-      * byte order, and chunk walk are real: corrupt or non-AVI
-      * payloads return None and fall back to the stub exactly like the
-      * image and audio paths.
+      * reject invalid containers. This is the header-only probe (the
+      * image-dims analog); [[decodeFrames]] additionally pixel-decodes
+      * uncompressed BI_RGB frames. Corrupt or non-AVI payloads return
+      * None and fall back to the stub exactly like the image and audio
+      * paths.
       */
     def decodeMeta(payload: Array[Byte]): Option[VideoMeta] = {
       if (payload.length < 12 || cc(payload, 0) != "RIFF" ||
@@ -251,6 +254,157 @@ object Media {
       tag("LIST"); w32(4); tag("movi")
       bos.toByteArray
     }
+
+    /** Per-frame channel sums from a REAL pixel decode. `idx` is the
+      * frame's position in the `movi` stream; the sums are exact Longs
+      * over every pixel's 8-bit channel (bounded: 255·w·h ≤ 2⁴⁰ even at
+      * 8K), so any engine reading the same bytes agrees bit-for-bit.
+      */
+    case class FrameStats(idx: Int, rSum: Long, gSum: Long, bSum: Long)
+
+    /** Full AVI decode: container walk PLUS uncompressed-DIB frame
+      * PIXEL decode — pure JDK, no codec libraries, which is exactly
+      * why the supported pixel format is BI_RGB 24-bit (the one format
+      * whose "decode" is a defined byte layout rather than a codec):
+      * `strf` must carry a BITMAPINFOHEADER with biCompression=0 and
+      * biBitCount=24, and each `00db`/`00dc` chunk must be exactly
+      * `h` bottom-up rows of BGR triplets padded to 4-byte row
+      * boundaries (the padding bytes are skipped — a decoder that
+      * naively averages the whole chunk gets different sums, which the
+      * q142 oracle would catch). Compressed streams, other bit depths,
+      * or size-inconsistent frames return None and the caller falls
+      * back to the header-only [[decodeMeta]] / stub path, mirroring
+      * how the JDK image/audio parsers reject what they can't decode.
+      */
+    def decodeFrames(payload: Array[Byte]): Option[(VideoMeta, Vector[FrameStats])] = {
+      if (payload.length < 12 || cc(payload, 0) != "RIFF" ||
+        cc(payload, 8) != "AVI ") return None
+      var meta: Option[VideoMeta] = None
+      var bmp: Option[(Int, Int, Int, Long)] = None // w, h, bitCount, compression
+      val frames = Vector.newBuilder[FrameStats]
+      var nf = 0
+      def walk(start: Int, end: Int): Boolean = { // false ⇒ corrupt
+        var pos = start
+        while (pos + 8 <= end) {
+          val id = cc(payload, pos)
+          val size = u32(payload, pos + 4)
+          val dataStart = pos + 8
+          if (dataStart + size > end) return false
+          val dataEnd = (dataStart + size).toInt
+          if (id == "LIST" && size >= 4) {
+            val ltype = cc(payload, dataStart)
+            // descend only into the lists that can hold headers/frames
+            if (ltype == "hdrl" || ltype == "strl" || ltype == "movi") {
+              if (!walk(dataStart + 4, dataEnd)) return false
+            }
+          } else if (id == "avih" && size >= 56) {
+            val width = u32(payload, dataStart + 32)
+            val height = u32(payload, dataStart + 36)
+            if (width < 1 || width > Int.MaxValue ||
+              height < 1 || height > Int.MaxValue) return false
+            meta = Some(VideoMeta(width.toInt, height.toInt,
+              nFrames = u32(payload, dataStart + 16),
+              microsPerFrame = u32(payload, dataStart)))
+          } else if (id == "strf" && size >= 40) {
+            bmp = Some((u32(payload, dataStart + 4).toInt,
+              u32(payload, dataStart + 8).toInt,
+              (payload(dataStart + 14) & 0xFF) |
+                ((payload(dataStart + 15) & 0xFF) << 8),
+              u32(payload, dataStart + 16)))
+          } else if (id == "00db" || id == "00dc") {
+            bmp match {
+              case Some((w, h, 24, 0L)) if w > 0 && h > 0 =>
+                val rowBytes = (3 * w + 3) & ~3
+                if (size != rowBytes.toLong * h) return false
+                var r = 0L; var g = 0L; var b = 0L
+                var y = 0
+                while (y < h) {
+                  val ro = dataStart + y * rowBytes
+                  var x = 0
+                  while (x < w) {
+                    b += payload(ro + 3 * x) & 0xFF
+                    g += payload(ro + 3 * x + 1) & 0xFF
+                    r += payload(ro + 3 * x + 2) & 0xFF
+                    x += 1
+                  }
+                  y += 1
+                }
+                frames += FrameStats(nf, r, g, b)
+                nf += 1
+              case _ => return false // not BI_RGB-24: no pixel decode
+            }
+          }
+          pos = dataStart + (size + (size & 1L)).toInt
+        }
+        true
+      }
+      if (!walk(12, payload.length)) None
+      else meta.map(m => (m, frames.result()))
+    }
+
+    /** Conforming AVI WITH uncompressed frames: full `hdrl` (avih +
+      * one `vids`/`DIB ` stream with a real BITMAPINFOHEADER) and a
+      * `movi` LIST of `00db` chunks holding bottom-up padded BGR rows.
+      * Frame f is a solid `frameColors(f)` fill EXCEPT the first
+      * stored pixel, whose channels are inverted (255−c) — so a
+      * decoder must walk actual pixels (and skip row padding) to get
+      * the sums right; a header-only or solid-color shortcut produces
+      * different numbers.
+      */
+    def encodeAviFrames(width: Int, height: Int, microsPerFrame: Int,
+                        frameColors: Seq[(Int, Int, Int)]): Array[Byte] = {
+      val rowBytes = (3 * width + 3) & ~3
+      val frameBytes = rowBytes * height
+      val nFrames = frameColors.size
+      val strlContent = 4 + (8 + 56) + (8 + 40)            // 'strl' + strh + strf
+      val hdrlContent = 4 + (8 + 56) + (8 + strlContent)   // 'hdrl' + avih + LIST strl
+      val moviContent = 4 + nFrames * (8 + frameBytes)     // frames are 4-aligned
+      val riffSize = 4 + (8 + hdrlContent) + (8 + moviContent)
+      val bos = new java.io.ByteArrayOutputStream(8 + riffSize)
+      def w32(v: Long): Unit = {
+        bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+        bos.write(((v >> 16) & 0xFF).toInt); bos.write(((v >> 24) & 0xFF).toInt)
+      }
+      def w16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+      def tag(s: String): Unit =
+        bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      tag("RIFF"); w32(riffSize); tag("AVI ")
+      tag("LIST"); w32(hdrlContent); tag("hdrl")
+      tag("avih"); w32(56)
+      w32(microsPerFrame); w32(0); w32(0); w32(0)
+      w32(nFrames); w32(0); w32(1); w32(0)
+      w32(width); w32(height); w32(0); w32(0); w32(0); w32(0)
+      tag("LIST"); w32(strlContent); tag("strl")
+      tag("strh"); w32(56)
+      tag("vids"); tag("DIB "); w32(0); w32(0); w32(0)
+      w32(1); w32(1000000L / math.max(1, microsPerFrame)) // scale, rate
+      w32(0); w32(nFrames); w32(frameBytes); w32(0xFFFFFFFFL) // bufSize, quality
+      w32(0); w32(0); w32(0) // sampleSize, rcFrame (4 × 16-bit = 8 bytes)
+      tag("strf"); w32(40)
+      w32(40); w32(width); w32(height); w16(1); w16(24)
+      w32(0) /* BI_RGB */; w32(frameBytes); w32(0); w32(0); w32(0); w32(0)
+      tag("LIST"); w32(moviContent); tag("movi")
+      frameColors.foreach { case (r, g, b) =>
+        tag("00db"); w32(frameBytes)
+        val row = new Array[Byte](rowBytes)
+        var x = 0
+        while (x < width) {
+          row(3 * x) = b.toByte; row(3 * x + 1) = g.toByte
+          row(3 * x + 2) = r.toByte; x += 1
+        }
+        var y = 0
+        while (y < height) {
+          if (y == 0) { // invert the first stored pixel, restore after
+            val inv = row.clone()
+            inv(0) = (255 - b).toByte; inv(1) = (255 - g).toByte
+            inv(2) = (255 - r).toByte
+            bos.write(inv)
+          } else bos.write(row)
+          y += 1
+        }
+      }
+      bos.toByteArray
+    }
   }
 
   case class VideoFeatures(media_id: Long, n_bytes: Long, width: Int,
@@ -296,6 +450,59 @@ object Media {
             case None =>
               VideoFeatures(m.media_id, m.payload.length.toLong,
                 0, 0, 0L, 0L, decoded = false)
+          }
+        }
+      }
+  }
+
+  case class VideoFrameFeatures(media_id: Long, width: Int, height: Int,
+                                n_frames: Long, r_sum: Long, g_sum: Long,
+                                b_sum: Long, decoded: Boolean)
+
+  /** Deterministic frame-bearing video table: one BI_RGB AVI per id,
+    * small id-derived geometry and 1-4 frames whose fill colors are
+    * modular functions of (id, frame) — so per-channel pixel sums are
+    * SQL-expressible from the ids alone and the q142 gate proves the
+    * PIXEL decode (the q124 audio-RMS move applied to video).
+    */
+  def videoFrameTable(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          def m(x: Long, n: Long) = java.lang.Math.floorMod(x, n).toInt
+          val nf = 1 + m(id, 4)
+          val colors = (0 until nf).map { f =>
+            (m(7 * id + 13 * f, 256), m(11 * id + 17 * f, 256),
+              m(3 * id + 19 * f, 256))
+          }
+          MediaRow(id, "avi", VideoCodec.encodeAviFrames(
+            8 + m(id, 8), 6 + m(id, 6), 40000, colors))
+        }
+      }.toDF()
+  }
+
+  /** Batched frame decode → per-media channel sums: REAL BI_RGB pixel
+    * walk ([[VideoCodec.decodeFrames]] — `decoded = true`, exact Long
+    * sums over every frame's pixels), zeroed stub row for payloads
+    * whose frames can't be pixel-decoded. Sums accumulate across a
+    * video's frames in Longs (255·w·h·frames ≪ 2⁶³).
+    */
+  def extractVideoFrameFeatures(spark: SparkSession,
+                                media: DataFrame): Dataset[VideoFrameFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("format"), col("payload")).as[MediaRow]
+      .mapPartitions { it =>
+        it.map { m =>
+          VideoCodec.decodeFrames(m.payload) match {
+            case Some((meta, frames)) =>
+              VideoFrameFeatures(m.media_id, meta.width, meta.height,
+                frames.size.toLong, frames.map(_.rSum).sum,
+                frames.map(_.gSum).sum, frames.map(_.bSum).sum,
+                decoded = true)
+            case None =>
+              VideoFrameFeatures(m.media_id, 0, 0, 0L, 0L, 0L, 0L,
+                decoded = false)
           }
         }
       }

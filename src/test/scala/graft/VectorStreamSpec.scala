@@ -1011,6 +1011,54 @@ class VectorStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("video frame PIXEL decode is real: BGR rows, padding skipped, inverted pixel counted") {
+    // 5×2 frame: rowBytes = (15+3)&~3 = 16, one padding byte per row —
+    // a decoder averaging whole chunks would count the padding
+    val colors = Seq((10, 20, 30), (200, 100, 50))
+    val avi = Media.VideoCodec.encodeAviFrames(5, 2, 40000, colors)
+    val Some((meta, frames)) = Media.VideoCodec.decodeFrames(avi)
+    assert((meta.width, meta.height, meta.nFrames) === ((5, 2, 2L)))
+    assert(frames.size === 2)
+    // hand-computed: c·(w·h) + 255 − 2c per channel (first pixel inverted)
+    def sums(c: (Int, Int, Int)) =
+      (c._1 * 10L + 255 - 2 * c._1, c._2 * 10L + 255 - 2 * c._2,
+        c._3 * 10L + 255 - 2 * c._3)
+    assert((frames(0).rSum, frames(0).gSum, frames(0).bSum) === sums(colors(0)))
+    assert((frames(1).rSum, frames(1).gSum, frames(1).bSum) === sums(colors(1)))
+    // decodeMeta still reads the same container (header-only consumers)
+    assert(Media.VideoCodec.decodeMeta(avi).map(_.width) === Some(5))
+    // a frame whose declared size disagrees with the DIB geometry refuses
+    val corrupt = avi.clone()
+    val moviAt = avi.indexOfSlice("00db".getBytes)
+    corrupt(moviAt + 4) = (corrupt(moviAt + 4) + 1).toByte
+    assert(Media.VideoCodec.decodeFrames(corrupt) === None)
+    // a compressed stream (biCompression != 0) has no pure-JDK pixel
+    // path: frame decode refuses, header parse still works
+    val strfAt = avi.indexOfSlice("strf".getBytes)
+    val compressed = avi.clone()
+    compressed(strfAt + 8 + 16) = 1 // biCompression = BI_RLE8
+    assert(Media.VideoCodec.decodeFrames(compressed) === None)
+    assert(Media.VideoCodec.decodeMeta(compressed).isDefined)
+    // frameless minimal AVI decodes to zero frames (meta only)
+    assert(Media.VideoCodec.decodeFrames(
+      Media.VideoCodec.encodeAvi(320, 180, 42, 40000)).map(_._2.size) === Some(0))
+    // distributed path: videoFrameTable → extractVideoFrameFeatures
+    val ids = Seq(0L, 7L, 333L).toDF("doc_id")
+    val feats = Media.extractVideoFrameFeatures(spark,
+        Media.videoFrameTable(spark, ids, "doc_id"))
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- Seq(0L, 7L, 333L)) {
+      val f = feats(id)
+      assert(f.decoded, s"id=$id not decoded")
+      val (w, h, nf) = (8 + id % 8, 6 + id % 6, 1 + id % 4)
+      assert((f.width, f.height, f.n_frames) === ((w.toInt, h.toInt, nf)))
+      val rs = (0L until nf).map { fi =>
+        val c = (7 * id + 13 * fi) % 256; c * w * h + 255 - 2 * c
+      }.sum
+      assert(f.r_sum === rs, s"id=$id r_sum")
+    }
+  }
+
   test("media resize and frame sampling: payload transform + row expansion") {
     val docs = Seq((1L, "x" * 300), (2L, "y" * 100)).toDF("doc_id", "text")
     val media = Media.attachPayload(docs, "doc_id", "text")
