@@ -45,15 +45,34 @@ object Incremental {
     df.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Strict-null wrapper for measures entering a delta feed: the null
+    * contract above (NULL contributes 0) is a documented, deliberate
+    * divergence from fresh aggregation — but it is SILENT, and a feed
+    * that starts carrying unexpected nulls would drift the rollup with
+    * no error. `strictNulls = true` makes that loud: any null measure
+    * value fails the job at scan time, executor-side, via the same
+    * `raise_error` posture as the unknown-change_type guard.
+    */
+  private def guarded(name: String, c: Column, strictNulls: Boolean): Column =
+    if (!strictNulls) c
+    else when(c.isNull, raise_error(lit(
+      s"incremental feed: NULL measure '$name' under strictNulls — an " +
+        "all-null group maintains 0 where fresh aggregation yields NULL; " +
+        "coalesce/filter upstream or opt into the documented null " +
+        "contract with strictNulls=false"))).otherwise(c)
+
   /** Signed aggregation of a [[Upsert.changeCaptureCdf]] feed: inserts
     * and update post-images contribute +1/+measure, deletes and update
     * pre-images −1/−measure. A feed row with any other `change_type`
     * (e.g. plain `update`, which lacks the pre-image needed to retract
     * the old contribution) fails the job loudly via `raise_error` —
     * silently skipping it would corrupt the maintained aggregate.
+    * `strictNulls` extends the same loud-failure posture to null
+    * measure values (see [[guarded]]).
     */
   def aggDelta(feed: DataFrame, dims: Seq[String],
-               measures: Seq[(String, Column)]): DataFrame = {
+               measures: Seq[(String, Column)],
+               strictNulls: Boolean = false): DataFrame = {
     require(dims.nonEmpty, "aggDelta requires at least one dimension")
     val sign = when(
         col("change_type").isin("insert", "update_postimage"), lit(1L))
@@ -62,7 +81,8 @@ object Incremental {
         lit("aggDelta: change_type without a defined sign: "),
         col("change_type"))).cast("long"))
     val aggs = sum(col("_sign")).as("n_delta") +: measures.map {
-      case (name, c) => sum(c * col("_sign")).as(s"${name}_delta")
+      case (name, c) => sum(guarded(name, c, strictNulls) * col("_sign"))
+        .as(s"${name}_delta")
     }
     feed.withColumn("_sign", sign)
       .groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -75,11 +95,14 @@ object Incremental {
     * event streams.
     */
   def insertDelta(df: DataFrame, dims: Seq[String],
-                  measures: Seq[(String, Column)]): DataFrame =
+                  measures: Seq[(String, Column)],
+                  strictNulls: Boolean = false): DataFrame = {
+    val gm = measures.map { case (n, c) => (n, guarded(n, c, strictNulls)) }
     measures.foldLeft(
-      groupAgg(df, dims, measures).withColumnRenamed("n", "n_delta")) {
+      groupAgg(df, dims, gm).withColumnRenamed("n", "n_delta")) {
       case (acc, (name, _)) => acc.withColumnRenamed(name, s"${name}_delta")
     }
+  }
 
   /** COUNT-DISTINCT rollup via mergeable HyperLogLog sketches (Spark's
     * DataSketches `hll_sketch_agg`/`hll_union`): the rollup stores one

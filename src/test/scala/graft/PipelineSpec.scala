@@ -164,6 +164,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("change_type"), e2.getMessage)
   }
 
+  test("strictNulls: null measures fail the feed loudly; default keeps the 0 contract") {
+    import graft.engine.Incremental
+    import org.apache.spark.sql.types.DecimalType
+    val feed = Seq(("a", "insert", Some(1.0)), ("a", "insert", Option.empty[Double]))
+      .toDF("grp", "change_type", "value")
+    val ms = Seq("total" -> col("value").cast(DecimalType(18, 6)))
+    // default: the DOCUMENTED null contract — null contributes 0, and
+    // count/sum diverge from a fresh aggregation's NULL, silently
+    val lax = Incremental.aggDelta(feed, Seq("grp"), ms)
+      .as[(String, Long, Option[BigDecimal])].collect().head
+    assert(lax === (("a", 2L, Some(BigDecimal("1.000000")))))
+    // strict: the drift cannot happen silently
+    val e = intercept[Exception] {
+      Incremental.aggDelta(feed, Seq("grp"), ms, strictNulls = true).collect()
+    }
+    assert(e.getMessage.contains("NULL measure 'total'"), e.getMessage)
+    val e2 = intercept[Exception] {
+      Incremental.insertDelta(feed, Seq("grp"), ms, strictNulls = true).collect()
+    }
+    assert(e2.getMessage.contains("NULL measure 'total'"), e2.getMessage)
+    // strict mode on a clean feed is a no-op
+    val clean = feed.filter(col("value").isNotNull)
+    assert(Incremental.aggDelta(clean, Seq("grp"), ms, strictNulls = true)
+      .as[(String, Long, Option[BigDecimal])].collect().head ===
+      (("a", 1L, Some(BigDecimal("1.000000")))))
+  }
+
   test("incrementally maintained power sums reproduce keyMoments after churn") {
     import graft.engine.Incremental
     import org.apache.spark.sql.types.DecimalType
