@@ -966,6 +966,31 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q143_pii_redact" -> ((s, dir) => {
+      // PII redaction graduated to a full oracle gate (the q142 move):
+      // id-derived emails / phones / IPv4s are appended to the real
+      // (verified PII-free) corpus text, redactPii scans with the REAL
+      // Java-regex detectors, and both the redaction count and the
+      // redacted LENGTH are recomputable from id arithmetic alone —
+      // each PII type has distinct match/tag lengths, so the length
+      // check catches a detector that misses or over-matches any type
+      import org.apache.spark.sql.functions.{length => strlen}
+      val pii = t(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        expr("repeat(concat(' contact user', CAST(doc_id AS STRING), " +
+          "'@example.com'), CAST(doc_id % 3 AS INT))"),
+        expr("repeat(concat(' call +1-555-', " +
+          "lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-', " +
+          "lpad(CAST(doc_id % 10000 AS STRING), 4, '0')), " +
+          "CAST((doc_id + 1) % 3 AS INT))"),
+        expr("repeat(concat(' host 10.0.', CAST(doc_id % 256 AS STRING), " +
+          "'.7'), CAST((doc_id + 2) % 3 AS INT))")).as("text"))
+      text.Curation.redactPii(pii, "text")
+        .select(col("doc_id"), col("n_redactions"),
+          strlen(col("text")).cast("long").as("redacted_len"))
+        .orderBy("doc_id")
+    }),
+
     "q140_portfolio_nav" -> ((s, dir) => {
       // the cross-section rolled up to a book: equal-weight mean of
       // per-instrument daily returns, compounded as exp(Σ ln(1+r̄)) —
@@ -2895,6 +2920,23 @@ object SparkEntry {
         |  CAST(rs AS BIGINT) AS r_sum, CAST(gs AS BIGINT) AS g_sum,
         |  CAST(bs AS BIGINT) AS b_sum, TRUE AS decoded
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // independent recomputation from id arithmetic: nE=id%3 emails of
+    // match length 16+digits(id) (+9 for ' contact '), nP=(id+1)%3
+    // phones of match length 15 (+6), nI=(id+2)%3 IPs of match length
+    // 7+digits(id%256) (+6); tags <EMAIL>/<PHONE>=7 chars, <IP>=4
+    "q143_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, length(text) AS nc,
+        |    doc_id % 3 AS ne, (doc_id + 1) % 3 AS np, (doc_id + 2) % 3 AS ni,
+        |    length(CAST(doc_id AS VARCHAR)) AS de,
+        |    length(CAST(doc_id % 256 AS VARCHAR)) AS di
+        |  FROM documents)
+        |SELECT doc_id, CAST(ne + np + ni AS BIGINT) AS n_redactions,
+        |  CAST(nc + ne * (25 + de) + np * 21 + ni * (13 + di)
+        |    - ne * (16 + de) + ne * 7 - np * 15 + np * 7
+        |    - ni * (7 + di) + ni * 4 AS BIGINT) AS redacted_len
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     "q140_portfolio_nav" ->
       """WITH ticks AS (

@@ -320,8 +320,10 @@ object Curation {
     * `regexp_replace` / `regexp_count` projections — map-side, fused
     * into the scan. The phone pattern is fenced with digit lookarounds
     * so it never fires inside a longer digit run (card numbers, ids);
-    * lookbehind is Java-regex-only, which is fine here — this operator
-    * is spec-driven, not oracle-compared.
+    * lookbehind is Java-regex-only, so the q143 oracle gate checks the
+    * detector against ID-ARITHMETIC ground truth (constructed PII with
+    * known counts and lengths) rather than a second regex engine —
+    * plus a generative law over random PII mixes in LawsProps.
     */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern =

@@ -815,4 +815,30 @@ object LawsProps extends Properties("graft.laws") {
         out._4 == BigDecimal(tail.sum.toDouble / k).setScale(9,
           BigDecimal.RoundingMode.HALF_UP).toDouble
     }
+
+  property("redactPii: every planted PII item redacted, exact count, clean filler untouched") =
+    forAll(
+      Gen.choose(0, 3), Gen.choose(0, 3), Gen.choose(0, 3),
+      Gen.listOfN(5, Gen.oneOf("alpha", "beta", "gamma", "delta")),
+      Gen.choose(0L, 99999L)) { (ne, np, ni, filler, seed) =>
+      import org.apache.spark.sql.functions.col
+      // interleave PII among digit-free filler words so position and
+      // adjacency vary; seed varies the concrete addresses/numbers
+      val items =
+        List.fill(ne)(s"u$seed@ex${seed % 7}.org") :::
+        List.fill(np)(f"+1-555-${seed % 1000}%03d-${seed % 10000}%04d") :::
+        List.fill(ni)(s"10.${seed % 256}.0.${seed % 100}")
+      val words = filler.zipAll(items, "pad", "").flatMap {
+        case (w, p) => Seq(w, p).filter(_.nonEmpty)
+      }
+      val txt = words.mkString(" ")
+      val out = graft.text.Curation.redactPii(
+          Seq((1L, txt)).toDF("doc_id", "text"), "text")
+        .select("text", "n_redactions").as[(String, Long)].collect().head
+      out._2 == (ne + np + ni).toLong &&
+        out._1.sliding(7).count(_ == "<EMAIL>") == ne &&
+        out._1.sliding(7).count(_ == "<PHONE>") == np &&
+        out._1.sliding(4).count(_ == "<IP>") == ni &&
+        filler.forall(out._1.contains) // clean words survive redaction
+    }
 }
