@@ -966,6 +966,18 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q144_leadlag_corr" -> ((s, dir) => {
+      // which instrument moves first: per-pair best lead-lag over
+      // hourly bucket returns (±3 observed buckets); ticks reduce to
+      // the bucket-mean frame once, the lag stack rides one window
+      // pass, and the pair expansion broadcast-joins aggregate frames
+      Risk.leadLagCorr(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", date_trunc("hour", col("ts")), col("value"),
+          maxLag = 3)
+        .withColumn("best_lag", col("best_lag").cast("int"))
+        .orderBy("key_a", "key_b")
+    }),
+
     "q143_pii_redact" -> ((s, dir) => {
       // PII redaction graduated to a full oracle gate (the q142 move):
       // id-derived emails / phones / IPv4s are appended to the real
@@ -2920,6 +2932,63 @@ object SparkEntry {
         |  CAST(rs AS BIGINT) AS r_sum, CAST(gs AS BIGINT) AS g_sum,
         |  CAST(bs AS BIGINT) AS b_sum, TRUE AS decoded
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // full mirror of the lead-lag pipeline: bucket means → exact
+    // decimal return differences → lagged leader values via an
+    // observation-index self-join (≡ Spark's lag(r, ℓ) window) →
+    // per-(pair, lag) Pearson from exact sums → deterministic argmax
+    "q144_leadlag_corr" ->
+      """WITH base AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |perkey AS (
+        |  SELECT event_type, bucket,
+        |    CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS DECIMAL(21,9)) AS x
+        |  FROM base GROUP BY event_type, bucket),
+        |rx AS (
+        |  SELECT event_type, bucket,
+        |    CAST(x - lag(x) OVER (PARTITION BY event_type ORDER BY bucket)
+        |      AS DECIMAL(22,9)) AS r
+        |  FROM perkey),
+        |rr AS (
+        |  SELECT event_type, bucket, r,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+        |  FROM rx WHERE r IS NOT NULL),
+        |lagged AS (
+        |  SELECT cur.event_type AS key_b, cur.bucket, g.i AS l, prev.r AS rb
+        |  FROM rr cur
+        |  CROSS JOIN range(4) g(i)
+        |  JOIN rr prev ON prev.event_type = cur.event_type
+        |    AND prev.rn = cur.rn - g.i),
+        |cells AS (
+        |  SELECT a.event_type AS key_a, b.key_b, b.l, COUNT(*) AS n,
+        |    SUM(a.r) AS sa, SUM(b.rb) AS sb,
+        |    SUM(CAST(a.r * b.rb AS DECIMAL(38,18))) AS sab,
+        |    SUM(CAST(a.r * a.r AS DECIMAL(38,18))) AS saa,
+        |    SUM(CAST(b.rb * b.rb AS DECIMAL(38,18))) AS sbb
+        |  FROM rr a JOIN lagged b USING (bucket)
+        |  WHERE a.event_type <> b.key_b AND (b.l > 0 OR a.event_type < b.key_b)
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT least(key_a, key_b) AS ka, greatest(key_a, key_b) AS kb,
+        |    CASE WHEN key_a < key_b THEN l ELSE -l END AS lag, n,
+        |    CASE WHEN n >= 3
+        |          AND n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
+        |          AND n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
+        |      THEN round((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+        |        sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+        |             (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+        |    END AS corr
+        |  FROM cells),
+        |best AS (
+        |  SELECT ka AS key_a, kb AS key_b, CAST(lag AS INT) AS best_lag,
+        |    n AS n_obs, corr,
+        |    row_number() OVER (PARTITION BY ka, kb
+        |      ORDER BY abs(corr) DESC, abs(lag) ASC, lag ASC) AS rn
+        |  FROM scored WHERE corr IS NOT NULL)
+        |SELECT key_a, key_b, best_lag, n_obs, corr
+        |FROM best WHERE rn = 1 ORDER BY key_a, key_b""".stripMargin,
 
     // independent recomputation from id arithmetic: nE=id%3 emails of
     // match length 16+digits(id) (+9 for ' contact '), nP=(id+1)%3

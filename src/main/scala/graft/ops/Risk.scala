@@ -526,6 +526,104 @@ object Risk {
         (abs(lastZ) >= zThreshold).cast("int")).as("diverged"))
   }
 
+  /** Lead-lag cross-correlation per instrument pair: Pearson corr of
+    * a's bucket-mean RETURN against b's return ℓ buckets earlier, for
+    * every ℓ ∈ −maxLag..maxLag, reporting each pair's best lag — the
+    * price-discovery question ("which leg moves first") behind the
+    * lead-lag literature (Hayashi-Yoshida 2005's problem in its
+    * synchronized-grid form; cf. de Jong & Nijman 1997). A positive
+    * `best_lag` means the LARGER key (key_b) leads by that many
+    * observed buckets; negative means key_a leads; 0 means they move
+    * together. Lags count each key's OWN observed buckets (the SQL
+    * `lag(r, ℓ)` convention — calendar gaps are not interpolated).
+    *
+    * Scale posture: ticks reduce once to the bucket-mean frame (the
+    * [[Stats.corrMatrix]] alignment); returns are exact decimal
+    * DIFFERENCES of that frame (Pearson is scale-invariant, so
+    * differences carry the same correlation as pct returns without a
+    * division); the lag stack rides ONE window pass (an array of lag
+    * exprs over the same spec); and the pair expansion broadcast-joins
+    * aggregate-sized frames with all (pair, lag) power sums from one
+    * grouped aggregation. Exact decimal sums, doubles only in the
+    * final guarded quotient (the q106 discipline). The best lag per
+    * pair is a deterministic argmax: |corr| desc, then |lag| asc, then
+    * lag asc, on the 6-dp-rounded corr both engines agree on.
+    * Degenerate (pair, lag) cells — under 3 co-observations or a
+    * constant side — drop before the argmax; a pair with no defined
+    * cell at any lag is absent.
+    *
+    * Guarded like [[pairSpread]]: k(k−1)/2 · (2·maxLag+1) cells, so
+    * past `maxInstruments` keys the operator refuses with the count
+    * named.
+    */
+  def leadLagCorr(df: DataFrame, keyCol: String, bucketCol: Column,
+                  valueCol: Column, maxLag: Int = 3,
+                  maxInstruments: Long = 2000L): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val v = valueCol.cast(DecimalType(18, 6))
+    val base = df.filter(valueCol.isNotNull)
+      .select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
+    val k = base.select(col(keyCol)).distinct().count()
+    require(k <= maxInstruments,
+      s"leadLagCorr: $k instruments would expand to " +
+        s"${k * (k - 1) / 2 * (2 * maxLag + 1)} pair-lag cells " +
+        s"(maxInstruments=$maxInstruments); restrict the universe or " +
+        "raise the bound deliberately")
+    val perKey = base.groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col("v")).as("_s"), count(lit(1)).as("_n"))
+      .select(col(keyCol), col("bucket"),
+        round(col("_s").cast("double") / col("_n"), 9)
+          .cast(DecimalType(21, 9)).as("x"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket").asc)
+    val rets = perKey
+      .withColumn("r", (col("x") - lag(col("x"), 1).over(w))
+        .cast(DecimalType(22, 9)))
+      .filter(col("r").isNotNull)
+    // leader side: returns at lags 0..maxLag — the lag columns ride ONE
+    // Window operator (same spec), then the stack explodes map-side
+    // (generators cannot hold window exprs directly)
+    val withLags = rets.select(col(keyCol) +: col("bucket") +: col("r") +:
+      (1 to maxLag).map(l => lag(col("r"), l).over(w).as(s"_l$l")): _*)
+    val lagged = withLags.select(col(keyCol).as("key_b"), col("bucket"),
+      explode(array((0 to maxLag).map { l =>
+        struct(lit(l).as("l"),
+          (if (l == 0) col("r") else col(s"_l$l")).as("rb"))
+      }: _*)).as("e"))
+      .select(col("key_b"), col("bucket"),
+        col("e.l").as("l"), col("e.rb").as("rb"))
+      .filter(col("rb").isNotNull)
+    val a = rets.select(col(keyCol).as("key_a"), col("bucket"),
+      col("r").as("ra"))
+    // ordered (follower=key_a, leader=key_b); ℓ=0 kept once per pair
+    val cells = a.join(broadcast(lagged), Seq("bucket"))
+      .filter(col("key_a") =!= col("key_b"))
+      .filter(col("l") > 0 || col("key_a") < col("key_b"))
+      .groupBy("key_a", "key_b", "l")
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
+        sum((col("ra") * col("rb")).cast(DecimalType(38, 18))).as("sab"),
+        sum((col("ra") * col("ra")).cast(DecimalType(38, 18))).as("saa"),
+        sum((col("rb") * col("rb")).cast(DecimalType(38, 18))).as("sbb"))
+    def d(c: String) = col(c).cast("double")
+    val da = col("n") * d("saa") - d("sa") * d("sa")
+    val db = col("n") * d("sbb") - d("sb") * d("sb")
+    val scored = cells
+      .withColumn("corr", when(col("n") >= 3 && da > 0 && db > 0,
+        round((col("n") * d("sab") - d("sa") * d("sb")) / sqrt(da * db), 6)))
+      .filter(col("corr").isNotNull)
+      .select(least(col("key_a"), col("key_b")).as("ka"),
+        greatest(col("key_a"), col("key_b")).as("kb"),
+        when(col("key_a") < col("key_b"), col("l"))
+          .otherwise(-col("l")).as("lag"),
+        col("n"), col("corr"))
+    val rank = Window.partitionBy(col("ka"), col("kb"))
+      .orderBy(abs(col("corr")).desc, abs(col("lag")).asc, col("lag").asc)
+    scored.withColumn("_rn", row_number().over(rank))
+      .filter(col("_rn") === 1)
+      .select(col("ka").as("key_a"), col("kb").as("key_b"),
+        col("lag").as("best_lag"), col("n").as("n_obs"), col("corr"))
+  }
+
   /** Volatility cone per instrument: for each horizon h, the
     * distribution (min / mean / max) of √(Σ RV / h) over ALL complete
     * h-day rolling windows of the daily realized-variance frame — the

@@ -816,6 +816,58 @@ object LawsProps extends Properties("graft.laws") {
           BigDecimal.RoundingMode.HALF_UP).toDouble
     }
 
+  property("leadLagCorr: equals driver-side brute force over every (pair, lag) cell") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(
+      Gen.oneOf("a", "b", "c"), Gen.choose(0L, 7L), Gen.choose(1, 50)))) { raw =>
+      import org.apache.spark.sql.functions.col
+      val maxLag = 2
+      // one observation per (key, bucket): the bucket-mean stage is then
+      // the identity and the mirror stays integer-exact
+      val rows = raw.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val got = graft.ops.Risk.leadLagCorr(
+          rows.map { case (k, t, v) => (k, t, v.toDouble) }.toDF("k", "t", "v"),
+          "k", col("t"), col("v"), maxLag = maxLag)
+        .as[(String, String, Int, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      // mirror: per-key observation-ordered returns, lagged leader join
+      // on bucket, textbook Pearson, 6-dp round, same argmax tiebreak
+      val series = rows.groupBy(_._1).map { case (k, g) =>
+        val obs = g.sortBy(_._2).map(r => (r._2, r._3.toDouble))
+        k -> obs.zip(obs.drop(1)).map { case ((_, p), (t, v)) => (t, v - p) }
+      }
+      def r6(d: Double) = BigDecimal(d).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      val cells = for {
+        (ka, ra) <- series.toSeq; (kb, rb) <- series.toSeq
+        if ka != kb
+        l <- 0 to maxLag
+        if l > 0 || ka < kb
+        joined = ra.flatMap { case (t, x) =>
+          rb.zipWithIndex.collectFirst {
+            case ((tb, _), j) if tb == t && j >= l => (x, rb(j - l)._2)
+          }
+        }
+        n = joined.size if n >= 3
+        sa = joined.map(_._1).sum; sb = joined.map(_._2).sum
+        sab = joined.map(p => p._1 * p._2).sum
+        saa = joined.map(p => p._1 * p._1).sum
+        sbb = joined.map(p => p._2 * p._2).sum
+        da = n * saa - sa * sa; db = n * sbb - sb * sb
+        if da > 0 && db > 0
+      } yield {
+        val c = r6((n * sab - sa * sb) / math.sqrt(da * db))
+        val (pa, pb) = if (ka < kb) (ka, kb) else (kb, ka)
+        (pa, pb, if (ka < kb) l else -l, n.toLong, c)
+      }
+      val expect = cells.groupBy(c => (c._1, c._2)).map { case (k, cs) =>
+        val best = cs.minBy(c => (-math.abs(c._5), math.abs(c._3), c._3))
+        k -> ((best._3, best._4, best._5))
+      }
+      got.keySet == expect.keySet && expect.forall { case (k, (l, n, c)) =>
+        got(k)._1 == l && got(k)._2 == n && math.abs(got(k)._3 - c) <= 1e-9
+      }
+    }
+
   property("redactPii: every planted PII item redacted, exact count, clean filler untouched") =
     forAll(
       Gen.choose(0, 3), Gen.choose(0, 3), Gen.choose(0, 3),

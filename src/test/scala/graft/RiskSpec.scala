@@ -316,6 +316,32 @@ class RiskSpec extends AnyFunSuite {
       to_date(col("t")), col("v"), maxInstruments = 2L).count() === 1L)
   }
 
+  test("leadLagCorr: a constructed leader is found at its lag with corr 1") {
+    // xb follows f, xa follows f delayed one bucket ⇒ ra_t == rb_{t-1}
+    // exactly, so the (follower=a, leader=b, ℓ=1) cell is corr 1.0 and
+    // best_lag = +1 (positive ⇒ the larger key leads)
+    val f = Seq(10.0, 13.0, 11.0, 17.0, 12.0, 19.0, 14.0, 22.0)
+    val rows =
+      f.zipWithIndex.map { case (v, t) => ("b", t.toLong, v) } ++
+      f.zipWithIndex.map { case (v, t) => ("a", t.toLong + 1, v) }
+    val got = graft.ops.Risk.leadLagCorr(rows.toDF("k", "t", "v"),
+        "k", col("t"), col("v"), maxLag = 3)
+      .as[(String, String, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("a", "b")) === ((1, 6L, 1.0)))
+  }
+
+  test("leadLagCorr refuses past maxInstruments, naming the cell count") {
+    val df = Seq(("A", 1L, 1.0), ("B", 1L, 2.0), ("C", 1L, 3.0))
+      .toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Risk.leadLagCorr(df, "k", col("t"), col("v"),
+        maxLag = 3, maxInstruments = 2L)
+    }
+    assert(e.getMessage.contains("3 instruments") &&
+      e.getMessage.contains("21 pair-lag cells"), e.getMessage)
+  }
+
   test("volCone: rolling-window vol envelope, incomplete windows dropped") {
     val rv = Seq(
       ("A", "2024-01-01", 0.01), ("A", "2024-01-02", 0.04),
