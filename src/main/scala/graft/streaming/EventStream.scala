@@ -487,6 +487,84 @@ object EventStream {
       }
   }
 
+  case class AtrState(lastCloseMicros: Long, seen: Boolean,
+                      trs: List[Long], highs: List[Long], lows: List[Long])
+  case class AtrTick(key: String, bar: Long, high: Double, low: Double,
+                     close: Double, atr: Option[Double],
+                     donchian_high: Option[Double],
+                     donchian_low: Option[Double],
+                     breakout_up: Option[Int], breakout_down: Option[Int])
+
+  /** Per-instrument ATR + Donchian channels on the live path: streaming
+    * state = the previous close, the trailing `nBars` true ranges, and
+    * the trailing `nBars` (high, low) pairs — exactly the frames
+    * [[graft.ops.Risk.atrChannels]] rolls ([[bollingerStream]]'s
+    * discipline applied to bar streams), maintained incrementally so
+    * the stream agrees with the batch operator bar-for-bar (spec'd).
+    * Bars fold in `barCol` order within each micro-batch; bars with
+    * any null OHLC field drop (they carry no range information).
+    * State per key = O(nBars) longs.
+    *
+    * Numerics contract: prices quantize through DECIMAL(18,6) and live
+    * as exact micro-units; the true range is exact long arithmetic
+    * (max of differences); the ATR mean replays the batch formula
+    * shape — Σtr as an exact decimal converted once to double, divided
+    * by nBars, rounded to 6 dp — and the Donchian comparisons are
+    * exact integer compares, so breakout flags can never flip on a
+    * float epsilon.
+    */
+  def atrStream(spark: SparkSession, bars: DataFrame, keyCol: String,
+                barCol: String, highCol: String, lowCol: String,
+                closeCol: String, nBars: Int = 5): Dataset[AtrTick] = {
+    import spark.implicits._
+    require(nBars >= 1, s"nBars must be >= 1, got $nBars")
+    def r6d(m: Long): Double =
+      (BigDecimal(m) / 1000000).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    bars.select(col(keyCol).cast("string").as("k"),
+        col(barCol).cast("long").as("bar"),
+        col(highCol).cast("decimal(18,6)").as("h"),
+        col(lowCol).cast("decimal(18,6)").as("l"),
+        col(closeCol).cast("decimal(18,6)").as("c"))
+      .filter(col("k").isNotNull && col("bar").isNotNull &&
+        col("h").isNotNull && col("l").isNotNull && col("c").isNotNull)
+      .as[(String, Long, BigDecimal, BigDecimal, BigDecimal)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AtrState, AtrTick](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var st = state.getOption.getOrElse(
+            AtrState(0L, seen = false, Nil, Nil, Nil))
+          val out = rows.toSeq.sortBy(_._2).map { case (_, bar, h, l, c) =>
+            val hm = (h * 1000000).toLongExact
+            val lm = (l * 1000000).toLongExact
+            val cm = (c * 1000000).toLongExact
+            val tr = if (st.seen)
+              math.max(hm - lm, math.max(math.abs(hm - st.lastCloseMicros),
+                math.abs(lm - st.lastCloseMicros)))
+            else hm - lm
+            // Donchian channel = the PRIOR nBars bars (current excluded)
+            val dh = if (st.highs.nonEmpty) Some(st.highs.max) else None
+            val dl = if (st.lows.nonEmpty) Some(st.lows.min) else None
+            val trs = (st.trs :+ tr).takeRight(nBars)
+            val atr = if (trs.size == nBars) {
+              val s = (BigDecimal(trs.map(BigInt(_)).sum) / 1000000).toDouble
+              Some(BigDecimal(s / nBars).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).toDouble)
+            } else None
+            st = AtrState(cm, seen = true, trs,
+              (st.highs :+ hm).takeRight(nBars),
+              (st.lows :+ lm).takeRight(nBars))
+            AtrTick(key, bar, r6d(hm), r6d(lm), r6d(cm), atr,
+              dh.map(r6d), dl.map(r6d),
+              dh.map(d => if (cm > d) 1 else 0),
+              dl.map(d => if (cm < d) 1 else 0))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class FlowState(lastMicros: Long, seen: Boolean, lastSign: Int,
                        signed: String, total: String, n: Long)
   case class FlowTick(key: String, seq: Long, n_ticks: Long,

@@ -644,6 +644,49 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(latest("b")._6 === 0.0)
   }
 
+  test("atrStream matches batch atrChannels bar-for-bar; true-range chain crosses batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // nBars=2: bar 3 is the first with a full ATR window in the second
+    // micro-batch — prev close, TR ring, and Donchian ring must all
+    // carry across the batch boundary; bar 4 breaks out above the
+    // prior-2 high (12.0 > 11.5? no: dh=max(11.5,12.5)... values chosen
+    // so bar 4 breaks DOWN and bar 2 neither)
+    val bars = Seq(
+      ("a", 1L, 10.0, 9.0, 9.5), ("a", 2L, 11.5, 9.4, 11.0),
+      ("b", 1L, 5.0, 4.0, 4.5),
+      ("a", 3L, 12.5, 10.8, 12.2), ("a", 4L, 12.0, 8.0, 8.2))
+    val mem = MemoryStream[(String, Long, Double, Double, Double)]
+    val q = EventStream.atrStream(spark,
+        mem.toDF().toDF("sym", "bar", "high", "low", "close"),
+        "sym", "bar", "high", "low", "close", nBars = 2)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("atr_out").start()
+    mem.addData(bars.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(bars.drop(3): _*)
+    q.processAllAvailable()
+    val got = spark.table("atr_out")
+      .as[(String, Long, Double, Double, Double, Option[Double],
+        Option[Double], Option[Double], Option[Int], Option[Int])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    q.stop()
+    val batch = graft.ops.Risk.atrChannels(
+        bars.toDF("sym", "bar", "high", "low", "close"),
+        "sym", col("bar"), nBars = 2)
+      .as[(String, Long, Double, Double, Double, Option[Double],
+        Option[Double], Option[Double], Option[Int], Option[Int])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet === batch.keySet)
+    got.keySet.foreach(k => assert(got(k) === batch(k), s"bar $k"))
+    // spot-pin the cross-batch cells (hand-computed): bar 3 TR =
+    // max(1.7, |12.5-11|=1.5, |10.8-11|=0.2) = 1.7; bar 2 TR =
+    // max(2.1, 2.0, 0.1) = 2.1 ⇒ ATR(3) = (2.1+1.7)/2 = 1.9
+    assert(got(("a", 3L))._6 === Some(1.9))
+    // bar 4: prior-2 low = min(9.4, 10.8) = 9.4; close 8.2 < 9.4 ⇒ down
+    assert(got(("a", 4L))._10 === Some(1) && got(("a", 4L))._9 === Some(0))
+  }
+
   test("flowImbalanceStream equals batch OFI over the prefix; sign chain crosses batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.{col, lit}
