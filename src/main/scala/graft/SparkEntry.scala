@@ -966,6 +966,16 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q145_vocab_coverage" -> ((s, dir) => {
+      // tokenizer/vocab fitness: fix the top-20 corpus vocabulary
+      // (deterministic freq-then-token cut) and score every doc's OOV
+      // rate — one explode feeds both the freq agg (top-V via
+      // TakeOrderedAndProject) and the broadcast membership join
+      text.TextStats.vocabCoverage(t(s, dir, "documents"), "doc_id",
+          "text", vocabSize = 20)
+        .orderBy("doc_id")
+    }),
+
     "q144_leadlag_corr" -> ((s, dir) => {
       // which instrument moves first: per-pair best lead-lag over
       // hourly bucket returns (±3 observed buckets); ticks reduce to
@@ -2932,6 +2942,24 @@ object SparkEntry {
         |  CAST(rs AS BIGINT) AS r_sum, CAST(gs AS BIGINT) AS g_sum,
         |  CAST(bs AS BIGINT) AS b_sum, TRUE AS decoded
         |FROM s ORDER BY media_id""".stripMargin,
+
+    "q145_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |freq AS (SELECT token, COUNT(*) AS f FROM t2 GROUP BY token),
+        |vocab AS (SELECT token FROM freq ORDER BY f DESC, token ASC LIMIT 20),
+        |scored AS (
+        |  SELECT d.doc_id, COUNT(*) AS n_tokens,
+        |    SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+        |  FROM t2 d LEFT JOIN vocab v USING (token)
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_oov AS BIGINT) AS n_oov,
+        |  round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     // full mirror of the lead-lag pipeline: bucket means → exact
     // decimal return differences → lagged leader values via an

@@ -204,6 +204,40 @@ object TextStats {
       .select(col("token"), col("df"), col("truncated"), col("postings"))
   }
 
+  /** Vocabulary coverage: fix the corpus vocabulary as the top
+    * `vocabSize` tokens by corpus frequency (ties broken by token — a
+    * fully deterministic cut), then score every document's
+    * out-of-vocabulary rate against it — the coverage metric a
+    * vocab/tokenizer choice is judged by, and a per-doc noise signal
+    * (OOV-heavy docs are code, other languages, or token salad).
+    *
+    * Plan: ONE explode feeds both sides — the corpus frequency
+    * aggregation (one token-hash Exchange, map-side partials) whose
+    * top-V cut is a TakeOrderedAndProject (V rows to one task, never a
+    * global sort), and the per-doc membership join, which BROADCASTS
+    * the V-row vocabulary (vocab ≪ corpus by construction) so the
+    * doc-side aggregation needs no second corpus shuffle. Blank
+    * documents contribute no tokens and emit no row (the [[termFreq]]
+    * phantom-token rule).
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("_f"))
+      .orderBy(col("_f").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("_inv"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Zipf exponent per group: the slope of ln(freq) over ln(rank) across
     * the group's `topK` most frequent tokens — natural language sits
     * near −1 (Zipf's law), so a source whose slope is far off is

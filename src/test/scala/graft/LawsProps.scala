@@ -868,6 +868,25 @@ object LawsProps extends Properties("graft.laws") {
       }
     }
 
+  property("vocabCoverage: equals brute-force top-V vocabulary and OOV counts") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.nonEmptyListOf(
+        Gen.oneOf("a", "b", "c", "d", "e"))),
+      Gen.choose(1, 4)) { (docsToks, v) =>
+      val docs = docsToks.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" ")) }
+      val got = graft.text.TextStats.vocabCoverage(
+          docs.toDF("doc_id", "text"), "doc_id", "text", v)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val all = docsToks.flatten
+      val vocab = all.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (t, f) => (-f, t) }.take(v).map(_._1).toSet
+      docs.size == got.size && docsToks.zipWithIndex.forall { case (ts, i) =>
+        got(i.toLong) == ((ts.size.toLong, ts.count(!vocab(_)).toLong))
+      }
+    }
+
   property("redactPii: every planted PII item redacted, exact count, clean filler untouched") =
     forAll(
       Gen.choose(0, 3), Gen.choose(0, 3), Gen.choose(0, 3),

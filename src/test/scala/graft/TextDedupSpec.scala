@@ -266,4 +266,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n_ranks") === 1L)
     assert(rows(1).isNullAt(rows(1).fieldIndex("zipf_slope")))
   }
+
+  test("vocabCoverage: deterministic top-V cut, per-doc OOV, blank docs absent") {
+    // freqs: x=3, w=3, y=1, z=1 — the vocabSize=2 cut ties at freq 3
+    // and resolves token-asc: vocab = {w, x}
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "w w w"), (4L, " "))
+      .toDF("doc_id", "text")
+    val got = graft.text.TextStats.vocabCoverage(docs, "doc_id", "text", 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((3L, 1L, 0.333333)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((3L, 0L, 0.0)))
+    assert(!got.contains(4L)) // blank doc: no tokens, no row
+  }
 }
