@@ -78,7 +78,19 @@ object DevPlans {
         "k² pair expansion BroadcastHashJoins the aggregate-sized " +
         "frame, and every pair statistic — five power sums AND the " +
         "latest bucket's values via tie-free max_by — comes from ONE " +
-        "grouped aggregation."))
+        "grouped aggregation."),
+    "q144_leadlag_corr" ->
+      ("Lead-lag: the ±3 lag stack rides ONE Window operator (array " +
+        "of lag exprs over the same spec, exploded map-side); the " +
+        "(pair, lag) expansion broadcast-joins aggregate-sized return " +
+        "frames and all Pearson power sums come from one grouped " +
+        "aggregation — ticks are touched exactly once."),
+    "q145_vocab_coverage" ->
+      ("One explode feeds both sides: corpus frequencies (map-side " +
+        "partials into one token-hash Exchange, top-V via " +
+        "TakeOrderedAndProject — never a global sort) and the per-doc " +
+        "membership join, which BROADCASTS the V-row vocabulary so " +
+        "the doc aggregation needs no second corpus shuffle."))
 
   def main(args: Array[String]): Unit = {
     val spark = engine.Sessions.tune(

@@ -563,22 +563,30 @@ object Risk {
     val v = valueCol.cast(DecimalType(18, 6))
     val base = df.filter(valueCol.isNotNull)
       .select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
-    val k = base.select(col(keyCol)).distinct().count()
-    require(k <= maxInstruments,
-      s"leadLagCorr: $k instruments would expand to " +
-        s"${k * (k - 1) / 2 * (2 * maxLag + 1)} pair-lag cells " +
-        s"(maxInstruments=$maxInstruments); restrict the universe or " +
-        "raise the bound deliberately")
     val perKey = base.groupBy(col(keyCol), col("bucket"))
       .agg(sum(col("v")).as("_s"), count(lit(1)).as("_n"))
       .select(col(keyCol), col("bucket"),
         round(col("_s").cast("double") / col("_n"), 9)
           .cast(DecimalType(21, 9)).as("x"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket").asc)
+    // persisted: the return frame feeds BOTH pair sides (the banded-LSH
+    // compute-signatures-once convention) — without it the tick scan,
+    // bucket-mean shuffle, and window all run twice. Aggregate-sized;
+    // released by the caller's clearCache (Bench/Verify contract). The
+    // guard count below doubles as the cache materializer, and counts
+    // exactly the keys that can enter the pair join (a key needs >= 2
+    // buckets to have a return at all).
     val rets = perKey
       .withColumn("r", (col("x") - lag(col("x"), 1).over(w))
         .cast(DecimalType(22, 9)))
       .filter(col("r").isNotNull)
+      .persist()
+    val k = rets.select(col(keyCol)).distinct().count()
+    require(k <= maxInstruments,
+      s"leadLagCorr: $k instruments would expand to " +
+        s"${k * (k - 1) / 2 * (2 * maxLag + 1)} pair-lag cells " +
+        s"(maxInstruments=$maxInstruments); restrict the universe or " +
+        "raise the bound deliberately")
     // leader side: returns at lags 0..maxLag — the lag columns ride ONE
     // Window operator (same spec), then the stack explodes map-side
     // (generators cannot hold window exprs directly)

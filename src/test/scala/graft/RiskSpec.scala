@@ -332,8 +332,10 @@ class RiskSpec extends AnyFunSuite {
   }
 
   test("leadLagCorr refuses past maxInstruments, naming the cell count") {
-    val df = Seq(("A", 1L, 1.0), ("B", 1L, 2.0), ("C", 1L, 3.0))
-      .toDF("k", "t", "v")
+    // two buckets per key: the guard counts keys that actually carry a
+    // return (a single-bucket key can never enter the pair join)
+    val df = Seq("A", "B", "C").flatMap(k =>
+      Seq((k, 1L, 1.0), (k, 2L, 2.0))).toDF("k", "t", "v")
     val e = intercept[IllegalArgumentException] {
       graft.ops.Risk.leadLagCorr(df, "k", col("t"), col("v"),
         maxLag = 3, maxInstruments = 2L)
