@@ -483,16 +483,20 @@ object Risk {
     val v = valueCol.cast(DecimalType(18, 6))
     val base = df.filter(valueCol.isNotNull)
       .select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
-    val k = base.select(col(keyCol)).distinct().count()
-    require(k <= maxInstruments,
-      s"pairSpread: $k instruments would expand to ${k * (k - 1) / 2} " +
-        s"pairs (maxInstruments=$maxInstruments); restrict the universe " +
-        "or raise the bound deliberately")
     val perKey = base.groupBy(col(keyCol), col("bucket"))
       .agg(sum(col("v")).as("_s"), count(lit(1)).as("_n"))
       .select(col(keyCol), col("bucket"),
         round(col("_s").cast("double") / col("_n"), 9)
           .cast(DecimalType(21, 9)).as("x"))
+      // persisted: guard count + both pair sides share the aggregate
+      // frame (the corrMatrix convention) — no extra corpus scan for
+      // the guard; released by the caller's clearCache
+      .persist()
+    val k = perKey.select(col(keyCol)).distinct().count()
+    require(k <= maxInstruments,
+      s"pairSpread: $k instruments would expand to ${k * (k - 1) / 2} " +
+        s"pairs (maxInstruments=$maxInstruments); restrict the universe " +
+        "or raise the bound deliberately")
     val a = perKey.select(col(keyCol).as("key_a"), col("bucket"),
       col("x").as("xa"))
     val b = perKey.select(col(keyCol).as("key_b"), col("bucket"),

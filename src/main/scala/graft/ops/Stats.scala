@@ -485,10 +485,10 @@ object Stats {
     * doubles appear only in the final guarded quotient, rounded to 6 dp.
     * Pairs are emitted once (`key_a < key_b`); undefined correlations
     * (either side constant over the co-observed buckets) are null, not
-    * a divide-by-zero. The two sides of the self-join are the SAME
-    * bucket-mean subtree — AQE's runtime exchange reuse serves the
-    * second side from the first's shuffle; even unreused, both passes
-    * are column-pruned scans, never a second materialization of pairs.
+    * a divide-by-zero. The two sides of the self-join read the SAME
+    * persisted bucket-mean frame (aggregate-sized; the guard count
+    * doubles as the cache materializer), so the tick stream is scanned
+    * exactly once regardless of exchange-reuse behavior.
     *
     * Guarded: the pair expansion is k(k−1)/2 in INSTRUMENT count (flat
     * in tick count — BASELINE.md's measured envelope), so past
@@ -502,11 +502,6 @@ object Stats {
                  valueCol: Column, maxInstruments: Long = 2000L): DataFrame = {
     val v = valueCol.cast(DecimalType(18, 6))
     val base = df.select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
-    val k = base.select(col(keyCol)).distinct().count()
-    require(k <= maxInstruments,
-      s"corrMatrix: $k instruments would expand to ${k * (k - 1) / 2} " +
-        s"pairs (maxInstruments=$maxInstruments); restrict the universe " +
-        "or raise the bound deliberately")
     val perKey = base.groupBy(col(keyCol), col("bucket"))
       .agg(sum(col("v")).as("_s"), count(lit(1)).as("_n"))
       .select(col(keyCol), col("bucket"),
@@ -516,6 +511,16 @@ object Stats {
         // error) on valid data. Oracle CTE mirrors the width.
         round(col("_s").cast("double") / col("_n"), 9)
           .cast(DecimalType(21, 9)).as("x"))
+      // persisted: the guard count and BOTH pair sides read this frame —
+      // counting off the aggregate (not the raw ticks) costs no extra
+      // corpus scan, and the self-join stops depending on AQE exchange
+      // reuse. Aggregate-sized; released by the caller's clearCache.
+      .persist()
+    val k = perKey.select(col(keyCol)).distinct().count()
+    require(k <= maxInstruments,
+      s"corrMatrix: $k instruments would expand to ${k * (k - 1) / 2} " +
+        s"pairs (maxInstruments=$maxInstruments); restrict the universe " +
+        "or raise the bound deliberately")
     val a = perKey.select(col(keyCol).as("key_a"), col("bucket"),
       col("x").as("xa"))
     val b = perKey.select(col(keyCol).as("key_b"), col("bucket"),
