@@ -966,6 +966,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q146_image_pixels" -> ((s, dir) => {
+      // REAL image pixel decode (JDK PNG inflate end-to-end), gated
+      // like q142/q124: solid-fill PNGs with inverted top-left pixel,
+      // channel sums recomputable from id arithmetic alone — pixel
+      // truth now gates all three modalities (image/audio/video)
+      import graft.multimodal.Media
+      val media = Media.imagePixelTable(s, t(s, dir, "documents"), "doc_id")
+      Media.extractImagePixels(s, media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("r_sum"), col("g_sum"), col("b_sum"), col("decoded"))
+        .orderBy("media_id")
+    }),
+
     "q145_vocab_coverage" -> ((s, dir) => {
       // tokenizer/vocab fitness: fix the top-20 corpus vocabulary
       // (deterministic freq-then-token cut) and score every doc's OOV
@@ -2942,6 +2955,23 @@ object SparkEntry {
         |  CAST(rs AS BIGINT) AS r_sum, CAST(gs AS BIGINT) AS g_sum,
         |  CAST(bs AS BIGINT) AS b_sum, TRUE AS decoded
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // Σchannel = c·w·h + 255 − 2c (solid fill, inverted top-left) —
+    // the q142 arithmetic with a single frame and its own color rule
+    "q146_image_pixels" ->
+      """WITH g AS (
+        |  SELECT doc_id, 8 + doc_id % 8 AS w, 6 + doc_id % 6 AS h,
+        |    (5 * doc_id + 11) % 256 AS cr,
+        |    (7 * doc_id + 3) % 256 AS cg,
+        |    (11 * doc_id + 7) % 256 AS cb
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST(cr * (w * h) + 255 - 2 * cr AS BIGINT) AS r_sum,
+        |  CAST(cg * (w * h) + 255 - 2 * cg AS BIGINT) AS g_sum,
+        |  CAST(cb * (w * h) + 255 - 2 * cb AS BIGINT) AS b_sum,
+        |  TRUE AS decoded
+        |FROM g ORDER BY media_id""".stripMargin,
 
     "q145_vocab_coverage" ->
       """WITH toks AS (

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL for every format the JDK ships a reader for
   * (PNG, JPEG, GIF, BMP, WBMP — [[ImageCodec.decodeDims]] reads true
-  * dimensions from the header via `javax.imageio`, no external codec
-  * libraries needed), and audio decode is REAL for 16-bit PCM in any
+  * dimensions from the header, and [[ImageCodec.decodePixels]] runs
+  * the full codec path to per-channel pixel sums, via `javax.imageio`,
+  * no external codec libraries needed), and audio decode is REAL for 16-bit PCM in any
   * JDK container — WAV, AIFF, AU, either byte order
   * ([[AudioCodec.decode]] reads true sample rate / channel count /
   * frame count and computes the PCM RMS via `javax.sound.sampled`;
@@ -89,6 +90,61 @@ object Media {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
+    }
+
+    /** Solid-fill PNG with the top-left pixel channel-inverted (the
+      * [[VideoCodec.encodeAviFrames]] convention): a decoder must read
+      * actual pixels — not the header, not one sample — to get the
+      * channel sums right. PNG is lossless and TYPE_INT_RGB exact, so
+      * the roundtrip is bit-deterministic.
+      */
+    def encodePngFill(width: Int, height: Int, r: Int, g: Int,
+                      b: Int): Array[Byte] = {
+      noDiskCache
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      img.setRGB(0, 0, ((255 - r) << 16) | ((255 - g) << 8) | (255 - b))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** FULL pixel decode via the JDK's real codecs (PNG inflate, JPEG
+      * IDCT, GIF LZW — whatever reader claims the payload): per-channel
+      * sums over every pixel in exact Longs, the image analog of
+      * [[AudioCodec.decode]]'s sample walk and
+      * [[VideoCodec.decodeFrames]]'s row walk. None when no reader
+      * claims the payload or decoding fails — the stub fallback path.
+      */
+    def decodePixels(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+      noDiskCache
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var r = 0L; var g = 0L; var b = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, r, g, b))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
   }
 
@@ -450,6 +506,49 @@ object Media {
             case None =>
               VideoFeatures(m.media_id, m.payload.length.toLong,
                 0, 0, 0L, 0L, decoded = false)
+          }
+        }
+      }
+  }
+
+  case class ImagePixelFeatures(media_id: Long, width: Int, height: Int,
+                                r_sum: Long, g_sum: Long, b_sum: Long,
+                                decoded: Boolean)
+
+  /** Deterministic pixel-bearing image table: one solid-fill PNG per id
+    * with id-derived geometry and color (inverted top-left pixel), so
+    * per-channel sums are SQL-expressible from the ids — the q142 video
+    * gate design applied to images.
+    */
+  def imagePixelTable(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          def m(x: Long, n: Long) = java.lang.Math.floorMod(x, n).toInt
+          MediaRow(id, "png", ImageCodec.encodePngFill(
+            8 + m(id, 8), 6 + m(id, 6),
+            m(5 * id + 11, 256), m(7 * id + 3, 256), m(11 * id + 7, 256)))
+        }
+      }.toDF()
+  }
+
+  /** Batched image PIXEL decode → per-channel sums: the JDK's real
+    * codec path end to end (`decoded = true`), zeroed stub row when no
+    * reader claims the payload.
+    */
+  def extractImagePixels(spark: SparkSession,
+                         media: DataFrame): Dataset[ImagePixelFeatures] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("format"), col("payload")).as[MediaRow]
+      .mapPartitions { it =>
+        it.map { m =>
+          ImageCodec.decodePixels(m.payload) match {
+            case Some((w, h, r, g, b)) =>
+              ImagePixelFeatures(m.media_id, w, h, r, g, b, decoded = true)
+            case None =>
+              ImagePixelFeatures(m.media_id, 0, 0, 0L, 0L, 0L,
+                decoded = false)
           }
         }
       }

@@ -887,6 +887,15 @@ object LawsProps extends Properties("graft.laws") {
       }
     }
 
+  property("image pixel roundtrip: encodePngFill→decodePixels sums follow the fill formula") =
+    forAll(Gen.choose(1, 8), Gen.choose(1, 6), Gen.choose(0, 255),
+      Gen.choose(0, 255), Gen.choose(0, 255)) { (w, h, r, g, b) =>
+      import graft.multimodal.Media.ImageCodec
+      def s(c: Int) = c.toLong * w * h + 255 - 2 * c
+      ImageCodec.decodePixels(ImageCodec.encodePngFill(w, h, r, g, b)) ==
+        Some((w, h, s(r), s(g), s(b)))
+    }
+
   property("redactPii: every planted PII item redacted, exact count, clean filler untouched") =
     forAll(
       Gen.choose(0, 3), Gen.choose(0, 3), Gen.choose(0, 3),

@@ -1102,6 +1102,35 @@ class VectorStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("image PIXEL decode is real: PNG roundtrip sums, inverted corner, non-image stubs") {
+    // 3×2 fill (10, 200, 30), corner inverted: per-channel sum =
+    // c·6 + 255 − 2c, hand-computed
+    val png = Media.ImageCodec.encodePngFill(3, 2, 10, 200, 30)
+    assert(Media.ImageCodec.decodePixels(png) ===
+      Some((3, 2, 10L * 6 + 235, 200L * 6 - 145, 30L * 6 + 195)))
+    // 1×1: the inverted corner IS the image
+    assert(Media.ImageCodec.decodePixels(
+      Media.ImageCodec.encodePngFill(1, 1, 0, 128, 255)) ===
+      Some((1, 1, 255L, 127L, 0L)))
+    // non-image payloads stub
+    assert(Media.ImageCodec.decodePixels("not a png".getBytes) === None)
+    assert(Media.ImageCodec.decodePixels(
+      Media.VideoCodec.encodeAvi(4, 4, 1, 40000)) === None)
+    // distributed path with id-derived ground truth
+    val ids = Seq(0L, 7L, 333L).toDF("doc_id")
+    val feats = Media.extractImagePixels(spark,
+        Media.imagePixelTable(spark, ids, "doc_id"))
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- Seq(0L, 7L, 333L)) {
+      val f = feats(id)
+      assert(f.decoded, s"id=$id not decoded")
+      val (w, h) = (8 + id % 8, 6 + id % 6)
+      val cr = (5 * id + 11) % 256
+      assert((f.width, f.height) === ((w.toInt, h.toInt)))
+      assert(f.r_sum === cr * w * h + 255 - 2 * cr, s"id=$id r_sum")
+    }
+  }
+
   test("media resize and frame sampling: payload transform + row expansion") {
     val docs = Seq((1L, "x" * 300), (2L, "y" * 100)).toDF("doc_id", "text")
     val media = Media.attachPayload(docs, "doc_id", "text")
