@@ -129,6 +129,12 @@ object DevAnalytics {
         Seq(5, 10, 21))
     }
 
+    // round-6 family: 19,900 pairs × 7 lags from the persisted
+    // minute-mean return frame — ticks are scanned once for the whole
+    // lag stack
+    time("leadlag_corr")(ops.Risk.leadLagCorr(ticks,
+      "event_type", minuteBucket, col("value"), maxLag = 3))
+
     // rollup maintenance: churn = 1% of rows updated + 0.5% inserted;
     // the delta path must cost churn-shaped work, not base-shaped
     time("incremental_agg") {
