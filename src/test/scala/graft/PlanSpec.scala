@@ -312,6 +312,24 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q144: lead-lag reads the persisted return frame — one tick scan, broadcast pairs") {
+    val p = plan("q144_leadlag_corr")
+    // both pair sides read the persisted return frame (the plan STRING
+    // re-prints the cached build subtree per reference, so scans can't
+    // be counted textually — the cache reads are the executable truth)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    spark.catalog.clearCache() // release the operator's persist
+  }
+
+  test("q145: vocab via TakeOrderedAndProject, membership by broadcast — no global sort") {
+    val p = plan("q145_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("date-partitioned tables prune untouched partitions at the scan") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_prune").toString + "/t"
