@@ -3006,8 +3006,8 @@ object SparkEntry {
         |  FROM base GROUP BY event_type, bucket),
         |rx AS (
         |  SELECT event_type, bucket,
-        |    CAST(x - lag(x) OVER (PARTITION BY event_type ORDER BY bucket)
-        |      AS DECIMAL(22,9)) AS r
+        |    CAST(round(x - lag(x) OVER (PARTITION BY event_type ORDER BY bucket),
+        |      6) AS DECIMAL(18,6)) AS r
         |  FROM perkey),
         |rr AS (
         |  SELECT event_type, bucket, r,
@@ -3022,9 +3022,9 @@ object SparkEntry {
         |cells AS (
         |  SELECT a.event_type AS key_a, b.key_b, b.l, COUNT(*) AS n,
         |    SUM(a.r) AS sa, SUM(b.rb) AS sb,
-        |    SUM(CAST(a.r * b.rb AS DECIMAL(38,18))) AS sab,
-        |    SUM(CAST(a.r * a.r AS DECIMAL(38,18))) AS saa,
-        |    SUM(CAST(b.rb * b.rb AS DECIMAL(38,18))) AS sbb
+        |    SUM(CAST(a.r * b.rb AS DECIMAL(38,12))) AS sab,
+        |    SUM(CAST(a.r * a.r AS DECIMAL(38,12))) AS saa,
+        |    SUM(CAST(b.rb * b.rb AS DECIMAL(38,12))) AS sbb
         |  FROM rr a JOIN lagged b USING (bucket)
         |  WHERE a.event_type <> b.key_b AND (b.l > 0 OR a.event_type < b.key_b)
         |  GROUP BY 1, 2, 3),

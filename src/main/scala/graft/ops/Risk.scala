@@ -480,23 +480,11 @@ object Risk {
   def pairSpread(df: DataFrame, keyCol: String, bucketCol: Column,
                  valueCol: Column, zThreshold: Double = 2.0,
                  maxInstruments: Long = 2000L): DataFrame = {
-    val v = valueCol.cast(DecimalType(18, 6))
-    val base = df.filter(valueCol.isNotNull)
-      .select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
-    val perKey = base.groupBy(col(keyCol), col("bucket"))
-      .agg(sum(col("v")).as("_s"), count(lit(1)).as("_n"))
-      .select(col(keyCol), col("bucket"),
-        round(col("_s").cast("double") / col("_n"), 9)
-          .cast(DecimalType(21, 9)).as("x"))
-      // persisted: guard count + both pair sides share the aggregate
-      // frame (the corrMatrix convention) — no extra corpus scan for
-      // the guard; released by the caller's clearCache
-      .persist()
-    val k = perKey.select(col(keyCol)).distinct().count()
-    require(k <= maxInstruments,
-      s"pairSpread: $k instruments would expand to ${k * (k - 1) / 2} " +
-        s"pairs (maxInstruments=$maxInstruments); restrict the universe " +
-        "or raise the bound deliberately")
+    val perKey = Stats.guardInstruments(
+      Stats.bucketMeans(df.filter(valueCol.isNotNull), keyCol, bucketCol,
+        valueCol),
+      keyCol, maxInstruments, "pairSpread",
+      k => s"${k * (k - 1) / 2} pairs")
     val a = perKey.select(col(keyCol).as("key_a"), col("bucket"),
       col("x").as("xa"))
     val b = perKey.select(col(keyCol).as("key_b"), col("bucket"),
@@ -542,10 +530,12 @@ object Risk {
     * `lag(r, ℓ)` convention — calendar gaps are not interpolated).
     *
     * Scale posture: ticks reduce once to the bucket-mean frame (the
-    * [[Stats.corrMatrix]] alignment); returns are exact decimal
-    * DIFFERENCES of that frame (Pearson is scale-invariant, so
-    * differences carry the same correlation as pct returns without a
-    * division); the lag stack rides ONE window pass (an array of lag
+    * shared [[Stats.bucketMeans]] alignment); returns are decimal
+    * DIFFERENCES of that frame rounded to the 6-dp grid (Pearson is
+    * scale-invariant, so differences carry the same correlation as pct
+    * returns without a division; the 6-dp fix keeps every product
+    * inside precision 38 — exact in both engines); the lag stack rides
+    * ONE window pass (an array of lag
     * exprs over the same spec); and the pair expansion broadcast-joins
     * aggregate-sized frames with all (pair, lag) power sums from one
     * grouped aggregation. Exact decimal sums, doubles only in the
@@ -564,33 +554,28 @@ object Risk {
                   valueCol: Column, maxLag: Int = 3,
                   maxInstruments: Long = 2000L): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    val v = valueCol.cast(DecimalType(18, 6))
-    val base = df.filter(valueCol.isNotNull)
-      .select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
-    val perKey = base.groupBy(col(keyCol), col("bucket"))
-      .agg(sum(col("v")).as("_s"), count(lit(1)).as("_n"))
-      .select(col(keyCol), col("bucket"),
-        round(col("_s").cast("double") / col("_n"), 9)
-          .cast(DecimalType(21, 9)).as("x"))
+    val perKey = Stats.bucketMeans(df.filter(valueCol.isNotNull), keyCol,
+      bucketCol, valueCol)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket").asc)
-    // persisted: the return frame feeds BOTH pair sides (the banded-LSH
-    // compute-signatures-once convention) — without it the tick scan,
-    // bucket-mean shuffle, and window all run twice. Aggregate-sized;
-    // released by the caller's clearCache (Bench/Verify contract). The
-    // guard count below doubles as the cache materializer, and counts
-    // exactly the keys that can enter the pair join (a key needs >= 2
-    // buckets to have a return at all).
-    val rets = perKey
-      .withColumn("r", (col("x") - lag(col("x"), 1).over(w))
-        .cast(DecimalType(22, 9)))
-      .filter(col("r").isNotNull)
-      .persist()
-    val k = rets.select(col(keyCol)).distinct().count()
-    require(k <= maxInstruments,
-      s"leadLagCorr: $k instruments would expand to " +
-        s"${k * (k - 1) / 2 * (2 * maxLag + 1)} pair-lag cells " +
-        s"(maxInstruments=$maxInstruments); restrict the universe or " +
-        "raise the bound deliberately")
+    // Return = bucket-mean difference ROUNDED TO 6 DP and fixed as
+    // DECIMAL(18,6) — not the raw (22,9) difference: a (22,9)² product
+    // needs precision 45, which Spark silently truncates to scale 11
+    // while DuckDB routes through doubles (the repo's measured
+    // decimal-parity hazard), and q144's argmax would amplify any
+    // sub-6dp divergence into a whole-row flip. (18,6)² = (37,12) is
+    // EXACT in both engines; the 6-dp return grid is the operator's
+    // defined statistic (rounding a decimal is itself exact and
+    // engine-identical). The frame persists because it feeds BOTH pair
+    // sides (the banded-LSH compute-once convention) — the guard count
+    // doubles as materializer and counts exactly the keys that can
+    // enter the pair join (a key needs >= 2 buckets to have a return).
+    val rets = Stats.guardInstruments(
+      perKey
+        .withColumn("r", round(col("x") - lag(col("x"), 1).over(w), 6)
+          .cast(DecimalType(18, 6)))
+        .filter(col("r").isNotNull),
+      keyCol, maxInstruments, "leadLagCorr",
+      k => s"${k * (k - 1) / 2 * (2 * maxLag + 1)} pair-lag cells")
     // leader side: returns at lags 0..maxLag — the lag columns ride ONE
     // Window operator (same spec), then the stack explodes map-side
     // (generators cannot hold window exprs directly)
@@ -613,9 +598,11 @@ object Risk {
       .groupBy("key_a", "key_b", "l")
       .agg(count(lit(1)).as("n"),
         sum(col("ra")).as("sa"), sum(col("rb")).as("sb"),
-        sum((col("ra") * col("rb")).cast(DecimalType(38, 18))).as("sab"),
-        sum((col("ra") * col("ra")).cast(DecimalType(38, 18))).as("saa"),
-        sum((col("rb") * col("rb")).cast(DecimalType(38, 18))).as("sbb"))
+        // (18,6)² = (37,12): the product itself is exact — the cast
+        // only widens for the sum, never truncates
+        sum((col("ra") * col("rb")).cast(DecimalType(38, 12))).as("sab"),
+        sum((col("ra") * col("ra")).cast(DecimalType(38, 12))).as("saa"),
+        sum((col("rb") * col("rb")).cast(DecimalType(38, 12))).as("sbb"))
     def d(c: String) = col(c).cast("double")
     val da = col("n") * d("saa") - d("sa") * d("sa")
     val db = col("n") * d("sbb") - d("sb") * d("sb")
@@ -723,6 +710,13 @@ object Risk {
     val trail = w.rowsBetween(-(nBars - 1), Window.currentRow)
     val prior = w.rowsBetween(-nBars, -1)
     bars
+      // bars with any null OHLC field drop first (the Risk.flowImbalance
+      // convention): they carry no range information, must not occupy a
+      // TR/Donchian frame slot or void the prev-close chain — and
+      // atrStream filters identically, so the bar-for-bar parity law
+      // holds on gapped feeds
+      .filter(col("high").isNotNull && col("low").isNotNull &&
+        col("close").isNotNull)
       .withColumn("_tr", tr.cast(DecimalType(20, 6)))
       .withColumn("_trn", count(col("_tr")).over(trail))
       .withColumn("atr", when(col("_trn") === nBars,

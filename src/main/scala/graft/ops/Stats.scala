@@ -498,29 +498,54 @@ object Stats {
     * / knnGraphBucketed. The count is one aggregate scalar off the
     * bucket-mean frame the operator builds anyway.
     */
-  def corrMatrix(df: DataFrame, keyCol: String, bucketCol: Column,
-                 valueCol: Column, maxInstruments: Long = 2000L): DataFrame = {
-    val v = valueCol.cast(DecimalType(18, 6))
-    val base = df.select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
-    val perKey = base.groupBy(col(keyCol), col("bucket"))
+  /** Shared bucket-mean alignment frame of the k² pair family
+    * ([[corrMatrix]], [[graft.ops.Risk.pairSpread]],
+    * [[graft.ops.Risk.leadLagCorr]]) — ONE place owns the numeric
+    * contract: DECIMAL(21,9), not (18,9), because input values are
+    * DECIMAL(18,6) (up to ~1e12) so a bucket MEAN can reach 1e12 too —
+    * 9 fractional digits then need 21 of precision or the cast
+    * overflows (ANSI error) on valid data. Oracle CTEs mirror the
+    * width.
+    */
+  private[ops] def bucketMeans(df: DataFrame, keyCol: String,
+                               bucketCol: Column, valueCol: Column): DataFrame =
+    df.select(col(keyCol), bucketCol.as("bucket"),
+        valueCol.cast(DecimalType(18, 6)).as("v"))
+      .groupBy(col(keyCol), col("bucket"))
       .agg(sum(col("v")).as("_s"), count(lit(1)).as("_n"))
       .select(col(keyCol), col("bucket"),
-        // DECIMAL(21,9), not (18,9): input values are DECIMAL(18,6) (up
-        // to ~1e12), so a bucket MEAN can reach 1e12 too — 9 fractional
-        // digits then need 21 of precision or the cast overflows (ANSI
-        // error) on valid data. Oracle CTE mirrors the width.
         round(col("_s").cast("double") / col("_n"), 9)
           .cast(DecimalType(21, 9)).as("x"))
-      // persisted: the guard count and BOTH pair sides read this frame —
-      // counting off the aggregate (not the raw ticks) costs no extra
-      // corpus scan, and the self-join stops depending on AQE exchange
-      // reuse. Aggregate-sized; released by the caller's clearCache.
-      .persist()
-    val k = perKey.select(col(keyCol)).distinct().count()
-    require(k <= maxInstruments,
-      s"corrMatrix: $k instruments would expand to ${k * (k - 1) / 2} " +
-        s"pairs (maxInstruments=$maxInstruments); restrict the universe " +
-        "or raise the bound deliberately")
+
+  /** Persist-and-guard for the pair family: caches the aggregate-sized
+    * frame (the guard count doubles as the materializer and both pair
+    * sides then read the cache — ticks scanned once), refusing past
+    * `maxInstruments` distinct keys with the expansion named. On the
+    * REFUSAL path the cache is released before the throw — a refused
+    * call must not leak storage that only a later clearCache would
+    * reclaim. On success, release follows the caller's clearCache
+    * contract (Bench/Verify per-query).
+    */
+  private[ops] def guardInstruments(frame: DataFrame, keyCol: String,
+                                    maxInstruments: Long, opName: String,
+                                    expansion: Long => String): DataFrame = {
+    val cached = frame.persist()
+    val k = cached.select(col(keyCol)).distinct().count()
+    if (k > maxInstruments) {
+      cached.unpersist()
+      throw new IllegalArgumentException(
+        s"$opName: $k instruments would expand to ${expansion(k)} " +
+          s"(maxInstruments=$maxInstruments); restrict the universe " +
+          "or raise the bound deliberately")
+    }
+    cached
+  }
+
+  def corrMatrix(df: DataFrame, keyCol: String, bucketCol: Column,
+                 valueCol: Column, maxInstruments: Long = 2000L): DataFrame = {
+    val perKey = guardInstruments(
+      bucketMeans(df, keyCol, bucketCol, valueCol), keyCol,
+      maxInstruments, "corrMatrix", k => s"${k * (k - 1) / 2} pairs")
     val a = perKey.select(col(keyCol).as("key_a"), col("bucket"),
       col("x").as("xa"))
     val b = perKey.select(col(keyCol).as("key_b"), col("bucket"),
