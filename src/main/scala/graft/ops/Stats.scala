@@ -393,7 +393,12 @@ object Stats {
                        orderCols: Seq[Column], valueCol: Column,
                        bucketCol: Column): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
-    df.withColumn("_r", tickReturn(w, valueCol))
+    // null-priced ticks drop BEFORE the lag chain (the Risk.flowImbalance
+    // convention): a null price must not void the next tick's return —
+    // and realizedVarianceStream filters identically, so the
+    // batch/stream prefix-equality law holds on feeds with gaps
+    df.filter(valueCol.isNotNull)
+      .withColumn("_r", tickReturn(w, valueCol))
       .withColumn("_b", bucketCol)
       .filter(col("_r").isNotNull)
       .groupBy(col(keyCol), col("_b").as("bucket"))

@@ -487,6 +487,83 @@ object EventStream {
       }
   }
 
+  case class RvState(lastMicros: Long, seen: Boolean, bucket: Long,
+                     inBucket: Boolean, n: Long, s2: String)
+  case class RvTick(key: String, seq: Long, bucket: Long, n_returns: Long,
+                    realized_variance: Double, realized_vol: Double)
+
+  /** Per-(instrument, bucket) RUNNING realized variance on the live
+    * path: the incremental face of [[graft.ops.Stats.realizedVariance]]
+    * — live RV/vol is THE number a risk screen watches intraday, and
+    * the batch all-at-once shape only surfaces it after the bucket
+    * closes. After any prefix of ticks the latest emission per
+    * (key, bucket) equals the batch aggregate over that prefix
+    * (spec'd — the [[vwapStream]] prefix-equality law, per bucket).
+    *
+    * Semantics mirror batch exactly: the return STRADDLING a bucket
+    * boundary belongs to the bucket of its LATER tick (the market-open
+    * convention — the last-price chain crosses buckets, only the
+    * accumulators reset), undefined returns (first tick, non-positive
+    * previous price) are skipped, and null-priced ticks drop before
+    * the chain. `bucketCol` must be bucket-monotone per key in seq
+    * order (any time-derived bucket is); state = last price + the OPEN
+    * bucket's (n, Σr²) — O(1) per key, buckets close themselves when
+    * the next one opens.
+    *
+    * Numerics contract (the [[sharpeStream]] discipline): prices
+    * quantize through DECIMAL(18,6); each return is the batch
+    * `tickReturn` double division rounded to 9 dp and fixed exact;
+    * Σr² accumulates as an exact BigDecimal string; the presented
+    * variance/vol replay the batch decimal→double casts bit-for-bit.
+    */
+  def realizedVarianceStream(spark: SparkSession, ticks: DataFrame,
+                             keyCol: String, seqCol: String,
+                             valueCol: String,
+                             bucketCol: String): Dataset[RvTick] = {
+    import spark.implicits._
+    def r9(d: Double): Double =
+      BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    ticks.select(col(keyCol).cast("string").as("k"),
+        col(seqCol).cast("long").as("seq"),
+        col(valueCol).cast("decimal(18,6)").as("v"),
+        col(bucketCol).cast("long").as("b"))
+      .filter(col("k").isNotNull && col("seq").isNotNull &&
+        col("v").isNotNull && col("b").isNotNull)
+      .as[(String, Long, BigDecimal, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RvState, RvTick](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var st = state.getOption.getOrElse(
+            RvState(0L, seen = false, 0L, inBucket = false, 0L, "0"))
+          var s2 = BigDecimal(st.s2)
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, seq, v, b) =>
+            val vm = (v * 1000000).toLongExact
+            if (st.seen && st.lastMicros > 0) {
+              // a return materializes IN bucket b (the later tick's
+              // bucket, batch's straddle convention) — roll the
+              // accumulators iff the return's bucket is new
+              if (!st.inBucket || b != st.bucket) {
+                s2 = BigDecimal(0)
+                st = st.copy(bucket = b, inBucket = true, n = 0L)
+              }
+              val prev = BigDecimal(st.lastMicros) / 1000000
+              val ret = BigDecimal(
+                r9((v - prev).toDouble / prev.toDouble))
+              s2 += ret * ret
+              st = st.copy(lastMicros = vm, n = st.n + 1, s2 = s2.toString)
+              Some(RvTick(key, seq, b, st.n, s2.toDouble,
+                r9(math.sqrt(s2.toDouble))))
+            } else { // undefined return: chain advances, sums untouched
+              st = st.copy(lastMicros = vm, seen = true)
+              None
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class AtrState(lastCloseMicros: Long, seen: Boolean,
                       trs: List[Long], highs: List[Long], lows: List[Long])
   case class AtrTick(key: String, bar: Long, high: Double, low: Double,

@@ -660,6 +660,48 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(lsh === exact, s"missed=${(exact -- lsh).size} false=${(lsh -- exact).size}")
   }
 
+  test("realizedVarianceStream equals batch RV per (key, bucket); straddle + nulls + bucket roll") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // a: +0.1 inside bucket 1, then a STRADDLING −0.1 that batch assigns
+    // to bucket 2 (later tick's bucket), a null tick (drops both sides),
+    // then +0.1 closing bucket 2 across the micro-batch split; b's only
+    // return lands in bucket 2
+    val ticks = Seq(
+      ("a", 1L, Option(100.0), 1L), ("a", 2L, Option(110.0), 1L),
+      ("a", 3L, Option(99.0), 2L), ("b", 1L, Option(50.0), 1L),
+      ("a", 4L, Option.empty[Double], 2L), ("a", 5L, Option(108.9), 2L),
+      ("b", 2L, Option(55.0), 2L))
+    val mem = MemoryStream[(String, Long, Option[Double], Long)]
+    val q = EventStream.realizedVarianceStream(spark,
+        mem.toDF().toDF("sym", "seq", "price", "bkt"),
+        "sym", "seq", "price", "bkt")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("rv_out").start()
+    mem.addData(ticks.take(4): _*)
+    q.processAllAvailable()
+    mem.addData(ticks.drop(4): _*)
+    q.processAllAvailable()
+    val latest = spark.table("rv_out")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .groupBy(r => (r._1, r._3))
+      .map { case (k, rows) => k -> rows.maxBy(_._2) }
+    q.stop()
+    val batch = graft.ops.Stats.realizedVariance(
+        ticks.toDF("sym", "seq", "price", "bkt"), "sym", Seq(col("seq")),
+        col("price"), col("bkt"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(latest.keySet === batch.keySet)
+    latest.foreach { case (k, (_, _, _, n, rv, vol)) =>
+      assert((n, rv, vol) === ((batch(k)._3, batch(k)._4, batch(k)._5)), k)
+    }
+    // hand-pins: a/b2 holds the straddle AND the post-null return
+    assert(latest(("a", 2L))._4 === 2L)
+    assert(latest(("a", 2L))._5 === 0.02)
+    assert(latest(("a", 1L))._5 === 0.01)
+  }
+
   test("atrStream matches batch atrChannels bar-for-bar; true-range chain crosses batches") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
