@@ -128,7 +128,12 @@ object Stats {
            priceCol: Column, qtyCol: Column): DataFrame = {
     val p = priceCol.cast(DecimalType(18, 6))
     val q = qtyCol.cast(DecimalType(18, 6))
-    df.groupBy(keys.map(col): _*)
+    // rows missing price or qty drop first (the Risk.flowImbalance
+    // convention): they carry no consideration, would inflate n_trades
+    // past the sums' support, and vwapStream filters identically — so
+    // the batch/stream prefix-equality law holds on feeds with gaps
+    df.filter(priceCol.isNotNull && qtyCol.isNotNull)
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_trades"),
         sum(q).as("_qty"),
         sum((p * q).cast(DecimalType(38, 12))).as("_pv"))

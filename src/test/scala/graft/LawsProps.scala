@@ -4,6 +4,7 @@ import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.{forAll, propBoolean}
 
 import graft.ops.{Clean, Joins}
+import graft.streaming.EventStream
 
 /** ScalaCheck laws for the core operators (SURVEY §5 plan item c): the
   * properties hold for ALL inputs, not just the curated fixtures — small
@@ -894,6 +895,47 @@ object LawsProps extends Properties("graft.laws") {
       def s(c: Int) = c.toLong * w * h + 255 - 2 * c
       ImageCodec.decodePixels(ImageCodec.encodePngFill(w, h, r, g, b)) ==
         Some((w, h, s(r), s(g), s(b)))
+    }
+
+  private val streamLawCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  property("vwapStream: latest emission equals batch vwap on ANY feed (nulls, fractions, any split)") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"),
+        Gen.option(Gen.choose(1, 99999)),    // price in cents, or null
+        Gen.option(Gen.choose(1, 9999)))),   // qty in hundredths, or null
+      Gen.choose(0, 5)) { (rowsRaw, splitRaw) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.functions.col
+      val rows = rowsRaw.zipWithIndex.map { case ((k, pc, qc), i) =>
+        (k, i.toLong, pc.map(_ / 100.0), qc.map(_ / 100.0)) }
+      val split = math.min(splitRaw, rows.size)
+      val mem = MemoryStream[(String, Long, Option[Double], Option[Double])]
+      val name = s"vwap_law_${streamLawCounter.incrementAndGet()}"
+      val q = EventStream.vwapStream(spark,
+          mem.toDF().toDF("sym", "seq", "price", "qty"),
+          "sym", "seq", "price", "qty")
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        if (split > 0) { mem.addData(rows.take(split): _*); q.processAllAvailable() }
+        if (rows.size > split) mem.addData(rows.drop(split): _*)
+        q.processAllAvailable()
+        val latest = spark.table(name)
+          .as[(String, Long, Long, Double, Option[Double])].collect()
+          .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+        val batch = graft.ops.Stats.vwap(
+            rows.toDF("sym", "seq", "price", "qty"), Seq("sym"),
+            col("price"), col("qty"))
+          .as[(String, Long, Double, Option[Double])].collect()
+          .map(r => r._1 -> r).toMap
+        // keys whose rows are ALL invalid vanish from BOTH sides
+        latest.keySet == batch.keySet && latest.forall {
+          case (k, (_, _, n, tq, vw)) =>
+            batch(k)._2 == n && batch(k)._3 == tq && batch(k)._4 == vw
+        }
+      } finally q.stop()
     }
 
   property("redactPii: every planted PII item redacted, exact count, clean filler untouched") =
