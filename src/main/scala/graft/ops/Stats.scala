@@ -235,7 +235,11 @@ object Stats {
     // when/when (no otherwise): a null delta stays null ⇒ sum skips it
     val gain = when(delta > 0, delta).when(delta <= 0, lit(0).cast(DecimalType(19, 6)))
     val loss = when(delta < 0, -delta).when(delta >= 0, lit(0).cast(DecimalType(19, 6)))
-    df.withColumn("_d", v - lag(v, 1).over(w))
+    // null-priced ticks drop first (the Risk.flowImbalance convention):
+    // a null would void TWO deltas via the lag chain and still emit a
+    // row — rsiStream drops them, so parity holds on gapped feeds
+    df.filter(valueCol.isNotNull)
+      .withColumn("_d", v - lag(v, 1).over(w))
       .withColumn("_g", sum(gain).over(fr))
       .withColumn("_l", sum(loss).over(fr))
       .withColumn("n_deltas", count(delta).over(fr))
@@ -262,8 +266,10 @@ object Stats {
     * end to end: IEEE arithmetic in a FIXED order (frame order) is
     * deterministic on any cluster, and the oracle folds the identical
     * expression, so results are bit-reproducible without decimals here.
-    * Nulls must be filtered upstream (collect_list drops them ⇒ the
-    * fold would silently skip).
+    * Null-valued ticks drop first (the Risk.flowImbalance convention —
+    * collect_list would silently skip them INSIDE frames while their
+    * rows still emitted, exactly the batch/stream divergence
+    * ewmaStream's drop-null contract forbids).
     */
   def ewma(df: DataFrame, keyCol: String, orderCols: Seq[Column],
            valueCol: Column, alpha: Double, window: Int): DataFrame = {
@@ -274,7 +280,8 @@ object Stats {
     val fold = org.apache.spark.sql.GraftColumn(graft.functions.EwmaFold(
       org.apache.spark.sql.GraftColumn.expr(col("_l")),
       org.apache.spark.sql.GraftColumn.expr(lit(alpha))))
-    df.withColumn("_l", collect_list(valueCol.cast("double")).over(w))
+    df.filter(valueCol.isNotNull)
+      .withColumn("_l", collect_list(valueCol.cast("double")).over(w))
       .withColumn("ewma", round(fold, 6)) // EwmaFold: empty frame → null
       .drop("_l")
   }

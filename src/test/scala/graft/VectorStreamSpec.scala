@@ -856,6 +856,20 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(!bb.contains(2L)) // the null row leaves the surface entirely
     assert(bb(3L) === 2L)    // frame = (100, 110), not (null, 110)
 
+    // ewma/rsi: same convention — the null row leaves the surface and
+    // never occupies a frame slot or voids a delta
+    val ew = graft.ops.Stats.ewma(df, "sym", Seq(col("seq")),
+        col("price"), alpha = 0.5, window = 2)
+      .select("seq", "ewma").as[(Long, Option[Double])].collect().toMap
+    assert(!ew.contains(2L))
+    assert(ew(3L) === Some(105.0)) // fold over (100, 110), not (null, 110)
+    val rs = graft.ops.Stats.rsi(df, "sym", Seq(col("seq")),
+        col("price"), period = 2)
+      .select("seq", "n_deltas").as[(Long, Long)].collect().toMap
+    assert(!rs.contains(2L))
+    // deltas +10 (100→110) then −11 (110→99): the null voids NEITHER
+    assert(rs(3L) === 1L && rs(4L) === 2L)
+
     // stream sides on the same feed: latest emissions agree
     val mem = MemoryStream[(String, Long, Option[Double])]
     val src = mem.toDF().toDF("sym", "seq", "price")
