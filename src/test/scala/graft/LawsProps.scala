@@ -938,6 +938,51 @@ object LawsProps extends Properties("graft.laws") {
       } finally q.stop()
     }
 
+  property("flowImbalanceStream: equals batch OFI on ANY feed (sign carry, nulls, any split)") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"),
+        Gen.option(Gen.choose(1, 5)),       // tiny price domain: zero
+                                            // changes and sign flips are
+                                            // COMMON, stressing the carry
+        Gen.option(Gen.choose(1, 999)))),   // fractional qty (hundredths)
+      Gen.choose(0, 5)) { (rowsRaw, splitRaw) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.functions.{col, lit}
+      val rows = rowsRaw.zipWithIndex.map { case ((k, pc, qc), i) =>
+        (k, i.toLong, pc.map(_.toDouble), qc.map(_ / 100.0)) }
+      val split = math.min(splitRaw, rows.size)
+      val mem = MemoryStream[(String, Long, Option[Double], Option[Double])]
+      val name = s"flow_law_${streamLawCounter.incrementAndGet()}"
+      val q = EventStream.flowImbalanceStream(spark,
+          mem.toDF().toDF("sym", "seq", "price", "qty"),
+          "sym", "seq", "price", "qty")
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        if (split > 0) { mem.addData(rows.take(split): _*); q.processAllAvailable() }
+        if (rows.size > split) mem.addData(rows.drop(split): _*)
+        q.processAllAvailable()
+        val latest = spark.table(name)
+          .as[(String, Long, Long, Double, Double, Option[Double])].collect()
+          .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+        val batch = graft.ops.Risk.flowImbalance(
+            rows.toDF("sym", "seq", "price", "qty"), "sym", Seq(col("seq")),
+            col("price"), col("qty"), lit(1))
+          .as[(String, Int, Long, Double, Double, Option[Double])].collect()
+          .map(r => r._1 -> r).toMap
+        // a key with zero classified ticks: batch emits no row, the
+        // stream's latest says n = 0 — both assert "nothing signed"
+        latest.forall { case (k, (_, _, n, signed, total, ofi)) =>
+          batch.get(k) match {
+            case None => n == 0L
+            case Some(b) => n == b._3 && signed == b._4 && total == b._5 &&
+              ofi == b._6
+          }
+        } && batch.keySet.subsetOf(latest.keySet)
+      } finally q.stop()
+    }
+
   property("redactPii: every planted PII item redacted, exact count, clean filler untouched") =
     forAll(
       Gen.choose(0, 3), Gen.choose(0, 3), Gen.choose(0, 3),
