@@ -966,6 +966,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q147_corpus_drift" -> ((s, dir) => {
+      // corpus-version drift monitor: even vs odd doc_ids stand in for
+      // two crawl versions; 50-char length buckets, add-one-smoothed
+      // shares, per-bucket KL contribution + total — the gate hashes
+      // the whole drift report
+      val d = t(s, dir, "documents")
+      text.TextStats.distributionDrift(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          floor(length(col("text")) / 50))
+        .orderBy("bucket")
+    }),
+
     "q146_image_pixels" -> ((s, dir) => {
       // REAL image pixel decode (JDK PNG inflate end-to-end), gated
       // like q142/q124: solid-fill PNGs with inverted top-left pixel,
@@ -2955,6 +2968,46 @@ object SparkEntry {
         |  CAST(rs AS BIGINT) AS r_sum, CAST(gs AS BIGINT) AS g_sum,
         |  CAST(bs AS BIGINT) AS b_sum, TRUE AS decoded
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // full drift-report mirror: histograms, add-one shares, ln of the
+    // raw ratio at 12 dp (zipfSlope's transcendental rule), exact
+    // decimal contributions; decimal→double casts route through
+    // VARCHAR (the measured DuckDB cast-rounding hazard)
+    "q147_corpus_drift" ->
+      """WITH ca AS (
+        |  SELECT CAST(floor(length(text) / 50) AS BIGINT) AS bucket,
+        |    COUNT(*) AS n_a
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cb AS (
+        |  SELECT CAST(floor(length(text) / 50) AS BIGINT) AS bucket,
+        |    COUNT(*) AS n_b
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(ca.bucket, cb.bucket) AS bucket,
+        |    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket),
+        |t AS (
+        |  SELECT bucket, n_a, n_b,
+        |    SUM(n_a) OVER () AS ta, SUM(n_b) OVER () AS tb,
+        |    COUNT(*) OVER () AS k
+        |  FROM j),
+        |s AS (
+        |  SELECT bucket, n_a, n_b,
+        |    CAST(round(CAST(n_a + 1 AS DOUBLE) / (ta + k), 9) AS DECIMAL(10,9)) AS p_a,
+        |    CAST(round(CAST(n_b + 1 AS DOUBLE) / (tb + k), 9) AS DECIMAL(10,9)) AS p_b,
+        |    CAST(round(ln((CAST(n_a + 1 AS DOUBLE) / (ta + k)) /
+        |      (CAST(n_b + 1 AS DOUBLE) / (tb + k))), 12) AS DECIMAL(14,12)) AS lnr
+        |  FROM t),
+        |c AS (
+        |  SELECT bucket, n_a, n_b, p_a, p_b,
+        |    CAST(p_a * lnr AS DECIMAL(26,21)) AS contrib
+        |  FROM s)
+        |SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(CAST(p_a AS VARCHAR) AS DOUBLE) AS p_a,
+        |  CAST(CAST(p_b AS VARCHAR) AS DOUBLE) AS p_b,
+        |  round(CAST(CAST(contrib AS VARCHAR) AS DOUBLE), 12) AS kl_contrib,
+        |  round(CAST(CAST(SUM(contrib) OVER () AS VARCHAR) AS DOUBLE), 9) AS kl_total
+        |FROM c ORDER BY bucket""".stripMargin,
 
     // Σchannel = c·w·h + 255 − 2c (solid fill, inverted top-left) —
     // the q142 arithmetic with a single frame and its own color rule

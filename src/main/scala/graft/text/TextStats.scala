@@ -238,6 +238,63 @@ object TextStats {
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Distribution drift between two corpus slices: per-bucket counts
+    * and add-one-smoothed shares of A and B over a shared bucketing,
+    * plus each bucket's contribution to KL(A‖B) and the total — the
+    * monitor that answers "did the new crawl/filter shift the length
+    * (or score) distribution" before a bad version trains (cf. data
+    * drift detection via f-divergences in the dataset-shift
+    * literature). Laplace add-one smoothing makes every share positive
+    * so the KL is defined even for one-sided buckets.
+    *
+    * Determinism/oracle discipline: shares are long-ratio double
+    * divisions (IEEE-identical cross-engine) rounded to 9 dp and fixed
+    * as DECIMAL(10,9); the ln of the RAW share ratio is the one
+    * transcendental, rounded to 12 dp and fixed as DECIMAL(14,12) (the
+    * zipfSlope rule); each contribution is then an exact decimal
+    * product and the KL total an exact order-independent decimal sum,
+    * presented once as a rounded double.
+    *
+    * Plan: each side reduces to its bucket histogram (one hash agg,
+    * map-side partials — the only passes that touch corpus rows); the
+    * full-outer join and the global total/KL windows run on the
+    * BUCKET frame (tens of rows), where a single-partition window is
+    * free by construction.
+    */
+  def distributionDrift(a: DataFrame, b: DataFrame,
+                        bucket: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val ca = a.select(bucket.cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_a"))
+    val cb = b.select(bucket.cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_b"))
+    val g = Window.partitionBy() // bucket-frame-sized: tens of rows
+    val joined = ca.join(cb, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+      .withColumn("_ta", sum(col("n_a")).over(g))
+      .withColumn("_tb", sum(col("n_b")).over(g))
+      .withColumn("_k", count(lit(1)).over(g))
+    val paD = (col("n_a") + 1).cast("double") / (col("_ta") + col("_k"))
+    val pbD = (col("n_b") + 1).cast("double") / (col("_tb") + col("_k"))
+    val scored = joined
+      .withColumn("p_a", round(paD, 9).cast(DecimalType(10, 9)))
+      .withColumn("p_b", round(pbD, 9).cast(DecimalType(10, 9)))
+      .withColumn("_lnr", round(log(paD / pbD), 12).cast(DecimalType(14, 12)))
+      .withColumn("kl_contrib",
+        (col("p_a") * col("_lnr")).cast(DecimalType(26, 21)))
+    scored
+      .withColumn("kl_total",
+        round(sum(col("kl_contrib")).over(g).cast("double"), 9))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        col("p_a").cast("double").as("p_a"),
+        col("p_b").cast("double").as("p_b"),
+        round(col("kl_contrib").cast("double"), 12).as("kl_contrib"),
+        col("kl_total"))
+  }
+
   /** Zipf exponent per group: the slope of ln(freq) over ln(rank) across
     * the group's `topK` most frequent tokens — natural language sits
     * near −1 (Zipf's law), so a source whose slope is far off is

@@ -983,6 +983,34 @@ object LawsProps extends Properties("graft.laws") {
       } finally q.stop()
     }
 
+  property("distributionDrift: equals the driver-side smoothed-KL mirror on any histograms") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, 4L)),
+      Gen.nonEmptyListOf(Gen.choose(0L, 4L))) { (as, bs) =>
+      import org.apache.spark.sql.functions.col
+      val got = graft.text.TextStats.distributionDrift(
+          as.toDF("b"), bs.toDF("b"), col("b"))
+        .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+      def r(d: Double, s: Int) = BigDecimal(d).setScale(s,
+        BigDecimal.RoundingMode.HALF_UP)
+      val buckets = (as ++ bs).distinct.sorted
+      val k = buckets.size
+      val cA = as.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cB = bs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val expect = buckets.map { bk =>
+        val (na, nb) = (cA.getOrElse(bk, 0L), cB.getOrElse(bk, 0L))
+        val paD = (na + 1).toDouble / (as.size + k)
+        val pbD = (nb + 1).toDouble / (bs.size + k)
+        val contrib = r(paD, 9) * r(math.log(paD / pbD), 12)
+        (bk, na, nb, r(paD, 9).toDouble, r(pbD, 9).toDouble, contrib)
+      }
+      val klTotal = r(expect.map(_._6).sum.toDouble, 9).toDouble
+      got.length == expect.size && got.sortBy(_._1).zip(expect).forall {
+        case ((gb, gna, gnb, gpa, gpb, gc, gt), (eb, ena, enb, epa, epb, ec)) =>
+          gb == eb && gna == ena && gnb == enb && gpa == epa && gpb == epb &&
+            gc == r(ec.toDouble, 12).toDouble && gt == klTotal
+      }
+    }
+
   property("redactPii: every planted PII item redacted, exact count, clean filler untouched") =
     forAll(
       Gen.choose(0, 3), Gen.choose(0, 3), Gen.choose(0, 3),

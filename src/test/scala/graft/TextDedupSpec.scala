@@ -267,6 +267,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(rows(1).fieldIndex("zipf_slope")))
   }
 
+  test("distributionDrift: smoothed shares, one-sided buckets, zero drift on identical slices") {
+    import org.apache.spark.sql.functions.col
+    // A: buckets 0,0,1 ; B: buckets 0,2 — bucket 1 is A-only, 2 B-only
+    val a = Seq(0L, 0L, 1L).toDF("b")
+    val b = Seq(0L, 2L).toDF("b")
+    val got = graft.text.TextStats.distributionDrift(a, b, col("b"))
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // K=3 buckets; shares: A totals 3 → +K = 6; B totals 2 → +K = 5
+    assert(got(0L)._2 === 2L && got(0L)._3 === 1L)
+    assert(got(0L)._4 === 0.5)         // (2+1)/6
+    assert(got(0L)._5 === 0.4)         // (1+1)/5
+    assert(got(1L)._4 === BigDecimal(2.0 / 6).setScale(9,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got(2L)._2 === 0L && got(2L)._3 === 1L)
+    // KL total is identical on every row and positive for real drift
+    val totals = got.values.map(_._7).toSet
+    assert(totals.size === 1 && totals.head > 0.0)
+    // identical slices: every contribution is exactly ln(1) = 0
+    val same = graft.text.TextStats.distributionDrift(a, a, col("b"))
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(same.forall(r => r._6 === 0.0 && r._7 === 0.0))
+  }
+
   test("vocabCoverage: deterministic top-V cut, per-doc OOV, blank docs absent") {
     // freqs: x=3, w=3, y=1, z=1 — the vocabSize=2 cut ties at freq 3
     // and resolves token-asc: vocab = {w, x}
