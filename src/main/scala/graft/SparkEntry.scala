@@ -966,6 +966,26 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q148_vocab_churn" -> ((s, dir) => {
+      // feature-level drift: top-20 vocabularies of the two corpus
+      // versions (even/odd ids), overlap and Jaccard in one row
+      val d = t(s, dir, "documents")
+      text.TextStats.vocabChurn(
+          d.filter(col("doc_id") % 2 === 0),
+          d.filter(col("doc_id") % 2 === 1),
+          "text", vocabSize = 20)
+    }),
+
+    "q149_embedding_drift" -> ((s, dir) => {
+      // embedding-space drift: cosine between the two versions'
+      // per-dimension mean vectors (even/odd vec_ids)
+      val e = t(s, dir, "embeddings")
+      Similarity.centroidDrift(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1),
+          "embedding")
+    }),
+
     "q147_corpus_drift" -> ((s, dir) => {
       // corpus-version drift monitor: even vs odd doc_ids stand in for
       // two crawl versions; 50-char length buckets, add-one-smoothed
@@ -2968,6 +2988,61 @@ object SparkEntry {
         |  CAST(rs AS BIGINT) AS r_sum, CAST(gs AS BIGINT) AS g_sum,
         |  CAST(bs AS BIGINT) AS b_sum, TRUE AS decoded
         |FROM s ORDER BY media_id""".stripMargin,
+
+    "q148_vocab_churn" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |va AS (
+        |  SELECT token FROM t2 WHERE doc_id % 2 = 0
+        |  GROUP BY token ORDER BY COUNT(*) DESC, token ASC LIMIT 20),
+        |vb AS (
+        |  SELECT token FROM t2 WHERE doc_id % 2 = 1
+        |  GROUP BY token ORDER BY COUNT(*) DESC, token ASC LIMIT 20),
+        |j AS (
+        |  SELECT va.token AS ta, vb.token AS tb
+        |  FROM va FULL OUTER JOIN vb ON va.token = vb.token)
+        |SELECT CAST(COUNT(ta) AS BIGINT) AS n_vocab_a,
+        |  CAST(COUNT(tb) AS BIGINT) AS n_vocab_b,
+        |  CAST(COUNT(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL THEN 1 END) AS BIGINT) AS n_shared,
+        |  round(CAST(COUNT(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL THEN 1 END) AS DOUBLE)
+        |    / (COUNT(ta) + COUNT(tb)
+        |       - COUNT(CASE WHEN ta IS NOT NULL AND tb IS NOT NULL THEN 1 END)), 6) AS jaccard
+        |FROM j""".stripMargin,
+
+    // per-dim means fixed at round-9 decimals (components are exact in
+    // double; round-then-cast), products exact (25,18), cosine the one
+    // double; mirrors Similarity.centroidDrift
+    "q149_embedding_drift" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 9) AS DECIMAL(21,9)) AS v
+        |  FROM embeddings),
+        |ma AS (
+        |  SELECT dim, CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9)
+        |    AS DECIMAL(12,9)) AS m
+        |  FROM ex WHERE vec_id % 2 = 0 GROUP BY dim),
+        |mb AS (
+        |  SELECT dim, CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9)
+        |    AS DECIMAL(12,9)) AS m
+        |  FROM ex WHERE vec_id % 2 = 1 GROUP BY dim),
+        |s AS (
+        |  SELECT COUNT(*) AS n_dims,
+        |    SUM(CAST(ma.m * mb.m AS DECIMAL(38,18))) AS ab,
+        |    SUM(CAST(ma.m * ma.m AS DECIMAL(38,18))) AS aa,
+        |    SUM(CAST(mb.m * mb.m AS DECIMAL(38,18))) AS bb
+        |  FROM ma JOIN mb USING (dim))
+        |SELECT CAST(n_dims AS BIGINT) AS n_dims,
+        |  CASE WHEN aa > 0 AND bb > 0 THEN
+        |    round(CAST(CAST(ab AS VARCHAR) AS DOUBLE) /
+        |      (sqrt(CAST(CAST(aa AS VARCHAR) AS DOUBLE)) *
+        |       sqrt(CAST(CAST(bb AS VARCHAR) AS DOUBLE))), 6)
+        |  END AS centroid_cosine,
+        |  round(sqrt(CAST(CAST(aa AS VARCHAR) AS DOUBLE)), 9) AS norm_a,
+        |  round(sqrt(CAST(CAST(bb AS VARCHAR) AS DOUBLE)), 9) AS norm_b
+        |FROM s""".stripMargin,
 
     // full drift-report mirror: histograms, add-one shares, ln of the
     // raw ratio at 12 dp (zipfSlope's transcendental rule), exact

@@ -295,6 +295,38 @@ object TextStats {
         col("kl_total"))
   }
 
+  /** Vocabulary churn between two corpus slices: each side's top-V
+    * vocabulary ([[vocabCoverage]]'s deterministic freq-then-token
+    * cut), overlap counts, and the Jaccard of the two vocabularies —
+    * the feature-level face of corpus drift ([[distributionDrift]]
+    * sees shifted DISTRIBUTIONS; this sees swapped WORDS, the signal
+    * that a crawl started speaking a different language/domain even
+    * when lengths look stable). Two frequency aggregations (the only
+    * corpus passes), two V-row TakeOrderedAndProject cuts, one V-row
+    * join — output is a single row.
+    */
+  def vocabChurn(a: DataFrame, b: DataFrame, textCol: String,
+                 vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    def top(df: DataFrame) = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("_f"))
+      .orderBy(col("_f").desc, col("token").asc).limit(vocabSize)
+      .select(col("token"))
+    val joined = top(a).withColumn("_ina", lit(1))
+      .join(top(b).withColumn("_inb", lit(1)), Seq("token"), "full_outer")
+    val shared = col("n_shared").cast("double")
+    joined
+      .agg(count(col("_ina")).as("n_vocab_a"),
+        count(col("_inb")).as("n_vocab_b"),
+        count(when(col("_ina").isNotNull && col("_inb").isNotNull, 1))
+          .as("n_shared"))
+      .select(col("n_vocab_a"), col("n_vocab_b"), col("n_shared"),
+        round(shared / (col("n_vocab_a") + col("n_vocab_b") - col("n_shared")),
+          6).as("jaccard"))
+  }
+
   /** Zipf exponent per group: the slope of ln(freq) over ln(rank) across
     * the group's `topK` most frequent tokens — natural language sits
     * near −1 (Zipf's law), so a source whose slope is far off is

@@ -608,6 +608,50 @@ object Similarity {
           .as("max_abs_err"))
   }
 
+  /** Embedding-centroid drift between two corpus slices: per-dimension
+    * means of each slice's vectors and the cosine between the two mean
+    * vectors — the embedding-space face of corpus drift (a new crawl
+    * whose centroid rotates away from the old one changed TOPIC even
+    * if lengths and vocabulary look stable; complements
+    * [[graft.text.TextStats.distributionDrift]] /
+    * [[graft.text.TextStats.vocabChurn]]).
+    *
+    * Numerics: components fix at round-9 DECIMAL(12,9) per row (float
+    * inputs are exact in double; round-then-cast per the measured
+    * double→decimal convention), so the per-dim sums are exact and
+    * order-independent; means re-fix at (12,9) and their products are
+    * exact (25,18) — inside precision 38 by construction. Doubles only
+    * in the final cosine/norm presentation.
+    *
+    * Plan: each side is one posexplode + hash agg by dimension (the
+    * only corpus passes — dims × rows, map-side partials); the join
+    * and final reduction run on the DIM frame (embedding width rows).
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dimMeans(df: DataFrame, out: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .select(col("dim"),
+        round(col("_v").cast("double"), 9).cast(DecimalType(21, 9)).as("_vd"))
+      .groupBy("dim")
+      .agg(sum(col("_vd")).as("_s"), count(lit(1)).as("_n"))
+      .select(col("dim"),
+        round(col("_s").cast("double") / col("_n"), 9)
+          .cast(DecimalType(12, 9)).as(out))
+    val sums = dimMeans(a, "ma").join(dimMeans(b, "mb"), "dim")
+      .agg(count(lit(1)).as("n_dims"),
+        sum((col("ma") * col("mb")).cast(DecimalType(38, 18))).as("_ab"),
+        sum((col("ma") * col("ma")).cast(DecimalType(38, 18))).as("_aa"),
+        sum((col("mb") * col("mb")).cast(DecimalType(38, 18))).as("_bb"))
+    sums.select(col("n_dims"),
+      when(col("_aa") > 0 && col("_bb") > 0,
+        round(col("_ab").cast("double") /
+          (sqrt(col("_aa").cast("double")) * sqrt(col("_bb").cast("double"))),
+          6)).as("centroid_cosine"),
+      round(sqrt(col("_aa").cast("double")), 9).as("norm_a"),
+      round(sqrt(col("_bb").cast("double")), 9).as("norm_b"))
+  }
+
   /** [[ivfProbe]] keyed by an id in the source table: fetches the single
     * query vector via a pushed-down id filter (one-row collect), excludes
     * the query row from its own result — the [[cosineTopK]] contract over

@@ -1011,6 +1011,53 @@ object LawsProps extends Properties("graft.laws") {
       }
     }
 
+  property("vocabChurn: equals the brute-force top-V overlap for any slices") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))),
+      Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.oneOf("c", "d", "e", "f"))),
+      Gen.choose(1, 4)) { (at, bt, v) =>
+      def df(ts: List[List[String]]) = ts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.text.TextStats.vocabChurn(df(at), df(bt), "text", v)
+        .as[(Long, Long, Long, Double)].collect().head
+      def top(ts: List[List[String]]) = ts.flatten.groupBy(identity)
+        .view.mapValues(_.size).toSeq
+        .sortBy { case (t, f) => (-f, t) }.take(v).map(_._1).toSet
+      val (va, vb) = (top(at), top(bt))
+      val sh = (va & vb).size
+      val jac = BigDecimal(sh.toDouble / (va.size + vb.size - sh))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      got == ((va.size.toLong, vb.size.toLong, sh.toLong, jac))
+    }
+
+  property("centroidDrift: equals the driver-side mean-vector cosine") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.listOfN(3, Gen.choose(-5, 5))),
+      Gen.nonEmptyListOf(Gen.listOfN(3, Gen.choose(-5, 5)))) { (av, bv) =>
+      def df(vs: List[List[Int]]) =
+        vs.map(v => Tuple1(v.map(_.toFloat).toArray)).toDF("embedding")
+      val got = graft.vector.Similarity.centroidDrift(df(av), df(bv), "embedding")
+        .as[(Long, Option[Double], Double, Double)].collect().head
+      def r(d: Double, s: Int) = BigDecimal(d).setScale(s,
+        BigDecimal.RoundingMode.HALF_UP)
+      // integer components ⇒ the decimal fixes are exact; mirror the
+      // formula shape (round-9 means, exact products, double cosine)
+      def mean(vs: List[List[Int]], d: Int) =
+        r(vs.map(_(d)).sum.toDouble / vs.size, 9)
+      val (ma, mb) = ((0 until 3).map(mean(av, _)), (0 until 3).map(mean(bv, _)))
+      val ab = ma.zip(mb).map { case (x, y) => x * y }.sum
+      val aa = ma.map(x => x * x).sum
+      val bb = mb.map(x => x * x).sum
+      val cos = if (aa > 0 && bb > 0)
+        Some(r(ab.toDouble / (math.sqrt(aa.toDouble) * math.sqrt(bb.toDouble)),
+          6).toDouble)
+      else None
+      got._1 == 3L && got._2 == cos &&
+        got._3 == r(math.sqrt(aa.toDouble), 9).toDouble &&
+        got._4 == r(math.sqrt(bb.toDouble), 9).toDouble
+    }
+
   property("redactPii: every planted PII item redacted, exact count, clean filler untouched") =
     forAll(
       Gen.choose(0, 3), Gen.choose(0, 3), Gen.choose(0, 3),

@@ -291,6 +291,45 @@ class TextDedupSpec extends AnyFunSuite {
     assert(same.forall(r => r._6 === 0.0 && r._7 === 0.0))
   }
 
+  test("vocabChurn: top-V overlap, Jaccard, disjoint and tied-cut cases") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "z z x")).toDF("doc_id", "text")
+    // V=2: A={x,y}, B={z,x} → shared {x}, jaccard 1/3
+    val got = graft.text.TextStats.vocabChurn(a, b, "text", 2)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got === ((2L, 2L, 1L, 0.333333)))
+    // V=1: A top-1 = x (freq 2); B top-1 = z (freq 2) → disjoint
+    val d1 = graft.text.TextStats.vocabChurn(a, b, "text", 1)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(d1 === ((1L, 1L, 0L, 0.0)))
+    // identical slices: full overlap
+    val same = graft.text.TextStats.vocabChurn(a, a, "text", 2)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(same === ((2L, 2L, 2L, 1.0)))
+  }
+
+  test("centroidDrift: orthogonal centroids → 0, identical/scaled → 1") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq(Array(1.0f, 0.0f), Array(3.0f, 0.0f)).map(Tuple1(_))
+      .toDF("embedding") // mean (2, 0)
+    val b = Seq(Array(0.0f, 2.0f), Array(0.0f, 2.0f)).map(Tuple1(_))
+      .toDF("embedding") // mean (0, 2)
+    val got = graft.vector.Similarity.centroidDrift(a, b, "embedding")
+      .as[(Long, Option[Double], Double, Double)].collect().head
+    assert(got === ((2L, Some(0.0), 2.0, 2.0)))
+    // scaled copies of the same direction: cosine exactly 1
+    val c = Seq(Array(2.0f, 2.0f)).map(Tuple1(_)).toDF("embedding")
+    val d = Seq(Array(5.0f, 5.0f)).map(Tuple1(_)).toDF("embedding")
+    val cd = graft.vector.Similarity.centroidDrift(c, d, "embedding")
+      .as[(Long, Option[Double], Double, Double)].collect().head
+    assert(cd._2 === Some(1.0))
+    // a zero-centroid side: cosine undefined, not a divide-by-zero
+    val z = Seq(Array(0.0f, 0.0f)).map(Tuple1(_)).toDF("embedding")
+    assert(graft.vector.Similarity.centroidDrift(a, z, "embedding")
+      .as[(Long, Option[Double], Double, Double)].collect().head._2 === None)
+  }
+
   test("vocabCoverage: deterministic top-V cut, per-doc OOV, blank docs absent") {
     // freqs: x=3, w=3, y=1, z=1 — the vocabSize=2 cut ties at freq 3
     // and resolves token-asc: vocab = {w, x}
