@@ -935,6 +935,39 @@ object EventStream {
     * [[graft.text.Dedup.exactGroups]]; near-dup clustering stays a
     * batch concern (it needs the corpus-wide pair graph).
     */
+  /** Streaming corpus-drift monitor: every micro-batch's bucket
+    * distribution compared against a STATIC reference histogram via
+    * [[graft.text.TextStats.distributionDrift]] — the live face of the
+    * q147 drift report, answering "is the feed we are ingesting RIGHT
+    * NOW drifting from the corpus we trained on" while the batch twin
+    * answers it version-over-version. The foreachBatch shape is the
+    * [[sinkBronze]]/[[sinkRollup]] discipline: the BATCH operator runs
+    * verbatim on each micro-batch (identical numerics, no stream/batch
+    * skew possible by construction), and each batch appends its drift
+    * rows stamped with `batch_id` — the sink is the drift time series.
+    * `baselinePath` holds the reference corpus SLICE (raw rows; point a
+    * large deployment at a hash-sampled slice — the drift shares are
+    * scale-free, so a sample changes nothing but the smoothing ε); its
+    * histogram is re-aggregated per batch, one scan of the slice.
+    */
+  def driftSink(docs: DataFrame, baselinePath: String, outPath: String,
+                checkpoint: String,
+                bucket: org.apache.spark.sql.Column): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val baseline = spark.read.parquet(baselinePath)
+          graft.text.TextStats.distributionDrift(batch, baseline, bucket)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .start()
+
   def curateStream(spark: SparkSession, docs: DataFrame,
                    minTokens: Int): Dataset[CuratedDoc] = {
     import spark.implicits._

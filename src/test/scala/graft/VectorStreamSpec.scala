@@ -892,6 +892,40 @@ class VectorStreamSpec extends AnyFunSuite {
     assert((sd._3, sd._6) === ((db._4, db._2)))
   }
 
+  test("driftSink: per-micro-batch KL vs a static baseline equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, length => strlen}
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    // baseline: lengths 10 and 20 (buckets 1 and 2 at width 10)
+    Seq((1L, "x" * 10), (2L, "x" * 20)).toDF("doc_id", "text")
+      .write.parquet(s"$dir/baseline")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.driftSink(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/baseline", s"$dir/out", s"$dir/ckpt",
+      floor(strlen(col("text")) / 10))
+    // batch 0: same distribution as baseline; batch 1: all bucket 3
+    mem.addData((10L, "y" * 10), (11L, "y" * 20))
+    q.processAllAvailable()
+    mem.addData((12L, "z" * 30), (13L, "z" * 35))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("batch_id", "bucket", "kl_total")
+      .as[(Long, Long, Double)].collect()
+    val byBatch = out.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // batch 0 matches the baseline exactly → zero drift
+    assert(byBatch(0L) === Set(0.0))
+    // batch 1 is disjoint from the baseline → strictly positive drift
+    assert(byBatch(1L).size === 1 && byBatch(1L).head > 0.0)
+    // the sink rows ARE the batch operator's rows: recompute batch 1
+    val expect = graft.text.TextStats.distributionDrift(
+        Seq((12L, "z" * 30), (13L, "z" * 35)).toDF("doc_id", "text"),
+        spark.read.parquet(s"$dir/baseline"),
+        floor(strlen(col("text")) / 10))
+      .select("bucket", "kl_total").as[(Long, Double)].collect().toSet
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet === expect)
+  }
+
   test("curateStream: cross-batch exact dedup + quality gate, first doc wins") {
     implicit val sqlCtx = spark.sqlContext
     val long = (1 to 25).map(i => s"w$i").mkString(" ")
