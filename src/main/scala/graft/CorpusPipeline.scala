@@ -65,6 +65,16 @@ object CorpusPipeline {
     require(leaks == 0L,
       s"split leakage after dedup must be zero by construction, got $leaks")
     println(s"[audit] split leakage pairs = $leaks (invariant holds)")
+    // curation BIAS report: how far did filtering+dedup shift the length
+    // distribution of what ships vs what arrived? A large KL here means
+    // the quality gates are selecting a different corpus than the crawl
+    // delivered — the q147 drift monitor pointed at the pipeline's own
+    // input/output boundary
+    val bias = text.TextStats.distributionDrift(kept, docs,
+        floor(length(col("text")) / lit(50)))
+      .select("kl_total").as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+      .head()
+    println(f"[audit] curation length-distribution bias KL(kept||input) = $bias%.6f")
     // release the audits' persisted shingle relations (jaccardPairs'
     // caller-releases-cache contract) before the final counting stages
     spark.catalog.clearCache()

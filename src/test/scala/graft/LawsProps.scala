@@ -1058,6 +1058,47 @@ object LawsProps extends Properties("graft.laws") {
         got._4 == r(math.sqrt(bb.toDouble), 9).toDouble
     }
 
+  property("sharpeStream: equals batch Sharpe on ANY feed (gaps, constant runs, any split)") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"),
+        Gen.option(Gen.choose(1, 6)))),   // tiny domain: zero-variance
+                                          // and single-return keys common
+      Gen.choose(0, 5)) { (rowsRaw, splitRaw) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.functions.col
+      val rows = rowsRaw.zipWithIndex.map { case ((k, pc), i) =>
+        (k, i.toLong, pc.map(_ * 10.0)) }
+      val split = math.min(splitRaw, rows.size)
+      val mem = MemoryStream[(String, Long, Option[Double])]
+      val name = s"sharpe_law_${streamLawCounter.incrementAndGet()}"
+      val q = EventStream.sharpeStream(spark,
+          mem.toDF().toDF("sym", "seq", "price"), "sym", "seq", "price")
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        if (split > 0) { mem.addData(rows.take(split): _*); q.processAllAvailable() }
+        if (rows.size > split) mem.addData(rows.drop(split): _*)
+        q.processAllAvailable()
+        val latest = spark.table(name)
+          .as[(String, Long, Long, Option[Double], Option[Double])].collect()
+          .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+        val batch = graft.ops.Stats.sharpe(
+            rows.toDF("sym", "seq", "price"), "sym", Seq(col("seq")),
+            col("price"))
+          .as[(String, Long, Double, Option[Double])].collect()
+          .map(r => r._1 -> r).toMap
+        // a key with zero defined returns: batch emits no row, the
+        // stream's latest says n = 0
+        latest.forall { case (k, (_, _, n, mean, sh)) =>
+          batch.get(k) match {
+            case None => n == 0L && mean.isEmpty
+            case Some(b) => n == b._2 && mean.contains(b._3) && sh == b._4
+          }
+        } && batch.keySet.subsetOf(latest.keySet)
+      } finally q.stop()
+    }
+
   property("redactPii: every planted PII item redacted, exact count, clean filler untouched") =
     forAll(
       Gen.choose(0, 3), Gen.choose(0, 3), Gen.choose(0, 3),
