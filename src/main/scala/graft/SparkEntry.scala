@@ -458,11 +458,15 @@ object SparkEntry {
 
     "q39_embed_neardup_lsh" -> ((s, dir) => {
       // oracle-gated since round 6 (q32/q41 pattern): at 24 bands × 4
-      // sign bits the banding's measured recall on this corpus is total
-      // (59/59 exact pairs; 43/59 at the 8-band default) and the exact-
-      // cosine verify step makes precision exact, so q38's all-pairs
-      // oracle applies verbatim — the gate asserts LSH loses nothing at
-      // these parameters
+      // sign bits the banding's measured recall on the GATE corpus
+      // (sf0.01) is total (59/59 exact pairs; 43/59 at the 8-band
+      // default) and the exact-cosine verify step makes precision
+      // exact, so q38's all-pairs oracle applies verbatim there — the
+      // gate asserts LSH loses nothing at these parameters. The
+      // premise is corpus-specific (sf0.001 misses 3/66, sf0.1 misses
+      // 8/920), so `oracleMeasuredOn` ties the oracle to sf0.01:
+      // elsewhere the surface is the honest subset-with-exact-
+      // precision semantics and Verify omits the equality claim
       Similarity.embedNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
           nBands = 24)
         .orderBy("id_a", "id_b")
@@ -1914,6 +1918,27 @@ object SparkEntry {
       |  JOIN sizes sb ON sb.doc_id = doc_b)
       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Corpora (sf-dir basenames) on which each approximate operator's
+    * exact-twin oracle premise is MEASURED to hold. The q31/q32,
+    * q38/q39, q40/q41/q81 gates assert approximate == exact verbatim —
+    * an equality that is a measured fact of (corpus, seed, parameters),
+    * not a law: 24-band hyperplane LSH loses nothing at sf0.01 (59/59)
+    * but misses 3/66 pairs at sf0.001 and 8/920 at sf0.1, while the
+    * minhash banding (min qualifying jaccard 0.875) and the IVF probe
+    * are measured total on all three testdata corpora. Verify emits
+    * these oracles only when its sf dir is in the query's measured set
+    * and omits them elsewhere, so pointing the gate at an unmeasured
+    * corpus records the honest weaker rows-check instead of converting
+    * a probabilistic recall property into a spurious hash failure
+    * (round-6 ADVICE). Queries absent from this map are
+    * corpus-unconditional.
+    */
+  val oracleMeasuredOn: Map[String, Set[String]] = Map(
+    "q32_minhash_lsh" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q39_embed_neardup_lsh" -> Set("sf0.01"),
+    "q41_ivf_topk" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q81_ivf_probe" -> Set("sf0.001", "sf0.01", "sf0.1"))
+
   def oracleSql: Map[String, String] = Map(
     "q32_minhash_lsh" -> jaccardPairsOracle,
 
@@ -2610,11 +2635,11 @@ object SparkEntry {
         |    SUM(CAST(xb * xb AS DECIMAL(38,18))) AS sbb
         |  FROM p GROUP BY key_a, key_b)
         |SELECT key_a, key_b, n,
-        |  CASE WHEN n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
-        |        AND n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
-        |    THEN round((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
-        |      sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
-        |           (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+        |  CASE WHEN n * CAST(CAST(saa AS VARCHAR) AS DOUBLE) - CAST(CAST(sa AS VARCHAR) AS DOUBLE) * CAST(CAST(sa AS VARCHAR) AS DOUBLE) > 0
+        |        AND n * CAST(CAST(sbb AS VARCHAR) AS DOUBLE) - CAST(CAST(sb AS VARCHAR) AS DOUBLE) * CAST(CAST(sb AS VARCHAR) AS DOUBLE) > 0
+        |    THEN round((n * CAST(CAST(sab AS VARCHAR) AS DOUBLE) - CAST(CAST(sa AS VARCHAR) AS DOUBLE) * CAST(CAST(sb AS VARCHAR) AS DOUBLE)) /
+        |      sqrt((n * CAST(CAST(saa AS VARCHAR) AS DOUBLE) - CAST(CAST(sa AS VARCHAR) AS DOUBLE) * CAST(CAST(sa AS VARCHAR) AS DOUBLE)) *
+        |           (n * CAST(CAST(sbb AS VARCHAR) AS DOUBLE) - CAST(CAST(sb AS VARCHAR) AS DOUBLE) * CAST(CAST(sb AS VARCHAR) AS DOUBLE))), 6)
         |  END AS corr
         |FROM s ORDER BY key_a, key_b""".stripMargin,
 
@@ -3160,11 +3185,11 @@ object SparkEntry {
         |  SELECT least(key_a, key_b) AS ka, greatest(key_a, key_b) AS kb,
         |    CASE WHEN key_a < key_b THEN l ELSE -l END AS lag, n,
         |    CASE WHEN n >= 3
-        |          AND n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0
-        |          AND n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0
-        |      THEN round((n * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
-        |        sqrt((n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
-        |             (n * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6)
+        |          AND n * CAST(CAST(saa AS VARCHAR) AS DOUBLE) - CAST(CAST(sa AS VARCHAR) AS DOUBLE) * CAST(CAST(sa AS VARCHAR) AS DOUBLE) > 0
+        |          AND n * CAST(CAST(sbb AS VARCHAR) AS DOUBLE) - CAST(CAST(sb AS VARCHAR) AS DOUBLE) * CAST(CAST(sb AS VARCHAR) AS DOUBLE) > 0
+        |      THEN round((n * CAST(CAST(sab AS VARCHAR) AS DOUBLE) - CAST(CAST(sa AS VARCHAR) AS DOUBLE) * CAST(CAST(sb AS VARCHAR) AS DOUBLE)) /
+        |        sqrt((n * CAST(CAST(saa AS VARCHAR) AS DOUBLE) - CAST(CAST(sa AS VARCHAR) AS DOUBLE) * CAST(CAST(sa AS VARCHAR) AS DOUBLE)) *
+        |             (n * CAST(CAST(sbb AS VARCHAR) AS DOUBLE) - CAST(CAST(sb AS VARCHAR) AS DOUBLE) * CAST(CAST(sb AS VARCHAR) AS DOUBLE))), 6)
         |    END AS corr
         |  FROM cells),
         |best AS (
@@ -3423,9 +3448,9 @@ object SparkEntry {
         |d AS (
         |  SELECT key_a, key_b, n_buckets, last_bucket,
         |    CAST(n_buckets AS DOUBLE) AS n,
-        |    CAST(sa AS DOUBLE) AS dsa, CAST(sb AS DOUBLE) AS dsb,
-        |    CAST(sab AS DOUBLE) AS dsab, CAST(saa AS DOUBLE) AS dsaa,
-        |    CAST(sbb AS DOUBLE) AS dsbb,
+        |    CAST(CAST(sa AS VARCHAR) AS DOUBLE) AS dsa, CAST(CAST(sb AS VARCHAR) AS DOUBLE) AS dsb,
+        |    CAST(CAST(sab AS VARCHAR) AS DOUBLE) AS dsab, CAST(CAST(saa AS VARCHAR) AS DOUBLE) AS dsaa,
+        |    CAST(CAST(sbb AS VARCHAR) AS DOUBLE) AS dsbb,
         |    CAST(CAST(la AS VARCHAR) AS DOUBLE) AS dla,
         |    CAST(CAST(lb AS VARCHAR) AS DOUBLE) AS dlb
         |  FROM s),

@@ -475,11 +475,15 @@ object Risk {
     * `maxInstruments` keys the operator refuses with the count named
     * instead of silently broadcasting a quadratic frame — the
     * refuse-don't-melt posture of [[graft.vector.Similarity.semanticDedup]]
-    * / knnGraphBucketed, matching [[Stats.corrMatrix]].
+    * / knnGraphBucketed, matching [[Stats.corrMatrix]]. The BUCKET
+    * axis (calendar span × keys) is guarded separately: past
+    * `maxBroadcastRows` frame rows the pair join falls back
+    * broadcast→shuffle-hash ([[Stats.pairJoinSide]]).
     */
   def pairSpread(df: DataFrame, keyCol: String, bucketCol: Column,
                  valueCol: Column, zThreshold: Double = 2.0,
-                 maxInstruments: Long = 2000L): DataFrame = {
+                 maxInstruments: Long = 2000L,
+                 maxBroadcastRows: Long = 500000L): DataFrame = {
     val perKey = Stats.guardInstruments(
       Stats.bucketMeans(df.filter(valueCol.isNotNull), keyCol, bucketCol,
         valueCol),
@@ -489,7 +493,8 @@ object Risk {
       col("x").as("xa"))
     val b = perKey.select(col(keyCol).as("key_b"), col("bucket"),
       col("x").as("xb"))
-    val sums = a.join(broadcast(b), Seq("bucket"))
+    val sums = a.join(
+        Stats.pairJoinSide(b, perKey.count(), maxBroadcastRows), Seq("bucket"))
       .filter(col("key_a") < col("key_b"))
       .groupBy("key_a", "key_b")
       .agg(count(lit(1)).as("n_buckets"),
@@ -548,11 +553,14 @@ object Risk {
     *
     * Guarded like [[pairSpread]]: k(k−1)/2 · (2·maxLag+1) cells, so
     * past `maxInstruments` keys the operator refuses with the count
-    * named.
+    * named; on the BUCKET axis the exploded lag frame (span × keys ×
+    * (maxLag+1) rows) falls back broadcast→shuffle-hash past
+    * `maxBroadcastRows` ([[Stats.pairJoinSide]]).
     */
   def leadLagCorr(df: DataFrame, keyCol: String, bucketCol: Column,
                   valueCol: Column, maxLag: Int = 3,
-                  maxInstruments: Long = 2000L): DataFrame = {
+                  maxInstruments: Long = 2000L,
+                  maxBroadcastRows: Long = 500000L): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val perKey = Stats.bucketMeans(df.filter(valueCol.isNotNull), keyCol,
       bucketCol, valueCol)
@@ -565,7 +573,17 @@ object Risk {
     // sub-6dp divergence into a whole-row flip. (18,6)² = (37,12) is
     // EXACT in both engines; the 6-dp return grid is the operator's
     // defined statistic (rounding a decimal is itself exact and
-    // engine-identical). The frame persists because it feeds BOTH pair
+    // engine-identical). DOMAIN CEILING — a stated contract, like
+    // tickReturn's 1e7 input cap: (18,6) holds 12 integer digits, and
+    // a return is the DIFFERENCE of two bucket means each up to ~1e12
+    // (bucketMeans' documented range), so a per-return magnitude past
+    // ~5e11 can ANSI-overflow this cast on valid extreme data.
+    // Widening is deliberately NOT free: (18,6) was sized so the
+    // squared product (37,12) stays inside precision 38 — a wider
+    // return type reopens the silent-truncation hazard the 6-dp grid
+    // exists to close. Series whose LEVELS exceed ~5e11 per bucket
+    // step should be rescaled (or converted to pct returns) upstream.
+    // The frame persists because it feeds BOTH pair
     // sides (the banded-LSH compute-once convention) — the guard count
     // doubles as materializer and counts exactly the keys that can
     // enter the pair join (a key needs >= 2 buckets to have a return).
@@ -591,8 +609,13 @@ object Risk {
       .filter(col("rb").isNotNull)
     val a = rets.select(col(keyCol).as("key_a"), col("bucket"),
       col("r").as("ra"))
-    // ordered (follower=key_a, leader=key_b); ℓ=0 kept once per pair
-    val cells = a.join(broadcast(lagged), Seq("bucket"))
+    // ordered (follower=key_a, leader=key_b); ℓ=0 kept once per pair.
+    // The lagged side is the return frame exploded ×(maxLag+1), so its
+    // broadcast budget is counted at that multiplier off the persisted
+    // frame (one cached scan — the contamination fallback pattern).
+    val cells = a.join(
+        Stats.pairJoinSide(lagged, rets.count() * (maxLag + 1),
+          maxBroadcastRows), Seq("bucket"))
       .filter(col("key_a") =!= col("key_b"))
       .filter(col("l") > 0 || col("key_a") < col("key_b"))
       .groupBy("key_a", "key_b", "l")

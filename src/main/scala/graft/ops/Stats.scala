@@ -513,7 +513,10 @@ object Stats {
     * instead of silently broadcasting a quadratic frame — the
     * refuse-don't-melt posture of [[graft.vector.Similarity.semanticDedup]]
     * / knnGraphBucketed. The count is one aggregate scalar off the
-    * bucket-mean frame the operator builds anyway.
+    * bucket-mean frame the operator builds anyway. The BUCKET axis
+    * (calendar span) is guarded separately: past `maxBroadcastRows`
+    * frame rows the pair join falls back broadcast→shuffle-hash
+    * ([[pairJoinSide]]) instead of broadcasting a span-sized frame.
     */
   /** Shared bucket-mean alignment frame of the k² pair family
     * ([[corrMatrix]], [[graft.ops.Risk.pairSpread]],
@@ -558,8 +561,30 @@ object Stats {
     cached
   }
 
+  /** Join-side chooser for the pair family's aggregate frame
+    * ([[corrMatrix]], [[graft.ops.Risk.pairSpread]],
+    * [[graft.ops.Risk.leadLagCorr]]). [[guardInstruments]] bounds the
+    * KEY axis, but the broadcast side is the bucket-mean frame whose
+    * row count is Σ_k buckets_k — it grows with the CALENDAR SPAN, not
+    * the key count: 200 instruments × one year of minute buckets is
+    * ~105M rows (× (maxLag+1) for the lead-lag stack), far past any
+    * broadcast budget, and at 100× span a forced broadcast OOMs an
+    * executor. The frame is already persisted by [[guardInstruments]],
+    * so the row count is one cached scan; at or under
+    * `maxBroadcastRows` the side broadcasts (the fast path at every
+    * tested scale), past it the join degrades to shuffle-hash — never
+    * sort-merge, the build side is still an aggregate-sized frame —
+    * exactly [[graft.text.Curation.contamination]]'s
+    * broadcast→shuffle-hash fallback.
+    */
+  private[ops] def pairJoinSide(side: DataFrame, frameRows: Long,
+                                maxBroadcastRows: Long): DataFrame =
+    if (frameRows <= maxBroadcastRows) broadcast(side)
+    else side.hint("shuffle_hash")
+
   def corrMatrix(df: DataFrame, keyCol: String, bucketCol: Column,
-                 valueCol: Column, maxInstruments: Long = 2000L): DataFrame = {
+                 valueCol: Column, maxInstruments: Long = 2000L,
+                 maxBroadcastRows: Long = 500000L): DataFrame = {
     val perKey = guardInstruments(
       bucketMeans(df, keyCol, bucketCol, valueCol), keyCol,
       maxInstruments, "corrMatrix", k => s"${k * (k - 1) / 2} pairs")
@@ -567,7 +592,8 @@ object Stats {
       col("x").as("xa"))
     val b = perKey.select(col(keyCol).as("key_b"), col("bucket"),
       col("x").as("xb"))
-    val pairs = a.join(broadcast(b), Seq("bucket"))
+    val pairs = a.join(pairJoinSide(b, perKey.count(), maxBroadcastRows),
+        Seq("bucket"))
       .filter(col("key_a") < col("key_b"))
     val sums = pairs.groupBy("key_a", "key_b")
       .agg(count(lit(1)).as("n"),

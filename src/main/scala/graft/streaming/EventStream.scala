@@ -926,15 +926,6 @@ object EventStream {
 
   case class CuratedDoc(doc_id: Long, text: String, n_tokens: Long)
 
-  /** Streaming corpus curation: quality-gate each arriving document
-    * (stateless, map-side) then drop any doc whose exact text hash was
-    * already seen in ANY earlier micro-batch — cross-batch exact dedup
-    * as keyed streaming state (first-seen doc wins, later copies are
-    * suppressed forever). State = one boolean per distinct content
-    * hash, partitioned by hash — the streaming twin of
-    * [[graft.text.Dedup.exactGroups]]; near-dup clustering stays a
-    * batch concern (it needs the corpus-wide pair graph).
-    */
   /** Streaming corpus-drift monitor: every micro-batch's bucket
     * distribution compared against a STATIC reference histogram via
     * [[graft.text.TextStats.distributionDrift]] — the live face of the
@@ -968,6 +959,15 @@ object EventStream {
       }
       .start()
 
+  /** Streaming corpus curation: quality-gate each arriving document
+    * (stateless, map-side) then drop any doc whose exact text hash was
+    * already seen in ANY earlier micro-batch — cross-batch exact dedup
+    * as keyed streaming state (first-seen doc wins, later copies are
+    * suppressed forever). State = one boolean per distinct content
+    * hash, partitioned by hash — the streaming twin of
+    * [[graft.text.Dedup.exactGroups]]; near-dup clustering stays a
+    * batch concern (it needs the corpus-wide pair graph).
+    */
   def curateStream(spark: SparkSession, docs: DataFrame,
                    minTokens: Int): Dataset[CuratedDoc] = {
     import spark.implicits._

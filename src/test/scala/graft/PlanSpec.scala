@@ -306,6 +306,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("pair family falls back to shuffle-hash past the bucket-axis broadcast guard") {
+    // maxInstruments bounds the KEY axis, but the broadcast side is the
+    // bucket-mean frame — Σ_k buckets_k rows, growing with the calendar
+    // span. Threshold 0 forces each operator's long-span path: the
+    // span-sized frame must shuffle-hash-join, never broadcast (the
+    // contamination fallback pattern, q65's spec shape)
+    import graft.ops.{Risk, Stats}
+    val ev = Tables.load(spark, dir, "events").filter(col("value").isNotNull)
+    val corrFb = Stats.corrMatrix(ev, "event_type",
+      date_trunc("hour", col("ts")), col("value"), maxBroadcastRows = 0L)
+    val pCorr = corrFb.queryExecution.executedPlan.toString
+    assert(pCorr.contains("ShuffledHashJoin"), pCorr)
+    assert(!pCorr.contains("BroadcastHashJoin"), pCorr)
+    val pSpread = Risk.pairSpread(ev, "event_type",
+        date_trunc("hour", col("ts")), col("value"), maxBroadcastRows = 0L)
+      .queryExecution.executedPlan.toString
+    assert(pSpread.contains("ShuffledHashJoin"), pSpread)
+    assert(!pSpread.contains("BroadcastHashJoin"), pSpread)
+    val pLag = Risk.leadLagCorr(ev, "event_type",
+        date_trunc("hour", col("ts")), col("value"), maxLag = 3,
+        maxBroadcastRows = 0L)
+      .queryExecution.executedPlan.toString
+    assert(pLag.contains("ShuffledHashJoin"), pLag)
+    assert(!pLag.contains("BroadcastHashJoin"), pLag)
+    // both physical paths compute the identical answer
+    val viaBroadcast = Stats.corrMatrix(ev, "event_type",
+      date_trunc("hour", col("ts")), col("value")).collect().toSet
+    assert(corrFb.collect().toSet === viaBroadcast)
+    spark.catalog.clearCache() // release the operators' persists
+  }
+
   test("q131: containment candidates come from equi-joins — never a cartesian") {
     val p = plan("q131_containment_dups")
     assert(!p.contains("CartesianProduct") &&

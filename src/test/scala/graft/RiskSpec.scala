@@ -331,6 +331,30 @@ class RiskSpec extends AnyFunSuite {
     assert(got(("a", "b")) === ((1, 6L, 1.0)))
   }
 
+  test("leadLagCorr: a long calendar span trips the bucket-axis fallback, same answer") {
+    // 4 keys × 600 buckets ⇒ 2,396 returns; the exploded lag side is
+    // ×(maxLag+1) = 9,584 rows, past a 5,000-row budget — the fallback
+    // must trigger off the FRAME size even though 4 keys is far under
+    // maxInstruments (the round-6 weak mark: the hazard axis is the
+    // calendar span, not the key count)
+    val rows = for (k <- Seq("a", "b", "c", "d"); i <- 0 until 600)
+      yield (k, i.toLong, 100.0 + 7.0 * math.sin(0.37 * i + k.hashCode % 5) +
+        (if (k == "a") 0.11 * i else 0.09 * i))
+    val df = rows.toDF("k", "t", "v")
+    val fb = graft.ops.Risk.leadLagCorr(df, "k", col("t"), col("v"),
+      maxLag = 3, maxBroadcastRows = 5000L)
+    val p = fb.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"), p)
+    val fbRows = fb.collect().toSet
+    spark.catalog.clearCache()
+    val viaBroadcast = graft.ops.Risk.leadLagCorr(df, "k", col("t"),
+      col("v"), maxLag = 3)
+    assert(viaBroadcast.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    assert(fbRows === viaBroadcast.collect().toSet)
+    spark.catalog.clearCache()
+  }
+
   test("leadLagCorr refuses past maxInstruments, naming the cell count") {
     // two buckets per key: the guard counts keys that actually carry a
     // return (a single-bucket key can never enter the pair join)
