@@ -1099,6 +1099,239 @@ object LawsProps extends Properties("graft.laws") {
       } finally q.stop()
     }
 
+  property("ewmaStream: equals batch ewma tick-for-tick on ANY feed (nulls, any alpha, any split)") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"),
+        Gen.option(Gen.choose(1, 99999)))),   // price in cents, or null
+      Gen.choose(1, 99),                      // alpha in percent
+      Gen.choose(0, 5)) { (rowsRaw, alphaPct, splitRaw) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.functions.col
+      val alpha = alphaPct / 100.0
+      val rows = rowsRaw.zipWithIndex.map { case ((k, pc), i) =>
+        (k, i.toLong, pc.map(_ / 100.0)) }
+      val split = math.min(splitRaw, rows.size)
+      val mem = MemoryStream[(String, Long, Option[Double])]
+      val name = s"ewma_law_${streamLawCounter.incrementAndGet()}"
+      val q = EventStream.ewmaStream(spark,
+          mem.toDF().toDF("sym", "seq", "price"), "sym", "seq", "price", alpha)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        if (split > 0) { mem.addData(rows.take(split): _*); q.processAllAvailable() }
+        if (rows.size > split) mem.addData(rows.drop(split): _*)
+        q.processAllAvailable()
+        val got = spark.table(name)
+          .as[(String, Long, Double, Double)].collect()
+          .map(r => (r._1, r._2) -> r._4).toMap
+        // a batch frame spanning the whole history folds the IDENTICAL
+        // double sequence oldest→newest — bit-exact, any alpha
+        val batch = graft.ops.Stats.ewma(
+            rows.toDF("sym", "seq", "price"), "sym", Seq(col("seq")),
+            col("price"), alpha, window = rows.size + 1)
+          .select("sym", "seq", "ewma").as[(String, Long, Double)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        got == batch
+      } finally q.stop()
+    }
+
+  property("rsiStream: equals batch RSI tick-for-tick on ANY feed (flat runs, nulls, any period, any split)") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"),
+        Gen.option(Gen.choose(1, 8)))),       // tiny domain: zero deltas
+                                              // and sign flips are COMMON
+      Gen.choose(1, 4), Gen.choose(0, 5)) { (rowsRaw, period, splitRaw) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.functions.col
+      val rows = rowsRaw.zipWithIndex.map { case ((k, pc), i) =>
+        (k, i.toLong, pc.map(_ / 4.0)) }      // fractional quarter steps
+      val split = math.min(splitRaw, rows.size)
+      val mem = MemoryStream[(String, Long, Option[Double])]
+      val name = s"rsi_law_${streamLawCounter.incrementAndGet()}"
+      val q = EventStream.rsiStream(spark,
+          mem.toDF().toDF("sym", "seq", "price"), "sym", "seq", "price",
+          period = period)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        if (split > 0) { mem.addData(rows.take(split): _*); q.processAllAvailable() }
+        if (rows.size > split) mem.addData(rows.drop(split): _*)
+        q.processAllAvailable()
+        val got = spark.table(name)
+          .select("key", "seq", "n_deltas", "rsi")
+          .as[(String, Long, Long, Option[Double])].collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+        val batch = graft.ops.Stats.rsi(
+            rows.toDF("sym", "seq", "price"), "sym", Seq(col("seq")),
+            col("price"), period = period)
+          .select("sym", "seq", "n_deltas", "rsi")
+          .as[(String, Long, Long, Option[Double])].collect()
+          .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+        got == batch
+      } finally q.stop()
+    }
+
+  property("bollingerStream: equals batch bands tick-for-tick on ANY feed (collapsed bands, nulls, any split)") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"),
+        Gen.option(Gen.choose(1, 6)))),       // tiny domain: constant
+                                              // windows (no std) common
+      Gen.choose(1, 4), Gen.oneOf(0.4, 1.0, 2.0),
+      Gen.choose(0, 5)) { (rowsRaw, window, k, splitRaw) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.functions.col
+      val rows = rowsRaw.zipWithIndex.map { case ((kk, pc), i) =>
+        (kk, i.toLong, pc.map(_ / 4.0)) }
+      val split = math.min(splitRaw, rows.size)
+      val mem = MemoryStream[(String, Long, Option[Double])]
+      val name = s"boll_law_${streamLawCounter.incrementAndGet()}"
+      val q = EventStream.bollingerStream(spark,
+          mem.toDF().toDF("sym", "seq", "price"), "sym", "seq", "price",
+          window = window, k = k)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        if (split > 0) { mem.addData(rows.take(split): _*); q.processAllAvailable() }
+        if (rows.size > split) mem.addData(rows.drop(split): _*)
+        q.processAllAvailable()
+        val got = spark.table(name)
+          .select("key", "seq", "roll_n", "bb_mid", "bb_upper", "bb_lower", "pct_b")
+          .as[(String, Long, Long, Double, Option[Double], Option[Double], Option[Double])]
+          .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+        val batch = graft.ops.Stats.bollinger(
+            rows.toDF("sym", "seq", "price"), "sym", Seq(col("seq")),
+            col("price"), window = window, k = k)
+          .select("sym", "seq", "roll_n", "bb_mid", "bb_upper", "bb_lower", "pct_b")
+          .as[(String, Long, Long, Double, Option[Double], Option[Double], Option[Double])]
+          .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+        got == batch
+      } finally q.stop()
+    }
+
+  property("drawdownStream: latest equals batch maxDrawdown on ANY feed (nulls, any split)") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"),
+        Gen.option(Gen.choose(1, 99999)))),   // price in cents, or null
+      Gen.choose(0, 5)) { (rowsRaw, splitRaw) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.functions.col
+      val rows = rowsRaw.zipWithIndex.map { case ((k, pc), i) =>
+        (k, i.toLong, pc.map(_ / 100.0)) }
+      val split = math.min(splitRaw, rows.size)
+      val mem = MemoryStream[(String, Long, Option[Double])]
+      val name = s"dd_law_${streamLawCounter.incrementAndGet()}"
+      val q = EventStream.drawdownStream(spark,
+          mem.toDF().toDF("sym", "seq", "price"), "sym", "seq", "price")
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        if (split > 0) { mem.addData(rows.take(split): _*); q.processAllAvailable() }
+        if (rows.size > split) mem.addData(rows.drop(split): _*)
+        q.processAllAvailable()
+        val latest = spark.table(name)
+          .as[(String, Long, Long, Double, Double, Double)].collect()
+          .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+        val batch = graft.ops.Stats.maxDrawdown(
+            rows.toDF("sym", "seq", "price"), "sym", Seq(col("seq")),
+            col("price"))
+          .select("sym", "max_drawdown", "peak", "n_ticks")
+          .as[(String, Double, Double, Long)].collect()
+          .map(r => r._1 -> r).toMap
+        // a key whose ticks are ALL null vanishes from BOTH sides
+        latest.keySet == batch.keySet && latest.forall {
+          case (k, (_, _, n, peak, _, maxDd)) =>
+            batch(k)._4 == n && batch(k)._3 == peak && batch(k)._2 == maxDd
+        }
+      } finally q.stop()
+    }
+
+  property("atrStream: equals batch atrChannels bar-for-bar on ANY feed (null bars, any nBars, any split)") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"),
+        Gen.option(Gen.choose(1, 12)), Gen.option(Gen.choose(1, 12)),
+        Gen.option(Gen.choose(1, 12)))),      // h/l/c independently null
+      Gen.choose(1, 3), Gen.choose(0, 5)) { (barsRaw, nBars, splitRaw) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.functions.col
+      // small quarter-step domain: Donchian ties and zero ranges common;
+      // h/l/c unordered on purpose — TR only needs the differences
+      val bars = barsRaw.zipWithIndex.map { case ((k, h, l, c), i) =>
+        (k, i.toLong, h.map(_ / 4.0), l.map(_ / 4.0), c.map(_ / 4.0)) }
+      val split = math.min(splitRaw, bars.size)
+      val mem = MemoryStream[(String, Long, Option[Double], Option[Double], Option[Double])]
+      val name = s"atr_law_${streamLawCounter.incrementAndGet()}"
+      val q = EventStream.atrStream(spark,
+          mem.toDF().toDF("sym", "bar", "high", "low", "close"),
+          "sym", "bar", "high", "low", "close", nBars = nBars)
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        if (split > 0) { mem.addData(bars.take(split): _*); q.processAllAvailable() }
+        if (bars.size > split) mem.addData(bars.drop(split): _*)
+        q.processAllAvailable()
+        val got = spark.table(name)
+          .as[(String, Long, Double, Double, Double, Option[Double],
+            Option[Double], Option[Double], Option[Int], Option[Int])]
+          .collect().map(r => (r._1, r._2) -> r).toMap
+        val batch = graft.ops.Risk.atrChannels(
+            bars.toDF("sym", "bar", "high", "low", "close"),
+            "sym", col("bar"), nBars = nBars)
+          .as[(String, Long, Double, Double, Double, Option[Double],
+            Option[Double], Option[Double], Option[Int], Option[Int])]
+          .collect().map(r => (r._1, r._2) -> r).toMap
+        got == batch
+      } finally q.stop()
+    }
+
+  property("realizedVarianceStream: latest equals batch RV per (key, bucket) on ANY feed (straddles, nulls, any split)") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("a", "b"),
+        Gen.option(Gen.choose(1, 6)))),       // tiny domain: zero returns
+                                              // and flat buckets common
+      Gen.choose(1, 3),                       // bucket width in ticks
+      Gen.choose(0, 5)) { (rowsRaw, bucketW, splitRaw) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.functions.col
+      // bucket = seq / width: monotone per key in seq order, and a
+      // return regularly STRADDLES the boundary (its two ticks land in
+      // different buckets) — the convention under test
+      val rows = rowsRaw.zipWithIndex.map { case ((k, pc), i) =>
+        (k, i.toLong, pc.map(_ * 10.0), i.toLong / bucketW) }
+      val split = math.min(splitRaw, rows.size)
+      val mem = MemoryStream[(String, Long, Option[Double], Long)]
+      val name = s"rv_law_${streamLawCounter.incrementAndGet()}"
+      val q = EventStream.realizedVarianceStream(spark,
+          mem.toDF().toDF("sym", "seq", "price", "bkt"),
+          "sym", "seq", "price", "bkt")
+        .writeStream.outputMode("update").format("memory")
+        .queryName(name).start()
+      try {
+        if (split > 0) { mem.addData(rows.take(split): _*); q.processAllAvailable() }
+        if (rows.size > split) mem.addData(rows.drop(split): _*)
+        q.processAllAvailable()
+        val latest = spark.table(name)
+          .as[(String, Long, Long, Long, Double, Double)].collect()
+          .groupBy(r => (r._1, r._3))
+          .map { case (k, rs) => k -> rs.maxBy(_._2) }
+        val batch = graft.ops.Stats.realizedVariance(
+            rows.toDF("sym", "seq", "price", "bkt"), "sym", Seq(col("seq")),
+            col("price"), col("bkt"))
+          .as[(String, Long, Long, Double, Double)].collect()
+          .map(r => (r._1, r._2) -> r).toMap
+        // only buckets holding >= 1 defined return exist, on BOTH sides
+        latest.keySet == batch.keySet && latest.forall {
+          case (k, (_, _, _, n, rv, vol)) =>
+            batch(k)._3 == n && batch(k)._4 == rv && batch(k)._5 == vol
+        }
+      } finally q.stop()
+    }
+
   property("redactPii: every planted PII item redacted, exact count, clean filler untouched") =
     forAll(
       Gen.choose(0, 3), Gen.choose(0, 3), Gen.choose(0, 3),
