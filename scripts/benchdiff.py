@@ -17,8 +17,16 @@ import sys
 def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    old = json.load(open(old_path))["queries"]
-    new = json.load(open(new_path))["queries"]
+    old_doc = json.load(open(old_path))
+    new_doc = json.load(open(new_path))
+    old, new = old_doc["queries"], new_doc["queries"]
+    # median-of-N artifacts carry a per-query spread (max-min over reps);
+    # annotate SLOWER rows whose delta sits inside the combined recorded
+    # noise floor — still gating (a real regression repeats next run),
+    # but the reviewer sees it's within what the host jittered locally
+    spread = {**old_doc.get("spread", {}), **{
+        q: old_doc.get("spread", {}).get(q, 0.0) + s
+        for q, s in new_doc.get("spread", {}).items()}}
     slower, broke = [], []
     for q in sorted(new):
         if new[q] < 0:
@@ -47,7 +55,8 @@ def main():
         print(f"GONE     {q:<28} ({was})")
     for q, o, n in sorted(slower, key=lambda t: t[1] - t[2]):
         ratio = f"{n / o:.1f}x" if o > 0 else "inf"
-        print(f"SLOWER   {q:<28} {o:6.2f} s -> {n:6.2f} s  ({ratio})")
+        note = "  [within recorded spread]" if n - o <= spread.get(q, 0.0) else ""
+        print(f"SLOWER   {q:<28} {o:6.2f} s -> {n:6.2f} s  ({ratio}){note}")
     to = sum(v for v in old.values() if v >= 0)
     tn = sum(v for v in new.values() if v >= 0)
     ratio = f"{tn / to:.2f}x" if to > 0 else "n/a"

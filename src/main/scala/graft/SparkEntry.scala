@@ -970,6 +970,22 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q150_mjpeg_frames" -> ((s, dir) => {
+      // REAL per-frame JPEG decode, oracle-gated: MJPEG AVIs whose
+      // frames are gray fills with a distinct gray 8×8 patch — the
+      // block-aligned grayscale fixture is EXACT through JPEG at
+      // all-ones quant tables (pinned in MediaSpec), so channel sums
+      // are id-arithmetic (Σ_f 64·u + (w·h−64)·v) and a header-only or
+      // solid-color shortcut gets different numbers
+      import graft.multimodal.Media
+      val media = Media.videoMjpegTable(s, t(s, dir, "documents"), "doc_id")
+      Media.extractVideoFrameFeatures(s, media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_frames"), col("r_sum"), col("g_sum"), col("b_sum"),
+          col("decoded"))
+        .orderBy("media_id")
+    }),
+
     "q148_vocab_churn" -> ((s, dir) => {
       // feature-level drift: top-20 vocabularies of the two corpus
       // versions (even/odd ids), overlap and Jaccard in one row
@@ -3012,6 +3028,31 @@ object SparkEntry {
         |  CAST(h AS INT) AS height, CAST(nf AS BIGINT) AS n_frames,
         |  CAST(rs AS BIGINT) AS r_sum, CAST(gs AS BIGINT) AS g_sum,
         |  CAST(bs AS BIGINT) AS b_sum, TRUE AS decoded
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    // the q142 arithmetic for the MJPEG path: frame f of media id is a
+    // gray v=(11·id+5f)%256 fill with a gray u=(7·id+13f)%256 8×8
+    // patch, so each channel sums to 64·u + (w·h−64)·v per frame —
+    // exact because the block-aligned grayscale fixture survives JPEG
+    // bit-for-bit at all-ones quant tables (MediaSpec pins it)
+    "q150_mjpeg_frames" ->
+      """WITH g AS (
+        |  SELECT doc_id, 16 + 8 * (doc_id % 3) AS w,
+        |    8 + 8 * (doc_id % 2) AS h, 1 + doc_id % 3 AS nf
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h, nf,
+        |    (7 * doc_id + 13 * r.i) % 256 AS u,
+        |    (11 * doc_id + 5 * r.i) % 256 AS v
+        |  FROM g, range(3) r(i) WHERE r.i < nf),
+        |s AS (
+        |  SELECT doc_id, MIN(w) AS w, MIN(h) AS h, MIN(nf) AS nf,
+        |    SUM(64 * u + (w * h - 64) * v) AS cs
+        |  FROM f GROUP BY doc_id)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(cs AS BIGINT) AS r_sum, CAST(cs AS BIGINT) AS g_sum,
+        |  CAST(cs AS BIGINT) AS b_sum, TRUE AS decoded
         |FROM s ORDER BY media_id""".stripMargin,
 
     "q148_vocab_churn" ->

@@ -327,10 +327,13 @@ object Media {
       * `h` bottom-up rows of BGR triplets padded to 4-byte row
       * boundaries (the padding bytes are skipped — a decoder that
       * naively averages the whole chunk gets different sums, which the
-      * q142 oracle would catch). Compressed streams, other bit depths,
-      * or size-inconsistent frames return None and the caller falls
-      * back to the header-only [[decodeMeta]] / stub path, mirroring
-      * how the JDK image/audio parsers reject what they can't decode.
+      * q142 oracle would catch). MJPEG streams (biCompression 'MJPG')
+      * pixel-decode too: each movi chunk is a complete baseline JPEG,
+      * read through the JDK's ImageIO (q150). Other compressions,
+      * other bit depths, or size-inconsistent frames return None and
+      * the caller falls back to the header-only [[decodeMeta]] / stub
+      * path, mirroring how the JDK image/audio parsers reject what
+      * they can't decode.
       */
     def decodeFrames(payload: Array[Byte]): Option[(VideoMeta, Vector[FrameStats])] = {
       if (payload.length < 12 || cc(payload, 0) != "RIFF" ||
@@ -369,6 +372,37 @@ object Media {
               u32(payload, dataStart + 16)))
           } else if (id == "00db" || id == "00dc") {
             bmp match {
+              case Some((w, h, _, 0x47504A4DL)) if w > 0 && h > 0 =>
+                // MJPEG ('MJPG' biCompression): each movi chunk is a
+                // complete baseline JPEG — decoded through the JDK's own
+                // ImageIO reader (pure JDK, no codec libraries), which
+                // makes MJPEG the second REAL frame decode next to
+                // BI_RGB. Reader failure or a geometry mismatch against
+                // the stream header rejects the payload (the caller
+                // falls back to the header-only/stub path) rather than
+                // shipping wrong sums as decoded=true.
+                val img =
+                  try javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(payload, dataStart,
+                      size.toInt))
+                  catch { case _: Throwable => null }
+                if (img == null || img.getWidth != w || img.getHeight != h)
+                  return false
+                var r = 0L; var g = 0L; var b = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val px = img.getRGB(x, y)
+                    r += (px >> 16) & 0xFF
+                    g += (px >> 8) & 0xFF
+                    b += px & 0xFF
+                    x += 1
+                  }
+                  y += 1
+                }
+                frames += FrameStats(nf, r, g, b)
+                nf += 1
               case Some((w, h, 24, 0L)) if w > 0 && h > 0 =>
                 val rowBytes = (3 * w + 3) & ~3
                 if (size != rowBytes.toLong * h) return false
@@ -458,6 +492,97 @@ object Media {
           } else bos.write(row)
           y += 1
         }
+      }
+      bos.toByteArray
+    }
+
+    /** One baseline JPEG of a gray (R=G=B) `body` fill with a distinct
+      * gray 8×8 top-left `patch`, written by the JDK's ImageIO at
+      * quality 1.0 (all-ones quantization tables). EXACTNESS ARGUMENT
+      * (pinned empirically in MediaSpec): grayscale keeps the chroma
+      * planes constant at 128 (immune to subsampling), the 8-aligned
+      * geometry keeps every luma block CONSTANT, and a constant block
+      * carries only a DC coefficient — integer, quantized by 1, so the
+      * DCT→quant→IDCT round trip reproduces each pixel exactly and the
+      * decoded channel sums are id-arithmetic, not merely approximate.
+      */
+    private[multimodal] def encodeJpegGray(width: Int, height: Int,
+                                           patch: Int, body: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val g = if (x < 8 && y < 8) patch else body
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(1.0f)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+
+    /** Conforming MJPEG AVI: the [[encodeAviFrames]] container skeleton
+      * with an `MJPG` stream (biCompression = 'MJPG') whose `00dc`
+      * chunks each hold a complete [[encodeJpegGray]] baseline JPEG.
+      * Frame f is a gray `grays(f)._2` fill with a gray `grays(f)._1`
+      * 8×8 top-left patch, so the per-channel sum is exactly
+      * 64·patch + (w·h−64)·body — a header-only or solid-color
+      * shortcut gets different numbers, and ONLY a real per-frame JPEG
+      * decode reproduces them. Width/height must be multiples of 8
+      * (block-grid alignment is what makes the fixture exact — a
+      * straddling patch would smear through the DCT).
+      */
+    def encodeAviMjpeg(width: Int, height: Int, microsPerFrame: Int,
+                       grays: Seq[(Int, Int)]): Array[Byte] = {
+      require(width % 8 == 0 && height % 8 == 0,
+        s"MJPEG fixture geometry must align to the 8x8 grid, got ${width}x$height")
+      val jpegs = grays.map { case (u, v) => encodeJpegGray(width, height, u, v) }
+      val nFrames = jpegs.size
+      val strlContent = 4 + (8 + 56) + (8 + 40)
+      val hdrlContent = 4 + (8 + 56) + (8 + strlContent)
+      val moviContent = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+      val riffSize = 4 + (8 + hdrlContent) + (8 + moviContent)
+      val bos = new java.io.ByteArrayOutputStream(8 + riffSize)
+      def w32(v: Long): Unit = {
+        bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+        bos.write(((v >> 16) & 0xFF).toInt); bos.write(((v >> 24) & 0xFF).toInt)
+      }
+      def w16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+      def tag(s: String): Unit =
+        bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      tag("RIFF"); w32(riffSize); tag("AVI ")
+      tag("LIST"); w32(hdrlContent); tag("hdrl")
+      tag("avih"); w32(56)
+      w32(microsPerFrame); w32(0); w32(0); w32(0)
+      w32(nFrames); w32(0); w32(1); w32(0)
+      w32(width); w32(height); w32(0); w32(0); w32(0); w32(0)
+      tag("LIST"); w32(strlContent); tag("strl")
+      tag("strh"); w32(56)
+      tag("vids"); tag("MJPG"); w32(0); w32(0); w32(0)
+      w32(1); w32(1000000L / math.max(1, microsPerFrame))
+      w32(0); w32(nFrames); w32(jpegs.map(_.length).max.toLong); w32(0xFFFFFFFFL)
+      w32(0); w32(0); w32(0)
+      tag("strf"); w32(40)
+      w32(40); w32(width); w32(height); w16(1); w16(24)
+      w32(0x47504A4DL) /* 'MJPG' */; w32(0); w32(0); w32(0); w32(0); w32(0)
+      tag("LIST"); w32(moviContent); tag("movi")
+      jpegs.foreach { j =>
+        tag("00dc"); w32(j.length)
+        bos.write(j)
+        if ((j.length & 1) == 1) bos.write(0) // RIFF even padding
       }
       bos.toByteArray
     }
@@ -577,6 +702,30 @@ object Media {
           }
           MediaRow(id, "avi", VideoCodec.encodeAviFrames(
             8 + m(id, 8), 6 + m(id, 6), 40000, colors))
+        }
+      }.toDF()
+  }
+
+  /** Deterministic MJPEG video table: one MJPEG AVI per id — 8-aligned
+    * id-derived geometry, 1-3 JPEG frames each a gray fill with a
+    * distinct gray 8×8 patch ([[VideoCodec.encodeAviMjpeg]]'s exactness
+    * fixture) — so every channel sum is id-arithmetic
+    * (Σ_f 64·u_f + (w·h−64)·v_f) and the q150 gate proves the
+    * per-frame JPEG decode, the q142 move for the compressed-frame
+    * path.
+    */
+  def videoMjpegTable(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          def m(x: Long, n: Long) = java.lang.Math.floorMod(x, n).toInt
+          val nf = 1 + m(id, 3)
+          val grays = (0 until nf).map { f =>
+            (m(7 * id + 13 * f, 256), m(11 * id + 5 * f, 256))
+          }
+          MediaRow(id, "avi", VideoCodec.encodeAviMjpeg(
+            16 + 8 * m(id, 3), 8 + 8 * m(id, 2), 40000, grays))
         }
       }.toDF()
   }

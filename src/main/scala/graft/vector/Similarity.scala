@@ -535,6 +535,67 @@ object Similarity {
     appended
   }
 
+  case class IvfMaintenance(appended: Long, centroidCosine: Option[Double],
+                            rebuilt: Boolean)
+
+  /** Drift-gated IVF maintenance — the executor of [[appendIvfIndex]]'s
+    * documented rebuild contract, which until round 7 nothing actually
+    * ran. The cheap churn path (assign to the EXISTING centroids,
+    * append) is only sound while batches come from the distribution the
+    * centroids were sampled from; a drifted batch (new crawl, new
+    * topic) still lands in SOME cluster, but probe recall quietly
+    * degrades — the worst failure mode, wrong-but-plausible answers.
+    * So maintenance first measures [[centroidDrift]] between the
+    * INDEXED corpus (read back from the assignment layout — no extra
+    * stored state) and the incoming batch:
+    *
+    *   - centroid cosine ≥ `minCentroidCosine` → [[appendIvfIndex]],
+    *     batch-shaped cost (the common path);
+    *   - below the gate, or undefined (a degenerate mean) → REBUILD
+    *     over old ∪ new via [[buildIvfIndex]] — corpus-shaped cost,
+    *     restoring the recall stale centroids were losing. The new
+    *     layout is written to a staging dir and swapped in only after
+    *     it is completely written (a crash mid-build leaves the live
+    *     index untouched; the originals sit in `.retired` until the
+    *     swap completes).
+    *
+    * Returns what happened and the measured cosine so a pipeline can
+    * alert on rebuild cadence — a rebuild every batch means the corpus
+    * is nonstationary faster than the index amortizes.
+    */
+  def maintainIvfIndex(newEmb: DataFrame, idCol: String, vecCol: String,
+                       indexPath: String, minCentroidCosine: Double = 0.7,
+                       nCentroids: Int = 16): IvfMaintenance = {
+    val spark = newEmb.sparkSession
+    val old = spark.read.parquet(s"$indexPath/assignments")
+    val cosRow = centroidDrift(old.select(col("v").as(vecCol)),
+        newEmb.select(col(vecCol)), vecCol)
+      .select(col("centroid_cosine")).head()
+    val cos = if (cosRow.isNullAt(0)) None else Some(cosRow.getDouble(0))
+    if (cos.exists(_ >= minCentroidCosine))
+      IvfMaintenance(appendIvfIndex(newEmb, idCol, vecCol, indexPath),
+        cos, rebuilt = false)
+    else {
+      val nNew = newEmb.count()
+      val union = old.select(col("id").as(idCol), col("v").as(vecCol))
+        .unionByName(newEmb.select(col(idCol), col(vecCol)))
+      val staging = s"$indexPath/.rebuild"
+      buildIvfIndex(union, idCol, vecCol, staging, nCentroids)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      val fs = p(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val retired = s"$indexPath/.retired"
+      fs.delete(p(retired), true)
+      fs.mkdirs(p(retired))
+      for (part <- Seq("assignments", "centroids")) {
+        fs.rename(p(s"$indexPath/$part"), p(s"$retired/$part"))
+        fs.rename(p(s"$staging/$part"), p(s"$indexPath/$part"))
+      }
+      fs.delete(p(retired), true)
+      fs.delete(p(staging), true)
+      IvfMaintenance(nNew, cos, rebuilt = true)
+    }
+  }
+
   /** Probe a persisted IVF index (see [[buildIvfIndex]]) with an explicit
     * query vector: rank centroids driver-side (the centroid table is
     * k×dim — bounded, the same collect [[kmeansCentroids]] already does),

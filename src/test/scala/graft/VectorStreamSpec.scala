@@ -93,6 +93,55 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(probe === inline)
   }
 
+  test("maintainIvfIndex: drifted batch drops probe recall on append, rebuild restores it") {
+    import spark.implicits._
+    // base corpus spans e1/e2; the drifted batch lives in e3 — a region
+    // the base's stride centroids cannot resolve. Jitter makes vectors
+    // distinct while keeping cross-region cosines exactly 0, so cluster
+    // assignment and probe ranking tie deterministically.
+    def baseVec(i: Long): Seq[Float] =
+      if (i % 2 == 0) Seq(1.0f, 0.001f * i, 0.0f, 0.0f)
+      else Seq(0.001f * i, 1.0f, 0.0f, 0.0f)
+    val base = (0L until 50L).map(i => (i, baseVec(i))).toDF("vec_id", "embedding")
+    val drifted = (50L until 110L).map(i =>
+      (i, Seq(0.0f, 0.0f, 1.0f, 0.001f * i))).toDF("vec_id", "embedding")
+    val query = Seq(0.0, 0.0, 1.0, 0.0)
+    // brute-force truth: the drifted vectors with the smallest e4 jitter
+    val bruteTop = (50L to 54L).toSeq
+    // path A — the stale-centroid churn path the rebuild contract warns
+    // about: plain append, then a 1-probe search in the drifted region
+    val idxA = java.nio.file.Files.createTempDirectory("graft_ivf_da").toString + "/index"
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", idxA, nCentroids = 2)
+    Similarity.appendIvfIndex(drifted, "vec_id", "embedding", idxA)
+    val recallA = Similarity.ivfProbe(spark, idxA, query, 5, nProbe = 1)
+      .as[(Long, Double)].collect().map(_._1).toSet.intersect(bruteTop.toSet).size
+    assert(recallA === 0, s"stale centroids should lose the drifted region, recall=$recallA")
+    // path B — drift-gated maintenance: the same batch trips the gate
+    // (cross-region centroid cosine ~0 < 0.7) and triggers a rebuild
+    val idxB = java.nio.file.Files.createTempDirectory("graft_ivf_db").toString + "/index"
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", idxB, nCentroids = 2)
+    val m = Similarity.maintainIvfIndex(drifted, "vec_id", "embedding", idxB,
+      minCentroidCosine = 0.7, nCentroids = 3)
+    assert(m.rebuilt && m.appended === 60L, m)
+    assert(m.centroidCosine.exists(c => c.abs < 0.2), m)
+    // rebuilt centroids include the drifted region (stride id 62) — the
+    // same 1-probe search now returns exactly the brute-force top-5
+    val afterRebuild = Similarity.ivfProbe(spark, idxB, query, 5, nProbe = 1)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(afterRebuild === bruteTop, afterRebuild)
+    // an UNdrifted follow-up batch (same e3 region as the now-indexed
+    // corpus mix) takes the cheap append path and stays probe-visible
+    val followUp = (110L until 120L).map(i =>
+      (i, Seq(0.0f, 0.0f, 1.0f, 0.001f * i))).toDF("vec_id", "embedding")
+    val m2 = Similarity.maintainIvfIndex(followUp, "vec_id", "embedding", idxB,
+      minCentroidCosine = 0.7, nCentroids = 3)
+    assert(!m2.rebuilt && m2.appended === 10L, m2)
+    assert(m2.centroidCosine.exists(_ >= 0.7), m2)
+    val afterAppend = Similarity.ivfProbe(spark, idxB, query, 5, nProbe = 1)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(afterAppend === bruteTop, afterAppend)
+  }
+
   test("appendIvfIndex: probes see appended vectors without an index rebuild") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString + "/index"
@@ -1242,6 +1291,52 @@ class VectorStreamSpec extends AnyFunSuite {
         val c = (7 * id + 13 * fi) % 256; c * w * h + 255 - 2 * c
       }.sum
       assert(f.r_sum === rs, s"id=$id r_sum")
+    }
+  }
+
+  test("MJPEG frame decode is real: per-frame JPEG decode, exact block-aligned gray sums") {
+    // the q150 oracle's exactness premise: a block-aligned grayscale
+    // fixture survives JPEG bit-for-bit at quality 1.0 (constant luma
+    // blocks carry only an integer DC, quantized by 1; chroma constant
+    // at 128) — sweep gray extremes and both geometry classes
+    for ((u, v) <- Seq((0, 255), (255, 0), (1, 254), (128, 127), (37, 201));
+         (w, h) <- Seq((16, 8), (40, 24))) {
+      val avi = Media.VideoCodec.encodeAviMjpeg(w, h, 40000, Seq((u, v)))
+      val Some((meta, frames)) = Media.VideoCodec.decodeFrames(avi)
+      assert((meta.width, meta.height) === ((w, h)))
+      val expect = 64L * u + (w.toLong * h - 64) * v
+      assert((frames(0).rSum, frames(0).gSum, frames(0).bSum) ===
+        ((expect, expect, expect)), s"u=$u v=$v ${w}x$h")
+    }
+    // multi-frame: per-frame sums in movi order
+    val multi = Media.VideoCodec.encodeAviMjpeg(16, 8, 40000,
+      Seq((10, 20), (200, 100), (0, 0)))
+    val Some((m2, fr2)) = Media.VideoCodec.decodeFrames(multi)
+    assert(m2.nFrames === 3L && fr2.size === 3)
+    assert(fr2(1).gSum === 64L * 200 + (16L * 8 - 64) * 100)
+    assert(fr2(2).rSum === 0L)
+    // a garbage chunk where a JPEG should be refuses — never wrong sums
+    val broken = multi.clone()
+    val at = multi.indexOfSlice("00dc".getBytes)
+    java.util.Arrays.fill(broken, at + 8, at + 16, 0x5A.toByte)
+    assert(Media.VideoCodec.decodeFrames(broken) === None)
+    // header-only consumers still read the container
+    assert(Media.VideoCodec.decodeMeta(multi).map(_.width) === Some(16))
+    // distributed path matches the q150 id arithmetic end to end
+    val ids = Seq(0L, 5L, 77L).toDF("doc_id")
+    val feats = Media.extractVideoFrameFeatures(spark,
+        Media.videoMjpegTable(spark, ids, "doc_id"))
+      .collect().map(f => f.media_id -> f).toMap
+    for (id <- Seq(0L, 5L, 77L)) {
+      val f = feats(id)
+      assert(f.decoded, s"id=$id")
+      val (w, h, nf) = (16 + 8 * (id % 3), 8 + 8 * (id % 2), 1 + id % 3)
+      assert((f.width, f.height, f.n_frames) === ((w.toInt, h.toInt, nf)))
+      val cs = (0L until nf).map { fi =>
+        64L * ((7 * id + 13 * fi) % 256) +
+          (w * h - 64) * ((11 * id + 5 * fi) % 256)
+      }.sum
+      assert((f.r_sum, f.g_sum, f.b_sum) === ((cs, cs, cs)), s"id=$id")
     }
   }
 
