@@ -970,6 +970,50 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q151_pii_extended" -> ((s, dir) => {
+      // checksum-validated PII classes, oracle-gated in the q143 style:
+      // id-derived VALID IBANs (mod-97 check digits computed in-query)
+      // and Luhn cards (check digit from the closed form for a
+      // repeated-digit body) are planted next to INVALID one-digit-off
+      // twins — the redactor must scrub every valid item and leave
+      // every invalid twin VERBATIM, so counts and redacted length are
+      // id arithmetic and a checksum-less detector fails the gate in
+      // both directions
+      import org.apache.spark.sql.functions.{length => strlen}
+      val bban = lpad((col("doc_id") % 1000000000L).cast("string"), 10, "0")
+      val check = lpad((lit(98) -
+          (bban.cast("long") * 1000000L + 131400L) % 97).cast("string"),
+        2, "0")
+      val iban = concat(lit("DE"), check, bban)
+      // same check digits over a last-digit-bumped BBAN: mod-97 residue
+      // shifts by ±10^k mod 97 ≠ 0, so the twin can never validate
+      val ibanBad = concat(lit("DE"), check, substring(bban, 1, 9),
+        ((substring(bban, 10, 1).cast("int") + 1) % 10).cast("string"))
+      val d = (col("doc_id") % 10).cast("int")
+      val f2 = when(d >= 5, d * 2 - 9).otherwise(d * 2) // doubled-digit fold
+      val luhn = (lit(10) - (d * 7 + f2 * 8) % 10) % 10
+      val card = concat(repeat(d.cast("string"), 15), luhn.cast("string"))
+      val cardBad = concat(repeat(d.cast("string"), 15),
+        ((luhn + 5) % 10).cast("string"))
+      val ip6 = concat(lit("2001:db8::"), lower(hex(col("doc_id") % 256)))
+      val planted = t(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        repeat(concat(lit(" acct "), iban), (col("doc_id") % 2).cast("int")),
+        repeat(concat(lit(" acct "), ibanBad),
+          when(col("doc_id") % 3 === 0, 1).otherwise(0)),
+        repeat(concat(lit(" card "), card),
+          ((col("doc_id") + 1) % 2).cast("int")),
+        repeat(concat(lit(" card "), cardBad),
+          when(col("doc_id") % 3 === 1, 1).otherwise(0)),
+        repeat(concat(lit(" node "), ip6),
+          ((col("doc_id") + 2) % 3).cast("int"))).as("text"))
+      text.Curation.redactPiiExtended(planted, "text")
+        .select(col("doc_id"), col("n_iban"), col("n_card"), col("n_ip6"),
+          col("n_redactions"),
+          strlen(col("text")).cast("long").as("redacted_len"))
+        .orderBy("doc_id")
+    }),
+
     "q150_mjpeg_frames" -> ((s, dir) => {
       // REAL per-frame JPEG decode, oracle-gated: MJPEG AVIs whose
       // frames are gray fills with a distinct gray 8×8 patch — the
@@ -3029,6 +3073,25 @@ object SparkEntry {
         |  CAST(rs AS BIGINT) AS r_sum, CAST(gs AS BIGINT) AS g_sum,
         |  CAST(bs AS BIGINT) AS b_sum, TRUE AS decoded
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // independent recomputation from id arithmetic: per valid item the
+    // planted ' acct '+IBAN(14) → ' acct '+'<IBAN>' nets 12 chars
+    // (card 22→12, ipv6 16+hexlen→11); invalid twins keep their full
+    // planted length (IBAN 20, card 22). Base regex classes find
+    // nothing, so n_redactions is the ext counts' sum.
+    "q151_pii_extended" ->
+      """WITH p AS (
+        |  SELECT doc_id, length(text) AS nc,
+        |    doc_id % 2 AS ni, (doc_id + 1) % 2 AS ncd, (doc_id + 2) % 3 AS n6,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS bi,
+        |    CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS bc
+        |  FROM documents)
+        |SELECT doc_id, CAST(ni AS BIGINT) AS n_iban,
+        |  CAST(ncd AS BIGINT) AS n_card, CAST(n6 AS BIGINT) AS n_ip6,
+        |  CAST(ni + ncd + n6 AS BIGINT) AS n_redactions,
+        |  CAST(nc + 12 * ni + 12 * ncd + 11 * n6 + 20 * bi + 22 * bc
+        |    AS BIGINT) AS redacted_len
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // the q142 arithmetic for the MJPEG path: frame f of media id is a
     // gray v=(11·id+5f)%256 fill with a gray u=(7·id+13f)%256 8×8

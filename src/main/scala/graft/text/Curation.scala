@@ -346,6 +346,32 @@ object Curation {
       .withColumn(textCol, scrubbed)
   }
 
+  /** Checksum-validated PII extension over [[redactPii]]: IBAN
+    * (ISO 7064 mod-97), payment cards (Luhn), and IPv6 — the classes a
+    * regex alone over- or under-redacts — run FIRST via the codegen'd
+    * [[graft.functions.RedactExtExpr]] (most-specific-first: a card's
+    * digit run must be tagged before the phone pattern could touch it),
+    * then the email/phone/IPv4 regex family on the scrubbed text.
+    * Checksum-invalid candidates stay VERBATIM (scrubbing a failed-
+    * checksum run destroys non-PII data for zero privacy gain).
+    * Separate operator so [[redactPii]]'s q143 surface is unchanged;
+    * q151 gates this one with valid items AND one-digit-off twins.
+    */
+  def redactPiiExtended(df: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    val ext = GraftColumn(
+      graft.functions.RedactExtExpr(GraftColumn.expr(col(textCol))))
+    redactPii(
+        df.withColumn("_ext", ext).withColumn(textCol, col("_ext.text")),
+        textCol)
+      .withColumn("n_iban", col("_ext.n_iban").cast("long"))
+      .withColumn("n_card", col("_ext.n_card").cast("long"))
+      .withColumn("n_ip6", col("_ext.n_ip6").cast("long"))
+      .withColumn("n_redactions", col("n_redactions") +
+        col("n_iban") + col("n_card") + col("n_ip6"))
+      .drop("_ext")
+  }
+
   /** Materialized sequence packing: assign docs to fixed token-budget
     * batches by a running per-source token sum (deterministic doc_id
     * order ⇒ identical batches on any cluster size), then concatenate

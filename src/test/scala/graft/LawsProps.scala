@@ -1332,6 +1332,42 @@ object LawsProps extends Properties("graft.laws") {
       } finally q.stop()
     }
 
+  property("redactPiiExtended: checksums decide — valid scrubbed, one-digit twins and decoys kept") =
+    forAll(Gen.listOfN(10, Gen.choose(0, 9)), Gen.listOfN(15, Gen.choose(0, 9)),
+      Gen.choose(0L, 0xFFFFL)) { (bbanDs, cardDs, hx) =>
+      import org.apache.spark.sql.functions.col
+      // valid IBAN: ISO 7064 check digits over a random BBAN, computed
+      // independently here by streaming mod-97 (BBAN ++ 'DE00' numeric)
+      val bban = bbanDs.mkString
+      val mod = (bban + "131400").foldLeft(0L)((m, c) => (m * 10 + (c - '0')) % 97)
+      val iban = f"DE${98 - mod}%02d$bban"
+      val ibanBad = iban.dropRight(1) + ((iban.last - '0' + 1) % 10)
+      // valid card: Luhn digit over a random 15-digit body (doubling
+      // walks from the right, check digit undoubled)
+      val body = cardDs.mkString
+      val luhnSum = body.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 0) { val t = d * 2; if (t > 9) t - 9 else t } else d
+      }.sum
+      val cd = (10 - luhnSum % 10) % 10
+      val card = body + cd
+      val cardBad = body + ((cd + 5) % 10)
+      val ip6 = s"2001:db8::${hx.toHexString}"
+      // decoys the structural validator must spare: a clock time (3
+      // groups, no '::') and a MAC address (6 groups)
+      val txt = s"pad $iban mid $ibanBad x $card y $cardBad " +
+        s"z $ip6 t 12:30:45 m aa:bb:cc:dd:ee:ff end"
+      val out = graft.text.Curation.redactPiiExtended(
+          Seq((1L, txt)).toDF("doc_id", "text"), "text")
+        .select("text", "n_iban", "n_card", "n_ip6", "n_redactions")
+        .as[(String, Long, Long, Long, Long)].collect().head
+      out._2 == 1L && out._3 == 1L && out._4 == 1L && out._5 == 3L &&
+        out._1.contains("<IBAN>") && out._1.contains(ibanBad) &&
+        out._1.contains("<CARD>") && out._1.contains(cardBad) &&
+        out._1.contains("<IP6>") && out._1.contains("12:30:45") &&
+        out._1.contains("aa:bb:cc:dd:ee:ff")
+    }
+
   property("redactPii: every planted PII item redacted, exact count, clean filler untouched") =
     forAll(
       Gen.choose(0, 3), Gen.choose(0, 3), Gen.choose(0, 3),
