@@ -970,6 +970,27 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q152_phash_pairs" -> ((s, dir) => {
+      // perceptual image dedup, exact twin: aHash the bit-grid PNG
+      // fixture (hash == id by construction, across three scales — so
+      // the oracle is popcount(xor) arithmetic and the gate proves the
+      // decode → 8×8 block-average → threshold pipeline end to end)
+      import graft.multimodal.Media
+      Media.phashExactPairs(s,
+          Media.imageHashTable(s, t(s, dir, "documents"), "doc_id"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q153_phash_banded" -> ((s, dir) => {
+      // the 100 TB path: 4×16-bit chunk blocking — pigeonhole-total for
+      // hamming <= 3 (a PROVABLE law, so unlike q39's LSH premise the
+      // exact oracle applies on every corpus, no oracleMeasuredOn tie)
+      import graft.multimodal.Media
+      Media.phashBandedPairs(s,
+          Media.imageHashTable(s, t(s, dir, "documents"), "doc_id"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q151_pii_extended" -> ((s, dir) => {
       // checksum-validated PII classes, oracle-gated in the q143 style:
       // id-derived VALID IBANs (mod-97 check digits computed in-query)
@@ -3073,6 +3094,25 @@ object SparkEntry {
         |  CAST(rs AS BIGINT) AS r_sum, CAST(gs AS BIGINT) AS g_sum,
         |  CAST(bs AS BIGINT) AS b_sum, TRUE AS decoded
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // the bit-grid fixture's aHash IS the id (encodePngBits ↔
+    // averageHash64 roundtrip, pinned in spec + laws), so perceptual
+    // near-dups are exactly the id pairs with popcount(xor) <= 3; the
+    // banded variant shares the oracle by pigeonhole (4 chunks > 3
+    // differing bits ⇒ some chunk matches), corpus-independent
+    "q152_phash_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.doc_id, b.doc_id)) AS INT) AS hamming
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q153_phash_banded" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.doc_id, b.doc_id)) AS INT) AS hamming
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // independent recomputation from id arithmetic: per valid item the
     // planted ' acct '+IBAN(14) → ' acct '+'<IBAN>' nets 12 chars

@@ -146,6 +146,85 @@ object Media {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     }
+
+    /** Bit-grid PNG for the perceptual-hash gates: an 8s×8s image whose
+      * 8×8 cell (i, j) is a solid white/black fill by bit 8i+j of
+      * `bits` — constructed so [[averageHash64]] of the image IS `bits`
+      * back (for any popcount < 64), making near-dup pairs pure id
+      * arithmetic in the q152/q153 oracles. PNG is lossless, so the
+      * roundtrip is exact at every scale.
+      */
+    def encodePngBits(scale: Int, bits: Long): Array[Byte] = {
+      noDiskCache
+      require(scale >= 1, s"scale must be >= 1, got $scale")
+      val wh = 8 * scale
+      val img = new java.awt.image.BufferedImage(
+        wh, wh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < wh) {
+        var x = 0
+        while (x < wh) {
+          val cell = 8 * (y / scale) + (x / scale)
+          img.setRGB(x, y, if (((bits >>> cell) & 1L) == 1L) 0xFFFFFF else 0)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** 64-bit average-hash (aHash) — the standard perceptual near-dup
+      * signature: partition the decoded image into the 8×8 perceptual
+      * grid (integer cell bounds `⌊k·dim/8⌋`, so any geometry ≥ 8×8
+      * works and equal-content images at different scales hash alike),
+      * sum per-cell luma (r+g+b — no weights, no division), and set
+      * bit 8·row+col iff the cell's mean EXCEEDS the global mean. The
+      * compare cross-multiplies in exact Longs (cellSum·totalN >
+      * totalSum·cellN) — no double quotient, so every engine and every
+      * pixel order agrees bit-for-bit; the products stay inside a Long
+      * for images up to 8K². None for non-images, failed decodes, or
+      * images under 8×8 (empty cells have no mean).
+      */
+    def averageHash64(payload: Array[Byte]): Option[Long] = {
+      noDiskCache
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = new Array[Long](64)
+          val counts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            val row = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val luma = ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+              val cell = 8 * row + x * 8 / w
+              sums(cell) += luma
+              counts(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var totalSum = 0L
+          var k = 0
+          while (k < 64) { totalSum += sums(k); k += 1 }
+          val totalN = w.toLong * h
+          var hash = 0L
+          k = 0
+          while (k < 64) {
+            if (sums(k) * totalN > totalSum * counts(k)) hash |= 1L << k
+            k += 1
+          }
+          Some(hash)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** Real audio codec on the JDK's `javax.sound.sampled` — WAV/AIFF/AU
@@ -728,6 +807,108 @@ object Media {
             16 + 8 * m(id, 3), 8 + 8 * m(id, 2), 40000, grays))
         }
       }.toDF()
+  }
+
+  /** Deterministic image table for the perceptual-hash gates: one
+    * bit-grid PNG per id at an id-derived scale
+    * ([[ImageCodec.encodePngBits]]), each image hashing to a FIXED
+    * BIT-PERMUTATION of its id (bit k → bit 5k mod 64). The
+    * permutation spreads small ids' low bits across all four 16-bit
+    * blocking chunks — without it every high chunk would be zero and
+    * the banded join would degenerate into one universal hot bucket —
+    * while leaving the oracle untouched: permuting positions commutes
+    * with xor, so hamming(π(a), π(b)) = popcount(a xor b) and the
+    * q152/q153 pair surface stays pure id arithmetic. The varying
+    * scale pins scale-invariance: equal patterns hash alike at
+    * s = 1, 2, 3.
+    */
+  def imageHashTable(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    def spread(x: Long): Long = {
+      var out = 0L
+      var k = 0
+      while (k < 64) {
+        if (((x >>> k) & 1L) == 1L) out |= 1L << ((5 * k) & 63)
+        k += 1
+      }
+      out
+    }
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          MediaRow(id, "png", ImageCodec.encodePngBits(
+            1 + java.lang.Math.floorMod(id, 3L).toInt, spread(id)))
+        }
+      }.toDF()
+  }
+
+  case class ImageHash(media_id: Long, phash: Long)
+
+  /** Batched perceptual hashing: [[ImageCodec.averageHash64]] per
+    * payload in executors; undecodable payloads drop (near-dup
+    * semantics exclude what has no signature, the zero-vector
+    * convention of [[graft.vector.Similarity]]).
+    */
+  def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("format"), col("payload")).as[MediaRow]
+      .mapPartitions(_.flatMap(m =>
+        ImageCodec.averageHash64(m.payload).map(ImageHash(m.media_id, _))))
+  }
+
+  /** Exact perceptual near-dup pairs: every (a < b) with
+    * hamming(aHash_a, aHash_b) <= maxDist — the all-pairs oracle twin
+    * of [[phashBandedPairs]], guarded like
+    * [[graft.vector.Similarity.embedNearDup]] (refuses past `maxExact`
+    * rows instead of launching a corpus² product).
+    */
+  def phashExactPairs(spark: SparkSession, media: DataFrame,
+                      maxDist: Int = 3, maxExact: Long = 100000L): DataFrame = {
+    val hashes = imageHashes(spark, media).toDF().persist()
+    val n = hashes.count() // materializes the reused hashes too
+    if (n > maxExact) {
+      hashes.unpersist()
+      throw new IllegalArgumentException(
+        s"phashExactPairs: $n images is ${n * (n - 1) / 2} pairs " +
+          s"(maxExact=$maxExact); use phashBandedPairs")
+    }
+    hashes.as("a").join(hashes.as("b"),
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Banded perceptual near-dup pairs — the 100 TB path: block the
+    * 64-bit hash into four 16-bit chunks; a pair within hamming
+    * `maxDist` <= 3 differs in at most 3 bits, so by PIGEONHOLE at
+    * least one chunk matches exactly — the chunk equi-join loses
+    * NOTHING (a provable law, unlike the probabilistic LSH recall
+    * premises `oracleMeasuredOn` has to corpus-tie), and the exact
+    * hamming verify on candidates makes precision exact. The
+    * [[graft.text.Dedup.simhashPairs]] shape applied to the image
+    * column.
+    */
+  def phashBandedPairs(spark: SparkSession, media: DataFrame,
+                       maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "chunk blocking is only complete for hamming <= 3")
+    val chunked = imageHashes(spark, media).toDF()
+      .select(col("media_id"), col("phash"), explode(array(
+        (0 until 4).map(j => struct(lit(j).as("chunk"),
+          shiftright(col("phash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+            .as("ck"))): _*)).as("c"))
+      .select(col("media_id"), col("phash"),
+        col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+      .persist() // self-joined: hash each image once, not twice
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
   }
 
   /** Batched frame decode → per-media channel sums: REAL BI_RGB pixel

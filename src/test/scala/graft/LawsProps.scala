@@ -1332,6 +1332,17 @@ object LawsProps extends Properties("graft.laws") {
       } finally q.stop()
     }
 
+  property("averageHash64: encodePngBits roundtrip is the identity at any scale") =
+    forAll(Gen.choose(Long.MinValue, Long.MaxValue), Gen.choose(1, 3)) { (bits0, s) =>
+      // all-64-bits-set is the one degenerate pattern (every cell equals
+      // the mean, so strict > yields 0) — steer off it, as the fixture's
+      // id domain never reaches it either
+      val bits = if (java.lang.Long.bitCount(bits0) == 64) bits0 ^ 1L else bits0
+      graft.multimodal.Media.ImageCodec.averageHash64(
+        graft.multimodal.Media.ImageCodec.encodePngBits(s, bits))
+        .contains(bits)
+    }
+
   property("redactPiiExtended: checksums decide — valid scrubbed, one-digit twins and decoys kept") =
     forAll(Gen.listOfN(10, Gen.choose(0, 9)), Gen.listOfN(15, Gen.choose(0, 9)),
       Gen.choose(0L, 0xFFFFL)) { (bbanDs, cardDs, hx) =>

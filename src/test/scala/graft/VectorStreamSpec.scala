@@ -1340,6 +1340,35 @@ class VectorStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("perceptual image dedup: banded == exact == id arithmetic; junk drops; exact twin refuses at scale") {
+    import spark.implicits._
+    // dense small ids give a rich <= 3-hamming pair set, and the
+    // id-derived scales (1..3) exercise scale invariance in the same run
+    val ids = (0L until 64L).toDF("doc_id")
+    val media = Media.imageHashTable(spark, ids, "doc_id")
+    val exact = Media.phashExactPairs(spark, media)
+      .as[(Long, Long, Int)].collect().toSet
+    spark.catalog.clearCache()
+    val banded = Media.phashBandedPairs(spark, media)
+      .as[(Long, Long, Int)].collect().toSet
+    spark.catalog.clearCache()
+    val expect = (for {
+      a <- 0L until 64L; b <- a + 1 until 64L
+      h = java.lang.Long.bitCount(a ^ b) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(exact === expect)
+    assert(banded === exact) // pigeonhole: the blocking loses nothing
+    // undecodable payloads drop from the signature space
+    val withJunk = media.union(
+      Seq((999L, "png", "junk".getBytes)).toDF("media_id", "format", "payload"))
+    assert(Media.imageHashes(spark, withJunk).count() === 64L)
+    // the all-pairs twin refuses corpus-scale inputs, naming the out
+    val e = intercept[IllegalArgumentException] {
+      Media.phashExactPairs(spark, media, maxExact = 10L)
+    }
+    assert(e.getMessage.contains("phashBandedPairs"))
+  }
+
   test("image PIXEL decode is real: PNG roundtrip sums, inverted corner, non-image stubs") {
     // 3×2 fill (10, 200, 30), corner inverted: per-channel sum =
     // c·6 + 255 − 2c, hand-computed
