@@ -10,11 +10,21 @@ import org.apache.spark.sql.functions._
   * sub-linearly (fixed session/job overhead amortizes; every family is
   * one keyed shuffle + windows/aggs, none driver-bounded).
   *
-  * Usage: `runMain graft.DevAnalytics [scale]` (default 1).
+  * Usage: `runMain graft.DevAnalytics [scale] [spanX]` (defaults 1, 1).
+  * `spanX` stretches the CALENDAR at fixed row count (the clock
+  * advances spanX seconds per instrument-row): the axis the round-6
+  * review flagged — the pair family's bucket-mean frame grows with
+  * span × keys, not tick count, so `spanX = 100` is the 100× stress
+  * that must land on the shuffle-hash fallback instead of a broadcast
+  * OOM. Span mode runs only the bucket-frame-bound families (pair
+  * family at minute grain + the bucket-window representatives); the
+  * full battery runs at spanX = 1.
   */
 object DevAnalytics {
   def main(args: Array[String]): Unit = {
     val scale = args.headOption.map(_.toInt).getOrElse(1)
+    val spanX = args.drop(1).headOption.map(_.toInt).getOrElse(1)
+    val spanOnly = spanX > 1
     val nInstruments = 200
     val rows = 1440000L * scale
     val spark = engine.Sessions.local("graft-analytics", cores = 32)
@@ -28,7 +38,7 @@ object DevAnalytics {
         concat(lit("ins_"), pmod(col("id"), lit(nInstruments.toLong)))
           .as("event_type"),
         timestamp_seconds(lit(1704067200L) + (col("id") / nInstruments)
-          .cast("long")).as("ts"),
+          .cast("long") * spanX).as("ts"),
         (lit(100.0) + lit(10.0) * sin(col("id") / lit(97.0))
           + pmod(xxhash64(col("id")), lit(1000L)).cast("double") / 100.0)
           .as("value"),
@@ -50,6 +60,35 @@ object DevAnalytics {
           lit(1000000007L))).as("chk")).head()
       println(f"[family] $tag%-16s ${(System.nanoTime() - t0) / 1e9}%7.2f s" +
         f"  (${forced.getLong(0)} rows, chk=${forced.getLong(1)})")
+    }
+    if (spanOnly) {
+      // 100×-span battery: fixed 1.44M·scale ticks over a spanX-stretched
+      // calendar. The minute-bucket frame is keys × span-minutes —
+      // 2.4M rows at spanX=100 — which MUST trip the pair family's
+      // broadcast→shuffle-hash fallback (maxBroadcastRows 500k) instead
+      // of broadcasting a span-sized frame; the bucket-window families
+      // below it are the O(frame) sanity rows.
+      val minuteBucket = date_trunc("minute", col("ts"))
+      time("corr_matrix_min")(ops.Stats.corrMatrix(ticks,
+        "event_type", minuteBucket, col("value")))
+      time("pair_spread")(ops.Risk.pairSpread(ticks,
+        "event_type", minuteBucket, col("value"), 2.0))
+      time("leadlag_corr")(ops.Risk.leadLagCorr(ticks,
+        "event_type", minuteBucket, col("value"), maxLag = 3))
+      time("portfolio_nav")(ops.Risk.portfolioNav(ticks,
+        "event_type", ord, col("value"), minuteBucket))
+      time("momentum_rank")(ops.Risk.momentumRank(ticks,
+        "event_type", ord, col("value"), minuteBucket))
+      time("vol_cone") {
+        val rv = ops.Stats.realizedVariance(ticks,
+          "event_type", ord, col("value"), minuteBucket)
+        ops.Risk.volCone(rv, "event_type", "bucket", "realized_variance",
+          Seq(5, 10, 21))
+      }
+      println(s"[done] scale=$scale spanX=$spanX rows=$rows " +
+        s"instruments=$nInstruments")
+      spark.stop()
+      return
     }
     time("vwap")(ops.Stats.vwap(ticks,
       Seq("event_type"), col("value"), col("qty")))
