@@ -90,7 +90,13 @@ object DevPlans {
         "partials into one token-hash Exchange, top-V via " +
         "TakeOrderedAndProject — never a global sort) and the per-doc " +
         "membership join, which BROADCASTS the V-row vocabulary so " +
-        "the doc aggregation needs no second corpus shuffle."))
+        "the doc aggregation needs no second corpus shuffle."),
+    "q153_phash_banded" ->
+      ("Perceptual image dedup at scale: the 64-bit aHash blocks into " +
+        "four 16-bit chunks and candidates come from a chunk EQUI-join " +
+        "(never a cartesian) — pigeonhole-complete for hamming <= 3, " +
+        "so the banding provably loses nothing on ANY corpus while the " +
+        "pair space shrinks to colliding chunk buckets."))
 
   def main(args: Array[String]): Unit = {
     val spark = engine.Sessions.tune(

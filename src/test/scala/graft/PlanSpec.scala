@@ -337,6 +337,15 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache() // release the operators' persists
   }
 
+  test("q153: banded phash candidates come from a chunk equi-join — never a cartesian") {
+    // the exact twin (q152) is all-pairs BY DESIGN and guarded; the
+    // banded path must stay an equi-join on (chunk, ck)
+    val p = plan("q153_phash_banded")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    spark.catalog.clearCache() // the operator persists the chunked hashes
+  }
+
   test("q131: containment candidates come from equi-joins — never a cartesian") {
     val p = plan("q131_containment_dups")
     assert(!p.contains("CartesianProduct") &&
