@@ -991,6 +991,26 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q154_audiohash_pairs" -> ((s, dir) => {
+      // perceptual audio dedup, exact twin: energy-hash the bit-pattern
+      // WAV fixture (hash == π(id), the image fixture's permutation, so
+      // the q152 popcount oracle applies verbatim and the gate proves
+      // the PCM decode → 64-window energy → threshold pipeline)
+      import graft.multimodal.Media
+      Media.audioHashExactPairs(s,
+          Media.audioHashTable(s, t(s, dir, "documents"), "doc_id"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q155_audiohash_banded" -> ((s, dir) => {
+      // the scale path: same 4×16 pigeonhole blocking as q153 — the
+      // exact oracle applies on every corpus, plus the hot-chunk guard
+      import graft.multimodal.Media
+      Media.audioHashBandedPairs(s,
+          Media.audioHashTable(s, t(s, dir, "documents"), "doc_id"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "q151_pii_extended" -> ((s, dir) => {
       // checksum-validated PII classes, oracle-gated in the q143 style:
       // id-derived VALID IBANs (mod-97 check digits computed in-query)
@@ -3108,6 +3128,22 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q153_phash_banded" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.doc_id, b.doc_id)) AS INT) AS hamming
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the audio fixture reuses the image fixture's bit permutation, so
+    // the same popcount arithmetic gates the PCM energy-hash pipeline
+    "q154_audiohash_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.doc_id, b.doc_id)) AS INT) AS hamming
+        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q155_audiohash_banded" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.doc_id, b.doc_id)) AS INT) AS hamming
         |FROM documents a JOIN documents b ON a.doc_id < b.doc_id

@@ -307,6 +307,97 @@ object Media {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
+
+    /** 64-bit energy hash — the audio analog of
+      * [[ImageCodec.averageHash64]]: partition the interleaved sample
+      * stream into 64 windows (integer bounds `⌊k·n/64⌋`, so any
+      * duration works and equal energy PATTERNS at different lengths
+      * hash alike), sum per-window energy Σs², and set bit k iff the
+      * window's mean energy EXCEEDS the global mean. The compare
+      * cross-multiplies in BigInt (window energies reach 2⁶¹ on long
+      * audio, past what a Long product holds) — exact, so the hash is
+      * bit-deterministic on any engine. The standard loudness-envelope
+      * near-dup signature: re-encoded or resampled copies of the same
+      * material keep their energy shape. None for non-audio, non-16-bit
+      * PCM, or streams under 64 samples (empty windows have no mean).
+      */
+    def energyHash64(payload: Array[Byte]): Option[Long] = {
+      val in = new java.io.ByteArrayInputStream(payload)
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+        try {
+          val f = ais.getFormat
+          if (f.getSampleSizeInBits != 16 || f.getChannels < 1) None
+          else {
+            val big = f.isBigEndian
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            if (n < 64) None
+            else {
+              val sums = new Array[Long](64)
+              val counts = new Array[Long](64)
+              var i = 0
+              while (i < n) {
+                val (hi, lo) = if (big) (bytes(2 * i), bytes(2 * i + 1))
+                               else (bytes(2 * i + 1), bytes(2 * i))
+                val s = ((hi << 8) | (lo & 0xFF)).toShort
+                val w = (i.toLong * 64 / n).toInt
+                sums(w) += s.toLong * s
+                counts(w) += 1
+                i += 1
+              }
+              var total = BigInt(0)
+              var k = 0
+              while (k < 64) { total += sums(k); k += 1 }
+              val totalN = BigInt(n)
+              var hash = 0L
+              k = 0
+              while (k < 64) {
+                if (BigInt(sums(k)) * totalN > total * counts(k))
+                  hash |= 1L << k
+                k += 1
+              }
+              Some(hash)
+            }
+          }
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+
+    /** Bit-pattern WAV for the perceptual-hash gates: 64 windows of
+      * `samplesPerWindow` mono 16-bit samples, window k a constant
+      * ±16384 tone if bit k of `bits` is set and silence otherwise —
+      * constructed so [[energyHash64]] of the stream is `bits` back
+      * (for any popcount < 64): a loud window's energy exceeds the
+      * global mean exactly when any silent window exists, and silence
+      * can never exceed a positive mean. The audio face of
+      * [[ImageCodec.encodePngBits]]; WAV PCM is lossless, so the
+      * roundtrip is exact at every window width.
+      */
+    def encodeWavBits(samplesPerWindow: Int, bits: Long): Array[Byte] = {
+      require(samplesPerWindow >= 1,
+        s"samplesPerWindow must be >= 1, got $samplesPerWindow")
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val nSamples = 64 * samplesPerWindow
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val bit = (bits >>> (i / samplesPerWindow)) & 1L
+        val s: Short = if (bit == 1L) 16384 else 0
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
   }
 
   object VideoCodec {
@@ -824,20 +915,11 @@ object Media {
     */
   def imageHashTable(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    def spread(x: Long): Long = {
-      var out = 0L
-      var k = 0
-      while (k < 64) {
-        if (((x >>> k) & 1L) == 1L) out |= 1L << ((5 * k) & 63)
-        k += 1
-      }
-      out
-    }
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           MediaRow(id, "png", ImageCodec.encodePngBits(
-            1 + java.lang.Math.floorMod(id, 3L).toInt, spread(id)))
+            1 + java.lang.Math.floorMod(id, 3L).toInt, spreadBits(id)))
         }
       }.toDF()
   }
@@ -856,21 +938,22 @@ object Media {
         ImageCodec.averageHash64(m.payload).map(ImageHash(m.media_id, _))))
   }
 
-  /** Exact perceptual near-dup pairs: every (a < b) with
-    * hamming(aHash_a, aHash_b) <= maxDist — the all-pairs oracle twin
-    * of [[phashBandedPairs]], guarded like
-    * [[graft.vector.Similarity.embedNearDup]] (refuses past `maxExact`
-    * rows instead of launching a corpus² product).
+  /** Shared exact-pair engine over any (media_id, phash) signature
+    * frame: every (a < b) with hamming <= maxDist. All-pairs BY DESIGN
+    * (the oracle twin), guarded like
+    * [[graft.vector.Similarity.embedNearDup]] — refuses past `maxExact`
+    * rows instead of launching a corpus² product.
     */
-  def phashExactPairs(spark: SparkSession, media: DataFrame,
-                      maxDist: Int = 3, maxExact: Long = 100000L): DataFrame = {
-    val hashes = imageHashes(spark, media).toDF().persist()
+  private def hammingExactPairs(hashes0: DataFrame, maxDist: Int,
+                                maxExact: Long, opName: String,
+                                alt: String): DataFrame = {
+    val hashes = hashes0.persist()
     val n = hashes.count() // materializes the reused hashes too
     if (n > maxExact) {
       hashes.unpersist()
       throw new IllegalArgumentException(
-        s"phashExactPairs: $n images is ${n * (n - 1) / 2} pairs " +
-          s"(maxExact=$maxExact); use phashBandedPairs")
+        s"$opName: $n signatures is ${n * (n - 1) / 2} pairs " +
+          s"(maxExact=$maxExact); use $alt")
     }
     hashes.as("a").join(hashes.as("b"),
         col("a.media_id") < col("b.media_id"))
@@ -880,27 +963,50 @@ object Media {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Banded perceptual near-dup pairs — the 100 TB path: block the
-    * 64-bit hash into four 16-bit chunks; a pair within hamming
-    * `maxDist` <= 3 differs in at most 3 bits, so by PIGEONHOLE at
-    * least one chunk matches exactly — the chunk equi-join loses
-    * NOTHING (a provable law, unlike the probabilistic LSH recall
-    * premises `oracleMeasuredOn` has to corpus-tie), and the exact
-    * hamming verify on candidates makes precision exact. The
-    * [[graft.text.Dedup.simhashPairs]] shape applied to the image
-    * column.
+  /** Shared banded-pair engine — the 100 TB path: block the 64-bit
+    * hash into four 16-bit chunks; a pair within hamming `maxDist` <= 3
+    * differs in at most 3 bits, so by PIGEONHOLE at least one chunk
+    * matches exactly — the chunk equi-join loses NOTHING (a provable
+    * law, unlike the probabilistic LSH recall premises
+    * `oracleMeasuredOn` has to corpus-tie), and the exact hamming
+    * verify on candidates makes precision exact. The
+    * [[graft.text.Dedup.simhashPairs]] shape for any 64-bit signature.
+    *
+    * Hot-chunk guard (the knnGraphBucketed posture): a degenerate
+    * signature distribution — a corpus of solid-color images or silent
+    * audio all hashing to the same value — turns one (chunk, value)
+    * bucket into k² candidate pairs. Past `maxChunkBucket` hashes in
+    * one bucket the operator REFUSES with the offender named (capping
+    * would silently break the pigeonhole completeness claim; a corpus
+    * that hot is telling you its near-dup OUTPUT is quadratic, which
+    * wants exact-group dedup first, not a bigger pair join). The count
+    * runs off the already-persisted chunk frame — one cheap aggregate.
     */
-  def phashBandedPairs(spark: SparkSession, media: DataFrame,
-                       maxDist: Int = 3): DataFrame = {
+  private def hammingBandedPairs(hashes: DataFrame, maxDist: Int,
+                                 maxChunkBucket: Long,
+                                 opName: String): DataFrame = {
     require(maxDist <= 3, "chunk blocking is only complete for hamming <= 3")
-    val chunked = imageHashes(spark, media).toDF()
+    val chunked = hashes
       .select(col("media_id"), col("phash"), explode(array(
         (0 until 4).map(j => struct(lit(j).as("chunk"),
           shiftright(col("phash"), 16 * j).bitwiseAND(lit(0xFFFFL))
             .as("ck"))): _*)).as("c"))
       .select(col("media_id"), col("phash"),
         col("c.chunk").as("chunk"), col("c.ck").as("ck"))
-      .persist() // self-joined: hash each image once, not twice
+      .persist() // self-joined: hash each payload once, not twice
+    val hot = chunked.groupBy(col("chunk"), col("ck"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxChunkBucket)
+      .orderBy(col("n").desc).limit(1).collect()
+    if (hot.nonEmpty) {
+      val r = hot.head
+      chunked.unpersist()
+      throw new IllegalArgumentException(
+        s"$opName: chunk ${r.getInt(0)} value ${r.getLong(1)} holds " +
+          s"${r.getLong(2)} signatures (maxChunkBucket=$maxChunkBucket) " +
+          "— a bucket that hot is a quadratic near-dup group; run exact " +
+          "dedup on it first or raise the bound deliberately")
+    }
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
           col("a.media_id") < col("b.media_id"))
@@ -909,6 +1015,85 @@ object Media {
           .cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Exact perceptual image near-dup pairs — the all-pairs oracle twin
+    * of [[phashBandedPairs]] over [[imageHashes]].
+    */
+  def phashExactPairs(spark: SparkSession, media: DataFrame,
+                      maxDist: Int = 3, maxExact: Long = 100000L): DataFrame =
+    hammingExactPairs(imageHashes(spark, media).toDF(), maxDist, maxExact,
+      "phashExactPairs", "phashBandedPairs")
+
+  /** Banded perceptual image near-dup pairs over [[imageHashes]] — see
+    * [[hammingBandedPairs]] for the pigeonhole completeness argument
+    * and the hot-chunk refusal.
+    */
+  def phashBandedPairs(spark: SparkSession, media: DataFrame,
+                       maxDist: Int = 3,
+                       maxChunkBucket: Long = 100000L): DataFrame =
+    hammingBandedPairs(imageHashes(spark, media).toDF(), maxDist,
+      maxChunkBucket, "phashBandedPairs")
+
+  /** Exact perceptual audio near-dup pairs — the all-pairs oracle twin
+    * of [[audioHashBandedPairs]] over [[audioHashes]].
+    */
+  def audioHashExactPairs(spark: SparkSession, media: DataFrame,
+                          maxDist: Int = 3,
+                          maxExact: Long = 100000L): DataFrame =
+    hammingExactPairs(audioHashes(spark, media).toDF(), maxDist, maxExact,
+      "audioHashExactPairs", "audioHashBandedPairs")
+
+  /** Banded perceptual audio near-dup pairs over [[audioHashes]]. */
+  def audioHashBandedPairs(spark: SparkSession, media: DataFrame,
+                           maxDist: Int = 3,
+                           maxChunkBucket: Long = 100000L): DataFrame =
+    hammingBandedPairs(audioHashes(spark, media).toDF(), maxDist,
+      maxChunkBucket, "audioHashBandedPairs")
+
+  /** Batched audio perceptual hashing: [[AudioCodec.energyHash64]] per
+    * payload in executors; undecodable payloads drop, as in
+    * [[imageHashes]].
+    */
+  def audioHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("format"), col("payload")).as[MediaRow]
+      .mapPartitions(_.flatMap(m =>
+        AudioCodec.energyHash64(m.payload).map(ImageHash(m.media_id, _))))
+  }
+
+  /** Deterministic audio table for the perceptual-hash gates: one WAV
+    * per id whose [[AudioCodec.energyHash64]] is the same fixed
+    * bit-permutation of its id the image fixture uses — so q154/q155
+    * share the q152/q153 popcount oracle verbatim. The id-derived
+    * window width (2-4 samples) pins duration invariance: equal energy
+    * patterns hash alike at any length.
+    */
+  def audioHashTable(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          MediaRow(id, "wav", AudioCodec.encodeWavBits(
+            2 + java.lang.Math.floorMod(id, 3L).toInt, spreadBits(id)))
+        }
+      }.toDF()
+  }
+
+  /** Fixed bit-position permutation (bit k → bit 5k mod 64) shared by
+    * the perceptual-hash fixtures: spreads small ids' low bits across
+    * all four 16-bit blocking chunks (no degenerate universal bucket)
+    * while COMMUTING with xor — hamming(π(a), π(b)) = popcount(a xor b)
+    * — so the pair oracles stay pure id arithmetic.
+    */
+  private[multimodal] def spreadBits(x: Long): Long = {
+    var out = 0L
+    var k = 0
+    while (k < 64) {
+      if (((x >>> k) & 1L) == 1L) out |= 1L << ((5 * k) & 63)
+      k += 1
+    }
+    out
   }
 
   /** Batched frame decode → per-media channel sums: REAL BI_RGB pixel

@@ -1343,6 +1343,16 @@ object LawsProps extends Properties("graft.laws") {
         .contains(bits)
     }
 
+  property("energyHash64: encodeWavBits roundtrip is the identity at any window width") =
+    forAll(Gen.choose(Long.MinValue, Long.MaxValue), Gen.choose(1, 4)) { (bits0, spw) =>
+      // all-64-set is the one degenerate pattern (every window equals
+      // the mean) — steer off it, as for the image fixture
+      val bits = if (java.lang.Long.bitCount(bits0) == 64) bits0 ^ 1L else bits0
+      graft.multimodal.Media.AudioCodec.energyHash64(
+        graft.multimodal.Media.AudioCodec.encodeWavBits(spw, bits))
+        .contains(bits)
+    }
+
   property("redactPiiExtended: checksums decide — valid scrubbed, one-digit twins and decoys kept") =
     forAll(Gen.listOfN(10, Gen.choose(0, 9)), Gen.listOfN(15, Gen.choose(0, 9)),
       Gen.choose(0L, 0xFFFFL)) { (bbanDs, cardDs, hx) =>

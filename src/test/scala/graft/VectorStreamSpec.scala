@@ -1369,6 +1369,39 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(e.getMessage.contains("phashBandedPairs"))
   }
 
+  test("perceptual audio dedup: banded == exact == id arithmetic; hot-chunk guard refuses degenerate corpora") {
+    import spark.implicits._
+    val ids = (0L until 64L).toDF("doc_id")
+    val media = Media.audioHashTable(spark, ids, "doc_id")
+    val exact = Media.audioHashExactPairs(spark, media)
+      .as[(Long, Long, Int)].collect().toSet
+    spark.catalog.clearCache()
+    val banded = Media.audioHashBandedPairs(spark, media)
+      .as[(Long, Long, Int)].collect().toSet
+    spark.catalog.clearCache()
+    val expect = (for {
+      a <- 0L until 64L; b <- a + 1 until 64L
+      h = java.lang.Long.bitCount(a ^ b) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(exact === expect)
+    assert(banded === exact)
+    // hot-chunk guard: a degenerate corpus (every payload identical ⇒
+    // one (chunk, value) bucket holds all 64 signatures) refuses with
+    // the offender named instead of melting into k² candidates
+    val flat = ids.select(col("doc_id").as("media_id"), lit("wav").as("format"),
+      lit(Media.AudioCodec.encodeWavBits(2, 5L)).as("payload"))
+    val e = intercept[IllegalArgumentException] {
+      Media.audioHashBandedPairs(spark, flat, maxChunkBucket = 10L)
+    }
+    assert(e.getMessage.contains("maxChunkBucket=10") &&
+      e.getMessage.contains("64 signatures"), e.getMessage)
+    spark.catalog.clearCache()
+    // at-or-under the bound: runs, and every pair is a 0-distance dup
+    val dup = Media.audioHashBandedPairs(spark, flat, maxChunkBucket = 64L)
+    assert(dup.count() === 64L * 63 / 2)
+    spark.catalog.clearCache()
+  }
+
   test("image PIXEL decode is real: PNG roundtrip sums, inverted corner, non-image stubs") {
     // 3×2 fill (10, 200, 30), corner inverted: per-channel sum =
     // c·6 + 255 − 2c, hand-computed
