@@ -991,6 +991,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q156_phash_clusters" -> ((s, dir) => {
+      // perceptual dup pairs collapsed to the actionable keep-list:
+      // hamming-banded pairs → connected components, min id canonical —
+      // the q63 clustering convention on the image column, gated by a
+      // recursive-CTE walk over the same popcount(xor) edge arithmetic
+      import graft.multimodal.Media
+      Media.phashClusters(s,
+          Media.imageHashTable(s, t(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id")
+    }),
+
     "q154_audiohash_pairs" -> ((s, dir) => {
       // perceptual audio dedup, exact twin: energy-hash the bit-pattern
       // WAV fixture (hash == π(id), the image fixture's permutation, so
@@ -3133,6 +3144,23 @@ object SparkEntry {
         |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the q63 CC-walk shape over the q152 popcount edges: cluster id =
+    // min reachable id, canonical = the member equal to it
+    "q156_phash_clusters" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM documents a JOIN documents b
+        |    ON a.doc_id <> b.doc_id
+        |   AND bit_count(xor(a.doc_id, b.doc_id)) <= 3),
+        |walk(node, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, w.comp FROM walk w
+        |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v)
+        |SELECT node AS media_id, MIN(comp) AS cluster_id,
+        |  node = MIN(comp) AS is_canonical
+        |FROM walk GROUP BY node ORDER BY media_id""".stripMargin,
 
     // the audio fixture reuses the image fixture's bit permutation, so
     // the same popcount arithmetic gates the PCM energy-hash pipeline

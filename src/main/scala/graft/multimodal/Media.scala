@@ -1051,6 +1051,31 @@ object Media {
     hammingBandedPairs(audioHashes(spark, media).toDF(), maxDist,
       maxChunkBucket, "audioHashBandedPairs")
 
+  /** Transitive perceptual dup clusters over the image column: banded
+    * hamming pairs → connected components → (media_id, cluster_id,
+    * is_canonical) — the image face of
+    * [[graft.text.Clusters.dupClusters]], whose min-id-canonical
+    * convention it reuses, and the keep/delete list a multimodal
+    * curation pipeline actually consumes (pairs alone are not
+    * actionable: transitive groups must collapse to ONE kept image).
+    * Scale posture inherits both guards (hot-chunk refusal on the pair
+    * join, the hybrid driver/star CC dispatch) — nothing here is new
+    * plan surface, which is the point.
+    */
+  def phashClusters(spark: SparkSession, media: DataFrame,
+                    maxDist: Int = 3,
+                    maxChunkBucket: Long = 100000L): DataFrame = {
+    val pairs = phashBandedPairs(spark, media, maxDist, maxChunkBucket)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = graft.text.Clusters.connectedComponents(pairs, "src", "dst")
+    imageHashes(spark, media).toDF()
+      .select(col("media_id"))
+      .join(comp.withColumnRenamed("node", "media_id"), Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("component"), col("media_id")).as("cluster_id"))
+      .withColumn("is_canonical", col("media_id") === col("cluster_id"))
+  }
+
   /** Batched audio perceptual hashing: [[AudioCodec.energyHash64]] per
     * payload in executors; undecodable payloads drop, as in
     * [[imageHashes]].

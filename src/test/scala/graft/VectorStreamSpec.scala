@@ -1367,6 +1367,15 @@ class VectorStreamSpec extends AnyFunSuite {
       Media.phashExactPairs(spark, media, maxExact = 10L)
     }
     assert(e.getMessage.contains("phashBandedPairs"))
+    spark.catalog.clearCache()
+    // clusters: ids 0..63 chain transitively into ONE component with
+    // the min id canonical — the pairs collapse to an actionable list
+    val clusters = Media.phashClusters(spark, media)
+      .as[(Long, Long, Boolean)].collect()
+    assert(clusters.length === 64)
+    assert(clusters.forall(_._2 === 0L))
+    assert(clusters.count(_._3) === 1 && clusters.find(_._3).get._1 === 0L)
+    spark.catalog.clearCache()
   }
 
   test("perceptual audio dedup: banded == exact == id arithmetic; hot-chunk guard refuses degenerate corpora") {
