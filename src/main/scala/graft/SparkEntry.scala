@@ -991,6 +991,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q157_cluster_safe_splits" -> ((s, dir) => {
+      // leakage-safe splits: hash the dup CLUSTER id, not the doc id —
+      // every transitive near-dup group lands whole in one split, so
+      // the q110 leak list is empty by construction (spec'd); the same
+      // multiplicative-hash arithmetic as q101 keeps the oracle exact
+      text.Clusters.clusterSafeSplits(t(s, dir, "documents"), "doc_id",
+          "text", Seq(("train", 80), ("val", 10), ("test", 10)))
+        .orderBy("doc_id")
+    }),
+
     "q156_phash_clusters" -> ((s, dir) => {
       // perceptual dup pairs collapsed to the actionable keep-list:
       // hamming-banded pairs → connected components, min id canonical —
@@ -3144,6 +3154,23 @@ object SparkEntry {
         |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the q63 cluster walk feeding the q101 split hash, applied to the
+    // CLUSTER id — the composition is exactly what the operator does
+    "q157_cluster_safe_splits" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$jacPairsCte,
+        |$ccWalkCte,
+        |cl AS (
+        |  SELECT node AS doc_id, MIN(comp) AS cluster_id
+        |  FROM walk GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN ((cluster_id % 1000000007) * 2654435761) % 1000000007 % 100 < 80
+        |         THEN 'train'
+        |       WHEN ((cluster_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM cl ORDER BY doc_id""".stripMargin,
 
     // the q63 CC-walk shape over the q152 popcount edges: cluster id =
     // min reachable id, canonical = the member equal to it

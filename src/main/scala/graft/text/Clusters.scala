@@ -161,6 +161,28 @@ object Clusters {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Leakage-safe split assignment — the operator that PREVENTS what
+    * [[graft.text.Dedup]]'s split-leakage audit (q110) measures:
+    * near-dup neighbors straddling the train/val/test boundary. Splits
+    * hash the CLUSTER id (the [[dupClusters]] component), not the doc
+    * id, so every member of a transitive dup group lands in the SAME
+    * split by construction — zero cross-split near-dup pairs, provably,
+    * not statistically. Singleton docs carry their own id as cluster id
+    * and the assignment degrades to the per-doc q101 hash. Uses the
+    * identical multiplicative-hash arithmetic as
+    * [[Curation.splitAssign]], so proportions are statistically exact
+    * over CLUSTERS — the honest unit: a split sized in docs while
+    * keeping clusters whole is impossible, because a cluster is atomic
+    * here by definition.
+    */
+  def clusterSafeSplits(df: DataFrame, idCol: String, textCol: String,
+                        pcts: Seq[(String, Int)], shingleN: Int = 5,
+                        threshold: Double = 0.5): DataFrame =
+    Curation.splitAssign(
+        dupClusters(df, idCol, textCol, shingleN, threshold), "cluster_id",
+        pcts)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+
   /** Quality-aware canonical selection per duplicate cluster: where
     * [[dupClusters]] marks the min-id member canonical (cheap but
     * arbitrary), this keeps the BEST member — argmax `quality`, min

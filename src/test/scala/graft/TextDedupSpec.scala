@@ -83,6 +83,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("clusterSafeSplits: clusters land whole in one split — zero leakage by construction") {
+    import graft.text.{Clusters, Curation}
+    // the fixture has a 3-member cluster {1,2,4} (near-dup + exact dup)
+    // and a singleton {3}: the cluster must be split-pure and carry the
+    // CLUSTER id's q101 hash, the singleton its own id's
+    val out = Clusters.clusterSafeSplits(docs, "doc_id", "text",
+        Seq(("train", 80), ("val", 10), ("test", 10)), shingleN = 3)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L && out(4L)._1 === 1L)
+    assert(out(3L)._1 === 3L)
+    assert(Set(out(1L)._2, out(2L)._2, out(4L)._2).size === 1) // split-pure
+    // the q110 leak shape over this assignment is EMPTY — the property
+    // the operator exists for (per-doc assignment can leak; this can't)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val sp = Clusters.clusterSafeSplits(docs, "doc_id", "text",
+        Seq(("train", 80), ("val", 10), ("test", 10)), shingleN = 3)
+      .select(col("doc_id"), col("split"))
+    val leaks = pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+    assert(leaks.count() === 0L)
+    // and the split values agree with splitAssign's hash of the cluster id
+    val direct = Curation.splitAssign(
+        Seq((1L, 0), (3L, 0)).toDF("cluster_id", "pad"), "cluster_id",
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      .as[(Long, Int, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(1L)._2 === direct(1L) && out(3L)._2 === direct(3L))
+  }
+
   test("canonicalByQuality keeps the argmax-quality member, min id on ties") {
     // docs 1,2,4 cluster (exact dup 1=4, near-dup 2); doc 2 carries one
     // EXTRA word (14 tokens vs 13), so the NEAR-DUP wins the cluster —
