@@ -959,6 +959,61 @@ object EventStream {
       }
       .start()
 
+  /** Streaming vocabulary-churn monitor — the [[driftSink]] discipline
+    * on the FEATURE axis: each micro-batch's top-V vocabulary against
+    * the static baseline corpus via
+    * [[graft.text.TextStats.vocabChurn]] (the live face of q148,
+    * catching swapped WORDS even when the length distribution
+    * [[driftSink]] watches looks stable). foreachBatch runs the batch
+    * operator verbatim — identical numerics, stream/batch skew
+    * impossible by construction — and appends one churn row per batch
+    * stamped `batch_id`; the sink is the churn time series.
+    */
+  def vocabChurnSink(docs: DataFrame, baselinePath: String, outPath: String,
+                     checkpoint: String, textCol: String,
+                     vocabSize: Int): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.text.TextStats.vocabChurn(batch,
+              spark.read.parquet(baselinePath), textCol, vocabSize)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .start()
+
+  /** Streaming embedding-drift monitor — the [[driftSink]] discipline
+    * on the SEMANTIC axis: each micro-batch's centroid against the
+    * static baseline slice via
+    * [[graft.vector.Similarity.centroidDrift]] (the live face of q149,
+    * catching rotated TOPICS even when lengths and vocabulary look
+    * stable). With [[driftSink]] and [[vocabChurnSink]] this closes the
+    * streaming face of the three-axis corpus-drift family — one sink
+    * per batch operator, batch numerics verbatim.
+    */
+  def centroidDriftSink(docs: DataFrame, baselinePath: String,
+                        outPath: String, checkpoint: String,
+                        vecCol: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.vector.Similarity.centroidDrift(batch,
+              spark.read.parquet(baselinePath), vecCol)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming corpus curation: quality-gate each arriving document
     * (stateless, map-side) then drop any doc whose exact text hash was
     * already seen in ANY earlier micro-batch — cross-batch exact dedup

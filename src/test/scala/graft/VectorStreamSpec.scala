@@ -975,6 +975,61 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet === expect)
   }
 
+  test("vocabChurnSink: per-micro-batch top-V churn vs a static baseline equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_vchurn").toString
+    Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/baseline")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.vocabChurnSink(mem.toDF().toDF("doc_id", "text"),
+      s"$dir/baseline", s"$dir/out", s"$dir/ckpt", "text", vocabSize = 3)
+    // batch 0: same vocabulary; batch 1: fully swapped words
+    mem.addData((10L, "alpha beta gamma"), (11L, "alpha beta delta"))
+    q.processAllAvailable()
+    mem.addData((12L, "zeta eta theta"), (13L, "zeta eta iota"))
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val out = spark.read.parquet(s"$dir/out")
+      .select("batch_id", "jaccard").as[(Long, Double)].collect().toMap
+    assert(out(0L) === 1.0) // identical top-3 vocabulary
+    assert(out(1L) === 0.0) // disjoint vocabulary
+    // sink rows ARE the batch operator's rows: recompute batch 1
+    val expect = graft.text.TextStats.vocabChurn(
+        Seq((12L, "zeta eta theta"), (13L, "zeta eta iota")).toDF("doc_id", "text"),
+        spark.read.parquet(s"$dir/baseline"), "text", 3)
+      .select("jaccard").as[Double].head()
+    assert(out(1L) === expect)
+  }
+
+  test("centroidDriftSink: per-micro-batch centroid cosine vs a static baseline equals the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdrift").toString
+    Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.1f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/baseline")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EventStream.centroidDriftSink(
+      mem.toDF().toDF("vec_id", "embedding"),
+      s"$dir/baseline", s"$dir/out", s"$dir/ckpt", "embedding")
+    // batch 0: the baseline's own vectors (cosine 1); batch 1: rotated
+    mem.addData((10L, Seq(1.0f, 0.0f)), (11L, Seq(1.0f, 0.1f)))
+    q.processAllAvailable()
+    mem.addData((12L, Seq(0.0f, 1.0f)), (13L, Seq(0.1f, 1.0f)))
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val out = spark.read.parquet(s"$dir/out")
+      .select("batch_id", "centroid_cosine").as[(Long, Double)].collect().toMap
+    assert(out(0L) === 1.0)
+    assert(out(1L) < 0.2) // near-orthogonal centroid — drifted topic
+    val expect = graft.vector.Similarity.centroidDrift(
+        Seq((12L, Seq(0.0f, 1.0f)), (13L, Seq(0.1f, 1.0f)))
+          .toDF("vec_id", "embedding"),
+        spark.read.parquet(s"$dir/baseline"), "embedding")
+      .select("centroid_cosine").as[Double].head()
+    assert(out(1L) === expect)
+  }
+
   test("curateStream: cross-batch exact dedup + quality gate, first doc wins") {
     implicit val sqlCtx = spark.sqlContext
     val long = (1 to 25).map(i => s"w$i").mkString(" ")
