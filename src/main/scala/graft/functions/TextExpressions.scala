@@ -207,32 +207,43 @@ object RedactExtExpr {
   /** Structural IPv6: at most one '::', every group 1-4 hex chars, and
     * either compressed (total groups <= 7) or exactly 8 groups — which
     * rejects the classic over-matches (clock times have 3 groups and no
-    * '::', MAC addresses 6).
+    * '::', MAC addresses 6). Compressed forms additionally need >= 2
+    * groups and >= 5 total hex chars: a redactor that scrubs bare '::'
+    * punctuation (Haskell/C++ scope syntax in prose) or short all-hex
+    * scope tokens (`a::b`, `ab::cd`) destroys non-PII text — the same
+    * conservative floor the checksum classes apply, at the cost of
+    * skipping degenerate short addresses like `::1` or `ab::cd`
+    * (loopback is not PII worth destroying text over; `fe80::1` at 5
+    * hex chars still redacts).
     */
   private[functions] def ip6Valid(s: String): Boolean = {
     val dc = s.indexOf("::")
     if (dc >= 0 && s.indexOf("::", dc + 1) >= 0) return false
-    def groups(part: String): Int = {
-      if (part.isEmpty) return 0
+    // (group count, total hex chars); (-1, _) ⇒ structurally invalid
+    def groups(part: String): (Int, Int) = {
+      if (part.isEmpty) return (0, 0)
       var count = 0
+      var hex = 0
       var i = 0
       while (i < part.length) {
         var len = 0
         while (i < part.length && part.charAt(i) != ':') { len += 1; i += 1 }
-        if (len < 1 || len > 4) return -1
+        if (len < 1 || len > 4) return (-1, 0)
         count += 1
+        hex += len
         if (i < part.length) { // consume the ':' — empty group ⇒ invalid
           i += 1
-          if (i == part.length) return -1 // trailing lone ':'
+          if (i == part.length) return (-1, 0) // trailing lone ':'
         }
       }
-      count
+      (count, hex)
     }
     if (dc >= 0) {
-      val (l, r) = (groups(s.substring(0, dc)), groups(s.substring(dc + 2)))
-      l >= 0 && r >= 0 && l + r <= 7
+      val (l, lh) = groups(s.substring(0, dc))
+      val (r, rh) = groups(s.substring(dc + 2))
+      l >= 0 && r >= 0 && l + r <= 7 && l + r >= 2 && lh + rh >= 5
     } else {
-      groups(s) == 8
+      groups(s)._1 == 8
     }
   }
 

@@ -1013,8 +1013,11 @@ object Media {
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
         bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
           .cast("int").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: chunk-colliding far pairs (birthday
+      // collisions on 16-bit chunks) must die before the dedup shuffle,
+      // which then only carries true near-dups
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Exact perceptual image near-dup pairs — the all-pairs oracle twin
@@ -1065,10 +1068,16 @@ object Media {
   def phashClusters(spark: SparkSession, media: DataFrame,
                     maxDist: Int = 3,
                     maxChunkBucket: Long = 100000L): DataFrame = {
-    val pairs = phashBandedPairs(spark, media, maxDist, maxChunkBucket)
+    // hash ONCE: the persisted signature frame feeds both the banded
+    // pair join and the membership side (decode+hash dominates at
+    // scale; a fresh imageHashes lineage would pay it twice). Cache
+    // contract: caller releases, as for every persist here.
+    val hashes = imageHashes(spark, media).toDF().persist()
+    val pairs = hammingBandedPairs(hashes, maxDist, maxChunkBucket,
+        "phashClusters")
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val comp = graft.text.Clusters.connectedComponents(pairs, "src", "dst")
-    imageHashes(spark, media).toDF()
+    hashes
       .select(col("media_id"))
       .join(comp.withColumnRenamed("node", "media_id"), Seq("media_id"), "left")
       .select(col("media_id"),

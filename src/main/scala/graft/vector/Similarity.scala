@@ -565,7 +565,7 @@ object Similarity {
     */
   def maintainIvfIndex(newEmb: DataFrame, idCol: String, vecCol: String,
                        indexPath: String, minCentroidCosine: Double = 0.7,
-                       nCentroids: Int = 16): IvfMaintenance = {
+                       nCentroids: Int = 16, kmeansIters: Int = 0): IvfMaintenance = {
     val spark = newEmb.sparkSession
     val old = spark.read.parquet(s"$indexPath/assignments")
     val cosRow = centroidDrift(old.select(col("v").as(vecCol)),
@@ -580,15 +580,32 @@ object Similarity {
       val union = old.select(col("id").as(idCol), col("v").as(vecCol))
         .unionByName(newEmb.select(col(idCol), col(vecCol)))
       val staging = s"$indexPath/.rebuild"
-      buildIvfIndex(union, idCol, vecCol, staging, nCentroids)
+      // kmeansIters passes through: a rebuild must not silently downgrade
+      // an index built with refined centroids to stride sampling
+      buildIvfIndex(union, idCol, vecCol, staging, nCentroids, kmeansIters)
+      // Swap with CHECKED renames (Hadoop reports most failures by
+      // returning false, not throwing): every step must succeed before
+      // any backup is deleted — a failed rename aborts loudly with the
+      // .retired path named, so the originals are always recoverable
+      // from .retired/ (or still live, if the retire step itself was
+      // what failed). Only a fully verified swap reclaims the backups.
       def p(s: String) = new org.apache.hadoop.fs.Path(s)
       val fs = p(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val retired = s"$indexPath/.retired"
       fs.delete(p(retired), true)
-      fs.mkdirs(p(retired))
+      if (!fs.mkdirs(p(retired)))
+        throw new java.io.IOException(
+          s"maintainIvfIndex: could not create backup dir $retired; " +
+            "live index untouched, new build left in " + staging)
+      def renameOrDie(from: String, to: String, recovery: String): Unit =
+        if (!fs.rename(p(from), p(to)))
+          throw new java.io.IOException(
+            s"maintainIvfIndex: rename $from -> $to failed; $recovery")
       for (part <- Seq("assignments", "centroids")) {
-        fs.rename(p(s"$indexPath/$part"), p(s"$retired/$part"))
-        fs.rename(p(s"$staging/$part"), p(s"$indexPath/$part"))
+        renameOrDie(s"$indexPath/$part", s"$retired/$part",
+          s"live index untouched for '$part'; new build left in $staging")
+        renameOrDie(s"$staging/$part", s"$indexPath/$part",
+          s"originals preserved in $retired — restore them to $indexPath")
       }
       fs.delete(p(retired), true)
       fs.delete(p(staging), true)

@@ -1375,9 +1375,10 @@ object LawsProps extends Properties("graft.laws") {
       val cardBad = body + ((cd + 5) % 10)
       val ip6 = s"2001:db8::${hx.toHexString}"
       // decoys the structural validator must spare: a clock time (3
-      // groups, no '::') and a MAC address (6 groups)
+      // groups, no '::'), a MAC address (6 groups), bare '::' scope
+      // punctuation, and a two-letter a::b token (under the hex floor)
       val txt = s"pad $iban mid $ibanBad x $card y $cardBad " +
-        s"z $ip6 t 12:30:45 m aa:bb:cc:dd:ee:ff end"
+        s"z $ip6 t 12:30:45 m aa:bb:cc:dd:ee:ff f :: g ab::cd end"
       val out = graft.text.Curation.redactPiiExtended(
           Seq((1L, txt)).toDF("doc_id", "text"), "text")
         .select("text", "n_iban", "n_card", "n_ip6", "n_redactions")
@@ -1386,7 +1387,8 @@ object LawsProps extends Properties("graft.laws") {
         out._1.contains("<IBAN>") && out._1.contains(ibanBad) &&
         out._1.contains("<CARD>") && out._1.contains(cardBad) &&
         out._1.contains("<IP6>") && out._1.contains("12:30:45") &&
-        out._1.contains("aa:bb:cc:dd:ee:ff")
+        out._1.contains("aa:bb:cc:dd:ee:ff") &&
+        out._1.contains("f :: g") && out._1.contains("ab::cd")
     }
 
   property("redactPii: every planted PII item redacted, exact count, clean filler untouched") =
