@@ -991,6 +991,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q158_phash_canonical" -> ((s, dir) => {
+      // the actionable end of image dedup: per perceptual cluster keep
+      // the HIGHEST-RESOLUTION member (header-only dims probe, argmax
+      // pixels, min id on ties) — near-dup groups are the same picture
+      // at different sizes and the drop list IS the delete set; pixel
+      // counts are id arithmetic (the fixture's 8s×8s geometry)
+      import graft.multimodal.Media
+      Media.phashCanonicalByPixels(s,
+          Media.imageHashTable(s, t(s, dir, "documents"), "doc_id"))
+        .orderBy("media_id")
+    }),
+
     "q157_cluster_safe_splits" -> ((s, dir) => {
       // leakage-safe splits: hash the dup CLUSTER id, not the doc id —
       // every transitive near-dup group lands whole in one split, so
@@ -3154,6 +3166,34 @@ object SparkEntry {
         |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the q156 walk + the fixture's 8s×8s geometry (s = 1 + id%3 ⇒
+    // 64s² pixels): per cluster the argmax-pixel member keeps
+    "q158_phash_canonical" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM documents a JOIN documents b
+        |    ON a.doc_id <> b.doc_id
+        |   AND bit_count(xor(a.doc_id, b.doc_id)) <= 3),
+        |walk(node, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, w.comp FROM walk w
+        |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v),
+        |cl AS (
+        |  SELECT node AS media_id, MIN(comp) AS cluster_id
+        |  FROM walk GROUP BY node),
+        |px AS (
+        |  SELECT media_id, cluster_id,
+        |    64 * (1 + media_id % 3) * (1 + media_id % 3) AS n_pixels
+        |  FROM cl),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_pixels DESC, media_id ASC) AS rk
+        |  FROM px)
+        |SELECT media_id, cluster_id, CAST(n_pixels AS BIGINT) AS n_pixels,
+        |  rk = 1 AS keep
+        |FROM r ORDER BY media_id""".stripMargin,
 
     // the q63 cluster walk feeding the q101 split hash, applied to the
     // CLUSTER id — the composition is exactly what the operator does

@@ -1085,6 +1085,38 @@ object Media {
       .withColumn("is_canonical", col("media_id") === col("cluster_id"))
   }
 
+  /** Quality-aware canonical selection per perceptual image cluster —
+    * the image face of [[graft.text.Clusters.canonicalByQuality]]:
+    * where [[phashClusters]] keeps the min-id member (cheap but
+    * arbitrary), this keeps the HIGHEST-RESOLUTION one (argmax
+    * pixel count from the header-only [[ImageCodec.decodeDims]] probe —
+    * no second full decode — min id on ties), which is what an image
+    * curation pipeline actually wants: near-dup groups are usually the
+    * same picture at different sizes, and keeping the largest preserves
+    * the most signal. Emits every image with its cluster, pixel count,
+    * and the keep/drop verdict — the drop list IS the dedup delete set.
+    * Cost over [[phashClusters]]: one header probe per payload (bytes,
+    * not pixels) and a rank window per cluster.
+    */
+  def phashCanonicalByPixels(spark: SparkSession, media: DataFrame,
+                             maxDist: Int = 3,
+                             maxChunkBucket: Long = 100000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val clusters = phashClusters(spark, media, maxDist, maxChunkBucket)
+    val dims = media.select(col("media_id"), col("format"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.flatMap(m => ImageCodec.decodeDims(m.payload)
+        .map(d => (m.media_id, d._1.toLong * d._2))))
+      .toDF("media_id", "n_pixels")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_pixels").desc, col("media_id").asc)
+    clusters.join(dims, "media_id")
+      .withColumn("_rk", row_number().over(w))
+      .select(col("media_id"), col("cluster_id"), col("n_pixels"),
+        (col("_rk") === 1).as("keep"))
+  }
+
   /** Batched audio perceptual hashing: [[AudioCodec.energyHash64]] per
     * payload in executors; undecodable payloads drop, as in
     * [[imageHashes]].

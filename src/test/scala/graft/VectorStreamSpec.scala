@@ -1431,6 +1431,14 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(clusters.forall(_._2 === 0L))
     assert(clusters.count(_._3) === 1 && clusters.find(_._3).get._1 === 0L)
     spark.catalog.clearCache()
+    // quality-aware canonical: one cluster ⇒ one keep — the largest
+    // image (s = 3 at id%3 == 2), min id 2 on the size tie
+    val keep = Media.phashCanonicalByPixels(spark, media)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(keep.count(_._4) === 1)
+    val kept = keep.find(_._4).get
+    assert(kept._1 === 2L && kept._3 === 64L * 9)
+    spark.catalog.clearCache()
   }
 
   test("perceptual audio dedup: banded == exact == id arithmetic; hot-chunk guard refuses degenerate corpora") {
