@@ -1981,6 +1981,37 @@ object SparkEntry {
       |  SELECT e.v, w.comp FROM walk w
       |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v)""".stripMargin
 
+  /** Exact near-dup pairs by id popcount — the shared oracle of the
+    * perceptual family (q152/q153 image, q154/q155 audio): both
+    * fixtures hash to the same bit permutation of the id, and a bit
+    * permutation commutes with xor.
+    */
+  private val hammingPairsOracle: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.doc_id, b.doc_id)) AS INT) AS hamming
+      |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Popcount edges + the recursive min-label walk over them — the
+    * cluster CTE shared by the q156/q158 oracles (the [[ccWalkCte]]
+    * shape on the perceptual edge arithmetic).
+    */
+  private val phashWalkCte: String =
+    """edges AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM documents a JOIN documents b
+      |    ON a.doc_id <> b.doc_id
+      |   AND bit_count(xor(a.doc_id, b.doc_id)) <= 3),
+      |walk(node, comp) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.v, w.comp FROM walk w
+      |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v),
+      |cl AS (
+      |  SELECT node AS media_id, MIN(comp) AS cluster_id
+      |  FROM walk GROUP BY node)""".stripMargin
+
   /** Exact brute-force cosine top-10 for vec_id 0 (q40's oracle). q41
     * (IVF probe search) shares it verbatim: with ivfTopK's DEFAULT
     * stride-initialized centroids and the configured probe width,
@@ -3148,41 +3179,21 @@ object SparkEntry {
         |  CAST(bs AS BIGINT) AS b_sum, TRUE AS decoded
         |FROM s ORDER BY media_id""".stripMargin,
 
-    // the bit-grid fixture's aHash IS the id (encodePngBits ↔
-    // averageHash64 roundtrip, pinned in spec + laws), so perceptual
-    // near-dups are exactly the id pairs with popcount(xor) <= 3; the
-    // banded variant shares the oracle by pigeonhole (4 chunks > 3
-    // differing bits ⇒ some chunk matches), corpus-independent
-    "q152_phash_pairs" ->
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.doc_id, b.doc_id)) AS INT) AS hamming
-        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+    // ONE oracle for the whole perceptual-pair family (the
+    // cosineTopKOracle convention): the bit-grid/bit-pattern fixtures
+    // hash to the SAME bit permutation of the id (which commutes with
+    // xor), so image and audio near-dups alike are exactly the id
+    // pairs with popcount(xor) <= 3, and the banded variants share it
+    // by pigeonhole (4 chunks > 3 differing bits ⇒ some chunk
+    // matches), corpus-independent
+    "q152_phash_pairs" -> hammingPairsOracle,
 
-    "q153_phash_banded" ->
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.doc_id, b.doc_id)) AS INT) AS hamming
-        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q153_phash_banded" -> hammingPairsOracle,
 
     // the q156 walk + the fixture's 8s×8s geometry (s = 1 + id%3 ⇒
     // 64s² pixels): per cluster the argmax-pixel member keeps
     "q158_phash_canonical" ->
-      """WITH RECURSIVE edges AS (
-        |  SELECT a.doc_id AS u, b.doc_id AS v
-        |  FROM documents a JOIN documents b
-        |    ON a.doc_id <> b.doc_id
-        |   AND bit_count(xor(a.doc_id, b.doc_id)) <= 3),
-        |walk(node, comp) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.v, w.comp FROM walk w
-        |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v),
-        |cl AS (
-        |  SELECT node AS media_id, MIN(comp) AS cluster_id
-        |  FROM walk GROUP BY node),
+      s"""WITH RECURSIVE $phashWalkCte,
         |px AS (
         |  SELECT media_id, cluster_id,
         |    64 * (1 + media_id % 3) * (1 + media_id % 3) AS n_pixels
@@ -3215,35 +3226,14 @@ object SparkEntry {
     // the q63 CC-walk shape over the q152 popcount edges: cluster id =
     // min reachable id, canonical = the member equal to it
     "q156_phash_clusters" ->
-      """WITH RECURSIVE edges AS (
-        |  SELECT a.doc_id AS u, b.doc_id AS v
-        |  FROM documents a JOIN documents b
-        |    ON a.doc_id <> b.doc_id
-        |   AND bit_count(xor(a.doc_id, b.doc_id)) <= 3),
-        |walk(node, comp) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.v, w.comp FROM walk w
-        |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v)
-        |SELECT node AS media_id, MIN(comp) AS cluster_id,
-        |  node = MIN(comp) AS is_canonical
-        |FROM walk GROUP BY node ORDER BY media_id""".stripMargin,
+      s"""WITH RECURSIVE $phashWalkCte
+        |SELECT media_id, cluster_id,
+        |  media_id = cluster_id AS is_canonical
+        |FROM cl ORDER BY media_id""".stripMargin,
 
-    // the audio fixture reuses the image fixture's bit permutation, so
-    // the same popcount arithmetic gates the PCM energy-hash pipeline
-    "q154_audiohash_pairs" ->
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.doc_id, b.doc_id)) AS INT) AS hamming
-        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q154_audiohash_pairs" -> hammingPairsOracle,
 
-    "q155_audiohash_banded" ->
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.doc_id, b.doc_id)) AS INT) AS hamming
-        |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.doc_id, b.doc_id)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q155_audiohash_banded" -> hammingPairsOracle,
 
     // independent recomputation from id arithmetic: per valid item the
     // planted ' acct '+IBAN(14) → ' acct '+'<IBAN>' nets 12 chars

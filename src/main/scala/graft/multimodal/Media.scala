@@ -926,17 +926,21 @@ object Media {
 
   case class ImageHash(media_id: Long, phash: Long)
 
-  /** Batched perceptual hashing: [[ImageCodec.averageHash64]] per
-    * payload in executors; undecodable payloads drop (near-dup
-    * semantics exclude what has no signature, the zero-vector
-    * convention of [[graft.vector.Similarity]]).
+  /** Batched perceptual hashing through any 64-bit signature codec:
+    * undecodable payloads drop (near-dup semantics exclude what has no
+    * signature, the zero-vector convention of
+    * [[graft.vector.Similarity]]).
     */
-  def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+  private def perceptualHashes(spark: SparkSession, media: DataFrame,
+                               hash: Array[Byte] => Option[Long]): Dataset[ImageHash] = {
     import spark.implicits._
     media.select(col("media_id"), col("format"), col("payload")).as[MediaRow]
-      .mapPartitions(_.flatMap(m =>
-        ImageCodec.averageHash64(m.payload).map(ImageHash(m.media_id, _))))
+      .mapPartitions(_.flatMap(m => hash(m.payload).map(ImageHash(m.media_id, _))))
   }
+
+  /** [[ImageCodec.averageHash64]] per payload in executors. */
+  def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] =
+    perceptualHashes(spark, media, ImageCodec.averageHash64)
 
   /** Shared exact-pair engine over any (media_id, phash) signature
     * frame: every (a < b) with hamming <= maxDist. All-pairs BY DESIGN
@@ -1117,16 +1121,9 @@ object Media {
         (col("_rk") === 1).as("keep"))
   }
 
-  /** Batched audio perceptual hashing: [[AudioCodec.energyHash64]] per
-    * payload in executors; undecodable payloads drop, as in
-    * [[imageHashes]].
-    */
-  def audioHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
-    import spark.implicits._
-    media.select(col("media_id"), col("format"), col("payload")).as[MediaRow]
-      .mapPartitions(_.flatMap(m =>
-        AudioCodec.energyHash64(m.payload).map(ImageHash(m.media_id, _))))
-  }
+  /** [[AudioCodec.energyHash64]] per payload in executors. */
+  def audioHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] =
+    perceptualHashes(spark, media, AudioCodec.energyHash64)
 
   /** Deterministic audio table for the perceptual-hash gates: one WAV
     * per id whose [[AudioCodec.energyHash64]] is the same fixed

@@ -262,8 +262,10 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct (the hammingBandedPairs order): chunk-
+      // colliding far pairs die before the dedup shuffle
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Cross-document duplicated-shingle fraction per doc: the share of a
