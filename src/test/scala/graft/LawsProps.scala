@@ -1343,6 +1343,30 @@ object LawsProps extends Properties("graft.laws") {
         .contains(bits)
     }
 
+  property("phash banding: banded pairs equal exact pairs on ANY hash set (pigeonhole, generatively)") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, Long.MaxValue))) { raw =>
+      import org.apache.spark.sql.functions.col
+      // random 63-bit patterns (all-64-set steered off via the encode
+      // identity's domain) — a different regime from the dense-id gate
+      // fixture: chunk collisions here are birthday-rare, and the
+      // banding must STILL lose nothing for hamming <= 3
+      val bits = raw.distinct.take(12).map(b =>
+        if (java.lang.Long.bitCount(b) == 64) b ^ 1L else b)
+      // hand the engine arbitrary hashes by bypassing the id fixture:
+      // encode each pattern directly
+      val payloads = bits.zipWithIndex.map { case (b, i) =>
+        (i.toLong, "png",
+          graft.multimodal.Media.ImageCodec.encodePngBits(1, b))
+      }.toDF("media_id", "format", "payload")
+      val exact = graft.multimodal.Media.phashExactPairs(spark, payloads)
+        .as[(Long, Long, Int)].collect().toSet
+      spark.catalog.clearCache()
+      val banded = graft.multimodal.Media.phashBandedPairs(spark, payloads)
+        .as[(Long, Long, Int)].collect().toSet
+      spark.catalog.clearCache()
+      banded == exact
+    }
+
   property("energyHash64: encodeWavBits roundtrip is the identity at any window width") =
     forAll(Gen.choose(Long.MinValue, Long.MaxValue), Gen.choose(1, 4)) { (bits0, spw) =>
       // all-64-set is the one degenerate pattern (every window equals
