@@ -1377,6 +1377,43 @@ object LawsProps extends Properties("graft.laws") {
         .contains(bits)
     }
 
+  property("curateStream: kept set = earliest-batch min-id per distinct text, quality-gated, any split") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.choose(0, 5)),   // text-pool index per doc
+      Gen.choose(0, 5)) { (textIdx, splitRaw) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      // four quality-passing texts (25 tokens) + two that fail the gate
+      val pool = Vector("a", "b", "c", "d").map(p =>
+        (1 to 25).map(i => s"$p$i").mkString(" ")) ++
+        Vector("too short one", "also short")
+      val rows = textIdx.zipWithIndex.map { case (t, i) => (i.toLong, pool(t)) }
+      val split = math.min(splitRaw, rows.size)
+      val mem = MemoryStream[(Long, String)]
+      val name = s"curate_law_${streamLawCounter.incrementAndGet()}"
+      val q = EventStream.curateStream(spark,
+          mem.toDF().toDF("doc_id", "text"), minTokens = 20)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        if (split > 0) { mem.addData(rows.take(split): _*); q.processAllAvailable() }
+        if (rows.size > split) mem.addData(rows.drop(split): _*)
+        q.processAllAvailable()
+        val got = spark.table(name).select("doc_id").as[Long].collect().toSet
+        // independent mirror: per distinct gate-passing text, the min id
+        // of its EARLIEST batch — later copies suppressed forever
+        val expect = Seq(rows.take(split), rows.drop(split))
+          .filter(_.nonEmpty)
+          .flatMap(_.groupBy(_._2).view.mapValues(_.map(_._1).min))
+          .foldLeft(Map.empty[String, Long]) { case (acc, (t, id)) =>
+            if (acc.contains(t)) acc else acc + (t -> id)
+          }
+          .collect { case (t, id) if t.split(" ").length >= 20 => id }
+          .toSet
+        got == expect
+      } finally q.stop()
+    }
+
   property("redactPiiExtended: checksums decide — valid scrubbed, one-digit twins and decoys kept") =
     forAll(Gen.listOfN(10, Gen.choose(0, 9)), Gen.listOfN(15, Gen.choose(0, 9)),
       Gen.choose(0L, 0xFFFFL)) { (bbanDs, cardDs, hx) =>
