@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the deterministic testdata tables (TESTDATA.md).
   *
@@ -10,11 +10,20 @@ import org.apache.spark.sql.types.LongType
   * these would be partitioned directories — `spark.read.parquet` handles
   * both transparently (partition discovery + pruning).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-  * reader rejects; it is read via the `nanosAsLong` legacy conf and
-  * converted to a microsecond timestamp (`ts div 1000`) — integer
-  * division, not `/`, because epoch-nanos exceed double mantissa
-  * precision.
+  * `events.ts` has shipped in three physical encodings across testdata
+  * generations, so the loader normalizes ALL of them to session-TZ
+  * TIMESTAMP here — once, at the boundary — rather than making every
+  * downstream operator tolerate each encoding (the reference pipeline
+  * applies the same normalize-then-compute discipline to `last_updated`,
+  * `src/processing/bronze_to_silver_crypto.py:68`):
+  *   - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+  *     read via the `nanosAsLong` legacy conf and converted with
+  *     `ts div 1000` — integer division, not `/`, because epoch-nanos
+  *     exceed double mantissa precision;
+  *   - plain `timestamp[us]` (isAdjustedToUTC=false): Spark 4 infers
+  *     TIMESTAMP_NTZ; cast to TIMESTAMP — lossless because the session
+  *     timezone is pinned to UTC ([[graft.engine.Sessions.tune]]);
+  *   - `timestamp[us, UTC]`: already TIMESTAMP, passed through.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -24,11 +33,19 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"), "ts")
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize a timestamp column of any of the three shipped physical
+    * encodings (nanos-as-Long, NTZ, LTZ) to session-TZ TIMESTAMP. */
+  def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(c, col(c).cast(TimestampType))
+      case _ => df
+    }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

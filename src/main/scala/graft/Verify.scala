@@ -17,13 +17,23 @@ object Verify {
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // A throwing query must be LOUD, not silently absent (round 7: q91
+    // vanished from CORRECTNESS instead of appearing red). Each failure
+    // leaves a per-query `_ERROR.txt` marker where its parquet would be,
+    // all failures are listed in `failed.json`, and the run ends with a
+    // one-line scoreboard on stdout.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        failed(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
+        val d = new java.io.File(s"$outDir/$name"); d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg)
       }
       // release per-query persist()s (see Bench: caller-side unpersist)
       spark.catalog.clearCache()
@@ -50,6 +60,12 @@ object Verify {
         SparkEntry.oracleMeasuredOn.get(k).forall(_.contains(corpus)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/failed.json"),
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // exit code stays 0 either way — the driver's per-query compare is
+    // the failure surface; a nonzero exit could void the whole dump
+    println(s"[verify] ${selected.size - failed.size}/${selected.size} " +
+      s"dumped, failed: ${failed.keys.mkString("[", ", ", "]")}")
     spark.stop()
   }
 }
