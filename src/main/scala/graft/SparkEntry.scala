@@ -991,6 +991,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q159_time_travel_ts" -> ((s, dir) => {
+      // timestamp-based time travel (Delta's timestampAsOf) over REAL
+      // commits: resolve v1's commit instant from the manifest history
+      // and read through Snapshots.readTimestamp — the oracle recomputes
+      // v1's contents straight off the source table (the q92 memo
+      // commits v1/v2), so a hash match proves timestamp→version
+      // resolution returns exactly the version that was live then.
+      // (v1/v2 commit instants differ by construction: each commit is a
+      // full Spark parquet write, far above millisecond resolution.)
+      val path = cdcTableFor(s, dir)
+      val ts1 = engine.Snapshots.commits(s, path)
+        .find(_.version == 1L).get.committedAt
+      engine.Snapshots.readTimestamp(s, path, ts1).orderBy("c_custkey")
+    }),
+
     "q158_phash_canonical" -> ((s, dir) => {
       // the actionable end of image dedup: per perceptual cluster keep
       // the HIGHEST-RESOLUTION member (header-only dims probe, argmax
@@ -3189,6 +3204,13 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // v1 of the q92 memo table, recomputed off the source: what the
+    // store held at v1's commit instant IS this filter of customer
+    "q159_time_travel_ts" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 10 <> 3
+        |ORDER BY c_custkey""".stripMargin,
 
     // the q156 walk + the fixture's 8s×8s geometry (s = 1 + id%3 ⇒
     // 64s² pixels): per cluster the argmax-pixel member keeps

@@ -234,6 +234,40 @@ object Snapshots {
     }
   }
 
+  /** Resolve a wall-clock instant to a committed version: the HIGHEST
+    * version whose commit timestamp is ≤ `tsMillis` — Delta's
+    * `timestampAsOf` resolution rule (the reference surfaces commit
+    * timestamps in its history view precisely so users can pick one,
+    * `src/utils/view_delta_history.py:44-75`). Throws if the instant
+    * precedes the earliest commit (nothing existed yet) — same posture
+    * as Delta rather than silently returning an empty table. Commit
+    * timestamps are manifest metadata, so resolution is a driver-side
+    * manifest scan, no Spark job. Corrupt manifests are excluded here
+    * exactly as they are read-blocked in [[readVersion]]: they can
+    * never silently satisfy a timestamp.
+    */
+  def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
+    val cs = commits(spark, path)
+    require(cs.nonEmpty, s"no snapshots at $path")
+    val visible = cs.filter(_.committedAt <= tsMillis)
+    if (visible.isEmpty) throw new IllegalArgumentException(
+      s"timestamp $tsMillis precedes the earliest commit of $path " +
+        s"(${cs.map(_.committedAt).min}); nothing to read")
+    visible.maxBy(_.version).version
+  }
+
+  /** Time travel to the snapshot visible at a wall-clock instant —
+    * Delta's `.option("timestampAsOf", …)`: [[versionAt]] resolution +
+    * a [[readVersion]] scan pinned to that version's directory.
+    */
+  def readTimestamp(spark: SparkSession, path: String, tsMillis: Long): DataFrame =
+    readVersion(spark, path, versionAt(spark, path, tsMillis))
+
+  /** [[readTimestamp]] convenience overload for SQL timestamps. */
+  def readTimestamp(spark: SparkSession, path: String,
+                    ts: java.sql.Timestamp): DataFrame =
+    readTimestamp(spark, path, ts.getTime)
+
   /** Change feed between two committed versions of a snapshot table —
     * Delta CDF's `table_changes(from, to)` surface, recovered from the
     * real version store: [[Upsert.changeCapture]] over

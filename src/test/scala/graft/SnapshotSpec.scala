@@ -32,6 +32,30 @@ class SnapshotSpec extends AnyFunSuite {
     assert(metrics.values.forall(m => m._2 >= 1L && m._3 > 0L), metrics)
   }
 
+  test("timestamp time travel resolves to the max version at or before the instant") {
+    val t = Files.createTempDirectory("graft_snap_ts").toString + "/t"
+    Snapshots.write(Seq((1, "a")).toDF("k", "v"), t)
+    Thread.sleep(15) // commit timestamps are millis: force v1.ts < v2.ts
+    Snapshots.write(Seq((2, "b")).toDF("k", "v"), t)
+    val ts = Snapshots.commits(spark, t).map(c => c.version -> c.committedAt).toMap
+    assert(ts(1L) < ts(2L))
+    // exactly at a commit → that commit; between commits → the earlier
+    // one; after the last → the latest; Delta's timestampAsOf rule
+    assert(Snapshots.versionAt(spark, t, ts(1L)) === 1L)
+    assert(Snapshots.versionAt(spark, t, ts(2L) - 1) === 1L)
+    assert(Snapshots.versionAt(spark, t, ts(2L)) === 2L)
+    assert(Snapshots.versionAt(spark, t, ts(2L) + 3600000L) === 2L)
+    assert(Snapshots.readTimestamp(spark, t, ts(1L))
+      .as[(Int, String)].collect().toSet === Set((1, "a")))
+    assert(Snapshots.readTimestamp(spark, t,
+        new java.sql.Timestamp(ts(2L)))
+      .as[(Int, String)].collect().toSet === Set((2, "b")))
+    // an instant before anything existed refuses (not an empty table)
+    intercept[IllegalArgumentException] {
+      Snapshots.readTimestamp(spark, t, ts(1L) - 1)
+    }
+  }
+
   test("changeFeed between real versions replays onto v1 to reproduce v2 exactly") {
     val t = Files.createTempDirectory("graft_snap_cdc").toString + "/t"
     val before = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
