@@ -991,6 +991,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q160_multimodal_manifest" -> ((s, dir) => {
+      // the unified multimodal curation surface: text exact+Jaccard,
+      // image aHash, and audio energy-hash near-dup edges union into ONE
+      // component walk, and keep/split both act on the unified cluster —
+      // so no modality's near-dup pair can straddle a split (the q110
+      // leakage audit reads zero per modality BY CONSTRUCTION; spec'd).
+      // The oracle recomputes all three edge families in SQL (shared
+      // shingle/jaccard CTEs + the popcount fixture law) and walks the
+      // same union graph, so a hash match certifies the composition,
+      // not just the parts.
+      multimodal.Curate.unifiedManifest(s, t(s, dir, "documents"),
+          "doc_id", "text", Seq(("train", 80), ("val", 10), ("test", 10)))
+        .orderBy("doc_id")
+    }),
+
     "q159_time_travel_ts" -> ((s, dir) => {
       // timestamp-based time travel (Delta's timestampAsOf) over REAL
       // commits: resolve v1's commit instant from the manifest history
@@ -3204,6 +3219,59 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // the union graph of all three modality edge families, walked with
+    // the shared recursive-CTE shape; split/keep arithmetic is q157's,
+    // applied to the UNIFIED cluster id
+    "q160_multimodal_manifest" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$jacPairsCte,
+        |exact AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a
+        |  JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+        |media AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM documents a JOIN documents b
+        |    ON a.doc_id < b.doc_id
+        |   AND bit_count(xor(a.doc_id, b.doc_id)) <= 3),
+        |tedge AS (
+        |  SELECT doc_a, doc_b FROM jac
+        |  UNION SELECT doc_a, doc_b FROM exact),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM tedge
+        |  UNION SELECT doc_b, doc_a FROM tedge
+        |  UNION SELECT doc_a, doc_b FROM media
+        |  UNION SELECT doc_b, doc_a FROM media),
+        |walk(node, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, w.comp FROM walk w
+        |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v),
+        |cl AS (
+        |  SELECT node AS doc_id, MIN(comp) AS cluster_id
+        |  FROM walk GROUP BY node),
+        |-- NOTE: under WITH RECURSIVE, DuckDB does NOT dedup a CTE's
+        |-- top-level UNION (it parses as the recursive-union form), so
+        |-- the incidence sets dedup explicitly
+        |td AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM tedge
+        |  UNION ALL SELECT doc_b FROM tedge)),
+        |md AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM media
+        |  UNION ALL SELECT doc_b FROM media))
+        |SELECT cl.doc_id, cl.cluster_id,
+        |  cl.doc_id = cl.cluster_id AS keep,
+        |  CASE WHEN ((cluster_id % 1000000007) * 2654435761) % 1000000007 % 100 < 80
+        |         THEN 'train'
+        |       WHEN ((cluster_id % 1000000007) * 2654435761) % 1000000007 % 100 < 90
+        |         THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  td.doc_id IS NOT NULL AS text_dup,
+        |  md.doc_id IS NOT NULL AS image_dup,
+        |  md.doc_id IS NOT NULL AS audio_dup
+        |FROM cl LEFT JOIN td ON td.doc_id = cl.doc_id
+        |LEFT JOIN md ON md.doc_id = cl.doc_id
+        |ORDER BY cl.doc_id""".stripMargin,
 
     // v1 of the q92 memo table, recomputed off the source: what the
     // store held at v1's commit instant IS this filter of customer

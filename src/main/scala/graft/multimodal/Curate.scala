@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.text.{Clusters, Curation, Dedup}
+
+/** Unified MULTIMODAL corpus curation: one keep/drop/split manifest
+  * across every modality of a document — text near-dups (exact-hash ∪
+  * n-gram Jaccard), perceptual image near-dups (aHash banding), and
+  * perceptual audio near-dups (energy-hash banding) — composed into a
+  * single transitive cluster graph.
+  *
+  * Why one graph instead of per-modality passes: a training document is
+  * a leak if ANY of its modalities near-duplicates a document in
+  * another split — two pages with different text but the same photo
+  * must not straddle train/test. Unioning the modality edge lists
+  * before the connected-components walk makes the cluster the unit of
+  * atomicity for every modality at once, so hashing the cluster id for
+  * split assignment gives ZERO cross-split near-dup pairs in each
+  * modality by construction (the [[graft.text.Clusters.clusterSafeSplits]]
+  * argument, extended to the union graph; spec-asserted per modality).
+  *
+  * Scale posture: every edge source is the guarded sub-quadratic
+  * variant — Jaccard via the shared-shingle equi-join, image/audio via
+  * 16-bit-chunk pigeonhole banding with hot-chunk refusal — the
+  * component walk is the hybrid driver/star dispatch, and the split is
+  * a map-only hash of the cluster id. Nothing new is quadratic; the
+  * composition adds two unions and one left-join per modality flag.
+  */
+object Curate {
+
+  /** The manifest: one row per doc — `(doc_id, cluster_id, keep,
+    * split, text_dup, image_dup, audio_dup)` where `keep` marks the
+    * min-id canonical of each unified cluster (the drop list IS the
+    * dedup delete set), `split` hashes the cluster id, and the flags
+    * say which modality made the doc a duplicate of anything.
+    *
+    * `media` maps a modality to its (media_id-keyed) payload table;
+    * defaults to the deterministic fixture tables so the driver gate
+    * can verify the whole composition against a closed-form oracle.
+    */
+  def unifiedManifest(spark: SparkSession, docs: DataFrame, idCol: String,
+                      textCol: String, pcts: Seq[(String, Int)],
+                      shingleN: Int = 5, threshold: Double = 0.5,
+                      maxDist: Int = 3,
+                      maxChunkBucket: Long = 100000L): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("doc_id"))
+
+    // text edges: exact-dup stars (min id ← members) ∪ Jaccard pairs —
+    // the dupClusters edge recipe, kept here so the modality flag can
+    // see the text edge list before the union erases provenance
+    val jac = Dedup.jaccardPairs(docs, idCol, textCol, shingleN, threshold)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val byHash = docs.select(col(idCol).cast("long").as("id"),
+      md5(col(textCol)).as("h"))
+    val exact = byHash
+      .withColumn("src", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("id") =!= col("src"))
+      .select(col("src"), col("id").as("dst"))
+    val textEdges = jac.union(exact)
+
+    // perceptual edges, one banded pass per modality (both inherit the
+    // pigeonhole completeness law and the hot-chunk refusal)
+    val imageEdges = Media.phashBandedPairs(spark,
+        Media.imageHashTable(spark, docs, idCol), maxDist, maxChunkBucket)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val audioEdges = Media.audioHashBandedPairs(spark,
+        Media.audioHashTable(spark, docs, idCol), maxDist, maxChunkBucket)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+
+    // ONE component walk over the union graph — the unified cluster
+    val comp = Clusters.connectedComponents(
+      textEdges.union(imageEdges).union(audioEdges), "src", "dst")
+
+    // doc is `<modality>_dup` iff it is incident to an edge there
+    def dupFlag(e: DataFrame, name: String): DataFrame =
+      e.select(col("src").as("doc_id"))
+        .union(e.select(col("dst").as("doc_id")))
+        .distinct().withColumn(name, lit(true))
+
+    val assigned = ids
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    Curation.splitAssign(assigned, "cluster_id", pcts)
+      .join(dupFlag(textEdges, "text_dup"), Seq("doc_id"), "left")
+      .join(dupFlag(imageEdges, "image_dup"), Seq("doc_id"), "left")
+      .join(dupFlag(audioEdges, "audio_dup"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"), col("split"),
+        coalesce(col("text_dup"), lit(false)).as("text_dup"),
+        coalesce(col("image_dup"), lit(false)).as("image_dup"),
+        coalesce(col("audio_dup"), lit(false)).as("audio_dup"))
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{Curate, Media}
+import graft.text.Dedup
+
+/** Unified multimodal curation manifest: cross-modality transitive
+  * clustering, one keep per cluster, and the per-modality zero-leakage
+  * invariant the composition exists to guarantee.
+  */
+class CurateSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // Fixture ids chosen so the perceptual-fixture law (media edge iff
+  // popcount(xor(ids)) <= 3) draws exactly the intended edges; the
+  // popcount assumptions are asserted below, so the fixture is
+  // self-checking rather than trusted.
+  private val tA = 15L        // 0x0000000F ─┐ exact text dups,
+  private val tB = 240L       // 0x000000F0 ─┘ hamming 8 → no media edge
+  private val iA = 3840L      // 0x00000F00 ─┐ different texts,
+  private val iB = 3841L      // 0x00000F01 ─┘ hamming 1 → media edge
+  private val cA = 983040L    // 0x000F0000 ─┐ media edge to cB
+  private val cB = 983041L    // 0x000F0001 ─┤ text dup of cC (no media)
+  private val cC = 15728640L  // 0x00F00000 ─┘ → {cA,cB,cC} one cluster
+  private val s1 = 251658240L // 0x0F000000 singleton: far from all
+
+  private val docs = Seq(
+    tA -> "alpha beta gamma delta epsilon zeta eta theta",
+    tB -> "alpha beta gamma delta epsilon zeta eta theta",
+    iA -> "one two three four five six seven eight",
+    iB -> "nine ten eleven twelve thirteen fourteen fifteen sixteen",
+    cA -> "red orange yellow green blue indigo violet white",
+    cB -> "lorem ipsum dolor sit amet consectetur adipiscing elit",
+    cC -> "lorem ipsum dolor sit amet consectetur adipiscing elit",
+    s1 -> "solo unique words nothing shared with anything else"
+  ).toDF("doc_id", "text")
+
+  private lazy val manifest = Curate.unifiedManifest(spark, docs,
+      "doc_id", "text", Seq(("train", 80), ("val", 10), ("test", 10)))
+    .collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getBoolean(2), r.getString(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+
+  test("fixture geometry holds: intended media edges and only those") {
+    val ids = Seq(tA, tB, iA, iB, cA, cB, cC, s1)
+    val mediaPairs = for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (a, b)
+    assert(mediaPairs.toSet === Set((iA, iB), (cA, cB)))
+  }
+
+  test("cross-modality transitivity: union graph merges what any modality links") {
+    def cluster(id: Long) = manifest(id)._1
+    assert(cluster(tA) === cluster(tB))           // text-only pair
+    assert(cluster(iA) === cluster(iB))           // image/audio-only pair
+    assert(cluster(cA) === cluster(cB))           // media edge…
+    assert(cluster(cB) === cluster(cC))           // …chained to a text edge
+    // the four groups are mutually distinct clusters
+    assert(Set(cluster(tA), cluster(iA), cluster(cA), cluster(s1)).size === 4)
+    // min-id canonical, exactly one keep per cluster
+    assert(manifest(tA)._2 && !manifest(tB)._2)
+    assert(manifest(iA)._2 && !manifest(iB)._2)
+    assert(manifest(cA)._2 && !manifest(cB)._2 && !manifest(cC)._2)
+    assert(manifest(s1)._2)
+  }
+
+  test("modality flags report which family made each doc a duplicate") {
+    def flags(id: Long) = { val m = manifest(id); (m._4, m._5, m._6) }
+    assert(flags(tA) === ((true, false, false)), "exact text dup only")
+    assert(flags(iA) === ((false, true, true)), "perceptual pair: image+audio")
+    assert(flags(cA) === ((false, true, true)), "chain head: media edge only")
+    assert(flags(cC) === ((true, false, false)), "chain tail: text edge only")
+    assert(flags(s1) === ((false, false, false)), "singleton")
+  }
+
+  test("zero cross-split leakage per modality, by construction") {
+    // recompute each modality's edge list with the same operators the
+    // manifest used and audit the shipped split assignment against it
+    val split = manifest.view.mapValues(_._3).toMap
+    def audit(pairs: Seq[(Long, Long)], modality: String): Unit =
+      pairs.foreach { case (a, b) =>
+        assert(split(a) === split(b),
+          s"$modality pair ($a,$b) straddles splits ${split(a)}/${split(b)}")
+      }
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 5, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    val ex = docs.as[(Long, String)].collect().groupBy(_._2).values
+      .flatMap(g => g.map(_._1).sorted.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1)))).toSeq
+    val img = Media.phashBandedPairs(spark,
+        Media.imageHashTable(spark, docs, "doc_id"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val aud = Media.audioHashBandedPairs(spark,
+        Media.audioHashTable(spark, docs, "doc_id"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert((jac ++ ex).nonEmpty && img.nonEmpty && aud.nonEmpty)
+    audit(jac, "jaccard"); audit(ex, "exact-text")
+    audit(img, "image"); audit(aud, "audio")
+    // members of one cluster share the cluster's split verbatim
+    manifest.groupBy(_._2._1).foreach { case (_, members) =>
+      assert(members.values.map(_._3).toSet.size === 1)
+    }
+    spark.catalog.clearCache() // jaccardPairs persist contract
+  }
+}
