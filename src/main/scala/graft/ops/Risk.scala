@@ -556,11 +556,27 @@ object Risk {
     * named; on the BUCKET axis the exploded lag frame (span × keys ×
     * (maxLag+1) rows) falls back broadcast→shuffle-hash past
     * `maxBroadcastRows` ([[Stats.pairJoinSide]]).
+    *
+    * Cost-ceiling ADVISORY (not a refusal — the shuffle-hash fallback
+    * completes; measured 124 s for a ~1.9B-row stack at 100× span):
+    * before launching the pair join the operator projects its
+    * intermediate row count, `returns × keys × (maxLag+1)` — the
+    * per-bucket k² blowup summed over the span — and past
+    * `adviseStackRows` reports it through `advisor` (default: one
+    * stderr line) with the contributing axes named, so an operator
+    * launching a span×keys combination with a nine-figure stack knows
+    * the bill BEFORE the stages run and can narrow the span, thin the
+    * universe, or accept the cost deliberately. The projection reuses
+    * the guard's cached key count and the frame count the join-side
+    * budget already needs — the advisory itself launches no job.
     */
   def leadLagCorr(df: DataFrame, keyCol: String, bucketCol: Column,
                   valueCol: Column, maxLag: Int = 3,
                   maxInstruments: Long = 2000L,
-                  maxBroadcastRows: Long = 500000L): DataFrame = {
+                  maxBroadcastRows: Long = 500000L,
+                  adviseStackRows: Long = 100000000L,
+                  advisor: String => Unit =
+                    m => System.err.println(s"[advise] $m")): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val perKey = Stats.bucketMeans(df.filter(valueCol.isNotNull), keyCol,
       bucketCol, valueCol)
@@ -587,13 +603,23 @@ object Risk {
     // sides (the banded-LSH compute-once convention) — the guard count
     // doubles as materializer and counts exactly the keys that can
     // enter the pair join (a key needs >= 2 buckets to have a return).
-    val rets = Stats.guardInstruments(
+    val (rets, nKeys) = Stats.guardInstrumentsCounted(
       perKey
         .withColumn("r", round(col("x") - lag(col("x"), 1).over(w), 6)
           .cast(DecimalType(18, 6)))
         .filter(col("r").isNotNull),
       keyCol, maxInstruments, "leadLagCorr",
       k => s"${k * (k - 1) / 2 * (2 * maxLag + 1)} pair-lag cells")
+    val nRets = rets.count() // cached scan; reused as the join-side budget
+    // stack projection: each return row meets every key's (maxLag+1)
+    // lagged returns in its bucket ⇒ ~ nRets × keys × (maxLag+1) cells
+    val projected = nRets * nKeys * (maxLag + 1)
+    if (projected > adviseStackRows) advisor(
+      s"leadLagCorr: projected lag-stack ~$projected rows " +
+        s"($nRets returns × $nKeys keys × ${maxLag + 1} lags; " +
+        s"adviseStackRows=$adviseStackRows) — the shuffle-hash join " +
+        "completes but is the family's cost ceiling; narrow the " +
+        "calendar span or the instrument universe if unintended")
     // leader side: returns at lags 0..maxLag — the lag columns ride ONE
     // Window operator (same spec), then the stack explodes map-side
     // (generators cannot hold window exprs directly)
@@ -614,7 +640,7 @@ object Risk {
     // broadcast budget is counted at that multiplier off the persisted
     // frame (one cached scan — the contamination fallback pattern).
     val cells = a.join(
-        Stats.pairJoinSide(lagged, rets.count() * (maxLag + 1),
+        Stats.pairJoinSide(lagged, nRets * (maxLag + 1),
           maxBroadcastRows), Seq("bucket"))
       .filter(col("key_a") =!= col("key_b"))
       .filter(col("l") > 0 || col("key_a") < col("key_b"))

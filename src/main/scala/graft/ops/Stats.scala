@@ -548,7 +548,18 @@ object Stats {
     */
   private[ops] def guardInstruments(frame: DataFrame, keyCol: String,
                                     maxInstruments: Long, opName: String,
-                                    expansion: Long => String): DataFrame = {
+                                    expansion: Long => String): DataFrame =
+    guardInstrumentsCounted(frame, keyCol, maxInstruments, opName,
+      expansion)._1
+
+  /** [[guardInstruments]] returning the key count it already computed,
+    * so callers sizing downstream advisories (the leadLagCorr stack
+    * projection) don't pay a second distinct-count job.
+    */
+  private[ops] def guardInstrumentsCounted(frame: DataFrame, keyCol: String,
+                                           maxInstruments: Long, opName: String,
+                                           expansion: Long => String)
+      : (DataFrame, Long) = {
     val cached = frame.persist()
     val k = cached.select(col(keyCol)).distinct().count()
     if (k > maxInstruments) {
@@ -558,7 +569,7 @@ object Stats {
           s"(maxInstruments=$maxInstruments); restrict the universe " +
           "or raise the bound deliberately")
     }
-    cached
+    (cached, k)
   }
 
   /** Join-side chooser for the pair family's aggregate frame

@@ -355,6 +355,32 @@ class RiskSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("leadLagCorr: the stack-size advisory fires on a long span, with the axes named") {
+    // same 100×-flavored fixture as the fallback test: 4 keys × 600
+    // buckets ⇒ 2,396 returns, projected stack 2,396 × 4 × 4 = 38,336 —
+    // past a 10,000-row advisory threshold the message must report the
+    // projection and its axes; the computation still completes
+    val rows = for (k <- Seq("a", "b", "c", "d"); i <- 0 until 600)
+      yield (k, i.toLong, 100.0 + 7.0 * math.sin(0.37 * i + k.hashCode % 5) +
+        (if (k == "a") 0.11 * i else 0.09 * i))
+    val df = rows.toDF("k", "t", "v")
+    val heard = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = graft.ops.Risk.leadLagCorr(df, "k", col("t"), col("v"),
+      maxLag = 3, adviseStackRows = 10000L, advisor = heard += _)
+    assert(out.collect().nonEmpty)
+    assert(heard.size === 1, heard)
+    assert(heard.head.contains("38336 rows") &&
+      heard.head.contains("2396 returns") &&
+      heard.head.contains("4 keys"), heard.head)
+    spark.catalog.clearCache()
+    // under the default nine-figure threshold the same call is silent
+    val quiet = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.ops.Risk.leadLagCorr(df, "k", col("t"), col("v"),
+      maxLag = 3, advisor = quiet += _).collect()
+    assert(quiet.isEmpty, quiet)
+    spark.catalog.clearCache()
+  }
+
   test("leadLagCorr refuses past maxInstruments, naming the cell count") {
     // two buckets per key: the guard counts keys that actually carry a
     // return (a single-bucket key can never enter the pair join)
