@@ -38,5 +38,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 160-query bench at local[32] GC-thrashed at 8g
+  // (183 s -> 115 s total just from the heap bump, measured round 8);
+  // the host has 128 GiB, and the forked Verify/Bench JVM is the only
+  // Spark JVM alive during a run
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

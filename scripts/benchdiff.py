@@ -5,28 +5,50 @@ Usage: python3 scripts/benchdiff.py <old.json> <new.json> [threshold]
   threshold: flag queries slower than old * threshold (default 1.5) AND
   by more than 0.2 s absolute (sub-second timings jitter ±15% on a
   shared host — a 0.05 s -> 0.09 s move is noise, not a regression).
-  Bench records a failed query as -1.0: a newly-failing query is always
-  flagged (exit 1), failed entries never enter ratios or totals. A query
-  present in old but missing from new ("GONE") also gates: dropping a
-  bench query shrinks the passing total and must be deliberate.
+  A failed query is recorded as null (current artifacts) or -1.0
+  (legacy): a newly-failing query is always flagged (exit 1), failed
+  entries never enter ratios or totals. A query present in old but
+  missing from new ("GONE") also gates: dropping a bench query shrinks
+  the passing total and must be deliberate. If both artifacts carry
+  calibration_s (fixed-spin readings bracketing the run), a blown-out
+  calibration is reported so a contended run is visible up front.
 """
 import json
 import sys
 
 
+def load(path):
+    doc = json.load(open(path))
+    # normalize: null (current) and -1.0 (legacy) both mean "failed"
+    queries = {q: (-1.0 if v is None else v) for q, v in doc["queries"].items()}
+    # per-query noise floor: max-min over the recorded raw reps (current
+    # artifacts), falling back to the legacy precomputed "spread" map
+    spread = {}
+    for q, runs in doc.get("reps_raw", {}).items():
+        ok = [r for r in runs if r is not None and r >= 0]
+        if len(ok) >= 2:
+            spread[q] = max(ok) - min(ok)
+    for q, s in doc.get("spread", {}).items():
+        spread.setdefault(q, s)
+    return doc, queries, spread
+
+
 def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    old_doc = json.load(open(old_path))
-    new_doc = json.load(open(new_path))
-    old, new = old_doc["queries"], new_doc["queries"]
-    # median-of-N artifacts carry a per-query spread (max-min over reps);
+    old_doc, old, old_spread = load(old_path)
+    new_doc, new, new_spread = load(new_path)
     # annotate SLOWER rows whose delta sits inside the combined recorded
     # noise floor — still gating (a real regression repeats next run),
     # but the reviewer sees it's within what the host jittered locally
-    spread = {**old_doc.get("spread", {}), **{
-        q: old_doc.get("spread", {}).get(q, 0.0) + s
-        for q, s in new_doc.get("spread", {}).items()}}
+    spread = {q: old_spread.get(q, 0.0) + new_spread.get(q, 0.0)
+              for q in set(old_spread) | set(new_spread)}
+    for tag, doc in (("old", old_doc), ("new", new_doc)):
+        cal = doc.get("calibration_s")
+        if cal:
+            print(f"calib    {tag}: before {cal['before']:.3f} s, "
+                  f"after {cal['after']:.3f} s (fixed spin; a reading far "
+                  "above the idle-host reference means contention)")
     slower, broke = [], []
     for q in sorted(new):
         if new[q] < 0:

@@ -1,6 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fixed-work CPU calibration: seconds to run a deterministic xorshift
+    * spin whose cost is constant on a given host. Run before AND after
+    * the timed queries, it bounds host contention for the whole window:
+    * on an idle machine the two readings match the host's reference
+    * (~tenths of a second); a contended artifact shows inflated readings
+    * and is thereby SELF-diagnosing (the round-7 driver run was 4-6×
+    * the idle band with no code change, and proving contention required
+    * cross-referencing committed artifacts — this line carries the
+    * proof inside the artifact).
+    */
+  private def spinCalibration(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L; var i = 0
+    while (i < 200000000) { // ~0.1-0.3 s of pure ALU on one core
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    if (x == 42L) println("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Cumulative JVM GC milliseconds across all collectors — recorded
+    * per query so a one-off multi-second rep spike is attributable:
+    * a spike with a matching GC delta is heap pressure (raise
+    * SPARK_DRIVER_MEM); one without is the host (steal/IO stall).
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -28,12 +60,14 @@ object Bench {
     // table, so the first timed query doesn't absorb session cold-start
     Tables.all.foreach(t => try Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () })
+    val calBefore = spinCalibration()
     // median-of-N per query (N >= 3, round-6 VERDICT process item): the
     // r6 driver artifact read 1.45× slower than r5 because ONE contended
     // run dominated a best-of-two — a median across three in-process
-    // repetitions is robust to a single contended rep, and the recorded
-    // spread (max−min over reps) lets a reviewer see residual host noise
-    // per query instead of inferring it from round-over-round deltas
+    // repetitions is robust to a single contended rep; the RAW per-rep
+    // times and each query's wall-clock start are recorded too (round-7
+    // process item), so within-run contention shows as rep swing at a
+    // known time instead of needing to be inferred from spreads
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val timings = SparkEntry.queries.map { case (name, fn) =>
       // a throwing query reports -1.0, never a fake timing — round-over-
@@ -43,7 +77,10 @@ object Bench {
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
+      val startedAt = System.currentTimeMillis()
+      val gc0 = gcMillis()
       val runs = Seq.fill(reps)(once())
+      val gcMs = gcMillis() - gc0
       // per-query cache isolation: several operators persist() frames for
       // self-join reuse (similarity/dedup) and a lazy result hands the
       // unpersist obligation to the caller — that's Bench here. Without
@@ -51,35 +88,60 @@ object Bench {
       // pay eviction/GC for earlier queries' storage (the r2 q28/q34/q36
       // co-regression pattern); with it, every timing is order-independent.
       spark.catalog.clearCache()
-      if (runs.exists(_ < 0)) name -> ((-1.0, -1.0))
-      else {
-        val sorted = runs.sorted
-        name -> ((sorted(sorted.size / 2), sorted.last - sorted.head))
-      }
+      val med =
+        if (runs.exists(_ < 0)) -1.0
+        else { val s = runs.sorted; s(s.size / 2) }
+      (name, med, runs, startedAt, gcMs)
     }
-    val results = timings.map { case (k, (med, _)) => k -> med }
-    def jmap(m: Iterable[(String, Double)]): String =
+    val calAfter = spinCalibration()
+    val results = timings.map { case (k, med, _, _, _) => k -> med }
+    def jnum(v: Double): String = if (v < 0) "null" else v.toString
+    def jmap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.toSeq.sortBy(_._1))
-    val spreads = jmap(timings.toSeq.sortBy(_._1)
-      .map { case (k, (_, sp)) => k -> sp })
-    val failed = results.count(_._2 < 0)
-    val total = results.values.filter(_ >= 0).sum
+    // the stdout contract keeps the -1.0 sentinel (the driver parses this
+    // line); bench_local.json below uses null + an explicit failed list so
+    // artifact consumers can't silently sum a sentinel into a total
+    val qs = jmap(results.toSeq.sortBy(_._1)
+      .map { case (k, v) => k -> v.toString })
+    val failedNames = results.toSeq.filter(_._2 < 0).map(_._1).sorted
+    val failed = failedNames.size
+    val done = results.toSeq.filter(_._2 >= 0)
+    val total = done.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // full per-query artifact in-repo: the driver captures only the
     // stdout TAIL, which truncates the per-query map past ~60 queries —
     // reviewers read this file for the complete picture. `queries` holds
-    // the medians (the comparable number); `spread` the per-query
-    // max−min over the reps (the noise floor).
+    // the medians (null for a failed query — never a sentinel a summing
+    // consumer mistakes for a timing); `reps_raw` the raw per-rep times
+    // in run order; `started_at_ms` each query's wall-clock start;
+    // `calibration_s` the fixed-spin readings bracketing the run;
+    // `gc_ms` the JVM GC time inside each query's reps (attributes a
+    // rep spike: matching GC delta ⇒ heap, none ⇒ host); and
+    // `per_query_s` total/completed (failures excluded from BOTH sides).
+    val qsNull = jmap(results.toSeq.sortBy(_._1)
+      .map { case (k, v) => k -> jnum(v) })
+    val raws = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, runs, _, _) =>
+      k -> runs.map(jnum).mkString("[", ",", "]") })
+    val starts = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, _, t, _) =>
+      k -> t.toString })
+    val gcs = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, _, _, g) =>
+      k -> g.toString })
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val perQuery = if (done.nonEmpty) total / done.size else 0.0
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_local.json"),
-      (s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spreads,"failed":$failed,"sf":"$sfDir"}""" + "\n")
-        .getBytes("UTF-8"))
+      (s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+        s""""per_query_s":$perQuery,"n_completed":${done.size},""" +
+        s""""calibration_s":{"before":$calBefore,"after":$calAfter},""" +
+        s""""queries":$qsNull,"reps_raw":$raws,"started_at_ms":$starts,""" +
+        s""""gc_ms":$gcs,"heap_max_mb":${Runtime.getRuntime.maxMemory >> 20},""" +
+        s""""failed":$failed,"failed_queries":$failedJson,"sf":"$sfDir"}""" +
+        "\n").getBytes("UTF-8"))
     // compact LAST line: the full line is ~8 KB at 143 queries and fell
     // out of the driver's tail window in r4/r5 ("parsed": null). This
     // one always fits whichever way the tail truncates; per-query map
     // trimmed to the 15 slowest (the full map lives in bench_local.json)
-    val slow = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(15)
+    val slow = done.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"failed":$failed,"sf":"$sfDir","queries_note":"15 slowest of ${results.size}; full map in bench_local.json"}""")
     spark.stop()
