@@ -96,7 +96,14 @@ object DevPlans {
         "four 16-bit chunks and candidates come from a chunk EQUI-join " +
         "(never a cartesian) — pigeonhole-complete for hamming <= 3, " +
         "so the banding provably loses nothing on ANY corpus while the " +
-        "pair space shrinks to colliding chunk buckets."))
+        "pair space shrinks to colliding chunk buckets."),
+    "q160_multimodal_manifest" ->
+      ("Unified multimodal curation: text shingle, image chunk, and " +
+        "audio chunk edge families are all equi-joins (no product " +
+        "anywhere in the composition), the union graph walks through " +
+        "the hybrid CC dispatch, and keep/split are map-only functions " +
+        "of the unified cluster id — so the whole manifest adds no " +
+        "quadratic surface over its parts."))
 
   def main(args: Array[String]): Unit = {
     val spark = engine.Sessions.tune(

@@ -346,6 +346,16 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache() // the operator persists the chunked hashes
   }
 
+  test("q160: every unified-manifest edge source is an equi-join — never a cartesian") {
+    // three modality edge families + CC + split hash composed: none of
+    // them may degrade to a product (text = shared-shingle equi-join,
+    // image/audio = chunk equi-joins, flags/split = key joins)
+    val p = plan("q160_multimodal_manifest")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    spark.catalog.clearCache() // jaccard/banded operators persist frames
+  }
+
   test("q131: containment candidates come from equi-joins — never a cartesian") {
     val p = plan("q131_containment_dups")
     assert(!p.contains("CartesianProduct") &&
