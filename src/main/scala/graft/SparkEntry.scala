@@ -991,6 +991,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q161_append_dedup" -> ((s, dir) => {
+      // incremental corpus-append dedup: src0 arrives as the new batch
+      // against the already-ingested rest — near-dup candidates come
+      // from prefix(new) ⋈ prefix(all), so the pair join scales with
+      // the BATCH, never corpus² (the append-time question at 100 TB).
+      // The oracle recomputes the full pair graph and filters to >=1
+      // new side, proving the asymmetric candidate scheme loses nothing.
+      val docs = t(s, dir, "documents")
+      text.Clusters.appendDedup(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q160_multimodal_manifest" -> ((s, dir) => {
       // the unified multimodal curation surface: text exact+Jaccard,
       // image aHash, and audio energy-hash near-dup edges union into ONE
@@ -3219,6 +3234,46 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // the full jaccard+exact pair graph filtered to pairs touching the
+    // src0 batch, walked to components; dup_of = min corpus member,
+    // keep = corpus-clean AND min batch member of the component
+    "q161_append_dedup" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$jacPairsCte,
+        |newdoc AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        |exact AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a
+        |  JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+        |inc AS (SELECT DISTINCT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b FROM jac
+        |  UNION ALL SELECT doc_a, doc_b FROM exact)
+        |  WHERE doc_a IN (SELECT doc_id FROM newdoc)
+        |     OR doc_b IN (SELECT doc_id FROM newdoc)),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM inc
+        |  UNION ALL SELECT doc_b, doc_a FROM inc),
+        |walk(node, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, w.comp FROM walk w
+        |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v),
+        |cl AS (
+        |  SELECT node AS doc_id, MIN(comp) AS cluster_id
+        |  FROM walk GROUP BY node),
+        |bt AS (SELECT cl.doc_id, cl.cluster_id
+        |       FROM cl JOIN newdoc USING (doc_id)),
+        |cmin AS (
+        |  SELECT cluster_id, MIN(doc_id) AS dup_of FROM cl
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM newdoc)
+        |  GROUP BY cluster_id),
+        |bmin AS (
+        |  SELECT cluster_id, MIN(doc_id) AS _bmin FROM bt GROUP BY cluster_id)
+        |SELECT bt.doc_id, cmin.dup_of,
+        |  (cmin.dup_of IS NULL AND bt.doc_id = bmin._bmin) AS keep
+        |FROM bt LEFT JOIN cmin USING (cluster_id)
+        |JOIN bmin USING (cluster_id)
+        |ORDER BY bt.doc_id""".stripMargin,
 
     // the union graph of all three modality edge families, walked with
     // the shared recursive-CTE shape; split/keep arithmetic is q157's,

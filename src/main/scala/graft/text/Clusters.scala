@@ -183,6 +183,67 @@ object Clusters {
         pcts)
       .select(col("doc_id"), col("cluster_id"), col("split"))
 
+  /** Incremental APPEND dedup: admit a new batch of documents against
+    * an existing corpus without recomputing the corpus pair graph. One
+    * verdict row per batch doc — `(doc_id, dup_of, keep)` where
+    * `dup_of` is the smallest corpus doc its duplicate component
+    * touches (NULL if the component is batch-only) and `keep` marks
+    * batch docs that duplicate nothing in the corpus and are the
+    * min-id representative of their batch-internal component (the
+    * [[dupClusters]] canonical convention) — so `keep` rows are
+    * exactly what an append commits and the rest is the drop list
+    * with its provenance.
+    *
+    * Edges are [[Dedup.incrementalJaccardPairs]] (batch×corpus ∪
+    * batch×batch, never corpus×corpus) plus exact-hash pairs with a
+    * new side; components come from the shared hybrid
+    * [[connectedComponents]] dispatch over this batch-proportional
+    * edge set. Transitivity ACROSS the corpus works through shared
+    * corpus neighbors (batch₁–corpusX–batch₂ collapses to one
+    * component); chains through corpus-corpus near-dup pairs are
+    * invisible by design — the operator's precondition is an already
+    * deduped corpus (the state every append maintains), where such
+    * chains don't exist. Cache contract: caller releases.
+    */
+  def appendDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+                  textCol: String, shingleN: Int = 5,
+                  threshold: Double = 0.5,
+                  hotShingleCap: Int = 100000): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val b = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val all = c.union(b)
+    val jac = Dedup.incrementalJaccardPairs(all, b.select("doc_id"),
+        "doc_id", "text", shingleN, threshold, hotShingleCap)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // exact-hash pairs with >=1 new side: batch hashes (small) broadcast
+    // against the full hash relation — the md5 twin of the shingle join
+    val hAll = all.select(col("doc_id"), md5(col("text")).as("h"))
+    val hNew = b.select(col("doc_id").as("_nid"), md5(col("text")).as("h"))
+    val exact = hAll.join(broadcast(hNew), "h")
+      .filter(col("doc_id") =!= col("_nid"))
+      .select(least(col("doc_id"), col("_nid")).as("src"),
+        greatest(col("doc_id"), col("_nid")).as("dst")).distinct()
+    val comp = connectedComponents(jac.union(exact), "src", "dst")
+    val labeled = b.select(col("doc_id"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    // per component: the smallest corpus member (the dup target) and
+    // the smallest batch member (the candidate representative)
+    val corpMin = comp.join(c.select(col("doc_id").as("node")), "node")
+      .groupBy(col("component").as("cluster_id"))
+      .agg(min(col("node")).as("dup_of"))
+    val batchMin = labeled.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("_bmin"))
+    labeled
+      .join(corpMin, Seq("cluster_id"), "left")
+      .join(batchMin, Seq("cluster_id"))
+      .select(col("doc_id"), col("dup_of"),
+        (col("dup_of").isNull && col("doc_id") === col("_bmin")).as("keep"))
+  }
+
   /** Quality-aware canonical selection per duplicate cluster: where
     * [[dupClusters]] marks the min-id member canonical (cheap but
     * arbitrary), this keeps the BEST member — argmax `quality`, min

@@ -106,6 +106,63 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Incremental near-dup pairs for corpus APPEND: exact n-gram Jaccard
+    * pairs that touch at least one NEW document — batch×corpus and
+    * batch×batch edges, NEVER corpus×corpus. The routine append-time
+    * question ("which arriving docs duplicate something we already
+    * have, or each other") must not re-pay the full corpus pair join:
+    * here the candidate join is prefix(new) ⋈ prefix(all), so its cost
+    * scales with the BATCH's shingle footprint times bucket selectivity
+    * while the corpus side contributes only the linear
+    * shingle/frequency pass (which a production pipeline materializes
+    * once and maintains incrementally — the IVF build/probe split
+    * applied to dedup; this entry point recomputes it for
+    * self-containment).
+    *
+    * Same prefix-filter completeness argument as [[jaccardPairs]]: a
+    * qualifying pair has its rarest shared shingle inside BOTH
+    * prefixes, and one side of every wanted pair is new, so the
+    * asymmetric join loses nothing. Same hot-shingle cap with the same
+    * exactness condition. Emitted pairs are unordered-normalized
+    * (doc_a < doc_b) with their exact verified jaccard — identical
+    * rows to `jaccardPairs(corpus ∪ batch) filtered to ≥1 new side`.
+    * Cache contract: caller releases (one persisted shingle relation).
+    */
+  def incrementalJaccardPairs(all: DataFrame, newIds: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int, threshold: Double,
+                              hotShingleCap: Int = 100000): DataFrame = {
+    val s = shingleSets(all, idCol, textCol, n).persist()
+    val sizes = s.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val freq = s.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+    val byDoc = Window.partitionBy(col("doc"))
+    val prefixes = s.join(freq, "shingle")
+      .withColumn("_r", row_number().over(
+        byDoc.orderBy(col("freq").asc, col("shingle").asc)))
+      .withColumn("_n", count(lit(1)).over(byDoc))
+      .filter(col("_r") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
+      .filter(col("freq") >= 2 && col("freq") <= hotShingleCap)
+      .select(col("doc"), col("shingle"))
+    val fresh = newIds.select(col(newIds.columns.head).as("doc")).distinct()
+    // new side drives the join; broadcast the (small) batch id set
+    val prefixNew = prefixes.join(broadcast(fresh), Seq("doc"), "left_semi")
+    val cands = prefixNew.as("a").join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b")).distinct()
+    cands
+      .join(s.as("sa"), col("sa.doc") === col("doc_a"))
+      .join(s.as("sb"), col("sb.doc") === col("doc_b") &&
+        col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Asymmetric shingle CONTAINMENT pairs: C = shared / min(|A|, |B|) —
     * the near-dup measure Jaccard is blind to, because a small document
     * copied verbatim inside a much larger one has tiny Jaccard (the

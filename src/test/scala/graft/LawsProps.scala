@@ -472,6 +472,44 @@ object LawsProps extends Properties("graft.laws") {
       got == expect
     }
 
+  property("appendDedup: equals union dupClusters verdicts on a deduped corpus") =
+    forAll(
+      Gen.listOfN(5, Gen.choose(1, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")))),
+      Gen.listOfN(4, Gen.choose(1, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))))) { (ct, bt) =>
+      import org.apache.spark.sql.functions.col
+      // enforce the operator's precondition: the corpus is already
+      // deduped at the same (n, threshold) — keep dupClusters canonicals
+      val corpus0 = ct.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }.toDF("doc_id", "text")
+      val keepIds = graft.text.Clusters.dupClusters(corpus0, "doc_id", "text", 2, 0.5)
+        .filter(col("is_canonical")).select("doc_id").as[Long].collect().toSet
+      spark.catalog.clearCache()
+      val corpus = corpus0.filter(col("doc_id").isin(keepIds.toSeq: _*))
+      val batch = bt.zipWithIndex
+        .map { case (t, i) => (100L + i, t.mkString(" ")) }.toDF("doc_id", "text")
+      val got = graft.text.Clusters.appendDedup(corpus, batch, "doc_id", "text",
+          shingleN = 2, threshold = 0.5)
+        .as[(Long, Option[Long], Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      spark.catalog.clearCache()
+      // ground truth: full dupClusters over the union — batch verdicts
+      // must agree although appendDedup never computed corpus×corpus
+      val cl = graft.text.Clusters.dupClusters(corpus.union(batch),
+          "doc_id", "text", 2, 0.5)
+        .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      spark.catalog.clearCache()
+      val members = cl.groupBy(_._2).map { case (c, g) => c -> g.map(_._1) }
+      val clusterOf = cl.toMap
+      val expect = batch.select("doc_id").as[Long].collect().map { b =>
+        val m = members(clusterOf(b))
+        val corpMin = m.filter(_ < 100L).sorted.headOption
+        b -> ((corpMin, corpMin.isEmpty && b == m.filter(_ >= 100L).min))
+      }.toMap
+      got == expect
+    }
+
   property("flowImbalance: equals the driver-side sign-carry scan") =
     forAll(Gen.nonEmptyListOf(
       Gen.zip(Gen.choose(1, 4), Gen.choose(0L, 5L)))) { ticks =>

@@ -42,6 +42,59 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("appendDedup: batch verdicts against an existing corpus, batch-proportional edges") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different words about spark query engines and shuffles here"),
+      (3L, "a third corpus text with its own vocabulary and nothing shared at all")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // exact dup of corpus 1 → drop, dup_of = 1
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      // near-dup of corpus 2 → drop, dup_of = 2
+      (11L, "completely different words about spark query engines and shuffles there"),
+      // novel → keep
+      (12L, "entirely novel content mentioning streaming watermarks and state stores"),
+      // batch-internal near-dup pair → 13 keeps (min id), 14 drops with no dup_of
+      (13L, "shared batch content speaking of parquet footers and row group stats"),
+      (14L, "shared batch content speaking of parquet footers and row group pages"),
+      // both near-dup corpus 3's text? no — transitive check: 15 and 16
+      // each near-dup corpus 3 but not each other strongly enough; both
+      // must drop with dup_of = 3 through the shared corpus neighbor
+      (15L, "a third corpus text with its own vocabulary and nothing shared at one"),
+      (16L, "a third corpus text with its own vocabulary and nothing shared at two")
+    ).toDF("doc_id", "text")
+    val out = graft.text.Clusters.appendDedup(corpus, batch, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    spark.catalog.clearCache()
+    assert(out(10L) === ((Some(1L), false)), "exact corpus dup")
+    assert(out(11L) === ((Some(2L), false)), "near corpus dup")
+    assert(out(12L) === ((None, true)), "novel keeps")
+    assert(out(13L) === ((None, true)), "batch-internal min keeps")
+    assert(out(14L) === ((None, false)), "batch-internal non-min drops")
+    assert(out(15L) === ((Some(3L), false)), "merged via corpus neighbor")
+    assert(out(16L) === ((Some(3L), false)), "merged via corpus neighbor")
+    assert(out.size === 7)
+  }
+
+  test("appendDedup equals full-corpus jaccardPairs filtered to new-side pairs") {
+    // the asymmetric prefix(new) ⋈ prefix(all) candidate join must lose
+    // nothing vs the symmetric all-pairs scheme on the same union corpus
+    val all = docs // 1,2 near-dups; 4 exact dup of 1; 3 isolated
+    val newIds = Seq(2L, 4L).toDF("doc_id")
+    val inc = Dedup.incrementalJaccardPairs(all, newIds, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.jaccardPairs(all, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .filter(p => Set(2L, 4L).contains(p._1) || Set(2L, 4L).contains(p._2))
+      .toSet
+    spark.catalog.clearCache()
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("hot-shingle cap: results unchanged when pairs are witnessed by rarer shingles") {
     // every doc shares the same stop-phrase shingle ("x y z" after the
     // leading trigram window passes over it); near-dup pairs also share
