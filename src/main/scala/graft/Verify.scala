@@ -32,7 +32,18 @@ object Verify {
         val msg = s"${e.getClass.getName}: ${e.getMessage}"
         failed(name) = msg
         System.err.println(s"[verify] $name failed: $msg")
-        val d = new java.io.File(s"$outDir/$name"); d.mkdirs()
+        // clear any STALE parquet from a previous run into the same
+        // outDir first — a leftover part file next to _ERROR.txt would
+        // let the comparer report a stale PASS for a failing query,
+        // the exact masking this marker exists to prevent
+        val d = Paths.get(s"$outDir/$name")
+        if (Files.exists(d)) {
+          val walk = Files.walk(d)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
+        Files.createDirectories(d)
         Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg)
       }
       // release per-query persist()s (see Bench: caller-side unpersist)

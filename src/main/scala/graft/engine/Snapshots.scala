@@ -242,18 +242,34 @@ object Snapshots {
     * precedes the earliest commit (nothing existed yet) — same posture
     * as Delta rather than silently returning an empty table. Commit
     * timestamps are manifest metadata, so resolution is a driver-side
-    * manifest scan, no Spark job. Corrupt manifests are excluded here
-    * exactly as they are read-blocked in [[readVersion]]: they can
-    * never silently satisfy a timestamp.
+    * manifest scan, no Spark job.
+    *
+    * Corrupt manifests: a version whose manifest exists but does not
+    * parse has an UNKNOWN commit instant. If such a version is above
+    * the one this timestamp would otherwise resolve to, the answer
+    * could be wrong (the corrupt version may have been live at `ts`) —
+    * resolution then fails LOUDLY, matching [[readVersion]]'s posture
+    * on the same manifest, instead of silently serving the older
+    * version as "what was live then". Corrupt versions at or below the
+    * resolved one cannot change a max-at-or-before answer and are
+    * ignored (they stay read-blocked on direct access).
     */
   def versionAt(spark: SparkSession, path: String, tsMillis: Long): Long = {
-    val cs = commits(spark, path)
-    require(cs.nonEmpty, s"no snapshots at $path")
+    val fs = fsFor(spark, path)
+    val names = versionNames(fs, path)
+    val cs = names.flatMap(commitOf(fs, path, _))
+    require(names.nonEmpty, s"no snapshots at $path")
+    val corrupt = names.toSet -- cs.map(_.version).toSet
     val visible = cs.filter(_.committedAt <= tsMillis)
-    if (visible.isEmpty) throw new IllegalArgumentException(
+    val resolved = visible.map(_.version).maxOption
+    val blocking = corrupt.filter(v => resolved.forall(v > _))
+    if (blocking.nonEmpty) throw new IllegalStateException(
+      s"manifest(s) for version(s) ${blocking.toSeq.sorted.mkString(", ")} " +
+        s"of $path are unreadable/corrupt with unknown commit instants — " +
+        s"cannot resolve timestamp $tsMillis; repair or remove them first")
+    resolved.getOrElse(throw new IllegalArgumentException(
       s"timestamp $tsMillis precedes the earliest commit of $path " +
-        s"(${cs.map(_.committedAt).min}); nothing to read")
-    visible.maxBy(_.version).version
+        s"(${cs.map(_.committedAt).min}); nothing to read"))
   }
 
   /** Time travel to the snapshot visible at a wall-clock instant —

@@ -36,15 +36,21 @@ object Curate {
     * dedup delete set), `split` hashes the cluster id, and the flags
     * say which modality made the doc a duplicate of anything.
     *
-    * `media` maps a modality to its (media_id-keyed) payload table;
-    * defaults to the deterministic fixture tables so the driver gate
-    * can verify the whole composition against a closed-form oracle.
+    * `imageMedia`/`audioMedia` are the per-modality payload tables
+    * (`media_id` keyed to `docs`' ids, `format`, binary `payload` —
+    * the [[Media]] row shape). They DEFAULT to the deterministic
+    * id-derived fixture tables so the driver gate can verify the whole
+    * composition against a closed-form oracle; a production corpus
+    * passes its real payload tables here — with the defaults, the
+    * perceptual edges describe the fixture, not any actual media.
     */
   def unifiedManifest(spark: SparkSession, docs: DataFrame, idCol: String,
                       textCol: String, pcts: Seq[(String, Int)],
                       shingleN: Int = 5, threshold: Double = 0.5,
                       maxDist: Int = 3,
-                      maxChunkBucket: Long = 100000L): DataFrame = {
+                      maxChunkBucket: Long = 100000L,
+                      imageMedia: Option[DataFrame] = None,
+                      audioMedia: Option[DataFrame] = None): DataFrame = {
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
 
     // text edges: exact-dup stars (min id ← members) ∪ Jaccard pairs —
@@ -64,10 +70,12 @@ object Curate {
     // perceptual edges, one banded pass per modality (both inherit the
     // pigeonhole completeness law and the hot-chunk refusal)
     val imageEdges = Media.phashBandedPairs(spark,
-        Media.imageHashTable(spark, docs, idCol), maxDist, maxChunkBucket)
+        imageMedia.getOrElse(Media.imageHashTable(spark, docs, idCol)),
+        maxDist, maxChunkBucket)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val audioEdges = Media.audioHashBandedPairs(spark,
-        Media.audioHashTable(spark, docs, idCol), maxDist, maxChunkBucket)
+        audioMedia.getOrElse(Media.audioHashTable(spark, docs, idCol)),
+        maxDist, maxChunkBucket)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
 
     // ONE component walk over the union graph — the unified cluster

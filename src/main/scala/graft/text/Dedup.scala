@@ -69,11 +69,25 @@ object Dedup {
     // (Lazy result → the CALLER releases the cache after its action; see
     // the cache contract on Similarity.normed.)
     val s = shingleSets(df, idCol, textCol, n).persist()
-    val sizes = s.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val prefixes = shinglePrefixes(s, threshold, hotShingleCap)
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
+    verifyJaccard(s, cands, threshold)
+  }
+
+  /** The prefix-filter half of the AllPairs scheme over a (persisted)
+    * shingle relation — ONE definition shared by [[jaccardPairs]] and
+    * [[incrementalJaccardPairs]] so a change to the bound or the cap
+    * semantics cannot desync the two (the jacPairsCte discipline,
+    * applied to the Scala side). Rank + doc size ride one window pass
+    * (same partitioning → one shuffle).
+    */
+  private def shinglePrefixes(s: DataFrame, threshold: Double,
+                              hotShingleCap: Int): DataFrame = {
     val freq = s.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
-    // rank + doc size in ONE window pass (same partitioning → one shuffle)
     val byDoc = Window.partitionBy(col("doc"))
-    val prefixes = s.join(freq, "shingle")
+    s.join(freq, "shingle")
       .withColumn("_r", row_number().over(
         byDoc.orderBy(col("freq").asc, col("shingle").asc)))
       .withColumn("_n", count(lit(1)).over(byDoc))
@@ -90,9 +104,17 @@ object Dedup {
       // boilerplate. Exact whenever max shingle freq <= cap.
       .filter(col("freq") <= hotShingleCap)
       .select(col("doc"), col("shingle"))
-    val cands = prefixes.as("a").join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
+  }
+
+  /** The verification half: exact shared-shingle counts for unordered
+    * candidate pairs `(doc_a < doc_b)` off the same persisted shingle
+    * relation, scored as true Jaccard and thresholded — shared by both
+    * pair entry points (false candidates die here, so results are
+    * independent of which candidate scheme produced them).
+    */
+  private def verifyJaccard(s: DataFrame, cands: DataFrame,
+                            threshold: Double): DataFrame = {
+    val sizes = s.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     cands
       .join(s.as("sa"), col("sa.doc") === col("doc_a"))
       .join(s.as("sb"), col("sb.doc") === col("doc_b") &&
@@ -133,34 +155,17 @@ object Dedup {
                               n: Int, threshold: Double,
                               hotShingleCap: Int = 100000): DataFrame = {
     val s = shingleSets(all, idCol, textCol, n).persist()
-    val sizes = s.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val freq = s.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
-    val byDoc = Window.partitionBy(col("doc"))
-    val prefixes = s.join(freq, "shingle")
-      .withColumn("_r", row_number().over(
-        byDoc.orderBy(col("freq").asc, col("shingle").asc)))
-      .withColumn("_n", count(lit(1)).over(byDoc))
-      .filter(col("_r") <= col("_n") - ceil(lit(threshold) * col("_n")) + 1)
-      .filter(col("freq") >= 2 && col("freq") <= hotShingleCap)
-      .select(col("doc"), col("shingle"))
-    val fresh = newIds.select(col(newIds.columns.head).as("doc")).distinct()
+    val prefixes = shinglePrefixes(s, threshold, hotShingleCap)
+    // `newIds` carries the batch's ids in ITS `idCol` column (same name
+    // as `all`'s) — resolved by name, never by position
+    val fresh = newIds.select(col(idCol).as("doc")).distinct()
     // new side drives the join; broadcast the (small) batch id set
     val prefixNew = prefixes.join(broadcast(fresh), Seq("doc"), "left_semi")
     val cands = prefixNew.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") =!= col("b.doc"))
       .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
         greatest(col("a.doc"), col("b.doc")).as("doc_b")).distinct()
-    cands
-      .join(s.as("sa"), col("sa.doc") === col("doc_a"))
-      .join(s.as("sb"), col("sb.doc") === col("doc_b") &&
-        col("sa.shingle") === col("sb.shingle"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(s, cands, threshold)
   }
 
   /** Asymmetric shingle CONTAINMENT pairs: C = shared / min(|A|, |B|) —

@@ -56,6 +56,35 @@ class SnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("timestamp resolution refuses when a corrupt manifest could change the answer") {
+    val t = Files.createTempDirectory("graft_snap_ts_corrupt").toString + "/t"
+    Snapshots.write(Seq((1, "a")).toDF("k", "v"), t)
+    Thread.sleep(15)
+    Snapshots.write(Seq((2, "b")).toDF("k", "v"), t)
+    val ts = Snapshots.commits(spark, t).map(c => c.version -> c.committedAt).toMap
+    // corrupt v2: its commit instant is now unknown
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t/_snapshots/v2.json"),
+      "garbage".getBytes("UTF-8"))
+    // at/after v1's instant the corrupt v2 COULD have been live → loud
+    val e = intercept[IllegalStateException] {
+      Snapshots.versionAt(spark, t, ts(2L) + 1000L)
+    }
+    assert(e.getMessage.contains("v") && e.getMessage.contains("corrupt"), e.getMessage)
+    intercept[IllegalStateException] { Snapshots.versionAt(spark, t, ts(1L)) }
+    // corrupt versions BELOW the resolved one cannot change a
+    // max-at-or-before answer: corrupt v1 instead, v2 still resolves
+    val t2 = Files.createTempDirectory("graft_snap_ts_corrupt2").toString + "/t"
+    Snapshots.write(Seq((1, "a")).toDF("k", "v"), t2)
+    Thread.sleep(15)
+    Snapshots.write(Seq((2, "b")).toDF("k", "v"), t2)
+    val ts2 = Snapshots.commits(spark, t2).map(c => c.version -> c.committedAt).toMap
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$t2/_snapshots/v1.json"),
+      "garbage".getBytes("UTF-8"))
+    assert(Snapshots.versionAt(spark, t2, ts2(2L)) === 2L)
+  }
+
   test("changeFeed between real versions replays onto v1 to reproduce v2 exactly") {
     val t = Files.createTempDirectory("graft_snap_cdc").toString + "/t"
     val before = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))

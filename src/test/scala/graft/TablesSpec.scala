@@ -166,7 +166,8 @@ class TablesSpec extends AnyFunSuite {
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000),
+        s"$enc: stream did not terminate within 120 s — partial table")
       val out = spark.table(s"ts_enc_$enc")
         .select(unix_micros(col("window.start")), col("count"))
         .collect().map(_.toSeq).toSet
