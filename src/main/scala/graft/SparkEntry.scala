@@ -991,6 +991,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q162_multimodal_append" -> ((s, dir) => {
+      // q161's append verdicts extended to every modality: a src0 batch
+      // doc is a duplicate if its text, image, OR audio near-duplicates
+      // the standing corpus or another batch doc — all three edge
+      // families run their asymmetric (batch-proportional) candidate
+      // joins, one component walk decides, and the flags carry the
+      // modality provenance. The oracle recomputes all three families
+      // symmetrically and filters to new-side pairs.
+      val docs = t(s, dir, "documents")
+      multimodal.Curate.appendManifest(s,
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q161_append_dedup" -> ((s, dir) => {
       // incremental corpus-append dedup: src0 arrives as the new batch
       // against the already-ingested rest — near-dup candidates come
@@ -3234,6 +3250,68 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // the q161 verdict arithmetic over the UNION of all three modality
+    // edge families, each filtered to >=1 src0 side; flags = incidence
+    // in the per-family incremental edge sets
+    "q162_multimodal_append" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |$jacPairsCte,
+        |newdoc AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+        |exact AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM documents a
+        |  JOIN documents b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+        |media AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM documents a JOIN documents b
+        |    ON a.doc_id < b.doc_id
+        |   AND bit_count(xor(a.doc_id, b.doc_id)) <= 3),
+        |tinc AS (SELECT DISTINCT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b FROM jac
+        |  UNION ALL SELECT doc_a, doc_b FROM exact)
+        |  WHERE doc_a IN (SELECT doc_id FROM newdoc)
+        |     OR doc_b IN (SELECT doc_id FROM newdoc)),
+        |minc AS (SELECT DISTINCT doc_a, doc_b FROM media
+        |  WHERE doc_a IN (SELECT doc_id FROM newdoc)
+        |     OR doc_b IN (SELECT doc_id FROM newdoc)),
+        |inc AS (SELECT DISTINCT doc_a, doc_b FROM (
+        |  SELECT doc_a, doc_b FROM tinc
+        |  UNION ALL SELECT doc_a, doc_b FROM minc)),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM inc
+        |  UNION ALL SELECT doc_b, doc_a FROM inc),
+        |walk(node, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, w.comp FROM walk w
+        |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v),
+        |cl AS (
+        |  SELECT node AS doc_id, MIN(comp) AS cluster_id
+        |  FROM walk GROUP BY node),
+        |bt AS (SELECT cl.doc_id, cl.cluster_id
+        |       FROM cl JOIN newdoc USING (doc_id)),
+        |cmin AS (
+        |  SELECT cluster_id, MIN(doc_id) AS dup_of FROM cl
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM newdoc)
+        |  GROUP BY cluster_id),
+        |bmin AS (
+        |  SELECT cluster_id, MIN(doc_id) AS _bmin FROM bt GROUP BY cluster_id),
+        |td AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM tinc
+        |  UNION ALL SELECT doc_b FROM tinc)),
+        |md AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM minc
+        |  UNION ALL SELECT doc_b FROM minc))
+        |SELECT bt.doc_id, cmin.dup_of,
+        |  (cmin.dup_of IS NULL AND bt.doc_id = bmin._bmin) AS keep,
+        |  td.doc_id IS NOT NULL AS text_dup,
+        |  md.doc_id IS NOT NULL AS image_dup,
+        |  md.doc_id IS NOT NULL AS audio_dup
+        |FROM bt LEFT JOIN cmin USING (cluster_id)
+        |JOIN bmin USING (cluster_id)
+        |LEFT JOIN td ON td.doc_id = bt.doc_id
+        |LEFT JOIN md ON md.doc_id = bt.doc_id
+        |ORDER BY bt.doc_id""".stripMargin,
 
     // the full jaccard+exact pair graph filtered to pairs touching the
     // src0 batch, walked to components; dup_of = min corpus member,

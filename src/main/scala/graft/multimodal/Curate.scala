@@ -102,4 +102,56 @@ object Curate {
         coalesce(col("image_dup"), lit(false)).as("image_dup"),
         coalesce(col("audio_dup"), lit(false)).as("audio_dup"))
   }
+
+  /** Incremental MULTIMODAL append: [[graft.text.Clusters.appendDedup]]
+    * extended to every modality — a batch doc is a duplicate if its
+    * text, image, OR audio near-duplicates the corpus or another batch
+    * doc, and the verdict component is walked over the union of the
+    * three incremental edge families (text via the asymmetric prefix
+    * join, image/audio via the asymmetric chunk joins — every family
+    * scales with the batch, never corpus²). One row per batch doc:
+    * `(doc_id, dup_of, keep, text_dup, image_dup, audio_dup)` — the
+    * verdict columns follow appendDedup's contract and the flags say
+    * which modality made the doc a duplicate of anything. Same
+    * deduped-corpus precondition per modality; same fixture-default
+    * media tables as [[unifiedManifest]] (pass real payload tables in
+    * production). Cache contract: caller releases.
+    */
+  def appendManifest(spark: SparkSession, corpus: DataFrame,
+                     batch: DataFrame, idCol: String, textCol: String,
+                     shingleN: Int = 5, threshold: Double = 0.5,
+                     maxDist: Int = 3, maxChunkBucket: Long = 100000L,
+                     hotShingleCap: Int = 100000,
+                     imageMedia: Option[DataFrame] = None,
+                     audioMedia: Option[DataFrame] = None): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val b = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val all = c.union(b)
+    val newIds = b.select("doc_id")
+    val textEdges = Clusters.appendTextEdges(all, b, shingleN, threshold,
+      hotShingleCap)
+    val imageEdges = Media.phashBandedPairsIncremental(spark,
+        imageMedia.getOrElse(Media.imageHashTable(spark, all, "doc_id")),
+        newIds, maxDist, maxChunkBucket)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val audioEdges = Media.audioHashBandedPairsIncremental(spark,
+        audioMedia.getOrElse(Media.audioHashTable(spark, all, "doc_id")),
+        newIds, maxDist, maxChunkBucket)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    def dupFlag(e: DataFrame, name: String): DataFrame =
+      e.select(col("src").as("doc_id"))
+        .union(e.select(col("dst").as("doc_id")))
+        .distinct().withColumn(name, lit(true))
+    Clusters.appendVerdicts(c.select("doc_id"), newIds,
+        textEdges.union(imageEdges).union(audioEdges))
+      .join(dupFlag(textEdges, "text_dup"), Seq("doc_id"), "left")
+      .join(dupFlag(imageEdges, "image_dup"), Seq("doc_id"), "left")
+      .join(dupFlag(audioEdges, "audio_dup"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("keep"),
+        coalesce(col("text_dup"), lit(false)).as("text_dup"),
+        coalesce(col("image_dup"), lit(false)).as("image_dup"),
+        coalesce(col("audio_dup"), lit(false)).as("audio_dup"))
+  }
 }

@@ -986,10 +986,14 @@ object Media {
     * wants exact-group dedup first, not a bigger pair join). The count
     * runs off the already-persisted chunk frame — one cheap aggregate.
     */
-  private def hammingBandedPairs(hashes: DataFrame, maxDist: Int,
-                                 maxChunkBucket: Long,
-                                 opName: String): DataFrame = {
-    require(maxDist <= 3, "chunk blocking is only complete for hamming <= 3")
+  /** Chunk a 64-bit signature frame into its four 16-bit blocking keys
+    * and apply the hot-chunk refusal — ONE definition shared by the
+    * symmetric and incremental banded joins so the guard semantics
+    * cannot desync. Returns the PERSISTED chunk relation (self-joined
+    * downstream: hash each payload once, not twice; caller releases).
+    */
+  private def chunkAndGuard(hashes: DataFrame, maxChunkBucket: Long,
+                            opName: String): DataFrame = {
     val chunked = hashes
       .select(col("media_id"), col("phash"), explode(array(
         (0 until 4).map(j => struct(lit(j).as("chunk"),
@@ -997,7 +1001,7 @@ object Media {
             .as("ck"))): _*)).as("c"))
       .select(col("media_id"), col("phash"),
         col("c.chunk").as("chunk"), col("c.ck").as("ck"))
-      .persist() // self-joined: hash each payload once, not twice
+      .persist()
     val hot = chunked.groupBy(col("chunk"), col("ck"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxChunkBucket)
@@ -1011,6 +1015,14 @@ object Media {
           "— a bucket that hot is a quadratic near-dup group; run exact " +
           "dedup on it first or raise the bound deliberately")
     }
+    chunked
+  }
+
+  private def hammingBandedPairs(hashes: DataFrame, maxDist: Int,
+                                 maxChunkBucket: Long,
+                                 opName: String): DataFrame = {
+    require(maxDist <= 3, "chunk blocking is only complete for hamming <= 3")
+    val chunked = chunkAndGuard(hashes, maxChunkBucket, opName)
     chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
           col("a.media_id") < col("b.media_id"))
@@ -1023,6 +1035,56 @@ object Media {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** Banded hamming pairs restricted to >=1 NEW side — the corpus
+    * APPEND form of [[hammingBandedPairs]] (the
+    * [[graft.text.Dedup.incrementalJaccardPairs]] asymmetry applied to
+    * the chunk join): chunk(new) equi-joins chunk(all), so candidate
+    * cost scales with the batch's chunk footprint times bucket
+    * selectivity while the corpus contributes only its linear chunking
+    * pass. Pigeonhole completeness is unchanged — one side of every
+    * wanted pair is new, and its matching chunk is in the new-side
+    * relation. The hot-chunk refusal still measures FULL buckets (the
+    * blowup bound is newInBucket × bucketSize, governed by the full
+    * bucket). Unordered-normalized pairs, exact verified hamming —
+    * identical rows to the symmetric join filtered to >=1 new side.
+    */
+  private def hammingBandedPairsIncremental(hashes: DataFrame,
+                                            newIds: DataFrame, maxDist: Int,
+                                            maxChunkBucket: Long,
+                                            opName: String): DataFrame = {
+    require(maxDist <= 3, "chunk blocking is only complete for hamming <= 3")
+    val chunked = chunkAndGuard(hashes, maxChunkBucket, opName)
+    val fresh = newIds.select(
+      col(newIds.columns.head).cast("long").as("media_id")).distinct()
+    val chunkedNew = chunked.join(broadcast(fresh), Seq("media_id"), "left_semi")
+    chunkedNew.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
+          col("a.media_id") =!= col("b.media_id"))
+      .select(least(col("a.media_id"), col("b.media_id")).as("id_a"),
+        greatest(col("a.media_id"), col("b.media_id")).as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** Incremental (append-time) banded image near-dup pairs — see
+    * [[hammingBandedPairsIncremental]]. `newIds`' first column carries
+    * the batch's media ids.
+    */
+  def phashBandedPairsIncremental(spark: SparkSession, media: DataFrame,
+                                  newIds: DataFrame, maxDist: Int = 3,
+                                  maxChunkBucket: Long = 100000L): DataFrame =
+    hammingBandedPairsIncremental(imageHashes(spark, media).toDF(), newIds,
+      maxDist, maxChunkBucket, "phashBandedPairsIncremental")
+
+  /** Incremental (append-time) banded audio near-dup pairs. */
+  def audioHashBandedPairsIncremental(spark: SparkSession, media: DataFrame,
+                                      newIds: DataFrame, maxDist: Int = 3,
+                                      maxChunkBucket: Long = 100000L): DataFrame =
+    hammingBandedPairsIncremental(audioHashes(spark, media).toDF(), newIds,
+      maxDist, maxChunkBucket, "audioHashBandedPairsIncremental")
 
   /** Exact perceptual image near-dup pairs — the all-pairs oracle twin
     * of [[phashBandedPairs]] over [[imageHashes]].

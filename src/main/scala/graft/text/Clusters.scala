@@ -213,26 +213,49 @@ object Clusters {
       col(textCol).as("text"))
     val b = batch.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
-    val all = c.union(b)
-    val jac = Dedup.incrementalJaccardPairs(all, b.select("doc_id"),
+    appendVerdicts(c.select("doc_id"), b.select("doc_id"),
+      appendTextEdges(c.union(b), b, shingleN, threshold, hotShingleCap))
+  }
+
+  /** The text edge family of an APPEND: incremental Jaccard pairs plus
+    * exact-hash pairs with a new side (batch hashes broadcast against
+    * the full hash relation — the md5 twin of the shingle join). Both
+    * frames carry normalized `(doc_id, text)`. Shared by
+    * [[appendDedup]] and the multimodal
+    * [[graft.multimodal.Curate.appendManifest]].
+    */
+  private[graft] def appendTextEdges(all: DataFrame, batch: DataFrame,
+                                     shingleN: Int, threshold: Double,
+                                     hotShingleCap: Int): DataFrame = {
+    val jac = Dedup.incrementalJaccardPairs(all, batch.select("doc_id"),
         "doc_id", "text", shingleN, threshold, hotShingleCap)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    // exact-hash pairs with >=1 new side: batch hashes (small) broadcast
-    // against the full hash relation — the md5 twin of the shingle join
     val hAll = all.select(col("doc_id"), md5(col("text")).as("h"))
-    val hNew = b.select(col("doc_id").as("_nid"), md5(col("text")).as("h"))
+    val hNew = batch.select(col("doc_id").as("_nid"), md5(col("text")).as("h"))
     val exact = hAll.join(broadcast(hNew), "h")
       .filter(col("doc_id") =!= col("_nid"))
       .select(least(col("doc_id"), col("_nid")).as("src"),
         greatest(col("doc_id"), col("_nid")).as("dst")).distinct()
-    val comp = connectedComponents(jac.union(exact), "src", "dst")
-    val labeled = b.select(col("doc_id"))
+    jac.union(exact)
+  }
+
+  /** The verdict half of an APPEND: components over the (incremental)
+    * edge set, then per batch doc `dup_of` = smallest corpus member of
+    * its component (NULL if batch-only) and `keep` = corpus-clean AND
+    * min-id batch representative. `corpusIds`/`batchIds` are single
+    * `doc_id` columns; `edges` is any `(src, dst)` incremental edge
+    * union (one modality or several — the caller chooses the graph).
+    */
+  private[graft] def appendVerdicts(corpusIds: DataFrame, batchIds: DataFrame,
+                                    edges: DataFrame): DataFrame = {
+    val comp = connectedComponents(edges, "src", "dst")
+    val labeled = batchIds
       .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
     // per component: the smallest corpus member (the dup target) and
     // the smallest batch member (the candidate representative)
-    val corpMin = comp.join(c.select(col("doc_id").as("node")), "node")
+    val corpMin = comp.join(corpusIds.select(col("doc_id").as("node")), "node")
       .groupBy(col("component").as("cluster_id"))
       .agg(min(col("node")).as("dup_of"))
     val batchMin = labeled.groupBy(col("cluster_id"))

@@ -77,6 +77,43 @@ class CurateSpec extends AnyFunSuite {
     assert(flags(s1) === ((false, false, false)), "singleton")
   }
 
+  test("appendManifest: modality-aware batch verdicts against a standing corpus") {
+    // corpus ids far apart in hamming; batch ids craft one dup per
+    // modality — popcount assumptions asserted like the main fixture
+    val corpus = Seq(
+      15L         -> "alpha beta gamma delta epsilon zeta eta theta",
+      983040L     -> "red orange yellow green blue indigo violet white",
+      251658240L  -> "solo unique words nothing shared with anything else"
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // image/audio twin of corpus 983040 (hamming 1), different text
+      983041L     -> "one two three four five six seven eight",
+      // exact text dup of corpus 15, hamming-far from everything
+      61440L      -> "alpha beta gamma delta epsilon zeta eta theta", // 0x0000F000
+      // novel in every modality
+      1044480L    -> "nine ten eleven twelve thirteen fourteen fifteen sixteen" // 0x000FF000
+    ).toDF("doc_id", "text")
+    val ids = Seq(15L, 983040L, 251658240L, 983041L, 61440L, 1044480L)
+    val mediaPairs = for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(a ^ b) <= 3
+    } yield (a, b)
+    assert(mediaPairs.toSet === Set((983040L, 983041L)))
+    val out = Curate.appendManifest(spark, corpus, batch, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    spark.catalog.clearCache()
+    // (dup_of, keep, text_dup, image_dup, audio_dup)
+    assert(out(983041L) === ((Some(983040L), false, false, true, true)),
+      "image/audio dup of the corpus drops with media provenance")
+    assert(out(61440L) === ((Some(15L), false, true, false, false)),
+      "exact text dup of the corpus drops with text provenance")
+    assert(out(1044480L) === ((None, true, false, false, false)),
+      "novel batch doc keeps")
+    assert(out.size === 3)
+  }
+
   test("zero cross-split leakage per modality, by construction") {
     // recompute each modality's edge list with the same operators the
     // manifest used and audit the shipped split assignment against it

@@ -472,6 +472,28 @@ object LawsProps extends Properties("graft.laws") {
       got == expect
     }
 
+  property("incrementalJaccardPairs: equals all-pairs jaccard filtered to new-side") =
+    forAll(
+      Gen.listOfN(7, Gen.choose(1, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d")))),
+      Gen.someOf(0L, 1L, 2L, 3L, 4L, 5L, 6L)) { (texts, newSet) =>
+      // ANY corpus, ANY batch subset (empty included): the asymmetric
+      // prefix(new) ⋈ prefix(all) candidate join must emit exactly the
+      // symmetric scheme's pairs that touch a new doc
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t.mkString(" ")) }.toDF("doc_id", "text")
+      val newIds = newSet.toSeq.toDF("doc_id")
+      val inc = graft.text.Dedup.incrementalJaccardPairs(df, newIds,
+          "doc_id", "text", 2, 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      spark.catalog.clearCache()
+      val full = graft.text.Dedup.jaccardPairs(df, "doc_id", "text", 2, 0.5)
+        .as[(Long, Long, Double)].collect()
+        .filter(p => newSet.contains(p._1) || newSet.contains(p._2)).toSet
+      spark.catalog.clearCache()
+      inc == full
+    }
+
   property("appendDedup: equals union dupClusters verdicts on a deduped corpus") =
     forAll(
       Gen.listOfN(5, Gen.choose(1, 6).flatMap(len =>
