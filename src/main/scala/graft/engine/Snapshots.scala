@@ -297,6 +297,16 @@ object Snapshots {
     Upsert.changeCapture(readVersion(spark, path, fromVersion),
       readVersion(spark, path, toVersion), keys)
 
+  /** [[changeFeed]] with wall-clock endpoints: both instants resolve
+    * through [[versionAt]] (Delta's `timestampAsOf` rule, corrupt
+    * manifests refused), so "what changed between yesterday's snapshot
+    * and now" needs no version bookkeeping from the caller.
+    */
+  def changeFeedByTime(spark: SparkSession, path: String, fromTsMillis: Long,
+                       toTsMillis: Long, keys: Seq[String]): DataFrame =
+    changeFeed(spark, path, versionAt(spark, path, fromTsMillis),
+      versionAt(spark, path, toTsMillis), keys)
+
   /** Shared read-modify-commit step of the mutation verbs
     * ([[deleteWhere]]/[[updateWhere]]/[[restore]]): allocate the next
     * version above the current maximum and commit `f(latest)` there —

@@ -54,6 +54,11 @@ class SnapshotSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Snapshots.readTimestamp(spark, t, ts(1L) - 1)
     }
+    // changeFeed with wall-clock endpoints = changeFeed of the resolved
+    // versions: (1,"a") deleted, (2,"b") inserted between the instants
+    val feed = Snapshots.changeFeedByTime(spark, t, ts(1L), ts(2L), Seq("k"))
+      .select("k", "change_type").as[(Int, String)].collect().toSet
+    assert(feed === Set((1, "delete"), (2, "insert")))
   }
 
   test("timestamp resolution refuses when a corrupt manifest could change the answer") {
