@@ -303,9 +303,15 @@ object Snapshots {
     * and now" needs no version bookkeeping from the caller.
     */
   def changeFeedByTime(spark: SparkSession, path: String, fromTsMillis: Long,
-                       toTsMillis: Long, keys: Seq[String]): DataFrame =
+                       toTsMillis: Long, keys: Seq[String]): DataFrame = {
+    // swapped bare-Long endpoints would silently INVERT the feed
+    // (inserts reported as deletes) — refuse like the rest of the module
+    require(fromTsMillis <= toTsMillis,
+      s"changeFeedByTime: from ($fromTsMillis) must not exceed " +
+        s"to ($toTsMillis) — a reversed feed inverts every change")
     changeFeed(spark, path, versionAt(spark, path, fromTsMillis),
       versionAt(spark, path, toTsMillis), keys)
+  }
 
   /** Shared read-modify-commit step of the mutation verbs
     * ([[deleteWhere]]/[[updateWhere]]/[[restore]]): allocate the next

@@ -78,29 +78,46 @@ object Curate {
         maxDist, maxChunkBucket)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
 
+    // each edge frame feeds the walk AND its provenance flag: persist
+    // so the jaccard verify / banded joins run once, not once per
+    // consumer (caller-releases contract)
+    val (te, ie, ae) = (textEdges.persist(), imageEdges.persist(),
+      audioEdges.persist())
+
     // ONE component walk over the union graph — the unified cluster
     val comp = Clusters.connectedComponents(
-      textEdges.union(imageEdges).union(audioEdges), "src", "dst")
-
-    // doc is `<modality>_dup` iff it is incident to an edge there
-    def dupFlag(e: DataFrame, name: String): DataFrame =
-      e.select(col("src").as("doc_id"))
-        .union(e.select(col("dst").as("doc_id")))
-        .distinct().withColumn(name, lit(true))
+      te.union(ie).union(ae), "src", "dst")
 
     val assigned = ids
       .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
-    Curation.splitAssign(assigned, "cluster_id", pcts)
+    withModalityFlags(Curation.splitAssign(assigned, "cluster_id", pcts),
+        te, ie, ae)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"), col("split"),
+        col("text_dup"), col("image_dup"), col("audio_dup"))
+  }
+
+  /** Join the three modality incidence flags onto a per-doc frame —
+    * a doc is `<modality>_dup` iff it is incident to an edge of that
+    * family. ONE definition shared by [[unifiedManifest]] and
+    * [[appendManifest]] so flag semantics cannot desync.
+    */
+  private def withModalityFlags(docs: DataFrame, textEdges: DataFrame,
+                                imageEdges: DataFrame,
+                                audioEdges: DataFrame): DataFrame = {
+    def dupFlag(e: DataFrame, name: String): DataFrame =
+      e.select(col("src").as("doc_id"))
+        .union(e.select(col("dst").as("doc_id")))
+        .distinct().withColumn(name, lit(true))
+    docs
       .join(dupFlag(textEdges, "text_dup"), Seq("doc_id"), "left")
       .join(dupFlag(imageEdges, "image_dup"), Seq("doc_id"), "left")
       .join(dupFlag(audioEdges, "audio_dup"), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("cluster_id"),
-        (col("doc_id") === col("cluster_id")).as("keep"), col("split"),
-        coalesce(col("text_dup"), lit(false)).as("text_dup"),
-        coalesce(col("image_dup"), lit(false)).as("image_dup"),
-        coalesce(col("audio_dup"), lit(false)).as("audio_dup"))
+      .withColumn("text_dup", coalesce(col("text_dup"), lit(false)))
+      .withColumn("image_dup", coalesce(col("image_dup"), lit(false)))
+      .withColumn("audio_dup", coalesce(col("audio_dup"), lit(false)))
   }
 
   /** Incremental MULTIMODAL append: [[graft.text.Clusters.appendDedup]]
@@ -140,18 +157,15 @@ object Curate {
         audioMedia.getOrElse(Media.audioHashTable(spark, all, "doc_id")),
         newIds, maxDist, maxChunkBucket)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    def dupFlag(e: DataFrame, name: String): DataFrame =
-      e.select(col("src").as("doc_id"))
-        .union(e.select(col("dst").as("doc_id")))
-        .distinct().withColumn(name, lit(true))
-    Clusters.appendVerdicts(c.select("doc_id"), newIds,
-        textEdges.union(imageEdges).union(audioEdges))
-      .join(dupFlag(textEdges, "text_dup"), Seq("doc_id"), "left")
-      .join(dupFlag(imageEdges, "image_dup"), Seq("doc_id"), "left")
-      .join(dupFlag(audioEdges, "audio_dup"), Seq("doc_id"), "left")
+    // persist: each edge frame feeds the walk and its flag (see
+    // unifiedManifest — same caller-releases contract)
+    val (te, ie, ae) = (textEdges.persist(), imageEdges.persist(),
+      audioEdges.persist())
+    withModalityFlags(
+        Clusters.appendVerdicts(c.select("doc_id"), newIds,
+          te.union(ie).union(ae)),
+        te, ie, ae)
       .select(col("doc_id"), col("dup_of"), col("keep"),
-        coalesce(col("text_dup"), lit(false)).as("text_dup"),
-        coalesce(col("image_dup"), lit(false)).as("image_dup"),
-        coalesce(col("audio_dup"), lit(false)).as("audio_dup"))
+        col("text_dup"), col("image_dup"), col("audio_dup"))
   }
 }

@@ -967,14 +967,11 @@ object Media {
       .filter(col("hamming") <= maxDist)
   }
 
-  /** Shared banded-pair engine — the 100 TB path: block the 64-bit
-    * hash into four 16-bit chunks; a pair within hamming `maxDist` <= 3
-    * differs in at most 3 bits, so by PIGEONHOLE at least one chunk
-    * matches exactly — the chunk equi-join loses NOTHING (a provable
-    * law, unlike the probabilistic LSH recall premises
-    * `oracleMeasuredOn` has to corpus-tie), and the exact hamming
-    * verify on candidates makes precision exact. The
-    * [[graft.text.Dedup.simhashPairs]] shape for any 64-bit signature.
+  /** Chunk a 64-bit signature frame into its four 16-bit blocking keys
+    * and apply the hot-chunk refusal — ONE definition shared by the
+    * symmetric and incremental banded joins so the guard semantics
+    * cannot desync. Returns the PERSISTED chunk relation (self-joined
+    * downstream: hash each payload once, not twice; caller releases).
     *
     * Hot-chunk guard (the knnGraphBucketed posture): a degenerate
     * signature distribution — a corpus of solid-color images or silent
@@ -985,26 +982,36 @@ object Media {
     * that hot is telling you its near-dup OUTPUT is quadratic, which
     * wants exact-group dedup first, not a bigger pair join). The count
     * runs off the already-persisted chunk frame — one cheap aggregate.
-    */
-  /** Chunk a 64-bit signature frame into its four 16-bit blocking keys
-    * and apply the hot-chunk refusal — ONE definition shared by the
-    * symmetric and incremental banded joins so the guard semantics
-    * cannot desync. Returns the PERSISTED chunk relation (self-joined
-    * downstream: hash each payload once, not twice; caller releases).
+    * `scope`: for the incremental join, only buckets the BATCH touches
+    * can blow up (candidates = newInBucket × bucketSize), so the guard
+    * restricts to the scoped (chunk, ck) keys — a hot standing-corpus
+    * bucket the batch never probes must not wedge every append.
     */
   private def chunkAndGuard(hashes: DataFrame, maxChunkBucket: Long,
-                            opName: String): DataFrame = {
-    val chunked = hashes
-      .select(col("media_id"), col("phash"), explode(array(
-        (0 until 4).map(j => struct(lit(j).as("chunk"),
-          shiftright(col("phash"), 16 * j).bitwiseAND(lit(0xFFFFL))
-            .as("ck"))): _*)).as("c"))
-      .select(col("media_id"), col("phash"),
-        col("c.chunk").as("chunk"), col("c.ck").as("ck"))
-      .persist()
-    val hot = chunked.groupBy(col("chunk"), col("ck"))
+                            opName: String,
+                            scope: Option[DataFrame] = None): DataFrame = {
+    val chunked = chunkSignatures(hashes)
+    refuseHotBuckets(chunked, maxChunkBucket, opName, scope)
+    chunked
+  }
+
+  private def chunkSignatures(hashes: DataFrame): DataFrame = hashes
+    .select(col("media_id"), col("phash"), explode(array(
+      (0 until 4).map(j => struct(lit(j).as("chunk"),
+        shiftright(col("phash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+          .as("ck"))): _*)).as("c"))
+    .select(col("media_id"), col("phash"),
+      col("c.chunk").as("chunk"), col("c.ck").as("ck"))
+    .persist()
+
+  private def refuseHotBuckets(chunked: DataFrame, maxChunkBucket: Long,
+                               opName: String,
+                               scope: Option[DataFrame]): Unit = {
+    val counts = chunked.groupBy(col("chunk"), col("ck"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > maxChunkBucket)
+    val hot = scope.fold(counts)(s =>
+        counts.join(s.select("chunk", "ck").distinct(), Seq("chunk", "ck")))
       .orderBy(col("n").desc).limit(1).collect()
     if (hot.nonEmpty) {
       val r = hot.head
@@ -1015,9 +1022,18 @@ object Media {
           "— a bucket that hot is a quadratic near-dup group; run exact " +
           "dedup on it first or raise the bound deliberately")
     }
-    chunked
   }
 
+  /** Shared banded-pair engine — the 100 TB path: block the 64-bit
+    * hash into four 16-bit chunks; a pair within hamming `maxDist` <= 3
+    * differs in at most 3 bits, so by PIGEONHOLE at least one chunk
+    * matches exactly — the chunk equi-join loses NOTHING (a provable
+    * law, unlike the probabilistic LSH recall premises
+    * `oracleMeasuredOn` has to corpus-tie), and the exact hamming
+    * verify on candidates makes precision exact. The
+    * [[graft.text.Dedup.simhashPairs]] shape for any 64-bit signature.
+    * Guard semantics: [[chunkAndGuard]].
+    */
   private def hammingBandedPairs(hashes: DataFrame, maxDist: Int,
                                  maxChunkBucket: Long,
                                  opName: String): DataFrame = {
@@ -1044,20 +1060,23 @@ object Media {
     * selectivity while the corpus contributes only its linear chunking
     * pass. Pigeonhole completeness is unchanged — one side of every
     * wanted pair is new, and its matching chunk is in the new-side
-    * relation. The hot-chunk refusal still measures FULL buckets (the
-    * blowup bound is newInBucket × bucketSize, governed by the full
-    * bucket). Unordered-normalized pairs, exact verified hamming —
-    * identical rows to the symmetric join filtered to >=1 new side.
+    * relation. The hot-chunk refusal measures full bucket sizes but
+    * fires only for buckets the BATCH touches (candidates here are
+    * newInBucket × bucketSize, so a hot standing-corpus bucket no new
+    * signature probes cannot wedge the append). Unordered-normalized
+    * pairs, exact verified hamming — identical rows to the symmetric
+    * join filtered to >=1 new side, whenever that one runs.
     */
   private def hammingBandedPairsIncremental(hashes: DataFrame,
                                             newIds: DataFrame, maxDist: Int,
                                             maxChunkBucket: Long,
                                             opName: String): DataFrame = {
     require(maxDist <= 3, "chunk blocking is only complete for hamming <= 3")
-    val chunked = chunkAndGuard(hashes, maxChunkBucket, opName)
+    val chunked = chunkSignatures(hashes)
     val fresh = newIds.select(
       col(newIds.columns.head).cast("long").as("media_id")).distinct()
     val chunkedNew = chunked.join(broadcast(fresh), Seq("media_id"), "left_semi")
+    refuseHotBuckets(chunked, maxChunkBucket, opName, Some(chunkedNew))
     chunkedNew.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
           col("a.media_id") =!= col("b.media_id"))

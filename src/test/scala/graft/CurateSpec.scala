@@ -114,6 +114,36 @@ class CurateSpec extends AnyFunSuite {
     assert(out.size === 3)
   }
 
+  test("incremental banded join: hot corpus buckets wedge appends only when probed") {
+    // fixture hash = spreadBits(id): ids 16a (a=1..7) differ only in the
+    // bits feeding chunk 1, so the corpus's all-zero chunk-0/2/3 buckets
+    // each hold 7 signatures — hot at cap 5. A batch signature that
+    // probes NONE of them (1153 = bits 0/7/10 → nonzero chunk 0/2/3
+    // values) must append fine; one that probes them (2048 = bit 11 →
+    // zero chunk 0/2 values) must refuse; the symmetric join refuses
+    // outright (its blowup bound is the full bucket either way).
+    val corpusIds = (1 to 7).map(a => (a << 4).toLong)
+    def media(ids: Seq[Long]) =
+      Media.imageHashTable(spark, ids.toDF("doc_id"), "doc_id")
+    val ok = Media.phashBandedPairsIncremental(spark,
+      media(corpusIds :+ 1153L), Seq(1153L).toDF("doc_id"),
+      maxChunkBucket = 5L)
+    assert(ok.count() >= 0L) // runs — no refusal
+    spark.catalog.clearCache()
+    val e = intercept[IllegalArgumentException] {
+      Media.phashBandedPairsIncremental(spark,
+        media(corpusIds :+ 2048L), Seq(2048L).toDF("doc_id"),
+        maxChunkBucket = 5L)
+    }
+    assert(e.getMessage.contains("maxChunkBucket"), e.getMessage)
+    spark.catalog.clearCache()
+    intercept[IllegalArgumentException] {
+      Media.phashBandedPairs(spark, media(corpusIds :+ 1153L),
+        maxChunkBucket = 5L)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("zero cross-split leakage per modality, by construction") {
     // recompute each modality's edge list with the same operators the
     // manifest used and audit the shipped split assignment against it
