@@ -78,22 +78,21 @@ object Curate {
         maxDist, maxChunkBucket)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
 
-    // each edge frame feeds the walk AND its provenance flag: persist
-    // so the jaccard verify / banded joins run once, not once per
-    // consumer (caller-releases contract)
-    val (te, ie, ae) = (textEdges.persist(), imageEdges.persist(),
-      audioEdges.persist())
-
-    // ONE component walk over the union graph — the unified cluster
+    // Each edge frame feeds the walk AND its provenance flag. They are
+    // deliberately NOT persisted: every frame is two cheap joins over
+    // base relations that ARE cached (the shingle and chunk relations),
+    // and measured at sf0.1 an extra cache layer here made the whole
+    // manifest ~50% slower (serialize+materialize ahead of the CC
+    // checkpoint) than recomputing from those caches per consumer.
     val comp = Clusters.connectedComponents(
-      te.union(ie).union(ae), "src", "dst")
+      textEdges.union(imageEdges).union(audioEdges), "src", "dst")
 
     val assigned = ids
       .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
     withModalityFlags(Curation.splitAssign(assigned, "cluster_id", pcts),
-        te, ie, ae)
+        textEdges, imageEdges, audioEdges)
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("keep"), col("split"),
         col("text_dup"), col("image_dup"), col("audio_dup"))
@@ -157,14 +156,13 @@ object Curate {
         audioMedia.getOrElse(Media.audioHashTable(spark, all, "doc_id")),
         newIds, maxDist, maxChunkBucket)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    // persist: each edge frame feeds the walk and its flag (see
-    // unifiedManifest — same caller-releases contract)
-    val (te, ie, ae) = (textEdges.persist(), imageEdges.persist(),
-      audioEdges.persist())
+    // NOT persisted — same measured tradeoff as unifiedManifest: the
+    // frames recompute from cached shingle/chunk relations cheaper
+    // than an extra cache layer
     withModalityFlags(
         Clusters.appendVerdicts(c.select("doc_id"), newIds,
-          te.union(ie).union(ae)),
-        te, ie, ae)
+          textEdges.union(imageEdges).union(audioEdges)),
+        textEdges, imageEdges, audioEdges)
       .select(col("doc_id"), col("dup_of"), col("keep"),
         col("text_dup"), col("image_dup"), col("audio_dup"))
   }
