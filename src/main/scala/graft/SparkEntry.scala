@@ -991,6 +991,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q163_range_volatility" -> ((s, dir) => {
+      // range-based variance estimators (Parkinson / Garman–Klass /
+      // Rogers–Satchell) over the q59 OHLC bars: the tick→bar reduction
+      // happens once, estimators are map-only over bars, means are
+      // exact 12-dp decimal sums
+      Risk.rangeVolatility(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", to_date(col("ts")), Seq(col("ts"), col("event_id")),
+          "value")
+        .orderBy("event_type")
+    }),
+
+    "q164_hurst" -> ((s, dir) => {
+      // long-memory diagnostic: Hurst exponent per instrument from the
+      // aggregated-variance plot over block sizes 1,2,4,8,16 — the
+      // tick-return explosion collapses in map-side partials, the
+      // regression runs on ≤5 exact-decimal points per key
+      Risk.hurstExponent(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"))
+        .orderBy("event_type")
+    }),
+
     "q162_multimodal_append" -> ((s, dir) => {
       // q161's append verdicts extended to every modality: a src0 batch
       // doc is a duplicate if its text, image, OR audio near-duplicates
@@ -3250,6 +3271,84 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // shares q59's bar construction verbatim; each per-bar estimator
+    // fixes to the 12-dp grid before the exact decimal mean, mirroring
+    // the Scala operation order token-for-token so the doubles agree
+    "q163_range_volatility" ->
+      """WITH ticks AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS bar, value,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts ASC, event_id ASC) AS rn_first,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_last
+        |  FROM events WHERE value IS NOT NULL),
+        |bars AS (
+        |  SELECT event_type, bar,
+        |    MAX(CASE WHEN rn_first = 1 THEN value END) AS open,
+        |    MAX(value) AS high, MIN(value) AS low,
+        |    MAX(CASE WHEN rn_last = 1 THEN value END) AS close
+        |  FROM ticks GROUP BY event_type, bar),
+        |est AS (
+        |  SELECT event_type,
+        |    CAST(round(ln(high/low)*ln(high/low) / (4.0*ln(2.0)), 12)
+        |      AS DECIMAL(28,12)) AS p,
+        |    CAST(round(ln(high/low)*ln(high/low)*0.5
+        |      - (2.0*ln(2.0)-1.0)*(ln(close/open)*ln(close/open)), 12)
+        |      AS DECIMAL(28,12)) AS g,
+        |    CAST(round(ln(high/close)*ln(high/open)
+        |      + ln(low/close)*ln(low/open), 12) AS DECIMAL(28,12)) AS r
+        |  FROM bars WHERE low > 0)
+        |SELECT event_type, COUNT(*) AS n_bars,
+        |  round(CAST(SUM(p) AS DOUBLE) / COUNT(*), 6) AS parkinson,
+        |  round(CAST(SUM(g) AS DOUBLE) / COUNT(*), 6) AS garman_klass,
+        |  round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS rogers_satchell
+        |FROM est GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // aggregated-variance Hurst: exact decimal block sums and
+    // regression sums; doubles only at ln() (12-dp-fixed) and the two
+    // final quotients — the Scala side computes the identical chain
+    "q164_hurst" ->
+      """WITH ticks AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |rets AS (
+        |  SELECT event_type, ts, event_id,
+        |    v - lag(v) OVER (PARTITION BY event_type
+        |      ORDER BY ts ASC, event_id ASC) AS ret
+        |  FROM ticks),
+        |idx AS (
+        |  SELECT event_type, ret,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ts ASC, event_id ASC) - 1 AS j
+        |  FROM rets WHERE ret IS NOT NULL),
+        |blk AS (
+        |  SELECT event_type, m, CAST(floor(j / m) AS BIGINT) AS b,
+        |    CAST(SUM(ret) AS DECIMAL(18,6)) AS s, COUNT(*) AS cnt
+        |  FROM idx CROSS JOIN (SELECT unnest([1,2,4,8,16]) AS m) ms
+        |  GROUP BY event_type, m, CAST(floor(j / m) AS BIGINT)),
+        |vars AS (
+        |  SELECT event_type, m,
+        |    (CAST(SUM(CAST(s*s AS DECIMAL(38,12))) AS DOUBLE)
+        |      - CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE) / COUNT(*))
+        |      / COUNT(*) AS var_m
+        |  FROM blk WHERE cnt = m GROUP BY event_type, m),
+        |pts AS (
+        |  SELECT event_type,
+        |    CAST(round(ln(CAST(m AS DOUBLE)), 12) AS DECIMAL(14,12)) AS x,
+        |    CAST(round(ln(var_m), 12) AS DECIMAL(14,12)) AS y
+        |  FROM vars WHERE var_m > 0),
+        |reg AS (
+        |  SELECT event_type, COUNT(*) AS k,
+        |    CAST(SUM(CAST(x*x AS DECIMAL(38,24))) AS DOUBLE)
+        |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / COUNT(*) AS sxx,
+        |    CAST(SUM(CAST(x*y AS DECIMAL(38,24))) AS DOUBLE)
+        |      - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*) AS sxy
+        |  FROM pts GROUP BY event_type)
+        |SELECT event_type, k AS n_scales,
+        |  CASE WHEN k >= 2 AND sxx > 0
+        |    THEN round(sxy / sxx / 2.0, 6) END AS hurst
+        |FROM reg ORDER BY event_type""".stripMargin,
 
     // the q161 verdict arithmetic over the UNION of all three modality
     // edge families, each filtered to >=1 src0 side; flags = incidence

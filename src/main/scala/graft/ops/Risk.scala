@@ -782,4 +782,130 @@ object Risk {
         when(col("_dl").isNotNull, (close < col("_dl")).cast("int"))
           .as("breakout_down"))
   }
+
+  /** Range-based daily variance estimators per instrument — Parkinson
+    * (1980), Garman–Klass (1980), and Rogers–Satchell (1991) — the
+    * standard refinement of close-to-close realized variance
+    * ([[Stats]]'s q121 family; reference anchor: the Gold stats stage
+    * `silver_to_gold_crypto_stats.py:77-84` already reduces ticks to
+    * per-day min/max/first/last, which is exactly the OHLC input these
+    * estimators consume). Per bar, with u = ln(H/L), c = ln(C/O):
+    *   parkinson        = u² / (4 ln 2)
+    *   garman_klass     = u²/2 − (2 ln 2 − 1) c²
+    *   rogers_satchell  = ln(H/C)·ln(H/O) + ln(L/C)·ln(L/O)
+    * and the operator reports each estimator's MEAN over the key's
+    * bars (the per-bar values are daily variance estimates; callers
+    * annualize by their own convention).
+    *
+    * Numeric discipline: bars come from the shared deterministic
+    * [[Stats.ohlcBars]] (first/last by the caller's total tick order);
+    * each per-bar estimator is a double (ln has no decimal form) FIXED
+    * to the 12-dp grid before an exact DECIMAL(28,12) sum, so the
+    * cross-bar aggregation is order-independent and both engines agree
+    * bit-for-bit; the only double division is the final mean, rounded
+    * to 6 dp. Bars with a non-positive low (log domain) drop with the
+    * same posture as [[Stats]]'s return guards.
+    *
+    * Plan: ONE window shuffle (the OHLC first/last windows and the
+    * per-(key, bar) agg share their clustering), then the per-key agg
+    * reduces ~365 bars/key/year — map-side partials make the second
+    * Exchange carry one row per (key, bar). At 100 TB the tick→bar
+    * reduction IS the operator; nothing downstream sees ticks.
+    */
+  def rangeVolatility(df: DataFrame, keyCol: String, barCol: Column,
+                      tsOrder: Seq[Column], valueCol: String): DataFrame = {
+    val bars = Stats.ohlcBars(df, Seq(keyCol), barCol, tsOrder, valueCol)
+    def d(c: String) = col(c).cast("double")
+    val u = log(d("high") / d("low"))
+    val c0 = log(d("close") / d("open"))
+    val ln2 = math.log(2.0)
+    val park = (u * u) / lit(4.0 * ln2)
+    val gk = u * u * lit(0.5) - lit(2.0 * ln2 - 1.0) * (c0 * c0)
+    val rs = log(d("high") / d("close")) * log(d("high") / d("open")) +
+      log(d("low") / d("close")) * log(d("low") / d("open"))
+    def fix(x: Column) = round(x, 12).cast(DecimalType(28, 12))
+    def mean6(c: String) =
+      round(sum(col(c)).cast("double") / count(lit(1)), 6)
+    bars
+      .filter(col("low") > 0)
+      .select(col(keyCol), fix(park).as("_p"), fix(gk).as("_g"),
+        fix(rs).as("_r"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_bars"),
+        mean6("_p").as("parkinson"),
+        mean6("_g").as("garman_klass"),
+        mean6("_r").as("rogers_satchell"))
+  }
+
+  /** Hurst exponent per instrument by the aggregated-variance method:
+    * for each block size m ∈ `scales`, sum the tick-return series into
+    * non-overlapping m-blocks and take the population variance of the
+    * block sums; under self-similarity Var(m) ∝ m^{2H}, so H is half
+    * the slope of ln Var(m) on ln m (Beran 1994's variance plot; the
+    * long-memory diagnostic behind volatility-persistence work —
+    * H ≈ 0.5 is a random walk, > 0.5 trending, < 0.5 mean-reverting).
+    *
+    * Determinism: returns are exact DECIMAL(18,6) differences of the
+    * 6-dp-fixed tick values (the [[leadLagCorr]] convention — the
+    * variance plot is translation-invariant, so differences carry the
+    * same H as pct returns without a division); block sums and their
+    * squares aggregate as exact decimals; ln Var and ln m are doubles
+    * fixed to the 12-dp grid before the exact decimal regression sums,
+    * so the ≤|scales|-point least-squares slope is order-independent.
+    * Only complete blocks (exactly m returns) count — a ragged tail
+    * block would bias Var(m) low. Scales with fewer than 2 complete
+    * blocks or zero variance drop from the regression; a key keeps a
+    * defined `hurst` iff ≥ 2 scale points survive.
+    *
+    * Plan/scale: the returns frame explodes by |scales| (≤ 5 here) and
+    * immediately collapses in a map-side partial agg on
+    * (key, m, block) — the shuffle carries one row per block, not per
+    * tick; the per-(key, m) variance and the per-key regression ride
+    * keyed aggs of a few hundred rows. No windows beyond the single
+    * lag pass, no driver state.
+    */
+  def hurstExponent(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                    valueCol: Column,
+                    scales: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    require(scales.nonEmpty && scales.forall(_ >= 1) &&
+      scales.distinct.size == scales.size,
+      s"scales must be distinct positive ints, got $scales")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val v6 = valueCol.cast(DecimalType(18, 6))
+    val rets = df.filter(valueCol.isNotNull)
+      .withColumn("_r", v6 - lag(v6, 1).over(w))
+      .filter(col("_r").isNotNull)
+      .withColumn("_j", row_number().over(w) - 1)
+      .select(col(keyCol), col("_j"), col("_r"))
+    val blocks = rets
+      .withColumn("m", explode(array(scales.map(lit): _*)))
+      .groupBy(col(keyCol), col("m"),
+        floor(col("_j") / col("m")).as("_blk"))
+      // block sums re-fix to (18,6): exact (|s| ≤ m·max|ret| ≪ 10¹²)
+      // and keeps s·s inside decimal precision 38 in BOTH engines
+      .agg(sum(col("_r")).cast(DecimalType(18, 6)).as("_s"),
+        count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") === col("m"))
+    def dd(c: Column) = c.cast("double")
+    val nB = count(lit(1))
+    val varM = (dd(sum((col("_s") * col("_s")).cast(DecimalType(38, 12)))) -
+      dd(sum(col("_s"))) * dd(sum(col("_s"))) / nB) / nB
+    // (14,12): |ln m| and |ln Var| stay two-digit on any 6-dp-grid
+    // input, and (14,12)² = (29,24) fits precision 38 exactly in both
+    // engines — no engine-specific overflow-adjustment rounding
+    def fix(x: Column) = round(x, 12).cast(DecimalType(14, 12))
+    val points = blocks.groupBy(col(keyCol), col("m"))
+      .agg(varM.as("_var"))
+      .filter(col("_var") > 0)
+      .select(col(keyCol), fix(log(col("m"))).as("_x"),
+        fix(log(col("_var"))).as("_y"))
+    val k = count(lit(1))
+    val sxx = dd(sum((col("_x") * col("_x")).cast(DecimalType(38, 24)))) -
+      dd(sum(col("_x"))) * dd(sum(col("_x"))) / k
+    val sxy = dd(sum((col("_x") * col("_y")).cast(DecimalType(38, 24)))) -
+      dd(sum(col("_x"))) * dd(sum(col("_y"))) / k
+    points.groupBy(col(keyCol))
+      .agg(k.cast("long").as("n_scales"),
+        when(k >= 2 && sxx > 0, round(sxy / sxx / 2.0, 6)).as("hurst"))
+  }
 }

@@ -435,4 +435,66 @@ class RiskSpec extends AnyFunSuite {
     assert(rows(1).getAs[Double]("mean_abs_return") === 0.1)
     assert(rows(1).getAs[Double]("qty_share") === 0.5)
   }
+
+  test("rangeVolatility: Parkinson/GK/RS match the closed forms on one bar") {
+    // ticks 100,110,90,105 in one bar ⇒ O=100 H=110 L=90 C=105
+    val df = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1L, 100.0),
+      ("A", ts("2024-01-01 10:01:00"), 2L, 110.0),
+      ("A", ts("2024-01-01 10:02:00"), 3L, 90.0),
+      ("A", ts("2024-01-01 10:03:00"), 4L, 105.0)
+    ).toDF("k", "t", "id", "v")
+    val r = Risk.rangeVolatility(df, "k", to_date(col("t")),
+      Seq(col("t"), col("id")), "v").collect().head
+    def r6(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val u = math.log(110.0 / 90.0)
+    val c = math.log(105.0 / 100.0)
+    val ln2 = math.log(2.0)
+    assert(r.getAs[Long]("n_bars") === 1L)
+    assert(r.getAs[Double]("parkinson") === r6(u * u / (4.0 * ln2)))
+    assert(r.getAs[Double]("garman_klass") ===
+      r6(u * u * 0.5 - (2.0 * ln2 - 1.0) * (c * c)))
+    assert(r.getAs[Double]("rogers_satchell") ===
+      r6(math.log(110.0 / 105.0) * math.log(110.0 / 100.0) +
+         math.log(90.0 / 105.0) * math.log(90.0 / 100.0)))
+  }
+
+  test("rangeVolatility: a bar with non-positive low drops (log domain)") {
+    val df = Seq(
+      ("B", ts("2024-01-01 10:00:00"), 1L, 5.0),
+      ("B", ts("2024-01-01 10:01:00"), 2L, 0.0)  // low = 0 ⇒ bar dropped
+    ).toDF("k", "t", "id", "v")
+    assert(Risk.rangeVolatility(df, "k", to_date(col("t")),
+      Seq(col("t"), col("id")), "v").count() === 0L)
+  }
+
+  test("hurstExponent: period-4 alternation gives H = 1 over scales 1,2") {
+    // returns +1,+1,−1,−1,+1,+1,−1,−1: Var(1)=1, Var(2)=4, m=4 blocks
+    // sum to 0 (zero variance point drops) ⇒ slope ln4/ln2 = 2 ⇒ H = 1
+    val vs = Seq(10.0, 11.0, 12.0, 11.0, 10.0, 11.0, 12.0, 11.0, 10.0)
+    val df = vs.zipWithIndex.map { case (v, i) =>
+      ("A", ts(f"2024-01-01 10:${i}%02d:00"), i.toLong, v)
+    }.toDF("k", "t", "id", "v")
+    val r = Risk.hurstExponent(df, "k", Seq(col("t"), col("id")), col("v"),
+      scales = Seq(1, 2, 4)).collect().head
+    assert(r.getAs[Long]("n_scales") === 2L)  // m=4 dropped: Var = 0
+    assert(r.getAs[Double]("hurst") === 1.0)
+  }
+
+  test("hurstExponent: single surviving scale point yields NULL hurst") {
+    // 3 returns: m=2 has exactly 1 complete block ⇒ Var undefined (0,
+    // drops); only m=1 survives ⇒ k = 1 < 2 ⇒ hurst NULL
+    val df = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 1L, 1.0),
+      ("A", ts("2024-01-01 10:01:00"), 2L, 3.0),
+      ("A", ts("2024-01-01 10:02:00"), 3L, 2.0),
+      ("A", ts("2024-01-01 10:03:00"), 4L, 5.0)
+    ).toDF("k", "t", "id", "v")
+    val r = Risk.hurstExponent(df, "k", Seq(col("t"), col("id")), col("v"),
+      scales = Seq(1, 2)).collect().head
+    assert(r.getAs[Long]("n_scales") === 1L)
+    assert(r.isNullAt(r.fieldIndex("hurst")))
+  }
 }
