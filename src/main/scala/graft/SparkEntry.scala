@@ -991,6 +991,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q165_neyman_sample" -> ((s, dir) => {
+      // budgeted eval-set construction: 100 docs across source strata,
+      // allocated ∝ n_s·σ(n_chars) (Neyman), integerized by
+      // largest-remainder; within-stratum pick = multiplicative-hash
+      // rank (the q96 sampler), so the sample is rerun-stable
+      text.Curation.neymanSample(t(s, dir, "documents"), "source",
+          "doc_id", col("n_chars"), 100)
+        .orderBy("source", "sample_rank")
+    }),
+
     "q163_range_volatility" -> ((s, dir) => {
       // range-based variance estimators (Parkinson / Garman–Klass /
       // Rogers–Satchell) over the q59 OHLC bars: the tick→bar reduction
@@ -3271,6 +3281,52 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // Neyman allocation recomputed end to end: exact decimal power
+    // sums → 9-dp σ grid → largest-remainder apportionment → the q96
+    // multiplicative-hash within-stratum rank
+    "q165_neyman_sample" ->
+      """WITH s AS (
+        |  SELECT source, COUNT(*) AS n_rows,
+        |    round(sqrt(greatest(
+        |      (CAST(SUM(CAST(v*v AS DECIMAL(38,12))) AS DOUBLE)
+        |        - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE) / COUNT(*))
+        |        / COUNT(*), 0.0)), 9) AS sd
+        |  FROM (SELECT source, CAST(n_chars AS DECIMAL(18,6)) AS v
+        |        FROM documents)
+        |  GROUP BY source),
+        |w AS (
+        |  SELECT source, n_rows,
+        |    CAST(round(n_rows * sd, 6) AS DECIMAL(28,6)) AS wt
+        |  FROM s),
+        |tot AS (SELECT SUM(wt) AS tw, SUM(n_rows) AS tn FROM w),
+        |b AS (
+        |  SELECT source, n_rows,
+        |    CASE WHEN CAST(tw AS DOUBLE) > 0
+        |      THEN round(CAST(100 AS DOUBLE) * CAST(wt AS DOUBLE)
+        |        / CAST(tw AS DOUBLE), 9)
+        |      ELSE round(CAST(100 AS DOUBLE) * n_rows / tn, 9) END AS ideal
+        |  FROM w CROSS JOIN tot),
+        |b2 AS (
+        |  SELECT source, n_rows, CAST(floor(ideal) AS BIGINT) AS base,
+        |    round(ideal - CAST(floor(ideal) AS BIGINT), 9) AS rem
+        |  FROM b),
+        |bt AS (SELECT SUM(base) AS base_sum FROM b2),
+        |q AS (
+        |  SELECT source,
+        |    CAST(least(base + CASE WHEN
+        |        row_number() OVER (ORDER BY rem DESC, source ASC)
+        |        <= greatest(100 - base_sum, 0) THEN 1 ELSE 0 END,
+        |      n_rows) AS BIGINT) AS quota
+        |  FROM b2 CROSS JOIN bt),
+        |r AS (
+        |  SELECT d.source, d.doc_id, q.quota,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY ((d.doc_id % 1000000007) * 2654435761) % 1000000007
+        |        ASC, d.doc_id ASC) AS sample_rank
+        |  FROM documents d JOIN q USING (source))
+        |SELECT source, doc_id, sample_rank, quota FROM r
+        |WHERE sample_rank <= quota ORDER BY source, sample_rank""".stripMargin,
 
     // shares q59's bar construction verbatim; each per-bar estimator
     // fixes to the 12-dp grid before the exact decimal mean, mirroring

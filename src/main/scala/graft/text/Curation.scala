@@ -1,8 +1,9 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-curation operators a training-data pipeline needs beyond
   * dedup: fixed-size overlapping chunking (context-window packing /
@@ -234,6 +235,82 @@ object Curation {
       .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
       .drop("_h")
+  }
+
+  /** Stratified sampling with Neyman (optimal) allocation: a fixed
+    * total budget `totalN` splits across strata proportionally to
+    * n_s·σ_s — stratum size times the population stddev of `sizeCol` —
+    * the allocation that minimizes the variance of a stratified mean
+    * estimate (Neyman 1934; the budgeted eval-set construction move:
+    * spend the labeling/eval budget where the data varies). Fractional
+    * ideals resolve to integer quotas by LARGEST-REMAINDER (Hamilton)
+    * apportionment: floor every ideal, then hand the leftover units to
+    * the largest remainders (ties → stratum name asc). A quota caps at
+    * the stratum's row count (no redistribution — an undershoot is
+    * reported by the quota column, not silently moved). If every
+    * stratum is constant (all σ = 0) the weights degenerate and
+    * allocation falls back proportional-to-size. Within a stratum the
+    * sample is the [[hashSample]] multiplicative-hash rank — stable
+    * under reruns and repartitioning.
+    *
+    * Determinism across engines: σ comes from exact decimal power
+    * sums; σ, ideals, and remainders fix to a 9-dp grid before
+    * floor/compare; weights are exact DECIMAL(28,6) sums.
+    *
+    * Plan/scale: one hash agg to stratum stats (aggregate-sized), the
+    * quota arithmetic rides unpartitioned windows over that one-row-
+    * per-stratum frame (single-partition by design — fine for any real
+    * stratum cardinality, and it avoids self-join lineage), then
+    * quotas broadcast back onto the row stream and one per-stratum
+    * rank window cuts the sample. The big table is scanned twice
+    * (stats + rank) and shuffled once (the rank window).
+    */
+  def neymanSample(df: DataFrame, stratumCol: String, idCol: String,
+                   sizeCol: Column, totalN: Int): DataFrame = {
+    require(totalN > 0, s"totalN must be positive, got $totalN")
+    val p = 1000000007L
+    val v = sizeCol.cast(DecimalType(18, 6))
+    def dd(c: Column) = c.cast("double")
+    val nS = count(lit(1))
+    val varS = (dd(sum((v * v).cast(DecimalType(38, 12)))) -
+      dd(sum(v)) * dd(sum(v)) / nS) / nS
+    val strata = df.groupBy(col(stratumCol))
+      .agg(nS.cast("long").as("n_rows"),
+        round(sqrt(greatest(varS, lit(0.0))), 9).as("_sd"))
+      .withColumn("_w", round(col("n_rows") * col("_sd"), 6)
+        .cast(DecimalType(28, 6)))
+    // the allocation arithmetic rides UNPARTITIONED windows over the
+    // aggregate-sized strata frame (one row per stratum): totals,
+    // base-sum, and the remainder rank all need the whole frame, and a
+    // window avoids the self-join lineage a crossJoin(agg-of-self)
+    // would create
+    val wAll = Window.partitionBy()
+    val ideal = when(dd(col("_wTot")) > 0,
+        round(lit(totalN.toDouble) * dd(col("_w")) / dd(col("_wTot")), 9))
+      .otherwise(round(lit(totalN.toDouble) * col("n_rows") / col("_nTot"), 9))
+    val wRem = Window.orderBy(col("_rem").desc, col(stratumCol).asc)
+    val quotas = strata
+      .withColumn("_wTot", sum(col("_w")).over(wAll))
+      .withColumn("_nTot", sum(col("n_rows")).over(wAll))
+      .withColumn("_ideal", ideal)
+      .withColumn("_base", floor(col("_ideal")))
+      .withColumn("_rem", round(col("_ideal") - col("_base"), 9))
+      .withColumn("_baseSum", sum(col("_base")).over(wAll))
+      .withColumn("_xr", row_number().over(wRem))
+      .withColumn("quota",
+        least(col("_base") + when(col("_xr") <=
+            greatest(lit(totalN.toLong) - col("_baseSum"), lit(0L)), 1L)
+          .otherwise(0L), col("n_rows")).cast("long"))
+      .select(col(stratumCol).as("_qStratum"), col("quota"))
+    val h = pmod(pmod(col(idCol).cast("long"), lit(p)) * lit(2654435761L),
+      lit(p))
+    val wRank = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_h").asc, col(idCol).asc)
+    df.join(broadcast(quotas), col(stratumCol) === col("_qStratum"))
+      .withColumn("_h", h)
+      .withColumn("sample_rank", row_number().over(wRank))
+      .filter(col("sample_rank") <= col("quota"))
+      .select(col(stratumCol), col(idCol), col("sample_rank"), col("quota"))
   }
 
   /** CCNet-style line-level boilerplate removal: drop every line whose

@@ -386,4 +386,38 @@ class CurationSpec extends AnyFunSuite {
     // empty corpus → empty result, not a null-sketch crash
     assert(TextStats.heavyHitters(rows.limit(0), array(col("tok")), 5L).count() === 0L)
   }
+
+  test("neymanSample: n·σ allocation, largest-remainder, quota caps at stratum size") {
+    // A: {0,10} n=2 σ=5 w=10; B: {7,7,7} σ=0 w=0; C: {1,3} σ=1 w=2
+    // N=5 ⇒ ideals A 25/6≈4.167, B 0, C 5/6≈0.833 ⇒ bases 4,0,0, one
+    // leftover unit goes to C (largest remainder) ⇒ quotas A min(4,2)=2,
+    // B 0, C 1; C's pick is doc 7 (smaller multiplicative hash than 6)
+    val df = Seq(
+      ("A", 1L, 0), ("A", 2L, 10),
+      ("B", 3L, 7), ("B", 4L, 7), ("B", 5L, 7),
+      ("C", 6L, 1), ("C", 7L, 3)
+    ).toDF("src", "id", "sz")
+    val out = Curation.neymanSample(df, "src", "id", col("sz"), 5)
+      .orderBy("src", "sample_rank")
+      .as[(String, Long, Int, Long)].collect()
+    assert(out.map(_._1).toSeq === Seq("A", "A", "C"))
+    assert(out.filter(_._1 == "A").map(_._4).toSet === Set(2L)) // capped quota
+    assert(out.filter(_._1 == "C").map(r => (r._2, r._4)).toSeq ===
+      Seq((7L, 1L)))
+  }
+
+  test("neymanSample: all-constant strata fall back to proportional allocation") {
+    // every σ = 0 ⇒ W = 0 ⇒ ideals 3·2/5=1.2 and 3·3/5=1.8 ⇒ bases
+    // 1,1, leftover to B ⇒ quotas A=1, B=2
+    val df = Seq(
+      ("A", 1L, 4), ("A", 2L, 4),
+      ("B", 3L, 9), ("B", 4L, 9), ("B", 5L, 9)
+    ).toDF("src", "id", "sz")
+    val rows = Curation.neymanSample(df, "src", "id", col("sz"), 3)
+      .as[(String, Long, Int, Long)].collect()
+    assert(rows.count(_._1 == "A") === 1)
+    assert(rows.count(_._1 == "B") === 2)
+    assert(rows.filter(_._1 == "A").map(_._4).toSet === Set(1L))
+    assert(rows.filter(_._1 == "B").map(_._4).toSet === Set(2L))
+  }
 }
