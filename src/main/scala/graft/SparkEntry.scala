@@ -991,6 +991,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q166_pq_adc" -> ((s, dir) => {
+      // PQ/ADC approximate search (Jégou et al. 2011): 4 subspaces of
+      // 16 dims, 16 deterministic sample-init codewords, query kept
+      // exact — the 1/16th-bytes scan whose recall baseline is q40's
+      // exact cosine scan; oracle recomputes codebook, assignment, and
+      // ADC ranking end to end
+      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0L, 10)
+    }),
+
     "q165_neyman_sample" -> ((s, dir) => {
       // budgeted eval-set construction: 100 docs across source strata,
       // allocated ∝ n_s·σ(n_chars) (Neyman), integerized by
@@ -3281,6 +3291,43 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // full PQ recompute: sample-init codebook (16 smallest ids),
+    // argmin assignment and ADC distances via list_dot_product (the
+    // bit-equal twin of the Scala dot kernel, q42 precedent), exact
+    // decimal ADC sums
+    "q166_pq_adc" ->
+      """WITH sub AS (SELECT unnest([0,1,2,3]) AS s),
+        |base AS (
+        |  SELECT vec_id, s,
+        |    list_transform(list_slice(embedding, s*16+1, s*16+16),
+        |      x -> CAST(x AS DOUBLE)) AS sv
+        |  FROM embeddings CROSS JOIN sub),
+        |cbids AS (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 16),
+        |cb AS (
+        |  SELECT s AS cs, b.vec_id AS code, sv AS cw
+        |  FROM base b JOIN cbids USING (vec_id)),
+        |asg AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT b.vec_id, b.s, c.code,
+        |      row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY
+        |        (list_dot_product(sv, sv)
+        |          - CAST(2 AS DOUBLE) * list_dot_product(sv, cw)
+        |          + list_dot_product(cw, cw)) ASC, c.code ASC) AS rn
+        |    FROM base b JOIN cb c ON c.cs = b.s) WHERE rn = 1),
+        |q AS (SELECT s AS qs, sv AS qv FROM base WHERE vec_id = 0),
+        |qd AS (
+        |  SELECT cs AS ds, code AS dcode,
+        |    CAST(round(list_dot_product(qv, qv)
+        |      - CAST(2 AS DOUBLE) * list_dot_product(qv, cw)
+        |      + list_dot_product(cw, cw), 12) AS DECIMAL(28,12)) AS qdist
+        |  FROM cb JOIN q ON qs = cs),
+        |adc AS (
+        |  SELECT a.vec_id, SUM(qdist) AS adc
+        |  FROM asg a JOIN qd ON qd.ds = a.s AND qd.dcode = a.code
+        |  WHERE a.vec_id <> 0 GROUP BY a.vec_id)
+        |SELECT vec_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist
+        |FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10""".stripMargin,
 
     // Neyman allocation recomputed end to end: exact decimal power
     // sums → 9-dp σ grid → largest-remainder apportionment → the q96

@@ -743,4 +743,77 @@ object Similarity {
     ivfProbe(spark, indexPath, qv, k, nProbe, excludeId = Some(queryId),
       idName = idCol)
   }
+
+  /** Product-quantization ADC (asymmetric distance computation) top-k:
+    * split the d-dim space into `nSub` subspaces, quantize every
+    * vector to its nearest codeword per subspace, and rank candidates
+    * by the sum of per-subspace L2² distances between the QUERY (kept
+    * exact) and each vector's codewords — Jégou, Douze & Schmid 2011's
+    * ADC scan without the coarse quantizer (compose with
+    * [[buildIvfIndex]] for IVFADC).
+    *
+    * Codebook: the subvectors of the `nCodes` smallest-id vectors — a
+    * deterministic sample initialization. Codebooks are a PARAMETER of
+    * PQ (k-means refinement via [[kmeansCentroids]] slots in), but a
+    * reproducible closed-form choice makes the whole operator
+    * oracle-checkable end to end. Assignment: argmin codeword by L2²
+    * via the dot identity d² = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩ on the proven
+    * [[dot]] kernel (q42 precedent: bit-equal to `list_dot_product`);
+    * ties → smaller codeword id.
+    *
+    * Determinism: per-subspace query distances fix to the 12-dp grid
+    * and sum as exact DECIMAL(28,12) — nSub doubles summed in shuffle
+    * order would not be reproducible; ranking is (adc asc, id asc).
+    *
+    * Scale: codebook and query-distance table broadcast (nSub·nCodes
+    * rows); assignment explodes ×nSub·nCodes map-side and collapses by
+    * partial-agg argmin before the (id, s) shuffle; the final rank is
+    * one hash agg + TakeOrderedAndProject. The assignment pass reads
+    * each vector once — exactly the PQ economics (a real index would
+    * PERSIST the codes; the operator recomputes them so the gate is
+    * self-contained).
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+             k: Int, nSub: Int = 4, nCodes: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(nSub > 0 && nCodes > 0 && k > 0,
+      s"nSub/nCodes/k must be positive, got $nSub/$nCodes/$k")
+    val dim = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % nSub == 0,
+      s"dim $dim does not split into $nSub equal subspaces")
+    val w = dim / nSub
+    val base = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("_v"))
+      .select(col("id"), explode(sequence(lit(0), lit(nSub - 1))).as("s"),
+        col("_v"))
+      .select(col("id"), col("s"),
+        transform(slice(col("_v"), col("s") * w + 1, lit(w)),
+          v => v.cast("double")).as("sv"))
+    val cbIds = emb.select(col(idCol).cast("long").as("id"))
+      .orderBy(col("id").asc).limit(nCodes)
+    val cb = base.join(broadcast(cbIds), "id")
+      .select(col("s").as("cs"), col("id").as("code"), col("sv").as("cw"))
+    def d2(a: Column, b: Column) =
+      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    val codes = base.join(broadcast(cb), col("s") === col("cs"))
+      .withColumn("_d", d2(col("sv"), col("cw")))
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct(col("_d").as("d"), col("code").as("c")))
+        .getField("c").as("code"))
+    val qsub = base.filter(col("id") === queryId)
+      .select(col("s").as("qs"), col("sv").as("qv"))
+    val qd = cb.join(broadcast(qsub), col("cs") === col("qs"))
+      .select(col("cs").as("ds"), col("code").as("dcode"),
+        round(d2(col("qv"), col("cw")), 12).cast(DecimalType(28, 12))
+          .as("qdist"))
+    codes.filter(col("id") =!= queryId)
+      .join(broadcast(qd),
+        col("s") === col("ds") && col("code") === col("dcode"))
+      .groupBy(col("id"))
+      .agg(sum(col("qdist")).as("_adc"))
+      .orderBy(col("_adc").asc, col("id").asc)
+      .select(col("id").as(idCol),
+        round(col("_adc").cast("double"), 6).as("adc_dist"))
+      .limit(k)
+  }
 }

@@ -31,6 +31,22 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(out(2) === ((3L, -1.0)))
   }
 
+  test("pqTopK: assignment, ADC sums, and argmin tie-break to smaller code") {
+    // dim 4, 2 subspaces of width 2, codebook = ids 0,1:
+    //   sub codes: code 0 = [0,0], code 1 = [1,0] (both subspaces)
+    // query id 0 ⇒ qdist(s, 0) = 0, qdist(s, 1) = 1 for each subspace
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),   // codes (1,1) → adc 2
+      (2L, Seq(0.9f, 0.0f, 0.1f, 0.0f)),   // codes (1,0) → adc 1
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),   // codes (0,1) → adc 1
+      (4L, Seq(0.5f, 0.0f, 0.0f, 0.0f))    // sub0 EQUIDISTANT → code 0 → adc 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqTopK(df, "vec_id", "embedding", 0L, 4,
+      nSub = 2, nCodes = 2).as[(Long, Double)].collect()
+    assert(out.toSeq === Seq((4L, 0.0), (2L, 1.0), (3L, 1.0), (1L, 2.0)))
+  }
+
   test("ivf search returns k rows and finds the exact top-1 on testdata") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
