@@ -991,6 +991,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q167_corpus_overlap" -> ((s, dir) => {
+      // slice-level vocabulary overlap: Jaccard of distinct 5-gram
+      // sets per source pair — inverted-index self-join (pair fanout
+      // bounded by slices-per-shingle, never doc count)
+      text.Dedup.corpusOverlap(t(s, dir, "documents"), "source", "text", 5)
+        .orderBy("slice_a", "slice_b")
+    }),
+
     "q166_pq_adc" -> ((s, dir) => {
       // PQ/ADC approximate search (Jégou et al. 2011): 4 subspaces of
       // 16 dims, 16 deterministic sample-init codewords, query kept
@@ -3291,6 +3299,29 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // per-source distinct shingle vocabularies off the shared shingle
+    // CTE; jaccard emits the UNROUNDED exact-integer quotient (q107
+    // rounding-tie discipline)
+    "q167_corpus_overlap" ->
+      s"""WITH $shingleCte,
+        |srcsh AS (
+        |  SELECT DISTINCT d.source, s.shingle
+        |  FROM sh s JOIN documents d USING (doc_id)),
+        |sizes AS (SELECT source, COUNT(*) AS n_sh FROM srcsh GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS slice_a, b.source AS slice_b, COUNT(*) AS n_inter
+        |  FROM srcsh a JOIN srcsh b
+        |    ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT slice_a, slice_b,
+        |  CAST(sa.n_sh AS BIGINT) AS n_a, CAST(sb.n_sh AS BIGINT) AS n_b,
+        |  CAST(n_inter AS BIGINT) AS n_inter,
+        |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.source = slice_a
+        |JOIN sizes sb ON sb.source = slice_b
+        |ORDER BY slice_a, slice_b""".stripMargin,
 
     // full PQ recompute: sample-init codebook (16 smallest ids),
     // argmin assignment and ADC distances via list_dot_product (the

@@ -381,4 +381,47 @@ object Dedup {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_dup_pairs"))
   }
+
+  /** Corpus-overlap matrix: Jaccard similarity of the DISTINCT shingle
+    * VOCABULARIES of every pair of corpus slices — the corpus-level
+    * complement of [[crossSourceDupMatrix]] (that one counts duplicated
+    * DOCUMENT pairs; this one measures how much two slices talk about
+    * the same n-grams at all, the overlap signal behind "is this new
+    * crawl additive or a re-crawl" and source-weighting decisions).
+    *
+    * Pairs with an empty intersection are ABSENT (the matrix is sparse
+    * by construction — at thousands of slices, emitting k²/2 zero
+    * cells would dwarf the signal). `jaccard` is the unrounded double
+    * quotient of exact longs (the q107 rounding-tie discipline).
+    *
+    * Shape/scale: one (slice, shingle) distinct (shuffle by the pair),
+    * then an inverted-index self-join keyed by shingle — the pair
+    * expansion per shingle is bounded by how many SLICES share it
+    * (≤ maxSlices, guarded), never by document count. Slice sizes
+    * broadcast onto the aggregate-sized pair frame.
+    */
+  def corpusOverlap(df: DataFrame, sliceCol: String, textCol: String,
+                    n: Int, maxSlices: Long = 2000L): DataFrame = {
+    val sets = shingleSets(df, sliceCol, textCol, n)
+      .select(col("doc").as("slice"), col("shingle")).distinct().persist()
+    val k = sets.select(col("slice")).distinct().count()
+    require(k <= maxSlices,
+      s"corpusOverlap is quadratic in slices (${k * (k - 1) / 2} pairs at " +
+        s"k=$k > maxSlices=$maxSlices); aggregate slices first")
+    val sizes = sets.groupBy(col("slice")).agg(count(lit(1)).as("n_sh"))
+    val a = sets.select(col("slice").as("slice_a"), col("shingle"))
+    val b = sets.select(col("slice").as("slice_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("slice_a") < col("slice_b"))
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col("slice").as("slice_a"),
+        col("n_sh").as("n_a"))), Seq("slice_a"))
+      .join(broadcast(sizes.select(col("slice").as("slice_b"),
+        col("n_sh").as("n_b"))), Seq("slice_b"))
+      .select(col("slice_a"), col("slice_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        (col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+  }
 }

@@ -427,4 +427,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(3L) === ((3L, 0L, 0.0)))
     assert(!got.contains(4L)) // blank doc: no tokens, no row
   }
+
+  test("corpusOverlap: slice-vocabulary jaccard, empty intersections absent") {
+    // A: shingles {"a b c d e","b c d e f"}; B: {"a b c d e"} (short-doc
+    // fallback at exactly 5 tokens is NOT taken — one full shingle);
+    // C: {"x"} (short-doc fallback). A∩B = 1, union = 2 ⇒ 0.5;
+    // C intersects nothing ⇒ no C rows at all
+    val docs = Seq(
+      ("A", 1L, "a b c d e f"),
+      ("B", 2L, "a b c d e"),
+      ("C", 3L, "x")
+    ).toDF("src", "doc_id", "text")
+    val out = graft.text.Dedup.corpusOverlap(docs, "src", "text", 5)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(("A", "B", 2L, 1L, 1L, 0.5)))
+    spark.catalog.clearCache()
+  }
+
+  test("corpusOverlap: refuses past the slice-count guard") {
+    val docs = Seq(("A", "a"), ("B", "b"), ("C", "c")).toDF("src", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.Dedup.corpusOverlap(docs, "src", "text", 5, maxSlices = 2L)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxSlices"))
+    spark.catalog.clearCache()
+  }
 }
