@@ -991,6 +991,51 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q172_instrument_profile" -> ((s, dir) => {
+      // the desk's one-table instrument screen: sharpe, range vols,
+      // hurst, Ljung–Box Q, max drawdown — five verified operators
+      // joined on the key; the oracle splices their own SQL blocks
+      Risk.instrumentProfile(t(s, dir, "events"), "event_type",
+          Seq(col("ts"), col("event_id")), "value", to_date(col("ts")))
+        .orderBy("event_type")
+    }),
+
+    "q171_rolling_beta" -> ((s, dir) => {
+      // time-varying market exposure: q98's beta re-estimated over a
+      // trailing 10-day frame per instrument — ticks reduce once to
+      // bucket means, five exact-decimal sums on one window pass
+      Stats.rollingBeta(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", to_date(col("ts")), col("value"), 10)
+        .orderBy("event_type", "bucket")
+    }),
+
+    "q168_bm25" -> ((s, dir) => {
+      // lexical retrieval scorer: Okapi BM25 (Lucene +1 idf form) of
+      // every doc against a fixed topic probe — one token explode, the
+      // match side filtered at the scan, constants broadcast
+      text.TextStats.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "vector", "merge"))
+        .orderBy("doc_id")
+    }),
+
+    "q169_novelty" -> ((s, dir) => {
+      // marginal-novelty curve: fraction of each doc's shingles first
+      // seen at that doc (ingestion order = doc id) — one shingle-keyed
+      // Exchange serves the first-seen window and the re-aggregation
+      text.Dedup.noveltyFraction(t(s, dir, "documents"), "doc_id",
+          "text", 5)
+        .orderBy("doc_id")
+    }),
+
+    "q170_ljung_box" -> ((s, dir) => {
+      // white-noise portmanteau test: Ljung–Box Q over the first 5
+      // return autocorrelations per instrument — h extra lag exprs on
+      // the one key-partitioned window pass, exact power sums
+      Stats.ljungBox(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", Seq(col("ts"), col("event_id")), col("value"))
+        .orderBy("event_type")
+    }),
+
     "q167_corpus_overlap" -> ((s, dir) => {
       // slice-level vocabulary overlap: Jaccard of distinct 5-gram
       // sets per source pair — inverted-index self-join (pair fanout
@@ -2214,7 +2259,29 @@ object SparkEntry {
     "q41_ivf_topk" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q81_ivf_probe" -> Set("sf0.001", "sf0.01", "sf0.1"))
 
-  def oracleSql: Map[String, String] = Map(
+  /** The q172 composite joins five per-instrument oracle blocks — each
+    * spliced VERBATIM from the map entry of the operator it reuses
+    * (nested-WITH subqueries), so the composite cannot drift from the
+    * parts it claims to compose.
+    */
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    def block(q: String) = s"(SELECT * FROM (\n${base(q)}\n))"
+    base + ("q172_instrument_profile" ->
+      s"""WITH sh AS ${block("q114_sharpe")},
+        |rv AS ${block("q163_range_volatility")},
+        |hu AS ${block("q164_hurst")},
+        |lb AS ${block("q170_ljung_box")},
+        |dd AS ${block("q84_max_drawdown")}
+        |SELECT event_type, n_ticks, sh.n_returns AS n_returns, mean_return,
+        |  sharpe, n_bars, parkinson, garman_klass, rogers_satchell, hurst,
+        |  q_stat, max_drawdown
+        |FROM sh JOIN rv USING (event_type) JOIN hu USING (event_type)
+        |JOIN lb USING (event_type) JOIN dd USING (event_type)
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q32_minhash_lsh" -> jaccardPairsOracle,
 
     // full independent simhash recomputation: same tokenization as the
@@ -3299,6 +3366,153 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // the q98 beta arithmetic inside a 10-row trailing window: same
+    // 9-dp bucket means, same power-sum quotient, warm-up rows NULL
+    "q171_rolling_beta" ->
+      """WITH base AS (
+        |  SELECT event_type AS k, CAST(ts AS DATE) AS bucket,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT bucket, CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9)
+        |    AS DECIMAL(21,9)) AS m
+        |  FROM base GROUP BY bucket),
+        |x AS (
+        |  SELECT k, bucket, CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9)
+        |    AS DECIMAL(21,9)) AS x
+        |  FROM base GROUP BY k, bucket),
+        |wnd AS (
+        |  SELECT k, x.bucket,
+        |    COUNT(*) OVER w AS n,
+        |    SUM(x) OVER w AS sx, SUM(m) OVER w AS sm,
+        |    SUM(CAST(x*m AS DECIMAL(38,18))) OVER w AS sxm,
+        |    SUM(CAST(m*m AS DECIMAL(38,18))) OVER w AS smm
+        |  FROM x JOIN m USING (bucket)
+        |  WINDOW w AS (PARTITION BY k ORDER BY x.bucket ASC
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT k AS event_type, bucket, CAST(n AS BIGINT) AS n_window,
+        |  CASE WHEN n = 10 AND n * CAST(smm AS DOUBLE)
+        |      - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) > 0
+        |    THEN round((n * CAST(sxm AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE))
+        |      / (n * CAST(smm AS DOUBLE)
+        |        - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)), 6) END
+        |    AS rolling_beta
+        |FROM wnd ORDER BY event_type, bucket""".stripMargin,
+
+    // BM25 recomputed end to end on the q117 tokenization: idf and the
+    // tf saturation term in the Scala operation order, each (doc,term)
+    // score fixed at 12 dp before the exact decimal per-doc sum
+    "q168_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(w) AS token FROM toks)
+        |  WHERE token <> ''),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+        |tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |  WHERE token IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+        |dft AS (SELECT token, COUNT(*) AS dft FROM tf GROUP BY token),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CAST(round(
+        |      ln((CAST(n_docs AS DOUBLE) - dft + 0.5)
+        |          / (CAST(dft AS DOUBLE) + 0.5) + 1.0)
+        |      * (CAST(tf AS DOUBLE) / (CAST(tf AS DOUBLE)
+        |          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+        |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+        |      12) AS DECIMAL(28,12)) AS ts
+        |  FROM tf t JOIN dft USING (token) JOIN dl USING (doc_id)
+        |  CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_matched,
+        |  round(CAST(SUM(ts) AS DOUBLE), 6) AS bm25
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // first-seen = MIN doc over the shared shingle CTE; novelty is the
+    // unrounded exact-integer quotient (q107 discipline)
+    "q169_novelty" ->
+      s"""WITH $shingleCte,
+        |f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+        |SELECT s.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*) AS novelty
+        |FROM sh s JOIN f USING (shingle)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    // Ljung–Box recomputed from the same exact decimal power sums:
+    // tickReturn's rounded-division returns, per-lag conditional sums,
+    // rho and Q-terms fixed at 12 dp in the Scala operation order
+    "q170_ljung_box" ->
+      """WITH t AS (
+        |  SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |r0 AS (
+        |  SELECT event_type, ts, event_id, v,
+        |    lag(v) OVER (PARTITION BY event_type
+        |      ORDER BY ts ASC, event_id ASC) AS pv
+        |  FROM t),
+        |r AS (
+        |  SELECT event_type, ts, event_id,
+        |    CAST(round(CAST(v - pv AS DOUBLE) / CAST(pv AS DOUBLE), 9)
+        |      AS DECIMAL(16,9)) AS rr
+        |  FROM r0 WHERE pv > 0),
+        |l AS (
+        |  SELECT event_type, rr,
+        |    lag(rr, 1) OVER w AS l1, lag(rr, 2) OVER w AS l2,
+        |    lag(rr, 3) OVER w AS l3, lag(rr, 4) OVER w AS l4,
+        |    lag(rr, 5) OVER w AS l5
+        |  FROM r WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(rr) AS s1,
+        |    SUM(CAST(rr*rr AS DECIMAL(38,18))) AS s2,
+        |    COUNT(l1) AS cnt1, SUM(CASE WHEN l1 IS NOT NULL
+        |      THEN CAST(rr*l1 AS DECIMAL(38,18)) END) AS p1,
+        |    SUM(CASE WHEN l1 IS NOT NULL THEN rr END) AS a1, SUM(l1) AS b1,
+        |    COUNT(l2) AS cnt2, SUM(CASE WHEN l2 IS NOT NULL
+        |      THEN CAST(rr*l2 AS DECIMAL(38,18)) END) AS p2,
+        |    SUM(CASE WHEN l2 IS NOT NULL THEN rr END) AS a2, SUM(l2) AS b2,
+        |    COUNT(l3) AS cnt3, SUM(CASE WHEN l3 IS NOT NULL
+        |      THEN CAST(rr*l3 AS DECIMAL(38,18)) END) AS p3,
+        |    SUM(CASE WHEN l3 IS NOT NULL THEN rr END) AS a3, SUM(l3) AS b3,
+        |    COUNT(l4) AS cnt4, SUM(CASE WHEN l4 IS NOT NULL
+        |      THEN CAST(rr*l4 AS DECIMAL(38,18)) END) AS p4,
+        |    SUM(CASE WHEN l4 IS NOT NULL THEN rr END) AS a4, SUM(l4) AS b4,
+        |    COUNT(l5) AS cnt5, SUM(CASE WHEN l5 IS NOT NULL
+        |      THEN CAST(rr*l5 AS DECIMAL(38,18)) END) AS p5,
+        |    SUM(CASE WHEN l5 IS NOT NULL THEN rr END) AS a5, SUM(l5) AS b5
+        |  FROM l GROUP BY event_type),
+        |c1 AS (SELECT *, CAST(s1 AS DOUBLE) / n AS rbar FROM s),
+        |c2 AS (SELECT *,
+        |  CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * rbar AS c0n FROM c1),
+        |rho AS (
+        |  SELECT *,
+        |    round((CAST(p1 AS DOUBLE) - rbar * (CAST(a1 AS DOUBLE)
+        |      + CAST(b1 AS DOUBLE)) + cnt1 * (rbar * rbar)) / c0n, 12) AS rho1,
+        |    round((CAST(p2 AS DOUBLE) - rbar * (CAST(a2 AS DOUBLE)
+        |      + CAST(b2 AS DOUBLE)) + cnt2 * (rbar * rbar)) / c0n, 12) AS rho2,
+        |    round((CAST(p3 AS DOUBLE) - rbar * (CAST(a3 AS DOUBLE)
+        |      + CAST(b3 AS DOUBLE)) + cnt3 * (rbar * rbar)) / c0n, 12) AS rho3,
+        |    round((CAST(p4 AS DOUBLE) - rbar * (CAST(a4 AS DOUBLE)
+        |      + CAST(b4 AS DOUBLE)) + cnt4 * (rbar * rbar)) / c0n, 12) AS rho4,
+        |    round((CAST(p5 AS DOUBLE) - rbar * (CAST(a5 AS DOUBLE)
+        |      + CAST(b5 AS DOUBLE)) + cnt5 * (rbar * rbar)) / c0n, 12) AS rho5
+        |  FROM c2)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_returns, 5 AS n_lags,
+        |  CASE WHEN n > 5 AND c0n > 0 THEN
+        |    round(n * (n + 2) * (round(rho1*rho1 / (n-1), 12)
+        |      + round(rho2*rho2 / (n-2), 12) + round(rho3*rho3 / (n-3), 12)
+        |      + round(rho4*rho4 / (n-4), 12) + round(rho5*rho5 / (n-5), 12)),
+        |      6) END AS q_stat
+        |FROM rho ORDER BY event_type""".stripMargin,
 
     // per-source distinct shingle vocabularies off the shared shingle
     // CTE; jaccard emits the UNROUNDED exact-integer quotient (q107

@@ -837,6 +837,45 @@ object Risk {
         mean6("_r").as("rogers_satchell"))
   }
 
+  /** One-table research profile per instrument: Sharpe + mean return,
+    * the three range-variance estimators, the Hurst exponent, the
+    * Ljung–Box Q, and the max drawdown — the columns a desk's
+    * instrument screen shows side by side, composed from the SAME
+    * operators that pass each gate individually (the oracle splices
+    * those operators' own SQL, so the composite is certified as a
+    * composition, not re-derived).
+    *
+    * Plan/scale: five independent passes over the tick table, each the
+    * operator's own optimal single-shuffle shape; the five per-key
+    * aggregate frames (rows = instrument count) then join broadcast.
+    * Deliberately NOT fused into one pass — the components' window
+    * shapes differ (lag chains, bars, block explosion, running peak)
+    * and entangling them would trade five clean scans for one
+    * many-branch shuffle; callers batching many reports should
+    * `persist()` the filtered tick frame first (cache contract:
+    * caller releases).
+    */
+  def instrumentProfile(df: DataFrame, keyCol: String,
+                        orderCols: Seq[Column], valueName: String,
+                        barCol: Column): DataFrame = {
+    val v = col(valueName)
+    val filtered = df.filter(v.isNotNull)
+    val sh = Stats.sharpe(filtered, keyCol, orderCols, v)
+    val rv = rangeVolatility(filtered, keyCol, barCol, orderCols, valueName)
+    val hu = hurstExponent(filtered, keyCol, orderCols, v)
+      .select(col(keyCol), col("hurst"))
+    val lb = Stats.ljungBox(filtered, keyCol, orderCols, v)
+      .select(col(keyCol), col("q_stat"))
+    val dd = Stats.maxDrawdown(filtered, keyCol, orderCols, v)
+      .select(col(keyCol), col("n_ticks"), col("max_drawdown"))
+    sh.join(rv, Seq(keyCol)).join(hu, Seq(keyCol))
+      .join(lb, Seq(keyCol)).join(dd, Seq(keyCol))
+      .select(col(keyCol), col("n_ticks"), col("n_returns"),
+        col("mean_return"), col("sharpe"), col("n_bars"), col("parkinson"),
+        col("garman_klass"), col("rogers_satchell"), col("hurst"),
+        col("q_stat"), col("max_drawdown"))
+  }
+
   /** Hurst exponent per instrument by the aggregated-variance method:
     * for each block size m ∈ `scales`, sum the tick-return series into
     * non-overlapping m-blocks and take the population variance of the

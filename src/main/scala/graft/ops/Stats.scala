@@ -327,6 +327,59 @@ object Stats {
           (col("n") * d("smm") - d("sm") * d("sm")), 6)).as("beta"))
   }
 
+  /** Trailing-window beta per (instrument, bucket): [[betaVsMarket]]'s
+    * OLS slope re-estimated over the last `nBuckets` observed buckets —
+    * the time-varying exposure series a risk desk monitors (a name
+    * drifting from β≈1 toward 2 changed character; the static beta
+    * averages that away). Market = cross-sectional mean of the bucket
+    * means, exactly the static operator's construction.
+    *
+    * Rows with an incomplete trailing frame (fewer than nBuckets
+    * buckets yet) or a degenerate market variance carry a NULL beta —
+    * present but unclaiming, the [[graft.ops.Risk.atrChannels]]
+    * warm-up convention. All frame sums are exact decimals over the
+    * same 9-dp-fixed bucket means as the static path; doubles only in
+    * the final guarded quotient.
+    *
+    * Plan/scale: ticks reduce ONCE to the per-(key, bucket) mean frame
+    * (the only corpus-scale pass); the market frame broadcasts; all
+    * five trailing sums ride ONE key-partitioned window over the
+    * aggregate-sized frame (buckets × keys rows — calendar-bounded,
+    * never tick-bounded).
+    */
+  def rollingBeta(df: DataFrame, keyCol: String, bucketCol: Column,
+                  valueCol: Column, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val v = valueCol.cast(DecimalType(18, 6))
+    val base = df.select(col(keyCol), bucketCol.as("bucket"), v.as("v"))
+    val market = base.groupBy("bucket")
+      .agg(sum(col("v")).as("_ms"), count(lit(1)).as("_mn"))
+      .select(col("bucket"),
+        round(col("_ms").cast("double") / col("_mn"), 9)
+          .cast(DecimalType(21, 9)).as("m"))
+    val perKey = base.groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col("v")).as("_xs"), count(lit(1)).as("_xn"))
+      .select(col(keyCol), col("bucket"),
+        round(col("_xs").cast("double") / col("_xn"), 9)
+          .cast(DecimalType(21, 9)).as("x"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket").asc)
+      .rowsBetween(-(nBuckets - 1), Window.currentRow)
+    def d(c: String) = col(c).cast("double")
+    val den = col("_n") * d("_smm") - d("_sm") * d("_sm")
+    perKey.join(broadcast(market), "bucket")
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_sx", sum(col("x")).over(w))
+      .withColumn("_sm", sum(col("m")).over(w))
+      .withColumn("_sxm",
+        sum((col("x") * col("m")).cast(DecimalType(38, 18))).over(w))
+      .withColumn("_smm",
+        sum((col("m") * col("m")).cast(DecimalType(38, 18))).over(w))
+      .select(col(keyCol), col("bucket"), col("_n").as("n_window"),
+        when(col("_n") === nBuckets && den > 0,
+          round((col("_n") * d("_sxm") - d("_sx") * d("_sm")) / den, 6))
+          .as("rolling_beta"))
+  }
+
   /** Tick-over-tick simple return per row, as a ROUNDED DECIMAL(16,9):
     * (v − prev)/prev computed in double (one map-side division —
     * deterministic per row on any cluster), rounded to 9 dp and fixed
@@ -486,6 +539,70 @@ object Stats {
       when(dx > 0 && dy > 0,
         round((col("n_pairs") * d("sxy") - d("sx") * d("sy")) /
           sqrt(dx * dy), 6)).as("autocorr"))
+  }
+
+  /** Ljung–Box portmanteau statistic per instrument:
+    *   Q = n(n+2) Σ_{k=1..h} ρ̂_k² / (n−k)
+    * over the first `maxLag` sample autocorrelations of the tick
+    * returns (Ljung & Box 1978) — the standard "is there ANY serial
+    * correlation" test behind white-noise/efficiency checks, the
+    * h-lag generalization of [[returnAutocorr]]'s single ρ̂₁. ρ̂_k uses
+    * the classic ACF estimator (global mean, lag-0 denominator):
+    * ρ̂_k = Σ_{t>k}(r_t−r̄)(r_{t−k}−r̄) / Σ_t(r_t−r̄)². Under H₀ Q is
+    * asymptotically χ²(h); the operator reports Q and leaves the
+    * p-value cut to the caller (no χ² inverse in either engine).
+    *
+    * Numerics: returns via [[tickReturn]] (exact (16,9) decimals); all
+    * power/cross sums per lag are exact decimals from ONE hash
+    * aggregation; every double appears in a pinned operation order and
+    * each ρ̂_k and Q-term fixes to the 12-dp grid, so both engines
+    * agree bit-for-bit. Keys need n > maxLag returns and non-zero
+    * return variance for a defined Q — else NULL, loudly typed.
+    *
+    * Plan/scale: the lag stack is h extra lag() exprs riding the SAME
+    * key-partitioned window pass as the return computation, and the
+    * whole reduction is one keyed agg sharing that clustering — ONE
+    * tick-scale Exchange total, per-key state bounded by h power sums.
+    */
+  def ljungBox(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+               valueCol: Column, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols.map(_.asc): _*)
+    val rets = df.filter(valueCol.isNotNull)
+      .withColumn("_r", tickReturn(w, valueCol))
+      .filter(col("_r").isNotNull)
+    val withLags = (1 to maxLag).foldLeft(rets) { (acc, k) =>
+      acc.withColumn(s"_l$k", lag(col("_r"), k).over(w))
+    }
+    val aggs: Seq[Column] = Seq(
+      count(lit(1)).as("n"),
+      sum(col("_r")).as("s1"),
+      sum((col("_r") * col("_r")).cast(DecimalType(38, 18))).as("s2")) ++
+      (1 to maxLag).flatMap { k =>
+        val lk = col(s"_l$k")
+        Seq(
+          count(lk).as(s"cnt$k"),
+          sum(when(lk.isNotNull,
+            (col("_r") * lk).cast(DecimalType(38, 18)))).as(s"p$k"),
+          sum(when(lk.isNotNull, col("_r"))).as(s"a$k"),
+          sum(lk).as(s"b$k"))
+      }
+    val sums = withLags.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    val n = col("n")
+    val rbar = d("s1") / n
+    val c0n = d("s2") - d("s1") * rbar
+    val terms = (1 to maxLag).map { k =>
+      val ckn = d(s"p$k") - rbar * (d(s"a$k") + d(s"b$k")) +
+        d(s"cnt$k") * (rbar * rbar)
+      val rho = round(ckn / c0n, 12)
+      round(rho * rho / (n - lit(k)), 12)
+    }
+    val qsum = terms.reduce(_ + _)
+    sums.select(col(keyCol), n.cast("long").as("n_returns"),
+      lit(maxLag).as("n_lags"),
+      when(n > lit(maxLag) && c0n > 0,
+        round(n * (n + lit(2)) * qsum, 6)).as("q_stat"))
   }
 
   /** Pairwise correlation matrix across instruments over bucket-aligned

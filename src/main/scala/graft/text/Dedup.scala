@@ -382,6 +382,32 @@ object Dedup {
       .agg(count(lit(1)).as("n_dup_pairs"))
   }
 
+  /** Per-document n-gram NOVELTY under ingestion order: the fraction
+    * of a doc's distinct shingles whose FIRST corpus occurrence (min
+    * doc id — ids are the ingestion order) is the doc itself. The
+    * order-aware complement of [[dupShingleFraction]]: that one scores
+    * symmetric cross-doc duplication; this one answers "how much does
+    * each successive document still add" — the marginal-novelty curve
+    * behind dedup-then-train data-value arguments (cf. the
+    * deduplication/memorization line of Lee et al. 2022).
+    *
+    * `novelty` is the unrounded exact-integer quotient (q107 rounding
+    * discipline). Shape/scale: shingle sets explode map-side; ONE
+    * shingle-keyed Exchange serves both the min-doc window and the
+    * per-doc re-aggregation — no pair space, no join.
+    */
+  def noveltyFraction(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    val byShingle = Window.partitionBy(col("shingle"))
+    shingleSets(df, idCol, textCol, n)
+      .withColumn("_first", min(col("doc")).over(byShingle))
+      .groupBy(col("doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_first") === col("doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty", col("n_novel") / col("n_shingles"))
+  }
+
   /** Corpus-overlap matrix: Jaccard similarity of the DISTINCT shingle
     * VOCABULARIES of every pair of corpus slices — the corpus-level
     * complement of [[crossSourceDupMatrix]] (that one counts duplicated

@@ -435,4 +435,55 @@ object TextStats {
         .agg(count(lit(1)).as("freq"))
         .filter(col("freq") >= minCount)
   }
+
+  /** Okapi BM25 relevance of every document for a fixed bag of query
+    * terms (Robertson et al., TREC-3; the `+1` idf form Lucene ships so
+    * common terms cannot score negative):
+    *   idf(t)  = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)
+    *   s(d)    = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl))
+    * The corpus-side retrieval scorer a curation pipeline uses to rank
+    * documents against a topic probe (and the lexical baseline next to
+    * [[graft.vector.Similarity.cosineTopK]]'s dense retrieval).
+    *
+    * Only docs matching ≥ 1 term emit a row (search-result sparsity).
+    * Determinism: per-(doc, term) scores are doubles computed in one
+    * pinned operation order, fixed to the 12-dp grid before the exact
+    * decimal per-doc sum; `bm25` presents as a 6-dp double.
+    *
+    * Plan/scale: one token explode feeds the doc-length aggregation
+    * (one doc-keyed Exchange) and, term-filtered AT THE SCAN, the tiny
+    * (doc, term) tf aggregation; corpus constants (N, Σdl) and the
+    * per-term df both broadcast onto the match frame, which joins
+    * docLen by key. Nothing quadratic, no global sort.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.map(_.toLowerCase).distinct.size == queryTerms.size,
+      s"queryTerms must be distinct (case-insensitive), got $queryTerms")
+    import org.apache.spark.sql.types.DecimalType
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val docLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val totals = docLen.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = toks.filter(col("token").isin(queryTerms.map(_.toLowerCase): _*))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("dft"))
+    def d(c: String) = col(c).cast("double")
+    val avgdl = d("sum_dl") / d("n_docs")
+    val idf = log((d("n_docs") - d("dft") + lit(0.5)) /
+      (d("dft") + lit(0.5)) + lit(1.0))
+    val comp = d("tf") /
+      (d("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * d("dl") / avgdl))
+    tf.join(broadcast(dft), Seq("token"))
+      .join(docLen, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("_ts", round(idf * comp, 12).cast(DecimalType(28, 12)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(col("_ts")).cast("double"), 6).as("bm25"))
+  }
 }

@@ -1537,4 +1537,59 @@ object LawsProps extends Properties("graft.laws") {
         out._1.sliding(4).count(_ == "<IP>") == ni &&
         filler.forall(out._1.contains) // clean words survive redaction
     }
+
+  property("sessionStats (streaming): sessions equal the gap-merge reference on ANY feed") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 2L),     // user
+        Gen.choose(0, 90),                               // minute offset
+        Gen.choose(1, 9999))),                           // value in cents
+      Gen.choose(0, 5)) { (rowsRaw, splitRaw) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import org.apache.spark.sql.functions.{col, lit, timestamp_seconds}
+      // session_window convention: an event's window [ts, ts+gap)
+      // merges into the current session when it starts AT or before
+      // the session end — delta <= gap merges, delta > gap splits,
+      // the SAME boundary rule as batch Windows.sessionize
+      val base = 1700000000L
+      val gapSec = 600L // "10 minutes"
+      val rows = rowsRaw.map { case (u, m, c) => (u, m.toLong, c) }
+      val split = math.min(splitRaw, rows.size)
+      val mem = MemoryStream[(Long, Long, Int)]
+      val name = s"sess_law_${streamLawCounter.incrementAndGet()}"
+      val q = EventStream.sessionStats(
+          mem.toDF().toDF("user_id", "m", "cents")
+            .select(col("user_id"),
+              timestamp_seconds(lit(base) + col("m") * 60).as("ts"),
+              (col("cents") / 100.0).as("value")),
+          gap = "10 minutes")
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      try {
+        if (split > 0) { mem.addData(rows.take(split): _*); q.processAllAvailable() }
+        if (rows.size > split) mem.addData(rows.drop(split): _*)
+        q.processAllAvailable()
+        val got = spark.table(name)
+          .select(col("sess_start").cast("long"), col("sess_end").cast("long"),
+            col("user_id"), col("n_events"),
+            col("total_value").cast("double"))
+          .as[(Long, Long, Long, Long, Double)].collect().toSet
+        // reference: per user, sort seconds, split where delta > gap
+        val want = rows.groupBy(_._1).flatMap { case (u, rs) =>
+          val secs = rs.map { case (_, m, c) => (base + m * 60, c) }.sorted
+          val sessions = secs.tail.foldLeft(List(List(secs.head))) {
+            case (acc @ (cur :: rest), ev) =>
+              if (ev._1 - cur.head._1 <= gapSec) (ev :: cur) :: rest
+              else List(ev) :: acc
+            case (Nil, ev) => List(List(ev))
+          }
+          sessions.map { s =>
+            val ts = s.map(_._1)
+            (ts.min, ts.max + gapSec, u, s.size.toLong,
+              s.map(_._2).sum / 100.0)
+          }
+        }.toSet
+        got == want
+      } finally q.stop()
+    }
 }

@@ -549,4 +549,69 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("3 instruments") &&
       e.getMessage.contains("maxInstruments=2"))
   }
+
+  test("rollingBeta: unit slope vs self-driven market, zero for a flat name, NULL warm-up") {
+    // market m_t = (a_t + 5)/2 ⇒ A's slope vs market is exactly 2,
+    // B (constant 5) has zero covariance ⇒ beta 0; first bucket of each
+    // key has an incomplete 2-frame ⇒ NULL
+    val ticks = Seq(
+      ("A", 1, 1.0), ("A", 2, 2.0), ("A", 3, 4.0),
+      ("B", 1, 5.0), ("B", 2, 5.0), ("B", 3, 5.0)
+    ).toDF("sym", "bkt", "price")
+    val out = Stats.rollingBeta(ticks, "sym", col("bkt"), col("price"), 2)
+      .orderBy("sym", "bucket")
+      .as[(String, Int, Long, Option[Double])].collect()
+    assert(out.toSeq === Seq(
+      ("A", 1, 1L, None), ("A", 2, 2L, Some(2.0)), ("A", 3, 2L, Some(2.0)),
+      ("B", 1, 1L, None), ("B", 2, 2L, Some(0.0)), ("B", 3, 2L, Some(0.0))))
+  }
+
+  test("ljungBox: Q matches the pinned-order reference on an alternating series") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // values 1,2,1,2,… ⇒ returns +1, −0.5 alternating (exact binary
+    // doubles, so the reference power sums below are exact too)
+    val vals = Seq.tabulate(10)(i => if (i % 2 == 0) 1.0 else 2.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("A", ts(i), i.toLong, v) }
+      .toDF("k", "t", "id", "v")
+    val got = graft.ops.Stats.ljungBox(df, "k", Seq(col("t"), col("id")),
+      col("v"), maxLag = 5).collect().head
+    // reference mirrors the operator's operation order exactly
+    val r = Seq.tabulate(9)(i => if (i % 2 == 0) 1.0 else -0.5)
+    val n = r.size
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = r.sum; val s2 = r.map(x => x * x).sum
+    val rbar = s1 / n
+    val c0n = s2 - s1 * rbar
+    val terms = (1 to 5).map { k =>
+      val pairs = (k until n).map(t => (r(t), r(t - k)))
+      val p = pairs.map { case (a, b) => a * b }.sum
+      val a = pairs.map(_._1).sum; val b = pairs.map(_._2).sum
+      val cnt = pairs.size
+      val rho = r12((p - rbar * (a + b) + cnt * (rbar * rbar)) / c0n)
+      r12(rho * rho / (n - k))
+    }
+    val want = BigDecimal(n.toLong * (n + 2) * terms.sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Long]("n_returns") === 9L)
+    assert(got.getAs[Int]("n_lags") === 5)
+    assert(got.getAs[Double]("q_stat") === want)
+  }
+
+  test("ljungBox: constant series (zero variance) and short series yield NULL Q") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val const = Seq.tabulate(8)(i => ("C", ts(i), i.toLong, 5.0))
+      .toDF("k", "t", "id", "v")
+    val c = graft.ops.Stats.ljungBox(const, "k", Seq(col("t"), col("id")),
+      col("v")).collect().head
+    assert(c.isNullAt(c.fieldIndex("q_stat"))) // c0n = 0
+    val short = Seq.tabulate(4)(i => ("S", ts(i), i.toLong, (i + 1).toDouble))
+      .toDF("k", "t", "id", "v")
+    val s = graft.ops.Stats.ljungBox(short, "k", Seq(col("t"), col("id")),
+      col("v")).collect().head
+    assert(s.getAs[Long]("n_returns") === 3L) // n <= maxLag
+    assert(s.isNullAt(s.fieldIndex("q_stat")))
+  }
 }

@@ -483,6 +483,31 @@ class RiskSpec extends AnyFunSuite {
     assert(r.getAs[Double]("hurst") === 1.0)
   }
 
+  test("instrumentProfile: every column equals its source operator's own output") {
+    import graft.ops.Stats
+    val prof = Risk.instrumentProfile(tickFixture, "k",
+      Seq(col("t"), col("id")), "v", to_date(col("t"))).collect().head
+    val sh = Stats.sharpe(tickFixture, "k", Seq(col("t"), col("id")),
+      col("v")).collect().head
+    val dd = Stats.maxDrawdown(tickFixture, "k", Seq(col("t"), col("id")),
+      col("v")).collect().head
+    val rv = Risk.rangeVolatility(tickFixture, "k", to_date(col("t")),
+      Seq(col("t"), col("id")), "v").collect().head
+    assert(prof.getAs[Long]("n_returns") === sh.getAs[Long]("n_returns"))
+    assert(prof.getAs[Double]("mean_return") === sh.getAs[Double]("mean_return"))
+    assert(prof.getAs[Double]("sharpe") === sh.getAs[Double]("sharpe"))
+    assert(prof.getAs[Double]("max_drawdown") === dd.getAs[Double]("max_drawdown"))
+    assert(prof.getAs[Long]("n_ticks") === dd.getAs[Long]("n_ticks"))
+    assert(prof.getAs[Double]("parkinson") === rv.getAs[Double]("parkinson"))
+    // 4 returns < 5 lags: the composite surfaces ljungBox's honest NULL
+    assert(prof.isNullAt(prof.fieldIndex("q_stat")))
+    // scales 1 and 2 both have >= 2 complete blocks on 4 returns, so
+    // hurst is defined — and must be the standalone operator's number
+    val hu = Risk.hurstExponent(tickFixture, "k", Seq(col("t"), col("id")),
+      col("v")).collect().head
+    assert(prof.getAs[Double]("hurst") === hu.getAs[Double]("hurst"))
+  }
+
   test("hurstExponent: single surviving scale point yields NULL hurst") {
     // 3 returns: m=2 has exactly 1 complete block ⇒ Var undefined (0,
     // drops); only m=1 survives ⇒ k = 1 < 2 ⇒ hurst NULL

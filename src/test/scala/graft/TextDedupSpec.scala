@@ -428,6 +428,36 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!got.contains(4L)) // blank doc: no tokens, no row
   }
 
+  test("bm25: idf and tf saturation match the closed form; unmatched docs absent") {
+    // N=3, Σdl=6, avgdl=2; term "spark": df=2
+    val docs = Seq(
+      (1L, "spark spark fast"), // dl 3, tf 2
+      (2L, "slow table"),       // no match — absent from the result
+      (3L, "spark")             // dl 1, tf 1
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextStats.bm25(docs, "doc_id", "text", Seq("spark"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    def score(tf: Double, dl: Double): Double = {
+      val idf = math.log((3.0 - 2.0 + 0.5) / (2.0 + 0.5) + 1.0)
+      val comp = tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / 2.0))
+      BigDecimal(idf * comp).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.toSeq === Seq((1L, 1L, score(2, 3)), (3L, 1L, score(1, 1))))
+  }
+
+  test("noveltyFraction: first occurrence owns the shingle, repeats score zero") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // both 5-grams first seen here → 1.0
+      (2L, "a b c d e"),   // its one shingle already seen at doc 1 → 0.0
+      (3L, "z")            // short-doc fallback shingle, novel → 1.0
+    ).toDF("doc_id", "text")
+    val out = graft.text.Dedup.noveltyFraction(docs, "doc_id", "text", 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 2L, 1.0), (2L, 1L, 0L, 0.0),
+      (3L, 1L, 1L, 1.0)))
+  }
+
   test("corpusOverlap: slice-vocabulary jaccard, empty intersections absent") {
     // A: shingles {"a b c d e","b c d e f"}; B: {"a b c d e"} (short-doc
     // fallback at exactly 5 tokens is NOT taken — one full shingle);
