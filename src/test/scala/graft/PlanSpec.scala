@@ -380,6 +380,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q166: PQ codebook and distance table broadcast — never a cartesian or sort-merge") {
+    // assignment join (s = cs) and ADC join (s, code) must ride the
+    // broadcast of the nSub·nCodes frames; the vector side never
+    // shuffles for a join
+    val p = plan("q166_pq_adc")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q167: corpus overlap is a shingle equi-join; slice sizes broadcast") {
+    val p = plan("q167_corpus_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    spark.catalog.clearCache() // the operator persists the slice sets
+  }
+
+  test("q169: novelty is window + agg on one shingle axis — no join at all") {
+    val p = plan("q169_novelty")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q171: rolling beta joins the broadcast market frame — ticks shuffle only to aggregate") {
+    val p = plan("q171_rolling_beta")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("date-partitioned tables prune untouched partitions at the scan") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_prune").toString + "/t"
