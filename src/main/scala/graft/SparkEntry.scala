@@ -105,6 +105,15 @@ object SparkEntry {
       path
     })
 
+  private val jsonlCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def jsonlEventsFor(s: SparkSession, dir: String): String =
+    jsonlCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/events"
+      graft.engine.Layout.writeJsonl(
+        Tables.load(s, dir, "events").select("event_type", "value", "user_id"), path)
+      path
+    })
+
   /** Flagship: the full medallion pipeline (Bronze enrich → Silver dedup →
     * Gold per-day top-10 stats) over `events`. Driver smoke-checks rows>0
     * on sf0.001.
@@ -989,6 +998,22 @@ object SparkEntry {
       Media.phashBandedPairs(s,
           Media.imageHashTable(s, t(s, dir, "documents"), "doc_id"))
         .orderBy("id_a", "id_b")
+    }),
+
+    "q173_jsonl_roundtrip" -> ((s, dir) => {
+      // interchange-format fidelity gate: parquet → JSON-lines (once
+      // per JVM) → inferred-schema scan → aggregate; the oracle
+      // aggregates the parquet original, so a hash match proves the
+      // jsonl write+infer+scan loses nothing — including null-field
+      // omission (n_priced counts the survivors)
+      Ingest.fromJsonDir(s, jsonlEventsFor(s, dir))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 6)
+            .as("total_value"),
+          count_distinct(col("user_id")).as("n_users"),
+          count(col("value")).as("n_priced"))
+        .orderBy("event_type")
     }),
 
     "q172_instrument_profile" -> ((s, dir) => {
@@ -3366,6 +3391,16 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // the oracle aggregates the parquet table DIRECTLY (q87 pattern) —
+    // a hash match proves the jsonl write+infer+scan loses nothing
+    "q173_jsonl_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS total_value,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(value) AS BIGINT) AS n_priced
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the q98 beta arithmetic inside a 10-row trailing window: same
     // 9-dp bucket means, same power-sum quotient, warm-up rows NULL

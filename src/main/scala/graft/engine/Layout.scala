@@ -257,6 +257,20 @@ object Layout {
       .orc(path)
   }
 
+  /** JSON-lines sink (optionally partitioned) — the interchange format
+    * LLM-corpus tooling actually exchanges (one JSON object per line;
+    * null fields are OMITTED, Spark's json convention). Doubles print
+    * shortest-round-trip, so a read-back with schema inference
+    * ([[graft.ops.Ingest.fromJsonDir]]) is value-identical — q173
+    * proves it against the DuckDB oracle on the parquet original.
+    */
+  def writeJsonl(df: DataFrame, path: String,
+                 partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .json(path)
+  }
+
   /** K4: single-file CSV export with header — `coalesce(1)` write + rename
     * of the part file (the executor-side equivalent of the reference's
     * driver-side `toPandas().to_csv`, which would OOM the driver at scale).

@@ -156,6 +156,17 @@ object Ingest {
   def fromOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** JSON-lines directory scan with schema inference — [[fromJson]]'s
+    * S7 inference applied to a written corpus directory (the write half
+    * is [[graft.engine.Layout.writeJsonl]]). Inference costs one extra
+    * pass over the files; production readers at 100 TB pass an explicit
+    * schema via `spark.read.schema(...).json` — this entry point is the
+    * schema-discovery convenience the reference's JSON ingestion
+    * implies, and q173 gates its fidelity.
+    */
+  def fromJsonDir(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
   /** Seeded per-stratum sampling (training-data curation: down-weight
     * over-represented sources). `fractions` maps stratum value → keep
     * fraction; strata absent from the map are dropped. Map-side only —
