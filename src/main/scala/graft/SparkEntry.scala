@@ -1000,6 +1000,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q174_token_pmi" -> ((s, dir) => {
+      // collocation mining: top-50 doc-level PMI pairs over the top-50
+      // vocabulary, pairs with >= 5 co-occurring docs — vocab broadcast,
+      // doc-keyed pair join, TakeOrdered final
+      text.TextStats.tokenPmi(t(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 50, minPairDocs = 5L, topK = 50)
+    }),
+
     "q173_jsonl_roundtrip" -> ((s, dir) => {
       // interchange-format fidelity gate: parquet → JSON-lines (once
       // per JVM) → inferred-schema scan → aggregate; the oracle
@@ -3391,6 +3399,38 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // PMI over distinct-doc counts with the same vocab cut (freq desc,
+    // token asc) and the Scala division order; deterministic tie-broken
+    // top-k on the rounded pmi
+    "q174_token_pmi" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT doc_id, unnest(w) AS token FROM toks0)
+        |  WHERE token <> ''),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(*) AS f FROM tok GROUP BY token)
+        |  ORDER BY f DESC, token ASC LIMIT 50),
+        |dt AS (SELECT DISTINCT doc_id, token FROM tok JOIN vocab USING (token)),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt),
+        |ct AS (SELECT token, COUNT(*) AS c FROM dt GROUP BY token),
+        |pr AS (
+        |  SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS c_ab
+        |  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT token_a, token_b, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST(ca.c AS BIGINT) AS c_a, CAST(cb.c AS BIGINT) AS c_b,
+        |  round(ln((CAST(n_docs AS DOUBLE) * c_ab)
+        |    / (CAST(ca.c AS DOUBLE) * cb.c)), 6) AS pmi
+        |FROM pr JOIN ct ca ON ca.token = token_a
+        |JOIN ct cb ON cb.token = token_b
+        |CROSS JOIN nd
+        |ORDER BY pmi DESC, token_a ASC, token_b ASC LIMIT 50""".stripMargin,
 
     // the oracle aggregates the parquet table DIRECTLY (q87 pattern) —
     // a hash match proves the jsonl write+infer+scan loses nothing

@@ -436,6 +436,63 @@ object TextStats {
         .filter(col("freq") >= minCount)
   }
 
+  /** Document-level token PMI: for every pair of vocabulary tokens,
+    * the pointwise mutual information of their DOC co-occurrence —
+    * pmi(a,b) = ln(N·c(a,b) / (c(a)·c(b))) over distinct-doc counts
+    * (Church & Hanks 1990) — the collocation/association signal behind
+    * phrase mining and topic-drift diagnostics. Reported for the topK
+    * highest-PMI pairs with c(a,b) ≥ `minPairDocs` (rare-pair PMI is
+    * noise by construction).
+    *
+    * Scale posture: doc-level pair counting is quadratic in DISTINCT
+    * VOCAB TOKENS PER DOC, so the operator first cuts the vocabulary
+    * to the top `vocabSize` corpus tokens (the [[vocabCoverage]] cut:
+    * frequency desc, token asc — broadcast) and refuses vocabSize
+    * above 1000: the per-doc pair fanout is then ≤ V²/2 ≈ 500k rows
+    * per doc worst-case, collapsed by map-side partials before the
+    * (a, b) shuffle. The pair join is doc-keyed equi — never a
+    * cartesian. Final ranking is a TakeOrderedAndProject on the
+    * aggregate-sized pair frame.
+    */
+  def tokenPmi(df: DataFrame, idCol: String, textCol: String,
+               vocabSize: Int, minPairDocs: Long, topK: Int): DataFrame = {
+    require(vocabSize >= 2 && vocabSize <= 1000,
+      s"vocabSize must be in [2, 1000] (per-doc pair fanout is V²), " +
+        s"got $vocabSize")
+    require(minPairDocs >= 1 && topK >= 1,
+      s"minPairDocs/topK must be positive, got $minPairDocs/$topK")
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("_f"))
+      .orderBy(col("_f").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"))
+    val dt = toks.join(broadcast(vocab), Seq("token"))
+      .select(col("doc_id"), col("token")).distinct().persist()
+    val nDocs = dt.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val ct = dt.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val a = dt.select(col("doc_id"), col("token").as("token_a"))
+    val b = dt.select(col("doc_id"), col("token").as("token_b"))
+    def d(c: Column) = c.cast("double")
+    a.join(b, Seq("doc_id"))
+      .filter(col("token_a") < col("token_b"))
+      .groupBy(col("token_a"), col("token_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairDocs)
+      .join(broadcast(ct.select(col("token").as("token_a"),
+        col("c").as("c_a"))), Seq("token_a"))
+      .join(broadcast(ct.select(col("token").as("token_b"),
+        col("c").as("c_b"))), Seq("token_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("token_a"), col("token_b"), col("c_ab"), col("c_a"),
+        col("c_b"),
+        round(log((d(col("n_docs")) * d(col("c_ab"))) /
+          (d(col("c_a")) * d(col("c_b")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("token_a").asc, col("token_b").asc)
+      .limit(topK)
+  }
+
   /** Okapi BM25 relevance of every document for a fixed bag of query
     * terms (Robertson et al., TREC-3; the `+1` idf form Lucene ships so
     * common terms cannot score negative):

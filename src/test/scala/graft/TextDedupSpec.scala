@@ -446,6 +446,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 1L, score(2, 3)), (3L, 1L, score(1, 1))))
   }
 
+  test("tokenPmi: doc-level co-occurrence counts, tie-broken top-k, fanout guard") {
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "w"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextStats.tokenPmi(docs, "doc_id", "text",
+        vocabSize = 10, minPairDocs = 1L, topK = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    def p(n: Double, cab: Double, ca: Double, cb: Double) =
+      BigDecimal(math.log((n * cab) / (ca * cb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // pmi(x,y) = ln(4·2/(3·2)) and pmi(x,z) = ln(4·1/(3·1)) are EQUAL —
+    // the tie resolves on (token_a, token_b)
+    assert(out.toSeq === Seq(
+      ("x", "y", 2L, 3L, 2L, p(4, 2, 3, 2)),
+      ("x", "z", 1L, 3L, 1L, p(4, 1, 3, 1))))
+    val e = intercept[IllegalArgumentException] {
+      graft.text.TextStats.tokenPmi(docs, "doc_id", "text", 1001, 1L, 10)
+    }
+    assert(e.getMessage.contains("vocabSize"))
+    spark.catalog.clearCache()
+  }
+
   test("noveltyFraction: first occurrence owns the shingle, repeats score zero") {
     val docs = Seq(
       (1L, "a b c d e f"), // both 5-grams first seen here → 1.0
