@@ -103,7 +103,18 @@ object DevPlans {
         "anywhere in the composition), the union graph walks through " +
         "the hybrid CC dispatch, and keep/split are map-only functions " +
         "of the unified cluster id — so the whole manifest adds no " +
-        "quadratic surface over its parts."))
+        "quadratic surface over its parts."),
+    "q166_pq_adc" ->
+      ("PQ/ADC search: the codebook and the query distance table " +
+        "(nSub·nCodes rows each) BroadcastHashJoin onto the vector " +
+        "stream; assignment explodes map-side and collapses in a " +
+        "partial-agg argmin before the (id, s) shuffle — the corpus " +
+        "is read once and never shuffles for a join."),
+    "q169_novelty" ->
+      ("Shingle novelty has NO join at all: first-seen = min(doc) " +
+        "over the shingle partition and the per-doc re-aggregation " +
+        "ride one shingle-keyed Exchange then one doc-keyed Exchange " +
+        "— the inverted-index shape with zero pair space."))
 
   def main(args: Array[String]): Unit = {
     val spark = engine.Sessions.tune(

@@ -1000,6 +1000,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q176_corwin_schultz" -> ((s, dir) => {
+      // quote-free bid-ask spread from daily ranges (Corwin–Schultz):
+      // consecutive-bar pairs over the q59 bars, negative-to-zero
+      // correction, neg_pairs as the paper's diagnostic
+      Risk.corwinSchultz(t(s, dir, "events").filter(col("value").isNotNull),
+          "event_type", to_date(col("ts")), Seq(col("ts"), col("event_id")),
+          "value")
+        .orderBy("event_type")
+    }),
+
+    "q175_ann_recall" -> ((s, dir) => {
+      // index-quality gate: recall@10 of the PQ/ADC scan vs the exact
+      // cosine scan for the probe vector — the oracle splices both
+      // component queries' own SQL (the q172 composition discipline)
+      Similarity.annRecall(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0L, 10)
+    }),
+
     "q174_token_pmi" -> ((s, dir) => {
       // collocation mining: top-50 doc-level PMI pairs over the top-50
       // vocabulary, pairs with >= 5 co-occurring docs — vocab broadcast,
@@ -2311,7 +2329,13 @@ object SparkEntry {
         |  q_stat, max_drawdown
         |FROM sh JOIN rv USING (event_type) JOIN hu USING (event_type)
         |JOIN lb USING (event_type) JOIN dd USING (event_type)
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin) +
+    ("q175_ann_recall" ->
+      s"""WITH ex AS ${block("q40_cosine_topk")},
+        |ap AS ${block("q166_pq_adc")}
+        |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+        |  CAST(COUNT(*) AS DOUBLE) / 10 AS recall
+        |FROM ex JOIN ap USING (vec_id)""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
@@ -3399,6 +3423,46 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // q59's bar construction, then the Corwin–Schultz chain in the
+    // Scala operation order: per-pair raw spread fixed at 12 dp
+    // (post-correction), exact decimal mean
+    "q176_corwin_schultz" ->
+      """WITH ticks AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS bar, value
+        |  FROM events WHERE value IS NOT NULL),
+        |bars AS (
+        |  SELECT event_type, bar, MAX(value) AS high, MIN(value) AS low
+        |  FROM ticks GROUP BY event_type, bar),
+        |p AS (
+        |  SELECT event_type, high, low,
+        |    lag(high) OVER w AS ph, lag(low) OVER w AS pl
+        |  FROM bars WHERE low > 0
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bar ASC)),
+        |q AS (
+        |  SELECT event_type,
+        |    ln(ph/pl) AS x1, ln(high/low) AS x0,
+        |    ln(greatest(ph, high) / least(pl, low)) AS gg
+        |  FROM p WHERE ph IS NOT NULL),
+        |a AS (
+        |  SELECT event_type,
+        |    (sqrt(2.0*(x1*x1 + x0*x0)) - sqrt(x1*x1 + x0*x0))
+        |      / (3.0 - 2.0*sqrt(2.0))
+        |      - sqrt((gg*gg) / (3.0 - 2.0*sqrt(2.0))) AS al
+        |  FROM q),
+        |e AS (
+        |  SELECT event_type,
+        |    2.0*(exp(al)-1.0)/(1.0+exp(al)) AS sraw
+        |  FROM a),
+        |f AS (
+        |  SELECT event_type,
+        |    CAST(round(greatest(sraw, 0.0), 12) AS DECIMAL(28,12)) AS s,
+        |    CASE WHEN sraw < 0 THEN 1 ELSE 0 END AS neg
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n_pairs,
+        |  round(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS cs_spread,
+        |  CAST(SUM(neg) AS BIGINT) AS neg_pairs
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // PMI over distinct-doc counts with the same vocab cut (freq desc,
     // token asc) and the Scala division order; deterministic tie-broken

@@ -876,6 +876,58 @@ object Risk {
         col("q_stat"), col("max_drawdown"))
   }
 
+  /** Corwin–Schultz (2012) high–low spread estimator per instrument:
+    * from each consecutive-bar pair,
+    *   β = ln(H₁/L₁)² + ln(H₂/L₂)²,  γ = ln(max(H)/min(L))²,
+    *   α = (√(2β) − √β)/(3 − 2√2) − √(γ/(3 − 2√2)),
+    *   S = 2(eᵅ − 1)/(1 + eᵅ)
+    * — the bid-ask spread inferred from ranges alone (no quote data),
+    * the liquidity complement to [[rollSpread]]'s covariance estimator.
+    * Reported as the per-key mean over pairs with the standard
+    * negative-to-zero correction, plus `neg_pairs` (how often the raw
+    * estimate went negative — the diagnostic the paper reports).
+    *
+    * Numerics: the q163 discipline — bars from the shared
+    * deterministic [[Stats.ohlcBars]], per-pair doubles in one pinned
+    * operation order fixed to the 12-dp grid, exact decimal mean,
+    * 6-dp presentation. Bars with non-positive lows drop (log domain).
+    *
+    * Plan/scale: tick→bar reduction once, then ONE key-partitioned
+    * lag over the calendar-bounded bar frame and a keyed agg riding
+    * the same clustering.
+    */
+  def corwinSchultz(df: DataFrame, keyCol: String, barCol: Column,
+                    tsOrder: Seq[Column], valueCol: String): DataFrame = {
+    val bars = Stats.ohlcBars(df, Seq(keyCol), barCol, tsOrder, valueCol)
+      .filter(col("low") > 0)
+      .select(col(keyCol), col("bar"), col("high"), col("low"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bar").asc)
+    def dd(c: Column) = c.cast("double")
+    val h0 = dd(col("high")); val l0 = dd(col("low"))
+    val h1 = dd(col("_ph")); val l1 = dd(col("_pl"))
+    val lr1 = log(h1 / l1); val lr0 = log(h0 / l0)
+    val beta = lr1 * lr1 + lr0 * lr0
+    val g = log(greatest(h1, h0) / least(l1, l0))
+    val gamma = g * g
+    val den = lit(3.0 - 2.0 * math.sqrt(2.0))
+    val alpha = (sqrt(lit(2.0) * beta) - sqrt(beta)) / den -
+      sqrt(gamma / den)
+    val sRaw = lit(2.0) * (exp(alpha) - lit(1.0)) / (lit(1.0) + exp(alpha))
+    bars
+      .withColumn("_ph", lag(col("high"), 1).over(w))
+      .withColumn("_pl", lag(col("low"), 1).over(w))
+      .filter(col("_ph").isNotNull)
+      .select(col(keyCol),
+        round(greatest(sRaw, lit(0.0)), 12).cast(DecimalType(28, 12))
+          .as("_s"),
+        when(sRaw < 0, 1L).otherwise(0L).as("_neg"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("_s")).cast("double") / count(lit(1)), 6)
+          .as("cs_spread"),
+        sum(col("_neg")).as("neg_pairs"))
+  }
+
   /** Hurst exponent per instrument by the aggregated-variance method:
     * for each block size m ∈ `scales`, sum the tick-return series into
     * non-overlapping m-blocks and take the population variance of the

@@ -744,6 +744,31 @@ object Similarity {
       idName = idCol)
   }
 
+  /** Index-quality gate: recall@k of the PQ/ADC scan ([[pqTopK]])
+    * against the exact cosine scan ([[cosineTopK]]) for one probe —
+    * the number every ANN deployment watches before trusting an index
+    * (a PQ configuration whose recall drifts under data growth needs
+    * more codewords or a rerank stage). One row: k, overlap, recall
+    * (unrounded exact-integer quotient). The oracle splices both
+    * component queries' own SQL, so the gate certifies the
+    * composition, not a re-derivation.
+    *
+    * Note the two scans rank by DIFFERENT geometries (cosine vs L2² on
+    * quantized codes) — recall is exactly the overlap a user of the
+    * approximate index experiences, not a same-metric tautology.
+    */
+  def annRecall(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int): DataFrame = {
+    val exact = cosineTopK(emb, idCol, vecCol, queryId, k)
+      .select(col(idCol))
+    val approx = pqTopK(emb, idCol, vecCol, queryId, k)
+      .select(col(idCol))
+    exact.join(approx, Seq(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k).as("k"), col("n_overlap"),
+        (col("n_overlap") / lit(k)).as("recall"))
+  }
+
   /** Product-quantization ADC (asymmetric distance computation) top-k:
     * split the d-dim space into `nSub` subspaces, quantize every
     * vector to its nearest codeword per subspace, and rank candidates

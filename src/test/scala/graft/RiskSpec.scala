@@ -483,6 +483,35 @@ class RiskSpec extends AnyFunSuite {
     assert(r.getAs[Double]("hurst") === 1.0)
   }
 
+  test("corwinSchultz: zero-range days give zero spread; known pair matches the closed form") {
+    // key Z: two days with H = L ⇒ β = γ = 0 ⇒ α = 0 ⇒ S = 0
+    val z = Seq(
+      ("Z", ts("2024-01-01 10:00:00"), 1L, 5.0),
+      ("Z", ts("2024-01-02 10:00:00"), 2L, 5.0))
+    // key A: day1 (H 102, L 100), day2 (H 103, L 99)
+    val a = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 3L, 100.0),
+      ("A", ts("2024-01-01 11:00:00"), 4L, 102.0),
+      ("A", ts("2024-01-02 10:00:00"), 5L, 99.0),
+      ("A", ts("2024-01-02 11:00:00"), 6L, 103.0))
+    val out = Risk.corwinSchultz((z ++ a).toDF("k", "t", "id", "v"),
+        "k", to_date(col("t")), Seq(col("t"), col("id")), "v")
+      .orderBy("k").as[(String, Long, Double, Long)].collect()
+    val x1 = math.log(102.0 / 100.0); val x0 = math.log(103.0 / 99.0)
+    val beta = x1 * x1 + x0 * x0
+    val g = math.log(103.0 / 99.0); val gamma = g * g
+    val den = 3.0 - 2.0 * math.sqrt(2.0)
+    val al = (math.sqrt(2.0 * beta) - math.sqrt(beta)) / den -
+      math.sqrt(gamma / den)
+    val sRaw = 2.0 * (math.exp(al) - 1.0) / (1.0 + math.exp(al))
+    def fix(x: Double) =
+      BigDecimal(math.max(x, 0.0)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq === Seq(
+      ("A", 1L, fix(sRaw), if (sRaw < 0) 1L else 0L),
+      ("Z", 1L, 0.0, 0L)))
+  }
+
   test("instrumentProfile: every column equals its source operator's own output") {
     import graft.ops.Stats
     val prof = Risk.instrumentProfile(tickFixture, "k",

@@ -47,6 +47,22 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((4L, 0.0), (2L, 1.0), (3L, 1.0), (1L, 2.0)))
   }
 
+  test("annRecall: recall 1.0 when every vector is its own codeword (unit norms)") {
+    // unit vectors make L2² = 2 − 2cos, so PQ's L2 ranking equals the
+    // exact cosine ranking; nCodes >= n makes quantization lossless —
+    // the gate must then read a perfect overlap
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),
+      (4L, Seq(0.6f, 0.8f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.annRecall(df, "vec_id", "embedding", 0L, 4)
+      .as[(Int, Long, Double)].collect().head
+    assert(r === ((4, 4L, 1.0)))
+  }
+
   test("ivf search returns k rows and finds the exact top-1 on testdata") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
