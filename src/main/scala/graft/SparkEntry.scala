@@ -1013,7 +1013,12 @@ object SparkEntry {
     "q175_ann_recall" -> ((s, dir) => {
       // index-quality gate: recall@10 of the PQ/ADC scan vs the exact
       // cosine scan for the probe vector — the oracle splices both
-      // component queries' own SQL (the q172 composition discipline)
+      // component queries' own SQL (the q172 composition discipline).
+      // On this corpus the sample-init 16-codeword PQ reads 0.1 — an
+      // HONEST number (isotropic synthetic embeddings are PQ's worst
+      // case at this code budget); the gate exists to surface exactly
+      // that before an index ships. kmeansCentroids-refined codebooks
+      // are the quality lever (pqTopK scaladoc).
       Similarity.annRecall(t(s, dir, "embeddings"), "vec_id", "embedding",
         0L, 10)
     }),
