@@ -105,6 +105,18 @@ object SparkEntry {
       path
     })
 
+  private val csvCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def csvBarsFor(s: SparkSession, dir: String): String =
+    csvCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/bars.csv"
+      graft.engine.Layout.singleCsv(
+        graft.ops.Stats.ohlcBars(
+          Tables.load(s, dir, "events").filter(col("value").isNotNull),
+          Seq("event_type"), to_date(col("ts")),
+          Seq(col("ts"), col("event_id")), "value"), path)
+      path
+    })
+
   private val jsonlCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def jsonlEventsFor(s: SparkSession, dir: String): String =
     jsonlCache.getOrElseUpdate(dir, {
@@ -998,6 +1010,38 @@ object SparkEntry {
       Media.phashBandedPairs(s,
           Media.imageHashTable(s, t(s, dir, "documents"), "doc_id"))
         .orderBy("id_a", "id_b")
+    }),
+
+    "q178_gopher_rules" -> ((s, dir) => {
+      // the standard named-threshold quality gate (Gopher rule family):
+      // per-doc verdicts in exact integer arithmetic, map-only
+      text.Curation.gopherFilter(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q177_csv_roundtrip" -> ((s, dir) => {
+      // K4 export fidelity gate: the q59 bar frame through the REAL
+      // single-file CSV export (coalesce + rename) and the PERMISSIVE
+      // explicit-schema reader, then re-aggregated — the oracle
+      // recomputes from parquet, so a hash match proves the CSV text
+      // round-trips doubles/dates losslessly; n_corrupt pins a clean
+      // parse through the quarantine column
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_type", StringType), StructField("bar", DateType),
+        StructField("open", DoubleType), StructField("high", DoubleType),
+        StructField("low", DoubleType), StructField("close", DoubleType),
+        StructField("volume", DoubleType), StructField("n_ticks", LongType)))
+      Ingest.fromCsv(s, csvBarsFor(s, dir), schema)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_bars"),
+          round(sum(col("volume").cast(DecimalType(18, 2))).cast("double"), 2)
+            .as("total_volume"),
+          round(max(col("high")), 6).as("max_high"),
+          round(min(col("low")), 6).as("min_low"),
+          sum(col("n_ticks")).as("sum_ticks"),
+          count(col("_corrupt_record")).as("n_corrupt"))
+        .orderBy("event_type")
     }),
 
     "q176_corwin_schultz" -> ((s, dir) => {
@@ -3428,6 +3472,77 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // every ratio rule recomputed as the SAME exact integer
+    // inequality (3n <= sumlen <= 10n etc.) — no float thresholds
+    "q178_gopher_rules" ->
+      """WITH tw AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(
+        |      trim(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |      t -> t <> '') AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(w,
+        |      t -> CAST(length(t) AS BIGINT))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(w,
+        |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(w,
+        |      t -> t IN ('#', '...', '…'))) AS BIGINT) AS n_sym,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %'))
+        |      AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS n_ell,
+        |    CAST(len(list_intersect(list_distinct(w),
+        |      ['the','be','to','of','and','that','have','with','a','in']))
+        |      AS BIGINT) AS n_stop
+        |  FROM tw),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    n_words >= 50 AND n_words <= 100000 AS len_ok,
+        |    n_words > 0 AND 3 * n_words <= sum_len
+        |      AND sum_len <= 10 * n_words AS word_len_ok,
+        |    10 * n_sym <= n_words AS symbol_ok,
+        |    5 * n_alpha >= 4 * n_words AS alpha_ok,
+        |    10 * n_bullet <= 9 * n_lines AS bullet_ok,
+        |    10 * n_ell <= 3 * n_lines AS ellipsis_ok,
+        |    n_stop >= 2 AS stopword_ok
+        |  FROM st)
+        |SELECT doc_id, n_words, len_ok, word_len_ok, symbol_ok, alpha_ok,
+        |  bullet_ok, ellipsis_ok, stopword_ok,
+        |  len_ok AND word_len_ok AND symbol_ok AND alpha_ok AND bullet_ok
+        |    AND ellipsis_ok AND stopword_ok AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // aggregates the q59 bar construction DIRECTLY from parquet; a
+    // hash match proves the CSV export+parse chain loses nothing
+    "q177_csv_roundtrip" ->
+      """WITH ticks AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS bar, value,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts ASC, event_id ASC) AS rn_first,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_last
+        |  FROM events WHERE value IS NOT NULL),
+        |bars AS (
+        |  SELECT event_type, bar,
+        |    MAX(value) AS high, MIN(value) AS low,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |      AS volume,
+        |    COUNT(*) AS n_ticks
+        |  FROM ticks GROUP BY event_type, bar)
+        |SELECT event_type, COUNT(*) AS n_bars,
+        |  round(CAST(SUM(CAST(volume AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_volume,
+        |  round(MAX(high), 6) AS max_high,
+        |  round(MIN(low), 6) AS min_low,
+        |  CAST(SUM(n_ticks) AS BIGINT) AS sum_ticks,
+        |  CAST(0 AS BIGINT) AS n_corrupt
+        |FROM bars GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // q59's bar construction, then the Corwin–Schultz chain in the
     // Scala operation order: per-pair raw spread fixed at 12 dp

@@ -237,6 +237,65 @@ object Curation {
       .drop("_h")
   }
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021, §A1.1 —
+    * the rule family MassiveText shipped and C4/RefinedWeb variants
+    * reuse): per document,
+    *   len_ok       minWords ≤ words ≤ maxWords
+    *   word_len_ok  mean word length ∈ [3, 10]
+    *   symbol_ok    symbol-token ("#", "...", "…") share ≤ 0.1
+    *   alpha_ok     ≥ 0.8 of words contain a letter
+    *   bullet_ok    ≤ 0.9 of lines start with a bullet
+    *   ellipsis_ok  ≤ 0.3 of lines end with an ellipsis
+    *   stopword_ok  ≥ 2 distinct common stopwords present
+    * and `keep` = all of them. Complements [[graft.text.TextStats]]'s
+    * continuous quality SCORES with the standard named thresholds a
+    * curation pipeline actually gates on.
+    *
+    * Every ratio rule is evaluated in EXACT integer arithmetic
+    * (e.g. mean-length ∈ [3,10] ⇔ 3·n ≤ Σlen ≤ 10·n), so the verdicts
+    * are bit-identical on any engine — no float thresholds to drift.
+    * Pure column expressions over one projection: map-only, fused into
+    * the scan at any scale.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val stop = Array("the", "be", "to", "of", "and", "that", "have",
+      "with", "a", "in")
+    val toks = filter(TextStats.tokens(col(textCol)), t => t =!= lit(""))
+    val lines = split(col(textCol), "\n", -1)
+    df.select(col(idCol), col(textCol),
+        size(toks).cast("long").as("_nw"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+          .as("_sumlen"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+          .as("_nalpha"),
+        size(filter(toks, t => t.isin("#", "...", "…"))).cast("long")
+          .as("_nsym"),
+        size(lines).cast("long").as("_nlines"),
+        size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ") ||
+          l.startsWith("• "))).cast("long").as("_nbullet"),
+        size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+          .cast("long").as("_nell"),
+        size(array_intersect(array_distinct(toks),
+          lit(stop))).cast("long").as("_nstop"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        col("_nw").as("n_words"),
+        (col("_nw") >= minWords && col("_nw") <= maxWords).as("len_ok"),
+        (col("_nw") > 0 && lit(3L) * col("_nw") <= col("_sumlen") &&
+          col("_sumlen") <= lit(10L) * col("_nw")).as("word_len_ok"),
+        (lit(10L) * col("_nsym") <= col("_nw")).as("symbol_ok"),
+        (lit(5L) * col("_nalpha") >= lit(4L) * col("_nw")).as("alpha_ok"),
+        (lit(10L) * col("_nbullet") <= lit(9L) * col("_nlines"))
+          .as("bullet_ok"),
+        (lit(10L) * col("_nell") <= lit(3L) * col("_nlines"))
+          .as("ellipsis_ok"),
+        (col("_nstop") >= 2L).as("stopword_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("word_len_ok") && col("symbol_ok") &&
+        col("alpha_ok") && col("bullet_ok") && col("ellipsis_ok") &&
+        col("stopword_ok"))
+  }
+
   /** Stratified sampling with Neyman (optimal) allocation: a fixed
     * total budget `totalN` splits across strata proportionally to
     * n_s·σ_s — stratum size times the population stddev of `sizeCol` —

@@ -387,6 +387,25 @@ class CurationSpec extends AnyFunSuite {
     assert(TextStats.heavyHitters(rows.limit(0), array(col("tok")), 5L).count() === 0L)
   }
 
+  test("gopherFilter: each named rule fires on its crafted violation") {
+    val good = "the a " + Seq.fill(58)("data").mkString(" ") // 60 words
+    val docs = Seq(
+      (1L, good),                                  // passes every rule
+      (2L, "the a data"),                          // too short
+      (3L, Seq.fill(10)("- the item").mkString("\n")), // all-bullet lines
+      (4L, "5 7 9")                                // no alphabetic words
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("len_ok") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("bullet_ok"))
+    assert(!out(4L).getAs[Boolean]("alpha_ok"))
+    // mean word length of doc 1: 3+1+58·4 = 236 ∈ [3·60, 10·60]
+    assert(out(1L).getAs[Boolean]("word_len_ok"))
+    assert(out(1L).getAs[Long]("n_words") === 60L)
+  }
+
   test("neymanSample: n·σ allocation, largest-remainder, quota caps at stratum size") {
     // A: {0,10} n=2 σ=5 w=10; B: {7,7,7} σ=0 w=0; C: {1,3} σ=1 w=2
     // N=5 ⇒ ideals A 25/6≈4.167, B 0, C 5/6≈0.833 ⇒ bases 4,0,0, one
