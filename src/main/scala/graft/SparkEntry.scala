@@ -1012,6 +1012,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q179_langid_accuracy" -> ((s, dir) => {
+      // curation QA meta-gate: confusion matrix of the n-gram language
+      // identifier (q34) against the corpus's ground-truth lang column
+      // — the accuracy a pipeline operator reads before trusting
+      // lang-routed filtering; oracle splices q34's own SQL. On this
+      // corpus the matrix shows the labels are DECORRELATED from the
+      // (English-function-word) text — every lang row predicts en or
+      // unknown — which is the verdict this gate exists to surface:
+      // don't route on these labels
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang").as("true_lang"))
+        .join(text.TextStats.langId(docs, "text")
+          .select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lang", "pred_lang")
+    }),
+
     "q178_gopher_rules" -> ((s, dir) => {
       // the standard named-threshold quality gate (Gopher rule family):
       // per-doc verdicts in exact integer arithmetic, map-only
@@ -2384,7 +2402,12 @@ object SparkEntry {
         |ap AS ${block("q166_pq_adc")}
         |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_overlap,
         |  CAST(COUNT(*) AS DOUBLE) / 10 AS recall
-        |FROM ex JOIN ap USING (vec_id)""".stripMargin)
+        |FROM ex JOIN ap USING (vec_id)""".stripMargin) +
+    ("q179_langid_accuracy" ->
+      s"""WITH p AS ${block("q34_lang_id")}
+        |SELECT d.lang AS true_lang, p.pred_lang, COUNT(*) AS n
+        |FROM documents d JOIN p USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
