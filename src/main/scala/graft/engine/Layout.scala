@@ -188,6 +188,32 @@ object Layout {
       .drop("_zkey")
   }
 
+  /** Two-column HILBERT clustering — [[zOrderCluster]] with the
+    * Hilbert key ([[graft.functions.HilbertIndex]]) in place of the
+    * Morton interleave: consecutive keys are always grid-adjacent, so
+    * the range-partitioned files carry tighter per-file bounding boxes
+    * than the Z-curve's quadrant-seam jumps allow (LayoutSpec measures
+    * both against a lexicographic sort on the same data). Same
+    * quantization pre-pass, same writer contract.
+    */
+  def hilbertCluster(df: DataFrame, c1: String, c2: String,
+                     targetPartitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.GraftColumn
+    val r = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    def quant(c: String, lo: Double, hi: Double) =
+      if (r.anyNull || hi <= lo) lit(0)
+      else ((col(c).cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0)).cast("int")
+    val hkey = GraftColumn(graft.functions.HilbertIndex(
+      GraftColumn.expr(quant(c1, r.getDouble(0), r.getDouble(1))),
+      GraftColumn.expr(quant(c2, r.getDouble(2), r.getDouble(3)))))
+    df.withColumn("_hkey", hkey)
+      .repartitionByRange(targetPartitions, col("_hkey"))
+      .sortWithinPartitions(col("_hkey"))
+      .drop("_hkey")
+  }
+
   /** Three-column exact Z-order clustering — the reference's Silver
     * Z-ORDER set is (symbol, current_price, market_cap). Numeric columns
     * are min/max-quantized to a 21-bit rank (range locality → min/max

@@ -331,3 +331,85 @@ case class InterleaveBits3(first: Expression, second: Expression, third: Express
       newFirst: Expression, newSecond: Expression, newThird: Expression): InterleaveBits3 =
     copy(first = newFirst, second = newSecond, third = newThird)
 }
+
+/** Hilbert-curve index of a 2-D cell on the 2¹⁶×2¹⁶ grid — the
+  * locality-tighter alternative to [[InterleaveBits]]'s Z-curve for
+  * multi-column clustering: CONSECUTIVE Hilbert keys are always
+  * grid-adjacent (|Δx|+|Δy| = 1; the Z-curve jumps across quadrant
+  * seams), so range-partitioned files get tighter per-file bounding
+  * boxes and parquet min/max stats prune harder on both dimensions
+  * (the curve Delta Lake OSS adopted alongside Z-order for the same
+  * reason). Standard quadrant-rotation walk (Hilbert 1891 via the
+  * common iterative xy→d form), 16 iterations — O(1) per row,
+  * codegen'd like its Morton sibling.
+  */
+case class HilbertIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == IntegerType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (int, int) inputs, " +
+        s"got ${left.dataType.sql} / ${right.dataType.sql}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "hilbert_key"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertIndex.xy2d(16, a.asInstanceOf[Int], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HilbertIndex.xy2d(16, $a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HilbertIndex =
+    copy(left = newLeft, right = newRight)
+}
+
+object HilbertIndex {
+  /** Hilbert distance of cell (x, y) on the 2^order grid; inputs are
+    * masked to the grid, so any int is safe.
+    */
+  def xy2d(order: Int, x0: Int, y0: Int): Long = {
+    val mask = (1 << order) - 1
+    var x = x0 & mask
+    var y = y0 & mask
+    var d = 0L
+    var s = 1 << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s.toLong * ((3 * rx) ^ ry)
+      if (ry == 0) { // rotate the quadrant so the walk stays continuous
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Inverse walk (d → cell) — used by the bijection/adjacency laws. */
+  def d2xy(order: Int, d0: Long): (Int, Int) = {
+    var rx = 0; var ry = 0
+    var x = 0; var y = 0
+    var t = d0
+    var s = 1
+    while (s < (1 << order)) {
+      rx = (1 & (t / 2)).toInt
+      ry = (1 & (t ^ rx)).toInt
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s <<= 1
+    }
+    (x, y)
+  }
+}

@@ -166,6 +166,65 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sortedWithin.forall(identity))
   }
 
+  test("hilbert index: bijection, unit-step adjacency (where Morton jumps), inverse round-trip") {
+    import graft.functions.HilbertIndex
+    val order = 5 // full 32×32 grid — exhaustive, not sampled
+    val n = 1 << order
+    val cells = for (x <- 0 until n; y <- 0 until n) yield (x, y)
+    val ds = cells.map { case (x, y) => HilbertIndex.xy2d(order, x, y) }
+    // bijection: the keys are exactly 0 .. n²−1
+    assert(ds.sorted === (0L until n.toLong * n).toVector.toSeq)
+    // inverse round-trip
+    cells.foreach { case (x, y) =>
+      assert(HilbertIndex.d2xy(order, HilbertIndex.xy2d(order, x, y)) === ((x, y)))
+    }
+    // the defining locality property: consecutive keys are GRID-ADJACENT
+    val byD = cells.zip(ds).sortBy(_._2).map(_._1)
+    val steps = byD.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) }.toVector
+    assert(steps.forall(_ === 1))
+    // Morton on the same grid DOES jump across quadrant seams — the
+    // comparison that motivates the Hilbert layout option
+    val byZ = cells.sortBy { case (x, y) => InterleaveBits.interleave(x, y) }
+    val zMax = byZ.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) }.max
+    assert(zMax > 1)
+  }
+
+  test("hilbertCluster preserves rows and yields tighter file bounding boxes than a lexicographic sort") {
+    import graft.functions.HilbertIndex
+    // uniform 64×64 grid of points, clustered into 16 files each way
+    val n = 4096
+    val df = spark.range(n.toLong).select(
+      (col("id") % 64).cast("int").as("x"),
+      (col("id") / 64).cast("int").as("y"))
+    val hil = Layout.hilbertCluster(df, "x", "y", targetPartitions = 16)
+    assert(hil.count() === n)
+    // per-output-partition bounding-box LONGEST SIDE: a selective
+    // predicate on either single column prunes a file iff the file's
+    // extent in that column misses it, so the worst-dimension extent
+    // is what min/max skipping pays for (areas tie here: lex boxes are
+    // 4×64, hilbert ~16×16 — same area, very different pruning)
+    def meanMaxDim(clustered: org.apache.spark.sql.DataFrame): Double = {
+      val dims = clustered
+        .withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+        .groupBy("p")
+        .agg((max(col("x")) - min(col("x")) + 1).as("w"),
+          (max(col("y")) - min(col("y")) + 1).as("h"))
+        .select(greatest(col("w"), col("h")).cast("double").as("m"))
+        .as[Double].collect()
+      dims.sum / dims.length
+    }
+    val lex = df.repartitionByRange(16, col("x"), col("y"))
+      .sortWithinPartitions(col("x"), col("y"))
+    val hilDim = meanMaxDim(hil)
+    val lexDim = meanMaxDim(lex)
+    // lexicographic files span the whole y range (64); hilbert files
+    // stay near-square (~16-24) — assert a 2× margin
+    assert(hilDim * 2 <= lexDim,
+      s"hilbert mean max-dim $hilDim not tighter than lexicographic $lexDim")
+  }
+
   test("3-column morton interleave round-trips bit positions") {
     assert(InterleaveBits.interleave3(1, 0, 0) === 1L)
     assert(InterleaveBits.interleave3(0, 1, 0) === 2L)
