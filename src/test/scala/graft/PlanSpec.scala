@@ -408,6 +408,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew-join enabled in Sessions.tune)") {
+    import spark.implicits._
+    // one key carries ~100k rows against a 4-row dimension; with the
+    // skew thresholds lowered to the fixture's scale, the executed
+    // adaptive plan must show the skewed shuffle read — the mechanism
+    // that absorbs hot keys at 100 TB without manual salting
+    val old = (
+      spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = spark.range(100000L)
+        .select(when(col("id") % 100 === 0, col("id") % 7).otherwise(lit(3L)).as("k"),
+          concat(lit("payload_"), col("id")).as("v"))
+      val dim = Seq((0L, "a"), (3L, "b"), (5L, "c"), (6L, "d")).toDF("k", "name")
+      val joined = big.join(dim.hint("shuffle_hash"), Seq("k"))
+      // collect() executes THIS frame's own plan (count() would plan a
+      // separate aggregate tree and leave this one unexecuted);
+      // 99000 hot-key rows + 571 of the 1000 spread rows match the dim
+      assert(joined.collect().length === 99571)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p)          // the join went skew-aware
+      assert(p.contains("skewed"), p)             // AQEShuffleRead ... skewed
+    } finally {
+      def restore(k: String, v: Option[String]) =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", old._1)
+      restore("spark.sql.adaptive.advisoryPartitionSizeInBytes", old._2)
+      restore("spark.sql.adaptive.autoBroadcastJoinThreshold", old._3)
+    }
+  }
+
   test("date-partitioned tables prune untouched partitions at the scan") {
     import spark.implicits._
     val t = Files.createTempDirectory("graft_prune").toString + "/t"
