@@ -1012,6 +1012,44 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q180_unpivot" -> ((s, dir) => {
+      // wide→long melt (the inverse of q27's pivot): four lineitem
+      // measures unpivot into (measure, value) rows — a map-only
+      // Expand, no shuffle before the aggregate
+      t(s, dir, "lineitem")
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .groupBy("measure")
+        .agg(count(col("value")).as("n"),
+          round(sum(col("value").cast(DecimalType(18, 6))).cast("double"), 6)
+            .as("total"))
+        .orderBy("measure")
+    }),
+
+    "q181_null_semantics" -> ((s, dir) => {
+      // null-handling semantics pinned: null-safe equality (<=>) vs
+      // plain = over adjacent tick pairs — the three-valued-logic
+      // corner every SQL engine must agree on
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("_pv", lag(col("value"), 1).over(w))
+        .withColumn("_has", lag(lit(1), 1).over(w))
+        .filter(col("_has").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("value") <=> col("_pv"), 1L).otherwise(0L))
+            .as("n_nullsafe_eq"),
+          sum(when(col("value") === col("_pv"), 1L).otherwise(0L))
+            .as("n_plain_eq"),
+          sum(when(col("value").isNull && col("_pv").isNull, 1L)
+            .otherwise(0L)).as("n_both_null"))
+        .orderBy("event_type")
+    }),
+
     "q179_langid_accuracy" -> ((s, dir) => {
       // curation QA meta-gate: confusion matrix of the n-gram language
       // identifier (q34) against the corpus's ground-truth lang column
@@ -3495,6 +3533,40 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // the melt recomputed as an explicit UNION ALL — proves Spark's
+    // unpivot Expand emits exactly those rows
+    "q180_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, COUNT(value) AS n,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS total
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
+
+    // <=> mirrors as IS NOT DISTINCT FROM; the plain = counts rely on
+    // CASE treating a NULL comparison as not-matched in both engines
+    "q181_null_semantics" ->
+      """WITH p AS (
+        |  SELECT event_type, value,
+        |    lag(value) OVER w AS pv, lag(1) OVER w AS has
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts ASC, event_id ASC))
+        |SELECT event_type, COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN value IS NOT DISTINCT FROM pv THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nullsafe_eq,
+        |  CAST(SUM(CASE WHEN value = pv THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_plain_eq,
+        |  CAST(SUM(CASE WHEN value IS NULL AND pv IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_both_null
+        |FROM p WHERE has IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // every ratio rule recomputed as the SAME exact integer
     // inequality (3n <= sumlen <= 10n etc.) — no float thresholds
