@@ -167,6 +167,19 @@ object DevAnalytics {
       ops.Risk.volCone(rv, "event_type", "bucket", "realized_variance",
         Seq(5, 10, 21))
     }
+    // round-8 session-2 battery: the econometrics tail
+    time("range_vol")(ops.Risk.rangeVolatility(ticks,
+      "event_type", minuteBucket, ord, "value"))
+    time("hurst")(ops.Risk.hurstExponent(ticks,
+      "event_type", ord, col("value")))
+    time("ljung_box")(ops.Stats.ljungBox(ticks,
+      "event_type", ord, col("value")))
+    time("rolling_beta")(ops.Stats.rollingBeta(ticks,
+      "event_type", minuteBucket, col("value"), 10))
+    time("corwin_schultz")(ops.Risk.corwinSchultz(ticks,
+      "event_type", minuteBucket, ord, "value"))
+    time("instr_profile")(ops.Risk.instrumentProfile(ticks,
+      "event_type", ord, "value", minuteBucket))
 
     // round-6 family: 19,900 pairs × 7 lags from the persisted
     // minute-mean return frame — ticks are scanned once for the whole

@@ -1012,6 +1012,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q182_asof_forward" -> ((s, dir) => {
+      // q22's as-of completed to the merge_asof surface: FORWARD
+      // direction with a 1-hour tolerance — for each purchase the next
+      // click within the hour, same one-shuffle union-window shape
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      Joins.asOfJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+          Seq(("value", "next_click_value")),
+          leftTiebreak = Some("event_id"), rightTiebreak = Some("event_id"),
+          direction = "forward", tolerance = Some(3600.0))
+        .select("event_id", "user_id", "value", "next_click_value")
+        .orderBy("event_id")
+    }),
+
     "q180_unpivot" -> ((s, dir) => {
       // wide→long melt (the inverse of q27's pivot): four lineitem
       // measures unpivot into (measure, value) rows — a map-only
@@ -3533,6 +3549,18 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // forward pick = earliest qualifying click; the tolerance filters
+    // candidates, which equals the operator's pick-then-cut because
+    // distance grows monotonically past the nearest row
+    "q182_asof_forward" ->
+      """SELECT p.event_id, p.user_id, p.value,
+        |  (SELECT c.value FROM events c
+        |   WHERE c.event_type = 'click' AND c.user_id = p.user_id
+        |     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+        |   ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS next_click_value
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
 
     // the melt recomputed as an explicit UNION ALL — proves Spark's
     // unpivot Expand emits exactly those rows

@@ -18,24 +18,39 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** As-of join: for each left row, attach `valueCols` from the latest
-    * right row with the same `keys` and right.ts <= left.ts (ties: the
-    * right row with greatest tiebreak wins; right rows at equal ts ARE
-    * visible to the left row).
+  /** As-of join: for each left row, attach `valueCols` from the
+    * nearest right row with the same `keys` on the chosen side of the
+    * timeline — `direction = "backward"` (default, the market-data
+    * convention): the LATEST right row with right.ts <= left.ts (ties:
+    * greatest tiebreak wins); `"forward"`: the EARLIEST right row with
+    * right.ts >= left.ts (ties: smallest tiebreak). Right rows at
+    * equal ts ARE visible to the left row in both directions.
+    * `tolerance` (same units as a double-cast of the ts column —
+    * seconds for timestamps, the column's own units for numeric ts)
+    * bounds the match's staleness: a right row farther than that
+    * yields NULL, exactly pandas `merge_asof`'s tolerance.
     *
-    * Implementation: tag and union both sides, then a single
-    * `last(value, ignoreNulls)` running window ordered by
-    * (ts, side, tiebreak) per key — right rows sort before left rows at
-    * equal ts. This is the scalable formulation: one hash shuffle on the
-    * key, one sort, zero row blowup, and it streams through Spark's
-    * window operator (rows-frame running last needs no buffering beyond
-    * the frame head).
+    * Implementation: tag and union both sides, then a single running
+    * `last(struct(ts, value), ignoreNulls)` window per value column,
+    * ordered (ts, side, tiebreak) in the direction's orientation —
+    * right rows sort before left rows at equal ts, and carrying the
+    * source ts in the struct lets the tolerance cut test the exact row
+    * that supplied each value. This is the scalable formulation: one
+    * hash shuffle on the key, one sort, ZERO row blowup (a naive
+    * inequality join builds left × right-per-key), and it streams
+    * through Spark's window operator.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
                valueCols: Seq[(String, String)], // (rightCol, outName)
                leftTiebreak: Option[String] = None,
-               rightTiebreak: Option[String] = None): DataFrame = {
+               rightTiebreak: Option[String] = None,
+               direction: String = "backward",
+               tolerance: Option[Double] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    require(tolerance.forall(_ >= 0), s"tolerance must be >= 0, got $tolerance")
+    val back = direction == "backward"
     val keyCols = keys.map(col)
     val tieL = leftTiebreak.map(col(_)).getOrElse(lit(0L))
     val tieR = rightTiebreak.map(col(_)).getOrElse(lit(0L))
@@ -54,13 +69,28 @@ object Joins {
     }.select(lCols.map(col): _*)
 
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("_ts").asc, col("_side").asc, col("_tie").asc)
+      .orderBy(
+        if (back) col("_ts").asc else col("_ts").desc,
+        col("_side").asc,
+        if (back) col("_tie").asc else col("_tie").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = valueCols.foldLeft(l.unionByName(rAligned)) { case (df, (_, out)) =>
-      df.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+      df.withColumn("_s_" + out,
+        last(when(col("_side") === 0 && col(out).isNotNull,
+          struct(col("_ts").as("t"), col(out).as("v"))), ignoreNulls = true)
+          .over(w))
     }
-    filled.filter(col("_side") === 1).drop("_ts", "_side", "_tie")
+    val cut = valueCols.foldLeft(filled) { case (df, (_, out)) =>
+      val s = col("_s_" + out)
+      val ok = tolerance match {
+        case None => s.isNotNull
+        case Some(tol) => s.isNotNull &&
+          abs(col("_ts").cast("double") - s.getField("t").cast("double")) <= tol
+      }
+      df.withColumn(out, when(ok, s.getField("v"))).drop("_s_" + out)
+    }
+    cut.filter(col("_side") === 1).drop("_ts", "_side", "_tie")
   }
 
   /** Range (interval) join: equi keys + a time-window predicate. The equi

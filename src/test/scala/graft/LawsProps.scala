@@ -67,6 +67,38 @@ object LawsProps extends Properties("graft.laws") {
         }
     }
 
+  property("asOfJoin: forward/backward with tolerance equal the brute-force nearest lookup") =
+    forAll(
+      Gen.listOfN(12, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 12L))),
+      Gen.listOfN(12, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 12L), Gen.choose(0.0, 9.0))),
+      Gen.oneOf("backward", "forward"),
+      Gen.option(Gen.choose(0, 4))) { (ls, rs, dir, tolRaw) =>
+      val tol = tolRaw.map(_.toDouble)
+      val left = ls.zipWithIndex.map { case ((u, ts), i) => (u, ts, i.toLong) }
+      val right = rs.zipWithIndex.map { case ((u, ts, v), i) => (u, ts, v, i.toLong) }
+      val got = Joins.asOfJoin(
+        left.toDF("user_id", "ts", "lid"),
+        right.toDF("user_id", "ts", "value", "rid"),
+        Seq("user_id"), "ts", "ts", Seq(("value", "asof_value")),
+        leftTiebreak = Some("lid"), rightTiebreak = Some("rid"),
+        direction = dir, tolerance = tol)
+        .select("lid", "asof_value")
+        .as[(Long, Option[Double])].collect().toMap
+      left.forall { case (u, lts, lid) =>
+        val candidates =
+          if (dir == "backward") right.filter(r => r._1 == u && r._2 <= lts)
+          else right.filter(r => r._1 == u && r._2 >= lts)
+        // backward: latest ts, greatest tiebreak; forward: earliest ts,
+        // smallest tiebreak
+        val pick =
+          if (dir == "backward") candidates.sortBy(r => (r._2, r._4)).lastOption
+          else candidates.sortBy(r => (r._2, r._4)).headOption
+        val expect = pick.filter(r =>
+          tol.forall(t => math.abs(lts - r._2) <= t)).map(_._3)
+        got(lid) == expect
+      }
+    }
+
   property("enrich: partition_date == to_date(event ts), backfilled when null") =
     forAll(Gen.nonEmptyListOf(Gen.option(Gen.choose(0L, 200L * 86400)))) { secs =>
       val ing = java.sql.Timestamp.valueOf("2024-06-15 12:00:00")
