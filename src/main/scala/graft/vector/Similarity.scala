@@ -803,7 +803,11 @@ object Similarity {
     import org.apache.spark.sql.types.DecimalType
     require(nSub > 0 && nCodes > 0 && k > 0,
       s"nSub/nCodes/k must be positive, got $nSub/$nCodes/$k")
-    val dim = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val dimRow = emb.select(size(col(vecCol)).as("d")).head(1)
+    if (dimRow.isEmpty) // empty corpus: empty result, not a head() crash
+      return emb.select(col(idCol).cast("long").as(idCol),
+        lit(0.0).as("adc_dist")).limit(0)
+    val dim = dimRow.head.getInt(0)
     require(dim % nSub == 0,
       s"dim $dim does not split into $nSub equal subspaces")
     val w = dim / nSub

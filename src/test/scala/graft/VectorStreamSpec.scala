@@ -47,6 +47,11 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((4L, 0.0), (2L, 1.0), (3L, 1.0), (1L, 2.0)))
   }
 
+  test("pqTopK: empty corpus yields an empty result, not a crash") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.pqTopK(empty, "vec_id", "embedding", 0L, 5).count() === 0L)
+  }
+
   test("annRecall: recall 1.0 when every vector is its own codeword (unit norms)") {
     // unit vectors make L2² = 2 − 2cos, so PQ's L2 ranking equals the
     // exact cosine ranking; nCodes >= n makes quantization lossless —
