@@ -1012,6 +1012,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q183_interval_union" -> ((s, dir) => {
+      // gaps-and-islands interval merge: each tick opens a window of
+      // `value` seconds; overlapping/touching windows coalesce per
+      // (instrument, day) — exact long microseconds end to end
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("_su", unix_micros(col("ts")))
+        .withColumn("_eu", col("_su") +
+          (col("value").cast(DecimalType(18, 6)) * 1000000).cast("long"))
+      Windows.mergeIntervals(ev, Seq("event_type", "day"),
+          col("_su"), col("_eu"), col("event_id"))
+        .orderBy("event_type", "day")
+    }),
+
     "q182_asof_forward" -> ((s, dir) => {
       // q22's as-of completed to the merge_asof surface: FORWARD
       // direction with a 1-hour tolerance — for each purchase the next
@@ -3549,6 +3563,36 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // same islands walk: running max-end decides breaks, cumulative
+    // breaks label islands, exact integer microseconds throughout
+    "q183_interval_union" ->
+      """WITH iv AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, event_id,
+        |    epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT) AS e
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, day, event_id, s, e,
+        |    max(e) OVER (PARTITION BY event_type, day
+        |      ORDER BY s ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM iv WHERE s <= e),
+        |i AS (
+        |  SELECT event_type, day, s, e,
+        |    SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type, day
+        |        ORDER BY s ASC, event_id ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM m),
+        |g AS (
+        |  SELECT event_type, day, isl, COUNT(*) AS n,
+        |    MIN(s) AS i_s, MAX(e) AS i_e
+        |  FROM i GROUP BY 1, 2, 3)
+        |SELECT event_type, day, CAST(SUM(n) AS BIGINT) AS n_intervals,
+        |  COUNT(*) AS n_islands, CAST(SUM(i_e - i_s) AS BIGINT) AS covered_us
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // forward pick = earliest qualifying click; the tolerance filters
     // candidates, which equals the operator's pick-then-cut because

@@ -175,4 +175,45 @@ object Windows {
       .join(streaks, Seq(keyCol), "left")
       .select(col(keyCol), coalesce(col("max_streak"), lit(0L)).as("max_streak"))
   }
+
+  /** Interval union (the classic gaps-and-islands merge): given one
+    * interval [startUs, endUs] per row, coalesce every overlapping or
+    * TOUCHING (end == next start) group per key into one island and
+    * report, per key, the event count, island count, and exact covered
+    * microseconds — coverage/uptime analysis (market sessions, feed
+    * availability, sensor windows) in its canonical distributed form.
+    *
+    * Determinism: pure long arithmetic end to end. Plan: one
+    * key-partitioned window pass (running max of end over the sorted
+    * starts decides island breaks; the running sum of breaks labels
+    * islands) and two keyed aggs riding the same clustering — islands
+    * never materialize per-pair state, so a key with millions of
+    * intervals costs one sort, exactly the [[sessionize]] economics.
+    */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], startUs: Column,
+                     endUs: Column, tiebreak: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(startUs.asc, tiebreak.asc)
+    val prevMaxEnd = max(col("_e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val base = df
+      .withColumn("_s", startUs.cast("long"))
+      .withColumn("_e", endUs.cast("long"))
+      .filter(col("_s").isNotNull && col("_e").isNotNull &&
+        col("_s") <= col("_e"))
+    val islanded = base
+      .withColumn("_brk",
+        when(prevMaxEnd.isNull || col("_s") > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("_isl", sum(col("_brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islanded
+      .groupBy(keyCols :+ col("_isl"): _*)
+      .agg(count(lit(1)).as("_n"), min(col("_s")).as("_is"),
+        max(col("_e")).as("_ie"))
+      .groupBy(keyCols: _*)
+      .agg(sum(col("_n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("_ie") - col("_is")).as("covered_us"))
+  }
 }

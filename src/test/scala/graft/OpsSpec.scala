@@ -550,6 +550,20 @@ class OpsSpec extends AnyFunSuite {
       e.getMessage.contains("maxInstruments=2"))
   }
 
+  test("mergeIntervals: overlap and touch coalesce, invalid intervals drop") {
+    // A: [0,10]+[5,15] overlap, [15,20] touches ⇒ island [0,20];
+    // [30,40] stands alone; [50,45] is invalid (s > e) and drops
+    val df = Seq(
+      ("A", 0L, 10L, 1L), ("A", 5L, 15L, 2L), ("A", 15L, 20L, 3L),
+      ("A", 30L, 40L, 4L), ("A", 50L, 45L, 5L),
+      ("B", 7L, 7L, 6L) // zero-length interval: one island, zero cover
+    ).toDF("k", "s", "e", "id")
+    val out = graft.ops.Windows.mergeIntervals(df, Seq("k"),
+        col("s"), col("e"), col("id"))
+      .orderBy("k").as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(("A", 4L, 2L, 30L), ("B", 1L, 1L, 0L)))
+  }
+
   test("rollingBeta: unit slope vs self-driven market, zero for a flat name, NULL warm-up") {
     // market m_t = (a_t + 5)/2 ⇒ A's slope vs market is exactly 2,
     // B (constant 5) has zero covariance ⇒ beta 0; first bucket of each
