@@ -1012,6 +1012,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q184_weighted_sample" -> ((s, dir) => {
+      // length-weighted corpus sample (Efraimidis–Spirakis exponential
+      // keys on the reproducible id-hash): top-100 by ln(u)/w,
+      // TakeOrdered — never a global sort
+      text.Curation.weightedSample(t(s, dir, "documents"), "doc_id",
+        col("n_chars"), 100)
+    }),
+
     "q183_interval_union" -> ((s, dir) => {
       // gaps-and-islands interval merge: each tick opens a window of
       // `value` seconds; overlapping/touching windows coalesce per
@@ -3563,6 +3571,23 @@ object SparkEntry {
     "q152_phash_pairs" -> hammingPairsOracle,
 
     "q153_phash_banded" -> hammingPairsOracle,
+
+    // identical hash→uniform→ln(u)/w chain; the top-k subquery then
+    // ranks the already-cut rows
+    "q184_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |    (((doc_id % 1000000007) * 2654435761) % 1000000007 + 1)
+        |      / CAST(1000000008 AS DOUBLE) AS u
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |top AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |    round(ln(u) / CAST(n_chars AS DOUBLE), 12) AS es_key
+        |  FROM h ORDER BY es_key DESC, doc_id ASC LIMIT 100)
+        |SELECT doc_id, weight, es_key,
+        |  CAST(row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS INT)
+        |    AS sample_rank
+        |FROM top ORDER BY sample_rank""".stripMargin,
 
     // same islands walk: running max-end decides breaks, cumulative
     // breaks label islands, exact integer microseconds throughout

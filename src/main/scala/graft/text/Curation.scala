@@ -237,6 +237,43 @@ object Curation {
       .drop("_h")
   }
 
+  /** Weighted sampling without replacement by exponential keys
+    * (Efraimidis & Spirakis 2006): each row draws key = u^(1/w) for a
+    * uniform u and the k LARGEST keys are the sample — the
+    * one-pass, fully distributed way to sample a corpus proportionally
+    * to quality scores / lengths / temperatures, and the weighted
+    * complement of [[hashSample]]'s uniform rank. Ranking uses the
+    * monotone-equivalent ln(u)/w (no pow), u derives from the q96
+    * multiplicative id-hash mapped into (0, 1], so the "random" draw
+    * is reproducible under reruns and repartitioning. Rows with a
+    * non-positive or null weight are excluded.
+    *
+    * `es_key` fixes to the 12-dp grid BEFORE the ranking (ln is the
+    * one transcendental here, and engines disagree at the last ulp —
+    * the zipfSlope rule); ties on the grid resolve by id.
+    *
+    * Plan/scale: map-only key computation fused into the scan; the
+    * top-k is a TakeOrderedAndProject (k per partition, merge k —
+    * never a global sort); the rank column is a window over the
+    * ALREADY-CUT k rows.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val p = 1000000007L
+    val h = pmod(pmod(col(idCol).cast("long"), lit(p)) * lit(2654435761L),
+      lit(p))
+    val u = (h + lit(1L)).cast("double") / lit((p + 1).toDouble)
+    val key = round(log(u) / weightCol.cast("double"), 12)
+    val wRank = Window.orderBy(col("es_key").desc, col(idCol).asc)
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .select(col(idCol), weightCol.cast("long").as("weight"),
+        key.as("es_key"))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("sample_rank", row_number().over(wRank))
+  }
+
   /** Gopher-style rule-based quality filter (Rae et al. 2021, §A1.1 —
     * the rule family MassiveText shipped and C4/RefinedWeb variants
     * reuse): per document,

@@ -387,6 +387,24 @@ class CurationSpec extends AnyFunSuite {
     assert(TextStats.heavyHitters(rows.limit(0), array(col("tok")), 5L).count() === 0L)
   }
 
+  test("weightedSample: exponential-key order matches the closed form; nonpositive weights drop") {
+    val rows = Seq((1L, 10L), (2L, 1000L), (3L, 1L), (4L, 0L))
+    val df = rows.toDF("doc_id", "w")
+    val out = Curation.weightedSample(df, "doc_id", col("w"), 10)
+      .as[(Long, Long, Double, Int)].collect()
+    val p = 1000000007L
+    def key(id: Long, w: Long) = {
+      val u = (((id % p) * 2654435761L % p) + 1).toDouble / (p + 1)
+      BigDecimal(math.log(u) / w)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (-k, id) }
+      .zipWithIndex.map { case ((id, w, k), i) => (id, w, k, i + 1) }
+    assert(out.toSeq === expect)
+  }
+
   test("gopherFilter: each named rule fires on its crafted violation") {
     val good = "the a " + Seq.fill(58)("data").mkString(" ") // 60 words
     val docs = Seq(
