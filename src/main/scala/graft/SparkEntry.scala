@@ -1012,6 +1012,48 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q185_dedup_funnel" -> ((s, dir) => {
+      // the curation survivorship report: docs/tokens remaining under
+      // the CUMULATIVE intersection of the three dedup stages (exact
+      // hash keep → near-dup canonical keep → SemDeDup keep, each
+      // computed corpus-wide as its own gate already proves) — ONE
+      // corpus pass of conditional sums, stacked to stage rows; the
+      // oracle splices all three component oracles (embeddings align
+      // with documents by id in this corpus)
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        size(text.TextStats.tokens(col("text"))).cast("long").as("_nt"))
+      val exactKeep = text.Dedup.exactGroups(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"), lit(1).as("_ex"))
+      val nearKeep = text.Clusters.canonicalFromClusters(docs, "doc_id",
+          s.read.parquet(clustersFor(s, dir)),
+          size(text.TextStats.tokens(col("text"))).cast("long"))
+        .filter(col("keep"))
+        .select(col("doc_id"), lit(1).as("_nd"))
+      val semKeep = Similarity.semanticDedup(t(s, dir, "embeddings"),
+          "vec_id", "embedding", nCentroids = 8, threshold = 0.4)
+        .filter(col("keep"))
+        .select(col("vec_id").as("doc_id"), lit(1).as("_sm"))
+      val f = base.join(exactKeep, Seq("doc_id"), "left")
+        .join(nearKeep, Seq("doc_id"), "left")
+        .join(semKeep, Seq("doc_id"), "left")
+      val ex = col("_ex").isNotNull
+      val nd = ex && col("_nd").isNotNull
+      val sm = nd && col("_sm").isNotNull
+      def cnt(p: org.apache.spark.sql.Column) =
+        sum(when(p, 1L).otherwise(0L))
+      def tok(p: org.apache.spark.sql.Column) =
+        coalesce(sum(when(p, col("_nt"))), lit(0L))
+      f.agg(count(lit(1)).as("d0"), coalesce(sum(col("_nt")), lit(0L)).as("t0"),
+          cnt(ex).as("d1"), tok(ex).as("t1"),
+          cnt(nd).as("d2"), tok(nd).as("t2"),
+          cnt(sm).as("d3"), tok(sm).as("t3"))
+        .select(expr("stack(4, '0_all', d0, t0, '1_exact', d1, t1, " +
+          "'2_near_dup', d2, t2, '3_semantic', d3, t3) " +
+          "AS (stage, docs_kept, tokens_kept)"))
+        .orderBy("stage")
+    }),
+
     "q184_weighted_sample" -> ((s, dir) => {
       // length-weighted corpus sample (Efraimidis–Spirakis exponential
       // keys on the reproducible id-hash): top-100 by ln(u)/w,
@@ -2483,7 +2525,38 @@ object SparkEntry {
       s"""WITH p AS ${block("q34_lang_id")}
         |SELECT d.lang AS true_lang, p.pred_lang, COUNT(*) AS n
         |FROM documents d JOIN p USING (doc_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+    ("q185_dedup_funnel" ->
+      s"""WITH ex AS ${block("q30_dedup_exact")},
+        |nd AS ${block("q116_canonical_docs")},
+        |sm AS ${block("q118_semantic_dedup")},
+        |tok AS (
+        |  SELECT doc_id, CAST(len(regexp_split_to_array(
+        |    trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+        |    AS nt
+        |  FROM documents),
+        |f AS (
+        |  SELECT t.doc_id, t.nt,
+        |    t.doc_id IN (SELECT keep_id FROM ex) AS ke,
+        |    COALESCE(nd.keep, FALSE) AS kn,
+        |    COALESCE(sm.keep, FALSE) AS ks
+        |  FROM tok t
+        |  LEFT JOIN nd ON nd.doc_id = t.doc_id
+        |  LEFT JOIN sm ON sm.vec_id = t.doc_id)
+        |SELECT stage, CAST(docs_kept AS BIGINT) AS docs_kept,
+        |  CAST(tokens_kept AS BIGINT) AS tokens_kept FROM (
+        |  SELECT '0_all' AS stage, COUNT(*) AS docs_kept,
+        |    COALESCE(SUM(nt), 0) AS tokens_kept FROM f
+        |  UNION ALL
+        |  SELECT '1_exact', COUNT(*) FILTER (WHERE ke),
+        |    COALESCE(SUM(nt) FILTER (WHERE ke), 0) FROM f
+        |  UNION ALL
+        |  SELECT '2_near_dup', COUNT(*) FILTER (WHERE ke AND kn),
+        |    COALESCE(SUM(nt) FILTER (WHERE ke AND kn), 0) FROM f
+        |  UNION ALL
+        |  SELECT '3_semantic', COUNT(*) FILTER (WHERE ke AND kn AND ks),
+        |    COALESCE(SUM(nt) FILTER (WHERE ke AND kn AND ks), 0) FROM f)
+        |ORDER BY stage""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
