@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Steady-state APPEND benchmark (round-8 verdict item 5): the
+  * recurring 100 TB operator is `appendManifest` — once per ingest
+  * batch in a long-lived session — but Bench only times it one-shot.
+  * This driver runs N consecutive batch appends against a standing
+  * corpus in ONE session with NO external cache clearing, printing
+  * per-batch wall-clock and the tracked/stored cache counts after each
+  * append. A healthy (self-cleaning) operator shows flat per-batch
+  * cost and non-growing storage; the pre-fix behavior was monotonic
+  * degradation (4.7 → 10.4 → 21.3 s over three reps, BENCH_r08).
+  *
+  * Usage: runMain graft.DevAppendSteady [nBatches]
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS — as Bench.
+  * Batches are disjoint slices of the src0 documents, appended against
+  * the fixed non-src0 corpus, so every append does comparable work.
+  */
+object DevAppendSteady {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.engine.Sessions.tune(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val batchPool = docs.filter(col("source") === "src0")
+    corpus.count(); batchPool.count() // warm scans out of the timings
+    // one UNTIMED append first: the path touches JVM codecs + codegen
+    // for three edge families, and that JIT warm-in is session cost,
+    // not per-batch cost — the question here is steadiness of the
+    // recurring batches, so measure from a warm engine
+    multimodal.Curate.appendManifest(spark, corpus,
+      batchPool.limit(20), "doc_id", "text").count()
+    graft.engine.Caches.releaseAll()
+
+    val times = (1 to n).map { i =>
+      // hash-sliced: src0 ids are arithmetically clustered, so a plain
+      // id modulo would put every doc in one slice
+      val batch = batchPool.filter(
+        pmod(xxhash64(col("doc_id")), lit(n)) === (i - 1))
+      val t0 = System.nanoTime()
+      val rows = multimodal.Curate.appendManifest(spark, corpus, batch,
+        "doc_id", "text").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[steady] batch $i/$n rows=$rows time=$dt%.3f s " +
+        f"tracked=${graft.engine.Caches.trackedCount} " +
+        f"storedRdds=${spark.sparkContext.getPersistentRDDs.size}")
+      dt
+    }
+    val mean = times.sum / times.size
+    val varc = times.map(t => (t - mean) * (t - mean)).sum / times.size
+    val cv = math.sqrt(varc) / mean
+    // drop batch 1 (JIT/codegen warm-up) for the steadiness verdict,
+    // report both — the BASELINE.md row records the full series
+    val warm = times.drop(1)
+    val wMean = warm.sum / warm.size
+    val wCv = math.sqrt(
+      warm.map(t => (t - wMean) * (t - wMean)).sum / warm.size) / wMean
+    println(f"[steady] n=$n mean=$mean%.3f s cv=${cv * 100}%.1f%% " +
+      f"warm_mean=$wMean%.3f s warm_cv=${wCv * 100}%.1f%% " +
+      f"max/min(warm)=${warm.max / warm.min}%.2f " +
+      f"series=${times.map(t => f"$t%.2f").mkString("[", ",", "]")}")
+    spark.stop()
+  }
+}

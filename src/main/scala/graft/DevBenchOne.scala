@@ -13,11 +13,17 @@ object DevBenchOne {
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_NO_CLEAR=1 keeps caches across reps — the round-8
+    // leak reproducer (a self-cleaning operator must stay flat anyway)
+    val noClear = sys.env.get("SPARK_GRAFT_NO_CLEAR").contains("1")
     for (q <- args; i <- 1 to 3) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, sfDir).count()
       println(f"[one] $q rep$i n=$n time=${(System.nanoTime() - t0) / 1e9}%.3f s")
-      spark.catalog.clearCache()
+      if (!noClear) {
+        graft.engine.Caches.releaseAll()
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

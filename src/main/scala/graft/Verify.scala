@@ -46,7 +46,11 @@ object Verify {
         Files.createDirectories(d)
         Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg)
       }
-      // release per-query persist()s (see Bench: caller-side unpersist)
+      // release per-query operator-internal caches: the tracked-cache
+      // registry frees persist()s AND checkpoint blocks (which
+      // clearCache alone cannot); clearCache still sweeps anything
+      // cached outside the registry
+      graft.engine.Caches.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

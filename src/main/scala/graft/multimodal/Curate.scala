@@ -50,7 +50,8 @@ object Curate {
                       maxDist: Int = 3,
                       maxChunkBucket: Long = 100000L,
                       imageMedia: Option[DataFrame] = None,
-                      audioMedia: Option[DataFrame] = None): DataFrame = {
+                      audioMedia: Option[DataFrame] = None): DataFrame =
+   graft.engine.Caches.scopedMaterialized("unifiedManifest.result") {
     val ids = docs.select(col(idCol).cast("long").as("doc_id"))
 
     // text edges: exact-dup stars (min id ← members) ∪ Jaccard pairs —
@@ -96,7 +97,7 @@ object Curate {
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("keep"), col("split"),
         col("text_dup"), col("image_dup"), col("audio_dup"))
-  }
+   }
 
   /** Join the three modality incidence flags onto a per-doc frame —
     * a doc is `<modality>_dup` iff it is incident to an edge of that
@@ -131,7 +132,11 @@ object Curate {
     * which modality made the doc a duplicate of anything. Same
     * deduped-corpus precondition per modality; same fixture-default
     * media tables as [[unifiedManifest]] (pass real payload tables in
-    * production). Cache contract: caller releases.
+    * production). Cache contract: SELF-CLEANING — the recurring
+    * operator (once per ingest batch) materializes its batch-sized
+    * verdict eagerly and releases every internal cache before
+    * returning ([[graft.engine.Caches.scopedMaterialized]]), so N
+    * consecutive appends hold batch-sized state only.
     */
   def appendManifest(spark: SparkSession, corpus: DataFrame,
                      batch: DataFrame, idCol: String, textCol: String,
@@ -139,7 +144,8 @@ object Curate {
                      maxDist: Int = 3, maxChunkBucket: Long = 100000L,
                      hotShingleCap: Int = 100000,
                      imageMedia: Option[DataFrame] = None,
-                     audioMedia: Option[DataFrame] = None): DataFrame = {
+                     audioMedia: Option[DataFrame] = None): DataFrame =
+   graft.engine.Caches.scopedMaterialized("appendManifest.result") {
     val c = corpus.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
     val b = batch.select(col(idCol).cast("long").as("doc_id"),
@@ -165,5 +171,5 @@ object Curate {
         textEdges, imageEdges, audioEdges)
       .select(col("doc_id"), col("dup_of"), col("keep"),
         col("text_dup"), col("image_dup"), col("audio_dup"))
-  }
+   }
 }

@@ -951,7 +951,7 @@ object Media {
   private def hammingExactPairs(hashes0: DataFrame, maxDist: Int,
                                 maxExact: Long, opName: String,
                                 alt: String): DataFrame = {
-    val hashes = hashes0.persist()
+    val hashes = graft.engine.Caches.persisted(s"$opName.hashes", hashes0)
     val n = hashes.count() // materializes the reused hashes too
     if (n > maxExact) {
       hashes.unpersist()
@@ -970,8 +970,9 @@ object Media {
   /** Chunk a 64-bit signature frame into its four 16-bit blocking keys
     * and apply the hot-chunk refusal — ONE definition shared by the
     * symmetric and incremental banded joins so the guard semantics
-    * cannot desync. Returns the PERSISTED chunk relation (self-joined
-    * downstream: hash each payload once, not twice; caller releases).
+    * cannot desync. Returns the persisted chunk relation (self-joined
+    * downstream: hash each payload once, not twice; tracked in
+    * [[graft.engine.Caches]] — caller releases via releaseAll).
     *
     * Hot-chunk guard (the knnGraphBucketed posture): a degenerate
     * signature distribution — a corpus of solid-color images or silent
@@ -990,7 +991,7 @@ object Media {
   private def chunkAndGuard(hashes: DataFrame, maxChunkBucket: Long,
                             opName: String,
                             scope: Option[DataFrame] = None): DataFrame = {
-    val chunked = chunkSignatures(hashes)
+    val chunked = chunkSignaturesPersisted(hashes)
     refuseHotBuckets(chunked, maxChunkBucket, opName, scope)
     chunked
   }
@@ -1002,7 +1003,9 @@ object Media {
           .as("ck"))): _*)).as("c"))
     .select(col("media_id"), col("phash"),
       col("c.chunk").as("chunk"), col("c.ck").as("ck"))
-    .persist()
+
+  private def chunkSignaturesPersisted(hashes: DataFrame): DataFrame =
+    graft.engine.Caches.persisted("media.chunks", chunkSignatures(hashes))
 
   private def refuseHotBuckets(chunked: DataFrame, maxChunkBucket: Long,
                                opName: String,
@@ -1072,7 +1075,7 @@ object Media {
                                             maxChunkBucket: Long,
                                             opName: String): DataFrame = {
     require(maxDist <= 3, "chunk blocking is only complete for hamming <= 3")
-    val chunked = chunkSignatures(hashes)
+    val chunked = chunkSignaturesPersisted(hashes)
     val fresh = newIds.select(
       col(newIds.columns.head).cast("long").as("media_id")).distinct()
     val chunkedNew = chunked.join(broadcast(fresh), Seq("media_id"), "left_semi")
@@ -1157,7 +1160,8 @@ object Media {
     // pair join and the membership side (decode+hash dominates at
     // scale; a fresh imageHashes lineage would pay it twice). Cache
     // contract: caller releases, as for every persist here.
-    val hashes = imageHashes(spark, media).toDF().persist()
+    val hashes = graft.engine.Caches.persisted("phashClusters.hashes",
+      imageHashes(spark, media).toDF())
     val pairs = hammingBandedPairs(hashes, maxDist, maxChunkBucket,
         "phashClusters")
       .select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -201,10 +201,12 @@ object Joins {
     // null block keys can never equi-join: drop them up front so they
     // neither trip the hot-block guard nor ride the shuffle.
     // Cache contract: the guard count materializes `side` for the join's
-    // two scans; caller releases (clearCache / unpersist), as Bench and
-    // Verify do per query — same contract as Similarity.normed.
-    val side = df.select(col(idCol).as("id"), col(nameCol).as("name"),
-      blockKey.as("blk")).filter(col("blk").isNotNull).persist()
+    // two scans; tracked in Caches — caller releases (releaseAll), as
+    // Bench and Verify do per rep/query; same contract as
+    // Similarity.normed.
+    val side = graft.engine.Caches.persisted("fuzzyPairs.side",
+      df.select(col(idCol).as("id"), col(nameCol).as("name"),
+        blockKey.as("blk")).filter(col("blk").isNotNull))
     val hot = side.groupBy("blk").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > maxBlock)
       .orderBy(col("cnt").desc).limit(5).collect()

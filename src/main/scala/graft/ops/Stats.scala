@@ -677,7 +677,7 @@ object Stats {
                                            maxInstruments: Long, opName: String,
                                            expansion: Long => String)
       : (DataFrame, Long) = {
-    val cached = frame.persist()
+    val cached = graft.engine.Caches.persisted(s"$opName.guarded", frame)
     val k = cached.select(col(keyCol)).distinct().count()
     if (k > maxInstruments) {
       cached.unpersist()

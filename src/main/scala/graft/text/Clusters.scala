@@ -32,21 +32,25 @@ object Clusters {
     * resets the plan to a materialized leaf each round (22 s →
     * sub-second on a 256-edge graph); lazy so the round's fingerprint
     * aggregation is the single action that materializes it, instead of
-    * a separate eager job per checkpoint. Old round RDDs are freed
-    * by the ContextCleaner once unreferenced. On a real cluster prefer
+    * a separate eager job per checkpoint. Old round blocks are freed
+    * DETERMINISTICALLY in-loop the moment the next round materializes
+    * (round-8 verdict: waiting for the ContextCleaner leaked storage
+    * across an in-session bench); the FINAL round's blocks back the
+    * returned frame and are registered with [[graft.engine.Caches]] for
+    * the caller to release after its action. On a real cluster prefer
     * `spark.sparkContext.setCheckpointDir` + reliable `checkpoint` if
     * executor loss during the loop must be survivable.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 30,
                           maxLocalEdges: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.GraftCheckpoint
     // canonical high→low orientation, self-loops and duplicates dropped
-    var e = edges
+    var (e, releaseE) = GraftCheckpoint.withHandle(edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint(false)
+      .distinct(), eager = false)
 
     // Hybrid dispatch — the broadcast-join-threshold philosophy applied
     // to iterative CC: each distributed round costs a fixed ~6 shuffle
@@ -78,6 +82,7 @@ object Clusters {
           }
       }
       val labels = parent.keys.toSeq.map(n => (n, find(n)))
+      releaseE() // edges live on the driver now; free the checkpoint
       return spark.createDataset(labels).toDF("node", "component")
     }
 
@@ -101,22 +106,29 @@ object Clusters {
         .union(e.select(col("v").as("x"), col("u").as("y")))
       val mins = sym.groupBy("x").agg(min(col("y")).as("mn"))
         .select(col("x"), least(col("x"), col("mn")).as("m"))
-      val large = sym.join(mins, "x")
-        .filter(col("y") > col("x"))
-        .select(col("y").as("u"), col("m").as("v")) // y > x >= m ⇒ canonical
-        .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint(false) // referenced twice below — compute once
+      // referenced twice below — checkpoint to compute once
+      val (large, releaseLarge) = GraftCheckpoint.withHandle(
+        sym.join(mins, "x")
+          .filter(col("y") > col("x"))
+          .select(col("y").as("u"), col("m").as("v")) // y > x >= m ⇒ canonical
+          .filter(col("u") =!= col("v"))
+          .distinct(), eager = false)
       // small-star: on the high→low orientation, x's smaller neighbors
       // (and x itself) all re-link to the minimum of that neighborhood
       val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
-      val next = large.join(minsS, "u")
-        .select(col("v").as("u"), col("m").as("v")) // v >= m within group
-        .union(minsS.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint(false)
+      val (next, releaseNext) = GraftCheckpoint.withHandle(
+        large.join(minsS, "u")
+          .select(col("v").as("u"), col("m").as("v")) // v >= m within group
+          .union(minsS.select(col("u"), col("m").as("v")))
+          .filter(col("u") =!= col("v"))
+          .distinct(), eager = false)
       val cur = fp(next) // two longs to the driver per round
+      // fp() materialized `next`, so the previous round's edge blocks
+      // and this round's large-star intermediate are dead — free them
+      // NOW instead of waiting for the ContextCleaner to GC them (the
+      // round-8 in-session storage leak)
+      releaseE(); releaseLarge()
+      releaseE = releaseNext
       e = next
       converged = cur == prev
       prev = cur
@@ -127,6 +139,10 @@ object Clusters {
     // (rounds needed ~ log2(diameter); 30 covers any realistic graph)
     require(converged,
       s"connectedComponents did not converge within $maxIter rounds")
+    // the final star edge set backs the returned frame — its blocks are
+    // released by the CALLER via Caches.releaseAll() after the action
+    // (or by a scopedMaterialized wrapper once the result is eager)
+    graft.engine.Caches.trackRelease("connectedComponents.edges")(releaseE)
     e.select(col("u").as("node"), col("v").as("component"))
       // component roots only appear on the right side of star edges —
       // emit their own self row so every edge-incident node is labeled
@@ -203,19 +219,27 @@ object Clusters {
     * component); chains through corpus-corpus near-dup pairs are
     * invisible by design — the operator's precondition is an already
     * deduped corpus (the state every append maintains), where such
-    * chains don't exist. Cache contract: caller releases.
+    * chains don't exist. Cache contract: SELF-CLEANING (eager
+    * batch-sized result, internals released before returning — see
+    * [[graft.engine.Caches.scopedMaterialized]]).
     */
   def appendDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
                   textCol: String, shingleN: Int = 5,
                   threshold: Double = 0.5,
-                  hotShingleCap: Int = 100000): DataFrame = {
-    val c = corpus.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("text"))
-    val b = batch.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("text"))
-    appendVerdicts(c.select("doc_id"), b.select("doc_id"),
-      appendTextEdges(c.union(b), b, shingleN, threshold, hotShingleCap))
-  }
+                  hotShingleCap: Int = 100000): DataFrame =
+    // the RECURRING operator (once per ingest batch): self-cleaning —
+    // the batch-sized verdict frame is materialized while the internal
+    // shingle cache is hot, then every cache this call created is
+    // released, so N consecutive appends in one session hold
+    // batch-sized state only (AppendSteadySpec)
+    graft.engine.Caches.scopedMaterialized("appendDedup.result") {
+      val c = corpus.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      val b = batch.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      appendVerdicts(c.select("doc_id"), b.select("doc_id"),
+        appendTextEdges(c.union(b), b, shingleN, threshold, hotShingleCap))
+    }
 
   /** The text edge family of an APPEND: incremental Jaccard pairs plus
     * exact-hash pairs with a new side (batch hashes broadcast against
@@ -333,9 +357,10 @@ object Clusters {
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val out = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true) // tiny; reused every iteration + final join
+    // tiny; reused every iteration + final join (caller releases)
+    val nodes = graft.engine.Caches.checkpointed("pageRank.nodes",
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct(), eager = true)
     val n = nodes.count() // one scalar to the driver
     val teleport = (1.0 - damping) / n
     var p = nodes.withColumn("p", lit(1.0 / n))
@@ -369,9 +394,12 @@ object Clusters {
                        seedLabelCol: String, iters: Int = 3): DataFrame = {
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true) // reused every iteration
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(true)
+    // reused every iteration (caller releases via Caches)
+    val e = graft.engine.Caches.checkpointed("labelPropagation.edges",
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(), eager = true)
+    val nodes = graft.engine.Caches.checkpointed("labelPropagation.nodes",
+      e.select(col("src").as("node")).distinct(), eager = true)
     val sd = seeds.select(col(seedNodeCol).cast("long").as("node"),
       col(seedLabelCol).cast("long").as("seed_label"))
     var lab = nodes.join(sd, Seq("node"), "left")

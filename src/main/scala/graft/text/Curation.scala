@@ -71,9 +71,10 @@ object Curation {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val flagged = df.withColumn("_is_eval", evalPred)
-    val evalShingles = Dedup.shingleSets(
-        flagged.filter(col("_is_eval")), idCol, textCol, shingleN)
-      .select(col("shingle")).distinct().persist()
+    val evalShingles = graft.engine.Caches.persisted("contamination.evalShingles",
+      Dedup.shingleSets(
+          flagged.filter(col("_is_eval")), idCol, textCol, shingleN)
+        .select(col("shingle")).distinct())
     val trainDocs = flagged.filter(!col("_is_eval"))
     val ids = trainDocs.select(col(idCol).cast("long").as("doc_id"))
     val nEval = evalShingles.count()

@@ -66,9 +66,11 @@ object Dedup {
                    hotShingleCap: Int = 100000): DataFrame = {
     // the shingle relation feeds ranking, verification, and sizes:
     // materialize it once instead of re-tokenizing the corpus each time.
-    // (Lazy result → the CALLER releases the cache after its action; see
-    // the cache contract on Similarity.normed.)
-    val s = shingleSets(df, idCol, textCol, n).persist()
+    // (Lazy result → the CALLER releases after its action via
+    // graft.engine.Caches.releaseAll(), the registry this persist is
+    // tracked in; see the cache contract on Similarity.normed.)
+    val s = graft.engine.Caches.persisted("jaccardPairs.shingles",
+      shingleSets(df, idCol, textCol, n))
     val prefixes = shinglePrefixes(s, threshold, hotShingleCap)
     val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -148,13 +150,15 @@ object Dedup {
     * exactness condition. Emitted pairs are unordered-normalized
     * (doc_a < doc_b) with their exact verified jaccard — identical
     * rows to `jaccardPairs(corpus ∪ batch) filtered to ≥1 new side`.
-    * Cache contract: caller releases (one persisted shingle relation).
+    * Cache contract: caller releases via Caches.releaseAll() (one
+    * tracked shingle relation).
     */
   def incrementalJaccardPairs(all: DataFrame, newIds: DataFrame,
                               idCol: String, textCol: String,
                               n: Int, threshold: Double,
                               hotShingleCap: Int = 100000): DataFrame = {
-    val s = shingleSets(all, idCol, textCol, n).persist()
+    val s = graft.engine.Caches.persisted("incrementalJaccardPairs.shingles",
+      shingleSets(all, idCol, textCol, n))
     val prefixes = shinglePrefixes(s, threshold, hotShingleCap)
     // `newIds` carries the batch's ids in ITS `idCol` column (same name
     // as `all`'s) — resolved by name, never by position
@@ -194,7 +198,8 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
                        hotShingleCap: Int = 100000): DataFrame = {
-    val s = shingleSets(df, idCol, textCol, n).persist()
+    val s = graft.engine.Caches.persisted("containmentPairs.shingles",
+      shingleSets(df, idCol, textCol, n))
     val sizes = s.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val freq = s.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
     val byDoc = Window.partitionBy(col("doc"))
@@ -272,7 +277,8 @@ object Dedup {
                  shingleN: Int = 5, numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.5): DataFrame = {
     // one tokenization pass feeds signatures, sizes, and the verify join
-    val s = shingleSets(df, idCol, textCol, shingleN).persist()
+    val s = graft.engine.Caches.persisted("minhashLsh.shingles",
+      shingleSets(df, idCol, textCol, shingleN))
     val sig = minhashSignaturesFromSets(s, numHashes)
     val bandsDf = lshBands(sig, numHashes, bands)
     val cands = bandsDf.as("a").join(bandsDf.as("b"),
@@ -318,8 +324,9 @@ object Dedup {
       (0 until 4).map(j => struct(lit(j).as("chunk"),
         shiftright(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL)).as("ck"))): _*)).as("c"))
       .select(col("doc"), col("simhash"), col("c.chunk").as("chunk"), col("c.ck").as("ck"))
-      .persist() // self-joined: compute each signature once, not twice
-    chunked.as("a").join(chunked.as("b"),
+    // self-joined: compute each signature once, not twice
+    val chunkedP = graft.engine.Caches.persisted("simhashPairs.chunks", chunked)
+    chunkedP.as("a").join(chunkedP.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.ck") === col("b.ck") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
@@ -428,8 +435,9 @@ object Dedup {
     */
   def corpusOverlap(df: DataFrame, sliceCol: String, textCol: String,
                     n: Int, maxSlices: Long = 2000L): DataFrame = {
-    val sets = shingleSets(df, sliceCol, textCol, n)
-      .select(col("doc").as("slice"), col("shingle")).distinct().persist()
+    val sets = graft.engine.Caches.persisted("corpusOverlap.sets",
+      shingleSets(df, sliceCol, textCol, n)
+        .select(col("doc").as("slice"), col("shingle")).distinct())
     val k = sets.select(col("slice")).distinct().count()
     require(k <= maxSlices,
       s"corpusOverlap is quadratic in slices (${k * (k - 1) / 2} pairs at " +

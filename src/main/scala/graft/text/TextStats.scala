@@ -468,8 +468,9 @@ object TextStats {
       .orderBy(col("_f").desc, col("token").asc)
       .limit(vocabSize)
       .select(col("token"))
-    val dt = toks.join(broadcast(vocab), Seq("token"))
-      .select(col("doc_id"), col("token")).distinct().persist()
+    val dt = graft.engine.Caches.persisted("tokenPmi.docTokens",
+      toks.join(broadcast(vocab), Seq("token"))
+        .select(col("doc_id"), col("token")).distinct())
     val nDocs = dt.agg(count_distinct(col("doc_id")).as("n_docs"))
     val ct = dt.groupBy(col("token")).agg(count(lit(1)).as("c"))
     val a = dt.select(col("doc_id"), col("token").as("token_a"))

@@ -170,13 +170,15 @@ object Similarity {
     * sits below any join, so Catalyst evaluates it per input row, never
     * per pair.
     *
-    * Cache contract (applies to every operator here that `persist()`s an
+    * Cache contract (applies to every operator here that persists an
     * intermediate for self-join reuse): the returned frame is lazy, so
-    * the operator cannot unpersist without destroying the reuse — the
-    * CALLER releases storage after its action (`df.sparkSession.catalog
-    * .clearCache()` or targeted `unpersist`), as Bench/Verify do per
-    * query. Left persisted, the caches accumulate across a many-query
-    * session and later scans pay eviction/GC for earlier queries.
+    * the operator cannot unpersist without destroying the reuse — every
+    * internal persist is REGISTERED with [[graft.engine.Caches]], and
+    * the CALLER releases storage after its action via
+    * `Caches.releaseAll()` (the targeted handle `clearCache()` never
+    * was), as Bench (per rep) and Verify (per query) do. Left
+    * unreleased, the caches accumulate across a many-query session and
+    * later scans pay eviction/GC for earlier queries.
     */
   private def normed(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -196,7 +198,8 @@ object Similarity {
     */
   def embedNearDup(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, maxExact: Long = 100000L): DataFrame = {
-    val u = normed(emb, idCol, vecCol).persist()
+    val u = graft.engine.Caches.persisted("embedNearDup.normed",
+      normed(emb, idCol, vecCol))
     val rows = u.count() // cheap: also materializes the reused norms
     require(rows <= maxExact,
       s"embedNearDup is an exact all-pairs baseline (n²/2 = " +
@@ -244,28 +247,28 @@ object Similarity {
     val u = normed(emb, idCol, vecCol)
     val cents = centroids(emb, idCol, vecCol, nCentroids)
       .withColumn("_cn", sqrt(dot(col("centroid_vec"), col("centroid_vec"))))
-    val asg = u.crossJoin(broadcast(cents))
+    val asg0 = u.crossJoin(broadcast(cents))
       .withColumn("_cos",
         dot(col("v"), col("centroid_vec")) / (col("n") * col("_cn")))
       .groupBy(col("id"))
       .agg(max(struct(col("_cos").as("c"), col("centroid_id").as("cid")))
           .getField("cid").as("cluster"),
         first(col("v")).as("v"), first(col("n")).as("n"))
-      .persist()
-    val hot = asg.groupBy("cluster").count()
+    val asgP = graft.engine.Caches.persisted("semanticDedup.assignments", asg0)
+    val hot = asgP.groupBy("cluster").count()
       .filter(col("count") > maxCluster)
       .orderBy(col("count").desc).limit(5)
       .collect().map(r => s"${r.get(0)}=${r.getLong(1)}")
     if (hot.nonEmpty) {
-      asg.unpersist() // refusal path: nothing is returned for the caller
+      asgP.unpersist() // refusal path: free eagerly (also registry-tracked)
       throw new IllegalArgumentException(
         s"semanticDedup: cluster(s) above maxCluster=$maxCluster " +
           s"(${hot.mkString(", ")}); pairs grow with the square of the " +
           "largest cluster — raise nCentroids to split them")
     }
-    val a = asg.select(col("cluster"), col("id").as("id_a"),
+    val a = asgP.select(col("cluster"), col("id").as("id_a"),
       col("v").as("_va"), col("n").as("_na"))
-    val b = asg.select(col("cluster"), col("id").as("id_b"),
+    val b = asgP.select(col("cluster"), col("id").as("id_b"),
       col("v").as("_vb"), col("n").as("_nb"))
     val dropped = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
@@ -274,7 +277,7 @@ object Similarity {
       .select(col("id_b").as("id")).distinct()
       .withColumn("_dup", lit(true))
     emb.select(col(idCol).cast("long").as("id"))
-      .join(asg.select(col("id"), col("cluster")), Seq("id"), "left")
+      .join(asgP.select(col("id"), col("cluster")), Seq("id"), "left")
       .join(dropped, Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),
         coalesce(col("_dup"), lit(false)) === lit(false) as "keep")
@@ -301,13 +304,14 @@ object Similarity {
                        bucketCol: String, k: Int,
                        maxBucket: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val u = emb.select(col(idCol).as("id"), col(bucketCol).as("b"),
+    val u0 = emb.select(col(idCol).as("id"), col(bucketCol).as("b"),
         col(vecCol).as("v"))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
       // zero vectors have no cosine direction (and would throw ANSI
       // DIVIDE_BY_ZERO in the pair projection) — excluded up front
       .filter(col("n") > 0)
-      .persist() // self-joined: compute each norm once, not twice
+    // self-joined: compute each norm once, not twice
+    val u = graft.engine.Caches.persisted("knnGraphBucketed.normed", u0)
     val hot = u.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > maxBucket)
       .orderBy(col("cnt").desc).limit(5).collect() // bounded: worst 5
@@ -383,14 +387,15 @@ object Similarity {
                       bitsPerBand: Int = 4, seed: Long = 42L,
                       dim: Int = -1): DataFrame = {
     // normalized vectors feed signature computation + both verify joins
-    val u = normed(emb, idCol, vecCol).persist()
+    val u = graft.engine.Caches.persisted("embedNearDupLsh.normed",
+      normed(emb, idCol, vecCol))
     // pass `dim` when known: the head() fallback forces an extra job
     val d = if (dim > 0) dim else u.select(size(col("v"))).head().getInt(0)
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nBands * bitsPerBand) {
       Seq.fill(d)(if (rnd.nextBoolean()) 1.0 else -1.0)
     }
-    val banded = u.select(col("id"), explode(array(
+    val banded0 = u.select(col("id"), explode(array(
       (0 until nBands).map { bnd =>
         val bh = (0 until bitsPerBand).map { j =>
           when(dot(col("v"), typedLit(planes(bnd * bitsPerBand + j))) > 0.0,
@@ -399,7 +404,8 @@ object Similarity {
         struct(lit(bnd).as("band"), bh.as("bh"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .persist() // self-joined: compute the signatures once
+    // self-joined: compute the signatures once
+    val banded = graft.engine.Caches.persisted("embedNearDupLsh.bands", banded0)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -433,9 +439,10 @@ object Similarity {
     // kmeansIters = 0 → stride init only: measured best on isotropic
     // corpora; pass iterations for genuinely clustered embedding spaces
     // (see kmeansCentroids scaladoc for both measurements)
-    val cents = (if (kmeansIters > 0)
+    val cents0 = (if (kmeansIters > 0)
         kmeansCentroids(emb, idCol, vecCol, nCentroids, kmeansIters)
-      else centroids(emb, idCol, vecCol, nCentroids)).cache()
+      else centroids(emb, idCol, vecCol, nCentroids))
+    val cents = graft.engine.Caches.persisted("ivfTopK.centroids", cents0)
     val assigned = ivfAssign(emb, cents, idCol, vecCol)
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("_q"))
     val probed = cents.crossJoin(broadcast(q))
@@ -478,7 +485,7 @@ object Similarity {
         kmeansCentroids(emb, idCol, vecCol, nCentroids, kmeansIters)
       else centroids(emb, idCol, vecCol, nCentroids)
     val u = normed(emb, idCol, vecCol)
-    val assigned = u.crossJoin(broadcast(cents))
+    val assigned0 = u.crossJoin(broadcast(cents))
       .withColumn("_cos", dot(col("v"), col("centroid_vec")) /
         (col("n") * sqrt(dot(col("centroid_vec"), col("centroid_vec")))))
       .groupBy(col("id"))
@@ -488,7 +495,7 @@ object Similarity {
     // co-locate by cluster before the partitioned write: one file per
     // cluster dir instead of one per shuffle partition per dir (the
     // small-files degradation Layout.colocated exists for)
-    assigned.repartition(col("cluster"))
+    assigned0.repartition(col("cluster"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cluster")
       .parquet(s"$indexPath/assignments")
@@ -518,14 +525,15 @@ object Similarity {
     val cents = spark.read.parquet(s"$indexPath/centroids")
       .select(col("centroid_id"), col("centroid_vec"))
     val u = normed(newEmb, idCol, vecCol)
-    val assigned = u.crossJoin(broadcast(cents))
+    val assigned0 = u.crossJoin(broadcast(cents))
       .withColumn("_cos", dot(col("v"), col("centroid_vec")) /
         (col("n") * sqrt(dot(col("centroid_vec"), col("centroid_vec")))))
       .groupBy(col("id"))
       .agg(max(struct(col("_cos").as("c"), col("centroid_id").as("cid")))
           .getField("cid").as("cluster"),
         first(col("v")).as("v"), first(col("n")).as("n"))
-      .persist()
+    val assigned = graft.engine.Caches.persisted("appendIvfIndex.assignments",
+      assigned0)
     val appended = assigned.count()
     assigned.repartition(col("cluster"))
       .write.mode(SaveMode.Append)
