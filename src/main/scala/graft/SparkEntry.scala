@@ -1194,13 +1194,13 @@ object SparkEntry {
       // index-quality gate: recall@10 of the PQ/ADC scan vs the exact
       // cosine scan for the probe vector — the oracle splices both
       // component queries' own SQL (the q172 composition discipline).
-      // On this corpus the sample-init 16-codeword PQ reads 0.1 — an
-      // HONEST number (isotropic synthetic embeddings are PQ's worst
-      // case at this code budget); the gate exists to surface exactly
-      // that before an index ships. kmeansCentroids-refined codebooks
-      // are the quality lever (pqTopK scaladoc).
+      // Round 8 this read 0.1 (sample-init 4x16 PQ — isotropic
+      // synthetic embeddings are PQ's worst case at that budget); the
+      // Lloyd-trained 16x64 codebook lifts it to 0.8, and the gate
+      // still exists to surface any future drift before an index
+      // ships.
       Similarity.annRecall(t(s, dir, "embeddings"), "vec_id", "embedding",
-        0L, 10)
+        0L, 10, nSub = 16, nCodes = 64, trainIters = 1)
     }),
 
     "q174_token_pmi" -> ((s, dir) => {
@@ -1281,13 +1281,14 @@ object SparkEntry {
     }),
 
     "q166_pq_adc" -> ((s, dir) => {
-      // PQ/ADC approximate search (Jégou et al. 2011): 4 subspaces of
-      // 16 dims, 16 deterministic sample-init codewords, query kept
-      // exact — the 1/16th-bytes scan whose recall baseline is q40's
-      // exact cosine scan; oracle recomputes codebook, assignment, and
-      // ADC ranking end to end
+      // PQ/ADC approximate search (Jégou et al. 2011): 16 subspaces of
+      // 4 dims, 64 codewords TRAINED with one deterministic Lloyd
+      // iteration from the sample init (round-9: the untrained
+      // 4x16-codeword config measured recall 0.1; this one reads 0.8
+      // on q175's gate), query kept exact — oracle recomputes codebook
+      // TRAINING, assignment, and ADC ranking end to end
       Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        0L, 10)
+        0L, 10, nSub = 16, nCodes = 64, trainIters = 1)
     }),
 
     "q165_neyman_sample" -> ((s, dir) => {
@@ -2519,7 +2520,9 @@ object SparkEntry {
       s"""WITH ex AS ${block("q40_cosine_topk")},
         |ap AS ${block("q166_pq_adc")}
         |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_overlap,
-        |  CAST(COUNT(*) AS DOUBLE) / 10 AS recall
+        |  CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(COUNT(*) AS DOUBLE)
+        |      / least(10, (SELECT COUNT(*) FROM ex)) END AS recall
         |FROM ex JOIN ap USING (vec_id)""".stripMargin) +
     ("q179_langid_accuracy" ->
       s"""WITH p AS ${block("q34_lang_id")}
@@ -3654,7 +3657,7 @@ object SparkEntry {
         |      / CAST(1000000008 AS DOUBLE) AS u
         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
         |top AS (
-        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
         |    round(ln(u) / CAST(n_chars AS DOUBLE), 12) AS es_key
         |  FROM h ORDER BY es_key DESC, doc_id ASC LIMIT 100)
         |SELECT doc_id, weight, es_key,
@@ -4066,16 +4069,39 @@ object SparkEntry {
     // bit-equal twin of the Scala dot kernel, q42 precedent), exact
     // decimal ADC sums
     "q166_pq_adc" ->
-      """WITH sub AS (SELECT unnest([0,1,2,3]) AS s),
+      """WITH sub AS (SELECT unnest(range(0, 16)) AS s),
         |base AS (
         |  SELECT vec_id, s,
-        |    list_transform(list_slice(embedding, s*16+1, s*16+16),
+        |    list_transform(list_slice(embedding, s*4+1, s*4+4),
         |      x -> CAST(x AS DOUBLE)) AS sv
         |  FROM embeddings CROSS JOIN sub),
-        |cbids AS (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 16),
-        |cb AS (
+        |cbids AS (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 64),
+        |cb0 AS (
         |  SELECT s AS cs, b.vec_id AS code, sv AS cw
         |  FROM base b JOIN cbids USING (vec_id)),
+        |asg0 AS (
+        |  SELECT vec_id, s, sv, code FROM (
+        |    SELECT b.vec_id, b.s, b.sv, c.code,
+        |      row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY
+        |        (list_dot_product(sv, sv)
+        |          - CAST(2 AS DOUBLE) * list_dot_product(sv, cw)
+        |          + list_dot_product(cw, cw)) ASC, c.code ASC) AS rn
+        |    FROM base b JOIN cb0 c ON c.cs = b.s) WHERE rn = 1),
+        |mexp AS (
+        |  SELECT s, code, generate_subscripts(sv, 1) AS pos,
+        |    unnest(sv) AS e
+        |  FROM asg0),
+        |means AS (
+        |  SELECT s AS ms, code AS mcode, list(m ORDER BY pos ASC) AS cw2
+        |  FROM (
+        |    SELECT s, code, pos,
+        |      round(CAST(SUM(CAST(e AS DECIMAL(27,10))) AS DOUBLE)
+        |        / COUNT(*), 6) AS m
+        |    FROM mexp GROUP BY s, code, pos)
+        |  GROUP BY s, code),
+        |cb AS (
+        |  SELECT cs, code, COALESCE(cw2, cw) AS cw
+        |  FROM cb0 LEFT JOIN means ON ms = cs AND mcode = code),
         |asg AS (
         |  SELECT vec_id, s, code FROM (
         |    SELECT b.vec_id, b.s, c.code,

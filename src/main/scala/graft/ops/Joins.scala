@@ -75,9 +75,16 @@ object Joins {
         if (back) col("_tie").asc else col("_tie").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // the struct is captured for EVERY right row, value null or not
+    // (a struct with a null field is itself non-null, so ignoreNulls
+    // only skips LEFT rows): the nearest right row wins even when its
+    // value is NULL — exactly pandas merge_asof and the correlated-
+    // subquery oracle. Skipping null-valued right rows would
+    // substitute an older/farther row's value and measure tolerance
+    // staleness against the substitute (round-8 advice).
     val filled = valueCols.foldLeft(l.unionByName(rAligned)) { case (df, (_, out)) =>
       df.withColumn("_s_" + out,
-        last(when(col("_side") === 0 && col(out).isNotNull,
+        last(when(col("_side") === 0,
           struct(col("_ts").as("t"), col(out).as("v"))), ignoreNulls = true)
           .over(w))
     }

@@ -268,7 +268,11 @@ object Curation {
     val key = round(log(u) / weightCol.cast("double"), 12)
     val wRank = Window.orderBy(col("es_key").desc, col(idCol).asc)
     df.filter(weightCol.isNotNull && weightCol > 0)
-      .select(col(idCol), weightCol.cast("long").as("weight"),
+      // weight reports in the column's magnitude as DOUBLE: the key
+      // uses the full double weight, so a long-truncated report would
+      // show 0 for fractional weights (quality scores in (0,1)) that
+      // ranked perfectly well — round-8 advice
+      .select(col(idCol), weightCol.cast("double").as("weight"),
         key.as("es_key"))
       .orderBy(col("es_key").desc, col(idCol).asc)
       .limit(k)

@@ -766,15 +766,25 @@ object Similarity {
     * approximate index experiences, not a same-metric tautology.
     */
   def annRecall(emb: DataFrame, idCol: String, vecCol: String,
-                queryId: Long, k: Int): DataFrame = {
+                queryId: Long, k: Int, nSub: Int = 4, nCodes: Int = 16,
+                trainIters: Int = 0): DataFrame = {
     val exact = cosineTopK(emb, idCol, vecCol, queryId, k)
       .select(col(idCol))
-    val approx = pqTopK(emb, idCol, vecCol, queryId, k)
+    val approx = pqTopK(emb, idCol, vecCol, queryId, k, nSub, nCodes,
+        trainIters)
       .select(col(idCol))
+    // recall@min(k, n): on a corpus with fewer than k candidate vectors
+    // the exact scan returns fewer than k rows, and dividing by the
+    // REQUESTED k would understate recall (it could never reach 1.0) —
+    // divide by the exact result count instead (round-8 advice). An
+    // empty reference set has no recall to measure: report 0.
     exact.join(approx, Seq(idCol))
       .agg(count(lit(1)).as("n_overlap"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("_ne"))))
       .select(lit(k).as("k"), col("n_overlap"),
-        (col("n_overlap") / lit(k)).as("recall"))
+        when(col("_ne") === 0, lit(0.0))
+          .otherwise(col("n_overlap") / least(lit(k).cast("long"), col("_ne")))
+          .as("recall"))
   }
 
   /** Product-quantization ADC (asymmetric distance computation) top-k:
@@ -807,7 +817,8 @@ object Similarity {
     * self-contained).
     */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
-             k: Int, nSub: Int = 4, nCodes: Int = 16): DataFrame = {
+             k: Int, nSub: Int = 4, nCodes: Int = 16,
+             trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(nSub > 0 && nCodes > 0 && k > 0,
       s"nSub/nCodes/k must be positive, got $nSub/$nCodes/$k")
@@ -828,10 +839,44 @@ object Similarity {
           v => v.cast("double")).as("sv"))
     val cbIds = emb.select(col(idCol).cast("long").as("id"))
       .orderBy(col("id").asc).limit(nCodes)
-    val cb = base.join(broadcast(cbIds), "id")
-      .select(col("s").as("cs"), col("id").as("code"), col("sv").as("cw"))
     def d2(a: Column, b: Column) =
       dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+    var cb = base.join(broadcast(cbIds), "id")
+      .select(col("s").as("cs"), col("id").as("code"), col("sv").as("cw"))
+    // Lloyd training per subspace (Jégou et al. §II.C train the
+    // sub-quantizers with k-means; the sample init alone measured
+    // recall 0.1-0.6 on the synthetic corpus, round-8 verdict): each
+    // iteration reassigns every subvector to its nearest codeword and
+    // recenters codewords on the element-wise mean of their members.
+    // Deterministic + engine-portable: means are exact DECIMAL(27,10)
+    // sums divided by counts, fixed to the 6-dp grid (the q71
+    // labelCentroids arithmetic), ties argmin by code asc, arrays
+    // rebuilt by explicit pos sort — so the DuckDB oracle replays the
+    // training bit-for-bit with unrolled CTEs. A codeword that loses
+    // every member keeps its previous value (coalesce), keeping k
+    // stable. At corpus scale train on a SAMPLE (codebooks are
+    // k·d-sized; the full-corpus pass here keeps the gate
+    // self-contained at test SF).
+    for (_ <- 1 to trainIters) {
+      val asg = base.join(broadcast(cb), col("s") === col("cs"))
+        .withColumn("_d", d2(col("sv"), col("cw")))
+        .groupBy(col("id"), col("s"))
+        .agg(min(struct(col("_d").as("d"), col("code").as("c")))
+          .getField("c").as("code"))
+        .join(base, Seq("id", "s"))
+      val means = asg
+        .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "e")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(round(sum(col("e").cast(DecimalType(27, 10))).cast("double") /
+          count(lit(1)), 6).as("m"))
+        .groupBy(col("s").as("ms"), col("code").as("mcode"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cw2"))
+      cb = cb.join(means,
+          col("cs") === col("ms") && col("code") === col("mcode"), "left")
+        .select(col("cs"), col("code"),
+          coalesce(col("cw2"), col("cw")).as("cw"))
+    }
     val codes = base.join(broadcast(cb), col("s") === col("cs"))
       .withColumn("_d", d2(col("sv"), col("cw")))
       .groupBy(col("id"), col("s"))

@@ -391,7 +391,7 @@ class CurationSpec extends AnyFunSuite {
     val rows = Seq((1L, 10L), (2L, 1000L), (3L, 1L), (4L, 0L))
     val df = rows.toDF("doc_id", "w")
     val out = Curation.weightedSample(df, "doc_id", col("w"), 10)
-      .as[(Long, Long, Double, Int)].collect()
+      .as[(Long, Double, Double, Int)].collect()
     val p = 1000000007L
     def key(id: Long, w: Long) = {
       val u = (((id % p) * 2654435761L % p) + 1).toDouble / (p + 1)
@@ -401,7 +401,7 @@ class CurationSpec extends AnyFunSuite {
     val expect = rows.filter(_._2 > 0)
       .map { case (id, w) => (id, w, key(id, w)) }
       .sortBy { case (id, _, k) => (-k, id) }
-      .zipWithIndex.map { case ((id, w, k), i) => (id, w, k, i + 1) }
+      .zipWithIndex.map { case ((id, w, k), i) => (id, w.toDouble, k, i + 1) }
     assert(out.toSeq === expect)
   }
 

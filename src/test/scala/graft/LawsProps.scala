@@ -49,7 +49,11 @@ object LawsProps extends Properties("graft.laws") {
   property("asOfJoin: equals the per-row brute-force latest-right lookup") =
     forAll(
       Gen.listOfN(12, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 12L))),
-      Gen.listOfN(12, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 12L), Gen.choose(0.0, 9.0)))) {
+      // right values INCLUDE nulls: the nearest right row must win even
+      // when its value is NULL (pandas merge_asof; round-8 advice) —
+      // a null-skipping fill would substitute an older non-null row
+      Gen.listOfN(12, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 12L),
+        Gen.option(Gen.choose(0.0, 9.0))))) {
       (ls, rs) =>
         val left = ls.zipWithIndex.map { case ((u, ts), i) => (u, ts, i.toLong) }
         val right = rs.zipWithIndex.map { case ((u, ts, v), i) => (u, ts, v, i.toLong) }
@@ -61,8 +65,9 @@ object LawsProps extends Properties("graft.laws") {
           .select("lid", "asof_value")
           .as[(Long, Option[Double])].collect().toMap
         left.forall { case (u, lts, lid) =>
+          // nearest row first, THEN its (possibly absent) value
           val expect = right.filter(r => r._1 == u && r._2 <= lts)
-            .sortBy(r => (r._2, r._4)).lastOption.map(_._3)
+            .sortBy(r => (r._2, r._4)).lastOption.flatMap(_._3)
           got(lid) == expect
         }
     }
@@ -70,7 +75,8 @@ object LawsProps extends Properties("graft.laws") {
   property("asOfJoin: forward/backward with tolerance equal the brute-force nearest lookup") =
     forAll(
       Gen.listOfN(12, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 12L))),
-      Gen.listOfN(12, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 12L), Gen.choose(0.0, 9.0))),
+      Gen.listOfN(12, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 12L),
+        Gen.option(Gen.choose(0.0, 9.0)))),
       Gen.oneOf("backward", "forward"),
       Gen.option(Gen.choose(0, 4))) { (ls, rs, dir, tolRaw) =>
       val tol = tolRaw.map(_.toDouble)
@@ -93,8 +99,11 @@ object LawsProps extends Properties("graft.laws") {
         val pick =
           if (dir == "backward") candidates.sortBy(r => (r._2, r._4)).lastOption
           else candidates.sortBy(r => (r._2, r._4)).headOption
+        // the nearest row decides; a NULL value on it propagates (it is
+        // NOT skipped for an older non-null row), and tolerance measures
+        // against that row's ts
         val expect = pick.filter(r =>
-          tol.forall(t => math.abs(lts - r._2) <= t)).map(_._3)
+          tol.forall(t => math.abs(lts - r._2) <= t)).flatMap(_._3)
         got(lid) == expect
       }
     }
@@ -1611,9 +1620,11 @@ object LawsProps extends Properties("graft.laws") {
       Gen.choose(-2L, 500L))), Gen.choose(1, 8)) { (rowsRaw, k) =>
       import org.apache.spark.sql.functions.col
       val rows = rowsRaw.map(_._1).distinct.zip(rowsRaw.map(_._2)) // unique ids
+      // weight reports as DOUBLE (round-9: fractional weights must not
+      // truncate to 0 in the report)
       val got = graft.text.Curation.weightedSample(
           rows.toDF("doc_id", "w"), "doc_id", col("w"), k)
-        .as[(Long, Long, Double, Int)].collect().toSeq
+        .as[(Long, Double, Double, Int)].collect().toSeq
       val p = 1000000007L
       def key(id: Long, w: Long) = {
         val u = (((id % p) * 2654435761L % p) + 1).toDouble / (p + 1)
@@ -1623,7 +1634,8 @@ object LawsProps extends Properties("graft.laws") {
       val want = rows.filter(_._2 > 0)
         .map { case (id, w) => (id, w, key(id, w)) }
         .sortBy { case (id, _, kk) => (-kk, id) }
-        .take(k).zipWithIndex.map { case ((id, w, kk), i) => (id, w, kk, i + 1) }
+        .take(k).zipWithIndex
+        .map { case ((id, w, kk), i) => (id, w.toDouble, kk, i + 1) }
       got == want
     }
 
