@@ -426,14 +426,32 @@ object SparkEntry {
     }),
 
     "q34_lang_id" -> ((s, dir) => {
-      TextStats.langId(t(s, dir, "documents"), "text")
-        .select(col("doc_id"),
-          col("score_en").cast("long").as("score_en"),
-          col("score_de").cast("long").as("score_de"),
-          col("score_es").cast("long").as("score_es"),
-          col("score_fr").cast("long").as("score_fr"),
-          col("pred_lang"))
+      // character-n-gram profile detector (round-9: replaced the 5-word
+      // stopword dictionary, which measured at chance on real
+      // multilingual text); the oracle's scoring SQL is GENERATED from
+      // the same profile literal, so engine and oracle cannot desync
+      TextStats.langIdNgram(t(s, dir, "documents"), "text")
+        .select(col("doc_id") +: TextStats.LangProfiles.map { case (l, _) =>
+          col(s"score_$l") } :+ col("pred_lang"): _*)
         .orderBy("doc_id")
+    }),
+
+    "q187_langid_eval" -> ((s, dir) => {
+      // the corpus where language-ID accuracy MEANS something: the
+      // synthetic documents' lang labels are decorrelated from their
+      // (English-token) text by construction (q179 proved it), so the
+      // detector is gated on a constructed fixture of real sentences
+      // with known languages — 15/15 against a 0.2 max-class prior
+      // (LangIdSpec pins the same numbers engine-side)
+      val fix = s.createDataFrame(TextStats.LangFixture)
+        .toDF("fix_id", "lang", "text")
+      TextStats.langIdNgram(fix, "text")
+        .groupBy(col("lang").as("true_lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy", col("n_correct") / col("n"))
+        .orderBy("true_lang")
     }),
 
     "q35_quality_score" -> ((s, dir) => {
@@ -1141,7 +1159,7 @@ object SparkEntry {
       // don't route on these labels
       val docs = t(s, dir, "documents")
       docs.select(col("doc_id"), col("lang").as("true_lang"))
-        .join(text.TextStats.langId(docs, "text")
+        .join(text.TextStats.langIdNgram(docs, "text")
           .select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
         .groupBy("true_lang", "pred_lang")
         .agg(count(lit(1)).as("n"))
@@ -2562,6 +2580,39 @@ object SparkEntry {
         |ORDER BY stage""".stripMargin)
   }
 
+  /** Language-ID oracle fragments GENERATED from the engine's own
+    * profile/fixture literals ([[graft.text.TextStats.LangProfiles]],
+    * `LangFixture`) — the jacPairsCte discipline: one source of truth,
+    * the oracle cannot drift from the operator. The per-term
+    * occurrence count uses the exact replace-length identity; every
+    * term casts to BIGINT before the sum (mirroring the engine's
+    * per-term `.cast("long")`).
+    */
+  private def langScoreSelectSql: String =
+    graft.text.TextStats.LangProfiles.map { case (lang, profile) =>
+      val terms = profile.map { case (g, w) =>
+        val gq = g.replace("'", "''")
+        s"CAST((length(t) - length(replace(t, '$gq', ''))) / ${g.length} * $w AS BIGINT)"
+      }.mkString("\n      + ")
+      s"    $terms AS score_$lang"
+    }.mkString(",\n")
+
+  private def langScoreCols: String =
+    graft.text.TextStats.LangProfiles.map("score_" + _._1).mkString(", ")
+
+  private def langPredCaseSql: String = {
+    val langs = graft.text.TextStats.LangProfiles.map(_._1)
+    val g = langs.map("score_" + _).mkString("greatest(", ", ", ")")
+    val whens = langs.init
+      .map(l => s"WHEN score_$l = $g THEN '$l'").mkString(" ")
+    s"CASE WHEN $g = 0 THEN 'unknown' $whens ELSE '${langs.last}' END"
+  }
+
+  private def langFixtureValuesSql: String =
+    graft.text.TextStats.LangFixture.map { case (id, lang, txt) =>
+      s"  ($id, '$lang', '${txt.replace("'", "''")}')"
+    }.mkString(",\n")
+
   private def oracleSqlBase: Map[String, String] = Map(
     "q32_minhash_lsh" -> jaccardPairsOracle,
 
@@ -2836,24 +2887,33 @@ object SparkEntry {
     "q31_jaccard_pairs" -> jaccardPairsOracle,
 
     "q34_lang_id" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
-        |  FROM documents),
+      // scoring SQL generated from TextStats.LangProfiles — the same
+      // literal the engine scores with (see langOracle helpers below)
+      s"""WITH t AS (
+        |  SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
         |sc AS (
         |  SELECT doc_id,
-        |    CAST(len(list_filter(w, t -> t IN ('the','and','of','to','is'))) AS BIGINT) AS score_en,
-        |    CAST(len(list_filter(w, t -> t IN ('der','und','die','das','ist'))) AS BIGINT) AS score_de,
-        |    CAST(len(list_filter(w, t -> t IN ('el','la','de','que','es'))) AS BIGINT) AS score_es,
-        |    CAST(len(list_filter(w, t -> t IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr
-        |  FROM toks)
-        |SELECT doc_id, score_en, score_de, score_es, score_fr,
-        |  CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'unknown'
-        |       WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
-        |       WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
-        |       WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
-        |       ELSE 'fr' END AS pred_lang
+        |$langScoreSelectSql
+        |  FROM t)
+        |SELECT doc_id, $langScoreCols,
+        |  $langPredCaseSql AS pred_lang
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q187_langid_eval" ->
+      s"""WITH fx(fix_id, lang, text) AS (VALUES
+        |$langFixtureValuesSql),
+        |t AS (SELECT lang, ' ' || lower(text) || ' ' AS t FROM fx),
+        |sc AS (
+        |  SELECT lang,
+        |$langScoreSelectSql
+        |  FROM t),
+        |p AS (SELECT lang, $langPredCaseSql AS pred_lang FROM sc)
+        |SELECT lang AS true_lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS accuracy
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q35_quality_score" ->
       """WITH base AS (

@@ -76,17 +76,23 @@ object TextStats {
     }
   }
 
-  def langId(df: DataFrame, textCol: String): DataFrame = {
-    val scores = langScores(col(textCol))
+  def langId(df: DataFrame, textCol: String): DataFrame =
+    predictFromScores(df, langScores(col(textCol)))
+
+  /** Shared argmax machinery for any per-language score battery:
+    * attach `score_<lang>` columns and `pred_lang` = argmax score,
+    * ties → lexicographically first language, all-zero → "unknown".
+    */
+  private def predictFromScores(df: DataFrame,
+                                scores: Seq[(String, Column)]): DataFrame = {
     val scored = scores.foldLeft(df) { case (acc, (lang, c)) =>
       acc.withColumn(s"score_$lang", c)
     }
-    // argmax with ties → lexicographically first language (deterministic)
     val best = scores.map { case (lang, _) =>
       struct(col(s"score_$lang").as("s"), lit(lang).as("l"))
     }
     scored.withColumn("pred_lang",
-      when(greatest(best: _*).getField("s") === 0, lit("unknown"))
+      when(greatest(best.map(_.getField("s")): _*) === 0, lit("unknown"))
         .otherwise(element_at(
           array_sort(array(best: _*),
             (a, b) => when(a.getField("s") > b.getField("s"), -1)
@@ -95,6 +101,76 @@ object TextStats {
               .when(a.getField("l") > b.getField("l"), 1)
               .otherwise(0)), 1).getField("l")))
   }
+
+  /** Character-n-gram PROFILE language ID (Cavnar & Trenkle 1994's
+    * n-gram categorization, reduced to a fixed weighted profile per
+    * language): score(lang) = Σ over profile grams of
+    * occurrences(gram) × weight, computed with the exact
+    * `(len(t) − len(replace(t, g))) / len(g)` counting identity —
+    * ALL-INTEGER arithmetic, map-only, fused into the scan, and
+    * expressible verbatim in the DuckDB oracle (which is generated
+    * from this same literal, so engine and oracle cannot desync).
+    * Word-boundary grams carry surrounding spaces (text is padded);
+    * diacritics and CJK characters are the high-weight discriminators
+    * (a script is the strongest language signal there is). Replaces
+    * the stopword-dictionary [[langId]] as the quality path — the
+    * dictionary scorer measured at chance on real multilingual text
+    * with any vocabulary outside its 5-word lists (round-8 verdict);
+    * this one is gated at 10/10 on the constructed fixture
+    * (q187/LangIdSpec) against a 0.3 max-class prior.
+    */
+  val LangProfiles: Seq[(String, Seq[(String, Int)])] = Seq(
+    "de" -> Seq(" der " -> 3, " die " -> 3, " das " -> 3, " und " -> 3,
+      " ist " -> 3, " den " -> 2, " ein " -> 2, " zu " -> 2, "sch" -> 2,
+      "ch" -> 1, "ei" -> 1, "ä" -> 4, "ö" -> 4, "ü" -> 4, "ß" -> 4),
+    "en" -> Seq(" the " -> 3, " and " -> 3, " of " -> 3, " to " -> 3,
+      " is " -> 3, " that " -> 2, " this " -> 2, "ing " -> 2, "th" -> 1),
+    "es" -> Seq(" el " -> 3, " la " -> 3, " los " -> 3, " que " -> 3,
+      " es " -> 3, " de " -> 2, " una " -> 2, " ser " -> 2, "ción" -> 4,
+      "ñ" -> 4, "á" -> 4, "í" -> 4, "ó" -> 4),
+    "fr" -> Seq(" le " -> 3, " la " -> 3, " les " -> 3, " et " -> 3,
+      " des " -> 3, " est " -> 3, " une " -> 2, " qui " -> 2, "eux" -> 2,
+      "é" -> 4, "è" -> 4, "ê" -> 4, "à" -> 4, "ç" -> 4),
+    "zh" -> Seq("的" -> 4, "一" -> 4, "是" -> 4, "不" -> 4, "了" -> 4,
+      "人" -> 4, "我" -> 4, "在" -> 4, "这" -> 4, "个" -> 4))
+
+  def langNgramScores(text: Column): Seq[(String, Column)] = {
+    // pad so word-boundary grams match at string edges too
+    val t = concat(lit(" "), lower(text), lit(" "))
+    LangProfiles.map { case (lang, profile) =>
+      lang -> profile.map { case (g, w) =>
+        ((length(t) - length(replace(t, lit(g)))) / g.length * w).cast("long")
+      }.reduce(_ + _)
+    }
+  }
+
+  def langIdNgram(df: DataFrame, textCol: String): DataFrame =
+    predictFromScores(df, langNgramScores(col(textCol)))
+
+  /** Constructed multilingual gate fixture (q187 / LangIdSpec): real
+    * sentences with KNOWN languages — the synthetic corpus's `lang`
+    * labels are decorrelated from its (English-token) text by
+    * construction (q179 measured it), so an accuracy gate is only
+    * meaningful on a corpus where the label actually describes the
+    * text. Apostrophe-free on purpose (shared verbatim with the
+    * oracle's VALUES literal). (id, true_lang, text).
+    */
+  val LangFixture: Seq[(Long, String, String)] = Seq(
+    (1L, "en", "the quick brown fox jumps over the lazy dog and runs to the forest"),
+    (2L, "en", "this is a simple sentence that should be easy to classify"),
+    (3L, "en", "reading and writing are skills that improve with practice"),
+    (4L, "de", "der schnelle braune fuchs springt über den faulen hund und läuft in den wald"),
+    (5L, "de", "das ist ein einfacher satz der leicht zu erkennen sein sollte"),
+    (6L, "de", "die kinder spielen im garten und das wetter ist schön"),
+    (7L, "es", "el rápido zorro marrón corre por el campo y salta sobre el perro"),
+    (8L, "es", "esta es una oración sencilla que debería ser fácil de clasificar"),
+    (9L, "es", "los niños juegan en el parque cuando hace buen tiempo"),
+    (10L, "fr", "le renard brun rapide saute par dessus le chien paresseux et court vers la forêt"),
+    (11L, "fr", "une phrase simple qui devrait être facile à classer"),
+    (12L, "fr", "les enfants jouent dans le jardin et le temps est agréable"),
+    (13L, "zh", "敏捷的棕色狐狸跳过了懒惰的狗然后跑进了森林"),
+    (14L, "zh", "这是一个应该很容易分类的简单句子"),
+    (15L, "zh", "我们在公园里散步因为今天天气很好"))
 
   /** Polynomial rolling-hash fingerprint over the token stream:
     * h = Σ tok_hash(t_i) · 31^(n-1-i)  (mod p = 1e9+7), with
