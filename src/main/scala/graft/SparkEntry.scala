@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{Clean, Ingest, Joins, Risk, Stats, Windows}
+import graft.ops.{Clean, Guards, Ingest, Joins, Risk, Stats, Windows}
 import graft.text.{Dedup, TextStats}
 import graft.vector.Similarity
 
@@ -1028,6 +1028,17 @@ object SparkEntry {
       Media.phashBandedPairs(s,
           Media.imageHashTable(s, t(s, dir, "documents"), "doc_id"))
         .orderBy("id_a", "id_b")
+    }),
+
+    "q186_guard_report" -> ((s, dir) => {
+      // pre-flight guard headroom: every refusal guard's measured load
+      // on this corpus in one table (the q107 discipline applied to the
+      // guard family) — read BEFORE shipping a 100 TB job. The oracle
+      // recomputes each linear pre-pass, with the perceptual-hash
+      // chunk distribution replayed through the fixture's spread-bits
+      // law in straight-line SQL.
+      Guards.guardReport(s, t(s, dir, "documents"), t(s, dir, "embeddings"),
+        t(s, dir, "events"), t(s, dir, "part"))
     }),
 
     "q185_dedup_funnel" -> ((s, dir) => {
@@ -2608,6 +2619,27 @@ object SparkEntry {
     s"CASE WHEN $g = 0 THEN 'unknown' $whens ELSE '${langs.last}' END"
   }
 
+  /** Media's fixture bit permutation (spreadBits: bit k → bit (5k & 63))
+    * as straight-line SQL — 64 masked terms summed in two's complement
+    * (the bit-63 place value is BIGINT min, written overflow-free).
+    * Generated so the oracle's chunk-distribution replay cannot drift
+    * from the Scala fixture law.
+    */
+  private def spreadBitsSql(x: String): String =
+    (0 until 64).map { k =>
+      val shift = (5 * k) & 63
+      val c = if (shift == 63) "(-9223372036854775807 - 1)"
+        else (1L << shift).toString
+      s"((($x >> $k) & 1) * $c)"
+    }.grouped(4).map(_.mkString(" + ")).mkString("\n        + ")
+
+  private def guardRowSql(guard: String, op: String, measured: String): String = {
+    val bound = graft.ops.Guards.DefaultBounds(guard)
+    s"""SELECT '$guard' AS guard, '$op' AS operator,
+       |  CAST($bound AS BIGINT) AS bound,
+       |  CAST(($measured) AS BIGINT) AS measured""".stripMargin
+  }
+
   private def langFixtureValuesSql: String =
     graft.text.TextStats.LangFixture.map { case (id, lang, txt) =>
       s"  ($id, '$lang', '${txt.replace("'", "''")}')"
@@ -2914,6 +2946,50 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
         |    / COUNT(*) AS accuracy
         |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q186_guard_report" ->
+      s"""WITH $shingleCte,
+        |spread AS (
+        |  SELECT doc_id,
+        |    ${spreadBitsSql("doc_id")} AS h
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT cj.j AS chunk, (h >> (16 * cj.j)) & 65535 AS ck
+        |  FROM spread CROSS JOIN (SELECT unnest([0,1,2,3]) AS j) cj),
+        |m AS (
+        |${guardRowSql("hot_shingle", "jaccardPairs",
+             "SELECT COALESCE(MAX(c), 0) FROM (SELECT COUNT(*) AS c FROM sh GROUP BY shingle)")}
+        |UNION ALL
+        |${guardRowSql("hot_chunk_image", "phashBandedPairs",
+             "SELECT COALESCE(MAX(c), 0) FROM (SELECT COUNT(*) AS c FROM chunks GROUP BY chunk, ck)")}
+        |UNION ALL
+        |${guardRowSql("hot_chunk_audio", "audioHashBandedPairs",
+             "SELECT COALESCE(MAX(c), 0) FROM (SELECT COUNT(*) AS c FROM chunks GROUP BY chunk, ck)")}
+        |UNION ALL
+        |${guardRowSql("exact_pairs", "embedNearDup",
+             "SELECT COUNT(*) FROM embeddings")}
+        |UNION ALL
+        |${guardRowSql("knn_bucket", "knnGraphBucketed",
+             "SELECT COALESCE(MAX(c), 0) FROM (SELECT COUNT(*) AS c FROM embeddings GROUP BY label)")}
+        |UNION ALL
+        |${guardRowSql("instruments", "corrMatrix",
+             "SELECT COUNT(DISTINCT event_type) FROM events")}
+        |UNION ALL
+        |${guardRowSql("corpus_slices", "corpusOverlap",
+             "SELECT COUNT(DISTINCT source) FROM documents")}
+        |UNION ALL
+        |${guardRowSql("fuzzy_block", "fuzzyPairs",
+             "SELECT COALESCE(MAX(c), 0) FROM (SELECT COUNT(*) AS c FROM (" +
+               "SELECT list_extract(regexp_split_to_array(p_name, ' '), -1) AS blk " +
+               "FROM (SELECT p_name FROM part GROUP BY p_name)) GROUP BY blk)")}
+        |UNION ALL
+        |${guardRowSql("eval_shingles", "contamination",
+             "SELECT COUNT(DISTINCT shingle) FROM sh WHERE doc_id IN " +
+               "(SELECT doc_id FROM documents WHERE source = 'src0')")})
+        |SELECT guard, operator, bound, measured,
+        |  CAST(measured AS DOUBLE) / bound AS load_ratio,
+        |  measured > bound AS would_refuse
+        |FROM m ORDER BY guard""".stripMargin,
 
     "q35_quality_score" ->
       """WITH base AS (

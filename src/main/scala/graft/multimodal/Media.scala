@@ -996,7 +996,7 @@ object Media {
     chunked
   }
 
-  private def chunkSignatures(hashes: DataFrame): DataFrame = hashes
+  private[graft] def chunkSignatures(hashes: DataFrame): DataFrame = hashes
     .select(col("media_id"), col("phash"), explode(array(
       (0 until 4).map(j => struct(lit(j).as("chunk"),
         shiftright(col("phash"), 16 * j).bitwiseAND(lit(0xFFFFL))

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unified PRE-FLIGHT guard diagnostics (round-8 verdict item 6): every
+  * refusal guard in the engine — hot-shingle, hot-chunk, all-pairs
+  * size, kNN bucket, instrument count, slice count, fuzzy block,
+  * broadcast budget — reports its measured load on the corpus in ONE
+  * q107-style table, instead of each operator printing offenders ad
+  * hoc at refusal time. A pipeline operator reads this BEFORE shipping
+  * a 100 TB job: `load_ratio` is how much of each guard's budget the
+  * corpus consumes, `would_refuse` marks the operators that would
+  * refuse outright.
+  *
+  * Every measurement is the linear pre-pass the guard itself runs
+  * (bucket/count aggregations — no pair space anywhere), so the report
+  * costs a handful of scans even at full corpus scale. `load_ratio` is
+  * an unrounded quotient of exact integers (the q107 rounding-tie
+  * discipline).
+  */
+object Guards {
+
+  /** One row per guard family over the standard corpus tables.
+    * Bounds mirror each operator's default; pass a different map to
+    * report against tuned bounds.
+    */
+  def guardReport(spark: SparkSession, docs: DataFrame, emb: DataFrame,
+                  events: DataFrame, part: DataFrame,
+                  bounds: Map[String, Long] = DefaultBounds): DataFrame = {
+    import graft.text.Dedup
+    import graft.multimodal.Media
+
+    def one(guard: String, op: String, measured: DataFrame): DataFrame =
+      measured.select(lit(guard).as("guard"), lit(op).as("operator"),
+        lit(bounds(guard)).as("bound"),
+        coalesce(col("measured"), lit(0L)).cast("long").as("measured"))
+
+    def maxCount(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("measured"))
+
+    val shingles = Dedup.shingleSets(docs, "doc_id", "text", 5)
+    val imageChunks = Media.chunkSignatures(
+      Media.imageHashes(spark, Media.imageHashTable(spark, docs, "doc_id")).toDF())
+    val audioChunks = Media.chunkSignatures(
+      Media.audioHashes(spark, Media.audioHashTable(spark, docs, "doc_id")).toDF())
+    val nameBlocks = part.groupBy(col("p_name"))
+      .agg(count(lit(1)).as("_n")) // fuzzyPairs runs on DISTINCT names (q95)
+      .select(element_at(split(col("p_name"), " "), -1).as("blk"))
+
+    val rows = Seq(
+      one("hot_shingle", "jaccardPairs", maxCount(shingles, Seq("shingle"))),
+      one("hot_chunk_image", "phashBandedPairs",
+        maxCount(imageChunks, Seq("chunk", "ck"))),
+      one("hot_chunk_audio", "audioHashBandedPairs",
+        maxCount(audioChunks, Seq("chunk", "ck"))),
+      one("exact_pairs", "embedNearDup",
+        emb.agg(count(lit(1)).as("measured"))),
+      one("knn_bucket", "knnGraphBucketed", maxCount(emb, Seq("label"))),
+      one("instruments", "corrMatrix",
+        events.agg(count_distinct(col("event_type")).as("measured"))),
+      one("corpus_slices", "corpusOverlap",
+        docs.agg(count_distinct(col("source")).as("measured"))),
+      one("fuzzy_block", "fuzzyPairs", maxCount(nameBlocks, Seq("blk"))),
+      one("eval_shingles", "contamination",
+        shingles.join(
+            docs.filter(col("source") === "src0")
+              .select(col("doc_id").as("doc")), Seq("doc"), "left_semi")
+          .agg(count_distinct(col("shingle")).as("measured"))))
+
+    rows.reduce(_ unionByName _)
+      .withColumn("load_ratio",
+        col("measured").cast("double") / col("bound"))
+      .withColumn("would_refuse", col("measured") > col("bound"))
+      .orderBy("guard")
+  }
+
+  /** The engine defaults, named by guard family. */
+  val DefaultBounds: Map[String, Long] = Map(
+    "hot_shingle" -> 100000L,      // Dedup.jaccardPairs hotShingleCap
+    "hot_chunk_image" -> 100000L,  // Media maxChunkBucket
+    "hot_chunk_audio" -> 100000L,
+    "exact_pairs" -> 100000L,      // Similarity.embedNearDup maxExact
+    "knn_bucket" -> 100000L,       // Similarity.knnGraphBucketed maxBucket
+    "instruments" -> 2000L,        // Stats.corrMatrix maxInstruments
+    "corpus_slices" -> 2000L,      // Dedup.corpusOverlap maxSlices
+    "fuzzy_block" -> 100000L,      // Joins.fuzzyPairs maxBlock
+    "eval_shingles" -> 10000000L)  // Curation.contamination broadcast cap
+}

@@ -858,12 +858,15 @@ object Similarity {
     // k·d-sized; the full-corpus pass here keeps the gate
     // self-contained at test SF).
     for (_ <- 1 to trainIters) {
+      // sv rides the argmin aggregate (first() is exact: sv is constant
+      // per (id, s)) — re-attaching it with a corpus-sized self-join
+      // would add a sort-merge shuffle the plan pin forbids
       val asg = base.join(broadcast(cb), col("s") === col("cs"))
         .withColumn("_d", d2(col("sv"), col("cw")))
         .groupBy(col("id"), col("s"))
         .agg(min(struct(col("_d").as("d"), col("code").as("c")))
-          .getField("c").as("code"))
-        .join(base, Seq("id", "s"))
+          .getField("c").as("code"),
+          first(col("sv")).as("sv"))
       val means = asg
         .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("pos", "e")))
         .groupBy(col("s"), col("code"), col("pos"))
@@ -872,7 +875,8 @@ object Similarity {
         .groupBy(col("s").as("ms"), col("code").as("mcode"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("cw2"))
-      cb = cb.join(means,
+      // codebook refresh: nSub·nCodes rows — broadcast, never shuffled
+      cb = cb.join(broadcast(means),
           col("cs") === col("ms") && col("code") === col("mcode"), "left")
         .select(col("cs"), col("code"),
           coalesce(col("cw2"), col("cw")).as("cw"))
