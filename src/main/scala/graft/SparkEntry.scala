@@ -1030,6 +1030,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q188_dup_spans" -> ((s, dir) => {
+      // exact duplicated-SPAN detection (Lee et al. ACL'22 ExactSubstr,
+      // positional-n-gram formulation): every non-first occurrence of a
+      // 5-token window marks its range; islands merge per doc. One
+      // shuffle by shingle + one window by doc — no pair space.
+      Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text", 5)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    "q189_strip_dup_spans" -> ((s, dir) => {
+      // exact-substring dedup applied: strip the q188 spans (first
+      // occurrence kept corpus-wide), emit surviving text + counts
+      Dedup.stripDupSpans(t(s, dir, "documents"), "doc_id", "text", 5)
+        .orderBy("doc_id")
+    }),
+
     "q186_guard_report" -> ((s, dir) => {
       // pre-flight guard headroom: every refusal guard's measured load
       // on this corpus in one table (the q107 discipline applied to the
@@ -2349,6 +2365,53 @@ object SparkEntry {
     * mirrors TokensExpr/ShinglesExpr exactly (same fragment the q31
     * oracle inlines). Used by the q63/q65 oracles.
     */
+  /** Positional 5-gram duplicated-span CTE chain (q188/q189): grams
+    * with 0-based positions and doc token counts, keep-first marking,
+    * and the gaps-and-islands merge — shared verbatim by both oracles
+    * so the span law cannot desync from the strip law.
+    */
+  private val dupSpanCte: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |words AS (
+      |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM toks),
+      |grams AS (
+      |  SELECT a.doc_id, CAST(a.i - 1 AS BIGINT) AS pos,
+      |    a.word || ' ' || b.word || ' ' || c.word || ' ' || d.word || ' ' || e.word AS g,
+      |    CAST(len(tk.w) AS BIGINT) AS ntok
+      |  FROM words a
+      |  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      |  JOIN words d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+      |  JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4
+      |  JOIN toks tk ON tk.doc_id = a.doc_id
+      |  UNION ALL
+      |  SELECT doc_id, 0, array_to_string(w, ' '), CAST(len(w) AS BIGINT)
+      |  FROM toks WHERE len(w) < 5),
+      |marked AS (
+      |  SELECT doc_id, pos, least(pos + 4, ntok - 1) AS e,
+      |    COUNT(*) OVER (PARTITION BY g) AS freq,
+      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      |  FROM grams),
+      |rem AS (SELECT doc_id, pos AS s, e FROM marked WHERE freq >= 2 AND rn > 1),
+      |isl AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s ASC, e ASC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s ASC, e ASC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM rem),
+      |isl2 AS (
+      |  SELECT doc_id, s, e,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s ASC, e ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+      |  FROM isl2 GROUP BY doc_id, isl)""".stripMargin
+
   private val shingleCte: String =
     """toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
@@ -2990,6 +3053,29 @@ object SparkEntry {
         |  CAST(measured AS DOUBLE) / bound AS load_ratio,
         |  measured > bound AS would_refuse
         |FROM m ORDER BY guard""".stripMargin,
+
+    "q188_dup_spans" ->
+      s"""WITH $dupSpanCte
+        |SELECT doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS span_tokens
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "q189_strip_dup_spans" ->
+      s"""WITH $dupSpanCte,
+        |wkept AS (
+        |  SELECT w.doc_id, CAST(w.i - 1 AS BIGINT) AS pos, w.word
+        |  FROM words w
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = w.doc_id
+        |      AND w.i - 1 BETWEEN s.span_start AND s.span_end)),
+        |ag AS (
+        |  SELECT doc_id, COUNT(*) AS kept,
+        |    string_agg(word, ' ' ORDER BY pos ASC) AS clean_text
+        |  FROM wkept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.w) - COALESCE(ag.kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(ag.clean_text, '') AS clean_text
+        |FROM toks t LEFT JOIN ag USING (doc_id) ORDER BY t.doc_id""".stripMargin,
 
     "q35_quality_score" ->
       """WITH base AS (

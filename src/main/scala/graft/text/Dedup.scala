@@ -337,6 +337,114 @@ object Dedup {
       .distinct()
   }
 
+  /** Positional n-gram relation: `(doc, pos, shingle)` with pos the
+    * 0-based token index of the shingle's first token, duplicates
+    * PRESERVED (unlike [[shingleSets]]) — the substrate of exact
+    * duplicated-SPAN analysis. Docs shorter than n contribute their
+    * single full-token shingle at pos 0.
+    */
+  def shinglePositions(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        TextStats.tokens(col(textCol)).as("_toks"))
+      .select(col("doc"), size(col("_toks")).cast("long").as("doc_tokens"),
+        posexplode(shinglesOfTokens(col("_toks"), n)).as(Seq("pos", "shingle")))
+      .select(col("doc"), col("pos").cast("long").as("pos"), col("shingle"),
+        col("doc_tokens"))
+
+  /** Exact duplicated-span detection — the span-level half of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al., ACL'22, ExactSubstr): every occurrence of an n-token
+    * window that also occurs ANYWHERE else in the corpus (another doc
+    * or the same doc), EXCEPT the globally first occurrence
+    * (lexicographic (doc, pos) — the copy every other occurrence
+    * would be deduplicated against), marks its token range; per doc,
+    * overlapping/touching ranges merge into maximal spans. Returns
+    * one row per merged span: `(doc_id, span_start, span_end,
+    * span_tokens)`, token indices 0-based inclusive.
+    *
+    * Lee et al. find duplicated substrings with a parallel suffix
+    * array; the positional n-gram formulation is the Spark-native
+    * equivalent at fixed granularity n (a duplicated substring of
+    * length L >= n is exactly a run of L - n + 1 duplicated n-gram
+    * positions, which the islands merge reassembles — so spans agree
+    * with the suffix-array answer for every duplicate of length >= n,
+    * and shorter duplicates are below the detection floor by design).
+    *
+    * Scale posture: ONE shuffle by shingle (freq + global-min window
+    * share it), one window pass by doc for the islands merge — no
+    * pair space at any point, unlike the pairwise Jaccard family; a
+    * shingle duplicated k times costs k rows, never k². 100 TB-shaped
+    * by construction.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int): DataFrame = {
+    val sp = shinglePositions(df, idCol, textCol, n)
+    val byShingle = Window.partitionBy(col("shingle"))
+    val removed = sp
+      .withColumn("_freq", count(lit(1)).over(byShingle))
+      .withColumn("_first",
+        min(struct(col("doc"), col("pos"))).over(byShingle))
+      .filter(col("_freq") >= 2 &&
+        !(col("doc") === col("_first.doc") && col("pos") === col("_first.pos")))
+      .select(col("doc"), col("pos").as("_s"),
+        // a window at pos spans to pos+n-1, clipped to the doc's last
+        // token (the short-doc whole-text shingle ends there)
+        least(col("pos") + lit(n.toLong) - 1L, col("doc_tokens") - 1L)
+          .as("_e"))
+    // gaps-and-islands over token indices (the mergeIntervals walk,
+    // kept inline because the SPANS themselves are the output)
+    val w = Window.partitionBy(col("doc")).orderBy(col("_s").asc, col("_e").asc)
+    val prevMaxEnd = max(col("_e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    removed
+      .withColumn("_brk",
+        when(prevMaxEnd.isNull || col("_s") > prevMaxEnd + 1L, 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum(col("_brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc").as("doc_id"), col("_isl"))
+      .agg(min(col("_s")).as("span_start"), max(col("_e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
+
+  /** Exact-substring DEDUP: strip every duplicated span ([[dupSpans]],
+    * first occurrence kept corpus-wide) from each document and emit
+    * the surviving text — the operator Lee et al. apply before
+    * training. One row per input doc: `(doc_id, n_tokens, n_removed,
+    * clean_text)` where `clean_text` joins the kept tokens with single
+    * spaces (empty string when the whole doc was a duplicate).
+    *
+    * The strip is a doc-keyed range anti-join of token positions
+    * against the span list (span count per doc is bounded by the
+    * doc's own token count — never corpus-sized), then an ordered
+    * re-assembly per doc.
+    */
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, n)
+      .select(col("doc_id").as("doc"), col("span_start"), col("span_end"))
+    val toks = df.select(col(idCol).as("doc"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .select(col("doc"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.join(spans,
+        toks("doc") === spans("doc") &&
+          col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+        "left_anti")
+    df.select(col(idCol).as("doc"))
+      .join(kept.groupBy(col("doc"))
+          .agg(count(lit(1)).as("_kept"),
+            array_join(array_sort(collect_list(struct(col("pos"), col("tok"))))
+              .getField("tok"), " ").as("clean_text")),
+        Seq("doc"), "left")
+      .join(toks.groupBy(col("doc")).agg(count(lit(1)).as("n_tokens")),
+        Seq("doc"))
+      .select(col("doc").as("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Cross-document duplicated-shingle fraction per doc: the share of a
     * doc's distinct n-gram shingles that also occur in at least one
     * OTHER document — the span-level duplication signal behind

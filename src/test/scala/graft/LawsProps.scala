@@ -1615,6 +1615,48 @@ object LawsProps extends Properties("graft.laws") {
       got == want
     }
 
+  property("stripDupSpans: equals brute-force keep-first span removal on ANY corpus") =
+    forAll(Gen.listOfN(8,
+      Gen.chooseNum(1, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))))) { docsRaw =>
+      val n = 3
+      val docs = docsRaw.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      // brute force: positional n-grams (whole doc when shorter), global
+      // keep-first by (doc, pos), clipped ranges, per-doc strip
+      val grams = docs.flatMap { case (id, ts) =>
+        if (ts.length >= n)
+          (0 to ts.length - n).map(p => (ts.slice(p, p + n).mkString(" "), id, p))
+        else Seq((ts.mkString(" "), id, 0))
+      }
+      val removed = grams.groupBy(_._1).values.flatMap { occ =>
+        occ.sortBy(o => (o._2, o._3)).drop(1) // keep-first
+      }.toSeq.filter(o => grams.count(_._1 == o._1) >= 2)
+      val removedIdx = removed.groupBy(_._2).view.mapValues(_.flatMap { o =>
+        val len = docs(o._2.toInt)._2.length
+        o._3 to math.min(o._3 + n - 1, len - 1)
+      }.toSet).toMap
+      val want = docs.map { case (id, ts) =>
+        val rm = removedIdx.getOrElse(id, Set.empty[Int])
+        val kept = ts.zipWithIndex.filterNot { case (_, i) => rm(i) }.map(_._1)
+        (id, ts.length.toLong, (ts.length - kept.length).toLong,
+          kept.mkString(" "))
+      }
+      val got = graft.text.Dedup.stripDupSpans(df, "doc_id", "text", n)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      // and the span rows must tile exactly the removed index set
+      val spanIdx = graft.text.Dedup.dupSpans(df, "doc_id", "text", n)
+        .as[(Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.flatMap(r =>
+          r._2.toInt to r._3.toInt).toSet).toMap
+      got == want && docs.forall { case (id, _) =>
+        spanIdx.getOrElse(id, Set.empty[Int]) ==
+          removedIdx.getOrElse(id, Set.empty[Int])
+      }
+    }
+
   property("weightedSample: equals the brute-force exponential-key ranking on ANY weights") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 40L),
       Gen.choose(-2L, 500L))), Gen.choose(1, 8)) { (rowsRaw, k) =>
