@@ -436,6 +436,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q191_ivfadc_recall" -> ((s, dir) => {
+      // the full-system ANN gate: recall@10 of IVFADC (coarse pruning +
+      // trained-PQ ADC) against the exact cosine scan — reads 0.8 on
+      // this corpus, equal to the unpruned q175 gate: at nProbe=4 the
+      // pruning costs nothing against the TRUE neighbor set (the one
+      // ADC neighbor it drops was a quantization artifact, not a real
+      // neighbor). Oracle splices both components' own SQL.
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+        .select(col("vec_id"))
+      val approx = Similarity.ivfAdcTopK(emb, "vec_id", "embedding", 0L, 10)
+        .select(col("vec_id"))
+      exact.join(approx, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("_ne"))))
+        .select(lit(10).as("k"), col("n_overlap"),
+          when(col("_ne") === 0, lit(0.0))
+            .otherwise(col("n_overlap") /
+              least(lit(10).cast("long"), col("_ne"))).as("recall"))
+    }),
+
+    "q190_ivfadc" -> ((s, dir) => {
+      // IVFADC (Jegou et al. SS3): coarse quantizer prunes to nProbe
+      // inverted lists, trained-PQ ADC ranks the survivors — the q41
+      // pruning composed with the q166 code scan; the oracle shares
+      // q166's generated chain with only the scan source restricted
+      Similarity.ivfAdcTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0L, 10)
+    }),
+
     "q187_langid_eval" -> ((s, dir) => {
       // the corpus where language-ID accuracy MEANS something: the
       // synthetic documents' lang labels are decorrelated from their
@@ -2584,6 +2614,8 @@ object SparkEntry {
     */
   val oracleMeasuredOn: Map[String, Set[String]] = Map(
     "q32_minhash_lsh" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q190_ivfadc" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q191_ivfadc_recall" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q39_embed_neardup_lsh" -> Set("sf0.01"),
     "q41_ivf_topk" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q81_ivf_probe" -> Set("sf0.001", "sf0.01", "sf0.1"))
@@ -2611,6 +2643,14 @@ object SparkEntry {
     ("q175_ann_recall" ->
       s"""WITH ex AS ${block("q40_cosine_topk")},
         |ap AS ${block("q166_pq_adc")}
+        |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+        |  CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(COUNT(*) AS DOUBLE)
+        |      / least(10, (SELECT COUNT(*) FROM ex)) END AS recall
+        |FROM ex JOIN ap USING (vec_id)""".stripMargin) +
+    ("q191_ivfadc_recall" ->
+      s"""WITH ex AS ${block("q40_cosine_topk")},
+        |ap AS ${block("q190_ivfadc")}
         |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_overlap,
         |  CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN CAST(0 AS DOUBLE)
         |    ELSE CAST(COUNT(*) AS DOUBLE)
@@ -2701,6 +2741,99 @@ object SparkEntry {
     s"""SELECT '$guard' AS guard, '$op' AS operator,
        |  CAST($bound AS BIGINT) AS bound,
        |  CAST(($measured) AS BIGINT) AS measured""".stripMargin
+  }
+
+  /** The q166 trained-PQ/ADC oracle, parameterized by the IVFADC
+    * restriction (q190): ONE chain for both entries so the composition
+    * provably shares the unpruned scan's codebook, training, and
+    * distance arithmetic — only the scan source differs.
+    */
+  private def pqAdcOracleSql(restricted: Boolean): String = {
+    val dv = "x -> CAST(x AS DOUBLE)"
+    val ivfCtes = if (!restricted) "" else s"""
+      |cents AS (
+      |  SELECT vec_id AS cid,
+      |    list_transform(embedding, $dv) AS cv
+      |  FROM embeddings
+      |  WHERE sqrt(list_dot_product(list_transform(embedding, $dv),
+      |      list_transform(embedding, $dv))) > 0
+      |    AND vec_id % 31 = 0
+      |  ORDER BY vec_id ASC LIMIT 16),
+      |qv2 AS (
+      |  SELECT list_transform(embedding, $dv) AS qv2
+      |  FROM embeddings WHERE vec_id = 0),
+      |probed AS (
+      |  SELECT cid AS cluster FROM (
+      |    SELECT c.cid,
+      |      list_dot_product(cv, qv2) / (sqrt(list_dot_product(cv, cv))
+      |        * sqrt(list_dot_product(qv2, qv2))) AS cs2
+      |    FROM cents c, qv2)
+      |  ORDER BY cs2 DESC, cluster ASC LIMIT 4),
+      |iasg AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        (list_dot_product(ev, cv) / (sqrt(list_dot_product(ev, ev))
+      |          * sqrt(list_dot_product(cv, cv)))) DESC, c.cid DESC) AS rn
+      |    FROM (SELECT vec_id, list_transform(embedding, $dv) AS ev
+      |          FROM embeddings) e
+      |    CROSS JOIN cents c) WHERE rn = 1),
+      |cands AS (SELECT vec_id FROM iasg JOIN probed USING (cluster)),""".stripMargin
+    val scanJoin = if (restricted) "JOIN cands USING (vec_id) " else ""
+    s"""WITH sub AS (SELECT unnest(range(0, 16)) AS s),$ivfCtes
+      |base AS (
+      |  SELECT vec_id, s,
+      |    list_transform(list_slice(embedding, s*4+1, s*4+4),
+      |      $dv) AS sv
+      |  FROM embeddings CROSS JOIN sub),
+      |cbids AS (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 64),
+      |cb0 AS (
+      |  SELECT s AS cs, b.vec_id AS code, sv AS cw
+      |  FROM base b JOIN cbids USING (vec_id)),
+      |asg0 AS (
+      |  SELECT vec_id, s, sv, code FROM (
+      |    SELECT b.vec_id, b.s, b.sv, c.code,
+      |      row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY
+      |        (list_dot_product(sv, sv)
+      |          - CAST(2 AS DOUBLE) * list_dot_product(sv, cw)
+      |          + list_dot_product(cw, cw)) ASC, c.code ASC) AS rn
+      |    FROM base b JOIN cb0 c ON c.cs = b.s) WHERE rn = 1),
+      |mexp AS (
+      |  SELECT s, code, generate_subscripts(sv, 1) AS pos,
+      |    unnest(sv) AS e
+      |  FROM asg0),
+      |means AS (
+      |  SELECT s AS ms, code AS mcode, list(m ORDER BY pos ASC) AS cw2
+      |  FROM (
+      |    SELECT s, code, pos,
+      |      round(CAST(SUM(CAST(e AS DECIMAL(27,10))) AS DOUBLE)
+      |        / COUNT(*), 6) AS m
+      |    FROM mexp GROUP BY s, code, pos)
+      |  GROUP BY s, code),
+      |cb AS (
+      |  SELECT cs, code, COALESCE(cw2, cw) AS cw
+      |  FROM cb0 LEFT JOIN means ON ms = cs AND mcode = code),
+      |asg AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT b.vec_id, b.s, c.code,
+      |      row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY
+      |        (list_dot_product(sv, sv)
+      |          - CAST(2 AS DOUBLE) * list_dot_product(sv, cw)
+      |          + list_dot_product(cw, cw)) ASC, c.code ASC) AS rn
+      |    FROM base b ${scanJoin}JOIN cb c ON c.cs = b.s) WHERE rn = 1),
+      |q AS (SELECT s AS qs, sv AS qv FROM base WHERE vec_id = 0),
+      |qd AS (
+      |  SELECT cs AS ds, code AS dcode,
+      |    CAST(round(list_dot_product(qv, qv)
+      |      - CAST(2 AS DOUBLE) * list_dot_product(qv, cw)
+      |      + list_dot_product(cw, cw), 12) AS DECIMAL(28,12)) AS qdist
+      |  FROM cb JOIN q ON qs = cs),
+      |adc AS (
+      |  SELECT a.vec_id, SUM(qdist) AS adc
+      |  FROM asg a JOIN qd ON qd.ds = a.s AND qd.dcode = a.code
+      |  WHERE a.vec_id <> 0 GROUP BY a.vec_id)
+      |SELECT vec_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist
+      |FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10""".stripMargin
   }
 
   private def langFixtureValuesSql: String =
@@ -4290,61 +4423,13 @@ object SparkEntry {
     // argmin assignment and ADC distances via list_dot_product (the
     // bit-equal twin of the Scala dot kernel, q42 precedent), exact
     // decimal ADC sums
-    "q166_pq_adc" ->
-      """WITH sub AS (SELECT unnest(range(0, 16)) AS s),
-        |base AS (
-        |  SELECT vec_id, s,
-        |    list_transform(list_slice(embedding, s*4+1, s*4+4),
-        |      x -> CAST(x AS DOUBLE)) AS sv
-        |  FROM embeddings CROSS JOIN sub),
-        |cbids AS (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 64),
-        |cb0 AS (
-        |  SELECT s AS cs, b.vec_id AS code, sv AS cw
-        |  FROM base b JOIN cbids USING (vec_id)),
-        |asg0 AS (
-        |  SELECT vec_id, s, sv, code FROM (
-        |    SELECT b.vec_id, b.s, b.sv, c.code,
-        |      row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY
-        |        (list_dot_product(sv, sv)
-        |          - CAST(2 AS DOUBLE) * list_dot_product(sv, cw)
-        |          + list_dot_product(cw, cw)) ASC, c.code ASC) AS rn
-        |    FROM base b JOIN cb0 c ON c.cs = b.s) WHERE rn = 1),
-        |mexp AS (
-        |  SELECT s, code, generate_subscripts(sv, 1) AS pos,
-        |    unnest(sv) AS e
-        |  FROM asg0),
-        |means AS (
-        |  SELECT s AS ms, code AS mcode, list(m ORDER BY pos ASC) AS cw2
-        |  FROM (
-        |    SELECT s, code, pos,
-        |      round(CAST(SUM(CAST(e AS DECIMAL(27,10))) AS DOUBLE)
-        |        / COUNT(*), 6) AS m
-        |    FROM mexp GROUP BY s, code, pos)
-        |  GROUP BY s, code),
-        |cb AS (
-        |  SELECT cs, code, COALESCE(cw2, cw) AS cw
-        |  FROM cb0 LEFT JOIN means ON ms = cs AND mcode = code),
-        |asg AS (
-        |  SELECT vec_id, s, code FROM (
-        |    SELECT b.vec_id, b.s, c.code,
-        |      row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY
-        |        (list_dot_product(sv, sv)
-        |          - CAST(2 AS DOUBLE) * list_dot_product(sv, cw)
-        |          + list_dot_product(cw, cw)) ASC, c.code ASC) AS rn
-        |    FROM base b JOIN cb c ON c.cs = b.s) WHERE rn = 1),
-        |q AS (SELECT s AS qs, sv AS qv FROM base WHERE vec_id = 0),
-        |qd AS (
-        |  SELECT cs AS ds, code AS dcode,
-        |    CAST(round(list_dot_product(qv, qv)
-        |      - CAST(2 AS DOUBLE) * list_dot_product(qv, cw)
-        |      + list_dot_product(cw, cw), 12) AS DECIMAL(28,12)) AS qdist
-        |  FROM cb JOIN q ON qs = cs),
-        |adc AS (
-        |  SELECT a.vec_id, SUM(qdist) AS adc
-        |  FROM asg a JOIN qd ON qd.ds = a.s AND qd.dcode = a.code
-        |  WHERE a.vec_id <> 0 GROUP BY a.vec_id)
-        |SELECT vec_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist
-        |FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10""".stripMargin,
+    "q166_pq_adc" -> pqAdcOracleSql(restricted = false),
+
+    // the IVFADC composition: same trained-PQ chain, ADC scan
+    // restricted to the nProbe probed inverted lists (stride-init
+    // centroids, argmax-cosine assignment with the engine's
+    // largest-id tiebreak, probe by centroid-query cosine)
+    "q190_ivfadc" -> pqAdcOracleSql(restricted = true),
 
     // Neyman allocation recomputed end to end: exact decimal power
     // sums → 9-dp σ grid → largest-remainder apportionment → the q96

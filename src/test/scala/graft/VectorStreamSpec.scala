@@ -47,6 +47,36 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((4L, 0.0), (2L, 1.0), (3L, 1.0), (1L, 2.0)))
   }
 
+  test("ivfAdcTopK: probing every list equals the unpruned ADC scan") {
+    // nProbe = nCentroids ⇒ no pruning: IVFADC must reproduce pqTopK
+    // bit-for-bit (same codebook, same training, same ranking)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val full = Similarity.pqTopK(emb, "vec_id", "embedding", 0L, 10,
+      nSub = 16, nCodes = 64, trainIters = 1).as[(Long, Double)].collect()
+    val ivf = Similarity.ivfAdcTopK(emb, "vec_id", "embedding", 0L, 10,
+      nCentroids = 4, nProbe = 4, nSub = 16, nCodes = 64, trainIters = 1)
+      .as[(Long, Double)].collect()
+    assert(ivf.toSeq === full.toSeq)
+  }
+
+  test("ivfAdcTopK: results come only from probed inverted lists") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.centroids(emb, "vec_id", "embedding", 4)
+    val asg = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toMap
+    val qv = emb.filter(col("vec_id") === 0L)
+    val probed = cents.crossJoin(broadcast(qv.select(col("embedding").as("_q"))))
+      .withColumn("_cos", Similarity.cosine(col("centroid_vec"), col("_q")))
+      .orderBy(col("_cos").desc, col("centroid_id").asc).limit(2)
+      .select("centroid_id").as[Long].collect().toSet
+    val out = Similarity.ivfAdcTopK(emb, "vec_id", "embedding", 0L, 10,
+      nCentroids = 4, nProbe = 2, nSub = 16, nCodes = 64, trainIters = 1)
+      .as[(Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (id, _) => probed.contains(asg(id)) },
+      s"result outside probed lists: ${out.mkString(", ")}")
+  }
+
   test("pqTopK: empty corpus yields an empty result, not a crash") {
     val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Similarity.pqTopK(empty, "vec_id", "embedding", 0L, 5).count() === 0L)
