@@ -1060,6 +1060,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q192_append_dup_spans" -> ((s, dir) => {
+      // append-time exact-span dedup: spans in the arriving src0 batch
+      // against the standing corpus + itself — batch-proportional
+      // marking join over the one linear gram index; identical rows to
+      // the symmetric q188 filtered to batch docs (law-proven), which
+      // is exactly what the oracle computes
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalDupSpans(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", 5)
+        .orderBy("doc_id", "span_start")
+    }),
+
     "q188_dup_spans" -> ((s, dir) => {
       // exact duplicated-SPAN detection (Lee et al. ACL'22 ExactSubstr,
       // positional-n-gram formulation): every non-first occurrence of a
@@ -3192,6 +3206,14 @@ object SparkEntry {
         |SELECT doc_id, span_start, span_end,
         |  span_end - span_start + 1 AS span_tokens
         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "q192_append_dup_spans" ->
+      s"""WITH $dupSpanCte
+        |SELECT doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS span_tokens
+        |FROM spans
+        |WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "q189_strip_dup_spans" ->
       s"""WITH $dupSpanCte,

@@ -392,8 +392,15 @@ object Dedup {
         // token (the short-doc whole-text shingle ends there)
         least(col("pos") + lit(n.toLong) - 1L, col("doc_tokens") - 1L)
           .as("_e"))
-    // gaps-and-islands over token indices (the mergeIntervals walk,
-    // kept inline because the SPANS themselves are the output)
+    spansFromMarked(removed)
+  }
+
+  /** Gaps-and-islands merge of marked `(doc, _s, _e)` token ranges into
+    * maximal per-doc spans — shared by [[dupSpans]] and
+    * [[incrementalDupSpans]] (the mergeIntervals walk, kept here
+    * because the SPANS themselves are the output).
+    */
+  private def spansFromMarked(removed: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc")).orderBy(col("_s").asc, col("_e").asc)
     val prevMaxEnd = max(col("_e"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -407,6 +414,42 @@ object Dedup {
       .agg(min(col("_s")).as("span_start"), max(col("_e")).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
+
+  /** Append-time duplicated spans: the [[dupSpans]] verdicts for BATCH
+    * documents only, marked against corpus ∪ batch under the same
+    * global keep-first rule — identical rows to
+    * `dupSpans(corpus ∪ batch)` filtered to batch docs (ScalaCheck
+    * law), because islands merge per doc and a batch doc's marks
+    * depend only on the global gram index.
+    *
+    * The [[incrementalJaccardPairs]] economics applied to spans: the
+    * gram index (frequency + first occurrence per shingle) is ONE
+    * linear pass over the union — the part a production pipeline
+    * materializes once and maintains per append; recomputed here for
+    * self-containment — while the marking join is batch-proportional
+    * (batch grams equi-join the index by shingle; output rows scale
+    * with the batch). Never corpus² and never corpus-sized output.
+    */
+  def incrementalDupSpans(corpus: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val c = corpus.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val b = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val index = shinglePositions(c.union(b), "doc_id", "text", n)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("_freq"),
+        min(struct(col("doc"), col("pos"))).as("_first"))
+    val marked = shinglePositions(b, "doc_id", "text", n)
+      .join(index, Seq("shingle"))
+      .filter(col("_freq") >= 2 &&
+        !(col("doc") === col("_first.doc") && col("pos") === col("_first.pos")))
+      .select(col("doc"), col("pos").as("_s"),
+        least(col("pos") + lit(n.toLong) - 1L, col("doc_tokens") - 1L)
+          .as("_e"))
+    spansFromMarked(marked)
   }
 
   /** Exact-substring DEDUP: strip every duplicated span ([[dupSpans]],

@@ -930,9 +930,16 @@ object Similarity {
         .select(col("cs"), col("code"),
           coalesce(col("cw2"), col("cw")).as("cw"))
     }
-    // the ADC scan: full table for pqTopK, probed lists for ivfAdcTopK
+    // the ADC scan: full table for pqTopK, probed lists for ivfAdcTopK.
+    // The candidate set is ~nProbe/nCentroids of the corpus — NOT
+    // broadcastable at scale — so the semi-join takes the sortless
+    // shuffle-hash shape (the pair family's broadcast fallback
+    // posture; a persisted index prunes cluster PARTITIONS instead,
+    // see buildIvfIndex/ivfProbe)
     val scanBase = restrictTo.fold(base)(ids =>
-      base.join(ids.select(col(ids.columns.head).cast("long").as("id")),
+      base.join(
+        ids.select(col(ids.columns.head).cast("long").as("id"))
+          .hint("shuffle_hash"),
         Seq("id"), "left_semi"))
     val codes = scanBase.join(broadcast(cb), col("s") === col("cs"))
       .withColumn("_d", d2(col("sv"), col("cw")))

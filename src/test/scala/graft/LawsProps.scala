@@ -1657,6 +1657,31 @@ object LawsProps extends Properties("graft.laws") {
       }
     }
 
+  property("incrementalDupSpans: equals the symmetric dupSpans filtered to batch docs") =
+    forAll(
+      Gen.listOfN(6, Gen.chooseNum(1, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")))),
+      Gen.listOfN(3, Gen.chooseNum(1, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c"))))) { (corpusRaw, batchRaw) =>
+      val n = 3
+      val corpus = corpusRaw.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val batch = batchRaw.zipWithIndex
+        .map { case (ts, i) => (100L + i, ts.mkString(" ")) }
+      val cdf = corpus.toDF("doc_id", "text")
+      val bdf = batch.toDF("doc_id", "text")
+      val got = graft.text.Dedup.incrementalDupSpans(cdf, bdf,
+          "doc_id", "text", n)
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val want = graft.text.Dedup.dupSpans(
+          cdf.unionByName(bdf), "doc_id", "text", n)
+        .filter(org.apache.spark.sql.functions.col("doc_id") >= 100L)
+        .orderBy("doc_id", "span_start")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      got == want
+    }
+
   property("weightedSample: equals the brute-force exponential-key ranking on ANY weights") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 40L),
       Gen.choose(-2L, 500L))), Gen.choose(1, 8)) { (rowsRaw, k) =>

@@ -389,6 +389,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q188: span detection is window + agg on the positional shingle axis — no join") {
+    // freq and keep-first ride ONE shingle-keyed window; islands ride
+    // one doc window — a pair join anywhere here would be the n² the
+    // positional formulation exists to avoid
+    val p = plan("q188_dup_spans")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q189: the strip is a doc-equi range anti-join — never a cartesian") {
+    val p = plan("q189_strip_dup_spans")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q190: IVFADC probes and codebook broadcast — never a cartesian or sort-merge") {
+    // the candidate restriction (left_semi on probed-list members),
+    // code assignment, and ADC distance joins must all ride broadcasts;
+    // the vector side never shuffles for a join
+    val p = plan("q190_ivfadc")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("q167: corpus overlap is a shingle equi-join; slice sizes broadcast") {
     val p = plan("q167_corpus_overlap")
     assert(!p.contains("CartesianProduct") &&
