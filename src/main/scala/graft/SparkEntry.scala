@@ -1060,6 +1060,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q193_decontaminate_spans" -> ((s, dir) => {
+      // SURGICAL decontamination: q65 flags whole docs that share any
+      // 5-gram with the src0 "benchmark" slice; this reports the exact
+      // token spans to excise (stripSpans applies them) — quote-level
+      // precision instead of document drops
+      Dedup.contaminationSpans(t(s, dir, "documents"), "doc_id", "text",
+          col("source") === "src0", 5)
+        .orderBy("doc_id", "span_start")
+    }),
+
     "q192_append_dup_spans" -> ((s, dir) => {
       // append-time exact-span dedup: spans in the arriving src0 batch
       // against the standing corpus + itself — batch-proportional
@@ -2414,7 +2424,7 @@ object SparkEntry {
     * and the gaps-and-islands merge — shared verbatim by both oracles
     * so the span law cannot desync from the strip law.
     */
-  private val dupSpanCte: String =
+  private val posGramCte: String =
     """toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
       |  FROM documents),
@@ -2432,14 +2442,15 @@ object SparkEntry {
       |  JOIN toks tk ON tk.doc_id = a.doc_id
       |  UNION ALL
       |  SELECT doc_id, 0, array_to_string(w, ' '), CAST(len(w) AS BIGINT)
-      |  FROM toks WHERE len(w) < 5),
-      |marked AS (
-      |  SELECT doc_id, pos, least(pos + 4, ntok - 1) AS e,
-      |    COUNT(*) OVER (PARTITION BY g) AS freq,
-      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
-      |  FROM grams),
-      |rem AS (SELECT doc_id, pos AS s, e FROM marked WHERE freq >= 2 AND rn > 1),
-      |isl AS (
+      |  FROM toks WHERE len(w) < 5)""".stripMargin
+
+  /** Gaps-and-islands merge from a `rem(doc_id, s, e)` relation to
+    * `spans` — ONE text shared by every span family (dup spans,
+    * append spans, decontamination spans) so the merge law cannot
+    * desync across oracles.
+    */
+  private val spanIslandCtes: String =
+    """isl AS (
       |  SELECT doc_id, s, e,
       |    CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s ASC, e ASC
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
@@ -2455,6 +2466,31 @@ object SparkEntry {
       |spans AS (
       |  SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
       |  FROM isl2 GROUP BY doc_id, isl)""".stripMargin
+
+  private def dupSpanCte: String =
+    s"""$posGramCte,
+      |marked AS (
+      |  SELECT doc_id, pos, least(pos + 4, ntok - 1) AS e,
+      |    COUNT(*) OVER (PARTITION BY g) AS freq,
+      |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      |  FROM grams),
+      |rem AS (SELECT doc_id, pos AS s, e FROM marked WHERE freq >= 2 AND rn > 1),
+      |$spanIslandCtes""".stripMargin
+
+  /** Span-level decontamination chain (q193): train grams marked by
+    * membership in the eval corpus's distinct gram set — every eval
+    * occurrence marks, no keep-first.
+    */
+  private def contamSpanCte: String =
+    s"""$posGramCte,
+      |evals AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+      |evsh AS (SELECT DISTINCT g FROM grams JOIN evals USING (doc_id)),
+      |rem AS (
+      |  SELECT gr.doc_id, gr.pos AS s, least(gr.pos + 4, gr.ntok - 1) AS e
+      |  FROM grams gr
+      |  WHERE gr.doc_id NOT IN (SELECT doc_id FROM evals)
+      |    AND gr.g IN (SELECT g FROM evsh)),
+      |$spanIslandCtes""".stripMargin
 
   private val shingleCte: String =
     """toks AS (
@@ -3214,6 +3250,12 @@ object SparkEntry {
         |FROM spans
         |WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q193_decontaminate_spans" ->
+      s"""WITH $contamSpanCte
+        |SELECT doc_id, span_start, span_end,
+        |  span_end - span_start + 1 AS span_tokens
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
 
     "q189_strip_dup_spans" ->
       s"""WITH $dupSpanCte,

@@ -465,14 +465,54 @@ object Dedup {
     * re-assembly per doc.
     */
   def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
-                    n: Int): DataFrame = {
-    val spans = dupSpans(df, idCol, textCol, n)
-      .select(col("doc_id").as("doc"), col("span_start"), col("span_end"))
+                    n: Int): DataFrame =
+    stripSpans(df, idCol, textCol, dupSpans(df, idCol, textCol, n))
+
+  /** Span-level eval DECONTAMINATION: for every training doc
+    * (`evalPred` false), the maximal token spans covered by n-grams
+    * that occur ANYWHERE in the eval corpus (`evalPred` true) — the
+    * [[graft.text.Curation.contamination]] verdict made surgical:
+    * that operator flags whole documents, this one says WHERE, so a
+    * pipeline can excise the contaminated spans (via [[stripSpans]])
+    * instead of dropping entire documents that merely quote a
+    * benchmark item. No keep-first rule here — EVERY eval occurrence
+    * marks (the reference corpus is authoritative, not a peer).
+    *
+    * Shape: eval shingle set (linear, usually broadcast-small) semi-
+    * joins the positional train grams — batch-proportional output,
+    * the [[incrementalDupSpans]] economics with the eval set as the
+    * index; then the shared islands merge per doc.
+    */
+  def contaminationSpans(df: DataFrame, idCol: String, textCol: String,
+                         evalPred: Column, n: Int): DataFrame = {
+    val flagged = df.withColumn("_is_eval", evalPred)
+    val evalShingles = shingleSets(flagged.filter(col("_is_eval")),
+        idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val marked = shinglePositions(flagged.filter(!col("_is_eval")),
+        idCol, textCol, n)
+      .join(evalShingles, Seq("shingle"), "left_semi")
+      .select(col("doc"), col("pos").as("_s"),
+        least(col("pos") + lit(n.toLong) - 1L, col("doc_tokens") - 1L)
+          .as("_e"))
+    spansFromMarked(marked)
+  }
+
+  /** Strip precomputed spans from documents — the apply-half shared by
+    * [[stripDupSpans]] (dup spans) and span decontamination
+    * ([[contaminationSpans]]): doc-keyed range anti-join of token
+    * positions against the span list, ordered re-assembly. `spans`
+    * carries `(doc_id, span_start, span_end)`.
+    */
+  def stripSpans(df: DataFrame, idCol: String, textCol: String,
+                 spans: DataFrame): DataFrame = {
+    val sp = spans.select(col("doc_id").as("doc"), col("span_start"),
+      col("span_end"))
     val toks = df.select(col(idCol).as("doc"),
         posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "tok")))
       .select(col("doc"), col("pos").cast("long").as("pos"), col("tok"))
-    val kept = toks.join(spans,
-        toks("doc") === spans("doc") &&
+    val kept = toks.join(sp,
+        toks("doc") === sp("doc") &&
           col("pos") >= col("span_start") && col("pos") <= col("span_end"),
         "left_anti")
     df.select(col(idCol).as("doc"))

@@ -1682,6 +1682,60 @@ object LawsProps extends Properties("graft.laws") {
       got == want
     }
 
+  property("contaminationSpans+stripSpans: equal brute-force eval-gram excision") =
+    forAll(
+      Gen.listOfN(5, Gen.chooseNum(1, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")))),
+      Gen.listOfN(2, Gen.chooseNum(1, 8).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c"))))) { (trainRaw, evalRaw) =>
+      import org.apache.spark.sql.functions.{col => c}
+      val n = 3
+      val train = trainRaw.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts, false) }
+      val eval_ = evalRaw.zipWithIndex
+        .map { case (ts, i) => (100L + i, ts, true) }
+      val df = (train ++ eval_)
+        .map { case (id, ts, ev) => (id, ts.mkString(" "), ev) }
+        .toDF("doc_id", "text", "is_eval")
+      def gramsOf(ts: Seq[String]) =
+        if (ts.length >= n)
+          (0 to ts.length - n).map(p => (ts.slice(p, p + n).mkString(" "), p))
+        else Seq((ts.mkString(" "), 0))
+      val evalSet = eval_.flatMap(e => gramsOf(e._2).map(_._1)).toSet
+      // brute force: marked index ranges per train doc, then strip
+      val wantSpans = train.flatMap { case (id, ts, _) =>
+        val idx = gramsOf(ts).filter(g => evalSet(g._1))
+          .flatMap { case (_, p) => p to math.min(p + n - 1, ts.length - 1) }
+          .toSet
+        // islands over the index set (adjacent indices merge)
+        val sorted = idx.toSeq.sorted
+        val spans = sorted.foldLeft(Vector.empty[(Int, Int)]) {
+          case (acc, i) if acc.nonEmpty && i <= acc.last._2 + 1 =>
+            acc.init :+ (acc.last._1, i)
+          case (acc, i) => acc :+ (i, i)
+        }
+        spans.map { case (a, b) =>
+          (id, a.toLong, b.toLong, (b - a + 1).toLong) }
+      }
+      val spansDf = graft.text.Dedup.contaminationSpans(df, "doc_id", "text",
+        c("is_eval"), n)
+      val gotSpans = spansDf.orderBy("doc_id", "span_start")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val gotStrip = graft.text.Dedup.stripSpans(
+          df.filter(!c("is_eval")), "doc_id", "text", spansDf)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      val wantStrip = train.map { case (id, ts, _) =>
+        val rm = wantSpans.filter(_._1 == id)
+          .flatMap(sp => sp._2.toInt to sp._3.toInt).toSet
+        val kept = ts.zipWithIndex.filterNot { case (_, i) => rm(i) }.map(_._1)
+        (id, ts.length.toLong, (ts.length - kept.length).toLong,
+          kept.mkString(" "))
+      }
+      gotSpans == wantSpans.sortBy(sp => (sp._1, sp._2)) &&
+        gotStrip == wantStrip.sortBy(_._1)
+    }
+
   property("weightedSample: equals the brute-force exponential-key ranking on ANY weights") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 40L),
       Gen.choose(-2L, 500L))), Gen.choose(1, 8)) { (rowsRaw, k) =>
