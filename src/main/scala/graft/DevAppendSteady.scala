@@ -40,16 +40,25 @@ object DevAppendSteady {
       batchPool.limit(20), "doc_id", "text").count()
     graft.engine.Caches.releaseAll()
 
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
     val times = (1 to n).map { i =>
       // hash-sliced: src0 ids are arithmetically clustered, so a plain
       // id modulo would put every doc in one slice
       val batch = batchPool.filter(
         pmod(xxhash64(col("doc_id")), lit(n)) === (i - 1))
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val rows = multimodal.Curate.appendManifest(spark, corpus, batch,
         "doc_id", "text").count()
       val dt = (System.nanoTime() - t0) / 1e9
+      // GC delta attributes a spike (heap pause vs host steal) — the
+      // Bench gc_ms discipline applied to the steady battery
       println(f"[steady] batch $i/$n rows=$rows time=$dt%.3f s " +
+        f"gc_ms=${gcMillis() - gc0} " +
         f"tracked=${graft.engine.Caches.trackedCount} " +
         f"storedRdds=${spark.sparkContext.getPersistentRDDs.size}")
       dt
