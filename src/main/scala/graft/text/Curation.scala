@@ -705,6 +705,109 @@ object Curation {
     * Short docs (< 2 tokens) contribute their whole text as a single
     * "bigram", mirroring [[graft.functions.ShinglesExpr]]'s fallback.
     */
+  /** Learn `nMerges` byte-pair-encoding merge rules from the corpus
+    * (Sennrich, Haddow & Birch, ACL 2016): start from whitespace words
+    * split into character symbols with a word-end marker, repeatedly
+    * merge the most frequent adjacent symbol pair. Returns the merge
+    * table `(rank, left, right, merged, pair_count)` — the artifact a
+    * tokenizer ships (q28's regex segmentation is the APPLY-side
+    * heuristic; this is the LEARNED vocabulary).
+    *
+    * Distributed shape — the part that matters at 100 TB: training
+    * runs on the DISTINCT-WORD frequency table (one corpus pass; BPE
+    * statistics are word-count-weighted, so the working set is
+    * vocabulary-sized forever after). Each iteration is one
+    * explode+aggregate over that frame (map-side partials) with only
+    * the winning pair — two strings — reaching the driver, and the
+    * merge applies corpus-side as a single left-to-right fold
+    * expression (`aggregate` HOF, no UDF). Iteration state is
+    * checkpointed per round with the previous round's blocks released
+    * immediately (the connectedComponents discipline), so plans stay
+    * flat and storage bounded at ~1 round.
+    *
+    * Deterministic: ties break (count desc, left asc, right asc);
+    * training stops early when no pair reaches `minPairCount`.
+    */
+  def trainBpe(df: DataFrame, textCol: String, nMerges: Int,
+               minPairCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.GraftCheckpoint
+    require(nMerges >= 1 && nMerges <= 1000,
+      s"nMerges must be in [1, 1000], got $nMerges")
+    val spark = df.sparkSession
+    val words = df
+      .select(explode(TextStats.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      // chars + the word-end marker (its own symbol, the Sennrich
+      // convention — merges can then learn suffixes distinctly)
+      .select(col("n"),
+        concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+    var (seqs, releaseSeqs) = GraftCheckpoint.withHandle(words, eager = false)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var done = false
+    while (!done && merges.size < nMerges) {
+      val top = seqs
+        .select(col("n"), col("syms"), posexplode(col("syms")).as(Seq("i", "l")))
+        // try_: the last symbol has no right neighbour (ANSI element_at
+        // would throw past the end); null rows drop in the next filter
+        .withColumn("r", try_element_at(col("syms"), col("i") + 2))
+        .filter(col("r").isNotNull)
+        .groupBy(col("l"), col("r")).agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < minPairCount) done = true
+      else {
+        val (l, r) = (top.head.getString(0), top.head.getString(1))
+        merges += ((l, r, top.head.getLong(2)))
+        val (next, releaseNext) = GraftCheckpoint.withHandle(
+          seqs.select(col("n"), mergeFold(col("syms"), l, r).as("syms")),
+          eager = false)
+        next.count() // materialize before freeing the previous round
+        releaseSeqs(); releaseSeqs = releaseNext
+        seqs = next
+      }
+    }
+    releaseSeqs()
+    import spark.implicits._
+    merges.toSeq.zipWithIndex
+      .map { case ((l, r, c), i) => (i.toLong, l, r, l + r, c) }
+      .toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** One left-to-right greedy merge pass of adjacent pair (l, r) over a
+    * symbol array — the classic BPE application step, as a pure fold
+    * (`aggregate` HOF; codegen'd, no UDF). Non-overlapping leftmost
+    * occurrences merge: "a a a a" under (a, a) becomes "aa aa".
+    */
+  private def mergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms,
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Segment every document with a LEARNED merge table ([[trainBpe]]):
+    * each word starts as characters + marker and replays the merges in
+    * rank order. `merges` is the bounded driver-side rule list (the
+    * tokenizer artifact — vocabulary-sized, never corpus data).
+    * Returns `(original columns..., bpe_tokens, n_bpe_tokens)`.
+    */
+  def applyBpe(df: DataFrame, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= 200,
+      s"applyBpe chains one fold per rule (${merges.size}); segment with " +
+        "a dedicated tokenizer artifact beyond 200 merges")
+    df.withColumn("_bpe_words", TextStats.tokens(col(textCol)))
+      .withColumn("bpe_tokens",
+        flatten(transform(filter(col("_bpe_words"), w => w =!= ""), w =>
+          merges.foldLeft(concat(split(w, ""), array(lit("</w>")))) {
+            case (c, (l, r)) => mergeFold(c, l, r) })))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+      .drop("_bpe_words")
+  }
+
   def bigramStats(df: DataFrame, textCol: String, topK: Int): DataFrame =
     df.select(explode(Dedup.shinglesOfTokens(
         TextStats.tokens(col(textCol)), 2)).as("bigram"))

@@ -1736,6 +1736,60 @@ object LawsProps extends Properties("graft.laws") {
         gotStrip == wantStrip.sortBy(_._1)
     }
 
+  property("trainBpe/applyBpe: equal the classic driver-side BPE on ANY corpus") =
+    forAll(Gen.listOfN(6, Gen.chooseNum(1, 5).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("ab", "aab", "abb", "ba", "b", "a"))))) { docsRaw =>
+      val nMerges = 6
+      val docs = docsRaw.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" ")) }
+      val df = docs.toDF("doc_id", "text")
+      // brute force (Sennrich alg. 1): word-freq dict, iterate argmax
+      // adjacent pair (count desc, left asc, right asc), greedy
+      // leftmost merge, stop under minPairCount = 2
+      var freq: Map[Vector[String], Long] = docs
+        .flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, g) =>
+          (w.map(_.toString).toVector :+ "</w>") -> g.size.toLong }
+      def mergeSeq(sq: Vector[String], l: String, r: String): Vector[String] =
+        sq.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r)
+            acc.init :+ (l + r)
+          else acc :+ x
+        }
+      var wantMerges = Vector.empty[(Long, String, String, String, Long)]
+      var stop = false
+      while (!stop && wantMerges.size < nMerges) {
+        val pairs = freq.toSeq.flatMap { case (sq, c) =>
+          sq.zip(sq.tail).map(p => p -> c) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+        val best = pairs.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+        best match {
+          case Some(((l, r), c)) if c >= 2 =>
+            wantMerges :+= ((wantMerges.size.toLong, l, r, l + r, c))
+            freq = freq.map { case (sq, n) => mergeSeq(sq, l, r) -> n }
+              .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+          case _ => stop = true
+        }
+      }
+      val gotMerges = graft.text.Curation.trainBpe(df, "text", nMerges)
+        .orderBy("rank")
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      // apply-side: replaying the merges must reproduce the brute-force
+      // per-doc segmentation
+      val rules = wantMerges.map(m => (m._2, m._3))
+      val gotTok = graft.text.Curation.applyBpe(df, "text", rules)
+        .select("doc_id", "bpe_tokens")
+        .as[(Long, Seq[String])].collect().toMap
+      val wantTok = docs.map { case (id, text) =>
+        id -> text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
+          rules.foldLeft(w.map(_.toString).toVector :+ "</w>") {
+            case (sq, (l, r)) => mergeSeq(sq, l, r) }
+        }
+      }.toMap
+      gotMerges == wantMerges && docs.forall { case (id, _) =>
+        gotTok(id) == wantTok(id) }
+    }
+
   property("weightedSample: equals the brute-force exponential-key ranking on ANY weights") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 40L),
       Gen.choose(-2L, 500L))), Gen.choose(1, 8)) { (rowsRaw, k) =>
