@@ -1060,6 +1060,24 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q194_span_burden_by_source" -> ((s, dir) => {
+      // provenance of span duplication: per source, the token mass the
+      // exact-substring dedup (q189) would strip — the crawl-operator
+      // view that says WHICH feed ships boilerplate (the q109 dedup-
+      // rate question at span granularity). removed_fraction is an
+      // unrounded exact-integer quotient (q107 discipline).
+      val docs = t(s, dir, "documents")
+      Dedup.stripDupSpans(docs, "doc_id", "text", 5)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_removed")).as("removed_tokens"))
+        .withColumn("removed_fraction",
+          col("removed_tokens").cast("double") / col("total_tokens"))
+        .orderBy("source")
+    }),
+
     "q193_decontaminate_spans" -> ((s, dir) => {
       // SURGICAL decontamination: q65 flags whole docs that share any
       // 5-gram with the src0 "benchmark" slice; this reports the exact
@@ -2698,6 +2716,15 @@ object SparkEntry {
         |    ELSE CAST(COUNT(*) AS DOUBLE)
         |      / least(10, (SELECT COUNT(*) FROM ex)) END AS recall
         |FROM ex JOIN ap USING (vec_id)""".stripMargin) +
+    ("q194_span_burden_by_source" ->
+      s"""WITH f AS ${block("q189_strip_dup_spans")}
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(f.n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(f.n_removed) AS BIGINT) AS removed_tokens,
+        |  CAST(SUM(f.n_removed) AS DOUBLE) / SUM(f.n_tokens)
+        |    AS removed_fraction
+        |FROM f JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) +
     ("q191_ivfadc_recall" ->
       s"""WITH ex AS ${block("q40_cosine_topk")},
         |ap AS ${block("q190_ivfadc")}
