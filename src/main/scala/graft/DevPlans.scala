@@ -114,7 +114,18 @@ object DevPlans {
       ("Shingle novelty has NO join at all: first-seen = min(doc) " +
         "over the shingle partition and the per-doc re-aggregation " +
         "ride one shingle-keyed Exchange then one doc-keyed Exchange " +
-        "— the inverted-index shape with zero pair space."))
+        "— the inverted-index shape with zero pair space."),
+    "q188_dup_spans" ->
+      ("Exact duplicated-span detection is JOIN-FREE: frequency and " +
+        "global keep-first ride ONE shingle-keyed window, the islands " +
+        "merge one doc-keyed window — a duplicated substring of any " +
+        "multiplicity costs linear rows, never pairs."),
+    "q190_ivfadc" ->
+      ("IVFADC: centroid probe and PQ codebook/distance tables all " +
+        "BroadcastHashJoin; the probed-list candidate restriction is " +
+        "a SORTLESS shuffle-hash semi-join (candidates are " +
+        "~nProbe/nCentroids of the corpus — not broadcastable at " +
+        "scale; a persisted index prunes cluster partitions instead)."))
 
   def main(args: Array[String]): Unit = {
     val spark = engine.Sessions.tune(
