@@ -879,19 +879,48 @@ object Similarity {
     require(dim % nSub == 0,
       s"dim $dim does not split into $nSub equal subspaces")
     val w = dim / nSub
-    val base = emb.select(col(idCol).cast("long").as("id"),
+    // the exploded subvector table feeds trainIters+2 jobs (each Lloyd
+    // pass, the code-assignment scan, the query subvectors) — persist
+    // once under the cache contract instead of re-reading the source
+    // per job
+    val base = graft.engine.Caches.persisted("adcTopK.base",
+      emb.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("_v"))
       .select(col("id"), explode(sequence(lit(0), lit(nSub - 1))).as("s"),
         col("_v"))
       .select(col("id"), col("s"),
         transform(slice(col("_v"), col("s") * w + 1, lit(w)),
-          v => v.cast("double")).as("sv"))
+          v => v.cast("double")).as("sv")))
     val cbIds = emb.select(col(idCol).cast("long").as("id"))
       .orderBy(col("id").asc).limit(nCodes)
     def d2(a: Column, b: Column) =
       dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
-    var cb = base.join(broadcast(cbIds), "id")
-      .select(col("s").as("cs"), col("id").as("code"), col("sv").as("cw"))
+    // The codebook is nSub·nCodes rows (k·d-sized, NOT corpus-sized) —
+    // hold it as a DRIVER-LOCAL literal between Lloyd passes. Chaining
+    // it as a DataFrame instead is a correctness-preserving but
+    // exponential-plan trap: cb_i references cb_{i-1} twice (reassign +
+    // coalesce refresh) and the final ADC scan references the trained
+    // codebook three times, so iteration T's lineage re-executes the
+    // whole training 2^T·3 times. All ARITHMETIC (decimal sums, 6-dp
+    // rounding, argmin ties) stays in Spark; the driver only carries
+    // the literal table, so the DuckDB oracle replay is bit-identical.
+    import org.apache.spark.sql.types._
+    val spark = emb.sparkSession
+    val cbSchema = StructType(Seq(StructField("cs", IntegerType),
+      StructField("code", LongType),
+      StructField("cw", ArrayType(DoubleType))))
+    def cbDf(rows: Seq[(Int, Long, Seq[Double])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)), 1),
+        cbSchema)
+    var cbLocal: Seq[(Int, Long, Seq[Double])] =
+      base.join(broadcast(cbIds), "id")
+        .select(col("s").as("cs"), col("id").as("code"), col("sv").as("cw"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+        .sortBy(r => (r._1, r._2))
+    var cb = cbDf(cbLocal)
     // Lloyd training per subspace (Jégou et al. §II.C train the
     // sub-quantizers with k-means; the sample init alone measured
     // recall 0.1-0.6 on the synthetic corpus, round-8 verdict): each
@@ -924,11 +953,13 @@ object Similarity {
         .groupBy(col("s").as("ms"), col("code").as("mcode"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("cw2"))
-      // codebook refresh: nSub·nCodes rows — broadcast, never shuffled
-      cb = cb.join(broadcast(means),
-          col("cs") === col("ms") && col("code") === col("mcode"), "left")
-        .select(col("cs"), col("code"),
-          coalesce(col("cw2"), col("cw")).as("cw"))
+      // codebook refresh on the driver: the coalesce keeps a codeword
+      // that lost every member at its previous value, keeping k stable
+      val refreshed = means.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+      cbLocal = cbLocal.map { case (s, code, cw) =>
+        (s, code, refreshed.getOrElse((s, code), cw)) }
+      cb = cbDf(cbLocal)
     }
     // the ADC scan: full table for pqTopK, probed lists for ivfAdcTopK.
     // The candidate set is ~nProbe/nCentroids of the corpus — NOT
