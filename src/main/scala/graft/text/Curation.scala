@@ -70,7 +70,10 @@ object Curation {
     import org.apache.spark.sql.GraftColumn
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val flagged = df.withColumn("_is_eval", evalPred)
+    // NULL evalPred means TRAIN (SQL three-valued semantics — see
+    // Dedup.contaminationSpans); filter(!pred) alone would drop the
+    // doc from both sides
+    val flagged = df.withColumn("_is_eval", coalesce(evalPred, lit(false)))
     val evalShingles = graft.engine.Caches.persisted("contamination.evalShingles",
       Dedup.shingleSets(
           flagged.filter(col("_is_eval")), idCol, textCol, shingleN)

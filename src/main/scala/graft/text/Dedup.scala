@@ -485,7 +485,11 @@ object Dedup {
     */
   def contaminationSpans(df: DataFrame, idCol: String, textCol: String,
                          evalPred: Column, n: Int): DataFrame = {
-    val flagged = df.withColumn("_is_eval", evalPred)
+    // NULL evalPred (e.g. a null source column) means TRAIN, matching
+    // SQL three-valued semantics (`source = 'src0'` is NULL ⇒ the doc
+    // is not in the eval set but IS in `NOT IN (eval)`); a bare
+    // filter(!pred) would silently drop such docs from both sides
+    val flagged = df.withColumn("_is_eval", coalesce(evalPred, lit(false)))
     val evalShingles = shingleSets(flagged.filter(col("_is_eval")),
         idCol, textCol, n)
       .select(col("shingle")).distinct()

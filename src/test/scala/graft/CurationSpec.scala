@@ -139,6 +139,21 @@ class CurationSpec extends AnyFunSuite {
     assert(got === Set((2L, 1L, true), (3L, 0L, false)))
   }
 
+  test("contamination treats a NULL eval predicate as train (SQL NOT IN semantics)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", Some("eval")),
+      (2L, "alpha beta gamma epsilon", None), // null split: must stay TRAIN
+      (3L, "zeta eta theta iota", Some("train"))
+    ).toDF("doc_id", "text", "split")
+    val pred = col("split") === "eval" // NULL for doc 2
+    val got = Curation.contamination(docs, "doc_id", "text", pred, 3)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set((2L, 1L, true), (3L, 0L, false)))
+    val spans = graft.text.Dedup.contaminationSpans(docs, "doc_id", "text", pred, 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans === Set((2L, 0L, 2L, 3L))) // "alpha beta gamma" covers tokens 0..2
+  }
+
   test("contaminationBloom is bit-identical to exact contamination") {
     val docs = Seq(
       (1L, "alpha beta gamma delta", "eval"),
