@@ -1111,6 +1111,13 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    "q195_top_dup_spans" -> ((s, dir) => {
+      // boilerplate extraction: the distinct duplicated-span STRINGS
+      // ranked by token burden — what exactly is being re-ingested
+      // (license headers, chrome, quotes), before deciding to strip
+      Dedup.topDupSpans(t(s, dir, "documents"), "doc_id", "text", 5, 20)
+    }),
+
     "q189_strip_dup_spans" -> ((s, dir) => {
       // exact-substring dedup applied: strip the q188 spans (first
       // occurrence kept corpus-wide), emit surviving text + counts
@@ -3269,6 +3276,20 @@ object SparkEntry {
         |SELECT doc_id, span_start, span_end,
         |  span_end - span_start + 1 AS span_tokens
         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "q195_top_dup_spans" ->
+      s"""WITH $dupSpanCte,
+        |st AS (
+        |  SELECT s.doc_id,
+        |    array_to_string(list_slice(t.w, CAST(s.span_start + 1 AS INT),
+        |      CAST(s.span_end + 1 AS INT)), ' ') AS span_text,
+        |    s.span_end - s.span_start + 1 AS span_tokens
+        |  FROM spans s JOIN toks t USING (doc_id))
+        |SELECT span_text, COUNT(*) AS n_occurrences,
+        |  COUNT(DISTINCT doc_id) AS n_docs,
+        |  CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+        |FROM st GROUP BY span_text
+        |ORDER BY dup_tokens DESC, span_text ASC LIMIT 20""".stripMargin,
 
     "q192_append_dup_spans" ->
       s"""WITH $dupSpanCte

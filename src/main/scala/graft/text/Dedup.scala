@@ -532,6 +532,37 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Rank distinct duplicated-span TEXTS by corpus-wide burden — the
+    * reporting half of ExactSubstr dedup ([[dupSpans]]): which exact
+    * strings (license headers, navigation chrome, quoted passages) are
+    * being re-ingested, how many docs carry them, and how many tokens
+    * they would remove. One row per distinct span string:
+    * `(span_text, n_occurrences, n_docs, dup_tokens)`, heaviest first.
+    *
+    * Shape: the span list (already no-pair-space) doc-equi-joins the
+    * token arrays to slice out each span's text — spans per doc are
+    * bounded by the doc's own token count, so the join output is
+    * corpus-linear — then one hash aggregation by span text and a
+    * TakeOrderedAndProject top-k. Deterministic: ties by span text asc.
+    */
+  def topDupSpans(df: DataFrame, idCol: String, textCol: String,
+                  n: Int, k: Int): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, n)
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+      TextStats.tokens(col(textCol)).as("_toks"))
+    spans.join(toks, Seq("doc_id"))
+      .select(col("doc_id"),
+        array_join(slice(col("_toks"), (col("span_start") + 1L).cast("int"),
+          col("span_tokens").cast("int")), " ").as("span_text"),
+        col("span_tokens"))
+      .groupBy(col("span_text"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("span_tokens")).as("dup_tokens"))
+      .orderBy(col("dup_tokens").desc, col("span_text").asc)
+      .limit(k)
+  }
+
   /** Cross-document duplicated-shingle fraction per doc: the share of a
     * doc's distinct n-gram shingles that also occur in at least one
     * OTHER document — the span-level duplication signal behind
