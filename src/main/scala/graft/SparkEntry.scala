@@ -42,6 +42,19 @@ object SparkEntry {
       path
     })
 
+  /** Build-once memo for the persisted IVFADC index (the q190→q196
+    * build/probe split): codes + codebook + centroids on disk, probes
+    * partition-prune the cluster dirs and scan CODES only.
+    */
+  private val ivfAdcIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfAdcIndexFor(s: SparkSession, dir: String): String =
+    ivfAdcIndexCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_ivfadc").toString + "/index"
+      graft.vector.Similarity.buildIvfAdcIndex(
+        Tables.load(s, dir, "embeddings"), "vec_id", "embedding", path)
+      path
+    })
+
   /** Build-once memo for the persisted k-NN edge table (the q41→q81
     * build/probe split applied to graphs): q89/q90's iterative passes
     * read materialized edges — the pair join runs once per sf dir per
@@ -464,6 +477,15 @@ object SparkEntry {
       // q166's generated chain with only the scan source restricted
       Similarity.ivfAdcTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         0L, 10)
+    }),
+
+    "q196_ivfadc_probe" -> ((s, dir) => {
+      // the production IVFADC shape (q81's build/probe split applied to
+      // PQ): index persisted ONCE — cluster-partitioned CODES, codebook,
+      // centroids — probe partition-prunes and ranks from codes alone,
+      // never touching raw vectors; must reproduce q190 exactly
+      Similarity.ivfAdcProbeById(s, ivfAdcIndexFor(s, dir),
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
     }),
 
     "q187_langid_eval" -> ((s, dir) => {
@@ -2690,6 +2712,7 @@ object SparkEntry {
   val oracleMeasuredOn: Map[String, Set[String]] = Map(
     "q32_minhash_lsh" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q190_ivfadc" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q196_ivfadc_probe" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q191_ivfadc_recall" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q39_embed_neardup_lsh" -> Set("sf0.01"),
     "q41_ivf_topk" -> Set("sf0.001", "sf0.01", "sf0.1"),
@@ -4542,6 +4565,9 @@ object SparkEntry {
     // centroids, argmax-cosine assignment with the engine's
     // largest-id tiebreak, probe by centroid-query cosine)
     "q190_ivfadc" -> pqAdcOracleSql(restricted = true),
+    // the persisted-index probe must reproduce the self-contained
+    // IVFADC computation exactly — SAME oracle, different plumbing
+    "q196_ivfadc_probe" -> pqAdcOracleSql(restricted = true),
 
     // Neyman allocation recomputed end to end: exact decimal power
     // sums → 9-dp σ grid → largest-remainder apportionment → the q96

@@ -884,63 +884,105 @@ object Similarity {
     // once under the cache contract instead of re-reading the source
     // per job
     val base = graft.engine.Caches.persisted("adcTopK.base",
-      emb.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("_v"))
+      pqSubvectors(emb, idCol, vecCol, nSub, w))
+    val cb = pqCbDf(emb.sparkSession,
+      trainPqCodebook(base, emb, idCol, nCodes, trainIters))
+    // the ADC scan: full table for pqTopK, probed lists for ivfAdcTopK.
+    // The candidate set is ~nProbe/nCentroids of the corpus — NOT
+    // broadcastable at scale — so the semi-join takes the sortless
+    // shuffle-hash shape (the pair family's broadcast fallback
+    // posture; a persisted index prunes cluster PARTITIONS instead,
+    // see buildIvfAdcIndex/ivfAdcProbe)
+    val scanBase = restrictTo.fold(base)(ids =>
+      base.join(
+        ids.select(col(ids.columns.head).cast("long").as("id"))
+          .hint("shuffle_hash"),
+        Seq("id"), "left_semi"))
+    val codes = pqAssignCodes(scanBase, cb)
+    val qsub = base.filter(col("id") === queryId)
+      .select(col("s").as("qs"), col("sv").as("qv"))
+    val qd = pqDistanceTable(cb, qsub)
+    adcRank(codes.filter(col("id") =!= queryId), qd, idCol, k)
+  }
+
+  /** The exploded (id, s, sv) subvector relation PQ operates on —
+    * subspace s holds elements [s·w, (s+1)·w) as doubles.
+    */
+  private def pqSubvectors(emb: DataFrame, idCol: String, vecCol: String,
+                           nSub: Int, w: Int): DataFrame =
+    emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("_v"))
       .select(col("id"), explode(sequence(lit(0), lit(nSub - 1))).as("s"),
         col("_v"))
       .select(col("id"), col("s"),
         transform(slice(col("_v"), col("s") * w + 1, lit(w)),
-          v => v.cast("double")).as("sv")))
+          v => v.cast("double")).as("sv"))
+
+  /** Squared L2 via the dot identity — the one distance kernel every
+    * PQ half (training, code assignment, distance table) shares.
+    */
+  private def pqD2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  private val pqCbSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cs",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("code",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cw",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+
+  private def pqCbDf(spark: SparkSession,
+                     rows: Seq[(Int, Long, Seq[Double])]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)), 1),
+      pqCbSchema)
+
+  /** Lloyd training per subspace (Jégou et al. §II.C train the
+    * sub-quantizers with k-means; the sample init alone measured
+    * recall 0.1-0.6 on the synthetic corpus, round-8 verdict): each
+    * iteration reassigns every subvector to its nearest codeword and
+    * recenters codewords on the element-wise mean of their members.
+    * Deterministic + engine-portable: means are exact DECIMAL(27,10)
+    * sums divided by counts, fixed to the 6-dp grid (the q71
+    * labelCentroids arithmetic), ties argmin by code asc, arrays
+    * rebuilt by explicit pos sort — so the DuckDB oracle replays the
+    * training bit-for-bit with unrolled CTEs. A codeword that loses
+    * every member keeps its previous value, keeping k stable. At
+    * corpus scale train on a SAMPLE (codebooks are k·d-sized; the
+    * full-corpus pass here keeps the gate self-contained at test SF).
+    *
+    * The codebook is nSub·nCodes rows (k·d-sized, NOT corpus-sized) —
+    * held as a DRIVER-LOCAL literal between Lloyd passes. Chaining it
+    * as a DataFrame instead is a correctness-preserving but
+    * exponential-plan trap: cb_i references cb_{i-1} twice (reassign +
+    * coalesce refresh) and the final ADC scan references the trained
+    * codebook three times, so iteration T's lineage re-executes the
+    * whole training 2^T·3 times. All ARITHMETIC (decimal sums, 6-dp
+    * rounding, argmin ties) stays in Spark; the driver only carries
+    * the literal table, so the DuckDB oracle replay is bit-identical.
+    */
+  private def trainPqCodebook(base: DataFrame, emb: DataFrame, idCol: String,
+                              nCodes: Int,
+                              trainIters: Int): Seq[(Int, Long, Seq[Double])] = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = emb.sparkSession
     val cbIds = emb.select(col(idCol).cast("long").as("id"))
       .orderBy(col("id").asc).limit(nCodes)
-    def d2(a: Column, b: Column) =
-      dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
-    // The codebook is nSub·nCodes rows (k·d-sized, NOT corpus-sized) —
-    // hold it as a DRIVER-LOCAL literal between Lloyd passes. Chaining
-    // it as a DataFrame instead is a correctness-preserving but
-    // exponential-plan trap: cb_i references cb_{i-1} twice (reassign +
-    // coalesce refresh) and the final ADC scan references the trained
-    // codebook three times, so iteration T's lineage re-executes the
-    // whole training 2^T·3 times. All ARITHMETIC (decimal sums, 6-dp
-    // rounding, argmin ties) stays in Spark; the driver only carries
-    // the literal table, so the DuckDB oracle replay is bit-identical.
-    import org.apache.spark.sql.types._
-    val spark = emb.sparkSession
-    val cbSchema = StructType(Seq(StructField("cs", IntegerType),
-      StructField("code", LongType),
-      StructField("cw", ArrayType(DoubleType))))
-    def cbDf(rows: Seq[(Int, Long, Seq[Double])]): DataFrame =
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)), 1),
-        cbSchema)
     var cbLocal: Seq[(Int, Long, Seq[Double])] =
       base.join(broadcast(cbIds), "id")
         .select(col("s").as("cs"), col("id").as("code"), col("sv").as("cw"))
         .collect().toSeq
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
         .sortBy(r => (r._1, r._2))
-    var cb = cbDf(cbLocal)
-    // Lloyd training per subspace (Jégou et al. §II.C train the
-    // sub-quantizers with k-means; the sample init alone measured
-    // recall 0.1-0.6 on the synthetic corpus, round-8 verdict): each
-    // iteration reassigns every subvector to its nearest codeword and
-    // recenters codewords on the element-wise mean of their members.
-    // Deterministic + engine-portable: means are exact DECIMAL(27,10)
-    // sums divided by counts, fixed to the 6-dp grid (the q71
-    // labelCentroids arithmetic), ties argmin by code asc, arrays
-    // rebuilt by explicit pos sort — so the DuckDB oracle replays the
-    // training bit-for-bit with unrolled CTEs. A codeword that loses
-    // every member keeps its previous value (coalesce), keeping k
-    // stable. At corpus scale train on a SAMPLE (codebooks are
-    // k·d-sized; the full-corpus pass here keeps the gate
-    // self-contained at test SF).
     for (_ <- 1 to trainIters) {
       // sv rides the argmin aggregate (first() is exact: sv is constant
       // per (id, s)) — re-attaching it with a corpus-sized self-join
       // would add a sort-merge shuffle the plan pin forbids
-      val asg = base.join(broadcast(cb), col("s") === col("cs"))
-        .withColumn("_d", d2(col("sv"), col("cw")))
+      val asg = base.join(broadcast(pqCbDf(spark, cbLocal)),
+          col("s") === col("cs"))
+        .withColumn("_d", pqD2(col("sv"), col("cw")))
         .groupBy(col("id"), col("s"))
         .agg(min(struct(col("_d").as("d"), col("code").as("c")))
           .getField("c").as("code"),
@@ -953,44 +995,149 @@ object Similarity {
         .groupBy(col("s").as("ms"), col("code").as("mcode"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("cw2"))
-      // codebook refresh on the driver: the coalesce keeps a codeword
-      // that lost every member at its previous value, keeping k stable
+      // codebook refresh on the driver: keep a codeword that lost every
+      // member at its previous value, keeping k stable
       val refreshed = means.collect()
         .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
       cbLocal = cbLocal.map { case (s, code, cw) =>
         (s, code, refreshed.getOrElse((s, code), cw)) }
-      cb = cbDf(cbLocal)
     }
-    // the ADC scan: full table for pqTopK, probed lists for ivfAdcTopK.
-    // The candidate set is ~nProbe/nCentroids of the corpus — NOT
-    // broadcastable at scale — so the semi-join takes the sortless
-    // shuffle-hash shape (the pair family's broadcast fallback
-    // posture; a persisted index prunes cluster PARTITIONS instead,
-    // see buildIvfIndex/ivfProbe)
-    val scanBase = restrictTo.fold(base)(ids =>
-      base.join(
-        ids.select(col(ids.columns.head).cast("long").as("id"))
-          .hint("shuffle_hash"),
-        Seq("id"), "left_semi"))
-    val codes = scanBase.join(broadcast(cb), col("s") === col("cs"))
-      .withColumn("_d", d2(col("sv"), col("cw")))
+    cbLocal
+  }
+
+  /** Nearest-codeword assignment per (id, subspace) — ties argmin by
+    * code asc via the struct-min, the training convention.
+    */
+  private def pqAssignCodes(subvectors: DataFrame, cb: DataFrame): DataFrame =
+    subvectors.join(broadcast(cb), col("s") === col("cs"))
+      .withColumn("_d", pqD2(col("sv"), col("cw")))
       .groupBy(col("id"), col("s"))
       .agg(min(struct(col("_d").as("d"), col("code").as("c")))
         .getField("c").as("code"))
-    val qsub = base.filter(col("id") === queryId)
-      .select(col("s").as("qs"), col("sv").as("qv"))
-    val qd = cb.join(broadcast(qsub), col("cs") === col("qs"))
+
+  /** The ADC distance table: per (subspace, code), the squared L2 from
+    * the query's subvector to the codeword, fixed to a 12-dp decimal so
+    * the corpus-side SUM is exact and order-independent. `qsub` is
+    * `(qs, qv)` — the query's subvectors.
+    */
+  private def pqDistanceTable(cb: DataFrame, qsub: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    cb.join(broadcast(qsub), col("cs") === col("qs"))
       .select(col("cs").as("ds"), col("code").as("dcode"),
-        round(d2(col("qv"), col("cw")), 12).cast(DecimalType(28, 12))
+        round(pqD2(col("qv"), col("cw")), 12).cast(DecimalType(28, 12))
           .as("qdist"))
-    codes.filter(col("id") =!= queryId)
+  }
+
+  /** Sum each candidate's per-subspace table distances and take the
+    * k nearest (ties by id asc) — the ADC ranking every PQ scan ends
+    * with.
+    */
+  private def adcRank(codes: DataFrame, qd: DataFrame, idName: String,
+                      k: Int): DataFrame =
+    codes
       .join(broadcast(qd),
         col("s") === col("ds") && col("code") === col("dcode"))
       .groupBy(col("id"))
       .agg(sum(col("qdist")).as("_adc"))
       .orderBy(col("_adc").asc, col("id").asc)
-      .select(col("id").as(idCol),
+      .select(col("id").as(idName),
         round(col("_adc").cast("double"), 6).as("adc_dist"))
       .limit(k)
+
+  /** Build a PERSISTED IVFADC index (Jégou et al. 2011 §III as a disk
+    * layout): the coarse quantizer's cluster-partitioned directory tree
+    * holds each vector's PQ CODES — nSub small integers per vector, the
+    * representation whose whole point is that the raw vectors need not
+    * be stored or scanned — plus the trained codebook and centroid
+    * tables. A probe ([[ivfAdcProbe]]) partition-prunes to nProbe
+    * cluster dirs and ranks survivors entirely from codes + the
+    * k·d-sized distance table. Same coarse quantizer as
+    * [[buildIvfIndex]] (stride centroids, cosine argmax) and same
+    * trained-PQ arithmetic as [[ivfAdcTopK]], so a probe of this index
+    * reproduces the self-contained operator's ranking bit-for-bit —
+    * which is exactly how the q196 gate certifies it.
+    */
+  def buildIvfAdcIndex(emb: DataFrame, idCol: String, vecCol: String,
+                       indexPath: String, nCentroids: Int = 16,
+                       nSub: Int = 16, nCodes: Int = 64,
+                       trainIters: Int = 1): Unit = {
+    require(nSub > 0 && nCodes > 0,
+      s"nSub/nCodes must be positive, got $nSub/$nCodes")
+    val dimRow = emb.select(size(col(vecCol)).as("d")).head(1)
+    if (dimRow.isEmpty) return // empty corpus: nothing to index
+    val dim = dimRow.head.getInt(0)
+    require(dim % nSub == 0,
+      s"dim $dim does not split into $nSub equal subspaces")
+    val w = dim / nSub
+    val base = graft.engine.Caches.persisted("buildIvfAdcIndex.base",
+      pqSubvectors(emb, idCol, vecCol, nSub, w))
+    val cbLocal = trainPqCodebook(base, emb, idCol, nCodes, trainIters)
+    val cb = pqCbDf(emb.sparkSession, cbLocal)
+    val codes = pqAssignCodes(base, cb)
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    val cents = centroids(emb, idCol, vecCol, nCentroids)
+    val assigned = ivfAssign(emb, cents, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("cluster"))
+    codes.join(assigned, Seq("id"))
+      .repartition(col("cluster"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cluster")
+      .parquet(s"$indexPath/codes")
+    cb.write.mode(SaveMode.Overwrite).parquet(s"$indexPath/codebook")
+    cents.write.mode(SaveMode.Overwrite).parquet(s"$indexPath/centroids")
+  }
+
+  /** Probe a persisted IVFADC index ([[buildIvfAdcIndex]]): rank
+    * centroids driver-side (k×dim — bounded, the [[ivfProbe]] collect),
+    * scan ONLY the nProbe winning cluster partitions (literal IN-list ⇒
+    * `PartitionFilters` at planning time, the q81 posture), explode each
+    * survivor's codes, and sum distance-table lookups — the scan reads
+    * CODES only, never raw vectors. The distance table is computed with
+    * the same Spark expressions as [[ivfAdcTopK]]'s (the codebook and
+    * query subvectors are tiny frames), so rankings agree bit-for-bit
+    * with the self-contained operator.
+    */
+  /** [[ivfAdcProbe]] keyed by an id in the source table — the
+    * [[ivfProbeById]] convenience for the PQ index.
+    */
+  def ivfAdcProbeById(spark: SparkSession, indexPath: String, emb: DataFrame,
+                      idCol: String, vecCol: String, queryId: Long, k: Int,
+                      nProbe: Int = 4): DataFrame = {
+    val qv = toDouble(
+      emb.filter(col(idCol) === queryId).select(col(vecCol)).head().getSeq[Any](0))
+    ivfAdcProbe(spark, indexPath, qv, k, nProbe, excludeId = Some(queryId),
+      idName = idCol)
+  }
+
+  def ivfAdcProbe(spark: SparkSession, indexPath: String,
+                  queryVec: Seq[Double], k: Int, nProbe: Int = 4,
+                  excludeId: Option[Long] = None,
+                  idName: String = "id"): DataFrame = {
+    val qn = math.sqrt(dotD(queryVec, queryVec))
+    require(qn > 0, "ivfAdcProbe: query vector has zero norm")
+    val probed = spark.read.parquet(s"$indexPath/centroids").collect()
+      .map { r =>
+        val cv = toDouble(r.getSeq[Any](1))
+        val cn = math.sqrt(dotD(cv, cv))
+        val cos = if (cn == 0) -2.0 else dotD(queryVec, cv) / (qn * cn)
+        (cos, r.getLong(0))
+      }
+      .sortBy { case (c, cid) => (-c, cid) }
+      .take(nProbe).map(_._2).toSeq
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val nSub = cb.agg(max(col("cs"))).head().getInt(0) + 1
+    val w = queryVec.length / nSub
+    val qsub = pqSubvectors(
+        spark.createDataFrame(Seq((0L, queryVec))).toDF("qid", "qv"),
+        "qid", "qv", nSub, w)
+      .select(col("s").as("qs"), col("sv").as("qv"))
+    val qd = pqDistanceTable(cb, qsub)
+    val pruned = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("cluster").isin(probed: _*))
+    val scanned = excludeId.fold(pruned)(x => pruned.filter(col("id") =!= x))
+      .select(col("id"), posexplode(col("codes")).as(Seq("s", "code")))
+    adcRank(scanned, qd, idName, k)
   }
 }

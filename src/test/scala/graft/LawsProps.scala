@@ -1657,6 +1657,33 @@ object LawsProps extends Properties("graft.laws") {
       }
     }
 
+  property("topDupSpans: re-aggregates dupSpans exactly (text slice, counts, burden)") =
+    forAll(Gen.listOfN(8,
+      Gen.chooseNum(1, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c"))))) { docsRaw =>
+      val n = 3
+      val docs = docsRaw.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val byId = docs.toMap
+      // reference: slice each dupSpans row's text out of its doc, then
+      // group by span string
+      val spans = graft.text.Dedup.dupSpans(df, "doc_id", "text", n)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val want = spans
+        .map { case (id, s, e, tk) =>
+          (byId(id).slice(s.toInt, e.toInt + 1).mkString(" "), id, tk) }
+        .groupBy(_._1)
+        .map { case (txt, rs) =>
+          (txt, rs.size.toLong, rs.map(_._2).distinct.size.toLong,
+            rs.map(_._3).sum) }
+        .toSet
+      val got = graft.text.Dedup.topDupSpans(df, "doc_id", "text", n,
+          k = 1000)
+        .as[(String, Long, Long, Long)].collect().toSet
+      got == want
+    }
+
   property("incrementalDupSpans: equals the symmetric dupSpans filtered to batch docs") =
     forAll(
       Gen.listOfN(6, Gen.chooseNum(1, 10).flatMap(len =>

@@ -129,6 +129,30 @@ class PlanSpec extends AnyFunSuite {
         s"got ${scans.head.selectedPartitions.partitionCount}")
   }
 
+  test("q196: IVFADC probe partition-prunes the CODES scan and never reads vectors") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val idx = Files.createTempDirectory("graft_ivfadc_plan").toString + "/index"
+    graft.vector.Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", idx)
+    graft.engine.Caches.releaseAll()
+    val nProbe = 4
+    val probe = graft.vector.Similarity.ivfAdcProbeById(
+      spark, idx, emb, "vec_id", "embedding", 0L, 10, nProbe = nProbe)
+    // the scan exec hides under AdaptiveSparkPlanExec (TreeNode collect
+    // does not descend) — assert on the rendered plan, the q89 posture
+    val p = probe.queryExecution.executedPlan.toString
+    // literal IN over exactly nProbe probed cluster ids ⇒ planning-time
+    // pruning of the cluster directory tree
+    val pf = "PartitionFilters: \\[cluster#\\d+ IN \\(([-0-9,]+)\\)\\]".r
+      .findFirstMatchIn(p)
+    assert(pf.nonEmpty, p)
+    assert(pf.get.group(1).split(",").length === nProbe, pf.get.group(1))
+    // the whole point of PQ: the probe ranks from codes alone — the
+    // codes scan reads no vector column (raw vectors are not even in
+    // the index), and the only array<double> read is the k·d codebook
+    assert(p.contains("ReadSchema: struct<id:bigint,codes:array<bigint>>"), p)
+    assert(!p.contains("embedding"), p)
+  }
+
   test("q89/q90 read the persisted k-NN edge table, not a rebuilt pair join") {
     // note: plan nodes sit under AdaptiveSparkPlanExec, which TreeNode
     // collect does not descend into — assert on the rendered plan
