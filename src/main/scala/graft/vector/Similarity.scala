@@ -1099,6 +1099,51 @@ object Similarity {
     * query subvectors are tiny frames), so rankings agree bit-for-bit
     * with the self-contained operator.
     */
+  /** Incremental IVFADC index maintenance: encode a NEW batch with the
+    * index's FROZEN codebook — PQ codebooks are trained artifacts; an
+    * append must NOT retrain, or every previously stored code would
+    * decode against the wrong codewords — assign against the frozen
+    * centroids, and append into the cluster-partitioned codes layout.
+    * Batch-proportional ([[appendIvfIndex]] economics): one broadcast
+    * argmin over the batch's subvectors + one write, independent of
+    * index size; probes see old and new vectors alike through the same
+    * directory pruning. Drift contract also as [[appendIvfIndex]]:
+    * quantization error grows as the corpus leaves the training
+    * distribution — gate appends with [[centroidDrift]] and rebuild
+    * when it trips. Returns the number of vectors appended.
+    */
+  def appendIvfAdcIndex(newEmb: DataFrame, idCol: String, vecCol: String,
+                        indexPath: String): Long = {
+    val spark = newEmb.sparkSession
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val nSub = cb.agg(max(col("cs"))).head().getInt(0) + 1
+    val dimRow = newEmb.select(size(col(vecCol)).as("d")).head(1)
+    if (dimRow.isEmpty) return 0L
+    val dim = dimRow.head.getInt(0)
+    require(dim % nSub == 0,
+      s"appendIvfAdcIndex: batch dim $dim does not split into the " +
+        s"index's $nSub subspaces")
+    val base = graft.engine.Caches.persisted("appendIvfAdcIndex.base",
+      pqSubvectors(newEmb, idCol, vecCol, nSub, dim / nSub))
+    val codes = pqAssignCodes(base, cb)
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("centroid_id"), col("centroid_vec"))
+    val assigned = ivfAssign(newEmb, cents, idCol, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("cluster"))
+    val rows = graft.engine.Caches.persisted("appendIvfAdcIndex.rows",
+      codes.join(assigned, Seq("id")))
+    val appended = rows.count()
+    rows.repartition(col("cluster"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("cluster")
+      .parquet(s"$indexPath/codes")
+    rows.unpersist(); base.unpersist()
+    appended
+  }
+
   /** [[ivfAdcProbe]] keyed by an id in the source table — the
     * [[ivfProbeById]] convenience for the PQ index.
     */

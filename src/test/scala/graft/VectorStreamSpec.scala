@@ -229,6 +229,35 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(after.tail === before.take(9))
   }
 
+  test("persisted IVFADC probe matches inline ivfAdcTopK; append encodes with the frozen codebook") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfadc_spec").toString + "/index"
+    Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", idx)
+    graft.engine.Caches.releaseAll()
+    val inline = Similarity.ivfAdcTopK(emb, "vec_id", "embedding", 0L, 10)
+      .as[(Long, Double)].collect().toSeq
+    val probe = Similarity.ivfAdcProbeById(spark, idx, emb, "vec_id",
+      "embedding", 0L, 10).as[(Long, Double)].collect().toSeq
+    // same coarse quantizer, same trained codebook, same ADC arithmetic
+    // → the persisted probe must return the identical ranked rows
+    assert(probe === inline)
+    // append an exact COPY of query 0's vector under a fresh id: its
+    // per-subspace codes are the argmin for the query's own subvectors,
+    // so its ADC distance is the global minimum (no other code
+    // assignment can beat per-subspace argmin) — after the append it
+    // must appear in the top-k of the SAME index files
+    val q0 = emb.filter(col("vec_id") === 0L).select("embedding")
+      .as[Seq[Float]].head()
+    val batch = Seq((100000L, q0)).toDF("vec_id", "embedding")
+    assert(Similarity.appendIvfAdcIndex(batch, "vec_id", "embedding", idx) === 1L)
+    val after = Similarity.ivfAdcProbeById(spark, idx, emb, "vec_id",
+      "embedding", 0L, 10).as[(Long, Double)].collect().toSeq
+    assert(after.map(_._1).contains(100000L), after)
+    assert(after.find(_._1 == 100000L).get._2 === after.map(_._2).min)
+    // everything else keeps its relative order
+    assert(after.filterNot(_._1 == 100000L) === inline.take(9))
+  }
+
   test("ivfProbe refuses a zero-norm query vector") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec0").toString + "/index"
