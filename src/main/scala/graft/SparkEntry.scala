@@ -488,6 +488,16 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
     }),
 
+    "q197_ann_join" -> ((s, dir) => {
+      // similarity search as a JOIN: every query vector's top-k corpus
+      // neighbours from the persisted IVFADC index in ONE distributed
+      // plan (per-query probed lists, union-pruned codes scan) — must
+      // equal three independent q196 probes
+      Similarity.ivfAdcProbeJoin(s, ivfAdcIndexFor(s, dir),
+        t(s, dir, "embeddings").filter(col("vec_id") < 3),
+        "vec_id", "embedding", 10, idName = "vec_id")
+    }),
+
     "q187_langid_eval" -> ((s, dir) => {
       // the corpus where language-ID accuracy MEANS something: the
       // synthetic documents' lang labels are decorrelated from their
@@ -2713,6 +2723,7 @@ object SparkEntry {
     "q32_minhash_lsh" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q190_ivfadc" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q196_ivfadc_probe" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q197_ann_join" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q191_ivfadc_recall" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q39_embed_neardup_lsh" -> Set("sf0.01"),
     "q41_ivf_topk" -> Set("sf0.001", "sf0.01", "sf0.1"),
@@ -2855,7 +2866,8 @@ object SparkEntry {
     * provably shares the unpruned scan's codebook, training, and
     * distance arithmetic — only the scan source differs.
     */
-  private def pqAdcOracleSql(restricted: Boolean): String = {
+  private def pqAdcOracleSql(restricted: Boolean,
+                             queryId: Long = 0L): String = {
     val dv = "x -> CAST(x AS DOUBLE)"
     val ivfCtes = if (!restricted) "" else s"""
       |cents AS (
@@ -2868,7 +2880,7 @@ object SparkEntry {
       |  ORDER BY vec_id ASC LIMIT 16),
       |qv2 AS (
       |  SELECT list_transform(embedding, $dv) AS qv2
-      |  FROM embeddings WHERE vec_id = 0),
+      |  FROM embeddings WHERE vec_id = $queryId),
       |probed AS (
       |  SELECT cid AS cluster FROM (
       |    SELECT c.cid,
@@ -2928,7 +2940,7 @@ object SparkEntry {
       |          - CAST(2 AS DOUBLE) * list_dot_product(sv, cw)
       |          + list_dot_product(cw, cw)) ASC, c.code ASC) AS rn
       |    FROM base b ${scanJoin}JOIN cb c ON c.cs = b.s) WHERE rn = 1),
-      |q AS (SELECT s AS qs, sv AS qv FROM base WHERE vec_id = 0),
+      |q AS (SELECT s AS qs, sv AS qv FROM base WHERE vec_id = $queryId),
       |qd AS (
       |  SELECT cs AS ds, code AS dcode,
       |    CAST(round(list_dot_product(qv, qv)
@@ -2938,7 +2950,7 @@ object SparkEntry {
       |adc AS (
       |  SELECT a.vec_id, SUM(qdist) AS adc
       |  FROM asg a JOIN qd ON qd.ds = a.s AND qd.dcode = a.code
-      |  WHERE a.vec_id <> 0 GROUP BY a.vec_id)
+      |  WHERE a.vec_id <> $queryId GROUP BY a.vec_id)
       |SELECT vec_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist
       |FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10""".stripMargin
   }
@@ -4568,6 +4580,14 @@ object SparkEntry {
     // the persisted-index probe must reproduce the self-contained
     // IVFADC computation exactly — SAME oracle, different plumbing
     "q196_ivfadc_probe" -> pqAdcOracleSql(restricted = true),
+    // the batched ANN JOIN must equal three independent single-query
+    // probes — the oracle is literally three spliced q190 chains, each
+    // with its own query id and per-query probed lists
+    "q197_ann_join" ->
+      (0L to 2L).map(qid =>
+          s"SELECT $qid AS query_id, vec_id, adc_dist FROM (\n" +
+            s"${pqAdcOracleSql(restricted = true, queryId = qid)}\n)")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY query_id, adc_dist, vec_id"),
 
     // Neyman allocation recomputed end to end: exact decimal power
     // sums → 9-dp σ grid → largest-remainder apportionment → the q96

@@ -1144,6 +1144,82 @@ object Similarity {
     appended
   }
 
+  /** Similarity search as a JOIN — the production many-query shape: for
+    * EVERY vector in `queries`, its k approximate nearest corpus
+    * neighbours from a persisted IVFADC index ([[buildIvfAdcIndex]]),
+    * in one distributed plan. One row per (query, neighbour):
+    * `(query_id, <idName>, adc_dist)`, per-query ADC ranking identical
+    * to [[ivfAdcProbe]] run query-by-query (per-query probed lists,
+    * same distance arithmetic — the q197 oracle certifies three probes
+    * at once).
+    *
+    * Shape, all batch-proportional: centroid ranking is a broadcast NL
+    * join of the batch against the k-row centroid table + one per-query
+    * top-nProbe window; the codes scan partition-prunes to the UNION of
+    * probed clusters (a ≤ nCentroids literal IN — collected cluster
+    * ids, never vectors); candidates = codes ⋈ (query, cluster) probe
+    * pairs, so each query only meets its own probed lists (Σ_q |probed
+    * lists of q| rows, the IVF contract); the ADC lookup join runs
+    * sortless shuffle-hash on (query, subspace, code) because the
+    * distance-table side is batch × nSub·nCodes — batch-shaped, NOT
+    * broadcastable for a large batch; final per-query top-k is one
+    * window. No driver collect of anything corpus- or batch-sized.
+    */
+  def ivfAdcProbeJoin(spark: SparkSession, indexPath: String,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nProbe: Int = 4,
+                      idName: String = "id"): DataFrame = {
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val nSub = cb.agg(max(col("cs"))).head().getInt(0) + 1
+    val dimRow = queries.select(size(col(vecCol)).as("d")).head(1)
+    if (dimRow.isEmpty)
+      return queries.select(col(idCol).cast("long").as("query_id"),
+        lit(0L).as(idName), lit(0.0).as("adc_dist")).limit(0)
+    val dim = dimRow.head.getInt(0)
+    require(dim % nSub == 0,
+      s"ivfAdcProbeJoin: query dim $dim does not split into the " +
+        s"index's $nSub subspaces")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("_qv"))
+    val perQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+    val probeAsg = graft.engine.Caches.persisted("ivfAdcProbeJoin.probes",
+      q.crossJoin(broadcast(cents))
+        .withColumn("_cos", cosine(col("centroid_vec"), col("_qv")))
+        .withColumn("_rn", row_number().over(
+          perQuery.orderBy(col("_cos").desc, col("centroid_id").asc)))
+        .filter(col("_rn") <= nProbe)
+        .select(col("query_id"), col("centroid_id").as("cluster")))
+    // ≤ nCentroids longs — the literal IN that makes the scan prune
+    val probedClusters = probeAsg.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val qsub = pqSubvectors(q, "query_id", "_qv", nSub, dim / nSub)
+      .select(col("id").as("_qid"), col("s").as("qs"), col("sv").as("qv"))
+    val qd = cb.join(broadcast(qsub), col("cs") === col("qs"))
+      .select(col("_qid").as("query_id"), col("cs").as("ds"),
+        col("code").as("dcode"),
+        round(pqD2(col("qv"), col("cw")), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("qdist"))
+    val pruned = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("cluster").isin(probedClusters: _*))
+    val cand = pruned.join(probeAsg.hint("shuffle_hash"), Seq("cluster"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+    cand.join(qd.hint("shuffle_hash"),
+        cand("query_id") === qd("query_id") &&
+          col("s") === col("ds") && col("code") === col("dcode"))
+      .select(cand("query_id"), col("id"), col("qdist"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("qdist")).as("_adc"))
+      .withColumn("_rk", row_number().over(
+        perQuery.orderBy(col("_adc").asc, col("id").asc)))
+      .filter(col("_rk") <= k)
+      .select(col("query_id"), col("id").as(idName),
+        round(col("_adc").cast("double"), 6).as("adc_dist"))
+  }
+
   /** [[ivfAdcProbe]] keyed by an id in the source table — the
     * [[ivfProbeById]] convenience for the PQ index.
     */
