@@ -153,6 +153,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("embedding"), p)
   }
 
+  test("q197: batched ANN join union-prunes the codes scan and shuffle-hashes the ADC lookup") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val idx = Files.createTempDirectory("graft_ivfadc_join_plan").toString + "/index"
+    graft.vector.Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", idx)
+    graft.engine.Caches.releaseAll()
+    val join = graft.vector.Similarity.ivfAdcProbeJoin(
+      spark, idx, emb.filter(col("vec_id") < 3), "vec_id", "embedding", 10,
+      idName = "vec_id")
+    val p = join.queryExecution.executedPlan.toString
+    // the codes scan partition-prunes to the UNION of the three
+    // queries' probed clusters — a literal IN at planning time (plus a
+    // runtime dynamicpruning filter Spark adds from the probe join)
+    val pf = "PartitionFilters: \\[cluster#\\d+ IN \\(([-0-9,]+)\\)".r
+      .findFirstMatchIn(p)
+    assert(pf.nonEmpty, p)
+    assert(pf.get.group(1).split(",").length <= 12, pf.get.group(1))
+    // the ADC distance-table join is sortless shuffle-hash (the table is
+    // batch-shaped — forcing broadcast would OOM a large batch) and no
+    // sort-merge join appears anywhere in the probe plan
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q89/q90 read the persisted k-NN edge table, not a rebuilt pair join") {
     // note: plan nodes sit under AdaptiveSparkPlanExec, which TreeNode
     // collect does not descend into — assert on the rendered plan
