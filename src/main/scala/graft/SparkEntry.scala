@@ -1150,6 +1150,27 @@ object SparkEntry {
       Dedup.topDupSpans(t(s, dir, "documents"), "doc_id", "text", 5, 20)
     }),
 
+    "q198_hashed_tfidf" -> ((s, dir) => {
+      // hashing-trick TF-IDF (Weinberger et al. 2009): model-free
+      // document vectors in sparse (doc, bucket, weight) form —
+      // deterministic md5 buckets, exact-decimal collision sums,
+      // 12-dp-fixed smoothed idf
+      TextStats.hashedTfidf(t(s, dir, "documents"), "doc_id", "text", 64)
+        .filter(col("doc_id") < 10)
+        .orderBy("doc_id", "bucket")
+    }),
+
+    "q199_text_ann" -> ((s, dir) => {
+      // text→vector bridge, end to end: hash-embed every document
+      // (dense assembly over q198's sparse rows) and rank doc 0's
+      // nearest neighbours by cosine — similarity search over raw text
+      // with NO trained model in the loop
+      val emb = TextStats.hashedTfidfEmbed(
+        t(s, dir, "documents"), "doc_id", "text", 64)
+        .filter(Similarity.dot(col("embedding"), col("embedding")) > 0)
+      Similarity.cosineTopK(emb, "doc_id", "embedding", 0L, 10)
+    }),
+
     "q189_strip_dup_spans" -> ((s, dir) => {
       // exact-substring dedup applied: strip the q188 spans (first
       // occurrence kept corpus-wide), emit surviving text + counts
@@ -2524,6 +2545,32 @@ object SparkEntry {
       |  SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
       |  FROM isl2 GROUP BY doc_id, isl)""".stripMargin
 
+  /** The hashing-trick TF-IDF chain (q198/q199): whitespace tokens →
+    * tf → smoothed idf on the 12-dp grid → md5-bucket collision sums in
+    * exact decimals, presented as doubles. Shared so the dense-vector
+    * gate provably consumes the sparse gate's own weights.
+    */
+  private def hashedTfidfCte(dim: Int): String =
+    s"""toksh AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(
+      |    trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS token
+      |  FROM documents),
+      |tnz AS (SELECT doc_id, token FROM toksh WHERE token <> ''),
+      |tfh AS (SELECT doc_id, token, COUNT(*) AS tf FROM tnz GROUP BY 1, 2),
+      |dfh AS (SELECT token, COUNT(*) AS df FROM tfh GROUP BY 1),
+      |ndh AS (SELECT COUNT(*) AS n FROM documents),
+      |idfh AS (
+      |  SELECT token,
+      |    CAST(round(ln((CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+      |      + 1.0, 12) AS DECIMAL(16,12)) AS idf
+      |  FROM dfh, ndh),
+      |wts AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % $dim AS bucket,
+      |    COUNT(*) AS n_terms,
+      |    CAST(SUM(CAST(tf AS DECIMAL(7,0)) * idf) AS DOUBLE) AS weight
+      |  FROM tfh JOIN idfh USING (token) GROUP BY 1, 2)""".stripMargin
+
   private def dupSpanCte: String =
     s"""$posGramCte,
       |marked AS (
@@ -3311,6 +3358,28 @@ object SparkEntry {
         |SELECT doc_id, span_start, span_end,
         |  span_end - span_start + 1 AS span_tokens
         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "q198_hashed_tfidf" ->
+      s"""WITH ${hashedTfidfCte(64)}
+        |SELECT doc_id, bucket, CAST(n_terms AS BIGINT) AS n_terms, weight
+        |FROM wts WHERE doc_id < 10 ORDER BY doc_id, bucket""".stripMargin,
+
+    "q199_text_ann" ->
+      s"""WITH ${hashedTfidfCte(64)},
+        |grid AS (SELECT d.doc_id, r.i FROM documents d, range(64) r(i)),
+        |vecs AS (
+        |  SELECT g.doc_id, list(COALESCE(w.weight, 0.0) ORDER BY g.i) AS v
+        |  FROM grid g LEFT JOIN wts w
+        |    ON w.doc_id = g.doc_id AND w.bucket = g.i
+        |  GROUP BY g.doc_id),
+        |nz AS (SELECT doc_id, v FROM vecs WHERE list_dot_product(v, v) > 0),
+        |qh AS (SELECT v AS qv FROM nz WHERE doc_id = 0)
+        |SELECT c.doc_id,
+        |  round(list_dot_product(c.v, qv) /
+        |    (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(qv, qv))),
+        |    6) AS cos_sim
+        |FROM nz c, qh WHERE c.doc_id <> 0
+        |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin,
 
     "q195_top_dup_spans" ->
       s"""WITH $dupSpanCte,

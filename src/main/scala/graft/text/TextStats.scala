@@ -620,4 +620,78 @@ object TextStats {
       .agg(count(lit(1)).as("n_matched"),
         round(sum(col("_ts")).cast("double"), 6).as("bm25"))
   }
+
+  /** Feature-hashing TF-IDF document vectors — the "hashing trick"
+    * (Weinberger et al., ICML 2009): token → bucket via a fixed hash
+    * (first 32 bits of md5, the engine-portable q33 convention), weight
+    * = tf · smoothed-idf (sklearn's ln((1+N)/(1+df)) + 1, fixed to the
+    * 12-dp grid — ln is a transcendental, never shipped unrounded),
+    * colliding tokens sum. Returns the SPARSE form — one row per
+    * (doc, bucket): `(doc_id, bucket, n_terms, weight)` — which is the
+    * 100 TB-shaped output: at most `dim` rows per doc, no dense
+    * dim-array materialized per document until a consumer asks
+    * ([[hashedTfidfEmbed]]).
+    *
+    * Why it belongs in a training-data pipeline: it gives every doc an
+    * embedding with NO trained model in the loop — deterministic,
+    * vocabulary-unbounded (no dictionary to build or ship), and good
+    * enough to drive near-dup candidate generation and topic-ish
+    * clustering through the whole vector family (cosine top-k, IVF,
+    * SemDeDup) when model embeddings are unavailable or too expensive
+    * at corpus scale.
+    *
+    * Shape: one token shuffle (tf), one vocabulary aggregation (df —
+    * co-partitioned with tf on token, no second corpus shuffle), one
+    * (doc, bucket) aggregation. Weights are exact decimals (tf ≤ 10^7
+    * as DECIMAL(7,0) × idf DECIMAL(16,12) — inside precision 38), so
+    * bucket sums are order-independent and the DuckDB oracle replays
+    * them bit-for-bit.
+    */
+  def hashedTfidf(df: DataFrame, idCol: String, textCol: String,
+                  dim: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(dim >= 2 && dim <= 65536, s"dim must be in [2, 65536], got $dim")
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("_t"))
+    val nDocs = docs.count() // one aggregate-sized driver scalar
+    val toks = docs.select(col("doc_id"), explode(tokens(col("_t"))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    // df rides the SAME token partitioning tf just established
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("_df"))
+      .withColumn("idf",
+        round(log((lit(nDocs.toDouble) + lit(1.0)) /
+          (col("_df").cast("double") + lit(1.0))) + lit(1.0), 12)
+          .cast(DecimalType(16, 12)))
+      .select(col("token"), col("idf"))
+    tf.join(idf, Seq("token"))
+      .withColumn("bucket",
+        conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+          % lit(dim.toLong))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf").cast(DecimalType(7, 0)) * col("idf")).as("_w"))
+      .select(col("doc_id"), col("bucket"), col("n_terms"),
+        col("_w").cast("double").as("weight"))
+  }
+
+  /** Dense `dim`-vector assembly over [[hashedTfidf]] — the bridge from
+    * raw text into the vector family ([[graft.vector.Similarity]]):
+    * `(doc_id, embedding: array<double>)`, zeros where no token hashed.
+    * Map-side per doc (one map_from_entries + one bounded transform);
+    * docs with no tokens embed as the zero vector, which every cosine
+    * consumer excludes by its zero-norm convention.
+    */
+  def hashedTfidfEmbed(df: DataFrame, idCol: String, textCol: String,
+                       dim: Int): DataFrame = {
+    val sparse = hashedTfidf(df, idCol, textCol, dim)
+    val m = sparse.groupBy(col("doc_id"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("bucket"), col("weight"))))).as("_m"))
+    df.select(col(idCol).cast("long").as("doc_id")).join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(try_element_at(col("_m"), i.cast("long")), lit(0.0)))
+          .as("embedding"))
+  }
 }
