@@ -1657,6 +1657,39 @@ object LawsProps extends Properties("graft.laws") {
       }
     }
 
+  property("hashedTfidf: equals brute-force hashing-trick TF-IDF on ANY corpus") =
+    forAll(Gen.listOfN(6,
+      Gen.chooseNum(0, 8).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "dd", "ee"))))) { docsRaw =>
+      val dim = 8
+      val docs = docsRaw.zipWithIndex.map { case (ts, i) => (i.toLong, ts) }
+      val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val nDocs = docs.size.toLong
+      def bucket(tok: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(tok.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        java.lang.Long.parseLong(hex, 16) % dim
+      }
+      val tf = docs.flatMap { case (id, ts) => ts.map(t => (id, t)) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val dfreq = tf.keys.groupBy(_._2).view.mapValues(_.size).toMap
+      def idf(tok: String): BigDecimal =
+        BigDecimal(math.log((nDocs + 1.0) / (dfreq(tok) + 1.0)) + 1.0)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val want = tf.toSeq
+        .map { case ((id, tok), n) =>
+          ((id, bucket(tok)), (1L, BigDecimal(n) * idf(tok))) }
+        .groupBy(_._1).view.mapValues { vs =>
+          (vs.map(_._2._1).sum, vs.map(_._2._2).sum) }
+        .map { case ((id, b), (terms, w)) => (id, b, terms, w.toDouble) }
+        .toSet
+      val got = graft.text.TextStats.hashedTfidf(df, "doc_id", "text", dim)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      got == want
+    }
+
   property("topDupSpans: re-aggregates dupSpans exactly (text slice, counts, burden)") =
     forAll(Gen.listOfN(8,
       Gen.chooseNum(1, 12).flatMap(len =>
