@@ -1160,6 +1160,19 @@ object SparkEntry {
         .orderBy("doc_id", "bucket")
     }),
 
+    "q200_text_semantic_dedup" -> ((s, dir) => {
+      // model-free semantic near-dup, end to end: hashed TF-IDF
+      // embeddings feed the exact cosine pair baseline — textual
+      // near-dup PAIRS with no trained model anywhere in the loop
+      // (the scale path swaps in embedNearDupLsh/semanticDedup over
+      // the same embed step)
+      Similarity.embedNearDup(
+        TextStats.hashedTfidfEmbed(t(s, dir, "documents"),
+          "doc_id", "text", 64),
+        "doc_id", "embedding", 0.95)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q199_text_ann" -> ((s, dir) => {
       // text→vector bridge, end to end: hash-embed every document
       // (dense assembly over q198's sparse rows) and rank doc 0's
@@ -3380,6 +3393,24 @@ object SparkEntry {
         |    6) AS cos_sim
         |FROM nz c, qh WHERE c.doc_id <> 0
         |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q200_text_semantic_dedup" ->
+      s"""WITH ${hashedTfidfCte(64)},
+        |grid AS (SELECT d.doc_id, r.i FROM documents d, range(64) r(i)),
+        |vecs AS (
+        |  SELECT g.doc_id, list(COALESCE(w.weight, 0.0) ORDER BY g.i) AS v
+        |  FROM grid g LEFT JOIN wts w
+        |    ON w.doc_id = g.doc_id AND w.bucket = g.i
+        |  GROUP BY g.doc_id),
+        |nz AS (SELECT doc_id, v FROM vecs WHERE list_dot_product(v, v) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v))
+        |        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+        |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, cos_sim FROM pairs
+        |WHERE cos_sim >= 0.95 ORDER BY id_a, id_b""".stripMargin,
 
     "q195_top_dup_spans" ->
       s"""WITH $dupSpanCte,
