@@ -125,7 +125,26 @@ object DevPlans {
         "BroadcastHashJoin; the probed-list candidate restriction is " +
         "a SORTLESS shuffle-hash semi-join (candidates are " +
         "~nProbe/nCentroids of the corpus — not broadcastable at " +
-        "scale; a persisted index prunes cluster partitions instead)."))
+        "scale; a persisted index prunes cluster partitions instead)."),
+    "q196_ivfadc_probe" ->
+      ("The persisted IVFADC index delivers what q190's inline plan " +
+        "cannot: the codes scan carries a literal-IN PartitionFilter " +
+        "(nProbe of nCentroids cluster dirs read at planning time) and " +
+        "a codes-only ReadSchema — no raw vector is stored in or read " +
+        "from the index at all."),
+    "q197_ann_join" ->
+      ("Similarity search as a JOIN: per-query probed lists via one " +
+        "window over a broadcast NL centroid ranking, the codes scan " +
+        "union-pruned (literal IN + runtime dynamic pruning), and the " +
+        "batch-shaped ADC distance table joined SORTLESS shuffle-hash " +
+        "— linear in batch (DevAnnStress: 10× queries ⇒ ~10× " +
+        "wall-clock), nothing corpus- or batch-sized on the driver."),
+    "q199_text_ann" ->
+      ("Raw text to ANN with no model: one token shuffle builds tf " +
+        "AND df (co-partitioned), bucket sums are exact decimals, the " +
+        "dense assembly is map-side per doc, and the cosine top-k is " +
+        "a broadcast of the single query vector + " +
+        "TakeOrderedAndProject — the corpus is scanned once."))
 
   def main(args: Array[String]): Unit = {
     val spark = engine.Sessions.tune(
