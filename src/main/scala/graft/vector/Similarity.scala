@@ -1180,8 +1180,15 @@ object Similarity {
     require(dim % nSub == 0,
       s"ivfAdcProbeJoin: query dim $dim does not split into the " +
         s"index's $nSub subspaces")
+    // zero-norm queries have no cosine direction: the single-probe
+    // operators REFUSE them (ivfProbe/ivfAdcProbe require qn > 0); in
+    // the batch form one bad row must not fail the whole join, so they
+    // are EXCLUDED instead — same normed() convention, and the caller
+    // sees the absence (no rows for that query_id) rather than
+    // NaN-ranked garbage neighbours
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("_qv"))
+      .filter(dot(col("_qv"), col("_qv")) > 0)
     val perQuery = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
     val probeAsg = graft.engine.Caches.persisted("ivfAdcProbeJoin.probes",

@@ -256,6 +256,19 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(after.find(_._1 == 100000L).get._2 === after.map(_._2).min)
     // everything else keeps its relative order
     assert(after.filterNot(_._1 == 100000L) === inline.take(9))
+    // the batched JOIN equals per-query probes, and a zero-norm query
+    // row is EXCLUDED (no rows, not NaN garbage) while the rest of the
+    // batch still answers
+    val dim = q0.size
+    val batch3 = Seq((0L, q0), (7L, emb.filter(col("vec_id") === 7L)
+        .select("embedding").as[Seq[Float]].head()),
+      (999L, Seq.fill(dim)(0.0f))).toDF("vec_id", "embedding")
+    val joined = Similarity.ivfAdcProbeJoin(spark, idx, batch3, "vec_id",
+      "embedding", 10).as[(Long, Long, Double)].collect().toSeq
+    assert(joined.map(_._1).toSet === Set(0L, 7L), joined.map(_._1).toSet)
+    val solo7 = Similarity.ivfAdcProbeById(spark, idx, emb, "vec_id",
+      "embedding", 7L, 10).as[(Long, Double)].collect().toSeq
+    assert(joined.filter(_._1 == 7L).map(r => (r._2, r._3)) === solo7)
   }
 
   test("ivfProbe refuses a zero-norm query vector") {
