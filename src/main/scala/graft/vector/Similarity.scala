@@ -591,34 +591,44 @@ object Similarity {
       // kmeansIters passes through: a rebuild must not silently downgrade
       // an index built with refined centroids to stride sampling
       buildIvfIndex(union, idCol, vecCol, staging, nCentroids, kmeansIters)
-      // Swap with CHECKED renames (Hadoop reports most failures by
-      // returning false, not throwing): every step must succeed before
-      // any backup is deleted — a failed rename aborts loudly with the
-      // .retired path named, so the originals are always recoverable
-      // from .retired/ (or still live, if the retire step itself was
-      // what failed). Only a fully verified swap reclaims the backups.
-      def p(s: String) = new org.apache.hadoop.fs.Path(s)
-      val fs = p(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val retired = s"$indexPath/.retired"
-      fs.delete(p(retired), true)
-      if (!fs.mkdirs(p(retired)))
-        throw new java.io.IOException(
-          s"maintainIvfIndex: could not create backup dir $retired; " +
-            "live index untouched, new build left in " + staging)
-      def renameOrDie(from: String, to: String, recovery: String): Unit =
-        if (!fs.rename(p(from), p(to)))
-          throw new java.io.IOException(
-            s"maintainIvfIndex: rename $from -> $to failed; $recovery")
-      for (part <- Seq("assignments", "centroids")) {
-        renameOrDie(s"$indexPath/$part", s"$retired/$part",
-          s"live index untouched for '$part'; new build left in $staging")
-        renameOrDie(s"$staging/$part", s"$indexPath/$part",
-          s"originals preserved in $retired — restore them to $indexPath")
-      }
-      fs.delete(p(retired), true)
-      fs.delete(p(staging), true)
+      swapIndexDirs(spark, indexPath, staging,
+        Seq("assignments", "centroids"), "maintainIvfIndex")
       IvfMaintenance(nNew, cos, rebuilt = true)
     }
+  }
+
+  /** Atomic-as-practical index directory swap with CHECKED renames
+    * (Hadoop reports most failures by returning false, not throwing):
+    * every step must succeed before any backup is deleted — a failed
+    * rename aborts loudly with the `.retired` path named, so the
+    * originals are always recoverable from `.retired/` (or still live,
+    * if the retire step itself was what failed). Only a fully verified
+    * swap reclaims the backups. Shared by [[maintainIvfIndex]] and
+    * [[maintainIvfAdcIndex]] so the crash-safety argument exists once.
+    */
+  private def swapIndexDirs(spark: SparkSession, indexPath: String,
+                            staging: String, parts: Seq[String],
+                            opName: String): Unit = {
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val fs = p(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = s"$indexPath/.retired"
+    fs.delete(p(retired), true)
+    if (!fs.mkdirs(p(retired)))
+      throw new java.io.IOException(
+        s"$opName: could not create backup dir $retired; " +
+          "live index untouched, new build left in " + staging)
+    def renameOrDie(from: String, to: String, recovery: String): Unit =
+      if (!fs.rename(p(from), p(to)))
+        throw new java.io.IOException(
+          s"$opName: rename $from -> $to failed; $recovery")
+    for (part <- parts) {
+      renameOrDie(s"$indexPath/$part", s"$retired/$part",
+        s"live index untouched for '$part'; new build left in $staging")
+      renameOrDie(s"$staging/$part", s"$indexPath/$part",
+        s"originals preserved in $retired — restore them to $indexPath")
+    }
+    fs.delete(p(retired), true)
+    fs.delete(p(staging), true)
   }
 
   /** Probe a persisted IVF index (see [[buildIvfIndex]]) with an explicit
@@ -1225,6 +1235,73 @@ object Similarity {
       .filter(col("_rk") <= k)
       .select(col("query_id"), col("id").as(idName),
         round(col("_adc").cast("double"), 6).as("adc_dist"))
+  }
+
+  /** PQ reconstruction from a persisted IVFADC index: each vector's
+    * approximation is its per-subspace codewords concatenated in
+    * subspace order — `(id, v)` with reconstruction error bounded by
+    * the quantization error the recall gate already measures. This is
+    * the only vector view an ADC index CAN give back (raw vectors are
+    * deliberately not stored), and it is exactly what corpus-side
+    * drift measurement needs ([[maintainIvfAdcIndex]]).
+    */
+  def pqDecode(spark: SparkSession, indexPath: String): DataFrame = {
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+    spark.read.parquet(s"$indexPath/codes")
+      .select(col("id"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(cb.select(col("cs"), col("code").as("_ccode"), col("cw"))),
+        col("s") === col("cs") && col("code") === col("_ccode"))
+      .select(col("id"), col("s"), col("cw"))
+      .groupBy(col("id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("s"), col("cw")))),
+        x => x.getField("cw"))).as("v"))
+  }
+
+  /** Drift-gated IVFADC maintenance — the executor of
+    * [[appendIvfAdcIndex]]'s documented rebuild contract (the
+    * [[maintainIvfIndex]] discipline for the PQ index, where the
+    * failure mode is WORSE: stale centroids lose probe recall AND the
+    * frozen codebook's quantization error grows on drifted batches).
+    * Drift is measured between the PQ-DECODED indexed corpus
+    * ([[pqDecode]] — the index stores no raw vectors, and the
+    * reconstruction is exactly what the index "believes" its corpus
+    * looks like) and the incoming batch:
+    *
+    *   - centroid cosine ≥ `minCentroidCosine` → [[appendIvfAdcIndex]]
+    *     (frozen codebook, batch-shaped cost);
+    *   - below the gate or undefined → REBUILD over `corpus` ∪ batch —
+    *     retraining centroids AND codebook — staged and swapped with
+    *     the checked-rename dance ([[swapIndexDirs]]). `corpus` is the
+    *     caller's raw source table: codes cannot be re-trained from
+    *     codes, so a rebuild re-reads the source a production pipeline
+    *     always retains.
+    */
+  def maintainIvfAdcIndex(newEmb: DataFrame, idCol: String, vecCol: String,
+                          corpus: DataFrame, indexPath: String,
+                          minCentroidCosine: Double = 0.7,
+                          nCentroids: Int = 16, nSub: Int = 16,
+                          nCodes: Int = 64,
+                          trainIters: Int = 1): IvfMaintenance = {
+    val spark = newEmb.sparkSession
+    val cosRow = centroidDrift(pqDecode(spark, indexPath).select(col("v").as(vecCol)),
+        newEmb.select(col(vecCol)), vecCol)
+      .select(col("centroid_cosine")).head()
+    val cos = if (cosRow.isNullAt(0)) None else Some(cosRow.getDouble(0))
+    if (cos.exists(_ >= minCentroidCosine))
+      IvfMaintenance(appendIvfAdcIndex(newEmb, idCol, vecCol, indexPath),
+        cos, rebuilt = false)
+    else {
+      val nNew = newEmb.count()
+      val union = corpus.select(col(idCol), col(vecCol))
+        .unionByName(newEmb.select(col(idCol), col(vecCol)))
+      val staging = s"$indexPath/.rebuild"
+      buildIvfAdcIndex(union, idCol, vecCol, staging, nCentroids, nSub,
+        nCodes, trainIters)
+      swapIndexDirs(spark, indexPath, staging,
+        Seq("codes", "codebook", "centroids"), "maintainIvfAdcIndex")
+      IvfMaintenance(nNew, cos, rebuilt = true)
+    }
   }
 
   /** [[ivfAdcProbe]] keyed by an id in the source table — the

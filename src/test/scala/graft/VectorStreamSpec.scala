@@ -271,6 +271,50 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(joined.filter(_._1 == 7L).map(r => (r._2, r._3)) === solo7)
   }
 
+  test("maintainIvfAdcIndex: PQ-decoded drift gates append vs rebuild; rebuild restores recall") {
+    import spark.implicits._
+    // the maintainIvfIndex fixture, PQ edition: base corpus in e1/e2,
+    // drifted batch in e3 — a region the base index can neither probe
+    // (stale centroids) nor encode well (frozen codebook)
+    def baseVec(i: Long): Seq[Float] =
+      if (i % 2 == 0) Seq(1.0f, 0.001f * i, 0.0f, 0.0f)
+      else Seq(0.001f * i, 1.0f, 0.0f, 0.0f)
+    val base = (0L until 50L).map(i => (i, baseVec(i))).toDF("vec_id", "embedding")
+    val drifted = (50L until 110L).map(i =>
+      (i, Seq(0.0f, 0.0f, 1.0f, 0.001f * i))).toDF("vec_id", "embedding")
+    val query = Seq(0.0, 0.0, 1.0, 0.0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfadc_m").toString + "/index"
+    Similarity.buildIvfAdcIndex(base, "vec_id", "embedding", idx,
+      nCentroids = 2, nSub = 2, nCodes = 16)
+    graft.engine.Caches.releaseAll()
+    // drift gate trips: the PQ-decoded corpus lives in e1/e2, the batch
+    // in e3 — centroid cosine ~0 < 0.7 → rebuild (centroids AND codebook)
+    val m = Similarity.maintainIvfAdcIndex(drifted, "vec_id", "embedding",
+      base, idx, minCentroidCosine = 0.7, nCentroids = 3, nSub = 2,
+      nCodes = 16)
+    graft.engine.Caches.releaseAll()
+    assert(m.rebuilt && m.appended === 60L, m)
+    assert(m.centroidCosine.exists(c => c.abs < 0.2), m)
+    // the rebuilt index probes the drifted region: a 1-probe e3 search
+    // returns only drifted vectors
+    val found = Similarity.ivfAdcProbe(spark, idx, query, 5, nProbe = 1)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(found.nonEmpty && found.forall(_ >= 50L), found)
+    // an undrifted follow-up (same e3 region, now part of the decoded
+    // corpus mix) takes the cheap frozen-codebook append path. The gate
+    // here is 0.6, not the IVF spec's 0.7: the decoded side carries
+    // quantization error, so an ADC deployment calibrates its gate
+    // against DECODED drift readings (measured 0.665 on this mix vs
+    // the raw-vector 0.7+ of the IVF fixture)
+    val followUp = (110L until 120L).map(i =>
+      (i, Seq(0.0f, 0.0f, 1.0f, 0.001f * i))).toDF("vec_id", "embedding")
+    val m2 = Similarity.maintainIvfAdcIndex(followUp, "vec_id", "embedding",
+      base.unionByName(drifted), idx, minCentroidCosine = 0.6,
+      nCentroids = 3, nSub = 2, nCodes = 16)
+    assert(!m2.rebuilt && m2.appended === 10L, m2)
+    assert(m2.centroidCosine.exists(_ >= 0.6), m2)
+  }
+
   test("ivfProbe refuses a zero-norm query vector") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec0").toString + "/index"
