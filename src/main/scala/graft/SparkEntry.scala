@@ -488,6 +488,16 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
     }),
 
+    "q201_pq_reconstruction" -> ((s, dir) => {
+      // storage-loss audit of the persisted IVFADC index: per-vector
+      // MSE between source subvectors and what the stored codes decode
+      // to — the gate that catches corrupted codes or a codebook/codes
+      // desync; oracle replays the training and reconstruction in SQL
+      Similarity.pqReconstructionError(s, ivfAdcIndexFor(s, dir),
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id").limit(50)
+    }),
+
     "q197_ann_join" -> ((s, dir) => {
       // similarity search as a JOIN: every query vector's top-k corpus
       // neighbours from the persisted IVFADC index in ONE distributed
@@ -2784,6 +2794,7 @@ object SparkEntry {
     "q190_ivfadc" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q196_ivfadc_probe" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q197_ann_join" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q201_pq_reconstruction" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q191_ivfadc_recall" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q39_embed_neardup_lsh" -> Set("sf0.01"),
     "q41_ivf_topk" -> Set("sf0.001", "sf0.01", "sf0.1"),
@@ -2926,8 +2937,13 @@ object SparkEntry {
     * provably shares the unpruned scan's codebook, training, and
     * distance arithmetic — only the scan source differs.
     */
-  private def pqAdcOracleSql(restricted: Boolean,
-                             queryId: Long = 0L): String = {
+  /** The PQ training + assignment CTE chain through `base`, `cb`, and
+    * `asg` — shared by the ADC search oracles (q166/q190/q196/q197)
+    * and the reconstruction-error gate (q201), so every consumer
+    * provably replays the SAME training.
+    */
+  private def pqTrainCtes(restricted: Boolean,
+                          queryId: Long = 0L): String = {
     val dv = "x -> CAST(x AS DOUBLE)"
     val ivfCtes = if (!restricted) "" else s"""
       |cents AS (
@@ -3000,7 +3016,12 @@ object SparkEntry {
       |          - CAST(2 AS DOUBLE) * list_dot_product(sv, cw)
       |          + list_dot_product(cw, cw)) ASC, c.code ASC) AS rn
       |    FROM base b ${scanJoin}JOIN cb c ON c.cs = b.s) WHERE rn = 1),
-      |q AS (SELECT s AS qs, sv AS qv FROM base WHERE vec_id = $queryId),
+      |q AS (SELECT s AS qs, sv AS qv FROM base WHERE vec_id = $queryId)""".stripMargin
+  }
+
+  private def pqAdcOracleSql(restricted: Boolean,
+                             queryId: Long = 0L): String =
+    s"""${pqTrainCtes(restricted, queryId)},
       |qd AS (
       |  SELECT cs AS ds, code AS dcode,
       |    CAST(round(list_dot_product(qv, qv)
@@ -3013,7 +3034,6 @@ object SparkEntry {
       |  WHERE a.vec_id <> $queryId GROUP BY a.vec_id)
       |SELECT vec_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist
       |FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10""".stripMargin
-  }
 
   private def langFixtureValuesSql: String =
     graft.text.TextStats.LangFixture.map { case (id, lang, txt) =>
@@ -4680,6 +4700,21 @@ object SparkEntry {
     // the persisted-index probe must reproduce the self-contained
     // IVFADC computation exactly — SAME oracle, different plumbing
     "q196_ivfadc_probe" -> pqAdcOracleSql(restricted = true),
+    // the reconstruction audit replays the SAME training chain and
+    // decodes each vector's assigned codewords in SQL
+    "q201_pq_reconstruction" ->
+      s"""${pqTrainCtes(restricted = false)},
+        |recon AS (
+        |  SELECT b.vec_id,
+        |    CAST(round(list_dot_product(b.sv, b.sv)
+        |      - CAST(2 AS DOUBLE) * list_dot_product(b.sv, c.cw)
+        |      + list_dot_product(c.cw, c.cw), 12) AS DECIMAL(28,12)) AS d
+        |  FROM base b
+        |  JOIN asg a ON a.vec_id = b.vec_id AND a.s = b.s
+        |  JOIN cb c ON c.cs = a.s AND c.code = a.code)
+        |SELECT vec_id, round(CAST(SUM(d) AS DOUBLE) / 64.0, 12) AS mse
+        |FROM recon GROUP BY vec_id ORDER BY vec_id LIMIT 50""".stripMargin,
+
     // the batched ANN JOIN must equal three independent single-query
     // probes — the oracle is literally three spliced q190 chains, each
     // with its own query id and per-query probed lists

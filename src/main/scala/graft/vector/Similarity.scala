@@ -1258,6 +1258,41 @@ object Similarity {
         x => x.getField("cw"))).as("v"))
   }
 
+  /** Per-vector PQ reconstruction error of a persisted IVFADC index
+    * against the source embeddings — the storage-loss audit
+    * ([[quantizeAudit]]'s question asked of the PQ index): for each
+    * vector, MSE between its subvectors and the codewords its stored
+    * codes decode to. Per-subspace squared distances fix at the qdist
+    * grid (12-dp decimal) so the per-vector sum is exact and
+    * order-independent; the mean divides once in doubles. A code file
+    * corrupted, a codebook drifted from its codes, or a re-trained
+    * codebook decoding stale codes all surface here as error
+    * inflation.
+    */
+  def pqReconstructionError(spark: SparkSession, indexPath: String,
+                            emb: DataFrame, idCol: String,
+                            vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val nSub = cb.agg(max(col("cs"))).head().getInt(0) + 1
+    val dim = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % nSub == 0,
+      s"pqReconstructionError: dim $dim does not split into $nSub subspaces")
+    val sub = pqSubvectors(emb, idCol, vecCol, nSub, dim / nSub)
+    val dec = spark.read.parquet(s"$indexPath/codes")
+      .select(col("id"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(cb.select(col("cs"), col("code").as("_ccode"), col("cw"))),
+        col("s") === col("cs") && col("code") === col("_ccode"))
+      .select(col("id"), col("s"), col("cw"))
+    sub.join(dec, Seq("id", "s"))
+      .withColumn("_d",
+        round(pqD2(col("sv"), col("cw")), 12).cast(DecimalType(28, 12)))
+      .groupBy(col("id"))
+      .agg(sum(col("_d")).as("_sse"))
+      .select(col("id").as(idCol),
+        round(col("_sse").cast("double") / lit(dim.toDouble), 12).as("mse"))
+  }
+
   /** Drift-gated IVFADC maintenance — the executor of
     * [[appendIvfAdcIndex]]'s documented rebuild contract (the
     * [[maintainIvfIndex]] discipline for the PQ index, where the
