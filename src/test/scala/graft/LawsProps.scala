@@ -1657,6 +1657,39 @@ object LawsProps extends Properties("graft.laws") {
       }
     }
 
+  property("ivfAdcProbeJoin: equals per-query ivfAdcProbe on ANY corpus") =
+    forAll(
+      Gen.listOfN(24, Gen.listOfN(4, Gen.choose(-4, 4).map(_.toFloat))),
+      Gen.listOfN(3, Gen.choose(0, 23))) { (vecsRaw, queryIdx) =>
+      import org.apache.spark.sql.functions.col
+      val emb = vecsRaw.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val idx = java.nio.file.Files.createTempDirectory("graft_annlaw")
+        .toString + "/index"
+      graft.vector.Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding",
+        idx, nCentroids = 4, nSub = 2, nCodes = 8)
+      graft.engine.Caches.releaseAll()
+      val qids = queryIdx.map(_.toLong).distinct
+        .filter(q => vecsRaw(q.toInt).exists(_ != 0.0f))
+      val batch = emb.filter(col("vec_id").isin(qids: _*))
+      // the join's output carries no global order, and re-sorting by the
+      // ROUNDED dist could disagree with the engine's unrounded ranking
+      // on ties — compare per-query row SETS (both sides are top-k under
+      // the same (unrounded dist, id) total order)
+      val joined = graft.vector.Similarity.ivfAdcProbeJoin(
+          spark, idx, batch, "vec_id", "embedding", 5, nProbe = 2)
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+      val solo = qids.map { q =>
+        q -> graft.vector.Similarity.ivfAdcProbeById(
+          spark, idx, emb, "vec_id", "embedding", q, 5, nProbe = 2)
+          .as[(Long, Double)].collect().toSet
+      }.toMap
+      graft.engine.Caches.releaseAll()
+      qids.forall(q =>
+        joined.getOrElse(q, Set.empty) == solo.getOrElse(q, Set.empty))
+    }
+
   property("hashedTfidf: equals brute-force hashing-trick TF-IDF on ANY corpus") =
     forAll(Gen.listOfN(6,
       Gen.chooseNum(0, 8).flatMap(len =>
