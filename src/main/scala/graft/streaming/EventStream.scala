@@ -137,6 +137,52 @@ object EventStream {
     }
   }
 
+  /** Streaming IVFADC index maintenance: each micro-batch of vectors
+    * appends into a persisted [[graft.vector.Similarity.buildIvfAdcIndex]]
+    * layout through the frozen-codebook path
+    * ([[graft.vector.Similarity.appendIvfAdcIndex]]) — the continuous-
+    * ingest face of the ANN family: vectors become probe-visible at
+    * micro-batch latency with batch-shaped cost, and probes running
+    * between batches keep seeing a consistent directory tree (appends
+    * only add files inside cluster dirs). Exactly-once under
+    * micro-batch retries via the same marker discipline as
+    * [[sinkBronze]] (markers live under the index root; the codes
+    * scans read `codes/` and never see them). Drift stays the CALLER's
+    * scheduled concern — run
+    * [[graft.vector.Similarity.maintainIvfAdcIndex]] out-of-band; a
+    * streaming sink must never block a micro-batch on a corpus-shaped
+    * retrain.
+    */
+  def sinkIvfAdcAppend(vectors: DataFrame, indexPath: String,
+                       checkpoint: String, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendIvfAdcBatchIdempotent(batch, indexPath, id, idCol, vecCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  /** The marker-guarded body of [[sinkIvfAdcAppend]] —
+    * [[appendBatchIdempotent]]'s discipline applied to the index
+    * append, exposed so retry semantics are directly testable.
+    */
+  def appendIvfAdcBatchIdempotent(batch: DataFrame, indexPath: String,
+                                  batchId: Long, idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath), conf)
+    val marker = new Path(indexPath, s"_graft_manifest/batch-$batchId")
+    if (!fs.exists(marker)) {
+      graft.vector.Similarity.appendIvfAdcIndex(batch, idCol, vecCol,
+        indexPath)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    }
+  }
+
   /** Stream–static enrichment: each micro-batch equi-joins the stream
     * against a small static dimension, explicitly broadcast — the
     * dimension ships once per executor and the stream side never

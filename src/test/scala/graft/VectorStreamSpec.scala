@@ -315,6 +315,38 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(m2.centroidCosine.exists(_ >= 0.6), m2)
   }
 
+  test("sinkIvfAdcAppend: streamed vectors become probe-visible; batch replay is a no-op") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfadc_sink").toString + "/index"
+    Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", idx)
+    graft.engine.Caches.releaseAll()
+    val n0 = spark.read.parquet(s"$idx/codes").count()
+    val q0 = emb.filter(col("vec_id") === 0L).select("embedding")
+      .as[Seq[Float]].head()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfadc_ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val sink = EventStream.sinkIvfAdcAppend(
+      mem.toDF().toDF("vec_id", "embedding"), idx, ckpt)
+    mem.addData((200000L, q0)) // exact copy of query 0's vector
+    sink.processAllAvailable()
+    mem.addData((200001L, emb.filter(col("vec_id") === 7L)
+      .select("embedding").as[Seq[Float]].head()))
+    sink.processAllAvailable()
+    sink.stop()
+    assert(spark.read.parquet(s"$idx/codes").count() === n0 + 2)
+    // the streamed copy probes as the global ADC minimum on the live index
+    val after = Similarity.ivfAdcProbeById(spark, idx, emb, "vec_id",
+      "embedding", 0L, 10).as[(Long, Double)].collect().toSeq
+    assert(after.map(_._1).contains(200000L), after)
+    assert(after.find(_._1 == 200000L).get._2 === after.map(_._2).min)
+    // a RETRIED micro-batch id is a no-op: same rows, no double-append
+    EventStream.appendIvfAdcBatchIdempotent(
+      Seq((200000L, q0)).toDF("vec_id", "embedding"), idx, batchId = 0L)
+    assert(spark.read.parquet(s"$idx/codes").count() === n0 + 2)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("ivfProbe refuses a zero-norm query vector") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec0").toString + "/index"
