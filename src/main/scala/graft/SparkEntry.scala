@@ -488,6 +488,18 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
     }),
 
+    "q202_balanced_sample" -> ((s, dir) => {
+      // diversity sampling: cluster the hash-embedded docs (stride
+      // centroids + broadcast argmax) and keep a deterministic 5-doc
+      // quota per cluster — even topic coverage instead of whatever
+      // dominates the crawl; rank via the q96 hash mixer
+      Similarity.clusterBalancedSample(
+          TextStats.hashedTfidfEmbed(t(s, dir, "documents"),
+            "doc_id", "text", 64),
+          "doc_id", "embedding", 4, 5)
+        .orderBy("cluster", "sample_rank")
+    }),
+
     "q201_pq_reconstruction" -> ((s, dir) => {
       // storage-loss audit of the persisted IVFADC index: per-vector
       // MSE between source subvectors and what the stored codes decode
@@ -4700,6 +4712,37 @@ object SparkEntry {
     // the persisted-index probe must reproduce the self-contained
     // IVFADC computation exactly — SAME oracle, different plumbing
     "q196_ivfadc_probe" -> pqAdcOracleSql(restricted = true),
+    "q202_balanced_sample" ->
+      s"""WITH ${hashedTfidfCte(64)},
+        |grid AS (SELECT d.doc_id, r.i FROM documents d, range(64) r(i)),
+        |vecs AS (
+        |  SELECT g.doc_id, list(COALESCE(w.weight, 0.0) ORDER BY g.i) AS v
+        |  FROM grid g LEFT JOIN wts w
+        |    ON w.doc_id = g.doc_id AND w.bucket = g.i
+        |  GROUP BY g.doc_id),
+        |nz AS (SELECT doc_id, v FROM vecs WHERE list_dot_product(v, v) > 0),
+        |cents AS (
+        |  SELECT doc_id AS cid, v AS cv FROM nz
+        |  WHERE doc_id % 31 = 0 ORDER BY doc_id ASC LIMIT 4),
+        |iasg AS (
+        |  SELECT doc_id, cid AS cluster FROM (
+        |    SELECT e.doc_id, c.cid,
+        |      row_number() OVER (PARTITION BY e.doc_id ORDER BY
+        |        (list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v))
+        |            * sqrt(list_dot_product(c.cv, c.cv)))) DESC,
+        |        c.cid DESC) AS rn
+        |    FROM nz e CROSS JOIN cents c) WHERE rn = 1),
+        |rk AS (
+        |  SELECT doc_id, cluster,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY
+        |      ((doc_id % 1000000007) * 2654435761) % 1000000007 ASC,
+        |      doc_id ASC) AS sample_rank
+        |  FROM iasg)
+        |SELECT doc_id, cluster, CAST(sample_rank AS BIGINT) AS sample_rank
+        |FROM rk WHERE sample_rank <= 5
+        |ORDER BY cluster, sample_rank""".stripMargin,
+
     // the reconstruction audit replays the SAME training chain and
     // decodes each vector's assigned codewords in SQL
     "q201_pq_reconstruction" ->

@@ -1258,6 +1258,39 @@ object Similarity {
         x => x.getField("cw"))).as("v"))
   }
 
+  /** Topic-balanced subsampling: assign every vector to its nearest
+    * stride centroid and keep a deterministic per-cluster quota — the
+    * diversity-sampling curation op (uniform sampling over-represents
+    * whatever topic dominates the crawl; sampling evenly across
+    * embedding clusters keeps the tail topics in the training mix).
+    * `(id, cluster, sample_rank)`, rank by the [[graft.text.Curation]]
+    * hashSample mixer (engine-portable, id-stable) so the "random"
+    * quota is reproducible and oracle-replayable. Zero vectors have no
+    * cosine direction and are excluded.
+    *
+    * Shape: broadcast NL argmax over the k-row centroid table + ONE
+    * per-cluster WindowGroupLimit (quota rows survive per partition
+    * before any sort — the q96 posture): sampling quotas from 100 TB
+    * must not sort 100 TB.
+    */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+                            nClusters: Int, perCluster: Int): DataFrame = {
+    require(nClusters >= 1 && perCluster >= 1,
+      s"nClusters/perCluster must be positive, got $nClusters/$perCluster")
+    val u = emb.filter(dot(col(vecCol), col(vecCol)) > 0)
+    val cents = centroids(u, idCol, vecCol, nClusters)
+    val asg = ivfAssign(u, cents, idCol, vecCol)
+    val p = 1000000007L
+    val h = pmod(pmod(col(idCol).cast("long"), lit(p)) * lit(2654435761L), lit(p))
+    asg.withColumn("_h", h)
+      .withColumn("sample_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+          .orderBy(col("_h").asc, col(idCol).asc)))
+      .filter(col("sample_rank") <= perCluster)
+      .select(col(idCol), col("cluster"),
+        col("sample_rank").cast("long").as("sample_rank"))
+  }
+
   /** Per-vector PQ reconstruction error of a persisted IVFADC index
     * against the source embeddings — the storage-loss audit
     * ([[quantizeAudit]]'s question asked of the PQ index): for each
