@@ -488,6 +488,16 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
     }),
 
+    "q203_embedding_covariance" -> ((s, dir) => {
+      // the d²-sized second-moment statistic PCA whitening consumes:
+      // upper-triangle dimension-pair covariance, exact-decimal sums,
+      // unbiased denominator — pcaWhiten's eigendecomposition (Jacobi,
+      // driver-side, corpus-independent) is spec-gated on top of this
+      Similarity.embeddingCovariance(t(s, dir, "embeddings"),
+          "vec_id", "embedding")
+        .orderBy("i", "j")
+    }),
+
     "q202_balanced_sample" -> ((s, dir) => {
       // diversity sampling: cluster the hash-embedded docs (stride
       // centroids + broadcast argmax) and keep a deterministic 5-doc
@@ -4712,6 +4722,26 @@ object SparkEntry {
     // the persisted-index probe must reproduce the self-contained
     // IVFADC computation exactly — SAME oracle, different plumbing
     "q196_ivfadc_probe" -> pqAdcOracleSql(restricted = true),
+    "q203_embedding_covariance" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id, ix.i AS i,
+        |    CAST(round(CAST(embedding[ix.i + 1] AS DOUBLE), 9)
+        |      AS DECIMAL(12,9)) AS x
+        |  FROM embeddings, range(64) ix(i)),
+        |p AS (
+        |  SELECT a.i, b.i AS j, COUNT(*) AS n,
+        |    SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS sxy,
+        |    SUM(CAST(a.x AS DECIMAL(38,18))) AS sx,
+        |    SUM(CAST(b.x AS DECIMAL(38,18))) AS sy
+        |  FROM e a JOIN e b ON a.id = b.id AND b.i >= a.i
+        |  GROUP BY 1, 2)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  CAST(n AS BIGINT) AS n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 9) AS cov
+        |FROM p ORDER BY i, j""".stripMargin,
+
     "q202_balanced_sample" ->
       s"""WITH ${hashedTfidfCte(64)},
         |grid AS (SELECT d.doc_id, r.i FROM documents d, range(64) r(i)),

@@ -1258,6 +1258,121 @@ object Similarity {
         x => x.getField("cw"))).as("v"))
   }
 
+  /** Dimension-pair covariance of an embedding corpus — the statistic
+    * PCA whitening ([[pcaWhiten]]) consumes, emitted as the upper
+    * triangle `(i, j, n, cov)` with the unbiased n−1 denominator.
+    * Determinism: per-element values fix at DECIMAL(12,9) (the
+    * centroidDrift convention) so Σx, Σy, Σxy are exact and
+    * order-independent; the final quotient runs in doubles from those
+    * exact components, identically in both engines.
+    *
+    * Shape: one posexplode + one id-equi self-join (n·d² rows into a
+    * (d²/2)-cell hash aggregation with map-side partials). d² cells is
+    * tiny; n·d² join rows are the honest cost of an exact covariance —
+    * at corpus scale compute it on a SAMPLE (covariance is a d²-sized
+    * statistic with ~1/√n error; a 1M-row sample of a 100 TB corpus
+    * estimates it to 3 decimals).
+    */
+  def embeddingCovariance(emb: DataFrame, idCol: String,
+                          vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = emb.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("i", "_x")))
+      .select(col("id"), col("i"),
+        round(col("_x").cast("double"), 9).cast(DecimalType(12, 9)).as("x"))
+    val b = e.select(col("id"), col("i").as("j"), col("x").as("y"))
+    e.join(b, Seq("id"))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 18))).as("_sxy"),
+        sum(col("x").cast(DecimalType(38, 18))).as("_sx"),
+        sum(col("y").cast(DecimalType(38, 18))).as("_sy"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"),
+        round((col("n").cast("double") * col("_sxy").cast("double")
+          - col("_sx").cast("double") * col("_sy").cast("double"))
+          / (col("n").cast("double") * (col("n").cast("double") - lit(1.0))),
+          9).as("cov"))
+  }
+
+  /** PCA whitening (the ZCA form, W = V·Λ^(−1/2)·Vᵀ): decorrelate and
+    * unit-scale the embedding dimensions — the classic retrieval
+    * post-process (anisotropic embedding spaces concentrate cosine
+    * similarity into a few dominant directions; whitening restores
+    * discrimination). The covariance ([[embeddingCovariance]]) is a
+    * d²-sized statistic, so the eigendecomposition runs DRIVER-side
+    * (cyclic Jacobi on a d×d symmetric matrix — corpus-independent
+    * cost), and the transform applies as a broadcast d×d matrix
+    * multiply per vector, map-only. Eigenvalues below `eps` clamp to
+    * `eps` (a rank-deficient corpus must not divide by ~0). Returns
+    * `(id, v)` with v the whitened double vector.
+    */
+  def pcaWhiten(emb: DataFrame, idCol: String, vecCol: String,
+                eps: Double = 1e-9): DataFrame = {
+    val covRows = embeddingCovariance(emb, idCol, vecCol).collect()
+    require(covRows.nonEmpty, "pcaWhiten: empty corpus has no covariance")
+    val d = covRows.map(_.getLong(1)).max.toInt + 1
+    val c = Array.ofDim[Double](d, d)
+    covRows.foreach { r =>
+      val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    // cyclic Jacobi: rotate away the largest off-diagonal entries until
+    // convergence — deterministic (fixed sweep order), d³ per sweep
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = math.sqrt(c.indices.map(i =>
+      c(i).indices.filter(_ != i).map(j => c(i)(j) * c(i)(j)).sum).sum)
+    while (off > 1e-12 && sweep < 50) {
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(c(p)(q)) > 1e-15) {
+        val theta = (c(q)(q) - c(p)(p)) / (2.0 * c(p)(q))
+        val t = math.signum(theta) /
+          (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        val cs = 1.0 / math.sqrt(t * t + 1.0)
+        val sn = t * cs
+        for (k <- 0 until d) {
+          val ckp = c(k)(p); val ckq = c(k)(q)
+          c(k)(p) = cs * ckp - sn * ckq
+          c(k)(q) = sn * ckp + cs * ckq
+        }
+        for (k <- 0 until d) {
+          val cpk = c(p)(k); val cqk = c(q)(k)
+          c(p)(k) = cs * cpk - sn * cqk
+          c(q)(k) = sn * cpk + cs * cqk
+        }
+        for (k <- 0 until d) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = cs * vkp - sn * vkq
+          v(k)(q) = sn * vkp + cs * vkq
+        }
+      }
+      off = math.sqrt(c.indices.map(i =>
+        c(i).indices.filter(_ != i).map(j => c(i)(j) * c(i)(j)).sum).sum)
+      sweep += 1
+    }
+    val invSqrt = Array.tabulate(d)(i => 1.0 / math.sqrt(math.max(c(i)(i), eps)))
+    // W = V Λ^{-1/2} Vᵀ — symmetric, d×d, broadcast as a literal table
+    val w = for (i <- 0 until d; j <- 0 until d) yield
+      (i, j, (0 until d).map(k => v(i)(k) * invSqrt(k) * v(j)(k)).sum)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val wdf = w.toDF("wi", "wj", "wv")
+    emb.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("j", "_x")))
+      .select(col("id"), col("j"), col("_x").cast("double").as("x"))
+      .join(broadcast(wdf), col("j") === col("wj"))
+      .groupBy(col("id"), col("wi"))
+      // deterministic: the sum over j follows a fixed (wj) accumulation?
+      // no — distributed sums of doubles are order-dependent, so fix the
+      // per-cell products at 12 dp before the exact decimal sum
+      .agg(sum(round(col("wv") * col("x"), 12)
+        .cast(org.apache.spark.sql.types.DecimalType(30, 12))).as("_e"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("wi"),
+        col("_e").cast("double").as("e")))), x => x.getField("e")).as("v"))
+      .select(col("id").as(idCol), col("v"))
+  }
+
   /** Topic-balanced subsampling: assign every vector to its nearest
     * stride centroid and keep a deterministic per-cluster quota — the
     * diversity-sampling curation op (uniform sampling over-represents

@@ -347,6 +347,36 @@ class VectorStreamSpec extends AnyFunSuite {
     graft.engine.Caches.releaseAll()
   }
 
+  test("pcaWhiten: whitened covariance is the identity on a correlated corpus") {
+    import spark.implicits._
+    // strongly correlated dims: x2 ≈ 2·x1, x3 independent, x4 ≈ −x3 —
+    // raw covariance is far from diagonal
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 300L).map { i =>
+      val a = rnd.nextGaussian(); val b = rnd.nextGaussian()
+      (i, Seq(a, 2.0 * a + 0.1 * rnd.nextGaussian(), b,
+        -b + 0.1 * rnd.nextGaussian()).map(_.toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val raw = Similarity.embeddingCovariance(emb, "vec_id", "embedding")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._4)).toMap
+    assert(math.abs(raw((0L, 1L))) > 0.5, raw((0L, 1L))) // correlated input
+    val white = Similarity.pcaWhiten(emb, "vec_id", "embedding")
+    val wcov = Similarity.embeddingCovariance(white, "vec_id", "v")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._4)).toMap
+    for (i <- 0L until 4L; j <- i until 4L) {
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(wcov((i, j)) - want) < 1e-3,
+        s"cov($i,$j) = ${wcov((i, j))}")
+    }
+    // deterministic: a second run reproduces the transform bit-for-bit
+    val again = Similarity.pcaWhiten(emb, "vec_id", "embedding")
+      .as[(Long, Seq[Double])].collect().toSet
+    assert(again === white.as[(Long, Seq[Double])].collect().toSet)
+  }
+
   test("ivfProbe refuses a zero-norm query vector") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf_spec0").toString + "/index"
