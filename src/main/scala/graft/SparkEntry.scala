@@ -488,6 +488,25 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
     }),
 
+    "q204_semantic_clusters" -> ((s, dir) => {
+      // model-free semantic dup CLUSTERS: the q200 hashed-cosine pairs
+      // walked into transitive components (the q63 discipline on the
+      // embedding-pair graph) — (doc, cluster, keep) is the verdict a
+      // pipeline consumes; pairs alone are not actionable
+      val docs = t(s, dir, "documents")
+      val pairs = Similarity.embedNearDup(
+          TextStats.hashedTfidfEmbed(docs, "doc_id", "text", 64),
+          "doc_id", "embedding", 0.95)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val comp = graft.text.Clusters.connectedComponents(pairs, "src", "dst")
+      docs.select(col("doc_id").cast("long").as("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     "q203_embedding_covariance" -> ((s, dir) => {
       // the d²-sized second-moment statistic PCA whitening consumes:
       // upper-triangle dimension-pair covariance, exact-decimal sums,
@@ -4722,6 +4741,33 @@ object SparkEntry {
     // the persisted-index probe must reproduce the self-contained
     // IVFADC computation exactly — SAME oracle, different plumbing
     "q196_ivfadc_probe" -> pqAdcOracleSql(restricted = true),
+    "q204_semantic_clusters" ->
+      s"""WITH RECURSIVE ${hashedTfidfCte(64)},
+        |grid AS (SELECT d.doc_id, r.i FROM documents d, range(64) r(i)),
+        |vecs AS (
+        |  SELECT g.doc_id, list(COALESCE(w.weight, 0.0) ORDER BY g.i) AS v
+        |  FROM grid g LEFT JOIN wts w
+        |    ON w.doc_id = g.doc_id AND w.bucket = g.i
+        |  GROUP BY g.doc_id),
+        |nz AS (SELECT doc_id, v FROM vecs WHERE list_dot_product(v, v) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v))
+        |        * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |walk(node, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, w.comp FROM walk w
+        |  JOIN edges e ON e.u = w.node WHERE w.comp < e.v)
+        |SELECT node AS doc_id, MIN(comp) AS cluster_id,
+        |  node = MIN(comp) AS is_canonical
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin,
+
     "q203_embedding_covariance" ->
       """WITH e AS (
         |  SELECT vec_id AS id, ix.i AS i,
