@@ -472,4 +472,43 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.filter(_._1 == "A").map(_._4).toSet === Set(1L))
     assert(rows.filter(_._1 == "B").map(_._4).toSet === Set(2L))
   }
+
+  test("hashedTfidf/Embed: empty corpus and whitespace-only docs degrade safely") {
+    import graft.text.TextStats
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextStats.hashedTfidf(empty, "doc_id", "text", 8).isEmpty)
+    assert(TextStats.hashedTfidfEmbed(empty, "doc_id", "text", 8).isEmpty)
+    val ws = Seq((1L, "   "), (2L, "a b a")).toDF("doc_id", "text")
+    // whitespace-only doc: no tokens → no sparse buckets...
+    assert(graft.text.TextStats.hashedTfidf(ws, "doc_id", "text", 8)
+      .filter(col("doc_id") === 1L).isEmpty)
+    // ...and a ZERO dense vector (kept in the frame, excluded by every
+    // cosine consumer's zero-norm convention)
+    val v1 = TextStats.hashedTfidfEmbed(ws, "doc_id", "text", 8)
+      .filter(col("doc_id") === 1L).select("embedding")
+      .as[Seq[Double]].head()
+    assert(v1.size === 8 && v1.forall(_ == 0.0))
+    // collisions sum: doc 2's 'a' (tf 2) and 'b' (tf 1) land in fixed
+    // md5 buckets; total nonzero weight count is at most 2
+    val v2 = TextStats.hashedTfidfEmbed(ws, "doc_id", "text", 8)
+      .filter(col("doc_id") === 2L).select("embedding")
+      .as[Seq[Double]].head()
+    assert(v2.count(_ != 0.0) <= 2 && v2.exists(_ > 0.0))
+  }
+
+  test("clusterBalancedSample: quota larger than a cluster keeps every member once") {
+    import graft.vector.Similarity
+    val emb = (0L until 12L).map(i =>
+        (i, if (i % 2 == 0) Seq(1.0f, 0.0f) else Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+        2, 100)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length === 12) // quota 100 > any cluster: nothing dropped
+    assert(got.map(_._1).distinct.length === 12)
+    // ranks are 1..size within each cluster
+    got.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.size).toSeq)
+    }
+  }
 }
