@@ -1178,7 +1178,8 @@ object Similarity {
   def ivfAdcProbeJoin(spark: SparkSession, indexPath: String,
                       queries: DataFrame, idCol: String, vecCol: String,
                       k: Int, nProbe: Int = 4,
-                      idName: String = "id"): DataFrame = {
+                      idName: String = "id",
+                      maxCandidates: Long = 100000000L): DataFrame = {
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val cb = spark.read.parquet(s"$indexPath/codebook")
     val nSub = cb.agg(max(col("cs"))).head().getInt(0) + 1
@@ -1211,6 +1212,23 @@ object Similarity {
     // ≤ nCentroids longs — the literal IN that makes the scan prune
     val probedClusters = probeAsg.select(col("cluster")).distinct()
       .collect().map(_.getLong(0)).toSeq
+    // Hot-list refusal (the family's guard posture): candidate rows =
+    // Σ over (query, probed cluster) of that cluster's list size. A
+    // degenerate coarse quantizer — every vector in one cluster — makes
+    // that batch × corpus, the melt IVF exists to avoid; refusing with
+    // the offender named beats silently launching it. One
+    // aggregate-sized pre-flight over the already-pruned scan.
+    val listSizes = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("cluster").isin(probedClusters: _*))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("_n"))
+    val planned = probeAsg.join(broadcast(listSizes), Seq("cluster"))
+      .agg(sum(col("_n")).as("c"), max(col("_n")).as("hot")).head()
+    val nCand = if (planned.isNullAt(0)) 0L else planned.getLong(0)
+    require(nCand <= maxCandidates,
+      s"ivfAdcProbeJoin: ${nCand} candidate rows planned " +
+        s"(maxCandidates=$maxCandidates); hottest probed list holds " +
+        s"${planned.getLong(1)} vectors — rebuild with more centroids " +
+        "(maintainIvfAdcIndex) or probe in smaller query batches")
     val qsub = pqSubvectors(q, "query_id", "_qv", nSub, dim / nSub)
       .select(col("id").as("_qid"), col("s").as("qs"), col("sv").as("qv"))
     val qd = cb.join(broadcast(qsub), col("cs") === col("qs"))

@@ -347,6 +347,21 @@ class VectorStreamSpec extends AnyFunSuite {
     graft.engine.Caches.releaseAll()
   }
 
+  test("ivfAdcProbeJoin refuses a hot probed-list plan with the offender named") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfadc_hot").toString + "/index"
+    Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", idx)
+    graft.engine.Caches.releaseAll()
+    val batch = emb.filter(col("vec_id") < 3)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfAdcProbeJoin(spark, idx, batch, "vec_id", "embedding",
+        10, maxCandidates = 10L)
+    }
+    assert(e.getMessage.contains("maxCandidates") &&
+      e.getMessage.contains("hottest probed list"), e.getMessage)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("pcaWhiten: whitened covariance is the identity on a correlated corpus") {
     import spark.implicits._
     // strongly correlated dims: x2 ≈ 2·x1, x3 independent, x4 ≈ −x3 —
