@@ -3421,7 +3421,30 @@ object SparkEntry {
         |UNION ALL
         |${guardRowSql("eval_shingles", "contamination",
              "SELECT COUNT(DISTINCT shingle) FROM sh WHERE doc_id IN " +
-               "(SELECT doc_id FROM documents WHERE source = 'src0')")})
+               "(SELECT doc_id FROM documents WHERE source = 'src0')")}
+        |UNION ALL
+        |${guardRowSql("hot_ivf_list", "ivfAdcProbeJoin",
+             """SELECT COALESCE(MAX(c), 0) FROM (
+               |  SELECT COUNT(*) AS c FROM (
+               |    SELECT e.vec_id, c2.cid,
+               |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               |        (list_dot_product(ev, cv) /
+               |          (sqrt(list_dot_product(ev, ev))
+               |            * sqrt(list_dot_product(cv, cv)))) DESC,
+               |        c2.cid DESC) AS rn
+               |    FROM (SELECT vec_id,
+               |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+               |          FROM embeddings) e
+               |    CROSS JOIN (
+               |      SELECT vec_id AS cid,
+               |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+               |      FROM embeddings
+               |      WHERE sqrt(list_dot_product(
+               |          list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               |          list_transform(embedding, x -> CAST(x AS DOUBLE)))) > 0
+               |        AND vec_id % 31 = 0
+               |      ORDER BY vec_id ASC LIMIT 16) c2)
+               |  WHERE rn = 1 GROUP BY cid)""".stripMargin)})
         |SELECT guard, operator, bound, measured,
         |  CAST(measured AS DOUBLE) / bound AS load_ratio,
         |  measured > bound AS would_refuse

@@ -67,7 +67,16 @@ object Guards {
         shingles.join(
             docs.filter(col("source") === "src0")
               .select(col("doc_id").as("doc")), Seq("doc"), "left_semi")
-          .agg(count_distinct(col("shingle")).as("measured"))))
+          .agg(count_distinct(col("shingle")).as("measured"))),
+      // hottest coarse-quantizer list under the default 16-centroid
+      // stride quantizer: the probe join's candidate volume is
+      // batch × Σ probed-list sizes, so a 100k-vector list × a 1k-query
+      // batch saturates ivfAdcProbeJoin's default maxCandidates (1e8)
+      one("hot_ivf_list", "ivfAdcProbeJoin",
+        maxCount(graft.vector.Similarity.ivfAssign(emb,
+            graft.vector.Similarity.centroids(emb, "vec_id", "embedding", 16),
+            "vec_id", "embedding"),
+          Seq("cluster"))))
 
     rows.reduce(_ unionByName _)
       .withColumn("load_ratio",
@@ -86,5 +95,6 @@ object Guards {
     "instruments" -> 2000L,        // Stats.corrMatrix maxInstruments
     "corpus_slices" -> 2000L,      // Dedup.corpusOverlap maxSlices
     "fuzzy_block" -> 100000L,      // Joins.fuzzyPairs maxBlock
-    "eval_shingles" -> 10000000L)  // Curation.contamination broadcast cap
+    "eval_shingles" -> 10000000L,  // Curation.contamination broadcast cap
+    "hot_ivf_list" -> 100000L)     // per-list share of probe-join maxCandidates
 }
