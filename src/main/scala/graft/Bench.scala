@@ -69,7 +69,12 @@ object Bench {
     // process item), so within-run contention shows as rep swing at a
     // known time instead of needing to be inferred from spreads
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val timings = SparkEntry.queries.map { case (name, fn) =>
+    // NAME order, not Map iteration order: adding registry entries used
+    // to reshuffle every query's neighbors (hash-map iteration), which
+    // showed up in benchdiff as ≤1 s "regressions" that were really
+    // warm-state ordering effects (round-9 BASELINE note). Sorted order
+    // is stable across rounds, so run-to-run diffs compare like to like.
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a throwing query reports -1.0, never a fake timing — round-over-
       // round comparison must distinguish "broke" from "got fast"
       def once(): Double = {
