@@ -176,6 +176,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q202: balanced-sample quotas ride WindowGroupLimit below the window sort") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val df = graft.vector.Similarity.clusterBalancedSample(
+      emb, "vec_id", "embedding", 4, 5)
+    val p = df.queryExecution.executedPlan.toString
+    // quota rows survive per partition BEFORE the per-cluster sort —
+    // sampling quotas from 100 TB must not sort 100 TB
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("row_number"), p)
+  }
+
   test("q89/q90 read the persisted k-NN edge table, not a rebuilt pair join") {
     // note: plan nodes sit under AdaptiveSparkPlanExec, which TreeNode
     // collect does not descend into — assert on the rendered plan
