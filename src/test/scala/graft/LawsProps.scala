@@ -1690,6 +1690,29 @@ object LawsProps extends Properties("graft.laws") {
         joined.getOrElse(q, Set.empty) == solo.getOrElse(q, Set.empty))
     }
 
+  property("pq reconstruction: EXACT (mse 0) when every vector gets its own codeword") =
+    forAll(Gen.listOfN(12,
+      Gen.listOfN(4, Gen.choose(-8, 8).map(_ * 0.25)))) { vecsRaw =>
+      // n <= nCodes and values on the training's 6-dp grid: the init
+      // codebook holds every subvector, Lloyd recenters each codeword on
+      // the mean of exactly its own members, so codes decode each vector
+      // to itself — reconstruction error must be identically zero. (A
+      // corpus with n > nCodes or off-grid values earns honest loss.)
+      val emb = vecsRaw.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+      val idx = java.nio.file.Files.createTempDirectory("graft_pqexact")
+        .toString + "/index"
+      graft.vector.Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding",
+        idx, nCentroids = 4, nSub = 2, nCodes = 16)
+      graft.engine.Caches.releaseAll()
+      val mse = graft.vector.Similarity.pqReconstructionError(
+          spark, idx, emb, "vec_id", "embedding")
+        .as[(Long, Double)].collect()
+      graft.engine.Caches.releaseAll()
+      mse.length == vecsRaw.size && mse.forall(_._2 == 0.0)
+    }
+
   property("hashedTfidf: equals brute-force hashing-trick TF-IDF on ANY corpus") =
     forAll(Gen.listOfN(6,
       Gen.chooseNum(0, 8).flatMap(len =>
