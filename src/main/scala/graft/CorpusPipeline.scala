@@ -75,6 +75,17 @@ object CorpusPipeline {
       .select("kl_total").as[Double](org.apache.spark.sql.Encoders.scalaDouble)
       .head()
     println(f"[audit] curation length-distribution bias KL(kept||input) = $bias%.6f")
+    // model-free SEMANTIC residue audit: after the token-level dedup,
+    // how many shipped docs still near-duplicate each other in the
+    // hashed-TF-IDF embedding space? Token-level Jaccard misses
+    // paraphrase-shaped duplication; the hashed-cosine pass (no trained
+    // model in the loop) measures what survives it — a large residue
+    // says the corpus wants the semantic-cluster stage
+    // (q204 machinery) added to its keep rule.
+    val semResidue = vector.Similarity.embedNearDup(
+        text.TextStats.hashedTfidfEmbed(kept, "doc_id", "text", 64),
+        "doc_id", "embedding", 0.95).count()
+    println(s"[audit] semantic near-dup residue pairs (cos>=0.95) = $semResidue")
     // release the audits' persisted shingle relations (jaccardPairs'
     // caller-releases-cache contract) before the final counting stages
     spark.catalog.clearCache()
