@@ -1690,6 +1690,43 @@ object LawsProps extends Properties("graft.laws") {
         joined.getOrElse(q, Set.empty) == solo.getOrElse(q, Set.empty))
     }
 
+  property("clusterBalancedSample: equals brute-force assign+quota on ANY corpus") =
+    forAll(Gen.listOfN(20,
+      Gen.listOfN(3, Gen.choose(-4, 4).map(_.toDouble)))) { vecsRaw =>
+      val vecs = vecsRaw.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val emb = vecs.map { case (id, v) => (id, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+      val (nClusters, quota) = (3, 2)
+      // brute force, mirroring the engine's arithmetic exactly: floats
+      // widened to double, sequential dot, cosine = dot/(na*nb), argmax
+      // ties to the LARGEST centroid id (the ivfAssign struct-max), rank
+      // by the q96 hash mixer then id
+      def dot(a: Seq[Double], b: Seq[Double]): Double =
+        a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      val widened = vecs.map { case (id, v) =>
+        (id, v.map(x => x.toFloat.toDouble)) }
+      val nonzero = widened.filter { case (_, v) => dot(v, v) > 0 }
+      val cents0 = nonzero.filter(_._1 % 31 == 0).sortBy(_._1).take(nClusters)
+      val cents = if (cents0.nonEmpty) cents0
+        else nonzero.sortBy(_._1).take(nClusters)
+      val p = 1000000007L
+      val want = nonzero.map { case (id, v) =>
+          val best = cents.map { case (cid, cv) =>
+            (dot(v, cv) / (math.sqrt(dot(v, v)) * math.sqrt(dot(cv, cv))), cid)
+          }.maxBy(identity) // (cos, cid): ties take the larger cid
+          (id, best._2)
+        }
+        .groupBy(_._2).toSeq.flatMap { case (cluster, members) =>
+          members.map(_._1).sortBy(id => (((id % p) * 2654435761L) % p, id))
+            .take(quota).zipWithIndex
+            .map { case (id, i) => (id, cluster, (i + 1).toLong) }
+        }.toSet
+      val got = graft.vector.Similarity.clusterBalancedSample(
+          emb, "vec_id", "embedding", nClusters, quota)
+        .as[(Long, Long, Long)].collect().toSet
+      got == want
+    }
+
   property("pq reconstruction: EXACT (mse 0) when every vector gets its own codeword") =
     forAll(Gen.listOfN(12,
       Gen.listOfN(4, Gen.choose(-8, 8).map(_ * 0.25)))) { vecsRaw =>
