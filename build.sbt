@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked runMain JVM's stdout through UNWRAPPED (no [info]
+// prefix) so the bench's final compact-JSON line is machine-parseable
+// by the driver (BENCH_r07..r09 all read "parsed": null because sbt
+// re-logged every child line as "[info] ..."). showSuccess=false also
+// drops the trailing "[success] Total time" line, making the child's
+// own last println the last stdout line of the whole sbt invocation.
+Compile / run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // HiveCatalogSpec needs a session whose catalog implementation is fixed
 // to hive at creation; everything else shares TestSession's in-memory
 // catalog — so the hive suite gets its own forked JVM.

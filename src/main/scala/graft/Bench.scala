@@ -130,6 +130,16 @@ object Bench {
       .map { case (k, v) => k -> jnum(v) })
     val raws = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, runs, _, _) =>
       k -> runs.map(jnum).mkString("[", ",", "]") })
+    // warm_s: median of reps 2+ (rep 1 pays once-per-JVM costs — codegen
+    // of large literals, shuffle-file creation, first-touch of an index
+    // dir). Surfacing it beside the cold median lets benchdiff separate
+    // cold-methodology movement from genuine plan regressions (the r9
+    // verdict spent a page attributing a 1.5× that warm_s answers in
+    // one column): cold moved + warm flat ⇒ once-per-JVM cost; both
+    // moved ⇒ the plan changed.
+    val warms = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, runs, _, _) =>
+      val tail = runs.drop(1).filter(_ >= 0).sorted
+      k -> (if (tail.isEmpty) "null" else tail(tail.size / 2).toString) })
     val starts = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, _, t, _) =>
       k -> t.toString })
     val gcs = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, _, _, g) =>
@@ -141,7 +151,7 @@ object Bench {
       (s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
         s""""per_query_s":$perQuery,"n_completed":${done.size},""" +
         s""""calibration_s":{"before":$calBefore,"after":$calAfter},""" +
-        s""""queries":$qsNull,"reps_raw":$raws,"started_at_ms":$starts,""" +
+        s""""queries":$qsNull,"warm_s":$warms,"reps_raw":$raws,"started_at_ms":$starts,""" +
         s""""gc_ms":$gcs,"heap_max_mb":${Runtime.getRuntime.maxMemory >> 20},""" +
         s""""failed":$failed,"failed_queries":$failedJson,"sf":"$sfDir"}""" +
         "\n").getBytes("UTF-8"))
@@ -152,14 +162,16 @@ object Bench {
     val slow = done.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"failed":$failed,"sf":"$sfDir","queries_note":"15 slowest of ${results.size}; full map in bench_local.json"}"""
-    println(compact)
     spark.stop()
-    // the genuinely LAST stdout line this JVM emits, sentinel-prefixed:
-    // sbt prints [success] noise AFTER the forked JVM exits, so a
-    // parser taking "the last line" gets sbt, not JSON (BENCH_r07/r08
-    // both read "parsed": null). A grep for the BENCH_JSON sentinel
-    // recovers the compact result regardless of what follows.
+    // sentinel-prefixed copy first (grep-recoverable whatever follows),
+    // then the BARE compact JSON as the genuinely last stdout line of
+    // the whole sbt invocation: build.sbt sets outputStrategy :=
+    // StdoutOutput (child stdout passes through with no [info] prefix)
+    // and showSuccess := false (no trailing "[success] Total time"
+    // line), so a parser taking "the last line" now gets raw JSON.
+    // BENCH_r07..r09 all read "parsed": null under the old ordering.
     println(s"BENCH_JSON: $compact")
+    println(compact)
     System.out.flush()
   }
 }

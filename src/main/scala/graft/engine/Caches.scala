@@ -31,14 +31,22 @@ import org.apache.spark.sql.{DataFrame, Dataset, GraftCheckpoint}
   *     appends in one session hold batch-sized state only
   *     (AppendSteadySpec pins this with `getPersistentRDDs`).
   *
-  * Thread-safety: synchronized on the buffer — registration is
-  * driver-side and cheap; concurrent query threads (Bench is
-  * sequential, but user code may not be) stay consistent.
+  * Thread-safety: synchronized on the buffer, and every entry is keyed
+  * by the REGISTERING thread. [[mark]]/[[releaseSince]] count and
+  * release only the CALLER's own entries, so two operators running on
+  * concurrent driver threads cannot free each other's in-flight caches
+  * (for a persist that would merely recompute; for a checkpointed frame
+  * the lineage is truncated and any later action throws — the failure
+  * mode a position-based mark had). [[releaseAll]] remains global and
+  * is for sequential harness points (Bench per rep, Verify per query)
+  * where no operator is in flight on another thread.
   */
 object Caches {
 
-  private final case class Entry(label: String, release: () => Unit)
+  private final case class Entry(
+      label: String, owner: Long, release: () => Unit)
   private val tracked = scala.collection.mutable.ArrayBuffer[Entry]()
+  private def tid: Long = Thread.currentThread().getId
 
   /** Persist `ds` and register its release. Safe to release at any
     * time — downstream plans fall back to lineage recompute.
@@ -46,7 +54,7 @@ object Caches {
   def persisted[T](label: String, ds: Dataset[T]): Dataset[T] =
     synchronized {
       val p = ds.persist()
-      tracked += Entry(label, () => { p.unpersist(blocking = false); () })
+      tracked += Entry(label, tid, () => { p.unpersist(blocking = false); () })
       p
     }
 
@@ -57,7 +65,7 @@ object Caches {
   def checkpointed(label: String, df: DataFrame, eager: Boolean): DataFrame =
     synchronized {
       val (cp, release) = GraftCheckpoint.withHandle(df, eager)
-      tracked += Entry(label, release)
+      tracked += Entry(label, tid, release)
       cp
     }
 
@@ -66,24 +74,40 @@ object Caches {
     * directly so intermediate rounds could be freed in-loop).
     */
   def trackRelease(label: String)(release: () => Unit): Unit =
-    synchronized { tracked += Entry(label, release) }
+    synchronized { tracked += Entry(label, tid, release) }
 
   /** Snapshot for [[releaseSince]] — take before calling an operator to
-    * release only what THAT call registered.
+    * release only what THAT call registered. The snapshot counts only
+    * the CALLING thread's entries, so a concurrent thread registering
+    * caches after the mark is untouched by the paired release.
     */
-  def mark(): Int = synchronized { tracked.size }
+  def mark(): Int = synchronized { tracked.count(_.owner == tid) }
 
-  /** Release every cache registered after `m` (a [[mark]] snapshot). */
+  /** Release every cache the CALLING thread registered after `m` (a
+    * [[mark]] snapshot taken on the same thread). Entries owned by
+    * other threads are never released here.
+    */
   def releaseSince(m: Int): Unit = synchronized {
-    tracked.drop(m).foreach(e => e.release())
-    tracked.remove(m, tracked.size - m)
+    val me = tid
+    var seen = 0
+    var i = 0
+    while (i < tracked.size) {
+      val e = tracked(i)
+      if (e.owner == me) {
+        if (seen >= m) { e.release(); tracked.remove(i) }
+        else { seen += 1; i += 1 }
+      } else i += 1
+    }
   }
 
-  /** Release every tracked cache. Call after consuming operator
-    * results (Verify per query, Bench per rep, a production session
-    * per batch).
+  /** Release every tracked cache — ALL threads' entries. Call only at
+    * sequential points where no operator is in flight elsewhere (Verify
+    * per query, Bench per rep, a production session per batch).
     */
-  def releaseAll(): Unit = releaseSince(0)
+  def releaseAll(): Unit = synchronized {
+    tracked.foreach(_.release())
+    tracked.clear()
+  }
 
   def trackedCount: Int = synchronized { tracked.size }
 

@@ -1097,14 +1097,14 @@ object Media {
     */
   def phashBandedPairsIncremental(spark: SparkSession, media: DataFrame,
                                   newIds: DataFrame, maxDist: Int = 3,
-                                  maxChunkBucket: Long = 100000L): DataFrame =
+                                  maxChunkBucket: Long = graft.ops.GuardBounds.MaxChunkBucket): DataFrame =
     hammingBandedPairsIncremental(imageHashes(spark, media).toDF(), newIds,
       maxDist, maxChunkBucket, "phashBandedPairsIncremental")
 
   /** Incremental (append-time) banded audio near-dup pairs. */
   def audioHashBandedPairsIncremental(spark: SparkSession, media: DataFrame,
                                       newIds: DataFrame, maxDist: Int = 3,
-                                      maxChunkBucket: Long = 100000L): DataFrame =
+                                      maxChunkBucket: Long = graft.ops.GuardBounds.MaxChunkBucket): DataFrame =
     hammingBandedPairsIncremental(audioHashes(spark, media).toDF(), newIds,
       maxDist, maxChunkBucket, "audioHashBandedPairsIncremental")
 
@@ -1112,7 +1112,7 @@ object Media {
     * of [[phashBandedPairs]] over [[imageHashes]].
     */
   def phashExactPairs(spark: SparkSession, media: DataFrame,
-                      maxDist: Int = 3, maxExact: Long = 100000L): DataFrame =
+                      maxDist: Int = 3, maxExact: Long = graft.ops.GuardBounds.MaxExactPairs): DataFrame =
     hammingExactPairs(imageHashes(spark, media).toDF(), maxDist, maxExact,
       "phashExactPairs", "phashBandedPairs")
 
@@ -1122,7 +1122,7 @@ object Media {
     */
   def phashBandedPairs(spark: SparkSession, media: DataFrame,
                        maxDist: Int = 3,
-                       maxChunkBucket: Long = 100000L): DataFrame =
+                       maxChunkBucket: Long = graft.ops.GuardBounds.MaxChunkBucket): DataFrame =
     hammingBandedPairs(imageHashes(spark, media).toDF(), maxDist,
       maxChunkBucket, "phashBandedPairs")
 
@@ -1131,14 +1131,14 @@ object Media {
     */
   def audioHashExactPairs(spark: SparkSession, media: DataFrame,
                           maxDist: Int = 3,
-                          maxExact: Long = 100000L): DataFrame =
+                          maxExact: Long = graft.ops.GuardBounds.MaxExactPairs): DataFrame =
     hammingExactPairs(audioHashes(spark, media).toDF(), maxDist, maxExact,
       "audioHashExactPairs", "audioHashBandedPairs")
 
   /** Banded perceptual audio near-dup pairs over [[audioHashes]]. */
   def audioHashBandedPairs(spark: SparkSession, media: DataFrame,
                            maxDist: Int = 3,
-                           maxChunkBucket: Long = 100000L): DataFrame =
+                           maxChunkBucket: Long = graft.ops.GuardBounds.MaxChunkBucket): DataFrame =
     hammingBandedPairs(audioHashes(spark, media).toDF(), maxDist,
       maxChunkBucket, "audioHashBandedPairs")
 
@@ -1155,7 +1155,7 @@ object Media {
     */
   def phashClusters(spark: SparkSession, media: DataFrame,
                     maxDist: Int = 3,
-                    maxChunkBucket: Long = 100000L): DataFrame = {
+                    maxChunkBucket: Long = graft.ops.GuardBounds.MaxChunkBucket): DataFrame = {
     // hash ONCE: the persisted signature frame feeds both the banded
     // pair join and the membership side (decode+hash dominates at
     // scale; a fresh imageHashes lineage would pay it twice). Cache
@@ -1189,7 +1189,7 @@ object Media {
     */
   def phashCanonicalByPixels(spark: SparkSession, media: DataFrame,
                              maxDist: Int = 3,
-                             maxChunkBucket: Long = 100000L): DataFrame = {
+                             maxChunkBucket: Long = graft.ops.GuardBounds.MaxChunkBucket): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val clusters = phashClusters(spark, media, maxDist, maxChunkBucket)

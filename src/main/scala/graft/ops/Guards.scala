@@ -19,6 +19,42 @@ import org.apache.spark.sql.functions._
   * an unrounded quotient of exact integers (the q107 rounding-tie
   * discipline).
   */
+/** THE single definition of every guard family's default bound. Each
+  * operator's default parameter references these vals, and
+  * [[Guards.DefaultBounds]] builds the report from the SAME vals — so
+  * changing an operator default cannot desync the guard report (the
+  * round-9 advice: a duplicated literal let `would_refuse` read false
+  * while the operator actually refused). A call site that TUNES a bound
+  * must still pass its tuned map to [[Guards.guardReport]].
+  */
+object GuardBounds {
+  /** Dedup.jaccardPairs / minhash prefix scheme: hottest shingle. */
+  val HotShingleCap: Int = 100000
+  /** Media banded pairs: hottest (chunk, value) signature bucket. */
+  val MaxChunkBucket: Long = 100000L
+  /** Exact all-pairs operators (embedNearDup, hamming exact): rows. */
+  val MaxExactPairs: Long = 100000L
+  /** Similarity.knnGraphBucketed: hottest label bucket. */
+  val MaxKnnBucket: Long = 100000L
+  /** Stats.corrMatrix: distinct instruments (k² pair expansion). */
+  val MaxInstruments: Long = 2000L
+  /** Dedup.corpusOverlap: distinct slices (k² overlap grid). */
+  val MaxCorpusSlices: Long = 2000L
+  /** Joins.fuzzyPairs: hottest last-token block of DISTINCT names. */
+  val MaxFuzzyBlock: Long = 100000L
+  /** Curation.contamination: broadcast eval-shingle budget. */
+  val MaxEvalShingles: Long = 10000000L
+  /** Similarity.ivfAdcProbeJoin: planned candidate rows per batch. */
+  val ProbeJoinMaxCandidates: Long = 100000000L
+  /** Default coarse-quantizer size across the IVF family. */
+  val DefaultIvfCentroids: Int = 16
+  /** Per-list share of [[ProbeJoinMaxCandidates]] the report grades a
+    * single coarse list against: a 1e5-vector list saturates the probe
+    * join's budget at a 1k-query batch (1e5 × 1e3 = the 1e8 cap).
+    */
+  val HotIvfList: Long = ProbeJoinMaxCandidates / 1000L
+}
+
 object Guards {
 
   /** One row per guard family over the standard corpus tables.
@@ -74,7 +110,8 @@ object Guards {
       // batch saturates ivfAdcProbeJoin's default maxCandidates (1e8)
       one("hot_ivf_list", "ivfAdcProbeJoin",
         maxCount(graft.vector.Similarity.ivfAssign(emb,
-            graft.vector.Similarity.centroids(emb, "vec_id", "embedding", 16),
+            graft.vector.Similarity.centroids(emb, "vec_id", "embedding",
+              GuardBounds.DefaultIvfCentroids),
             "vec_id", "embedding"),
           Seq("cluster"))))
 
@@ -85,16 +122,19 @@ object Guards {
       .orderBy("guard")
   }
 
-  /** The engine defaults, named by guard family. */
+  /** The engine defaults, named by guard family — every value is the
+    * SAME [[GuardBounds]] val the operator's default parameter reads,
+    * so report and refusal cannot disagree.
+    */
   val DefaultBounds: Map[String, Long] = Map(
-    "hot_shingle" -> 100000L,      // Dedup.jaccardPairs hotShingleCap
-    "hot_chunk_image" -> 100000L,  // Media maxChunkBucket
-    "hot_chunk_audio" -> 100000L,
-    "exact_pairs" -> 100000L,      // Similarity.embedNearDup maxExact
-    "knn_bucket" -> 100000L,       // Similarity.knnGraphBucketed maxBucket
-    "instruments" -> 2000L,        // Stats.corrMatrix maxInstruments
-    "corpus_slices" -> 2000L,      // Dedup.corpusOverlap maxSlices
-    "fuzzy_block" -> 100000L,      // Joins.fuzzyPairs maxBlock
-    "eval_shingles" -> 10000000L,  // Curation.contamination broadcast cap
-    "hot_ivf_list" -> 100000L)     // per-list share of probe-join maxCandidates
+    "hot_shingle" -> GuardBounds.HotShingleCap.toLong,
+    "hot_chunk_image" -> GuardBounds.MaxChunkBucket,
+    "hot_chunk_audio" -> GuardBounds.MaxChunkBucket,
+    "exact_pairs" -> GuardBounds.MaxExactPairs,
+    "knn_bucket" -> GuardBounds.MaxKnnBucket,
+    "instruments" -> GuardBounds.MaxInstruments,
+    "corpus_slices" -> GuardBounds.MaxCorpusSlices,
+    "fuzzy_block" -> GuardBounds.MaxFuzzyBlock,
+    "eval_shingles" -> GuardBounds.MaxEvalShingles,
+    "hot_ivf_list" -> GuardBounds.HotIvfList)
 }

@@ -203,7 +203,7 @@ object Joins {
     */
   def fuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
                  blockKey: Column, maxDist: Int,
-                 maxBlock: Long = 100000L): DataFrame = {
+                 maxBlock: Long = graft.ops.GuardBounds.MaxFuzzyBlock): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     // null block keys can never equi-join: drop them up front so they
     // neither trip the hot-block guard nor ride the shuffle.

@@ -711,7 +711,7 @@ object Stats {
     else side.hint("shuffle_hash")
 
   def corrMatrix(df: DataFrame, keyCol: String, bucketCol: Column,
-                 valueCol: Column, maxInstruments: Long = 2000L,
+                 valueCol: Column, maxInstruments: Long = graft.ops.GuardBounds.MaxInstruments,
                  maxBroadcastRows: Long = 500000L): DataFrame = {
     val perKey = guardInstruments(
       bucketMeans(df, keyCol, bucketCol, valueCol), keyCol,

@@ -119,22 +119,106 @@ object EventStream {
   /** Idempotent micro-batch append: a committed batch leaves a marker
     * (`_graft_manifest/batch-<id>`, hidden from scans); a retried batch
     * id is skipped, so foreachBatch gets the exactly-once effect the
-    * built-in file sink achieves with its commit log. Marker creation is
-    * atomic-enough for Structured Streaming's model: micro-batches of
-    * one query execute serially, so there is no concurrent writer for
-    * the same id.
+    * built-in file sink achieves with its commit log. The batch is
+    * written to a staging dir and PROMOTED into the live tree by
+    * [[idempotentPromote]], so a crash anywhere between the write and
+    * the marker cannot duplicate rows on retry (the naïve
+    * append-then-marker shape had exactly that window).
     */
-  def appendBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Unit = {
-    import org.apache.hadoop.fs.Path
-    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
-    val marker = new Path(path, s"_graft_manifest/batch-$batchId")
-    if (!fs.exists(marker)) {
+  def appendBatchIdempotent(batch: DataFrame, path: String, batchId: Long): Unit =
+    idempotentPromote(batch.sparkSession, path, path, batchId) { staging =>
       graft.engine.Layout.colocated(batch)
-        .write.mode("append").partitionBy("partition_date").parquet(path)
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
+        .write.mode("overwrite").partitionBy("partition_date").parquet(staging)
     }
+
+  /** Crash-safe idempotent promote of one micro-batch into a live
+    * partitioned parquet dir. Exactly-once effect per `batchId`, even
+    * across crashes at ANY point, via a three-phase commit on the
+    * filesystem:
+    *
+    *   1. `writeStaged(stagingDir)` produces the batch's files under
+    *      `markerRoot/_graft_staging/batch-<id>` (partition subdirs
+    *      preserved);
+    *   2. the list of TARGET paths is recorded atomically
+    *      (`_graft_manifest/batch-<id>.files`, written to `.tmp` then
+    *      renamed), then each staged file is renamed into the live tree
+    *      as `graft-batch-<id>-<name>` (per-file rename is atomic on
+    *      HDFS/posix; on an object store without atomic rename this
+    *      degrades to copy — still duplicate-free, not atomic per file);
+    *   3. the commit marker `_graft_manifest/batch-<id>` is created and
+    *      staging + filelist removed.
+    *
+    * Retry after a crash: marker present ⇒ committed, only leftovers
+    * are swept; filelist present without marker ⇒ a promote died
+    * mid-rename — every LISTED target is deleted (undo), then the batch
+    * is re-staged and re-promoted; neither ⇒ stale staging (died during
+    * the write, nothing live) is deleted and the batch runs fresh.
+    * Readers concurrent with a promote may see a PREFIX of the batch's
+    * files (same visibility as any multi-file append) — never
+    * duplicates. Structured Streaming runs one query's micro-batches
+    * serially, so no two writers share a batchId.
+    */
+  def idempotentPromote(spark: org.apache.spark.sql.SparkSession,
+                        markerRoot: String, liveDir: String, batchId: Long)
+                       (writeStaged: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(markerRoot), conf)
+    val manifest = new Path(markerRoot, "_graft_manifest")
+    val marker = new Path(manifest, s"batch-$batchId")
+    val filelist = new Path(manifest, s"batch-$batchId.files")
+    val staging = new Path(markerRoot, s"_graft_staging/batch-$batchId")
+    if (fs.exists(marker)) { // committed — sweep leftovers, done
+      fs.delete(staging, true); fs.delete(filelist, false)
+      return
+    }
+    if (fs.exists(filelist)) { // promote died mid-rename: undo targets
+      val in = fs.open(filelist)
+      val listed = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toVector finally in.close()
+      listed.foreach(p => fs.delete(new Path(p), false))
+      fs.delete(filelist, false)
+    }
+    fs.delete(staging, true)
+    writeStaged(staging.toString)
+    // enumerate staged data files → (src, live target) pairs; the
+    // batch-id file-name prefix makes targets collision-free and
+    // identifiable (the undo above relies only on the filelist)
+    val stagePrefix = staging.toUri.getPath.stripSuffix("/")
+    val moves = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
+    val it = fs.listFiles(staging, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val rel = f.getPath.getParent.toUri.getPath
+          .stripPrefix(stagePrefix).stripPrefix("/")
+        val dir = if (rel.isEmpty) new Path(liveDir) else new Path(liveDir, rel)
+        moves += ((f.getPath, new Path(dir, s"graft-batch-$batchId-$name")))
+      }
+    }
+    fs.mkdirs(manifest)
+    val tmp = new Path(manifest, s"batch-$batchId.files.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(moves.map(_._2.toString).mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(filelist, false)
+    if (!fs.rename(tmp, filelist))
+      throw new java.io.IOException(s"idempotentPromote: rename $tmp failed")
+    moves.foreach { case (src, dst) =>
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(
+          s"idempotentPromote: rename $src -> $dst failed")
+    }
+    fs.create(marker, true).close()
+    fs.delete(staging, true); fs.delete(filelist, false)
+    // sweep the (now empty) staging parent only if nothing else stages
+    val stagingRoot = staging.getParent
+    if (fs.exists(stagingRoot) && !fs.listFiles(stagingRoot, true).hasNext)
+      fs.delete(stagingRoot, true)
+    ()
   }
 
   /** Streaming IVFADC index maintenance: each micro-batch of vectors
@@ -166,22 +250,22 @@ object EventStream {
 
   /** The marker-guarded body of [[sinkIvfAdcAppend]] —
     * [[appendBatchIdempotent]]'s discipline applied to the index
-    * append, exposed so retry semantics are directly testable.
+    * append, exposed so retry semantics are directly testable. The
+    * encoded batch is staged (frozen-codebook encode writes to the
+    * staging dir via `codesOut`) and promoted into `indexPath/codes` by
+    * [[idempotentPromote]] — a crash between the codes write and the
+    * marker can no longer re-append the batch and duplicate probe
+    * results on retry.
     */
   def appendIvfAdcBatchIdempotent(batch: DataFrame, indexPath: String,
                                   batchId: Long, idCol: String = "vec_id",
-                                  vecCol: String = "embedding"): Unit = {
-    import org.apache.hadoop.fs.Path
-    val conf = batch.sparkSession.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath), conf)
-    val marker = new Path(indexPath, s"_graft_manifest/batch-$batchId")
-    if (!fs.exists(marker)) {
+                                  vecCol: String = "embedding"): Unit =
+    idempotentPromote(batch.sparkSession, indexPath,
+      s"$indexPath/codes", batchId) { staging =>
       graft.vector.Similarity.appendIvfAdcIndex(batch, idCol, vecCol,
-        indexPath)
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
+        indexPath, codesOut = Some(staging))
+      ()
     }
-  }
 
   /** Stream–static enrichment: each micro-batch equi-joins the stream
     * against a small static dimension, explicitly broadcast — the

@@ -54,7 +54,7 @@ object Curation {
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     evalPred: org.apache.spark.sql.Column,
                     shingleN: Int = 5,
-                    broadcastMaxShingles: Long = 10000000L): DataFrame =
+                    broadcastMaxShingles: Long = graft.ops.GuardBounds.MaxEvalShingles): DataFrame =
     contaminationImpl(df, idCol, textCol, evalPred, shingleN,
       broadcastMaxShingles, bloomItems = None)
 
@@ -147,7 +147,7 @@ object Curation {
                          evalPred: org.apache.spark.sql.Column,
                          shingleN: Int = 5,
                          expectedEvalShingles: Long = 1L << 20,
-                         broadcastMaxShingles: Long = 10000000L): DataFrame =
+                         broadcastMaxShingles: Long = graft.ops.GuardBounds.MaxEvalShingles): DataFrame =
     contaminationImpl(df, idCol, textCol, evalPred, shingleN,
       broadcastMaxShingles, bloomItems = Some(expectedEvalShingles))
 

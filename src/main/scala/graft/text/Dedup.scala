@@ -63,7 +63,7 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double,
-                   hotShingleCap: Int = 100000): DataFrame = {
+                   hotShingleCap: Int = graft.ops.GuardBounds.HotShingleCap): DataFrame = {
     // the shingle relation feeds ranking, verification, and sizes:
     // materialize it once instead of re-tokenizing the corpus each time.
     // (Lazy result → the CALLER releases after its action via
@@ -156,7 +156,7 @@ object Dedup {
   def incrementalJaccardPairs(all: DataFrame, newIds: DataFrame,
                               idCol: String, textCol: String,
                               n: Int, threshold: Double,
-                              hotShingleCap: Int = 100000): DataFrame = {
+                              hotShingleCap: Int = graft.ops.GuardBounds.HotShingleCap): DataFrame = {
     val s = graft.engine.Caches.persisted("incrementalJaccardPairs.shingles",
       shingleSets(all, idCol, textCol, n))
     val prefixes = shinglePrefixes(s, threshold, hotShingleCap)
@@ -197,7 +197,7 @@ object Dedup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double,
-                       hotShingleCap: Int = 100000): DataFrame = {
+                       hotShingleCap: Int = graft.ops.GuardBounds.HotShingleCap): DataFrame = {
     val s = graft.engine.Caches.persisted("containmentPairs.shingles",
       shingleSets(df, idCol, textCol, n))
     val sizes = s.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
@@ -660,7 +660,7 @@ object Dedup {
     * broadcast onto the aggregate-sized pair frame.
     */
   def corpusOverlap(df: DataFrame, sliceCol: String, textCol: String,
-                    n: Int, maxSlices: Long = 2000L): DataFrame = {
+                    n: Int, maxSlices: Long = graft.ops.GuardBounds.MaxCorpusSlices): DataFrame = {
     val sets = graft.engine.Caches.persisted("corpusOverlap.sets",
       shingleSets(df, sliceCol, textCol, n)
         .select(col("doc").as("slice"), col("shingle")).distinct())

@@ -197,7 +197,7 @@ object Similarity {
     * cartesian product — the caller is told to use the LSH path.
     */
   def embedNearDup(emb: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, maxExact: Long = 100000L): DataFrame = {
+                   threshold: Double, maxExact: Long = graft.ops.GuardBounds.MaxExactPairs): DataFrame = {
     val u = graft.engine.Caches.persisted("embedNearDup.normed",
       normed(emb, idCol, vecCol))
     val rows = u.count() // cheap: also materializes the reused norms
@@ -302,7 +302,7 @@ object Similarity {
     */
   def knnGraphBucketed(emb: DataFrame, idCol: String, vecCol: String,
                        bucketCol: String, k: Int,
-                       maxBucket: Long = 100000L): DataFrame = {
+                       maxBucket: Long = graft.ops.GuardBounds.MaxKnnBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val u0 = emb.select(col(idCol).as("id"), col(bucketCol).as("b"),
         col(vecCol).as("v"))
@@ -434,7 +434,7 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
+              nCentroids: Int = graft.ops.GuardBounds.DefaultIvfCentroids, nProbe: Int = 4,
               kmeansIters: Int = 0): DataFrame = {
     // kmeansIters = 0 → stride init only: measured best on isotropic
     // corpora; pass iterations for genuinely clustered embedding spaces
@@ -479,7 +479,7 @@ object Similarity {
     * excluded (no cosine direction), matching [[normed]].
     */
   def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
-                    indexPath: String, nCentroids: Int = 16,
+                    indexPath: String, nCentroids: Int = graft.ops.GuardBounds.DefaultIvfCentroids,
                     kmeansIters: Int = 0): Unit = {
     val cents = if (kmeansIters > 0)
         kmeansCentroids(emb, idCol, vecCol, nCentroids, kmeansIters)
@@ -573,7 +573,7 @@ object Similarity {
     */
   def maintainIvfIndex(newEmb: DataFrame, idCol: String, vecCol: String,
                        indexPath: String, minCentroidCosine: Double = 0.7,
-                       nCentroids: Int = 16, kmeansIters: Int = 0): IvfMaintenance = {
+                       nCentroids: Int = graft.ops.GuardBounds.DefaultIvfCentroids, kmeansIters: Int = 0): IvfMaintenance = {
     val spark = newEmb.sparkSession
     val old = spark.read.parquet(s"$indexPath/assignments")
     val cosRow = centroidDrift(old.select(col("v").as(vecCol)),
@@ -852,7 +852,7 @@ object Similarity {
     * form keeps ONE codebook oracle-replayable end to end.
     */
   def ivfAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
-                 queryId: Long, k: Int, nCentroids: Int = 16,
+                 queryId: Long, k: Int, nCentroids: Int = graft.ops.GuardBounds.DefaultIvfCentroids,
                  nProbe: Int = 4, nSub: Int = 16, nCodes: Int = 64,
                  trainIters: Int = 1): DataFrame = {
     val cents = centroids(emb, idCol, vecCol, nCentroids)
@@ -1068,7 +1068,7 @@ object Similarity {
     * which is exactly how the q196 gate certifies it.
     */
   def buildIvfAdcIndex(emb: DataFrame, idCol: String, vecCol: String,
-                       indexPath: String, nCentroids: Int = 16,
+                       indexPath: String, nCentroids: Int = graft.ops.GuardBounds.DefaultIvfCentroids,
                        nSub: Int = 16, nCodes: Int = 64,
                        trainIters: Int = 1): Unit = {
     require(nSub > 0 && nCodes > 0,
@@ -1121,9 +1121,17 @@ object Similarity {
     * quantization error grows as the corpus leaves the training
     * distribution — gate appends with [[centroidDrift]] and rebuild
     * when it trips. Returns the number of vectors appended.
+    *
+    * `codesOut`: when set, the encoded batch is written (Overwrite,
+    * same cluster-partitioned layout) to that path INSTEAD of appended
+    * into `indexPath/codes` — the staging hook
+    * [[graft.streaming.EventStream.idempotentPromote]] uses to make the
+    * streaming append crash-safe (files land in the live dir only via
+    * atomic renames).
     */
   def appendIvfAdcIndex(newEmb: DataFrame, idCol: String, vecCol: String,
-                        indexPath: String): Long = {
+                        indexPath: String,
+                        codesOut: Option[String] = None): Long = {
     val spark = newEmb.sparkSession
     val cb = spark.read.parquet(s"$indexPath/codebook")
     val nSub = cb.agg(max(col("cs"))).head().getInt(0) + 1
@@ -1146,10 +1154,18 @@ object Similarity {
     val rows = graft.engine.Caches.persisted("appendIvfAdcIndex.rows",
       codes.join(assigned, Seq("id")))
     val appended = rows.count()
-    rows.repartition(col("cluster"))
-      .write.mode(SaveMode.Append)
-      .partitionBy("cluster")
-      .parquet(s"$indexPath/codes")
+    codesOut match {
+      case Some(staging) =>
+        rows.repartition(col("cluster"))
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("cluster")
+          .parquet(staging)
+      case None =>
+        rows.repartition(col("cluster"))
+          .write.mode(SaveMode.Append)
+          .partitionBy("cluster")
+          .parquet(s"$indexPath/codes")
+    }
     rows.unpersist(); base.unpersist()
     appended
   }
@@ -1179,7 +1195,7 @@ object Similarity {
                       queries: DataFrame, idCol: String, vecCol: String,
                       k: Int, nProbe: Int = 4,
                       idName: String = "id",
-                      maxCandidates: Long = 100000000L): DataFrame = {
+                      maxCandidates: Long = graft.ops.GuardBounds.ProbeJoinMaxCandidates): DataFrame = {
     val cents = spark.read.parquet(s"$indexPath/centroids")
     val cb = spark.read.parquet(s"$indexPath/codebook")
     val nSub = cb.agg(max(col("cs"))).head().getInt(0) + 1
@@ -1212,14 +1228,25 @@ object Similarity {
     // ≤ nCentroids longs — the literal IN that makes the scan prune
     val probedClusters = probeAsg.select(col("cluster")).distinct()
       .collect().map(_.getLong(0)).toSeq
+    // ONE read of codes, shared by the guard aggregate and the
+    // candidate join below: both plans derive from the same
+    // InMemoryFileIndex, so the guard is evaluated against exactly the
+    // candidate volume the scan will process. (Two independent reads —
+    // the previous shape — could list different file sets under a
+    // concurrent sinkIvfAdcAppend, letting a half-visible batch slip
+    // between guard and scan.) A probe concurrent with an IN-FLIGHT
+    // append may still see that batch partially or not at all — the
+    // index is eventually consistent per committed batch, not
+    // transactional across a probe.
+    val pruned = spark.read.parquet(s"$indexPath/codes")
+      .filter(col("cluster").isin(probedClusters: _*))
     // Hot-list refusal (the family's guard posture): candidate rows =
     // Σ over (query, probed cluster) of that cluster's list size. A
     // degenerate coarse quantizer — every vector in one cluster — makes
     // that batch × corpus, the melt IVF exists to avoid; refusing with
     // the offender named beats silently launching it. One
     // aggregate-sized pre-flight over the already-pruned scan.
-    val listSizes = spark.read.parquet(s"$indexPath/codes")
-      .filter(col("cluster").isin(probedClusters: _*))
+    val listSizes = pruned
       .groupBy(col("cluster")).agg(count(lit(1)).as("_n"))
     val planned = probeAsg.join(broadcast(listSizes), Seq("cluster"))
       .agg(sum(col("_n")).as("c"), max(col("_n")).as("hot")).head()
@@ -1236,8 +1263,6 @@ object Similarity {
         col("code").as("dcode"),
         round(pqD2(col("qv"), col("cw")), 12)
           .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("qdist"))
-    val pruned = spark.read.parquet(s"$indexPath/codes")
-      .filter(col("cluster").isin(probedClusters: _*))
     val cand = pruned.join(probeAsg.hint("shuffle_hash"), Seq("cluster"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
@@ -1481,7 +1506,7 @@ object Similarity {
   def maintainIvfAdcIndex(newEmb: DataFrame, idCol: String, vecCol: String,
                           corpus: DataFrame, indexPath: String,
                           minCentroidCosine: Double = 0.7,
-                          nCentroids: Int = 16, nSub: Int = 16,
+                          nCentroids: Int = graft.ops.GuardBounds.DefaultIvfCentroids, nSub: Int = 16,
                           nCodes: Int = 64,
                           trainIters: Int = 1): IvfMaintenance = {
     val spark = newEmb.sparkSession

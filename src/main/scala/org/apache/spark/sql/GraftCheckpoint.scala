@@ -22,11 +22,36 @@ object GraftCheckpoint {
   // "lineage has been truncated and cannot be recomputed" at WARN —
   // here that is the DESIGNED release of a provably-dead frame (old CC
   // rounds, scoped operator results), and hundreds of them drown real
-  // warnings in Verify/Bench output. Silence exactly that logger; every
-  // other RDD warning still surfaces.
-  org.apache.logging.log4j.core.config.Configurator.setLevel(
-    "org.apache.spark.rdd.MapPartitionsRDD",
-    org.apache.logging.log4j.Level.ERROR)
+  // warnings in Verify/Bench output. Suppression is scoped to each
+  // release call (set ERROR around the unpersist, restore after) so the
+  // MapPartitionsRDD logger keeps its normal level the rest of the
+  // time — a GLOBAL static suppression (the previous design) also hid
+  // genuine warnings routed through that logger, e.g. an accidental
+  // unpersist-after-truncation bug elsewhere. Depth-counted so nested /
+  // concurrent releases restore only when the last one exits.
+  private val rddLoggerName = "org.apache.spark.rdd.MapPartitionsRDD"
+  private val suppressLock = new Object
+  private var suppressDepth = 0
+  private var savedLevel: org.apache.logging.log4j.Level = null
+
+  private def quietRelease(body: => Unit): Unit = {
+    suppressLock.synchronized {
+      if (suppressDepth == 0) {
+        savedLevel = org.apache.logging.log4j.LogManager
+          .getLogger(rddLoggerName).getLevel
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          rddLoggerName, org.apache.logging.log4j.Level.ERROR)
+      }
+      suppressDepth += 1
+    }
+    try body
+    finally suppressLock.synchronized {
+      suppressDepth -= 1
+      if (suppressDepth == 0)
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          rddLoggerName, savedLevel)
+    }
+  }
 
   /** Local-checkpoint `df`; returns the checkpointed frame plus a
     * release thunk that frees its blocks. `eager` materializes now
@@ -39,6 +64,6 @@ object GraftCheckpoint {
     rdd.localCheckpoint()
     if (eager) rdd.count()
     val out = spark.internalCreateDataFrame(rdd, df.schema)
-    (out, () => { rdd.unpersist(blocking = false); () })
+    (out, () => quietRelease { rdd.unpersist(blocking = false); () })
   }
 }
