@@ -528,6 +528,39 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === 2)
   }
 
+  test("idempotentPromote undoes a partial promote before re-appending (crash mid-rename)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString + "/t"
+    val batch = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1.0))
+      .toDF("user_id", "partition_date", "value")
+    EventStream.appendBatchIdempotent(batch, dir, batchId = 7L)
+    assert(spark.read.parquet(dir).count() === 1)
+    // fabricate the crash-mid-rename state for batch 9: one of its
+    // files already renamed into the live tree, the filelist present,
+    // NO marker — the window where the old append-then-marker shape
+    // duplicated the whole batch on retry
+    val partDir = new java.io.File(s"$dir/partition_date=2024-01-01")
+    val live = partDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(partDir, "graft-batch-9-orphan.parquet")
+    java.nio.file.Files.copy(live.toPath, orphan.toPath)
+    val manifest = new java.io.File(s"$dir/_graft_manifest")
+    manifest.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(manifest, "batch-9.files").toPath,
+      (orphan.getAbsolutePath + "\n").getBytes("UTF-8"))
+    assert(spark.read.parquet(dir).count() === 2) // duplicate visible pre-retry
+    EventStream.appendBatchIdempotent(batch, dir, batchId = 9L) // retry
+    assert(!orphan.exists(), "partial promote was not undone")
+    assert(spark.read.parquet(dir).count() === 2) // batch 9 exactly once
+    // stale staging (crash DURING the staged write) is also swept
+    val staging = new java.io.File(s"$dir/_graft_staging/batch-11")
+    staging.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(staging, "junk.parquet").toPath, Array[Byte](1, 2))
+    EventStream.appendBatchIdempotent(batch, dir, batchId = 11L)
+    assert(spark.read.parquet(dir).count() === 3)
+    assert(!new java.io.File(s"$dir/_graft_staging/batch-11").exists())
+  }
+
   test("stream-static broadcast enrichment attaches dimension columns") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
