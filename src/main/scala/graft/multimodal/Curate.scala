@@ -48,7 +48,7 @@ object Curate {
                       textCol: String, pcts: Seq[(String, Int)],
                       shingleN: Int = 5, threshold: Double = 0.5,
                       maxDist: Int = 3,
-                      maxChunkBucket: Long = 100000L,
+                      maxChunkBucket: Long = graft.ops.GuardBounds.MaxChunkBucket,
                       imageMedia: Option[DataFrame] = None,
                       audioMedia: Option[DataFrame] = None): DataFrame =
    graft.engine.Caches.scopedMaterialized("unifiedManifest.result") {
@@ -141,8 +141,8 @@ object Curate {
   def appendManifest(spark: SparkSession, corpus: DataFrame,
                      batch: DataFrame, idCol: String, textCol: String,
                      shingleN: Int = 5, threshold: Double = 0.5,
-                     maxDist: Int = 3, maxChunkBucket: Long = 100000L,
-                     hotShingleCap: Int = 100000,
+                     maxDist: Int = 3, maxChunkBucket: Long = graft.ops.GuardBounds.MaxChunkBucket,
+                     hotShingleCap: Int = graft.ops.GuardBounds.HotShingleCap,
                      imageMedia: Option[DataFrame] = None,
                      audioMedia: Option[DataFrame] = None): DataFrame =
    graft.engine.Caches.scopedMaterialized("appendManifest.result") {
@@ -170,6 +170,252 @@ object Curate {
           textEdges.union(imageEdges).union(audioEdges)),
         textEdges, imageEdges, audioEdges)
       .select(col("doc_id"), col("dup_of"), col("keep"),
+        col("text_dup"), col("image_dup"), col("audio_dup"))
+   }
+
+  /** Persist the SIGNATURE INDEX of a standing corpus — the build half
+    * of the build/probe split applied to the manifest family (the
+    * [[graft.vector.Similarity.buildIvfAdcIndex]] discipline): every
+    * derived signature the dedup/manifest operators consume, written
+    * once so consumers stop re-deriving them per call. Layout:
+    *
+    *   - `shingles`     `(doc, shingle)` — the text n-gram set relation
+    *   - `text_hashes`  `(doc_id, h)`    — md5 exact-dup keys
+    *   - `image_hashes` `(media_id, phash)` — perceptual aHash64
+    *   - `audio_hashes` `(media_id, phash)` — energy hash64
+    *   - `meta`         `(shingle_n)`    — build parameter, validated
+    *                                        by consumers
+    *
+    * Signatures are deterministic functions of the corpus, so an
+    * indexed consumer's output is bit-identical to its self-deriving
+    * twin (law-tested) and the existing DuckDB oracles — which recompute
+    * from raw documents — keep gating the indexed paths end to end.
+    * Media defaults are the id-derived fixture tables, as everywhere in
+    * this family; pass real payload tables in production.
+    */
+  def buildSignatureIndex(spark: SparkSession, corpus: DataFrame,
+                          idCol: String, textCol: String, path: String,
+                          shingleN: Int = 5,
+                          imageMedia: Option[DataFrame] = None,
+                          audioMedia: Option[DataFrame] = None): Unit = {
+    val c = corpus.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    Dedup.shingleSets(c, "doc_id", "text", shingleN)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    c.select(col("doc_id"), md5(col("text")).as("h"))
+      .write.mode("overwrite").parquet(s"$path/text_hashes")
+    Media.imageHashes(spark,
+        imageMedia.getOrElse(Media.imageHashTable(spark, c, "doc_id"))).toDF()
+      .write.mode("overwrite").parquet(s"$path/image_hashes")
+    Media.audioHashes(spark,
+        audioMedia.getOrElse(Media.audioHashTable(spark, c, "doc_id"))).toDF()
+      .write.mode("overwrite").parquet(s"$path/audio_hashes")
+    spark.range(1).select(lit(shingleN).as("shingle_n"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The index's recorded shingle width — consumers validate their
+    * `shingleN` against it instead of silently mixing n-gram widths.
+    */
+  private[graft] def indexShingleN(spark: SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/meta").head().getInt(0)
+
+  /** Append a committed batch's signatures INTO the index — the
+    * maintenance half that keeps N appends batch-proportional: each
+    * call derives signatures for the BATCH only and parquet-appends
+    * them. Call after [[appendManifestIndexed]]'s verdicts are acted
+    * on (typically with the kept docs).
+    */
+  def appendSignatures(spark: SparkSession, batch: DataFrame,
+                       idCol: String, textCol: String, path: String,
+                       imageMedia: Option[DataFrame] = None,
+                       audioMedia: Option[DataFrame] = None): Unit = {
+    val shingleN = indexShingleN(spark, path)
+    val b = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    Dedup.shingleSets(b, "doc_id", "text", shingleN)
+      .write.mode("append").parquet(s"$path/shingles")
+    b.select(col("doc_id"), md5(col("text")).as("h"))
+      .write.mode("append").parquet(s"$path/text_hashes")
+    Media.imageHashes(spark,
+        imageMedia.getOrElse(Media.imageHashTable(spark, b, "doc_id"))).toDF()
+      .write.mode("append").parquet(s"$path/image_hashes")
+    Media.audioHashes(spark,
+        audioMedia.getOrElse(Media.audioHashTable(spark, b, "doc_id"))).toDF()
+      .write.mode("append").parquet(s"$path/audio_hashes")
+  }
+
+  /** [[appendManifest]] against a persisted signature index: the
+    * standing corpus contributes its PRE-DERIVED shingle/md5/perceptual
+    * signatures from [[buildSignatureIndex]]'s layout, so an append
+    * tokenizes, hashes, and decodes only the BATCH — the re-derivation
+    * the round-9 bench measured as the family's dominant cost (q196
+    * precedent: probe 3.5× cheaper than inline). Verdicts are identical
+    * to `appendManifest(corpus, batch)` whenever the index was built
+    * from that corpus with the same parameters (law-tested; shingle
+    * width validated against the index meta). `imageMedia`/`audioMedia`
+    * here are the BATCH's payload tables (corpus media signatures live
+    * in the index); defaults are the usual id-derived fixtures. Same
+    * self-cleaning cache contract as [[appendManifest]].
+    */
+  def appendManifestIndexed(spark: SparkSession, indexPath: String,
+                            batch: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int = 5, threshold: Double = 0.5,
+                            maxDist: Int = 3,
+                            maxChunkBucket: Long = graft.ops.GuardBounds.MaxChunkBucket,
+                            hotShingleCap: Int = graft.ops.GuardBounds.HotShingleCap,
+                            imageMedia: Option[DataFrame] = None,
+                            audioMedia: Option[DataFrame] = None): DataFrame =
+   graft.engine.Caches.scopedMaterialized("appendManifestIndexed.result") {
+    val storedN = indexShingleN(spark, indexPath)
+    require(storedN == shingleN,
+      s"appendManifestIndexed: index at $indexPath was built with " +
+        s"shingleN=$storedN, caller asked for $shingleN")
+    val b = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+    val newIds = b.select("doc_id")
+    val sAll = graft.engine.Caches.persisted("appendManifestIndexed.shingles",
+      spark.read.parquet(s"$indexPath/shingles")
+        .unionByName(Dedup.shingleSets(b, "doc_id", "text", shingleN)))
+    val hCorpus = spark.read.parquet(s"$indexPath/text_hashes")
+    val hNew = b.select(col("doc_id"), md5(col("text")).as("h"))
+    val textEdges = Clusters.appendTextEdgesFromSignatures(sAll,
+      hCorpus.unionByName(hNew), hNew, threshold, hotShingleCap)
+    val bImg = Media.imageHashes(spark,
+      imageMedia.getOrElse(Media.imageHashTable(spark, b, "doc_id"))).toDF()
+    val imageEdges = Media.hammingBandedPairsIncremental(
+        spark.read.parquet(s"$indexPath/image_hashes").unionByName(bImg),
+        newIds, maxDist, maxChunkBucket, "appendManifestIndexed.image")
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val bAud = Media.audioHashes(spark,
+      audioMedia.getOrElse(Media.audioHashTable(spark, b, "doc_id"))).toDF()
+    val audioEdges = Media.hammingBandedPairsIncremental(
+        spark.read.parquet(s"$indexPath/audio_hashes").unionByName(bAud),
+        newIds, maxDist, maxChunkBucket, "appendManifestIndexed.audio")
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    withModalityFlags(
+        Clusters.appendVerdicts(hCorpus.select("doc_id"), newIds,
+          textEdges.union(imageEdges).union(audioEdges)),
+        textEdges, imageEdges, audioEdges)
+      .select(col("doc_id"), col("dup_of"), col("keep"),
+        col("text_dup"), col("image_dup"), col("audio_dup"))
+   }
+
+  /** [[unifiedManifest]] over a persisted signature index covering the
+    * WHOLE corpus: every edge family starts from the indexed signature
+    * relations (shingle prefix self-join, md5 stars, banded chunk
+    * joins), so the full-manifest rebuild pays the component walk and
+    * the pair joins but never re-tokenizes or re-decodes the corpus.
+    * Output identical to `unifiedManifest` over the indexed corpus
+    * (law-tested); the doc universe is the index's own id set.
+    */
+  def unifiedManifestFromIndex(spark: SparkSession, indexPath: String,
+                               pcts: Seq[(String, Int)],
+                               threshold: Double = 0.5, maxDist: Int = 3,
+                               maxChunkBucket: Long = graft.ops.GuardBounds.MaxChunkBucket,
+                               hotShingleCap: Int = graft.ops.GuardBounds.HotShingleCap): DataFrame =
+   graft.engine.Caches.scopedMaterialized("unifiedManifestFromIndex.result") {
+    val ids = spark.read.parquet(s"$indexPath/text_hashes")
+      .select(col("doc_id"))
+    val (textEdges, imageEdges, audioEdges) = indexEdges(spark, indexPath,
+      threshold, maxDist, maxChunkBucket, hotShingleCap)
+    val comp = Clusters.connectedComponents(
+      textEdges.union(imageEdges).union(audioEdges), "src", "dst")
+    val assigned = ids
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    withModalityFlags(Curation.splitAssign(assigned, "cluster_id", pcts),
+        textEdges, imageEdges, audioEdges)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"), col("split"),
+        col("text_dup"), col("image_dup"), col("audio_dup"))
+   }
+
+  /** The three modality edge families derived FROM the signature index
+    * — one definition shared by [[unifiedManifestFromIndex]] (consumes
+    * them inline) and [[buildEdgeIndex]] (persists them), so the two
+    * paths cannot diverge on what counts as an edge.
+    */
+  private def indexEdges(spark: SparkSession, indexPath: String,
+                         threshold: Double, maxDist: Int,
+                         maxChunkBucket: Long,
+                         hotShingleCap: Int): (DataFrame, DataFrame, DataFrame) = {
+    val byHash = spark.read.parquet(s"$indexPath/text_hashes")
+    val sAll = graft.engine.Caches.persisted("indexEdges.shingles",
+      spark.read.parquet(s"$indexPath/shingles"))
+    val jac = Dedup.jaccardPairsFromShingles(sAll, threshold, hotShingleCap)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val exact = byHash.select(col("doc_id").as("id"), col("h"))
+      .withColumn("src", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("id") =!= col("src"))
+      .select(col("src"), col("id").as("dst"))
+    val imageEdges = Media.hammingBandedPairs(
+        spark.read.parquet(s"$indexPath/image_hashes"), maxDist,
+        maxChunkBucket, "indexEdges.image")
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val audioEdges = Media.hammingBandedPairs(
+        spark.read.parquet(s"$indexPath/audio_hashes"), maxDist,
+        maxChunkBucket, "indexEdges.audio")
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    (jac.union(exact), imageEdges, audioEdges)
+  }
+
+  /** Persist the modality-tagged EDGE relation on top of a signature
+    * index — the second build tier: signatures answer "what does each
+    * doc look like", edges answer "who near-duplicates whom", and both
+    * are deterministic corpus functions a production pipeline
+    * materializes once per corpus version. After this,
+    * [[manifestFromEdgeIndex]] pays only the component walk and the
+    * manifest assembly per call. Edge rows: `(src, dst, modality)`.
+    */
+  def buildEdgeIndex(spark: SparkSession, indexPath: String,
+                     threshold: Double = 0.5, maxDist: Int = 3,
+                     maxChunkBucket: Long = graft.ops.GuardBounds.MaxChunkBucket,
+                     hotShingleCap: Int = graft.ops.GuardBounds.HotShingleCap): Unit = {
+    val m = graft.engine.Caches.mark()
+    try {
+      val (t, i, a) = indexEdges(spark, indexPath, threshold, maxDist,
+        maxChunkBucket, hotShingleCap)
+      t.withColumn("modality", lit("text"))
+        .unionByName(i.withColumn("modality", lit("image")))
+        .unionByName(a.withColumn("modality", lit("audio")))
+        .write.mode("overwrite").parquet(s"$indexPath/edges")
+    } finally graft.engine.Caches.releaseSince(m)
+  }
+
+  /** The manifest off persisted edges ([[buildEdgeIndex]]): read the
+    * modality-tagged edge relation, walk components, assign splits,
+    * derive flags — no signature derivation, no pair joins. Identical
+    * output to [[unifiedManifest]] over the indexed corpus
+    * (law-tested): flags come from the SAME edge rows via the shared
+    * [[withModalityFlags]], and the component walk is the same
+    * dispatch. The per-call cost a 100 TB pipeline actually pays when
+    * it re-cuts splits or re-materializes the keep list from a
+    * committed corpus version.
+    */
+  def manifestFromEdgeIndex(spark: SparkSession, indexPath: String,
+                            pcts: Seq[(String, Int)]): DataFrame =
+   graft.engine.Caches.scopedMaterialized("manifestFromEdgeIndex.result") {
+    val ids = spark.read.parquet(s"$indexPath/text_hashes")
+      .select(col("doc_id"))
+    val edges = graft.engine.Caches.persisted("manifestFromEdgeIndex.edges",
+      spark.read.parquet(s"$indexPath/edges"))
+    def family(mod: String): DataFrame =
+      edges.filter(col("modality") === mod).select(col("src"), col("dst"))
+    val (textEdges, imageEdges, audioEdges) =
+      (family("text"), family("image"), family("audio"))
+    val comp = Clusters.connectedComponents(
+      edges.select(col("src"), col("dst")), "src", "dst")
+    val assigned = ids
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+    withModalityFlags(Curation.splitAssign(assigned, "cluster_id", pcts),
+        textEdges, imageEdges, audioEdges)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("keep"), col("split"),
         col("text_dup"), col("image_dup"), col("audio_dup"))
    }
 }

@@ -1037,7 +1037,7 @@ object Media {
     * [[graft.text.Dedup.simhashPairs]] shape for any 64-bit signature.
     * Guard semantics: [[chunkAndGuard]].
     */
-  private def hammingBandedPairs(hashes: DataFrame, maxDist: Int,
+  private[graft] def hammingBandedPairs(hashes: DataFrame, maxDist: Int,
                                  maxChunkBucket: Long,
                                  opName: String): DataFrame = {
     require(maxDist <= 3, "chunk blocking is only complete for hamming <= 3")
@@ -1070,7 +1070,7 @@ object Media {
     * pairs, exact verified hamming — identical rows to the symmetric
     * join filtered to >=1 new side, whenever that one runs.
     */
-  private def hammingBandedPairsIncremental(hashes: DataFrame,
+  private[graft] def hammingBandedPairsIncremental(hashes: DataFrame,
                                             newIds: DataFrame, maxDist: Int,
                                             maxChunkBucket: Long,
                                             opName: String): DataFrame = {

@@ -251,17 +251,70 @@ object Clusters {
   private[graft] def appendTextEdges(all: DataFrame, batch: DataFrame,
                                      shingleN: Int, threshold: Double,
                                      hotShingleCap: Int): DataFrame = {
-    val jac = Dedup.incrementalJaccardPairs(all, batch.select("doc_id"),
-        "doc_id", "text", shingleN, threshold, hotShingleCap)
+    val s = graft.engine.Caches.persisted("appendTextEdges.shingles",
+      Dedup.shingleSets(all, "doc_id", "text", shingleN))
+    appendTextEdgesFromSignatures(s,
+      all.select(col("doc_id"), md5(col("text")).as("h")),
+      batch.select(col("doc_id"), md5(col("text")).as("h")),
+      threshold, hotShingleCap)
+  }
+
+  /** [[appendTextEdges]] over PRECOMPUTED signatures — the indexed
+    * append path ([[graft.multimodal.Curate.buildSignatureIndex]]):
+    * `sAll` is the full `(doc, shingle)` relation (corpus index ∪ batch
+    * shingles; caller materializes), `hAll`/`hNew` the full and
+    * batch-only `(doc_id, h)` md5 relations. Identical edges to the
+    * self-deriving form — the split moves WHERE signatures come from,
+    * never what qualifies as an edge.
+    */
+  private[graft] def appendTextEdgesFromSignatures(sAll: DataFrame,
+                                                   hAll: DataFrame,
+                                                   hNew: DataFrame,
+                                                   threshold: Double,
+                                                   hotShingleCap: Int): DataFrame = {
+    val jac = Dedup.incrementalJaccardPairsFromShingles(sAll,
+        hNew.select(col("doc_id").as("doc")), threshold, hotShingleCap)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val hAll = all.select(col("doc_id"), md5(col("text")).as("h"))
-    val hNew = batch.select(col("doc_id").as("_nid"), md5(col("text")).as("h"))
-    val exact = hAll.join(broadcast(hNew), "h")
+    val exact = hAll.join(
+        broadcast(hNew.select(col("doc_id").as("_nid"), col("h"))), "h")
       .filter(col("doc_id") =!= col("_nid"))
       .select(least(col("doc_id"), col("_nid")).as("src"),
         greatest(col("doc_id"), col("_nid")).as("dst")).distinct()
     jac.union(exact)
   }
+
+  /** [[appendDedup]] against a persisted signature index (the
+    * build/probe split applied to the append loop): the standing
+    * corpus is represented by its
+    * [[graft.multimodal.Curate.buildSignatureIndex]] layout — shingle
+    * and md5 relations read from parquet — so an append re-tokenizes
+    * only the BATCH. Verdicts are identical to
+    * `appendDedup(corpus, batch)` whenever the index was built from
+    * that corpus with the same `shingleN` (validated against the
+    * index's meta). Same self-cleaning cache contract.
+    */
+  def appendDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 5, threshold: Double = 0.5,
+                         hotShingleCap: Int = graft.ops.GuardBounds.HotShingleCap): DataFrame =
+    graft.engine.Caches.scopedMaterialized("appendDedupIndexed.result") {
+      val storedN = graft.multimodal.Curate.indexShingleN(spark, indexPath)
+      require(storedN == shingleN,
+        s"appendDedupIndexed: index at $indexPath was built with " +
+          s"shingleN=$storedN, caller asked for $shingleN — rebuild the " +
+          "index or match the parameter")
+      val b = batch.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      val sAll = graft.engine.Caches.persisted("appendDedupIndexed.shingles",
+        spark.read.parquet(s"$indexPath/shingles")
+          .unionByName(Dedup.shingleSets(b, "doc_id", "text", shingleN)))
+      val hCorpus = spark.read.parquet(s"$indexPath/text_hashes")
+      val hNew = b.select(col("doc_id"), md5(col("text")).as("h"))
+      appendVerdicts(hCorpus.select("doc_id"), b.select("doc_id"),
+        appendTextEdgesFromSignatures(sAll, hCorpus.unionByName(hNew),
+          hNew, threshold, hotShingleCap))
+    }
 
   /** The verdict half of an APPEND: components over the (incremental)
     * edge set, then per batch doc `dup_of` = smallest corpus member of

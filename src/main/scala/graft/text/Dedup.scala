@@ -71,6 +71,20 @@ object Dedup {
     // tracked in; see the cache contract on Similarity.normed.)
     val s = graft.engine.Caches.persisted("jaccardPairs.shingles",
       shingleSets(df, idCol, textCol, n))
+    jaccardPairsFromShingles(s, threshold, hotShingleCap)
+  }
+
+  /** [[jaccardPairs]] over a PRECOMPUTED `(doc, shingle)` set relation —
+    * the build/probe split applied to text dedup: a standing corpus
+    * persists its shingle index once
+    * ([[graft.multimodal.Curate.buildSignatureIndex]]) and every pair
+    * consumer starts here instead of re-tokenizing the corpus. `s` is
+    * referenced by ranking, candidates, and verification — the CALLER
+    * materializes it (persist or parquet-backed).
+    */
+  private[graft] def jaccardPairsFromShingles(s: DataFrame,
+                                              threshold: Double,
+                                              hotShingleCap: Int): DataFrame = {
     val prefixes = shinglePrefixes(s, threshold, hotShingleCap)
     val cands = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
@@ -159,10 +173,22 @@ object Dedup {
                               hotShingleCap: Int = graft.ops.GuardBounds.HotShingleCap): DataFrame = {
     val s = graft.engine.Caches.persisted("incrementalJaccardPairs.shingles",
       shingleSets(all, idCol, textCol, n))
-    val prefixes = shinglePrefixes(s, threshold, hotShingleCap)
     // `newIds` carries the batch's ids in ITS `idCol` column (same name
     // as `all`'s) — resolved by name, never by position
-    val fresh = newIds.select(col(idCol).as("doc")).distinct()
+    incrementalJaccardPairsFromShingles(s,
+      newIds.select(col(idCol).as("doc")), threshold, hotShingleCap)
+  }
+
+  /** [[incrementalJaccardPairs]] over a PRECOMPUTED full `(doc,
+    * shingle)` relation (corpus index ∪ batch shingles) — what an
+    * indexed append runs so the corpus is never re-tokenized. `fresh`
+    * is a single `doc` column of batch ids; caller materializes `s`.
+    */
+  private[graft] def incrementalJaccardPairsFromShingles(
+      s: DataFrame, fresh0: DataFrame, threshold: Double,
+      hotShingleCap: Int): DataFrame = {
+    val prefixes = shinglePrefixes(s, threshold, hotShingleCap)
+    val fresh = fresh0.select(col("doc")).distinct()
     // new side drives the join; broadcast the (small) batch id set
     val prefixNew = prefixes.join(broadcast(fresh), Seq("doc"), "left_semi")
     val cands = prefixNew.as("a").join(prefixes.as("b"),

@@ -173,4 +173,67 @@ class CurateSpec extends AnyFunSuite {
     }
     spark.catalog.clearCache() // jaccardPairs persist contract
   }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("signature/edge-index manifests reproduce the self-deriving manifest exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigidx")
+      .toString + "/index"
+    Curate.buildSignatureIndex(spark, docs, "doc_id", "text", dir)
+    val pcts = Seq(("train", 80), ("val", 10), ("test", 10))
+    val inline = rows(Curate.unifiedManifest(spark, docs, "doc_id", "text", pcts))
+    assert(rows(Curate.unifiedManifestFromIndex(spark, dir, pcts)) === inline,
+      "signature-index manifest diverged from the self-deriving manifest")
+    Curate.buildEdgeIndex(spark, dir)
+    assert(rows(Curate.manifestFromEdgeIndex(spark, dir, pcts)) === inline,
+      "edge-index manifest diverged from the self-deriving manifest")
+    graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
+  }
+
+  test("indexed appends equal self-deriving appends; signature appends extend the corpus") {
+    val corpus = Seq(
+      15L         -> "alpha beta gamma delta epsilon zeta eta theta",
+      983040L     -> "red orange yellow green blue indigo violet white",
+      251658240L  -> "solo unique words nothing shared with anything else"
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      983041L     -> "one two three four five six seven eight",
+      61440L      -> "alpha beta gamma delta epsilon zeta eta theta",
+      1044480L    -> "nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigidx2")
+      .toString + "/index"
+    Curate.buildSignatureIndex(spark, corpus, "doc_id", "text", dir)
+    assert(rows(Curate.appendManifestIndexed(spark, dir, batch, "doc_id", "text"))
+      === rows(Curate.appendManifest(spark, corpus, batch, "doc_id", "text")),
+      "indexed multimodal append diverged from the self-deriving append")
+    assert(rows(graft.text.Clusters.appendDedupIndexed(spark, dir, batch,
+        "doc_id", "text"))
+      === rows(graft.text.Clusters.appendDedup(corpus, batch, "doc_id", "text")),
+      "indexed text append diverged from the self-deriving append")
+    graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
+    // commit the batch's signatures, then a second batch must see
+    // corpus ∪ batch as its standing corpus — the steady-state loop
+    Curate.appendSignatures(spark, batch, "doc_id", "text", dir)
+    val batch2 = Seq(
+      2097152L -> "alpha beta gamma delta epsilon zeta eta theta", // text dup
+      4194304L -> "entirely fresh vocabulary appearing nowhere before now"
+    ).toDF("doc_id", "text")
+    assert(rows(Curate.appendManifestIndexed(spark, dir, batch2, "doc_id", "text"))
+      === rows(Curate.appendManifest(spark, corpus.union(batch), batch2,
+        "doc_id", "text")),
+      "post-appendSignatures verdicts diverged from the unioned corpus")
+    graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
+    // mixing n-gram widths is refused, not silently wrong
+    val e = intercept[IllegalArgumentException] {
+      Curate.appendManifestIndexed(spark, dir, batch2, "doc_id", "text",
+        shingleN = 3)
+    }
+    assert(e.getMessage.contains("shingleN"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      graft.text.Clusters.appendDedupIndexed(spark, dir, batch2,
+        "doc_id", "text", shingleN = 3)
+    }
+  }
 }
