@@ -529,6 +529,26 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
     }),
 
+    "q205_bpe_apply" -> ((s, dir) => {
+      // BPE SEGMENTATION with a fixed learned-artifact merge list (the
+      // tokenizer-apply path, round-10: the last operator family with
+      // zero oracle rows): every word replays the merges in rank order
+      // as codegen'd left-to-right folds. The oracle replays each merge
+      // as a recursive leftmost-replace fixpoint over a delimited
+      // symbol string — provably equal to the single fold pass because
+      // every rule has left ≠ right (no self-overlap, so a pass merges
+      // every occurrence and merging never creates a new one); SQL is
+      // GENERATED from the same FixedBpeMerges literal, so engine and
+      // oracle cannot desync. trainBpe (the LEARNING half) remains
+      // spec-gated — its per-round argmax is genuinely iterative.
+      text.Curation.applyBpe(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", FixedBpeMerges)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          concat_ws(" ", col("bpe_tokens")).as("bpe_text"))
+        .orderBy("doc_id")
+    }),
+
     "q204_semantic_clusters" -> ((s, dir) => {
       // model-free semantic dup CLUSTERS: the q200 hashed-cosine pairs
       // walked into transitive components (the q63 discipline on the
@@ -3114,6 +3134,77 @@ object SparkEntry {
       |q AS (SELECT s AS qs, sv AS qv FROM base WHERE vec_id = $queryId)""".stripMargin
   }
 
+  /** q205's FIXED merge table — a stand-in for a shipped tokenizer
+    * artifact ([[graft.text.Curation.trainBpe]] learns such tables;
+    * applying one is the production-side operation). Rules chain
+    * (rule 3 consumes rule 1+2's outputs, rule 7 consumes 4+6's) so
+    * the gate exercises merge-on-merged composition, and every rule
+    * has left ≠ right — the condition under which the oracle's
+    * replace-fixpoint provably equals the engine's single fold pass
+    * (see bpeApplyOracleSql).
+    */
+  private val FixedBpeMerges: Seq[(String, String)] = Seq(
+    ("e", "</w>"), ("t", "h"), ("th", "e</w>"), ("a", "n"), ("i", "n"),
+    ("d", "</w>"), ("an", "d</w>"), ("o", "u"), ("e", "r"), ("in", "g"))
+
+  /** GENERATED q205 oracle (the langScoreSelectSql discipline): replay
+    * [[FixedBpeMerges]] in rank order. Symbol sequences ride as
+    * chr(1)-delimited strings (`\1sym\1sym\1…\1`; the corpus is clean
+    * ASCII — asserted impossible to collide) and one merge rule is the
+    * FIXPOINT of `replace(s, \1l\1r\1 → \1lr\1)`: plain replace is
+    * leftmost non-overlapping but consumes the trailing delimiter the
+    * next occurrence needs, so a single pass can miss adjacent
+    * occurrences — iterating to fixpoint recovers exactly the fold's
+    * result because with left ≠ right (a) occurrences never self-
+    * overlap, so the fold's one pass merges ALL of them, and (b) a
+    * merged symbol `lr` can never equal `l` or `r`, so merging creates
+    * no new occurrence. Each rule's fixpoint is one recursive CTE
+    * (strictly length-decreasing ⇒ terminating, no duplicate rows).
+    */
+  private def bpeApplyOracleSql(merges: Seq[(String, String)]): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val stages = merges.zipWithIndex.map { case ((l, r), i) =>
+      val prev = if (i == 0) "w0" else s"f$i"
+      val pat = s"chr(1) || ${q(l)} || chr(1) || ${q(r)} || chr(1)"
+      val rep = s"chr(1) || ${q(l + r)} || chr(1)"
+      s"""r${i + 1}(doc_id, idx, s) AS (
+         |  SELECT doc_id, idx, s FROM $prev
+         |  UNION ALL
+         |  SELECT doc_id, idx, replace(s, $pat, $rep) FROM r${i + 1}
+         |  WHERE replace(s, $pat, $rep) <> s),
+         |f${i + 1} AS (
+         |  SELECT doc_id, idx, s FROM r${i + 1}
+         |  WHERE replace(s, $pat, $rep) = s)""".stripMargin
+    }
+    s"""WITH RECURSIVE
+      |w0 AS (
+      |  SELECT doc_id, idx,
+      |    chr(1) || array_to_string(list_append(
+      |      list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+      |      '</w>'), chr(1)) || chr(1) AS s
+      |  FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w,
+      |      generate_subscripts(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '), 1) AS idx
+      |    FROM documents)
+      |  WHERE w <> ''),
+      |${stages.mkString(",\n")},
+      |per_word AS (
+      |  SELECT doc_id, idx,
+      |    list_filter(string_split(s, chr(1)), x -> x <> '') AS toks
+      |  FROM f${merges.size}),
+      |per_doc AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(len(toks)) AS BIGINT) AS n_bpe_tokens,
+      |    string_agg(array_to_string(toks, ' '), ' ' ORDER BY idx) AS bpe_text
+      |  FROM per_word GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(p.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens,
+      |  COALESCE(p.bpe_text, '') AS bpe_text
+      |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   private def pqAdcOracleSql(restricted: Boolean,
                              queryId: Long = 0L): String =
     s"""${pqTrainCtes(restricted, queryId)},
@@ -4818,6 +4909,8 @@ object SparkEntry {
     // the persisted-index probe must reproduce the self-contained
     // IVFADC computation exactly — SAME oracle, different plumbing
     "q196_ivfadc_probe" -> pqAdcOracleSql(restricted = true),
+    "q205_bpe_apply" -> bpeApplyOracleSql(FixedBpeMerges),
+
     "q204_semantic_clusters" ->
       s"""WITH RECURSIVE ${hashedTfidfCte(64)},
         |grid AS (SELECT d.doc_id, r.i FROM documents d, range(64) r(i)),
