@@ -529,6 +529,73 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
     }),
 
+    "q208_adc_rerank" -> ((s, dir) => {
+      // IVFADC + exact re-rank (Jégou et al. §III-C refinement): the
+      // persisted-index code probe shortlists 100, raw vectors load
+      // for the shortlist only, exact cosine ranks — the two-stage
+      // shape production ANN deploys. Oracle = the spliced ADC chain
+      // LIMIT 100 + the q40 cosine arithmetic over it.
+      Similarity.ivfAdcProbeRerankById(s, ivfAdcIndexFor(s, dir),
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10,
+        shortlist = 100)
+    }),
+
+    "q209_rerank_recall" -> ((s, dir) => {
+      // the refit's recall gate: rerank(100)@10 vs the exact scan —
+      // reads 1.0 at sf0.01 AND sf0.1 (ADC@10 alone reads 0.5; the
+      // nProbe=4 pruning ceiling is 1.0, so the exact refit recovers
+      // everything pruning kept).
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+        .select(col("vec_id"))
+      val approx = Similarity.ivfAdcProbeRerankById(s,
+          ivfAdcIndexFor(s, dir), emb, "vec_id", "embedding", 0L, 10,
+          shortlist = 100)
+        .select(col("vec_id"))
+      exact.join(approx, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("_ne"))))
+        .select(lit(10).as("k"), col("n_overlap"),
+          when(col("_ne") === 0, lit(0.0))
+            .otherwise(col("n_overlap") /
+              least(lit(10).cast("long"), col("_ne"))).as("recall"))
+    }),
+
+    "q206_rivfadc" -> ((s, dir) => {
+      // RESIDUAL-encoded IVFADC (Jégou et al. §III, the paper's actual
+      // form — q190's documented simplification closed, round-10):
+      // vectors PQ-coded on v − centroid(v), one distance table per
+      // probed list from the query's per-list residual. Oracle replays
+      // residual subtraction, training, and per-list ADC bit-for-bit.
+      // Measured finding (q207): on THIS isotropic corpus residuals
+      // are larger than the originals (random centroids concentrate
+      // nothing), so recall reads 0.3 vs raw 0.5 — the paper's lever
+      // needs clustered data; q208's exact re-rank is the lever that
+      // works on any geometry (1.0).
+      Similarity.ivfRAdcTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", 0L, 10)
+    }),
+
+    "q207_rivfadc_recall" -> ((s, dir) => {
+      // the residual family's recall gate: recall@10 of q206 against
+      // the exact cosine scan. Reads 0.3 at sf0.1 / 0.5 at sf0.01 —
+      // BELOW the raw family, the documented isotropic-corpus
+      // inversion (see q206): this gate exists to keep that comparison
+      // measured, not to certify residuals as better here.
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+        .select(col("vec_id"))
+      val approx = Similarity.ivfRAdcTopK(emb, "vec_id", "embedding", 0L, 10)
+        .select(col("vec_id"))
+      exact.join(approx, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("_ne"))))
+        .select(lit(10).as("k"), col("n_overlap"),
+          when(col("_ne") === 0, lit(0.0))
+            .otherwise(col("n_overlap") /
+              least(lit(10).cast("long"), col("_ne"))).as("recall"))
+    }),
+
     "q205_bpe_apply" -> ((s, dir) => {
       // BPE SEGMENTATION with a fixed learned-artifact merge list (the
       // tokenizer-apply path, round-10: the last operator family with
@@ -2960,6 +3027,22 @@ object SparkEntry {
         |    ELSE CAST(COUNT(*) AS DOUBLE)
         |      / least(10, (SELECT COUNT(*) FROM ex)) END AS recall
         |FROM ex JOIN ap USING (vec_id)""".stripMargin) +
+    ("q207_rivfadc_recall" ->
+      s"""WITH ex AS ${block("q40_cosine_topk")},
+        |ap AS ${block("q206_rivfadc")}
+        |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+        |  CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(COUNT(*) AS DOUBLE)
+        |      / least(10, (SELECT COUNT(*) FROM ex)) END AS recall
+        |FROM ex JOIN ap USING (vec_id)""".stripMargin) +
+    ("q209_rerank_recall" ->
+      s"""WITH ex AS ${block("q40_cosine_topk")},
+        |ap AS ${block("q208_adc_rerank")}
+        |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+        |  CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(COUNT(*) AS DOUBLE)
+        |      / least(10, (SELECT COUNT(*) FROM ex)) END AS recall
+        |FROM ex JOIN ap USING (vec_id)""".stripMargin) +
     ("q179_langid_accuracy" ->
       s"""WITH p AS ${block("q34_lang_id")}
         |SELECT d.lang AS true_lang, p.pred_lang, COUNT(*) AS n
@@ -3205,8 +3288,115 @@ object SparkEntry {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** GENERATED q206 oracle: residual-encoded IVFADC replayed end to
+    * end — coarse centroids/assignment (the q190 chain), residuals as
+    * elementwise double subtractions, the SAME Lloyd training CTEs
+    * over residual subvectors, and per-PROBED-LIST distance tables
+    * from the query's per-list residual. Hardcodes the q206 geometry
+    * (nSub=16, w=4, nCodes=64, nProbe=4) like the raw chain does.
+    */
+  private def rAdcOracleSql(queryId: Long, k: Int = 10): String = {
+    val dv = "x -> CAST(x AS DOUBLE)"
+    s"""WITH sub AS (SELECT unnest(range(0, 16)) AS s),
+      |cents AS (
+      |  SELECT vec_id AS cid,
+      |    list_transform(embedding, $dv) AS cv
+      |  FROM embeddings
+      |  WHERE sqrt(list_dot_product(list_transform(embedding, $dv),
+      |      list_transform(embedding, $dv))) > 0
+      |    AND vec_id % 31 = 0
+      |  ORDER BY vec_id ASC LIMIT 16),
+      |qv2 AS (
+      |  SELECT list_transform(embedding, $dv) AS qv2
+      |  FROM embeddings WHERE vec_id = $queryId),
+      |probed AS (
+      |  SELECT cid AS cluster FROM (
+      |    SELECT c.cid,
+      |      list_dot_product(cv, qv2) / (sqrt(list_dot_product(cv, cv))
+      |        * sqrt(list_dot_product(qv2, qv2))) AS cs2
+      |    FROM cents c, qv2)
+      |  ORDER BY cs2 DESC, cluster ASC LIMIT 4),
+      |iasg AS (
+      |  SELECT vec_id, cid AS cluster FROM (
+      |    SELECT e.vec_id, c.cid,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        (list_dot_product(ev, cv) / (sqrt(list_dot_product(ev, ev))
+      |          * sqrt(list_dot_product(cv, cv)))) DESC, c.cid DESC) AS rn
+      |    FROM (SELECT vec_id, list_transform(embedding, $dv) AS ev
+      |          FROM embeddings) e
+      |    CROSS JOIN cents c) WHERE rn = 1),
+      |rv AS (
+      |  SELECT e.vec_id, a.cluster,
+      |    list_transform(range(1, len(ev) + 1), i -> ev[i] - cv[i]) AS rlist
+      |  FROM (SELECT vec_id, list_transform(embedding, $dv) AS ev
+      |        FROM embeddings) e
+      |  JOIN iasg a ON a.vec_id = e.vec_id
+      |  JOIN cents c ON c.cid = a.cluster),
+      |base AS (
+      |  SELECT vec_id, s, list_slice(rlist, s*4+1, s*4+4) AS sv
+      |  FROM rv CROSS JOIN sub),
+      |cbids AS (SELECT vec_id FROM embeddings ORDER BY vec_id ASC LIMIT 64),
+      |cb0 AS (
+      |  SELECT s AS cs, b.vec_id AS code, sv AS cw
+      |  FROM base b JOIN cbids USING (vec_id)),
+      |asg0 AS (
+      |  SELECT vec_id, s, sv, code FROM (
+      |    SELECT b.vec_id, b.s, b.sv, c.code,
+      |      row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY
+      |        (list_dot_product(sv, sv)
+      |          - CAST(2 AS DOUBLE) * list_dot_product(sv, cw)
+      |          + list_dot_product(cw, cw)) ASC, c.code ASC) AS rn
+      |    FROM base b JOIN cb0 c ON c.cs = b.s) WHERE rn = 1),
+      |mexp AS (
+      |  SELECT s, code, generate_subscripts(sv, 1) AS pos,
+      |    unnest(sv) AS e
+      |  FROM asg0),
+      |means AS (
+      |  SELECT s AS ms, code AS mcode, list(m ORDER BY pos ASC) AS cw2
+      |  FROM (
+      |    SELECT s, code, pos,
+      |      round(CAST(SUM(CAST(e AS DECIMAL(27,10))) AS DOUBLE)
+      |        / COUNT(*), 6) AS m
+      |    FROM mexp GROUP BY s, code, pos)
+      |  GROUP BY s, code),
+      |cb AS (
+      |  SELECT cs, code, COALESCE(cw2, cw) AS cw
+      |  FROM cb0 LEFT JOIN means ON ms = cs AND mcode = code),
+      |cand AS (SELECT vec_id, cluster FROM iasg JOIN probed USING (cluster)),
+      |asg AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT b.vec_id, b.s, c.code,
+      |      row_number() OVER (PARTITION BY b.vec_id, b.s ORDER BY
+      |        (list_dot_product(sv, sv)
+      |          - CAST(2 AS DOUBLE) * list_dot_product(sv, cw)
+      |          + list_dot_product(cw, cw)) ASC, c.code ASC) AS rn
+      |    FROM base b JOIN cand USING (vec_id) JOIN cb c ON c.cs = b.s)
+      |  WHERE rn = 1),
+      |qres AS (
+      |  SELECT p.cluster,
+      |    list_transform(range(1, len(qv2) + 1), i -> qv2[i] - cv[i]) AS qrl
+      |  FROM probed p JOIN cents c ON c.cid = p.cluster, qv2),
+      |qsub AS (
+      |  SELECT cluster, s, list_slice(qrl, s*4+1, s*4+4) AS qv
+      |  FROM qres CROSS JOIN sub),
+      |qd AS (
+      |  SELECT q.cluster AS dcluster, cs AS ds, code AS dcode,
+      |    CAST(round(list_dot_product(qv, qv)
+      |      - CAST(2 AS DOUBLE) * list_dot_product(qv, cw)
+      |      + list_dot_product(cw, cw), 12) AS DECIMAL(28,12)) AS qdist
+      |  FROM cb JOIN qsub q ON cs = q.s),
+      |adc AS (
+      |  SELECT a.vec_id, SUM(qdist) AS adc
+      |  FROM asg a JOIN cand cd ON cd.vec_id = a.vec_id
+      |    JOIN qd ON qd.dcluster = cd.cluster
+      |      AND qd.ds = a.s AND qd.dcode = a.code
+      |  WHERE a.vec_id <> $queryId GROUP BY a.vec_id)
+      |SELECT vec_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist
+      |FROM adc ORDER BY adc ASC, vec_id ASC LIMIT $k""".stripMargin
+  }
+
   private def pqAdcOracleSql(restricted: Boolean,
-                             queryId: Long = 0L): String =
+                             queryId: Long = 0L, k: Int = 10): String =
     s"""${pqTrainCtes(restricted, queryId)},
       |qd AS (
       |  SELECT cs AS ds, code AS dcode,
@@ -3219,7 +3409,29 @@ object SparkEntry {
       |  FROM asg a JOIN qd ON qd.ds = a.s AND qd.dcode = a.code
       |  WHERE a.vec_id <> $queryId GROUP BY a.vec_id)
       |SELECT vec_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist
-      |FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10""".stripMargin
+      |FROM adc ORDER BY adc ASC, vec_id ASC LIMIT $k""".stripMargin
+
+  /** GENERATED q208 oracle: the ADC chain shortlists (LIMIT
+    * `shortlist`), plain exact cosine (the q40 arithmetic verbatim)
+    * ranks the shortlist — certifying the two-stage composition.
+    */
+  private def adcRerankOracleSql(queryId: Long, k: Int,
+                                 shortlist: Int): String =
+    s"""WITH short AS (SELECT * FROM (
+      |${pqAdcOracleSql(restricted = true, queryId = queryId, k = shortlist)}
+      |)),
+      |rq AS (
+      |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |  FROM embeddings WHERE vec_id = $queryId),
+      |rc AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  WHERE vec_id <> $queryId AND vec_id IN (SELECT vec_id FROM short))
+      |SELECT vec_id,
+      |  round(list_dot_product(v, qv) /
+      |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+      |FROM rc, rq
+      |ORDER BY cos_sim DESC, vec_id LIMIT $k""".stripMargin
 
   private def langFixtureValuesSql: String =
     graft.text.TextStats.LangFixture.map { case (id, lang, txt) =>
@@ -4910,6 +5122,11 @@ object SparkEntry {
     // IVFADC computation exactly — SAME oracle, different plumbing
     "q196_ivfadc_probe" -> pqAdcOracleSql(restricted = true),
     "q205_bpe_apply" -> bpeApplyOracleSql(FixedBpeMerges),
+
+    "q206_rivfadc" -> rAdcOracleSql(queryId = 0L),
+
+    "q208_adc_rerank" -> adcRerankOracleSql(queryId = 0L, k = 10,
+      shortlist = 100),
 
     "q204_semantic_clusters" ->
       s"""WITH RECURSIVE ${hashedTfidfCte(64)},
