@@ -63,19 +63,52 @@ object DevAppendSteady {
         f"storedRdds=${spark.sparkContext.getPersistentRDDs.size}")
       dt
     }
-    val mean = times.sum / times.size
-    val varc = times.map(t => (t - mean) * (t - mean)).sum / times.size
-    val cv = math.sqrt(varc) / mean
-    // drop batch 1 (JIT/codegen warm-up) for the steadiness verdict,
-    // report both — the BASELINE.md row records the full series
-    val warm = times.drop(1)
-    val wMean = warm.sum / warm.size
-    val wCv = math.sqrt(
-      warm.map(t => (t - wMean) * (t - wMean)).sum / warm.size) / wMean
-    println(f"[steady] n=$n mean=$mean%.3f s cv=${cv * 100}%.1f%% " +
-      f"warm_mean=$wMean%.3f s warm_cv=${wCv * 100}%.1f%% " +
-      f"max/min(warm)=${warm.max / warm.min}%.2f " +
-      f"series=${times.map(t => f"$t%.2f").mkString("[", ",", "]")}")
+    def summarize(label: String, series: Seq[Double]): Unit = {
+      val mean = series.sum / series.size
+      val varc = series.map(t => (t - mean) * (t - mean)).sum / series.size
+      val cv = math.sqrt(varc) / mean
+      // drop batch 1 (JIT/codegen warm-up) for the steadiness verdict,
+      // report both — the BASELINE.md row records the full series
+      val warm = series.drop(1)
+      val wMean = warm.sum / warm.size
+      val wCv = math.sqrt(
+        warm.map(t => (t - wMean) * (t - wMean)).sum / warm.size) / wMean
+      println(f"[steady] $label n=${series.size} mean=$mean%.3f s " +
+        f"cv=${cv * 100}%.1f%% " +
+        f"warm_mean=$wMean%.3f s warm_cv=${wCv * 100}%.1f%% " +
+        f"max/min(warm)=${warm.max / warm.min}%.2f " +
+        f"series=${series.map(t => f"$t%.2f").mkString("[", ",", "]")}")
+    }
+    summarize("inline", times)
+
+    // INDEXED battery (round-10): the production loop — verdicts read
+    // the persisted signature index, then appendSignatures COMMITS the
+    // batch so the standing corpus grows batch by batch. Per-batch
+    // work: tokenize/hash/decode the batch + the corpus-linear columnar
+    // signature scan — flat-ish cost, growing only with the committed
+    // corpus, never with session age.
+    val idx = java.nio.file.Files.createTempDirectory("graft_steady_idx")
+      .toString + "/index"
+    multimodal.Curate.buildSignatureIndex(spark, corpus, "doc_id", "text", idx)
+    multimodal.Curate.appendManifestIndexed(spark, idx,
+      batchPool.limit(20), "doc_id", "text").count() // untimed warm-in
+    graft.engine.Caches.releaseAll()
+    val idxTimes = (1 to n).map { i =>
+      val batch = batchPool.filter(
+        pmod(xxhash64(col("doc_id")), lit(n)) === (i - 1))
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      val rows = multimodal.Curate.appendManifestIndexed(spark, idx, batch,
+        "doc_id", "text").count()
+      multimodal.Curate.appendSignatures(spark, batch, "doc_id", "text", idx)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[steady] indexed batch $i/$n rows=$rows time=$dt%.3f s " +
+        f"gc_ms=${gcMillis() - gc0} " +
+        f"tracked=${graft.engine.Caches.trackedCount} " +
+        f"storedRdds=${spark.sparkContext.getPersistentRDDs.size}")
+      dt
+    }
+    summarize("indexed(verdict+commit)", idxTimes)
     spark.stop()
   }
 }

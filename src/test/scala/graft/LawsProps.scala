@@ -2046,4 +2046,66 @@ object LawsProps extends Properties("graft.laws") {
         got == want
       } finally q.stop()
     }
+
+  property("appendManifestIndexed: equals the self-deriving append on ANY corpus/batch") =
+    forAll(
+      Gen.listOfN(12, Gen.chooseNum(3, 7).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("alpha", "beta", "gamma", "delta")))),
+      Gen.choose(3, 5)) { (docsRaw, nBatch) =>
+      // small vocab + short docs ⇒ real exact dups and jaccard pairs;
+      // consecutive ids ⇒ real fixture media edges (spreadBits hamming)
+      val docs = docsRaw.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val corpus = docs.take(docs.size - nBatch).toDF("doc_id", "text")
+      val batch = docs.drop(docs.size - nBatch).toDF("doc_id", "text")
+      val idx = java.nio.file.Files.createTempDirectory("graft_sigidxlaw")
+        .toString + "/index"
+      graft.multimodal.Curate.buildSignatureIndex(spark, corpus,
+        "doc_id", "text", idx)
+      val viaIndex = graft.multimodal.Curate.appendManifestIndexed(
+          spark, idx, batch, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      val inline = graft.multimodal.Curate.appendManifest(
+          spark, corpus, batch, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      graft.engine.Caches.releaseAll()
+      viaIndex == inline
+    }
+
+  property("ivfAdcRerankTopK: exact cosine ranking over the ADC shortlist on ANY corpus") =
+    forAll(Gen.listOfN(16,
+      Gen.listOfN(4, Gen.choose(-4, 4).map(_.toFloat)))) { vecsRaw0 =>
+      // pin a nonzero query vector (id 0) — a zero-norm query has no
+      // cosine direction and the operators refuse it by contract
+      val vecsRaw = Seq(Seq(1f, 2f, -1f, 3f)) ++ vecsRaw0.drop(1)
+      val emb = vecsRaw.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val (k, shortlist) = (4, 8)
+      val short = graft.vector.Similarity.ivfAdcTopK(emb, "vec_id",
+          "embedding", 0L, shortlist, nCentroids = 4, nProbe = 2,
+          nSub = 2, nCodes = 8)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      graft.engine.Caches.releaseAll()
+      val got = graft.vector.Similarity.ivfAdcRerankTopK(emb, "vec_id",
+          "embedding", 0L, k, shortlist, nCentroids = 4, nProbe = 2,
+          nSub = 2, nCodes = 8)
+        .as[(Long, Double)].collect().map(_._1).toSeq
+      graft.engine.Caches.releaseAll()
+      def dot(a: Seq[Float], b: Seq[Float]): Double =
+        a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+          s + x.toDouble * y.toDouble }
+      val q = vecsRaw.head
+      val want = vecsRaw.zipWithIndex.drop(1)
+        .filter { case (v, i) => short(i.toLong) && dot(v, v) > 0 }
+        .map { case (v, i) =>
+          (math.rint(dot(v, q) / (math.sqrt(dot(v, v)) * math.sqrt(dot(q, q)))
+            * 1e6) / 1e6, i.toLong) }
+        .sortBy { case (c, id) => (-c, id) }.take(k).map(_._2)
+      // zero-norm shortlist members: cosine NaN — the engine's round()
+      // keeps NaN which sorts ABOVE all doubles in Spark's desc order;
+      // exclude such corpora rather than encode that corner as a law
+      val anyZero = vecsRaw.zipWithIndex.drop(1)
+        .exists { case (v, i) => short(i.toLong) && dot(v, v) == 0 }
+      anyZero || got == want
+    }
 }
