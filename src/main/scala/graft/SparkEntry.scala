@@ -529,6 +529,18 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
     }),
 
+    "q210_rerank_join" -> ((s, dir) => {
+      // the batch form of q208: every query's exact-cosine top-k over
+      // its ADC shortlist in ONE plan — code probe winnows, raw
+      // vectors load only for (batch × shortlist) rows, per-query
+      // window ranks. Must equal three independent q208-style reranks
+      // (oracle splices the single-query chains).
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfAdcProbeRerankJoin(s, ivfAdcIndexFor(s, dir), emb,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", 10,
+        shortlist = 100, idName = "vec_id")
+    }),
+
     "q208_adc_rerank" -> ((s, dir) => {
       // IVFADC + exact re-rank (Jégou et al. §III-C refinement): the
       // persisted-index code probe shortlists 100, raw vectors load
@@ -5127,6 +5139,13 @@ object SparkEntry {
 
     "q208_adc_rerank" -> adcRerankOracleSql(queryId = 0L, k = 10,
       shortlist = 100),
+
+    "q210_rerank_join" ->
+      (0L to 2L).map(qid =>
+          s"SELECT $qid AS query_id, vec_id, cos_sim FROM (\n" +
+            s"${adcRerankOracleSql(queryId = qid, k = 10, shortlist = 100)}\n)")
+        .mkString("", "\nUNION ALL\n",
+          "\nORDER BY query_id, cos_sim DESC, vec_id"),
 
     "q204_semantic_clusters" ->
       s"""WITH RECURSIVE ${hashedTfidfCte(64)},

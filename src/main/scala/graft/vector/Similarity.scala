@@ -1439,6 +1439,47 @@ object Similarity {
         round(col("_adc").cast("double"), 6).as("adc_dist"))
   }
 
+  /** The batch (JOIN) form of [[ivfAdcProbeRerankById]]: every query
+    * vector's top-k corpus neighbours by EXACT cosine over its ADC
+    * shortlist, in one distributed plan — [[ivfAdcProbeJoin]] widened
+    * to `shortlist` per query, then one shuffle-hash join of the
+    * (batch × shortlist)-row candidate set against the corpus raw
+    * vectors and one per-query top-k window. Per-query rows identical
+    * to the single-query rerank (same arithmetic, same ties; the q210
+    * oracle splices three single-query rerank chains). `corpus` is the
+    * raw source table the index was built from — the index itself
+    * stores codes only, and this operator touches raw vectors ONLY for
+    * shortlist members, which is the entire point of the two-stage
+    * shape at 100 TB: the code probe does the winnowing, the expensive
+    * full-dimension reads are (batch × shortlist)-bounded.
+    */
+  def ivfAdcProbeRerankJoin(spark: SparkSession, indexPath: String,
+                            corpus: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String, k: Int,
+                            shortlist: Int = 100, nProbe: Int = 4,
+                            idName: String = "id",
+                            maxCandidates: Long = graft.ops.GuardBounds.ProbeJoinMaxCandidates): DataFrame = {
+    require(shortlist >= k,
+      s"shortlist ($shortlist) must be >= k ($k)")
+    val short = ivfAdcProbeJoin(spark, indexPath, queries, idCol, vecCol,
+        shortlist, nProbe, idName, maxCandidates)
+      .select(col("query_id"), col(idName))
+    val cv = corpus.select(col(idCol).cast("long").as(idName),
+      col(vecCol).as("_cv"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("_qv"))
+    val perQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+    short
+      .join(cv.hint("shuffle_hash"), Seq(idName))
+      .join(qv.hint("shuffle_hash"), Seq("query_id"))
+      .withColumn("cos_sim", round(cosine(col("_cv"), col("_qv")), 6))
+      .withColumn("_rk", row_number().over(
+        perQuery.orderBy(col("cos_sim").desc, col(idName).asc)))
+      .filter(col("_rk") <= k)
+      .select(col("query_id"), col(idName), col("cos_sim"))
+  }
+
   /** PQ reconstruction from a persisted IVFADC index: each vector's
     * approximation is its per-subspace codewords concatenated in
     * subspace order — `(id, v)` with reconstruction error bounded by

@@ -2047,6 +2047,37 @@ object LawsProps extends Properties("graft.laws") {
       } finally q.stop()
     }
 
+  property("ivfAdcProbeRerankJoin: equals per-query rerank on ANY corpus") =
+    forAll(
+      Gen.listOfN(24, Gen.listOfN(4, Gen.choose(-4, 4).map(_.toFloat))),
+      Gen.listOfN(3, Gen.choose(0, 23))) { (vecsRaw, queryIdx) =>
+      import org.apache.spark.sql.functions.col
+      val emb = vecsRaw.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val idx = java.nio.file.Files.createTempDirectory("graft_rrjlaw")
+        .toString + "/index"
+      graft.vector.Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding",
+        idx, nCentroids = 4, nSub = 2, nCodes = 8)
+      graft.engine.Caches.releaseAll()
+      val qids = queryIdx.map(_.toLong).distinct
+        .filter(q => vecsRaw(q.toInt).exists(_ != 0.0f))
+      val batch = emb.filter(col("vec_id").isin(qids: _*))
+      val joined = graft.vector.Similarity.ivfAdcProbeRerankJoin(
+          spark, idx, emb, batch, "vec_id", "embedding", 4,
+          shortlist = 8, nProbe = 2, idName = "vec_id")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+      val solo = qids.map { q =>
+        q -> graft.vector.Similarity.ivfAdcProbeRerankById(
+          spark, idx, emb, "vec_id", "embedding", q, 4,
+          shortlist = 8, nProbe = 2)
+          .as[(Long, Double)].collect().toSet
+      }.toMap
+      graft.engine.Caches.releaseAll()
+      qids.forall(q =>
+        joined.getOrElse(q, Set.empty) == solo.getOrElse(q, Set.empty))
+    }
+
   property("appendManifestIndexed: equals the self-deriving append on ANY corpus/batch") =
     forAll(
       Gen.listOfN(12, Gen.chooseNum(3, 7).flatMap(len =>
