@@ -541,6 +541,48 @@ object SparkEntry {
         shortlist = 100, idName = "vec_id")
     }),
 
+    "q211_dsir_weights" -> ((s, dir) => {
+      // DSIR (Xie et al., NeurIPS 2023): per-doc importance
+      // log-weight of the raw corpus against the English slice as
+      // the target feature distribution — hashed unigram+bigram
+      // features (dim=64, the q33 md5 bucket convention), add-1
+      // smoothing both sides; one corpus shuffle to (doc, bucket)
+      // counts + two dim-bounded broadcast joins.
+      text.Curation.dsirLogWeights(t(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en", 64)
+    }),
+
+    "q212_dsir_resample" -> ((s, dir) => {
+      // DSIR §2.2's resampling step: Gumbel-top-k over the q211
+      // log-weights — weighted sampling without replacement done
+      // entirely in log space (exp(logW) never materializes), keys
+      // from the reproducible q96 hash uniform, top-k is a
+      // TakeOrderedAndProject. Oracle splices the q211 chain.
+      text.Curation.gumbelTopK(
+        text.Curation.dsirLogWeights(t(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en", 64),
+        "doc_id", col("log_weight"), 25)
+    }),
+
+    "q213_repetition_rules" -> ((s, dir) => {
+      // Gopher's within-document repetition family (Rae et al. 2021
+      // Table A1, the half q178 left out): dup-line, dup-line-chars,
+      // top-bigram and dup-5gram char fractions as exact integer
+      // verdicts — ZERO shuffles, every counter a fold over the doc's
+      // own sorted line/shingle arrays
+      text.Curation.repetitionRules(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "q214_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style quality scoring (Wenzek et al. 2020): add-1 bigram
+      // LM trained on the English slice, per-doc average negative
+      // log-likelihood — the conditional-fluency complement to q211's
+      // DSIR distribution ratio
+      text.Curation.lmPerplexity(t(s, dir, "documents"),
+        "doc_id", "text", col("lang") === "en").orderBy("doc_id")
+    }),
+
     "q208_adc_rerank" -> ((s, dir) => {
       // IVFADC + exact re-rank (Jégou et al. §III-C refinement): the
       // persisted-index code probe shortlists 100, raw vectors load
@@ -2787,6 +2829,53 @@ object SparkEntry {
       |    COUNT(*) AS n_terms,
       |    CAST(SUM(CAST(tf AS DECIMAL(7,0)) * idf) AS DOUBLE) AS weight
       |  FROM tfh JOIN idfh USING (token) GROUP BY 1, 2)""".stripMargin
+
+  /** DSIR chain (q211/q212): hashed unigram+bigram features (the q73
+    * bigram CTE shape incl. the short-doc fallback), dim-bucket raw
+    * and target (lang='en') distributions with add-1 smoothing, each
+    * ln fixed to the 12-dp grid SEPARATELY, llr and the weighted sum
+    * exact decimals — replays [[graft.text.Curation.dsirLogWeights]]
+    * bit-for-bit. Ends with a `dsir(doc_id, n_feats, log_weight)`
+    * block for consumers to select from or splice onto.
+    */
+  private def dsirCte(dim: Int): String =
+    s"""toks AS (
+      |  SELECT doc_id, lang, regexp_split_to_array(
+      |    trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |words AS (
+      |  SELECT doc_id, lang, unnest(w) AS word,
+      |    generate_subscripts(w, 1) AS i FROM toks),
+      |feats AS (
+      |  SELECT doc_id, lang, word AS feat FROM words WHERE word <> ''
+      |  UNION ALL
+      |  SELECT a.doc_id, a.lang, a.word || ' ' || b.word
+      |  FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |  UNION ALL
+      |  SELECT doc_id, lang, array_to_string(w, ' ')
+      |  FROM toks WHERE len(w) < 2 AND array_to_string(w, ' ') <> ''),
+      |fb AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % $dim AS bucket
+      |  FROM feats),
+      |perdoc AS (SELECT doc_id, bucket, COUNT(*) AS c FROM fb GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT bucket, COUNT(*) AS c_raw,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+      |  FROM fb GROUP BY 1),
+      |tot AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM dist),
+      |llr AS (
+      |  SELECT bucket,
+      |    CAST(ROUND(ln((c_tgt + 1) / CAST(t_tgt + $dim AS DOUBLE)), 12)
+      |        AS DECIMAL(16,12))
+      |      - CAST(ROUND(ln((c_raw + 1) / CAST(t_raw + $dim AS DOUBLE)), 12)
+      |        AS DECIMAL(16,12)) AS llr
+      |  FROM dist, tot),
+      |dsir AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+      |    ROUND(CAST(SUM(CAST(c AS DECIMAL(7,0)) * llr) AS DOUBLE), 6)
+      |      AS log_weight
+      |  FROM perdoc JOIN llr USING (bucket) GROUP BY doc_id)""".stripMargin
 
   private def dupSpanCte: String =
     s"""$posGramCte,
@@ -5146,6 +5235,129 @@ object SparkEntry {
             s"${adcRerankOracleSql(queryId = qid, k = 10, shortlist = 100)}\n)")
         .mkString("", "\nUNION ALL\n",
           "\nORDER BY query_id, cos_sim DESC, vec_id"),
+
+    "q211_dsir_weights" ->
+      s"""WITH ${dsirCte(64)}
+        |SELECT doc_id, n_feats, log_weight FROM dsir
+        |ORDER BY doc_id""".stripMargin,
+
+    // mirrors Curation.repetitionRules: dup counting = occurrences
+    // beyond first per (doc, line/gram) group; top bigram resolves
+    // count ties to the lexicographically smallest gram; verdicts are
+    // the same exact integer inequalities
+    "q213_repetition_rules" ->
+      """WITH tk AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS total_chars,
+        |    regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, x AS line FROM (
+        |    SELECT doc_id, unnest(string_split(text, chr(10))) AS x
+        |    FROM documents) WHERE x <> ''),
+        |nl AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY 1),
+        |lcounts AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY 1, 2),
+        |ld AS (
+        |  SELECT doc_id, CAST(SUM(c - 1) AS BIGINT) AS dup_lines,
+        |    CAST(SUM((c - 1) * length(line)) AS BIGINT) AS dup_line_chars
+        |  FROM lcounts GROUP BY 1),
+        |words AS (
+        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tk),
+        |g2 AS (
+        |  SELECT a.doc_id, a.word || ' ' || b.word AS g
+        |  FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(w, ' ') FROM tk WHERE len(w) < 2),
+        |g2c AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        |top2 AS (
+        |  SELECT doc_id, g AS top_bigram, CAST(c AS BIGINT) AS top_bigram_n,
+        |    CAST(c * length(g) AS BIGINT) AS top_bigram_chars
+        |  FROM g2c
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1),
+        |g5 AS (
+        |  SELECT a.doc_id,
+        |    a.word || ' ' || b.word || ' ' || c.word || ' ' || d.word || ' ' || e.word AS g
+        |  FROM words a
+        |  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        |  JOIN words d ON d.doc_id = a.doc_id AND d.i = a.i + 3
+        |  JOIN words e ON e.doc_id = a.doc_id AND e.i = a.i + 4
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(w, ' ') FROM tk WHERE len(w) < 5),
+        |g5c AS (SELECT doc_id, g, COUNT(*) AS c FROM g5 GROUP BY 1, 2),
+        |g5d AS (
+        |  SELECT doc_id, CAST(SUM((c - 1) * length(g)) AS BIGINT) AS dup_5gram_chars
+        |  FROM g5c GROUP BY 1),
+        |rep AS (
+        |  SELECT t.doc_id, t.total_chars,
+        |    COALESCE(nl.n_lines, 0) AS n_lines,
+        |    COALESCE(ld.dup_lines, 0) AS dup_lines,
+        |    COALESCE(ld.dup_line_chars, 0) AS dup_line_chars,
+        |    top2.top_bigram, top2.top_bigram_n, top2.top_bigram_chars,
+        |    COALESCE(g5d.dup_5gram_chars, 0) AS dup_5gram_chars
+        |  FROM tk t
+        |  LEFT JOIN nl ON nl.doc_id = t.doc_id
+        |  LEFT JOIN ld ON ld.doc_id = t.doc_id
+        |  LEFT JOIN top2 ON top2.doc_id = t.doc_id
+        |  LEFT JOIN g5d ON g5d.doc_id = t.doc_id)
+        |SELECT doc_id, total_chars, n_lines, dup_lines, dup_line_chars,
+        |  top_bigram, top_bigram_n, top_bigram_chars, dup_5gram_chars,
+        |  10 * dup_lines <= 3 * n_lines AS dup_line_ok,
+        |  5 * dup_line_chars <= total_chars AS dup_line_char_ok,
+        |  5 * top_bigram_chars <= total_chars AS top_bigram_ok,
+        |  20 * dup_5gram_chars <= 3 * total_chars AS dup_5gram_ok,
+        |  (10 * dup_lines <= 3 * n_lines) AND (5 * dup_line_chars <= total_chars)
+        |    AND (5 * top_bigram_chars <= total_chars)
+        |    AND (20 * dup_5gram_chars <= 3 * total_chars) AS keep
+        |FROM rep ORDER BY doc_id""".stripMargin,
+
+    // mirrors Curation.lmPerplexity: add-1 bigram LM on the en slice,
+    // V = distinct en unigrams + 1, each ln fixed to the 12-dp grid,
+    // exact decimal weighted sum, negate/divide/round at presentation
+    "q214_lm_perplexity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, lang, unnest(w) AS word,
+        |    generate_subscripts(w, 1) AS i FROM tk),
+        |vocab AS (
+        |  SELECT COUNT(DISTINCT word) + 1 AS v FROM words WHERE lang = 'en'),
+        |bi AS (
+        |  SELECT a.doc_id, a.lang, a.word AS p, a.word || ' ' || b.word AS g
+        |  FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |lm AS (SELECT g, COUNT(*) AS c_pw FROM bi WHERE lang = 'en' GROUP BY 1),
+        |pcnt AS (SELECT p, COUNT(*) AS c_p FROM bi WHERE lang = 'en' GROUP BY 1),
+        |pd AS (SELECT doc_id, p, g, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT pd.doc_id, pd.c,
+        |    CAST(ROUND(ln((COALESCE(lm.c_pw, 0) + 1)
+        |        / CAST(COALESCE(pcnt.c_p, 0) + vc.v AS DOUBLE)), 12)
+        |      AS DECIMAL(16,12)) AS lnp
+        |  FROM pd LEFT JOIN lm USING (g) LEFT JOIN pcnt USING (p)
+        |  CROSS JOIN vocab vc)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+        |  ROUND(-CAST(SUM(CAST(c AS DECIMAL(7,0)) * lnp) AS DOUBLE) / SUM(c), 6)
+        |    AS avg_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q184's hash→uniform chain with the Gumbel-key ranking on top of
+    // the spliced q211 weights
+    "q212_dsir_resample" ->
+      s"""WITH ${dsirCte(64)},
+        |keyed AS (
+        |  SELECT doc_id, log_weight,
+        |    ROUND(log_weight - ln(-ln(
+        |      (((doc_id % 1000000007) * 2654435761) % 1000000007 + 1)
+        |        / CAST(1000000008 AS DOUBLE))), 12) AS gumbel_key
+        |  FROM dsir),
+        |top AS (
+        |  SELECT doc_id, log_weight, gumbel_key
+        |  FROM keyed ORDER BY gumbel_key DESC, doc_id ASC LIMIT 25)
+        |SELECT doc_id, log_weight, gumbel_key,
+        |  CAST(row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC)
+        |    AS INT) AS sample_rank
+        |FROM top ORDER BY sample_rank""".stripMargin,
 
     "q204_semantic_clusters" ->
       s"""WITH RECURSIVE ${hashedTfidfCte(64)},

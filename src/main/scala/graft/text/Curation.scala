@@ -819,4 +819,237 @@ object Curation {
         Window.partitionBy(substring_index(col("bigram"), " ", 1))), 6))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(topK)
+
+  /** DSIR importance log-weights (Xie, Santurkar, Ma & Liang, "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023, §2): score every raw document by how much more
+    * likely its hashed n-gram features are under a TARGET feature
+    * distribution (the `targetPred` slice — a trusted high-quality
+    * reference) than under the raw-corpus distribution:
+    *
+    *   log w(x) = Σ_b c_x(b) · (ln p_tgt(b) − ln p_raw(b))
+    *
+    * with features = unigrams ++ word bigrams (the paper's feature
+    * set) hashed into `dim` buckets via the engine-portable md5
+    * convention shared with [[TextStats.hashedTfidf]], and add-1
+    * smoothing over the `dim`-bucket domain on both sides (so unseen
+    * buckets carry a finite penalty, not −∞). A null `targetPred`
+    * counts to raw only — the doc still scores, it just isn't part
+    * of the reference slice.
+    *
+    * Scale shape — the part that matters at 100 TB: ONE
+    * feature-explode shuffle to (doc, bucket) counts; both feature
+    * distributions are `dim`-bounded aggregates BROADCAST back onto
+    * the per-doc counts, so the corpus shuffles once and nothing
+    * distribution-sized ever moves again. Each ln is fixed to the
+    * 12-dp grid separately, the log-likelihood-ratio difference and
+    * the weighted sum are exact decimals — the per-doc weight is
+    * partition-order-independent and the DuckDB oracle replays it
+    * bit-for-bit. Returns `(doc_id, n_feats, log_weight)`.
+    */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+                     targetPred: Column, dim: Int = 64): DataFrame = {
+    require(dim >= 2 && dim <= 65536, s"dim must be in [2, 65536], got $dim")
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("_t"), targetPred.as("_tgt"))
+    val toks = TextStats.tokens(col("_t"))
+    val feats = docs
+      .select(col("doc_id"), col("_tgt"),
+        explode(concat(toks, Dedup.shinglesOfTokens(toks, 2))).as("feat"))
+      .filter(col("feat") =!= "")
+      .select(col("doc_id"), col("_tgt"),
+        (conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long")
+          % lit(dim.toLong)).as("bucket"))
+    val perDoc = feats.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    // dim-bounded: the ONLY state besides the one (doc, bucket) shuffle
+    val dist = feats.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("_tgt"), lit(1L)).otherwise(lit(0L))).as("c_tgt"))
+    val totals = dist.agg(sum(col("c_raw")).as("t_raw"),
+      sum(col("c_tgt")).as("t_tgt"))
+    val llr = dist.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (round(log((col("c_tgt") + lit(1L)).cast("double") /
+            (col("t_tgt") + lit(dim.toLong)).cast("double")), 12)
+            .cast(DecimalType(16, 12)) -
+          round(log((col("c_raw") + lit(1L)).cast("double") /
+            (col("t_raw") + lit(dim.toLong)).cast("double")), 12)
+            .cast(DecimalType(16, 12))).as("_llr"))
+    perDoc.join(broadcast(llr), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_feats"),
+        round(sum(col("c").cast(DecimalType(7, 0)) * col("_llr"))
+          .cast("double"), 6).as("log_weight"))
+  }
+
+  /** Gumbel-top-k weighted sampling WITHOUT replacement in log space —
+    * the resampling draw DSIR §2.2 pairs with [[dsirLogWeights]]:
+    * key = logW + g with g = −ln(−ln u) and u the reproducible q96
+    * multiplicative id-hash mapped into (0, 1); the k LARGEST keys are
+    * the sample. Distributionally the Gumbel-max draw equals
+    * [[weightedSample]]'s exponential-key draw, but it consumes the
+    * weight as a LOG — numerically safe when log-weights span hundreds
+    * of nats, where exp(logW) would flush a double to 0/∞.
+    *
+    * `gumbel_key` fixes to the 12-dp grid before ranking (two nested
+    * ln calls — the one transcendental here); ties resolve by id.
+    * Plan/scale: map-only key fused into the scan, top-k is a
+    * TakeOrderedAndProject (k per partition, merge k — never a global
+    * sort), rank windows over the already-cut k rows.
+    */
+  def gumbelTopK(df: DataFrame, idCol: String, logWeightCol: Column,
+                 k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val p = 1000000007L
+    val h = pmod(pmod(col(idCol).cast("long"), lit(p)) * lit(2654435761L),
+      lit(p))
+    val u = (h + lit(1L)).cast("double") / lit((p + 1).toDouble)
+    val key = round(logWeightCol.cast("double") - log(-log(u)), 12)
+    val wRank = Window.orderBy(col("gumbel_key").desc, col(idCol).asc)
+    df.filter(logWeightCol.isNotNull)
+      .select(col(idCol), logWeightCol.cast("double").as("log_weight"),
+        key.as("gumbel_key"))
+      .orderBy(col("gumbel_key").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("sample_rank", row_number().over(wRank))
+  }
+
+  /** Gopher REPETITION rules (Rae et al. 2021, Table A1's second
+    * half — the within-document repetition family [[gopherFilter]]
+    * deliberately left out): a document is machine-generated spam when
+    * too much of it is the same line / n-gram over and over.
+    *
+    *   - dup_line:        repeated-line occurrences (beyond each
+    *                      line's first) ≤ 30% of lines
+    *   - dup_line_chars:  characters in those repeats ≤ 20% of chars
+    *   - top_bigram:      chars covered by the single most frequent
+    *                      word bigram ≤ 20% of chars
+    *   - dup_5gram:       chars in repeated 5-gram occurrences
+    *                      (beyond first) ≤ 15% of chars
+    *
+    * All verdicts are EXACT integer inequalities (the
+    * [[gopherFilter]] discipline — 10·dup ≤ 3·n, never a float
+    * threshold), so the DuckDB oracle replays them bit-for-bit.
+    *
+    * Scale shape: ZERO shuffles. Every counter is a fold over the
+    * doc's own sorted line/shingle array (duplicate counting on a
+    * sorted array is adjacent-equality), so the whole operator is one
+    * map-only projection fused into the scan — per-row state is
+    * doc-sized, nothing is exchanged. The top-bigram scan keeps the
+    * LEXICOGRAPHICALLY FIRST gram among count ties (sorted order makes
+    * that the first run encountered, so strict `>` suffices).
+    */
+  def repetitionRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(TextStats.tokens(col(textCol)), t => t =!= lit(""))
+    val lines = array_sort(filter(split(col(textCol), "\n", -1),
+      l => l =!= lit("")))
+    val g2 = array_sort(Dedup.shinglesOfTokens(toks, 2))
+    val g5 = array_sort(Dedup.shinglesOfTokens(toks, 5))
+    // occurrences beyond each element's first, on a sorted array: an
+    // element equal to its predecessor is a repeat (element_at is
+    // 1-based, so index i's predecessor is element_at(a, i))
+    def dupN(a: Column): Column =
+      size(filter(a, (x, i) => i > 0 && x === element_at(a, i))).cast("long")
+    def dupChars(a: Column): Column =
+      aggregate(filter(a, (x, i) => i > 0 && x === element_at(a, i)),
+        lit(0L), (acc, x) => acc + length(x).cast("long"))
+    // single most frequent gram: run-length fold over the sorted array
+    val topInit = struct(lit(null).cast("string").as("p"),
+      lit(0L).as("run"), lit(0L).as("bc"), lit(null).cast("string").as("bg"))
+    def topGram(a: Column): Column =
+      aggregate(a, topInit, (acc, x) => {
+        val run = when(x === acc.getField("p"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("p"), run.as("run"),
+          when(run > acc.getField("bc"), run)
+            .otherwise(acc.getField("bc")).as("bc"),
+          when(run > acc.getField("bc"), x)
+            .otherwise(acc.getField("bg")).as("bg"))
+      })
+    df.select(col(idCol).cast("long").as("doc_id"),
+        length(col(textCol)).cast("long").as("total_chars"),
+        size(lines).cast("long").as("n_lines"),
+        dupN(lines).as("dup_lines"),
+        dupChars(lines).as("dup_line_chars"),
+        topGram(g2).as("_top"),
+        dupChars(g5).as("dup_5gram_chars"))
+      .select(col("doc_id"), col("total_chars"), col("n_lines"),
+        col("dup_lines"), col("dup_line_chars"),
+        col("_top").getField("bg").as("top_bigram"),
+        col("_top").getField("bc").as("top_bigram_n"),
+        (col("_top").getField("bc") *
+          length(col("_top").getField("bg")).cast("long"))
+          .as("top_bigram_chars"),
+        col("dup_5gram_chars"))
+      .withColumn("dup_line_ok",
+        lit(10L) * col("dup_lines") <= lit(3L) * col("n_lines"))
+      .withColumn("dup_line_char_ok",
+        lit(5L) * col("dup_line_chars") <= col("total_chars"))
+      .withColumn("top_bigram_ok",
+        lit(5L) * col("top_bigram_chars") <= col("total_chars"))
+      .withColumn("dup_5gram_ok",
+        lit(20L) * col("dup_5gram_chars") <= lit(3L) * col("total_chars"))
+      .withColumn("keep", col("dup_line_ok") && col("dup_line_char_ok") &&
+        col("top_bigram_ok") && col("dup_5gram_ok"))
+  }
+
+  /** CCNet-style n-gram language-model quality scoring (Wenzek et al.
+    * 2020 §3.3, with a bigram LM in place of KenLM's 5-gram): train an
+    * add-1-smoothed bigram model on the TARGET slice (the trusted
+    * reference text), score every document by its average negative
+    * log-likelihood per bigram event —
+    *
+    *   P(w | p) = (c_tgt(p,w) + 1) / (c_tgt(p·) + V)
+    *   avg_nll(x) = −(1/n_x) Σ events ln P(w | p)
+    *
+    * with V = |distinct target unigrams| + 1 (one UNK type). LOW
+    * avg_nll ≈ fluent under the reference distribution; the CCNet
+    * head/middle/tail split is a quantile cut over this column.
+    * Complements [[dsirLogWeights]]: DSIR scores docs against a target
+    * unigram+bigram HASHED distribution ratio, this scores fluency
+    * under a CONDITIONAL model — the two disagree exactly on docs made
+    * of common words in uncommon order.
+    *
+    * Scale shape: one corpus shuffle to (doc, bigram) counts, then two
+    * hash joins against the vocab²-bounded LM relations
+    * (`shuffle_hash`-hinted — vocabulary tables are corpus-derived, so
+    * never broadcast, but sort-free hash joins keep them cheap); the
+    * vocab-size scalar V is the only broadcast. Each ln fixes to the
+    * 12-dp grid, the per-doc sum is an exact decimal — the DuckDB
+    * oracle replays the model bit-for-bit. Docs with fewer than two
+    * tokens have no bigram event and drop (the caller's length gate
+    * owns those). Returns `(doc_id, n_bigrams, avg_nll)`.
+    */
+  def lmPerplexity(df: DataFrame, idCol: String, textCol: String,
+                   targetPred: Column): DataFrame = {
+    val docs = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("_t"), targetPred.as("_tgt"))
+    val toks = filter(TextStats.tokens(col("_t")), t => t =!= lit(""))
+    val events = docs.filter(size(toks) >= 2)
+      .select(col("doc_id"), col("_tgt"),
+        explode(Dedup.shinglesOfTokens(toks, 2)).as("g"))
+    val perDoc = events.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("p", substring_index(col("g"), " ", 1))
+    val lmBi = events.filter(col("_tgt")).groupBy(col("g"))
+      .agg(count(lit(1)).as("c_pw"))
+    val lmPref = lmBi.groupBy(substring_index(col("g"), " ", 1).as("p"))
+      .agg(sum(col("c_pw")).as("c_p"))
+    val vocab = docs.filter(col("_tgt"))
+      .select(explode(toks).as("w"))
+      .agg((countDistinct(col("w")) + lit(1L)).as("v"))
+    perDoc
+      .join(lmBi.hint("shuffle_hash"), Seq("g"), "left")
+      .join(lmPref.hint("shuffle_hash"), Seq("p"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("_lnp",
+        round(log((coalesce(col("c_pw"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c_p"), lit(0L)) + col("v")).cast("double")), 12)
+          .cast(DecimalType(16, 12)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        round(-sum(col("c").cast(DecimalType(7, 0)) * col("_lnp"))
+          .cast("double") / sum(col("c")), 6).as("avg_nll"))
+  }
 }

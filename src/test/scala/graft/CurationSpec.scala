@@ -511,4 +511,115 @@ class CurationSpec extends AnyFunSuite {
       assert(rs.map(_._3).sorted.toSeq === (1L to rs.size).toSeq)
     }
   }
+
+  test("dsirLogWeights: disjoint-vocabulary target slice separates the corpus; null pred counts raw-only") {
+    // target docs speak vocabulary A, the rest vocabulary B: every
+    // A-doc's features are upweighted under p_tgt, so every A-doc must
+    // outscore every B-doc (the DSIR separation the paper's Fig. 1
+    // sanity-checks)
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "tgt"),
+      (2L, "beta gamma alpha gamma", "tgt"),
+      (3L, "delta epsilon zeta delta", "raw"),
+      (4L, "epsilon zeta delta zeta epsilon", "raw"),
+      (5L, "zeta delta epsilon", null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "slice")
+    val out = Curation.dsirLogWeights(docs, "doc_id", "text",
+        col("slice") === "tgt", 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out.size === 5) // null-pred doc 5 still scores
+    val tgtMin = Seq(1L, 2L).map(out).min
+    val rawMax = Seq(3L, 4L, 5L).map(out).max
+    assert(tgtMin > rawMax,
+      s"target docs must outscore raw-only docs: $out")
+    // n_feats = unigrams + bigrams: doc 1 has 5 tokens -> 5 + 4 = 9
+    val nf = Curation.dsirLogWeights(docs, "doc_id", "text",
+        col("slice") === "tgt", 64)
+      .filter(col("doc_id") === 1L).select("n_feats").as[Long].head()
+    assert(nf === 9L)
+  }
+
+  test("repetitionRules: dup lines, top bigram (tie→lexicographic), dup 5-grams, exact verdicts") {
+    val docs = Seq(
+      // one line, top bigram "aa bb" ×3 (of 5 bigrams), no dup 5-grams
+      (1L, "aa bb aa bb aa bb"),
+      // 5 lines: x×3, y×2 → 3 repeats beyond first, 3 repeat chars;
+      // bigram tie "x y"=2 vs "y x"=2 → lexicographically smaller wins
+      (2L, "x\ny\nx\ny\nx"),
+      // single token: bigram/5-gram fall back to the whole doc
+      (3L, "hello")
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionRules(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("total_chars") === 17L)
+    assert(r1.getAs[Long]("n_lines") === 1L)
+    assert(r1.getAs[Long]("dup_lines") === 0L)
+    assert(r1.getAs[String]("top_bigram") === "aa bb")
+    assert(r1.getAs[Long]("top_bigram_n") === 3L)
+    assert(r1.getAs[Long]("top_bigram_chars") === 15L)
+    assert(r1.getAs[Long]("dup_5gram_chars") === 0L)
+    // 5*15 > 17 → top-bigram rule fails, everything else passes
+    assert(!r1.getAs[Boolean]("top_bigram_ok"))
+    assert(r1.getAs[Boolean]("dup_line_ok") &&
+      r1.getAs[Boolean]("dup_line_char_ok") && r1.getAs[Boolean]("dup_5gram_ok"))
+    assert(!r1.getAs[Boolean]("keep"))
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_lines") === 5L)
+    assert(r2.getAs[Long]("dup_lines") === 3L)
+    assert(r2.getAs[Long]("dup_line_chars") === 3L)
+    assert(r2.getAs[String]("top_bigram") === "x y")
+    assert(r2.getAs[Long]("top_bigram_n") === 2L)
+    // 10*3 > 3*5 → dup-line rule fails
+    assert(!r2.getAs[Boolean]("dup_line_ok") && !r2.getAs[Boolean]("keep"))
+    val r3 = out(2)
+    assert(r3.getAs[String]("top_bigram") === "hello")
+    assert(r3.getAs[Long]("top_bigram_n") === 1L)
+    assert(r3.getAs[Long]("top_bigram_chars") === 5L)
+    // 5*5 > 5 chars → the fallback "bigram" is the whole doc, fails
+    assert(!r3.getAs[Boolean]("top_bigram_ok"))
+  }
+
+  test("lmPerplexity: add-1 bigram LM on the target slice, OOV smoothing, <2-token docs drop") {
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq(
+      (1L, "a b a", "en"),   // LM: "a b"×2 (with doc 2), "b a"×1
+      (2L, "a b", "en"),
+      (3L, "b c", "xx"),     // OOV bigram, known prefix b (c_p=1)
+      (4L, "z", "xx")        // single token: no bigram event → drops
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.lmPerplexity(docs, "doc_id", "text",
+        col("lang") === "en")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // V = |{a, b}| + 1 = 3; prefix counts: a→2, b→1
+    val lnAB = r12(math.log(3.0 / 5.0))  // (2+1)/(2+3)
+    val lnBA = r12(math.log(2.0 / 4.0))  // (1+1)/(1+3)
+    val lnBC = r12(math.log(1.0 / 4.0))  // (0+1)/(1+3)
+    assert(out(0) === ((1L, 2L, r6((-(lnAB + lnBA)).toDouble / 2))))
+    assert(out(1) === ((2L, 1L, r6((-lnAB).toDouble / 1))))
+    assert(out(2) === ((3L, 1L, r6((-lnBC).toDouble / 1))))
+  }
+
+  test("gumbelTopK: matches the driver-side closed form; nulls drop; k caps at n") {
+    val rows = Seq((1L, -2.5), (2L, 0.0), (3L, 3.25), (4L, -1.0))
+    val df = rows.toDF("doc_id", "lw")
+      .union(Seq((5L, null.asInstanceOf[java.lang.Double]))
+        .toDF("doc_id", "lw"))
+    val p = 1000000007L
+    def key(id: Long, lw: Double) = {
+      val u = (((id % p) * 2654435761L % p) + 1).toDouble / (p + 1)
+      BigDecimal(lw - math.log(-math.log(u)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = rows.map { case (id, lw) => (id, lw, key(id, lw)) }
+      .sortBy { case (id, _, k) => (-k, id) }
+      .zipWithIndex.map { case ((id, lw, k), i) => (id, lw, k, i + 1) }
+    val out = Curation.gumbelTopK(df, "doc_id", col("lw"), 10)
+      .as[(Long, Double, Double, Int)].collect()
+    assert(out.toSeq === expect) // null row dropped, 4 rows though k=10
+  }
 }

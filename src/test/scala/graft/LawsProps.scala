@@ -2139,4 +2139,164 @@ object LawsProps extends Properties("graft.laws") {
         .exists { case (v, i) => short(i.toLong) && dot(v, v) == 0 }
       anyZero || got == want
     }
+
+  property("gumbelTopK: equals the driver closed form on ANY weights") =
+    forAll(
+      Gen.listOfN(12, Gen.zip(Gen.choose(0L, 500L),
+        Gen.choose(-50.0, 50.0))),
+      Gen.choose(1, 15)) { (rowsRaw, k) =>
+      val rows = rowsRaw.toMap.toList // distinct ids
+      val out = graft.text.Curation.gumbelTopK(
+          rows.toDF("doc_id", "lw"), "doc_id",
+          org.apache.spark.sql.functions.col("lw"), k)
+        .as[(Long, Double, Double, Int)].collect().toSeq
+      val p = 1000000007L
+      def key(id: Long, lw: Double) = {
+        val u = (((id % p) * 2654435761L % p) + 1).toDouble / (p + 1)
+        BigDecimal(lw - math.log(-math.log(u)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val expect = rows.map { case (id, lw) => (id, lw, key(id, lw)) }
+        .sortBy { case (id, _, kk) => (-kk, id) }.take(k)
+        .zipWithIndex.map { case ((id, lw, kk), i) => (id, lw, kk, i + 1) }
+      out == expect
+    }
+
+  property("dsirLogWeights: equals the driver-side DSIR mirror on ANY corpus/slice") =
+    forAll(
+      Gen.listOfN(8, Gen.zip(Gen.choose(0L, 100L),
+        Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "the", "la"))
+          .map(_.take(5)),
+        Gen.oneOf("tgt", "raw", null.asInstanceOf[String]))),
+      Gen.oneOf(2, 16, 64)) { (rowsRaw, dim) =>
+      // distinct ids; text joined with a mix of whitespace the tokenizer
+      // must collapse identically on both sides
+      val rows = rowsRaw.map { case (id, ws, sl) => id -> (ws.mkString("  "), sl) }
+        .toMap.toList.map { case (id, (t, sl)) => (id, t, sl) }
+      val out = graft.text.Curation.dsirLogWeights(
+          rows.toDF("doc_id", "text", "slice"), "doc_id", "text",
+          org.apache.spark.sql.functions.col("slice") === "tgt", dim)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      // driver mirror of the exact pipeline: ws-tokenize, unigrams ++
+      // bigrams (short-doc fallback), md5 bucket, add-1 smoothed lls each
+      // fixed to the 12-dp grid, exact decimal llr and weighted sum
+      def toks(t: String): Seq[String] = {
+        val o = t.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+        if (o.isEmpty) Seq("") else o
+      }
+      def feats(t: String): Seq[String] = {
+        val w = toks(t)
+        val bi = if (w.length < 2) Seq(w.mkString(" "))
+                 else w.sliding(2).map(_.mkString(" ")).toSeq
+        (w ++ bi).filter(_.nonEmpty)
+      }
+      def bucket(f: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(f.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16) % dim
+      }
+      val perDoc = rows.flatMap { case (id, t, _) => feats(t).map(f => (id, bucket(f))) }
+        .groupBy(identity).map { case ((id, b), l) => (id, b, l.size.toLong) }.toSeq
+      val tgtIds = rows.collect { case (id, _, "tgt") => id }.toSet
+      val cRaw = perDoc.groupBy(_._2).map { case (b, l) => b -> l.map(_._3).sum }
+      val cTgt = perDoc.filter(r => tgtIds(r._1)).groupBy(_._2)
+        .map { case (b, l) => b -> l.map(_._3).sum }
+      val tRaw = cRaw.values.sum
+      val tTgt = cTgt.values.sum
+      def ln12(num: Long, den: Long): BigDecimal =
+        BigDecimal(math.log(num.toDouble / den.toDouble))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val llr = cRaw.keys.map { b =>
+        b -> (ln12(cTgt.getOrElse(b, 0L) + 1, tTgt + dim) -
+              ln12(cRaw(b) + 1, tRaw + dim))
+      }.toMap
+      val expect = perDoc.groupBy(_._1).map { case (id, l) =>
+        val lw = l.map { case (_, b, c) => BigDecimal(c) * llr(b) }.sum
+        (id, l.map(_._3).sum,
+          BigDecimal(lw.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }.toSeq.sorted
+      out == expect
+    }
+
+  private val repDocGen: Gen[(Long, String)] = for {
+    id <- Gen.choose(0L, 100L)
+    nLines <- Gen.choose(1, 4)
+    ls <- Gen.listOfN(nLines,
+      Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd")).map(_.take(4)))
+  } yield id -> ls.map(_.mkString(" ")).mkString("\n")
+
+  property("repetitionRules: equals the driver-side mirror on ANY corpus") =
+    forAll(Gen.nonEmptyListOf(repDocGen).map(_.take(6))) { rowsRaw =>
+      val rows = rowsRaw.toMap.toList // distinct ids
+      val out = graft.text.Curation.repetitionRules(
+          rows.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Long, Long, Long, String, Long, Long, Long,
+             Boolean, Boolean, Boolean, Boolean, Boolean)]
+        .collect().toSeq.sortBy(_._1)
+      def dups(xs: Seq[String]): (Long, Long) = {
+        val grouped = xs.groupBy(identity).values
+        (grouped.map(g => (g.size - 1).toLong).sum,
+         grouped.map(g => (g.size - 1).toLong * g.head.length).sum)
+      }
+      val expect = rows.map { case (id, text) =>
+        val totalChars = text.length.toLong
+        val lines = text.split("\n", -1).filter(_.nonEmpty).toSeq
+        val toks = text.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+        def grams(n: Int): Seq[String] =
+          if (toks.length < n) Seq(toks.mkString(" "))
+          else toks.sliding(n).map(_.mkString(" ")).toSeq
+        val (dl, dlc) = dups(lines)
+        val g2 = grams(2)
+        val (topG, topN) = g2.groupBy(identity).map { case (g, l) => (g, l.size) }
+          .toSeq.sortBy { case (g, c) => (-c, g) }.head
+        val topChars = topN.toLong * topG.length
+        val (_, d5c) = dups(grams(5))
+        (id, totalChars, lines.size.toLong, dl, dlc,
+          topG, topN.toLong, topChars, d5c,
+          10 * dl <= 3 * lines.size, 5 * dlc <= totalChars,
+          5 * topChars <= totalChars, 20 * d5c <= 3 * totalChars,
+          10 * dl <= 3 * lines.size && 5 * dlc <= totalChars &&
+            5 * topChars <= totalChars && 20 * d5c <= 3 * totalChars)
+      }.sortBy(_._1)
+      out == expect
+    }
+
+  property("lmPerplexity: equals the driver-side add-1 bigram LM on ANY corpus/slice") =
+    forAll(Gen.listOfN(8, Gen.zip(Gen.choose(0L, 100L),
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.take(5)),
+      Gen.oneOf("tgt", "raw", null.asInstanceOf[String])))) { rowsRaw =>
+      val rows = rowsRaw.map { case (id, ws, sl) => id -> ((ws, sl)) }
+        .toMap.toList.map { case (id, (ws, sl)) => (id, ws, sl) }
+      val out = graft.text.Curation.lmPerplexity(
+          rows.map { case (id, ws, sl) => (id, ws.mkString(" "), sl) }
+            .toDF("doc_id", "text", "slice"),
+          "doc_id", "text", org.apache.spark.sql.functions.col("slice") === "tgt")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      val tgt = rows.filter(_._3 == "tgt")
+      val v = tgt.flatMap(_._2).distinct.size + 1L
+      def bigrams(ws: Seq[String]): Seq[(String, String)] =
+        if (ws.length < 2) Seq.empty
+        else ws.sliding(2).map { case Seq(p, w) => (p, p + " " + w) }.toSeq
+      val lmBi = tgt.flatMap(r => bigrams(r._2)).groupBy(_._2)
+        .map { case (g, l) => g -> l.size.toLong }
+      val lmP = tgt.flatMap(r => bigrams(r._2)).groupBy(_._1)
+        .map { case (p, l) => p -> l.size.toLong }
+      def ln12(num: Long, den: Long): BigDecimal =
+        BigDecimal(math.log(num.toDouble / den.toDouble))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      val expect = rows.flatMap { case (id, ws, _) =>
+        val evs = bigrams(ws)
+        if (evs.isEmpty) None else {
+          val s = evs.groupBy(identity).map { case ((p, g), l) =>
+            BigDecimal(l.size) *
+              ln12(lmBi.getOrElse(g, 0L) + 1, lmP.getOrElse(p, 0L) + v)
+          }.sum
+          Some((id, evs.size.toLong,
+            BigDecimal(-s.toDouble / evs.size)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }.sorted
+      out == expect
+    }
 }

@@ -233,6 +233,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q213: repetition rules are map-only — sorted-array folds, no Exchange") {
+    val docs = Tables.load(spark, dir, "documents")
+    val p = graft.text.Curation.repetitionRules(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("q102: the cms candidate filter runs map-side; only survivors shuffle") {
     val p = plan("q102_heavy_hitters")
     assert(p.contains("cms_estimate"), p)
