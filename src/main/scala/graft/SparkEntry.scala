@@ -583,6 +583,25 @@ object SparkEntry {
         "doc_id", "text", col("lang") === "en").orderBy("doc_id")
     }),
 
+    "q215_line_dedup" -> ((s, dir) => {
+      // C4's boilerplate rule at corpus scope (Raffel et al. 2020
+      // §2.2): a line occurring >= 2 times anywhere in the corpus
+      // survives only at its canonical first (doc_id, pos); blank
+      // lines never participate. One line-keyed shuffle + one
+      // reassembly shuffle — no pair space
+      text.Curation.corpusLineDedup(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id")
+    }),
+
+    "q216_winnow_fingerprints" -> ((s, dir) => {
+      // MOSS winnowing (Schleimer et al. 2003): rightmost-minimal
+      // 3-gram hash per 4-window — the guaranteed-coverage fingerprint
+      // subsample; map-only, selection folds fused into the scan
+      text.TextStats.winnowFingerprints(t(s, dir, "documents"),
+        "doc_id", "text", k = 3, w = 4)
+        .orderBy("doc_id", "pos", "fp")
+    }),
+
     "q208_adc_rerank" -> ((s, dir) => {
       // IVFADC + exact re-rank (Jégou et al. §III-C refinement): the
       // persisted-index code probe shortlists 100, raw vectors load
@@ -5309,6 +5328,72 @@ object SparkEntry {
         |    AND (5 * top_bigram_chars <= total_chars)
         |    AND (20 * dup_5gram_chars <= 3 * total_chars) AS keep
         |FROM rep ORDER BY doc_id""".stripMargin,
+
+    // mirrors Curation.corpusLineDedup: df + canonical-first keeper from
+    // the same line grouping, blank lines always kept, reassembly in
+    // position order (string_agg FILTER drops removed lines with no
+    // separator residue, exactly like the array_join of kept structs)
+    "q215_line_dedup" ->
+      """WITH lns AS (
+        |  SELECT doc_id, i - 1 AS pos, line FROM (
+        |    SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+        |      generate_subscripts(string_split(text, chr(10)), 1) AS i
+        |    FROM documents)),
+        |active AS (SELECT * FROM lns WHERE trim(line) <> ''),
+        |cnt AS (SELECT line, COUNT(*) AS df FROM active GROUP BY 1),
+        |keeper AS (
+        |  SELECT line, doc_id AS kdoc, pos AS kpos FROM active
+        |  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1),
+        |judged AS (
+        |  SELECT a.doc_id, a.pos, a.line,
+        |    (c.df < 2 OR (k.kdoc = a.doc_id AND k.kpos = a.pos)) AS keep
+        |  FROM active a JOIN cnt c USING (line) JOIN keeper k USING (line)),
+        |allv AS (
+        |  SELECT doc_id, pos, line, keep FROM judged
+        |  UNION ALL
+        |  SELECT doc_id, pos, line, TRUE FROM lns WHERE trim(line) = '')
+        |SELECT doc_id,
+        |  COALESCE(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE keep), '') AS text_clean,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM allv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextStats.winnowFingerprints: positional 3-gram md5
+    // hashes, window starts 0..n-4 (one whole-doc window when shorter),
+    // rightmost minimum via (h ASC, pos DESC) rank, distinct selections
+    "q216_winnow_fingerprints" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tk),
+        |g3 AS (
+        |  SELECT a.doc_id, CAST(a.i - 1 AS BIGINT) AS pos,
+        |    a.word || ' ' || b.word || ' ' || c.word AS g
+        |  FROM words a
+        |  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        |  UNION ALL
+        |  SELECT doc_id, 0, array_to_string(w, ' ') FROM tk WHERE len(w) < 3),
+        |h3 AS (
+        |  SELECT doc_id, pos, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h
+        |  FROM g3),
+        |n3 AS (SELECT doc_id, MAX(pos) + 1 AS n FROM h3 GROUP BY 1),
+        |wins AS (
+        |  SELECT h.doc_id, h.pos AS ws FROM h3 h JOIN n3 USING (doc_id)
+        |  WHERE h.pos <= n - 4 OR (n <= 4 AND h.pos = 0)),
+        |cand AS (
+        |  SELECT wi.doc_id, wi.ws, h.pos, h.h FROM wins wi
+        |  JOIN h3 h ON h.doc_id = wi.doc_id
+        |    AND h.pos BETWEEN wi.ws AND wi.ws + 3),
+        |sel AS (
+        |  SELECT doc_id, ws, pos, h FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id, ws
+        |    ORDER BY h ASC, pos DESC) = 1)
+        |SELECT DISTINCT doc_id, pos, h AS fp FROM sel
+        |ORDER BY doc_id, pos, fp""".stripMargin,
 
     // mirrors Curation.lmPerplexity: add-1 bigram LM on the en slice,
     // V = distinct en unigrams + 1, each ln fixed to the 12-dp grid,

@@ -994,6 +994,55 @@ object Curation {
         col("top_bigram_ok") && col("dup_5gram_ok"))
   }
 
+  /** C4-style corpus-level line deduplication (Raffel et al. 2020
+    * §2.2's boilerplate rule, at line granularity): a line occurring
+    * in `minDf`-or-more places across the WHOLE corpus (cookie
+    * banners, nav menus, licence footers) is removed everywhere
+    * except its single canonical first occurrence — smallest
+    * (doc_id, line position) wins, a total order, so the survivor is
+    * deterministic under any partitioning. Blank/whitespace-only
+    * lines never participate (they'd all "duplicate" each other and
+    * the removal would mangle document structure); they are always
+    * kept. Returns one row per doc: the cleaned text plus kept /
+    * removed counters.
+    *
+    * Scale shape: one shuffle keyed on the LINE to count occurrences
+    * and elect the canonical keeper (both from the same aggregate —
+    * min_by rides the count pass), a `shuffle_hash` join back (the
+    * line-stats relation is corpus-derived — never broadcast), and
+    * one shuffle on doc_id to reassemble. No pair space, nothing
+    * driver-sized: the heaviest key is the most-duplicated line,
+    * whose group is count-sized, not corpus-sized.
+    */
+  def corpusLineDedup(df: DataFrame, idCol: String, textCol: String,
+                      minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val lines = df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val active = lines.filter(trim(col("line")) =!= "")
+    val stats = active.groupBy(col("line"))
+      .agg(count(lit(1)).as("_df"),
+        min(struct(col("doc_id"), col("pos"))).as("_keeper"))
+    val judged = active
+      .join(stats.hint("shuffle_hash"), Seq("line"))
+      .select(col("doc_id"), col("pos"), col("line"),
+        (col("_df") < minDf ||
+          (col("_keeper.doc_id") === col("doc_id") &&
+           col("_keeper.pos") === col("pos"))).as("_keep"))
+    // blank lines never carry a verdict: always kept
+    judged
+      .unionByName(lines.filter(trim(col("line")) === "")
+        .withColumn("_keep", lit(true)))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(
+            collect_list(when(col("_keep"),
+              struct(col("pos"), col("line"))))),
+          s => s.getField("line")), "\n").as("text_clean"),
+        count(lit(1)).as("n_lines"),
+        sum(when(!col("_keep"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** CCNet-style n-gram language-model quality scoring (Wenzek et al.
     * 2020 §3.3, with a bigram LM in place of KenLM's 5-gram): train an
     * add-1-smoothed bigram model on the TARGET slice (the trusted

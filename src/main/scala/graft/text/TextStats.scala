@@ -184,6 +184,51 @@ object TextStats {
       (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): hash every token `k`-gram,
+    * slide a window of `w` consecutive hashes, and in each window
+    * select the RIGHTMOST minimal hash (the paper's robust-winnowing
+    * tie rule); the deduplicated (position, hash) selections are the
+    * doc's fingerprint set. Guarantees every `w`-window contributes a
+    * fingerprint (no match of length ≥ w+k−1 tokens is missed) at an
+    * expected density of 2/(w+1) — the position-robust subsample that
+    * plain modulo-selection (0 mod p) cannot guarantee. Documents
+    * shorter than one window winnow their whole gram sequence as a
+    * single window.
+    *
+    * Scale shape: map-only — the gram array, its hash array, and the
+    * per-window argmin folds all stay inside one projection fused into
+    * the scan; per-row state is doc-sized and NOTHING shuffles (the
+    * explode to (doc, pos, fp) rows is pipelined). Hashing uses the
+    * engine-portable md5-prefix convention shared with
+    * [[hashedTfidf]], so the DuckDB oracle replays selection
+    * bit-for-bit. Returns `(doc_id, pos, fp)` sorted within doc.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+    val toks = filter(tokens(col(textCol)), t => t =!= lit(""))
+    val grams = Dedup.shinglesOfTokens(toks, k)
+    val hashes = transform(grams,
+      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
+    val n = size(hashes)
+    // window starts: 0 .. n-w (just [0] when the doc is shorter)
+    val starts = sequence(lit(0), greatest(n - lit(w), lit(0)))
+    val sels = transform(starts, i =>
+      aggregate(sequence(i, least(i + lit(w - 1), n - lit(1))),
+        struct(lit(Long.MaxValue).as("h"), lit(-1).as("p")),
+        (acc, j) => {
+          val h = element_at(hashes, j + 1)
+          // <= not <: equal-minimum resolves to the RIGHTMOST position
+          when(h <= acc.getField("h"), struct(h.as("h"), j.as("p")))
+            .otherwise(acc)
+        }))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(array_distinct(sels)).as("_s"))
+      .select(col("doc_id"), col("_s").getField("p").cast("long").as("pos"),
+        col("_s").getField("h").as("fp"))
+  }
+
   /** Per-group EXACT token-count quantiles — the length-distribution
     * audit of corpus curation (chunk-size budgeting, truncation-loss
     * estimates, outlier-source detection).

@@ -604,6 +604,20 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2) === ((3L, 1L, r6((-lnBC).toDouble / 1))))
   }
 
+  test("corpusLineDedup: canonical first survives, blanks always kept, clean reassembly") {
+    val docs = Seq(
+      (1L, "keep me\nDUP\nunique one"),
+      (2L, "DUP\nother\n\nDUP"),   // DUP at (1,1),(2,0),(2,3) → keeper (1,1)
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = Curation.corpusLineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0) === ((1L, "keep me\nDUP\nunique one", 3L, 0L)))
+    // both of doc 2's DUPs drop (keeper lives in doc 1); the blank stays
+    assert(out(1) === ((2L, "other\n", 4L, 2L)))
+    assert(out(2) === ((3L, "solo", 1L, 0L)))
+  }
+
   test("gumbelTopK: matches the driver-side closed form; nulls drop; k caps at n") {
     val rows = Seq((1L, -2.5), (2L, 0.0), (3L, 3.25), (4L, -1.0))
     val df = rows.toDF("doc_id", "lw")

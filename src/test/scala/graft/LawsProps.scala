@@ -2262,6 +2262,62 @@ object LawsProps extends Properties("graft.laws") {
       out == expect
     }
 
+  property("corpusLineDedup: equals the driver-side canonical-first mirror on ANY corpus") =
+    forAll(Gen.listOfN(6, Gen.zip(Gen.choose(0L, 50L),
+      Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", " ", "")).map(_.take(4))))) {
+      rowsRaw =>
+      val rows = rowsRaw.toMap.toList
+        .map { case (id, ls) => (id, ls.mkString("\n")) }
+      val out = graft.text.Curation.corpusLineDedup(
+          rows.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, String, Long, Long)].collect().toSeq.sorted
+      val lines = rows.flatMap { case (id, text) =>
+        text.split("\n", -1).zipWithIndex.map { case (l, p) => (id, p, l) }
+      }
+      val active = lines.filter(_._3.trim.nonEmpty)
+      val df = active.groupBy(_._3).map { case (l, g) => l -> g.size }
+      val keeper = active.groupBy(_._3)
+        .map { case (l, g) => l -> g.map(r => (r._1, r._2)).min }
+      val expect = rows.map { case (id, text) =>
+        val ls = text.split("\n", -1).zipWithIndex
+        val kept = ls.filter { case (l, p) =>
+          l.trim.isEmpty || df(l) < 2 || keeper(l) == ((id, p)) }
+        (id, kept.map(_._1).mkString("\n"), ls.length.toLong,
+          (ls.length - kept.length).toLong)
+      }.sorted
+      out == expect
+    }
+
+  property("winnowFingerprints: equals the driver-side mirror on ANY corpus/k/w") =
+    forAll(
+      Gen.listOfN(5, Gen.zip(Gen.choose(0L, 50L),
+        Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.take(8)))),
+      Gen.choose(1, 4), Gen.choose(1, 5)) { (rowsRaw, k, w) =>
+      val rows = rowsRaw.toMap.toList
+      val out = graft.text.TextStats.winnowFingerprints(
+          rows.map { case (id, ts) => (id, ts.mkString(" ")) }
+            .toDF("doc_id", "text"), "doc_id", "text", k, w)
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      def md5h(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+      }
+      val expect = rows.flatMap { case (id, toks) =>
+        val grams = if (toks.length < k) Seq(toks.mkString(" "))
+                    else toks.sliding(k).map(_.mkString(" ")).toSeq
+        val hs = grams.map(md5h)
+        val n = hs.length
+        (0 to math.max(n - w, 0)).map { i =>
+          var best = (Long.MaxValue, -1)
+          (i to math.min(i + w - 1, n - 1)).foreach { j =>
+            if (hs(j) <= best._1) best = (hs(j), j) }
+          (id, best._2.toLong, best._1)
+        }.distinct
+      }.sorted
+      out == expect
+    }
+
   property("lmPerplexity: equals the driver-side add-1 bigram LM on ANY corpus/slice") =
     forAll(Gen.listOfN(8, Gen.zip(Gen.choose(0L, 100L),
       Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.take(5)),

@@ -495,6 +495,30 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("winnowFingerprints: every w-window covered, rightmost tie rule, short-doc single window") {
+    // 8 tokens → 6 positional 3-grams → window starts 0..2 (w=4)
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7"),
+      (2L, "x y"),                       // < k tokens: one fallback gram
+      (3L, "r r r r r r r r r r")       // all grams equal → one distinct fp
+    ).toDF("doc_id", "text")
+    val out = TextStats.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    val d1 = out.filter(_._1 == 1L).map(_._2).sorted
+    // coverage guarantee: every start s in 0..2 has a selection in [s, s+3]
+    assert((0L to 2L).forall(s => d1.exists(p => p >= s && p <= s + 3)), d1)
+    assert(d1.forall(p => p >= 0 && p < 6))
+    // short doc: exactly one fingerprint at pos 0
+    assert(out.filter(_._1 == 2L).map(t => (t._2, t._3)).size === 1)
+    assert(out.filter(_._1 == 2L).head._2 === 0L)
+    // identical grams: equal hash everywhere, rightmost-min walks the
+    // windows but the distinct (pos, fp) set still covers every window
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3.map(_._3).distinct.size === 1, d3)
+    assert((0L to 4L).forall(s => d3.exists(p => p._2 >= s && p._2 <= s + 3)))
+    spark.catalog.clearCache()
+  }
+
   test("corpusOverlap: refuses past the slice-count guard") {
     val docs = Seq(("A", "a"), ("B", "b"), ("C", "c")).toDF("src", "text")
     val e = intercept[IllegalArgumentException] {
