@@ -602,6 +602,16 @@ object SparkEntry {
         .orderBy("doc_id", "pos", "fp")
     }),
 
+    "q217_winnow_overlap" -> ((s, dir) => {
+      // MOSS match detection: doc pairs sharing >= 2 winnow
+      // fingerprints, scored by containment — ONE fp-keyed self-join
+      // guarded by the hottest fingerprint (GuardBounds
+      // .HotFingerprintCap); sizes rejoin shuffle_hash, never broadcast
+      text.TextStats.winnowOverlapPairs(t(s, dir, "documents"),
+        "doc_id", "text", k = 3, w = 4, minShared = 2L)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "q208_adc_rerank" -> ((s, dir) => {
       // IVFADC + exact re-rank (Jégou et al. §III-C refinement): the
       // persisted-index code probe shortlists 100, raw vectors load
@@ -687,6 +697,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bpe_tokens"),
           concat_ws(" ", col("bpe_tokens")).as("bpe_text"))
         .orderBy("doc_id")
+    }),
+
+    "q219_sq8_audit" -> ((s, dir) => {
+      // SQ8 scalar-quantization audit: values fixed to the 1e-6 grid
+      // (exact IEEE floor), per-dimension min/max broadcast back,
+      // 0..255 linear codes + reconstruction error on the micro grid —
+      // one explode, one d-bounded agg, one vec-keyed re-aggregation
+      vector.Similarity.sq8Audit(t(s, dir, "embeddings"),
+        "vec_id", "embedding").orderBy("vec_id")
+    }),
+
+    "q218_bpe_fertility" -> ((s, dir) => {
+      // tokenizer-fit audit of the SAME fixed merge table: per-source
+      // fertility (BPE tokens per word) and whole-word merge rate —
+      // map-only folds into one slice-sized aggregate; oracle rides
+      // the shared bpeWordCte chain, generated from FixedBpeMerges
+      text.Curation.bpeFertility(t(s, dir, "documents"),
+        "source", "text", FixedBpeMerges).orderBy("source")
     }),
 
     "q204_semantic_clusters" -> ((s, dir) => {
@@ -2921,6 +2949,48 @@ object SparkEntry {
       |    AND gr.g IN (SELECT g FROM evsh)),
       |$spanIslandCtes""".stripMargin
 
+  /** Winnow-fingerprint CTE chain (k=3, w=4, the engine defaults) over
+    * `documents`, shared VERBATIM by the q216 fingerprint dump, the
+    * q217 overlap join, and the q186 hot_fingerprint guard row so the
+    * three cannot desync (the shingleCte discipline). Ends in
+    * `wfp(doc_id, pos, fp)` — the DISTINCT rightmost-minimal
+    * selections, mirroring TextStats.winnowFingerprints exactly:
+    * positional 3-gram md5-prefix hashes, window starts 0..n-4 (one
+    * whole-doc window when shorter), rightmost minimum via
+    * (h ASC, pos DESC) rank.
+    */
+  private val winnowCte: String =
+    """wtk AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |ww AS (
+      |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM wtk),
+      |wg3 AS (
+      |  SELECT a.doc_id, CAST(a.i - 1 AS BIGINT) AS pos,
+      |    a.word || ' ' || b.word || ' ' || c.word AS g
+      |  FROM ww a
+      |  JOIN ww b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |  JOIN ww c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      |  UNION ALL
+      |  SELECT doc_id, 0, array_to_string(w, ' ') FROM wtk WHERE len(w) < 3),
+      |wh3 AS (
+      |  SELECT doc_id, pos, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h
+      |  FROM wg3),
+      |wn3 AS (SELECT doc_id, MAX(pos) + 1 AS n FROM wh3 GROUP BY 1),
+      |wwins AS (
+      |  SELECT h.doc_id, h.pos AS ws FROM wh3 h JOIN wn3 USING (doc_id)
+      |  WHERE h.pos <= n - 4 OR (n <= 4 AND h.pos = 0)),
+      |wcand AS (
+      |  SELECT wi.doc_id, wi.ws, h.pos, h.h FROM wwins wi
+      |  JOIN wh3 h ON h.doc_id = wi.doc_id
+      |    AND h.pos BETWEEN wi.ws AND wi.ws + 3),
+      |wsel AS (
+      |  SELECT doc_id, ws, pos, h FROM wcand
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id, ws
+      |    ORDER BY h ASC, pos DESC) = 1),
+      |wfp AS (SELECT DISTINCT doc_id, pos, h AS fp FROM wsel)""".stripMargin
+
   private val shingleCte: String =
     """toks AS (
       |  SELECT doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
@@ -3364,7 +3434,14 @@ object SparkEntry {
     * no new occurrence. Each rule's fixpoint is one recursive CTE
     * (strictly length-decreasing ⇒ terminating, no duplicate rows).
     */
-  private def bpeApplyOracleSql(merges: Seq[(String, String)]): String = {
+  /** The shared w0 → merge-stage → per_word CTE chain (symbols as
+    * chr(1)-delimited strings, one recursive leftmost-replace fixpoint
+    * per rule) — ONE generator feeding both the q205 segmentation
+    * oracle and the q218 fertility oracle, so the two replay the SAME
+    * merge semantics by construction. Ends in
+    * `per_word(doc_id, idx, toks)`. Callers prepend `WITH RECURSIVE`.
+    */
+  private def bpeWordCte(merges: Seq[(String, String)]): String = {
     def q(s: String) = "'" + s.replace("'", "''") + "'"
     val stages = merges.zipWithIndex.map { case ((l, r), i) =>
       val prev = if (i == 0) "w0" else s"f$i"
@@ -3379,8 +3456,7 @@ object SparkEntry {
          |  SELECT doc_id, idx, s FROM r${i + 1}
          |  WHERE replace(s, $pat, $rep) = s)""".stripMargin
     }
-    s"""WITH RECURSIVE
-      |w0 AS (
+    s"""w0 AS (
       |  SELECT doc_id, idx,
       |    chr(1) || array_to_string(list_append(
       |      list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
@@ -3395,7 +3471,12 @@ object SparkEntry {
       |per_word AS (
       |  SELECT doc_id, idx,
       |    list_filter(string_split(s, chr(1)), x -> x <> '') AS toks
-      |  FROM f${merges.size}),
+      |  FROM f${merges.size})""".stripMargin
+  }
+
+  private def bpeApplyOracleSql(merges: Seq[(String, String)]): String = {
+    s"""WITH RECURSIVE
+      |${bpeWordCte(merges)},
       |per_doc AS (
       |  SELECT doc_id,
       |    CAST(SUM(len(toks)) AS BIGINT) AS n_bpe_tokens,
@@ -3407,6 +3488,33 @@ object SparkEntry {
       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** GENERATED q218 oracle off the SAME [[bpeWordCte]] chain as q205:
+    * per-source word totals, BPE token totals, whole-word merges, and
+    * the unrounded fertility / whole-word-rate quotients.
+    */
+  private def bpeFertilityOracleSql(merges: Seq[(String, String)]): String =
+    s"""WITH RECURSIVE
+      |${bpeWordCte(merges)},
+      |pw AS (SELECT doc_id, len(toks) AS nt FROM per_word),
+      |pd AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+      |    CAST(SUM(nt) AS BIGINT) AS nt,
+      |    CAST(SUM(CASE WHEN nt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+      |  FROM pw GROUP BY 1),
+      |bysrc AS (
+      |  SELECT d.source,
+      |    CAST(COALESCE(SUM(p.nw), 0) AS BIGINT) AS n_words,
+      |    CAST(COALESCE(SUM(p.nt), 0) AS BIGINT) AS n_bpe_tokens,
+      |    CAST(COALESCE(SUM(p.ns), 0) AS BIGINT) AS n_whole
+      |  FROM documents d LEFT JOIN pd p USING (doc_id)
+      |  GROUP BY 1)
+      |SELECT source, n_words, n_bpe_tokens, n_whole,
+      |  CASE WHEN n_words > 0
+      |    THEN CAST(n_bpe_tokens AS DOUBLE) / n_words END AS fertility,
+      |  CASE WHEN n_words > 0
+      |    THEN CAST(n_whole AS DOUBLE) / n_words END AS whole_word_rate
+      |FROM bysrc ORDER BY source""".stripMargin
 
   /** GENERATED q206 oracle: residual-encoded IVFADC replayed end to
     * end — coarse centroids/assignment (the q190 chain), residuals as
@@ -3895,6 +4003,11 @@ object SparkEntry {
              "SELECT COALESCE(MAX(c), 0) FROM (SELECT COUNT(*) AS c FROM (" +
                "SELECT list_extract(regexp_split_to_array(p_name, ' '), -1) AS blk " +
                "FROM (SELECT p_name FROM part GROUP BY p_name)) GROUP BY blk)")}
+        |UNION ALL
+        |${guardRowSql("hot_fingerprint", "winnowOverlapPairs",
+             "SELECT COALESCE(MAX(c), 0) FROM (WITH " + winnowCte +
+               " SELECT COUNT(*) AS c FROM " +
+               "(SELECT DISTINCT doc_id, fp FROM wfp) GROUP BY fp)")}
         |UNION ALL
         |${guardRowSql("eval_shingles", "contamination",
              "SELECT COUNT(DISTINCT shingle) FROM sh WHERE doc_id IN " +
@@ -5242,6 +5355,34 @@ object SparkEntry {
     // IVFADC computation exactly — SAME oracle, different plumbing
     "q196_ivfadc_probe" -> pqAdcOracleSql(restricted = true),
     "q205_bpe_apply" -> bpeApplyOracleSql(FixedBpeMerges),
+    "q218_bpe_fertility" -> bpeFertilityOracleSql(FixedBpeMerges),
+
+    // mirrors Similarity.sq8Audit: identical 1e-6 floor grid, integer
+    // range arithmetic, and the two correctly-rounded IEEE quotients
+    "q219_sq8_audit" ->
+      """WITH v AS (
+        |  SELECT vec_id, d,
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS vi
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |          generate_subscripts(embedding, 1) AS d
+        |        FROM embeddings)),
+        |st AS (SELECT d, MIN(vi) AS mn, MAX(vi) AS mx FROM v GROUP BY 1),
+        |c AS (
+        |  SELECT vec_id, vi, mn, mx,
+        |    CASE WHEN mx > mn THEN
+        |      CAST(floor(CAST((vi - mn) * 255 AS DOUBLE) / (mx - mn)) AS BIGINT)
+        |    ELSE 0 END AS code
+        |  FROM v JOIN st USING (d)),
+        |r AS (
+        |  SELECT vec_id, code,
+        |    abs(vi - (mn + CASE WHEN mx > mn THEN
+        |      CAST(floor(CAST(code * (mx - mn) AS DOUBLE) / 255) AS BIGINT)
+        |    ELSE 0 END)) AS err
+        |  FROM c)
+        |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |  CAST(SUM(code) AS BIGINT) AS code_sum,
+        |  CAST(SUM(err) AS BIGINT) AS err_micro
+        |FROM r GROUP BY 1 ORDER BY vec_id""".stripMargin,
 
     "q206_rivfadc" -> rAdcOracleSql(queryId = 0L),
 
@@ -5359,41 +5500,35 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM allv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // mirrors TextStats.winnowFingerprints: positional 3-gram md5
-    // hashes, window starts 0..n-4 (one whole-doc window when shorter),
-    // rightmost minimum via (h ASC, pos DESC) rank, distinct selections
+    // mirrors TextStats.winnowFingerprints via the shared winnowCte
     "q216_winnow_fingerprints" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
-        |  FROM documents),
-        |words AS (
-        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tk),
-        |g3 AS (
-        |  SELECT a.doc_id, CAST(a.i - 1 AS BIGINT) AS pos,
-        |    a.word || ' ' || b.word || ' ' || c.word AS g
-        |  FROM words a
-        |  JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-        |  JOIN words c ON c.doc_id = a.doc_id AND c.i = a.i + 2
-        |  UNION ALL
-        |  SELECT doc_id, 0, array_to_string(w, ' ') FROM tk WHERE len(w) < 3),
-        |h3 AS (
-        |  SELECT doc_id, pos, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) AS h
-        |  FROM g3),
-        |n3 AS (SELECT doc_id, MAX(pos) + 1 AS n FROM h3 GROUP BY 1),
-        |wins AS (
-        |  SELECT h.doc_id, h.pos AS ws FROM h3 h JOIN n3 USING (doc_id)
-        |  WHERE h.pos <= n - 4 OR (n <= 4 AND h.pos = 0)),
-        |cand AS (
-        |  SELECT wi.doc_id, wi.ws, h.pos, h.h FROM wins wi
-        |  JOIN h3 h ON h.doc_id = wi.doc_id
-        |    AND h.pos BETWEEN wi.ws AND wi.ws + 3),
-        |sel AS (
-        |  SELECT doc_id, ws, pos, h FROM cand
-        |  QUALIFY row_number() OVER (PARTITION BY doc_id, ws
-        |    ORDER BY h ASC, pos DESC) = 1)
-        |SELECT DISTINCT doc_id, pos, h AS fp FROM sel
+      s"""WITH $winnowCte
+        |SELECT doc_id, pos, fp FROM wfp
         |ORDER BY doc_id, pos, fp""".stripMargin,
+
+    // mirrors TextStats.winnowOverlapPairs off the SAME winnowCte:
+    // distinct (doc, fp), fp-keyed self-join, pair counts >= 2,
+    // containment as the unrounded exact-integer quotient
+    "q217_winnow_overlap" ->
+      s"""WITH $winnowCte,
+        |dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+        |       FROM dfp GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_shared
+        |  FROM dfp a JOIN dfp b
+        |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, sa.n_fp AS n_a, sb.n_fp AS n_b,
+        |  p.n_shared,
+        |  CAST(p.n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp)
+        |    AS containment
+        |FROM pr p
+        |JOIN sz sa ON sa.doc_id = p.doc_a
+        |JOIN sz sb ON sb.doc_id = p.doc_b
+        |WHERE p.n_shared >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // mirrors Curation.lmPerplexity: add-1 bigram LM on the en slice,
     // V = distinct en unigrams + 1, each ln fixed to the 12-dp grid,

@@ -42,6 +42,8 @@ object GuardBounds {
   val MaxCorpusSlices: Long = 2000L
   /** Joins.fuzzyPairs: hottest last-token block of DISTINCT names. */
   val MaxFuzzyBlock: Long = 100000L
+  /** TextStats.winnowOverlapPairs: hottest winnow fingerprint. */
+  val HotFingerprintCap: Long = 100000L
   /** Curation.contamination: broadcast eval-shingle budget. */
   val MaxEvalShingles: Long = 10000000L
   /** Similarity.ivfAdcProbeJoin: planned candidate rows per batch. */
@@ -99,6 +101,10 @@ object Guards {
       one("corpus_slices", "corpusOverlap",
         docs.agg(count_distinct(col("source")).as("measured"))),
       one("fuzzy_block", "fuzzyPairs", maxCount(nameBlocks, Seq("blk"))),
+      one("hot_fingerprint", "winnowOverlapPairs",
+        maxCount(graft.text.TextStats
+            .winnowFingerprints(docs, "doc_id", "text", 3, 4)
+            .select(col("doc_id"), col("fp")).distinct(), Seq("fp"))),
       one("eval_shingles", "contamination",
         shingles.join(
             docs.filter(col("source") === "src0")
@@ -135,6 +141,7 @@ object Guards {
     "instruments" -> GuardBounds.MaxInstruments,
     "corpus_slices" -> GuardBounds.MaxCorpusSlices,
     "fuzzy_block" -> GuardBounds.MaxFuzzyBlock,
+    "hot_fingerprint" -> GuardBounds.HotFingerprintCap,
     "eval_shingles" -> GuardBounds.MaxEvalShingles,
     "hot_ivf_list" -> GuardBounds.HotIvfList)
 }

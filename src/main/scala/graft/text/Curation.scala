@@ -811,6 +811,47 @@ object Curation {
       .drop("_bpe_words")
   }
 
+  /** Tokenizer-fit audit of a merge table over a corpus slice column:
+    * per group, total whitespace words, total BPE tokens under
+    * `merges`, words that merged to a SINGLE token (in-vocabulary
+    * whole words), fertility (tokens per word — the standard
+    * tokenizer-efficiency metric; a fertility creep on a new source
+    * means the tokenizer undersegments it and token budgets silently
+    * inflate) and the whole-word rate. Fertility/rate are unrounded
+    * exact-integer quotients (q107 discipline), NULL for empty groups.
+    *
+    * Scale shape: per-word merge folds and the per-doc counts all fuse
+    * into the scan (map-only, same folds as [[applyBpe]] via the
+    * shared [[mergeFold]]); the only shuffle is the final
+    * group-count aggregate, whose state is slice-count-sized.
+    */
+  def bpeFertility(df: DataFrame, groupCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= 200,
+      s"bpeFertility chains one fold per rule (${merges.size}); audit " +
+        "with a dedicated tokenizer artifact beyond 200 merges")
+    val words = filter(TextStats.tokens(col(textCol)), w => w =!= "")
+    val wc = transform(words, w =>
+      size(merges.foldLeft(concat(split(w, ""), array(lit("</w>")))) {
+        case (c, (l, r)) => mergeFold(c, l, r) }).cast("long"))
+    df.select(col(groupCol), wc.as("_wc"))
+      .select(col(groupCol),
+        size(col("_wc")).cast("long").as("_nw"),
+        aggregate(col("_wc"), lit(0L), (a, x) => a + x).as("_nt"),
+        aggregate(col("_wc"), lit(0L), (a, x) =>
+          a + when(x === lit(1L), lit(1L)).otherwise(lit(0L))).as("_ns"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_nw")).cast("long").as("n_words"),
+        sum(col("_nt")).cast("long").as("n_bpe_tokens"),
+        sum(col("_ns")).cast("long").as("n_whole"))
+      .select(col(groupCol), col("n_words"), col("n_bpe_tokens"),
+        col("n_whole"),
+        when(col("n_words") > 0,
+          col("n_bpe_tokens") / col("n_words")).as("fertility"),
+        when(col("n_words") > 0,
+          col("n_whole") / col("n_words")).as("whole_word_rate"))
+  }
+
   def bigramStats(df: DataFrame, textCol: String, topK: Int): DataFrame =
     df.select(explode(Dedup.shinglesOfTokens(
         TextStats.tokens(col(textCol)), 2)).as("bigram"))

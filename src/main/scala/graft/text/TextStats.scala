@@ -209,24 +209,81 @@ object TextStats {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
     val toks = filter(tokens(col(textCol)), t => t =!= lit(""))
     val grams = Dedup.shinglesOfTokens(toks, k)
-    val hashes = transform(grams,
-      g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))
-    val n = size(hashes)
+    // MATERIALIZE the hash array as a projected column before the
+    // window folds: Catalyst does not CSE an expression referenced
+    // from inside a lambda, so indexing the `hashes` EXPRESSION from
+    // the fold would re-run the whole-doc md5 transform once per
+    // (window, step) — O(n²·w) md5 calls per document (measured: 147 s
+    // at sf0.1 vs ~1 s with the column reference; the bench caught it).
+    val hashed = df.select(col(idCol).cast("long").as("doc_id"),
+      transform(grams,
+        g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("_h"))
+    val n = size(col("_h"))
     // window starts: 0 .. n-w (just [0] when the doc is shorter)
     val starts = sequence(lit(0), greatest(n - lit(w), lit(0)))
     val sels = transform(starts, i =>
       aggregate(sequence(i, least(i + lit(w - 1), n - lit(1))),
         struct(lit(Long.MaxValue).as("h"), lit(-1).as("p")),
         (acc, j) => {
-          val h = element_at(hashes, j + 1)
+          val h = element_at(col("_h"), j + 1)
           // <= not <: equal-minimum resolves to the RIGHTMOST position
           when(h <= acc.getField("h"), struct(h.as("h"), j.as("p")))
             .otherwise(acc)
         }))
-    df.select(col(idCol).cast("long").as("doc_id"),
-        explode(array_distinct(sels)).as("_s"))
+    hashed.select(col("doc_id"), explode(array_distinct(sels)).as("_s"))
       .select(col("doc_id"), col("_s").getField("p").cast("long").as("pos"),
         col("_s").getField("h").as("fp"))
+  }
+
+  /** Winnowing-fingerprint overlap pairs (the match-detection step
+    * MOSS runs over [[winnowFingerprints]] selections): document pairs
+    * sharing at least `minShared` DISTINCT fingerprints, scored by
+    * containment n_shared / min(n_a, n_b). Winnowing's coverage
+    * guarantee makes this sound for substring overlap — any shared
+    * token run of length ≥ w+k−1 selects at least one common
+    * fingerprint — at ~2/(w+1) of the cost of joining full shingle
+    * sets (the doc-level analog of [[Dedup.corpusOverlap]]'s
+    * slice-level inverted index, subsampled without losing matches).
+    *
+    * Scale shape: fingerprinting is map-only; the (doc, fp) relation
+    * persists once and feeds the guard, sizes, and both join sides.
+    * ONE fp-keyed self-join whose per-key expansion is bounded by the
+    * hottest fingerprint — REFUSED past `hotFpCap`, because an fp
+    * shared by h docs builds an h² bucket and, unlike the AllPairs
+    * prefix scheme, an overlap COUNT cannot drop hot witnesses without
+    * changing the answer. Per-doc sizes join back `shuffle_hash`
+    * (corpus-sized — never broadcast). `containment` is the unrounded
+    * exact-integer quotient (the q107 rounding-tie discipline).
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4, minShared: Long = 2L,
+                         hotFpCap: Long = graft.ops.GuardBounds.HotFingerprintCap): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = graft.engine.Caches.persisted("winnowOverlap.fps",
+      winnowFingerprints(df, idCol, textCol, k, w)
+        .select(col("doc_id"), col("fp")).distinct())
+    val hottest = fps.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("m"))
+      .first().getLong(0)
+    require(hottest <= hotFpCap,
+      s"winnowOverlapPairs: hottest fingerprint is shared by $hottest " +
+        s"docs (> hotFpCap=$hotFpCap) — the fp-keyed self-join would " +
+        s"build a quadratic bucket; strip boilerplate or raise k/w first")
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val a = fps.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = fps.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.hint("shuffle_hash")
+        .select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), Seq("doc_a"))
+      .join(sizes.hint("shuffle_hash")
+        .select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared") / least(col("n_a"), col("n_b"))).as("containment"))
   }
 
   /** Per-group EXACT token-count quantiles — the length-distribution

@@ -1516,6 +1516,48 @@ object Similarity {
     * statistic with ~1/√n error; a 1M-row sample of a 100 TB corpus
     * estimates it to 3 decimals).
     */
+  /** SQ8 scalar quantization audit (the FAISS `SQ8` / IVF_SQ8 storage
+    * codec shape): fix every float to the 1e-6 grid (`floor(x·1e6)` —
+    * an exact IEEE op, so both engines land the same integer), take
+    * per-DIMENSION corpus min/max, code each value into 0..255 by
+    * linear range quantization, and report per vector the code
+    * checksum and the total reconstruction error on the micro grid.
+    * SQ8 costs 4× less storage than float32 with no training step —
+    * the audit says what that buys/costs on THIS corpus before
+    * committing an index build to it.
+    *
+    * All arithmetic after the floor is exact integers except the two
+    * quotients, which both engines evaluate as the IDENTICAL
+    * correctly-rounded IEEE division (numerators/denominators are
+    * integers < 2^53) — the oracle replays codes bit-for-bit.
+    *
+    * Scale shape: one map-side explode; the per-dimension stats
+    * aggregate is d-bounded and BROADCASTS back; one vec-keyed
+    * re-aggregation. Nothing else shuffles, nothing is driver-sized.
+    */
+  def sq8Audit(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = emb.select(col(idCol).as("vec_id"),
+        posexplode(col(vecCol)).as(Seq("d", "_x")))
+      .select(col("vec_id"), col("d"),
+        floor(col("_x").cast("double") * lit(1000000d)).as("vi"))
+    val st = v.groupBy(col("d"))
+      .agg(min(col("vi")).as("mn"), max(col("vi")).as("mx"))
+    val coded = v.join(broadcast(st), Seq("d"))
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          floor(((col("vi") - col("mn")) * lit(255L)).cast("double") /
+            (col("mx") - col("mn"))))
+          .otherwise(lit(0L)))
+      .withColumn("recon",
+        col("mn") + when(col("mx") > col("mn"),
+          floor((col("code") * (col("mx") - col("mn"))).cast("double") /
+            lit(255d))).otherwise(lit(0L)))
+    coded.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("code")).cast("long").as("code_sum"),
+        sum(abs(col("vi") - col("recon"))).cast("long").as("err_micro"))
+  }
+
   def embeddingCovariance(emb: DataFrame, idCol: String,
                           vecCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

@@ -618,6 +618,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2) === ((3L, "solo", 1L, 0L)))
   }
 
+  test("bpeFertility: hand-checked totals, whole-word merges, null quotients on empty group") {
+    val merges = Seq(("a", "b"), ("ab", "</w>"))
+    val docs = Seq(
+      ("s1", "ab ab xy"), // ab → [ab</w>] (whole); xy → [x,y,</w>]
+      ("s1", ""),
+      ("s2", "ba"),       // no rule applies: [b,a,</w>]
+      ("s3", " ")         // zero words: quotients NULL
+    ).toDF("source", "text")
+    val out = Curation.bpeFertility(docs, "source", "text", merges)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect()
+    assert(out(0) === (("s1", 3L, 5L, 2L, Some(5.0 / 3), Some(2.0 / 3))))
+    assert(out(1) === (("s2", 1L, 3L, 0L, Some(3.0), Some(0.0))))
+    assert(out(2) === (("s3", 0L, 0L, 0L, None, None)))
+  }
+
   test("gumbelTopK: matches the driver-side closed form; nulls drop; k caps at n") {
     val rows = Seq((1L, -2.5), (2L, 0.0), (3L, 3.25), (4L, -1.0))
     val df = rows.toDF("doc_id", "lw")

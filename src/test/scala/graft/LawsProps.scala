@@ -2318,6 +2318,100 @@ object LawsProps extends Properties("graft.laws") {
       out == expect
     }
 
+  property("sq8Audit: equals the driver-side integer-grid mirror on ANY corpus") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 40L),
+      Gen.listOfN(3, Gen.chooseNum(-2.0f, 2.0f)))).map(_.take(8))) {
+      rowsRaw =>
+      val rows = rowsRaw.toMap.toList
+      val out = graft.vector.Similarity.sq8Audit(
+          rows.toDF("vec_id", "embedding"), "vec_id", "embedding")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+      val vis = rows.map { case (id, v) =>
+        id -> v.map(x => math.floor(x.toDouble * 1000000d).toLong) }
+      val byDim = (0 until 3).map { d =>
+        val col = vis.map(_._2(d))
+        (col.min, col.max)
+      }
+      val expect = vis.map { case (id, v) =>
+        val cs = v.zipWithIndex.map { case (vi, d) =>
+          val (mn, mx) = byDim(d)
+          val code = if (mx > mn)
+            math.floor(((vi - mn) * 255L).toDouble / (mx - mn)).toLong
+          else 0L
+          val recon = mn + (if (mx > mn)
+            math.floor((code * (mx - mn)).toDouble / 255d).toLong else 0L)
+          (code, math.abs(vi - recon))
+        }
+        (id, 3L, cs.map(_._1).sum, cs.map(_._2).sum)
+      }.sorted
+      out == expect
+    }
+
+  property("bpeFertility: equals the driver-side greedy-fold mirror on ANY corpus") =
+    forAll(Gen.listOfN(6, Gen.zip(Gen.oneOf("s1", "s2"),
+      Gen.listOf(Gen.oneOf("ab", "ba", "abc", "c")).map(_.take(4))))) {
+      rowsRaw =>
+      val merges = Seq(("a", "b"), ("ab", "c"), ("c", "</w>"))
+      val rows = rowsRaw.map { case (src, ws) => (src, ws.mkString(" ")) }
+      val out = graft.text.Curation.bpeFertility(
+          rows.toDF("source", "text"), "source", "text", merges)
+        .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+        .collect().toSeq.sorted
+      def pass(sy: List[String], l: String, r: String): List[String] =
+        sy.foldLeft(List.empty[String]) { (acc, s) =>
+          if (acc.nonEmpty && acc.last == l && s == r)
+            acc.init :+ (l + r)
+          else acc :+ s
+        }
+      val expect = rows.groupBy(_._1).toList.map { case (src, g) =>
+        val wcs = g.flatMap(_._2.split("\\s+").filter(_.nonEmpty)).map { w =>
+          merges.foldLeft(w.split("").toList :+ "</w>") {
+            case (c, (l, r)) => pass(c, l, r) }.length.toLong
+        }
+        val nw = wcs.size.toLong
+        (src, nw, wcs.sum, wcs.count(_ == 1L).toLong,
+          if (nw > 0) Some(wcs.sum.toDouble / nw) else None,
+          if (nw > 0) Some(wcs.count(_ == 1L).toDouble / nw) else None)
+      }.sorted
+      out == expect
+    }
+
+  property("winnowOverlapPairs: equals the driver-side mirror on ANY corpus") =
+    forAll(Gen.listOfN(5, Gen.zip(Gen.choose(0L, 30L),
+      Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.take(8))))) { rowsRaw =>
+      val rows = rowsRaw.toMap.toList
+      val out = graft.text.TextStats.winnowOverlapPairs(
+          rows.map { case (id, ts) => (id, ts.mkString(" ")) }
+            .toDF("doc_id", "text"), "doc_id", "text", 3, 4, 2L)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq.sorted
+      graft.engine.Caches.releaseAll()
+      def md5h(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+      }
+      val k = 3; val w = 4
+      val fps: Map[Long, Set[Long]] = rows.map { case (id, toks) =>
+        val grams = if (toks.length < k) Seq(toks.mkString(" "))
+                    else toks.sliding(k).map(_.mkString(" ")).toSeq
+        val hs = grams.map(md5h)
+        val n = hs.length
+        id -> (0 to math.max(n - w, 0)).map { i =>
+          var best = Long.MaxValue
+          (i to math.min(i + w - 1, n - 1)).foreach { j =>
+            if (hs(j) <= best) best = hs(j) }
+          best
+        }.toSet
+      }.toMap
+      val ids = fps.keys.toSeq.sorted
+      val expect = (for {
+        ia <- ids; ib <- ids if ia < ib
+        sh = (fps(ia) intersect fps(ib)).size.toLong if sh >= 2
+      } yield (ia, ib, fps(ia).size.toLong, fps(ib).size.toLong, sh,
+        sh.toDouble / math.min(fps(ia).size, fps(ib).size))).sorted
+      out == expect
+    }
+
   property("lmPerplexity: equals the driver-side add-1 bigram LM on ANY corpus/slice") =
     forAll(Gen.listOfN(8, Gen.zip(Gen.choose(0L, 100L),
       Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.take(5)),

@@ -519,6 +519,33 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("winnowOverlapPairs: shared run guarantees a pair; disjoint docs absent; guard refuses") {
+    // docs 1,2 share an 8-token run (>= w+k-1 = 6 → guaranteed shared
+    // fingerprint); doc 3 shares no 3-gram with either
+    val docs = Seq(
+      (1L, "p q c1 c2 c3 c4 c5 c6 c7 c8"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 z z2"),
+      (3L, "u v w x y")
+    ).toDF("doc_id", "text")
+    val out = TextStats.winnowOverlapPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 1L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    val (_, _, na, nb, sh, cont) = out.head
+    assert(sh >= 1 && sh <= math.min(na, nb))
+    assert(cont === sh.toDouble / math.min(na, nb))
+    graft.engine.Caches.releaseAll()
+    // guard: every doc shares the same hot fingerprint set
+    val hot = Seq.tabulate(5)(i => (i.toLong, "same text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextStats.winnowOverlapPairs(hot, "doc_id", "text", 3, 4, 1L,
+        hotFpCap = 3L).collect()
+    }
+    assert(e.getMessage.contains("hottest fingerprint"))
+    graft.engine.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("corpusOverlap: refuses past the slice-count guard") {
     val docs = Seq(("A", "a"), ("B", "b"), ("C", "c")).toDF("src", "text")
     val e = intercept[IllegalArgumentException] {

@@ -362,6 +362,25 @@ class VectorStreamSpec extends AnyFunSuite {
     graft.engine.Caches.releaseAll()
   }
 
+  test("sq8Audit: codes span 0..255, extremes reconstruct exactly, constant dim codes 0") {
+    import spark.implicits._
+    // dim 0 spans [-1, 1]; dim 1 constant (mx == mn → code 0, err 0)
+    val emb = Seq(
+      (1L, Seq(-1.0f, 5.0f)),
+      (2L, Seq(0.0f, 5.0f)),
+      (3L, Seq(1.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.sq8Audit(emb, "vec_id", "embedding")
+      .orderBy("vec_id").as[(Long, Long, Long, Long)].collect()
+    // vec 1: dim0 at the min → code 0, exact recon; dim1 constant → 0
+    assert(out(0) === ((1L, 2L, 0L, 0L)))
+    // vec 2: dim0 midpoint → code floor(1e6·255/2e6) = 127,
+    // recon = -1e6 + floor(127·2e6/255) = -1e6 + 996078 → err 3922
+    assert(out(1) === ((2L, 2L, 127L, 3922L)))
+    // vec 3: dim0 at the max → code 255, exact recon
+    assert(out(2) === ((3L, 2L, 255L, 0L)))
+  }
+
   test("pcaWhiten: whitened covariance is the identity on a correlated corpus") {
     import spark.implicits._
     // strongly correlated dims: x2 ≈ 2·x1, x3 independent, x4 ≈ −x3 —
