@@ -699,6 +699,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q220_cms_heavyhitters" -> ((s, dir) => {
+      // count-min-sketch audit: exact top-20 trigram counts next to
+      // their 4×1024 CMS estimates — (depth·width)-bounded sketch
+      // state with map-side combine, estimates join the broadcast
+      // sketch; md5 double hashing replays bit-for-bit in the oracle
+      text.TextStats.cmsHeavyHitters(t(s, dir, "documents"),
+        "text", n = 3).orderBy(col("n_exact").desc, col("gram").asc)
+    }),
+
     "q219_sq8_audit" -> ((s, dir) => {
       // SQ8 scalar-quantization audit: values fixed to the 1e-6 grid
       // (exact IEEE floor), per-dimension min/max broadcast back,
@@ -5356,6 +5365,52 @@ object SparkEntry {
     "q196_ivfadc_probe" -> pqAdcOracleSql(restricted = true),
     "q205_bpe_apply" -> bpeApplyOracleSql(FixedBpeMerges),
     "q218_bpe_fertility" -> bpeFertilityOracleSql(FixedBpeMerges),
+
+    // mirrors TextStats.cmsHeavyHitters: every trigram OCCURRENCE
+    // (short docs fall back to the whole-text gram) counts into the
+    // 4×1024 sketch via (h1 + r·h2) mod 1024 double hashing; the exact
+    // top-20 is a deterministic total order (count desc, gram asc)
+    "q220_cms_heavyhitters" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |wd AS (
+        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tk),
+        |g AS (
+        |  SELECT a.word || ' ' || b.word || ' ' || c.word AS gram
+        |  FROM wd a
+        |  JOIN wd b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  JOIN wd c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        |  UNION ALL
+        |  SELECT array_to_string(w, ' ') FROM tk WHERE len(w) < 3),
+        |grams AS (SELECT gram FROM g WHERE gram <> ''),
+        |pr AS (
+        |  SELECT (CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+        |          + rr.r * CAST('0x' || substr(md5(gram), 9, 8) AS BIGINT))
+        |         % 1024 AS bucket, rr.r
+        |  FROM grams CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr),
+        |cms AS (
+        |  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM pr GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM grams GROUP BY 1
+        |  ORDER BY n_exact DESC, gram ASC LIMIT 20),
+        |est AS (
+        |  SELECT e.gram, MIN(cms.c) AS n_cms
+        |  FROM (SELECT gram,
+        |          CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) AS h1,
+        |          CAST('0x' || substr(md5(gram), 9, 8) AS BIGINT) AS h2
+        |        FROM exact) e
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS r) rr
+        |  JOIN cms ON cms.r = rr.r
+        |    AND cms.bucket = (e.h1 + rr.r * e.h2) % 1024
+        |  GROUP BY 1)
+        |SELECT e.gram, e.n_exact, s.n_cms,
+        |  s.n_cms - e.n_exact AS overestimate
+        |FROM exact e JOIN est s USING (gram)
+        |ORDER BY n_exact DESC, gram ASC""".stripMargin,
 
     // mirrors Similarity.sq8Audit: identical 1e-6 floor grid, integer
     // range arithmetic, and the two correctly-rounded IEEE quotients

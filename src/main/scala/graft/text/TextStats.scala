@@ -286,6 +286,53 @@ object TextStats {
         (col("n_shared") / least(col("n_a"), col("n_b"))).as("containment"))
   }
 
+  /** Count-min-sketch heavy-hitter audit (Cormode & Muthukrishnan
+    * 2005): count every token `n`-gram into a `depth × width` CMS
+    * (double hashing off the engine-portable md5 prefix/suffix pair,
+    * bucket_r = (h1 + r·h2) mod width), then report, for the exact
+    * top-`topK` grams, the true count next to the CMS estimate
+    * (min over rows) and its overestimate. The sketch is the
+    * fixed-memory path to heavy-hitter n-grams on a stream or a
+    * shuffle-constrained corpus; the audit measures what that memory
+    * bound costs in overcount on THIS corpus before trusting it.
+    * Every step is exact integer arithmetic on md5-derived hashes —
+    * the oracle replays sketch AND estimates bit-for-bit.
+    *
+    * Scale shape: grams explode map-side; the sketch aggregate is
+    * (depth·width)-bounded state with map-side partial combine; the
+    * exact top-k is one gram-keyed count (the same shuffle any
+    * heavy-hitter ground truth needs) + a rank limit; estimates join
+    * the top-k's probes against the BROADCAST sketch. Nothing
+    * driver-sized, nothing quadratic.
+    */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, n: Int,
+                      depth: Int = 4, width: Int = 1024,
+                      topK: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 16 && width >= 2,
+      s"need 1 <= depth <= 16 and width >= 2, got depth=$depth width=$width")
+    val grams = graft.engine.Caches.persisted("cms.grams",
+      df.select(explode(Dedup.shinglesOfTokens(
+          tokens(col(textCol)), n)).as("gram"))
+        .filter(col("gram") =!= ""))
+    def h1(c: Column) = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    def h2(c: Column) = conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+    def probed(src: DataFrame) = src
+      .select(col("gram"), h1(col("gram")).as("_h1"), h2(col("gram")).as("_h2"))
+      .select(col("gram"), col("_h1"), col("_h2"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("gram"), col("r"),
+        pmod(col("_h1") + col("r") * col("_h2"), lit(width.toLong)).as("bucket"))
+    val cms = probed(grams)
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+    val exact = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("gram").asc).limit(topK)
+    probed(exact).join(broadcast(cms), Seq("r", "bucket"))
+      .groupBy(col("gram")).agg(min(col("c")).as("n_cms"))
+      .join(exact, Seq("gram"))
+      .select(col("gram"), col("n_exact"), col("n_cms"),
+        (col("n_cms") - col("n_exact")).as("overestimate"))
+  }
+
   /** Per-group EXACT token-count quantiles — the length-distribution
     * audit of corpus curation (chunk-size budgeting, truncation-loss
     * estimates, outlier-source detection).

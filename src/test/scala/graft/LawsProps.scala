@@ -2318,6 +2318,42 @@ object LawsProps extends Properties("graft.laws") {
       out == expect
     }
 
+  property("cmsHeavyHitters: equals the driver-side sketch mirror on ANY corpus") =
+    forAll(Gen.listOfN(5, Gen.zip(Gen.choose(0L, 30L),
+      Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.take(6))))) { rowsRaw =>
+      val rows = rowsRaw.toMap.toList
+      val width = 16; val depth = 4; val topK = 50
+      val out = graft.text.TextStats.cmsHeavyHitters(
+          rows.map { case (id, ts) => (id, ts.mkString(" ")) }
+            .toDF("doc_id", "text"), "text", 3, depth, width, topK)
+        .as[(String, Long, Long, Long)].collect().toSeq.sorted
+      graft.engine.Caches.releaseAll()
+      def md5bytes(s: String) = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      def hx(b: Array[Byte]) = java.lang.Long.parseLong(
+        b.map(x => f"$x%02x").mkString, 16)
+      val occs = rows.flatMap { case (_, toks) =>
+        val gs = if (toks.length < 3) Seq(toks.mkString(" "))
+                 else toks.sliding(3).map(_.mkString(" ")).toSeq
+        gs.filter(_.nonEmpty)
+      }
+      val cms = occs.flatMap { g =>
+        val d = md5bytes(g)
+        val (a, b) = (hx(d.take(4)), hx(d.slice(4, 8)))
+        (0 until depth).map(r => (r, (a + r * b) % width))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val exact = occs.groupBy(identity)
+        .map { case (g, v) => (g, v.size.toLong) }.toSeq
+        .sortBy { case (g, c) => (-c, g) }.take(topK)
+      val expect = exact.map { case (g, c) =>
+        val d = md5bytes(g)
+        val (a, b) = (hx(d.take(4)), hx(d.slice(4, 8)))
+        val est = (0 until depth).map(r => cms((r, (a + r * b) % width))).min
+        (g, c, est, est - c)
+      }.sorted
+      out == expect
+    }
+
   property("sq8Audit: equals the driver-side integer-grid mirror on ANY corpus") =
     forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 40L),
       Gen.listOfN(3, Gen.chooseNum(-2.0f, 2.0f)))).map(_.take(8))) {

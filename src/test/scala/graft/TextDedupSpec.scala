@@ -546,6 +546,22 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cmsHeavyHitters: estimates never undercount, heavy gram surfaces with exact count") {
+    val heavy = (1 to 5).map(i => (i.toLong, "x y z"))
+    val noise = Seq((10L, "p q r s"), (11L, "m n"))
+    val docs = (heavy ++ noise).toDF("doc_id", "text")
+    val out = TextStats.cmsHeavyHitters(docs, "text", 3, topK = 10)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val byGram = out.map(r => r._1 -> r).toMap
+    assert(byGram("x y z")._2 === 5L)
+    // CMS never undercounts; overestimate is the reported difference
+    assert(out.forall(r => r._3 >= r._2 && r._4 === r._3 - r._2), out)
+    // the whole-doc fallback gram for the 2-token doc participates
+    assert(byGram.contains("m n"))
+    graft.engine.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("corpusOverlap: refuses past the slice-count guard") {
     val docs = Seq(("A", "a"), ("B", "b"), ("C", "c")).toDF("src", "text")
     val e = intercept[IllegalArgumentException] {
