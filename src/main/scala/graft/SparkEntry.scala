@@ -699,6 +699,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q221_hll_audit" -> ((s, dir) => {
+      // HLL vocabulary-size audit: 1024 registers (max leading-zero
+      // rank per md5 bucket), the exact-integer register sum, and the
+      // raw estimate next to exact distinct trigrams — fixed-memory
+      // distinct counting, measured before it replaces a shuffle
+      text.TextStats.hllDistinctAudit(t(s, dir, "documents"),
+        "text", n = 3, p = 10)
+    }),
+
     "q220_cms_heavyhitters" -> ((s, dir) => {
       // count-min-sketch audit: exact top-20 trigram counts next to
       // their 4×1024 CMS estimates — (depth·width)-bounded sketch
@@ -2999,6 +3008,61 @@ object SparkEntry {
       |  QUALIFY row_number() OVER (PARTITION BY doc_id, ws
       |    ORDER BY h ASC, pos DESC) = 1),
       |wfp AS (SELECT DISTINCT doc_id, pos, h AS fp FROM wsel)""".stripMargin
+
+  /** Trigram-OCCURRENCE CTE chain over `documents` (short docs fall
+    * back to the whole-text gram, empty grams filtered) — shared by
+    * the q220 CMS and q221 HLL sketch oracles so both count the SAME
+    * gram stream the Spark operators explode. Ends in `grams(gram)`.
+    */
+  private val gram3Cte: String =
+    """tk AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |wd AS (
+      |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tk),
+      |g AS (
+      |  SELECT a.word || ' ' || b.word || ' ' || c.word AS gram
+      |  FROM wd a
+      |  JOIN wd b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      |  JOIN wd c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+      |  UNION ALL
+      |  SELECT array_to_string(w, ' ') FROM tk WHERE len(w) < 3),
+      |grams AS (SELECT gram FROM g WHERE gram <> '')""".stripMargin
+
+  /** GENERATED q221 oracle: the HLL register file and raw estimate
+    * replayed exactly — md5 bucket/rank hashing, the exact integer
+    * register sum Σ 2^(33−R), and the single IEEE division with the
+    * SAME numerator constant ([[graft.text.TextStats.hllEstimateConst]],
+    * embedded via Double.toString which round-trips bit-exactly).
+    */
+  private def hllOracleSql(p: Int): String = {
+    val m = 1 << p
+    val c = graft.text.TextStats.hllEstimateConst(p)
+    s"""WITH $gram3Cte,
+      |rk AS (
+      |  SELECT CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % $m AS bucket,
+      |    CAST('0x' || substr(md5(gram), 9, 8) AS BIGINT) AS h2
+      |  FROM grams),
+      |rr AS (
+      |  SELECT bucket,
+      |    CASE WHEN h2 = 0 THEN 33 ELSE 33 - length(bin(h2)) END AS r
+      |  FROM rk),
+      |regs AS (SELECT bucket, MAX(r) AS r FROM rr GROUP BY 1),
+      |fullr AS (
+      |  SELECT COALESCE(g2.r, 0) AS r
+      |  FROM (SELECT unnest(range(0, $m)) AS bucket) b
+      |  LEFT JOIN regs g2 USING (bucket)),
+      |s AS (
+      |  SELECT CAST(SUM(CAST(1 AS BIGINT) << (33 - r)) AS BIGINT) AS s_scaled,
+      |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+      |  FROM fullr),
+      |x AS (SELECT CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_exact FROM grams)
+      |SELECT CAST($m AS BIGINT) AS m, v_zero, s_scaled, n_exact,
+      |  $c / s_scaled AS raw_est,
+      |  CASE WHEN n_exact > 0 THEN $c / s_scaled / n_exact END AS err_ratio
+      |FROM s, x""".stripMargin
+  }
 
   private val shingleCte: String =
     """toks AS (
@@ -5366,25 +5430,14 @@ object SparkEntry {
     "q205_bpe_apply" -> bpeApplyOracleSql(FixedBpeMerges),
     "q218_bpe_fertility" -> bpeFertilityOracleSql(FixedBpeMerges),
 
+    "q221_hll_audit" -> hllOracleSql(10),
+
     // mirrors TextStats.cmsHeavyHitters: every trigram OCCURRENCE
     // (short docs fall back to the whole-text gram) counts into the
     // 4×1024 sketch via (h1 + r·h2) mod 1024 double hashing; the exact
     // top-20 is a deterministic total order (count desc, gram asc)
     "q220_cms_heavyhitters" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
-        |  FROM documents),
-        |wd AS (
-        |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tk),
-        |g AS (
-        |  SELECT a.word || ' ' || b.word || ' ' || c.word AS gram
-        |  FROM wd a
-        |  JOIN wd b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-        |  JOIN wd c ON c.doc_id = a.doc_id AND c.i = a.i + 2
-        |  UNION ALL
-        |  SELECT array_to_string(w, ' ') FROM tk WHERE len(w) < 3),
-        |grams AS (SELECT gram FROM g WHERE gram <> ''),
+      s"""WITH $gram3Cte,
         |pr AS (
         |  SELECT (CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
         |          + rr.r * CAST('0x' || substr(md5(gram), 9, 8) AS BIGINT))

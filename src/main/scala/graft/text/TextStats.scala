@@ -333,6 +333,69 @@ object TextStats {
         (col("n_cms") - col("n_exact")).as("overestimate"))
   }
 
+  /** HyperLogLog distinct-count audit (Flajolet et al. 2007) over the
+    * token `n`-gram vocabulary: hash every gram occurrence into
+    * m = 2^p registers (bucket off the md5 prefix, rank = leading-zero
+    * count of the md5 suffix via `33 − length(bin(h2))` — an exact
+    * integer formulation both engines share), keep per-register MAX
+    * rank (duplicate-insensitive by construction), and report the raw
+    * HLL estimate next to the exact distinct count. The register sum
+    * Σ 2^(−R_b) rides as the EXACT integer Σ 2^(33−R_b) (max rank 33 →
+    * every term and the 1024-bucket sum fit a long), so the only
+    * float is the final single division — correctly-rounded IEEE,
+    * emitted UNROUNDED (q107 discipline) and replayed bit-for-bit.
+    *
+    * The audit says what 8 KB of register state buys in vocabulary-
+    * size accuracy on THIS corpus — the fixed-memory path to distinct
+    * n-grams per shard/stream where exact distinct would shuffle the
+    * vocabulary. Scale shape: map-side explode, ONE m-bounded register
+    * aggregate (map-side combine), plus the exact-distinct ground
+    * truth (the shuffle the sketch would replace). One output row.
+    */
+  /** The HLL estimate numerator α_m·m²·2³³ — ONE definition shared by
+    * [[hllDistinctAudit]] and the generated DuckDB oracle (embedded
+    * via `Double.toString`, which round-trips bit-exactly), so the
+    * engines cannot disagree on the constant.
+    */
+  def hllEstimateConst(p: Int): Double = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha * m * m * math.pow(2.0, 33)
+  }
+
+  def hllDistinctAudit(df: DataFrame, textCol: String, n: Int,
+                       p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val m = 1 << p
+    val c = hllEstimateConst(p)
+    val grams = graft.engine.Caches.persisted("hll.grams",
+      df.select(explode(Dedup.shinglesOfTokens(
+          tokens(col(textCol)), n)).as("gram"))
+        .filter(col("gram") =!= ""))
+    val ranked = grams.select(
+        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+          lit(m.toLong)).as("bucket"),
+        conv(substring(md5(col("gram")), 9, 8), 16, 10).cast("long").as("_h2"))
+      .select(col("bucket"),
+        when(col("_h2") === 0L, lit(33))
+          .otherwise(lit(33) - length(bin(col("_h2")))).as("r"))
+    val regs = ranked.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+    val spark = df.sparkSession
+    val full = spark.range(m).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(coalesce(col("r"), lit(0)).as("r"))
+    val s = full.agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - r AS INT))"))
+        .cast("long").as("s_scaled"),
+      sum(when(col("r") === 0, 1L).otherwise(0L)).cast("long").as("v_zero"))
+    val exact = grams.agg(count_distinct(col("gram")).as("n_exact"))
+    s.crossJoin(exact).select(
+      lit(m.toLong).as("m"), col("v_zero"), col("s_scaled"), col("n_exact"),
+      (lit(c) / col("s_scaled")).as("raw_est"),
+      when(col("n_exact") > 0,
+        lit(c) / col("s_scaled") / col("n_exact")).as("err_ratio"))
+  }
+
   /** Per-group EXACT token-count quantiles — the length-distribution
     * audit of corpus curation (chunk-size budgeting, truncation-loss
     * estimates, outlier-source detection).

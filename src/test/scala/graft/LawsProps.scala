@@ -2318,6 +2318,44 @@ object LawsProps extends Properties("graft.laws") {
       out == expect
     }
 
+  property("hllDistinctAudit: equals the driver-side register mirror on ANY corpus") =
+    forAll(Gen.listOfN(4, Gen.zip(Gen.choose(0L, 30L),
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.take(6))))) { rowsRaw =>
+      val rows = rowsRaw.toMap.toList
+      val p = 4; val m = 1 << p
+      val out = graft.text.TextStats.hllDistinctAudit(
+          rows.map { case (id, ts) => (id, ts.mkString(" ")) }
+            .toDF("doc_id", "text"), "text", 3, p)
+        .as[(Long, Long, Long, Long, Double, Option[Double])]
+        .collect().head
+      graft.engine.Caches.releaseAll()
+      def md5bytes(s: String) = java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      def hx(b: Array[Byte]) = java.lang.Long.parseLong(
+        b.map(x => f"$x%02x").mkString, 16)
+      val grams = rows.flatMap { case (_, toks) =>
+        val gs = if (toks.length < 3) Seq(toks.mkString(" "))
+                 else toks.sliding(3).map(_.mkString(" ")).toSeq
+        gs.filter(_.nonEmpty)
+      }
+      val regs = Array.fill(m)(0)
+      grams.foreach { g =>
+        val d = md5bytes(g)
+        val (h1, h2) = (hx(d.take(4)), hx(d.slice(4, 8)))
+        val b = (h1 % m).toInt
+        val r = if (h2 == 0L) 33
+                else 33 - java.lang.Long.toBinaryString(h2).length
+        if (r > regs(b)) regs(b) = r
+      }
+      val sScaled = regs.map(r => 1L << (33 - r)).sum
+      val vZero = regs.count(_ == 0).toLong
+      val nExact = grams.distinct.size.toLong
+      val c = graft.text.TextStats.hllEstimateConst(p)
+      val rawEst = c / sScaled
+      val errRatio = if (nExact > 0) Some(rawEst / nExact) else None
+      out == ((m.toLong, vZero, sScaled, nExact, rawEst, errRatio))
+    }
+
   property("cmsHeavyHitters: equals the driver-side sketch mirror on ANY corpus") =
     forAll(Gen.listOfN(5, Gen.zip(Gen.choose(0L, 30L),
       Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.take(6))))) { rowsRaw =>

