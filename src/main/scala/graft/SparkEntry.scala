@@ -699,6 +699,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q222_hll_by_source" -> ((s, dir) => {
+      // per-slice HLL register files off the SAME register math as
+      // q221 — 8 KB per shard, merged by per-bucket MAX (law-proven
+      // shard-merge ≡ global), each slice graded against its exact
+      // distinct trigram count
+      text.TextStats.hllBySource(t(s, dir, "documents"),
+        "source", "text", n = 3, p = 10).orderBy("source")
+    }),
+
     "q221_hll_audit" -> ((s, dir) => {
       // HLL vocabulary-size audit: 1024 registers (max leading-zero
       // rank per md5 bucket), the exact-integer register sum, and the
@@ -3010,25 +3019,31 @@ object SparkEntry {
       |wfp AS (SELECT DISTINCT doc_id, pos, h AS fp FROM wsel)""".stripMargin
 
   /** Trigram-OCCURRENCE CTE chain over `documents` (short docs fall
-    * back to the whole-text gram, empty grams filtered) — shared by
-    * the q220 CMS and q221 HLL sketch oracles so both count the SAME
-    * gram stream the Spark operators explode. Ends in `grams(gram)`.
+    * back to the whole-text gram, empty grams filtered) — ONE
+    * generator shared by the q220 CMS, q221 HLL, and q222 per-source
+    * HLL oracles so all three count the SAME gram stream the Spark
+    * operators explode. Ends in `grams(gram[, source])`.
     */
-  private val gram3Cte: String =
-    """tk AS (
-      |  SELECT doc_id,
-      |    regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+  private def gram3Chain(withSrc: Boolean): String = {
+    val sc = if (withSrc) ", source" else ""
+    val scA = if (withSrc) ", a.source" else ""
+    s"""tk AS (
+      |  SELECT doc_id$sc,
+      |    regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS w
       |  FROM documents),
       |wd AS (
-      |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tk),
+      |  SELECT doc_id$sc, unnest(w) AS word, generate_subscripts(w, 1) AS i FROM tk),
       |g AS (
-      |  SELECT a.word || ' ' || b.word || ' ' || c.word AS gram
+      |  SELECT a.word || ' ' || b.word || ' ' || c.word AS gram$scA
       |  FROM wd a
       |  JOIN wd b ON b.doc_id = a.doc_id AND b.i = a.i + 1
       |  JOIN wd c ON c.doc_id = a.doc_id AND c.i = a.i + 2
       |  UNION ALL
-      |  SELECT array_to_string(w, ' ') FROM tk WHERE len(w) < 3),
-      |grams AS (SELECT gram FROM g WHERE gram <> '')""".stripMargin
+      |  SELECT array_to_string(w, ' ') AS gram$sc FROM tk WHERE len(w) < 3),
+      |grams AS (SELECT gram$sc FROM g WHERE gram <> '')""".stripMargin
+  }
+
+  private val gram3Cte: String = gram3Chain(withSrc = false)
 
   /** GENERATED q221 oracle: the HLL register file and raw estimate
     * replayed exactly — md5 bucket/rank hashing, the exact integer
@@ -3062,6 +3077,49 @@ object SparkEntry {
       |  $c / s_scaled AS raw_est,
       |  CASE WHEN n_exact > 0 THEN $c / s_scaled / n_exact END AS err_ratio
       |FROM s, x""".stripMargin
+  }
+
+  /** GENERATED q222 oracle: per-source HLL register files replayed
+    * exactly off the source-carrying gram chain — same register math
+    * as q221, grouped; all-empty slices read v_zero = m and NULL
+    * estimates.
+    */
+  private def hllBySourceOracleSql(p: Int): String = {
+    val m = 1 << p
+    val c = graft.text.TextStats.hllEstimateConst(p)
+    s"""WITH ${gram3Chain(withSrc = true)},
+      |rk AS (
+      |  SELECT source,
+      |    CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % $m AS bucket,
+      |    CAST('0x' || substr(md5(gram), 9, 8) AS BIGINT) AS h2
+      |  FROM grams),
+      |rr AS (
+      |  SELECT source, bucket,
+      |    CASE WHEN h2 = 0 THEN 33 ELSE 33 - length(bin(h2)) END AS r
+      |  FROM rk),
+      |regs AS (SELECT source, bucket, MAX(r) AS r FROM rr GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, b.bucket
+      |  FROM (SELECT DISTINCT source FROM documents) s
+      |  CROSS JOIN (SELECT unnest(range(0, $m)) AS bucket) b),
+      |fullr AS (
+      |  SELECT g2.source, COALESCE(r2.r, 0) AS r
+      |  FROM grid g2 LEFT JOIN regs r2 USING (source, bucket)),
+      |s AS (
+      |  SELECT source,
+      |    CAST(SUM(CAST(1 AS BIGINT) << (33 - r)) AS BIGINT) AS s_scaled,
+      |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+      |  FROM fullr GROUP BY 1),
+      |x AS (
+      |  SELECT source, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_exact
+      |  FROM grams GROUP BY 1)
+      |SELECT s.source, s.v_zero, s.s_scaled,
+      |  COALESCE(x.n_exact, CAST(0 AS BIGINT)) AS n_exact,
+      |  CASE WHEN s.v_zero < $m THEN $c / s.s_scaled END AS raw_est,
+      |  CASE WHEN s.v_zero < $m AND COALESCE(x.n_exact, 0) > 0
+      |    THEN $c / s.s_scaled / x.n_exact END AS err_ratio
+      |FROM s LEFT JOIN x USING (source)
+      |ORDER BY source""".stripMargin
   }
 
   private val shingleCte: String =
@@ -5431,6 +5489,7 @@ object SparkEntry {
     "q218_bpe_fertility" -> bpeFertilityOracleSql(FixedBpeMerges),
 
     "q221_hll_audit" -> hllOracleSql(10),
+    "q222_hll_by_source" -> hllBySourceOracleSql(10),
 
     // mirrors TextStats.cmsHeavyHitters: every trigram OCCURRENCE
     // (short docs fall back to the whole-text gram) counts into the

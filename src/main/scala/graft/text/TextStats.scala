@@ -363,23 +363,44 @@ object TextStats {
     alpha * m * m * math.pow(2.0, 33)
   }
 
+  /** The HLL register frame — PRESENT buckets only, with optional
+    * per-group keying: `(grp?, bucket, r)` where r = max leading-zero
+    * rank of any gram hashed into the bucket. ONE definition shared
+    * by [[hllDistinctAudit]] (global) and [[hllBySource]] (per-slice),
+    * and the unit the merge law quantifies over: registers merge by
+    * per-bucket MAX, which is exactly how HLL shards combine across
+    * executors/partitions/days at any scale.
+    */
+  private[graft] def hllRegisterFrame(grams: DataFrame, grpCols: Seq[String],
+                                      p: Int): DataFrame = {
+    val m = 1 << p
+    val keys = grpCols.map(col) :+ col("bucket")
+    grams.select(grpCols.map(col) ++ Seq(
+        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
+          lit(m.toLong)).as("bucket"),
+        conv(substring(md5(col("gram")), 9, 8), 16, 10).cast("long")
+          .as("_h2")): _*)
+      .select(grpCols.map(col) ++ Seq(col("bucket"),
+        when(col("_h2") === 0L, lit(33))
+          .otherwise(lit(33) - length(bin(col("_h2")))).as("r")): _*)
+      .groupBy(keys: _*).agg(max(col("r")).as("r"))
+  }
+
+  private[graft] def gramStream(df: DataFrame, grpCols: Seq[String],
+                                textCol: String, n: Int): DataFrame =
+    df.select(grpCols.map(col) :+
+        explode(Dedup.shinglesOfTokens(tokens(col(textCol)), n))
+          .as("gram"): _*)
+      .filter(col("gram") =!= "")
+
   def hllDistinctAudit(df: DataFrame, textCol: String, n: Int,
                        p: Int = 10): DataFrame = {
     require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
     val m = 1 << p
     val c = hllEstimateConst(p)
     val grams = graft.engine.Caches.persisted("hll.grams",
-      df.select(explode(Dedup.shinglesOfTokens(
-          tokens(col(textCol)), n)).as("gram"))
-        .filter(col("gram") =!= ""))
-    val ranked = grams.select(
-        pmod(conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long"),
-          lit(m.toLong)).as("bucket"),
-        conv(substring(md5(col("gram")), 9, 8), 16, 10).cast("long").as("_h2"))
-      .select(col("bucket"),
-        when(col("_h2") === 0L, lit(33))
-          .otherwise(lit(33) - length(bin(col("_h2")))).as("r"))
-    val regs = ranked.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+      gramStream(df, Nil, textCol, n))
+    val regs = hllRegisterFrame(grams, Nil, p)
     val spark = df.sparkSession
     val full = spark.range(m).select(col("id").as("bucket"))
       .join(regs, Seq("bucket"), "left")
@@ -394,6 +415,42 @@ object TextStats {
       (lit(c) / col("s_scaled")).as("raw_est"),
       when(col("n_exact") > 0,
         lit(c) / col("s_scaled") / col("n_exact")).as("err_ratio"))
+  }
+
+  /** Per-slice HLL distinct audit off the SAME register math as
+    * [[hllDistinctAudit]] — one register file per `grpCol` value, each
+    * graded against its slice's exact distinct count. This is the
+    * sketch's 100 TB shape: per-shard register files are 8 KB each,
+    * combine by per-bucket MAX (the merge law proves shard-merge ≡
+    * global), and never re-scan — the audit's per-slice error says
+    * whether that lifecycle is trustworthy on THIS corpus. Slices with
+    * no grams report v_zero = m and NULL estimates.
+    */
+  def hllBySource(df: DataFrame, grpCol: String, textCol: String, n: Int,
+                  p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val m = 1 << p
+    val c = hllEstimateConst(p)
+    val grams = graft.engine.Caches.persisted("hll.srcGrams",
+      gramStream(df, Seq(grpCol), textCol, n))
+    val regs = hllRegisterFrame(grams, Seq(grpCol), p)
+    val spark = df.sparkSession
+    val grid = df.select(col(grpCol)).distinct()
+      .crossJoin(spark.range(m).select(col("id").as("bucket")))
+    val full = grid.join(regs, Seq(grpCol, "bucket"), "left")
+      .select(col(grpCol), coalesce(col("r"), lit(0)).as("r"))
+    val s = full.groupBy(col(grpCol)).agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - r AS INT))"))
+        .cast("long").as("s_scaled"),
+      sum(when(col("r") === 0, 1L).otherwise(0L)).cast("long").as("v_zero"))
+    val exact = grams.groupBy(col(grpCol))
+      .agg(count_distinct(col("gram")).as("n_exact"))
+    s.join(exact, Seq(grpCol), "left")
+      .select(col(grpCol), col("v_zero"), col("s_scaled"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        when(col("v_zero") < m, lit(c) / col("s_scaled")).as("raw_est"),
+        when(col("v_zero") < m && coalesce(col("n_exact"), lit(0L)) > 0,
+          lit(c) / col("s_scaled") / col("n_exact")).as("err_ratio"))
   }
 
   /** Per-group EXACT token-count quantiles — the length-distribution

@@ -2356,6 +2356,26 @@ object LawsProps extends Properties("graft.laws") {
       out == ((m.toLong, vZero, sScaled, nExact, rawEst, errRatio))
     }
 
+  property("hllRegisterFrame: per-shard registers merged by MAX equal global on ANY corpus") =
+    forAll(Gen.listOfN(6, Gen.zip(Gen.oneOf("s1", "s2", "s3"),
+      Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.take(6))))) { rowsRaw =>
+      val rows = rowsRaw.map { case (src, ts) => (src, ts.mkString(" ")) }
+      val df = rows.toDF("source", "text")
+      val p = 4
+      val bySrc = graft.text.TextStats.hllRegisterFrame(
+        graft.text.TextStats.gramStream(df, Seq("source"), "text", 3),
+        Seq("source"), p)
+      val merged = bySrc.groupBy(
+          org.apache.spark.sql.functions.col("bucket"))
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("r")).as("r"))
+        .as[(Long, Int)].collect().toSeq.sorted
+      val global = graft.text.TextStats.hllRegisterFrame(
+        graft.text.TextStats.gramStream(df, Nil, "text", 3), Nil, p)
+        .as[(Long, Int)].collect().toSeq.sorted
+      merged == global
+    }
+
   property("cmsHeavyHitters: equals the driver-side sketch mirror on ANY corpus") =
     forAll(Gen.listOfN(5, Gen.zip(Gen.choose(0L, 30L),
       Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.take(6))))) { rowsRaw =>

@@ -582,6 +582,29 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("hllBySource: single source matches the global audit; empty slice reads NULL estimates") {
+    val docs = Seq(
+      (1L, "s1", "w1 w2 w3 w4"),
+      (2L, "s1", "w5 w6 w7"),
+      (3L, "s2", " ")
+    ).toDF("doc_id", "source", "text")
+    val bySrc = TextStats.hllBySource(docs, "source", "text", 3, p = 10)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect()
+    graft.engine.Caches.releaseAll()
+    val global = TextStats.hllDistinctAudit(
+        docs.filter($"source" === "s1"), "text", 3, p = 10)
+      .as[(Long, Long, Long, Long, Double, Option[Double])].collect().head
+    graft.engine.Caches.releaseAll()
+    // s1 carries all grams: per-slice row == the global audit of s1
+    assert(bySrc(0) === (("s1", global._2, global._3, global._4,
+      Some(global._5), global._6)))
+    // s2 has no grams: full-zero registers, NULL estimates
+    assert(bySrc(1) === (("s2", 1024L, 1024L * (1L << 33), 0L, None, None)))
+    spark.catalog.clearCache()
+  }
+
   test("corpusOverlap: refuses past the slice-count guard") {
     val docs = Seq(("A", "a"), ("B", "b"), ("C", "c")).toDF("src", "text")
     val e = intercept[IllegalArgumentException] {
