@@ -699,6 +699,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q223_winnow_append" -> ((s, dir) => {
+      // batch-proportional winnow-overlap APPEND: the pairs a full
+      // recompute would add when the doc_id%10==0 batch lands on the
+      // standing corpus — fps(batch) ⋈ fps(all), never corpus²; the
+      // oracle is the q217 chain restricted to >= 1 batch side
+      val docs = t(s, dir, "documents")
+      text.TextStats.appendWinnowOverlapPairs(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 3, w = 4, minShared = 2L)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "q222_hll_by_source" -> ((s, dir) => {
       // per-slice HLL register files off the SAME register math as
       // q221 — 8 KB per shard, merged by per-bucket MAX (law-proven
@@ -3044,6 +3057,32 @@ object SparkEntry {
   }
 
   private val gram3Cte: String = gram3Chain(withSrc = false)
+
+  /** The q217 winnow-pair oracle chain, parameterized by an extra
+    * pair predicate — ONE generator for the full join (q217, empty
+    * predicate) and the append restriction (q223), so the two cannot
+    * drift.
+    */
+  private def winnowPairsOracleSql(extraWhere: String): String =
+    s"""WITH $winnowCte,
+      |dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+      |       FROM dfp GROUP BY 1),
+      |pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM dfp a JOIN dfp b
+      |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.doc_a, p.doc_b, sa.n_fp AS n_a, sb.n_fp AS n_b,
+      |  p.n_shared,
+      |  CAST(p.n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp)
+      |    AS containment
+      |FROM pr p
+      |JOIN sz sa ON sa.doc_id = p.doc_a
+      |JOIN sz sb ON sb.doc_id = p.doc_b
+      |WHERE p.n_shared >= 2$extraWhere
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** GENERATED q221 oracle: the HLL register file and raw estimate
     * replayed exactly — md5 bucket/rank hashing, the exact integer
@@ -5676,26 +5715,14 @@ object SparkEntry {
     // mirrors TextStats.winnowOverlapPairs off the SAME winnowCte:
     // distinct (doc, fp), fp-keyed self-join, pair counts >= 2,
     // containment as the unrounded exact-integer quotient
-    "q217_winnow_overlap" ->
-      s"""WITH $winnowCte,
-        |dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
-        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
-        |       FROM dfp GROUP BY 1),
-        |pr AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(COUNT(*) AS BIGINT) AS n_shared
-        |  FROM dfp a JOIN dfp b
-        |    ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT p.doc_a, p.doc_b, sa.n_fp AS n_a, sb.n_fp AS n_b,
-        |  p.n_shared,
-        |  CAST(p.n_shared AS DOUBLE) / least(sa.n_fp, sb.n_fp)
-        |    AS containment
-        |FROM pr p
-        |JOIN sz sa ON sa.doc_id = p.doc_a
-        |JOIN sz sb ON sb.doc_id = p.doc_b
-        |WHERE p.n_shared >= 2
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q217_winnow_overlap" -> winnowPairsOracleSql(""),
+
+    // mirrors TextStats.appendWinnowOverlapPairs: the SAME full-pair
+    // chain restricted to pairs with >= 1 batch (doc_id%10==0) side —
+    // append ≡ full-minus-old is the law, so the oracle IS the
+    // restriction of the full oracle
+    "q223_winnow_append" -> winnowPairsOracleSql(
+      "\n  AND (p.doc_a % 10 = 0 OR p.doc_b % 10 = 0)"),
 
     // mirrors Curation.lmPerplexity: add-1 bigram LM on the en slice,
     // V = distinct en unigrams + 1, each ln fixed to the 12-dp grid,

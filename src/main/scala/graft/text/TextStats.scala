@@ -352,6 +352,59 @@ object TextStats {
     * aggregate (map-side combine), plus the exact-distinct ground
     * truth (the shuffle the sketch would replace). One output row.
     */
+  /** Batch-proportional APPEND form of [[winnowOverlapPairs]] (the
+    * q161 incremental-dedup discipline applied to winnow overlap):
+    * exactly the pairs a full recompute over `corpus ∪ batch` would
+    * ADD — every pair with at least one batch-side doc — without
+    * re-joining the standing corpus against itself. Winnowing is
+    * per-doc, so batch fingerprints are a semi-join of the union
+    * relation; the candidate join is fps(batch) ⋈ fps(all), whose
+    * cost is batch-fingerprint-proportional (times hottest-fp
+    * expansion, same refusal as the full form). New×new pairs arrive
+    * in both orientations — the normalize+distinct on
+    * (doc_a, doc_b, fp) collapses them before counting, which is what
+    * keeps append ≡ full-minus-old exactly (law-pinned). Sizes come
+    * off the union relation, so containment matches the full
+    * recompute bit-for-bit.
+    */
+  def appendWinnowOverlapPairs(corpus: DataFrame, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int = 3, w: Int = 4, minShared: Long = 2L,
+                               hotFpCap: Long = graft.ops.GuardBounds.HotFingerprintCap): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val all = corpus.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val fpsAll = graft.engine.Caches.persisted("winnowAppend.fpsAll",
+      winnowFingerprints(all, idCol, textCol, k, w)
+        .select(col("doc_id"), col("fp")).distinct())
+    val hottest = fpsAll.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("m"))
+      .first().getLong(0)
+    require(hottest <= hotFpCap,
+      s"appendWinnowOverlapPairs: hottest fingerprint is shared by " +
+        s"$hottest docs (> hotFpCap=$hotFpCap); strip boilerplate or " +
+        "raise k/w first")
+    val newIds = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val fpsNew = fpsAll.join(newIds, Seq("doc_id"), "left_semi")
+    val shared = fpsNew.select(col("doc_id").as("_da"), col("fp"))
+      .join(fpsAll.select(col("doc_id").as("_db"), col("fp")), Seq("fp"))
+      .filter(col("_da") =!= col("_db"))
+      .select(least(col("_da"), col("_db")).as("doc_a"),
+        greatest(col("_da"), col("_db")).as("doc_b"), col("fp"))
+      .distinct()
+    val sizes = fpsAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    shared.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.hint("shuffle_hash")
+        .select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), Seq("doc_a"))
+      .join(sizes.hint("shuffle_hash")
+        .select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        (col("n_shared") / least(col("n_a"), col("n_b"))).as("containment"))
+  }
+
   /** The HLL estimate numerator α_m·m²·2³³ — ONE definition shared by
     * [[hllDistinctAudit]] and the generated DuckDB oracle (embedded
     * via `Double.toString`, which round-trips bit-exactly), so the

@@ -2356,6 +2356,35 @@ object LawsProps extends Properties("graft.laws") {
       out == ((m.toLong, vZero, sScaled, nExact, rawEst, errRatio))
     }
 
+  property("appendWinnowOverlapPairs: base ∪ append equals the full recompute on ANY split") =
+    forAll(
+      Gen.listOfN(4, Gen.zip(Gen.choose(0L, 20L),
+        Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.take(8)))),
+      Gen.listOfN(3, Gen.zip(Gen.choose(30L, 45L),
+        Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.take(8))))) {
+      (oldRaw, newRaw) =>
+      val oldRows = oldRaw.toMap.toList
+        .map { case (id, ts) => (id, ts.mkString(" ")) }
+      val newRows = newRaw.toMap.toList
+        .map { case (id, ts) => (id, ts.mkString(" ")) }
+      def run(f: => org.apache.spark.sql.DataFrame)
+          : Set[(Long, Long, Long, Long, Long, Double)] = {
+        val r = f.as[(Long, Long, Long, Long, Long, Double)]
+          .collect().toSet
+        graft.engine.Caches.releaseAll()
+        r
+      }
+      val full = run(graft.text.TextStats.winnowOverlapPairs(
+        (oldRows ++ newRows).toDF("doc_id", "text"), "doc_id", "text",
+        3, 4, 2L))
+      val base = run(graft.text.TextStats.winnowOverlapPairs(
+        oldRows.toDF("doc_id", "text"), "doc_id", "text", 3, 4, 2L))
+      val app = run(graft.text.TextStats.appendWinnowOverlapPairs(
+        oldRows.toDF("doc_id", "text"), newRows.toDF("doc_id", "text"),
+        "doc_id", "text", 3, 4, 2L))
+      (base intersect app).isEmpty && (base union app) == full
+    }
+
   property("hllRegisterFrame: per-shard registers merged by MAX equal global on ANY corpus") =
     forAll(Gen.listOfN(6, Gen.zip(Gen.oneOf("s1", "s2", "s3"),
       Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.take(6))))) { rowsRaw =>
