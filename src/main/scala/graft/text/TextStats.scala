@@ -371,12 +371,31 @@ object TextStats {
                                idCol: String, textCol: String,
                                k: Int = 3, w: Int = 4, minShared: Long = 2L,
                                hotFpCap: Long = graft.ops.GuardBounds.HotFingerprintCap): DataFrame = {
-    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val all = corpus.select(col(idCol), col(textCol))
       .unionByName(batch.select(col(idCol), col(textCol)))
     val fpsAll = graft.engine.Caches.persisted("winnowAppend.fpsAll",
       winnowFingerprints(all, idCol, textCol, k, w)
         .select(col("doc_id"), col("fp")).distinct())
+    val newIds = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
+    appendWinnowOverlapPairsFromFps(fpsAll, newIds, minShared, hotFpCap)
+  }
+
+  /** [[appendWinnowOverlapPairs]] over a PRECOMPUTED (materialized)
+    * `(doc_id, fp)` relation — the build/probe split: a standing
+    * corpus persists its fingerprint relation once (winnowing is
+    * map-only, so the batch's rows append with one scan of the BATCH)
+    * and every append starts HERE, paying only the batch-proportional
+    * candidate join. Measured at sf0.1, full-form q217 and self-
+    * contained q223 both spend ~1 s re-fingerprinting the corpus per
+    * call — this entry point is what removes that term from the
+    * steady-state append loop (the buildSignatureIndex discipline).
+    * ONE implementation under both forms, so indexed ≡ self-deriving
+    * by construction.
+    */
+  def appendWinnowOverlapPairsFromFps(fpsAll: DataFrame, newIds: DataFrame,
+                                      minShared: Long = 2L,
+                                      hotFpCap: Long = graft.ops.GuardBounds.HotFingerprintCap): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val hottest = fpsAll.groupBy(col("fp")).agg(count(lit(1)).as("c"))
       .agg(coalesce(max(col("c")), lit(0L)).as("m"))
       .first().getLong(0)
@@ -384,7 +403,6 @@ object TextStats {
       s"appendWinnowOverlapPairs: hottest fingerprint is shared by " +
         s"$hottest docs (> hotFpCap=$hotFpCap); strip boilerplate or " +
         "raise k/w first")
-    val newIds = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
     val fpsNew = fpsAll.join(newIds, Seq("doc_id"), "left_semi")
     val shared = fpsNew.select(col("doc_id").as("_da"), col("fp"))
       .join(fpsAll.select(col("doc_id").as("_db"), col("fp")), Seq("fp"))

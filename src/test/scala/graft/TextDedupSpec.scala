@@ -605,6 +605,29 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("appendWinnowOverlapPairsFromFps: persisted-fp path equals the self-deriving form") {
+    val corpus = Seq(
+      (1L, "c1 c2 c3 c4 c5 c6 c7"),
+      (2L, "c1 c2 c3 c4 c5 c6 c7 tail")).toDF("doc_id", "text")
+    val batch = Seq((10L, "c1 c2 c3 c4 c5 c6 c7 fresh")).toDF("doc_id", "text")
+    val self = TextStats.appendWinnowOverlapPairs(corpus, batch,
+        "doc_id", "text", 3, 4, 1L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    graft.engine.Caches.releaseAll()
+    val fpsAll = TextStats.winnowFingerprints(
+        corpus.unionByName(batch), "doc_id", "text", 3, 4)
+      .select($"doc_id", $"fp").distinct().persist()
+    fpsAll.count()
+    val indexed = TextStats.appendWinnowOverlapPairsFromFps(fpsAll,
+        batch.select($"doc_id"), 1L)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    fpsAll.unpersist()
+    assert(self === indexed)
+    // only pairs with the batch side appear
+    assert(indexed.nonEmpty && indexed.forall(p => p._2 == 10L))
+    spark.catalog.clearCache()
+  }
+
   test("corpusOverlap: refuses past the slice-count guard") {
     val docs = Seq(("A", "a"), ("B", "b"), ("C", "c")).toDF("src", "text")
     val e = intercept[IllegalArgumentException] {
