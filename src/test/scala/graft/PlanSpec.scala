@@ -495,6 +495,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q217: winnow overlap joins are hash joins — never cartesian or sort-merge") {
+    // the fp self-join and both corpus-sized size rejoins must stay
+    // ShuffledHashJoin (hinted): a SortMergeJoin would add three sorts
+    // of the fingerprint relation, and a broadcast of corpus-derived
+    // sizes would ship the corpus to every executor
+    val p = plan("q217_winnow_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    graft.engine.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  test("q219: SQ8 per-dimension stats broadcast onto the explode — no shuffle for the codes") {
+    val p = plan("q219_sq8_audit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q220: CMS estimates join the broadcast sketch; the sketch agg partials map-side") {
+    val p = plan("q220_cms_heavyhitters")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the exact top-k never globally sorts the gram counts
+    assert(p.contains("TakeOrderedAndProject"), p)
+    graft.engine.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("AQE splits a skewed join partition at runtime (skew-join enabled in Sessions.tune)") {
     import spark.implicits._
     // one key carries ~100k rows against a 4-row dimension; with the
