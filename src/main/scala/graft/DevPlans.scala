@@ -144,7 +144,31 @@ object DevPlans {
         "AND df (co-partitioned), bucket sums are exact decimals, the " +
         "dense assembly is map-side per doc, and the cosine top-k is " +
         "a broadcast of the single query vector + " +
-        "TakeOrderedAndProject — the corpus is scanned once."))
+        "TakeOrderedAndProject — the corpus is scanned once."),
+    "q216_winnow_fingerprints" ->
+      ("Winnowing is MAP-ONLY: grams, hashes, and every window argmin " +
+        "fold fuse into one scan projection, nothing shuffles before " +
+        "the result. The hash array MUST materialize as a projected " +
+        "column — referencing it from inside the fold lambda re-runs " +
+        "the whole-doc md5 transform per (window, step), O(n²·w): " +
+        "measured 147 s vs 1 s at sf0.1."),
+    "q217_winnow_overlap" ->
+      ("Winnow overlap: the fp self-join and both corpus-sized size " +
+        "rejoins are SORTLESS shuffle-hash (a broadcast would ship " +
+        "corpus-derived sizes everywhere; sort-merge would sort the " +
+        "fingerprint relation three times); per-key expansion is " +
+        "bounded by the hottest fingerprint, refused past the cap."),
+    "q220_cms_heavyhitters" ->
+      ("Count-min sketch: the (depth·width)-bounded sketch aggregate " +
+        "partials map-side, estimates join the BROADCAST sketch, and " +
+        "the exact top-k ground truth rides TakeOrderedAndProject — " +
+        "never a global sort of the gram counts."),
+    "q221_hll_audit" ->
+      ("HyperLogLog: one m-bounded register aggregate (map-side " +
+        "combine) + the exact-distinct ground truth; registers merge " +
+        "by per-bucket MAX (law-proven shard-merge ≡ global), so the " +
+        "8 KB register file is what ships between executors at scale, " +
+        "never gram streams."))
 
   def main(args: Array[String]): Unit = {
     val spark = engine.Sessions.tune(
