@@ -699,6 +699,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q224_kmv_overlap" -> ((s, dir) => {
+      // KMV/theta bottom-64 slice-overlap audit: union and
+      // INTERSECTION estimates (the set operation HLL cannot do) next
+      // to exact ground truth — one (slice, hash) shuffle, slice²
+      // pair grid broadcast onto 64-row samples, corpusOverlap guard
+      text.TextStats.kmvOverlapAudit(t(s, dir, "documents"),
+        "source", "text", n = 3, k = 64)
+        .orderBy("slice_a", "slice_b")
+    }),
+
     "q223_winnow_append" -> ((s, dir) => {
       // batch-proportional winnow-overlap APPEND: the pairs a full
       // recompute would add when the doc_id%10==0 batch lands on the
@@ -3057,6 +3067,61 @@ object SparkEntry {
   }
 
   private val gram3Cte: String = gram3Chain(withSrc = false)
+
+  /** GENERATED q224 oracle: the bottom-k sketch, the merged pair
+    * sample with θ and the membership flags, both estimates in the
+    * engine's exact operation order, and the exact hash-set ground
+    * truth — all off the source-carrying gram chain.
+    */
+  private def kmvOracleSql(k: Int): String = {
+    val uEst = s"CAST((e.k_eff - 1) * 4294967296 AS DOUBLE) / e.theta"
+    s"""WITH ${gram3Chain(withSrc = true)},
+      |hs AS (
+      |  SELECT DISTINCT source AS slice,
+      |    CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) AS h
+      |  FROM grams),
+      |bk AS (
+      |  SELECT slice, h FROM hs
+      |  QUALIFY row_number() OVER (PARTITION BY slice ORDER BY h) <= $k),
+      |sl AS (SELECT DISTINCT slice FROM hs),
+      |prs AS (
+      |  SELECT a.slice AS slice_a, b.slice AS slice_b
+      |  FROM sl a, sl b WHERE a.slice < b.slice),
+      |hu AS (
+      |  SELECT p.slice_a, p.slice_b, bk.h,
+      |    MAX(CASE WHEN bk.slice = p.slice_a THEN 1 ELSE 0 END) AS ia,
+      |    MAX(CASE WHEN bk.slice = p.slice_b THEN 1 ELSE 0 END) AS ib
+      |  FROM prs p JOIN bk ON bk.slice IN (p.slice_a, p.slice_b)
+      |  GROUP BY 1, 2, 3),
+      |samp AS (
+      |  SELECT * FROM hu
+      |  QUALIFY row_number() OVER (PARTITION BY slice_a, slice_b
+      |    ORDER BY h) <= $k),
+      |est AS (
+      |  SELECT slice_a, slice_b, CAST(COUNT(*) AS BIGINT) AS k_eff,
+      |    MAX(h) AS theta,
+      |    CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c_inter
+      |  FROM samp GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT a.slice AS slice_a, b.slice AS slice_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_inter
+      |  FROM hs a JOIN hs b ON a.h = b.h AND a.slice < b.slice
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_h
+      |       FROM hs GROUP BY 1)
+      |SELECT e.slice_a, e.slice_b, e.k_eff, e.theta, e.c_inter,
+      |  CASE WHEN e.theta > 0 THEN $uEst END AS union_est,
+      |  (e.c_inter * (CASE WHEN e.theta > 0 THEN $uEst END)) / e.k_eff
+      |    AS inter_est,
+      |  COALESCE(x.n_inter, CAST(0 AS BIGINT)) AS n_inter,
+      |  sa.n_h + sb.n_h - COALESCE(x.n_inter, 0) AS n_union
+      |FROM est e
+      |LEFT JOIN ex x USING (slice_a, slice_b)
+      |JOIN sz sa ON sa.slice = e.slice_a
+      |JOIN sz sb ON sb.slice = e.slice_b
+      |ORDER BY slice_a, slice_b""".stripMargin
+  }
 
   /** The q217 winnow-pair oracle chain, parameterized by an extra
     * pair predicate — ONE generator for the full join (q217, empty
@@ -5529,6 +5594,7 @@ object SparkEntry {
 
     "q221_hll_audit" -> hllOracleSql(10),
     "q222_hll_by_source" -> hllBySourceOracleSql(10),
+    "q224_kmv_overlap" -> kmvOracleSql(64),
 
     // mirrors TextStats.cmsHeavyHitters: every trigram OCCURRENCE
     // (short docs fall back to the whole-text gram) counts into the

@@ -524,6 +524,93 @@ object TextStats {
           lit(c) / col("s_scaled") / col("n_exact")).as("err_ratio"))
   }
 
+  /** KMV (bottom-k / theta-sketch) slice-overlap audit (Beyer et al.
+    * 2007): per slice keep the k SMALLEST distinct gram hashes; for
+    * every slice pair, the k smallest of the merged samples estimate
+    * |A∪B| as (k_eff−1)·2³²/θ (θ = the k_eff-th smallest) and the
+    * sample rows present in BOTH bottom-k sets scale that to an
+    * |A∩B| estimate — the set-INTERSECTION capability HLL registers
+    * cannot provide. Both estimates sit next to the exact
+    * intersection/union ground truth (computed on the same hash
+    * vocabulary), so the audit grades the k·8-byte-per-slice sketch
+    * before it replaces the exact join in a slice-similarity sweep.
+    *
+    * Determinism: hashes are the md5-prefix family; ranks, θ, and
+    * every count are exact integers; the two estimates are IEEE
+    * divisions of exact integers in a fixed operation order — the
+    * oracle replays all of it bit-for-bit.
+    *
+    * Scale shape: one (slice, hash) distinct shuffle; bottom-k via
+    * one per-slice window (WindowGroupLimit-prunable); the pair grid
+    * is slice²-bounded (REFUSED past `maxSlices`, the corpusOverlap
+    * guard) and broadcast onto the k-row samples; exact ground truth
+    * is the hash-keyed inverted-index join, expansion bounded by how
+    * many SLICES share a hash.
+    */
+  def kmvOverlapAudit(df: DataFrame, sliceCol: String, textCol: String,
+                      n: Int, k: Int = 256,
+                      maxSlices: Long = graft.ops.GuardBounds.MaxCorpusSlices): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hs = graft.engine.Caches.persisted("kmv.hashes",
+      gramStream(df, Seq(sliceCol), textCol, n)
+        .select(col(sliceCol).as("slice"),
+          conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+        .distinct())
+    val nSlices = hs.select(col("slice")).distinct().count()
+    require(nSlices <= maxSlices,
+      s"kmvOverlapAudit is quadratic in slices " +
+        s"(${nSlices * (nSlices - 1) / 2} pairs at k=$nSlices > " +
+        s"maxSlices=$maxSlices); aggregate slices first")
+    val byS = Window.partitionBy(col("slice")).orderBy(col("h"))
+    val bk = graft.engine.Caches.persisted("kmv.bottomK",
+      hs.withColumn("_rn", row_number().over(byS))
+        .filter(col("_rn") <= k).select(col("slice"), col("h")))
+    val slices = hs.select(col("slice")).distinct()
+    val pairs = slices.select(col("slice").as("slice_a"))
+      .crossJoin(slices.select(col("slice").as("slice_b")))
+      .filter(col("slice_a") < col("slice_b"))
+    val ha = broadcast(pairs).join(bk, col("slice") === col("slice_a"))
+      .select(col("slice_a"), col("slice_b"), col("h"),
+        lit(true).as("_ia"), lit(false).as("_ib"))
+    val hb = broadcast(pairs).join(bk, col("slice") === col("slice_b"))
+      .select(col("slice_a"), col("slice_b"), col("h"),
+        lit(false).as("_ia"), lit(true).as("_ib"))
+    val byPair = Window.partitionBy(col("slice_a"), col("slice_b"))
+      .orderBy(col("h"))
+    val sample = ha.unionByName(hb)
+      .groupBy(col("slice_a"), col("slice_b"), col("h"))
+      .agg(max(col("_ia")).as("ia"), max(col("_ib")).as("ib"))
+      .withColumn("_rn", row_number().over(byPair))
+      .filter(col("_rn") <= k)
+    val est = sample.groupBy(col("slice_a"), col("slice_b"))
+      .agg(count(lit(1)).as("k_eff"), max(col("h")).as("theta"),
+        sum(when(col("ia") && col("ib"), 1L).otherwise(0L)).as("c_inter"))
+      .select(col("slice_a"), col("slice_b"), col("k_eff"), col("theta"),
+        col("c_inter"),
+        when(col("theta") > 0,
+          ((col("k_eff") - 1) * lit(4294967296L)).cast("double") /
+            col("theta")).as("union_est"))
+      .withColumn("inter_est",
+        (col("c_inter") * col("union_est")) / col("k_eff"))
+    val sizes = hs.groupBy(col("slice")).agg(count(lit(1)).as("n_h"))
+    val xa = hs.select(col("slice").as("slice_a"), col("h"))
+    val xb = hs.select(col("slice").as("slice_b"), col("h"))
+    val exact = xa.join(xb, Seq("h"))
+      .filter(col("slice_a") < col("slice_b"))
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    est.join(exact, Seq("slice_a", "slice_b"), "left")
+      .join(broadcast(sizes.select(col("slice").as("slice_a"),
+        col("n_h").as("_na"))), Seq("slice_a"))
+      .join(broadcast(sizes.select(col("slice").as("slice_b"),
+        col("n_h").as("_nb"))), Seq("slice_b"))
+      .select(col("slice_a"), col("slice_b"), col("k_eff"), col("theta"),
+        col("c_inter"), col("union_est"), col("inter_est"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("_na") + col("_nb") -
+          coalesce(col("n_inter"), lit(0L))).as("n_union"))
+  }
+
   /** Per-group EXACT token-count quantiles — the length-distribution
     * audit of corpus curation (chunk-size budgeting, truncation-loss
     * estimates, outlier-source detection).

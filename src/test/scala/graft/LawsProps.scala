@@ -2385,6 +2385,52 @@ object LawsProps extends Properties("graft.laws") {
       (base intersect app).isEmpty && (base union app) == full
     }
 
+  property("kmvOverlapAudit: equals the driver-side bottom-k mirror on ANY corpus") =
+    forAll(Gen.listOfN(6, Gen.zip(Gen.oneOf("s1", "s2", "s3"),
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d")).map(_.take(7))))) { rowsRaw =>
+      val rows = rowsRaw.map { case (src, ts) => (src, ts.mkString(" ")) }
+      val k = 4
+      val out = graft.text.TextStats.kmvOverlapAudit(
+          rows.toDF("source", "text"), "source", "text", 3, k)
+        .as[(String, String, Long, Long, Long, Double, Double, Long, Long)]
+        .collect().toSeq.sorted
+      graft.engine.Caches.releaseAll()
+      def md5h(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+      }
+      val hs: Map[String, Set[Long]] = rows.groupBy(_._1).map {
+        case (src, g) =>
+          src -> g.flatMap { case (_, text) =>
+            val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+            val gs = if (toks.length < 3) Seq(toks.mkString(" "))
+                     else toks.sliding(3).map(_.mkString(" ")).toSeq
+            gs.filter(_.nonEmpty)
+          }.map(md5h).toSet
+      }
+      val present = hs.filter(_._2.nonEmpty)
+      val slices = present.keys.toSeq.sorted
+      val expect = (for {
+        a <- slices; b <- slices if a < b
+      } yield {
+        val (sa, sb) = (present(a), present(b))
+        val (ba, bb) = (sa.toSeq.sorted.take(k).toSet,
+          sb.toSeq.sorted.take(k).toSet)
+        val samp = (ba ++ bb).toSeq.sorted.take(k)
+        val kEff = samp.size.toLong
+        val theta = samp.max
+        val cInter = samp.count(h => ba(h) && bb(h)).toLong
+        val uEst = if (theta > 0)
+          ((kEff - 1) * 4294967296L).toDouble / theta else Double.NaN
+        val iEst = (cInter * uEst) / kEff
+        val nInter = (sa intersect sb).size.toLong
+        (a, b, kEff, theta, cInter, uEst, iEst, nInter,
+          sa.size.toLong + sb.size.toLong - nInter)
+      }).sorted
+      out == expect
+    }
+
   property("hllRegisterFrame: per-shard registers merged by MAX equal global on ANY corpus") =
     forAll(Gen.listOfN(6, Gen.zip(Gen.oneOf("s1", "s2", "s3"),
       Gen.listOf(Gen.oneOf("a", "b", "c")).map(_.take(6))))) { rowsRaw =>

@@ -628,6 +628,32 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("kmvOverlapAudit: identical slices estimate inter == union; guard refuses on slices") {
+    val text = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq(("sA", text), ("sB", text), ("sC", "u1 u2 u3 u4 u5"))
+      .toDF("source", "text")
+    val out = TextStats.kmvOverlapAudit(docs, "source", "text", 3, k = 8)
+      .orderBy("slice_a", "slice_b")
+      .as[(String, String, Long, Long, Long, Double, Double, Long, Long)]
+      .collect()
+    graft.engine.Caches.releaseAll()
+    val ab = out.find(r => r._1 == "sA" && r._2 == "sB").get
+    // identical hash sets: every sampled hash is in both bottom-k sets
+    assert(ab._3 === 8L && ab._5 === 8L)
+    assert(ab._6 === ab._7) // union_est == inter_est
+    assert(ab._8 === ab._9) // exact inter == exact union
+    // disjoint slices: zero sampled intersection, zero exact overlap
+    val ac = out.find(r => r._1 == "sA" && r._2 == "sC").get
+    assert(ac._5 === 0L && ac._7 === 0.0 && ac._8 === 0L)
+    val e = intercept[IllegalArgumentException] {
+      TextStats.kmvOverlapAudit(docs, "source", "text", 3, k = 8,
+        maxSlices = 2L).collect()
+    }
+    assert(e.getMessage.contains("quadratic in slices"))
+    graft.engine.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("corpusOverlap: refuses past the slice-count guard") {
     val docs = Seq(("A", "a"), ("B", "b"), ("C", "c")).toDF("src", "text")
     val e = intercept[IllegalArgumentException] {
