@@ -3074,7 +3074,11 @@ object SparkEntry {
     * truth — all off the source-carrying gram chain.
     */
   private def kmvOracleSql(k: Int): String = {
-    val uEst = s"CAST((e.k_eff - 1) * 4294967296 AS DOUBLE) / e.theta"
+    // mirrors the engine's exact regime: a non-full merged sample
+    // (k_eff < k) IS the union in hash space, so union_est = k_eff
+    val uEst = s"CASE WHEN e.k_eff < $k THEN CAST(e.k_eff AS DOUBLE) " +
+      s"WHEN e.theta > 0 " +
+      s"THEN CAST((e.k_eff - 1) * 4294967296 AS DOUBLE) / e.theta END"
     s"""WITH ${gram3Chain(withSrc = true)},
       |hs AS (
       |  SELECT DISTINCT source AS slice,
@@ -3111,9 +3115,8 @@ object SparkEntry {
       |sz AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_h
       |       FROM hs GROUP BY 1)
       |SELECT e.slice_a, e.slice_b, e.k_eff, e.theta, e.c_inter,
-      |  CASE WHEN e.theta > 0 THEN $uEst END AS union_est,
-      |  (e.c_inter * (CASE WHEN e.theta > 0 THEN $uEst END)) / e.k_eff
-      |    AS inter_est,
+      |  $uEst AS union_est,
+      |  (e.c_inter * ($uEst)) / e.k_eff AS inter_est,
       |  COALESCE(x.n_inter, CAST(0 AS BIGINT)) AS n_inter,
       |  sa.n_h + sb.n_h - COALESCE(x.n_inter, 0) AS n_union
       |FROM est e
@@ -3178,8 +3181,9 @@ object SparkEntry {
       |  FROM fullr),
       |x AS (SELECT CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_exact FROM grams)
       |SELECT CAST($m AS BIGINT) AS m, v_zero, s_scaled, n_exact,
-      |  $c / s_scaled AS raw_est,
-      |  CASE WHEN n_exact > 0 THEN $c / s_scaled / n_exact END AS err_ratio
+      |  CASE WHEN v_zero < $m THEN $c / s_scaled END AS raw_est,
+      |  CASE WHEN v_zero < $m AND n_exact > 0
+      |    THEN $c / s_scaled / n_exact END AS err_ratio
       |FROM s, x""".stripMargin
   }
 
@@ -5802,7 +5806,8 @@ object SparkEntry {
         |  SELECT doc_id, lang, unnest(w) AS word,
         |    generate_subscripts(w, 1) AS i FROM tk),
         |vocab AS (
-        |  SELECT COUNT(DISTINCT word) + 1 AS v FROM words WHERE lang = 'en'),
+        |  SELECT COUNT(DISTINCT word) + 1 AS v FROM words
+        |  WHERE lang = 'en' AND word <> ''),
         |bi AS (
         |  SELECT a.doc_id, a.lang, a.word AS p, a.word || ' ' || b.word AS g
         |  FROM words a JOIN words b ON b.doc_id = a.doc_id AND b.i = a.i + 1),

@@ -481,10 +481,12 @@ object TextStats {
         .cast("long").as("s_scaled"),
       sum(when(col("r") === 0, 1L).otherwise(0L)).cast("long").as("v_zero"))
     val exact = grams.agg(count_distinct(col("gram")).as("n_exact"))
+    // v_zero = m ⟺ every register is 0 ⟺ zero grams: NULL estimates,
+    // the same empty-input convention as hllBySource's all-empty slices
     s.crossJoin(exact).select(
       lit(m.toLong).as("m"), col("v_zero"), col("s_scaled"), col("n_exact"),
-      (lit(c) / col("s_scaled")).as("raw_est"),
-      when(col("n_exact") > 0,
+      when(col("v_zero") < m, lit(c) / col("s_scaled")).as("raw_est"),
+      when(col("v_zero") < m && col("n_exact") > 0,
         lit(c) / col("s_scaled") / col("n_exact")).as("err_ratio"))
   }
 
@@ -530,7 +532,13 @@ object TextStats {
     * |A∪B| as (k_eff−1)·2³²/θ (θ = the k_eff-th smallest) and the
     * sample rows present in BOTH bottom-k sets scale that to an
     * |A∩B| estimate — the set-INTERSECTION capability HLL registers
-    * cannot provide. Both estimates sit next to the exact
+    * cannot provide. When the merged sample is NOT full (k_eff < k)
+    * the union has fewer than k distinct hashes, so the sample IS the
+    * union in hash space and standard KMV returns the EXACT count:
+    * union_est = k_eff (the open estimator (k_eff−1)·2³²/θ reads
+    * systematically low there — k_eff=1 would yield 0), and
+    * inter_est = (c_inter·k_eff)/k_eff collapses to the exact
+    * c_inter. Both estimates sit next to the exact
     * intersection/union ground truth (computed on the same hash
     * vocabulary), so the audit grades the k·8-byte-per-slice sketch
     * before it replaces the exact join in a slice-similarity sweep.
@@ -587,9 +595,10 @@ object TextStats {
         sum(when(col("ia") && col("ib"), 1L).otherwise(0L)).as("c_inter"))
       .select(col("slice_a"), col("slice_b"), col("k_eff"), col("theta"),
         col("c_inter"),
-        when(col("theta") > 0,
-          ((col("k_eff") - 1) * lit(4294967296L)).cast("double") /
-            col("theta")).as("union_est"))
+        when(col("k_eff") < k.toLong, col("k_eff").cast("double"))
+          .when(col("theta") > 0,
+            ((col("k_eff") - 1) * lit(4294967296L)).cast("double") /
+              col("theta")).as("union_est"))
       .withColumn("inter_est",
         (col("c_inter") * col("union_est")) / col("k_eff"))
     val sizes = hs.groupBy(col("slice")).agg(count(lit(1)).as("n_h"))

@@ -22,12 +22,14 @@ object GraftCheckpoint {
   // "lineage has been truncated and cannot be recomputed" at WARN —
   // here that is the DESIGNED release of a provably-dead frame (old CC
   // rounds, scoped operator results), and hundreds of them drown real
-  // warnings in Verify/Bench output. Suppression is scoped to each
-  // release call (set ERROR around the unpersist, restore after) so the
-  // MapPartitionsRDD logger keeps its normal level the rest of the
-  // time — a GLOBAL static suppression (the previous design) also hid
-  // genuine warnings routed through that logger, e.g. an accidental
-  // unpersist-after-truncation bug elsewhere. Depth-counted so nested /
+  // warnings in Verify/Bench output. Suppression is TIME-BOXED to the
+  // release window (set ERROR around the unpersist, restore after) but
+  // still PROCESS-GLOBAL while active — a logger level cannot be
+  // thread-scoped, so a genuine warning another thread routes through
+  // MapPartitionsRDD during someone else's release window is still
+  // swallowed; the improvement over the previous permanently-global
+  // design is that the window is the few ms of the unpersist call, not
+  // the process lifetime. Depth-counted so nested /
   // concurrent releases restore only when the last one exits.
   private val rddLoggerName = "org.apache.spark.rdd.MapPartitionsRDD"
   private val suppressLock = new Object

@@ -2326,7 +2326,7 @@ object LawsProps extends Properties("graft.laws") {
       val out = graft.text.TextStats.hllDistinctAudit(
           rows.map { case (id, ts) => (id, ts.mkString(" ")) }
             .toDF("doc_id", "text"), "text", 3, p)
-        .as[(Long, Long, Long, Long, Double, Option[Double])]
+        .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
         .collect().head
       graft.engine.Caches.releaseAll()
       def md5bytes(s: String) = java.security.MessageDigest
@@ -2351,8 +2351,9 @@ object LawsProps extends Properties("graft.laws") {
       val vZero = regs.count(_ == 0).toLong
       val nExact = grams.distinct.size.toLong
       val c = graft.text.TextStats.hllEstimateConst(p)
-      val rawEst = c / sScaled
-      val errRatio = if (nExact > 0) Some(rawEst / nExact) else None
+      val rawEst = if (vZero < m) Some(c / sScaled) else None
+      val errRatio = if (vZero < m && nExact > 0)
+        Some(c / sScaled / nExact) else None
       out == ((m.toLong, vZero, sScaled, nExact, rawEst, errRatio))
     }
 
@@ -2421,8 +2422,9 @@ object LawsProps extends Properties("graft.laws") {
         val kEff = samp.size.toLong
         val theta = samp.max
         val cInter = samp.count(h => ba(h) && bb(h)).toLong
-        val uEst = if (theta > 0)
-          ((kEff - 1) * 4294967296L).toDouble / theta else Double.NaN
+        val uEst = if (kEff < k) kEff.toDouble
+          else if (theta > 0)
+            ((kEff - 1) * 4294967296L).toDouble / theta else Double.NaN
         val iEst = (cInter * uEst) / kEff
         val nInter = (sa intersect sb).size.toLong
         (a, b, kEff, theta, cInter, uEst, iEst, nInter,
