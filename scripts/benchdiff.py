@@ -49,6 +49,25 @@ def main():
             print(f"calib    {tag}: before {cal['before']:.3f} s, "
                   f"after {cal['after']:.3f} s (fixed spin; a reading far "
                   "above the idle-host reference means contention)")
+        # rep-level outliers (informational, never gating): one rep far
+        # above its siblings with a flat GC delta is a host/co-tenant
+        # window, not the plan — reps_start_ms pins it to a wall clock
+        # so adjacent queries' spikes cluster visibly (round-10 q162's
+        # 29.9 s rep 3 needed manual inference; this line automates it)
+        for q, runs in sorted(doc.get("reps_raw", {}).items()):
+            ok = [r for r in runs if r is not None and r >= 0]
+            if len(ok) < 2 or min(ok) <= 0:
+                continue
+            worst = max(ok)
+            if worst > 2.0 * min(ok) and worst - min(ok) > 0.5:
+                i = runs.index(worst)
+                off = doc.get("reps_start_ms", {}).get(q)
+                at = (f" at t0+{off[i] / 1000.0:.1f}s"
+                      if off and i < len(off) else "")
+                gc = doc.get("gc_ms", {}).get(q)
+                gcs = f", gc {gc} ms over all reps" if gc is not None else ""
+                print(f"REPSPIKE {tag} {q:<28} rep {i + 1}/{len(runs)} "
+                      f"{worst:.2f} s vs min {min(ok):.2f} s{at}{gcs}")
     slower, broke = [], []
     for q in sorted(new):
         if new[q] < 0:

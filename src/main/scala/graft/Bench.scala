@@ -77,7 +77,8 @@ object Bench {
     val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // a throwing query reports -1.0, never a fake timing — round-over-
       // round comparison must distinguish "broke" from "got fast"
-      def once(): Double = {
+      def once(): (Double, Long) = {
+        val s0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
         val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 }
@@ -90,19 +91,25 @@ object Bench {
         // registry (it cannot free checkpoint blocks; the registry can).
         graft.engine.Caches.releaseAll()
         spark.catalog.clearCache()
-        t
+        (t, s0)
       }
       val startedAt = System.currentTimeMillis()
       val gc0 = gcMillis()
-      val runs = Seq.fill(reps)(once())
+      val repRuns = Seq.fill(reps)(once())
       val gcMs = gcMillis() - gc0
+      val runs = repRuns.map(_._1)
+      // per-rep start OFFSETS from started_at_ms (round-10 verdict:
+      // q162's 29.9 s rep 3 with flat GC needed manual inference — a
+      // rep-granular timestamp lets benchdiff pin an outlier rep to a
+      // wall-clock window and co-tenant attribution becomes automatic)
+      val repStarts = repRuns.map(_._2 - startedAt)
       val med =
         if (runs.exists(_ < 0)) -1.0
         else { val s = runs.sorted; s(s.size / 2) }
-      (name, med, runs, startedAt, gcMs)
+      (name, med, runs, startedAt, gcMs, repStarts)
     }
     val calAfter = spinCalibration()
-    val results = timings.map { case (k, med, _, _, _) => k -> med }
+    val results = timings.map { case (k, med, _, _, _, _) => k -> med }
     def jnum(v: Double): String = if (v < 0) "null" else v.toString
     def jmap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -128,7 +135,7 @@ object Bench {
     // `per_query_s` total/completed (failures excluded from BOTH sides).
     val qsNull = jmap(results.toSeq.sortBy(_._1)
       .map { case (k, v) => k -> jnum(v) })
-    val raws = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, runs, _, _) =>
+    val raws = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, runs, _, _, _) =>
       k -> runs.map(jnum).mkString("[", ",", "]") })
     // warm_s: median of reps 2+ (rep 1 pays once-per-JVM costs — codegen
     // of large literals, shuffle-file creation, first-touch of an index
@@ -137,13 +144,16 @@ object Bench {
     // verdict spent a page attributing a 1.5× that warm_s answers in
     // one column): cold moved + warm flat ⇒ once-per-JVM cost; both
     // moved ⇒ the plan changed.
-    val warms = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, runs, _, _) =>
+    val warms = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, runs, _, _, _) =>
       val tail = runs.drop(1).filter(_ >= 0).sorted
       k -> (if (tail.isEmpty) "null" else tail(tail.size / 2).toString) })
-    val starts = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, _, t, _) =>
+    val starts = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, _, t, _, _) =>
       k -> t.toString })
-    val gcs = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, _, _, g) =>
+    val gcs = jmap(timings.toSeq.sortBy(_._1).map { case (k, _, _, _, g, _) =>
       k -> g.toString })
+    val repStartsJ = jmap(timings.toSeq.sortBy(_._1)
+      .map { case (k, _, _, _, _, ro) =>
+        k -> ro.map(_.toString).mkString("[", ",", "]") })
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val perQuery = if (done.nonEmpty) total / done.size else 0.0
     println(line)
@@ -152,6 +162,7 @@ object Bench {
         s""""per_query_s":$perQuery,"n_completed":${done.size},""" +
         s""""calibration_s":{"before":$calBefore,"after":$calAfter},""" +
         s""""queries":$qsNull,"warm_s":$warms,"reps_raw":$raws,"started_at_ms":$starts,""" +
+        s""""reps_start_ms":$repStartsJ,""" +
         s""""gc_ms":$gcs,"heap_max_mb":${Runtime.getRuntime.maxMemory >> 20},""" +
         s""""failed":$failed,"failed_queries":$failedJson,"sf":"$sfDir"}""" +
         "\n").getBytes("UTF-8"))

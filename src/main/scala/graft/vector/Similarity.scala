@@ -778,19 +778,25 @@ object Similarity {
   def annRecall(emb: DataFrame, idCol: String, vecCol: String,
                 queryId: Long, k: Int, nSub: Int = 4, nCodes: Int = 16,
                 trainIters: Int = 0): DataFrame = {
+    // single-reference plan: a LEFT join with a hit flag folds the
+    // overlap count and the reference count into one agg over ONE
+    // exact scan — the old shape derived `exact` twice per execution
+    // (q209 discipline; an eager checkpoint of the k-row frame was
+    // measured slower, round-8 lesson)
     val exact = cosineTopK(emb, idCol, vecCol, queryId, k)
       .select(col(idCol))
     val approx = pqTopK(emb, idCol, vecCol, queryId, k, nSub, nCodes,
         trainIters)
-      .select(col(idCol))
+      .select(col(idCol), lit(1L).as("_hit"))
     // recall@min(k, n): on a corpus with fewer than k candidate vectors
     // the exact scan returns fewer than k rows, and dividing by the
     // REQUESTED k would understate recall (it could never reach 1.0) —
     // divide by the exact result count instead (round-8 advice). An
     // empty reference set has no recall to measure: report 0.
-    exact.join(approx, Seq(idCol))
-      .agg(count(lit(1)).as("n_overlap"))
-      .crossJoin(broadcast(exact.agg(count(lit(1)).as("_ne"))))
+    exact.join(broadcast(approx), Seq(idCol), "left")
+      .agg(count(lit(1)).as("_ne"),
+        coalesce(sum(coalesce(col("_hit"), lit(0L))), lit(0L))
+          .as("n_overlap"))
       .select(lit(k).as("k"), col("n_overlap"),
         when(col("_ne") === 0, lit(0.0))
           .otherwise(col("n_overlap") / least(lit(k).cast("long"), col("_ne")))
