@@ -492,14 +492,18 @@ object SparkEntry {
       // bit-identical to the inline ivfAdcTopK it replaced, which
       // re-trained PQ per call); recall row unchanged.
       val emb = t(s, dir, "embeddings")
+      // single-reference plan (q209 discipline): LEFT join + hit flag
+      // folds overlap and reference counts into one agg — the exact
+      // cosine scan derives once, not once per reference
       val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
         .select(col("vec_id"))
       val approx = Similarity.ivfAdcProbeById(s, ivfAdcIndexFor(s, dir),
           emb, "vec_id", "embedding", 0L, 10)
-        .select(col("vec_id"))
-      exact.join(approx, Seq("vec_id"))
-        .agg(count(lit(1)).as("n_overlap"))
-        .crossJoin(broadcast(exact.agg(count(lit(1)).as("_ne"))))
+        .select(col("vec_id"), lit(1L).as("_hit"))
+      exact.join(broadcast(approx), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("_ne"),
+          coalesce(sum(coalesce(col("_hit"), lit(0L))), lit(0L))
+            .as("n_overlap"))
         .select(lit(10).as("k"), col("n_overlap"),
           when(col("_ne") === 0, lit(0.0))
             .otherwise(col("n_overlap") /
@@ -673,17 +677,35 @@ object SparkEntry {
       // inversion (see q206): this gate exists to keep that comparison
       // measured, not to certify residuals as better here.
       val emb = t(s, dir, "embeddings")
+      // single-reference plan (q209 discipline) — doubly important
+      // here: the approx side is the honest self-contained residual
+      // trainer, so a second exact-scan derivation was pure waste
       val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
         .select(col("vec_id"))
       val approx = Similarity.ivfRAdcTopK(emb, "vec_id", "embedding", 0L, 10)
-        .select(col("vec_id"))
-      exact.join(approx, Seq("vec_id"))
-        .agg(count(lit(1)).as("n_overlap"))
-        .crossJoin(broadcast(exact.agg(count(lit(1)).as("_ne"))))
+        .select(col("vec_id"), lit(1L).as("_hit"))
+      exact.join(broadcast(approx), Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("_ne"),
+          coalesce(sum(coalesce(col("_hit"), lit(0L))), lit(0L))
+            .as("n_overlap"))
         .select(lit(10).as("k"), col("n_overlap"),
           when(col("_ne") === 0, lit(0.0))
             .otherwise(col("n_overlap") /
               least(lit(10).cast("long"), col("_ne"))).as("recall"))
+    }),
+
+    "q225_bpe_train" -> ((s, dir) => {
+      // BPE TRAINING oracle-gated at a bounded merge count (round-10
+      // verdict item 3 — the family's last spec-only half closed):
+      // 5 merges learned from the whitespace-word frequency table,
+      // each round one explode+aggregate with only the winning pair
+      // reaching the driver. The oracle unrolls the 5 rounds as
+      // (pair-count agg → argmax with the engine's exact tiebreak →
+      // recursive leftmost-replace with the pattern read from the
+      // argmax row); see bpeTrainOracleSql for the left ≠ right
+      // fold-equivalence caveat, verified on this corpus.
+      text.Curation.trainBpe(t(s, dir, "documents"), "text", nMerges = 5)
+        .orderBy("rank")
     }),
 
     "q205_bpe_apply" -> ((s, dir) => {
@@ -3720,6 +3742,73 @@ object SparkEntry {
       |  FROM f${merges.size})""".stripMargin
   }
 
+  /** GENERATED q225 oracle: BPE TRAINING replayed for a bounded merge
+    * count — the round-10 verdict's last zero-oracle family closed.
+    * Each unrolled stage is (pair-count aggregate over the distinct-
+    * word frequency table) → (argmax with the engine's exact tiebreak:
+    * count desc, left asc, right asc) → (the q205 recursive
+    * replace-to-fixpoint merge pass, with the pattern READ FROM the
+    * stage's argmax row instead of a literal — training's rules are
+    * data-derived). Same fold-equivalence caveat as q205: the
+    * replace-fixpoint equals the engine's leftmost fold iff every
+    * LEARNED rule has left ≠ right — verified on this corpus (top-6
+    * merges at sf0.001/sf0.01 are er, e</w>, n</w>, or/er</w>, ow —
+    * no self-pair), and a self-pair reaching a top-5 rank would need
+    * doubled-letter dominance no natural-language corpus exhibits.
+    * No early-stop modeling: every stage's argmax count is in the
+    * thousands here, far above the engine's minPairCount=2.
+    */
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val stages = (1 to nMerges).map { i =>
+      val prev = if (i == 1) "s0" else s"s${i - 1}"
+      val pat = s"(SELECT p FROM pat$i)"
+      val rep = s"(SELECT q FROM pat$i)"
+      s"""px$i AS (
+         |  SELECT n, unnest(range(1, len(syms))) AS j, syms
+         |  FROM (SELECT n, list_filter(string_split(s, chr(1)), x -> x <> '') AS syms
+         |        FROM $prev)),
+         |pc$i AS (
+         |  SELECT syms[j] AS l, syms[j + 1] AS r, CAST(SUM(n) AS BIGINT) AS c
+         |  FROM px$i GROUP BY 1, 2),
+         |top$i AS (SELECT l, r, c FROM pc$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |pat$i AS (
+         |  SELECT chr(1) || l || chr(1) || r || chr(1) AS p,
+         |         chr(1) || l || r || chr(1) AS q
+         |  FROM top$i),
+         |r$i(n, s) AS (
+         |  SELECT n, s FROM $prev
+         |  UNION ALL
+         |  SELECT n, replace(s, $pat, $rep) FROM r$i
+         |  WHERE replace(s, $pat, $rep) <> s),
+         |s$i AS (
+         |  SELECT n, s FROM r$i
+         |  WHERE replace(s, $pat, $rep) = s)""".stripMargin
+    }
+    val rows = (1 to nMerges).map { i =>
+      if (i == 1)
+        s"""SELECT CAST(0 AS BIGINT) AS "rank", l AS "left", r AS "right",
+           |    l || r AS merged, c AS pair_count FROM top1""".stripMargin
+      else s"  UNION ALL SELECT CAST(${i - 1} AS BIGINT), l, r, l || r, c FROM top$i"
+    }
+    s"""WITH RECURSIVE
+      |wf AS (
+      |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS w
+      |    FROM documents)
+      |  WHERE w <> ''
+      |  GROUP BY 1),
+      |s0 AS (
+      |  SELECT n,
+      |    chr(1) || array_to_string(list_append(
+      |      list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)),
+      |      '</w>'), chr(1)) || chr(1) AS s
+      |  FROM wf),
+      |${stages.mkString(",\n")}
+      |${rows.mkString("\n")}
+      |ORDER BY "rank"""".stripMargin
+  }
+
   private def bpeApplyOracleSql(merges: Seq[(String, String)]): String = {
     s"""WITH RECURSIVE
       |${bpeWordCte(merges)},
@@ -5602,6 +5691,7 @@ object SparkEntry {
     "q196_ivfadc_probe" -> pqAdcOracleSql(restricted = true),
     "q205_bpe_apply" -> bpeApplyOracleSql(FixedBpeMerges),
     "q218_bpe_fertility" -> bpeFertilityOracleSql(FixedBpeMerges),
+    "q225_bpe_train" -> bpeTrainOracleSql(5),
 
     "q221_hll_audit" -> hllOracleSql(10),
     "q222_hll_by_source" -> hllBySourceOracleSql(10),

@@ -129,6 +129,63 @@ object Layout {
       Map("num_files" -> nf, "num_bytes" -> nb, "num_rows" -> nr))
   }
 
+  /** Number of top-level parquet data files in a FLAT (unpartitioned)
+    * table dir — the cadence signal for [[compactFlat]]. Listing only;
+    * no footers are opened.
+    */
+  def flatFileCount(spark: SparkSession, path: String): Int = {
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** M1-family compaction for a FLAT (unpartitioned) parquet dir — the
+    * maintenance verb for signature/edge index tables, whose append
+    * cadence accretes batch-sized files (round-10 verdict: the
+    * steady-append loop drifted 6.1→7.7 s over 10 commits purely from
+    * file-count growth). Rewrites the table as `targetFiles` files via
+    * staging + per-file swap: the staging write is fully materialized
+    * first, then old data files are removed and the compacted files
+    * moved in — the non-atomic window is the file moves, never a
+    * read-nothing state caused by overwriting the input of a lazy
+    * self-scan. `_graft_manifest` and other underscore-prefixed
+    * entries are never disturbed. (No snapshot isolation — a
+    * concurrent reader mid-swap can see a mixed file set; see README.)
+    */
+  def compactFlat(spark: SparkSession, path: String,
+                  targetFiles: Int = 8): Unit = {
+    val staging = path + "_compact_staging"
+    spark.read.parquet(path)
+      .repartition(math.max(1, targetFiles))
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val dataFile = (s: org.apache.hadoop.fs.FileStatus) =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")
+    fs.listStatus(new Path(path)).filter(dataFile).foreach { s =>
+      require(fs.delete(s.getPath, false),
+        s"compactFlat: could not remove old file ${s.getPath}; " +
+          s"compacted data preserved in $staging")
+    }
+    fs.listStatus(new Path(staging)).filter(dataFile).foreach { s =>
+      val dst = new Path(path, s.getPath.getName)
+      require(fs.rename(s.getPath, dst),
+        s"compactFlat: rename ${s.getPath} -> $dst failed; " +
+          s"compacted data preserved in $staging")
+    }
+    fs.delete(new Path(staging), true)
+    val (nf, nb, nr) = parquetStats(spark, path)
+    // params must be non-empty: history()'s JSON scan drops an
+    // all-empty struct field and then can't project `params`
+    logWrite(spark, path, "OPTIMIZE_FLAT",
+      Map("targetFiles" -> targetFiles.toString),
+      Map("num_files" -> nf, "num_bytes" -> nb, "num_rows" -> nr))
+  }
+
   /** Compaction commit: move every `col=value` partition dir from the
     * fully-materialized staging write into the live table, replacing the
     * old dir of the same partition. Overwriting `path` in place would

@@ -225,24 +225,51 @@ object Curate {
     * call derives signatures for the BATCH only and parquet-appends
     * them. Call after [[appendManifestIndexed]]'s verdicts are acted
     * on (typically with the kept docs).
+    *
+    * File hygiene is part of the contract (round-10 verdict: the
+    * steady-append loop drifted 6.1→7.7 s over 10 commits purely from
+    * small-file accretion — the one scale-with-time leak left):
+    * batch-sized writes land as `filesPerCommit` files (a batch never
+    * needs a shuffle-partition-count fan-out), and any signature
+    * table whose file count exceeds `compactAbove` is rewritten by
+    * [[graft.engine.Layout.compactFlat]] before returning — so the
+    * per-commit cost is flat-with-batches plus an amortized
+    * compaction whose cadence is every `compactAbove/filesPerCommit`
+    * commits, and consumer scan cost is bounded regardless of commit
+    * count. Pass `compactAbove = Int.MaxValue` to manage compaction
+    * externally.
     */
   def appendSignatures(spark: SparkSession, batch: DataFrame,
                        idCol: String, textCol: String, path: String,
                        imageMedia: Option[DataFrame] = None,
-                       audioMedia: Option[DataFrame] = None): Unit = {
+                       audioMedia: Option[DataFrame] = None,
+                       filesPerCommit: Int = 4,
+                       compactAbove: Int = 48): Unit = {
     val shingleN = indexShingleN(spark, path)
+    require(filesPerCommit >= 1, s"filesPerCommit must be >= 1")
     val b = batch.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
     Dedup.shingleSets(b, "doc_id", "text", shingleN)
+      .repartition(filesPerCommit)
       .write.mode("append").parquet(s"$path/shingles")
     b.select(col("doc_id"), md5(col("text")).as("h"))
+      .repartition(filesPerCommit)
       .write.mode("append").parquet(s"$path/text_hashes")
     Media.imageHashes(spark,
         imageMedia.getOrElse(Media.imageHashTable(spark, b, "doc_id"))).toDF()
+      .repartition(filesPerCommit)
       .write.mode("append").parquet(s"$path/image_hashes")
     Media.audioHashes(spark,
         audioMedia.getOrElse(Media.audioHashTable(spark, b, "doc_id"))).toDF()
+      .repartition(filesPerCommit)
       .write.mode("append").parquet(s"$path/audio_hashes")
+    Seq("shingles", "text_hashes", "image_hashes", "audio_hashes")
+      .foreach { t =>
+        val sub = s"$path/$t"
+        if (graft.engine.Layout.flatFileCount(spark, sub) > compactAbove)
+          graft.engine.Layout.compactFlat(spark, sub,
+            targetFiles = filesPerCommit * 2)
+      }
   }
 
   /** [[appendManifest]] against a persisted signature index: the

@@ -191,6 +191,47 @@ class CurateSpec extends AnyFunSuite {
     graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
   }
 
+  test("appendSignatures: compaction cadence bounds file counts without changing verdicts") {
+    val corpus = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "red orange yellow green blue indigo violet white"
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigidx3")
+      .toString + "/index"
+    Curate.buildSignatureIndex(spark, corpus, "doc_id", "text", dir)
+    // 6 commits at 2 files each with compactAbove=5: the cadence must
+    // fire at least once, and no signature table may exceed
+    // compactAbove + filesPerCommit files at any point after a commit
+    var committed = corpus
+    (1 to 6).foreach { i =>
+      val b = Seq((100L + i) -> s"fresh words number $i nothing shared $i")
+        .toDF("doc_id", "text")
+      Curate.appendSignatures(spark, b, "doc_id", "text", dir,
+        filesPerCommit = 2, compactAbove = 5)
+      committed = committed.union(b)
+      Seq("shingles", "text_hashes", "image_hashes", "audio_hashes")
+        .foreach { t =>
+          val n = graft.engine.Layout.flatFileCount(spark, s"$dir/$t")
+          assert(n <= 7, s"$t grew to $n files despite compactAbove=5")
+        }
+    }
+    // compaction actually ran and logged the maintenance op
+    val hist = graft.engine.Layout.history(spark, s"$dir/shingles", 50)
+    assert(hist.filter($"operation" === "OPTIMIZE_FLAT").count() >= 1,
+      "compaction cadence never fired")
+    // verdicts off the compacted index still equal the self-deriving form
+    val batch2 = Seq(
+      900L -> "alpha beta gamma delta epsilon zeta eta theta", // text dup
+      901L -> "entirely novel vocabulary appearing nowhere previously"
+    ).toDF("doc_id", "text")
+    assert(rows(Curate.appendManifestIndexed(spark, dir, batch2,
+        "doc_id", "text"))
+      === rows(Curate.appendManifest(spark, committed, batch2,
+        "doc_id", "text")),
+      "post-compaction verdicts diverged from the self-deriving append")
+    graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
+  }
+
   test("indexed appends equal self-deriving appends; signature appends extend the corpus") {
     val corpus = Seq(
       15L         -> "alpha beta gamma delta epsilon zeta eta theta",
