@@ -670,6 +670,38 @@ object SparkEntry {
         "embedding", 0L, 10)
     }),
 
+    "q226_rivfadc_clustered" -> ((s, dir) => {
+      // the residual family's POSITIVE gate (round-10 verdict item 4):
+      // on the CLUSTERED fixture (mixture of well-separated centers,
+      // Similarity.ClusteredFixture — the geometry Jegou SIII assumes,
+      // where residuals concentrate near zero) residual IVFADC must
+      // beat the raw form at identical budget: measured residual 1.0
+      // vs raw 0.8 — the inversion q207 measures on the isotropic
+      // tables un-inverts here. Corpus regenerated closed-form in
+      // BOTH engines from one constant set (noise scale chosen by a
+      // DuckDB sweep over the exact oracle chain; see ClusteredFixture).
+      val emb = Similarity.clusteredEmbeddings(s)
+      def recallOf(family: String, approx: DataFrame): DataFrame = {
+        val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+          .select(col("vec_id"))
+        exact.join(broadcast(approx.select(col("vec_id"),
+            lit(1L).as("_hit"))), Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("_ne"),
+            coalesce(sum(coalesce(col("_hit"), lit(0L))), lit(0L))
+              .as("n_overlap"))
+          .select(lit(family).as("family"), lit(10).as("k"),
+            col("n_overlap"),
+            when(col("_ne") === 0, lit(0.0))
+              .otherwise(col("n_overlap") /
+                least(lit(10).cast("long"), col("_ne"))).as("recall"))
+      }
+      recallOf("raw",
+          Similarity.ivfAdcTopK(emb, "vec_id", "embedding", 0L, 10))
+        .unionByName(recallOf("residual",
+          Similarity.ivfRAdcTopK(emb, "vec_id", "embedding", 0L, 10)))
+        .orderBy("family")
+    }),
+
     "q207_rivfadc_recall" -> ((s, dir) => {
       // the residual family's recall gate: recall@10 of q206 against
       // the exact cosine scan. Reads 0.3 at sf0.1 / 0.5 at sf0.01 —
@@ -3493,6 +3525,36 @@ object SparkEntry {
         |    ELSE CAST(COUNT(*) AS DOUBLE)
         |      / least(10, (SELECT COUNT(*) FROM ex)) END AS recall
         |FROM ex JOIN ap USING (vec_id)""".stripMargin) +
+    // q226: the outer CTE `embeddings` SHADOWS the parquet table for
+    // every nested component chain (standard CTE scoping, verified in
+    // DuckDB) — the exact/raw/residual oracles replay unchanged over
+    // the regenerated clustered corpus
+    ("q226_rivfadc_clustered" ->
+      s"""WITH embeddings AS (
+        |$clusteredFixtureSql),
+        |ex AS (SELECT * FROM (
+        |$cosineTopKOracle
+        |)),
+        |rw AS (SELECT * FROM (
+        |${pqAdcOracleSql(restricted = true, queryId = 0L)}
+        |)),
+        |rs AS (SELECT * FROM (
+        |${rAdcOracleSql(0L)}
+        |))
+        |SELECT * FROM (
+        |  SELECT 'raw' AS family, 10 AS k,
+        |    CAST((SELECT COUNT(*) FROM ex JOIN rw USING (vec_id)) AS BIGINT)
+        |      AS n_overlap,
+        |    CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST((SELECT COUNT(*) FROM ex JOIN rw USING (vec_id)) AS DOUBLE)
+        |        / least(10, (SELECT COUNT(*) FROM ex)) END AS recall
+        |  UNION ALL
+        |  SELECT 'residual', 10,
+        |    CAST((SELECT COUNT(*) FROM ex JOIN rs USING (vec_id)) AS BIGINT),
+        |    CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST((SELECT COUNT(*) FROM ex JOIN rs USING (vec_id)) AS DOUBLE)
+        |        / least(10, (SELECT COUNT(*) FROM ex)) END)
+        |ORDER BY family""".stripMargin) +
     ("q209_rerank_recall" ->
       s"""WITH ex AS ${block("q40_cosine_topk")},
         |ap AS ${block("q208_adc_rerank")}
@@ -3858,6 +3920,23 @@ object SparkEntry {
     * from the query's per-list residual. Hardcodes the q206 geometry
     * (nSub=16, w=4, nCodes=64, nProbe=4) like the raw chain does.
     */
+  /** GENERATED clustered-fixture corpus (q226): regenerates
+    * [[graft.vector.Similarity.clusteredEmbeddings]] bit-for-bit —
+    * exact integer center/noise arithmetic, one IEEE division, same
+    * operation order — from the SAME constant set.
+    */
+  private def clusteredFixtureSql: String = {
+    import graft.vector.Similarity.ClusteredFixture._
+    s"""SELECT vec_id,
+      |    list_transform(range(0, $Dim), j ->
+      |      CAST((((vec_id % $K) * $Dim + j) * $CenterMul) % $CenterMod
+      |        - $CenterShift AS DOUBLE)
+      |      + CAST(((vec_id * $Dim + j) * $NoiseMul + $NoiseAdd)
+      |          % $NoiseMod - $NoiseShift AS DOUBLE) / $NoiseScale)
+      |      AS embedding
+      |  FROM (SELECT unnest(range(0, $N)) AS vec_id)""".stripMargin
+  }
+
   private def rAdcOracleSql(queryId: Long, k: Int = 10): String = {
     val dv = "x -> CAST(x AS DOUBLE)"
     s"""WITH sub AS (SELECT unnest(range(0, 16)) AS s),

@@ -51,6 +51,54 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Parameters of the CLUSTERED synthetic embedding fixture — a
+    * mixture of [[K]] well-separated integer-valued centers with small
+    * deterministic per-vector noise, every value a closed-form
+    * function of (vec_id, dim) in exact integer arithmetic followed by
+    * one IEEE division, so a DuckDB oracle regenerates the corpus
+    * bit-for-bit. Exists because the parquet embeddings tables are
+    * ISOTROPIC (uniform random), which is residual coding's measured
+    * worst case (see [[ivfRAdcTopK]]): this fixture supplies the
+    * geometry the Jégou §III premise assumes — residuals concentrate
+    * near zero relative to center spread — so the residual-vs-raw
+    * comparison can be demonstrated in the regime the paper targets,
+    * next to the inverted regime the real tables gate. NoiseScale was
+    * CHOSEN BY MEASUREMENT (DuckDB sweep over the exact oracle chain):
+    * at ±0.2 noise both families read 1.0 (trivially easy — 8
+    * same-cluster codewords per subspace resolve the displacement);
+    * at ±25 (scale 2.0) against ±48 centers, raw IVFADC reads 0.8 and
+    * residual 1.0 at identical budget — the inversion q207 measures
+    * on the isotropic tables un-inverts exactly as Jégou §III
+    * predicts, while clusters stay separated (same-cluster distance
+    * ~165 ≪ cross-cluster ~360) and the nProbe ceiling stays 1.0.
+    * ONE set of constants feeds both the Spark frame and the generated
+    * SQL (the langScoreSelectSql discipline).
+    */
+  object ClusteredFixture {
+    val N = 512; val Dim = 64; val K = 8
+    val CenterMul = 2654435761L; val CenterMod = 97L; val CenterShift = 48L
+    val NoiseMul = 40503L; val NoiseAdd = 17L; val NoiseMod = 101L
+    val NoiseShift = 50L; val NoiseScale = 2.0
+  }
+
+  /** The clustered fixture as a DataFrame: `(vec_id, embedding)` with
+    * `embedding[j] = center(vec_id % K, j) + noise(vec_id, j)`, all
+    * doubles. Generated, never stored — 512×64 is driver-trivial and
+    * the closed form IS the oracle contract.
+    */
+  def clusteredEmbeddings(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import ClusteredFixture._
+    spark.range(N).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(Dim - 1)), j => {
+        val c = col("vec_id") % K
+        val center = (((c * Dim + j) * lit(CenterMul)) % CenterMod -
+          CenterShift).cast("double")
+        val noise = (((col("vec_id") * Dim + j) * lit(NoiseMul) +
+          NoiseAdd) % NoiseMod - NoiseShift).cast("double")
+        center + noise / lit(NoiseScale)
+      }).as("embedding"))
+  }
+
   /** Exact brute-force cosine top-k neighbours of `queryId`. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  queryId: Long, k: Int): DataFrame = {
