@@ -1,0 +1,165 @@
+package graft.oracles
+
+/** Assembly of the complete DuckDB oracle map: the three base maps
+  * plus the spliced composites — exactly the map SparkEntry exposed
+  * before the round-11 split. SparkEntry.oracleSql delegates here;
+  * the public contract (keys, SQL text) is unchanged.
+  */
+object Oracles {
+  import OracleCtes._
+
+  /** Corpora (sf-dir basenames) on which each approximate operator's
+    * exact-twin oracle premise is MEASURED to hold. The q31/q32,
+    * q38/q39, q40/q41/q81 gates assert approximate == exact verbatim —
+    * an equality that is a measured fact of (corpus, seed, parameters),
+    * not a law: 24-band hyperplane LSH loses nothing at sf0.01 (59/59)
+    * but misses 3/66 pairs at sf0.001 and 8/920 at sf0.1, while the
+    * minhash banding (min qualifying jaccard 0.875) and the IVF probe
+    * are measured total on all three testdata corpora. Verify emits
+    * these oracles only when its sf dir is in the query's measured set
+    * and omits them elsewhere, so pointing the gate at an unmeasured
+    * corpus records the honest weaker rows-check instead of converting
+    * a probabilistic recall property into a spurious hash failure
+    * (round-6 ADVICE). Queries absent from this map are
+    * corpus-unconditional.
+    */
+  val measuredOn: Map[String, Set[String]] = Map(
+    "q32_minhash_lsh" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q190_ivfadc" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q196_ivfadc_probe" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q197_ann_join" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q201_pq_reconstruction" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q191_ivfadc_recall" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q39_embed_neardup_lsh" -> Set("sf0.01"),
+    "q41_ivf_topk" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q81_ivf_probe" -> Set("sf0.001", "sf0.01", "sf0.1"))
+
+  /** The q172 composite joins five per-instrument oracle blocks — each
+    * spliced VERBATIM from the map entry of the operator it reuses
+    * (nested-WITH subqueries), so the composite cannot drift from the
+    * parts it claims to compose.
+    */
+  def all: Map[String, String] = {
+    val base = OraclesA.map ++ OraclesB.map ++ OraclesC.map
+    def block(q: String) = s"(SELECT * FROM (\n${base(q)}\n))"
+    base + ("q172_instrument_profile" ->
+      s"""WITH sh AS ${block("q114_sharpe")},
+        |rv AS ${block("q163_range_volatility")},
+        |hu AS ${block("q164_hurst")},
+        |lb AS ${block("q170_ljung_box")},
+        |dd AS ${block("q84_max_drawdown")}
+        |SELECT event_type, n_ticks, sh.n_returns AS n_returns, mean_return,
+        |  sharpe, n_bars, parkinson, garman_klass, rogers_satchell, hurst,
+        |  q_stat, max_drawdown
+        |FROM sh JOIN rv USING (event_type) JOIN hu USING (event_type)
+        |JOIN lb USING (event_type) JOIN dd USING (event_type)
+        |ORDER BY event_type""".stripMargin) +
+    ("q175_ann_recall" ->
+      s"""WITH ex AS ${block("q40_cosine_topk")},
+        |ap AS ${block("q166_pq_adc")}
+        |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+        |  CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(COUNT(*) AS DOUBLE)
+        |      / least(10, (SELECT COUNT(*) FROM ex)) END AS recall
+        |FROM ex JOIN ap USING (vec_id)""".stripMargin) +
+    ("q194_span_burden_by_source" ->
+      s"""WITH f AS ${block("q189_strip_dup_spans")}
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(f.n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(f.n_removed) AS BIGINT) AS removed_tokens,
+        |  CAST(SUM(f.n_removed) AS DOUBLE) / SUM(f.n_tokens)
+        |    AS removed_fraction
+        |FROM f JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) +
+    ("q191_ivfadc_recall" ->
+      s"""WITH ex AS ${block("q40_cosine_topk")},
+        |ap AS ${block("q196_ivfadc_probe")}
+        |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+        |  CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(COUNT(*) AS DOUBLE)
+        |      / least(10, (SELECT COUNT(*) FROM ex)) END AS recall
+        |FROM ex JOIN ap USING (vec_id)""".stripMargin) +
+    ("q207_rivfadc_recall" ->
+      s"""WITH ex AS ${block("q40_cosine_topk")},
+        |ap AS ${block("q206_rivfadc")}
+        |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+        |  CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(COUNT(*) AS DOUBLE)
+        |      / least(10, (SELECT COUNT(*) FROM ex)) END AS recall
+        |FROM ex JOIN ap USING (vec_id)""".stripMargin) +
+    // q226: the outer CTE `embeddings` SHADOWS the parquet table for
+    // every nested component chain (standard CTE scoping, verified in
+    // DuckDB) — the exact/raw/residual oracles replay unchanged over
+    // the regenerated clustered corpus
+    ("q226_rivfadc_clustered" ->
+      s"""WITH embeddings AS (
+        |$clusteredFixtureSql),
+        |ex AS (SELECT * FROM (
+        |$cosineTopKOracle
+        |)),
+        |rw AS (SELECT * FROM (
+        |${pqAdcOracleSql(restricted = true, queryId = 0L)}
+        |)),
+        |rs AS (SELECT * FROM (
+        |${rAdcOracleSql(0L)}
+        |))
+        |SELECT * FROM (
+        |  SELECT 'raw' AS family, 10 AS k,
+        |    CAST((SELECT COUNT(*) FROM ex JOIN rw USING (vec_id)) AS BIGINT)
+        |      AS n_overlap,
+        |    CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST((SELECT COUNT(*) FROM ex JOIN rw USING (vec_id)) AS DOUBLE)
+        |        / least(10, (SELECT COUNT(*) FROM ex)) END AS recall
+        |  UNION ALL
+        |  SELECT 'residual', 10,
+        |    CAST((SELECT COUNT(*) FROM ex JOIN rs USING (vec_id)) AS BIGINT),
+        |    CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE CAST((SELECT COUNT(*) FROM ex JOIN rs USING (vec_id)) AS DOUBLE)
+        |        / least(10, (SELECT COUNT(*) FROM ex)) END)
+        |ORDER BY family""".stripMargin) +
+    ("q209_rerank_recall" ->
+      s"""WITH ex AS ${block("q40_cosine_topk")},
+        |ap AS ${block("q208_adc_rerank")}
+        |SELECT 10 AS k, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+        |  CASE WHEN (SELECT COUNT(*) FROM ex) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(COUNT(*) AS DOUBLE)
+        |      / least(10, (SELECT COUNT(*) FROM ex)) END AS recall
+        |FROM ex JOIN ap USING (vec_id)""".stripMargin) +
+    ("q179_langid_accuracy" ->
+      s"""WITH p AS ${block("q34_lang_id")}
+        |SELECT d.lang AS true_lang, p.pred_lang, COUNT(*) AS n
+        |FROM documents d JOIN p USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+    ("q185_dedup_funnel" ->
+      s"""WITH ex AS ${block("q30_dedup_exact")},
+        |nd AS ${block("q116_canonical_docs")},
+        |sm AS ${block("q118_semantic_dedup")},
+        |tok AS (
+        |  SELECT doc_id, CAST(len(regexp_split_to_array(
+        |    trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+        |    AS nt
+        |  FROM documents),
+        |f AS (
+        |  SELECT t.doc_id, t.nt,
+        |    t.doc_id IN (SELECT keep_id FROM ex) AS ke,
+        |    COALESCE(nd.keep, FALSE) AS kn,
+        |    COALESCE(sm.keep, FALSE) AS ks
+        |  FROM tok t
+        |  LEFT JOIN nd ON nd.doc_id = t.doc_id
+        |  LEFT JOIN sm ON sm.vec_id = t.doc_id)
+        |SELECT stage, CAST(docs_kept AS BIGINT) AS docs_kept,
+        |  CAST(tokens_kept AS BIGINT) AS tokens_kept FROM (
+        |  SELECT '0_all' AS stage, COUNT(*) AS docs_kept,
+        |    COALESCE(SUM(nt), 0) AS tokens_kept FROM f
+        |  UNION ALL
+        |  SELECT '1_exact', COUNT(*) FILTER (WHERE ke),
+        |    COALESCE(SUM(nt) FILTER (WHERE ke), 0) FROM f
+        |  UNION ALL
+        |  SELECT '2_near_dup', COUNT(*) FILTER (WHERE ke AND kn),
+        |    COALESCE(SUM(nt) FILTER (WHERE ke AND kn), 0) FROM f
+        |  UNION ALL
+        |  SELECT '3_semantic', COUNT(*) FILTER (WHERE ke AND kn AND ks),
+        |    COALESCE(SUM(nt) FILTER (WHERE ke AND kn AND ks), 0) FROM f)
+        |ORDER BY stage""".stripMargin)
+  }
+}

@@ -1142,4 +1142,17 @@ object Curation {
         round(-sum(col("c").cast(DecimalType(7, 0)) * col("_lnp"))
           .cast("double") / sum(col("c")), 6).as("avg_nll"))
   }
+
+  /** q205's FIXED merge table — a stand-in for a shipped tokenizer
+    * artifact ([[graft.text.Curation.trainBpe]] learns such tables;
+    * applying one is the production-side operation). Rules chain
+    * (rule 3 consumes rule 1+2's outputs, rule 7 consumes 4+6's) so
+    * the gate exercises merge-on-merged composition, and every rule
+    * has left ≠ right — the condition under which the oracle's
+    * replace-fixpoint provably equals the engine's single fold pass
+    * (see bpeApplyOracleSql).
+    */
+  val FixedBpeMerges: Seq[(String, String)] = Seq(
+    ("e", "</w>"), ("t", "h"), ("th", "e</w>"), ("a", "n"), ("i", "n"),
+    ("d", "</w>"), ("an", "d</w>"), ("o", "u"), ("e", "r"), ("in", "g"))
 }
