@@ -58,7 +58,13 @@ def main():
             ok = [r for r in runs if r is not None and r >= 0]
             if len(ok) < 2 or min(ok) <= 0:
                 continue
-            worst = max(ok)
+            # rep 1 pays once-per-JVM costs by design (warm_s exists for
+            # that); only a spike among the WARM reps indicates a
+            # mid-run contention window worth pinning to a wall clock
+            warm = [r for r in runs[1:] if r is not None and r >= 0]
+            if not warm:
+                continue
+            worst = max(warm)
             if worst > 2.0 * min(ok) and worst - min(ok) > 0.5:
                 i = runs.index(worst)
                 off = doc.get("reps_start_ms", {}).get(q)

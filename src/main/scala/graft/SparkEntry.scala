@@ -761,6 +761,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q227_kmv_sweep" -> ((s, dir) => {
+      // the PRODUCTION slice-overlap sweep: KMV estimates alone — the
+      // q224 audit minus its exact inverted-index join (the audit's
+      // dominant cost); same estimate frame by construction, so q224
+      // certifies THESE numbers on its cadence
+      text.TextStats.kmvOverlap(t(s, dir, "documents"),
+        "source", "text", n = 3, k = 64)
+        .orderBy("slice_a", "slice_b")
+    }),
+
     "q224_kmv_overlap" -> ((s, dir) => {
       // KMV/theta bottom-64 slice-overlap audit: union and
       // INTERSECTION estimates (the set operation HLL cannot do) next

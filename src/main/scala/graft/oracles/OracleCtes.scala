@@ -243,7 +243,8 @@ private[graft] object OracleCtes {
     * engine's exact operation order, and the exact hash-set ground
     * truth — all off the source-carrying gram chain.
     */
-  private[oracles] def kmvOracleSql(k: Int): String = {
+  private[oracles] def kmvOracleSql(k: Int,
+                                    withExact: Boolean = true): String = {
     // mirrors the engine's exact regime: a non-full merged sample
     // (k_eff < k) IS the union in hash space, so union_est = k_eff
     val uEst = s"CASE WHEN e.k_eff < $k THEN CAST(e.k_eff AS DOUBLE) " +
@@ -276,24 +277,24 @@ private[graft] object OracleCtes {
       |    MAX(h) AS theta,
       |    CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
       |      AS BIGINT) AS c_inter
-      |  FROM samp GROUP BY 1, 2),
-      |ex AS (
+      |  FROM samp GROUP BY 1, 2)${if (withExact) "," else ""}
+      |${if (withExact) """ex AS (
       |  SELECT a.slice AS slice_a, b.slice AS slice_b,
       |    CAST(COUNT(*) AS BIGINT) AS n_inter
       |  FROM hs a JOIN hs b ON a.h = b.h AND a.slice < b.slice
       |  GROUP BY 1, 2),
       |sz AS (SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_h
       |       FROM hs GROUP BY 1)
-      |SELECT e.slice_a, e.slice_b, e.k_eff, e.theta, e.c_inter,
+      |""".stripMargin else ""}SELECT e.slice_a, e.slice_b, e.k_eff, e.theta, e.c_inter,
       |  $uEst AS union_est,
-      |  (e.c_inter * ($uEst)) / e.k_eff AS inter_est,
+      |  (e.c_inter * ($uEst)) / e.k_eff AS inter_est${if (withExact) """,
       |  COALESCE(x.n_inter, CAST(0 AS BIGINT)) AS n_inter,
-      |  sa.n_h + sb.n_h - COALESCE(x.n_inter, 0) AS n_union
+      |  sa.n_h + sb.n_h - COALESCE(x.n_inter, 0) AS n_union""".stripMargin else ""}
       |FROM est e
-      |LEFT JOIN ex x USING (slice_a, slice_b)
+      |${if (withExact) """LEFT JOIN ex x USING (slice_a, slice_b)
       |JOIN sz sa ON sa.slice = e.slice_a
       |JOIN sz sb ON sb.slice = e.slice_b
-      |ORDER BY slice_a, slice_b""".stripMargin
+      |""".stripMargin else ""}ORDER BY slice_a, slice_b""".stripMargin
   }
 
   /** The q217 winnow-pair oracle chain, parameterized by an extra

@@ -389,6 +389,9 @@ private[oracles] object OraclesB {
     "q221_hll_audit" -> hllOracleSql(10),
     "q222_hll_by_source" -> hllBySourceOracleSql(10),
     "q224_kmv_overlap" -> kmvOracleSql(64),
+    // q227: the SAME generated chain minus the exact/sizes CTEs — the
+    // production sketch-only form shares the estimate SQL verbatim
+    "q227_kmv_sweep" -> kmvOracleSql(64, withExact = false),
 
     // mirrors TextStats.cmsHeavyHitters: every trigram OCCURRENCE
     // (short docs fall back to the whole-text gram) counts into the

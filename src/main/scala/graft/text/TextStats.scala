@@ -555,10 +555,14 @@ object TextStats {
     * is the hash-keyed inverted-index join, expansion bounded by how
     * many SLICES share a hash.
     */
-  def kmvOverlapAudit(df: DataFrame, sliceCol: String, textCol: String,
-                      n: Int, k: Int = 256,
-                      maxSlices: Long = graft.ops.GuardBounds.MaxCorpusSlices): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
+  /** The guarded (slice, hash) relation shared by [[kmvOverlap]] and
+    * [[kmvOverlapAudit]]: distinct md5-prefix gram hashes per slice,
+    * REFUSED past `maxSlices` (the corpusOverlap guard — the pair
+    * grid downstream is slices²).
+    */
+  private def kmvHashesGuarded(df: DataFrame, sliceCol: String,
+                               textCol: String, n: Int,
+                               maxSlices: Long): DataFrame = {
     val hs = graft.engine.Caches.persisted("kmv.hashes",
       gramStream(df, Seq(sliceCol), textCol, n)
         .select(col(sliceCol).as("slice"),
@@ -569,6 +573,34 @@ object TextStats {
       s"kmvOverlapAudit is quadratic in slices " +
         s"(${nSlices * (nSlices - 1) / 2} pairs at k=$nSlices > " +
         s"maxSlices=$maxSlices); aggregate slices first")
+    hs
+  }
+
+  /** PRODUCTION form of the KMV slice-overlap sweep: the sketch
+    * estimates alone — `(slice_a, slice_b, k_eff, theta, c_inter,
+    * union_est, inter_est)` — without the exact ground-truth join the
+    * audit carries. Measured honestly at sf0.1/20 slices the saving
+    * is modest (~0.2 s of ~1.9 s warm: the shared (slice, hash)
+    * DISTINCT dominates both forms there); the exact join is the term
+    * whose cost grows with cross-slice hash overlap (its expansion is
+    * data-dependent — how many slices share a hash), while the sketch
+    * half is bounded by k·slices rows after the distinct — THAT is
+    * why production sweeps drop it at scale. Shares the hash relation
+    * and THE SAME estimate frame with [[kmvOverlapAudit]], so the
+    * audited estimates ARE these estimates by construction — run the
+    * audit on a sample cadence, this form on the full corpus.
+    */
+  def kmvOverlap(df: DataFrame, sliceCol: String, textCol: String,
+                 n: Int, k: Int = 256,
+                 maxSlices: Long = graft.ops.GuardBounds.MaxCorpusSlices): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    kmvEstimateFrame(kmvHashesGuarded(df, sliceCol, textCol, n, maxSlices), k)
+  }
+
+  /** The pair-estimate frame over a (slice, h) relation — the single
+    * definition both [[kmvOverlap]] and [[kmvOverlapAudit]] emit.
+    */
+  private def kmvEstimateFrame(hs: DataFrame, k: Int): DataFrame = {
     val byS = Window.partitionBy(col("slice")).orderBy(col("h"))
     val bk = graft.engine.Caches.persisted("kmv.bottomK",
       hs.withColumn("_rn", row_number().over(byS))
@@ -590,7 +622,7 @@ object TextStats {
       .agg(max(col("_ia")).as("ia"), max(col("_ib")).as("ib"))
       .withColumn("_rn", row_number().over(byPair))
       .filter(col("_rn") <= k)
-    val est = sample.groupBy(col("slice_a"), col("slice_b"))
+    sample.groupBy(col("slice_a"), col("slice_b"))
       .agg(count(lit(1)).as("k_eff"), max(col("h")).as("theta"),
         sum(when(col("ia") && col("ib"), 1L).otherwise(0L)).as("c_inter"))
       .select(col("slice_a"), col("slice_b"), col("k_eff"), col("theta"),
@@ -601,6 +633,14 @@ object TextStats {
               col("theta")).as("union_est"))
       .withColumn("inter_est",
         (col("c_inter") * col("union_est")) / col("k_eff"))
+  }
+
+  def kmvOverlapAudit(df: DataFrame, sliceCol: String, textCol: String,
+                      n: Int, k: Int = 256,
+                      maxSlices: Long = graft.ops.GuardBounds.MaxCorpusSlices): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val hs = kmvHashesGuarded(df, sliceCol, textCol, n, maxSlices)
+    val est = kmvEstimateFrame(hs, k)
     val sizes = hs.groupBy(col("slice")).agg(count(lit(1)).as("n_h"))
     val xa = hs.select(col("slice").as("slice_a"), col("h"))
     val xb = hs.select(col("slice").as("slice_b"), col("h"))

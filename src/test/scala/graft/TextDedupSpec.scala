@@ -628,6 +628,26 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("kmvOverlap: production sketch-only form equals the audit's estimate columns") {
+    val docs = Seq(
+      ("sA", (1 to 25).map(i => s"t$i").mkString(" ")),
+      ("sB", (10 to 30).map(i => s"t$i").mkString(" ")),
+      ("sC", "u1 u2 u3 u4 u5")).toDF("source", "text")
+    val sweep = TextStats.kmvOverlap(docs, "source", "text", 3, k = 8)
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSet
+    graft.engine.Caches.releaseAll()
+    val audit = TextStats.kmvOverlapAudit(docs, "source", "text", 3, k = 8)
+      .select($"slice_a", $"slice_b", $"k_eff", $"theta", $"c_inter",
+        $"union_est", $"inter_est")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSet
+    graft.engine.Caches.releaseAll()
+    assert(sweep === audit,
+      "sketch-only sweep diverged from the audit's estimate columns")
+    spark.catalog.clearCache()
+  }
+
   test("kmvOverlapAudit: identical slices estimate inter == union; guard refuses on slices") {
     val text = (1 to 30).map(i => s"t$i").mkString(" ")
     val docs = Seq(("sA", text), ("sB", text), ("sC", "u1 u2 u3 u4 u5"))
