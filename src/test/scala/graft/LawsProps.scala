@@ -2620,4 +2620,28 @@ object LawsProps extends Properties("graft.laws") {
       }.sorted
       out == expect
     }
+
+  property("compactFlat: preserves the row multiset and bounds file count on ANY table") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 50L),
+        Gen.choose(-100.0, 100.0).map(d => math.rint(d * 4) / 4))),
+      Gen.choose(1, 4)) { (rows, target) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_cflat")
+        .toString + "/t"
+      // accrete as several appends so there is genuinely something to
+      // compact (each append lands >= 1 file)
+      rows.grouped(math.max(rows.size / 3, 1)).foreach { g =>
+        g.toDF("id", "v").repartition(2)
+          .write.mode("append").parquet(dir)
+      }
+      val before = spark.read.parquet(dir)
+        .as[(Long, Double)].collect().toSeq.sorted
+      graft.engine.Layout.compactFlat(spark, dir, targetFiles = target)
+      val after = spark.read.parquet(dir)
+        .as[(Long, Double)].collect().toSeq.sorted
+      val nf = graft.engine.Layout.flatFileCount(spark, dir)
+      val hist = graft.engine.Layout.history(spark, dir, 5)
+        .select("operation").as[String].collect()
+      after == before && nf <= target && nf >= 1 &&
+        hist.contains("OPTIMIZE_FLAT")
+    }
 }

@@ -526,6 +526,27 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q227: KMV bottom-k windows are WindowGroupLimit-pruned; pair grid broadcasts") {
+    // the per-slice and per-pair bottom-k row_number filters must push
+    // below the window sort as WindowGroupLimit (each partition keeps
+    // k rows BEFORE sorting — the difference between sorting k and
+    // sorting every hash per slice at 100 TB), and the slice²-bounded
+    // pair grid must broadcast onto the k-row samples. The grid itself
+    // is a DELIBERATE broadcast nested-loop cross of two slice-distinct
+    // frames (maxSlices-guarded) — pinned to that exact shape so any
+    // OTHER nested loop (e.g. a corpus-sized one) still fails the test
+    val p = plan("q227_kmv_sweep")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+    assert(bnlj.nonEmpty && bnlj.forall(j =>
+      j.contains("Cross") && j.contains("slice_a") && j.contains("slice_b")),
+      bnlj.mkString("\n"))
+    graft.engine.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("AQE splits a skewed join partition at runtime (skew-join enabled in Sessions.tune)") {
     import spark.implicits._
     // one key carries ~100k rows against a 4-row dimension; with the
