@@ -56,6 +56,20 @@ object SparkEntry {
       path
     })
 
+  /** Build-once memo for the persisted per-source HLL register files
+    * (the build/probe split applied to the sketch family, round-11):
+    * registers derived once per sf dir; q228 estimates read the
+    * 8 KB-per-source files alone — no corpus scan on the read path.
+    */
+  private val hllRegCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def hllRegistersFor(s: SparkSession, dir: String): String =
+    hllRegCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_hllreg").toString + "/hll"
+      text.TextStats.buildHllRegisters(t(s, dir, "documents"),
+        "source", "text", n = 3, p = 10, path)
+      path
+    })
+
   /** Build-once memos for the persisted multimodal SIGNATURE index
     * (the q196 build/probe discipline applied to the manifest family,
     * round-10): shingle/md5/perceptual-hash relations on disk, derived
@@ -759,6 +773,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bpe_tokens"),
           concat_ws(" ", col("bpe_tokens")).as("bpe_text"))
         .orderBy("doc_id")
+    }),
+
+    "q228_hll_from_registers" -> ((s, dir) => {
+      // the sketch family's production READ path: the global distinct-
+      // trigram estimate from the PERSISTED per-source register files
+      // alone — per-shard MAX merge on read (the law-proven combine),
+      // full 1024-bucket grid, the q221 estimate arithmetic — no
+      // corpus scan. Oracle = the q221 chain minus its exact columns,
+      // UNCHANGED in the estimate arithmetic: recomputing from raw
+      // documents must equal reading the register file (the indexed ≡
+      // inline discipline, q160-q162 precedent).
+      text.TextStats.hllEstimateFromRegisters(s, hllRegistersFor(s, dir))
     }),
 
     "q227_kmv_sweep" -> ((s, dir) => {

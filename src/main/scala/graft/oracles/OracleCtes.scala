@@ -329,7 +329,8 @@ private[graft] object OracleCtes {
     * SAME numerator constant ([[graft.text.TextStats.hllEstimateConst]],
     * embedded via Double.toString which round-trips bit-exactly).
     */
-  private[oracles] def hllOracleSql(p: Int): String = {
+  private[oracles] def hllOracleSql(p: Int,
+                                    withExact: Boolean = true): String = {
     val m = 1 << p
     val c = graft.text.TextStats.hllEstimateConst(p)
     s"""WITH $gram3Cte,
@@ -351,11 +352,11 @@ private[graft] object OracleCtes {
       |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
       |  FROM fullr),
       |x AS (SELECT CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_exact FROM grams)
-      |SELECT CAST($m AS BIGINT) AS m, v_zero, s_scaled, n_exact,
-      |  CASE WHEN v_zero < $m THEN $c / s_scaled END AS raw_est,
+      |SELECT CAST($m AS BIGINT) AS m, v_zero, s_scaled${if (withExact) ", n_exact" else ""},
+      |  CASE WHEN v_zero < $m THEN $c / s_scaled END AS raw_est${if (withExact) s""",
       |  CASE WHEN v_zero < $m AND n_exact > 0
-      |    THEN $c / s_scaled / n_exact END AS err_ratio
-      |FROM s, x""".stripMargin
+      |    THEN $c / s_scaled / n_exact END AS err_ratio""" else ""}
+      |FROM s${if (withExact) ", x" else ""}""".stripMargin
   }
 
   /** GENERATED q222 oracle: per-source HLL register files replayed

@@ -387,6 +387,9 @@ private[oracles] object OraclesB {
     "q225_bpe_train" -> bpeTrainOracleSql(5),
 
     "q221_hll_audit" -> hllOracleSql(10),
+    // q228: the SAME chain minus the exact columns — the register-file
+    // read path must equal recomputing registers from raw documents
+    "q228_hll_from_registers" -> hllOracleSql(10, withExact = false),
     "q222_hll_by_source" -> hllBySourceOracleSql(10),
     "q224_kmv_overlap" -> kmvOracleSql(64),
     // q227: the SAME generated chain minus the exact/sizes CTEs — the

@@ -526,6 +526,103 @@ object TextStats {
           lit(c) / col("s_scaled") / col("n_exact")).as("err_ratio"))
   }
 
+  /** Persist per-group HLL register files — the sketch's OPERATIONAL
+    * lifecycle (the buildSignatureIndex discipline applied to HLL):
+    * registers are computed ONCE per standing corpus, appends merge
+    * batch registers in by per-bucket MAX without rescanning anything
+    * ([[appendHllRegisters]]), and distinct-count estimates read the
+    * m-sized register file alone ([[hllEstimateFromRegisters]]). Each
+    * group's file is ≤ m rows (8 KB of state at p=10) — the unit the
+    * shard-merge law ([[hllRegisterFrame]]) proves combines to the
+    * global answer. Layout: `registers (grp, bucket, r)` + `meta
+    * (p, gram_n)` (consumers validate both, the indexShingleN
+    * pattern).
+    */
+  def buildHllRegisters(df: DataFrame, grpCol: String, textCol: String,
+                        n: Int, p: Int, path: String): Unit = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val spark = df.sparkSession
+    hllRegisterFrame(gramStream(df, Seq(grpCol), textCol, n), Seq(grpCol), p)
+      .withColumnRenamed(grpCol, "grp")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/registers")
+    spark.range(1).select(lit(p).as("p"), lit(n).as("gram_n"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private[graft] def hllRegisterMeta(spark: org.apache.spark.sql.SparkSession,
+                                     path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Merge a committed batch's registers INTO the persisted file — the
+    * maintenance half: derive registers for the BATCH only (one scan
+    * of the batch), per-(grp, bucket) MAX against the standing file,
+    * staged rewrite (the file is m·groups rows — register-sized, never
+    * corpus-sized, so the rewrite is constant work per commit). After
+    * the call, estimates see corpus ∪ batch exactly as a rebuild
+    * would (law: registers of a union are the bucketwise MAX).
+    */
+  def appendHllRegisters(spark: org.apache.spark.sql.SparkSession,
+                         batch: DataFrame, grpCol: String, textCol: String,
+                         path: String): Unit = {
+    val (p, n) = hllRegisterMeta(spark, path)
+    val batchRegs = hllRegisterFrame(
+        gramStream(batch, Seq(grpCol), textCol, n), Seq(grpCol), p)
+      .withColumnRenamed(grpCol, "grp")
+    val merged = spark.read.parquet(s"$path/registers")
+      .unionByName(batchRegs)
+      .groupBy(col("grp"), col("bucket")).agg(max(col("r")).as("r"))
+    // staged rewrite: overwriting the input of a lazy self-scan in
+    // place would read nothing (the compactPartitions lesson); the
+    // staging write materializes the merge first, then swaps
+    val staging = s"$path/registers_staging"
+    merged.repartition(1).write.mode("overwrite").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/registers")
+    require(fs.delete(live, true),
+      s"appendHllRegisters: could not remove $live; merged registers " +
+        s"preserved in $staging")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
+      s"appendHllRegisters: rename $staging -> $live failed")
+  }
+
+  /** Distinct-count estimates from the PERSISTED register file alone —
+    * no corpus scan. `perGroup = false` merges every group's registers
+    * by bucket MAX first (the shard-merge law) and returns ONE global
+    * row `(m, v_zero, s_scaled, raw_est)`; `perGroup = true` returns
+    * one row per group `(grp, m, v_zero, s_scaled, raw_est)`. Exact
+    * counts and err_ratio need the corpus — that is [[hllDistinctAudit]]
+    * / [[hllBySource]]'s job on an audit cadence; this is the
+    * production read path those audits certify.
+    */
+  def hllEstimateFromRegisters(spark: org.apache.spark.sql.SparkSession,
+                               path: String,
+                               perGroup: Boolean = false): DataFrame = {
+    val (p, _) = hllRegisterMeta(spark, path)
+    val m = 1 << p
+    val c = hllEstimateConst(p)
+    val regs = spark.read.parquet(s"$path/registers")
+    val keyed =
+      if (perGroup) regs
+      else regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+        .select(lit("_all").as("grp"), col("bucket"), col("r"))
+    val grid = keyed.select(col("grp")).distinct()
+      .crossJoin(spark.range(m).select(col("id").as("bucket")))
+    val full = grid.join(keyed, Seq("grp", "bucket"), "left")
+      .select(col("grp"), coalesce(col("r"), lit(0)).as("r"))
+    val s = full.groupBy(col("grp")).agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - r AS INT))"))
+        .cast("long").as("s_scaled"),
+      sum(when(col("r") === 0, 1L).otherwise(0L)).cast("long").as("v_zero"))
+    val out = s.select(col("grp"), lit(m.toLong).as("m"), col("v_zero"),
+      col("s_scaled"),
+      when(col("v_zero") < m, lit(c) / col("s_scaled")).as("raw_est"))
+    if (perGroup) out else out.drop("grp")
+  }
+
   /** KMV (bottom-k / theta-sketch) slice-overlap audit (Beyer et al.
     * 2007): per slice keep the k SMALLEST distinct gram hashes; for
     * every slice pair, the k smallest of the merged samples estimate

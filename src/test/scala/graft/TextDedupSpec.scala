@@ -582,6 +582,49 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("hll register lifecycle: build+append == rebuild; estimates match the corpus-scan audit") {
+    val corpus = Seq(
+      (1L, "s1", "w1 w2 w3 w4 w5"),
+      (2L, "s2", "x1 x2 x3 x4")).toDF("doc_id", "source", "text")
+    val batch = Seq(
+      (3L, "s1", "w3 w4 w5 w6 w7"),
+      (4L, "s3", "y1 y2 y3")).toDF("doc_id", "source", "text")
+    val all = corpus.unionByName(batch)
+    val base = java.nio.file.Files.createTempDirectory("graft_hllreg")
+      .toString
+    // incremental: build on the corpus, merge the batch in
+    TextStats.buildHllRegisters(corpus, "source", "text", 3, 10, s"$base/a")
+    TextStats.appendHllRegisters(spark, batch, "source", "text", s"$base/a")
+    // rebuild on the union
+    TextStats.buildHllRegisters(all, "source", "text", 3, 10, s"$base/b")
+    def regs(p: String) = spark.read.parquet(s"$p/registers")
+      .as[(String, Long, Int)].collect().toSet
+    assert(regs(s"$base/a") === regs(s"$base/b"),
+      "append-merged registers diverged from a rebuild on the union")
+    // global estimate off the file == the corpus-scan audit's estimate
+    val fromFile = TextStats.hllEstimateFromRegisters(spark, s"$base/a")
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    graft.engine.Caches.releaseAll()
+    val audit = TextStats.hllDistinctAudit(all, "text", 3, p = 10)
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    graft.engine.Caches.releaseAll()
+    assert(fromFile === ((audit._1, audit._2, audit._3, audit._5)),
+      "register-file estimate diverged from the corpus-scan audit")
+    // per-group read matches the per-slice audit's estimate columns
+    val perGrp = TextStats.hllEstimateFromRegisters(spark, s"$base/a",
+        perGroup = true).orderBy("grp")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    val bySrc = TextStats.hllBySource(all, "source", "text", 3, p = 10)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    graft.engine.Caches.releaseAll()
+    assert(perGrp === bySrc.map(r => (r._1, 1024L, r._2, r._3, r._5)),
+      "per-group register read diverged from the per-slice audit")
+    spark.catalog.clearCache()
+  }
+
   test("hllBySource: single source matches the global audit; empty slice reads NULL estimates") {
     val docs = Seq(
       (1L, "s1", "w1 w2 w3 w4"),
