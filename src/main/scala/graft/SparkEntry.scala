@@ -70,6 +70,19 @@ object SparkEntry {
       path
     })
 
+  /** Build-once memo for the persisted per-slice KMV bottom-k samples
+    * (round-11, the register-file discipline for the overlap family):
+    * k rows per slice on disk; q229 estimates read the samples alone.
+    */
+  private val kmvSampleCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def kmvSamplesFor(s: SparkSession, dir: String): String =
+    kmvSampleCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_kmv").toString + "/kmv"
+      text.TextStats.buildKmvSamples(t(s, dir, "documents"),
+        "source", "text", n = 3, k = 64, path)
+      path
+    })
+
   /** Build-once memos for the persisted multimodal SIGNATURE index
     * (the q196 build/probe discipline applied to the manifest family,
     * round-10): shingle/md5/perceptual-hash relations on disk, derived
@@ -773,6 +786,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bpe_tokens"),
           concat_ws(" ", col("bpe_tokens")).as("bpe_text"))
         .orderBy("doc_id")
+    }),
+
+    "q229_kmv_from_samples" -> ((s, dir) => {
+      // the overlap family's production READ path: every slice-pair
+      // union/intersection estimate from the PERSISTED k-row-per-slice
+      // bottom-k samples — no corpus scan; the estimate frame is the
+      // q227 one fed the samples (its bottom-k window is a no-op
+      // there), so the q227 oracle applies UNCHANGED: recomputing the
+      // sketch from raw documents must equal reading the sample file.
+      text.TextStats.kmvOverlapFromSamples(s, kmvSamplesFor(s, dir))
+        .orderBy("slice_a", "slice_b")
     }),
 
     "q228_hll_from_registers" -> ((s, dir) => {

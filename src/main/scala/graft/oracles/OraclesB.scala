@@ -395,6 +395,9 @@ private[oracles] object OraclesB {
     // q227: the SAME generated chain minus the exact/sizes CTEs — the
     // production sketch-only form shares the estimate SQL verbatim
     "q227_kmv_sweep" -> kmvOracleSql(64, withExact = false),
+    // q229: identical oracle — the persisted-sample read path must
+    // equal the self-deriving sweep (indexed ≡ inline)
+    "q229_kmv_from_samples" -> kmvOracleSql(64, withExact = false),
 
     // mirrors TextStats.cmsHeavyHitters: every trigram OCCURRENCE
     // (short docs fall back to the whole-text gram) counts into the

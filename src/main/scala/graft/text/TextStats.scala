@@ -694,6 +694,93 @@ object TextStats {
     kmvEstimateFrame(kmvHashesGuarded(df, sliceCol, textCol, n, maxSlices), k)
   }
 
+  /** Persist per-slice KMV bottom-k samples — the theta-sketch's
+    * OPERATIONAL lifecycle (the [[buildHllRegisters]] discipline for
+    * the overlap family): samples are k rows per slice on disk,
+    * appends fold a batch in WITHOUT rescanning the corpus
+    * ([[appendKmvSamples]] — sound because bottom-k(A ∪ B) ⊆
+    * bottom-k(A) ∪ hashes(B), so the standing sample plus the batch's
+    * hashes re-ranked IS the union's sample), and every slice-pair
+    * union/intersection estimate reads the sample file alone
+    * ([[kmvOverlapFromSamples]]). Estimates are IDENTICAL to
+    * [[kmvOverlap]] on the same corpus by construction: the estimate
+    * frame only ever consumes each slice's bottom-k set. Layout:
+    * `samples (slice, h)` + `meta (k, gram_n)`.
+    */
+  def buildKmvSamples(df: DataFrame, sliceCol: String, textCol: String,
+                      n: Int, k: Int, path: String): Unit = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = df.sparkSession
+    val hs = gramStream(df, Seq(sliceCol), textCol, n)
+      .select(col(sliceCol).as("slice"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+      .distinct()
+    val byS = Window.partitionBy(col("slice")).orderBy(col("h"))
+    hs.withColumn("_rn", row_number().over(byS))
+      .filter(col("_rn") <= k).select(col("slice"), col("h"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/samples")
+    spark.range(1).select(lit(k).as("k"), lit(n).as("gram_n"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private[graft] def kmvSampleMeta(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Fold a committed batch INTO the persisted samples: hash the BATCH
+    * only, union with the standing k-row-per-slice samples, distinct,
+    * re-rank bottom-k, staged rewrite of the sample-sized file —
+    * constant standing-state work per commit plus one scan of the
+    * batch. After the call the samples equal a rebuild on
+    * corpus ∪ batch (spec-pinned).
+    */
+  def appendKmvSamples(spark: org.apache.spark.sql.SparkSession,
+                       batch: DataFrame, sliceCol: String, textCol: String,
+                       path: String): Unit = {
+    val (k, n) = kmvSampleMeta(spark, path)
+    val batchHs = gramStream(batch, Seq(sliceCol), textCol, n)
+      .select(col(sliceCol).as("slice"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
+    val byS = Window.partitionBy(col("slice")).orderBy(col("h"))
+    val merged = spark.read.parquet(s"$path/samples")
+      .unionByName(batchHs).distinct()
+      .withColumn("_rn", row_number().over(byS))
+      .filter(col("_rn") <= k).select(col("slice"), col("h"))
+    val staging = s"$path/samples_staging"
+    merged.repartition(1).write.mode("overwrite").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/samples")
+    require(fs.delete(live, true),
+      s"appendKmvSamples: could not remove $live; merged samples " +
+        s"preserved in $staging")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
+      s"appendKmvSamples: rename $staging -> $live failed")
+  }
+
+  /** Slice-pair overlap estimates from the PERSISTED samples alone —
+    * no corpus scan: the [[kmvOverlap]] estimate frame fed the k-row
+    * samples (its internal bottom-k window is a no-op there, so the
+    * output is bit-identical to the self-deriving form on the same
+    * corpus). The slices² guard applies to the pair grid as always.
+    */
+  def kmvOverlapFromSamples(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            maxSlices: Long = graft.ops.GuardBounds.MaxCorpusSlices): DataFrame = {
+    val (k, _) = kmvSampleMeta(spark, path)
+    val hs = graft.engine.Caches.persisted("kmv.samples",
+      spark.read.parquet(s"$path/samples"))
+    val nSlices = hs.select(col("slice")).distinct().count()
+    require(nSlices <= maxSlices,
+      s"kmvOverlapAudit is quadratic in slices " +
+        s"(${nSlices * (nSlices - 1) / 2} pairs at k=$nSlices > " +
+        s"maxSlices=$maxSlices); aggregate slices first")
+    kmvEstimateFrame(hs, k)
+  }
+
   /** The pair-estimate frame over a (slice, h) relation — the single
     * definition both [[kmvOverlap]] and [[kmvOverlapAudit]] emit.
     */

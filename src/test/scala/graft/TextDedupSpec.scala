@@ -691,6 +691,36 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("kmv sample lifecycle: build+append == rebuild; sample-file estimates match the sweep") {
+    val corpus = Seq(
+      ("sA", (1 to 20).map(i => s"t$i").mkString(" ")),
+      ("sB", (10 to 25).map(i => s"t$i").mkString(" "))).toDF("source", "text")
+    val batch = Seq(
+      ("sA", (18 to 30).map(i => s"t$i").mkString(" ")),
+      ("sC", "u1 u2 u3 u4 u5")).toDF("source", "text")
+    val all = corpus.unionByName(batch)
+    val base = java.nio.file.Files.createTempDirectory("graft_kmvs")
+      .toString
+    TextStats.buildKmvSamples(corpus, "source", "text", 3, 8, s"$base/a")
+    TextStats.appendKmvSamples(spark, batch, "source", "text", s"$base/a")
+    TextStats.buildKmvSamples(all, "source", "text", 3, 8, s"$base/b")
+    def samples(p: String) = spark.read.parquet(s"$p/samples")
+      .as[(String, Long)].collect().toSet
+    assert(samples(s"$base/a") === samples(s"$base/b"),
+      "append-folded samples diverged from a rebuild on the union")
+    val fromFile = TextStats.kmvOverlapFromSamples(spark, s"$base/a")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSet
+    graft.engine.Caches.releaseAll()
+    val sweep = TextStats.kmvOverlap(all, "source", "text", 3, k = 8)
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSet
+    graft.engine.Caches.releaseAll()
+    assert(fromFile === sweep,
+      "sample-file estimates diverged from the self-deriving sweep")
+    spark.catalog.clearCache()
+  }
+
   test("kmvOverlapAudit: identical slices estimate inter == union; guard refuses on slices") {
     val text = (1 to 30).map(i => s"t$i").mkString(" ")
     val docs = Seq(("sA", text), ("sB", text), ("sC", "u1 u2 u3 u4 u5"))
