@@ -83,6 +83,18 @@ object SparkEntry {
       path
     })
 
+  /** Build-once memo for the persisted CMS cell table (round-11; the
+    * counting third of the sketch lifecycle trio).
+    */
+  private val cmsSketchCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cmsSketchFor(s: SparkSession, dir: String): String =
+    cmsSketchCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_cms").toString + "/cms"
+      text.TextStats.buildCmsSketch(t(s, dir, "documents"),
+        "text", n = 3, path)
+      path
+    })
+
   /** Build-once memos for the persisted multimodal SIGNATURE index
     * (the q196 build/probe discipline applied to the manifest family,
     * round-10): shingle/md5/perceptual-hash relations on disk, derived
@@ -786,6 +798,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bpe_tokens"),
           concat_ws(" ", col("bpe_tokens")).as("bpe_text"))
         .orderBy("doc_id")
+    }),
+
+    "q230_cms_lookup" -> ((s, dir) => {
+      // the counting sketch's production READ path: point estimates
+      // for a fixed watch list of grams from the PERSISTED
+      // depth×width cell table — min over rows, absent cells read 0,
+      // no corpus scan. The oracle recomputes the sketch from raw
+      // documents and looks up the SAME generated probe list — the
+      // persisted cells must equal a recompute (indexed ≡ inline).
+      text.TextStats.cmsLookupFromSketch(s, cmsSketchFor(s, dir),
+        text.TextStats.CmsProbeGrams).orderBy("gram")
     }),
 
     "q229_kmv_from_samples" -> ((s, dir) => {

@@ -243,6 +243,37 @@ private[graft] object OracleCtes {
     * engine's exact operation order, and the exact hash-set ground
     * truth — all off the source-carrying gram chain.
     */
+  /** GENERATED q230 oracle: the q220 sketch CTEs replayed, point
+    * lookups for [[graft.text.TextStats.CmsProbeGrams]] (embedded as a
+    * VALUES list from the same literal) — LEFT join so absent cells
+    * read 0, min over the depth rows.
+    */
+  private[oracles] def cmsLookupOracleSql(depth: Int, width: Int): String = {
+    val vals = graft.text.TextStats.CmsProbeGrams
+      .map(g => s"('${g.replace("'", "''")}')").mkString(", ")
+    s"""WITH $gram3Cte,
+      |pr AS (
+      |  SELECT (CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+      |          + rr.r * CAST('0x' || substr(md5(gram), 9, 8) AS BIGINT))
+      |         % $width AS bucket, rr.r
+      |  FROM grams CROSS JOIN (SELECT unnest(range(0, $depth)) AS r) rr),
+      |cms AS (
+      |  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM pr GROUP BY 1, 2),
+      |probes(gram) AS (VALUES $vals),
+      |cells AS (
+      |  SELECT gram, rr.r,
+      |    (CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+      |     + rr.r * CAST('0x' || substr(md5(gram), 9, 8) AS BIGINT))
+      |    % $width AS bucket
+      |  FROM probes CROSS JOIN (SELECT unnest(range(0, $depth)) AS r) rr)
+      |SELECT cells.gram,
+      |  CAST(MIN(COALESCE(cms.c, 0)) AS BIGINT) AS n_cms
+      |FROM cells LEFT JOIN cms ON cms.r = cells.r
+      |  AND cms.bucket = cells.bucket
+      |GROUP BY 1 ORDER BY gram""".stripMargin
+  }
+
   private[oracles] def kmvOracleSql(k: Int,
                                     withExact: Boolean = true): String = {
     // mirrors the engine's exact regime: a non-full merged sample

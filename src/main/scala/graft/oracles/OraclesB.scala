@@ -403,6 +403,8 @@ private[oracles] object OraclesB {
     // (short docs fall back to the whole-text gram) counts into the
     // 4×1024 sketch via (h1 + r·h2) mod 1024 double hashing; the exact
     // top-20 is a deterministic total order (count desc, gram asc)
+    "q230_cms_lookup" -> cmsLookupOracleSql(4, 1024),
+
     "q220_cms_heavyhitters" ->
       s"""WITH $gram3Cte,
         |pr AS (

@@ -314,23 +314,125 @@ object TextStats {
       df.select(explode(Dedup.shinglesOfTokens(
           tokens(col(textCol)), n)).as("gram"))
         .filter(col("gram") =!= ""))
-    def h1(c: Column) = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-    def h2(c: Column) = conv(substring(md5(c), 9, 8), 16, 10).cast("long")
-    def probed(src: DataFrame) = src
-      .select(col("gram"), h1(col("gram")).as("_h1"), h2(col("gram")).as("_h2"))
-      .select(col("gram"), col("_h1"), col("_h2"),
-        explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .select(col("gram"), col("r"),
-        pmod(col("_h1") + col("r") * col("_h2"), lit(width.toLong)).as("bucket"))
-    val cms = probed(grams)
+    val cms = cmsCells(grams, depth, width)
       .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
     val exact = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("gram").asc).limit(topK)
-    probed(exact).join(broadcast(cms), Seq("r", "bucket"))
+    cmsCells(exact, depth, width).join(broadcast(cms), Seq("r", "bucket"))
       .groupBy(col("gram")).agg(min(col("c")).as("n_cms"))
       .join(exact, Seq("gram"))
       .select(col("gram"), col("n_exact"), col("n_cms"),
         (col("n_cms") - col("n_exact")).as("overestimate"))
+  }
+
+  /** Fixed probe grams for the persisted-sketch lookup gate (q230) —
+    * a monitoring shape's watch list: three grams present in the
+    * synthetic corpus, two absent (their estimates read collision
+    * noise or 0). Parity never depends on presence — both engines
+    * hash the same strings — so the literal is corpus-version-safe;
+    * the oracle SQL is GENERATED from this list (the
+    * langScoreSelectSql discipline).
+    */
+  val CmsProbeGrams: Seq[String] = Seq(
+    "slow hash batch", "window fast query", "row column sort",
+    "never seen gram", "zz yy xx")
+
+  /** The (gram, r, bucket) probe cells of the double-hashed CMS — ONE
+    * definition for sketch building, the audit's probes, and the
+    * persisted-sketch lookups.
+    */
+  private def cmsCells(src: DataFrame, depth: Int, width: Int): DataFrame =
+    src
+      .select(col("gram"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("_h1"),
+        conv(substring(md5(col("gram")), 9, 8), 16, 10).cast("long").as("_h2"))
+      .select(col("gram"), col("_h1"), col("_h2"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("gram"), col("r"),
+        pmod(col("_h1") + col("r") * col("_h2"), lit(width.toLong)).as("bucket"))
+
+  /** Persist the CMS cell table — the counting sketch's OPERATIONAL
+    * lifecycle, completing the trio with [[buildHllRegisters]]
+    * (distincts) and [[buildKmvSamples]] (set overlap): the sketch is
+    * depth×width cells on disk, appends ADD a batch's cells in
+    * ([[appendCmsSketch]] — counts over disjoint streams are
+    * additive, the CMS merge law), and point lookups of known grams
+    * read the sketch alone ([[cmsLookupFromSketch]]) — the
+    * monitoring shape (known-hot-gram counters on a growing corpus)
+    * with NO corpus rescan and no per-gram exact aggregation. Layout:
+    * `cms (r, bucket, c)` + `meta (depth, width, gram_n)`.
+    */
+  def buildCmsSketch(df: DataFrame, textCol: String, n: Int, path: String,
+                     depth: Int = 4, width: Int = 1024): Unit = {
+    require(depth >= 1 && depth <= 16 && width >= 2,
+      s"need 1 <= depth <= 16 and width >= 2, got depth=$depth width=$width")
+    val spark = df.sparkSession
+    val grams = df.select(explode(Dedup.shinglesOfTokens(
+        tokens(col(textCol)), n)).as("gram"))
+      .filter(col("gram") =!= "")
+    cmsCells(grams, depth, width)
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/cms")
+    spark.range(1).select(lit(depth).as("depth"), lit(width).as("width"),
+        lit(n).as("gram_n"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private[graft] def cmsSketchMeta(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** ADD a committed batch's counts INTO the persisted sketch: cell
+    * counts over disjoint gram streams are additive, so the merge is
+    * a per-(r, bucket) SUM against the standing (depth·width)-bounded
+    * cell table — one scan of the batch, constant standing-state work,
+    * staged rewrite (the compactPartitions lazy-self-scan lesson).
+    */
+  def appendCmsSketch(spark: org.apache.spark.sql.SparkSession,
+                      batch: DataFrame, textCol: String,
+                      path: String): Unit = {
+    val (depth, width, n) = cmsSketchMeta(spark, path)
+    val grams = batch.select(explode(Dedup.shinglesOfTokens(
+        tokens(col(textCol)), n)).as("gram"))
+      .filter(col("gram") =!= "")
+    val merged = spark.read.parquet(s"$path/cms")
+      .unionByName(cmsCells(grams, depth, width)
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c")))
+      .groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
+    val staging = s"$path/cms_staging"
+    merged.repartition(1).write.mode("overwrite").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/cms")
+    require(fs.delete(live, true),
+      s"appendCmsSketch: could not remove $live; merged sketch " +
+        s"preserved in $staging")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
+      s"appendCmsSketch: rename $staging -> $live failed")
+  }
+
+  /** Point-lookup estimates for KNOWN grams from the PERSISTED sketch
+    * alone — `(gram, n_cms)`, min over the depth rows, an absent cell
+    * reading 0 (no occurrence hashed there in ANY row ⇒ the gram was
+    * never counted). No corpus scan, no exact aggregation: the
+    * production read path [[cmsHeavyHitters]] certifies on its audit
+    * cadence (estimates are upper bounds — overcount by collision,
+    * never undercount).
+    */
+  def cmsLookupFromSketch(spark: org.apache.spark.sql.SparkSession,
+                          path: String, probes: Seq[String]): DataFrame = {
+    require(probes.nonEmpty && probes.size <= 10000,
+      s"probes must be 1..10000 grams, got ${probes.size}")
+    val (depth, width, _) = cmsSketchMeta(spark, path)
+    import spark.implicits._
+    val cms = spark.read.parquet(s"$path/cms")
+    cmsCells(probes.toDF("gram"), depth, width)
+      .join(cms.hint("broadcast"), Seq("r", "bucket"), "left")
+      .groupBy(col("gram"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("n_cms"))
   }
 
   /** HyperLogLog distinct-count audit (Flajolet et al. 2007) over the

@@ -691,6 +691,32 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cms sketch lifecycle: build+append == rebuild; lookups are exact-or-over, absent reads 0") {
+    val corpus = Seq(
+      (1L, "slow hash batch runs slow hash batch again"),
+      (2L, "window fast query")).toDF("doc_id", "text")
+    val batch = Seq((3L, "slow hash batch once more")).toDF("doc_id", "text")
+    val all = corpus.unionByName(batch)
+    val base = java.nio.file.Files.createTempDirectory("graft_cmsl")
+      .toString
+    TextStats.buildCmsSketch(corpus, "text", 3, s"$base/a")
+    TextStats.appendCmsSketch(spark, batch, "text", s"$base/a")
+    TextStats.buildCmsSketch(all, "text", 3, s"$base/b")
+    def cells(p: String) = spark.read.parquet(s"$p/cms")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(cells(s"$base/a") === cells(s"$base/b"),
+      "summed sketch diverged from a rebuild on the union")
+    val out = TextStats.cmsLookupFromSketch(spark, s"$base/a",
+        Seq("slow hash batch", "window fast query", "absent gram here"))
+      .as[(String, Long)].collect().toMap
+    // CMS never undercounts: >= true counts (2 corpus + 1 batch; 1; 0)
+    assert(out("slow hash batch") >= 3L)
+    assert(out("window fast query") >= 1L)
+    // tiny corpus, 4x1024 cells: the absent gram's cells are empty
+    assert(out("absent gram here") === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("kmv sample lifecycle: build+append == rebuild; sample-file estimates match the sweep") {
     val corpus = Seq(
       ("sA", (1 to 20).map(i => s"t$i").mkString(" ")),
