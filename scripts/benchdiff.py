@@ -49,6 +49,24 @@ def main():
             print(f"calib    {tag}: before {cal['before']:.3f} s, "
                   f"after {cal['after']:.3f} s (fixed spin; a reading far "
                   "above the idle-host reference means contention)")
+        # per-rep host-load probes (round-12): each rep is preceded by a
+        # short fixed spin; a probe far above the run's own minimum marks
+        # that rep as contended, independent of what the query itself
+        # read. Band: >1.5x the run reference AND >50 ms absolute.
+        probe_ref = doc.get("probe_ref_s")
+        probes = doc.get("probe_s", {})
+        if probe_ref:
+            hot = []
+            for q, ps in probes.items():
+                for i, p in enumerate(ps):
+                    if p is not None and p > 1.5 * probe_ref and p - probe_ref > 0.05:
+                        hot.append((q, i, p))
+            if hot:
+                print(f"LOADPROBE {tag}: {len(hot)} contended rep(s) "
+                      f"(probe ref {probe_ref * 1000:.0f} ms):")
+                for q, i, p in sorted(hot, key=lambda t: -t[2])[:20]:
+                    print(f"  {q:<28} rep {i + 1} probe "
+                          f"{p * 1000:.0f} ms ({p / probe_ref:.1f}x ref)")
         # rep-level outliers (informational, never gating): one rep far
         # above its siblings with a flat GC delta is a host/co-tenant
         # window, not the plan — reps_start_ms pins it to a wall clock
@@ -66,14 +84,35 @@ def main():
                 continue
             worst = max(warm)
             if worst > 2.0 * min(ok) and worst - min(ok) > 0.5:
-                i = runs.index(worst)
+                # index within the WARM slice, offset by 1 for the cold
+                # rep — runs.index(worst) would mis-attribute the spike
+                # to rep 1 whenever the cold rep happens to equal the
+                # worst warm value (ADVICE r11)
+                i = next((j + 1 for j, r in enumerate(runs[1:])
+                          if r is not None and r == worst), None)
+                if i is None:
+                    continue
                 off = doc.get("reps_start_ms", {}).get(q)
                 at = (f" at t0+{off[i] / 1000.0:.1f}s"
                       if off and i < len(off) else "")
                 gc = doc.get("gc_ms", {}).get(q)
                 gcs = f", gc {gc} ms over all reps" if gc is not None else ""
+                ps = probes.get(q)
+                pr = (f", probe {ps[i] * 1000:.0f} ms"
+                      if ps and i < len(ps) and ps[i] is not None else "")
                 print(f"REPSPIKE {tag} {q:<28} rep {i + 1}/{len(runs)} "
-                      f"{worst:.2f} s vs min {min(ok):.2f} s{at}{gcs}")
+                      f"{worst:.2f} s vs min {min(ok):.2f} s{at}{gcs}{pr}")
+    # min-of-reps per query (contention only ever ADDS time, so the min
+    # is the plan-cost estimate robust to a burst that swallows a whole
+    # median-of-3 window — round-11 verdict item)
+    def rep_mins(doc):
+        out = {}
+        for q, runs in doc.get("reps_raw", {}).items():
+            ok = [r for r in runs if r is not None and r >= 0]
+            if ok:
+                out[q] = min(ok)
+        return out
+    old_min, new_min = rep_mins(old_doc), rep_mins(new_doc)
     slower, broke = [], []
     for q in sorted(new):
         if new[q] < 0:
@@ -103,13 +142,24 @@ def main():
     for q, o, n in sorted(slower, key=lambda t: t[1] - t[2]):
         ratio = f"{n / o:.1f}x" if o > 0 else "inf"
         note = "  [within recorded spread]" if n - o <= spread.get(q, 0.0) else ""
+        # medians regressed but the new MIN rep still sits inside the
+        # threshold of the old median: the plan did not get slower —
+        # some reps were contended (cross-check LOADPROBE/REPSPIKE)
+        nm = new_min.get(q)
+        if not note and nm is not None and \
+                (nm <= o * threshold or nm - o <= 0.2):
+            note = f"  [min-of-reps {nm:.2f} s — likely contention]"
         print(f"SLOWER   {q:<28} {o:6.2f} s -> {n:6.2f} s  ({ratio}){note}")
     to = sum(v for v in old.values() if v >= 0)
     tn = sum(v for v in new.values() if v >= 0)
     ratio = f"{tn / to:.2f}x" if to > 0 else "n/a"
+    tom = sum(old_min.get(q, 0.0) for q in old if old[q] >= 0)
+    tnm = sum(new_min.get(q, 0.0) for q in new if new[q] >= 0)
+    mins_note = (f"; min-of-reps {tom:.1f} s -> {tnm:.1f} s"
+                 if old_min and new_min else "")
     print(f"\ntotal (passing): {to:.1f} s -> {tn:.1f} s ({ratio}), "
           f"{len(slower)} slower, {len(broke)} newly failing, "
-          f"{len(gone)} gone")
+          f"{len(gone)} gone{mins_note}")
     sys.exit(1 if slower or broke or gone else 0)
 
 

@@ -402,16 +402,13 @@ object TextStats {
       .unionByName(cmsCells(grams, depth, width)
         .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c")))
       .groupBy(col("r"), col("bucket")).agg(sum(col("c")).as("c"))
-    val staging = s"$path/cms_staging"
-    merged.repartition(1).write.mode("overwrite").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
-      spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$path/cms")
-    require(fs.delete(live, true),
-      s"appendCmsSketch: could not remove $live; merged sketch " +
-        s"preserved in $staging")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-      s"appendCmsSketch: rename $staging -> $live failed")
+    // crash-safe swap (round-12): the old delete-then-rename had a
+    // window where a crash left the live cell table missing with only
+    // manual recovery from the staging dir; stagedReplace swaps via
+    // two atomic dir renames and self-heals on the next call
+    graft.engine.Layout.stagedReplace(spark, s"$path/cms") { stg =>
+      merged.repartition(1).write.mode("overwrite").parquet(stg)
+    }
   }
 
   /** Point-lookup estimates for KNOWN grams from the PERSISTED sketch
@@ -428,6 +425,7 @@ object TextStats {
       s"probes must be 1..10000 grams, got ${probes.size}")
     val (depth, width, _) = cmsSketchMeta(spark, path)
     import spark.implicits._
+    graft.engine.Layout.healStagedReplace(spark, s"$path/cms")
     val cms = spark.read.parquet(s"$path/cms")
     cmsCells(probes.toDF("gram"), depth, width)
       .join(cms.hint("broadcast"), Seq("r", "bucket"), "left")
@@ -678,17 +676,10 @@ object TextStats {
       .groupBy(col("grp"), col("bucket")).agg(max(col("r")).as("r"))
     // staged rewrite: overwriting the input of a lazy self-scan in
     // place would read nothing (the compactPartitions lesson); the
-    // staging write materializes the merge first, then swaps
-    val staging = s"$path/registers_staging"
-    merged.repartition(1).write.mode("overwrite").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
-      spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$path/registers")
-    require(fs.delete(live, true),
-      s"appendHllRegisters: could not remove $live; merged registers " +
-        s"preserved in $staging")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-      s"appendHllRegisters: rename $staging -> $live failed")
+    // crash-safe swap (atomic renames + self-heal) is stagedReplace's
+    graft.engine.Layout.stagedReplace(spark, s"$path/registers") { stg =>
+      merged.repartition(1).write.mode("overwrite").parquet(stg)
+    }
   }
 
   /** Distinct-count estimates from the PERSISTED register file alone —
@@ -706,12 +697,21 @@ object TextStats {
     val (p, _) = hllRegisterMeta(spark, path)
     val m = 1 << p
     val c = hllEstimateConst(p)
+    graft.engine.Layout.healStagedReplace(spark, s"$path/registers")
     val regs = spark.read.parquet(s"$path/registers")
     val keyed =
       if (perGroup) regs
       else regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
         .select(lit("_all").as("grp"), col("bucket"), col("r"))
-    val grid = keyed.select(col("grp")).distinct()
+    // grp set seeded with the literal "_all" row when global: an EMPTY
+    // register file must still emit the full m-bucket grid and one
+    // v_zero = m / NULL-estimate row — the empty-corpus convention
+    // hllDistinctAudit standardized (ADVICE r11; the derived-grid form
+    // returned zero rows there, so the two read paths disagreed)
+    val grpSet =
+      if (perGroup) keyed.select(col("grp")).distinct()
+      else spark.range(1).select(lit("_all").as("grp"))
+    val grid = grpSet
       .crossJoin(spark.range(m).select(col("id").as("bucket")))
     val full = grid.join(keyed, Seq("grp", "bucket"), "left")
       .select(col("grp"), coalesce(col("r"), lit(0)).as("r"))
@@ -759,19 +759,28 @@ object TextStats {
     * REFUSED past `maxSlices` (the corpusOverlap guard — the pair
     * grid downstream is slices²).
     */
+  /** The slices² refusal shared by every KMV pair consumer — message
+    * names the CALLING operator and labels the slice count as
+    * n_slices (it used to say "kmvOverlapAudit ... at k=N" regardless
+    * of caller, pointing diagnostics at the wrong function with a
+    * mislabeled parameter — ADVICE r11).
+    */
+  private def requireSliceBound(fn: String, nSlices: Long,
+                                maxSlices: Long): Unit =
+    require(nSlices <= maxSlices,
+      s"$fn is quadratic in slices " +
+        s"(${nSlices * (nSlices - 1) / 2} pairs at n_slices=$nSlices > " +
+        s"maxSlices=$maxSlices); aggregate slices first")
+
   private def kmvHashesGuarded(df: DataFrame, sliceCol: String,
                                textCol: String, n: Int,
-                               maxSlices: Long): DataFrame = {
+                               maxSlices: Long, fn: String): DataFrame = {
     val hs = graft.engine.Caches.persisted("kmv.hashes",
       gramStream(df, Seq(sliceCol), textCol, n)
         .select(col(sliceCol).as("slice"),
           conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long").as("h"))
         .distinct())
-    val nSlices = hs.select(col("slice")).distinct().count()
-    require(nSlices <= maxSlices,
-      s"kmvOverlapAudit is quadratic in slices " +
-        s"(${nSlices * (nSlices - 1) / 2} pairs at k=$nSlices > " +
-        s"maxSlices=$maxSlices); aggregate slices first")
+    requireSliceBound(fn, hs.select(col("slice")).distinct().count(), maxSlices)
     hs
   }
 
@@ -793,7 +802,8 @@ object TextStats {
                  n: Int, k: Int = 256,
                  maxSlices: Long = graft.ops.GuardBounds.MaxCorpusSlices): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    kmvEstimateFrame(kmvHashesGuarded(df, sliceCol, textCol, n, maxSlices), k)
+    kmvEstimateFrame(
+      kmvHashesGuarded(df, sliceCol, textCol, n, maxSlices, "kmvOverlap"), k)
   }
 
   /** Persist per-slice KMV bottom-k samples — the theta-sketch's
@@ -851,16 +861,10 @@ object TextStats {
       .unionByName(batchHs).distinct()
       .withColumn("_rn", row_number().over(byS))
       .filter(col("_rn") <= k).select(col("slice"), col("h"))
-    val staging = s"$path/samples_staging"
-    merged.repartition(1).write.mode("overwrite").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
-      spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$path/samples")
-    require(fs.delete(live, true),
-      s"appendKmvSamples: could not remove $live; merged samples " +
-        s"preserved in $staging")
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), live),
-      s"appendKmvSamples: rename $staging -> $live failed")
+    // crash-safe swap: two atomic dir renames, self-healing (r12)
+    graft.engine.Layout.stagedReplace(spark, s"$path/samples") { stg =>
+      merged.repartition(1).write.mode("overwrite").parquet(stg)
+    }
   }
 
   /** Slice-pair overlap estimates from the PERSISTED samples alone —
@@ -873,13 +877,11 @@ object TextStats {
                             path: String,
                             maxSlices: Long = graft.ops.GuardBounds.MaxCorpusSlices): DataFrame = {
     val (k, _) = kmvSampleMeta(spark, path)
+    graft.engine.Layout.healStagedReplace(spark, s"$path/samples")
     val hs = graft.engine.Caches.persisted("kmv.samples",
       spark.read.parquet(s"$path/samples"))
-    val nSlices = hs.select(col("slice")).distinct().count()
-    require(nSlices <= maxSlices,
-      s"kmvOverlapAudit is quadratic in slices " +
-        s"(${nSlices * (nSlices - 1) / 2} pairs at k=$nSlices > " +
-        s"maxSlices=$maxSlices); aggregate slices first")
+    requireSliceBound("kmvOverlapFromSamples",
+      hs.select(col("slice")).distinct().count(), maxSlices)
     kmvEstimateFrame(hs, k)
   }
 
@@ -925,7 +927,8 @@ object TextStats {
                       n: Int, k: Int = 256,
                       maxSlices: Long = graft.ops.GuardBounds.MaxCorpusSlices): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val hs = kmvHashesGuarded(df, sliceCol, textCol, n, maxSlices)
+    val hs = kmvHashesGuarded(df, sliceCol, textCol, n, maxSlices,
+      "kmvOverlapAudit")
     val est = kmvEstimateFrame(hs, k)
     val sizes = hs.groupBy(col("slice")).agg(count(lit(1)).as("n_h"))
     val xa = hs.select(col("slice").as("slice_a"), col("h"))
