@@ -83,6 +83,20 @@ object SparkEntry {
       path
     })
 
+  /** Build-once memo for the persisted per-group quantile-sketch
+    * samples (round-12; the sketch suite's fourth axis — quantiles
+    * join counts/distincts/overlap): ≤ k rows per group on disk,
+    * q233 estimates read the sample file alone.
+    */
+  private val quantileSketchCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def quantileSketchFor(s: SparkSession, dir: String): String =
+    quantileSketchCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_qsk").toString + "/qsk"
+      ops.Stats.buildQuantileSketch(t(s, dir, "events"),
+        "event_type", "event_id", col("value"), k = 256, path)
+      path
+    })
+
   /** Build-once memo for the persisted CMS cell table (round-11; the
     * counting third of the sketch lifecycle trio).
     */
@@ -800,6 +814,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q231_quantile_sketch" -> ((s, dir) => {
+      // the quantile sketch's PRODUCTION self-deriving sweep: per-type
+      // tick-value quantiles off the deterministic bottom-256 row
+      // sample (md5 of event_id — uniform over ROWS) — one window +
+      // a k-row-per-group aggregate; exact-percentile distinct-value
+      // state never appears (the r11 missing-#1 axis)
+      ops.Stats.quantileSketch(t(s, dir, "events"),
+        "event_type", "event_id", col("value"), k = 256)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
+    }),
+
+    "q232_quantile_audit" -> ((s, dir) => {
+      // the q224-style audit row: sketch quantiles NEXT TO the exact
+      // interpolated percentiles of the full group plus the EXACT
+      // decimal |est − exact| — grades k=256 on this tick distribution
+      // before the sweep replaces exact percentile at scale
+      ops.Stats.quantileSketchAudit(t(s, dir, "events"),
+        "event_type", "event_id", col("value"), k = 256)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
+    }),
+
+    "q233_quantile_from_sketch" -> ((s, dir) => {
+      // the lifecycle READ path: estimates from the PERSISTED ≤ k-row
+      // sample alone — no corpus scan; the estimate frame is the q231
+      // one fed the stored sample (its bottom-k window is a no-op
+      // there), so the q231 oracle applies UNCHANGED: recomputing the
+      // sketch from raw events must equal reading the sample file
+      // (indexed ≡ inline, the q160-q162/q229 discipline)
+      ops.Stats.quantileFromSketch(s, quantileSketchFor(s, dir))
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
+    }),
+
     "q230_cms_lookup" -> ((s, dir) => {
       // the counting sketch's production READ path: point estimates
       // for a fixed watch list of grams from the PERSISTED
@@ -1468,7 +1517,12 @@ object SparkEntry {
       // the clip compares exactly), winsorized sum stays an exact
       // decimal — the quality-pipeline answer to fat-fingered ticks
       Stats.winsorizedStats(t(s, dir, "events").filter(col("value").isNotNull),
-          "event_type", col("value"), pLo = 0.05, pHi = 0.95)
+          "event_type", col("value"), pLo = 0.05, pHi = 0.95,
+          // the scale degrade is WIRED (cuts fall back to the bottom-k
+          // quantile-sketch sample past the distinct-count guard); at
+          // gate scale the guard stays under, so the exact-percentile
+          // oracle applies unchanged — the contamination fallback shape
+          idCol = Some("event_id"))
         .orderBy("event_type")
     }),
 

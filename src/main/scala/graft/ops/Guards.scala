@@ -55,6 +55,15 @@ object GuardBounds {
     * join's budget at a 1k-query batch (1e5 × 1e3 = the 1e8 cap).
     */
   val HotIvfList: Long = ProbeJoinMaxCandidates / 1000L
+  /** Stats.winsorizedStats: max per-key DISTINCT VALUES before exact
+    * `percentile` (whose aggregation state is the distinct-value set)
+    * degrades onto the bottom-k sample-sketch cuts — on continuous
+    * tick values the distinct count grows with data, so at 100 TB the
+    * exact path's state is unbounded (r11 verdict missing #1). 1M
+    * distinct doubles ≈ 8 MB of buffer per key: the last size a
+    * single executor comfortably sorts.
+    */
+  val MaxExactPercentileDistinct: Long = 1000000L
 }
 
 object Guards {
@@ -98,6 +107,16 @@ object Guards {
       one("knn_bucket", "knnGraphBucketed", maxCount(emb, Seq("label"))),
       one("instruments", "corrMatrix",
         events.agg(count_distinct(col("event_type")).as("measured"))),
+      // hottest key's DISTINCT decimal tick values — the exact-
+      // percentile aggregation state winsorizedStats pays before its
+      // cut derivation degrades onto the bottom-k sample sketch (r12);
+      // mirrors the in-operator guard exactly (null-filtered, 6-dp cast)
+      one("exact_percentile_distinct", "winsorizedStats",
+        events.filter(col("value").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(count_distinct(col("value")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("c"))
+          .agg(max(col("c")).as("measured"))),
       one("corpus_slices", "corpusOverlap",
         docs.agg(count_distinct(col("source")).as("measured"))),
       one("fuzzy_block", "fuzzyPairs", maxCount(nameBlocks, Seq("blk"))),
@@ -143,5 +162,6 @@ object Guards {
     "fuzzy_block" -> GuardBounds.MaxFuzzyBlock,
     "hot_fingerprint" -> GuardBounds.HotFingerprintCap,
     "eval_shingles" -> GuardBounds.MaxEvalShingles,
-    "hot_ivf_list" -> GuardBounds.HotIvfList)
+    "hot_ivf_list" -> GuardBounds.HotIvfList,
+    "exact_percentile_distinct" -> GuardBounds.MaxExactPercentileDistinct)
 }

@@ -274,6 +274,60 @@ private[graft] object OracleCtes {
       |GROUP BY 1 ORDER BY gram""".stripMargin
   }
 
+  /** GENERATED q231/q232/q233 oracle: the deterministic bottom-k
+    * row-sample quantile sketch replayed exactly — md5-prefix hash of
+    * the row id (VARCHAR in both engines), (h, id) rank, interpolated
+    * percentile of the sample in DOUBLE snapped to the DECIMAL(18,8)
+    * grid (the q119 cut recipe: 2-dp probs × 6-dp values land both
+    * engines on the same 8-dp point). `withExact` adds the exact
+    * full-group percentiles and the EXACT decimal |est − exact| the
+    * audit carries. k and probs are spliced from the same Scala
+    * literals the engine runs ([[graft.ops.Stats.QuantileProbs]]) —
+    * the langScoreSelectSql discipline.
+    */
+  private[oracles] def quantileSketchSql(k: Int, probs: Seq[Double],
+                                         withExact: Boolean = false): String = {
+    def pn(p: Double) = f"q${Math.round(p * 100)}%02d"
+    val estCols = probs.map(p =>
+      s"CAST(quantile_cont(CAST(v AS DOUBLE), $p) AS DECIMAL(18,8)) " +
+        s"AS ${pn(p)}_d").mkString(",\n|    ")
+    val exCols = probs.map(p =>
+      s"CAST(quantile_cont(CAST(v AS DOUBLE), $p) AS DECIMAL(18,8)) " +
+        s"AS ex_${pn(p)}_d").mkString(",\n|    ")
+    val outEst = probs.map(p =>
+      s"CAST(e.${pn(p)}_d AS DOUBLE) AS ${pn(p)}").mkString(",\n|  ")
+    val outEx = probs.map(p =>
+      s"CAST(x.ex_${pn(p)}_d AS DOUBLE) AS exact_${pn(p)},\n" +
+        s"|  CAST(ABS(e.${pn(p)}_d - x.ex_${pn(p)}_d) AS DOUBLE) " +
+        s"AS err_${pn(p)}").mkString(",\n|  ")
+    s"""WITH b AS (
+      |  SELECT event_type, CAST(event_id AS VARCHAR) AS id,
+      |    CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |h AS (
+      |  SELECT event_type, id, v,
+      |    CAST('0x' || substr(md5(id), 1, 8) AS BIGINT) AS h
+      |  FROM b),
+      |s AS (
+      |  SELECT * FROM h
+      |  QUALIFY row_number() OVER (PARTITION BY event_type
+      |    ORDER BY h, id) <= $k),
+      |est AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_eff,
+      |    $estCols
+      |  FROM s GROUP BY 1)${if (withExact) "," else ""}
+      |${if (withExact) s"""ex AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |    $exCols
+      |  FROM b GROUP BY 1)
+      |""".stripMargin else ""}SELECT e.event_type, e.k_eff,
+      |  $outEst${if (withExact) s""",
+      |  x.n,
+      |  $outEx""".stripMargin else ""}
+      |FROM est e
+      |${if (withExact) "JOIN ex x USING (event_type)\n|" else ""}ORDER BY event_type""".stripMargin
+  }
+
   private[oracles] def kmvOracleSql(k: Int,
                                     withExact: Boolean = true): String = {
     // mirrors the engine's exact regime: a non-full merged sample

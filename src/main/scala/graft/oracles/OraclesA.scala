@@ -339,6 +339,11 @@ private[oracles] object OraclesA {
         |${guardRowSql("instruments", "corrMatrix",
              "SELECT COUNT(DISTINCT event_type) FROM events")}
         |UNION ALL
+        |${guardRowSql("exact_percentile_distinct", "winsorizedStats",
+             "SELECT COALESCE(MAX(c), 0) FROM (" +
+               "SELECT COUNT(DISTINCT CAST(value AS DECIMAL(18,6))) AS c " +
+               "FROM events WHERE value IS NOT NULL GROUP BY event_type)")}
+        |UNION ALL
         |${guardRowSql("corpus_slices", "corpusOverlap",
              "SELECT COUNT(DISTINCT source) FROM documents")}
         |UNION ALL

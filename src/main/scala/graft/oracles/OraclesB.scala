@@ -399,6 +399,16 @@ private[oracles] object OraclesB {
     // equal the self-deriving sweep (indexed ≡ inline)
     "q229_kmv_from_samples" -> kmvOracleSql(64, withExact = false),
 
+    // the quantile sketch's three faces (round 12): production sweep,
+    // q224-style exact-error audit, persisted-sample read path — the
+    // read path shares the sweep's oracle UNCHANGED (indexed ≡ inline)
+    "q231_quantile_sketch" ->
+      quantileSketchSql(256, graft.ops.Stats.QuantileProbs),
+    "q232_quantile_audit" ->
+      quantileSketchSql(256, graft.ops.Stats.QuantileProbs, withExact = true),
+    "q233_quantile_from_sketch" ->
+      quantileSketchSql(256, graft.ops.Stats.QuantileProbs),
+
     // mirrors TextStats.cmsHeavyHitters: every trigram OCCURRENCE
     // (short docs fall back to the whole-text gram) counts into the
     // 4×1024 sketch via (h1 + r·h2) mod 1024 double hashing; the exact
