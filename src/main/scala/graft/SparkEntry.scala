@@ -814,6 +814,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q234_quantile_drift" -> ((s, dir) => {
+      // the drift family's DISTRIBUTION-SHAPE axis (q147 buckets, q148
+      // vocab, q149 centroids): the event_id%10==0 slice's sketch
+      // quantiles against the standing corpus's, per-prob EXACT
+      // decimal shift — the batch twin quantileDriftSink runs verbatim
+      // per micro-batch
+      val ev = t(s, dir, "events")
+      ops.Stats.quantileDrift(
+          ev.filter(col("event_id") % 10 === 0),
+          ev.filter(col("event_id") % 10 =!= 0),
+          "event_type", "event_id", col("value"), k = 256)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
+    }),
+
     "q231_quantile_sketch" -> ((s, dir) => {
       // the quantile sketch's PRODUCTION self-deriving sweep: per-type
       // tick-value quantiles off the deterministic bottom-256 row

@@ -1239,6 +1239,44 @@ object Stats {
         spark.read.parquet(s"$path/samples"), k, probs), probs)
   }
 
+  /** Quantile drift between a CURRENT slice and a BASELINE corpus —
+    * the distribution-shape axis of the drift family (q147 watches
+    * bucket shares, q148 vocabulary, q149 centroids; this watches
+    * WHERE the value mass sits): both sides reduce to their bottom-k
+    * row-sample sketches through the ONE shared estimate frame, then
+    * per group each prob reports the current estimate, the baseline
+    * estimate, and the EXACT decimal shift `cur − base` (both
+    * operands on the 8-dp grid — no rounding ties, oracle-exact).
+    * Inner join on groups present in BOTH sides (a group appearing or
+    * vanishing is q148's churn axis, not a shift). Scale shape: two
+    * independent sample windows, each k·groups rows downstream —
+    * never a corpus-sized join; the streaming face
+    * ([[graft.streaming.EventStream.quantileDriftSink]]) runs THIS
+    * operator verbatim per micro-batch.
+    */
+  def quantileDrift(current: DataFrame, baseline: DataFrame,
+                    keyCol: String, idCol: String, valueCol: Column,
+                    k: Int = 256,
+                    probs: Seq[Double] = QuantileProbs): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val cur = quantileEstimateFrame(
+      quantileSampleFrame(current, keyCol, idCol, valueCol, k), k, probs)
+    val base = quantileEstimateFrame(
+      quantileSampleFrame(baseline, keyCol, idCol, valueCol, k), k, probs)
+      .select(col("grp") +: col("k_eff").as("base_k_eff") +:
+        probs.map(p => col(probName(p) + "_d")
+          .as("base_" + probName(p) + "_d")): _*)
+    cur.join(broadcast(base), Seq("grp")) // both sides aggregate-sized
+      .select(col("grp") +: col("k_eff").as("cur_k_eff") +:
+        col("base_k_eff") +:
+        probs.flatMap(p => Seq(
+          col(probName(p) + "_d").cast("double").as("cur_" + probName(p)),
+          col("base_" + probName(p) + "_d").cast("double")
+            .as("base_" + probName(p)),
+          (col(probName(p) + "_d") - col("base_" + probName(p) + "_d"))
+            .cast("double").as("shift_" + probName(p)))): _*)
+  }
+
   /** Cohort retention: cohort = date of each user's first event;
     * a (cohort_date, day_offset) cell counts distinct users of that
     * cohort active offset days later. Two keyed shuffles (first-event

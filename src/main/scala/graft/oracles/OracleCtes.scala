@@ -328,6 +328,51 @@ private[graft] object OracleCtes {
       |${if (withExact) "JOIN ex x USING (event_type)\n|" else ""}ORDER BY event_type""".stripMargin
   }
 
+  /** GENERATED q234 oracle: the quantile-sketch chain run over the
+    * event_id%10==0 slice AND its complement, per-prob estimates plus
+    * the EXACT decimal shift — same hash/rank/interpolation recipe as
+    * [[quantileSketchSql]], two filtered sample CTEs.
+    */
+  private[oracles] def quantileDriftSql(k: Int, probs: Seq[Double]): String = {
+    def pn(p: Double) = f"q${Math.round(p * 100)}%02d"
+    def estCols(pre: String) = probs.map(p =>
+      s"CAST(quantile_cont(CAST(v AS DOUBLE), $p) AS DECIMAL(18,8)) " +
+        s"AS ${pre}${pn(p)}_d").mkString(",\n|    ")
+    val out = probs.map(p =>
+      s"CAST(ec.c_${pn(p)}_d AS DOUBLE) AS cur_${pn(p)},\n" +
+        s"|  CAST(eb.b_${pn(p)}_d AS DOUBLE) AS base_${pn(p)},\n" +
+        s"|  CAST(ec.c_${pn(p)}_d - eb.b_${pn(p)}_d AS DOUBLE) " +
+        s"AS shift_${pn(p)}").mkString(",\n|  ")
+    s"""WITH b AS (
+      |  SELECT event_type, event_id, CAST(event_id AS VARCHAR) AS id,
+      |    CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |h AS (
+      |  SELECT event_type, event_id, id, v,
+      |    CAST('0x' || substr(md5(id), 1, 8) AS BIGINT) AS h
+      |  FROM b),
+      |sc AS (
+      |  SELECT * FROM h WHERE event_id % 10 = 0
+      |  QUALIFY row_number() OVER (PARTITION BY event_type
+      |    ORDER BY h, id) <= $k),
+      |sb AS (
+      |  SELECT * FROM h WHERE event_id % 10 <> 0
+      |  QUALIFY row_number() OVER (PARTITION BY event_type
+      |    ORDER BY h, id) <= $k),
+      |ec AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cur_k_eff,
+      |    ${estCols("c_")}
+      |  FROM sc GROUP BY 1),
+      |eb AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS base_k_eff,
+      |    ${estCols("b_")}
+      |  FROM sb GROUP BY 1)
+      |SELECT ec.event_type, ec.cur_k_eff, eb.base_k_eff,
+      |  $out
+      |FROM ec JOIN eb USING (event_type)
+      |ORDER BY event_type""".stripMargin
+  }
+
   private[oracles] def kmvOracleSql(k: Int,
                                     withExact: Boolean = true): String = {
     // mirrors the engine's exact regime: a non-full merged sample

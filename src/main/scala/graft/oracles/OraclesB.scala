@@ -408,6 +408,10 @@ private[oracles] object OraclesB {
       quantileSketchSql(256, graft.ops.Stats.QuantileProbs, withExact = true),
     "q233_quantile_from_sketch" ->
       quantileSketchSql(256, graft.ops.Stats.QuantileProbs),
+    // distribution-shape drift: slice sketch vs standing-corpus sketch,
+    // exact decimal per-prob shifts (the batch twin of quantileDriftSink)
+    "q234_quantile_drift" ->
+      quantileDriftSql(256, graft.ops.Stats.QuantileProbs),
 
     // mirrors TextStats.cmsHeavyHitters: every trigram OCCURRENCE
     // (short docs fall back to the whole-text gram) counts into the

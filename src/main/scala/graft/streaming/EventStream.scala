@@ -1144,6 +1144,43 @@ object EventStream {
       }
       .start()
 
+  /** Streaming quantile-drift monitor — the [[driftSink]] discipline
+    * on the DISTRIBUTION-SHAPE axis (round 12, completing the live QA
+    * family the r11 verdict asked for once the quantile sketch
+    * existed): each micro-batch's bottom-k sample-sketch quantiles
+    * against the static baseline corpus's via
+    * [[graft.ops.Stats.quantileDrift]] — catching a value distribution
+    * that SHIFTS (fat tails, level moves) even when bucket shares
+    * ([[driftSink]]), vocabulary ([[vocabChurnSink]]), and centroids
+    * ([[centroidDriftSink]]) all look stable. foreachBatch runs the
+    * batch operator verbatim — identical numerics, stream/batch skew
+    * impossible by construction — and appends one row per group per
+    * batch stamped `batch_id`; the sink is the shift time series.
+    * The baseline side re-derives its k-row sample per batch (one
+    * scan of the baseline slice); point a large deployment at a
+    * [[graft.ops.Stats.buildQuantileSketch]] sample file instead and
+    * the numbers are identical by the indexed ≡ inline law.
+    */
+  def quantileDriftSink(events: DataFrame, baselinePath: String,
+                        outPath: String, checkpoint: String,
+                        keyCol: String, idCol: String, valueCol: String,
+                        k: Int = 256): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.ops.Stats.quantileDrift(batch,
+              spark.read.parquet(baselinePath), keyCol, idCol,
+              col(valueCol), k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .start()
+
   /** Streaming corpus curation: quality-gate each arriving document
     * (stateless, map-side) then drop any doc whose exact text hash was
     * already seen in ANY earlier micro-batch — cross-batch exact dedup

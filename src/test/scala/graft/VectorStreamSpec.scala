@@ -1312,6 +1312,42 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(out(1L) === expect)
   }
 
+  test("quantileDriftSink: per-micro-batch sketch quantiles vs a static baseline equal the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_qdrift").toString
+    // baseline: one group, values 1..100 (small enough that k=64 >= n
+    // is false — the sketch path is genuinely exercised)
+    (1 to 100).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+      .write.parquet(s"$dir/baseline")
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = EventStream.quantileDriftSink(
+      mem.toDF().toDF("event_id", "event_type", "value"),
+      s"$dir/baseline", s"$dir/out", s"$dir/ckpt",
+      "event_type", "event_id", "value", k = 64)
+    // batch 0: the baseline's own rows → zero shift at every prob;
+    // batch 1: values level-shifted +1000 → strictly positive shifts
+    mem.addData((1 to 100).map(i => (i.toLong, "a", i.toDouble)): _*)
+    q.processAllAvailable()
+    mem.addData((200 to 299).map(i => (i.toLong, "a", i.toDouble + 1000)): _*)
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val out = spark.read.parquet(s"$dir/out")
+      .select("batch_id", "shift_q50").as[(Long, Double)].collect().toMap
+    assert(out(0L) === 0.0)
+    assert(out(1L) > 900.0)
+    // the sink rows ARE the batch operator's rows: recompute batch 1
+    val expect = graft.ops.Stats.quantileDrift(
+        (200 to 299).map(i => (i.toLong, "a", i.toDouble + 1000))
+          .toDF("event_id", "event_type", "value"),
+        spark.read.parquet(s"$dir/baseline"),
+        "event_type", "event_id", org.apache.spark.sql.functions.col("value"),
+        k = 64)
+      .select("shift_q50").as[Double].head()
+    assert(out(1L) === expect)
+  }
+
   test("curateStream: cross-batch exact dedup + quality gate, first doc wins") {
     implicit val sqlCtx = spark.sqlContext
     val long = (1 to 25).map(i => s"w$i").mkString(" ")
