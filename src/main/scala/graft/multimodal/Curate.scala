@@ -202,6 +202,15 @@ object Curate {
       col(textCol).as("text"))
     Dedup.shingleSets(c, "doc_id", "text", shingleN)
       .write.mode("overwrite").parquet(s"$path/shingles")
+    // corpus shingle frequencies (round 12): counts are SUM-mergeable,
+    // so the index carries them as a first-class relation — the append
+    // path's canonical rarest-first ordering then reads vocabulary-
+    // sized state instead of re-aggregating the corpus-sized
+    // (doc, shingle) relation per call. Derived from the just-written
+    // parquet (a read-back, not a second tokenization).
+    spark.read.parquet(s"$path/shingles")
+      .groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+      .write.mode("overwrite").parquet(s"$path/shingle_freq")
     c.select(col("doc_id"), md5(col("text")).as("h"))
       .write.mode("overwrite").parquet(s"$path/text_hashes")
     Media.imageHashes(spark,
@@ -219,6 +228,29 @@ object Curate {
     */
   private[graft] def indexShingleN(spark: SparkSession, path: String): Int =
     spark.read.parquet(s"$path/meta").head().getInt(0)
+
+  /** GLOBAL shingle frequencies for an indexed append: the persisted
+    * vocabulary-sized counts (possibly multi-segment — freq deltas
+    * append per commit) SUM-merged with the batch's own deltas —
+    * exactly the counts a corpus-relation aggregation would produce
+    * (counts of disjoint doc sets add), at vocabulary-relation cost.
+    * None when the index predates the freq relation (round-12);
+    * consumers then fall back to aggregating the shingle relation.
+    */
+  private[graft] def indexFreqFor(spark: SparkSession, indexPath: String,
+                                  batchShingles: DataFrame): Option[DataFrame] = {
+    val p = s"$indexPath/shingle_freq"
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p))) None
+    else {
+      graft.engine.Layout.healStagedReplace(spark, p)
+      Some(spark.read.parquet(p)
+        .unionByName(batchShingles.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("freq")))
+        .groupBy(col("shingle")).agg(sum(col("freq")).as("freq")))
+    }
+  }
 
   /** Append a committed batch's signatures INTO the index — the
     * maintenance half that keeps N appends batch-proportional: each
@@ -252,6 +284,13 @@ object Curate {
     Dedup.shingleSets(b, "doc_id", "text", shingleN)
       .repartition(filesPerCommit)
       .write.mode("append").parquet(s"$path/shingles")
+    // freq DELTAS append as segments (batch-proportional work; readers
+    // SUM across segments — counts merge exactly); the compaction
+    // cadence below re-aggregates so the table stays vocabulary-sized
+    Dedup.shingleSets(b, "doc_id", "text", shingleN)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+      .repartition(filesPerCommit)
+      .write.mode("append").parquet(s"$path/shingle_freq")
     b.select(col("doc_id"), md5(col("text")).as("h"))
       .repartition(filesPerCommit)
       .write.mode("append").parquet(s"$path/text_hashes")
@@ -270,6 +309,21 @@ object Curate {
           graft.engine.Layout.compactFlat(spark, sub,
             targetFiles = filesPerCommit * 2)
       }
+    // the freq table compacts by RE-AGGREGATION (segments carry
+    // per-commit deltas; the sum-merge collapses them back to one row
+    // per shingle), so its steady-state size is the vocabulary, not
+    // vocabulary × commits — same crash-safe swap as compactFlat
+    locally {
+      val sub = s"$path/shingle_freq"
+      if (graft.engine.Layout.flatFileCount(spark, sub) > compactAbove) {
+        val merged = spark.read.parquet(sub)
+          .groupBy(col("shingle")).agg(sum(col("freq")).as("freq"))
+        graft.engine.Layout.stagedReplace(spark, sub) { stg =>
+          merged.repartition(filesPerCommit * 2)
+            .write.mode("overwrite").parquet(stg)
+        }
+      }
+    }
   }
 
   /** [[appendManifest]] against a persisted signature index: the
@@ -301,13 +355,14 @@ object Curate {
     val b = batch.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
     val newIds = b.select("doc_id")
+    val bShingles = Dedup.shingleSets(b, "doc_id", "text", shingleN)
     val sAll = graft.engine.Caches.persisted("appendManifestIndexed.shingles",
-      spark.read.parquet(s"$indexPath/shingles")
-        .unionByName(Dedup.shingleSets(b, "doc_id", "text", shingleN)))
+      spark.read.parquet(s"$indexPath/shingles").unionByName(bShingles))
     val hCorpus = spark.read.parquet(s"$indexPath/text_hashes")
     val hNew = b.select(col("doc_id"), md5(col("text")).as("h"))
     val textEdges = Clusters.appendTextEdgesFromSignatures(sAll,
-      hCorpus.unionByName(hNew), hNew, threshold, hotShingleCap)
+      hCorpus.unionByName(hNew), hNew, threshold, hotShingleCap,
+      indexFreqFor(spark, indexPath, bShingles))
     val bImg = Media.imageHashes(spark,
       imageMedia.getOrElse(Media.imageHashTable(spark, b, "doc_id"))).toDF()
     val imageEdges = Media.hammingBandedPairsIncremental(

@@ -64,6 +64,14 @@ object GuardBounds {
     * single executor comfortably sorts.
     */
   val MaxExactPercentileDistinct: Long = 1000000L
+  /** Dedup.incrementalJaccardPairsFromShingles: shingle-relation rows
+    * below which the append keeps ONE corpus-wide prefix-window pass
+    * (fixed job overhead beats the restricted shape on small corpora —
+    * measured at sf0.1); above it, the per-doc rank windows restrict
+    * to docs sharing a batch-prefix shingle, making the append's last
+    * corpus-proportional term batch-fan-out-bounded.
+    */
+  val PrefixRestrictAboveRows: Long = 5000000L
 }
 
 object Guards {

@@ -271,9 +271,11 @@ object Clusters {
                                                    hAll: DataFrame,
                                                    hNew: DataFrame,
                                                    threshold: Double,
-                                                   hotShingleCap: Int): DataFrame = {
+                                                   hotShingleCap: Int,
+                                                   freqOpt: Option[DataFrame] = None): DataFrame = {
     val jac = Dedup.incrementalJaccardPairsFromShingles(sAll,
-        hNew.select(col("doc_id").as("doc")), threshold, hotShingleCap)
+        hNew.select(col("doc_id").as("doc")), threshold, hotShingleCap,
+        freqOpt)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val exact = hAll.join(
         broadcast(hNew.select(col("doc_id").as("_nid"), col("h"))), "h")
@@ -306,14 +308,15 @@ object Clusters {
           "index or match the parameter")
       val b = batch.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
+      val bShingles = Dedup.shingleSets(b, "doc_id", "text", shingleN)
       val sAll = graft.engine.Caches.persisted("appendDedupIndexed.shingles",
-        spark.read.parquet(s"$indexPath/shingles")
-          .unionByName(Dedup.shingleSets(b, "doc_id", "text", shingleN)))
+        spark.read.parquet(s"$indexPath/shingles").unionByName(bShingles))
       val hCorpus = spark.read.parquet(s"$indexPath/text_hashes")
       val hNew = b.select(col("doc_id"), md5(col("text")).as("h"))
       appendVerdicts(hCorpus.select("doc_id"), b.select("doc_id"),
         appendTextEdgesFromSignatures(sAll, hCorpus.unionByName(hNew),
-          hNew, threshold, hotShingleCap))
+          hNew, threshold, hotShingleCap,
+          graft.multimodal.Curate.indexFreqFor(spark, indexPath, bShingles)))
     }
 
   /** The verdict half of an APPEND: components over the (incremental)

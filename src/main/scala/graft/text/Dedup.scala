@@ -100,8 +100,19 @@ object Dedup {
     * (same partitioning → one shuffle).
     */
   private def shinglePrefixes(s: DataFrame, threshold: Double,
-                              hotShingleCap: Int): DataFrame = {
-    val freq = s.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+                              hotShingleCap: Int): DataFrame =
+    shinglePrefixesWithFreq(s,
+      s.groupBy(col("shingle")).agg(count(lit(1)).as("freq")),
+      threshold, hotShingleCap)
+
+  /** [[shinglePrefixes]] with the frequency relation supplied by the
+    * caller — the incremental path computes GLOBAL frequencies once
+    * (ordering and caps must see true corpus counts) but runs the
+    * per-doc rank windows over a doc SUBSET (round-12 q162 trim).
+    */
+  private def shinglePrefixesWithFreq(s: DataFrame, freq: DataFrame,
+                                      threshold: Double,
+                                      hotShingleCap: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("doc"))
     s.join(freq, "shingle")
       .withColumn("_r", row_number().over(
@@ -128,8 +139,8 @@ object Dedup {
     * pair entry points (false candidates die here, so results are
     * independent of which candidate scheme produced them).
     */
-  private def verifyJaccard(s: DataFrame, cands: DataFrame,
-                            threshold: Double): DataFrame = {
+  private[graft] def verifyJaccard(s: DataFrame, cands: DataFrame,
+                                   threshold: Double): DataFrame = {
     val sizes = s.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     cands
       .join(s.as("sa"), col("sa.doc") === col("doc_a"))
@@ -186,15 +197,66 @@ object Dedup {
     */
   private[graft] def incrementalJaccardPairsFromShingles(
       s: DataFrame, fresh0: DataFrame, threshold: Double,
-      hotShingleCap: Int): DataFrame = {
-    val prefixes = shinglePrefixes(s, threshold, hotShingleCap)
+      hotShingleCap: Int,
+      freqOpt: Option[DataFrame] = None,
+      restrictAboveRows: Long =
+        graft.ops.GuardBounds.PrefixRestrictAboveRows): DataFrame = {
     val fresh = fresh0.select(col("doc")).distinct()
-    // new side drives the join; broadcast the (small) batch id set
-    val prefixNew = prefixes.join(broadcast(fresh), Seq("doc"), "left_semi")
-    val cands = prefixNew.as("a").join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc") =!= col("b.doc"))
-      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
-        greatest(col("a.doc"), col("b.doc")).as("doc_b")).distinct()
+    // round-12 q162 trim, threshold-switched (the contamination
+    // broadcast→shuffle-hash fallback pattern): below
+    // `restrictAboveRows` the corpus is small enough that ONE windows
+    // pass over everything, with frequencies aggregated off the CACHED
+    // relation, beats extra stages (measured at sf0.1: the restricted
+    // shape's semi-joins + second window + indexed-freq merge cost
+    // ~2 s of pure job overhead to save a ~1.5 s of small scans —
+    // fixed overhead dominates tiny data). PAST the threshold the two
+    // corpus-proportional terms change shape: global frequencies come
+    // precomputed from the index when offered (`freqOpt` —
+    // vocabulary-sized persisted counts SUM-merged with the batch's
+    // deltas; lazy, so the small path never executes the merge), and
+    // the per-doc rank windows run over just the docs holding >= 1
+    // batch-prefix shingle — a b-side row can join only on a shingle
+    // the batch prefixes carry, and a doc's prefix depends only on
+    // its OWN shingles plus the GLOBAL freq, so restricting the doc
+    // set changes no surviving prefix row: candidates, and therefore
+    // verified pairs, are identical (spec-pinned both shapes). Work
+    // past the switch scales with batch-prefix fan-out
+    // (≤ hotShingleCap per shingle, guarded) plus one probe scan,
+    // never corpus windows.
+    val cands =
+      if (s.count() <= restrictAboveRows) {
+        val freq = graft.engine.Caches.persisted("incJaccard.freq",
+          s.groupBy(col("shingle")).agg(count(lit(1)).as("freq")))
+        val prefixes = shinglePrefixesWithFreq(s, freq, threshold,
+          hotShingleCap)
+        val prefixNew = prefixes.join(broadcast(fresh), Seq("doc"),
+          "left_semi")
+        prefixNew.as("a").join(prefixes.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.doc") =!= col("b.doc"))
+          .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+            greatest(col("a.doc"), col("b.doc")).as("doc_b")).distinct()
+      } else {
+        val freq = graft.engine.Caches.persisted("incJaccard.freq",
+          freqOpt.getOrElse(
+            s.groupBy(col("shingle")).agg(count(lit(1)).as("freq"))))
+        val prefixNew = graft.engine.Caches.persisted(
+          "incJaccard.prefixNew",
+          shinglePrefixesWithFreq(
+            s.join(broadcast(fresh), Seq("doc"), "left_semi"),
+            freq, threshold, hotShingleCap))
+        val touched = s.join(prefixNew.select(col("shingle")).distinct()
+            .hint("shuffle_hash"), Seq("shingle"), "left_semi")
+          .select(col("doc")).distinct()
+        val prefixesB = shinglePrefixesWithFreq(
+          s.join(touched.hint("shuffle_hash"), Seq("doc"), "left_semi"),
+          freq, threshold, hotShingleCap)
+        prefixNew.as("a").join(prefixesB.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.doc") =!= col("b.doc"))
+          .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+            greatest(col("a.doc"), col("b.doc")).as("doc_b")).distinct()
+      }
     verifyJaccard(s, cands, threshold)
   }
 
