@@ -45,7 +45,10 @@ object DevAppendSteady {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
-    val times = (1 to n).map { i =>
+    // 2nd arg "indexed" skips the inline battery — the round-12
+    // 100-commit sawtooth run only needs the indexed commit loop
+    val indexedOnly = args.lift(1).contains("indexed")
+    val times = (1 to (if (indexedOnly) 0 else n)).map { i =>
       // hash-sliced: src0 ids are arithmetically clustered, so a plain
       // id modulo would put every doc in one slice
       val batch = batchPool.filter(
@@ -79,7 +82,7 @@ object DevAppendSteady {
         f"max/min(warm)=${warm.max / warm.min}%.2f " +
         f"series=${series.map(t => f"$t%.2f").mkString("[", ",", "]")}")
     }
-    summarize("inline", times)
+    if (!indexedOnly) summarize("inline", times)
 
     // INDEXED battery (round-10): the production loop — verdicts read
     // the persisted signature index, then appendSignatures COMMITS the
@@ -105,7 +108,10 @@ object DevAppendSteady {
       println(f"[steady] indexed batch $i/$n rows=$rows time=$dt%.3f s " +
         f"gc_ms=${gcMillis() - gc0} " +
         f"tracked=${graft.engine.Caches.trackedCount} " +
-        f"storedRdds=${spark.sparkContext.getPersistentRDDs.size}")
+        f"storedRdds=${spark.sparkContext.getPersistentRDDs.size} " +
+        // file counts pin the compaction sawtooth (fire → shrink →
+        // regrow) across the 100-commit run (round-12 stretch item)
+        f"files=${graft.engine.Layout.flatFileCount(spark, s"$idx/shingles")}")
       dt
     }
     summarize("indexed(verdict+commit)", idxTimes)

@@ -2341,9 +2341,14 @@ object SparkEntry {
       // per-instrument daily returns, compounded as exp(Σ ln(1+r̄)) —
       // the exact-sum form of a running product; the cumulative window
       // runs over the calendar-bounded day frame, never ticks
+      // compared column is the EXACT log-NAV (sum of 12-dp decimal
+      // ln terms) — the sf0.1 sweep caught exp() divergence at
+      // NAV ≈ 2e11 where a double ulp beats any rounding grid; the
+      // presentation `nav` column stays in the API, not the gate
       Risk.portfolioNav(t(s, dir, "events").filter(col("value").isNotNull),
           "event_type", Seq(col("ts"), col("event_id")), col("value"),
           to_date(col("ts")))
+        .drop("nav")
         .orderBy("bucket")
     }),
 

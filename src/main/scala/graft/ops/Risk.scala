@@ -385,6 +385,17 @@ object Risk {
     * [[momentumRank]]. Buckets where every instrument return is
     * undefined drop; a bucket return of exactly −100% (NAV wiped to
     * zero) yields NULL ln ⇒ NULL NAV from that bucket on, loudly.
+    *
+    * Round 12: the compared NAV column is `log_nav` — the EXACT
+    * decimal cumulative Σ ln(1+r̄) — not exp of it. The sf0.1 sweep
+    * caught why: compounded synthetic returns reach NAV ≈ 2·10¹¹,
+    * where a double's ulp (~3·10⁻⁵) exceeds any absolute rounding
+    * grid, so the JVM-vs-libm exp disagreement survives rounding (the
+    * q184 12-dp rule only works for O(1) values). log_nav is a sum of
+    * 12-dp decimals — exact, order-independent, portable; NAV = e^x
+    * at presentation. `nav` (exp, rounded 6 dp) remains for small-
+    * magnitude uses and the wipeout-NULL contract but is derived, not
+    * the portable column.
     */
   def portfolioNav(df: DataFrame, keyCol: String, orderCols: Seq[Column],
                    valueCol: Column, bucketCol: Column): DataFrame = {
@@ -413,6 +424,9 @@ object Risk {
       .withColumn("_cln", sum(col("_lnr")).over(cum))
       .select(col("bucket"), col("n_keys"),
         col("_pr").cast("double").as("port_return"),
+        // the portable column: exact decimal Σ ln(1+r̄) (see scaladoc)
+        when(col("_hasNull") === 0,
+          col("_cln").cast("double")).as("log_nav"),
         when(col("_hasNull") === 0,
           round(exp(col("_cln").cast("double")), 6)).as("nav"))
   }

@@ -1379,7 +1379,7 @@ private[oracles] object OraclesB {
         |SELECT bucket, n_keys,
         |  CAST(CAST(pr AS VARCHAR) AS DOUBLE) AS port_return,
         |  CASE WHEN hasnull = 0 THEN
-        |    round(exp(CAST(CAST(cln AS VARCHAR) AS DOUBLE)), 6) END AS nav
+        |    CAST(CAST(cln AS VARCHAR) AS DOUBLE) END AS log_nav
         |FROM c ORDER BY bucket""".stripMargin
   )
 }
