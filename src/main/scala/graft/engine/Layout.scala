@@ -249,6 +249,22 @@ object Layout {
     }
   }
 
+  /** Total bytes of the top-level data files in a FLAT table dir —
+    * free metadata (one listing, no footers), used as a plan-shape
+    * signal (e.g. the indexed append's prefix-window restriction
+    * threshold) where a count() action would cost a Spark job.
+    */
+  def flatDirBytes(spark: SparkSession, path: String): Long = {
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getLen).sum
+  }
+
   /** M1-family compaction for a FLAT (unpartitioned) parquet dir — the
     * maintenance verb for signature/edge index tables, whose append
     * cadence accretes batch-sized files (round-10 verdict: the

@@ -362,7 +362,10 @@ object Curate {
     val hNew = b.select(col("doc_id"), md5(col("text")).as("h"))
     val textEdges = Clusters.appendTextEdgesFromSignatures(sAll,
       hCorpus.unionByName(hNew), hNew, threshold, hotShingleCap,
-      indexFreqFor(spark, indexPath, bShingles))
+      indexFreqFor(spark, indexPath, bShingles),
+      restrict = graft.engine.Layout.flatDirBytes(spark,
+        s"$indexPath/shingles") >
+        graft.ops.GuardBounds.PrefixRestrictAboveBytes)
     val bImg = Media.imageHashes(spark,
       imageMedia.getOrElse(Media.imageHashTable(spark, b, "doc_id"))).toDF()
     val imageEdges = Media.hammingBandedPairsIncremental(

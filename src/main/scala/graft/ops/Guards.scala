@@ -64,14 +64,17 @@ object GuardBounds {
     * single executor comfortably sorts.
     */
   val MaxExactPercentileDistinct: Long = 1000000L
-  /** Dedup.incrementalJaccardPairsFromShingles: shingle-relation rows
-    * below which the append keeps ONE corpus-wide prefix-window pass
-    * (fixed job overhead beats the restricted shape on small corpora —
-    * measured at sf0.1); above it, the per-doc rank windows restrict
-    * to docs sharing a batch-prefix shingle, making the append's last
-    * corpus-proportional term batch-fan-out-bounded.
+  /** Indexed appends (Dedup.incrementalJaccardPairsFromShingles via
+    * Curate/Clusters): shingle-parquet byte size below which the
+    * append keeps ONE corpus-wide prefix-window pass (fixed job
+    * overhead beats the restricted shape on small corpora — measured
+    * at sf0.1; decided from FREE file metadata, never a count()
+    * action, which measured +0.9 s on q161). Above it, the per-doc
+    * rank windows restrict to docs sharing a batch-prefix shingle and
+    * frequencies read the indexed vocabulary-sized counts, making the
+    * append's last corpus-proportional terms batch-fan-out-bounded.
     */
-  val PrefixRestrictAboveRows: Long = 5000000L
+  val PrefixRestrictAboveBytes: Long = 256L << 20
 }
 
 object Guards {

@@ -272,10 +272,11 @@ object Clusters {
                                                    hNew: DataFrame,
                                                    threshold: Double,
                                                    hotShingleCap: Int,
-                                                   freqOpt: Option[DataFrame] = None): DataFrame = {
+                                                   freqOpt: Option[DataFrame] = None,
+                                                   restrict: Boolean = false): DataFrame = {
     val jac = Dedup.incrementalJaccardPairsFromShingles(sAll,
         hNew.select(col("doc_id").as("doc")), threshold, hotShingleCap,
-        freqOpt)
+        freqOpt, restrict)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val exact = hAll.join(
         broadcast(hNew.select(col("doc_id").as("_nid"), col("h"))), "h")
@@ -316,7 +317,10 @@ object Clusters {
       appendVerdicts(hCorpus.select("doc_id"), b.select("doc_id"),
         appendTextEdgesFromSignatures(sAll, hCorpus.unionByName(hNew),
           hNew, threshold, hotShingleCap,
-          graft.multimodal.Curate.indexFreqFor(spark, indexPath, bShingles)))
+          graft.multimodal.Curate.indexFreqFor(spark, indexPath, bShingles),
+          restrict = graft.engine.Layout.flatDirBytes(spark,
+            s"$indexPath/shingles") >
+            graft.ops.GuardBounds.PrefixRestrictAboveBytes))
     }
 
   /** The verdict half of an APPEND: components over the (incremental)

@@ -199,17 +199,21 @@ object Dedup {
       s: DataFrame, fresh0: DataFrame, threshold: Double,
       hotShingleCap: Int,
       freqOpt: Option[DataFrame] = None,
-      restrictAboveRows: Long =
-        graft.ops.GuardBounds.PrefixRestrictAboveRows): DataFrame = {
+      restrict: Boolean = false): DataFrame = {
     val fresh = fresh0.select(col("doc")).distinct()
     // round-12 q162 trim, threshold-switched (the contamination
-    // broadcast→shuffle-hash fallback pattern): below
-    // `restrictAboveRows` the corpus is small enough that ONE windows
-    // pass over everything, with frequencies aggregated off the CACHED
-    // relation, beats extra stages (measured at sf0.1: the restricted
-    // shape's semi-joins + second window + indexed-freq merge cost
-    // ~2 s of pure job overhead to save a ~1.5 s of small scans —
-    // fixed overhead dominates tiny data). PAST the threshold the two
+    // broadcast→shuffle-hash fallback pattern): un-restricted, the
+    // corpus is small enough that ONE windows pass over everything,
+    // with frequencies aggregated off the CACHED relation, beats
+    // extra stages (measured at sf0.1: the restricted shape's
+    // semi-joins + second window + indexed-freq merge cost ~2 s of
+    // pure job overhead to save ~1.5 s of small scans — fixed
+    // overhead dominates tiny data). The switch is the CALLER's
+    // `restrict` flag, decided from FREE metadata (indexed appends
+    // compare the shingle parquet's byte size against
+    // PrefixRestrictAboveBytes — a count() action here measured
+    // +0.9 s on q161 by serializing the sAll materialization into
+    // its own job). RESTRICTED, the two
     // corpus-proportional terms change shape: global frequencies come
     // precomputed from the index when offered (`freqOpt` —
     // vocabulary-sized persisted counts SUM-merged with the batch's
@@ -224,11 +228,13 @@ object Dedup {
     // (≤ hotShingleCap per shingle, guarded) plus one probe scan,
     // never corpus windows.
     val cands =
-      if (s.count() <= restrictAboveRows) {
-        val freq = graft.engine.Caches.persisted("incJaccard.freq",
-          s.groupBy(col("shingle")).agg(count(lit(1)).as("freq")))
-        val prefixes = shinglePrefixesWithFreq(s, freq, threshold,
-          hotShingleCap)
+      if (!restrict) {
+        // freq stays INLINE in the prefix plan (one fused job, the r11
+        // shape) — persisting it as a separate cached relation here
+        // measured q161 +~1 s (the round-8 extra-cache-layer lesson);
+        // the restricted branch persists it because TWO window passes
+        // consume it there
+        val prefixes = shinglePrefixes(s, threshold, hotShingleCap)
         val prefixNew = prefixes.join(broadcast(fresh), Seq("doc"),
           "left_semi")
         prefixNew.as("a").join(prefixes.as("b"),

@@ -95,22 +95,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(inc.nonEmpty)
   }
 
-  test("restricted prefix shape (past PrefixRestrictAboveRows) equals the one-pass shape") {
+  test("restricted prefix shape (past PrefixRestrictAboveBytes) equals the one-pass shape") {
     // the r12 threshold switch: forcing the restricted path
-    // (restrictAboveRows = 0) must produce the same verified pairs as
+    // (restrict = true) must produce the same verified pairs as
     // the small-corpus one-pass path AND as the symmetric full scheme
     val all = docs
     val newIds = Seq(2L, 4L).toDF("doc_id")
     val s = Dedup.shingleSets(all, "doc_id", "text", 3).persist()
     val onePass = Dedup.incrementalJaccardPairsFromShingles(s,
         newIds.select(col("doc_id").as("doc")), 0.5, 100000,
-        restrictAboveRows = Long.MaxValue)
+        restrict = false)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
       .collect().toSet
     graft.engine.Caches.releaseAll()
     val restricted = Dedup.incrementalJaccardPairsFromShingles(s,
         newIds.select(col("doc_id").as("doc")), 0.5, 100000,
-        restrictAboveRows = 0L)
+        restrict = true)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
       .collect().toSet
     graft.engine.Caches.releaseAll()
