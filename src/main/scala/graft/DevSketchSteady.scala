@@ -59,6 +59,36 @@ object DevSketchSteady {
       text.TextStats.appendKmvSamples(spark, b, "source", "text", s"$root/kmv") }
     series("cms_cells") { b =>
       text.TextStats.appendCmsSketch(spark, b, "text", s"$root/cms") }
+    // fourth axis (round 12): the quantile sketch's bottom-k sample
+    // file under the same commit cadence — batches are disjoint hash
+    // slices of the ODD event ids against a standing even-id corpus
+    locally {
+      val events = Tables.load(spark, sfDir, "events")
+      val standing = events.filter(col("event_id") % 2 === 0)
+      val pool = events.filter(col("event_id") % 2 =!= 0)
+      standing.count(); pool.count()
+      ops.Stats.buildQuantileSketch(standing, "event_type", "event_id",
+        col("value"), k = 256, s"$root/quant")
+      ops.Stats.appendQuantileSketch(spark, pool.limit(50), "event_type",
+        "event_id", col("value"), s"$root/quant") // untimed warm-in
+      val ts = (1 to n).map { i =>
+        val batch = pool.filter(
+          pmod(xxhash64(col("event_id")), lit(n)) === (i - 1))
+        val t0 = System.nanoTime()
+        ops.Stats.appendQuantileSketch(spark, batch, "event_type",
+          "event_id", col("value"), s"$root/quant")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val warmTs = ts.drop(1)
+      println(f"[sketch-steady] quantile_samples n=$n " +
+        f"warm_mean=${warmTs.sum / warmTs.size}%.2f s " +
+        f"max/min(warm)=${warmTs.max / warmTs.min}%.2f " +
+        f"series=${ts.map(t => f"$t%.2f").mkString("[", ",", "]")}")
+      val r0 = System.nanoTime()
+      ops.Stats.quantileFromSketch(spark, s"$root/quant").count()
+      println(f"[sketch-steady] quantile read after $n commits: " +
+        f"${(System.nanoTime() - r0) / 1e9}%.2f s")
+    }
     // the read paths stay sketch-sized regardless of commit count
     val t0 = System.nanoTime()
     text.TextStats.hllEstimateFromRegisters(spark, s"$root/hll").count()

@@ -2645,14 +2645,14 @@ object SparkEntry {
     }),
 
     "q46_percentiles" -> ((s, dir) => {
-      // exact percentile (sort-based, one pass per group); at corpus scale
-      // swap for approx_percentile — q44 pins the sketch-family plumbing
-      t(s, dir, "events").groupBy(col("event_type"))
-        .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("ps"))
-        .select(col("event_type"),
-          round(element_at(col("ps"), 1), 6).as("p25"),
-          round(element_at(col("ps"), 2), 6).as("p50"),
-          round(element_at(col("ps"), 3), 6).as("p75"))
+      // exact percentile below the per-key distinct-value guard; past
+      // it the cut derivation degrades onto the bottom-k row-sample
+      // quantiles (r12 — q46 was the second exact-percentile site the
+      // r11 verdict named whose state grows on continuous ticks). At
+      // gate scale the guard stays under, so the exact quantile_cont
+      // oracle applies unchanged — the q119 wiring pattern
+      ops.Stats.percentilesGuarded(t(s, dir, "events"), "event_type",
+          col("value"), Seq(0.25, 0.5, 0.75), idCol = Some("event_id"))
         .orderBy("event_type")
     }),
 

