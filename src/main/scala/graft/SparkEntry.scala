@@ -129,6 +129,42 @@ object SparkEntry {
       path
     })
 
+  /** Build-once memo for the DELETED signature+edge index (round-12
+    * deletion propagation, q235): the full-corpus two-tier index with
+    * doc_id % 10 = 3 tombstoned via deleteFromSignatureIndex — its
+    * manifest must answer exactly as an index built from the
+    * remaining docs (the oracle replays q160's composition over the
+    * filtered corpus). Built on its OWN path: deletes must never leak
+    * into the shared q160/q161/q162 indexes.
+    */
+  private val delSigIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def deletedSignatureIndexFor(s: SparkSession, dir: String): String =
+    delSigIndexCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_delsig").toString + "/index"
+      val docs = Tables.load(s, dir, "documents")
+      multimodal.Curate.buildSignatureIndex(s, docs, "doc_id", "text", path)
+      multimodal.Curate.buildEdgeIndex(s, path)
+      multimodal.Curate.deleteFromSignatureIndex(s, path,
+        docs.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
+      path
+    })
+
+  /** Build-once memo for the DELETED IVFADC index (q236): the shared
+    * build with vec_id % 7 = 2 tombstoned — probes must exclude the
+    * deleted ids and refill the top-k from survivors under the same
+    * frozen-codebook distance arithmetic.
+    */
+  private val delAdcIndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def deletedIvfAdcIndexFor(s: SparkSession, dir: String): String =
+    delAdcIndexCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_deladc").toString + "/index"
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.vector.Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", path)
+      graft.vector.Similarity.deleteFromIvfAdcIndex(s, path,
+        emb.filter(col("vec_id") % 7 === 2).select("vec_id"), "vec_id")
+      path
+    })
+
   /** Second build tier on the FULL-corpus signature index: persisted
     * modality-tagged edges (q160 reads these — per call it pays only
     * the component walk and manifest assembly).
@@ -584,6 +620,17 @@ object SparkEntry {
       // centroids — probe partition-prunes and ranks from codes alone,
       // never touching raw vectors; must reproduce q190 exactly
       Similarity.ivfAdcProbeById(s, ivfAdcIndexFor(s, dir),
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
+    }),
+
+    "q236_ann_delete_probe" -> ((s, dir) => {
+      // deletion propagation in the ANN tier: q196's probe against an
+      // index where vec_id % 7 = 2 was tombstoned — deleted vectors
+      // stop being rankable the moment the delete returns (anti-join
+      // before ranking, no rewrite), the top-k refills from survivors,
+      // and codebook/centroids stay frozen (trained artifacts; the
+      // oracle trains on the FULL corpus and filters candidates only).
+      Similarity.ivfAdcProbeById(s, deletedIvfAdcIndexFor(s, dir),
         t(s, dir, "embeddings"), "vec_id", "embedding", 0L, 10)
     }),
 
@@ -2111,6 +2158,22 @@ object SparkEntry {
       // a production pipeline has when it re-cuts splits from a
       // committed corpus version; output identical (law-tested).
       multimodal.Curate.manifestFromEdgeIndex(s, edgeIndexFor(s, dir),
+          Seq(("train", 80), ("val", 10), ("test", 10)))
+        .orderBy("doc_id")
+    }),
+
+    "q235_manifest_after_delete" -> ((s, dir) => {
+      // right-to-be-forgotten propagation (round 12): the q160
+      // manifest off a two-tier index where doc_id % 10 = 3 was
+      // tombstoned AFTER the build — signatures AND persisted edges
+      // anti-join the tombstones (delete-proportional; no data file
+      // rewritten), components re-form over the survivors, and the
+      // oracle replays the full q160 composition over the filtered
+      // corpus, proving delete ≡ rebuild-on-remaining end to end.
+      // The purge twin (fold tombstones into the files) is law-tested
+      // byte-identical in DeleteSpec.
+      multimodal.Curate.manifestFromEdgeIndex(s,
+          deletedSignatureIndexFor(s, dir),
           Seq(("train", 80), ("val", 10), ("test", 10)))
         .orderBy("doc_id")
     }),

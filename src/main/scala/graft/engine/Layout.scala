@@ -249,6 +249,98 @@ object Layout {
     }
   }
 
+  private def pswapStagingPath(path: String) = path + "_pswap_staging"
+  private def pswapOldPath(path: String) = path + "_pswap_old"
+
+  /** Complete or discard an interrupted [[stagedPartitionReplace]] —
+    * called on entry by the replace itself AND by index read paths
+    * (two FS existence checks when no swap is in flight). The
+    * partition-level crash-state table (protocol: write staging →
+    * marker → per-partition {rename live/P → old/P, rename stg/P →
+    * live/P} → delete staging+old roots):
+    *  - staging root without marker: the staged write died — discard
+    *    it; every live partition is the untouched original.
+    *  - staging root with marker: resume the per-partition swaps. For
+    *    each partition dir still in staging, the live dir is either
+    *    the original (crash before its first rename — move it aside)
+    *    or already absent (crash between its two renames); either way
+    *    the staged dir becomes live. Partitions already swapped are
+    *    no longer in staging, so the loop is idempotent.
+    *  - old root alone: all swaps completed — drop it.
+    * A reader races only the per-partition atomic renames (µs-wide,
+    * FileNotFound retryable) and otherwise sees each partition dir
+    * entirely-old or entirely-new — and the tombstone filter makes
+    * BOTH reads correct for the purge path, which is why tombstones
+    * are only cleared after the swap fully completes.
+    */
+  def healStagedPartitionSwap(spark: SparkSession, path: String): Unit = {
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val stg = new Path(pswapStagingPath(path))
+    val old = new Path(pswapOldPath(path))
+    if (fs.exists(stg)) {
+      if (!fs.exists(new Path(stg, StagedCompleteMarker))) fs.delete(stg, true)
+      else {
+        fs.listStatus(stg).filter(_.isDirectory).foreach { s =>
+          val name = s.getPath.getName
+          val liveP = new Path(path, name)
+          if (fs.exists(liveP)) {
+            fs.mkdirs(old)
+            require(fs.rename(liveP, new Path(old, name)),
+              s"healStagedPartitionSwap: rename $liveP aside failed")
+          }
+          require(fs.rename(s.getPath, liveP),
+            s"healStagedPartitionSwap: rename ${s.getPath} -> $liveP failed")
+        }
+        fs.delete(stg, true)
+      }
+    }
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** Crash-safe replacement of a SUBSET of a partitioned table's
+    * partition dirs ([[stagedReplace]]'s discipline at partition
+    * granularity — the shape a delete-purge needs at 100 TB, where
+    * rewriting the whole table for a batch of deletes touching a few
+    * partitions would be table-sized work): `write` materializes ONLY
+    * the partitions being replaced into a staging root (sibling of the
+    * table dir, so partition discovery on the live table never sees
+    * it), a completion marker licenses the swap, and each staged
+    * partition dir swaps in via two atomic renames. An empty staged
+    * partition dir (mkdirs, no files) REPLACES the live partition with
+    * emptiness — the representation of "every row of this partition
+    * was deleted". Crash anywhere → [[healStagedPartitionSwap]]
+    * finishes or discards on the next call; untouched partitions are
+    * never read, written, or renamed.
+    */
+  def stagedPartitionReplace(spark: SparkSession, path: String)
+                            (write: String => Unit): Unit = {
+    healStagedPartitionSwap(spark, path)
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val stg = new Path(pswapStagingPath(path))
+    write(pswapStagingPath(path))
+    require(fs.exists(stg), s"stagedPartitionReplace: $stg missing after write")
+    fs.create(new Path(stg, StagedCompleteMarker), true).close()
+    healStagedPartitionSwap(spark, path) // marker present ⇒ performs the swap
+  }
+
+  /** The tombstone id set of an index root — the LSM-style delete
+    * record: a delete verb appends ids here (delete-proportional
+    * work), every index read anti-joins them out (tombstone tables are
+    * bounded by the verbs' auto-purge threshold, so the anti-join
+    * broadcasts), and the purge verb rewrites the data files and
+    * clears them. None when no deletes were ever recorded — existing
+    * indexes pay only this listing probe.
+    */
+  def tombstones(spark: SparkSession, indexRoot: String): Option[DataFrame] = {
+    val p = s"$indexRoot/tombstones"
+    val fs = FileSystem.get(new java.net.URI(indexRoot),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(p))) None
+    else Some(spark.read.parquet(p).select(col("id")).distinct())
+  }
+
   /** Total bytes of the top-level data files in a FLAT table dir —
     * free metadata (one listing, no footers), used as a plan-shape
     * signal (e.g. the indexed append's prefix-window restriction

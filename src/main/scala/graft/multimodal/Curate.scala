@@ -326,6 +326,93 @@ object Curate {
     }
   }
 
+  /** A signature table read through the index's tombstone filter:
+    * deleted docs vanish from every consumer (edges, manifests,
+    * appends) the moment [[deleteFromSignatureIndex]] returns, without
+    * touching a data file — the anti-join side is bounded by the
+    * delete verb's auto-purge threshold, so it broadcasts. Indexes
+    * with no delete history skip the join entirely (one listing
+    * probe).
+    */
+  private def liveSig(spark: SparkSession, path: String, table: String,
+                      key: String): DataFrame = {
+    val df = spark.read.parquet(s"$path/$table")
+    graft.engine.Layout.tombstones(spark, path) match {
+      case Some(ts) =>
+        df.join(broadcast(ts.withColumnRenamed("id", key)), Seq(key), "left_anti")
+      case None => df
+    }
+  }
+
+  /** Right-to-be-forgotten deletes against a signature index — the
+    * LSM shape, because the alternatives don't survive 100 TB: an
+    * eager rewrite pays index-sized work per delete batch, and a
+    * "filter at the application layer" leaks the docs through every
+    * reader that forgets. Here a delete appends the ids to
+    * `$path/tombstones` (delete-proportional), every index reader
+    * anti-joins them out from that moment, and once the tombstone set
+    * crosses `purgeAboveRows` the data files rewrite once via
+    * [[purgeSignatureIndex]] — amortized index-sized work, bounded
+    * tombstone state, readers correct at every point in between.
+    *
+    * `shingle_freq` stays STALE until the purge: the counts feed only
+    * the AllPairs prefix ordering, whose completeness holds under any
+    * consistent total order (Dedup.jaccardPairsFromShingles's
+    * citation), and the verify step is exact — so verdicts off a
+    * tombstoned index equal the rebuild-on-remaining form (law-tested)
+    * while the purge restores exact counts.
+    */
+  def deleteFromSignatureIndex(spark: SparkSession, path: String,
+                               ids: DataFrame, idColName: String,
+                               purgeAboveRows: Long = 100000L): Unit = {
+    ids.select(col(idColName).cast("long").as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+    if (spark.read.parquet(s"$path/tombstones").count() > purgeAboveRows)
+      purgeSignatureIndex(spark, path)
+  }
+
+  /** Fold the tombstone set into the data files: each signature table
+    * rewrites WITHOUT the deleted docs (crash-safe
+    * [[graft.engine.Layout.stagedReplace]] swaps), `shingle_freq`
+    * re-derives exactly from the purged shingle relation, a persisted
+    * edge tier (if built) drops every edge touching a deleted doc, and
+    * the tombstone dir clears LAST — so a crash at any earlier point
+    * leaves the tombstones in place and every read still correct (the
+    * purge is idempotent; re-running completes it).
+    */
+  def purgeSignatureIndex(spark: SparkSession, path: String,
+                          targetFiles: Int = 8): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    graft.engine.Layout.tombstones(spark, path).foreach { ts0 =>
+      val ts = broadcast(ts0)
+      def purge(table: String, keys: Seq[String]): Unit = {
+        val p = s"$path/$table"
+        if (fs.exists(new org.apache.hadoop.fs.Path(p)))
+          graft.engine.Layout.stagedReplace(spark, p) { stg =>
+            keys.foldLeft(spark.read.parquet(p)) { (df, k) =>
+              df.join(ts.withColumnRenamed("id", k), Seq(k), "left_anti")
+            }.repartition(targetFiles)
+              .write.mode("overwrite").parquet(stg)
+          }
+      }
+      purge("shingles", Seq("doc"))
+      purge("text_hashes", Seq("doc_id"))
+      purge("image_hashes", Seq("media_id"))
+      purge("audio_hashes", Seq("media_id"))
+      purge("edges", Seq("src", "dst"))
+      val freqP = s"$path/shingle_freq"
+      if (fs.exists(new org.apache.hadoop.fs.Path(freqP)))
+        graft.engine.Layout.stagedReplace(spark, freqP) { stg =>
+          spark.read.parquet(s"$path/shingles")
+            .groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+            .repartition(targetFiles)
+            .write.mode("overwrite").parquet(stg)
+        }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    }
+  }
+
   /** [[appendManifest]] against a persisted signature index: the
     * standing corpus contributes its PRE-DERIVED shingle/md5/perceptual
     * signatures from [[buildSignatureIndex]]'s layout, so an append
@@ -357,8 +444,8 @@ object Curate {
     val newIds = b.select("doc_id")
     val bShingles = Dedup.shingleSets(b, "doc_id", "text", shingleN)
     val sAll = graft.engine.Caches.persisted("appendManifestIndexed.shingles",
-      spark.read.parquet(s"$indexPath/shingles").unionByName(bShingles))
-    val hCorpus = spark.read.parquet(s"$indexPath/text_hashes")
+      liveSig(spark, indexPath, "shingles", "doc").unionByName(bShingles))
+    val hCorpus = liveSig(spark, indexPath, "text_hashes", "doc_id")
     val hNew = b.select(col("doc_id"), md5(col("text")).as("h"))
     val textEdges = Clusters.appendTextEdgesFromSignatures(sAll,
       hCorpus.unionByName(hNew), hNew, threshold, hotShingleCap,
@@ -369,13 +456,13 @@ object Curate {
     val bImg = Media.imageHashes(spark,
       imageMedia.getOrElse(Media.imageHashTable(spark, b, "doc_id"))).toDF()
     val imageEdges = Media.hammingBandedPairsIncremental(
-        spark.read.parquet(s"$indexPath/image_hashes").unionByName(bImg),
+        liveSig(spark, indexPath, "image_hashes", "media_id").unionByName(bImg),
         newIds, maxDist, maxChunkBucket, "appendManifestIndexed.image")
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val bAud = Media.audioHashes(spark,
       audioMedia.getOrElse(Media.audioHashTable(spark, b, "doc_id"))).toDF()
     val audioEdges = Media.hammingBandedPairsIncremental(
-        spark.read.parquet(s"$indexPath/audio_hashes").unionByName(bAud),
+        liveSig(spark, indexPath, "audio_hashes", "media_id").unionByName(bAud),
         newIds, maxDist, maxChunkBucket, "appendManifestIndexed.audio")
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     withModalityFlags(
@@ -400,7 +487,7 @@ object Curate {
                                maxChunkBucket: Long = graft.ops.GuardBounds.MaxChunkBucket,
                                hotShingleCap: Int = graft.ops.GuardBounds.HotShingleCap): DataFrame =
    graft.engine.Caches.scopedMaterialized("unifiedManifestFromIndex.result") {
-    val ids = spark.read.parquet(s"$indexPath/text_hashes")
+    val ids = liveSig(spark, indexPath, "text_hashes", "doc_id")
       .select(col("doc_id"))
     val (textEdges, imageEdges, audioEdges) = indexEdges(spark, indexPath,
       threshold, maxDist, maxChunkBucket, hotShingleCap)
@@ -426,9 +513,9 @@ object Curate {
                          threshold: Double, maxDist: Int,
                          maxChunkBucket: Long,
                          hotShingleCap: Int): (DataFrame, DataFrame, DataFrame) = {
-    val byHash = spark.read.parquet(s"$indexPath/text_hashes")
+    val byHash = liveSig(spark, indexPath, "text_hashes", "doc_id")
     val sAll = graft.engine.Caches.persisted("indexEdges.shingles",
-      spark.read.parquet(s"$indexPath/shingles"))
+      liveSig(spark, indexPath, "shingles", "doc"))
     val jac = Dedup.jaccardPairsFromShingles(sAll, threshold, hotShingleCap)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val exact = byHash.select(col("doc_id").as("id"), col("h"))
@@ -437,11 +524,11 @@ object Curate {
       .filter(col("id") =!= col("src"))
       .select(col("src"), col("id").as("dst"))
     val imageEdges = Media.hammingBandedPairs(
-        spark.read.parquet(s"$indexPath/image_hashes"), maxDist,
+        liveSig(spark, indexPath, "image_hashes", "media_id"), maxDist,
         maxChunkBucket, "indexEdges.image")
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val audioEdges = Media.hammingBandedPairs(
-        spark.read.parquet(s"$indexPath/audio_hashes"), maxDist,
+        liveSig(spark, indexPath, "audio_hashes", "media_id"), maxDist,
         maxChunkBucket, "indexEdges.audio")
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     (jac.union(exact), imageEdges, audioEdges)
@@ -483,10 +570,18 @@ object Curate {
   def manifestFromEdgeIndex(spark: SparkSession, indexPath: String,
                             pcts: Seq[(String, Int)]): DataFrame =
    graft.engine.Caches.scopedMaterialized("manifestFromEdgeIndex.result") {
-    val ids = spark.read.parquet(s"$indexPath/text_hashes")
+    val ids = liveSig(spark, indexPath, "text_hashes", "doc_id")
       .select(col("doc_id"))
     val edges = graft.engine.Caches.persisted("manifestFromEdgeIndex.edges",
-      spark.read.parquet(s"$indexPath/edges"))
+      graft.engine.Layout.tombstones(spark, indexPath) match {
+        case Some(ts) =>
+          spark.read.parquet(s"$indexPath/edges")
+            .join(broadcast(ts.withColumnRenamed("id", "src")),
+              Seq("src"), "left_anti")
+            .join(broadcast(ts.withColumnRenamed("id", "dst")),
+              Seq("dst"), "left_anti")
+        case None => spark.read.parquet(s"$indexPath/edges")
+      })
     def family(mod: String): DataFrame =
       edges.filter(col("modality") === mod).select(col("src"), col("dst"))
     val (textEdges, imageEdges, audioEdges) =

@@ -1111,8 +1111,16 @@ private[graft] object OracleCtes {
       |FROM adc ORDER BY adc ASC, vec_id ASC LIMIT $k""".stripMargin
   }
 
+  /** `candFilter`: extra predicate on the candidate rows (`a.` =
+    * the per-subspace code assignment), spliced into the ADC sum's
+    * WHERE — the q236 deletion gate excludes tombstoned vec_ids here,
+    * mirroring the engine's anti-join BEFORE ranking (training and
+    * centroid CTEs stay over the FULL corpus: the engine's codebook
+    * and centroids are frozen artifacts a delete never retrains).
+    */
   private[oracles] def pqAdcOracleSql(restricted: Boolean,
-                             queryId: Long = 0L, k: Int = 10): String =
+                             queryId: Long = 0L, k: Int = 10,
+                             candFilter: String = ""): String =
     s"""${pqTrainCtes(restricted, queryId)},
       |qd AS (
       |  SELECT cs AS ds, code AS dcode,
@@ -1123,7 +1131,7 @@ private[graft] object OracleCtes {
       |adc AS (
       |  SELECT a.vec_id, SUM(qdist) AS adc
       |  FROM asg a JOIN qd ON qd.ds = a.s AND qd.dcode = a.code
-      |  WHERE a.vec_id <> $queryId GROUP BY a.vec_id)
+      |  WHERE a.vec_id <> $queryId$candFilter GROUP BY a.vec_id)
       |SELECT vec_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist
       |FROM adc ORDER BY adc ASC, vec_id ASC LIMIT $k""".stripMargin
 

@@ -27,6 +27,7 @@ object Oracles {
     "q32_minhash_lsh" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q190_ivfadc" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q196_ivfadc_probe" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    "q236_ann_delete_probe" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q197_ann_join" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q201_pq_reconstruction" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q191_ivfadc_recall" -> Set("sf0.001", "sf0.01", "sf0.1"),
@@ -160,6 +161,24 @@ object Oracles {
         |  UNION ALL
         |  SELECT '3_semantic', COUNT(*) FILTER (WHERE ke AND kn AND ks),
         |    COALESCE(SUM(nt) FILTER (WHERE ke AND kn AND ks), 0) FROM f)
-        |ORDER BY stage""".stripMargin)
+        |ORDER BY stage""".stripMargin) +
+    // q235 (round-12 deletion propagation): the q160 composition
+    // replayed over the corpus MINUS the deleted set — every
+    // `documents` table reference rewrites to a filtered derived
+    // table (single-pass textual replace; the word occurs only as a
+    // table reference in the q160 SQL), so the oracle proves the
+    // tombstoned/purged index answers exactly as an index built from
+    // the remaining docs, using the SAME edge/walk/split arithmetic
+    ("q235_manifest_after_delete" ->
+      base("q160_multimodal_manifest").replace("documents",
+        "(SELECT * FROM documents WHERE doc_id % 10 <> 3)")) +
+    // q236: the q196 ADC probe chain with tombstoned vec_ids excluded
+    // from the CANDIDATE rows only — training and centroids replay
+    // over the full corpus (the engine's frozen artifacts), deleted
+    // ids simply stop being rankable, and the top-k refills from
+    // survivors by the same distance arithmetic
+    ("q236_ann_delete_probe" ->
+      OracleCtes.pqAdcOracleSql(restricted = true, queryId = 0L,
+        candFilter = " AND a.vec_id % 7 <> 2"))
   }
 }

@@ -1451,7 +1451,7 @@ object Similarity {
     // append may still see that batch partially or not at all — the
     // index is eventually consistent per committed batch, not
     // transactional across a probe.
-    val pruned = spark.read.parquet(s"$indexPath/codes")
+    val pruned = liveCodes(spark, indexPath)
       .filter(col("cluster").isin(probedClusters: _*))
     // Hot-list refusal (the family's guard posture): candidate rows =
     // Σ over (query, probed cluster) of that cluster's list size. A
@@ -1544,7 +1544,7 @@ object Similarity {
     */
   def pqDecode(spark: SparkSession, indexPath: String): DataFrame = {
     val cb = spark.read.parquet(s"$indexPath/codebook")
-    spark.read.parquet(s"$indexPath/codes")
+    liveCodes(spark, indexPath)
       .select(col("id"), posexplode(col("codes")).as(Seq("s", "code")))
       .join(broadcast(cb.select(col("cs"), col("code").as("_ccode"), col("cw"))),
         col("s") === col("cs") && col("code") === col("_ccode"))
@@ -1766,7 +1766,7 @@ object Similarity {
     require(dim % nSub == 0,
       s"pqReconstructionError: dim $dim does not split into $nSub subspaces")
     val sub = pqSubvectors(emb, idCol, vecCol, nSub, dim / nSub)
-    val dec = spark.read.parquet(s"$indexPath/codes")
+    val dec = liveCodes(spark, indexPath)
       .select(col("id"), posexplode(col("codes")).as(Seq("s", "code")))
       .join(broadcast(cb.select(col("cs"), col("code").as("_ccode"), col("cw"))),
         col("s") === col("cs") && col("code") === col("_ccode"))
@@ -1826,6 +1826,88 @@ object Similarity {
     }
   }
 
+  /** The codes relation of a persisted IVFADC index read through its
+    * tombstone filter ([[deleteFromIvfAdcIndex]]): deleted vectors
+    * vanish from every probe/decode/audit the moment the delete verb
+    * returns, before any data file rewrites. Heals an interrupted
+    * partition-level purge swap on entry (two FS existence checks when
+    * none is in flight); indexes with no delete history skip the
+    * anti-join entirely.
+    */
+  private def liveCodes(spark: SparkSession, indexPath: String): DataFrame = {
+    graft.engine.Layout.healStagedPartitionSwap(spark, s"$indexPath/codes")
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    graft.engine.Layout.tombstones(spark, indexPath) match {
+      case Some(ts) => codes.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => codes
+    }
+  }
+
+  /** Right-to-be-forgotten deletes against a persisted IVFADC index —
+    * the [[graft.multimodal.Curate.deleteFromSignatureIndex]] LSM
+    * discipline applied to the ANN tier: ids append to
+    * `$indexPath/tombstones` (delete-proportional), every codes reader
+    * anti-joins them out, and past `purgeAboveRows` the affected
+    * cluster partitions rewrite once via [[purgeIvfAdcIndex]]. The
+    * codebook and centroids are UNTOUCHED by design: they are trained
+    * artifacts over the historical distribution (exactly like a
+    * tokenizer vocabulary after doc deletion), they memorize no
+    * individual vector, and retraining them would invalidate every
+    * stored code ([[appendIvfAdcIndex]]'s frozen-codebook contract).
+    * Distribution-level staleness is [[maintainIvfAdcIndex]]'s
+    * drift gate's job, not the delete verb's.
+    */
+  def deleteFromIvfAdcIndex(spark: SparkSession, indexPath: String,
+                            ids: DataFrame, idColName: String,
+                            purgeAboveRows: Long = 100000L): Unit = {
+    ids.select(col(idColName).cast("long").as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$indexPath/tombstones")
+    if (spark.read.parquet(s"$indexPath/tombstones").count() > purgeAboveRows)
+      purgeIvfAdcIndex(spark, indexPath)
+  }
+
+  /** Fold the tombstones into the codes files, rewriting ONLY the
+    * cluster partitions that hold a deleted vector
+    * ([[graft.engine.Layout.stagedPartitionReplace]] — at 100 TB a
+    * delete batch touches a handful of coarse lists; rewriting the
+    * whole codes relation for it would be index-sized work). A cluster
+    * emptied by the delete swaps in as an empty partition dir, and the
+    * tombstone dir clears LAST, so a crash at any earlier point leaves
+    * every read correct and the purge idempotent.
+    */
+  def purgeIvfAdcIndex(spark: SparkSession, indexPath: String): Unit = {
+    val codesPath = s"$indexPath/codes"
+    graft.engine.Layout.healStagedPartitionSwap(spark, codesPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    graft.engine.Layout.tombstones(spark, indexPath).foreach { ts0 =>
+      val ts = broadcast(ts0)
+      val codes = spark.read.parquet(codesPath)
+      // ≤ nCentroids partition values — bounded driver state
+      val affected = codes.join(ts, Seq("id"))
+        .select(col("cluster").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (affected.nonEmpty)
+        graft.engine.Layout.stagedPartitionReplace(spark, codesPath) { stg =>
+          spark.read.parquet(codesPath)
+            .filter(col("cluster").cast("string").isin(affected: _*))
+            .join(ts, Seq("id"), "left_anti")
+            .repartition(col("cluster"))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("cluster").parquet(stg)
+          // a fully-emptied cluster writes no partition dir — stage an
+          // empty one so the swap REPLACES the live dir with emptiness
+          // instead of leaving the deleted rows live
+          val stgP = new org.apache.hadoop.fs.Path(stg)
+          affected.foreach { c =>
+            val p = new org.apache.hadoop.fs.Path(stgP, s"cluster=$c")
+            if (!fs.exists(p)) fs.mkdirs(p)
+          }
+        }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/tombstones"), true)
+    }
+  }
+
   /** [[ivfAdcProbe]] keyed by an id in the source table — the
     * [[ivfProbeById]] convenience for the PQ index.
     */
@@ -1861,7 +1943,7 @@ object Similarity {
         "qid", "qv", nSub, w)
       .select(col("s").as("qs"), col("sv").as("qv"))
     val qd = pqDistanceTable(cb, qsub)
-    val pruned = spark.read.parquet(s"$indexPath/codes")
+    val pruned = liveCodes(spark, indexPath)
       .filter(col("cluster").isin(probed: _*))
     val scanned = excludeId.fold(pruned)(x => pruned.filter(col("id") =!= x))
       .select(col("id"), posexplode(col("codes")).as(Seq("s", "code")))
