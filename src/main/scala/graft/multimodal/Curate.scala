@@ -270,6 +270,13 @@ object Curate {
     * commits, and consumer scan cost is bounded regardless of commit
     * count. Pass `compactAbove = Int.MaxValue` to manage compaction
     * externally.
+    *
+    * Interaction with [[deleteFromSignatureIndex]]: an appended doc
+    * whose id is currently TOMBSTONED stays masked until
+    * [[purgeSignatureIndex]] folds the tombstones in — ids are
+    * identities here, so re-using a deleted id for new content
+    * requires a purge first (refusing silent resurrection is the
+    * right default for a forget-request pipeline).
     */
   def appendSignatures(spark: SparkSession, batch: DataFrame,
                        idCol: String, textCol: String, path: String,

@@ -1341,6 +1341,11 @@ object Similarity {
     * [[graft.streaming.EventStream.idempotentPromote]] uses to make the
     * streaming append crash-safe (files land in the live dir only via
     * atomic renames).
+    *
+    * Interaction with [[deleteFromIvfAdcIndex]]: an appended vector
+    * whose id is currently tombstoned stays masked until
+    * [[purgeIvfAdcIndex]] — ids are identities; re-using a deleted id
+    * requires a purge first (no silent resurrection).
     */
   def appendIvfAdcIndex(newEmb: DataFrame, idCol: String, vecCol: String,
                         indexPath: String,

@@ -153,6 +153,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("embedding"), p)
   }
 
+  test("q236: the tombstone anti-join does not break codes partition pruning") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val idx = Files.createTempDirectory("graft_ivfadc_del_plan").toString + "/index"
+    graft.vector.Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", idx)
+    graft.vector.Similarity.deleteFromIvfAdcIndex(spark, idx,
+      emb.filter(col("vec_id") % 7 === 2).select("vec_id"), "vec_id")
+    graft.engine.Caches.releaseAll()
+    val nProbe = 4
+    val probe = graft.vector.Similarity.ivfAdcProbeById(
+      spark, idx, emb, "vec_id", "embedding", 0L, 10, nProbe = nProbe)
+    val p = probe.queryExecution.executedPlan.toString
+    // the literal IN must reach the scan THROUGH the left-anti join —
+    // a deletion that silently turned the pruned probe into a full
+    // codes scan would be the 100 TB regression this pin exists for
+    val pf = "PartitionFilters: \\[cluster#\\d+ IN \\(([-0-9,]+)\\)\\]".r
+      .findFirstMatchIn(p)
+    assert(pf.nonEmpty, p)
+    assert(pf.get.group(1).split(",").length === nProbe, pf.get.group(1))
+    // the tombstone side broadcasts (bounded by the auto-purge cap)
+    assert(p.contains("LeftAnti, BuildRight") || p.contains("LeftAnti"), p)
+    assert(p.contains("ReadSchema: struct<id:bigint,codes:array<bigint>>"), p)
+  }
+
   test("q197: batched ANN join union-prunes the codes scan and shuffle-hashes the ADC lookup") {
     val emb = Tables.load(spark, dir, "embeddings")
     val idx = Files.createTempDirectory("graft_ivfadc_join_plan").toString + "/index"
