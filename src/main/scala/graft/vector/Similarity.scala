@@ -591,6 +591,73 @@ object Similarity {
     appended
   }
 
+  /** The assignments relation of a persisted IVF index read through
+    * its tombstone filter ([[deleteFromIvfIndex]]) — the
+    * [[liveCodes]] discipline for the raw-vector tier. Because this
+    * index stores the VECTORS themselves, the purge physically
+    * removes the deleted embeddings from disk, which is what a
+    * forget-request actually requires of it.
+    */
+  private def liveAssignments(spark: SparkSession, indexPath: String): DataFrame = {
+    graft.engine.Layout.healStagedPartitionSwap(spark, s"$indexPath/assignments")
+    val asg = spark.read.parquet(s"$indexPath/assignments")
+    graft.engine.Layout.tombstones(spark, indexPath) match {
+      case Some(ts) => asg.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => asg
+    }
+  }
+
+  /** [[deleteFromIvfAdcIndex]] for the raw-vector IVF index: tombstone
+    * append (delete-proportional), probe/maintenance reads anti-join,
+    * [[purgeIvfIndex]] past `purgeAboveRows`. A maintenance REBUILD
+    * after a delete trains and stores only the survivors (the rebuild
+    * union reads [[liveAssignments]]), so deletes survive index
+    * rebuilds too.
+    */
+  def deleteFromIvfIndex(spark: SparkSession, indexPath: String,
+                         ids: DataFrame, idColName: String,
+                         purgeAboveRows: Long = 100000L): Unit = {
+    ids.select(col(idColName).cast("long").as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$indexPath/tombstones")
+    if (spark.read.parquet(s"$indexPath/tombstones").count() > purgeAboveRows)
+      purgeIvfIndex(spark, indexPath)
+  }
+
+  /** Fold the IVF tombstones into the assignment files — the
+    * [[purgeIvfAdcIndex]] protocol verbatim (affected cluster
+    * partitions only, staged swap, emptied clusters become empty
+    * dirs, tombstones clear last). This is the call that makes the
+    * deleted VECTORS physically leave the disk.
+    */
+  def purgeIvfIndex(spark: SparkSession, indexPath: String): Unit = {
+    val asgPath = s"$indexPath/assignments"
+    graft.engine.Layout.healStagedPartitionSwap(spark, asgPath)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    graft.engine.Layout.tombstones(spark, indexPath).foreach { ts0 =>
+      val ts = broadcast(ts0)
+      val asg = spark.read.parquet(asgPath)
+      val affected = asg.join(ts, Seq("id"))
+        .select(col("cluster").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (affected.nonEmpty)
+        graft.engine.Layout.stagedPartitionReplace(spark, asgPath) { stg =>
+          spark.read.parquet(asgPath)
+            .filter(col("cluster").cast("string").isin(affected: _*))
+            .join(ts, Seq("id"), "left_anti")
+            .repartition(col("cluster"))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("cluster").parquet(stg)
+          val stgP = new org.apache.hadoop.fs.Path(stg)
+          affected.foreach { c =>
+            val p = new org.apache.hadoop.fs.Path(stgP, s"cluster=$c")
+            if (!fs.exists(p)) fs.mkdirs(p)
+          }
+        }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/tombstones"), true)
+    }
+  }
+
   case class IvfMaintenance(appended: Long, centroidCosine: Option[Double],
                             rebuilt: Boolean)
 
@@ -623,7 +690,7 @@ object Similarity {
                        indexPath: String, minCentroidCosine: Double = 0.7,
                        nCentroids: Int = graft.ops.GuardBounds.DefaultIvfCentroids, kmeansIters: Int = 0): IvfMaintenance = {
     val spark = newEmb.sparkSession
-    val old = spark.read.parquet(s"$indexPath/assignments")
+    val old = liveAssignments(spark, indexPath)
     val cosRow = centroidDrift(old.select(col("v").as(vecCol)),
         newEmb.select(col(vecCol)), vecCol)
       .select(col("centroid_cosine")).head()
@@ -641,6 +708,13 @@ object Similarity {
       buildIvfIndex(union, idCol, vecCol, staging, nCentroids, kmeansIters)
       swapIndexDirs(spark, indexPath, staging,
         Seq("assignments", "centroids"), "maintainIvfIndex")
+      // the rebuild union already excluded tombstoned vectors
+      // (liveAssignments above), so the tombstones are spent; clearing
+      // them last is crash-safe (a leftover set masks absent ids — a
+      // no-op — until the next delete's purge clears it)
+      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+          spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(s"$indexPath/tombstones"), true)
       IvfMaintenance(nNew, cos, rebuilt = true)
     }
   }
@@ -700,7 +774,7 @@ object Similarity {
       }
       .sortBy { case (c, cid) => (-c, cid) }
       .take(nProbe).map(_._2).toSeq
-    val pruned = spark.read.parquet(s"$indexPath/assignments")
+    val pruned = liveAssignments(spark, indexPath)
       .filter(col("cluster").isin(probed: _*))
     // Option, not a sentinel: a -1 default would silently shadow a real
     // id -1 in corpora with signed/hash-derived ids
