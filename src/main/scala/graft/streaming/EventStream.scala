@@ -1181,6 +1181,51 @@ object EventStream {
       }
       .start()
 
+  /** Streaming forget-request sink — the deletion face of the
+    * foreachBatch discipline: each micro-batch of doc ids runs
+    * [[graft.multimodal.Curate.deleteFromSignatureIndex]] VERBATIM
+    * against the standing signature index, so forget requests take
+    * effect at micro-batch latency (readers anti-join tombstones from
+    * that moment) and the purge cadence fires inside the verb past
+    * `purgeAboveRows`. Unlike the data sinks, no idempotence marker is
+    * needed: a tombstone append is SET-idempotent (readers consume the
+    * distinct id set), so a crash-retried batch re-appending the same
+    * ids changes nothing observable — the one sink where at-least-once
+    * IS exactly-once by algebra.
+    */
+  def forgetSink(ids: DataFrame, indexPath: String, checkpoint: String,
+                 idCol: String = "doc_id",
+                 purgeAboveRows: Long = 100000L): StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.multimodal.Curate.deleteFromSignatureIndex(
+            batch.sparkSession, indexPath, batch, idCol, purgeAboveRows)
+        ()
+      }
+      .start()
+
+  /** [[forgetSink]] for the ANN tier: micro-batches of vec ids run
+    * [[graft.vector.Similarity.deleteFromIvfAdcIndex]] verbatim —
+    * probes exclude the deleted vectors from the next batch boundary
+    * on, with the same set-idempotent retry algebra.
+    */
+  def forgetSinkAnn(ids: DataFrame, indexPath: String, checkpoint: String,
+                    idCol: String = "vec_id",
+                    purgeAboveRows: Long = 100000L): StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.vector.Similarity.deleteFromIvfAdcIndex(
+            batch.sparkSession, indexPath, batch, idCol, purgeAboveRows)
+        ()
+      }
+      .start()
+
   /** Streaming corpus curation: quality-gate each arriving document
     * (stateless, map-side) then drop any doc whose exact text hash was
     * already seen in ANY earlier micro-batch — cross-batch exact dedup

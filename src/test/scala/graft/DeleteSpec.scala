@@ -217,6 +217,25 @@ class DeleteSpec extends AnyFunSuite {
     graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
   }
 
+  test("forgetSink: streamed forget requests equal the batch delete of their union") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmp("graft_del_stream")
+    Curate.buildSignatureIndex(spark, docs, "doc_id", "text", dir)
+    val mem = MemoryStream[Long]
+    val q = graft.streaming.EventStream.forgetSink(
+      mem.toDF().toDF("doc_id"), dir,
+      java.nio.file.Files.createTempDirectory("graft_del_ckpt").toString)
+    mem.addData(240L); q.processAllAvailable()
+    mem.addData(983041L); q.processAllAvailable()
+    q.stop()
+    val want = rows(Curate.unifiedManifest(spark, remaining,
+      "doc_id", "text", pcts))
+    assert(rows(Curate.unifiedManifestFromIndex(spark, dir, pcts)) === want,
+      "streamed forget requests diverged from the batch delete")
+    graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
+  }
+
   test("stagedPartitionReplace crash states: no marker discards; marker resumes; reads never mix") {
     def writePart(path: String, part: Int, from: Int, until: Int): Unit =
       spark.range(from, until).select(col("id"), lit(part).as("p"))
