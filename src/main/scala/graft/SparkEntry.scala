@@ -2178,6 +2178,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "q237_delete_report" -> ((s, dir) => {
+      // the delete family's operational surface (the q186 discipline):
+      // per signature table, how many rows the tombstones currently
+      // mask — the garbage ratio every read's anti-join pays, and the
+      // signal a production pipeline purges on. Runs against the
+      // PRE-PURGE q235 index; the oracle recomputes each table's total
+      // and masked counts from the documents table (shingle counts via
+      // the shared shingle CTE, one row per doc for the hash tables).
+      multimodal.Curate.deletionReport(s, deletedSignatureIndexFor(s, dir))
+    }),
+
     "q159_time_travel_ts" -> ((s, dir) => {
       // timestamp-based time travel (Delta's timestampAsOf) over REAL
       // commits: resolve v1's commit instant from the manifest history

@@ -420,6 +420,41 @@ object Curate {
     }
   }
 
+  /** The deletion-state report of a signature index — the operational
+    * signal that drives purge cadence (the q186 guard-report
+    * discipline applied to the delete family): one row per signature
+    * table with its total, tombstone-masked, and live row counts.
+    * `masked_fraction` is the garbage ratio every read pays the
+    * anti-join for; a production pipeline purges when it (or the
+    * absolute masked count) crosses policy. Aggregate-only: four
+    * count jobs, nothing corpus-sized leaves the executors.
+    */
+  def deletionReport(spark: SparkSession, indexPath: String): DataFrame = {
+    val ts = graft.engine.Layout.tombstones(spark, indexPath)
+    def row(table: String, key: String): DataFrame = {
+      val df = spark.read.parquet(s"$indexPath/$table")
+      val flagged = ts match {
+        case Some(t) => df.join(
+          broadcast(t.withColumnRenamed("id", key).withColumn("_dead", lit(1))),
+          Seq(key), "left")
+        case None => df.withColumn("_dead", lit(null).cast("int"))
+      }
+      flagged.agg(
+          count(lit(1)).as("total_rows"),
+          count(col("_dead")).as("masked_rows"))
+        .select(lit(table).as("table_name"),
+          col("total_rows"), col("masked_rows"),
+          (col("total_rows") - col("masked_rows")).as("live_rows"),
+          (col("masked_rows").cast("double") /
+            col("total_rows").cast("double")).as("masked_fraction"))
+    }
+    row("audio_hashes", "media_id")
+      .unionByName(row("image_hashes", "media_id"))
+      .unionByName(row("shingles", "doc"))
+      .unionByName(row("text_hashes", "doc_id"))
+      .orderBy(col("table_name"))
+  }
+
   /** [[appendManifest]] against a persisted signature index: the
     * standing corpus contributes its PRE-DERIVED shingle/md5/perceptual
     * signatures from [[buildSignatureIndex]]'s layout, so an append

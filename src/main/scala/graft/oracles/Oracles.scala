@@ -179,6 +179,30 @@ object Oracles {
     // survivors by the same distance arithmetic
     ("q236_ann_delete_probe" ->
       OracleCtes.pqAdcOracleSql(restricted = true, queryId = 0L,
-        candFilter = " AND a.vec_id % 7 <> 2"))
+        candFilter = " AND a.vec_id % 7 <> 2")) +
+    // q237: the deletion-state report recomputed from first
+    // principles — shingle totals via the shared shingle CTE, one row
+    // per doc for the three hash tables, masked = the q235 delete set
+    ("q237_delete_report" ->
+      s"""WITH $shingleCte,
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+        |    CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT)
+        |      AS masked_rows
+        |  FROM sh),
+        |d AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+        |    CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT)
+        |      AS masked_rows
+        |  FROM documents)
+        |SELECT table_name, total_rows, masked_rows,
+        |  total_rows - masked_rows AS live_rows,
+        |  CAST(masked_rows AS DOUBLE) / total_rows AS masked_fraction
+        |FROM (
+        |  SELECT 'audio_hashes' AS table_name, * FROM d
+        |  UNION ALL SELECT 'image_hashes', * FROM d
+        |  UNION ALL SELECT 'shingles', * FROM s
+        |  UNION ALL SELECT 'text_hashes', * FROM d)
+        |ORDER BY table_name""".stripMargin)
   }
 }
