@@ -168,7 +168,14 @@ object DevPlans {
         "combine) + the exact-distinct ground truth; registers merge " +
         "by per-bucket MAX (law-proven shard-merge ≡ global), so the " +
         "8 KB register file is what ships between executors at scale, " +
-        "never gram streams."))
+        "never gram streams."),
+    "q236_ann_delete_probe" ->
+      ("Deletion propagation costs nothing at probe time: the literal " +
+        "cluster IN-list still partition-prunes the codes scan THROUGH " +
+        "the tombstone anti-join (a BroadcastHashJoin LeftAnti against " +
+        "the bounded tombstone set), so a forget request never turns " +
+        "the pruned probe into a corpus scan — PlanSpec pins both the " +
+        "PartitionFilters and the broadcast."))
 
   def main(args: Array[String]): Unit = {
     val spark = engine.Sessions.tune(
