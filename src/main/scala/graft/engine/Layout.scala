@@ -175,6 +175,57 @@ object Layout {
     *    happen under the protocol (live is only renamed away after the
     *    marker exists) — defensively roll old back to live.
     */
+  /** Top-level data files of a flat dir (non-underscore, non-hidden). */
+  private def dataFileStatuses(fs: FileSystem, dir: Path) =
+    if (!fs.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+    else fs.listStatus(dir).filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+
+  /** The snapshot file-name set a [[stagedReplaceSnapshot]] writer
+    * recorded in its completion marker — empty for legacy markers
+    * (plain [[stagedReplace]], whose contract is single-writer).
+    */
+  private def markerSnapshot(fs: FileSystem, live: Path): Set[String] = {
+    val m = new Path(live, StagedCompleteMarker)
+    if (!fs.exists(m)) Set.empty
+    else {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  /** Post-swap completion, shared by [[stagedReplace]]'s happy path
+    * and [[healStagedReplace]]'s resume: carry over (a) data files the
+    * staged write never saw — present in old but NOT in the marker's
+    * snapshot list, i.e. appended concurrently with the snapshot-read
+    * rewrite; renamed in exactly once, closing the lost-update window
+    * a concurrent appender would otherwise hit — and (b) the
+    * `_`-prefixed entries (manifest history), then drop the old dir.
+    * Legacy markers carry no snapshot → (a) is empty → the
+    * single-writer semantics are unchanged.
+    */
+  private def finishSwap(fs: FileSystem, live: Path, old: Path): Unit = {
+    val snap = markerSnapshot(fs, live)
+    if (snap.nonEmpty)
+      dataFileStatuses(fs, old)
+        .filterNot(s => snap.contains(s.getPath.getName))
+        .foreach { s =>
+          val dst = new Path(live, s.getPath.getName)
+          if (!fs.exists(dst))
+            require(fs.rename(s.getPath, dst),
+              s"finishSwap: carry-over rename ${s.getPath} -> $dst failed")
+        }
+    fs.listStatus(old)
+      .filter(_.getPath.getName.startsWith("_"))
+      .foreach { s =>
+        val dst = new Path(live, s.getPath.getName)
+        if (!fs.exists(dst)) fs.rename(s.getPath, dst)
+      }
+    fs.delete(old, true)
+  }
+
   def healStagedReplace(spark: SparkSession, path: String): Unit = {
     val fs = FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
@@ -191,17 +242,8 @@ object Layout {
         else require(fs.rename(old, live),
           s"healStagedReplace: rollback rename $old -> $live failed")
       }
-      // idempotent `_`-entry move (manifest/history etc.): skip names
-      // the new live dir already carries (e.g. its own _SUCCESS)
-      if (fs.exists(old)) {
-        fs.listStatus(old)
-          .filter(_.getPath.getName.startsWith("_"))
-          .foreach { s =>
-            val dst = new Path(live, s.getPath.getName)
-            if (!fs.exists(dst)) fs.rename(s.getPath, dst)
-          }
-        fs.delete(old, true)
-      }
+      // idempotent completion: carry-over + `_`-entry move + drop old
+      if (fs.exists(old)) finishSwap(fs, live, old)
     }
     if (fs.exists(stg)) fs.delete(stg, true)
   }
@@ -222,15 +264,56 @@ object Layout {
     */
   def stagedReplace(spark: SparkSession, path: String)
                    (write: String => Unit): Unit = {
+    stagedReplaceImpl(spark, path, snapshot = false)((stg, _) => write(stg))
+    ()
+  }
+
+  /** [[stagedReplace]] that is additionally safe under CONCURRENT
+    * APPENDERS (round 12): the rewrite reads EXACTLY the data files
+    * listed at entry (passed to `write` as full paths), the completion
+    * marker records their names, and after the swap any data file of
+    * the old dir NOT in that snapshot — i.e. appended while the
+    * rewrite ran — is renamed into the new live dir, exactly once. A
+    * crash anywhere still heals ([[healStagedReplace]] performs the
+    * same carry-over from the marker), so a maintenance rewrite racing
+    * a streaming appender can no longer lose the appender's committed
+    * batch — the lost-update window plain dir-read compaction has.
+    * `write` receives (stagingDir, snapshotFilePaths); it MUST read
+    * only the snapshot files (reading the live dir would race new
+    * appends into BOTH the staged content and the carry-over,
+    * duplicating them).
+    *
+    * Returns the live-rooted paths of the STAGED data files (the
+    * rewrite's own output, excluding any carried-over appends) — a
+    * caller deriving a second table from the rewrite's exact content
+    * (the purge's freq recompute) reads these instead of the live dir,
+    * so concurrent appends influence it only through their own
+    * carried-over delta segments, never twice.
+    */
+  def stagedReplaceSnapshot(spark: SparkSession, path: String)
+                           (write: (String, Seq[String]) => Unit): Seq[String] =
+    stagedReplaceImpl(spark, path, snapshot = true)(write)
+
+  private def stagedReplaceImpl(spark: SparkSession, path: String,
+                                snapshot: Boolean)
+                               (write: (String, Seq[String]) => Unit): Seq[String] = {
     healStagedReplace(spark, path)
     val fs = FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     val live = new Path(path)
     val stg = new Path(swapStagingPath(path))
     val old = new Path(swapOldPath(path))
-    write(swapStagingPath(path))
+    val snapFiles =
+      if (snapshot) dataFileStatuses(fs, live).toSeq else Seq.empty
+    write(swapStagingPath(path),
+      if (snapshot) snapFiles.map(_.getPath.toString) else Seq.empty)
     require(fs.exists(stg), s"stagedReplace: $stg missing after write")
-    fs.create(new Path(stg, StagedCompleteMarker), true).close()
+    val stagedNames = dataFileStatuses(fs, stg).map(_.getPath.getName).toSeq
+    val out = fs.create(new Path(stg, StagedCompleteMarker), true)
+    if (snapshot)
+      out.write(snapFiles.map(_.getPath.getName)
+        .mkString("\n").getBytes("UTF-8"))
+    out.close()
     if (fs.exists(live))
       require(fs.rename(live, old),
         s"stagedReplace: rename $live -> $old failed; live intact, " +
@@ -238,15 +321,8 @@ object Layout {
     require(fs.rename(stg, live),
       s"stagedReplace: rename $stg -> $live failed; old contents " +
         s"preserved in $old — healStagedReplace recovers on next call")
-    if (fs.exists(old)) {
-      fs.listStatus(old)
-        .filter(_.getPath.getName.startsWith("_"))
-        .foreach { s =>
-          val dst = new Path(live, s.getPath.getName)
-          if (!fs.exists(dst)) fs.rename(s.getPath, dst)
-        }
-      fs.delete(old, true)
-    }
+    if (fs.exists(old)) finishSwap(fs, live, old)
+    stagedNames.map(n => s"$path/$n")
   }
 
   private def pswapStagingPath(path: String) = path + "_pswap_staging"
@@ -370,8 +446,12 @@ object Layout {
     */
   def compactFlat(spark: SparkSession, path: String,
                   targetFiles: Int = 8): Unit = {
-    stagedReplace(spark, path) { staging =>
-      spark.read.parquet(path)
+    // snapshot-read rewrite (round 12): the compaction reads exactly
+    // the files listed at entry; anything appended while it runs
+    // carries over through the swap — safe under concurrent appenders
+    stagedReplaceSnapshot(spark, path) { (staging, files) =>
+      (if (files.isEmpty) spark.read.parquet(path)
+       else spark.read.parquet(files: _*))
         .repartition(math.max(1, targetFiles))
         .write.mode(SaveMode.Overwrite).parquet(staging)
     }

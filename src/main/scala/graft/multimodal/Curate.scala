@@ -322,14 +322,17 @@ object Curate {
     // vocabulary × commits — same crash-safe swap as compactFlat
     locally {
       val sub = s"$path/shingle_freq"
-      if (graft.engine.Layout.flatFileCount(spark, sub) > compactAbove) {
-        val merged = spark.read.parquet(sub)
-          .groupBy(col("shingle")).agg(sum(col("freq")).as("freq"))
-        graft.engine.Layout.stagedReplace(spark, sub) { stg =>
-          merged.repartition(filesPerCommit * 2)
+      if (graft.engine.Layout.flatFileCount(spark, sub) > compactAbove)
+        // snapshot-read re-aggregation: delta segments appended while
+        // the merge runs carry over as extra segments — the SUM-merge
+        // read semantics absorb them exactly
+        graft.engine.Layout.stagedReplaceSnapshot(spark, sub) { (stg, files) =>
+          (if (files.isEmpty) spark.read.parquet(sub)
+           else spark.read.parquet(files: _*))
+            .groupBy(col("shingle")).agg(sum(col("freq")).as("freq"))
+            .repartition(filesPerCommit * 2)
             .write.mode("overwrite").parquet(stg)
         }
-      }
     }
   }
 
@@ -393,25 +396,45 @@ object Curate {
       spark.sparkContext.hadoopConfiguration)
     graft.engine.Layout.tombstones(spark, path).foreach { ts0 =>
       val ts = broadcast(ts0)
-      def purge(table: String, keys: Seq[String]): Unit = {
+      // snapshot-read rewrites: each table rewrite reads exactly the
+      // files listed at its swap's entry; files appended concurrently
+      // carry over through the swap unfiltered (appends of tombstoned
+      // ids are contract-forbidden pre-purge, so carried-over rows are
+      // clean) — a forget-request purge racing a streaming appender
+      // loses neither side
+      def purge(table: String, keys: Seq[String]): Seq[String] = {
         val p = s"$path/$table"
-        if (fs.exists(new org.apache.hadoop.fs.Path(p)))
-          graft.engine.Layout.stagedReplace(spark, p) { stg =>
-            keys.foldLeft(spark.read.parquet(p)) { (df, k) =>
-              df.join(ts.withColumnRenamed("id", k), Seq(k), "left_anti")
-            }.repartition(targetFiles)
-              .write.mode("overwrite").parquet(stg)
-          }
+        if (!fs.exists(new org.apache.hadoop.fs.Path(p))) Seq.empty
+        else graft.engine.Layout.stagedReplaceSnapshot(spark, p) { (stg, files) =>
+          keys.foldLeft(
+            if (files.isEmpty) spark.read.parquet(p)
+            else spark.read.parquet(files: _*)) { (df, k) =>
+            df.join(ts.withColumnRenamed("id", k), Seq(k), "left_anti")
+          }.repartition(targetFiles)
+            .write.mode("overwrite").parquet(stg)
+        }
       }
-      purge("shingles", Seq("doc"))
+      val purgedShingles = purge("shingles", Seq("doc"))
       purge("text_hashes", Seq("doc_id"))
       purge("image_hashes", Seq("media_id"))
       purge("audio_hashes", Seq("media_id"))
       purge("edges", Seq("src", "dst"))
+      // freq recompute reads the shingle purge's STAGED output only
+      // (its exact post-delete content — never the live dir, where a
+      // concurrent append may already have landed and would be counted
+      // twice once its own freq deltas carry over below); stateless,
+      // so a crash-retried purge recomputes identically. Residual race
+      // (documented, bounded): an append whose shingle write precedes
+      // the shingle swap while its delta write follows the freq swap's
+      // listing gets that one batch's counts twice — frequencies feed
+      // only the AllPairs prefix ORDERING, whose completeness holds
+      // under any consistent total order, so verdicts are unaffected;
+      // exact counts need a quiesced purge (or a rebuild)
       val freqP = s"$path/shingle_freq"
-      if (fs.exists(new org.apache.hadoop.fs.Path(freqP)))
-        graft.engine.Layout.stagedReplace(spark, freqP) { stg =>
-          spark.read.parquet(s"$path/shingles")
+      if (fs.exists(new org.apache.hadoop.fs.Path(freqP)) &&
+          purgedShingles.nonEmpty)
+        graft.engine.Layout.stagedReplaceSnapshot(spark, freqP) { (stg, _) =>
+          spark.read.parquet(purgedShingles: _*)
             .groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
             .repartition(targetFiles)
             .write.mode("overwrite").parquet(stg)

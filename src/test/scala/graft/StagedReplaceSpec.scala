@@ -102,6 +102,51 @@ class StagedReplaceSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(live + "_swap_old")))
   }
 
+  test("snapshot carry-over: a file appended during the rewrite survives the swap") {
+    // the lost-update window compactFlat had: files landing between the
+    // rewrite's snapshot read and the swap were deleted with the old
+    // dir — stagedReplaceSnapshot carries them over, exactly once
+    val live = tmp()
+    writeRows(live, 0, 50, files = 3)
+    val staged = graft.engine.Layout.stagedReplaceSnapshot(spark, live) {
+      (stg, files) =>
+        assert(files.nonEmpty, "snapshot must list the entry-time files")
+        spark.read.parquet(files: _*)
+          .repartition(1).write.mode("overwrite").parquet(stg)
+        // concurrent appender lands AFTER the snapshot listing
+        spark.range(100, 110).select(col("id"))
+          .coalesce(1).write.mode("append").parquet(live)
+    }
+    assert(staged.nonEmpty)
+    assert(ids(live) === ((0L until 50L) ++ (100L until 110L)).toSet,
+      "concurrent append lost or duplicated through the swap")
+    assert(!fs.exists(new Path(live + "_swap_old")))
+    // the returned staged paths read exactly the rewrite's own output
+    assert(spark.read.parquet(staged: _*).count() === 50L)
+  }
+
+  test("snapshot carry-over: heal completes it after a post-swap crash") {
+    val live = tmp()
+    writeRows(live, 0, 50, files = 2)
+    val snapNames = fs.listStatus(new Path(live))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName)
+    // construct the crash state: swap done (live = staged content +
+    // marker listing the snapshot), old still holds snapshot files AND
+    // one concurrently appended file; the process died before finishSwap
+    val old = live + "_swap_old"
+    require(fs.rename(new Path(live), new Path(old)))
+    spark.range(100, 110).select(col("id"))
+      .coalesce(1).write.mode("append").parquet(old) // the concurrent file
+    writeRows(live, 0, 50, files = 1) // the staged content, now live
+    val out = fs.create(new Path(live, Marker), true)
+    out.write(snapNames.mkString("\n").getBytes("UTF-8")); out.close()
+    graft.engine.Layout.healStagedReplace(spark, live)
+    assert(ids(live) === ((0L until 50L) ++ (100L until 110L)).toSet,
+      "heal dropped the concurrent append (or duplicated the snapshot)")
+    assert(!fs.exists(new Path(old)))
+  }
+
   test("defensive: old present with no usable staging rolls BACK to old") {
     val live = tmp()
     writeRows(live, 0, 50)
