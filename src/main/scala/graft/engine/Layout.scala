@@ -355,7 +355,8 @@ object Layout {
     val stg = new Path(pswapStagingPath(path))
     val old = new Path(pswapOldPath(path))
     if (fs.exists(stg)) {
-      if (!fs.exists(new Path(stg, StagedCompleteMarker))) fs.delete(stg, true)
+      val marker = new Path(stg, StagedCompleteMarker)
+      if (!fs.exists(marker)) fs.delete(stg, true)
       else {
         fs.listStatus(stg).filter(_.isDirectory).foreach { s =>
           val name = s.getPath.getName
@@ -368,6 +369,36 @@ object Layout {
           require(fs.rename(s.getPath, liveP),
             s"healStagedPartitionSwap: rename ${s.getPath} -> $liveP failed")
         }
+        // carry-over (the stagedReplaceSnapshot discipline at partition
+        // level): the marker records the per-partition data files the
+        // rewrite read ("cluster=3/part-….parquet"); any file now in an
+        // old partition dir but NOT in that snapshot was appended while
+        // the rewrite ran (the streaming ANN appender) — rename it into
+        // the new live partition, exactly once. Ordered BEFORE the
+        // staging delete so a crash here re-enters this branch.
+        val snap = {
+          val in = fs.open(marker)
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toSet
+          finally in.close()
+        }
+        // empty marker = legacy/no-snapshot swap: no carry-over (the
+        // single-writer semantics those writers were promised)
+        if (snap.nonEmpty && fs.exists(old))
+          fs.listStatus(old).filter(_.isDirectory).foreach { d =>
+            dataFileStatuses(fs, d.getPath)
+              .filterNot(f =>
+                snap.contains(s"${d.getPath.getName}/${f.getPath.getName}"))
+              .foreach { f =>
+                val liveDir = new Path(path, d.getPath.getName)
+                fs.mkdirs(liveDir)
+                val dst = new Path(liveDir, f.getPath.getName)
+                if (!fs.exists(dst))
+                  require(fs.rename(f.getPath, dst),
+                    s"healStagedPartitionSwap: carry-over ${f.getPath} failed")
+              }
+          }
+        if (fs.exists(old)) fs.delete(old, true)
         fs.delete(stg, true)
       }
     }
@@ -390,14 +421,28 @@ object Layout {
     * never read, written, or renamed.
     */
   def stagedPartitionReplace(spark: SparkSession, path: String)
-                            (write: String => Unit): Unit = {
+                            (write: (String, Seq[String]) => Unit): Unit = {
     healStagedPartitionSwap(spark, path)
     val fs = FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path)
     val stg = new Path(pswapStagingPath(path))
-    write(pswapStagingPath(path))
+    // per-partition snapshot at entry — `write` must read EXACTLY these
+    // files (via option("basePath", path) to keep the partition
+    // column); files appended after this listing carry over through
+    // the swap, so a purge racing the streaming ANN appender loses
+    // neither side
+    val snapshot =
+      if (!fs.exists(live)) Seq.empty[(String, Path)]
+      else fs.listStatus(live).filter(_.isDirectory).toSeq.flatMap { d =>
+        dataFileStatuses(fs, d.getPath).toSeq
+          .map(f => (s"${d.getPath.getName}/${f.getPath.getName}", f.getPath))
+      }
+    write(pswapStagingPath(path), snapshot.map(_._2.toString))
     require(fs.exists(stg), s"stagedPartitionReplace: $stg missing after write")
-    fs.create(new Path(stg, StagedCompleteMarker), true).close()
+    val out = fs.create(new Path(stg, StagedCompleteMarker), true)
+    out.write(snapshot.map(_._1).mkString("\n").getBytes("UTF-8"))
+    out.close()
     healStagedPartitionSwap(spark, path) // marker present ⇒ performs the swap
   }
 

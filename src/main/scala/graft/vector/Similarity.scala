@@ -641,8 +641,11 @@ object Similarity {
         .select(col("cluster").cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq
       if (affected.nonEmpty)
-        graft.engine.Layout.stagedPartitionReplace(spark, asgPath) { stg =>
-          spark.read.parquet(asgPath)
+        graft.engine.Layout.stagedPartitionReplace(spark, asgPath) {
+          (stg, snapshot) =>
+          (if (snapshot.isEmpty) spark.read.parquet(asgPath)
+           else spark.read.option("basePath", asgPath)
+             .parquet(snapshot: _*))
             .filter(col("cluster").cast("string").isin(affected: _*))
             .join(ts, Seq("id"), "left_anti")
             .repartition(col("cluster"))
@@ -1967,8 +1970,15 @@ object Similarity {
         .select(col("cluster").cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq
       if (affected.nonEmpty)
-        graft.engine.Layout.stagedPartitionReplace(spark, codesPath) { stg =>
-          spark.read.parquet(codesPath)
+        graft.engine.Layout.stagedPartitionReplace(spark, codesPath) {
+          (stg, snapshot) =>
+          // read EXACTLY the entry-time snapshot (basePath keeps the
+          // cluster partition column); files a concurrent
+          // sinkIvfAdcAppend lands while this runs carry over through
+          // the swap — the purge and the appender lose neither side
+          (if (snapshot.isEmpty) spark.read.parquet(codesPath)
+           else spark.read.option("basePath", codesPath)
+             .parquet(snapshot: _*))
             .filter(col("cluster").cast("string").isin(affected: _*))
             .join(ts, Seq("id"), "left_anti")
             .repartition(col("cluster"))

@@ -236,6 +236,34 @@ class DeleteSpec extends AnyFunSuite {
     graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
   }
 
+  test("stagedPartitionReplace: a file appended during the rewrite carries over through the swap") {
+    // the ANN-tier lost-update window: sinkIvfAdcAppend landing a batch
+    // into a cluster dir while a purge rewrites it must survive
+    val live = tmp("graft_pswap_co")
+    def writePart(part: Int, from: Int, until: Int): Unit =
+      spark.range(from, until).select(col("id"), lit(part).as("p"))
+        .coalesce(1).write.mode("append").partitionBy("p").parquet(live)
+    writePart(0, 0, 10); writePart(1, 10, 20)
+    graft.engine.Layout.stagedPartitionReplace(spark, live) {
+      (stg, snapshot) =>
+        assert(snapshot.nonEmpty)
+        // rewrite partition 0 only, from the snapshot, dropping id < 5
+        spark.read.option("basePath", live).parquet(snapshot: _*)
+          .filter(col("p") === 0 && col("id") >= 5)
+          .repartition(col("p"))
+          .write.mode("overwrite").partitionBy("p").parquet(stg)
+        // concurrent appender lands into the SAME partition mid-rewrite
+        spark.range(100, 105).select(col("id"), lit(0).as("p"))
+          .coalesce(1).write.mode("append").partitionBy("p").parquet(live)
+    }
+    val got = spark.read.parquet(live).select(col("id")).as[Long]
+      .collect().toSet
+    assert(got === ((5L until 10L) ++ (10L until 20L) ++ (100L until 105L)).toSet,
+      "concurrent append lost or duplicated through the partition swap")
+    assert(!fs.exists(new Path(live + "_pswap_staging")))
+    assert(!fs.exists(new Path(live + "_pswap_old")))
+  }
+
   test("stagedPartitionReplace crash states: no marker discards; marker resumes; reads never mix") {
     def writePart(path: String, part: Int, from: Int, until: Int): Unit =
       spark.range(from, until).select(col("id"), lit(part).as("p"))
