@@ -344,8 +344,8 @@ object Curate {
     * with no delete history skip the join entirely (one listing
     * probe).
     */
-  private def liveSig(spark: SparkSession, path: String, table: String,
-                      key: String): DataFrame = {
+  private[graft] def liveSig(spark: SparkSession, path: String, table: String,
+                             key: String): DataFrame = {
     val df = spark.read.parquet(s"$path/$table")
     graft.engine.Layout.tombstones(spark, path) match {
       case Some(ts) =>
@@ -377,6 +377,14 @@ object Curate {
                                purgeAboveRows: Long = 100000L): Unit = {
     ids.select(col(idColName).cast("long").as("id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+    // the FILE-count axis: many small forget batches accrete one file
+    // each long before the row threshold purges — compact the
+    // (tombstone-sized) table on the appendSignatures cadence so read
+    // listings stay bounded; snapshot carry-over makes this safe under
+    // a concurrent deleter
+    if (graft.engine.Layout.flatFileCount(spark, s"$path/tombstones") > 48)
+      graft.engine.Layout.compactFlat(spark, s"$path/tombstones",
+        targetFiles = 1)
     if (spark.read.parquet(s"$path/tombstones").count() > purgeAboveRows)
       purgeSignatureIndex(spark, path)
   }

@@ -310,9 +310,14 @@ object Clusters {
       val b = batch.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
       val bShingles = Dedup.shingleSets(b, "doc_id", "text", shingleN)
+      // tombstone-filtered reads (round-12 deletion propagation):
+      // forget-request deletes vanish from the append's standing
+      // corpus immediately, before any purge rewrite
       val sAll = graft.engine.Caches.persisted("appendDedupIndexed.shingles",
-        spark.read.parquet(s"$indexPath/shingles").unionByName(bShingles))
-      val hCorpus = spark.read.parquet(s"$indexPath/text_hashes")
+        graft.multimodal.Curate.liveSig(spark, indexPath, "shingles", "doc")
+          .unionByName(bShingles))
+      val hCorpus = graft.multimodal.Curate.liveSig(spark, indexPath,
+        "text_hashes", "doc_id")
       val hNew = b.select(col("doc_id"), md5(col("text")).as("h"))
       appendVerdicts(hCorpus.select("doc_id"), b.select("doc_id"),
         appendTextEdgesFromSignatures(sAll, hCorpus.unionByName(hNew),

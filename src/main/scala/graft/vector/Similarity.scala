@@ -203,11 +203,18 @@ object Similarity {
 
   /** Assign every vector to its nearest centroid (broadcast NL join over
     * the tiny centroid table + per-vector argmax; deterministic tiebreak
-    * by centroid id).
+    * by centroid id). Zero vectors are EXCLUDED here — the [[normed]]
+    * convention enforced at the site that computes the cosine, because
+    * several callers (the IVFADC build/append chain) pass raw corpora
+    * and a zero vector's cosine is 0/0, an ANSI DIVIDE_BY_ZERO the
+    * ivfAdcProbeJoin generative law seed-found; a vector with no cosine
+    * direction cannot be meaningfully assigned to a cosine-ranked list,
+    * so it is not indexed (exactly [[buildIvfIndex]]'s behavior).
     */
   def ivfAssign(emb: DataFrame, cents: DataFrame,
                 idCol: String, vecCol: String): DataFrame =
-    emb.crossJoin(broadcast(cents))
+    emb.filter(dot(col(vecCol), col(vecCol)) > 0)
+      .crossJoin(broadcast(cents))
       .withColumn("_cos", cosine(col(vecCol), col("centroid_vec")))
       .groupBy(col(idCol))
       .agg(max(struct(col("_cos").as("c"), col("centroid_id").as("cid")))
@@ -619,6 +626,9 @@ object Similarity {
                          purgeAboveRows: Long = 100000L): Unit = {
     ids.select(col(idColName).cast("long").as("id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$indexPath/tombstones")
+    if (graft.engine.Layout.flatFileCount(spark, s"$indexPath/tombstones") > 48)
+      graft.engine.Layout.compactFlat(spark, s"$indexPath/tombstones",
+        targetFiles = 1)
     if (spark.read.parquet(s"$indexPath/tombstones").count() > purgeAboveRows)
       purgeIvfIndex(spark, indexPath)
   }
@@ -1944,6 +1954,11 @@ object Similarity {
                             purgeAboveRows: Long = 100000L): Unit = {
     ids.select(col(idColName).cast("long").as("id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$indexPath/tombstones")
+    // bound the FILE count under many small forget batches (the
+    // Curate.deleteFromSignatureIndex cadence)
+    if (graft.engine.Layout.flatFileCount(spark, s"$indexPath/tombstones") > 48)
+      graft.engine.Layout.compactFlat(spark, s"$indexPath/tombstones",
+        targetFiles = 1)
     if (spark.read.parquet(s"$indexPath/tombstones").count() > purgeAboveRows)
       purgeIvfAdcIndex(spark, indexPath)
   }

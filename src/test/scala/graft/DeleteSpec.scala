@@ -103,6 +103,13 @@ class DeleteSpec extends AnyFunSuite {
         "doc_id", "text")),
       "append against tombstoned index diverged from remaining-corpus append")
     graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
+    // the text-only append tier sees the same remaining corpus
+    assert(rows(graft.text.Clusters.appendDedupIndexed(spark, dir, batch,
+        "doc_id", "text"))
+      === rows(graft.text.Clusters.appendDedup(remaining, batch,
+        "doc_id", "text")),
+      "text append against tombstoned index diverged")
+    graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
   }
 
   test("IVFADC: tombstoned probes exclude deleted ids and equal the purged index; purge rewrites only affected clusters") {
@@ -233,6 +240,26 @@ class DeleteSpec extends AnyFunSuite {
       "doc_id", "text", pcts))
     assert(rows(Curate.unifiedManifestFromIndex(spark, dir, pcts)) === want,
       "streamed forget requests diverged from the batch delete")
+    graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
+  }
+
+  test("many small forget batches: tombstone file count stays bounded, reads stay correct") {
+    val dir = tmp("graft_del_many")
+    Curate.buildSignatureIndex(spark, docs, "doc_id", "text", dir)
+    // 52 one-id deletes of ids NOT in the corpus (no verdict change),
+    // then the two real ones: file count must compact at the cadence,
+    // and the read must still equal rebuild-on-remaining
+    (1000L until 1052L).foreach { id =>
+      Curate.deleteFromSignatureIndex(spark, dir,
+        Seq(id).toDF("doc_id"), "doc_id", purgeAboveRows = 100000L)
+    }
+    assert(graft.engine.Layout.flatFileCount(spark, s"$dir/tombstones") <= 10,
+      "tombstone files accreted unbounded under small delete batches")
+    Curate.deleteFromSignatureIndex(spark, dir,
+      deadDocs.toDF("doc_id"), "doc_id", purgeAboveRows = 100000L)
+    assert(rows(Curate.unifiedManifestFromIndex(spark, dir, pcts))
+      === rows(Curate.unifiedManifest(spark, remaining, "doc_id", "text", pcts)),
+      "reads diverged after many-small-batch deletes")
     graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
   }
 

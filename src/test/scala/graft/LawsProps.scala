@@ -1662,7 +1662,12 @@ object LawsProps extends Properties("graft.laws") {
       Gen.listOfN(24, Gen.listOfN(4, Gen.choose(-4, 4).map(_.toFloat))),
       Gen.listOfN(3, Gen.choose(0, 23))) { (vecsRaw, queryIdx) =>
       import org.apache.spark.sql.functions.col
-      val emb = vecsRaw.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      // a zero vector ALWAYS rides along (id 9000): it has no cosine
+      // direction, so the build must skip it rather than throw ANSI
+      // DIVIDE_BY_ZERO in the assignment cosine — the seed-found
+      // regression this pin keeps dead
+      val emb = (vecsRaw.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          :+ (9000L, List.fill(4)(0.0f)))
         .toDF("vec_id", "embedding")
       val idx = java.nio.file.Files.createTempDirectory("graft_annlaw")
         .toString + "/index"
