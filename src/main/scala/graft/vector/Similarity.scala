@@ -102,8 +102,15 @@ object Similarity {
   /** Exact brute-force cosine top-k neighbours of `queryId`. */
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String,
                  queryId: Long, k: Int): DataFrame = {
+    // zero-norm query ⇒ empty q ⇒ empty result — the same behavior as
+    // a missing query id, and no ANSI 0/0 in the cosine (the
+    // ivfAssign/normed zero-vector convention at the query site)
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("_q"))
+      .filter(dot(col("_q"), col("_q")) > 0)
     emb.filter(col(idCol) =!= queryId)
+      // zero corpus vectors have no cosine direction — excluded, the
+      // same convention every indexed variant now applies (ivfAssign)
+      .filter(dot(col(vecCol), col(vecCol)) > 0)
       .crossJoin(broadcast(q))
       .withColumn("cos_sim", round(cosine(col(vecCol), col("_q")), 6))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
@@ -499,7 +506,11 @@ object Similarity {
       else centroids(emb, idCol, vecCol, nCentroids))
     val cents = graft.engine.Caches.persisted("ivfTopK.centroids", cents0)
     val assigned = ivfAssign(emb, cents, idCol, vecCol)
+    // zero-norm query ⇒ empty q ⇒ empty result — the same behavior as
+    // a missing query id, and no ANSI 0/0 in the cosine (the
+    // ivfAssign/normed zero-vector convention at the query site)
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("_q"))
+      .filter(dot(col("_q"), col("_q")) > 0)
     val probed = cents.crossJoin(broadcast(q))
       .withColumn("_cos", cosine(col("centroid_vec"), col("_q")))
       .orderBy(col("_cos").desc, col("centroid_id").asc)
@@ -998,7 +1009,11 @@ object Similarity {
                  trainIters: Int = 1): DataFrame = {
     val cents = centroids(emb, idCol, vecCol, nCentroids)
     val asg = ivfAssign(emb, cents, idCol, vecCol)
+    // zero-norm query ⇒ empty q ⇒ empty result — the same behavior as
+    // a missing query id, and no ANSI 0/0 in the cosine (the
+    // ivfAssign/normed zero-vector convention at the query site)
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("_q"))
+      .filter(dot(col("_q"), col("_q")) > 0)
     val probed = cents.crossJoin(broadcast(q))
       .withColumn("_cos", cosine(col("centroid_vec"), col("_q")))
       .orderBy(col("_cos").desc, col("centroid_id").asc)
@@ -1071,7 +1086,11 @@ object Similarity {
       trainPqCodebook(base, emb, idCol, nCodes, trainIters))
     // probe: coarse ranking, keeping each probed list's centroid for
     // its residual table
+    // zero-norm query ⇒ empty q ⇒ empty result — the same behavior as
+    // a missing query id, and no ANSI 0/0 in the cosine (the
+    // ivfAssign/normed zero-vector convention at the query site)
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("_q"))
+      .filter(dot(col("_q"), col("_q")) > 0)
     val probed = graft.engine.Caches.persisted("ivfRAdcTopK.probed",
       cents.crossJoin(broadcast(q))
         .withColumn("_cos", cosine(col("centroid_vec"), col("_q")))
@@ -1118,7 +1137,11 @@ object Similarity {
     */
   private def rerankExact(emb: DataFrame, ids: DataFrame, idCol: String,
                           vecCol: String, queryId: Long, k: Int): DataFrame = {
+    // zero-norm query ⇒ empty q ⇒ empty result — the same behavior as
+    // a missing query id, and no ANSI 0/0 in the cosine (the
+    // ivfAssign/normed zero-vector convention at the query site)
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("_q"))
+      .filter(dot(col("_q"), col("_q")) > 0)
     emb.join(broadcast(ids), Seq(idCol), "left_semi")
       .crossJoin(broadcast(q))
       .withColumn("cos_sim", round(cosine(col(vecCol), col("_q")), 6))
