@@ -2189,6 +2189,25 @@ object SparkEntry {
       multimodal.Curate.deletionReport(s, deletedSignatureIndexFor(s, dir))
     }),
 
+    "q238_sig_fsck" -> ((s, dir) => {
+      // index integrity audit over the TOMBSTONED q235 index: every
+      // invariant must hold (the doc universe, md5 uniqueness, no
+      // in-flight swaps) with the freq check correctly reporting its
+      // documented stale-under-tombstones state and the pending
+      // forget-request count surfaced. The checks are proven to FIRE
+      // on corruption in FsckSpec (fault injection); this gate pins
+      // the healthy-state contract and the report schema.
+      multimodal.Curate.fsckSignatureIndex(s, deletedSignatureIndexFor(s, dir))
+    }),
+
+    "q239_ann_fsck" -> ((s, dir) => {
+      // the ANN tier's integrity audit over the TOMBSTONED q236 index:
+      // codes arity/decode/cluster/id invariants all hold, no swap
+      // leftovers, and the tombstone bookkeeping reads zero
+      // already-purged ids (the index was never purged).
+      Similarity.fsckIvfAdcIndex(s, deletedIvfAdcIndexFor(s, dir))
+    }),
+
     "q159_time_travel_ts" -> ((s, dir) => {
       // timestamp-based time travel (Delta's timestampAsOf) over REAL
       // commits: resolve v1's commit instant from the manifest history

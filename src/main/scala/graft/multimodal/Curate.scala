@@ -486,6 +486,71 @@ object Curate {
       .orderBy(col("table_name"))
   }
 
+  /** Integrity audit (fsck) of a signature index — the
+    * [[graft.vector.Similarity.fsckIvfAdcIndex]] discipline for the
+    * manifest tier: one row per invariant,
+    * `(check, ok, n_violations, detail)`, aggregate-sized.
+    * Checks: the four signature tables + meta exist; every shingle row
+    * belongs to a doc in `text_hashes` (the id universe — an orphan
+    * means a partial append or a half-completed purge); one md5 row
+    * per doc; `shingle_freq` sums to the shingle row count when no
+    * tombstones are pending (under tombstones freq is stale by
+    * documented design — the check reports ok with the reason);
+    * no in-flight swap leftovers (healable, named per table).
+    */
+  def fsckSignatureIndex(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    def ex(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+    val required = Seq("shingles", "text_hashes", "image_hashes",
+      "audio_hashes", "meta")
+    val missing = required.filter(!ex(_))
+    val layoutRow = Seq(("layout_parts", missing.isEmpty,
+      missing.size.toLong,
+      if (missing.isEmpty) "all signature tables present"
+      else s"missing: ${missing.mkString(",")}"))
+    if (missing.nonEmpty)
+      return layoutRow.toDF("check_name", "ok", "n_violations", "detail")
+    val hashes = spark.read.parquet(s"$path/text_hashes")
+    val orphanShingles = spark.read.parquet(s"$path/shingles")
+      .select(col("doc").as("doc_id")).distinct()
+      .join(hashes.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .count()
+    val dupDocs = hashes.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).count()
+    val tombstoned = graft.engine.Layout.tombstones(spark, path)
+      .map(_.count()).getOrElse(0L)
+    val (freqOk, freqN, freqDetail) =
+      if (!ex("shingle_freq"))
+        (true, 0L, "no freq relation (pre-round-12 index)")
+      else if (tombstoned > 0)
+        (true, 0L, s"stale by design under $tombstoned pending tombstones")
+      else {
+        val sumFreq = spark.read.parquet(s"$path/shingle_freq")
+          .agg(coalesce(sum(col("freq")), lit(0L))).head().getLong(0)
+        val nRows = spark.read.parquet(s"$path/shingles").count()
+        (sumFreq == nRows, math.abs(sumFreq - nRows),
+          s"freq segments sum to $sumFreq vs $nRows shingle rows")
+      }
+    val leftovers = (required ++ Seq("shingle_freq", "edges"))
+      .flatMap(t => Seq(s"${t}_swap_staging", s"${t}_swap_old"))
+      .filter(ex)
+    (layoutRow ++ Seq(
+      ("doc_universe", orphanShingles == 0L, orphanShingles,
+        "every shingle doc exists in text_hashes"),
+      ("docs_unique", dupDocs == 0L, dupDocs, "one md5 row per doc"),
+      ("freq_consistent", freqOk, freqN, freqDetail),
+      ("no_swap_leftovers", leftovers.isEmpty, leftovers.size.toLong,
+        if (leftovers.isEmpty) "no in-flight staged swap"
+        else s"run healStagedReplace: ${leftovers.mkString(",")}"),
+      ("tombstones_pending", true, tombstoned,
+        "pending forget requests (anti-joined on read; purge folds them)")))
+      .toDF("check_name", "ok", "n_violations", "detail")
+      .orderBy(col("check_name"))
+  }
+
   /** [[appendManifest]] against a persisted signature index: the
     * standing corpus contributes its PRE-DERIVED shingle/md5/perceptual
     * signatures from [[buildSignatureIndex]]'s layout, so an append

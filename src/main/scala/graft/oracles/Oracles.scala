@@ -183,6 +183,47 @@ object Oracles {
     // q237: the deletion-state report recomputed from first
     // principles — shingle totals via the shared shingle CTE, one row
     // per doc for the three hash tables, masked = the q235 delete set
+    // q238/q239: the fsck healthy-state contracts over the tombstoned
+    // q235/q236 indexes — every invariant row literal except the
+    // pending-tombstone counts, recomputed from the delete predicates
+    ("q238_sig_fsck" ->
+      s"""WITH n AS (
+        |  SELECT CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT) AS c
+        |  FROM documents)
+        |SELECT check_name, ok, n_violations, detail FROM (
+        |  SELECT 'doc_universe' AS check_name, TRUE AS ok,
+        |    CAST(0 AS BIGINT) AS n_violations,
+        |    'every shingle doc exists in text_hashes' AS detail
+        |  UNION ALL SELECT 'docs_unique', TRUE, CAST(0 AS BIGINT),
+        |    'one md5 row per doc'
+        |  UNION ALL SELECT 'freq_consistent', TRUE, CAST(0 AS BIGINT),
+        |    'stale by design under ' || (SELECT c FROM n) ||
+        |    ' pending tombstones'
+        |  UNION ALL SELECT 'layout_parts', TRUE, CAST(0 AS BIGINT),
+        |    'all signature tables present'
+        |  UNION ALL SELECT 'no_swap_leftovers', TRUE, CAST(0 AS BIGINT),
+        |    'no in-flight staged swap'
+        |  UNION ALL SELECT 'tombstones_pending', TRUE, (SELECT c FROM n),
+        |    'pending forget requests (anti-joined on read; purge folds them)')
+        |ORDER BY check_name""".stripMargin) +
+    ("q239_ann_fsck" ->
+      """SELECT check_name, ok, n_violations, detail FROM (
+        |  SELECT 'clusters_known' AS check_name, TRUE AS ok,
+        |    CAST(0 AS BIGINT) AS n_violations,
+        |    'every cluster value is a centroid id' AS detail
+        |  UNION ALL SELECT 'code_arity', TRUE, CAST(0 AS BIGINT),
+        |    'every codes array has 16 entries'
+        |  UNION ALL SELECT 'codes_decode', TRUE, CAST(0 AS BIGINT),
+        |    'every (subspace, code) exists in the codebook'
+        |  UNION ALL SELECT 'ids_unique', TRUE, CAST(0 AS BIGINT),
+        |    'one code row per vector id'
+        |  UNION ALL SELECT 'layout_parts', TRUE, CAST(0 AS BIGINT),
+        |    'codes/codebook/centroids present'
+        |  UNION ALL SELECT 'no_swap_leftovers', TRUE, CAST(0 AS BIGINT),
+        |    'no in-flight partition swap'
+        |  UNION ALL SELECT 'tombstones_benign', TRUE, CAST(0 AS BIGINT),
+        |    'tombstoned ids absent from codes are already purged (benign)')
+        |ORDER BY check_name""".stripMargin) +
     ("q237_delete_report" ->
       s"""WITH $shingleCte,
         |s AS (

@@ -2035,6 +2035,70 @@ object Similarity {
     }
   }
 
+  /** Integrity audit (fsck) of a persisted IVFADC index — the
+    * operational answer to "can I trust this index before I probe
+    * 100 TB through it": one row per invariant,
+    * `(check, ok, n_violations, detail)`, all aggregate-sized work.
+    * Checks: the three layout parts exist; every stored code vector
+    * has exactly nSub codes; every (subspace, code) pair decodes
+    * against the codebook (a retrained codebook decoding stale codes
+    * — the [[pqReconstructionError]] scaladoc's corruption — surfaces
+    * HERE as dangling codes, before it quietly inflates distances);
+    * every cluster value is a real centroid id; ids are unique; no
+    * in-flight swap leftovers (healable — named so an operator runs
+    * the heal); tombstone bookkeeping (absent ids are benign).
+    * Fault-injection spec'd: each check is proven to FIRE on a
+    * corrupted index, not just pass on a healthy one.
+    */
+  def fsckIvfAdcIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    def ex(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/$sub"))
+    val partsOk = Seq("codes", "codebook", "centroids").filter(!ex(_))
+    val layoutRow = Seq(("layout_parts", partsOk.isEmpty,
+      partsOk.size.toLong,
+      if (partsOk.isEmpty) "codes/codebook/centroids present"
+      else s"missing: ${partsOk.mkString(",")}"))
+    if (partsOk.nonEmpty)
+      return layoutRow.toDF("check_name", "ok", "n_violations", "detail")
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val nSub = cb.agg(max(col("cs"))).head().getInt(0) + 1
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val arity = codes.filter(size(col("codes")) =!= nSub).count()
+    val exploded = codes.select(col("id"),
+      posexplode(col("codes")).as(Seq("s", "code")))
+    val dangling = exploded.join(
+        broadcast(cb.select(col("cs").as("s"), col("code"))),
+        Seq("s", "code"), "left_anti").count()
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("centroid_id").as("cluster"))
+    val unknownCluster = codes.select(col("cluster"))
+      .join(broadcast(cents), Seq("cluster"), "left_anti").count()
+    val dupIds = codes.groupBy(col("id")).count()
+      .filter(col("count") > 1).count()
+    val leftovers = Seq("codes_pswap_staging", "codes_pswap_old")
+      .filter(ex)
+    val tsAbsent = graft.engine.Layout.tombstones(spark, indexPath)
+      .map(_.join(codes.select(col("id")), Seq("id"), "left_anti").count())
+      .getOrElse(0L)
+    (layoutRow ++ Seq(
+      ("code_arity", arity == 0L, arity, s"every codes array has $nSub entries"),
+      ("codes_decode", dangling == 0L, dangling,
+        "every (subspace, code) exists in the codebook"),
+      ("clusters_known", unknownCluster == 0L, unknownCluster,
+        "every cluster value is a centroid id"),
+      ("ids_unique", dupIds == 0L, dupIds, "one code row per vector id"),
+      ("no_swap_leftovers", leftovers.isEmpty, leftovers.size.toLong,
+        if (leftovers.isEmpty) "no in-flight partition swap"
+        else s"run healStagedPartitionSwap: ${leftovers.mkString(",")}"),
+      ("tombstones_benign", true, tsAbsent,
+        "tombstoned ids absent from codes are already purged (benign)")))
+      .toDF("check_name", "ok", "n_violations", "detail")
+      .orderBy(col("check_name"))
+  }
+
   /** [[ivfAdcProbe]] keyed by an id in the source table — the
     * [[ivfProbeById]] convenience for the PQ index.
     */

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Curate
+import graft.vector.Similarity
+
+/** Index integrity audits (round 12): the healthy state reads all-OK
+  * (the q238/q239 gates pin that), and — the half a report is worthless
+  * without — each invariant FIRES on an injected corruption. Every
+  * fault here is a realistic failure: a retrained codebook decoding
+  * stale codes, a double-ingested id, a partial append's orphan rows,
+  * a crashed swap's leftover dir.
+  */
+class FsckSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val fs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString + "/index"
+
+  private def checkMap(df: org.apache.spark.sql.DataFrame): Map[String, (Boolean, Long)] =
+    df.collect().map(r => r.getString(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+
+  private val docs = Seq(
+    1L -> "alpha beta gamma delta epsilon zeta eta theta",
+    2L -> "red orange yellow green blue indigo violet white",
+    3L -> "one two three four five six seven eight"
+  ).toDF("doc_id", "text")
+
+  test("signature fsck: healthy all-OK; each invariant fires on its fault") {
+    val dir = tmp("graft_fsck_sig")
+    Curate.buildSignatureIndex(spark, docs, "doc_id", "text", dir)
+    val healthy = checkMap(Curate.fsckSignatureIndex(spark, dir))
+    assert(healthy.values.forall(_._1), s"healthy index not all-OK: $healthy")
+    // fault 1: orphan shingle rows (a partial append that never wrote
+    // the doc's md5 row)
+    Seq((999L, "ghost shingle")).toDF("doc", "shingle")
+      .coalesce(1).write.mode("append").parquet(s"$dir/shingles")
+    val m1 = checkMap(Curate.fsckSignatureIndex(spark, dir))
+    assert(!m1("doc_universe")._1 && m1("doc_universe")._2 === 1L)
+    // the orphan also desyncs freq (freq was derived pre-fault)
+    assert(!m1("freq_consistent")._1)
+    // fault 2: duplicate md5 row (double ingest)
+    Seq((1L, "deadbeef")).toDF("doc_id", "h")
+      .coalesce(1).write.mode("append").parquet(s"$dir/text_hashes")
+    assert(!checkMap(Curate.fsckSignatureIndex(spark, dir))("docs_unique")._1)
+    // fault 3: crashed-swap leftover dir
+    fs.mkdirs(new Path(s"$dir/shingles_swap_staging"))
+    val m3 = checkMap(Curate.fsckSignatureIndex(spark, dir))
+    assert(!m3("no_swap_leftovers")._1)
+    fs.delete(new Path(s"$dir/shingles_swap_staging"), true)
+    // fault 4: a missing table degrades to the layout row alone
+    fs.rename(new Path(s"$dir/meta"), new Path(s"$dir/meta_gone"))
+    val m4 = Curate.fsckSignatureIndex(spark, dir).collect()
+    assert(m4.length === 1 && !m4.head.getBoolean(1)
+      && m4.head.getString(3).contains("meta"))
+  }
+
+  test("signature fsck: pending tombstones reported, freq stale-by-design honored") {
+    val dir = tmp("graft_fsck_ts")
+    Curate.buildSignatureIndex(spark, docs, "doc_id", "text", dir)
+    Curate.deleteFromSignatureIndex(spark, dir, Seq(2L).toDF("doc_id"),
+      "doc_id")
+    val m = checkMap(Curate.fsckSignatureIndex(spark, dir))
+    assert(m("tombstones_pending")._2 === 1L)
+    assert(m("freq_consistent")._1, "freq must read ok-stale under tombstones")
+    Curate.purgeSignatureIndex(spark, dir)
+    val m2 = checkMap(Curate.fsckSignatureIndex(spark, dir))
+    assert(m2("tombstones_pending")._2 === 0L)
+    assert(m2.values.forall(_._1), s"post-purge index not all-OK: $m2")
+  }
+
+  test("ANN fsck: healthy all-OK; each invariant fires on its fault") {
+    val emb = (0L until 16L).map(i => (i, List.fill(4)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val dir = tmp("graft_fsck_ann")
+    Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", dir,
+      nCentroids = 2, nSub = 2, nCodes = 4)
+    graft.engine.Caches.releaseAll()
+    val healthy = checkMap(Similarity.fsckIvfAdcIndex(spark, dir))
+    assert(healthy.values.forall(_._1), s"healthy index not all-OK: $healthy")
+    // fault 1: duplicate id (double append of the same batch, the
+    // failure idempotentPromote exists to prevent)
+    val one = spark.read.parquet(s"$dir/codes").limit(1)
+    one.write.mode("append").partitionBy("cluster").parquet(s"$dir/codes")
+    val m1 = checkMap(Similarity.fsckIvfAdcIndex(spark, dir))
+    assert(!m1("ids_unique")._1 && m1("ids_unique")._2 === 1L)
+    // fault 2: retrained codebook decoding stale codes — drop one
+    // (cs, code) row the codes reference
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val used = spark.read.parquet(s"$dir/codes")
+      .select(posexplode(col("codes")).as(Seq("s", "code")))
+      .limit(1).collect().head
+    val cb2 = cb.filter(!(col("cs") === used.getInt(0) &&
+      col("code") === used.getLong(1))).collect()
+    val cbSchema = cb.schema
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(cb2.toSeq), cbSchema)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    assert(!checkMap(Similarity.fsckIvfAdcIndex(spark, dir))("codes_decode")._1)
+  }
+}
