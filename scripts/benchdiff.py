@@ -67,6 +67,26 @@ def main():
                 for q, i, p in sorted(hot, key=lambda t: -t[2])[:20]:
                     print(f"  {q:<28} rep {i + 1} probe "
                           f"{p * 1000:.0f} ms ({p / probe_ref:.1f}x ref)")
+        # I/O-side probe (round-13): a timed ~8 MB page-cache read before
+        # each rep. The round-12 burst was invisible to the CPU spin
+        # probe (1.0-1.6x) while reps swung 13x — it was I/O/memory-side.
+        # Band: >3x the run reference AND >20 ms absolute (page-cache
+        # reads jitter more than ALU spins; an evicted-cache or
+        # saturated-storage read blows past both).
+        io_ref = doc.get("io_probe_ref_s")
+        io_probes = doc.get("io_probe_s", {})
+        if io_ref:
+            hot = []
+            for q, ps in io_probes.items():
+                for i, p in enumerate(ps):
+                    if p is not None and p > 3.0 * io_ref and p - io_ref > 0.02:
+                        hot.append((q, i, p))
+            if hot:
+                print(f"IOPROBE  {tag}: {len(hot)} I/O-contended rep(s) "
+                      f"(io ref {io_ref * 1000:.1f} ms):")
+                for q, i, p in sorted(hot, key=lambda t: -t[2])[:20]:
+                    print(f"  {q:<28} rep {i + 1} io-probe "
+                          f"{p * 1000:.0f} ms ({p / io_ref:.1f}x ref)")
         # rep-level outliers (informational, never gating): one rep far
         # above its siblings with a flat GC delta is a host/co-tenant
         # window, not the plan — reps_start_ms pins it to a wall clock
@@ -100,8 +120,11 @@ def main():
                 ps = probes.get(q)
                 pr = (f", probe {ps[i] * 1000:.0f} ms"
                       if ps and i < len(ps) and ps[i] is not None else "")
+                ios = doc.get("io_probe_s", {}).get(q)
+                ior = (f", io-probe {ios[i] * 1000:.0f} ms"
+                       if ios and i < len(ios) and ios[i] is not None else "")
                 print(f"REPSPIKE {tag} {q:<28} rep {i + 1}/{len(runs)} "
-                      f"{worst:.2f} s vs min {min(ok):.2f} s{at}{gcs}{pr}")
+                      f"{worst:.2f} s vs min {min(ok):.2f} s{at}{gcs}{pr}{ior}")
     # min-of-reps per query (contention only ever ADDS time, so the min
     # is the plan-cost estimate robust to a burst that swallows a whole
     # median-of-3 window — round-11 verdict item)

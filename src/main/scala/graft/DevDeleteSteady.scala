@@ -49,8 +49,9 @@ object DevDeleteSteady {
       multimodal.Curate.deleteFromSignatureIndex(spark, dir, dead,
         "doc_id", purgeAboveRows = purgeAbove)
       val delS = (System.nanoTime() - t0) / 1e9
-      val purged = !fs.exists(
-        new org.apache.hadoop.fs.Path(s"$dir/tombstones"))
+      // snapshot-scoped cleanup (round 13) leaves the dir and deletes
+      // the folded files — "purged" = no pending tombstone data
+      val purged = graft.engine.Layout.tombstones(spark, dir).isEmpty
       val t1 = System.nanoTime()
       val rows = multimodal.Curate.appendManifestIndexed(spark, dir, batch,
         "doc_id", "text").count()

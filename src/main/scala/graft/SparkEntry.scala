@@ -149,6 +149,35 @@ object SparkEntry {
       path
     })
 
+  /** q240's per-CALL index: the forget cycle MUTATES its index (it
+    * purges), so unlike the read-only q235 fixtures it cannot share a
+    * per-JVM memo across calls — a second run would find the rows
+    * already gone and report a different cycle. A pristine base index
+    * builds once per JVM; each call file-copies it to a fresh dir
+    * (megabytes at gate scale — far cheaper than a rebuild) and runs
+    * the cycle there, so every invocation reports the same
+    * deterministic first-cycle outcome.
+    */
+  private val forgetBaseCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def forgetCycleIndexCopy(s: SparkSession, dir: String): String = {
+    val base = forgetBaseCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_forgetbase")
+        .toString + "/index"
+      multimodal.Curate.buildSignatureIndex(s, Tables.load(s, dir, "documents"),
+        "doc_id", "text", path)
+      path
+    })
+    val dst = java.nio.file.Files.createTempDirectory("graft_forgetrun")
+      .toString + "/index"
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(base), fs,
+      new org.apache.hadoop.fs.Path(dst), false, conf)
+    dst
+  }
+
   /** Build-once memo for the DELETED IVFADC index (q236): the shared
     * build with vec_id % 7 = 2 tombstoned — probes must exclude the
     * deleted ids and refill the top-k from survivors under the same
@@ -1144,18 +1173,18 @@ object SparkEntry {
     }),
 
     "q39_embed_neardup_lsh" -> ((s, dir) => {
-      // oracle-gated since round 6 (q32/q41 pattern): at 24 bands × 4
-      // sign bits the banding's measured recall on the GATE corpus
-      // (sf0.01) is total (59/59 exact pairs; 43/59 at the 8-band
-      // default) and the exact-cosine verify step makes precision
-      // exact, so q38's all-pairs oracle applies verbatim there — the
-      // gate asserts LSH loses nothing at these parameters. The
-      // premise is corpus-specific (sf0.001 misses 3/66, sf0.1 misses
-      // 8/920), so `oracleMeasuredOn` ties the oracle to sf0.01:
-      // elsewhere the surface is the honest subset-with-exact-
-      // precision semantics and Verify omits the equality claim
+      // oracle-gated (q32/q41 pattern) with SCALE-PARAMETRIC banding
+      // (round 13): nBands = -1 derives the band count from the corpus
+      // size via lshBandsForRecall's worst-case collision bound (67
+      // bands at n=500, 75 at n=2000), replacing the 24-band constant
+      // whose total recall was measured only at sf0.01 (it missed 3/66
+      // at sf0.001 and 8/920 at sf0.1, pinning the oracle to one sf).
+      // Measured with the derived counts (DevLshBands): 66/66, 59/59,
+      // 920/920 — exact equality at ALL three testdata corpora, so the
+      // full-registry sf0.1 sweep carries no rows-only row for q39;
+      // precision stays exact via the cosine verify step
       Similarity.embedNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
-          nBands = 24)
+          nBands = -1)
         .orderBy("id_a", "id_b")
     }),
 
@@ -2198,6 +2227,23 @@ object SparkEntry {
       // on corruption in FsckSpec (fault injection); this gate pins
       // the healthy-state contract and the report schema.
       multimodal.Curate.fsckSignatureIndex(s, deletedSignatureIndexFor(s, dir))
+    }),
+
+    "q240_forget_cycle" -> ((s, dir) => {
+      // the forget loop closed end to end (round 13): ONE
+      // forgetAndVerify cycle — recovery, tombstone record (doc_id %
+      // 10 = 3), deletion report, policy purge (0.05 < the ~10% mask,
+      // so the purge FIRES inside the gated query), fsck — on a fresh
+      // copy of the pristine index. The oracle recomputes the whole
+      // report from first principles: request count and per-table
+      // masked fractions from the documents table (shingle fraction
+      // via the shared shingle CTE), the policy comparison, and the
+      // audited end state (0 pending, 0 failing) that a completed
+      // purge must reach.
+      multimodal.Curate.forgetAndVerify(s, forgetCycleIndexCopy(s, dir),
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 3)
+          .select("doc_id"),
+        "doc_id", purgeAboveMaskedFraction = 0.05)
     }),
 
     "q239_ann_fsck" -> ((s, dir) => {

@@ -226,7 +226,20 @@ object Layout {
     fs.delete(old, true)
   }
 
-  def healStagedReplace(spark: SparkSession, path: String): Unit = {
+  /** `discardMarkerless` (ADVICE r12): a staging dir WITHOUT a
+    * completion marker is indistinguishable from (a) a crashed write —
+    * dead, safe to discard — and (b) a concurrent writer's staged
+    * write still materializing. Only a WRITER entering the protocol
+    * (which holds the single-writer role for this table and therefore
+    * knows no other write is in flight) or an explicit operator heal
+    * may discard it; read paths call with the default `false` and
+    * leave marker-less staging alone — it is a sibling dir the live
+    * read never lists, so skipping it costs readers nothing, while
+    * deleting it mid-write would fail the in-flight writer's
+    * post-write `require`.
+    */
+  def healStagedReplace(spark: SparkSession, path: String,
+                        discardMarkerless: Boolean = false): Unit = {
     val fs = FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     val live = new Path(path)
@@ -245,7 +258,10 @@ object Layout {
       // idempotent completion: carry-over + `_`-entry move + drop old
       if (fs.exists(old)) finishSwap(fs, live, old)
     }
-    if (fs.exists(stg)) fs.delete(stg, true)
+    // a completed-but-never-promoted staging (marker present, live
+    // intact, no old) made no promise either — but only a writer may
+    // clear it, same in-flight ambiguity as the marker-less case
+    if (discardMarkerless && fs.exists(stg)) fs.delete(stg, true)
   }
 
   /** Crash-safe full replacement of a FLAT table dir (round-12; the
@@ -297,7 +313,7 @@ object Layout {
   private def stagedReplaceImpl(spark: SparkSession, path: String,
                                 snapshot: Boolean)
                                (write: (String, Seq[String]) => Unit): Seq[String] = {
-    healStagedReplace(spark, path)
+    healStagedReplace(spark, path, discardMarkerless = true)
     val fs = FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     val live = new Path(path)
@@ -348,16 +364,29 @@ object Layout {
     * entirely-old or entirely-new — and the tombstone filter makes
     * BOTH reads correct for the purge path, which is why tombstones
     * are only cleared after the swap fully completes.
+    *
+    * `discardMarkerless` (ADVICE r12): a marker-less staging root is
+    * ambiguous between a crashed write (dead) and a concurrent purge's
+    * staged write STILL RUNNING — and this heal is invoked from read
+    * paths (liveCodes/liveAssignments on every probe), which used to
+    * discard an in-flight purge's staging mid-write and fail its
+    * post-write `require`. Readers now leave marker-less staging
+    * untouched (it is a sibling dir the live read never lists); only
+    * the writer's own entry — which holds the single-purger role and
+    * knows no other write is in flight — or an explicit operator heal
+    * passes `true`.
     */
-  def healStagedPartitionSwap(spark: SparkSession, path: String): Unit = {
+  def healStagedPartitionSwap(spark: SparkSession, path: String,
+                              discardMarkerless: Boolean = false): Unit = {
     val fs = FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     val stg = new Path(pswapStagingPath(path))
     val old = new Path(pswapOldPath(path))
     if (fs.exists(stg)) {
       val marker = new Path(stg, StagedCompleteMarker)
-      if (!fs.exists(marker)) fs.delete(stg, true)
-      else {
+      if (!fs.exists(marker)) {
+        if (discardMarkerless) fs.delete(stg, true)
+      } else {
         fs.listStatus(stg).filter(_.isDirectory).foreach { s =>
           val name = s.getPath.getName
           val liveP = new Path(path, name)
@@ -422,7 +451,7 @@ object Layout {
     */
   def stagedPartitionReplace(spark: SparkSession, path: String)
                             (write: (String, Seq[String]) => Unit): Unit = {
-    healStagedPartitionSwap(spark, path)
+    healStagedPartitionSwap(spark, path, discardMarkerless = true)
     val fs = FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     val live = new Path(path)
@@ -458,8 +487,68 @@ object Layout {
     val p = s"$indexRoot/tombstones"
     val fs = FileSystem.get(new java.net.URI(indexRoot),
       spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(p))) None
+    // data-file check, not dir existence: a snapshot-scoped purge
+    // deletes the FILES it folded in and leaves the dir — an emptied
+    // dir means no pending deletes (and parquet cannot infer a schema
+    // from zero files anyway)
+    if (dataFileStatuses(fs, new Path(p)).isEmpty) None
     else Some(spark.read.parquet(p).select(col("id")).distinct())
+  }
+
+  /** Entry-time snapshot of an index's tombstone state, for purge and
+    * rebuild verbs: the distinct id set MATERIALIZED on the driver
+    * from exactly the data files present at entry, plus those files'
+    * paths. Closes two concurrency defects of the lazy
+    * [[tombstones]]+delete-the-dir protocol (ADVICE r12):
+    *  - a lazy tombstone frame re-reads the dir on every action, so a
+    *    concurrent deleteFrom* whose file-count compaction fires can
+    *    remove files a running purge plan references (FileNotFound
+    *    task failures), and the id set can GROW between the purge's
+    *    affected-partition computation and its anti-join — clearing
+    *    tombstones for ids that were never folded into the rewrite.
+    *    The materialized set gives every purge stage one consistent
+    *    id universe, immune to concurrent dir churn;
+    *  - deleting the ENTIRE tombstone dir at purge end discards ids a
+    *    concurrent deleter appended after the purge's read — a
+    *    silently lost forget request whose rows remain in the data
+    *    files. [[clearTombstoneFiles]] removes only the snapshot
+    *    files; newer appends survive to drive the next purge.
+    * If a concurrent compaction merged a snapshot file away mid-purge,
+    * its cleanup is a no-op and the already-purged ids remain as
+    * tombstones masking absent ids — benign (fsck's
+    * `tombstones_benign` row) until the next purge clears them; no id
+    * is ever resurrected or lost. The set is bounded by the delete
+    * verbs' auto-purge threshold (~1e5 long ids), so driver
+    * materialization is broadcast-sized. None when the index has no
+    * tombstone data files.
+    */
+  def tombstoneSnapshot(spark: SparkSession, indexRoot: String)
+      : Option[(DataFrame, Seq[Path])] = {
+    val fs = FileSystem.get(new java.net.URI(indexRoot),
+      spark.sparkContext.hadoopConfiguration)
+    val files = dataFileStatuses(fs, new Path(s"$indexRoot/tombstones"))
+      .map(_.getPath).toSeq
+    if (files.isEmpty) None
+    else {
+      val ids = spark.read.parquet(files.map(_.toString): _*)
+        .select(col("id").cast("long").as("id"))
+        .filter(col("id").isNotNull).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      import spark.implicits._
+      Some((ids.toDF("id"), files))
+    }
+  }
+
+  /** Delete exactly the tombstone files a [[tombstoneSnapshot]] read —
+    * the cleanup side of the snapshot contract. Files already gone
+    * (merged away by a concurrent deleter's compaction) are skipped;
+    * an emptied dir is left in place (a listing probe, not a marker).
+    */
+  def clearTombstoneFiles(spark: SparkSession, indexRoot: String,
+                          files: Seq[Path]): Unit = {
+    val fs = FileSystem.get(new java.net.URI(indexRoot),
+      spark.sparkContext.hadoopConfiguration)
+    files.foreach(f => if (fs.exists(f)) fs.delete(f, false))
   }
 
   /** Total bytes of the top-level data files in a FLAT table dir —

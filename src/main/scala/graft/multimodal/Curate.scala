@@ -402,7 +402,12 @@ object Curate {
                           targetFiles: Int = 8): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    graft.engine.Layout.tombstones(spark, path).foreach { ts0 =>
+    // entry-time tombstone snapshot (ADVICE r12): one materialized id
+    // universe for every table rewrite, immune to a concurrent
+    // deleter's dir churn; the cleanup deletes only the snapshot files
+    // so a forget request appended mid-purge is never lost
+    graft.engine.Layout.tombstoneSnapshot(spark, path).foreach {
+      case (ts0, tsFiles) =>
       val ts = broadcast(ts0)
       // snapshot-read rewrites: each table rewrite reads exactly the
       // files listed at its swap's entry; files appended concurrently
@@ -447,7 +452,7 @@ object Curate {
             .repartition(targetFiles)
             .write.mode("overwrite").parquet(stg)
         }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      graft.engine.Layout.clearTombstoneFiles(spark, path, tsFiles)
     }
   }
 
@@ -549,6 +554,74 @@ object Curate {
         "pending forget requests (anti-joined on read; purge folds them)")))
       .toDF("check_name", "ok", "n_violations", "detail")
       .orderBy(col("check_name"))
+  }
+
+  /** ONE operational forget cycle — the round-12 deletion pieces
+    * chained into the verb a production pipeline actually schedules
+    * (round-12 verdict item #6): recover any interrupted predecessor,
+    * record the forget requests, read the deletion report, purge when
+    * the masked fraction crosses policy, and AUDIT the result. Returns
+    * a one-row operational report:
+    * `(n_requested, masked_fraction, purged, pending_tombstones,
+    * fsck_ok, failing_checks)` — `masked_fraction` is the pre-purge
+    * worst per-table garbage ratio ([[deletionReport]]), the number
+    * the purge policy fires on.
+    *
+    * Crash contract (ForgetCycleSpec kills the cycle between every
+    * stage): each stage boundary leaves the index readable and correct
+    * — stage 1's tombstones mask immediately, an interrupted stage-3
+    * purge self-heals ([[graft.engine.Layout.stagedReplaceSnapshot]]'s
+    * protocol), and spent-but-uncleared tombstones mask absent ids (a
+    * no-op). The NEXT cycle's entry recovery (writer-role heal +
+    * re-evaluating policy over the still-pending tombstones) completes
+    * whatever was interrupted, so fsck reads green at every cycle
+    * boundary without operator intervention. The per-batch streaming
+    * face is [[graft.streaming.EventStream.forgetAndVerifyStream]].
+    */
+  def forgetAndVerify(spark: SparkSession, indexPath: String,
+                      ids: DataFrame, idColName: String,
+                      purgeAboveMaskedFraction: Double = 0.25,
+                      purgeAboveRows: Long = 100000L): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    // stage 0 — recovery: the cycle holds the index's single-writer
+    // role, so a marker-less staging remnant here is a dead crash, not
+    // a concurrent writer — finish or discard every table's swap
+    Seq("shingles", "text_hashes", "image_hashes", "audio_hashes",
+        "edges", "shingle_freq", "tombstones").foreach { t =>
+      val p = s"$indexPath/$t"
+      if (fs.exists(new org.apache.hadoop.fs.Path(p)) ||
+          fs.exists(new org.apache.hadoop.fs.Path(p + "_swap_staging")) ||
+          fs.exists(new org.apache.hadoop.fs.Path(p + "_swap_old")))
+        graft.engine.Layout.healStagedReplace(spark, p,
+          discardMarkerless = true)
+    }
+    // stage 1 — record: delete-proportional tombstone append (this
+    // verb's own ROW-COUNT cadence may fire a purge on its own)
+    val nRequested = ids.select(col(idColName)).distinct().count()
+    if (nRequested > 0)
+      deleteFromSignatureIndex(spark, indexPath, ids, idColName,
+        purgeAboveRows)
+    // stage 2 — report → policy: the garbage ratio every read pays
+    val worst = deletionReport(spark, indexPath)
+      .agg(coalesce(max(col("masked_fraction")), lit(0.0)))
+      .head().getDouble(0)
+    // stage 3 — purge when policy says the anti-join overlay costs
+    // more than one amortized rewrite
+    val purged = worst > purgeAboveMaskedFraction
+    if (purged) purgeSignatureIndex(spark, indexPath)
+    // stage 4 — audit: the fsck verdicts are the cycle's exit status
+    val fsck = fsckSignatureIndex(spark, indexPath)
+    val failing = fsck.filter(!col("ok")).count()
+    val pending = graft.engine.Layout.tombstones(spark, indexPath)
+      .map(_.count()).getOrElse(0L)
+    spark.range(1).select(
+      lit(nRequested).as("n_requested"),
+      lit(worst).as("masked_fraction"),
+      lit(purged).as("purged"),
+      lit(pending).as("pending_tombstones"),
+      lit(failing == 0L).as("fsck_ok"),
+      lit(failing).as("failing_checks"))
   }
 
   /** [[appendManifest]] against a persisted signature index: the

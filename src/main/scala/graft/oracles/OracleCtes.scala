@@ -638,9 +638,10 @@ private[graft] object OracleCtes {
       |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
 
   // exact all-pairs cosine near-dup — shared by q38 (exact operator) and
-  // q39 (hyperplane LSH at nBands=24, where recall on this corpus is
-  // total and precision is exact by the verify step, so the banding must
-  // lose nothing — same gate shape as q32/q41)
+  // q39 (auto-banded hyperplane LSH: lshBandsForRecall derives the band
+  // count from the corpus size, recall measured total at every testdata
+  // sf, precision exact by the verify step, so the banding must lose
+  // nothing — same gate shape as q32/q41)
   private[oracles] val embedNearDupOracle: String =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

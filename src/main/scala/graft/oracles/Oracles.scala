@@ -12,10 +12,12 @@ object Oracles {
     * exact-twin oracle premise is MEASURED to hold. The q31/q32,
     * q38/q39, q40/q41/q81 gates assert approximate == exact verbatim —
     * an equality that is a measured fact of (corpus, seed, parameters),
-    * not a law: 24-band hyperplane LSH loses nothing at sf0.01 (59/59)
-    * but misses 3/66 pairs at sf0.001 and 8/920 at sf0.1, while the
-    * minhash banding (min qualifying jaccard 0.875) and the IVF probe
-    * are measured total on all three testdata corpora. Verify emits
+    * not a law: the minhash banding (min qualifying jaccard 0.875),
+    * the IVF probe, and (since round 13) the scale-parametric
+    * auto-banded hyperplane LSH (lshBandsForRecall derives the band
+    * count from the corpus size; measured 66/66, 59/59, 920/920 —
+    * DevLshBands) are measured total on all three testdata corpora.
+    * Verify emits
     * these oracles only when its sf dir is in the query's measured set
     * and omits them elsewhere, so pointing the gate at an unmeasured
     * corpus records the honest weaker rows-check instead of converting
@@ -31,7 +33,7 @@ object Oracles {
     "q197_ann_join" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q201_pq_reconstruction" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q191_ivfadc_recall" -> Set("sf0.001", "sf0.01", "sf0.1"),
-    "q39_embed_neardup_lsh" -> Set("sf0.01"),
+    "q39_embed_neardup_lsh" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q41_ivf_topk" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q81_ivf_probe" -> Set("sf0.001", "sf0.01", "sf0.1"))
 
@@ -163,15 +165,25 @@ object Oracles {
         |    COALESCE(SUM(nt) FILTER (WHERE ke AND kn AND ks), 0) FROM f)
         |ORDER BY stage""".stripMargin) +
     // q235 (round-12 deletion propagation): the q160 composition
-    // replayed over the corpus MINUS the deleted set — every
-    // `documents` table reference rewrites to a filtered derived
-    // table (single-pass textual replace; the word occurs only as a
-    // table reference in the q160 SQL), so the oracle proves the
-    // tombstoned/purged index answers exactly as an index built from
-    // the remaining docs, using the SAME edge/walk/split arithmetic
-    ("q235_manifest_after_delete" ->
-      base("q160_multimodal_manifest").replace("documents",
-        "(SELECT * FROM documents WHERE doc_id % 10 <> 3)")) +
+    // replayed over the corpus MINUS the deleted set — a CTE named
+    // `documents` SHADOWS the base view for every reference in the
+    // query (including the shared shingle/jaccard CTEs), with the
+    // schema-qualified `main.documents` escaping the shadow for the
+    // filter itself. SQL scoping, not text substitution (ADVICE r12:
+    // the previous whole-string replace would corrupt silently if the
+    // word ever appeared in a comment or literal of the q160 SQL), so
+    // the oracle proves the tombstoned/purged index answers exactly as
+    // an index built from the remaining docs, using the SAME
+    // edge/walk/split arithmetic
+    ("q235_manifest_after_delete" -> {
+      val q160 = base("q160_multimodal_manifest")
+      require(q160.startsWith("WITH RECURSIVE "),
+        "q235 oracle: q160 SQL no longer starts with WITH RECURSIVE — " +
+          "re-anchor the shadowing-CTE splice")
+      q160.replaceFirst("^WITH RECURSIVE ",
+        "WITH RECURSIVE documents AS " +
+          "(SELECT * FROM main.documents WHERE doc_id % 10 <> 3), ")
+    }) +
     // q236: the q196 ADC probe chain with tombstoned vec_ids excluded
     // from the CANDIDATE rows only — training and centroids replay
     // over the full corpus (the engine's frozen artifacts), deleted
@@ -213,6 +225,8 @@ object Oracles {
         |    'every cluster value is a centroid id' AS detail
         |  UNION ALL SELECT 'code_arity', TRUE, CAST(0 AS BIGINT),
         |    'every codes array has 16 entries'
+        |  UNION ALL SELECT 'codebook_nonempty', TRUE, CAST(0 AS BIGINT),
+        |    'codebook has rows'
         |  UNION ALL SELECT 'codes_decode', TRUE, CAST(0 AS BIGINT),
         |    'every (subspace, code) exists in the codebook'
         |  UNION ALL SELECT 'ids_unique', TRUE, CAST(0 AS BIGINT),
@@ -224,6 +238,35 @@ object Oracles {
         |  UNION ALL SELECT 'tombstones_benign', TRUE, CAST(0 AS BIGINT),
         |    'tombstoned ids absent from codes are already purged (benign)')
         |ORDER BY check_name""".stripMargin) +
+    // q240 (round-13 closed forget loop): the one-row cycle report
+    // recomputed from first principles — request count and per-table
+    // masked fractions off the documents table (the doc-level hash
+    // tables share one fraction; shingles weight docs by their shingle
+    // counts via the shared CTE), the 0.05 policy comparison the purge
+    // fires on, and the audited post-purge end state (nothing pending,
+    // nothing failing). GREATEST mirrors deletionReport's max over
+    // tables; both sides divide the same BIGINTs as DOUBLEs.
+    ("q240_forget_cycle" ->
+      s"""WITH $shingleCte,
+        |d AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT)
+        |      AS masked
+        |  FROM documents),
+        |sm AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT)
+        |      AS masked
+        |  FROM sh)
+        |SELECT d.masked AS n_requested,
+        |  GREATEST(CAST(d.masked AS DOUBLE) / d.total,
+        |           CAST(sm.masked AS DOUBLE) / sm.total) AS masked_fraction,
+        |  GREATEST(CAST(d.masked AS DOUBLE) / d.total,
+        |           CAST(sm.masked AS DOUBLE) / sm.total) > 0.05 AS purged,
+        |  CAST(0 AS BIGINT) AS pending_tombstones,
+        |  TRUE AS fsck_ok,
+        |  CAST(0 AS BIGINT) AS failing_checks
+        |FROM d, sm""".stripMargin) +
     ("q237_delete_report" ->
       s"""WITH $shingleCte,
         |s AS (

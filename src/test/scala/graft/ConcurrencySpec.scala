@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CROSS-JVM concurrency: two real JVMs — the parent test session and
+  * a spawned [[ConcurrencyWorker]] child with its own SparkSession —
+  * racing against one index directory on the shared filesystem
+  * (round-12 verdict item #4: the staged-swap crash states were spec'd
+  * only via in-process fault injection; the production failure mode is
+  * two PROCESSES).
+  *
+  * Overlap is asserted from logged wall-clock timestamps, not assumed:
+  * each test requires the parent's racing operations to land strictly
+  * inside the child's logged work window, and fails (rather than
+  * silently passing) if the race never materialized.
+  */
+class ConcurrencySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val fs = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+
+  /** Spawn a ConcurrencyWorker JVM with this JVM's classpath and
+    * module options (the sbt fork already carries the JDK-17
+    * add-opens Spark needs); stdout goes to `log`.
+    */
+  private def spawn(log: java.io.File, args: String*): Process = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    // the sbt fork passes each module flag as TWO argv entries
+    // ("--add-opens", "pkg=ALL-UNNAMED") — reconstruct the pairs; also
+    // accept the single "--add-opens=pkg=..." form for robustness
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toVector
+    val addOpens = jvmArgs.zipWithIndex.flatMap {
+      case (a, i) if a == "--add-opens" && i + 1 < jvmArgs.size =>
+        Seq(a, jvmArgs(i + 1))
+      case (a, _) if a.startsWith("--add-opens=") => Seq(a)
+      case _ => Seq.empty
+    }
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx3g", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.ConcurrencyWorker") ++ args
+    new ProcessBuilder(cmd.asJava)
+      .redirectErrorStream(true)
+      .redirectOutput(log)
+      .start()
+  }
+
+  private def awaitLine(log: java.io.File, line: String,
+                        timeoutMs: Long = 120000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (log.exists() &&
+          scala.io.Source.fromFile(log).getLines().contains(line)) return
+      Thread.sleep(100)
+    }
+    fail(s"child never printed '$line'; log:\n" +
+      (if (log.exists()) scala.io.Source.fromFile(log).mkString else "<none>"))
+  }
+
+  private def logLines(log: java.io.File): Seq[String] =
+    scala.io.Source.fromFile(log).getLines().toSeq
+
+  test("two JVMs: appender races a compacting child; no batch lost, no row duplicated") {
+    val dir = Files.createTempDirectory("graft_xjvm_compact").toString + "/t"
+    spark.range(0, 100).select(col("id")).coalesce(2)
+      .write.mode("append").parquet(dir)
+    val log = Files.createTempFile("graft_xjvm", ".log").toFile
+    // child: compactFlat loop for ~12 s of wall-clock
+    val child = spawn(log, "compact", dir, "12000")
+    try {
+      awaitLine(log, "READY")
+      // parent: append batches WHILE the child compacts — each append
+      // is a committed write the snapshot carry-over must preserve
+      val appendWindows = (0 until 12).map { i =>
+        val t0 = System.currentTimeMillis()
+        spark.range(1000L + i * 10, 1000L + i * 10 + 10).select(col("id"))
+          .coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(400)
+        (t0, System.currentTimeMillis())
+      }
+      assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "compacting child did not exit")
+      assert(child.exitValue() === 0,
+        s"child failed:\n${logLines(log).takeRight(40).mkString("\n")}")
+      val rounds = logLines(log).filter(_.startsWith("ROUND "))
+        .map { l => val p = l.split(" "); (p(1).toLong, p(2).toLong) }
+      assert(rounds.nonEmpty, "child logged no compaction rounds")
+      // the race really happened: >=1 parent append landed strictly
+      // inside a child compaction round's window
+      val overlapped = appendWindows.exists { case (a0, a1) =>
+        rounds.exists { case (r0, r1) => a0 < r1 && r0 < a1 } }
+      assert(overlapped,
+        s"appends never overlapped a compaction round: appends=" +
+          s"$appendWindows rounds=$rounds")
+      // correctness: exactly the initial rows plus every appended batch,
+      // each exactly once
+      val got = spark.read.parquet(dir).as[Long].collect().toList.sorted
+      val want = ((0L until 100L) ++
+        (0 until 12).flatMap(i => 1000L + i * 10 until 1000L + i * 10 + 10))
+        .toList.sorted
+      assert(got === want,
+        "concurrent append/compaction lost or duplicated rows")
+    } finally child.destroyForcibly()
+  }
+
+  test("two JVMs: reader races a purging child; every read sees exactly the live set") {
+    import graft.vector.Similarity
+    val dir = Files.createTempDirectory("graft_xjvm_purge").toString + "/index"
+    // a corpus big enough that the purge's staged rewrite takes real
+    // wall-clock in the child (several Spark jobs over 3 clusters)
+    val emb = (0L until 512L).map(i =>
+        (i, List.tabulate(8)(j => ((i * 31 + j * 17) % 97).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", dir,
+      nCentroids = 3, nSub = 2, nCodes = 8)
+    graft.engine.Caches.releaseAll()
+    val dead = (0L until 512L by 7L).toSeq
+    // tombstones only — the purge itself runs in the CHILD
+    dead.toDF("id").coalesce(1).write.mode("append").parquet(s"$dir/tombstones")
+    val liveWant = (0L until 512L).toSet -- dead
+    def readLive(): Set[Long] = {
+      // the read path: heal probe + tombstone anti-join (liveCodes'
+      // shape, via the public fsck-free surface). One retry for the
+      // documented µs-wide rename window.
+      def once(): Set[Long] = {
+        graft.engine.Layout.healStagedPartitionSwap(spark, s"$dir/codes")
+        val codes = spark.read.parquet(s"$dir/codes").select(col("id"))
+        (graft.engine.Layout.tombstones(spark, dir) match {
+          case Some(ts) => codes.join(broadcast(ts), Seq("id"), "left_anti")
+          case None => codes
+        }).as[Long].collect().toSet
+      }
+      try once() catch { case _: org.apache.spark.SparkException |
+                              _: java.io.FileNotFoundException =>
+        Thread.sleep(50); once() }
+    }
+    assert(readLive() === liveWant, "pre-purge tombstoned read wrong")
+    val log = Files.createTempFile("graft_xjvm_purge", ".log").toFile
+    val child = spawn(log, "purge", dir)
+    try {
+      awaitLine(log, "READY")
+      // read CONTINUOUSLY until the child exits; record read windows
+      val reads = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+      while (child.isAlive) {
+        val t0 = System.currentTimeMillis()
+        val ok = readLive() == liveWant
+        reads += ((t0, System.currentTimeMillis(), ok))
+        if (!ok) fail(s"a read during the purge window saw a wrong live set")
+      }
+      assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(child.exitValue() === 0,
+        s"purging child failed:\n${logLines(log).takeRight(40).mkString("\n")}")
+      val purgeWindow = {
+        val ls = logLines(log)
+        val s = ls.find(_.startsWith("PURGE_START")).map(_.split(" ")(1).toLong)
+        val e = ls.find(_.startsWith("PURGE_END")).map(_.split(" ")(1).toLong)
+        (s.getOrElse(fail("no PURGE_START")), e.getOrElse(fail("no PURGE_END")))
+      }
+      // the race really happened: >=1 parent read landed strictly
+      // inside the child's purge window
+      assert(reads.exists { case (r0, r1, _) =>
+        r0 > purgeWindow._1 && r1 < purgeWindow._2 },
+        s"no read fell inside the purge window $purgeWindow " +
+          s"(${reads.size} reads: ${reads.take(5)}...)")
+      // post-purge: rows physically gone, tombstones spent, fsck green
+      assert(readLive() === liveWant)
+      assert(spark.read.parquet(s"$dir/codes")
+        .filter(col("id").isin(dead: _*)).count() === 0L,
+        "purge left deleted rows in codes")
+      assert(graft.engine.Layout.tombstones(spark, dir).isEmpty)
+      val fsck = Similarity.fsckIvfAdcIndex(spark, dir)
+        .select("check_name", "ok").as[(String, Boolean)].collect().toMap
+      assert(fsck.values.forall(identity), s"post-purge fsck not green: $fsck")
+    } finally child.destroyForcibly()
+  }
+}

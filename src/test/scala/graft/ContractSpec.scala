@@ -18,8 +18,9 @@ class ContractSpec extends AnyFunSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"queries without oracles: $rowsOnly")
     // the last two holdouts graduated in round 6: q33 via the md5-derived
-    // token hash (DuckDB recomputes the whole simhash), q39 via 24-band
-    // total-recall parameters sharing q38's exact oracle (q32/q41 pattern)
+    // token hash (DuckDB recomputes the whole simhash), q39 via
+    // total-recall banding sharing q38's exact oracle (q32/q41 pattern;
+    // scale-parametric band count since round 13)
   }
 
   test("query ids are unique and well-formed") {

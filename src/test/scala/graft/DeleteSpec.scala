@@ -66,7 +66,8 @@ class DeleteSpec extends AnyFunSuite {
     // purge folds the tombstones into the files: same answers, no
     // tombstone dir, no deleted id in any signature table, freq exact
     Curate.purgeSignatureIndex(spark, dir)
-    assert(!fs.exists(new Path(s"$dir/tombstones")), "purge left tombstones")
+    assert(graft.engine.Layout.tombstones(spark, dir).isEmpty,
+      "purge left pending tombstones")
     assert(rows(Curate.unifiedManifestFromIndex(spark, dir, pcts)) === want,
       "purged signature-index manifest diverged")
     assert(rows(Curate.manifestFromEdgeIndex(spark, dir, pcts)) === want,
@@ -150,7 +151,8 @@ class DeleteSpec extends AnyFunSuite {
       fs.listStatus(new Path(s"$dir/codes/$d")).map(_.getPath.getName).toSet
     ).toMap
     Similarity.purgeIvfAdcIndex(spark, dir)
-    assert(!fs.exists(new Path(s"$dir/tombstones")), "purge left tombstones")
+    assert(graft.engine.Layout.tombstones(spark, dir).isEmpty,
+      "purge left pending tombstones")
     assert(spark.read.parquet(s"$dir/codes")
       .filter(col("id").isin(dead: _*)).count() === 0L,
       "purge left deleted ids in codes")
@@ -202,7 +204,7 @@ class DeleteSpec extends AnyFunSuite {
     assert(got.intersect(dead.toSet).isEmpty, "tombstoned IVF probe leaked")
     assert(got.size === 5)
     Similarity.purgeIvfIndex(spark, dir)
-    assert(!fs.exists(new Path(s"$dir/tombstones")))
+    assert(graft.engine.Layout.tombstones(spark, dir).isEmpty)
     assert(spark.read.parquet(s"$dir/assignments")
       .filter(col("id").isin(dead: _*)).count() === 0L,
       "purge left deleted VECTORS on disk")
@@ -219,7 +221,7 @@ class DeleteSpec extends AnyFunSuite {
       .select(col("id")).as[Long].collect().toSet
     assert(ids.intersect((dead ++ dead2).toSet).isEmpty,
       "rebuild resurrected deleted vectors")
-    assert(!fs.exists(new Path(s"$dir/tombstones")),
+    assert(graft.engine.Layout.tombstones(spark, dir).isEmpty,
       "rebuild left spent tombstones")
     graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
   }
@@ -299,7 +301,15 @@ class DeleteSpec extends AnyFunSuite {
     val live1 = tmp("graft_pswap1")
     writePart(live1, 0, 0, 10); writePart(live1, 1, 10, 20)
     writePart(live1 + "_pswap_staging", 0, 100, 105) // no marker
+    // a READ-path heal must leave marker-less staging alone — it is
+    // indistinguishable from a concurrent purge's write still running
+    // (ADVICE r12); only the writer's own entry may discard it
     graft.engine.Layout.healStagedPartitionSwap(spark, live1)
+    assert(fs.exists(new Path(live1 + "_pswap_staging")),
+      "read-path heal discarded possibly-in-flight staging")
+    assert(spark.read.parquet(live1).count() === 20L)
+    graft.engine.Layout.healStagedPartitionSwap(spark, live1,
+      discardMarkerless = true)
     assert(!fs.exists(new Path(live1 + "_pswap_staging")))
     assert(spark.read.parquet(live1).count() === 20L)
     // crash AFTER marker, partition 0 half-swapped (live renamed aside,
@@ -318,5 +328,31 @@ class DeleteSpec extends AnyFunSuite {
       .collect().toSet
     assert(got === ((100L until 105L) ++ (200L until 203L)).toSet,
       "heal did not complete the swap for both partitions")
+  }
+
+  test("tombstone snapshot: a forget request appended mid-purge survives the cleanup") {
+    // the Layout primitive every purge/rebuild verb routes through
+    // (ADVICE r12: the old delete-the-whole-dir cleanup silently lost
+    // forget requests a concurrent deleter appended after the purge's
+    // tombstone read; the snapshot protocol deletes only what it
+    // folded in)
+    val dir = tmp("graft_del_snap")
+    Seq(1L, 2L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones")
+    val (ts, files) = graft.engine.Layout.tombstoneSnapshot(spark, dir).get
+    assert(ts.as[Long].collect().toSet === Set(1L, 2L))
+    // a concurrent deleter's forget batch lands AFTER the snapshot,
+    // while the "purge" is still rewriting data files
+    Seq(3L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(s"$dir/tombstones")
+    graft.engine.Layout.clearTombstoneFiles(spark, dir, files)
+    // the mid-purge request is still pending — readers keep masking it
+    assert(graft.engine.Layout.tombstones(spark, dir)
+      .map(_.as[Long].collect().toSet) === Some(Set(3L)),
+      "mid-purge forget request was lost by the cleanup")
+    // its own purge cycle clears it; the dir then reads as no-deletes
+    val (_, files2) = graft.engine.Layout.tombstoneSnapshot(spark, dir).get
+    graft.engine.Layout.clearTombstoneFiles(spark, dir, files2)
+    assert(graft.engine.Layout.tombstones(spark, dir).isEmpty)
   }
 }

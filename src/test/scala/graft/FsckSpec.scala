@@ -105,4 +105,28 @@ class FsckSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/codebook")
     assert(!checkMap(Similarity.fsckIvfAdcIndex(spark, dir))("codes_decode")._1)
   }
+
+  test("ANN fsck: an EMPTY codebook reports a failing check row, not a crash") {
+    // ADVICE r12: the max(cs) aggregate NPE'd on a zero-row codebook —
+    // the audit crashed on exactly the corruption it exists to diagnose
+    val emb = (0L until 16L).map(i => (i, List.fill(4)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val dir = tmp("graft_fsck_ann_empty")
+    Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", dir,
+      nCentroids = 2, nSub = 2, nCodes = 4)
+    graft.engine.Caches.releaseAll()
+    val cbSchema = spark.read.parquet(s"$dir/codebook").schema
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cbSchema)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val m = checkMap(Similarity.fsckIvfAdcIndex(spark, dir))
+    assert(!m("codebook_nonempty")._1 && m("codebook_nonempty")._2 === 1L,
+      s"empty codebook did not fire codebook_nonempty: $m")
+    // and the healthy path carries the same check name, passing
+    val dir2 = tmp("graft_fsck_ann_ok")
+    Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", dir2,
+      nCentroids = 2, nSub = 2, nCodes = 4)
+    graft.engine.Caches.releaseAll()
+    assert(checkMap(Similarity.fsckIvfAdcIndex(spark, dir2))("codebook_nonempty")._1)
+  }
 }

@@ -62,11 +62,19 @@ class StagedReplaceSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(live + "_swap_staging")))
   }
 
-  test("crash before marker: heal discards the partial staging, live wins") {
+  test("crash before marker: live wins; only a writer heal discards staging") {
     val live = tmp()
     writeRows(live, 0, 50)
     writeRows(live + "_swap_staging", 50, 99) // NO completion marker
+    // read-path heal: marker-less staging could be a concurrent
+    // writer's staged write still materializing (ADVICE r12) — leave it
     graft.engine.Layout.healStagedReplace(spark, live)
+    assert(ids(live) === (0L until 50L).toSet)
+    assert(fs.exists(new Path(live + "_swap_staging")),
+      "read-path heal discarded possibly-in-flight staging")
+    // writer entry holds the single-writer role: the remnant is dead
+    graft.engine.Layout.healStagedReplace(spark, live,
+      discardMarkerless = true)
     assert(ids(live) === (0L until 50L).toSet)
     assert(!fs.exists(new Path(live + "_swap_staging")))
   }

@@ -975,20 +975,26 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(latest("b")._6 === 0.0)
   }
 
-  test("q39's hard-equality premise: 24-band LSH recall is total on the gate corpus") {
-    // the q39 oracle asserts LSH == exact VERBATIM, which rests on the
-    // measured claim that 24 bands lose nothing at sf0.01 (43/59 at the
-    // 8-band default) — pin it here so a seed/fixture/parameter change
-    // fails in sbt test, not at driver gate time
-    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
-    val exact = graft.vector.Similarity
-      .embedNearDup(emb, "vec_id", "embedding", 0.4)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val lsh = graft.vector.Similarity
-      .embedNearDupLsh(emb, "vec_id", "embedding", 0.4, nBands = 24)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    spark.catalog.clearCache() // both operators persist intermediates
-    assert(lsh === exact, s"missed=${(exact -- lsh).size} false=${(lsh -- exact).size}")
+  test("q39's hard-equality premise: auto-banded LSH recall is total on the gate corpora") {
+    // the q39 oracle asserts LSH == exact VERBATIM, which since round
+    // 13 rests on the SCALE-PARAMETRIC band count (lshBandsForRecall's
+    // worst-case collision bound at the threshold) rather than a
+    // one-corpus constant — pin the premise here at the two cheap sfs
+    // so a seed/fixture/formula change fails in sbt test, not at
+    // driver gate time (sf0.1's 920/920 is covered by DevLshBands and
+    // the full-registry sf0.1 sweep)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val emb = Tables.load(spark, s"/root/testdata/$sf", "embeddings")
+      val exact = graft.vector.Similarity
+        .embedNearDup(emb, "vec_id", "embedding", 0.4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val lsh = graft.vector.Similarity
+        .embedNearDupLsh(emb, "vec_id", "embedding", 0.4, nBands = -1)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      spark.catalog.clearCache() // both operators persist intermediates
+      assert(lsh === exact,
+        s"$sf: missed=${(exact -- lsh).size} false=${(lsh -- exact).size}")
+    }
   }
 
   test("realizedVarianceStream equals batch RV per (key, bucket); straddle + nulls + bucket roll") {
