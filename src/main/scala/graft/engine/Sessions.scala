@@ -48,6 +48,16 @@ object Sessions {
     // evictable so a small storageFraction does not cap caching
     .config("spark.memory.fraction", "0.8")
     .config("spark.memory.storageFraction", "0.3")
+    // codegen class cache sized for a 240-query registry (round 13):
+    // the default 100-entry cache thrashes whenever more than ~100
+    // distinct plans run between repetitions — the interleaved bench
+    // schedule re-paid Janino compilation on EVERY rep (a diffuse
+    // ~1.5× across all sub-second queries, cleanly reproduced and
+    // cleared by this bump). Static confs: applied at the first
+    // session creation in the JVM. Generated classes are tens of KB,
+    // so 8192 entries is hundreds of MB at worst against a 24 g heap.
+    .config("spark.sql.codegen.cache.maxEntries", "8192")
+    .config("spark.sql.subexpressionElimination.cache.maxEntries", "8192")
     .config("spark.driver.maxResultSize", "1g")
     .config("spark.ui.enabled", "false")
 
