@@ -218,7 +218,13 @@ object Layout {
               s"finishSwap: carry-over rename ${s.getPath} -> $dst failed")
         }
     fs.listStatus(old)
-      .filter(_.getPath.getName.startsWith("_"))
+      .filter(s => s.getPath.getName.startsWith("_") &&
+        // never resurrect committer scratch: a `_temporary` left by an
+        // appender whose in-flight write straddled the swap is dead
+        // staging of a failed attempt (its retry re-creates its own),
+        // not table state — carrying it over would plant stale attempt
+        // dirs in the new live table
+        s.getPath.getName != "_temporary")
       .foreach { s =>
         val dst = new Path(live, s.getPath.getName)
         if (!fs.exists(dst)) fs.rename(s.getPath, dst)
@@ -294,6 +300,11 @@ object Layout {
     * same carry-over from the marker), so a maintenance rewrite racing
     * a streaming appender can no longer lose the appender's committed
     * batch — the lost-update window plain dir-read compaction has.
+    * (An appender whose IN-FLIGHT `_temporary` staging straddles the
+    * live→old rename fails before committing anything and succeeds on
+    * the standard Spark task/job retry against the new live dir — the
+    * appender-side twin of the reader's µs-wide FileNotFound window,
+    * raced cross-process in ConcurrencySpec.)
     * `write` receives (stagingDir, snapshotFilePaths); it MUST read
     * only the snapshot files (reading the live dir would race new
     * appends into BOTH the staged content and the carry-over,

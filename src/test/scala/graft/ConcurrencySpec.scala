@@ -79,11 +79,28 @@ class ConcurrencySpec extends AnyFunSuite {
     try {
       awaitLine(log, "READY")
       // parent: append batches WHILE the child compacts — each append
-      // is a committed write the snapshot carry-over must preserve
+      // is a committed write the snapshot carry-over must preserve.
+      // An append whose IN-FLIGHT _temporary staging straddles the
+      // child's live→old rename fails before committing anything (the
+      // committer's attempt dir moves away mid-write) — that is the
+      // appender-side twin of the documented µs-wide reader
+      // FileNotFound window, and a real cluster's task/job retries
+      // absorb it; the retry here mirrors that. COMMITTED batches must
+      // still land exactly once.
       val appendWindows = (0 until 12).map { i =>
         val t0 = System.currentTimeMillis()
-        spark.range(1000L + i * 10, 1000L + i * 10 + 10).select(col("id"))
-          .coalesce(1).write.mode("append").parquet(dir)
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          try {
+            spark.range(1000L + i * 10, 1000L + i * 10 + 10).select(col("id"))
+              .coalesce(1).write.mode("append").parquet(dir)
+            done = true
+          } catch {
+            case e: Throwable if attempts < 4 => Thread.sleep(100)
+          }
+        }
         Thread.sleep(400)
         (t0, System.currentTimeMillis())
       }
@@ -180,6 +197,73 @@ class ConcurrencySpec extends AnyFunSuite {
       val fsck = Similarity.fsckIvfAdcIndex(spark, dir)
         .select("check_name", "ok").as[(String, Boolean)].collect().toMap
       assert(fsck.values.forall(identity), s"post-purge fsck not green: $fsck")
+    } finally child.destroyForcibly()
+  }
+
+  test("two JVMs: forget requests appended DURING a purge are never lost") {
+    // the round-13 headline fix (ADVICE r12 #1), exercised across real
+    // processes: the old cleanup deleted the whole tombstone dir at
+    // purge end, silently discarding ids a concurrent deleter appended
+    // after the purge's read. The snapshot-scoped cleanup must leave
+    // every mid-purge forget request either FOLDED (rows gone) or
+    // PENDING (still masked) — no id may end up both present in codes
+    // and absent from tombstones.
+    import graft.vector.Similarity
+    val dir = Files.createTempDirectory("graft_xjvm_forget").toString + "/index"
+    val emb = (0L until 512L).map(i =>
+        (i, List.tabulate(8)(j => ((i * 29 + j * 13) % 89).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", dir,
+      nCentroids = 3, nSub = 2, nCodes = 8)
+    graft.engine.Caches.releaseAll()
+    // seed tombstones the CHILD will purge
+    val seeded = (0L until 512L by 11L).toSeq
+    seeded.toDF("id").coalesce(1).write.mode("append")
+      .parquet(s"$dir/tombstones")
+    val log = Files.createTempFile("graft_xjvm_forget", ".log").toFile
+    val child = spawn(log, "purge", dir)
+    try {
+      awaitLine(log, "READY")
+      // parent: a CONCURRENT DELETER appending fresh forget batches the
+      // whole time the child purges, each append timestamped
+      val lateBatches = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+      var k = 0
+      while (child.isAlive && k < 200) {
+        val ids = Seq((k * 7L + 1L) % 512L).filterNot(seeded.contains)
+        if (ids.nonEmpty) {
+          val t0 = System.currentTimeMillis()
+          ids.toDF("id").coalesce(1).write.mode("append")
+            .parquet(s"$dir/tombstones")
+          lateBatches += ((t0, ids))
+        }
+        k += 1
+      }
+      assert(child.waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(child.exitValue() === 0,
+        s"purging child failed:\n${logLines(log).takeRight(40).mkString("\n")}")
+      val ls = logLines(log)
+      val pStart = ls.find(_.startsWith("PURGE_START")).get.split(" ")(1).toLong
+      val pEnd = ls.find(_.startsWith("PURGE_END")).get.split(" ")(1).toLong
+      val inWindow = lateBatches.filter { case (t, _) => t > pStart && t < pEnd }
+      assert(inWindow.nonEmpty,
+        s"no deleter append landed inside the purge window ($pStart,$pEnd); " +
+          s"${lateBatches.size} appends total — race never materialized")
+      // invariant: every requested id is folded OR pending — never both
+      // alive in codes and missing from tombstones (= a lost forget)
+      val requested = (seeded ++ lateBatches.flatMap(_._2)).distinct
+      val codesIds = spark.read.parquet(s"$dir/codes").select(col("id"))
+        .as[Long].collect().toSet
+      val pending = graft.engine.Layout.tombstones(spark, dir)
+        .map(_.as[Long].collect().toSet).getOrElse(Set.empty)
+      val lost = requested.filter(id => codesIds.contains(id) &&
+        !pending.contains(id))
+      assert(lost.isEmpty,
+        s"forget requests LOST (alive in codes, absent from tombstones): " +
+          s"${lost.take(10)} of ${requested.size} requested " +
+          s"(${inWindow.size} batches landed mid-purge)")
+      // and the seeded set really was purged (rows physically gone)
+      assert(seeded.forall(id => !codesIds.contains(id)),
+        "child purge did not fold the seeded tombstones")
     } finally child.destroyForcibly()
   }
 }
