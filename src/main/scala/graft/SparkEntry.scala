@@ -56,6 +56,23 @@ object SparkEntry {
       path
     })
 
+  /** q241's per-CALL ANN index: the forget cycle mutates (purges), so
+    * each call file-copies the pristine q196 base index to a fresh dir
+    * — the forgetCycleIndexCopy discipline on the ANN tier.
+    */
+  private def forgetCycleAnnIndexCopy(s: SparkSession, dir: String): String = {
+    val base = ivfAdcIndexFor(s, dir)
+    val dst = java.nio.file.Files.createTempDirectory("graft_forgetannrun")
+      .toString + "/index"
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(base), fs,
+      new org.apache.hadoop.fs.Path(dst), false, conf)
+    dst
+  }
+
   /** Build-once memo for the persisted per-source HLL register files
     * (the build/probe split applied to the sketch family, round-11):
     * registers derived once per sf dir; q228 estimates read the
@@ -2227,6 +2244,20 @@ object SparkEntry {
       // on corruption in FsckSpec (fault injection); this gate pins
       // the healthy-state contract and the report schema.
       multimodal.Curate.fsckSignatureIndex(s, deletedSignatureIndexFor(s, dir))
+    }),
+
+    "q241_forget_cycle_ann" -> ((s, dir) => {
+      // the q240 cycle on the ANN tier: recovery → tombstone record
+      // (vec_id % 7 = 2, the q236 delete set) → masked-fraction report
+      // → policy purge (0.05 < the ~14% mask, so the purge fires) →
+      // fsck, on a fresh copy of the pristine IVFADC index. The oracle
+      // recomputes the report from the embeddings table: one code row
+      // per vector, so the masked fraction is the plain id-set ratio,
+      // and a completed purge must audit green with nothing pending.
+      Similarity.forgetAndVerifyAnn(s, forgetCycleAnnIndexCopy(s, dir),
+        t(s, dir, "embeddings").filter(col("vec_id") % 7 === 2)
+          .select("vec_id"),
+        "vec_id", purgeAboveMaskedFraction = 0.05)
     }),
 
     "q240_forget_cycle" -> ((s, dir) => {

@@ -267,6 +267,22 @@ object Oracles {
         |  TRUE AS fsck_ok,
         |  CAST(0 AS BIGINT) AS failing_checks
         |FROM d, sm""".stripMargin) +
+    // q241: the q240 report arithmetic on the ANN tier — codes hold
+    // one row per vector, so the masked fraction is the deleted-id
+    // ratio over the embeddings table; policy and end state as q240
+    ("q241_forget_cycle_ann" ->
+      """WITH d AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(COUNT(*) FILTER (WHERE vec_id % 7 = 2) AS BIGINT)
+        |      AS masked
+        |  FROM embeddings)
+        |SELECT d.masked AS n_requested,
+        |  CAST(d.masked AS DOUBLE) / d.total AS masked_fraction,
+        |  CAST(d.masked AS DOUBLE) / d.total > 0.05 AS purged,
+        |  CAST(0 AS BIGINT) AS pending_tombstones,
+        |  TRUE AS fsck_ok,
+        |  CAST(0 AS BIGINT) AS failing_checks
+        |FROM d""".stripMargin) +
     ("q237_delete_report" ->
       s"""WITH $shingleCte,
         |s AS (

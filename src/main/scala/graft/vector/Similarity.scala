@@ -2101,6 +2101,53 @@ object Similarity {
     }
   }
 
+  /** ONE operational forget cycle for the ANN tier — the
+    * [[graft.multimodal.Curate.forgetAndVerify]] shape applied to a
+    * persisted IVFADC index: recover any interrupted predecessor
+    * (writer-role heal of the codes partition swap), record the
+    * forget requests ([[deleteFromIvfAdcIndex]] — its own row-count
+    * cadence may purge on its own), measure the masked fraction every
+    * probe's anti-join pays, purge when it crosses policy, and audit
+    * with [[fsckIvfAdcIndex]]. Returns the same one-row report:
+    * `(n_requested, masked_fraction, purged, pending_tombstones,
+    * fsck_ok, failing_checks)`. Crash contract as the signature-tier
+    * verb: every stage boundary leaves probes correct (tombstone
+    * filtering), and the next cycle's entry completes interrupted
+    * work (ForgetCycleSpec).
+    */
+  def forgetAndVerifyAnn(spark: SparkSession, indexPath: String,
+                         ids: DataFrame, idColName: String,
+                         purgeAboveMaskedFraction: Double = 0.25,
+                         purgeAboveRows: Long = 100000L): DataFrame = {
+    graft.engine.Layout.healStagedPartitionSwap(spark, s"$indexPath/codes",
+      discardMarkerless = true)
+    val nRequested = ids.select(col(idColName)).distinct().count()
+    if (nRequested > 0)
+      deleteFromIvfAdcIndex(spark, indexPath, ids, idColName, purgeAboveRows)
+    val codes = spark.read.parquet(s"$indexPath/codes").select(col("id"))
+    val worst = graft.engine.Layout.tombstones(spark, indexPath) match {
+      case Some(ts) =>
+        val total = codes.count()
+        if (total == 0L) 0.0
+        else codes.join(broadcast(ts), Seq("id"), "left_semi")
+          .count().toDouble / total
+      case None => 0.0
+    }
+    val purged = worst > purgeAboveMaskedFraction
+    if (purged) purgeIvfAdcIndex(spark, indexPath)
+    val failing = fsckIvfAdcIndex(spark, indexPath)
+      .filter(!col("ok")).count()
+    val pending = graft.engine.Layout.tombstones(spark, indexPath)
+      .map(_.count()).getOrElse(0L)
+    spark.range(1).select(
+      lit(nRequested).as("n_requested"),
+      lit(worst).as("masked_fraction"),
+      lit(purged).as("purged"),
+      lit(pending).as("pending_tombstones"),
+      lit(failing == 0L).as("fsck_ok"),
+      lit(failing).as("failing_checks"))
+  }
+
   /** Integrity audit (fsck) of a persisted IVFADC index — the
     * operational answer to "can I trust this index before I probe
     * 100 TB through it": one row per invariant,

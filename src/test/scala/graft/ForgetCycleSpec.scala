@@ -155,6 +155,39 @@ class ForgetCycleSpec extends AnyFunSuite {
     graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
   }
 
+  test("ANN tier: mask below policy, purge above, crash recovery completes; fsck green") {
+    import graft.vector.Similarity
+    val emb = (0L until 64L).map(i =>
+        (i, List.tabulate(8)(j => ((i * 31 + j * 17) % 97).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val dir = tmp("graft_forget_ann")
+    Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", dir,
+      nCentroids = 2, nSub = 2, nCodes = 4)
+    graft.engine.Caches.releaseAll()
+    // one vector: masked 1/64 < 0.25 → tombstone only, audit green
+    val r1 = report(Similarity.forgetAndVerifyAnn(spark, dir,
+      Seq(7L).toDF("vec_id"), "vec_id"))
+    assert(r1._1 === 1L && !r1._3 && r1._4 === 1L && r1._5, s"cycle wrong: $r1")
+    assert(r1._2 > 0.0 && r1._2 < 0.25)
+    // crash-after-record predecessor: a third of the corpus tombstoned,
+    // no purge — the NEXT (empty) cycle must fire it and audit green
+    Similarity.deleteFromIvfAdcIndex(spark, dir,
+      (0L until 64L by 3L).toDF("vec_id"), "vec_id")
+    val r2 = report(Similarity.forgetAndVerifyAnn(spark, dir,
+      spark.emptyDataFrame.select(lit(0L).as("vec_id")).limit(0), "vec_id"))
+    assert(r2._1 === 0L && r2._3 && r2._4 === 0L && r2._5,
+      s"ANN recovery cycle did not complete the purge: $r2")
+    // rows physically gone for BOTH delete generations
+    val alive = spark.read.parquet(s"$dir/codes").select(col("id"))
+      .as[Long].collect().toSet
+    assert(!alive.contains(7L) && (0L until 64L by 3L).forall(!alive.contains(_)),
+      "purge left deleted vectors in codes")
+    val fsck = Similarity.fsckIvfAdcIndex(spark, dir)
+      .select("check_name", "ok").as[(String, Boolean)].collect().toMap
+    assert(fsck.values.forall(identity), s"post-cycle fsck not green: $fsck")
+    graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
+  }
+
   test("streaming loop: per-batch cycles equal the batch outcome and audit green") {
     implicit val sqlCtx = spark.sqlContext
     val dir = build()
