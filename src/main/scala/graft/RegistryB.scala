@@ -17,7 +17,7 @@ import graft.Fixtures._
   * unchanged; [[SparkEntry.queries]] concatenates the four shards and
   * asserts key-disjointness, so the driver contract (keys, closures,
   * oracle pairing) is byte-identical to the pre-split registry.
-  * 51 entries.
+  * 53 entries (q242 hybrid RRF and q243 filtered ANN added post-split).
   */
 private[graft] object RegistryB {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -657,6 +657,41 @@ private[graft] object RegistryB {
       Similarity.embedNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
           nBands = -1)
         .orderBy("id_a", "id_b")
+    }),
+
+    "q242_hybrid_rrf" -> ((s, dir) => {
+      // hybrid first-stage retrieval: the q168 BM25 probe fused with
+      // the q40 dense query-by-example via reciprocal-rank fusion —
+      // each side bounded to its top-10 by TakeOrderedAndProject
+      // (perList = 10 so the oracle can splice the q40 block, whose
+      // exact-twin SQL is itself a LIMIT 10) before the driver-scale
+      // fusion join; one-sided ids (a doc the lexical side found that
+      // carries no embedding, and vice versa) keep their single-list
+      // score, which at sf0.1 (5,000 docs vs 2,000 vectors) is the
+      // normal case the operator must handle
+      graft.ops.Retrieval.hybridTopK(
+        t(s, dir, "documents"), t(s, dir, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        Seq("spark", "vector", "merge"), queryVecId = 0L, perList = 10)
+    }),
+
+    "q243_filtered_ann" -> ((s, dir) => {
+      // filtered vector search: metadata predicate (label = 1) as an
+      // id frame, adaptive strategy switch — SELECTIVE predicates
+      // brute-force the semi-joined candidate set exactly (this
+      // corpus: ≤10% of ≤2k vectors, so the gate runs that path and
+      // the oracle is exact, corpus-unconditional); BROAD predicates
+      // take the partition-pruned ivfProbeWhere over the persisted
+      // q81 index, whose width/recall trade is law-tested in
+      // RetrievalSpec (a 10%-selectivity filter on this isotropic
+      // corpus needs nProbe = nCentroids for total recall at sf0.01 —
+      // DevFilteredRecall — which is exactly why the selective case
+      // must not probe)
+      val emb = t(s, dir, "embeddings")
+      Similarity.filteredTopK(s, ivfIndexFor(s, dir), emb,
+        "vec_id", "embedding",
+        emb.filter(col("label") === 1).select(col("vec_id").as("id")),
+        0L, 10)
     }),
   )
 }

@@ -57,6 +57,31 @@ object Oracles {
         |FROM sh JOIN rv USING (event_type) JOIN hu USING (event_type)
         |JOIN lb USING (event_type) JOIN dd USING (event_type)
         |ORDER BY event_type""".stripMargin) +
+    // q242: reciprocal-rank fusion of the q168 BM25 list and the q40
+    // dense list, both blocks spliced VERBATIM (the q172 discipline).
+    // Each side is cut to its top-10 under its own total order
+    // (score desc, id asc) and ranked by the SAME order; the fused
+    // score sums the two 1/(60+rank) terms in one pinned operand
+    // order (lexical + dense) as exact-integer double divisions, so
+    // the doubles agree bit-for-bit; ids on one list only coalesce
+    // the missing term to 0 (RRF union semantics)
+    ("q242_hybrid_rrf" ->
+      s"""WITH bm AS ${block("q168_bm25")},
+        |dn AS ${block("q40_cosine_topk")},
+        |lr AS (
+        |  SELECT doc_id AS id, row_number()
+        |    OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10)),
+        |dr AS (
+        |  SELECT vec_id AS id, row_number()
+        |    OVER (ORDER BY cos_sim DESC, vec_id) AS dense_rank
+        |  FROM (SELECT * FROM dn ORDER BY cos_sim DESC, vec_id LIMIT 10))
+        |SELECT COALESCE(lr.id, dr.id) AS id, lex_rank, dense_rank,
+        |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+        |    + COALESCE(CAST(1 AS DOUBLE) / (60 + dense_rank), 0), 9)
+        |    AS rrf
+        |FROM lr FULL OUTER JOIN dr ON lr.id = dr.id
+        |ORDER BY rrf DESC, id LIMIT 10""".stripMargin) +
     ("q175_ann_recall" ->
       s"""WITH ex AS ${block("q40_cosine_topk")},
         |ap AS ${block("q166_pq_adc")}

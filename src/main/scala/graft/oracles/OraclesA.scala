@@ -521,6 +521,25 @@ private[oracles] object OraclesA {
     // partition-pruned index scan returns the very rows the full scan does
     "q81_ivf_probe" -> cosineTopKOracle,
 
+    // filtered ANN (q243): exact twin = brute-force cosine top-10
+    // UNDER the predicate (label = 1, query vec 0 excluded). The
+    // operator's adaptive switch takes the exact prefilter path on a
+    // predicate this selective (≤10% of the corpus), so the oracle is
+    // corpus-unconditional — no recall premise; the broad-predicate
+    // probe path is law-tested in RetrievalSpec instead
+    "q243_filtered_ann" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id <> 0 AND label = 1)
+        |SELECT vec_id,
+        |  round(list_dot_product(v, qv) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+        |FROM c, q
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
     "q82_vwap" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, value,

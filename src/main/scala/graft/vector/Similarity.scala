@@ -966,6 +966,116 @@ object Similarity {
       idName = idCol)
   }
 
+  /** Filtered ANN: [[ivfProbe]] restricted to vectors whose id passes a
+    * metadata predicate — every vector store's "search WHERE label = X"
+    * verb. The index itself stays metadata-free (one index serves every
+    * predicate); the filter arrives as an id frame (`allowedIds`,
+    * single column named `id`) semi-joined onto the PRUNED assignments,
+    * so the join's left side is already cut to the nProbe cluster dirs
+    * and the right side to the predicate's selectivity — neither the
+    * corpus nor the full index is ever scanned.
+    *
+    * The filter makes the probe dig DEEPER into the neighbor list than
+    * an unfiltered top-k (the best k matches UNDER the predicate may
+    * sit at global rank ≫ k), so filtered probes need a wider `nProbe`
+    * for the same recall — measured (DevFilteredRecall): a
+    * 10%-selectivity filter on the isotropic testdata needs
+    * nProbe = nCentroids for total recall at sf0.01. That measurement
+    * is why [[filteredTopK]] routes SELECTIVE predicates to an exact
+    * scan and reserves this probe for broad ones, where partial recall
+    * is the accepted trade; callers trade probe width for recall
+    * exactly as with [[ivfProbe]].
+    */
+  def ivfProbeWhere(spark: SparkSession, indexPath: String,
+                    allowedIds: DataFrame, queryVec: Seq[Double], k: Int,
+                    nProbe: Int = 8, excludeId: Option[Long] = None,
+                    idName: String = "id"): DataFrame = {
+    val qn = math.sqrt(dotD(queryVec, queryVec))
+    require(qn > 0, "ivfProbeWhere: query vector has zero norm — no cosine direction")
+    require(allowedIds.columns.sameElements(Array("id")),
+      s"ivfProbeWhere: allowedIds must be a single `id` column, got ${allowedIds.columns.mkString(",")}")
+    val probed = spark.read.parquet(s"$indexPath/centroids").collect()
+      .map { r =>
+        val cv = toDouble(r.getSeq[Any](1))
+        val cn = math.sqrt(dotD(cv, cv))
+        val cos = if (cn == 0) -2.0 else dotD(queryVec, cv) / (qn * cn)
+        (cos, r.getLong(0))
+      }
+      .sortBy { case (c, cid) => (-c, cid) }
+      .take(nProbe).map(_._2).toSeq
+    val pruned = liveAssignments(spark, indexPath)
+      .filter(col("cluster").isin(probed: _*))
+      .join(allowedIds, Seq("id"), "left_semi")
+    excludeId.fold(pruned)(x => pruned.filter(col("id") =!= x))
+      .withColumn("cos_sim",
+        round(dot(col("v"), typedLit(queryVec)) / (col("n") * lit(qn)), 6))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+      .select(col("id").as(idName), col("cos_sim"))
+      .limit(k)
+  }
+
+  /** [[ivfProbeWhere]] keyed by an id in the source table (the
+    * [[ivfProbeById]] convenience over the filtered probe). */
+  def ivfProbeByIdWhere(spark: SparkSession, indexPath: String,
+                        emb: DataFrame, idCol: String, vecCol: String,
+                        allowedIds: DataFrame, queryId: Long, k: Int,
+                        nProbe: Int = 8): DataFrame = {
+    val qv = toDouble(
+      emb.filter(col(idCol) === queryId).select(col(vecCol)).head().getSeq[Any](0))
+    ivfProbeWhere(spark, indexPath, allowedIds, qv, k, nProbe,
+      excludeId = Some(queryId), idName = idCol)
+  }
+
+  /** Adaptive filtered search — the strategy switch every production
+    * vector store ships (Qdrant/pgvector's "use the index only when
+    * the filter is broad"): a SELECTIVE predicate makes the filtered
+    * candidate set small enough that an exact scan over it is both
+    * cheaper and recall-total, while a BROAD predicate keeps the
+    * IVF probe worthwhile.
+    *
+    *   - |allowedIds| ≤ `bruteForceBelow` → exact cosine over the
+    *     semi-joined corpus (prefilter; scan bounded by the predicate's
+    *     own selectivity, recall 1.0 by construction);
+    *   - above → [[ivfProbeWhere]] (partition-pruned probe +
+    *     predicate semi-join; recall governed by `nProbe` — measured
+    *     on the isotropic testdata corpora, a 10%-selectivity filter
+    *     needs nProbe = nCentroids for total recall at sf0.01
+    *     (DevFilteredRecall), which is exactly why the selective case
+    *     must NOT take this path).
+    *
+    * The one switch `count()` runs on the predicate's id frame — a
+    * metadata-side aggregate, not a corpus scan. The q243 gate runs
+    * the selective path (the testdata label predicate keeps ≤10% of
+    * ≤2k vectors), so its oracle is the exact filtered scan,
+    * corpus-unconditional; the probe path is law-tested
+    * (RetrievalSpec: probe@full-width ≡ exact, hits always satisfy
+    * the predicate).
+    */
+  def filteredTopK(spark: SparkSession, indexPath: String, emb: DataFrame,
+                   idCol: String, vecCol: String, allowedIds: DataFrame,
+                   queryId: Long, k: Int, nProbe: Int = 8,
+                   bruteForceBelow: Long = 100000L): DataFrame = {
+    require(allowedIds.columns.sameElements(Array("id")),
+      s"filteredTopK: allowedIds must be a single `id` column, got ${allowedIds.columns.mkString(",")}")
+    if (allowedIds.count() <= bruteForceBelow) {
+      // exact prefilter path: query row fetched from the UNFILTERED
+      // corpus (the query need not satisfy its own predicate), corpus
+      // side semi-joined down to the allowed ids
+      val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("_q"))
+        .filter(dot(col("_q"), col("_q")) > 0)
+      emb.join(allowedIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+        .filter(col(idCol) =!= queryId)
+        .filter(dot(col(vecCol), col(vecCol)) > 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim", round(cosine(col(vecCol), col("_q")), 6))
+        .orderBy(col("cos_sim").desc, col(idCol).asc)
+        .select(col(idCol), col("cos_sim"))
+        .limit(k)
+    } else
+      ivfProbeByIdWhere(spark, indexPath, emb, idCol, vecCol, allowedIds,
+        queryId, k, nProbe)
+  }
+
   /** Index-quality gate: recall@k of the PQ/ADC scan ([[pqTopK]])
     * against the exact cosine scan ([[cosineTopK]]) for one probe —
     * the number every ANN deployment watches before trusting an index
