@@ -17,7 +17,7 @@ import graft.Fixtures._
   * unchanged; [[SparkEntry.queries]] concatenates the four shards and
   * asserts key-disjointness, so the driver contract (keys, closures,
   * oracle pairing) is byte-identical to the pre-split registry.
-  * 53 entries (q242 hybrid RRF and q243 filtered ANN added post-split).
+  * 55 entries (q242–q245 retrieval family added post-split).
   */
 private[graft] object RegistryB {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -692,6 +692,32 @@ private[graft] object RegistryB {
         "vec_id", "embedding",
         emb.filter(col("label") === 1).select(col("vec_id").as("id")),
         0L, 10)
+    }),
+
+    "q244_retrieval_eval" -> ((s, dir) => {
+      // graded retrieval metrics (precision@k, MRR, DCG/nDCG@k) of the
+      // q40 dense ranking against label relevance — rank position
+      // matters here, unlike the set-overlap recall gates (q175/q191);
+      // IDCG runs to min(R, k) = k on every corpus (R ≥ 42 per label)
+      val emb = t(s, dir, "embeddings")
+      val qLabel = emb.filter(col("vec_id") === 0L)
+        .select(col("label")).head().getInt(0)
+      val rel = emb.filter(col("label") === qLabel && col("vec_id") =!= 0L)
+        .select(col("vec_id").as("id"))
+      graft.ops.Retrieval.retrievalEval(
+        Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10),
+        "vec_id", "cos_sim", rel, rel.count(), 10)
+    }),
+
+    "q245_mmr_rerank" -> ((s, dir) => {
+      // diversity rerank between retrieval and the context window:
+      // greedy MMR over the bounded top-20 candidate list (λ = 0.7);
+      // the sequential recurrence runs driver-side over ≤128
+      // candidates BY CONTRACT (loud cap), while the candidate scan,
+      // pair-sim matrix, and top-N cut stay distributed — the oracle
+      // unrolls the 5 selection steps (the q225 BPE-train precedent)
+      graft.ops.Retrieval.mmrRerank(t(s, dir, "embeddings"),
+        "vec_id", "embedding", 0L, k = 5, nCandidates = 20, lambda = 0.7)
     }),
   )
 }

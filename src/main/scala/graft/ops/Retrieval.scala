@@ -85,4 +85,118 @@ object Retrieval {
       vecIdCol, "cos_sim", "dense_rank")
     rrfFuse(lex, dense, kRrf, topK)
   }
+
+  /** Retrieval-quality report for ONE ranked list against a relevance
+    * set: precision@k, MRR (reciprocal rank of the first relevant
+    * hit), DCG@k and nDCG@k — the metrics every retrieval deployment
+    * watches before trusting an index or a fusion (recall@k already
+    * lives in [[graft.vector.Similarity.annRecall]]; these add the
+    * GRADED view, where rank position matters).
+    *
+    * `ranking` is a bounded scored list (the [[rrfFuse]] contract);
+    * `relevantIds` is the ground-truth id frame (single `id` column);
+    * `nRelevantTotal` the corpus-wide relevant count — IDCG@k places
+    * min(R, k) relevant docs at the top, the standard normalization,
+    * so a query with fewer than k relevant docs can still reach
+    * nDCG 1.0.
+    *
+    * Determinism: each DCG term 1/log2(rank+1) is a transcendental —
+    * fixed to the 12-dp grid per term before the exact decimal sum
+    * (never ship a raw libm output; the q184 lesson); precision and
+    * MRR are exact-integer quotients emitted unrounded
+    * (bit-deterministic, the q107 discipline); DCG/nDCG present at
+    * 6 dp.
+    */
+  def retrievalEval(ranking: DataFrame, idCol: String, scoreCol: String,
+                    relevantIds: DataFrame, nRelevantTotal: Long,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(relevantIds.columns.sameElements(Array("id")),
+      s"retrievalEval: relevantIds must be a single `id` column, got ${relevantIds.columns.mkString(",")}")
+    val r = ranked(ranking, idCol, scoreCol, "rank")
+      .filter(col("rank") <= k)
+      .join(relevantIds.withColumn("_rel", lit(1L)), Seq("id"), "left")
+      .withColumn("_rel", coalesce(col("_rel"), lit(0L)))
+      .withColumn("_gain",
+        round(col("_rel").cast("double") / log2(col("rank") + lit(1)), 12)
+          .cast(DecimalType(28, 12)))
+    // IDCG@k is a driver-side constant: min(R, k) ideal terms on the
+    // same 12-dp grid, summed exactly
+    val idcg = (1 to math.min(nRelevantTotal, k.toLong).toInt)
+      .map(i => BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .sum
+    r.agg(
+        count(lit(1)).as("_n"),
+        sum(col("_rel")).as("_nrel"),
+        min(when(col("_rel") === 1L, col("rank"))).as("_first"),
+        sum(col("_gain")).as("_dcg"))
+      .select(
+        lit(k).cast("int").as("k"),
+        col("_nrel").cast("long").as("n_rel"),
+        (col("_nrel").cast("double") / lit(k)).as("precision_at_k"),
+        coalesce(lit(1.0) / col("_first"), lit(0.0)).as("mrr"),
+        round(col("_dcg").cast("double"), 6).as("dcg"),
+        (if (idcg > 0)
+          round((col("_dcg") / lit(idcg.toDouble)).cast("double"), 6)
+        else lit(0.0)).as("ndcg"))
+  }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998) of a bounded candidate list: greedily pick
+    * argmax λ·sim(d, q) − (1−λ)·max_{s∈S} sim(d, s), trading query
+    * relevance against redundancy with what's already selected — the
+    * diversity stage a RAG pipeline runs between retrieval and the
+    * context window.
+    *
+    * The greedy recurrence is inherently sequential, so it runs
+    * driver-side over the BOUNDED candidate list (the A3 pattern:
+    * `nCandidates ≤ 128` enforced loudly; candidate scan, pair-sim
+    * matrix, and top-N cut all stay distributed, and only
+    * N + N·(N−1) small rows ever reach the driver). Determinism: both
+    * sim inputs are the engine-convention 6-dp-rounded cosines, the
+    * score is the UNROUNDED double λ·simq − (1−λ)·maxSim on one
+    * pinned operand order (bit-identical in any IEEE engine — never
+    * re-rounded, the q107 discipline), ties break by id ascending.
+    */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, nCandidates: Int = 20,
+                lambda: Double = 0.7): DataFrame = {
+    require(nCandidates <= 128,
+      s"mmrRerank: nCandidates=$nCandidates exceeds the bounded-rerank cap of 128 " +
+        "— the greedy stage is driver-side by design and must stay small; " +
+        "cut the candidate list with the distributed retriever first")
+    require(k <= nCandidates, s"mmrRerank: k=$k > nCandidates=$nCandidates")
+    val spark = emb.sparkSession
+    val cands = graft.vector.Similarity.cosineTopK(emb, idCol, vecCol,
+      queryId, nCandidates)
+    val simq = cands.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pairwise 6-dp cosines among candidates only: N² bounded rows
+    val cv = emb.filter(col(idCol).isin(simq.keySet.toSeq: _*))
+      .select(col(idCol).as("_i"), col(vecCol).as("_v"))
+    val pair = cv.as("a").crossJoin(cv.as("b"))
+      .filter(col("a._i") =!= col("b._i"))
+      .select(col("a._i").as("ia"), col("b._i").as("ib"),
+        round(graft.vector.Similarity.cosine(col("a._v"), col("b._v")), 6)
+          .as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+    val remaining = scala.collection.mutable.SortedSet[Long]() ++ simq.keySet
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.map { id =>
+        val div = if (selected.isEmpty) 0.0
+          else selected.map(s => pair((id, s._1))).max
+        (id, simq(id), lambda * simq(id) - (1.0 - lambda) * div)
+      }.reduceLeft { (a, b) =>
+        if (b._3 > a._3 || (b._3 == a._3 && b._1 < a._1)) b else a
+      }
+      selected += best
+      remaining -= best._1
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, sq, sc), i) => (i + 1L, id, sq, sc) }
+      .toDF("mmr_rank", "id", "cos_sim", "mmr_score")
+  }
 }

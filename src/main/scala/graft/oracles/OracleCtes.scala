@@ -1163,4 +1163,63 @@ private[graft] object OracleCtes {
       s"  ($id, '$lang', '${txt.replace("'", "''")}')"
     }.mkString(",\n")
 
+  /** GENERATED q245 oracle: greedy MMR unrolled into `k` selection
+    * steps (the q225 BPE-train precedent — the recurrence is
+    * sequential, so the SQL twin replays it step by step). Both sim
+    * inputs are the engine-convention 6-dp cosines; the score keeps
+    * the engine's EXACT double constants — in IEEE, 1 − 0.7 is
+    * 0.30000000000000004, NOT 0.3, so the SQL computes
+    * (1 − λ) the same way instead of inlining a decimal literal
+    * (shipping `0.3` would diverge in the last ulp of a COMPARED
+    * column). Scores stay unrounded end to end (q107 discipline:
+    * same doubles, same pinned operand order, bit-identical).
+    */
+  private[oracles] def mmrOracleSql(queryId: Long, k: Int, nCand: Int,
+                                    lambda: Double): String = {
+    val lam = s"CAST($lambda AS DOUBLE)"
+    val oneMinus = s"(CAST(1 AS DOUBLE) - CAST($lambda AS DOUBLE))"
+    def prevIds(n: Int): String =
+      (1 until n).map(i => s"SELECT id FROM s$i").mkString(" UNION ALL ")
+    val steps = (1 to k).map { n =>
+      if (n == 1)
+        s"""s1 AS (
+           |  SELECT id, simq, $lam * simq AS score
+           |  FROM cand ORDER BY score DESC, id LIMIT 1)""".stripMargin
+      else
+        s"""s$n AS (
+           |  SELECT c.id, c.simq,
+           |    $lam * c.simq - $oneMinus * (
+           |      SELECT MAX(p.s) FROM ps p
+           |      WHERE p.ia = c.id AND p.ib IN (${prevIds(n)})) AS score
+           |  FROM cand c WHERE c.id NOT IN (${prevIds(n)})
+           |  ORDER BY score DESC, c.id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map { n =>
+      if (n == 1)
+        s"SELECT CAST(1 AS BIGINT) AS mmr_rank, id, simq AS cos_sim, score AS mmr_score FROM s1"
+      else
+        s"UNION ALL SELECT $n, id, simq, score FROM s$n"
+    }.mkString("\n  ")
+    s"""WITH q AS (
+      |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |  FROM embeddings WHERE vec_id = $queryId),
+      |cv AS (
+      |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id <> $queryId),
+      |cand AS (
+      |  SELECT id, v,
+      |    round(list_dot_product(v, qv) /
+      |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS simq
+      |  FROM cv, q ORDER BY simq DESC, id LIMIT $nCand),
+      |ps AS (
+      |  SELECT a.id AS ia, b.id AS ib,
+      |    round(list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS s
+      |  FROM cand a JOIN cand b ON a.id <> b.id),
+      |$steps
+      |SELECT * FROM (
+      |  $out
+      |) ORDER BY mmr_rank""".stripMargin
+  }
+
 }

@@ -82,6 +82,42 @@ object Oracles {
         |    AS rrf
         |FROM lr FULL OUTER JOIN dr ON lr.id = dr.id
         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin) +
+    // q244: graded retrieval-quality metrics over the q40 dense list
+    // (block spliced verbatim), relevance = same label as the query
+    // vector. Each DCG term 1/log2(rank+1) fixes at the 12-dp grid
+    // before the exact decimal sum (log2 is a transcendental — q184);
+    // precision/MRR are exact-integer quotients emitted unrounded
+    // (q107). IDCG places min(R, k) relevant docs at the top; every
+    // testdata corpus has R ≥ 42 per label, so the series runs to
+    // k = 10 unconditionally.
+    ("q244_retrieval_eval" ->
+      s"""WITH dn AS ${block("q40_cosine_topk")},
+        |r AS (
+        |  SELECT vec_id AS id,
+        |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rank
+        |  FROM dn),
+        |ql AS (SELECT label FROM embeddings WHERE vec_id = 0),
+        |rel AS (
+        |  SELECT vec_id AS id FROM embeddings e, ql
+        |  WHERE e.vec_id <> 0 AND e.label = ql.label),
+        |g AS (
+        |  SELECT r.rank,
+        |    CASE WHEN rel.id IS NULL THEN 0 ELSE 1 END AS is_rel,
+        |    CAST(round(CAST(CASE WHEN rel.id IS NULL THEN 0 ELSE 1 END AS DOUBLE)
+        |        / log2(r.rank + 1), 12) AS DECIMAL(28,12)) AS gain
+        |  FROM r LEFT JOIN rel ON r.id = rel.id),
+        |idcg AS (
+        |  SELECT SUM(CAST(round(CAST(1 AS DOUBLE) / log2(i + 1), 12)
+        |    AS DECIMAL(28,12))) AS v
+        |  FROM generate_series(1, 10) t(i))
+        |SELECT 10 AS k, CAST(SUM(is_rel) AS BIGINT) AS n_rel,
+        |  CAST(SUM(is_rel) AS DOUBLE) / 10 AS precision_at_k,
+        |  COALESCE(CAST(1 AS DOUBLE)
+        |    / MIN(CASE WHEN is_rel = 1 THEN rank END), 0) AS mrr,
+        |  round(CAST(SUM(gain) AS DOUBLE), 6) AS dcg,
+        |  round(CAST(SUM(gain) AS DOUBLE)
+        |    / CAST((SELECT v FROM idcg) AS DOUBLE), 6) AS ndcg
+        |FROM g""".stripMargin) +
     ("q175_ann_recall" ->
       s"""WITH ex AS ${block("q40_cosine_topk")},
         |ap AS ${block("q166_pq_adc")}

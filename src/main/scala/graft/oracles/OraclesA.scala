@@ -540,6 +540,12 @@ private[oracles] object OraclesA {
         |FROM c, q
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    // q245: greedy MMR unrolled into 5 selection steps — generated by
+    // the mmrOracleSql builder (sequential recurrence, the q225
+    // BPE-train unroll precedent); scores keep the engine's exact
+    // double constants, see the builder's scaladoc
+    "q245_mmr_rerank" -> mmrOracleSql(0L, 5, 20, 0.7),
+
     "q82_vwap" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, value,

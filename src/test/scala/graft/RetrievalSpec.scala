@@ -92,6 +92,70 @@ class RetrievalSpec extends AnyFunSuite {
     assert(labels === Seq(1))
   }
 
+  test("retrievalEval: hand-checked precision, MRR, DCG, nDCG") {
+    // ranking: ids 1..4 by score; relevant = {2, 4, 9} (9 not retrieved)
+    val ranking = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7), (4L, 0.6))
+      .toDF("id", "score")
+    val rel = Seq(2L, 4L, 9L).toDF("id")
+    val r = Retrieval.retrievalEval(ranking, "id", "score", rel,
+      nRelevantTotal = 3L, k = 4).collect().head
+    assert(r.getInt(0) === 4)            // k
+    assert(r.getLong(1) === 2L)          // n_rel: ids 2 and 4
+    assert(r.getDouble(2) === 0.5)       // precision 2/4
+    assert(r.getDouble(3) === 0.5)       // mrr: first relevant at rank 2
+    def t(i: Int) = BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val dcg = t(2) + t(4) // gains at ranks 2 and 4
+    val idcg = t(1) + t(2) + t(3) // min(R=3, k=4) ideal terms
+    assert(r.getDouble(4) ===
+      dcg.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(5) === BigDecimal(dcg.toDouble / idcg.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("retrievalEval: no relevant hits → zero MRR and nDCG") {
+    val ranking = Seq((1L, 0.9), (2L, 0.8)).toDF("id", "score")
+    val rel = Seq(99L).toDF("id")
+    val r = Retrieval.retrievalEval(ranking, "id", "score", rel, 1L, 2)
+      .collect().head
+    assert(r.getLong(1) === 0L)
+    assert(r.getDouble(3) === 0.0)
+    assert(r.getDouble(4) === 0.0)
+    assert(r.getDouble(5) === 0.0)
+  }
+
+  test("mmrRerank: diversity term demotes the near-duplicate of an already-selected hit") {
+    // query 0 = [1, 0]; id 1 nearest (cos .8), id 2 a near-dup of id 1
+    // (cos .79 to query, ~.9999 to id 1), id 3 on the OTHER side of the
+    // query (cos .7 to query, only ~.13 to id 1 — diversity needs the
+    // sign flip: two vectors both near q can't be very dissimilar).
+    // Pure relevance ranks 1, 2, 3; MMR at λ=0.7 picks diverse 3 second.
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.8f, 0.6f)),
+      (2L, Seq(0.79f, 0.61320215f)),
+      (3L, Seq(0.7f, -0.71414284f))
+    ).toDF("vec_id", "embedding")
+    val out = Retrieval.mmrRerank(df, "vec_id", "embedding", 0L,
+      k = 3, nCandidates = 3, lambda = 0.7)
+      .select("mmr_rank", "id").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("mmrRerank: candidate cap refuses loudly; k bounded by candidates") {
+    val df = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(df, "vec_id", "embedding", 0L, k = 5,
+        nCandidates = 500)
+    }
+    assert(e.getMessage.contains("bounded-rerank cap"))
+    // fewer candidates than k: returns what exists, ranks stay 1..n
+    val out = Retrieval.mmrRerank(df, "vec_id", "embedding", 0L,
+      k = 1, nCandidates = 1)
+    assert(out.count() === 1L)
+  }
+
   test("ivfProbeWhere: empty predicate set yields an empty result; bad frame shape refuses") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val idx = java.nio.file.Files.createTempDirectory("graft_fann2").toString + "/index"
