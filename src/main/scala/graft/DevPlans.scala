@@ -175,7 +175,24 @@ object DevPlans {
         "the tombstone anti-join (a BroadcastHashJoin LeftAnti against " +
         "the bounded tombstone set), so a forget request never turns " +
         "the pruned probe into a corpus scan — PlanSpec pins both the " +
-        "PartitionFilters and the broadcast."))
+        "PartitionFilters and the broadcast."),
+    "q242_hybrid_rrf" ->
+      ("Hybrid RRF fusion: BOTH retriever lists end in " +
+        "TakeOrderedAndProject (sort k rows per partition, merge k on " +
+        "the driver — never a global Sort of the scored corpus), so " +
+        "the rank windows and the full-outer fusion join run on ≤2N " +
+        "bounded rows; the corpus is touched exactly twice, once per " +
+        "retriever, and never reaches the fusion."),
+    "q243_filtered_ann" ->
+      ("Adaptive filtered search, selective path: the metadata " +
+        "predicate semi-join and the one-row query frame both " +
+        "broadcast onto the corpus scan (zero corpus shuffles), the " +
+        "top-k is a TakeOrderedAndProject — recall 1.0 by " +
+        "construction because the scan IS the filtered set; the " +
+        "broad-predicate path swaps in the partition-pruned " +
+        "ivfProbeWhere, whose width/recall trade DevFilteredRecall " +
+        "measured (10% selectivity needs nProbe = nCentroids at " +
+        "sf0.01 — exactly why selective predicates must not probe)."))
 
   def main(args: Array[String]): Unit = {
     val spark = engine.Sessions.tune(

@@ -570,6 +570,28 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q242: both fusion inputs cut by TakeOrderedAndProject — no global sort reaches the corpus") {
+    // each retriever must end in a top-N pushdown (sort only k rows per
+    // partition, merge on the driver) — a plain Sort + Limit over the
+    // scored corpus is the 100 TB failure shape; the fusion join and
+    // final cut then run on ≤2N rows
+    val p = plan("q242_hybrid_rrf")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q243: the selective filtered search broadcasts the query and never sort-merges") {
+    // exact prefilter path: the allowed-id semi-join and the one-row
+    // query frame must both broadcast — the corpus shuffles for
+    // NOTHING here; the top-k is a TakeOrderedAndProject
+    val p = plan("q243_filtered_ann")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    graft.engine.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("AQE splits a skewed join partition at runtime (skew-join enabled in Sessions.tune)") {
     import spark.implicits._
     // one key carries ~100k rows against a 4-row dimension; with the
