@@ -646,14 +646,15 @@ private[graft] object RegistryB {
     "q39_embed_neardup_lsh" -> ((s, dir) => {
       // oracle-gated (q32/q41 pattern) with SCALE-PARAMETRIC banding
       // (round 13): nBands = -1 derives the band count from the corpus
-      // size via lshBandsForRecall's worst-case collision bound (67
-      // bands at n=500, 75 at n=2000), replacing the 24-band constant
-      // whose total recall was measured only at sf0.01 (it missed 3/66
-      // at sf0.001 and 8/920 at sf0.1, pinning the oracle to one sf).
-      // Measured with the derived counts (DevLshBands): 66/66, 59/59,
-      // 920/920 — exact equality at ALL three testdata corpora, so the
-      // full-registry sf0.1 sweep carries no rows-only row for q39;
-      // precision stays exact via the cosine verify step
+      // size via lshBandsForRecall's worst-case collision bound. At
+      // THIS threshold (0.4) the derived banding cannot prune — the
+      // closed-form random-collision rate reads ~0.99, so the
+      // operator's pruning-power switch routes to the exact verify
+      // (identical output, recall structurally total, 2.7 s vs 6.3 s
+      // warm at sf0.1 — see embedNearDupLsh's scaladoc for why no
+      // (bits, bands) can prune at t = 0.4); the banding path runs at
+      // high thresholds and stays law-tested (RetrievalSpec-adjacent
+      // banding law in VectorStreamSpec)
       Similarity.embedNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
           nBands = -1)
         .orderBy("id_a", "id_b")

@@ -34,6 +34,11 @@ object GuardBounds {
   val MaxChunkBucket: Long = 100000L
   /** Exact all-pairs operators (embedNearDup, hamming exact): rows. */
   val MaxExactPairs: Long = 100000L
+  /** embedNearDupLsh pruning-power switch: max tolerated expected
+    * fraction of ORTHOGONAL pairs sharing a band bucket before the
+    * banding is declared unable to prune (exact verify below
+    * MaxExactPairs, loud refusal above). */
+  val LshMaxRandomCollide: Double = 0.3
   /** Similarity.knnGraphBucketed: hottest label bucket. */
   val MaxKnnBucket: Long = 100000L
   /** Stats.corrMatrix: distinct instruments (k² pair expansion). */

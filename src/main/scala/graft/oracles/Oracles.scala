@@ -32,8 +32,11 @@ object Oracles {
     "q236_ann_delete_probe" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q197_ann_join" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q201_pq_reconstruction" -> Set("sf0.001", "sf0.01", "sf0.1"),
-    "q191_ivfadc_recall" -> Set("sf0.001", "sf0.01", "sf0.1"),
-    "q39_embed_neardup_lsh" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    // q39 left unpinned since the pruning-power switch: at its 0.4
+    // threshold the operator routes to the exact verify on any corpus
+    // within MaxExactPairs (recall structurally total) and REFUSES
+    // loudly above it — there is no corpus where the oracle premise
+    // silently degrades (embedNearDupLsh scaladoc)
     "q41_ivf_topk" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q81_ivf_probe" -> Set("sf0.001", "sf0.01", "sf0.1"))
 

@@ -468,6 +468,20 @@ object Similarity {
       math.log(pairBound / expectedMisses) / -math.log(bandMiss)).toInt)
   }
 
+  /** Expected fraction of ORTHOGONAL (random, isotropic worst case)
+    * pairs that share at least one LSH band bucket: a random hyperplane
+    * splits an orthogonal pair with p = 1/2 per bit, so
+    * 1 − (1 − 2^−bits)^bands. This is the banding's PRUNING POWER in
+    * closed form — when it approaches 1 the candidate join IS the
+    * all-pairs product plus banding overhead, and running the LSH is
+    * strictly worse than the exact verify (measured at sf0.1,
+    * threshold 0.4: banding 6.3 s warm vs exact 2.7 s, candidates
+    * ≈ 99% of all pairs). [[embedNearDupLsh]] consults this before
+    * building signatures.
+    */
+  def lshRandomCollisionFraction(bands: Int, bitsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(0.5, bitsPerBand), bands)
+
   /** Hyperplane-LSH near-dup: nBands band signatures of bitsPerBand sign
     * bits each; vectors sharing any band bucket are candidates, verified
     * with exact cosine. Recall < 1 by design (prob. a true pair shares a
@@ -480,6 +494,21 @@ object Similarity {
     * on (the q39 gate premise; one extra count() over the cached
     * normalized relation).
     *
+    * PRUNING-POWER SWITCH (the filteredTopK adaptive precedent): sign
+    * LSH separates poorly at LOW thresholds — at t = 0.4 the
+    * per-bit collision gap between a qualifying pair (p = 0.631) and
+    * an orthogonal one (p = 0.5) is so narrow that NO (bits, bands)
+    * meeting the recall bound prunes (driving the random-collision
+    * rate to 1% at t = 0.4 needs ~31-bit bands and ~20M of them).
+    * So when [[lshRandomCollisionFraction]] for the chosen (bits,
+    * bands) exceeds `GuardBounds.LshMaxRandomCollide`, the banding
+    * buys nothing: corpora within the exact-verify bound route to
+    * [[embedNearDup]] (identical output with recall 1.0 — measured
+    * 2.7 s vs 6.3 s at sf0.1), larger ones REFUSE loudly naming the
+    * math, because running a candidate join that admits ~everything
+    * at 100 TB is the n² this operator exists to avoid. High
+    * thresholds (where p^bits ≫ 2^−bits) keep the banding path.
+    *
     * The ±1 random hyperplanes are seeded driver-side constants shipped
     * as array literals, so each sign bit is one codegen'd [[dot]] against
     * a literal — constant work per row, nothing recomputed per element.
@@ -491,11 +520,26 @@ object Similarity {
     // normalized vectors feed signature computation + both verify joins
     val u = graft.engine.Caches.persisted("embedNearDupLsh.normed",
       normed(emb, idCol, vecCol))
-    // pass `dim` when known: the head() fallback forces an extra job
-    val d = if (dim > 0) dim else u.select(size(col("v"))).head().getInt(0)
+    val n = u.count() // cheap: materializes the reused normed relation
     val bands =
       if (nBands > 0) nBands
-      else lshBandsForRecall(u.count(), threshold, bitsPerBand)
+      else lshBandsForRecall(n, threshold, bitsPerBand)
+    val randomCollide = lshRandomCollisionFraction(bands, bitsPerBand)
+    if (randomCollide > graft.ops.GuardBounds.LshMaxRandomCollide) {
+      require(n <= graft.ops.GuardBounds.MaxExactPairs,
+        f"embedNearDupLsh: $bands bands of $bitsPerBand bits admit " +
+          f"$randomCollide%.3f of random pairs (> LshMaxRandomCollide=" +
+          f"${graft.ops.GuardBounds.LshMaxRandomCollide}), so the banding " +
+          f"cannot prune at threshold $threshold, and n=$n exceeds the " +
+          f"exact-verify bound ${graft.ops.GuardBounds.MaxExactPairs} — " +
+          "raise bitsPerBand (wider bands prune more but need " +
+          "exponentially more of them at low thresholds), raise the " +
+          "threshold, or use semanticDedup / the persisted ANN index " +
+          "for low-threshold similarity at corpus scale")
+      return embedNearDup(emb, idCol, vecCol, threshold)
+    }
+    // pass `dim` when known: the head() fallback forces an extra job
+    val d = if (dim > 0) dim else u.select(size(col("v"))).head().getInt(0)
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(bands * bitsPerBand) {
       Seq.fill(d)(if (rnd.nextBoolean()) 1.0 else -1.0)

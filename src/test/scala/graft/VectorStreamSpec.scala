@@ -1420,6 +1420,43 @@ class VectorStreamSpec extends AnyFunSuite {
       assert(lsh.size.toDouble / exact.size >= 0.5) // recall floor
   }
 
+  test("LSH pruning-power switch: banding runs at high threshold and equals exact; refuses at scale when it cannot prune") {
+    // high-threshold regime: 8-bit bands at t=0.9 — derived band count
+    // keeps the random-collision rate under the cap, so the BANDING
+    // path runs (pinned via the closed forms), and its output must
+    // equal the exact scan on a jittered-duplicate fixture
+    val rnd = new scala.util.Random(7L)
+    val base = Array.fill(100)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val dup = v.map(x => x + 0.02 * rnd.nextGaussian()) // cos ≫ 0.9
+      Seq((2L * i, v.toSeq.map(_.toFloat)), (2L * i + 1, dup.toSeq.map(_.toFloat)))
+    }.toSeq
+    val emb = rows.toDF("vec_id", "embedding")
+    val bands = Similarity.lshBandsForRecall(200L, 0.9, bitsPerBand = 8)
+    assert(Similarity.lshRandomCollisionFraction(bands, 8)
+      < graft.ops.GuardBounds.LshMaxRandomCollide) // banding path selected
+    val exact = Similarity.embedNearDup(emb, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.embedNearDupLsh(emb, "vec_id", "embedding", 0.9,
+        nBands = -1, bitsPerBand = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(exact.nonEmpty)
+    assert(lsh === exact,
+      s"missed=${(exact -- lsh).size} false=${(lsh -- exact).size}")
+    // low-threshold regime past the exact bound: the banding admits
+    // ~all random pairs AND the corpus exceeds MaxExactPairs — must
+    // refuse loudly instead of running an n²-shaped candidate join
+    val big = spark.range(100001L)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), (col("id") % 97).cast("float")).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embedNearDupLsh(big, "vec_id", "embedding", 0.4, nBands = -1)
+    }
+    spark.catalog.clearCache()
+    assert(e.getMessage.contains("cannot prune"), e.getMessage)
+  }
+
   test("embedNearDup refuses inputs past maxExact instead of going quadratic") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val e = intercept[IllegalArgumentException] {
