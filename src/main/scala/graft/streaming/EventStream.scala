@@ -248,6 +248,41 @@ object EventStream {
       .outputMode("append")
       .start()
 
+  /** Streaming ANN serving — the READ face beside [[sinkIvfAdcAppend]]'s
+    * write face: each micro-batch of query vectors probes the PERSISTED
+    * IVFADC index as ONE join plan
+    * ([[graft.vector.Similarity.ivfAdcProbeJoin]] — linear in batch
+    * size, law-proven equal to per-query probes, tombstone-aware) and
+    * appends the per-query top-k — tagged with the probe epoch so a
+    * consumer can correlate results with index maintenance commits —
+    * exactly once under micro-batch retries ([[idempotentPromote]]'s
+    * three-phase marker discipline; results are k-row-per-query flat
+    * parquet, not the Bronze date-partitioned layout, so the promote is
+    * used directly rather than through [[appendBatchIdempotent]]).
+    * Together with the append sink and the forget sink this completes
+    * the online index lifecycle: serve, grow, and forget, all as
+    * streams against one persisted index.
+    */
+  def annProbeSink(queries: DataFrame, indexPath: String, outPath: String,
+                   checkpoint: String, k: Int = 10,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   nProbe: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val res = graft.vector.Similarity.ivfAdcProbeJoin(
+              batch.sparkSession, indexPath, batch, idCol, vecCol, k,
+              nProbe, idName = idCol)
+            .withColumn("probe_epoch", lit(id))
+          idempotentPromote(batch.sparkSession, outPath, outPath, id) {
+            staging => res.coalesce(1).write.mode("overwrite").parquet(staging)
+          }
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** The marker-guarded body of [[sinkIvfAdcAppend]] —
     * [[appendBatchIdempotent]]'s discipline applied to the index
     * append, exposed so retry semantics are directly testable. The

@@ -347,6 +347,45 @@ class VectorStreamSpec extends AnyFunSuite {
     graft.engine.Caches.releaseAll()
   }
 
+  test("annProbeSink: streamed queries equal per-batch probe joins; retried batch is a no-op") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_probe_sink").toString + "/index"
+    Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", idx)
+    graft.engine.Caches.releaseAll()
+    val out = java.nio.file.Files.createTempDirectory("graft_probe_out").toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_probe_ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    def qv(id: Long): Seq[Float] = emb.filter(col("vec_id") === id)
+      .select("embedding").as[Seq[Float]].head()
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val sink = EventStream.annProbeSink(
+      mem.toDF().toDF("vec_id", "embedding"), idx, out, ckpt, k = 5)
+    mem.addData((0L, qv(0L)), (1L, qv(1L)))
+    sink.processAllAvailable()
+    mem.addData((2L, qv(2L)))
+    sink.processAllAvailable()
+    sink.stop()
+    val got = spark.read.parquet(out)
+      .select("query_id", "vec_id", "adc_dist")
+      .as[(Long, Long, Double)].collect().toSet
+    // the streamed results must equal ONE batch probe join over the
+    // same three queries (itself law-proven equal to per-query probes)
+    val want = Similarity.ivfAdcProbeJoin(spark, idx,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding", 5,
+        idName = "vec_id")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    // every row carries its probe epoch; a retried batch id re-appends nothing
+    val n0 = spark.read.parquet(out).count()
+    assert(spark.read.parquet(out).select("probe_epoch").distinct().count() === 2)
+    EventStream.idempotentPromote(spark, out, out, batchId = 0L) { staging =>
+      spark.read.parquet(out).limit(1)
+        .write.mode("overwrite").parquet(staging)
+    }
+    assert(spark.read.parquet(out).count() === n0)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("ivfAdcProbeJoin refuses a hot probed-list plan with the offender named") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val idx = java.nio.file.Files.createTempDirectory("graft_ivfadc_hot").toString + "/index"
