@@ -2649,4 +2649,39 @@ object LawsProps extends Properties("graft.laws") {
       after == before && nf <= target && nf >= 1 &&
         hist.contains("OPTIMIZE_FLAT")
     }
+
+  property("filteredTopK: selective exact path equals the full-width probe path on ANY corpus/predicate") =
+    forAll(
+      Gen.choose(12, 30),  // corpus size
+      Gen.choose(2, 4),    // labels
+      Gen.choose(1L, 997L) // vector seed
+    ) { (n, nLabels, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until n).map { i =>
+        (i.toLong,
+          Seq.fill(4)((math.rint(rnd.nextGaussian() * 8) / 8).toFloat),
+          i % nLabels)
+      }
+      val emb = rows.toDF("vec_id", "embedding", "label")
+      val dir = java.nio.file.Files.createTempDirectory("graft_ftk")
+        .toString + "/index"
+      graft.vector.Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+        dir, nCentroids = 4)
+      val allowed = emb.filter(org.apache.spark.sql.functions.col("label") === 1)
+        .select(org.apache.spark.sql.functions.col("vec_id").as("id"))
+      // selective path: budget above |allowed| → exact prefilter scan
+      val sel = graft.vector.Similarity.filteredTopK(spark, dir, emb,
+          "vec_id", "embedding", allowed, 0L, 5)
+        .as[(Long, Double)].collect().toSeq
+      // broad path forced (budget 0) at FULL probe width: the pruned
+      // scan degenerates to the whole index, so both paths must agree
+      // on ANY corpus and predicate — the law that anchors the switch
+      val broad = graft.vector.Similarity.filteredTopK(spark, dir, emb,
+          "vec_id", "embedding", allowed, 0L, 5,
+          nProbe = 4, bruteForceBelow = 0L)
+        .as[(Long, Double)].collect().toSeq
+      graft.engine.Caches.releaseAll()
+      spark.catalog.clearCache()
+      sel == broad
+    }
 }
