@@ -27,6 +27,19 @@ private[graft] object Fixtures {
       path
     })
 
+  /** Build-once memo for q246's persisted BM25 index (the ivfIndexFor
+    * discipline on the lexical tier): probes exercise the bucket-pruned
+    * tf scan, the thing the build/probe split exists to measure.
+    */
+  private val bm25IndexCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def bm25IndexFor(s: SparkSession, dir: String): String =
+    bm25IndexCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_bm25").toString + "/index"
+      graft.text.TextStats.buildBm25Index(
+        Tables.load(s, dir, "documents"), "doc_id", "text", path)
+      path
+    })
+
   /** Build-once memo for the persisted IVFADC index (the q190→q196
     * build/probe split): codes + codebook + centroids on disk, probes
     * partition-prune the cluster dirs and scan CODES only.

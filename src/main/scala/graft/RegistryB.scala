@@ -17,7 +17,7 @@ import graft.Fixtures._
   * unchanged; [[SparkEntry.queries]] concatenates the four shards and
   * asserts key-disjointness, so the driver contract (keys, closures,
   * oracle pairing) is byte-identical to the pre-split registry.
-  * 55 entries (q242–q245 retrieval family added post-split).
+  * 56 entries (q242–q246 retrieval family added post-split).
   */
 private[graft] object RegistryB {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -708,6 +708,18 @@ private[graft] object RegistryB {
       graft.ops.Retrieval.retrievalEval(
         Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10),
         "vec_id", "cos_sim", rel, rel.count(), 10)
+    }),
+
+    "q246_bm25_probe" -> ((s, dir) => {
+      // the production lexical-retrieval shape: BM25 index built ONCE
+      // (term-bucket-partitioned tf, SUM-mergeable df/totals partials),
+      // probe partition-prunes to the query terms' buckets and pushes
+      // the term filter into the scan — same oracle as q168 verbatim
+      // (shared bm25Score: the split provably cannot drift from the
+      // inline scorer), plan pinned in PlanSpec
+      graft.text.TextStats.bm25Probe(s, bm25IndexFor(s, dir),
+          Seq("spark", "vector", "merge"))
+        .orderBy("doc_id")
     }),
 
     "q245_mmr_rerank" -> ((s, dir) => {

@@ -85,6 +85,12 @@ object Oracles {
         |    AS rrf
         |FROM lr FULL OUTER JOIN dr ON lr.id = dr.id
         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin) +
+    // q246: the persisted-index BM25 probe must reproduce the inline
+    // scorer exactly (shared bm25Score, same pinned arithmetic), so
+    // q168's oracle applies VERBATIM — the gate additionally proves
+    // the bucket-pruned tf scan + summed df/totals partials return
+    // the very statistics the full tokenize recomputes
+    ("q246_bm25_probe" -> OraclesB.map("q168_bm25")) +
     // q244: graded retrieval-quality metrics over the q40 dense list
     // (block spliced verbatim), relevance = same label as the query
     // vector. Each DCG term 1/log2(rank+1) fixes at the 12-dp grid

@@ -1361,7 +1361,6 @@ object TextStats {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(queryTerms.map(_.toLowerCase).distinct.size == queryTerms.size,
       s"queryTerms must be distinct (case-insensitive), got $queryTerms")
-    import org.apache.spark.sql.types.DecimalType
     val toks = df.select(col(idCol).cast("long").as("doc_id"),
         explode(tokens(lower(col(textCol)))).as("token"))
       .filter(col("token") =!= "")
@@ -1371,6 +1370,19 @@ object TextStats {
     val tf = toks.filter(col("token").isin(queryTerms.map(_.toLowerCase): _*))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("dft"))
+    bm25Score(tf, dft, docLen, totals, k1, b)
+  }
+
+  /** The shared BM25 scorer: one pinned operation order consumed by
+    * BOTH the inline [[bm25]] and the persisted-index [[bm25Probe]],
+    * so the build/probe split provably cannot drift from the inline
+    * scorer (the IVF-family discipline). Inputs: `tf(doc_id, token,
+    * tf)` already restricted to the query terms, `dft(token, dft)`,
+    * `docLen(doc_id, dl)`, `totals(n_docs, sum_dl)` one row.
+    */
+  private def bm25Score(tf: DataFrame, dft: DataFrame, docLen: DataFrame,
+                        totals: DataFrame, k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     def d(c: String) = col(c).cast("double")
     val avgdl = d("sum_dl") / d("n_docs")
     val idf = log((d("n_docs") - d("dft") + lit(0.5)) /
@@ -1384,6 +1396,113 @@ object TextStats {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matched"),
         round(sum(col("_ts")).cast("double"), 6).as("bm25"))
+  }
+
+  /** Persisted BM25 (lexical) index — the build/probe split the IVF
+    * family applies to vectors, applied to text: corpus statistics are
+    * computed ONCE at build time and every probe reads only the query
+    * terms' slice, instead of re-tokenizing the corpus per query (the
+    * inline [[bm25]]'s cost model).
+    *
+    * Layout under `indexPath`:
+    *   - `tf/` — (doc_id, token, tf), hive-partitioned by
+    *     `bucket = pmod(hash(token), nBuckets)`: a probe
+    *     partition-prunes to the query terms' buckets and pushes the
+    *     term IN-filter into the scan (plan-pinned, PlanSpec);
+    *   - `df/` — per-token document-frequency PARTIALS, same bucket
+    *     partitioning: probes SUM them per token, so an append never
+    *     rewrites existing rows (the shingle_freq SUM-mergeable
+    *     pattern);
+    *   - `doclen/` — (doc_id, dl); `totals/` — (n_docs, sum_dl,
+    *     n_buckets) partials, summed at probe.
+    *
+    * [[appendBm25Index]] grows all four at batch cost (new docs only —
+    * tf/doclen rows are per-doc so appends never collide; df/totals
+    * merge by SUM at read). Law (LawsProps): build(base) + append(rest)
+    * probes equal to build(all) on any corpus split.
+    */
+  def buildBm25Index(df: DataFrame, idCol: String, textCol: String,
+                     indexPath: String, nBuckets: Int = 64): Unit = {
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(hash(col("token")), lit(nBuckets)))
+    tf.write.partitionBy("bucket").mode("overwrite").parquet(s"$indexPath/tf")
+    // df partials derive from the WRITTEN tf (one tokenize pass total)
+    val tfBack = df.sparkSession.read.parquet(s"$indexPath/tf")
+    tfBack.groupBy(col("token"), col("bucket"))
+      .agg(count(lit(1)).as("dft"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$indexPath/df")
+    val docLen = tfBack.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    docLen.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/doclen")
+    docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/totals")
+  }
+
+  /** Append a batch of NEW documents to a persisted BM25 index at
+    * batch cost: per-doc tf/doclen rows append (no collision — doc ids
+    * must be new), df and totals land as SUM-mergeable partials. Reuses
+    * the build's single-tokenize-pass shape on the batch only.
+    */
+  def appendBm25Index(batch: DataFrame, idCol: String, textCol: String,
+                      indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    val nBuckets = spark.read.parquet(s"$indexPath/totals")
+      .select(max(col("n_buckets"))).head().getInt(0)
+    val toks = batch.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(hash(col("token")), lit(nBuckets)))
+    val tfc = graft.engine.Caches.persisted("appendBm25Index.tf", tf)
+    tfc.write.partitionBy("bucket").mode("append").parquet(s"$indexPath/tf")
+    tfc.groupBy(col("token"), col("bucket"))
+      .agg(count(lit(1)).as("dft"))
+      .write.partitionBy("bucket").mode("append").parquet(s"$indexPath/df")
+    val docLen = tfc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    docLen.coalesce(1).write.mode("append").parquet(s"$indexPath/doclen")
+    docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1).write.mode("append").parquet(s"$indexPath/totals")
+    graft.engine.Caches.releaseAll()
+  }
+
+  /** Probe the persisted BM25 index: reads the query terms' tf slice
+    * (bucket partition-pruned + term filter pushed to the scan), SUMs
+    * the df/totals partials, and scores through [[bm25Score]] — the
+    * same pinned arithmetic as the inline [[bm25]], so the q168 oracle
+    * applies to the probe verbatim (q246).
+    */
+  def bm25Probe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                queryTerms: Seq[String], k1: Double = 1.2,
+                b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.map(_.toLowerCase).distinct.size == queryTerms.size,
+      s"queryTerms must be distinct (case-insensitive), got $queryTerms")
+    val terms = queryTerms.map(_.toLowerCase)
+    val totalsAll = spark.read.parquet(s"$indexPath/totals")
+    val nBuckets = totalsAll.select(max(col("n_buckets"))).head().getInt(0)
+    // bucket per term via the SAME executor-side hash used at build
+    // time — never re-implemented driver-side
+    import spark.implicits._
+    val buckets = terms.toDF("token")
+      .select(pmod(hash(col("token")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val tf = spark.read.parquet(s"$indexPath/tf")
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .select(col("doc_id"), col("token"), col("tf"))
+    val dft = spark.read.parquet(s"$indexPath/df")
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(sum(col("dft")).as("dft"))
+    val docLen = spark.read.parquet(s"$indexPath/doclen")
+      .select(col("doc_id"), col("dl"))
+    val totals = totalsAll.agg(sum(col("n_docs")).as("n_docs"),
+      sum(col("sum_dl")).as("sum_dl"))
+    bm25Score(tf, dft, docLen, totals, k1, b)
   }
 
   /** Feature-hashing TF-IDF document vectors — the "hashing trick"

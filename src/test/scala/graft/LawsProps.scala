@@ -2684,4 +2684,39 @@ object LawsProps extends Properties("graft.laws") {
       spark.catalog.clearCache()
       sel == broad
     }
+
+  property("bm25 index: build(base) + append(rest) probes equal build(all) AND the inline scorer on ANY split") =
+    forAll(
+      Gen.choose(4, 12),   // docs
+      Gen.choose(1, 9),    // split point (doc id below → base)
+      Gen.choose(1L, 997L) // text seed
+    ) { (n, cut, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("spark", "vector", "merge", "tick", "gold", "silver")
+      val rows = (0 until n).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(8))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val docs = rows.toDF("doc_id", "text")
+      val terms = Seq("spark", "vector", "merge")
+      val all = java.nio.file.Files.createTempDirectory("graft_bm25a")
+        .toString + "/index"
+      graft.text.TextStats.buildBm25Index(docs, "doc_id", "text", all,
+        nBuckets = 4)
+      val inc = java.nio.file.Files.createTempDirectory("graft_bm25i")
+        .toString + "/index"
+      graft.text.TextStats.buildBm25Index(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") < cut),
+        "doc_id", "text", inc, nBuckets = 4)
+      graft.text.TextStats.appendBm25Index(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") >= cut),
+        "doc_id", "text", inc)
+      def probe(p: String) = graft.text.TextStats.bm25Probe(spark, p, terms)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      val inline = graft.text.TextStats.bm25(docs, "doc_id", "text", terms)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      graft.engine.Caches.releaseAll()
+      spark.catalog.clearCache()
+      probe(all) == inline && probe(inc) == inline
+    }
 }

@@ -592,6 +592,21 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q246: the BM25 probe partition-prunes the tf scan to the query terms' buckets and pushes the term filter") {
+    // the whole point of the persisted lexical index: a probe must
+    // read the query terms' slice, never re-scan the full tf table —
+    // bucket dirs prune at the source level, the term IN-filter
+    // reaches the parquet reader
+    val p = plan("q246_bm25_probe")
+    assert(p.contains("PartitionFilters"), p)
+    val pf = "PartitionFilters: \\[[^\\]]*".r.findAllIn(p).toSeq
+    assert(pf.exists(f => f.contains("bucket") && f.contains("IN")), pf.mkString("\n"))
+    assert("PushedFilters: \\[[^\\]]*".r.findAllIn(p).exists(f =>
+      f.contains("In(token")), p)
+    graft.engine.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("AQE splits a skewed join partition at runtime (skew-join enabled in Sessions.tune)") {
     import spark.implicits._
     // one key carries ~100k rows against a 4-row dimension; with the
