@@ -17,7 +17,7 @@ import graft.Fixtures._
   * unchanged; [[SparkEntry.queries]] concatenates the four shards and
   * asserts key-disjointness, so the driver contract (keys, closures,
   * oracle pairing) is byte-identical to the pre-split registry.
-  * 56 entries (q242–q246 retrieval family added post-split).
+  * 57 entries (q242–q247 retrieval family added post-split).
   */
 private[graft] object RegistryB {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -720,6 +720,18 @@ private[graft] object RegistryB {
       graft.text.TextStats.bm25Probe(s, bm25IndexFor(s, dir),
           Seq("spark", "vector", "merge"))
         .orderBy("doc_id")
+    }),
+
+    "q247_hybrid_probe" -> ((s, dir) => {
+      // the production hybrid stack: q242's fusion where BOTH lists
+      // come from persisted indexes — the bucket-pruned BM25 probe and
+      // the partition-pruned IVF probe; equals the inline fusion on
+      // corpora where the IVF probe's recall is total (the q81
+      // premise, so the oracle is q242's verbatim and the gate is
+      // measuredOn-pinned like q81)
+      graft.ops.Retrieval.hybridProbeTopK(s, bm25IndexFor(s, dir),
+        ivfIndexFor(s, dir), t(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq("spark", "vector", "merge"), queryVecId = 0L)
     }),
 
     "q245_mmr_rerank" -> ((s, dir) => {

@@ -86,6 +86,34 @@ object Retrieval {
     rrfFuse(lex, dense, kRrf, topK)
   }
 
+  /** [[hybridTopK]] over PERSISTED indexes — the production stack: the
+    * lexical list comes from the bucket-pruned BM25 probe
+    * ([[graft.text.TextStats.bm25Probe]]) and the dense list from the
+    * partition-pruned IVF probe
+    * ([[graft.vector.Similarity.ivfProbeById]]), so a query touches
+    * only the query terms' tf slice and nProbe cluster dirs — no
+    * corpus tokenize, no full vector scan. On corpora where the IVF
+    * probe's recall is total (the q81 premise) the fused output equals
+    * the inline [[hybridTopK]] exactly, which is how q247 shares
+    * q242's oracle verbatim.
+    */
+  def hybridProbeTopK(spark: org.apache.spark.sql.SparkSession,
+                      bm25IndexPath: String, ivfIndexPath: String,
+                      emb: DataFrame, vecIdCol: String, vecCol: String,
+                      queryTerms: Seq[String], queryVecId: Long,
+                      perList: Int = 10, kRrf: Int = 60,
+                      topK: Int = 10, nProbe: Int = 4): DataFrame = {
+    val lex = ranked(
+      graft.text.TextStats.bm25Probe(spark, bm25IndexPath, queryTerms)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(perList),
+      "doc_id", "bm25", "lex_rank")
+    val dense = ranked(
+      graft.vector.Similarity.ivfProbeById(spark, ivfIndexPath, emb,
+        vecIdCol, vecCol, queryVecId, perList, nProbe),
+      vecIdCol, "cos_sim", "dense_rank")
+    rrfFuse(lex, dense, kRrf, topK)
+  }
+
   /** Retrieval-quality report for ONE ranked list against a relevance
     * set: precision@k, MRR (reciprocal rank of the first relevant
     * hit), DCG@k and nDCG@k — the metrics every retrieval deployment

@@ -32,6 +32,9 @@ object Oracles {
     "q236_ann_delete_probe" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q197_ann_join" -> Set("sf0.001", "sf0.01", "sf0.1"),
     "q201_pq_reconstruction" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    // q247's dense side is the q81 IVF probe — same recall premise,
+    // same pin
+    "q247_hybrid_probe" -> Set("sf0.001", "sf0.01", "sf0.1"),
     // q39 left unpinned since the pruning-power switch: at its 0.4
     // threshold the operator routes to the exact verify on any corpus
     // within MaxExactPairs (recall structurally total) and REFUSES
@@ -48,7 +51,30 @@ object Oracles {
   def all: Map[String, String] = {
     val base = OraclesA.map ++ OraclesB.map ++ OraclesC.map
     def block(q: String) = s"(SELECT * FROM (\n${base(q)}\n))"
-    base + ("q172_instrument_profile" ->
+    // q242's SQL is bound once and mapped under BOTH keys: q247 (the
+    // persisted-index hybrid) must reproduce the inline fusion exactly
+    // — BM25 probe ≡ inline scorer structurally, IVF probe ≡ exact
+    // scan on the measured corpora (the q81 premise, hence q247's
+    // measuredOn pin) — so the oracle applies verbatim
+    val hybridRrfSql =
+      s"""WITH bm AS ${block("q168_bm25")},
+        |dn AS ${block("q40_cosine_topk")},
+        |lr AS (
+        |  SELECT doc_id AS id, row_number()
+        |    OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10)),
+        |dr AS (
+        |  SELECT vec_id AS id, row_number()
+        |    OVER (ORDER BY cos_sim DESC, vec_id) AS dense_rank
+        |  FROM (SELECT * FROM dn ORDER BY cos_sim DESC, vec_id LIMIT 10))
+        |SELECT COALESCE(lr.id, dr.id) AS id, lex_rank, dense_rank,
+        |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+        |    + COALESCE(CAST(1 AS DOUBLE) / (60 + dense_rank), 0), 9)
+        |    AS rrf
+        |FROM lr FULL OUTER JOIN dr ON lr.id = dr.id
+        |ORDER BY rrf DESC, id LIMIT 10""".stripMargin
+    base + ("q247_hybrid_probe" -> hybridRrfSql) +
+    ("q172_instrument_profile" ->
       s"""WITH sh AS ${block("q114_sharpe")},
         |rv AS ${block("q163_range_volatility")},
         |hu AS ${block("q164_hurst")},
@@ -68,23 +94,7 @@ object Oracles {
     // order (lexical + dense) as exact-integer double divisions, so
     // the doubles agree bit-for-bit; ids on one list only coalesce
     // the missing term to 0 (RRF union semantics)
-    ("q242_hybrid_rrf" ->
-      s"""WITH bm AS ${block("q168_bm25")},
-        |dn AS ${block("q40_cosine_topk")},
-        |lr AS (
-        |  SELECT doc_id AS id, row_number()
-        |    OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
-        |  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT 10)),
-        |dr AS (
-        |  SELECT vec_id AS id, row_number()
-        |    OVER (ORDER BY cos_sim DESC, vec_id) AS dense_rank
-        |  FROM (SELECT * FROM dn ORDER BY cos_sim DESC, vec_id LIMIT 10))
-        |SELECT COALESCE(lr.id, dr.id) AS id, lex_rank, dense_rank,
-        |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
-        |    + COALESCE(CAST(1 AS DOUBLE) / (60 + dense_rank), 0), 9)
-        |    AS rrf
-        |FROM lr FULL OUTER JOIN dr ON lr.id = dr.id
-        |ORDER BY rrf DESC, id LIMIT 10""".stripMargin) +
+    ("q242_hybrid_rrf" -> hybridRrfSql) +
     // q246: the persisted-index BM25 probe must reproduce the inline
     // scorer exactly (shared bm25Score, same pinned arithmetic), so
     // q168's oracle applies VERBATIM — the gate additionally proves
