@@ -354,6 +354,19 @@ object Layout {
 
   private def pswapStagingPath(path: String) = path + "_pswap_staging"
   private def pswapOldPath(path: String) = path + "_pswap_old"
+  private def pswapLeasePath(path: String) = path + "_pswap_lease"
+
+  /** Age past which a swap lease counts as a dead holder. Readers
+    * defer resuming a MARKED swap while a fresh lease exists (the
+    * writer is alive and will finish its own swap — two healers
+    * racing one swap can nest a partition dir through posix
+    * rename-into-existing-dir and then miss it in the carry-over
+    * scan, silently losing a concurrent append); past the TTL the
+    * holder is presumed crashed and a reader may take over. Writer
+    * entries ignore the lease entirely — the single-purger contract
+    * says any marked swap they find is a dead predecessor's.
+    */
+  val PswapLeaseTtlMs: Long = 120000L
 
   /** Complete or discard an interrupted [[stagedPartitionReplace]] —
     * called on entry by the replace itself AND by index read paths
@@ -388,7 +401,8 @@ object Layout {
     * passes `true`.
     */
   def healStagedPartitionSwap(spark: SparkSession, path: String,
-                              discardMarkerless: Boolean = false): Unit = {
+                              discardMarkerless: Boolean = false,
+                              writerRole: Boolean = false): Unit = {
     val fs = FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     val stg = new Path(pswapStagingPath(path))
@@ -398,12 +412,36 @@ object Layout {
       if (!fs.exists(marker)) {
         if (discardMarkerless) fs.delete(stg, true)
       } else {
+        // lease gate (round 13, found by the cross-JVM race): a READER
+        // may resume a marked swap only when its holder is dead — a
+        // fresh lease means the writer is alive mid-swap and a second
+        // healer would race its renames (the nesting hazard documented
+        // at PswapLeaseTtlMs). No lease at all = a crash state from a
+        // pre-lease writer or a fabricated recovery scenario — resume.
+        if (!writerRole) {
+          val lease = new Path(pswapLeasePath(path))
+          val fresh =
+            try fs.exists(lease) &&
+              (System.currentTimeMillis() -
+                fs.getFileStatus(lease).getModificationTime) < PswapLeaseTtlMs
+            catch { case _: java.io.IOException => false } // vanished = done
+          if (fresh) return
+          try fs.delete(lease, false)
+          catch { case _: java.io.IOException => () } // stale takeover
+        }
         fs.listStatus(stg).filter(_.isDirectory).foreach { s =>
           val name = s.getPath.getName
           val liveP = new Path(path, name)
           if (fs.exists(liveP)) {
             fs.mkdirs(old)
-            require(fs.rename(liveP, new Path(old, name)),
+            val oldName = new Path(old, name)
+            // fail LOUDLY instead of nesting: posix rename into an
+            // existing dir moves the source INSIDE it, and the
+            // carry-over scan below would then miss those files
+            require(!fs.exists(oldName),
+              s"healStagedPartitionSwap: $oldName already exists — " +
+                "another healer raced this swap (lease protocol violated)")
+            require(fs.rename(liveP, oldName),
               s"healStagedPartitionSwap: rename $liveP aside failed")
           }
           require(fs.rename(s.getPath, liveP),
@@ -440,6 +478,10 @@ object Layout {
           }
         if (fs.exists(old)) fs.delete(old, true)
         fs.delete(stg, true)
+        // swap fully complete — release the holder's lease (ours on a
+        // takeover, the writer's own when called from its entry)
+        try fs.delete(new Path(pswapLeasePath(path)), false)
+        catch { case _: java.io.IOException => () }
       }
     }
     if (fs.exists(old)) fs.delete(old, true)
@@ -462,7 +504,8 @@ object Layout {
     */
   def stagedPartitionReplace(spark: SparkSession, path: String)
                             (write: (String, Seq[String]) => Unit): Unit = {
-    healStagedPartitionSwap(spark, path, discardMarkerless = true)
+    healStagedPartitionSwap(spark, path, discardMarkerless = true,
+      writerRole = true)
     val fs = FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     val live = new Path(path)
@@ -480,10 +523,16 @@ object Layout {
       }
     write(pswapStagingPath(path), snapshot.map(_._2.toString))
     require(fs.exists(stg), s"stagedPartitionReplace: $stg missing after write")
+    // lease BEFORE marker: from the instant the marker licenses the
+    // swap, no reader-healer may race our renames while we are alive
+    // (PswapLeaseTtlMs); the heal releases it when the swap completes
+    val lease = fs.create(new Path(pswapLeasePath(path)), true)
+    lease.close()
     val out = fs.create(new Path(stg, StagedCompleteMarker), true)
     out.write(snapshot.map(_._1).mkString("\n").getBytes("UTF-8"))
     out.close()
-    healStagedPartitionSwap(spark, path) // marker present ⇒ performs the swap
+    // marker present ⇒ performs the swap (writer role: our own lease)
+    healStagedPartitionSwap(spark, path, writerRole = true)
   }
 
   /** The tombstone id set of an index root — the LSM-style delete

@@ -740,7 +740,7 @@ object Similarity {
   def purgeIvfIndex(spark: SparkSession, indexPath: String): Unit = {
     val asgPath = s"$indexPath/assignments"
     graft.engine.Layout.healStagedPartitionSwap(spark, asgPath,
-      discardMarkerless = true)
+      discardMarkerless = true, writerRole = true)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
       spark.sparkContext.hadoopConfiguration)
     // entry-time tombstone snapshot (ADVICE r12): fixed id universe for
@@ -2212,7 +2212,7 @@ object Similarity {
     // writer entry: the purge holds the single-purger role, so a
     // marker-less staging here is a dead crash remnant — discard it
     graft.engine.Layout.healStagedPartitionSwap(spark, codesPath,
-      discardMarkerless = true)
+      discardMarkerless = true, writerRole = true)
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
       spark.sparkContext.hadoopConfiguration)
     // entry-time snapshot (ADVICE r12): one materialized id universe
@@ -2274,7 +2274,7 @@ object Similarity {
                          purgeAboveMaskedFraction: Double = 0.25,
                          purgeAboveRows: Long = 100000L): DataFrame = {
     graft.engine.Layout.healStagedPartitionSwap(spark, s"$indexPath/codes",
-      discardMarkerless = true)
+      discardMarkerless = true, writerRole = true)
     val nRequested = ids.select(col(idColName)).distinct().count()
     if (nRequested > 0)
       deleteFromIvfAdcIndex(spark, indexPath, ids, idColName, purgeAboveRows)

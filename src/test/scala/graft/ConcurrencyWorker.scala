@@ -36,10 +36,29 @@ object ConcurrencyWorker {
           val path = args(1)
           val millis = args(2).toLong
           val deadline = System.currentTimeMillis() + millis
+          // RawLocalFileSystem stats shell out to `ls`; a file the racing
+          // appender removes mid-listing (its in-flight `_temporary`
+          // committer scratch) surfaces as this transient. Retryable by
+          // the staged protocol — the next round's entry heals any
+          // partial state — and impossible on a real DFS, which stats
+          // natively instead of shelling out.
+          def localFsListingRace(t: Throwable): Boolean = {
+            val msgs = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+              .take(8).flatMap(c => Option(c.getMessage)).mkString(" | ")
+            msgs.contains("while running command to get file permissions") ||
+              msgs.contains("No such file or directory") ||
+              msgs.contains("_temporary")
+          }
           while (System.currentTimeMillis() < deadline) {
             val t0 = System.currentTimeMillis()
-            graft.engine.Layout.compactFlat(spark, path, targetFiles = 2)
-            println(s"ROUND $t0 ${System.currentTimeMillis()}")
+            try {
+              graft.engine.Layout.compactFlat(spark, path, targetFiles = 2)
+              println(s"ROUND $t0 ${System.currentTimeMillis()}")
+            } catch {
+              case t: Throwable if localFsListingRace(t) =>
+                println(s"SKIP $t0 ${System.currentTimeMillis()}")
+                Thread.sleep(50)
+            }
             Console.flush()
           }
         case "purge" =>
