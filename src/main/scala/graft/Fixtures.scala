@@ -53,13 +53,15 @@ private[graft] object Fixtures {
       path
     })
 
-  /** q241's per-CALL ANN index: the forget cycle mutates (purges), so
-    * each call file-copies the pristine q196 base index to a fresh dir
-    * — the forgetCycleIndexCopy discipline on the ANN tier.
+  /** File-copy a pristine base index to a fresh per-call dir — the
+    * shared mechanics of every mutating-cycle fixture (a forget cycle
+    * purges; a second run on the same dir would find the rows already
+    * gone and report a different cycle). Megabytes at gate scale —
+    * far cheaper than a rebuild.
     */
-  private[graft] def forgetCycleAnnIndexCopy(s: SparkSession, dir: String): String = {
-    val base = ivfAdcIndexFor(s, dir)
-    val dst = java.nio.file.Files.createTempDirectory("graft_forgetannrun")
+  private def copyIndexDir(s: SparkSession, base: String,
+                           prefix: String): String = {
+    val dst = java.nio.file.Files.createTempDirectory(prefix)
       .toString + "/index"
     val conf = s.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -68,6 +70,41 @@ private[graft] object Fixtures {
       new org.apache.hadoop.fs.Path(base), fs,
       new org.apache.hadoop.fs.Path(dst), false, conf)
     dst
+  }
+
+  /** q241's per-CALL ANN index: the forget cycle mutates (purges), so
+    * each call file-copies the pristine q196 base index to a fresh dir
+    * — the forgetCycleIndexCopy discipline on the ANN tier.
+    */
+  private[graft] def forgetCycleAnnIndexCopy(s: SparkSession, dir: String): String =
+    copyIndexDir(s, ivfAdcIndexFor(s, dir), "graft_forgetannrun")
+
+  /** q248's per-CALL BM25 index: the lexical-tier forget cycle purges,
+    * so each call copies a pristine base built once per JVM — NOT the
+    * shared q246 probe index, which must never see deletes.
+    */
+  private val bm25ForgetBaseCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def forgetCycleBm25IndexCopy(s: SparkSession, dir: String): String = {
+    val base = bm25ForgetBaseCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_bm25fbase")
+        .toString + "/index"
+      graft.text.TextStats.buildBm25Index(
+        Tables.load(s, dir, "documents"), "doc_id", "text", path)
+      path
+    })
+    copyIndexDir(s, base, "graft_bm25frun")
+  }
+
+  /** q249's per-CALL index TRIO: one fresh copy of each tier's
+    * pristine base (signature, IVFADC, BM25) for the unified
+    * all-tiers forget cycle — each run must see the same first-cycle
+    * state on every tier.
+    */
+  private[graft] def forgetCycleAllTiers(s: SparkSession, dir: String): (String, String, String) = {
+    val sig = forgetCycleIndexCopy(s, dir)
+    val ann = forgetCycleAnnIndexCopy(s, dir)
+    val bm = forgetCycleBm25IndexCopy(s, dir)
+    (sig, ann, bm)
   }
 
   /** Build-once memo for the persisted per-source HLL register files
@@ -181,15 +218,7 @@ private[graft] object Fixtures {
         "doc_id", "text", path)
       path
     })
-    val dst = java.nio.file.Files.createTempDirectory("graft_forgetrun")
-      .toString + "/index"
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI("file:///"), conf)
-    org.apache.hadoop.fs.FileUtil.copy(fs,
-      new org.apache.hadoop.fs.Path(base), fs,
-      new org.apache.hadoop.fs.Path(dst), false, conf)
-    dst
+    copyIndexDir(s, base, "graft_forgetrun")
   }
 
   /** Build-once memo for the DELETED IVFADC index (q236): the shared

@@ -17,7 +17,7 @@ import graft.Fixtures._
   * unchanged; [[SparkEntry.queries]] concatenates the four shards and
   * asserts key-disjointness, so the driver contract (keys, closures,
   * oracle pairing) is byte-identical to the pre-split registry.
-  * 125 entries.
+  * 127 entries (q248/q249 lexical + unified forget cycles added r14).
   */
 private[graft] object RegistryC {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1074,6 +1074,41 @@ private[graft] object RegistryC {
         t(s, dir, "embeddings").filter(col("vec_id") % 7 === 2)
           .select("vec_id"),
         "vec_id", purgeAboveMaskedFraction = 0.05)
+    }),
+
+    "q248_forget_cycle_bm25" -> ((s, dir) => {
+      // the q240/q241 cycle on the LEXICAL tier (r13 verdict item #1:
+      // until round 14 a forgotten document's tokens stayed
+      // probe-visible in tf and counted in df/totals forever):
+      // recovery → tombstone record (doc_id % 10 = 3) →
+      // masked-fraction report (tombstoned ∩ doclen over doclen — one
+      // row per doc with ≥1 token, here every doc) → policy purge
+      // (0.05 < the ~10% mask, so the purge fires: tf/df/doclen
+      // partition swaps + totals rewrite, tombstones cleared LAST) →
+      // fsck, on a fresh copy of a pristine BM25 index. The oracle
+      // recomputes the report from the documents table through the
+      // q168 tokenization (the doc universe is docs with tokens).
+      TextStats.forgetAndVerifyBm25(s, forgetCycleBm25IndexCopy(s, dir),
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 3)
+          .select("doc_id"),
+        "doc_id", purgeAboveMaskedFraction = 0.05)
+    }),
+
+    "q249_forget_all_tiers" -> ((s, dir) => {
+      // ONE forget request against EVERY standing index tier — the
+      // unified verb the r13 verdict asked forgetAndVerify to become:
+      // signature + ANN + BM25 cycles run as one call on fresh copies
+      // of all three pristine indexes, one audited report row per
+      // tier. The oracle recomputes each tier's row from first
+      // principles (sig: GREATEST over doc/shingle fractions; ann: id
+      // ratio over embeddings; bm25: doc ratio over the tokenized doc
+      // universe); all three purge (0.05 < ~10%) and audit green.
+      val (sig, ann, bm) = forgetCycleAllTiers(s, dir)
+      multimodal.Curate.forgetAndVerifyAll(s,
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 3)
+          .select("doc_id"),
+        "doc_id", signatureIndexPath = Some(sig), annIndexPath = Some(ann),
+        bm25IndexPath = Some(bm), purgeAboveMaskedFraction = 0.05)
     }),
 
     "q240_forget_cycle" -> ((s, dir) => {

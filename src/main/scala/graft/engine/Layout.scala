@@ -420,14 +420,36 @@ object Layout {
         // pre-lease writer or a fabricated recovery scenario — resume.
         if (!writerRole) {
           val lease = new Path(pswapLeasePath(path))
-          val fresh =
-            try fs.exists(lease) &&
-              (System.currentTimeMillis() -
-                fs.getFileStatus(lease).getModificationTime) < PswapLeaseTtlMs
-            catch { case _: java.io.IOException => false } // vanished = done
-          if (fresh) return
-          try fs.delete(lease, false)
-          catch { case _: java.io.IOException => () } // stale takeover
+          val st =
+            try Some(fs.getFileStatus(lease))
+            catch { case _: java.io.IOException => None } // vanished = done
+          st match {
+            case Some(s) if System.currentTimeMillis() -
+                s.getModificationTime < PswapLeaseTtlMs =>
+              return // holder alive mid-swap — it finishes its own swap
+            case Some(_) =>
+              // stale holder: claim the takeover ATOMICALLY by renaming
+              // the stale lease aside — exactly one healer's rename
+              // succeeds, every loser returns (ADVICE r13: two readers
+              // past the TTL used to both delete-and-resume, crashing
+              // one on the anti-nesting require)
+              val claim = new Path(pswapLeasePath(path) + ".takeover")
+              val claimed =
+                try fs.rename(lease, claim)
+                catch { case _: java.io.IOException => false }
+              if (!claimed) return
+              // hold OUR OWN fresh lease for the resumed swap so later
+              // healers defer to us; the completion path releases it
+              try { fs.create(lease, true).close(); fs.delete(claim, false) }
+              catch { case _: java.io.IOException => () }
+            case None =>
+              // no lease (pre-lease crash state): claim via
+              // create-if-absent — a racing healer's create throws
+              val created =
+                try { fs.create(lease, false).close(); true }
+                catch { case _: java.io.IOException => false }
+              if (!created) return
+          }
         }
         fs.listStatus(stg).filter(_.isDirectory).foreach { s =>
           val name = s.getPath.getName
@@ -479,8 +501,11 @@ object Layout {
         if (fs.exists(old)) fs.delete(old, true)
         fs.delete(stg, true)
         // swap fully complete — release the holder's lease (ours on a
-        // takeover, the writer's own when called from its entry)
+        // takeover, the writer's own when called from its entry) and
+        // any takeover-claim remnant a crashed taker left behind
         try fs.delete(new Path(pswapLeasePath(path)), false)
+        catch { case _: java.io.IOException => () }
+        try fs.delete(new Path(pswapLeasePath(path) + ".takeover"), false)
         catch { case _: java.io.IOException => () }
       }
     }

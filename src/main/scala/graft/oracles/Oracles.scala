@@ -363,6 +363,94 @@ object Oracles {
         |  TRUE AS fsck_ok,
         |  CAST(0 AS BIGINT) AS failing_checks
         |FROM d""".stripMargin) +
+    // q248 (round-14 lexical forget loop): the q240 report arithmetic
+    // on the BM25 tier — the masked fraction is the doc-level ratio
+    // over the index's doc universe, which is docs with ≥1 token
+    // (q168's tokenization); n_requested counts the request set off
+    // the raw documents table (a request for an absent/empty doc
+    // still counts as requested)
+    ("q248_forget_cycle_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |u AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(w) AS token FROM toks)
+        |  WHERE token <> ''),
+        |d AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT)
+        |      AS masked
+        |  FROM u),
+        |r AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_req
+        |  FROM documents WHERE doc_id % 10 = 3)
+        |SELECT r.n_req AS n_requested,
+        |  CAST(d.masked AS DOUBLE) / d.total AS masked_fraction,
+        |  CAST(d.masked AS DOUBLE) / d.total > 0.05 AS purged,
+        |  CAST(0 AS BIGINT) AS pending_tombstones,
+        |  TRUE AS fsck_ok,
+        |  CAST(0 AS BIGINT) AS failing_checks
+        |FROM d, r""".stripMargin) +
+    // q249 (unified all-tiers forget): one row per tier, each tier's
+    // masked fraction from its own universe — signature: GREATEST
+    // over doc-level and shingle-weighted fractions (q240's
+    // arithmetic); ann: request-id ratio over the embeddings ids
+    // (codes hold one row per vector); bm25: doc ratio over the
+    // tokenized doc universe (q248's). All purge past 0.05 and audit
+    // green with nothing pending.
+    ("q249_forget_all_tiers" ->
+      s"""WITH $shingleCte,
+        |btoks AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |u AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(w) AS token FROM btoks)
+        |  WHERE token <> ''),
+        |r AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_req
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |dd AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT)
+        |      AS masked
+        |  FROM documents),
+        |sm AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT)
+        |      AS masked
+        |  FROM sh),
+        |ea AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(COUNT(*) FILTER (WHERE vec_id IN (
+        |      SELECT doc_id FROM documents WHERE doc_id % 10 = 3))
+        |      AS BIGINT) AS masked
+        |  FROM embeddings),
+        |bu AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(COUNT(*) FILTER (WHERE doc_id % 10 = 3) AS BIGINT)
+        |      AS masked
+        |  FROM u)
+        |SELECT tier, n_requested, masked_fraction,
+        |  masked_fraction > 0.05 AS purged,
+        |  CAST(0 AS BIGINT) AS pending_tombstones,
+        |  TRUE AS fsck_ok,
+        |  CAST(0 AS BIGINT) AS failing_checks
+        |FROM (
+        |  SELECT 'ann' AS tier, r.n_req AS n_requested,
+        |    CAST(ea.masked AS DOUBLE) / ea.total AS masked_fraction
+        |  FROM ea, r
+        |  UNION ALL SELECT 'bm25', r.n_req,
+        |    CAST(bu.masked AS DOUBLE) / bu.total
+        |  FROM bu, r
+        |  UNION ALL SELECT 'signature', r.n_req,
+        |    GREATEST(CAST(dd.masked AS DOUBLE) / dd.total,
+        |             CAST(sm.masked AS DOUBLE) / sm.total)
+        |  FROM dd, sm, r)
+        |ORDER BY tier""".stripMargin) +
     ("q237_delete_report" ->
       s"""WITH $shingleCte,
         |s AS (

@@ -1413,13 +1413,28 @@ object TextStats {
     *     partitioning: probes SUM them per token, so an append never
     *     rewrites existing rows (the shingle_freq SUM-mergeable
     *     pattern);
-    *   - `doclen/` — (doc_id, dl); `totals/` — (n_docs, sum_dl,
-    *     n_buckets) partials, summed at probe.
+    *   - `doclen/` — (doc_id, dl), hive-partitioned by
+    *     `dbucket = pmod(hash(doc_id), nBuckets)`: per-DOC rows write
+    *     multi-file through the doc-hash shuffle (never a
+    *     single-task funnel — at 10⁹ docs a `coalesce(1)` here would
+    *     serialize the whole doc-length relation through one task,
+    *     the r13-verdict scale-killer) and forget-verbs prune to the
+    *     deleted docs' buckets;
+    *   - `totals/` — (n_docs, sum_dl, n_buckets) partials, summed at
+    *     probe (one row per build/append — segments compact past the
+    *     tombstone-dir file bound).
     *
     * [[appendBm25Index]] grows all four at batch cost (new docs only —
-    * tf/doclen rows are per-doc so appends never collide; df/totals
-    * merge by SUM at read). Law (LawsProps): build(base) + append(rest)
-    * probes equal to build(all) on any corpus split.
+    * guarded by an anti-join `require`; tf/doclen rows are per-doc so
+    * appends never collide; df/totals merge by SUM at read). Law
+    * (LawsProps): build(base) + append(rest) probes equal to
+    * build(all) on any corpus split.
+    *
+    * Deletes: [[deleteFromBm25Index]] tombstones doc ids (probes
+    * anti-join them out immediately), [[purgeBm25Index]] folds them
+    * into the data files, [[fsckBm25Index]] audits, and
+    * [[forgetAndVerifyBm25]] runs the whole cycle as one verb — the
+    * signature/ANN-tier forget discipline on the lexical tier.
     */
   def buildBm25Index(df: DataFrame, idCol: String, textCol: String,
                      indexPath: String, nBuckets: Int = 64): Unit = {
@@ -1436,39 +1451,71 @@ object TextStats {
       .agg(count(lit(1)).as("dft"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$indexPath/df")
     val docLen = tfBack.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    docLen.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/doclen")
-    docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("dbucket", pmod(hash(col("doc_id")), lit(nBuckets)))
+    // co-locate by dbucket: one file per bucket dir, not one per
+    // shuffle partition per dir (the Layout.colocated discipline)
+    docLen.repartition(col("dbucket"))
+      .write.partitionBy("dbucket").mode("overwrite")
+      .parquet(s"$indexPath/doclen")
+    df.sparkSession.read.parquet(s"$indexPath/doclen")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("n_buckets", lit(nBuckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/totals")
   }
 
   /** Append a batch of NEW documents to a persisted BM25 index at
     * batch cost: per-doc tf/doclen rows append (no collision — doc ids
-    * must be new), df and totals land as SUM-mergeable partials. Reuses
-    * the build's single-tokenize-pass shape on the batch only.
+    * must be new, enforced by an anti-join `require` against the
+    * stored doclen relation, one slim semi-join per append: a silent
+    * duplicate would double dl and emit duplicate per-doc score rows
+    * forever), df and totals land as SUM-mergeable partials; totals
+    * segments compact past the flat-file bound. Reuses the build's
+    * single-tokenize-pass shape on the batch only. Cache hygiene is
+    * SCOPED (mark/releaseSince): this verb releases exactly the
+    * entries it registered, never a concurrent operator's tracked
+    * frames (caller-releases is the repo-wide Caches convention).
     */
   def appendBm25Index(batch: DataFrame, idCol: String, textCol: String,
                       indexPath: String): Unit = {
     val spark = batch.sparkSession
     val nBuckets = spark.read.parquet(s"$indexPath/totals")
       .select(max(col("n_buckets"))).head().getInt(0)
-    val toks = batch.select(col(idCol).cast("long").as("doc_id"),
-        explode(tokens(lower(col(textCol)))).as("token"))
-      .filter(col("token") =!= "")
-    val tf = toks.groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(hash(col("token")), lit(nBuckets)))
-    val tfc = graft.engine.Caches.persisted("appendBm25Index.tf", tf)
-    tfc.write.partitionBy("bucket").mode("append").parquet(s"$indexPath/tf")
-    tfc.groupBy(col("token"), col("bucket"))
-      .agg(count(lit(1)).as("dft"))
-      .write.partitionBy("bucket").mode("append").parquet(s"$indexPath/df")
-    val docLen = tfc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    docLen.coalesce(1).write.mode("append").parquet(s"$indexPath/doclen")
-    docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .coalesce(1).write.mode("append").parquet(s"$indexPath/totals")
-    graft.engine.Caches.releaseAll()
+    val nDup = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .join(spark.read.parquet(s"$indexPath/doclen").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .count()
+    require(nDup == 0L,
+      s"appendBm25Index: $nDup batch doc ids already exist in the index " +
+        s"at $indexPath — appends must carry NEW docs only (dedup or " +
+        "delete upstream; a silent re-append would double dl and " +
+        "duplicate score rows)")
+    val m = graft.engine.Caches.mark()
+    try {
+      val toks = batch.select(col(idCol).cast("long").as("doc_id"),
+          explode(tokens(lower(col(textCol)))).as("token"))
+        .filter(col("token") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", pmod(hash(col("token")), lit(nBuckets)))
+      val tfc = graft.engine.Caches.persisted("appendBm25Index.tf", tf)
+      tfc.write.partitionBy("bucket").mode("append").parquet(s"$indexPath/tf")
+      tfc.groupBy(col("token"), col("bucket"))
+        .agg(count(lit(1)).as("dft"))
+        .write.partitionBy("bucket").mode("append").parquet(s"$indexPath/df")
+      val docLen = tfc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .withColumn("dbucket", pmod(hash(col("doc_id")), lit(nBuckets)))
+      docLen.repartition(col("dbucket"))
+        .write.partitionBy("dbucket").mode("append")
+        .parquet(s"$indexPath/doclen")
+      docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .withColumn("n_buckets", lit(nBuckets))
+        .coalesce(1).write.mode("append").parquet(s"$indexPath/totals")
+      // bound the totals segment count under many small appends (the
+      // tombstone-dir cadence; totals is one row per append)
+      if (graft.engine.Layout.flatFileCount(spark, s"$indexPath/totals") > 48)
+        graft.engine.Layout.compactFlat(spark, s"$indexPath/totals",
+          targetFiles = 1)
+    } finally graft.engine.Caches.releaseSince(m)
   }
 
   /** Probe the persisted BM25 index: reads the query terms' tf slice
@@ -1476,6 +1523,18 @@ object TextStats {
     * the df/totals partials, and scores through [[bm25Score]] — the
     * same pinned arithmetic as the inline [[bm25]], so the q168 oracle
     * applies to the probe verbatim (q246).
+    *
+    * Tombstones ([[deleteFromBm25Index]]): when forget requests are
+    * pending, the probe anti-joins them out of tf and doclen and
+    * RE-DERIVES dft and totals from the live rows instead of the
+    * persisted partials (dft = live tf rows per query term — the same
+    * bucket-pruned slice already read; totals = one aggregate over
+    * the live doclen relation). This makes the probe correct at EVERY
+    * intermediate purge state (tf swapped but df not, doclen swapped
+    * but totals not): under pending tombstones it trusts only
+    * tf/doclen + the tombstone set, and the purge clears tombstones
+    * LAST. Indexes with no delete history take the partials fast path
+    * — plan unchanged, PlanSpec-pinned.
     */
   def bm25Probe(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                 queryTerms: Seq[String], k1: Double = 1.2,
@@ -1484,6 +1543,10 @@ object TextStats {
     require(queryTerms.map(_.toLowerCase).distinct.size == queryTerms.size,
       s"queryTerms must be distinct (case-insensitive), got $queryTerms")
     val terms = queryTerms.map(_.toLowerCase)
+    // reader-side heal of any interrupted partition-level purge swap
+    // (two FS existence checks each when none is in flight)
+    Seq("tf", "df", "doclen").foreach(t =>
+      graft.engine.Layout.healStagedPartitionSwap(spark, s"$indexPath/$t"))
     val totalsAll = spark.read.parquet(s"$indexPath/totals")
     val nBuckets = totalsAll.select(max(col("n_buckets"))).head().getInt(0)
     // bucket per term via the SAME executor-side hash used at build
@@ -1492,17 +1555,296 @@ object TextStats {
     val buckets = terms.toDF("token")
       .select(pmod(hash(col("token")), lit(nBuckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val tf = spark.read.parquet(s"$indexPath/tf")
+    val tsDoc = graft.engine.Layout.tombstones(spark, indexPath)
+      .map(ts => broadcast(ts.select(col("id").as("doc_id"))))
+    val tf0 = spark.read.parquet(s"$indexPath/tf")
       .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
       .select(col("doc_id"), col("token"), col("tf"))
-    val dft = spark.read.parquet(s"$indexPath/df")
-      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
-      .groupBy(col("token")).agg(sum(col("dft")).as("dft"))
-    val docLen = spark.read.parquet(s"$indexPath/doclen")
+    val tf = tsDoc.fold(tf0)(t => tf0.join(t, Seq("doc_id"), "left_anti"))
+    val docLen0 = spark.read.parquet(s"$indexPath/doclen")
       .select(col("doc_id"), col("dl"))
-    val totals = totalsAll.agg(sum(col("n_docs")).as("n_docs"),
-      sum(col("sum_dl")).as("sum_dl"))
+    val docLen = tsDoc.fold(docLen0)(t =>
+      docLen0.join(t, Seq("doc_id"), "left_anti"))
+    val (dft, totals) = tsDoc match {
+      case None =>
+        (spark.read.parquet(s"$indexPath/df")
+           .filter(col("bucket").isin(buckets: _*) &&
+             col("token").isin(terms: _*))
+           .groupBy(col("token")).agg(sum(col("dft")).as("dft")),
+         totalsAll.agg(sum(col("n_docs")).as("n_docs"),
+           sum(col("sum_dl")).as("sum_dl")))
+      case Some(_) =>
+        (tf.groupBy(col("token")).agg(count(lit(1)).as("dft")),
+         docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+    }
     bm25Score(tf, dft, docLen, totals, k1, b)
+  }
+
+  /** Right-to-be-forgotten deletes against a persisted BM25 index —
+    * the [[graft.vector.Similarity.deleteFromIvfAdcIndex]] LSM
+    * discipline on the lexical tier: doc ids append to
+    * `$indexPath/tombstones` (delete-proportional), every probe
+    * anti-joins them out of tf and doclen and re-derives df/totals
+    * from live rows ([[bm25Probe]]), and past `purgeAboveRows` the
+    * affected partitions rewrite once via [[purgeBm25Index]]. Until
+    * this verb existed, a forgotten document's tokens stayed
+    * probe-visible in tf and counted in df/totals forever — the
+    * compliance gap the r13 verdict named first.
+    */
+  def deleteFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, ids: DataFrame,
+                          idColName: String,
+                          purgeAboveRows: Long = 100000L): Unit = {
+    ids.select(col(idColName).cast("long").as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$indexPath/tombstones")
+    if (graft.engine.Layout.flatFileCount(spark, s"$indexPath/tombstones") > 48)
+      graft.engine.Layout.compactFlat(spark, s"$indexPath/tombstones",
+        targetFiles = 1)
+    if (spark.read.parquet(s"$indexPath/tombstones").count() > purgeAboveRows)
+      purgeBm25Index(spark, indexPath)
+  }
+
+  /** Fold the BM25 tombstones into the index files. Stage order is
+    * load-bearing: tf → df (recomputed from the purged tf) → doclen →
+    * totals (recomputed from the purged doclen) → clear tombstones
+    * LAST. A crash after any stage leaves the tombstones pending, and
+    * a probe under pending tombstones derives df/totals from live
+    * tf/doclen rows ([[bm25Probe]]) — so every intermediate state
+    * reads correctly and the purge is idempotent.
+    *
+    * Partition economics differ from the ANN tier by design: a
+    * deleted DOC's tokens hash across ~all token buckets, so the tf
+    * rewrite typically touches most partitions (that is what
+    * "amortized rewrite" means here — the per-probe anti-join is the
+    * thing being bought back); doclen prunes to the deleted docs'
+    * dbuckets (doc-hash partitioning, delete-proportional).
+    */
+  def purgeBm25Index(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String): Unit = {
+    val tfPath = s"$indexPath/tf"
+    val dfPath = s"$indexPath/df"
+    val dlPath = s"$indexPath/doclen"
+    // writer entry: the purge holds the single-purger role — any
+    // marked swap found here is a dead predecessor's
+    Seq(tfPath, dfPath, dlPath).foreach(p =>
+      graft.engine.Layout.healStagedPartitionSwap(spark, p,
+        discardMarkerless = true, writerRole = true))
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    def stageEmpties(stg: String, part: String, vals: Seq[String]): Unit = {
+      val stgP = new org.apache.hadoop.fs.Path(stg)
+      vals.foreach { v =>
+        val p = new org.apache.hadoop.fs.Path(stgP, s"$part=$v")
+        if (!fs.exists(p)) fs.mkdirs(p)
+      }
+    }
+    graft.engine.Layout.tombstoneSnapshot(spark, indexPath).foreach {
+      case (ts0, tsFiles) =>
+      val tsDoc = broadcast(ts0.select(col("id").as("doc_id")))
+      val nBuckets = spark.read.parquet(s"$indexPath/totals")
+        .select(max(col("n_buckets"))).head().getInt(0)
+      // ≤ nBuckets partition values each — bounded driver state
+      val affectedTf = spark.read.parquet(tfPath).join(tsDoc, Seq("doc_id"))
+        .select(col("bucket").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (affectedTf.nonEmpty) {
+        graft.engine.Layout.stagedPartitionReplace(spark, tfPath) {
+          (stg, snapshot) =>
+          (if (snapshot.isEmpty) spark.read.parquet(tfPath)
+           else spark.read.option("basePath", tfPath).parquet(snapshot: _*))
+            .filter(col("bucket").cast("string").isin(affectedTf: _*))
+            .join(tsDoc, Seq("doc_id"), "left_anti")
+            .repartition(col("bucket"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("bucket").parquet(stg)
+          stageEmpties(stg, "bucket", affectedTf)
+        }
+        // df partials for the touched buckets recompute from the
+        // PURGED tf (exact per-bucket counts — partials collapse to
+        // one segment per touched bucket as a side effect)
+        graft.engine.Layout.stagedPartitionReplace(spark, dfPath) {
+          (stg, _) =>
+          spark.read.parquet(tfPath)
+            .filter(col("bucket").cast("string").isin(affectedTf: _*))
+            .groupBy(col("token"), col("bucket"))
+            .agg(count(lit(1)).as("dft"))
+            .repartition(col("bucket"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("bucket").parquet(stg)
+          stageEmpties(stg, "bucket", affectedTf)
+        }
+      }
+      val affectedDl = spark.read.parquet(dlPath).join(tsDoc, Seq("doc_id"))
+        .select(col("dbucket").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (affectedDl.nonEmpty)
+        graft.engine.Layout.stagedPartitionReplace(spark, dlPath) {
+          (stg, snapshot) =>
+          (if (snapshot.isEmpty) spark.read.parquet(dlPath)
+           else spark.read.option("basePath", dlPath).parquet(snapshot: _*))
+            .filter(col("dbucket").cast("string").isin(affectedDl: _*))
+            .join(tsDoc, Seq("doc_id"), "left_anti")
+            .repartition(col("dbucket"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("dbucket").parquet(stg)
+          stageEmpties(stg, "dbucket", affectedDl)
+        }
+      // totals: ONE consolidated row recomputed from the purged doclen
+      // (sum over a slim per-doc relation at purge cadence)
+      graft.engine.Layout.stagedReplace(spark, s"$indexPath/totals") { stg =>
+        spark.read.parquet(dlPath)
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+          .withColumn("n_buckets", lit(nBuckets))
+          .coalesce(1).write.parquet(stg)
+      }
+      graft.engine.Layout.clearTombstoneFiles(spark, indexPath, tsFiles)
+    }
+  }
+
+  /** Integrity audit (fsck) of a persisted BM25 index — the
+    * [[graft.vector.Similarity.fsckIvfAdcIndex]] contract on the
+    * lexical tier: one row per invariant,
+    * `(check_name, ok, n_violations, detail)`. Checks: the four
+    * layout parts exist; one doclen row per doc; every tf doc exists
+    * in doclen; per-doc dl equals the tf sum (these two hold even
+    * under pending tombstones — both relations mask together); df
+    * partials sum to the tf-derived per-token counts and totals to
+    * the doclen aggregates (both STALE BY DESIGN under pending
+    * tombstones — probes re-derive them live, so staleness is
+    * reported benign exactly like the signature tier's freq check);
+    * every tf bucket and doclen dbucket matches the stored hash (a
+    * wrong-bucket row would silently escape partition pruning); no
+    * in-flight swap leftovers; pending tombstone count surfaced.
+    * Fault-injection spec'd (FsckSpec): each check FIRES on a
+    * corrupted index.
+    */
+  def fsckBm25Index(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    def ex(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/$sub"))
+    val required = Seq("tf", "df", "doclen", "totals")
+    val missing = required.filter(!ex(_))
+    val layoutRow = Seq(("layout_parts", missing.isEmpty, missing.size.toLong,
+      if (missing.isEmpty) "tf/df/doclen/totals present"
+      else s"missing: ${missing.mkString(",")}"))
+    if (missing.nonEmpty)
+      return layoutRow.toDF("check_name", "ok", "n_violations", "detail")
+    val tombstoned = graft.engine.Layout.tombstones(spark, indexPath)
+      .map(_.count()).getOrElse(0L)
+    val nBuckets = spark.read.parquet(s"$indexPath/totals")
+      .select(max(col("n_buckets"))).head().getInt(0)
+    val tf = spark.read.parquet(s"$indexPath/tf")
+    val dl = spark.read.parquet(s"$indexPath/doclen")
+    val dupDocs = dl.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).count()
+    val orphans = tf.select(col("doc_id")).distinct()
+      .join(dl.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+    val dlBad = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("_s"))
+      .join(dl.select(col("doc_id"), col("dl")), Seq("doc_id"))
+      .filter(col("_s") =!= col("dl")).count()
+    val bucketBad =
+      tf.filter(col("bucket") =!= pmod(hash(col("token")), lit(nBuckets)))
+        .count() +
+      dl.filter(col("dbucket") =!= pmod(hash(col("doc_id")), lit(nBuckets)))
+        .count()
+    val (dfOk, dfN, dfDetail) =
+      if (tombstoned > 0) (true, 0L,
+        s"stale by design under $tombstoned pending tombstones")
+      else {
+        val n = spark.read.parquet(s"$indexPath/df")
+          .groupBy(col("token")).agg(sum(col("dft")).as("_d"))
+          .join(tf.groupBy(col("token")).agg(count(lit(1)).as("_c")),
+            Seq("token"), "full_outer")
+          .filter(coalesce(col("_d"), lit(-1L)) =!=
+            coalesce(col("_c"), lit(-1L)))
+          .count()
+        (n == 0L, n, "df partials sum to tf-derived per-token counts")
+      }
+    val (totOk, totN, totDetail) =
+      if (tombstoned > 0) (true, 0L,
+        s"stale by design under $tombstoned pending tombstones")
+      else {
+        val t = spark.read.parquet(s"$indexPath/totals")
+          .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
+        val d = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+        val bad = (if (t.getLong(0) == d.getLong(0)) 0L else 1L) +
+          (if (t.getLong(1) == d.getLong(1)) 0L else 1L)
+        (bad == 0L, bad, "totals partials sum to the doclen aggregates")
+      }
+    val leftovers = required
+      .flatMap(t => Seq(s"${t}_pswap_staging", s"${t}_pswap_old",
+        s"${t}_swap_staging", s"${t}_swap_old"))
+      .filter(ex)
+    (layoutRow ++ Seq(
+      ("doclen_unique", dupDocs == 0L, dupDocs, "one doclen row per doc"),
+      ("doc_universe", orphans == 0L, orphans,
+        "every tf doc exists in doclen"),
+      ("dl_consistent", dlBad == 0L, dlBad,
+        "per-doc dl equals the tf sum"),
+      ("df_consistent", dfOk, dfN, dfDetail),
+      ("totals_consistent", totOk, totN, totDetail),
+      ("buckets_consistent", bucketBad == 0L, bucketBad,
+        "every bucket/dbucket matches the stored hash"),
+      ("no_swap_leftovers", leftovers.isEmpty, leftovers.size.toLong,
+        if (leftovers.isEmpty) "no in-flight swap"
+        else s"run the heal: ${leftovers.mkString(",")}"),
+      ("tombstones_pending", true, tombstoned,
+        "pending forget requests (anti-joined on read; purge folds them)")))
+      .toDF("check_name", "ok", "n_violations", "detail")
+      .orderBy(col("check_name"))
+  }
+
+  /** ONE operational forget cycle for the lexical tier — the
+    * [[graft.multimodal.Curate.forgetAndVerify]] shape on a persisted
+    * BM25 index: recover any interrupted predecessor (writer-role heal
+    * of all three partition swaps), record the forget requests
+    * ([[deleteFromBm25Index]] — its row-count cadence may purge on its
+    * own), measure the masked fraction every probe's anti-join pays
+    * (tombstoned ∩ doclen over doclen — one row per doc, so this IS
+    * the doc-level garbage ratio), purge when it crosses policy, and
+    * audit with [[fsckBm25Index]]. Returns the same one-row report:
+    * `(n_requested, masked_fraction, purged, pending_tombstones,
+    * fsck_ok, failing_checks)`. Crash contract as the other two
+    * tiers: every stage boundary leaves probes correct (tombstone
+    * masking + live re-derivation), and the next cycle's entry
+    * completes interrupted work (ForgetCycleSpec).
+    */
+  def forgetAndVerifyBm25(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, ids: DataFrame,
+                          idColName: String,
+                          purgeAboveMaskedFraction: Double = 0.25,
+                          purgeAboveRows: Long = 100000L): DataFrame = {
+    Seq("tf", "df", "doclen").foreach(t =>
+      graft.engine.Layout.healStagedPartitionSwap(spark, s"$indexPath/$t",
+        discardMarkerless = true, writerRole = true))
+    val nRequested = ids.select(col(idColName)).distinct().count()
+    if (nRequested > 0)
+      deleteFromBm25Index(spark, indexPath, ids, idColName, purgeAboveRows)
+    val docs = spark.read.parquet(s"$indexPath/doclen").select(col("doc_id"))
+    val worst = graft.engine.Layout.tombstones(spark, indexPath) match {
+      case Some(ts) =>
+        val total = docs.count()
+        if (total == 0L) 0.0
+        else docs.join(broadcast(ts.select(col("id").as("doc_id"))),
+          Seq("doc_id"), "left_semi").count().toDouble / total
+      case None => 0.0
+    }
+    val purged = worst > purgeAboveMaskedFraction
+    if (purged) purgeBm25Index(spark, indexPath)
+    val failing = fsckBm25Index(spark, indexPath)
+      .filter(!col("ok")).count()
+    val pending = graft.engine.Layout.tombstones(spark, indexPath)
+      .map(_.count()).getOrElse(0L)
+    spark.range(1).select(
+      lit(nRequested).as("n_requested"),
+      lit(worst).as("masked_fraction"),
+      lit(purged).as("purged"),
+      lit(pending).as("pending_tombstones"),
+      lit(failing == 0L).as("fsck_ok"),
+      lit(failing).as("failing_checks"))
   }
 
   /** Feature-hashing TF-IDF document vectors — the "hashing trick"

@@ -1101,12 +1101,21 @@ object Similarity {
                    bruteForceBelow: Long = 100000L): DataFrame = {
     require(allowedIds.columns.sameElements(Array("id")),
       s"filteredTopK: allowedIds must be a single `id` column, got ${allowedIds.columns.mkString(",")}")
+    // zero-norm queries fail LOUDLY on both paths (ADVICE r13: the
+    // exact path used to return silently-empty where the probe path's
+    // require fired — same input, selectivity-dependent behavior)
+    val qRows = emb.filter(col(idCol) === queryId)
+      .select(dot(col(vecCol), col(vecCol)).as("_n2")).limit(1).collect()
+    require(qRows.nonEmpty,
+      s"filteredTopK: query id $queryId not found in the corpus")
+    require(qRows(0).getDouble(0) > 0,
+      s"filteredTopK: query vector $queryId has zero norm — cosine " +
+        "similarity is undefined for it")
     if (allowedIds.count() <= bruteForceBelow) {
       // exact prefilter path: query row fetched from the UNFILTERED
       // corpus (the query need not satisfy its own predicate), corpus
       // side semi-joined down to the allowed ids
       val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("_q"))
-        .filter(dot(col("_q"), col("_q")) > 0)
       emb.join(allowedIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
         .filter(col(idCol) =!= queryId)
         .filter(dot(col(vecCol), col(vecCol)) > 0)
