@@ -1647,7 +1647,7 @@ object TextStats {
       val affectedTf = spark.read.parquet(tfPath).join(tsDoc, Seq("doc_id"))
         .select(col("bucket").cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq
-      if (affectedTf.nonEmpty) {
+      if (affectedTf.nonEmpty)
         graft.engine.Layout.stagedPartitionReplace(spark, tfPath) {
           (stg, snapshot) =>
           (if (snapshot.isEmpty) spark.read.parquet(tfPath)
@@ -1659,21 +1659,39 @@ object TextStats {
             .partitionBy("bucket").parquet(stg)
           stageEmpties(stg, "bucket", affectedTf)
         }
-        // df partials for the touched buckets recompute from the
-        // PURGED tf (exact per-bucket counts — partials collapse to
-        // one segment per touched bucket as a side effect)
+      // df stage is MISMATCH-driven, not affectedTf-driven: a purge
+      // that died after the tf swap leaves tombstones pending and tf
+      // already purged, so on re-entry affectedTf reads empty — the
+      // stale df buckets are found by comparing the partials against
+      // the post-swap tf directly (one tf-wide aggregation at purge
+      // cadence; ForgetCycleSpec's interrupted-purge test is the
+      // regression this self-detection exists for). In a fresh purge
+      // the mismatch set equals the touched-token buckets — the df
+      // counts of a deleted doc's tokens strictly drop.
+      val tfCounts = spark.read.parquet(tfPath)
+        .groupBy(col("token"), col("bucket").cast("string").as("bucket"))
+        .agg(count(lit(1)).as("_c"))
+      val staleDf = spark.read.parquet(dfPath)
+        .groupBy(col("token"), col("bucket").cast("string").as("bucket"))
+        .agg(sum(col("dft")).as("_d"))
+        .join(tfCounts, Seq("token", "bucket"), "full_outer")
+        .filter(coalesce(col("_d"), lit(-1L)) =!= coalesce(col("_c"), lit(-1L)))
+        .select(col("bucket")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (staleDf.nonEmpty)
         graft.engine.Layout.stagedPartitionReplace(spark, dfPath) {
           (stg, _) =>
+          // recompute from the PURGED tf (exact per-bucket counts —
+          // partials collapse to one segment per touched bucket)
           spark.read.parquet(tfPath)
-            .filter(col("bucket").cast("string").isin(affectedTf: _*))
+            .filter(col("bucket").cast("string").isin(staleDf: _*))
             .groupBy(col("token"), col("bucket"))
             .agg(count(lit(1)).as("dft"))
             .repartition(col("bucket"))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .partitionBy("bucket").parquet(stg)
-          stageEmpties(stg, "bucket", affectedTf)
+          stageEmpties(stg, "bucket", staleDf)
         }
-      }
       val affectedDl = spark.read.parquet(dlPath).join(tsDoc, Seq("doc_id"))
         .select(col("dbucket").cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq

@@ -188,6 +188,122 @@ class ForgetCycleSpec extends AnyFunSuite {
     graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
   }
 
+  test("BM25 tier: mask below policy, purge above, crash recovery completes; fsck green") {
+    import graft.text.TextStats
+    val dir = tmp("graft_forget_bm25")
+    TextStats.buildBm25Index(docs, "doc_id", "text", dir, nBuckets = 4)
+    // one deleted doc: masked 1/8 < 0.25 → tombstone only, audit green
+    val r1 = report(TextStats.forgetAndVerifyBm25(spark, dir,
+      Seq(240L).toDF("doc_id"), "doc_id"))
+    assert(r1._1 === 1L && !r1._3 && r1._4 === 1L && r1._5, s"cycle wrong: $r1")
+    assert(r1._2 > 0.0 && r1._2 < 0.25)
+    // crash-after-record predecessor: three more docs tombstoned, no
+    // purge — the NEXT (empty) cycle must fire it and audit green
+    TextStats.deleteFromBm25Index(spark, dir,
+      Seq(3840L, 983041L, 15728640L).toDF("doc_id"), "doc_id")
+    val r2 = report(TextStats.forgetAndVerifyBm25(spark, dir,
+      spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0), "doc_id"))
+    assert(r2._1 === 0L && r2._3 && r2._4 === 0L && r2._5,
+      s"BM25 recovery cycle did not complete the purge: $r2")
+    // rows physically gone for BOTH delete generations, in all relations
+    val deadSet = Set(240L, 3840L, 983041L, 15728640L)
+    val tfAlive = spark.read.parquet(s"$dir/tf").select(col("doc_id"))
+      .as[Long].collect().toSet
+    val dlAlive = spark.read.parquet(s"$dir/doclen").select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(deadSet.forall(id => !tfAlive.contains(id) && !dlAlive.contains(id)),
+      "purge left deleted docs in tf/doclen")
+    val fsck = TextStats.fsckBm25Index(spark, dir)
+      .select("check_name", "ok").as[(String, Boolean)].collect().toMap
+    assert(fsck.values.forall(identity), s"post-cycle fsck not green: $fsck")
+    graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
+  }
+
+  test("BM25 tier: a purge interrupted after the tf swap still probes correctly; next cycle finishes") {
+    import graft.text.TextStats
+    val dir = tmp("graft_forget_bm25_mid")
+    TextStats.buildBm25Index(docs, "doc_id", "text", dir, nBuckets = 4)
+    val dead = Seq(15L, 983041L)
+    TextStats.deleteFromBm25Index(spark, dir, dead.toDF("doc_id"), "doc_id")
+    // simulate the purge dying right after its FIRST stage: fold the
+    // tombstones into tf only — df/doclen/totals are now stale and the
+    // tombstones still pend (the purge clears them LAST)
+    val tsDoc = broadcast(spark.read.parquet(s"$dir/tombstones")
+      .select(col("id").as("doc_id")))
+    val affected = spark.read.parquet(s"$dir/tf").join(tsDoc, Seq("doc_id"))
+      .select(col("bucket").cast("string")).distinct()
+      .as[String].collect().toSeq
+    graft.engine.Layout.stagedPartitionReplace(spark, s"$dir/tf") {
+      (stg, snapshot) =>
+      spark.read.option("basePath", s"$dir/tf").parquet(snapshot: _*)
+        .filter(col("bucket").cast("string").isin(affected: _*))
+        .join(tsDoc, Seq("doc_id"), "left_anti")
+        .repartition(col("bucket"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("bucket").parquet(stg)
+      affected.foreach { c =>
+        val p = new Path(stg, s"bucket=$c")
+        if (!fs.exists(p)) fs.mkdirs(p)
+      }
+    }
+    // the probe at this intermediate state must equal a fresh build
+    // over the survivors (under pending tombstones it derives
+    // df/totals from live rows, never the stale partials)
+    val terms = Seq("alpha", "lorem", "red")
+    val fresh = tmp("graft_forget_bm25_fresh")
+    TextStats.buildBm25Index(
+      docs.filter(!col("doc_id").isin(dead: _*)), "doc_id", "text", fresh,
+      nBuckets = 4)
+    def probe(p: String) = TextStats.bm25Probe(spark, p, terms)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(probe(dir) === probe(fresh),
+      "interrupted-purge probe diverged from the survivor rebuild")
+    // the next cycle's entry completes the purge and audits green
+    val r = report(TextStats.forgetAndVerifyBm25(spark, dir,
+      spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0), "doc_id",
+      purgeAboveMaskedFraction = 0.1))
+    assert(r._3 && r._4 === 0L && r._5, s"recovery cycle wrong: $r")
+    assert(probe(dir) === probe(fresh))
+    graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
+  }
+
+  test("unified all-tiers cycle: one request, one audited report row per tier") {
+    import graft.text.TextStats
+    import graft.vector.Similarity
+    val sig = build()
+    val bm = tmp("graft_forget_all_bm")
+    TextStats.buildBm25Index(docs, "doc_id", "text", bm, nBuckets = 4)
+    val emb = (0L until 64L).map(i =>
+        (i, List.tabulate(8)(j => ((i * 31 + j * 17) % 97).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    val ann = tmp("graft_forget_all_ann")
+    Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", ann,
+      nCentroids = 2, nSub = 2, nCodes = 4)
+    graft.engine.Caches.releaseAll()
+    // 2/8 docs cross the sig+bm25 policy; only id 15 exists in the
+    // ANN universe (0..63), so the ann row masks 1/64 and must NOT
+    // purge (both request ids still tombstone — requests are recorded
+    // regardless of membership)
+    val rep = Curate.forgetAndVerifyAll(spark,
+        Seq(15L, 240L).toDF("doc_id"), "doc_id",
+        signatureIndexPath = Some(sig), annIndexPath = Some(ann),
+        bm25IndexPath = Some(bm), purgeAboveMaskedFraction = 0.2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getBoolean(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(rep.keySet === Set("signature", "ann", "bm25"))
+    assert(rep.values.forall(_._1 === 2L), s"n_requested wrong: $rep")
+    assert(rep("signature")._2 && rep("bm25")._2, s"sig/bm25 must purge: $rep")
+    assert(!rep("ann")._2 && rep("ann")._3 === 2L,
+      s"ann at 1/64 mask must tombstone only: $rep")
+    assert(rep.values.forall(_._4), s"some tier's fsck not green: $rep")
+    // at-least-one-tier contract
+    intercept[IllegalArgumentException] {
+      Curate.forgetAndVerifyAll(spark, Seq(1L).toDF("doc_id"), "doc_id")
+    }
+    graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
+  }
+
   test("streaming loop: per-batch cycles equal the batch outcome and audit green") {
     implicit val sqlCtx = spark.sqlContext
     val dir = build()

@@ -129,4 +129,64 @@ class FsckSpec extends AnyFunSuite {
     graft.engine.Caches.releaseAll()
     assert(checkMap(Similarity.fsckIvfAdcIndex(spark, dir2))("codebook_nonempty")._1)
   }
+
+  test("BM25 fsck: healthy all-OK; each invariant fires on its fault") {
+    import graft.text.TextStats
+    val dir = tmp("graft_fsck_bm25")
+    TextStats.buildBm25Index(docs, "doc_id", "text", dir, nBuckets = 4)
+    val healthy = checkMap(TextStats.fsckBm25Index(spark, dir))
+    assert(healthy.values.forall(_._1), s"healthy index not all-OK: $healthy")
+    // the build-time bucket of a token, via the same executor-side hash
+    def bucketOf(tok: String): Int = spark.range(1)
+      .select(pmod(hash(lit(tok)), lit(4))).head().getInt(0)
+    // fault 1: orphan tf row (a partial append that never wrote the
+    // doc's doclen row) — lands in its CORRECT bucket dir so only the
+    // universe (and the now-stale df) fire, not the bucket check
+    Seq((999L, "alpha", 1L)).toDF("doc_id", "token", "tf")
+      .coalesce(1).write.mode("append")
+      .parquet(s"$dir/tf/bucket=${bucketOf("alpha")}")
+    val m1 = checkMap(TextStats.fsckBm25Index(spark, dir))
+    assert(!m1("doc_universe")._1 && m1("doc_universe")._2 === 1L)
+    assert(!m1("df_consistent")._1, "orphan tf row must desync df")
+    // fault 2: duplicate doclen row (double ingest) — also desyncs
+    // totals (count changed)
+    Seq((1L, 8L)).toDF("doc_id", "dl").coalesce(1).write.mode("append")
+      .parquet(s"$dir/doclen/dbucket=${
+        spark.range(1).select(pmod(hash(lit(1L)), lit(4))).head().getInt(0)}")
+    val m2 = checkMap(TextStats.fsckBm25Index(spark, dir))
+    assert(!m2("doclen_unique")._1 && m2("doclen_unique")._2 === 1L)
+    assert(!m2("totals_consistent")._1)
+    // fault 3: a tf row filed under the WRONG bucket dir — it would
+    // silently escape every probe's partition pruning; fsck names it
+    val wrong = (bucketOf("beta") + 1) % 4
+    Seq((1L, "beta", 1L)).toDF("doc_id", "token", "tf")
+      .coalesce(1).write.mode("append").parquet(s"$dir/tf/bucket=$wrong")
+    val m3 = checkMap(TextStats.fsckBm25Index(spark, dir))
+    assert(!m3("buckets_consistent")._1 && m3("buckets_consistent")._2 >= 1L)
+    // fault 4: crashed-swap leftover dir
+    fs.mkdirs(new Path(s"$dir/tf_pswap_staging"))
+    assert(!checkMap(TextStats.fsckBm25Index(spark, dir))("no_swap_leftovers")._1)
+    fs.delete(new Path(s"$dir/tf_pswap_staging"), true)
+    // fault 5: a missing table degrades to the layout row alone
+    fs.rename(new Path(s"$dir/totals"), new Path(s"$dir/totals_gone"))
+    val m5 = TextStats.fsckBm25Index(spark, dir).collect()
+    assert(m5.length === 1 && !m5.head.getBoolean(1)
+      && m5.head.getString(3).contains("totals"))
+  }
+
+  test("BM25 fsck: pending tombstones reported, df/totals stale-by-design honored") {
+    import graft.text.TextStats
+    val dir = tmp("graft_fsck_bm25_ts")
+    TextStats.buildBm25Index(docs, "doc_id", "text", dir, nBuckets = 4)
+    TextStats.deleteFromBm25Index(spark, dir, Seq(2L).toDF("doc_id"),
+      "doc_id")
+    val m = checkMap(TextStats.fsckBm25Index(spark, dir))
+    assert(m("tombstones_pending")._2 === 1L)
+    assert(m("df_consistent")._1 && m("totals_consistent")._1,
+      "df/totals must read ok-stale under pending tombstones")
+    TextStats.purgeBm25Index(spark, dir)
+    val m2 = checkMap(TextStats.fsckBm25Index(spark, dir))
+    assert(m2("tombstones_pending")._2 === 0L)
+    assert(m2.values.forall(_._1), s"post-purge index not all-OK: $m2")
+  }
 }

@@ -2719,4 +2719,41 @@ object LawsProps extends Properties("graft.laws") {
       spark.catalog.clearCache()
       probe(all) == inline && probe(inc) == inline
     }
+
+  property("bm25 index: delete(ids) probes equal build(survivors), tombstoned AND purged") =
+    forAll(
+      Gen.choose(4, 10),   // docs
+      Gen.choose(2, 5),    // delete every k-th doc (doc 1 always survives)
+      Gen.choose(1L, 997L) // text seed
+    ) { (n, delMod, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = Seq("spark", "vector", "merge", "tick", "gold", "silver")
+      val docs = (0 until n).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(8))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val dead = (0 until n by delMod).map(_.toLong)
+      val terms = Seq("spark", "vector", "merge")
+      val idx = java.nio.file.Files.createTempDirectory("graft_bm25d")
+        .toString + "/index"
+      graft.text.TextStats.buildBm25Index(docs, "doc_id", "text", idx,
+        nBuckets = 4)
+      graft.text.TextStats.deleteFromBm25Index(spark, idx,
+        dead.toDF("doc_id"), "doc_id")
+      val fresh = java.nio.file.Files.createTempDirectory("graft_bm25f")
+        .toString + "/index"
+      graft.text.TextStats.buildBm25Index(
+        docs.filter(!org.apache.spark.sql.functions.col("doc_id")
+          .isin(dead: _*)),
+        "doc_id", "text", fresh, nBuckets = 4)
+      def probe(p: String) = graft.text.TextStats.bm25Probe(spark, p, terms)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      val want = probe(fresh)
+      val tombstoned = probe(idx)
+      graft.text.TextStats.purgeBm25Index(spark, idx)
+      val purged = probe(idx)
+      graft.engine.Caches.releaseAll()
+      spark.catalog.clearCache()
+      tombstoned == want && purged == want
+    }
 }

@@ -656,4 +656,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters") && p.contains("partition_date"), p)
     assert(filtered.count() === 1)
   }
+
+  test("BM25 build: the doclen write shuffles by doc-hash bucket, never a single-task funnel") {
+    // r13 verdict's one scale-killer: doclen (one row PER DOCUMENT)
+    // used to write through coalesce(1) — at 10⁹ docs the whole
+    // doc-length relation serialized through a single task. The build
+    // must shuffle it by dbucket instead; this guard captures the
+    // actual write plan and fails if a single-partition coalesce ever
+    // sneaks back in.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import scala.jdk.CollectionConverters._
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    val idx = Files.createTempDirectory("graft_bm25_plan").toString + "/index"
+    try {
+      graft.text.TextStats.buildBm25Index(
+        Tables.load(spark, dir, "documents"), "doc_id", "text", idx)
+      // listener delivery is async — poll for the doclen insert plan
+      def doclenPlan: Option[String] =
+        plans.asScala.find(p => p.contains("/doclen") && p.contains("Insert"))
+      val deadline = System.currentTimeMillis() + 15000
+      while (doclenPlan.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val p = doclenPlan.getOrElse(
+        fail(s"no doclen write plan captured; saw ${plans.size} plans"))
+      assert(p.contains("hashpartitioning(dbucket"),
+        s"doclen write lost its dbucket shuffle:\n$p")
+      assert(!p.toLowerCase.contains("coalesce 1") &&
+        !p.contains("Coalesce(1"),
+        s"doclen write funnels through a single partition:\n$p")
+    } finally spark.listenerManager.unregister(l)
+  }
 }
