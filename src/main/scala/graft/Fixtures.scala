@@ -95,6 +95,35 @@ private[graft] object Fixtures {
     copyIndexDir(s, base, "graft_bm25frun")
   }
 
+  /** q250/q251's per-CALL drifted IVF index: the pristine base is the
+    * q81-style build over the ORIGINAL embeddings, grown by an
+    * [[graft.vector.Similarity.appendIvfIndex]] of a deterministically
+    * SHIFTED twin batch (every element + 0.5f, ids offset by 100000 —
+    * the "new crawl from a different distribution" scenario): the
+    * stored stride centroids now represent only the original half, so
+    * the standing drift cosine collapses (measured ≈ 0.03–0.10 at all
+    * three sfs) and the 0.9 policy must fire. The rebuild mutates, so
+    * each call copies the memoized base.
+    */
+  private[graft] def driftedBatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+
+  private val driftIvfBaseCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def driftIvfIndexCopy(s: SparkSession, dir: String): String = {
+    val base = driftIvfBaseCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft_driftbase")
+        .toString + "/index"
+      graft.vector.Similarity.buildIvfIndex(
+        t(s, dir, "embeddings"), "vec_id", "embedding", path)
+      graft.vector.Similarity.appendIvfIndex(
+        driftedBatch(s, dir), "vec_id", "embedding", path)
+      path
+    })
+    copyIndexDir(s, base, "graft_driftrun")
+  }
+
   /** q249's per-CALL index TRIO: one fresh copy of each tier's
     * pristine base (signature, IVFADC, BM25) for the unified
     * all-tiers forget cycle — each run must see the same first-cycle

@@ -17,7 +17,7 @@ import graft.Fixtures._
   * unchanged; [[SparkEntry.queries]] concatenates the four shards and
   * asserts key-disjointness, so the driver contract (keys, closures,
   * oracle pairing) is byte-identical to the pre-split registry.
-  * 127 entries (q248/q249 lexical + unified forget cycles added r14).
+  * 129 entries (q248–q251: lexical/unified forget cycles + drift-rebuild, r14).
   */
 private[graft] object RegistryC {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1074,6 +1074,35 @@ private[graft] object RegistryC {
         t(s, dir, "embeddings").filter(col("vec_id") % 7 === 2)
           .select("vec_id"),
         "vec_id", purgeAboveMaskedFraction = 0.05)
+    }),
+
+    "q250_drift_rebuild" -> ((s, dir) => {
+      // the drift→rebuild loop closed (r13 verdict item #3): ONE
+      // policy verb measures the standing centroid drift of a grown
+      // index (stored stride centroids vs the live corpus — the
+      // fixture appended a shifted twin batch, collapsing the cosine
+      // to ≈0.03–0.10), rebuilds over the survivors when it crosses
+      // 0.9, and audits with fsckIvfIndex. The oracle recomputes the
+      // whole report from first principles: the stride-31 centroid
+      // sample's dim-means vs the union corpus's through q149's exact
+      // decimal arithmetic, the policy comparison, and the audited
+      // end state.
+      Similarity.rebuildIvfIndexIfDrifted(s, driftIvfIndexCopy(s, dir),
+        minCentroidCosine = 0.9)
+    }),
+
+    "q251_drift_rebuild_probe" -> ((s, dir) => {
+      // the swap's END STATE gate: after the drift-triggered rebuild,
+      // a FULL-WIDTH probe (nProbe ≥ nCentroids scans every cluster —
+      // recall total BY CONSTRUCTION, no corpus premise) must equal
+      // the exact cosine top-k over the union corpus, which is what a
+      // fresh build over that corpus probes — proving the rebuilt
+      // index holds exactly the survivors ∪ appended batch under the
+      // new centroids.
+      val idx = driftIvfIndexCopy(s, dir)
+      Similarity.rebuildIvfIndexIfDrifted(s, idx, minCentroidCosine = 0.9)
+      Similarity.ivfProbeById(s, idx, t(s, dir, "embeddings"),
+        "vec_id", "embedding", 0L, 10, nProbe = 32)
     }),
 
     "q248_forget_cycle_bm25" -> ((s, dir) => {

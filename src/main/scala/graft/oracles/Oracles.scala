@@ -363,6 +363,86 @@ object Oracles {
         |  TRUE AS fsck_ok,
         |  CAST(0 AS BIGINT) AS failing_checks
         |FROM d""".stripMargin) +
+    // q250 (drift→rebuild loop): the report recomputed from first
+    // principles — the a-side dim-means over the stride-31 centroid
+    // sample (≤16 vectors, the build's deterministic init over the
+    // ORIGINAL corpus), the b-side over original ∪ shifted (each
+    // element + 0.5 in float — the double add of two floats rounded
+    // back to REAL is exactly the engine's float add), cosine through
+    // q149's exact decimal grid (VARCHAR-routed decimal→double casts,
+    // the measured DuckDB rounding hazard), policy at 0.9, audited
+    // end state green
+    ("q250_drift_rebuild" ->
+      """WITH cands AS (
+        |  SELECT embedding FROM embeddings
+        |  WHERE vec_id % 31 = 0 AND list_dot_product(
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+        |  ORDER BY vec_id LIMIT 16),
+        |uni AS (
+        |  SELECT embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(CAST(x AS DOUBLE) + 0.5 AS REAL)) FROM embeddings),
+        |ea AS (
+        |  SELECT generate_subscripts(embedding, 1) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 9)
+        |      AS DECIMAL(21,9)) AS v
+        |  FROM cands),
+        |eb AS (
+        |  SELECT generate_subscripts(embedding, 1) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 9)
+        |      AS DECIMAL(21,9)) AS v
+        |  FROM uni),
+        |ma AS (
+        |  SELECT dim, CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9)
+        |    AS DECIMAL(12,9)) AS m
+        |  FROM ea GROUP BY dim),
+        |mb AS (
+        |  SELECT dim, CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9)
+        |    AS DECIMAL(12,9)) AS m
+        |  FROM eb GROUP BY dim),
+        |s AS (
+        |  SELECT SUM(CAST(ma.m * mb.m AS DECIMAL(38,18))) AS ab,
+        |    SUM(CAST(ma.m * ma.m AS DECIMAL(38,18))) AS aa,
+        |    SUM(CAST(mb.m * mb.m AS DECIMAL(38,18))) AS bb
+        |  FROM ma JOIN mb USING (dim)),
+        |cc AS (
+        |  SELECT CASE WHEN aa > 0 AND bb > 0 THEN
+        |      round(CAST(CAST(ab AS VARCHAR) AS DOUBLE) /
+        |        (sqrt(CAST(CAST(aa AS VARCHAR) AS DOUBLE)) *
+        |         sqrt(CAST(CAST(bb AS VARCHAR) AS DOUBLE))), 6)
+        |    END AS centroid_cosine
+        |  FROM s)
+        |SELECT CAST(2 * (SELECT COUNT(*) FROM embeddings) AS BIGINT)
+        |    AS n_vectors,
+        |  centroid_cosine,
+        |  CAST(0.9 AS DOUBLE) AS threshold,
+        |  COALESCE(centroid_cosine < 0.9, TRUE) AS rebuilt,
+        |  TRUE AS fsck_ok,
+        |  CAST(0 AS BIGINT) AS failing_checks
+        |FROM cc""".stripMargin) +
+    // q251: after the drift-triggered rebuild, the full-width probe
+    // equals the exact cosine top-10 over the union corpus (recall
+    // total by construction at nProbe ≥ nCentroids — no premise)
+    ("q251_drift_rebuild_probe" ->
+      """WITH uni AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, list_transform(embedding,
+        |    x -> CAST(CAST(x AS DOUBLE) + 0.5 AS REAL)) FROM embeddings),
+        |q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM uni WHERE vec_id = 0),
+        |c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM uni WHERE vec_id <> 0)
+        |SELECT vec_id,
+        |  round(list_dot_product(v, qv) /
+        |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+        |    6) AS cos_sim
+        |FROM c, q
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin) +
     // q248 (round-14 lexical forget loop): the q240 report arithmetic
     // on the BM25 tier — the masked fraction is the doc-level ratio
     // over the index's doc universe, which is docs with ≥1 token

@@ -816,33 +816,168 @@ object Similarity {
         cos, rebuilt = false)
     else {
       val nNew = newEmb.count()
-      // entry-time tombstone snapshot (ADVICE r12): the rebuild union
-      // excludes exactly this materialized id set, and after the swap
-      // only these FILES clear — a forget request a concurrent deleter
-      // records while the rebuild runs survives as a live tombstone
-      // over the new index instead of being silently discarded by the
-      // old delete-the-whole-dir cleanup
-      val tsSnap = graft.engine.Layout.tombstoneSnapshot(spark, indexPath)
-      val base = spark.read.parquet(s"$indexPath/assignments")
-      val survivors = tsSnap match {
-        case Some((ts, _)) => base.join(broadcast(ts), Seq("id"), "left_anti")
-        case None => base
-      }
-      val union = survivors.select(col("id").as(idCol), col("v").as(vecCol))
-        .unionByName(newEmb.select(col(idCol), col(vecCol)))
-      val staging = s"$indexPath/.rebuild"
-      // kmeansIters passes through: a rebuild must not silently downgrade
-      // an index built with refined centroids to stride sampling
-      buildIvfIndex(union, idCol, vecCol, staging, nCentroids, kmeansIters)
-      swapIndexDirs(spark, indexPath, staging,
-        Seq("assignments", "centroids"), "maintainIvfIndex")
-      // the snapshot tombstones are spent (excluded from the rebuild);
-      // clearing them last is crash-safe (a leftover set masks absent
-      // ids — a no-op — until the next delete's purge clears it)
-      tsSnap.foreach { case (_, files) =>
-        graft.engine.Layout.clearTombstoneFiles(spark, indexPath, files) }
+      rebuildIvfFromSurvivors(spark, indexPath,
+        Some(newEmb.select(col(idCol), col(vecCol))), idCol, vecCol,
+        nCentroids, kmeansIters, "maintainIvfIndex")
       IvfMaintenance(nNew, cos, rebuilt = true)
     }
+  }
+
+  /** The shared staged-rebuild body of [[maintainIvfIndex]] and
+    * [[rebuildIvfIndexIfDrifted]]: survivors (the assignment relation
+    * minus an entry-time tombstone snapshot — ADVICE r12: the union
+    * excludes exactly this materialized id set, and after the swap
+    * only these FILES clear, so a forget request a concurrent deleter
+    * records while the rebuild runs survives as a live tombstone over
+    * the new index), optionally unioned with a new batch, rebuild into
+    * `.rebuild` staging, and the checked dual-dir swap
+    * ([[swapIndexDirs]] — assignments and centroids must flip
+    * TOGETHER: a partition-level lease swap cannot give cross-dir
+    * consistency, and its concurrent-append carry-over would file
+    * rows under cluster ids of the RETIRED centroids).
+    */
+  private def rebuildIvfFromSurvivors(spark: SparkSession, indexPath: String,
+                                      extra: Option[DataFrame], idCol: String,
+                                      vecCol: String, nCentroids: Int,
+                                      kmeansIters: Int,
+                                      opName: String): Unit = {
+    val tsSnap = graft.engine.Layout.tombstoneSnapshot(spark, indexPath)
+    val base = spark.read.parquet(s"$indexPath/assignments")
+    val survivors = tsSnap match {
+      case Some((ts, _)) => base.join(broadcast(ts), Seq("id"), "left_anti")
+      case None => base
+    }
+    val kept = survivors.select(col("id").as(idCol), col("v").as(vecCol))
+    val union = extra.fold(kept)(kept.unionByName(_))
+    val staging = s"$indexPath/.rebuild"
+    // kmeansIters passes through: a rebuild must not silently downgrade
+    // an index built with refined centroids to stride sampling
+    buildIvfIndex(union, idCol, vecCol, staging, nCentroids, kmeansIters)
+    swapIndexDirs(spark, indexPath, staging,
+      Seq("assignments", "centroids"), opName)
+    // the snapshot tombstones are spent (excluded from the rebuild);
+    // clearing them last is crash-safe (a leftover set masks absent
+    // ids — a no-op — until the next delete's purge clears it)
+    tsSnap.foreach { case (_, files) =>
+      graft.engine.Layout.clearTombstoneFiles(spark, indexPath, files) }
+  }
+
+  /** The policy face of the drift→rebuild loop (r13 verdict item #3:
+    * [[graft.streaming.EventStream.centroidDriftSink]] MEASURED drift
+    * and [[appendIvfIndex]]'s contract said "rebuild then", but no
+    * verb actually closed the loop — after ~2× corpus growth under
+    * steady append, probe recall degraded with only a comment standing
+    * guard). One call: measure the STANDING drift of the index —
+    * cosine between the stored centroid vectors' per-dimension mean
+    * (stride centroids are a uniform sample of the build-time corpus,
+    * so their mean is its mean) and the live assignment relation's —
+    * rebuild over the survivors when it falls below `minCentroidCosine`
+    * (or is undefined: a degenerate mean has no direction to trust),
+    * audit with [[fsckIvfIndex]], and return one report row:
+    * `(n_vectors, centroid_cosine, threshold, rebuilt, fsck_ok,
+    * failing_checks)` — the [[graft.multimodal.Curate.forgetAndVerify]]
+    * report discipline applied to index maintenance (q250; probe
+    * equality with a fresh build is q251 + DriftRebuildSpec).
+    *
+    * Unlike [[maintainIvfIndex]] (which gates an INCOMING batch), this
+    * verb gates the index as it stands — the scheduled-maintenance
+    * face: run it on a cadence (or on a [[centroidDriftSink]] alert)
+    * and it is a cheap no-op while the centroids still represent the
+    * corpus (two dim-mean aggregations + one fsck).
+    */
+  def rebuildIvfIndexIfDrifted(spark: SparkSession, indexPath: String,
+                               minCentroidCosine: Double = 0.9,
+                               nCentroids: Int = graft.ops.GuardBounds.DefaultIvfCentroids,
+                               kmeansIters: Int = 0): DataFrame = {
+    // writer entry: finish or discard any dead purge swap BEFORE the
+    // dir-level rebuild swap — a stale marked pswap staging left
+    // beside the NEW assignments dir could otherwise be resumed by a
+    // later reader over data it no longer describes
+    graft.engine.Layout.healStagedPartitionSwap(spark,
+      s"$indexPath/assignments", discardMarkerless = true, writerRole = true)
+    val live = liveAssignments(spark, indexPath)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cosRow = centroidDrift(
+        cents.select(col("centroid_vec").as("v")), live.select(col("v")), "v")
+      .select(col("centroid_cosine")).head()
+    val cos = if (cosRow.isNullAt(0)) None else Some(cosRow.getDouble(0))
+    val n = live.count()
+    val rebuilt = cos.forall(_ < minCentroidCosine)
+    if (rebuilt)
+      rebuildIvfFromSurvivors(spark, indexPath, None, "id", "v",
+        nCentroids, kmeansIters, "rebuildIvfIndexIfDrifted")
+    val failing = fsckIvfIndex(spark, indexPath)
+      .filter(!col("ok")).count()
+    spark.range(1).select(
+      lit(n).as("n_vectors"),
+      cos.map(lit(_)).getOrElse(lit(null).cast("double"))
+        .as("centroid_cosine"),
+      lit(minCentroidCosine).as("threshold"),
+      lit(rebuilt).as("rebuilt"),
+      lit(failing == 0L).as("fsck_ok"),
+      lit(failing).as("failing_checks"))
+  }
+
+  /** Integrity audit (fsck) of a persisted raw-vector IVF index — the
+    * [[fsckIvfAdcIndex]] contract on the assignments tier: one row per
+    * invariant, `(check_name, ok, n_violations, detail)`. Checks: both
+    * layout parts exist; the centroid table is non-empty; every
+    * assignment's cluster is a real centroid id; ids are unique; every
+    * stored norm equals the norm of its stored vector (a corrupted or
+    * truncated vector write surfaces here before it silently skews
+    * every cosine); no in-flight partition swap and no interrupted
+    * rebuild (`.rebuild`/`.retired` remnants are named so an operator
+    * knows which recovery to run); tombstone bookkeeping (absent ids
+    * are benign). Fault-injection spec'd in FsckSpec.
+    */
+  def fsckIvfIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+      spark.sparkContext.hadoopConfiguration)
+    def ex(sub: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/$sub"))
+    val partsOk = Seq("assignments", "centroids").filter(!ex(_))
+    val layoutRow = Seq(("layout_parts", partsOk.isEmpty, partsOk.size.toLong,
+      if (partsOk.isEmpty) "assignments/centroids present"
+      else s"missing: ${partsOk.mkString(",")}"))
+    if (partsOk.nonEmpty)
+      return layoutRow.toDF("check_name", "ok", "n_violations", "detail")
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val nCents = cents.count()
+    if (nCents == 0L)
+      return (layoutRow ++ Seq(("centroids_nonempty", false, 1L,
+          "centroid table has zero rows — no probe can prune; restore " +
+            "or rebuild the index")))
+        .toDF("check_name", "ok", "n_violations", "detail")
+        .orderBy(col("check_name"))
+    val asg = spark.read.parquet(s"$indexPath/assignments")
+    val unknownCluster = asg.select(col("cluster"))
+      .join(broadcast(cents.select(col("centroid_id").as("cluster"))),
+        Seq("cluster"), "left_anti").count()
+    val dupIds = asg.groupBy(col("id")).count()
+      .filter(col("count") > 1).count()
+    val badNorm = asg
+      .filter(col("n") =!= sqrt(dot(col("v"), col("v")))).count()
+    val leftovers = Seq("assignments_pswap_staging", "assignments_pswap_old",
+        ".rebuild", ".retired")
+      .filter(ex)
+    val tsAbsent = graft.engine.Layout.tombstones(spark, indexPath)
+      .map(_.join(asg.select(col("id")), Seq("id"), "left_anti").count())
+      .getOrElse(0L)
+    (layoutRow ++ Seq(
+      ("centroids_nonempty", true, 0L, "centroid table has rows"),
+      ("clusters_known", unknownCluster == 0L, unknownCluster,
+        "every cluster value is a centroid id"),
+      ("ids_unique", dupIds == 0L, dupIds, "one assignment row per id"),
+      ("norms_consistent", badNorm == 0L, badNorm,
+        "every stored norm equals its vector's norm"),
+      ("no_swap_leftovers", leftovers.isEmpty, leftovers.size.toLong,
+        if (leftovers.isEmpty) "no in-flight swap or rebuild"
+        else s"recover: ${leftovers.mkString(",")}"),
+      ("tombstones_benign", true, tsAbsent,
+        "tombstoned ids absent from assignments are already purged (benign)")))
+      .toDF("check_name", "ok", "n_violations", "detail")
+      .orderBy(col("check_name"))
   }
 
   /** Atomic-as-practical index directory swap with CHECKED renames

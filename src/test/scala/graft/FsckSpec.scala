@@ -130,6 +130,48 @@ class FsckSpec extends AnyFunSuite {
     assert(checkMap(Similarity.fsckIvfAdcIndex(spark, dir2))("codebook_nonempty")._1)
   }
 
+  test("IVF fsck: healthy all-OK; each invariant fires on its fault") {
+    val emb = (0L until 32L).map(i => (i, List.fill(4)(i.toFloat + 1)))
+      .toDF("vec_id", "embedding")
+    val dir = tmp("graft_fsck_ivf")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nCentroids = 2)
+    val healthy = checkMap(Similarity.fsckIvfIndex(spark, dir))
+    assert(healthy.values.forall(_._1), s"healthy index not all-OK: $healthy")
+    // fault 1: duplicate id (double append of the same batch)
+    val one = spark.read.parquet(s"$dir/assignments").limit(1)
+    one.write.mode("append").partitionBy("cluster").parquet(s"$dir/assignments")
+    val m1 = checkMap(Similarity.fsckIvfIndex(spark, dir))
+    assert(!m1("ids_unique")._1 && m1("ids_unique")._2 === 1L)
+    // fault 2: a row filed under a cluster no centroid describes (a
+    // stale append racing a rebuild's retired centroids)
+    spark.read.parquet(s"$dir/assignments").limit(1)
+      .withColumn("id", lit(7777L)).withColumn("cluster", lit(999L))
+      .write.mode("append").partitionBy("cluster").parquet(s"$dir/assignments")
+    assert(!checkMap(Similarity.fsckIvfIndex(spark, dir))("clusters_known")._1)
+    // fault 3: a stored norm that no longer matches its vector (a
+    // truncated/corrupted write)
+    spark.read.parquet(s"$dir/assignments").limit(1)
+      .withColumn("id", lit(8888L)).withColumn("n", lit(0.123d))
+      .write.mode("append").partitionBy("cluster").parquet(s"$dir/assignments")
+    assert(!checkMap(Similarity.fsckIvfIndex(spark, dir))("norms_consistent")._1)
+    // fault 4: interrupted-rebuild remnant
+    fs.mkdirs(new Path(s"$dir/.retired"))
+    assert(!checkMap(Similarity.fsckIvfIndex(spark, dir))("no_swap_leftovers")._1)
+    fs.delete(new Path(s"$dir/.retired"), true)
+    // fault 5: an EMPTY centroid table reports, not crashes
+    val cSchema = spark.read.parquet(s"$dir/centroids").schema
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cSchema)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val m5 = checkMap(Similarity.fsckIvfIndex(spark, dir))
+    assert(!m5("centroids_nonempty")._1)
+    // fault 6: a missing part degrades to the layout row alone
+    fs.rename(new Path(s"$dir/centroids"), new Path(s"$dir/centroids_gone"))
+    val m6 = Similarity.fsckIvfIndex(spark, dir).collect()
+    assert(m6.length === 1 && !m6.head.getBoolean(1)
+      && m6.head.getString(3).contains("centroids"))
+  }
+
   test("BM25 fsck: healthy all-OK; each invariant fires on its fault") {
     import graft.text.TextStats
     val dir = tmp("graft_fsck_bm25")
