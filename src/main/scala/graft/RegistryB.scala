@@ -734,6 +734,50 @@ private[graft] object RegistryB {
         Seq("spark", "vector", "merge"), queryVecId = 0L)
     }),
 
+    "q252_bm25_probe_join" -> ((s, dir) => {
+      // lexical retrieval as the production many-query shape: THREE
+      // queries against the persisted q246 index in ONE plan — one
+      // bucket-pruned tf scan over the union of the batch's terms,
+      // broadcast-joined to the (query_id, term) pairs, scored through
+      // the SAME pinned bm25 arithmetic grouped by (query_id, doc_id).
+      // Query 0 repeats q246's exact terms, so its block of rows must
+      // equal the single-query probe verbatim (the law RetrievalSpec
+      // also pins); the oracle extends q168's SQL with a VALUES
+      // query-term table
+      import s.implicits._
+      val qs = Seq((0L, Seq("spark", "vector", "merge")),
+          (1L, Seq("hash", "join", "stream")),
+          (2L, Seq("window", "sort")))
+        .toDF("query_id", "terms")
+      graft.text.TextStats.bm25ProbeJoin(s, bm25IndexFor(s, dir), qs)
+        .orderBy("query_id", "doc_id")
+    }),
+
+    "q253_hybrid_probe_join" -> ((s, dir) => {
+      // the streaming-serving shape of q247: a BATCH of three hybrid
+      // queries fused in one plan — multi-query BM25 probe + multi-
+      // query IVF probe + per-query RRF windows; the oracle splices
+      // three per-query hybrid blocks over a VALUES query table. The
+      // dense side runs at FULL probe width here (the q243 broad-full
+      // discipline: the full-width probe ≡ the exact scan
+      // STRUCTURALLY, so the oracle is corpus-unconditional) because
+      // partial-width recall on the isotropic testdata is total only
+      // for the measured q81 query — measured: at nProbe=4, queries
+      // 1/2 read 5-9/10 overlap, and no id in 0..39 but 0 is total on
+      // all three corpora. The production pruned path (nProbe=4) is
+      // law-certified against the per-query probes in RetrievalSpec
+      // and stays the serving default of hybridProbeSink.
+      import s.implicits._
+      val qs = Seq((0L, Seq("spark", "vector", "merge")),
+          (1L, Seq("hash", "join", "stream")),
+          (2L, Seq("window", "sort")))
+        .toDF("query_id", "terms")
+      graft.ops.Retrieval.hybridProbeJoin(s, bm25IndexFor(s, dir),
+          ivfIndexFor(s, dir), t(s, dir, "embeddings"), "vec_id",
+          "embedding", qs, nProbe = graft.ops.GuardBounds.DefaultIvfCentroids)
+        .orderBy(col("query_id"), col("rrf").desc, col("id"))
+    }),
+
     "q245_mmr_rerank" -> ((s, dir) => {
       // diversity rerank between retrieval and the context window:
       // greedy MMR over the bounded top-20 candidate list (λ = 0.7);

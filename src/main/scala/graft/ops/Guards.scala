@@ -80,6 +80,13 @@ object GuardBounds {
     * append's last corpus-proportional terms batch-fan-out-bounded.
     */
   val PrefixRestrictAboveBytes: Long = 256L << 20
+  /** TextStats.bm25ProbeJoin: distinct query terms per batch. The
+    * union of a batch's terms becomes the literal IN that
+    * partition-prunes the tf scan, so it is collected driver-side —
+    * bounded by the serving contract (a retrieval batch carries
+    * short queries), enforced loudly rather than assumed.
+    */
+  val MaxProbeTerms: Long = 4096L
 }
 
 object Guards {

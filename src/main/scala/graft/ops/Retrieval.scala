@@ -114,6 +114,64 @@ object Retrieval {
     rrfFuse(lex, dense, kRrf, topK)
   }
 
+  /** The batch (JOIN) form of [[hybridProbeTopK]] — hybrid serving as
+    * ONE distributed plan over a whole query batch: every query row
+    * (`query_id` = its vec_id in `emb`, `terms` = its lexical terms)
+    * gets its fused top-k, with the lexical lists from ONE
+    * bucket-pruned multi-query BM25 probe
+    * ([[graft.text.TextStats.bm25ProbeJoin]]) and the dense lists from
+    * ONE partition-pruned multi-query IVF probe
+    * ([[graft.vector.Similarity.ivfProbeJoin]]) — the corpus-side cost
+    * is paid once per BATCH, not once per query, which is what lets a
+    * streaming serving sink run this per micro-batch.
+    *
+    * Per-query rows equal [[hybridProbeTopK]] run query-by-query (the
+    * RetrievalSpec law): each side is cut to its per-query top-
+    * `perList` under the probe's total order (score desc, id asc) by a
+    * rank window PARTITIONED BY query_id — bounded per query by
+    * construction, never a global sort — and [[rrfFuse]]'s pinned
+    * arithmetic runs on the (query_id, id)-keyed full-outer join.
+    */
+  def hybridProbeJoin(spark: org.apache.spark.sql.SparkSession,
+                      bm25IndexPath: String, ivfIndexPath: String,
+                      emb: DataFrame, vecIdCol: String, vecCol: String,
+                      queries: DataFrame,
+                      qIdCol: String = "query_id", termsCol: String = "terms",
+                      perList: Int = 10, kRrf: Int = 60,
+                      topK: Int = 10, nProbe: Int = 4): DataFrame = {
+    val perQuery = Window.partitionBy(col("query_id"))
+    def cutRank(list: DataFrame, idCol: String, scoreCol: String,
+                rankName: String): DataFrame =
+      list.withColumn(rankName, row_number().over(
+          perQuery.orderBy(col(scoreCol).desc, col(idCol).asc)).cast("long"))
+        .filter(col(rankName) <= perList)
+        .select(col("query_id"), col(idCol).as("id"), col(rankName))
+    val lex = cutRank(
+      graft.text.TextStats.bm25ProbeJoin(spark, bm25IndexPath,
+        queries.select(col(qIdCol).as("query_id"), col(termsCol))),
+      "doc_id", "bm25", "lex_rank")
+    // dense queries by example: the batch's ids fetched from the
+    // corpus in one semi-join — no per-query head() collect
+    val qVecs = emb.join(
+        broadcast(queries.select(col(qIdCol).cast("long").as("query_id"))),
+        col(vecIdCol) === col("query_id"))
+      .select(col("query_id"), col(vecCol))
+    val dense = cutRank(
+      graft.vector.Similarity.ivfProbeJoin(spark, ivfIndexPath, qVecs,
+        "query_id", vecCol, perList, nProbe),
+      "id", "cos_sim", "dense_rank")
+    lex.join(dense, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"), col("lex_rank"), col("dense_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("dense_rank")), lit(0.0)),
+          9).as("rrf"))
+      .withColumn("_rk", row_number().over(
+        perQuery.orderBy(col("rrf").desc, col("id").asc)))
+      .filter(col("_rk") <= topK)
+      .drop("_rk")
+  }
+
   /** Retrieval-quality report for ONE ranked list against a relevance
     * set: precision@k, MRR (reciprocal rank of the first relevant
     * hit), DCG@k and nDCG@k — the metrics every retrieval deployment

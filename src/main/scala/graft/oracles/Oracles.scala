@@ -35,6 +35,13 @@ object Oracles {
     // q247's dense side is the q81 IVF probe — same recall premise,
     // same pin
     "q247_hybrid_probe" -> Set("sf0.001", "sf0.01", "sf0.1"),
+    // q253 is deliberately UNPINNED: its dense side runs at full probe
+    // width, where probe ≡ exact scan structurally (the q243
+    // broad-full discipline) — measured necessity: at nProbe=4 the
+    // isotropic corpora give total recall only for the q81 query id
+    // (queries 1/2 read 5-9/10; no id in 0..39 but 0 is total on all
+    // three sfs), so a partial-width q253 would pin a premise that
+    // holds for one of its three queries
     // q39 left unpinned since the pruning-power switch: at its 0.4
     // threshold the operator routes to the exact verify on any corpus
     // within MaxExactPairs (recall structurally total) and REFUSES
@@ -48,6 +55,44 @@ object Oracles {
     * (nested-WITH subqueries), so the composite cannot drift from the
     * parts it claims to compose.
     */
+  /** Shared CTE chain of the multi-query probes (q252/q253): q168's
+    * tokenize → dl/tot → union-term tf → dft, plus the VALUES
+    * query-term table `qt` (one literal per (query_id, term), the
+    * registry fixture verbatim) and the per-(query, doc, term) scored
+    * rows `sc` on the identical pinned arithmetic.
+    */
+  private val multiQueryBm25Cte: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, unnest(w) AS token FROM toks)
+      |  WHERE token <> ''),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+      |tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      |qt AS (SELECT * FROM (VALUES
+      |  (0, 'spark'), (0, 'vector'), (0, 'merge'),
+      |  (1, 'hash'), (1, 'join'), (1, 'stream'),
+      |  (2, 'window'), (2, 'sort')) AS t(query_id, token)),
+      |tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      |  WHERE token IN (SELECT DISTINCT token FROM qt) GROUP BY 1, 2),
+      |dft AS (SELECT token, COUNT(*) AS dft FROM tf GROUP BY token),
+      |sc AS (
+      |  SELECT q.query_id, t.doc_id,
+      |    CAST(round(
+      |      ln((CAST(n_docs AS DOUBLE) - dft + 0.5)
+      |          / (CAST(dft AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(tf AS DOUBLE) / (CAST(tf AS DOUBLE)
+      |          + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+      |            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+      |      12) AS DECIMAL(28,12)) AS ts
+      |  FROM tf t JOIN qt q USING (token) JOIN dft USING (token)
+      |  JOIN dl USING (doc_id)
+      |  CROSS JOIN tot)""".stripMargin
+
   def all: Map[String, String] = {
     val base = OraclesA.map ++ OraclesB.map ++ OraclesC.map
     def block(q: String) = s"(SELECT * FROM (\n${base(q)}\n))"
@@ -101,6 +146,66 @@ object Oracles {
     // the bucket-pruned tf scan + summed df/totals partials return
     // the very statistics the full tokenize recomputes
     ("q246_bm25_probe" -> OraclesB.map("q168_bm25")) +
+    // q252/q253: the multi-query (JOIN) probes. ONE set of query-term
+    // literals feeds both SQL texts and mirrors the registry fixture
+    // verbatim (the langScoreSelectSql discipline). q252 extends
+    // q168's BM25 chain with a VALUES query-term table — same
+    // tokenization, same pinned 12-dp/decimal/6-dp arithmetic, scores
+    // grouped by (query_id, doc_id); query 0 repeats q246's terms so
+    // its block is q168's result re-keyed. q253 is the per-query RRF
+    // fusion of that multi-query BM25 against per-query exact cosine
+    // (the q242 splice PARTITIONED BY query_id; the dense exact-twin
+    // is structural — the registry runs the probe at full width, see
+    // the measuredOn note).
+    ("q252_bm25_probe_join" ->
+      s"""WITH $multiQueryBm25Cte
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |  COUNT(*) AS n_matched,
+        |  round(CAST(SUM(ts) AS DOUBLE), 6) AS bm25
+        |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) +
+    ("q253_hybrid_probe_join" ->
+      s"""WITH $multiQueryBm25Cte,
+        |bm AS (
+        |  SELECT query_id, doc_id, round(CAST(SUM(ts) AS DOUBLE), 6) AS bm25
+        |  FROM sc GROUP BY 1, 2),
+        |qe AS (
+        |  SELECT q.query_id,
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM (SELECT DISTINCT query_id FROM qt) q
+        |  JOIN embeddings e ON e.vec_id = q.query_id),
+        |c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |dn AS (
+        |  SELECT qe.query_id, c.vec_id,
+        |    round(list_dot_product(v, qv) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+        |      6) AS cos_sim
+        |  FROM qe JOIN c ON c.vec_id <> qe.query_id),
+        |lr AS (
+        |  SELECT query_id, doc_id AS id, rn AS lex_rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+        |    FROM bm)
+        |  WHERE rn <= 10),
+        |dr AS (
+        |  SELECT query_id, vec_id AS id, rn AS dense_rank FROM (
+        |    SELECT query_id, vec_id, row_number() OVER
+        |      (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+        |    FROM dn)
+        |  WHERE rn <= 10),
+        |f AS (
+        |  SELECT COALESCE(lr.query_id, dr.query_id) AS query_id,
+        |    COALESCE(lr.id, dr.id) AS id, lex_rank, dense_rank,
+        |    round(COALESCE(CAST(1 AS DOUBLE) / (60 + lex_rank), 0)
+        |      + COALESCE(CAST(1 AS DOUBLE) / (60 + dense_rank), 0), 9) AS rrf
+        |  FROM lr FULL OUTER JOIN dr
+        |    ON lr.query_id = dr.query_id AND lr.id = dr.id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, id, lex_rank,
+        |  dense_rank, rrf
+        |FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY rrf DESC, id) AS rk FROM f)
+        |WHERE rk <= 10 ORDER BY query_id, rrf DESC, id""".stripMargin) +
     // q244: graded retrieval-quality metrics over the q40 dense list
     // (block spliced verbatim), relevance = same label as the query
     // vector. Each DCG term 1/log2(rank+1) fixes at the 12-dp grid

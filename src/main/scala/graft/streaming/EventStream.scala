@@ -283,6 +283,50 @@ object EventStream {
       .outputMode("append")
       .start()
 
+  /** Streaming HYBRID serving — [[annProbeSink]]'s discipline over
+    * BOTH persisted index tiers at once: each micro-batch of queries
+    * (`query_id` = a vec_id in `emb`, `terms` = its lexical terms)
+    * runs ONE fused plan ([[graft.ops.Retrieval.hybridProbeJoin]] —
+    * bucket-pruned multi-query BM25 probe + partition-pruned
+    * multi-query IVF probe + per-query RRF, corpus cost paid once per
+    * batch) and appends the per-query fused top-k tagged with the
+    * probe epoch, exactly once under micro-batch retries (the
+    * [[idempotentPromote]] three-phase marker discipline). Per-batch
+    * output equals the batch [[graft.ops.Retrieval.hybridProbeJoin]]
+    * verbatim (VectorStreamSpec), which is itself law-equal to
+    * per-query [[graft.ops.Retrieval.hybridProbeTopK]].
+    */
+  def hybridProbeSink(queries: DataFrame, bm25IndexPath: String,
+                      ivfIndexPath: String, emb: DataFrame,
+                      outPath: String, checkpoint: String,
+                      vecIdCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      perList: Int = 10, topK: Int = 10,
+                      nProbe: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          // scoped cache hygiene: the probe join registers its internal
+          // persist; a long-running sink must release per batch, never
+          // accumulate (and never releaseAll — a concurrent operator's
+          // frames are not this sink's to kill)
+          val m = graft.engine.Caches.mark()
+          try {
+            val res = graft.ops.Retrieval.hybridProbeJoin(
+                batch.sparkSession, bm25IndexPath, ivfIndexPath, emb,
+                vecIdCol, vecCol, batch, perList = perList, topK = topK,
+                nProbe = nProbe)
+              .withColumn("probe_epoch", lit(id))
+            idempotentPromote(batch.sparkSession, outPath, outPath, id) {
+              staging => res.coalesce(1).write.mode("overwrite").parquet(staging)
+            }
+          } finally graft.engine.Caches.releaseSince(m)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** The marker-guarded body of [[sinkIvfAdcAppend]] —
     * [[appendBatchIdempotent]]'s discipline applied to the index
     * append, exposed so retry semantics are directly testable. The

@@ -1381,7 +1381,20 @@ object TextStats {
     * `docLen(doc_id, dl)`, `totals(n_docs, sum_dl)` one row.
     */
   private def bm25Score(tf: DataFrame, dft: DataFrame, docLen: DataFrame,
-                        totals: DataFrame, k1: Double, b: Double): DataFrame = {
+                        totals: DataFrame, k1: Double, b: Double): DataFrame =
+    bm25ScoreGrouped(tf, dft, docLen, totals, k1, b, Seq("doc_id"))
+
+  /** [[bm25Score]] with a caller-chosen grouping — the multi-query
+    * form groups by (query_id, doc_id) on a tf slice that carries the
+    * query id; the arithmetic (12-dp fixed per-term score, exact
+    * decimal per-group sum, 6-dp presentation) is byte-identical to
+    * the single-query scorer, which is how the q252 oracle extends
+    * q168's verbatim.
+    */
+  private def bm25ScoreGrouped(tf: DataFrame, dft: DataFrame,
+                               docLen: DataFrame, totals: DataFrame,
+                               k1: Double, b: Double,
+                               groupCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def d(c: String) = col(c).cast("double")
     val avgdl = d("sum_dl") / d("n_docs")
@@ -1393,7 +1406,7 @@ object TextStats {
       .join(docLen, Seq("doc_id"))
       .crossJoin(broadcast(totals))
       .withColumn("_ts", round(idf * comp, 12).cast(DecimalType(28, 12)))
-      .groupBy(col("doc_id"))
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_matched"),
         round(sum(col("_ts")).cast("double"), 6).as("bm25"))
   }
@@ -1578,6 +1591,94 @@ object TextStats {
          docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
     }
     bm25Score(tf, dft, docLen, totals, k1, b)
+  }
+
+  /** The batch (JOIN) form of [[bm25Probe]] — lexical retrieval as the
+    * production many-query shape ([[graft.vector.Similarity.ivfProbeJoin]]'s
+    * contract on the text tier): for EVERY query in `queries`
+    * (`(query_id, terms array<string>)`), BM25 scores of all matching
+    * docs from the persisted index, in ONE distributed plan. One row
+    * per (query, matching doc): `(query_id, doc_id, n_matched, bm25)`,
+    * per-query rows identical to [[bm25Probe]] run query-by-query
+    * (shared [[bm25ScoreGrouped]] arithmetic — the law RetrievalSpec
+    * pins).
+    *
+    * Shape: ONE bucket-pruned tf scan over the UNION of the batch's
+    * terms (the literal IN collected driver-side — bounded by
+    * `GuardBounds.MaxProbeTerms`, refused loudly above: the serving
+    * contract is short queries, not corpus-sized term sets), one
+    * broadcast join against the exploded (query_id, term) pairs so
+    * each doc row fans out only to the queries that asked for its
+    * term, df/totals from the SUM-mergeable partials, and one grouped
+    * aggregation by (query_id, doc_id). Corpus cost is the union
+    * slice, paid once — NOT once per query, which is the entire point
+    * over looping [[bm25Probe]]. Tombstone-aware exactly as the
+    * single-query probe (pending forget requests anti-join out and
+    * df/totals re-derive from live rows).
+    *
+    * Duplicate terms within one query would double-count that term's
+    * score contribution — refused loudly (the [[bm25Probe]] distinct
+    * contract), detected in one batch-shaped aggregate.
+    */
+  def bm25ProbeJoin(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, queries: DataFrame,
+                    qIdCol: String = "query_id", termsCol: String = "terms",
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt0 = queries.select(col(qIdCol).cast("long").as("query_id"),
+        explode(col(termsCol)).as("token"))
+      .select(col("query_id"), lower(col("token")).as("token"))
+      .filter(col("token") =!= "")
+    val dup = qt0.groupBy(col("query_id"), col("token"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") > 1)
+      .select(col("query_id"), col("token")).limit(1).collect()
+    require(dup.isEmpty,
+      s"bm25ProbeJoin: query ${dup.headOption.map(_.getLong(0))} repeats " +
+        s"term '${dup.headOption.map(_.getString(1)).getOrElse("")}' — " +
+        "terms must be distinct per query (a repeat would double-count " +
+        "its score term)")
+    // the union term set becomes the pruning IN — driver-bounded
+    val terms = qt0.select(col("token")).distinct()
+      .limit(graft.ops.GuardBounds.MaxProbeTerms.toInt + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "bm25ProbeJoin: no non-empty query terms")
+    require(terms.size <= graft.ops.GuardBounds.MaxProbeTerms,
+      s"bm25ProbeJoin: batch carries more than " +
+        s"${graft.ops.GuardBounds.MaxProbeTerms} distinct terms — the " +
+        "pruning IN-list is driver-collected by design; probe in " +
+        "smaller batches")
+    Seq("tf", "df", "doclen").foreach(t =>
+      graft.engine.Layout.healStagedPartitionSwap(spark, s"$indexPath/$t"))
+    val totalsAll = spark.read.parquet(s"$indexPath/totals")
+    val nBuckets = totalsAll.select(max(col("n_buckets"))).head().getInt(0)
+    import spark.implicits._
+    val buckets = terms.toDF("token")
+      .select(pmod(hash(col("token")), lit(nBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val tsDoc = graft.engine.Layout.tombstones(spark, indexPath)
+      .map(ts => broadcast(ts.select(col("id").as("doc_id"))))
+    val tf0 = spark.read.parquet(s"$indexPath/tf")
+      .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .select(col("doc_id"), col("token"), col("tf"))
+    val tf = tsDoc.fold(tf0)(t => tf0.join(t, Seq("doc_id"), "left_anti"))
+    val docLen0 = spark.read.parquet(s"$indexPath/doclen")
+      .select(col("doc_id"), col("dl"))
+    val docLen = tsDoc.fold(docLen0)(t =>
+      docLen0.join(t, Seq("doc_id"), "left_anti"))
+    val (dft, totals) = tsDoc match {
+      case None =>
+        (spark.read.parquet(s"$indexPath/df")
+           .filter(col("bucket").isin(buckets: _*) &&
+             col("token").isin(terms: _*))
+           .groupBy(col("token")).agg(sum(col("dft")).as("dft")),
+         totalsAll.agg(sum(col("n_docs")).as("n_docs"),
+           sum(col("sum_dl")).as("sum_dl")))
+      case Some(_) =>
+        (tf.groupBy(col("token")).agg(count(lit(1)).as("dft")),
+         docLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+    }
+    val tfq = tf.join(broadcast(qt0), Seq("token"))
+    bm25ScoreGrouped(tfq, dft, docLen, totals, k1, b,
+      Seq("query_id", "doc_id"))
   }
 
   /** Right-to-be-forgotten deletes against a persisted BM25 index —

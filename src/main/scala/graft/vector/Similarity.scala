@@ -1205,6 +1205,72 @@ object Similarity {
       excludeId = Some(queryId), idName = idCol)
   }
 
+  /** The batch (JOIN) form of [[ivfProbe]] — [[ivfAdcProbeJoin]]'s
+    * many-query shape on the RAW-vector IVF index: for every vector in
+    * `queries` (`(query_id, vec)`), its k nearest index entries by
+    * exact cosine over the probed clusters, in ONE distributed plan.
+    * One row per (query, neighbour): `(query_id, <idName>, cos_sim)`,
+    * per-query rows identical to [[ivfProbeById]] run query-by-query
+    * (same probed-centroid ranking, same rounded cosine, same tie
+    * order — the law RetrievalSpec pins).
+    *
+    * Shape, all batch-proportional (the ivfAdcProbeJoin scaffold):
+    * centroid ranking is a broadcast NL join of the batch against the
+    * small centroid table + one per-query top-nProbe window; the
+    * assignments scan partition-prunes to the UNION of probed clusters
+    * (≤ nCentroids literal IN — collected cluster IDS, never vectors);
+    * candidates = pruned assignments ⋈ (query, cluster) pairs so each
+    * query meets only its own probed lists; the stored `(v, n)` give
+    * the cosine as one codegen'd dot per candidate (no corpus re-read,
+    * no re-norm); per-query top-k is one window. Zero-norm query rows
+    * are EXCLUDED (the batch convention of [[ivfAdcProbeJoin]]: one
+    * bad row must not fail the join; absence is the signal), and the
+    * hot-list refusal guards the degenerate-quantizer melt with the
+    * offender named.
+    */
+  def ivfProbeJoin(spark: SparkSession, indexPath: String,
+                   queries: DataFrame, idCol: String, vecCol: String,
+                   k: Int, nProbe: Int = 4, idName: String = "id",
+                   maxCandidates: Long = graft.ops.GuardBounds.ProbeJoinMaxCandidates): DataFrame = {
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        transform(col(vecCol), x => x.cast("double")).as("_qv"))
+      .filter(dot(col("_qv"), col("_qv")) > 0)
+      .withColumn("_qn", sqrt(dot(col("_qv"), col("_qv"))))
+    val perQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+    val probeAsg = graft.engine.Caches.persisted("ivfProbeJoin.probes",
+      q.select(col("query_id"), col("_qv")).crossJoin(broadcast(cents))
+        .withColumn("_cos", cosine(col("centroid_vec"), col("_qv")))
+        .withColumn("_rn", row_number().over(
+          perQuery.orderBy(col("_cos").desc, col("centroid_id").asc)))
+        .filter(col("_rn") <= nProbe)
+        .select(col("query_id"), col("centroid_id").as("cluster")))
+    val probedClusters = probeAsg.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = liveAssignments(spark, indexPath)
+      .filter(col("cluster").isin(probedClusters: _*))
+    val listSizes = pruned
+      .groupBy(col("cluster")).agg(count(lit(1)).as("_n"))
+    val planned = probeAsg.join(broadcast(listSizes), Seq("cluster"))
+      .agg(sum(col("_n")).as("c"), max(col("_n")).as("hot")).head()
+    val nCand = if (planned.isNullAt(0)) 0L else planned.getLong(0)
+    require(nCand <= maxCandidates,
+      s"ivfProbeJoin: ${nCand} candidate rows planned " +
+        s"(maxCandidates=$maxCandidates); hottest probed list holds " +
+        s"${planned.getLong(1)} vectors — rebuild with more centroids " +
+        "or probe in smaller query batches")
+    pruned.join(probeAsg.hint("shuffle_hash"), Seq("cluster"))
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos_sim",
+        round(dot(col("v"), col("_qv")) / (col("n") * col("_qn")), 6))
+      .withColumn("_rk", row_number().over(
+        perQuery.orderBy(col("cos_sim").desc, col("id").asc)))
+      .filter(col("_rk") <= k)
+      .select(col("query_id"), col("id").as(idName), col("cos_sim"))
+  }
+
   /** Adaptive filtered search — the strategy switch every production
     * vector store ships (Qdrant/pgvector's "use the index only when
     * the filter is broad"): a SELECTIVE predicate makes the filtered

@@ -607,6 +607,38 @@ class PlanSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q252/q253: the multi-query probes keep both prunings — tf bucket dirs + token pushdown, assignments cluster dirs") {
+    // the join forms must not lose the single-probe scan shape: the
+    // BM25 side still partition-prunes tf to the UNION of the batch's
+    // term buckets with the term IN-filter at the reader, and the
+    // dense side still prunes assignments to the probed cluster dirs
+    val p = plan("q252_bm25_probe_join")
+    assert(p.contains("PartitionFilters"), p)
+    val pf = "PartitionFilters: \\[[^\\]]*".r.findAllIn(p).toSeq
+    assert(pf.exists(f => f.contains("bucket") && f.contains("IN")), pf.mkString("\n"))
+    assert("PushedFilters: \\[[^\\]]*".r.findAllIn(p).exists(f =>
+      f.contains("In(token")), p)
+    graft.engine.Caches.releaseAll()
+    spark.catalog.clearCache()
+    // dense side at serving width (nProbe=4): per-query probed
+    // clusters union to < all 16 dirs for a single query
+    val emb = Tables.load(spark, dir, "embeddings")
+    val idx2 = Files.createTempDirectory("graft_ipj_plan").toString + "/index"
+    graft.vector.Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx2, nCentroids = 16)
+    val q1 = emb.filter(col("vec_id") === 0L).select(col("vec_id"), col("embedding"))
+    val probe = graft.vector.Similarity.ivfProbeJoin(spark, idx2, q1,
+      "vec_id", "embedding", 10, nProbe = 4)
+    probe.collect() // finalize the adaptive plan
+    val dp = probe.queryExecution.executedPlan.toString
+    val cpf = "PartitionFilters: \\[cluster#\\d+ IN \\(([-0-9,]+)\\)".r
+      .findAllMatchIn(dp).map(_.group(1)).toSeq
+    assert(cpf.nonEmpty, dp)
+    assert(cpf.exists(_.split(",").length === 4),
+      s"expected a 4-cluster pruning IN, got $cpf")
+    graft.engine.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
   test("AQE splits a skewed join partition at runtime (skew-join enabled in Sessions.tune)") {
     import spark.implicits._
     // one key carries ~100k rows against a 4-row dimension; with the

@@ -169,4 +169,109 @@ class RetrievalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("single `id` column"))
   }
+
+  // ---- the multi-query (JOIN) probe laws: batch form ≡ per-query form
+
+  private val fixtureQueries = Seq(
+    0L -> Seq("spark", "vector", "merge"),
+    1L -> Seq("hash", "join", "stream"),
+    2L -> Seq("window", "sort"))
+
+  test("ivfProbeJoin: per-query rows equal ivfProbeById; zero-norm query rows are absent, not garbage") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ipj").toString + "/index"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", idx)
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+    val got = Similarity.ivfProbeJoin(spark, idx, queries, "vec_id",
+        "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    (0L to 2L).foreach { q =>
+      val want = Similarity.ivfProbeById(spark, idx, emb, "vec_id",
+          "embedding", q, 5)
+        .as[(Long, Double)].collect().toSeq
+      val block = got(q).map(r => (r._2, r._3))
+        .sortBy { case (id, c) => (-c, id) }.toSeq
+      assert(block === want, s"query $q diverged from the single probe")
+    }
+    graft.engine.Caches.releaseAll()
+    // a zero-norm query is excluded (no rows), never NaN-ranked
+    val zq = spark.range(1).select(lit(999L).as("vec_id"),
+      array((0 until 16).map(_ => lit(0.0f)): _*).as("embedding"))
+    assert(Similarity.ivfProbeJoin(spark, idx, zq, "vec_id", "embedding", 5)
+      .count() === 0L)
+    graft.engine.Caches.releaseAll()
+  }
+
+  test("bm25ProbeJoin: per-query rows equal bm25Probe, with and without pending tombstones; duplicate terms refuse") {
+    import graft.text.TextStats
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bpj").toString + "/index"
+    TextStats.buildBm25Index(docs, "doc_id", "text", idx)
+    val qs = fixtureQueries.toDF("query_id", "terms")
+    def check(): Unit = {
+      val got = TextStats.bm25ProbeJoin(spark, idx, qs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .groupBy(_._1)
+      fixtureQueries.foreach { case (q, terms) =>
+        val want = TextStats.bm25Probe(spark, idx, terms)
+          .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+        val block = got(q).map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq
+        assert(block === want, s"query $q diverged from the single probe")
+      }
+    }
+    check()
+    // tombstone the first 40 docs WITHOUT purging: both probes must
+    // re-derive df/totals from live rows and still agree
+    TextStats.deleteFromBm25Index(spark, idx,
+      docs.filter(col("doc_id") < 40).select("doc_id"), "doc_id",
+      purgeAboveRows = 1000000L)
+    check()
+    // a query repeating a term (case-insensitively) refuses loudly
+    val dup = Seq((7L, Seq("spark", "Spark"))).toDF("query_id", "terms")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.TextStats.bm25ProbeJoin(spark, idx, dup)
+    }
+    assert(e.getMessage.contains("distinct per query"), e.getMessage)
+  }
+
+  test("bm25ProbeJoin: a batch beyond MaxProbeTerms distinct terms refuses loudly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bpj2").toString + "/index"
+    graft.text.TextStats.buildBm25Index(docs.limit(5), "doc_id", "text", idx)
+    val n = graft.ops.GuardBounds.MaxProbeTerms.toInt + 1
+    val wide = Seq((0L, (0 until n).map(i => s"t$i"))).toDF("query_id", "terms")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.TextStats.bm25ProbeJoin(spark, idx, wide)
+    }
+    assert(e.getMessage.contains("distinct terms"), e.getMessage)
+  }
+
+  test("hybridProbeJoin: per-query blocks equal hybridProbeTopK verbatim") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bmIdx = java.nio.file.Files.createTempDirectory("graft_hpj_bm").toString + "/index"
+    val ivfIdx = java.nio.file.Files.createTempDirectory("graft_hpj_ivf").toString + "/index"
+    graft.text.TextStats.buildBm25Index(docs, "doc_id", "text", bmIdx)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", ivfIdx)
+    val qs = fixtureQueries.toDF("query_id", "terms")
+    val got = Retrieval.hybridProbeJoin(spark, bmIdx, ivfIdx, emb,
+        "vec_id", "embedding", qs).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getDouble(4)))
+      .groupBy(_._1)
+    fixtureQueries.foreach { case (q, terms) =>
+      val want = Retrieval.hybridProbeTopK(spark, bmIdx, ivfIdx, emb,
+          "vec_id", "embedding", terms, q)
+        .as[(Long, Option[Long], Option[Long], Double)].collect().toSeq
+        .sortBy(_._1)
+      val block = got(q).map(r => (r._2, r._3, r._4, r._5))
+        .sortBy(_._1).toSeq
+      assert(block === want, s"query $q diverged from the single-query hybrid")
+    }
+    graft.engine.Caches.releaseAll()
+  }
 }

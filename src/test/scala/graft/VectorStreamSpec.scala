@@ -1917,4 +1917,47 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(frames.head.payload.length === 64)
     assert(frames.map(_.offset_bytes).toSeq === Seq(0L, 128L, 256L))
   }
+
+  test("hybridProbeSink: streamed query batches equal the batch hybrid probe join; retried batch is a no-op") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val bmIdx = java.nio.file.Files.createTempDirectory("graft_hps_bm").toString + "/index"
+    val ivfIdx = java.nio.file.Files.createTempDirectory("graft_hps_ivf").toString + "/index"
+    graft.text.TextStats.buildBm25Index(docs, "doc_id", "text", bmIdx)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", ivfIdx)
+    val out = java.nio.file.Files.createTempDirectory("graft_hps_out").toString + "/res"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hps_ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[String])]
+    val sink = EventStream.hybridProbeSink(
+      mem.toDF().toDF("query_id", "terms"), bmIdx, ivfIdx, emb, out, ckpt)
+    mem.addData((0L, Seq("spark", "vector", "merge")),
+      (1L, Seq("hash", "join", "stream")))
+    sink.processAllAvailable()
+    mem.addData((2L, Seq("window", "sort")))
+    sink.processAllAvailable()
+    sink.stop()
+    val got = spark.read.parquet(out)
+      .select("query_id", "id", "rrf")
+      .as[(Long, Long, Double)].collect().toSet
+    // streamed results must equal ONE batch hybrid probe join over the
+    // same three queries (itself law-equal to per-query hybridProbeTopK)
+    val qs = Seq((0L, Seq("spark", "vector", "merge")),
+        (1L, Seq("hash", "join", "stream")), (2L, Seq("window", "sort")))
+      .toDF("query_id", "terms")
+    val want = graft.ops.Retrieval.hybridProbeJoin(spark, bmIdx, ivfIdx,
+        emb, "vec_id", "embedding", qs)
+      .select("query_id", "id", "rrf")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    // epochs recorded per batch; a retried batch id re-appends nothing
+    val n0 = spark.read.parquet(out).count()
+    assert(spark.read.parquet(out).select("probe_epoch").distinct().count() === 2)
+    EventStream.idempotentPromote(spark, out, out, batchId = 0L) { staging =>
+      spark.read.parquet(out).limit(1)
+        .write.mode("overwrite").parquet(staging)
+    }
+    assert(spark.read.parquet(out).count() === n0)
+    graft.engine.Caches.releaseAll()
+  }
 }
