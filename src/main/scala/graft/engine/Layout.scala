@@ -368,6 +368,82 @@ object Layout {
     */
   val PswapLeaseTtlMs: Long = 120000L
 
+  /** Exclusive WRITER lease over an index root — the serialization
+    * verb for index tiers whose maintenance rewrites DERIVED state
+    * (the BM25 df/totals partials): a purge that recomputes df from
+    * tf while an append is mid-flight can fold the batch's tf rows
+    * into the recomputation AND then receive the batch's own df
+    * partial — a double count no snapshot carry-over can prevent,
+    * because the race is algebraic (recompute vs delta), not a file
+    * race. Writers (build/append/purge) of such a tier take this
+    * lease; READERS NEVER DO — probes stay lock-free and correct via
+    * tombstone masking + live-row re-derivation. Per-id-row tiers
+    * (ANN codes/assignments) don't need it: their purge∥append
+    * commutes through the partition-swap carry-over.
+    *
+    * Protocol: create-if-absent (atomic on every Hadoop FS); a holder
+    * whose body outlives `ttlMs` is kept alive by a heartbeat thread
+    * touching the lease mtime, so only a CRASHED holder ever goes
+    * stale; stale leases are claimed by the [[healStagedPartitionSwap]]
+    * rename-aside idiom (exactly one claimer wins). Waiters poll up to
+    * `waitMs`, then REFUSE loudly naming the holder file — a stuck
+    * queue must be an operator page, not a silent pile-up.
+    */
+  def withWriterLease[T](spark: SparkSession, root: String,
+                         ttlMs: Long = PswapLeaseTtlMs,
+                         waitMs: Long = 120000L)(body: => T): T = {
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root))
+    val lease = new Path(root, "_writer.lease")
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      acquired =
+        try { fs.create(lease, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (!acquired) {
+        val st = try Some(fs.getFileStatus(lease))
+          catch { case _: java.io.IOException => None }
+        st match {
+          case Some(s) if System.currentTimeMillis() -
+              s.getModificationTime > ttlMs =>
+            // stale holder: claim by renaming aside — one winner
+            val claim = new Path(root, "_writer.lease.takeover")
+            val claimed = try fs.rename(lease, claim)
+              catch { case _: java.io.IOException => false }
+            if (claimed) {
+              try fs.delete(claim, false)
+              catch { case _: java.io.IOException => () }
+            }
+          case _ => ()
+        }
+        require(System.currentTimeMillis() < deadline,
+          s"withWriterLease: could not acquire $lease within ${waitMs} ms " +
+            "— another writer holds it (alive via heartbeat); serialize " +
+            "writers or investigate the holder")
+        Thread.sleep(100)
+      }
+    }
+    // heartbeat: a long body (corpus-sized purge) must not go stale
+    // under a waiting writer's TTL check
+    val beat = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(math.max(ttlMs / 3, 1000L))
+        val now = System.currentTimeMillis()
+        fs.setTimes(lease, now, now)
+      } catch { case _: InterruptedException => () }
+    }, s"graft-writer-lease-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
+    try body
+    finally {
+      beat.interrupt()
+      try fs.delete(lease, false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Complete or discard an interrupted [[stagedPartitionReplace]] —
     * called on entry by the replace itself AND by index read paths
     * (two FS existence checks when no swap is in flight). The

@@ -1448,9 +1448,27 @@ object TextStats {
     * into the data files, [[fsckBm25Index]] audits, and
     * [[forgetAndVerifyBm25]] runs the whole cycle as one verb — the
     * signature/ANN-tier forget discipline on the lexical tier.
+    *
+    * Concurrency: WRITERS SERIALIZE on
+    * [[graft.engine.Layout.withWriterLease]] (build/append/purge) —
+    * df and totals are DERIVED partials, and a purge that recomputes
+    * them from tf while an append is mid-flight would double-count
+    * the batch (recompute-vs-delta is an algebraic race no file-level
+    * carry-over fixes; the round-14 multi-writer soak is the
+    * regression). Probes and fsck never take the lease — readers are
+    * correct lock-free via tombstone masking + live-row re-derivation,
+    * and tombstone APPENDS ([[deleteFromBm25Index]]) stay unleased too
+    * (append-only + snapshot-scoped clears commute).
     */
   def buildBm25Index(df: DataFrame, idCol: String, textCol: String,
-                     indexPath: String, nBuckets: Int = 64): Unit = {
+                     indexPath: String, nBuckets: Int = 64): Unit =
+    graft.engine.Layout.withWriterLease(df.sparkSession, indexPath) {
+      buildBm25IndexBody(df, idCol, textCol, indexPath, nBuckets)
+    }
+
+  private def buildBm25IndexBody(df: DataFrame, idCol: String,
+                                 textCol: String, indexPath: String,
+                                 nBuckets: Int): Unit = {
     val toks = df.select(col(idCol).cast("long").as("doc_id"),
         explode(tokens(lower(col(textCol)))).as("token"))
       .filter(col("token") =!= "")
@@ -1489,7 +1507,13 @@ object TextStats {
     * frames (caller-releases is the repo-wide Caches convention).
     */
   def appendBm25Index(batch: DataFrame, idCol: String, textCol: String,
-                      indexPath: String): Unit = {
+                      indexPath: String): Unit =
+    graft.engine.Layout.withWriterLease(batch.sparkSession, indexPath) {
+      appendBm25IndexBody(batch, idCol, textCol, indexPath)
+    }
+
+  private def appendBm25IndexBody(batch: DataFrame, idCol: String,
+                                  textCol: String, indexPath: String): Unit = {
     val spark = batch.sparkSession
     val nBuckets = spark.read.parquet(s"$indexPath/totals")
       .select(max(col("n_buckets"))).head().getInt(0)
@@ -1721,7 +1745,13 @@ object TextStats {
     * dbuckets (doc-hash partitioning, delete-proportional).
     */
   def purgeBm25Index(spark: org.apache.spark.sql.SparkSession,
-                     indexPath: String): Unit = {
+                     indexPath: String): Unit =
+    graft.engine.Layout.withWriterLease(spark, indexPath) {
+      purgeBm25IndexBody(spark, indexPath)
+    }
+
+  private def purgeBm25IndexBody(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String): Unit = {
     val tfPath = s"$indexPath/tf"
     val dfPath = s"$indexPath/df"
     val dlPath = s"$indexPath/doclen"

@@ -274,4 +274,180 @@ class ConcurrencySpec extends AnyFunSuite {
         "child purge did not fold the seeded tombstones")
     } finally child.destroyForcibly()
   }
+
+  test("soak: four writer JVMs + this reader against one ANN and one BM25 index; committed-state reads throughout") {
+    // round-14 multi-writer soak (r13 verdict item 5): an ANN
+    // appender, an ANN forgetter (tombstone + policy-fired purges), a
+    // BM25 appender, and a BM25 forgetter — four REAL JVMs — run
+    // simultaneously while this JVM reads both indexes continuously.
+    // Reads must always see committed state: every append logged
+    // complete before a read starts is visible (minus masking), every
+    // delete logged complete before a read starts is masked, and
+    // nothing outside the committed universe ever appears. The BM25
+    // writers additionally contend on the index writer lease
+    // (withWriterLease) — the serialization that keeps the derived
+    // df/totals partials from double-counting under purge∥append.
+    import graft.vector.Similarity
+    import graft.text.TextStats
+    val annDir = Files.createTempDirectory("graft_soak_ann").toString + "/index"
+    val emb = (0L until 256L).map(i =>
+        (i, List.tabulate(8)(j => ((i * 31 + j * 17) % 97).toFloat + 1f)))
+      .toDF("vec_id", "embedding")
+    Similarity.buildIvfAdcIndex(emb, "vec_id", "embedding", annDir,
+      nCentroids = 3, nSub = 2, nCodes = 8)
+    val bmDir = Files.createTempDirectory("graft_soak_bm").toString + "/index"
+    // initial docs all carry 'base', never 'soak' (the appender's token)
+    val docs = (0L until 60L).map(i => (i, s"base w${i % 7} pad${i % 11}"))
+      .toDF("doc_id", "text")
+    TextStats.buildBm25Index(docs, "doc_id", "text", bmDir, nBuckets = 8)
+    graft.engine.Caches.releaseAll()
+    val initialAnn = (0L until 256L).toSet
+    val initialBm = (0L until 60L).toSet
+
+    val work = "15000"
+    val names = Seq("annappend", "annforget", "bm25append", "bm25forget")
+    val logsF = names.map(n => Files.createTempFile(s"graft_soak_$n", ".log").toFile)
+    val children = Seq(
+      spawn(logsF(0), "annappend", annDir, work, "100000"),
+      spawn(logsF(1), "annforget", annDir, work, "13"),
+      spawn(logsF(2), "bm25append", bmDir, work, "100000"),
+      spawn(logsF(3), "bm25forget", bmDir, work, "7"))
+    try {
+      logsF.foreach(awaitLine(_, "READY"))
+      // (verb, t0, t1, ids) from a child log; APPEND encodes start+count
+      def events(f: java.io.File): Seq[(String, Long, Long, Seq[Long])] =
+        logLines(f).flatMap { l =>
+          val p = l.split(" ")
+          p(0) match {
+            case "APPEND" => Some(("APPEND", p(1).toLong, p(2).toLong,
+              (p(3).toLong until p(3).toLong + p(4).toLong).toSeq))
+            case "DELETE" => Some(("DELETE", p(1).toLong, p(2).toLong,
+              p(3).split(",").map(_.toLong).toSeq))
+            case "SKIP" => Some(("SKIP", p(1).toLong, p(2).toLong, Seq.empty))
+            case _ => None
+          }
+        }
+      def retrying[T](body: => T): T = {
+        def attempt(left: Int): T =
+          try body catch {
+            case e: Throwable if left > 0 => Thread.sleep(100); attempt(left - 1)
+          }
+        attempt(6)
+      }
+      def annLive(): Set[Long] = retrying {
+        graft.engine.Layout.healStagedPartitionSwap(spark, s"$annDir/codes")
+        val codes = spark.read.parquet(s"$annDir/codes").select(col("id"))
+        (graft.engine.Layout.tombstones(spark, annDir) match {
+          case Some(ts) => codes.join(broadcast(ts), Seq("id"), "left_anti")
+          case None => codes
+        }).as[Long].collect().toSet
+      }
+      def probeIds(term: String): Set[Long] = retrying {
+        TextStats.bm25Probe(spark, bmDir, Seq(term))
+          .select("doc_id").as[Long].collect().toSet
+      }
+      val readWindows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var nReads = 0
+      while (children.exists(_.isAlive)) {
+        // ---- ANN read with its committed-state invariants
+        val a0 = System.currentTimeMillis()
+        val live = annLive()
+        val a1 = System.currentTimeMillis()
+        readWindows += ((a0, a1))
+        val apps = events(logsF(0)); val dels = events(logsF(1))
+        val committedBefore = apps.filter(e => e._1 == "APPEND" && e._3 < a0)
+          .flatMap(_._4).toSet
+        val deletedBefore = dels.filter(e => e._1 == "DELETE" && e._3 < a0)
+          .flatMap(_._4).toSet
+        val deletedMaybe = dels.filter(e => e._1 == "DELETE" && e._2 < a1)
+          .flatMap(_._4).toSet
+        // the forgetter's policy purges swap partitions; a committed
+        // row rides the carry-over and may be INVISIBLE for the swap's
+        // duration (the documented eventual-consistency window) — so
+        // the visibility invariant binds only when the purger could
+        // not have been mid-swap; universe and no-resurrection bind
+        // ALWAYS (tombstones mask before, rows are gone after)
+        val annPurgerBusy = children(1).isAlive
+        assert(live.forall(id => id < 256L || id >= 100000L),
+          s"ANN read saw an id outside the committed universe: " +
+            live.filterNot(id => id < 256L || id >= 100000L).take(5))
+        val annMissed = ((initialAnn ++ committedBefore) -- deletedMaybe) -- live
+        assert(annMissed.isEmpty || annPurgerBusy,
+          s"ANN read at $a0 missed committed rows with no purge in flight: " +
+            annMissed.take(5))
+        assert(live.intersect(deletedBefore).isEmpty,
+          s"ANN read at $a0 resurrected deleted ids: " +
+            live.intersect(deletedBefore).take(5))
+        // ---- BM25 reads with theirs
+        val b0 = System.currentTimeMillis()
+        val soak = probeIds("soak")
+        val base = probeIds("base")
+        val b1 = System.currentTimeMillis()
+        readWindows += ((b0, b1))
+        val bapps = events(logsF(2)); val bdels = events(logsF(3))
+        val bCommitted = bapps.filter(e => e._1 == "APPEND" && e._3 < b0)
+          .flatMap(_._4).toSet
+        val bDeletedBefore = bdels.filter(e => e._1 == "DELETE" && e._3 < b0)
+          .flatMap(_._4).toSet
+        val bDeletedMaybe = bdels.filter(e => e._1 == "DELETE" && e._2 < b1)
+          .flatMap(_._4).toSet
+        val bmPurgerBusy = children(3).isAlive
+        assert(soak.forall(_ >= 100000L),
+          s"'soak' probe matched an initial doc: ${soak.filter(_ < 100000L).take(5)}")
+        val soakMissed = bCommitted -- soak
+        assert(soakMissed.isEmpty || bmPurgerBusy,
+          s"'soak' probe missed committed appends with no purge in flight: " +
+            soakMissed.take(5))
+        assert(base.subsetOf(initialBm),
+          s"'base' probe matched a non-initial doc: ${(base -- initialBm).take(5)}")
+        val baseMissed = (initialBm -- bDeletedMaybe) -- base
+        assert(baseMissed.isEmpty || bmPurgerBusy,
+          s"'base' probe missed live docs with no purge in flight: " +
+            baseMissed.take(5))
+        assert(base.intersect(bDeletedBefore).isEmpty,
+          s"'base' probe resurrected deleted docs: ${base.intersect(bDeletedBefore).take(5)}")
+        nReads += 1
+      }
+      children.zip(names).foreach { case (c, n) =>
+        assert(c.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), s"$n hung")
+        assert(c.exitValue() === 0,
+          s"$n failed:\n${logLines(logsF(names.indexOf(n))).takeRight(30).mkString("\n")}")
+      }
+      assert(nReads >= 3, s"only $nReads read rounds — soak too short to mean anything")
+      // ---- the races really happened: some instant had >=3 children
+      // mid-operation simultaneously, and >=1 parent read overlapped
+      // >=2 children's operations
+      val allWins = logsF.zipWithIndex.flatMap { case (f, ci) =>
+        events(f).map(e => (ci, e._2, e._3)) }
+      def activeAt(t: Long) = allWins.filter(w => w._2 <= t && t < w._3)
+        .map(_._1).distinct.size
+      val tripleAt = allWins.map(_._2).find(t => activeAt(t) >= 3)
+      assert(tripleAt.isDefined,
+        s"no instant had 3+ children mid-operation (${allWins.size} ops logged)")
+      assert(readWindows.exists { case (r0, r1) =>
+        allWins.filter(w => w._2 < r1 && r0 < w._3).map(_._1).distinct.size >= 2 },
+        "no parent read overlapped two children's operations")
+      // ---- quiescent final state: exact, and both fscks green
+      val apps = events(logsF(0)); val dels = events(logsF(1))
+      val committedAll = apps.filter(_._1 == "APPEND").flatMap(_._4).toSet
+      val deletedAll = dels.filter(_._1 == "DELETE").flatMap(_._4).toSet
+      assert(annLive() === (initialAnn ++ committedAll) -- deletedAll,
+        "ANN final live set wrong after quiescence")
+      val annFsck = Similarity.fsckIvfAdcIndex(spark, annDir)
+        .select("check_name", "ok").as[(String, Boolean)].collect().toMap
+      assert(annFsck.values.forall(identity), s"ANN fsck not green: $annFsck")
+      val bCommittedAll = events(logsF(2)).filter(_._1 == "APPEND")
+        .flatMap(_._4).toSet
+      val bDeletedAll = events(logsF(3)).filter(_._1 == "DELETE")
+        .flatMap(_._4).toSet
+      assert(probeIds("soak") === bCommittedAll,
+        "BM25 'soak' probe wrong after quiescence")
+      assert(probeIds("base") === initialBm -- bDeletedAll,
+        "BM25 'base' probe wrong after quiescence")
+      val bmFsck = TextStats.fsckBm25Index(spark, bmDir)
+        .select("check_name", "ok").as[(String, Boolean)].collect().toMap
+      assert(bmFsck.values.forall(identity),
+        s"BM25 fsck not green after serialized writers: $bmFsck")
+    } finally children.foreach(_.destroyForcibly())
+  }
 }

@@ -68,6 +68,123 @@ object ConcurrencyWorker {
           graft.vector.Similarity.purgeIvfAdcIndex(spark, indexPath)
           println(s"PURGE_END ${System.currentTimeMillis()}")
           Console.flush()
+
+        // ---- soak modes (round-14 multi-writer soak): each loops for
+        // `millis` wall-clock, logging one `<VERB> <t0> <t1> <ids...>`
+        // line per COMMITTED round — a round that trips a local-FS
+        // listing race logs `SKIP` instead and its ids never enter the
+        // parent's committed set (Spark's committer leaves nothing
+        // visible pre-commit). Ids are chosen from disjoint ranges per
+        // role so the parent's invariants need no cross-child
+        // coordination.
+
+        case "annappend" =>
+          // appender: batches of 8 NEW vectors per round via the
+          // production append verb (frozen codebooks, cluster-dir
+          // append) — the streaming sink's write face under soak
+          val dir = args(1); val millis = args(2).toLong
+          val base = args(3).toLong
+          val deadline = System.currentTimeMillis() + millis
+          var k = 0L
+          import spark.implicits._
+          while (System.currentTimeMillis() < deadline) {
+            val ids = (base + k * 8) until (base + k * 8 + 8)
+            val batch = ids.map(i => (i,
+                List.tabulate(8)(j => ((i * 31 + j * 17) % 97).toFloat + 1f)))
+              .toDF("vec_id", "embedding")
+            val t0 = System.currentTimeMillis()
+            try {
+              graft.vector.Similarity.appendIvfAdcIndex(
+                batch, "vec_id", "embedding", dir)
+              println(s"APPEND $t0 ${System.currentTimeMillis()} " +
+                s"${ids.head} ${ids.size}")
+            } catch { case t: Throwable =>
+              println(s"SKIP $t0 ${System.currentTimeMillis()}")
+              Thread.sleep(50)
+            }
+            Console.flush()
+            graft.engine.Caches.releaseAll()
+            k += 1
+          }
+
+        case "annforget" =>
+          // deleter AND (policy-fired) purger in one role: tombstone
+          // batches with a LOW purge threshold so physical purges fire
+          // repeatedly mid-soak — the single-purger convention holds
+          // because only this child ever purges this index
+          val dir = args(1); val millis = args(2).toLong
+          val stride = args(3).toLong
+          val deadline = System.currentTimeMillis() + millis
+          var k = 0L
+          import spark.implicits._
+          while (System.currentTimeMillis() < deadline) {
+            val ids = Seq(k * stride % 256L, (k * stride + 7L) % 256L).distinct
+            val t0 = System.currentTimeMillis()
+            try {
+              graft.vector.Similarity.deleteFromIvfAdcIndex(spark, dir,
+                ids.toDF("id"), "id", purgeAboveRows = 15L)
+              println(s"DELETE $t0 ${System.currentTimeMillis()} " +
+                ids.mkString(","))
+            } catch { case t: Throwable =>
+              println(s"SKIP $t0 ${System.currentTimeMillis()}")
+              Thread.sleep(50)
+            }
+            Console.flush()
+            graft.engine.Caches.releaseAll()
+            k += 1
+          }
+
+        case "bm25append" =>
+          // lexical appender: every appended doc carries the probe
+          // token 'soak' so the parent's probe can watch commits appear
+          val dir = args(1); val millis = args(2).toLong
+          val base = args(3).toLong
+          val deadline = System.currentTimeMillis() + millis
+          var k = 0L
+          import spark.implicits._
+          while (System.currentTimeMillis() < deadline) {
+            val ids = (base + k * 4) until (base + k * 4 + 4)
+            val batch = ids.map(i => (i, s"soak filler${i % 7} pad${i % 3}"))
+              .toDF("doc_id", "text")
+            val t0 = System.currentTimeMillis()
+            try {
+              graft.text.TextStats.appendBm25Index(batch, "doc_id", "text", dir)
+              println(s"APPEND $t0 ${System.currentTimeMillis()} " +
+                s"${ids.head} ${ids.size}")
+            } catch { case t: Throwable =>
+              println(s"SKIP $t0 ${System.currentTimeMillis()}")
+              Thread.sleep(50)
+            }
+            Console.flush()
+            graft.engine.Caches.releaseAll()
+            k += 1
+          }
+
+        case "bm25forget" =>
+          // lexical deleter+purger: forgets INITIAL docs (the parent's
+          // 'base'-token corpus) with a low threshold so tf/df/doclen
+          // partition rewrites race the appender's growth
+          val dir = args(1); val millis = args(2).toLong
+          val stride = args(3).toLong
+          val deadline = System.currentTimeMillis() + millis
+          var k = 0L
+          import spark.implicits._
+          while (System.currentTimeMillis() < deadline) {
+            val ids = Seq(k * stride % 60L)
+            val t0 = System.currentTimeMillis()
+            try {
+              graft.text.TextStats.deleteFromBm25Index(spark, dir,
+                ids.toDF("doc_id"), "doc_id", purgeAboveRows = 10L)
+              println(s"DELETE $t0 ${System.currentTimeMillis()} " +
+                ids.mkString(","))
+            } catch { case t: Throwable =>
+              println(s"SKIP $t0 ${System.currentTimeMillis()}")
+              Thread.sleep(50)
+            }
+            Console.flush()
+            graft.engine.Caches.releaseAll()
+            k += 1
+          }
       }
       println("DONE")
       Console.flush()

@@ -245,4 +245,47 @@ class StagedReplaceSpec extends AnyFunSuite {
     assert(healed === expected)
     assert(!fs.exists(new Path(live + "_swap_old")))
   }
+
+  test("withWriterLease: mutual exclusion, release on exception, stale takeover, loud timeout") {
+    import graft.engine.Layout
+    val root = java.nio.file.Files.createTempDirectory("graft_wlease").toString + "/idx"
+    // two threads contend: the critical sections must never overlap
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 2).map { _ =>
+      new Thread(() =>
+        (0 until 3).foreach { _ =>
+          Layout.withWriterLease(spark, root, waitMs = 30000L) {
+            val n = active.incrementAndGet()
+            maxActive.accumulateAndGet(n, Math.max(_, _))
+            Thread.sleep(50)
+            active.decrementAndGet()
+          }
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(maxActive.get() === 1,
+      s"two writers held the lease simultaneously (${maxActive.get()})")
+    // the lease releases even when the body throws
+    intercept[RuntimeException] {
+      Layout.withWriterLease(spark, root) { throw new RuntimeException("boom") }
+    }
+    assert(!fs.exists(new Path(root, "_writer.lease")),
+      "lease not released after a throwing body")
+    // a STALE lease (dead holder: old mtime, no heartbeat) is claimed
+    val lease = new Path(root, "_writer.lease")
+    fs.create(lease, true).close()
+    fs.setTimes(lease, System.currentTimeMillis() - 10 * 60 * 1000L, -1)
+    var ran = false
+    Layout.withWriterLease(spark, root, waitMs = 30000L) { ran = true }
+    assert(ran, "stale lease was not taken over")
+    // a FRESH lease blocks until the short wait budget expires — loudly
+    fs.create(lease, true).close()
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Layout.withWriterLease(spark, root, waitMs = 500L) { () }
+      }
+      assert(e.getMessage.contains("could not acquire"), e.getMessage)
+    } finally fs.delete(lease, false)
+  }
 }
