@@ -327,6 +327,85 @@ object EventStream {
       .outputMode("append")
       .start()
 
+  /** Streaming LEXICAL index growth — [[sinkIvfAdcAppend]]'s write
+    * face on the BM25 tier, completing the lexical streaming
+    * lifecycle (serve: [[hybridProbeSink]]; grow: this; forget: the
+    * batch delete verbs under the writer lease): each micro-batch of
+    * NEW documents appends its tf/df/doclen/totals deltas to a
+    * persisted [[graft.text.TextStats.buildBm25Index]] layout, probe-
+    * visible at micro-batch latency with batch-shaped cost.
+    * Exactly-once via [[appendBm25BatchIdempotent]].
+    */
+  def sinkBm25Append(docs: DataFrame, indexPath: String, checkpoint: String,
+                     idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBm25BatchIdempotent(batch, indexPath, id, idCol, textCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
+  /** The marker-guarded body of [[sinkBm25Append]]: the batch's four
+    * delta frames ([[graft.text.TextStats.bm25BatchDeltas]]) are
+    * staged as ONE directory tree mirroring the index layout and
+    * promoted by [[idempotentPromote]] under the index WRITER LEASE —
+    * which closes the non-atomicity the plain
+    * [[graft.text.TextStats.appendBm25Index]] accepts: that verb's
+    * four sequential writes leave a crashed append half-landed
+    * (benignly probe-invisible, but unable to retry past the new-ids
+    * require), whereas here a crash at ANY point either undoes the
+    * listed renames or skips the committed marker — the retried batch
+    * id is exactly-once across all four tables at once. The new-ids
+    * require runs only for FRESH batches (no marker, no filelist): on
+    * a retry the ids are legitimately present mid-promote and the
+    * check would misfire.
+    */
+  def appendBm25BatchIdempotent(batch: DataFrame, indexPath: String,
+                                batchId: Long, idCol: String = "doc_id",
+                                textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    graft.engine.Layout.withWriterLease(spark, indexPath) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(indexPath),
+        spark.sparkContext.hadoopConfiguration)
+      def mf(name: String) = new org.apache.hadoop.fs.Path(
+        s"$indexPath/_graft_manifest/$name")
+      val fresh = !fs.exists(mf(s"batch-$batchId")) &&
+        !fs.exists(mf(s"batch-$batchId.files"))
+      if (fresh) {
+        val nDup = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
+          .join(spark.read.parquet(s"$indexPath/doclen").select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .count()
+        require(nDup == 0L,
+          s"appendBm25BatchIdempotent: $nDup batch doc ids already exist " +
+            s"in the index at $indexPath — appends must carry NEW docs only")
+      }
+      val nBuckets = spark.read.parquet(s"$indexPath/totals")
+        .select(max(col("n_buckets"))).head().getInt(0)
+      val m = graft.engine.Caches.mark()
+      try {
+        idempotentPromote(spark, indexPath, indexPath, batchId) { staging =>
+          val (tf0, df, docLen, totals) = graft.text.TextStats
+            .bm25BatchDeltas(batch, idCol, textCol, nBuckets)
+          val tf = graft.engine.Caches.persisted("sinkBm25Append.tf", tf0)
+          tf.write.partitionBy("bucket").mode("overwrite")
+            .parquet(s"$staging/tf")
+          df.write.partitionBy("bucket").mode("overwrite")
+            .parquet(s"$staging/df")
+          docLen.repartition(col("dbucket"))
+            .write.partitionBy("dbucket").mode("overwrite")
+            .parquet(s"$staging/doclen")
+          totals.coalesce(1).write.mode("overwrite").parquet(s"$staging/totals")
+        }
+      } finally graft.engine.Caches.releaseSince(m)
+      if (graft.engine.Layout.flatFileCount(spark, s"$indexPath/totals") > 48)
+        graft.engine.Layout.compactFlat(spark, s"$indexPath/totals",
+          targetFiles = 1)
+    }
+  }
+
   /** The marker-guarded body of [[sinkIvfAdcAppend]] —
     * [[appendBatchIdempotent]]'s discipline applied to the index
     * append, exposed so retry semantics are directly testable. The

@@ -1555,6 +1555,34 @@ object TextStats {
     } finally graft.engine.Caches.releaseSince(m)
   }
 
+  /** The four SUM-mergeable delta frames one NEW-doc batch contributes
+    * to a persisted BM25 index — (tf, df, doclen, totals), each shaped
+    * exactly like its index table (partition columns included) so a
+    * caller can land them as an append OR stage them for an atomic
+    * promote (the streaming sink's exactly-once path,
+    * [[graft.streaming.EventStream.appendBm25BatchIdempotent]]). One
+    * tokenize pass over the batch; `tfOut` receives the persisted tf
+    * frame so df/doclen derive from the SAME computation.
+    */
+  private[graft] def bm25BatchDeltas(batch: DataFrame, idCol: String,
+                                     textCol: String, nBuckets: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val toks = batch.select(col(idCol).cast("long").as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(hash(col("token")), lit(nBuckets)))
+    val df = tf.groupBy(col("token"), col("bucket"))
+      .agg(count(lit(1)).as("dft"))
+    val docLen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .withColumn("dbucket", pmod(hash(col("doc_id")), lit(nBuckets)))
+    val totals = docLen
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
+    (tf, df, docLen, totals)
+  }
+
   /** Probe the persisted BM25 index: reads the query terms' tf slice
     * (bucket partition-pruned + term filter pushed to the scan), SUMs
     * the df/totals partials, and scores through [[bm25Score]] — the

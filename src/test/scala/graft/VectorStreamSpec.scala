@@ -1918,6 +1918,51 @@ class VectorStreamSpec extends AnyFunSuite {
     assert(frames.map(_.offset_bytes).toSeq === Seq(0L, 128L, 256L))
   }
 
+  test("sinkBm25Append: streamed doc batches probe equal to a fresh build; retried batch is a no-op; fresh duplicate ids refuse") {
+    import graft.text.TextStats
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val initial = docs.filter(col("doc_id") < 400)
+    val later = docs.filter(col("doc_id") >= 400 && col("doc_id") < 450)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .collect().toSeq
+    val idx = java.nio.file.Files.createTempDirectory("graft_bmsink").toString + "/index"
+    TextStats.buildBm25Index(initial, "doc_id", "text", idx)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bmsink_ck").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sink = EventStream.sinkBm25Append(
+      mem.toDF().toDF("doc_id", "text"), idx, ckpt)
+    mem.addData(later.take(25): _*)
+    sink.processAllAvailable()
+    mem.addData(later.drop(25): _*)
+    sink.processAllAvailable()
+    sink.stop()
+    // the streamed index must probe EQUAL to one fresh build over the
+    // full corpus — scores, matches, everything (df/totals partials
+    // sum to the same statistics the full tokenize computes)
+    val fresh = java.nio.file.Files.createTempDirectory("graft_bmsink_f").toString + "/index"
+    TextStats.buildBm25Index(docs.filter(col("doc_id") < 450),
+      "doc_id", "text", fresh)
+    val terms = Seq("spark", "vector", "merge")
+    def probe(p: String) = TextStats.bm25Probe(spark, p, terms)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(probe(idx) === probe(fresh),
+      "streamed appends diverged from the fresh build")
+    // a RETRIED batch id is exactly-once: no new rows in any table
+    val n0 = spark.read.parquet(s"$idx/doclen").count()
+    EventStream.appendBm25BatchIdempotent(
+      later.take(25).toDF("doc_id", "text"), idx, batchId = 0L)
+    assert(spark.read.parquet(s"$idx/doclen").count() === n0)
+    assert(probe(idx) === probe(fresh))
+    // a FRESH batch id carrying existing ids refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      EventStream.appendBm25BatchIdempotent(
+        later.take(5).toDF("doc_id", "text"), idx, batchId = 99L)
+    }
+    assert(e.getMessage.contains("NEW docs only"), e.getMessage)
+    graft.engine.Caches.releaseAll()
+  }
+
   test("hybridProbeSink: streamed query batches equal the batch hybrid probe join; retried batch is a no-op") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
