@@ -282,6 +282,7 @@ object Bench {
         s""""reps_start_ms":$repStartsJ,"probe_s":$probesJ,""" +
         s""""io_probe_s":$ioProbesJ,""" +
         s""""gc_ms":$gcs,"heap_max_mb":${Runtime.getRuntime.maxMemory >> 20},""" +
+        s""""head":"${graft.engine.Sessions.gitHead.getOrElse("unknown")}",""" +
         s""""failed":$failed,"failed_queries":$failedJson,"sf":"$sfDir"}""" +
         "\n").getBytes("UTF-8"))
     // compact LAST line: the full line is ~8 KB at 143 queries and fell

@@ -77,6 +77,14 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/failed.json"),
       failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // HEAD stamp (round-14 structural fix): twice in a row a sweep's
+    // provenance was ambiguous because queries landed after the close
+    // — every dump now records the commit it ran at, so "the sweep ran
+    // at the close HEAD" is a checkable fact of the artifact, not a
+    // claim in prose
+    Files.writeString(Paths.get(s"$outDir/head.txt"),
+      graft.engine.Sessions.gitHead.getOrElse("unknown") +
+        s" queries=${selected.size}\n")
     // exit code stays 0 either way — the driver's per-query compare is
     // the failure surface; a nonzero exit could void the whole dump
     println(s"[verify] ${selected.size - failed.size}/${selected.size} " +

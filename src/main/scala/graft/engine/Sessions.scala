@@ -79,4 +79,33 @@ object Sessions {
     .enableHiveSupport()
     .config("javax.jdo.option.ConnectionURL",
       s"jdbc:derby:;databaseName=$metastoreDir/metastore_db;create=true")
+
+  /** The git commit the running JVM's working tree is at, read straight
+    * off `.git` (no subprocess, no library): artifact provenance for
+    * Verify dumps and Bench lines — a sweep or bench whose artifact
+    * does not name its HEAD cannot prove it ran at the close commit.
+    * None outside a git checkout (e.g. a deployed jar).
+    */
+  def gitHead: Option[String] =
+    try {
+      val cwd = java.nio.file.Paths.get(".").toAbsolutePath
+      val gitDir = Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+        .map(_.resolve(".git")).find(java.nio.file.Files.exists(_))
+      gitDir.flatMap { g =>
+        val head = java.nio.file.Files.readString(g.resolve("HEAD")).trim
+        if (head.startsWith("ref: ")) {
+          val ref = g.resolve(head.stripPrefix("ref: "))
+          if (java.nio.file.Files.exists(ref))
+            Some(java.nio.file.Files.readString(ref).trim)
+          else { // packed refs
+            val packed = g.resolve("packed-refs")
+            if (!java.nio.file.Files.exists(packed)) None
+            else java.nio.file.Files.readAllLines(packed)
+              .toArray(Array.empty[String])
+              .find(_.endsWith(" " + head.stripPrefix("ref: ")))
+              .map(_.split(" ")(0))
+          }
+        } else Some(head)
+      }
+    } catch { case _: Throwable => None }
 }
