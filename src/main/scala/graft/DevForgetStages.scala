@@ -127,6 +127,44 @@ object DevForgetStages {
         emb.filter(col("vec_id") % 7 === 3).select("vec_id"), "vec_id",
         purgeAboveMaskedFraction = 0.05).head()
     }
+    graft.engine.Caches.releaseAll(); spark.catalog.clearCache()
+
+    // ---- q248: the BM25-tier cycle, stage by stage
+    println("[forgetstages] ===== q248_forget_cycle_bm25 (lexical tier) =====")
+    import graft.text.TextStats
+    val bmBase = java.nio.file.Files.createTempDirectory("graft_fs_bm")
+      .toString + "/index"
+    TextStats.buildBm25Index(docs, "doc_id", "text", bmBase)
+    graft.engine.Caches.releaseAll()
+    val deadD = docs.filter(col("doc_id") % 10 === 3).select("doc_id")
+    time("recovery (heal probes)") {
+      Seq("tf", "df", "doclen").foreach(t =>
+        graft.engine.Layout.healStagedPartitionSwap(spark, s"$bmBase/$t",
+          discardMarkerless = true, writerRole = true))
+    }
+    time("record (tombstone append)") {
+      TextStats.deleteFromBm25Index(spark, bmBase, deadD, "doc_id",
+        purgeAboveRows = 100000L)
+    }
+    time("report (masked fraction)") {
+      val dl = spark.read.parquet(s"$bmBase/doclen").select(col("doc_id"))
+      graft.engine.Layout.tombstones(spark, bmBase).foreach { ts =>
+        dl.join(broadcast(ts.select(col("id").as("doc_id"))),
+          Seq("doc_id"), "left_semi").count()
+      }
+      dl.count()
+    }
+    time("purge (tf/df/doclen/totals rewrites)") {
+      TextStats.purgeBm25Index(spark, bmBase)
+    }
+    time("fsck (audit)") {
+      TextStats.fsckBm25Index(spark, bmBase).filter(!col("ok")).count()
+    }
+    time("q248 one-verb total (fresh set)") {
+      TextStats.forgetAndVerifyBm25(spark, bmBase,
+        docs.filter(col("doc_id") % 10 === 4).select("doc_id"), "doc_id",
+        purgeAboveMaskedFraction = 0.05).head()
+    }
     spark.stop()
   }
 }
