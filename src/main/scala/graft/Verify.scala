@@ -81,8 +81,10 @@ object Verify {
     // provenance was ambiguous because queries landed after the close
     // — every dump now records the commit it ran at, so "the sweep ran
     // at the close HEAD" is a checkable fact of the artifact, not a
-    // claim in prose
-    Files.writeString(Paths.get(s"$outDir/head.txt"),
+    // claim in prose. DOTFILE on purpose: the comparer enumerates
+    // query dirs with a `*` glob (check.py:45 mirrors the driver), so
+    // a visible name would enter the compare as a bogus query row.
+    Files.writeString(Paths.get(s"$outDir/.head"),
       graft.engine.Sessions.gitHead.getOrElse("unknown") +
         s" queries=${selected.size}\n")
     // exit code stays 0 either way — the driver's per-query compare is
