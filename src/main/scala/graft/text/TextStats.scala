@@ -1802,10 +1802,23 @@ object TextStats {
       val tsDoc = broadcast(ts0.select(col("id").as("doc_id")))
       val nBuckets = spark.read.parquet(s"$indexPath/totals")
         .select(max(col("n_buckets"))).head().getInt(0)
-      // ≤ nBuckets partition values each — bounded driver state
-      val affectedTf = spark.read.parquet(tfPath).join(tsDoc, Seq("doc_id"))
-        .select(col("bucket").cast("string")).distinct()
-        .collect().map(_.getString(0)).toSeq
+      // ≤ nBuckets partition values each — bounded driver state. Both
+      // tables' affected-partition sets come from ONE collect (r14
+      // opt: they are independent reads, and the doclen set does not
+      // depend on the tf/df swaps — union the two detection subtrees
+      // so one job schedules both scans concurrently instead of two
+      // driver round-trips bracketing the swaps).
+      val affected = spark.read.parquet(tfPath).join(tsDoc, Seq("doc_id"))
+        .select(lit("tf").as("_t"), col("bucket").cast("string").as("_b"))
+        .distinct()
+        .unionByName(
+          spark.read.parquet(dlPath).join(tsDoc, Seq("doc_id"))
+            .select(lit("dl").as("_t"),
+              col("dbucket").cast("string").as("_b"))
+            .distinct())
+        .collect()
+      val affectedTf = affected.filter(_.getString(0) == "tf")
+        .map(_.getString(1)).toSeq
       if (affectedTf.nonEmpty)
         graft.engine.Layout.stagedPartitionReplace(spark, tfPath) {
           (stg, snapshot) =>
@@ -1851,9 +1864,10 @@ object TextStats {
             .partitionBy("bucket").parquet(stg)
           stageEmpties(stg, "bucket", staleDf)
         }
-      val affectedDl = spark.read.parquet(dlPath).join(tsDoc, Seq("doc_id"))
-        .select(col("dbucket").cast("string")).distinct()
-        .collect().map(_.getString(0)).toSeq
+      // from the same up-front collect: tf/df swaps never touch doclen,
+      // so the pre-swap detection is exact here
+      val affectedDl = affected.filter(_.getString(0) == "dl")
+        .map(_.getString(1)).toSeq
       if (affectedDl.nonEmpty)
         graft.engine.Layout.stagedPartitionReplace(spark, dlPath) {
           (stg, snapshot) =>
@@ -1915,40 +1929,96 @@ object TextStats {
       .select(max(col("n_buckets"))).head().getInt(0)
     val tf = spark.read.parquet(s"$indexPath/tf")
     val dl = spark.read.parquet(s"$indexPath/doclen")
-    val dupDocs = dl.groupBy(col("doc_id")).count()
-      .filter(col("count") > 1).count()
-    val orphans = tf.select(col("doc_id")).distinct()
-      .join(dl.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
-    val dlBad = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("_s"))
-      .join(dl.select(col("doc_id"), col("dl")), Seq("doc_id"))
-      .filter(col("_s") =!= col("dl")).count()
-    val bucketBad =
-      tf.filter(col("bucket") =!= pmod(hash(col("token")), lit(nBuckets)))
-        .count() +
-      dl.filter(col("dbucket") =!= pmod(hash(col("doc_id")), lit(nBuckets)))
-        .count()
+    // ONE doc-keyed pass computes every per-doc invariant (r14 opt:
+    // the check-per-action form scanned tf 4× and doclen 4× — at
+    // corpus scale each extra scan is a full index read, and locally
+    // each action pays fixed job overhead). tf aggregates per doc
+    // (carrying its bucket-mismatch row count), doclen aggregates per
+    // (doc, dl) so duplicate-row multiplicity survives, and a single
+    // full-outer join + final aggregate yields counts BIT-IDENTICAL
+    // to the per-check originals (FsckSpec's fault-injection matrix
+    // is the regression):
+    //   dup_docs  — docs with >1 doclen rows    (was: dl groupBy>1)
+    //   orphans   — tf docs absent from doclen  (was: distinct anti-join)
+    //   dl_bad    — doclen ROWS (multiplicity) whose dl != the tf sum
+    //   bucket_bad— tf rows with a wrong bucket + dl rows with a
+    //               wrong dbucket (null comparisons excluded, as the
+    //               original filters did)
+    //   n_dl_rows/dl_sum — the doclen aggregates the totals check needs
+    val tfSide = tf.select(col("doc_id"), col("tf"),
+        when(col("bucket") =!= pmod(hash(col("token")), lit(nBuckets)),
+          lit(1L)).otherwise(lit(0L)).as("_tbad"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("_s"), sum(col("_tbad")).as("_tb"),
+        count(lit(1)).as("_trows"))
+    val dlSide = dl.select(col("doc_id"), col("dl"),
+        when(col("dbucket") =!= pmod(hash(col("doc_id")), lit(nBuckets)),
+          lit(1L)).otherwise(lit(0L)).as("_dbad"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("_m"), sum(col("_dbad")).as("_db"))
+    val docChecks = dlSide.join(tfSide, Seq("doc_id"), "full_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("_m")).as("_rows"), max(col("_tb")).as("_tbm"),
+        max(col("_trows")).as("_trm"), sum(col("_db")).as("_dbs"),
+        sum(when(col("_s") =!= col("dl"), col("_m")).otherwise(lit(0L)))
+          .as("_dlbad"),
+        sum(col("dl") * col("_m")).as("_dlsum"))
+      .agg(
+        coalesce(sum(when(col("_rows") > 1, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("c1"),
+        coalesce(sum(when(col("_trm").isNotNull && col("_rows").isNull,
+          lit(1L)).otherwise(lit(0L))), lit(0L)).as("c2"),
+        coalesce(sum(col("_dlbad")), lit(0L)).as("c3"),
+        (coalesce(sum(col("_tbm")), lit(0L)) +
+          coalesce(sum(col("_dbs")), lit(0L))).as("c4"),
+        coalesce(sum(col("_rows")), lit(0L)).as("c5"),
+        coalesce(sum(col("_dlsum")), lit(0L)).as("c6"))
+      .select(lit("doc").as("chk"), col("c1"), col("c2"), col("c3"),
+        col("c4"), col("c5"), col("c6"))
+    // token-keyed pass (df partials vs tf-derived counts) and the
+    // totals read ride the SAME collect as union branches — one Spark
+    // job schedules all three subtrees concurrently. Skipped under
+    // pending tombstones exactly as before (stale by design).
+    val branches =
+      if (tombstoned > 0) Seq(docChecks)
+      else Seq(docChecks,
+        spark.read.parquet(s"$indexPath/df")
+          .groupBy(col("token")).agg(sum(col("dft")).as("_d"))
+          .join(tf.groupBy(col("token")).agg(count(lit(1)).as("_c")),
+            Seq("token"), "full_outer")
+          .agg(coalesce(sum(when(coalesce(col("_d"), lit(-1L)) =!=
+              coalesce(col("_c"), lit(-1L)), lit(1L)).otherwise(lit(0L))),
+            lit(0L)).as("c1"))
+          .select(lit("df").as("chk"), col("c1"), lit(0L).as("c2"),
+            lit(0L).as("c3"), lit(0L).as("c4"), lit(0L).as("c5"),
+            lit(0L).as("c6")),
+        spark.read.parquet(s"$indexPath/totals")
+          .agg(coalesce(sum(col("n_docs")), lit(0L)).as("c1"),
+            coalesce(sum(col("sum_dl")), lit(0L)).as("c2"))
+          .select(lit("tot").as("chk"), col("c1"), col("c2"),
+            lit(0L).as("c3"), lit(0L).as("c4"), lit(0L).as("c5"),
+            lit(0L).as("c6")))
+    val rows = branches.reduce(_ unionByName _).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val doc = rows("doc")
+    val dupDocs = doc.getLong(1)
+    val orphans = doc.getLong(2)
+    val dlBad = doc.getLong(3)
+    val bucketBad = doc.getLong(4)
     val (dfOk, dfN, dfDetail) =
       if (tombstoned > 0) (true, 0L,
         s"stale by design under $tombstoned pending tombstones")
       else {
-        val n = spark.read.parquet(s"$indexPath/df")
-          .groupBy(col("token")).agg(sum(col("dft")).as("_d"))
-          .join(tf.groupBy(col("token")).agg(count(lit(1)).as("_c")),
-            Seq("token"), "full_outer")
-          .filter(coalesce(col("_d"), lit(-1L)) =!=
-            coalesce(col("_c"), lit(-1L)))
-          .count()
+        val n = rows("df").getLong(1)
         (n == 0L, n, "df partials sum to tf-derived per-token counts")
       }
     val (totOk, totN, totDetail) =
       if (tombstoned > 0) (true, 0L,
         s"stale by design under $tombstoned pending tombstones")
       else {
-        val t = spark.read.parquet(s"$indexPath/totals")
-          .agg(sum(col("n_docs")), sum(col("sum_dl"))).head()
-        val d = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-        val bad = (if (t.getLong(0) == d.getLong(0)) 0L else 1L) +
-          (if (t.getLong(1) == d.getLong(1)) 0L else 1L)
+        val t = rows("tot")
+        val bad = (if (t.getLong(1) == doc.getLong(5)) 0L else 1L) +
+          (if (t.getLong(2) == doc.getLong(6)) 0L else 1L)
         (bad == 0L, bad, "totals partials sum to the doclen aggregates")
       }
     val leftovers = required
@@ -2003,10 +2073,18 @@ object TextStats {
     val docs = spark.read.parquet(s"$indexPath/doclen").select(col("doc_id"))
     val worst = graft.engine.Layout.tombstones(spark, indexPath) match {
       case Some(ts) =>
-        val total = docs.count()
-        if (total == 0L) 0.0
-        else docs.join(broadcast(ts.select(col("id").as("doc_id"))),
-          Seq("doc_id"), "left_semi").count().toDouble / total
+        // total and masked in ONE aggregate pass (was two count jobs —
+        // each a full doclen scan). The tombstone side deduplicates
+        // before the broadcast left join, so repeated forget requests
+        // for one doc cannot inflate the row count — semi-join
+        // semantics preserved exactly.
+        val r = docs.join(
+            broadcast(ts.select(col("id").as("doc_id")).distinct()
+              .withColumn("_dead", lit(1))),
+            Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("_t"), count(col("_dead")).as("_m")).head()
+        val total = r.getLong(0)
+        if (total == 0L) 0.0 else r.getLong(1).toDouble / total
       case None => 0.0
     }
     val purged = worst > purgeAboveMaskedFraction
