@@ -35,6 +35,35 @@ object Layout {
                 partitionCols: Seq[String] = Seq("partition_date")): DataFrame =
     df.repartition(partitionCols.map(col): _*)
 
+  /** Scale-adaptive compute spread for a CPU-heavy map stage (guide
+    * §2.2/§6): when the physical plan under `df` yields fewer
+    * partitions than the session's parallelism — a single-file,
+    * single-row-group input, which is every local testdata table, or a
+    * small batch — any expensive projection fused into that scan
+    * (per-gram md5, winnow folds, media decode, pairwise dot products)
+    * runs on ONE core no matter how many the session has; the round-14
+    * driver measured ≈1.0 8→32-core ratios across the whole map-heavy
+    * family because of exactly this. A round-robin repartition to the
+    * default parallelism spreads the rows for tens of ms of exchange
+    * on MB-sized inputs. At scale the condition is false (a 100 TB
+    * scan already yields thousands of splits) and this is the
+    * IDENTITY — no exchange is added, so it never turns into a full
+    * corpus shuffle. Row-level results are unchanged (round-robin
+    * repartition reorders rows only; callers are order-independent
+    * operators or sort their output).
+    *
+    * Pass only exchange-free frames (scans + projections/filters):
+    * the partition-count probe materializes the physical plan, and
+    * under AQE a plan WITH exchanges would execute its query stages
+    * right here.
+    */
+  def spreadForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
+  }
+
   /** K1: full overwrite of a date-partitioned table. */
   def overwritePartitioned(df: DataFrame, path: String,
                            partitionCols: Seq[String] = Seq("partition_date")): Unit = {

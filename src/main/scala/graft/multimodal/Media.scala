@@ -915,7 +915,11 @@ object Media {
     */
   def imageHashTable(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long]
+    // spread the id scan (guide §2.2): the per-row PNG encode below and
+    // the decode+hash downstream both run on these partitions — one
+    // task end-to-end on a single-file input; identity at scale
+    graft.engine.Layout.spreadForCompute(
+        ids.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           MediaRow(id, "png", ImageCodec.encodePngBits(
@@ -934,6 +938,11 @@ object Media {
   private def perceptualHashes(spark: SparkSession, media: DataFrame,
                                hash: Array[Byte] => Option[Long]): Dataset[ImageHash] = {
     import spark.implicits._
+    // no spread HERE: the hashTable generators already spread their id
+    // scan (so encode + this decode share those partitions), and
+    // spreadForCompute on a frame that already carries that exchange
+    // would execute the upstream stage eagerly at plan time under AQE
+    // — measured as a ~2× regression on the audio pair queries
     media.select(col("media_id"), col("format"), col("payload")).as[MediaRow]
       .mapPartitions(_.flatMap(m => hash(m.payload).map(ImageHash(m.media_id, _))))
   }
@@ -1219,6 +1228,12 @@ object Media {
     */
   def audioHashTable(spark: SparkSession, ids: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
+    // deliberately NOT spread (r15 A/B, DevSpreadProbe): every WAV
+    // encode/decode goes through javax.sound.sampled.AudioSystem, whose
+    // provider lookup serializes on a global registry lock — 32
+    // concurrent decode tasks measured 2.5× SLOWER than one (0.6 s →
+    // 1.5 s), the opposite of the image path where parallel PNG decode
+    // measured 3× faster
     ids.select(col(idCol).cast("long")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
@@ -1234,6 +1249,8 @@ object Media {
     * while COMMUTING with xor — hamming(π(a), π(b)) = popcount(a xor b)
     * — so the pair oracles stay pure id arithmetic.
     */
+  private[graft] def spreadBitsDev(x: Long): Long = spreadBits(x)
+
   private[multimodal] def spreadBits(x: Long): Long = {
     var out = 0L
     var k = 0

@@ -215,9 +215,14 @@ object TextStats {
     // the fold would re-run the whole-doc md5 transform once per
     // (window, step) — O(n²·w) md5 calls per document (measured: 147 s
     // at sf0.1 vs ~1 s with the column reference; the bench caught it).
-    val hashed = df.select(col(idCol).cast("long").as("doc_id"),
-      transform(grams,
-        g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("_h"))
+    // spread the scan (guide §2.2): the per-doc md5 transform + w-window
+    // argmin folds are the operator's whole cost and run fused into the
+    // scan — one task on a single-file input (8→32-core ratio ≈1.1 for
+    // the q217/q223 family in BENCH_r14); identity at scale
+    val hashed = graft.engine.Layout.spreadForCompute(df)
+      .select(col(idCol).cast("long").as("doc_id"),
+        transform(grams,
+          g => conv(substring(md5(g), 1, 8), 16, 10).cast("long")).as("_h"))
     val n = size(col("_h"))
     // window starts: 0 .. n-w (just [0] when the doc is shorter)
     val starts = sequence(lit(0), greatest(n - lit(w), lit(0)))
@@ -559,6 +564,10 @@ object TextStats {
 
   private[graft] def gramStream(df: DataFrame, grpCols: Seq[String],
                                 textCol: String, n: Int): DataFrame =
+    // NOT spread (r15 A/B): unlike the winnow family, the sketch
+    // consumers' cost is in their exchanges/joins (distinct, the exact
+    // ground-truth join), not the per-gram md5 — a spreadForCompute here
+    // measured flat-to-slower (q224 2.3→2.4 s, q227 1.8→2.1 s warm)
     df.select(grpCols.map(col) :+
         explode(Dedup.shinglesOfTokens(tokens(col(textCol)), n))
           .as("gram"): _*)

@@ -260,8 +260,13 @@ object Similarity {
     */
   def embedNearDup(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, maxExact: Long = graft.ops.GuardBounds.MaxExactPairs): DataFrame = {
+    // spread BEFORE the persist: the pair join streams the cached
+    // relation through a BroadcastNestedLoopJoin, so its task count —
+    // and the whole n²/2 dot-product verify — is the cache's partition
+    // count (1 for a single-file input; measured 8→32-core ratio 1.01
+    // in BENCH_r14 because one core did all pairs)
     val u = graft.engine.Caches.persisted("embedNearDup.normed",
-      normed(emb, idCol, vecCol))
+      graft.engine.Layout.spreadForCompute(normed(emb, idCol, vecCol)))
     val rows = u.count() // cheap: also materializes the reused norms
     require(rows <= maxExact,
       s"embedNearDup is an exact all-pairs baseline (n²/2 = " +
@@ -517,9 +522,11 @@ object Similarity {
                       threshold: Double, nBands: Int = 8,
                       bitsPerBand: Int = 4, seed: Long = 42L,
                       dim: Int = -1): DataFrame = {
-    // normalized vectors feed signature computation + both verify joins
+    // normalized vectors feed signature computation + both verify joins;
+    // spread as in embedNearDup — the banding projection (bands ×
+    // bitsPerBand dot products per row) runs on the cache's partitions
     val u = graft.engine.Caches.persisted("embedNearDupLsh.normed",
-      normed(emb, idCol, vecCol))
+      graft.engine.Layout.spreadForCompute(normed(emb, idCol, vecCol)))
     val n = u.count() // cheap: materializes the reused normed relation
     val bands =
       if (nBands > 0) nBands

@@ -14,9 +14,26 @@ object LawsProps extends Properties("graft.laws") {
   lazy val spark = TestSession.spark
   import spark.implicits._
 
+  // Seed discipline (round-14 verdict item 1): the r14 verify artifact
+  // recorded "1 LawsProps property failed" with neither the property
+  // name nor the seed — ScalaCheck reseeds every run, so the
+  // counterexample was unrecoverable (a full rerun at the same commit
+  // passed 90/90). Fix the initial seed up front and print it LOUDLY:
+  // any future failure reproduces with
+  //   GRAFT_LAWS_SEED=<printed seed> sbt 'testOnly graft.LawsProps'
+  // (ScalaCheck 1.18 additionally prints each failing property's own
+  // seed, but only the suite-level seed survives a truncated log tail).
+  private val initialSeed: org.scalacheck.rng.Seed =
+    sys.env.get("GRAFT_LAWS_SEED") match {
+      case Some(s) => org.scalacheck.rng.Seed.fromBase64(s).get
+      case None => org.scalacheck.rng.Seed.random()
+    }
+  println(s"[laws] initialSeed=${initialSeed.toBase64} — reproduce any " +
+    s"failure with GRAFT_LAWS_SEED=${initialSeed.toBase64}")
+
   // each evaluation runs a real Spark job — keep the sample count bounded
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
-    p.withMinSuccessfulTests(10)
+    p.withMinSuccessfulTests(10).withInitialSeed(initialSeed)
 
   private val dedupRow = for {
     id <- Gen.choose(0, 4)
