@@ -130,10 +130,17 @@ private[graft] object Fixtures {
     * state on every tier.
     */
   private[graft] def forgetCycleAllTiers(s: SparkSession, dir: String): (String, String, String) = {
-    val sig = forgetCycleIndexCopy(s, dir)
-    val ann = forgetCycleAnnIndexCopy(s, dir)
-    val bm = forgetCycleBm25IndexCopy(s, dir)
-    (sig, ann, bm)
+    // overlap the three driver-side file copies (each tier's base is
+    // memoized after the first call, so steady-state this is pure
+    // single-threaded FileUtil.copy time × 3 when run serially)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fSig = Future(forgetCycleIndexCopy(s, dir))
+    val fAnn = Future(forgetCycleAnnIndexCopy(s, dir))
+    val fBm = Future(forgetCycleBm25IndexCopy(s, dir))
+    (Await.result(fSig, Duration.Inf), Await.result(fAnn, Duration.Inf),
+      Await.result(fBm, Duration.Inf))
   }
 
   /** Build-once memo for the persisted per-source HLL register files

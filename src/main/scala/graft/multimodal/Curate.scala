@@ -427,11 +427,27 @@ object Curate {
             .write.mode("overwrite").parquet(stg)
         }
       }
-      val purgedShingles = purge("shingles", Seq("doc"))
-      purge("text_hashes", Seq("doc_id"))
-      purge("image_hashes", Seq("media_id"))
-      purge("audio_hashes", Seq("media_id"))
-      purge("edges", Seq("src", "dst"))
+      // the five table rewrites are INDEPENDENT (separate dirs, each
+      // crash-safe on its own; reads stay correct under any completed
+      // subset because the tombstones — cleared LAST, below — keep
+      // masking), so overlap them on driver threads (guide §2.6: the
+      // scheduler happily runs several jobs at once; actions were only
+      // sequential because this code called them sequentially —
+      // q240's purge stage measured 2.7 s / 23 near-serial jobs). The
+      // freq recompute needs only the SHINGLE swap's staged files, so
+      // it overlaps the other four rewrites too.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val fShingles = Future(purge("shingles", Seq("doc")))
+      val fOthers = Seq(
+        Future(purge("text_hashes", Seq("doc_id"))),
+        Future(purge("image_hashes", Seq("media_id"))),
+        Future(purge("audio_hashes", Seq("media_id"))),
+        Future(purge("edges", Seq("src", "dst"))))
+      val purgedShingles = Await.result(fShingles, Duration.Inf)
       // freq recompute reads the shingle purge's STAGED output only
       // (its exact post-delete content — never the live dir, where a
       // concurrent append may already have landed and would be counted
@@ -444,14 +460,20 @@ object Curate {
       // under any consistent total order, so verdicts are unaffected;
       // exact counts need a quiesced purge (or a rebuild)
       val freqP = s"$path/shingle_freq"
-      if (fs.exists(new org.apache.hadoop.fs.Path(freqP)) &&
-          purgedShingles.nonEmpty)
-        graft.engine.Layout.stagedReplaceSnapshot(spark, freqP) { (stg, _) =>
-          spark.read.parquet(purgedShingles: _*)
-            .groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
-            .repartition(targetFiles)
-            .write.mode("overwrite").parquet(stg)
-        }
+      try {
+        if (fs.exists(new org.apache.hadoop.fs.Path(freqP)) &&
+            purgedShingles.nonEmpty)
+          graft.engine.Layout.stagedReplaceSnapshot(spark, freqP) { (stg, _) =>
+            spark.read.parquet(purgedShingles: _*)
+              .groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
+              .repartition(targetFiles)
+              .write.mode("overwrite").parquet(stg)
+          }
+        // every rewrite must have COMPLETED before the tombstones clear
+        // (the crash contract: clearing early would unmask rows a still-
+        // running swap has not dropped yet)
+        fOthers.foreach(Await.result(_, Duration.Inf))
+      } finally pool.shutdown()
       graft.engine.Layout.clearTombstoneFiles(spark, path, tsFiles)
     }
   }
@@ -466,28 +488,40 @@ object Curate {
     * count jobs, nothing corpus-sized leaves the executors.
     */
   def deletionReport(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
     val ts = graft.engine.Layout.tombstones(spark, indexPath)
-    def row(table: String, key: String): DataFrame = {
-      val df = spark.read.parquet(s"$indexPath/$table")
-      val flagged = ts match {
-        case Some(t) => df.join(
-          broadcast(t.withColumnRenamed("id", key).withColumn("_dead", lit(1))),
-          Seq(key), "left")
-        case None => df.withColumn("_dead", lit(null).cast("int"))
-      }
-      flagged.agg(
-          count(lit(1)).as("total_rows"),
-          count(col("_dead")).as("masked_rows"))
-        .select(lit(table).as("table_name"),
-          col("total_rows"), col("masked_rows"),
-          (col("total_rows") - col("masked_rows")).as("live_rows"),
-          (col("masked_rows").cast("double") /
-            col("total_rows").cast("double")).as("masked_fraction"))
+    // ONE tombstone broadcast + one aggregation over the tagged union
+    // of all four key columns (r15): the per-table form built FOUR
+    // separate broadcast exchanges of the same tombstone set — each a
+    // driver round-trip at cycle cadence (q240's report stage measured
+    // 1.67 s / 12 jobs). Per-table counts are identical: the left join
+    // + count(_dead) runs per tagged row exactly as it did per table
+    // (dup tombstone ids fan out identically), and the static name
+    // frame re-attaches empty tables so they keep reporting a zero row
+    // with the same 0/0 masked_fraction expression.
+    val tables = Seq(("audio_hashes", "media_id"), ("image_hashes", "media_id"),
+      ("shingles", "doc"), ("text_hashes", "doc_id"))
+    val tagged = tables.map { case (table, key) =>
+      spark.read.parquet(s"$indexPath/$table")
+        .select(lit(table).as("table_name"), col(key).as("_k"))
+    }.reduce(_ unionByName _)
+    val flagged = ts match {
+      case Some(t) => tagged.join(
+        broadcast(t.withColumnRenamed("id", "_k").withColumn("_dead", lit(1))),
+        Seq("_k"), "left")
+      case None => tagged.withColumn("_dead", lit(null).cast("int"))
     }
-    row("audio_hashes", "media_id")
-      .unionByName(row("image_hashes", "media_id"))
-      .unionByName(row("shingles", "doc"))
-      .unionByName(row("text_hashes", "doc_id"))
+    val counts = flagged.groupBy(col("table_name")).agg(
+      count(lit(1)).as("_t"), count(col("_dead")).as("_m"))
+    tables.map(_._1).toDF("table_name")
+      .join(counts, Seq("table_name"), "left")
+      .select(col("table_name"),
+        coalesce(col("_t"), lit(0L)).as("total_rows"),
+        coalesce(col("_m"), lit(0L)).as("masked_rows"))
+      .select(col("table_name"), col("total_rows"), col("masked_rows"),
+        (col("total_rows") - col("masked_rows")).as("live_rows"),
+        (col("masked_rows").cast("double") /
+          col("total_rows").cast("double")).as("masked_fraction"))
       .orderBy(col("table_name"))
   }
 
@@ -519,23 +553,55 @@ object Curate {
     if (missing.nonEmpty)
       return layoutRow.toDF("check_name", "ok", "n_violations", "detail")
     val hashes = spark.read.parquet(s"$path/text_hashes")
-    val orphanShingles = spark.read.parquet(s"$path/shingles")
-      .select(col("doc").as("doc_id")).distinct()
-      .join(hashes.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .count()
-    val dupDocs = hashes.groupBy(col("doc_id")).count()
-      .filter(col("count") > 1).count()
-    val tombstoned = graft.engine.Layout.tombstones(spark, path)
-      .map(_.count()).getOrElse(0L)
+    // ONE doc-keyed pass + aggregate branches unioned into a single
+    // collect (r15, the fsckBm25Index r14 consolidation applied to
+    // this tier: the check-per-action form ran ~5 sequential driver
+    // round-trips, scanning shingles twice — q240's fsck stage
+    // measured 1.4 s / 15 jobs). Counts are BIT-IDENTICAL to the
+    // originals (FsckSpec fault injection is the regression):
+    //   orphans — shingle docs absent from text_hashes; the old
+    //             distinct+left_anti counted a null shingle doc
+    //             ALWAYS (null never joins), and the full-outer join
+    //             reproduces that: null keys stay unmatched per side,
+    //             so a shingle-side null row has _hrows null
+    //   dup_docs — text_hashes docs with >1 md5 rows (null group
+    //             behaves as in the old groupBy)
+    //   shingle row total — Σ per-doc counts == the old raw count()
+    val docChecks = spark.read.parquet(s"$path/shingles")
+      .groupBy(col("doc").as("doc_id")).agg(count(lit(1)).as("_srows"))
+      .join(hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("_hrows")),
+        Seq("doc_id"), "full_outer")
+      .agg(
+        coalesce(sum(when(col("_srows").isNotNull && col("_hrows").isNull,
+          lit(1L)).otherwise(lit(0L))), lit(0L)).as("c1"),
+        coalesce(sum(when(col("_hrows") > 1, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("c2"),
+        coalesce(sum(col("_srows")), lit(0L)).as("c3"))
+      .select(lit("doc").as("chk"), col("c1"), col("c2"), col("c3"))
+    val branches = Seq(Some(docChecks),
+      graft.engine.Layout.tombstones(spark, path).map(
+        _.agg(count(lit(1)).as("c1"))
+          .select(lit("ts").as("chk"), col("c1"), lit(0L).as("c2"),
+            lit(0L).as("c3"))),
+      (if (ex("shingle_freq"))
+        Some(spark.read.parquet(s"$path/shingle_freq")
+          .agg(coalesce(sum(col("freq")), lit(0L)).as("c1"))
+          .select(lit("freq").as("chk"), col("c1"), lit(0L).as("c2"),
+            lit(0L).as("c3")))
+      else None)).flatten
+    val rows = branches.reduce(_ unionByName _).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val orphanShingles = rows("doc").getLong(1)
+    val dupDocs = rows("doc").getLong(2)
+    val tombstoned = rows.get("ts").map(_.getLong(1)).getOrElse(0L)
     val (freqOk, freqN, freqDetail) =
       if (!ex("shingle_freq"))
         (true, 0L, "no freq relation (pre-round-12 index)")
       else if (tombstoned > 0)
         (true, 0L, s"stale by design under $tombstoned pending tombstones")
       else {
-        val sumFreq = spark.read.parquet(s"$path/shingle_freq")
-          .agg(coalesce(sum(col("freq")), lit(0L))).head().getLong(0)
-        val nRows = spark.read.parquet(s"$path/shingles").count()
+        val sumFreq = rows("freq").getLong(1)
+        val nRows = rows("doc").getLong(3)
         (sumFreq == nRows, math.abs(sumFreq - nRows),
           s"freq segments sum to $sumFreq vs $nRows shingle rows")
       }
@@ -651,19 +717,38 @@ object Curate {
         .nonEmpty,
       "forgetAndVerifyAll: at least one index tier path is required — " +
         "a forget cycle over zero indexes audits nothing")
-    val reports =
-      signatureIndexPath.map(p =>
+    // the tiers are INDEPENDENT cycles over disjoint index roots (each
+    // verb's report is a function of its own index + the shared request
+    // set alone), so run them on driver threads and let the scheduler
+    // overlap their jobs (guide §2.6; r15 — serially q249 was the #1
+    // bench row at 11 s = sig 5.2 s + ann 3.0 s + bm25 7.7 s strictly
+    // back-to-back while most of each cycle's jobs leave the cluster
+    // near-idle). Every per-tier verb's own internal cross-thread state
+    // is already safe: Caches entries are keyed by registering thread,
+    // Layout swap locks are per-path, and each tier writes only under
+    // its own root. The report rows are deterministic per tier, so the
+    // unioned output is unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futures =
+      signatureIndexPath.map(p => Future(
         forgetAndVerify(spark, p, ids, idColName,
             purgeAboveMaskedFraction, purgeAboveRows)
-          .withColumn("tier", lit("signature"))).toSeq ++
-      annIndexPath.map(p =>
+          .withColumn("tier", lit("signature")))).toSeq ++
+      annIndexPath.map(p => Future(
         graft.vector.Similarity.forgetAndVerifyAnn(spark, p, ids, idColName,
             purgeAboveMaskedFraction, purgeAboveRows)
-          .withColumn("tier", lit("ann"))).toSeq ++
-      bm25IndexPath.map(p =>
+          .withColumn("tier", lit("ann")))).toSeq ++
+      bm25IndexPath.map(p => Future(
         graft.text.TextStats.forgetAndVerifyBm25(spark, p, ids, idColName,
             purgeAboveMaskedFraction, purgeAboveRows)
-          .withColumn("tier", lit("bm25"))).toSeq
+          .withColumn("tier", lit("bm25")))).toSeq
+    val reports =
+      try futures.map(Await.result(_, Duration.Inf))
+      finally pool.shutdown()
     reports.reduce(_ unionByName _)
       .select(col("tier"), col("n_requested"), col("masked_fraction"),
         col("purged"), col("pending_tombstones"), col("fsck_ok"),

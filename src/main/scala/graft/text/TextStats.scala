@@ -1826,77 +1826,101 @@ object TextStats {
               col("dbucket").cast("string").as("_b"))
             .distinct())
         .collect()
-      val affectedTf = affected.filter(_.getString(0) == "tf")
-        .map(_.getString(1)).toSeq
-      if (affectedTf.nonEmpty)
-        graft.engine.Layout.stagedPartitionReplace(spark, tfPath) {
-          (stg, snapshot) =>
-          (if (snapshot.isEmpty) spark.read.parquet(tfPath)
-           else spark.read.option("basePath", tfPath).parquet(snapshot: _*))
-            .filter(col("bucket").cast("string").isin(affectedTf: _*))
-            .join(tsDoc, Seq("doc_id"), "left_anti")
-            .repartition(col("bucket"))
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .partitionBy("bucket").parquet(stg)
-          stageEmpties(stg, "bucket", affectedTf)
-        }
-      // df stage is MISMATCH-driven, not affectedTf-driven: a purge
-      // that died after the tf swap leaves tombstones pending and tf
-      // already purged, so on re-entry affectedTf reads empty — the
-      // stale df buckets are found by comparing the partials against
-      // the post-swap tf directly (one tf-wide aggregation at purge
-      // cadence; ForgetCycleSpec's interrupted-purge test is the
-      // regression this self-detection exists for). In a fresh purge
-      // the mismatch set equals the touched-token buckets — the df
-      // counts of a deleted doc's tokens strictly drop.
-      val tfCounts = spark.read.parquet(tfPath)
-        .groupBy(col("token"), col("bucket").cast("string").as("bucket"))
-        .agg(count(lit(1)).as("_c"))
-      val staleDf = spark.read.parquet(dfPath)
-        .groupBy(col("token"), col("bucket").cast("string").as("bucket"))
-        .agg(sum(col("dft")).as("_d"))
-        .join(tfCounts, Seq("token", "bucket"), "full_outer")
-        .filter(coalesce(col("_d"), lit(-1L)) =!= coalesce(col("_c"), lit(-1L)))
-        .select(col("bucket")).distinct()
-        .collect().map(_.getString(0)).toSeq
-      if (staleDf.nonEmpty)
-        graft.engine.Layout.stagedPartitionReplace(spark, dfPath) {
-          (stg, _) =>
-          // recompute from the PURGED tf (exact per-bucket counts —
-          // partials collapse to one segment per touched bucket)
-          spark.read.parquet(tfPath)
-            .filter(col("bucket").cast("string").isin(staleDf: _*))
-            .groupBy(col("token"), col("bucket"))
-            .agg(count(lit(1)).as("dft"))
-            .repartition(col("bucket"))
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .partitionBy("bucket").parquet(stg)
-          stageEmpties(stg, "bucket", staleDf)
-        }
-      // from the same up-front collect: tf/df swaps never touch doclen,
-      // so the pre-swap detection is exact here
-      val affectedDl = affected.filter(_.getString(0) == "dl")
-        .map(_.getString(1)).toSeq
-      if (affectedDl.nonEmpty)
-        graft.engine.Layout.stagedPartitionReplace(spark, dlPath) {
-          (stg, snapshot) =>
-          (if (snapshot.isEmpty) spark.read.parquet(dlPath)
-           else spark.read.option("basePath", dlPath).parquet(snapshot: _*))
-            .filter(col("dbucket").cast("string").isin(affectedDl: _*))
-            .join(tsDoc, Seq("doc_id"), "left_anti")
-            .repartition(col("dbucket"))
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .partitionBy("dbucket").parquet(stg)
-          stageEmpties(stg, "dbucket", affectedDl)
-        }
-      // totals: ONE consolidated row recomputed from the purged doclen
-      // (sum over a slim per-doc relation at purge cadence)
-      graft.engine.Layout.stagedReplace(spark, s"$indexPath/totals") { stg =>
-        spark.read.parquet(dlPath)
-          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-          .withColumn("n_buckets", lit(nBuckets))
-          .coalesce(1).write.parquet(stg)
+      // TWO independent rewrite chains overlap on driver threads
+      // (guide §2.6; r15 — the strict sequence measured 5.2 s / 36
+      // near-serial jobs as q248's dominant stage): chain A = tf swap,
+      // then the df mismatch-detection + swap (df recomputes FROM the
+      // purged tf, so it must follow it); chain B = doclen swap, then
+      // totals (recomputed from the purged doclen). Nothing in A reads
+      // doclen/totals and nothing in B reads tf/df, and each swap is
+      // crash-safe on its own with the tombstones — cleared LAST,
+      // after BOTH chains — masking every intermediate state, so any
+      // interleaving a crash exposes re-enters exactly as the strict
+      // order did (ForgetCycleSpec's interrupted-purge coverage).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val chainA = Future {
+        val affectedTf = affected.filter(_.getString(0) == "tf")
+          .map(_.getString(1)).toSeq
+        if (affectedTf.nonEmpty)
+          graft.engine.Layout.stagedPartitionReplace(spark, tfPath) {
+            (stg, snapshot) =>
+            (if (snapshot.isEmpty) spark.read.parquet(tfPath)
+             else spark.read.option("basePath", tfPath).parquet(snapshot: _*))
+              .filter(col("bucket").cast("string").isin(affectedTf: _*))
+              .join(tsDoc, Seq("doc_id"), "left_anti")
+              .repartition(col("bucket"))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .partitionBy("bucket").parquet(stg)
+            stageEmpties(stg, "bucket", affectedTf)
+          }
+        // df stage is MISMATCH-driven, not affectedTf-driven: a purge
+        // that died after the tf swap leaves tombstones pending and tf
+        // already purged, so on re-entry affectedTf reads empty — the
+        // stale df buckets are found by comparing the partials against
+        // the post-swap tf directly (one tf-wide aggregation at purge
+        // cadence; ForgetCycleSpec's interrupted-purge test is the
+        // regression this self-detection exists for). In a fresh purge
+        // the mismatch set equals the touched-token buckets — the df
+        // counts of a deleted doc's tokens strictly drop.
+        val tfCounts = spark.read.parquet(tfPath)
+          .groupBy(col("token"), col("bucket").cast("string").as("bucket"))
+          .agg(count(lit(1)).as("_c"))
+        val staleDf = spark.read.parquet(dfPath)
+          .groupBy(col("token"), col("bucket").cast("string").as("bucket"))
+          .agg(sum(col("dft")).as("_d"))
+          .join(tfCounts, Seq("token", "bucket"), "full_outer")
+          .filter(coalesce(col("_d"), lit(-1L)) =!= coalesce(col("_c"), lit(-1L)))
+          .select(col("bucket")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (staleDf.nonEmpty)
+          graft.engine.Layout.stagedPartitionReplace(spark, dfPath) {
+            (stg, _) =>
+            // recompute from the PURGED tf (exact per-bucket counts —
+            // partials collapse to one segment per touched bucket)
+            spark.read.parquet(tfPath)
+              .filter(col("bucket").cast("string").isin(staleDf: _*))
+              .groupBy(col("token"), col("bucket"))
+              .agg(count(lit(1)).as("dft"))
+              .repartition(col("bucket"))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .partitionBy("bucket").parquet(stg)
+            stageEmpties(stg, "bucket", staleDf)
+          }
       }
+      val chainB = Future {
+        // from the same up-front collect: tf/df swaps never touch
+        // doclen, so the pre-swap detection is exact here
+        val affectedDl = affected.filter(_.getString(0) == "dl")
+          .map(_.getString(1)).toSeq
+        if (affectedDl.nonEmpty)
+          graft.engine.Layout.stagedPartitionReplace(spark, dlPath) {
+            (stg, snapshot) =>
+            (if (snapshot.isEmpty) spark.read.parquet(dlPath)
+             else spark.read.option("basePath", dlPath).parquet(snapshot: _*))
+              .filter(col("dbucket").cast("string").isin(affectedDl: _*))
+              .join(tsDoc, Seq("doc_id"), "left_anti")
+              .repartition(col("dbucket"))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .partitionBy("dbucket").parquet(stg)
+            stageEmpties(stg, "dbucket", affectedDl)
+          }
+        // totals: ONE consolidated row recomputed from the purged doclen
+        // (sum over a slim per-doc relation at purge cadence)
+        graft.engine.Layout.stagedReplace(spark, s"$indexPath/totals") { stg =>
+          spark.read.parquet(dlPath)
+            .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+            .withColumn("n_buckets", lit(nBuckets))
+            .coalesce(1).write.parquet(stg)
+        }
+      }
+      try {
+        Await.result(chainA, Duration.Inf)
+        Await.result(chainB, Duration.Inf)
+      } finally pool.shutdown()
       graft.engine.Layout.clearTombstoneFiles(spark, indexPath, tsFiles)
     }
   }

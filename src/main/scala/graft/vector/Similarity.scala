@@ -2498,10 +2498,18 @@ object Similarity {
     val codes = spark.read.parquet(s"$indexPath/codes").select(col("id"))
     val worst = graft.engine.Layout.tombstones(spark, indexPath) match {
       case Some(ts) =>
-        val total = codes.count()
-        if (total == 0L) 0.0
-        else codes.join(broadcast(ts), Seq("id"), "left_semi")
-          .count().toDouble / total
+        // total and masked in ONE aggregate pass (was two count jobs —
+        // each a full codes scan; the r14 bm25-tier fix applied here).
+        // The tombstone side deduplicates before the broadcast left
+        // join, so repeated forget requests for one id cannot inflate
+        // the count — semi-join semantics preserved exactly.
+        val r = codes.join(
+            broadcast(ts.select(col("id")).distinct()
+              .withColumn("_dead", lit(1))),
+            Seq("id"), "left")
+          .agg(count(lit(1)).as("_t"), count(col("_dead")).as("_m")).head()
+        val total = r.getLong(0)
+        if (total == 0L) 0.0 else r.getLong(1).toDouble / total
       case None => 0.0
     }
     val purged = worst > purgeAboveMaskedFraction
@@ -2560,23 +2568,67 @@ object Similarity {
         .orderBy(col("check_name"))
     val nSub = maxCs.getInt(0) + 1
     val codes = spark.read.parquet(s"$indexPath/codes")
-    val arity = codes.filter(size(col("codes")) =!= nSub).count()
-    val exploded = codes.select(col("id"),
-      posexplode(col("codes")).as(Seq("s", "code")))
-    val dangling = exploded.join(
-        broadcast(cb.select(col("cs").as("s"), col("code"))),
-        Seq("s", "code"), "left_anti").count()
+    // ONE id-keyed pass + one exploded decode pass, unioned into a
+    // single collect (r15, the fsckBm25Index r14 consolidation applied
+    // to this tier: the check-per-action form scanned codes 4× across
+    // ~6 sequential driver round-trips — at corpus scale each extra
+    // scan is a full index read, and locally each action pays fixed
+    // job overhead; q241's fsck stage measured 1.3 s / 17 jobs).
+    // Counts are BIT-IDENTICAL to the per-check originals (FsckSpec's
+    // fault-injection matrix is the regression):
+    //   arity     — code ROWS with size != nSub (null arrays drop,
+    //               as the old null-propagating filter did)
+    //   unknown   — code ROWS whose cluster has no centroid row (a
+    //               null cluster never matches, exactly like the old
+    //               left_anti); centroid ids dedup'd so the row-
+    //               preserving left join cannot fan out
+    //   dup_ids   — ids with >1 code rows (null ids group together,
+    //               same as the old groupBy)
+    //   ts_absent — tombstone ROWS (multiplicity preserved via the
+    //               per-id count) whose id has no code row; a null
+    //               tombstone id never joins, so it always counts —
+    //               the old left_anti's null semantics
+    //   dangling  — exploded (s, code) pairs absent from the codebook
     val cents = spark.read.parquet(s"$indexPath/centroids")
-      .select(col("centroid_id").as("cluster"))
-    val unknownCluster = codes.select(col("cluster"))
-      .join(broadcast(cents), Seq("cluster"), "left_anti").count()
-    val dupIds = codes.groupBy(col("id")).count()
-      .filter(col("count") > 1).count()
+      .select(col("centroid_id").as("cluster")).distinct()
+      .withColumn("_ck", lit(1))
+    val perId = codes
+      .join(broadcast(cents), Seq("cluster"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("_rows"),
+        sum(when(size(col("codes")) =!= nSub, lit(1L)).otherwise(lit(0L)))
+          .as("_ar"),
+        sum(when(col("_ck").isNull, lit(1L)).otherwise(lit(0L))).as("_uc"))
+    val tsCounts = graft.engine.Layout.tombstones(spark, indexPath)
+      .map(_.groupBy(col("id")).agg(count(lit(1)).as("_tm")))
+      .getOrElse(spark.range(0).select(col("id"), lit(0L).as("_tm")))
+    val docBranch = perId.join(tsCounts, Seq("id"), "full_outer")
+      .agg(
+        coalesce(sum(col("_ar")), lit(0L)).as("c1"),
+        coalesce(sum(col("_uc")), lit(0L)).as("c2"),
+        coalesce(sum(when(col("_rows") > 1, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("c3"),
+        coalesce(sum(when(col("_rows").isNull, col("_tm"))
+          .otherwise(lit(0L))), lit(0L)).as("c4"))
+      .select(lit("doc").as("chk"), col("c1"), col("c2"), col("c3"),
+        col("c4"))
+    val danglingBranch = codes.select(col("id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(cb.select(col("cs").as("s"), col("code"))),
+        Seq("s", "code"), "left_anti")
+      .agg(count(lit(1)).as("c1"))
+      .select(lit("dng").as("chk"), col("c1"), lit(0L).as("c2"),
+        lit(0L).as("c3"), lit(0L).as("c4"))
+    val rows = docBranch.unionByName(danglingBranch).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val doc = rows("doc")
+    val arity = doc.getLong(1)
+    val unknownCluster = doc.getLong(2)
+    val dupIds = doc.getLong(3)
+    val tsAbsent = doc.getLong(4)
+    val dangling = rows("dng").getLong(1)
     val leftovers = Seq("codes_pswap_staging", "codes_pswap_old")
       .filter(ex)
-    val tsAbsent = graft.engine.Layout.tombstones(spark, indexPath)
-      .map(_.join(codes.select(col("id")), Seq("id"), "left_anti").count())
-      .getOrElse(0L)
     (layoutRow ++ Seq(
       ("codebook_nonempty", true, 0L, "codebook has rows"),
       ("code_arity", arity == 0L, arity, s"every codes array has $nSub entries"),
