@@ -894,7 +894,10 @@ object Curation {
     val docs = df.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("_t"), targetPred.as("_tgt"))
     val toks = TextStats.tokens(col("_t"))
-    val feats = docs
+    // spread the scan (guide §2.2): tokenize + bigram shingle + per-feat
+    // md5 all run upstream of the (doc, bucket) exchange — one task on
+    // a single-file input; identity at scale
+    val feats = graft.engine.Layout.spreadForCompute(docs)
       .select(col("doc_id"), col("_tgt"),
         explode(concat(toks, Dedup.shinglesOfTokens(toks, 2))).as("feat"))
       .filter(col("feat") =!= "")

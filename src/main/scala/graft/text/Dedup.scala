@@ -46,6 +46,10 @@ object Dedup {
     import org.apache.spark.sql.GraftColumn
     val shingleSet = GraftColumn(graft.functions.ShinglesExpr(
       GraftColumn.expr(TextStats.tokens(col(textCol))), n, distinct = true))
+    // NOT spread here (r15 A/B): this is also every APPEND path's
+    // batch-shingle entry, where the extra exchange + task fan-out
+    // measured q161 2.1→2.8 s warm — the corpus-shaped entry point
+    // (jaccardPairs) spreads its input instead (q85 1.06→0.80 s)
     df.select(col(idCol).as("doc"), explode(shingleSet).as("shingle"))
   }
 
@@ -69,8 +73,13 @@ object Dedup {
     // (Lazy result → the CALLER releases after its action via
     // graft.engine.Caches.releaseAll(), the registry this persist is
     // tracked in; see the cache contract on Similarity.normed.)
+    // spread the corpus scan (guide §2.2): tokenize+shingle run fused
+    // into it, one task on a single-file input; identity at scale. The
+    // spread sits HERE (the corpus-shaped entry) and not in shingleSets
+    // (also the append paths' batch entry, where it measured slower).
     val s = graft.engine.Caches.persisted("jaccardPairs.shingles",
-      shingleSets(df, idCol, textCol, n))
+      shingleSets(graft.engine.Layout.spreadForCompute(df),
+        idCol, textCol, n))
     jaccardPairsFromShingles(s, threshold, hotShingleCap)
   }
 
@@ -671,7 +680,12 @@ object Dedup {
     */
   def dupShingleFraction(df: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame = {
-    val s = shingleSets(df, idCol, textCol, n)
+    // spread the corpus scan (guide §2.2; identity at scale) — the
+    // shingle relation is referenced twice below, and the spread's
+    // exchange doubles as a reuse point so the tokenize+shingle subtree
+    // runs once instead of twice (q85 1.06 -> 0.80 s warm)
+    val s = shingleSets(graft.engine.Layout.spreadForCompute(df),
+      idCol, textCol, n)
     val freq = s.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
     s.join(freq, "shingle")
       .groupBy(col("doc").as("doc_id"))
@@ -726,7 +740,8 @@ object Dedup {
   def noveltyFraction(df: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame = {
     val byShingle = Window.partitionBy(col("shingle"))
-    shingleSets(df, idCol, textCol, n)
+    // spread the corpus scan (the dupShingleFraction shape)
+    shingleSets(graft.engine.Layout.spreadForCompute(df), idCol, textCol, n)
       .withColumn("_first", min(col("doc")).over(byShingle))
       .groupBy(col("doc").as("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),

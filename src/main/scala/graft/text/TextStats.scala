@@ -1968,11 +1968,18 @@ object TextStats {
     // each action pays fixed job overhead). tf aggregates per doc
     // (carrying its bucket-mismatch row count), doclen aggregates per
     // (doc, dl) so duplicate-row multiplicity survives, and a single
-    // full-outer join + final aggregate yields counts BIT-IDENTICAL
-    // to the per-check originals (FsckSpec's fault-injection matrix
-    // is the regression):
+    // full-outer join + final aggregate yields counts identical to the
+    // per-check originals (FsckSpec's fault-injection matrix is the
+    // regression). NULL-doc corner (ADVICE r14): doc_id derives via
+    // cast("long"), so non-numeric ids null out and ARE reachable —
+    // the full-outer join never matches null keys, but the groupBy
+    // after it merges both sides' null rows into one group, so the
+    // orphan count ALSO fires on a null-doc group that carries tf rows
+    // (the pre-r14 distinct+left_anti counted a null tf doc always):
     //   dup_docs  — docs with >1 doclen rows    (was: dl groupBy>1)
-    //   orphans   — tf docs absent from doclen  (was: distinct anti-join)
+    //   orphans   — tf docs absent from doclen, plus the null-doc
+    //               group when it has tf rows (was: distinct anti-join,
+    //               where a null key never matches)
     //   dl_bad    — doclen ROWS (multiplicity) whose dl != the tf sum
     //   bucket_bad— tf rows with a wrong bucket + dl rows with a
     //               wrong dbucket (null comparisons excluded, as the
@@ -1999,7 +2006,8 @@ object TextStats {
       .agg(
         coalesce(sum(when(col("_rows") > 1, lit(1L)).otherwise(lit(0L))),
           lit(0L)).as("c1"),
-        coalesce(sum(when(col("_trm").isNotNull && col("_rows").isNull,
+        coalesce(sum(when(col("_trm").isNotNull &&
+          (col("_rows").isNull || col("doc_id").isNull),
           lit(1L)).otherwise(lit(0L))), lit(0L)).as("c2"),
         coalesce(sum(col("_dlbad")), lit(0L)).as("c3"),
         (coalesce(sum(col("_tbm")), lit(0L)) +
@@ -2168,7 +2176,13 @@ object TextStats {
     val docs = df.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("_t"))
     val nDocs = docs.count() // one aggregate-sized driver scalar
-    val toks = docs.select(col("doc_id"), explode(tokens(col("_t"))).as("token"))
+    // NOT spread (r15 A/B): parallelizing the tokenize+explode measured
+    // consistently SLOWER on every hashedTfidf consumer (q199 1.9→2.3,
+    // q200 3.3→4.9, q202 2.2→2.8 warm) — the tf/idf/bucket aggregation
+    // chain downstream dominates and the extra map tasks only add
+    // per-stage overhead
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("_t"))).as("token"))
       .filter(col("token") =!= "")
     val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     // df rides the SAME token partitioning tf just established

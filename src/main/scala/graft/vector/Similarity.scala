@@ -904,11 +904,20 @@ object Similarity {
       s"$indexPath/assignments", discardMarkerless = true, writerRole = true)
     val live = liveAssignments(spark, indexPath)
     val cents = spark.read.parquet(s"$indexPath/centroids")
-    val cosRow = centroidDrift(
+    // drift cosine + live row count ride ONE collect (r15: two
+    // sequential jobs, each re-scanning the assignment relation, for
+    // two scalars) — two union branches scheduled concurrently
+    val stats = centroidDrift(
         cents.select(col("centroid_vec").as("v")), live.select(col("v")), "v")
-      .select(col("centroid_cosine")).head()
-    val cos = if (cosRow.isNullAt(0)) None else Some(cosRow.getDouble(0))
-    val n = live.count()
+      .select(lit("d").as("chk"), col("centroid_cosine").as("cos"),
+        lit(0L).as("n"))
+      .unionByName(live.agg(count(lit(1)).as("n"))
+        .select(lit("n").as("chk"), lit(null).cast("double").as("cos"),
+          col("n")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cosRow = stats("d")
+    val cos = if (cosRow.isNullAt(1)) None else Some(cosRow.getDouble(1))
+    val n = stats("n").getLong(2)
     val rebuilt = cos.forall(_ < minCentroidCosine)
     if (rebuilt)
       rebuildIvfFromSurvivors(spark, indexPath, None, "id", "v",
@@ -958,19 +967,40 @@ object Similarity {
         .toDF("check_name", "ok", "n_violations", "detail")
         .orderBy(col("check_name"))
     val asg = spark.read.parquet(s"$indexPath/assignments")
-    val unknownCluster = asg.select(col("cluster"))
-      .join(broadcast(cents.select(col("centroid_id").as("cluster"))),
-        Seq("cluster"), "left_anti").count()
-    val dupIds = asg.groupBy(col("id")).count()
-      .filter(col("count") > 1).count()
-    val badNorm = asg
-      .filter(col("n") =!= sqrt(dot(col("v"), col("v")))).count()
+    // ONE id-keyed pass for every assignment invariant (r15, the
+    // fsckIvfAdcIndex consolidation on this tier — was 4 sequential
+    // full-relation count jobs). Identical counts; null semantics as
+    // in fsckIvfAdcIndex (null cluster counts unknown, null tombstone
+    // id always counts absent, the old filter's null-drop on the norm
+    // comparison becomes when→0).
+    val perId = asg
+      .join(broadcast(cents.select(col("centroid_id").as("cluster"))
+          .distinct().withColumn("_ck", lit(1))),
+        Seq("cluster"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("_rows"),
+        sum(when(col("_ck").isNull, lit(1L)).otherwise(lit(0L))).as("_uc"),
+        sum(when(col("n") =!= sqrt(dot(col("v"), col("v"))), lit(1L))
+          .otherwise(lit(0L))).as("_bn"))
+    val tsCounts = graft.engine.Layout.tombstones(spark, indexPath)
+      .map(_.groupBy(col("id")).agg(count(lit(1)).as("_tm")))
+      .getOrElse(spark.range(0).select(col("id"), lit(0L).as("_tm")))
+    val agg = perId.join(tsCounts, Seq("id"), "full_outer")
+      .agg(
+        coalesce(sum(col("_uc")), lit(0L)).as("c1"),
+        coalesce(sum(when(col("_rows") > 1, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("c2"),
+        coalesce(sum(col("_bn")), lit(0L)).as("c3"),
+        coalesce(sum(when(col("_rows").isNull, col("_tm"))
+          .otherwise(lit(0L))), lit(0L)).as("c4"))
+      .head()
+    val unknownCluster = agg.getLong(0)
+    val dupIds = agg.getLong(1)
+    val badNorm = agg.getLong(2)
+    val tsAbsent = agg.getLong(3)
     val leftovers = Seq("assignments_pswap_staging", "assignments_pswap_old",
         ".rebuild", ".retired")
       .filter(ex)
-    val tsAbsent = graft.engine.Layout.tombstones(spark, indexPath)
-      .map(_.join(asg.select(col("id")), Seq("id"), "left_anti").count())
-      .getOrElse(0L)
     (layoutRow ++ Seq(
       ("centroids_nonempty", true, 0L, "centroid table has rows"),
       ("clusters_known", unknownCluster == 0L, unknownCluster,

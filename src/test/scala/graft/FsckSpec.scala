@@ -216,6 +216,27 @@ class FsckSpec extends AnyFunSuite {
       && m5.head.getString(3).contains("totals"))
   }
 
+  test("BM25 fsck: a null-doc tf row counts as an orphan even when doclen also has null docs") {
+    // ADVICE r14: doc_id derives via cast("long"), so non-numeric ids
+    // null out — and the doc-keyed pass merges both sides' null-key
+    // rows into one group after the full-outer join, which used to
+    // hide a null-doc tf orphan whenever doclen carried null docs too
+    // (the pre-r14 distinct+left_anti counted it always)
+    import graft.text.TextStats
+    val dir = tmp("graft_fsck_bm25_null")
+    TextStats.buildBm25Index(docs, "doc_id", "text", dir, nBuckets = 4)
+    // a null-doc doclen row whose dl matches the null-doc tf sum, so
+    // only the universe (and the count-sensitive df/totals) fire
+    Seq((Option.empty[java.lang.Long], "gamma", 1L))
+      .toDF("doc_id", "token", "tf")
+      .coalesce(1).write.mode("append").parquet(s"$dir/tf/bucket=0")
+    Seq((Option.empty[java.lang.Long], 1L)).toDF("doc_id", "dl")
+      .coalesce(1).write.mode("append").parquet(s"$dir/doclen/dbucket=0")
+    val m = checkMap(TextStats.fsckBm25Index(spark, dir))
+    assert(!m("doc_universe")._1 && m("doc_universe")._2 === 1L,
+      s"null-doc tf row must count as an orphan: $m")
+  }
+
   test("BM25 fsck: pending tombstones reported, df/totals stale-by-design honored") {
     import graft.text.TextStats
     val dir = tmp("graft_fsck_bm25_ts")
