@@ -52,14 +52,23 @@ object Layout {
     * repartition reorders rows only; callers are order-independent
     * operators or sort their output).
     *
-    * Pass only exchange-free frames (scans + projections/filters):
-    * the partition-count probe materializes the physical plan, and
-    * under AQE a plan WITH exchanges would execute its query stages
-    * right here.
+    * Exchange-bearing frames pass through UNTOUCHED: the partition-
+    * count probe materializes the physical plan, and under AQE a plan
+    * WITH exchanges would execute its query stages right at the probe
+    * — the whole upstream pipeline would run twice (measured: q200
+    * embedNearDup-over-hashedTfidfEmbed 1.9 → 2.9 s before this
+    * guard). A plan that already shuffles has downstream parallelism
+    * anyway; the single-task pathology this helper exists for is
+    * scan-only lineage.
     */
   def spreadForCompute(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions < target)
+    val hasExchange = df.queryExecution.sparkPlan.find {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }.isDefined
+    if (hasExchange) df
+    else if (df.queryExecution.toRdd.getNumPartitions < target)
       df.repartition(target)
     else df
   }
