@@ -52,22 +52,32 @@ object Layout {
     * repartition reorders rows only; callers are order-independent
     * operators or sort their output).
     *
-    * Exchange-bearing frames pass through UNTOUCHED: the partition-
-    * count probe materializes the physical plan, and under AQE a plan
-    * WITH exchanges would execute its query stages right at the probe
+    * Non-narrow frames pass through UNTOUCHED, decided on the ANALYZED
+    * logical plan (no optimizer run): the partition-count probe
+    * materializes the physical plan, and on a frame with exchanges
+    * under AQE that would execute its query stages right at the probe
     * — the whole upstream pipeline would run twice (measured: q200
-    * embedNearDup-over-hashedTfidfEmbed 1.9 → 2.9 s before this
-    * guard). A plan that already shuffles has downstream parallelism
-    * anyway; the single-task pathology this helper exists for is
-    * scan-only lineage.
+    * embedNearDup-over-hashedTfidfEmbed 1.9 → 2.9 s). Even a guard
+    * that merely FORCES physical planning of a big tree pays a full
+    * optimizer pass the caller's own action then re-pays (measured
+    * ~+0.5-1.0 s on q200/q204) — so the gate must look at the
+    * analyzed plan only. A plan that shuffles has downstream
+    * parallelism anyway; the single-task pathology this helper exists
+    * for is scan-only lineage, and physical planning of THAT is
+    * milliseconds.
     */
   def spreadForCompute(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val hasExchange = df.queryExecution.sparkPlan.find {
-      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def narrow(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: Generate | _: SubqueryAlias |
+           _: Union | _: DeserializeToObject | _: SerializeFromObject |
+           _: MapPartitions | _: TypedFilter =>
+        p.children.forall(narrow)
       case _ => false
-    }.isDefined
-    if (hasExchange) df
+    }
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (!narrow(df.queryExecution.analyzed)) df
     else if (df.queryExecution.toRdd.getNumPartitions < target)
       df.repartition(target)
     else df
