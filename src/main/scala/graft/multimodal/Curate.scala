@@ -785,29 +785,71 @@ object Curate {
     val b = batch.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
     val newIds = b.select("doc_id")
-    val bShingles = Dedup.shingleSets(b, "doc_id", "text", shingleN)
-    val sAll = graft.engine.Caches.persisted("appendManifestIndexed.shingles",
-      liveSig(spark, indexPath, "shingles", "doc").unionByName(bShingles))
     val hCorpus = liveSig(spark, indexPath, "text_hashes", "doc_id")
     val hNew = b.select(col("doc_id"), md5(col("text")).as("h"))
-    val textEdges = Clusters.appendTextEdgesFromSignatures(sAll,
-      hCorpus.unionByName(hNew), hNew, threshold, hotShingleCap,
-      indexFreqFor(spark, indexPath, bShingles),
-      restrict = graft.engine.Layout.flatDirBytes(spark,
-        s"$indexPath/shingles") >
-        graft.ops.GuardBounds.PrefixRestrictAboveBytes)
-    val bImg = Media.imageHashes(spark,
-      imageMedia.getOrElse(Media.imageHashTable(spark, b, "doc_id"))).toDF()
-    val imageEdges = Media.hammingBandedPairsIncremental(
-        liveSig(spark, indexPath, "image_hashes", "media_id").unionByName(bImg),
-        newIds, maxDist, maxChunkBucket, "appendManifestIndexed.image")
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val bAud = Media.audioHashes(spark,
-      audioMedia.getOrElse(Media.audioHashTable(spark, b, "doc_id"))).toDF()
-    val audioEdges = Media.hammingBandedPairsIncremental(
-        liveSig(spark, indexPath, "audio_hashes", "media_id").unionByName(bAud),
-        newIds, maxDist, maxChunkBucket, "appendManifestIndexed.audio")
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    // The three modality edge families are INDEPENDENT subtrees (each a
+    // function of its own signature relation + the shared batch), and
+    // each family is consumed TWICE downstream — once in the union the
+    // component walk canonicalizes, once by its modality flag. Derive
+    // each family ONCE (eager batch-sized checkpoint) on overlapped
+    // driver threads (guide §2.6; r15 — serially the edge chains were
+    // q162's dominant stages: text 5.3 s, image 3.7 s, audio 1.1 s
+    // isolated at sf0.1, each leaving the cluster near-idle between its
+    // small jobs). Thread safety is the forgetAndVerifyAll pattern:
+    // Caches entries are thread-keyed, so each thread mark/releases its
+    // OWN internals after its checkpoint materializes; the checkpoint
+    // releases are re-registered on the calling thread so the enclosing
+    // scopedMaterialized frees them once the result is materialized.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    def materializedEdges(build: => DataFrame) = Future {
+      val m = graft.engine.Caches.mark()
+      val (cp, release) = org.apache.spark.sql.GraftCheckpoint.withHandle(
+        build, eager = true)
+      graft.engine.Caches.releaseSince(m)
+      (cp, release)
+    }
+    val textF = materializedEdges {
+      val bShingles = Dedup.shingleSets(b, "doc_id", "text", shingleN)
+      val sAll = graft.engine.Caches.persisted(
+        "appendManifestIndexed.shingles",
+        liveSig(spark, indexPath, "shingles", "doc").unionByName(bShingles))
+      Clusters.appendTextEdgesFromSignatures(sAll,
+        hCorpus.unionByName(hNew), hNew, threshold, hotShingleCap,
+        indexFreqFor(spark, indexPath, bShingles),
+        restrict = graft.engine.Layout.flatDirBytes(spark,
+          s"$indexPath/shingles") >
+          graft.ops.GuardBounds.PrefixRestrictAboveBytes)
+    }
+    val imageF = materializedEdges {
+      val bImg = Media.imageHashes(spark,
+        imageMedia.getOrElse(Media.imageHashTable(spark, b, "doc_id"))).toDF()
+      Media.hammingBandedPairsIncremental(
+          liveSig(spark, indexPath, "image_hashes", "media_id")
+            .unionByName(bImg),
+          newIds, maxDist, maxChunkBucket, "appendManifestIndexed.image")
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+    }
+    val audioF = materializedEdges {
+      val bAud = Media.audioHashes(spark,
+        audioMedia.getOrElse(Media.audioHashTable(spark, b, "doc_id"))).toDF()
+      Media.hammingBandedPairsIncremental(
+          liveSig(spark, indexPath, "audio_hashes", "media_id")
+            .unionByName(bAud),
+          newIds, maxDist, maxChunkBucket, "appendManifestIndexed.audio")
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+    }
+    val ((textEdges, tRel), (imageEdges, iRel), (audioEdges, aRel)) =
+      try (Await.result(textF, Duration.Inf),
+        Await.result(imageF, Duration.Inf),
+        Await.result(audioF, Duration.Inf))
+      finally pool.shutdown()
+    graft.engine.Caches.trackRelease("appendManifestIndexed.textEdges")(tRel)
+    graft.engine.Caches.trackRelease("appendManifestIndexed.imageEdges")(iRel)
+    graft.engine.Caches.trackRelease("appendManifestIndexed.audioEdges")(aRel)
     withModalityFlags(
         Clusters.appendVerdicts(hCorpus.select("doc_id"), newIds,
           textEdges.union(imageEdges).union(audioEdges)),
