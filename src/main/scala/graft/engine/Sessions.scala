@@ -43,6 +43,18 @@ object Sessions {
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+    // partition-dir listing stays on the driver up to 128 dirs (default
+    // 32): every persisted index here is 16-64 partition dirs (nBuckets,
+    // cluster dirs), and above the default threshold EACH read of such a
+    // table launches a distributed listing job — a fixed ~150-200 ms
+    // scheduler round-trip per read that DevJobTrace measured 4× inside
+    // one forget cycle (~0.7 s of pure listing). Driver-side listing of
+    // ≤128 dirs is milliseconds on any FS; tables with MORE dirs than
+    // that still get the distributed listing, so the 100 TB posture
+    // (thousands of date partitions) is unchanged. Overridable for
+    // object-store deployments where even small listings are slow.
+    .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+      sys.env.getOrElse("SPARK_GRAFT_PART_DISCOVERY_THRESHOLD", "128"))
     // reference memory model (`spark_manager.py:184-199`): larger unified
     // region biased to execution — shuffles/sorts spill later; storage is
     // evictable so a small storageFraction does not cap caching

@@ -1852,7 +1852,11 @@ object TextStats {
              else spark.read.option("basePath", tfPath).parquet(snapshot: _*))
               .filter(col("bucket").cast("string").isin(affectedTf: _*))
               .join(tsDoc, Seq("doc_id"), "left_anti")
-              .repartition(col("bucket"))
+              // no repartition (guide §2.4; r15): the scan is already
+              // dir-partitioned by bucket (each task holds whole files
+              // of few dirs) and the broadcast anti-join is narrow, so
+              // the dynamic-partition writer's per-task sort groups
+              // rows without shuffling the corpus-sized tf again
               .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
               .partitionBy("bucket").parquet(stg)
             stageEmpties(stg, "bucket", affectedTf)
@@ -1903,7 +1907,7 @@ object TextStats {
              else spark.read.option("basePath", dlPath).parquet(snapshot: _*))
               .filter(col("dbucket").cast("string").isin(affectedDl: _*))
               .join(tsDoc, Seq("doc_id"), "left_anti")
-              .repartition(col("dbucket"))
+              // no repartition — same §2.4 rationale as the tf chain
               .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
               .partitionBy("dbucket").parquet(stg)
             stageEmpties(stg, "dbucket", affectedDl)

@@ -768,7 +768,10 @@ object Similarity {
              .parquet(snapshot: _*))
             .filter(col("cluster").cast("string").isin(affected: _*))
             .join(ts, Seq("id"), "left_anti")
-            .repartition(col("cluster"))
+            // no repartition (guide §2.4; r15): the snapshot scan is
+            // already dir-partitioned by cluster and the broadcast
+            // anti-join is narrow — the dynamic-partition writer's
+            // per-task sort groups rows without a second full shuffle
             .write.mode(SaveMode.Overwrite)
             .partitionBy("cluster").parquet(stg)
           val stgP = new org.apache.hadoop.fs.Path(stg)
@@ -2486,7 +2489,10 @@ object Similarity {
              .parquet(snapshot: _*))
             .filter(col("cluster").cast("string").isin(affected: _*))
             .join(ts, Seq("id"), "left_anti")
-            .repartition(col("cluster"))
+            // no repartition (guide §2.4; r15): the snapshot scan is
+            // already dir-partitioned by cluster and the broadcast
+            // anti-join is narrow — the dynamic-partition writer's
+            // per-task sort groups rows without a second full shuffle
             .write.mode(SaveMode.Overwrite)
             .partitionBy("cluster").parquet(stg)
           // a fully-emptied cluster writes no partition dir — stage an
