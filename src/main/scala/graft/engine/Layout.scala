@@ -701,7 +701,8 @@ object Layout {
     // dir means no pending deletes (and parquet cannot infer a schema
     // from zero files anyway)
     if (dataFileStatuses(fs, new Path(p)).isEmpty) None
-    else Some(spark.read.parquet(p).select(col("id")).distinct())
+    else Some(spark.read.schema(IndexSchemas.tombstones).parquet(p)
+      .select(col("id")).distinct())
   }
 
   /** Entry-time snapshot of an index's tombstone state, for purge and
@@ -739,7 +740,8 @@ object Layout {
       .map(_.getPath).toSeq
     if (files.isEmpty) None
     else {
-      val ids = spark.read.parquet(files.map(_.toString): _*)
+      val ids = spark.read.schema(IndexSchemas.tombstones)
+        .parquet(files.map(_.toString): _*)
         .select(col("id").cast("long").as("id"))
         .filter(col("id").isNotNull).distinct()
         .collect().map(_.getLong(0)).toSeq

@@ -208,7 +208,8 @@ object Curate {
     // sized state instead of re-aggregating the corpus-sized
     // (doc, shingle) relation per call. Derived from the just-written
     // parquet (a read-back, not a second tokenization).
-    spark.read.parquet(s"$path/shingles")
+    spark.read.schema(graft.engine.IndexSchemas.shingles)
+      .parquet(s"$path/shingles")
       .groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
       .write.mode("overwrite").parquet(s"$path/shingle_freq")
     c.select(col("doc_id"), md5(col("text")).as("h"))
@@ -227,7 +228,8 @@ object Curate {
     * `shingleN` against it instead of silently mixing n-gram widths.
     */
   private[graft] def indexShingleN(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/meta").head().getInt(0)
+    spark.read.schema(graft.engine.IndexSchemas.sigMeta)
+      .parquet(s"$path/meta").head().getInt(0)
 
   /** GLOBAL shingle frequencies for an indexed append: the persisted
     * vocabulary-sized counts (possibly multi-segment — freq deltas
@@ -245,7 +247,7 @@ object Curate {
     if (!fs.exists(new org.apache.hadoop.fs.Path(p))) None
     else {
       graft.engine.Layout.healStagedReplace(spark, p)
-      Some(spark.read.parquet(p)
+      Some(spark.read.schema(graft.engine.IndexSchemas.shingleFreq).parquet(p)
         .unionByName(batchShingles.groupBy(col("shingle"))
           .agg(count(lit(1)).as("freq")))
         .groupBy(col("shingle")).agg(sum(col("freq")).as("freq")))
@@ -327,8 +329,11 @@ object Curate {
         // the merge runs carry over as extra segments — the SUM-merge
         // read semantics absorb them exactly
         graft.engine.Layout.stagedReplaceSnapshot(spark, sub) { (stg, files) =>
-          (if (files.isEmpty) spark.read.parquet(sub)
-           else spark.read.parquet(files: _*))
+          (if (files.isEmpty)
+             spark.read.schema(graft.engine.IndexSchemas.shingleFreq)
+               .parquet(sub)
+           else spark.read.schema(graft.engine.IndexSchemas.shingleFreq)
+             .parquet(files: _*))
             .groupBy(col("shingle")).agg(sum(col("freq")).as("freq"))
             .repartition(filesPerCommit * 2)
             .write.mode("overwrite").parquet(stg)
@@ -346,7 +351,12 @@ object Curate {
     */
   private[graft] def liveSig(spark: SparkSession, path: String, table: String,
                              key: String): DataFrame = {
-    val df = spark.read.parquet(s"$path/$table")
+    // explicit schema (IndexSchemas): skips the per-read footer-
+    // inference job on the layout's fixed tables
+    val df = graft.engine.IndexSchemas.sigTables.get(table) match {
+      case Some(s) => spark.read.schema(s).parquet(s"$path/$table")
+      case None => spark.read.parquet(s"$path/$table")
+    }
     graft.engine.Layout.tombstones(spark, path) match {
       case Some(ts) =>
         df.join(broadcast(ts.withColumnRenamed("id", key)), Seq(key), "left_anti")
@@ -385,7 +395,8 @@ object Curate {
     if (graft.engine.Layout.flatFileCount(spark, s"$path/tombstones") > 48)
       graft.engine.Layout.compactFlat(spark, s"$path/tombstones",
         targetFiles = 1)
-    if (spark.read.parquet(s"$path/tombstones").count() > purgeAboveRows)
+    if (spark.read.schema(graft.engine.IndexSchemas.tombstones)
+          .parquet(s"$path/tombstones").count() > purgeAboveRows)
       purgeSignatureIndex(spark, path)
   }
 
@@ -419,9 +430,11 @@ object Curate {
         val p = s"$path/$table"
         if (!fs.exists(new org.apache.hadoop.fs.Path(p))) Seq.empty
         else graft.engine.Layout.stagedReplaceSnapshot(spark, p) { (stg, files) =>
+          val rd = graft.engine.IndexSchemas.sigTables.get(table)
+            .fold(spark.read)(spark.read.schema)
           keys.foldLeft(
-            if (files.isEmpty) spark.read.parquet(p)
-            else spark.read.parquet(files: _*)) { (df, k) =>
+            if (files.isEmpty) rd.parquet(p)
+            else rd.parquet(files: _*)) { (df, k) =>
             df.join(ts.withColumnRenamed("id", k), Seq(k), "left_anti")
           }.repartition(targetFiles)
             .write.mode("overwrite").parquet(stg)
@@ -464,7 +477,8 @@ object Curate {
         if (fs.exists(new org.apache.hadoop.fs.Path(freqP)) &&
             purgedShingles.nonEmpty)
           graft.engine.Layout.stagedReplaceSnapshot(spark, freqP) { (stg, _) =>
-            spark.read.parquet(purgedShingles: _*)
+            spark.read.schema(graft.engine.IndexSchemas.shingles)
+              .parquet(purgedShingles: _*)
               .groupBy(col("shingle")).agg(count(lit(1)).as("freq"))
               .repartition(targetFiles)
               .write.mode("overwrite").parquet(stg)
@@ -502,7 +516,8 @@ object Curate {
     val tables = Seq(("audio_hashes", "media_id"), ("image_hashes", "media_id"),
       ("shingles", "doc"), ("text_hashes", "doc_id"))
     val tagged = tables.map { case (table, key) =>
-      spark.read.parquet(s"$indexPath/$table")
+      spark.read.schema(graft.engine.IndexSchemas.sigTables(table))
+        .parquet(s"$indexPath/$table")
         .select(lit(table).as("table_name"), col(key).as("_k"))
     }.reduce(_ unionByName _)
     val flagged = ts match {
@@ -552,7 +567,8 @@ object Curate {
       else s"missing: ${missing.mkString(",")}"))
     if (missing.nonEmpty)
       return layoutRow.toDF("check_name", "ok", "n_violations", "detail")
-    val hashes = spark.read.parquet(s"$path/text_hashes")
+    val hashes = spark.read.schema(graft.engine.IndexSchemas.textHashes)
+      .parquet(s"$path/text_hashes")
     // ONE doc-keyed pass + aggregate branches unioned into a single
     // collect (r15, the fsckBm25Index r14 consolidation applied to
     // this tier: the check-per-action form ran ~5 sequential driver
@@ -567,7 +583,8 @@ object Curate {
     //   dup_docs — text_hashes docs with >1 md5 rows (null group
     //             behaves as in the old groupBy)
     //   shingle row total — Σ per-doc counts == the old raw count()
-    val docChecks = spark.read.parquet(s"$path/shingles")
+    val docChecks = spark.read.schema(graft.engine.IndexSchemas.shingles)
+      .parquet(s"$path/shingles")
       .groupBy(col("doc").as("doc_id")).agg(count(lit(1)).as("_srows"))
       .join(hashes.groupBy(col("doc_id")).agg(count(lit(1)).as("_hrows")),
         Seq("doc_id"), "full_outer")
@@ -584,7 +601,8 @@ object Curate {
           .select(lit("ts").as("chk"), col("c1"), lit(0L).as("c2"),
             lit(0L).as("c3"))),
       (if (ex("shingle_freq"))
-        Some(spark.read.parquet(s"$path/shingle_freq")
+        Some(spark.read.schema(graft.engine.IndexSchemas.shingleFreq)
+          .parquet(s"$path/shingle_freq")
           .agg(coalesce(sum(col("freq")), lit(0L)).as("c1"))
           .select(lit("freq").as("chk"), col("c1"), lit(0L).as("c2"),
             lit(0L).as("c3")))
@@ -960,12 +978,14 @@ object Curate {
     val edges = graft.engine.Caches.persisted("manifestFromEdgeIndex.edges",
       graft.engine.Layout.tombstones(spark, indexPath) match {
         case Some(ts) =>
-          spark.read.parquet(s"$indexPath/edges")
+          spark.read.schema(graft.engine.IndexSchemas.edges)
+            .parquet(s"$indexPath/edges")
             .join(broadcast(ts.withColumnRenamed("id", "src")),
               Seq("src"), "left_anti")
             .join(broadcast(ts.withColumnRenamed("id", "dst")),
               Seq("dst"), "left_anti")
-        case None => spark.read.parquet(s"$indexPath/edges")
+        case None => spark.read.schema(graft.engine.IndexSchemas.edges)
+          .parquet(s"$indexPath/edges")
       })
     def family(mod: String): DataFrame =
       edges.filter(col("modality") === mod).select(col("src"), col("dst"))

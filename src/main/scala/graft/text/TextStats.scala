@@ -1486,7 +1486,7 @@ object TextStats {
       .withColumn("bucket", pmod(hash(col("token")), lit(nBuckets)))
     tf.write.partitionBy("bucket").mode("overwrite").parquet(s"$indexPath/tf")
     // df partials derive from the WRITTEN tf (one tokenize pass total)
-    val tfBack = df.sparkSession.read.parquet(s"$indexPath/tf")
+    val tfBack = df.sparkSession.read.schema(graft.engine.IndexSchemas.bm25Tf).parquet(s"$indexPath/tf")
     tfBack.groupBy(col("token"), col("bucket"))
       .agg(count(lit(1)).as("dft"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$indexPath/df")
@@ -1497,7 +1497,7 @@ object TextStats {
     docLen.repartition(col("dbucket"))
       .write.partitionBy("dbucket").mode("overwrite")
       .parquet(s"$indexPath/doclen")
-    df.sparkSession.read.parquet(s"$indexPath/doclen")
+    df.sparkSession.read.schema(graft.engine.IndexSchemas.bm25Doclen).parquet(s"$indexPath/doclen")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("n_buckets", lit(nBuckets))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/totals")
@@ -1524,10 +1524,10 @@ object TextStats {
   private def appendBm25IndexBody(batch: DataFrame, idCol: String,
                                   textCol: String, indexPath: String): Unit = {
     val spark = batch.sparkSession
-    val nBuckets = spark.read.parquet(s"$indexPath/totals")
+    val nBuckets = spark.read.schema(graft.engine.IndexSchemas.bm25Totals).parquet(s"$indexPath/totals")
       .select(max(col("n_buckets"))).head().getInt(0)
     val nDup = batch.select(col(idCol).cast("long").as("doc_id")).distinct()
-      .join(spark.read.parquet(s"$indexPath/doclen").select(col("doc_id")),
+      .join(spark.read.schema(graft.engine.IndexSchemas.bm25Doclen).parquet(s"$indexPath/doclen").select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       .count()
     require(nDup == 0L,
@@ -1621,7 +1621,7 @@ object TextStats {
     // (two FS existence checks each when none is in flight)
     Seq("tf", "df", "doclen").foreach(t =>
       graft.engine.Layout.healStagedPartitionSwap(spark, s"$indexPath/$t"))
-    val totalsAll = spark.read.parquet(s"$indexPath/totals")
+    val totalsAll = spark.read.schema(graft.engine.IndexSchemas.bm25Totals).parquet(s"$indexPath/totals")
     val nBuckets = totalsAll.select(max(col("n_buckets"))).head().getInt(0)
     // bucket per term via the SAME executor-side hash used at build
     // time — never re-implemented driver-side
@@ -1631,17 +1631,17 @@ object TextStats {
       .distinct().collect().map(_.getInt(0)).toSeq
     val tsDoc = graft.engine.Layout.tombstones(spark, indexPath)
       .map(ts => broadcast(ts.select(col("id").as("doc_id"))))
-    val tf0 = spark.read.parquet(s"$indexPath/tf")
+    val tf0 = spark.read.schema(graft.engine.IndexSchemas.bm25Tf).parquet(s"$indexPath/tf")
       .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
       .select(col("doc_id"), col("token"), col("tf"))
     val tf = tsDoc.fold(tf0)(t => tf0.join(t, Seq("doc_id"), "left_anti"))
-    val docLen0 = spark.read.parquet(s"$indexPath/doclen")
+    val docLen0 = spark.read.schema(graft.engine.IndexSchemas.bm25Doclen).parquet(s"$indexPath/doclen")
       .select(col("doc_id"), col("dl"))
     val docLen = tsDoc.fold(docLen0)(t =>
       docLen0.join(t, Seq("doc_id"), "left_anti"))
     val (dft, totals) = tsDoc match {
       case None =>
-        (spark.read.parquet(s"$indexPath/df")
+        (spark.read.schema(graft.engine.IndexSchemas.bm25Df).parquet(s"$indexPath/df")
            .filter(col("bucket").isin(buckets: _*) &&
              col("token").isin(terms: _*))
            .groupBy(col("token")).agg(sum(col("dft")).as("dft")),
@@ -1709,7 +1709,7 @@ object TextStats {
         "smaller batches")
     Seq("tf", "df", "doclen").foreach(t =>
       graft.engine.Layout.healStagedPartitionSwap(spark, s"$indexPath/$t"))
-    val totalsAll = spark.read.parquet(s"$indexPath/totals")
+    val totalsAll = spark.read.schema(graft.engine.IndexSchemas.bm25Totals).parquet(s"$indexPath/totals")
     val nBuckets = totalsAll.select(max(col("n_buckets"))).head().getInt(0)
     import spark.implicits._
     val buckets = terms.toDF("token")
@@ -1717,17 +1717,17 @@ object TextStats {
       .distinct().collect().map(_.getInt(0)).toSeq
     val tsDoc = graft.engine.Layout.tombstones(spark, indexPath)
       .map(ts => broadcast(ts.select(col("id").as("doc_id"))))
-    val tf0 = spark.read.parquet(s"$indexPath/tf")
+    val tf0 = spark.read.schema(graft.engine.IndexSchemas.bm25Tf).parquet(s"$indexPath/tf")
       .filter(col("bucket").isin(buckets: _*) && col("token").isin(terms: _*))
       .select(col("doc_id"), col("token"), col("tf"))
     val tf = tsDoc.fold(tf0)(t => tf0.join(t, Seq("doc_id"), "left_anti"))
-    val docLen0 = spark.read.parquet(s"$indexPath/doclen")
+    val docLen0 = spark.read.schema(graft.engine.IndexSchemas.bm25Doclen).parquet(s"$indexPath/doclen")
       .select(col("doc_id"), col("dl"))
     val docLen = tsDoc.fold(docLen0)(t =>
       docLen0.join(t, Seq("doc_id"), "left_anti"))
     val (dft, totals) = tsDoc match {
       case None =>
-        (spark.read.parquet(s"$indexPath/df")
+        (spark.read.schema(graft.engine.IndexSchemas.bm25Df).parquet(s"$indexPath/df")
            .filter(col("bucket").isin(buckets: _*) &&
              col("token").isin(terms: _*))
            .groupBy(col("token")).agg(sum(col("dft")).as("dft")),
@@ -1762,7 +1762,7 @@ object TextStats {
     if (graft.engine.Layout.flatFileCount(spark, s"$indexPath/tombstones") > 48)
       graft.engine.Layout.compactFlat(spark, s"$indexPath/tombstones",
         targetFiles = 1)
-    if (spark.read.parquet(s"$indexPath/tombstones").count() > purgeAboveRows)
+    if (spark.read.schema(graft.engine.IndexSchemas.tombstones).parquet(s"$indexPath/tombstones").count() > purgeAboveRows)
       purgeBm25Index(spark, indexPath)
   }
 
@@ -1809,7 +1809,7 @@ object TextStats {
     graft.engine.Layout.tombstoneSnapshot(spark, indexPath).foreach {
       case (ts0, tsFiles) =>
       val tsDoc = broadcast(ts0.select(col("id").as("doc_id")))
-      val nBuckets = spark.read.parquet(s"$indexPath/totals")
+      val nBuckets = spark.read.schema(graft.engine.IndexSchemas.bm25Totals).parquet(s"$indexPath/totals")
         .select(max(col("n_buckets"))).head().getInt(0)
       // ≤ nBuckets partition values each — bounded driver state. Both
       // tables' affected-partition sets come from ONE collect (r14
@@ -1817,11 +1817,11 @@ object TextStats {
       // depend on the tf/df swaps — union the two detection subtrees
       // so one job schedules both scans concurrently instead of two
       // driver round-trips bracketing the swaps).
-      val affected = spark.read.parquet(tfPath).join(tsDoc, Seq("doc_id"))
+      val affected = spark.read.schema(graft.engine.IndexSchemas.bm25Tf).parquet(tfPath).join(tsDoc, Seq("doc_id"))
         .select(lit("tf").as("_t"), col("bucket").cast("string").as("_b"))
         .distinct()
         .unionByName(
-          spark.read.parquet(dlPath).join(tsDoc, Seq("doc_id"))
+          spark.read.schema(graft.engine.IndexSchemas.bm25Doclen).parquet(dlPath).join(tsDoc, Seq("doc_id"))
             .select(lit("dl").as("_t"),
               col("dbucket").cast("string").as("_b"))
             .distinct())
@@ -1848,8 +1848,8 @@ object TextStats {
         if (affectedTf.nonEmpty)
           graft.engine.Layout.stagedPartitionReplace(spark, tfPath) {
             (stg, snapshot) =>
-            (if (snapshot.isEmpty) spark.read.parquet(tfPath)
-             else spark.read.option("basePath", tfPath).parquet(snapshot: _*))
+            (if (snapshot.isEmpty) spark.read.schema(graft.engine.IndexSchemas.bm25Tf).parquet(tfPath)
+             else spark.read.schema(graft.engine.IndexSchemas.bm25Tf).option("basePath", tfPath).parquet(snapshot: _*))
               .filter(col("bucket").cast("string").isin(affectedTf: _*))
               .join(tsDoc, Seq("doc_id"), "left_anti")
               // no repartition (guide §2.4; r15): the scan is already
@@ -1870,10 +1870,10 @@ object TextStats {
         // regression this self-detection exists for). In a fresh purge
         // the mismatch set equals the touched-token buckets — the df
         // counts of a deleted doc's tokens strictly drop.
-        val tfCounts = spark.read.parquet(tfPath)
+        val tfCounts = spark.read.schema(graft.engine.IndexSchemas.bm25Tf).parquet(tfPath)
           .groupBy(col("token"), col("bucket").cast("string").as("bucket"))
           .agg(count(lit(1)).as("_c"))
-        val staleDf = spark.read.parquet(dfPath)
+        val staleDf = spark.read.schema(graft.engine.IndexSchemas.bm25Df).parquet(dfPath)
           .groupBy(col("token"), col("bucket").cast("string").as("bucket"))
           .agg(sum(col("dft")).as("_d"))
           .join(tfCounts, Seq("token", "bucket"), "full_outer")
@@ -1885,7 +1885,7 @@ object TextStats {
             (stg, _) =>
             // recompute from the PURGED tf (exact per-bucket counts —
             // partials collapse to one segment per touched bucket)
-            spark.read.parquet(tfPath)
+            spark.read.schema(graft.engine.IndexSchemas.bm25Tf).parquet(tfPath)
               .filter(col("bucket").cast("string").isin(staleDf: _*))
               .groupBy(col("token"), col("bucket"))
               .agg(count(lit(1)).as("dft"))
@@ -1903,8 +1903,8 @@ object TextStats {
         if (affectedDl.nonEmpty)
           graft.engine.Layout.stagedPartitionReplace(spark, dlPath) {
             (stg, snapshot) =>
-            (if (snapshot.isEmpty) spark.read.parquet(dlPath)
-             else spark.read.option("basePath", dlPath).parquet(snapshot: _*))
+            (if (snapshot.isEmpty) spark.read.schema(graft.engine.IndexSchemas.bm25Doclen).parquet(dlPath)
+             else spark.read.schema(graft.engine.IndexSchemas.bm25Doclen).option("basePath", dlPath).parquet(snapshot: _*))
               .filter(col("dbucket").cast("string").isin(affectedDl: _*))
               .join(tsDoc, Seq("doc_id"), "left_anti")
               // no repartition — same §2.4 rationale as the tf chain
@@ -1915,7 +1915,7 @@ object TextStats {
         // totals: ONE consolidated row recomputed from the purged doclen
         // (sum over a slim per-doc relation at purge cadence)
         graft.engine.Layout.stagedReplace(spark, s"$indexPath/totals") { stg =>
-          spark.read.parquet(dlPath)
+          spark.read.schema(graft.engine.IndexSchemas.bm25Doclen).parquet(dlPath)
             .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
             .withColumn("n_buckets", lit(nBuckets))
             .coalesce(1).write.parquet(stg)
@@ -1962,10 +1962,10 @@ object TextStats {
       return layoutRow.toDF("check_name", "ok", "n_violations", "detail")
     val tombstoned = graft.engine.Layout.tombstones(spark, indexPath)
       .map(_.count()).getOrElse(0L)
-    val nBuckets = spark.read.parquet(s"$indexPath/totals")
+    val nBuckets = spark.read.schema(graft.engine.IndexSchemas.bm25Totals).parquet(s"$indexPath/totals")
       .select(max(col("n_buckets"))).head().getInt(0)
-    val tf = spark.read.parquet(s"$indexPath/tf")
-    val dl = spark.read.parquet(s"$indexPath/doclen")
+    val tf = spark.read.schema(graft.engine.IndexSchemas.bm25Tf).parquet(s"$indexPath/tf")
+    val dl = spark.read.schema(graft.engine.IndexSchemas.bm25Doclen).parquet(s"$indexPath/doclen")
     // ONE doc-keyed pass computes every per-doc invariant (r14 opt:
     // the check-per-action form scanned tf 4× and doclen 4× — at
     // corpus scale each extra scan is a full index read, and locally
@@ -2027,7 +2027,7 @@ object TextStats {
     val branches =
       if (tombstoned > 0) Seq(docChecks)
       else Seq(docChecks,
-        spark.read.parquet(s"$indexPath/df")
+        spark.read.schema(graft.engine.IndexSchemas.bm25Df).parquet(s"$indexPath/df")
           .groupBy(col("token")).agg(sum(col("dft")).as("_d"))
           .join(tf.groupBy(col("token")).agg(count(lit(1)).as("_c")),
             Seq("token"), "full_outer")
@@ -2037,7 +2037,7 @@ object TextStats {
           .select(lit("df").as("chk"), col("c1"), lit(0L).as("c2"),
             lit(0L).as("c3"), lit(0L).as("c4"), lit(0L).as("c5"),
             lit(0L).as("c6")),
-        spark.read.parquet(s"$indexPath/totals")
+        spark.read.schema(graft.engine.IndexSchemas.bm25Totals).parquet(s"$indexPath/totals")
           .agg(coalesce(sum(col("n_docs")), lit(0L)).as("c1"),
             coalesce(sum(col("sum_dl")), lit(0L)).as("c2"))
           .select(lit("tot").as("chk"), col("c1"), col("c2"),
@@ -2115,7 +2115,7 @@ object TextStats {
     val nRequested = ids.select(col(idColName)).distinct().count()
     if (nRequested > 0)
       deleteFromBm25Index(spark, indexPath, ids, idColName, purgeAboveRows)
-    val docs = spark.read.parquet(s"$indexPath/doclen").select(col("doc_id"))
+    val docs = spark.read.schema(graft.engine.IndexSchemas.bm25Doclen).parquet(s"$indexPath/doclen").select(col("doc_id"))
     val worst = graft.engine.Layout.tombstones(spark, indexPath) match {
       case Some(ts) =>
         // total and masked in ONE aggregate pass (was two count jobs —

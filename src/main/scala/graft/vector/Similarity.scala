@@ -682,7 +682,7 @@ object Similarity {
   def appendIvfIndex(newEmb: DataFrame, idCol: String, vecCol: String,
                      indexPath: String): Long = {
     val spark = newEmb.sparkSession
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cents = spark.read.schema(graft.engine.IndexSchemas.centroids).parquet(s"$indexPath/centroids")
       .select(col("centroid_id"), col("centroid_vec"))
     val u = normed(newEmb, idCol, vecCol)
     val assigned0 = u.crossJoin(broadcast(cents))
@@ -712,7 +712,7 @@ object Similarity {
     */
   private def liveAssignments(spark: SparkSession, indexPath: String): DataFrame = {
     graft.engine.Layout.healStagedPartitionSwap(spark, s"$indexPath/assignments")
-    val asg = spark.read.parquet(s"$indexPath/assignments")
+    val asg = spark.read.schema(graft.engine.IndexSchemas.assignments).parquet(s"$indexPath/assignments")
     graft.engine.Layout.tombstones(spark, indexPath) match {
       case Some(ts) => asg.join(broadcast(ts), Seq("id"), "left_anti")
       case None => asg
@@ -734,7 +734,7 @@ object Similarity {
     if (graft.engine.Layout.flatFileCount(spark, s"$indexPath/tombstones") > 48)
       graft.engine.Layout.compactFlat(spark, s"$indexPath/tombstones",
         targetFiles = 1)
-    if (spark.read.parquet(s"$indexPath/tombstones").count() > purgeAboveRows)
+    if (spark.read.schema(graft.engine.IndexSchemas.tombstones).parquet(s"$indexPath/tombstones").count() > purgeAboveRows)
       purgeIvfIndex(spark, indexPath)
   }
 
@@ -756,15 +756,15 @@ object Similarity {
     graft.engine.Layout.tombstoneSnapshot(spark, indexPath).foreach {
       case (ts0, tsFiles) =>
       val ts = broadcast(ts0)
-      val asg = spark.read.parquet(asgPath)
+      val asg = spark.read.schema(graft.engine.IndexSchemas.assignments).parquet(asgPath)
       val affected = asg.join(ts, Seq("id"))
         .select(col("cluster").cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq
       if (affected.nonEmpty)
         graft.engine.Layout.stagedPartitionReplace(spark, asgPath) {
           (stg, snapshot) =>
-          (if (snapshot.isEmpty) spark.read.parquet(asgPath)
-           else spark.read.option("basePath", asgPath)
+          (if (snapshot.isEmpty) spark.read.schema(graft.engine.IndexSchemas.assignments).parquet(asgPath)
+           else spark.read.schema(graft.engine.IndexSchemas.assignments).option("basePath", asgPath)
              .parquet(snapshot: _*))
             .filter(col("cluster").cast("string").isin(affected: _*))
             .join(ts, Seq("id"), "left_anti")
@@ -852,7 +852,7 @@ object Similarity {
                                       kmeansIters: Int,
                                       opName: String): Unit = {
     val tsSnap = graft.engine.Layout.tombstoneSnapshot(spark, indexPath)
-    val base = spark.read.parquet(s"$indexPath/assignments")
+    val base = spark.read.schema(graft.engine.IndexSchemas.assignments).parquet(s"$indexPath/assignments")
     val survivors = tsSnap match {
       case Some((ts, _)) => base.join(broadcast(ts), Seq("id"), "left_anti")
       case None => base
@@ -906,7 +906,7 @@ object Similarity {
     graft.engine.Layout.healStagedPartitionSwap(spark,
       s"$indexPath/assignments", discardMarkerless = true, writerRole = true)
     val live = liveAssignments(spark, indexPath)
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cents = spark.read.schema(graft.engine.IndexSchemas.centroids).parquet(s"$indexPath/centroids")
     // drift cosine + live row count ride ONE collect (r15: two
     // sequential jobs, each re-scanning the assignment relation, for
     // two scalars) — two union branches scheduled concurrently
@@ -961,7 +961,7 @@ object Similarity {
       else s"missing: ${partsOk.mkString(",")}"))
     if (partsOk.nonEmpty)
       return layoutRow.toDF("check_name", "ok", "n_violations", "detail")
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cents = spark.read.schema(graft.engine.IndexSchemas.centroids).parquet(s"$indexPath/centroids")
     val nCents = cents.count()
     if (nCents == 0L)
       return (layoutRow ++ Seq(("centroids_nonempty", false, 1L,
@@ -969,7 +969,7 @@ object Similarity {
             "or rebuild the index")))
         .toDF("check_name", "ok", "n_violations", "detail")
         .orderBy(col("check_name"))
-    val asg = spark.read.parquet(s"$indexPath/assignments")
+    val asg = spark.read.schema(graft.engine.IndexSchemas.assignments).parquet(s"$indexPath/assignments")
     // ONE id-keyed pass for every assignment invariant (r15, the
     // fsckIvfAdcIndex consolidation on this tier — was 4 sequential
     // full-relation count jobs). Identical counts; null semantics as
@@ -1066,7 +1066,7 @@ object Similarity {
                idName: String = "id"): DataFrame = {
     val qn = math.sqrt(dotD(queryVec, queryVec))
     require(qn > 0, "ivfProbe: query vector has zero norm — no cosine direction")
-    val probed = spark.read.parquet(s"$indexPath/centroids").collect()
+    val probed = spark.read.schema(graft.engine.IndexSchemas.centroids).parquet(s"$indexPath/centroids").collect()
       .map { r =>
         val cv = toDouble(r.getSeq[Any](1))
         val cn = math.sqrt(dotD(cv, cv))
@@ -1213,7 +1213,7 @@ object Similarity {
     require(qn > 0, "ivfProbeWhere: query vector has zero norm — no cosine direction")
     require(allowedIds.columns.sameElements(Array("id")),
       s"ivfProbeWhere: allowedIds must be a single `id` column, got ${allowedIds.columns.mkString(",")}")
-    val probed = spark.read.parquet(s"$indexPath/centroids").collect()
+    val probed = spark.read.schema(graft.engine.IndexSchemas.centroids).parquet(s"$indexPath/centroids").collect()
       .map { r =>
         val cv = toDouble(r.getSeq[Any](1))
         val cn = math.sqrt(dotD(cv, cv))
@@ -1272,7 +1272,7 @@ object Similarity {
                    queries: DataFrame, idCol: String, vecCol: String,
                    k: Int, nProbe: Int = 4, idName: String = "id",
                    maxCandidates: Long = graft.ops.GuardBounds.ProbeJoinMaxCandidates): DataFrame = {
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cents = spark.read.schema(graft.engine.IndexSchemas.centroids).parquet(s"$indexPath/centroids")
     val q = queries.select(col(idCol).cast("long").as("query_id"),
         transform(col(vecCol), x => x.cast("double")).as("_qv"))
       .filter(dot(col("_qv"), col("_qv")) > 0)
@@ -1923,7 +1923,7 @@ object Similarity {
                         indexPath: String,
                         codesOut: Option[String] = None): Long = {
     val spark = newEmb.sparkSession
-    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val cb = spark.read.schema(graft.engine.IndexSchemas.codebook).parquet(s"$indexPath/codebook")
     val nSub = cb.agg(max(col("cs"))).head().getInt(0) + 1
     val dimRow = newEmb.select(size(col(vecCol)).as("d")).head(1)
     if (dimRow.isEmpty) return 0L
@@ -1937,7 +1937,7 @@ object Similarity {
       .groupBy(col("id"))
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
         x => x.getField("code")).as("codes"))
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cents = spark.read.schema(graft.engine.IndexSchemas.centroids).parquet(s"$indexPath/centroids")
       .select(col("centroid_id"), col("centroid_vec"))
     val assigned = ivfAssign(newEmb, cents, idCol, vecCol)
       .select(col(idCol).cast("long").as("id"), col("cluster"))
@@ -1986,8 +1986,8 @@ object Similarity {
                       k: Int, nProbe: Int = 4,
                       idName: String = "id",
                       maxCandidates: Long = graft.ops.GuardBounds.ProbeJoinMaxCandidates): DataFrame = {
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val cents = spark.read.schema(graft.engine.IndexSchemas.centroids).parquet(s"$indexPath/centroids")
+    val cb = spark.read.schema(graft.engine.IndexSchemas.codebook).parquet(s"$indexPath/codebook")
     val nSub = cb.agg(max(col("cs"))).head().getInt(0) + 1
     val dimRow = queries.select(size(col(vecCol)).as("d")).head(1)
     if (dimRow.isEmpty)
@@ -2120,7 +2120,7 @@ object Similarity {
     * drift measurement needs ([[maintainIvfAdcIndex]]).
     */
   def pqDecode(spark: SparkSession, indexPath: String): DataFrame = {
-    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val cb = spark.read.schema(graft.engine.IndexSchemas.codebook).parquet(s"$indexPath/codebook")
     liveCodes(spark, indexPath)
       .select(col("id"), posexplode(col("codes")).as(Seq("s", "code")))
       .join(broadcast(cb.select(col("cs"), col("code").as("_ccode"), col("cw"))),
@@ -2337,7 +2337,7 @@ object Similarity {
                             emb: DataFrame, idCol: String,
                             vecCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val cb = spark.read.schema(graft.engine.IndexSchemas.codebook).parquet(s"$indexPath/codebook")
     val nSub = cb.agg(max(col("cs"))).head().getInt(0) + 1
     val dim = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(dim % nSub == 0,
@@ -2413,7 +2413,7 @@ object Similarity {
     */
   private def liveCodes(spark: SparkSession, indexPath: String): DataFrame = {
     graft.engine.Layout.healStagedPartitionSwap(spark, s"$indexPath/codes")
-    val codes = spark.read.parquet(s"$indexPath/codes")
+    val codes = spark.read.schema(graft.engine.IndexSchemas.codes).parquet(s"$indexPath/codes")
     graft.engine.Layout.tombstones(spark, indexPath) match {
       case Some(ts) => codes.join(broadcast(ts), Seq("id"), "left_anti")
       case None => codes
@@ -2444,7 +2444,7 @@ object Similarity {
     if (graft.engine.Layout.flatFileCount(spark, s"$indexPath/tombstones") > 48)
       graft.engine.Layout.compactFlat(spark, s"$indexPath/tombstones",
         targetFiles = 1)
-    if (spark.read.parquet(s"$indexPath/tombstones").count() > purgeAboveRows)
+    if (spark.read.schema(graft.engine.IndexSchemas.tombstones).parquet(s"$indexPath/tombstones").count() > purgeAboveRows)
       purgeIvfAdcIndex(spark, indexPath)
   }
 
@@ -2472,7 +2472,7 @@ object Similarity {
     graft.engine.Layout.tombstoneSnapshot(spark, indexPath).foreach {
       case (ts0, tsFiles) =>
       val ts = broadcast(ts0)
-      val codes = spark.read.parquet(codesPath)
+      val codes = spark.read.schema(graft.engine.IndexSchemas.codes).parquet(codesPath)
       // ≤ nCentroids partition values — bounded driver state
       val affected = codes.join(ts, Seq("id"))
         .select(col("cluster").cast("string")).distinct()
@@ -2484,8 +2484,8 @@ object Similarity {
           // cluster partition column); files a concurrent
           // sinkIvfAdcAppend lands while this runs carry over through
           // the swap — the purge and the appender lose neither side
-          (if (snapshot.isEmpty) spark.read.parquet(codesPath)
-           else spark.read.option("basePath", codesPath)
+          (if (snapshot.isEmpty) spark.read.schema(graft.engine.IndexSchemas.codes).parquet(codesPath)
+           else spark.read.schema(graft.engine.IndexSchemas.codes).option("basePath", codesPath)
              .parquet(snapshot: _*))
             .filter(col("cluster").cast("string").isin(affected: _*))
             .join(ts, Seq("id"), "left_anti")
@@ -2531,7 +2531,7 @@ object Similarity {
     val nRequested = ids.select(col(idColName)).distinct().count()
     if (nRequested > 0)
       deleteFromIvfAdcIndex(spark, indexPath, ids, idColName, purgeAboveRows)
-    val codes = spark.read.parquet(s"$indexPath/codes").select(col("id"))
+    val codes = spark.read.schema(graft.engine.IndexSchemas.codes).parquet(s"$indexPath/codes").select(col("id"))
     val worst = graft.engine.Layout.tombstones(spark, indexPath) match {
       case Some(ts) =>
         // total and masked in ONE aggregate pass (was two count jobs —
@@ -2591,7 +2591,7 @@ object Similarity {
       else s"missing: ${partsOk.mkString(",")}"))
     if (partsOk.nonEmpty)
       return layoutRow.toDF("check_name", "ok", "n_violations", "detail")
-    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val cb = spark.read.schema(graft.engine.IndexSchemas.codebook).parquet(s"$indexPath/codebook")
     // an EMPTY codebook is exactly the corruption class fsck exists to
     // diagnose — report it as a failing check row instead of NPE-ing
     // on the max() aggregate (ADVICE r12)
@@ -2603,7 +2603,7 @@ object Similarity {
         .toDF("check_name", "ok", "n_violations", "detail")
         .orderBy(col("check_name"))
     val nSub = maxCs.getInt(0) + 1
-    val codes = spark.read.parquet(s"$indexPath/codes")
+    val codes = spark.read.schema(graft.engine.IndexSchemas.codes).parquet(s"$indexPath/codes")
     // ONE id-keyed pass + one exploded decode pass, unioned into a
     // single collect (r15, the fsckBm25Index r14 consolidation applied
     // to this tier: the check-per-action form scanned codes 4× across
@@ -2625,7 +2625,7 @@ object Similarity {
     //               tombstone id never joins, so it always counts —
     //               the old left_anti's null semantics
     //   dangling  — exploded (s, code) pairs absent from the codebook
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    val cents = spark.read.schema(graft.engine.IndexSchemas.centroids).parquet(s"$indexPath/centroids")
       .select(col("centroid_id").as("cluster")).distinct()
       .withColumn("_ck", lit(1))
     val perId = codes
@@ -2700,7 +2700,7 @@ object Similarity {
                   idName: String = "id"): DataFrame = {
     val qn = math.sqrt(dotD(queryVec, queryVec))
     require(qn > 0, "ivfAdcProbe: query vector has zero norm")
-    val probed = spark.read.parquet(s"$indexPath/centroids").collect()
+    val probed = spark.read.schema(graft.engine.IndexSchemas.centroids).parquet(s"$indexPath/centroids").collect()
       .map { r =>
         val cv = toDouble(r.getSeq[Any](1))
         val cn = math.sqrt(dotD(cv, cv))
@@ -2709,7 +2709,7 @@ object Similarity {
       }
       .sortBy { case (c, cid) => (-c, cid) }
       .take(nProbe).map(_._2).toSeq
-    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val cb = spark.read.schema(graft.engine.IndexSchemas.codebook).parquet(s"$indexPath/codebook")
     val nSub = cb.agg(max(col("cs"))).head().getInt(0) + 1
     val w = queryVec.length / nSub
     val qsub = pqSubvectors(
